@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage over the driver's TPC-H-ish tables.
+  *
+  * Every query here is paired with ANSI SQL in [[Relational.oracle]] that DuckDB
+  * executes on the same parquet files; the driver hash-compares results. To keep
+  * float results bit-identical across engines, money sums are computed in integer
+  * cents (`BIGINT`) and divisions are done once, at the end, on those exact
+  * integers. Each query ends with a deterministic ORDER BY on a unique key.
+  *
+  * Scale notes (100 TB design intent, verified on local[32]):
+  *  - joins against `region`/`nation`/`part`/`supplier`/`customer` dimension
+  *    tables are explicitly `broadcast()` — at 100 TB the fact table (lineitem /
+  *    events) dominates and must never shuffle for a dimension join;
+  *  - aggregations partial-aggregate map-side (Catalyst hash agg);
+  *  - top-k per group is a single window sort, never a global sort.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read it as long nanos and expose an exact epoch-millis column.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts_ms", (col("ts") / 1000000L).cast("long"))
+  }
+
+  /** money → exact integer cents (identical expression on the DuckDB side). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- TPC-H Q1-style pricing summary: wide hash aggregation ----
+    "q01_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("disc_cents"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- filter + agg with predicate pushdown to the parquet scan ----
+    "q02_priority_count" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- 3-way join: fact × orders × broadcast dims ----
+    "q03_revenue_by_nation" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val o  = t(s, dir, "orders")
+      val c  = t(s, dir, "customer")
+      val n  = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name"))
+        .agg(sum(cents(li("l_extendedprice") * (lit(1.0) - li("l_discount")))).as("revenue_cents"),
+             count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"))
+    },
+
+    // ---- broadcast dim join + group ----
+    "q04_brand_volume" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val p  = t(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(p("p_brand"))
+        .agg(sum(li("l_quantity")).cast("long").as("qty"),
+             count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    },
+
+    // ---- left semi join (EXISTS) ----
+    "q05_custs_with_orders" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- left anti join (NOT EXISTS) ----
+    "q06_custs_without_orders" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o.filter(o("o_totalprice") > 400000.0),
+             c("c_custkey") === o("o_custkey"), "left_anti")
+        .join(broadcast(t(s, dir, "nation")), c("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n_name"))
+    },
+
+    // ---- top-k per group via window (PromQL topk analog) ----
+    "q07_topk_customers" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("rk"))
+    },
+
+    // ---- exact quantiles per group (PromQL quantile analog) ----
+    "q08_price_quantiles" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5D)").as("p50"),
+          expr("percentile(o_totalprice, 0.95D)").as("p95"),
+          min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // ---- count_values analog: group by bucketed value ----
+    "q09_count_values" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- events: tumbling-window agg (sum_over_time / count_over_time analog) ----
+    "q10_events_hourly" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"),
+                 (floor(col("ts_ms") / 3600000L) * 3600000L).cast("long").as("hour_ms"))
+        .agg(sum(cents(col("value"))).as("value_cents"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("hour_ms"))
+    },
+
+    // ---- as-of / lookback join onto an hourly step grid (PromQL instant-
+    //      selector analog). Scalable shape: instead of a nested-loop range
+    //      join of events × steps, each event row *computes* the step range it
+    //      can serve ([ts, ts+lookback) ∩ grid) and explodes only those — cost
+    //      O(rows × lookback/step), independent of grid length, then a single
+    //      hash agg by (step, user). ----
+    "q11_events_asof_grid" -> { (s, dir) =>
+      val startMs = 1704153600000L // 2024-01-02 00:00:00 UTC
+      val endMs   = 1704240000000L // 2024-01-03 00:00:00 UTC
+      val stepMs  = 3600000L
+      val look    = 21600000L      // 6h lookback
+      events(s, dir)
+        .select(col("user_id"), col("ts_ms"), cents(col("value")).as("v_cents"))
+        .withColumn("first_step",
+          greatest(expr(s"(ts_ms + ${stepMs - 1}) DIV $stepMs * $stepMs"), lit(startMs)))
+        .withColumn("last_step",
+          least(expr(s"(ts_ms + ${look - 1}) DIV $stepMs * $stepMs"), lit(endMs)))
+        .filter(col("first_step") <= col("last_step"))
+        .select(col("user_id"), col("ts_ms"), col("v_cents"),
+          explode(expr(s"sequence(first_step, last_step, $stepMs)")).as("step_ms"))
+        .groupBy(col("step_ms"), col("user_id"))
+        .agg(expr("max_by(v_cents, ts_ms)").as("last_cents"),
+             max(col("ts_ms")).as("last_ts_ms"))
+        .orderBy(col("step_ms"), col("user_id"))
+    },
+
+    // ---- binary-op ratio: two aggregations joined on key (PromQL a/b analog) ----
+    "q12_error_ratio" -> { (s, dir) =>
+      val ev  = events(s, dir)
+      val tot = ev.groupBy(col("user_id")).agg(count(lit(1)).as("total"))
+      val err = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("errors"))
+      tot.join(err, Seq("user_id"), "inner")
+        .select(col("user_id"), col("errors"), col("total"),
+                (col("errors").cast("double") / col("total").cast("double")).as("ratio"))
+        .orderBy(col("user_id"))
+    },
+  )
+
+  /** DuckDB-dialect oracle SQL; tables referenced by bare name. */
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS base_cents,
+         sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS disc_cents,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+    "q02_priority_count" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY 1""",
+    "q03_revenue_by_nation" ->
+      """SELECT n_name,
+         sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS revenue_cents,
+         count(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "q04_brand_volume" ->
+      """SELECT p_brand, CAST(sum(l_quantity) AS BIGINT) AS qty, count(*) AS n
+         FROM lineitem JOIN part ON l_partkey=p_partkey GROUP BY 1 ORDER BY 1""",
+    "q05_custs_with_orders" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+         GROUP BY 1 ORDER BY 1""",
+    "q06_custs_without_orders" ->
+      """SELECT n_name, count(*) AS n FROM customer JOIN nation ON c_nationkey=n_nationkey
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice > 400000.0)
+         GROUP BY 1 ORDER BY 1""",
+    "q07_topk_customers" ->
+      """SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+           FROM customer) WHERE rk <= 3 ORDER BY c_mktsegment, rk""",
+    "q08_price_quantiles" ->
+      """SELECT o_orderstatus,
+         quantile_cont(o_totalprice, 0.5) AS p50,
+         quantile_cont(o_totalprice, 0.95) AS p95,
+         min(o_totalprice) AS mn, max(o_totalprice) AS mx
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q09_count_values" ->
+      """SELECT CAST(floor(o_totalprice/50000) AS BIGINT) AS bucket, count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q10_events_hourly" ->
+      """SELECT event_type,
+         CAST(floor(epoch_ms(ts)/3600000) AS BIGINT)*3600000 AS hour_ms,
+         sum(CAST(round(value*100) AS BIGINT)) AS value_cents, count(*) AS n
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "q11_events_asof_grid" ->
+      """WITH grid AS (
+           SELECT CAST(epoch_ms(g.generate_series) AS BIGINT) AS step_ms
+           FROM generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                                TIMESTAMP '2024-01-03 00:00:00',
+                                INTERVAL 1 HOUR) g),
+         ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+                       CAST(round(value*100) AS BIGINT) AS v_cents FROM events)
+         SELECT g.step_ms, e.user_id,
+                arg_max(e.v_cents, e.ts_ms) AS last_cents,
+                max(e.ts_ms) AS last_ts_ms
+         FROM grid g JOIN ev e
+           ON e.ts_ms <= g.step_ms AND e.ts_ms > g.step_ms - 21600000
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "q12_error_ratio" ->
+      """SELECT t.user_id, e.errors, t.total,
+           CAST(e.errors AS DOUBLE)/CAST(t.total AS DOUBLE) AS ratio
+         FROM (SELECT user_id, count(*) AS total FROM events GROUP BY 1) t
+         JOIN (SELECT user_id, count(*) AS errors FROM events WHERE event_type='error' GROUP BY 1) e
+           ON t.user_id=e.user_id
+         ORDER BY 1""",
+  )
+}

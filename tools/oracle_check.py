@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify output vs DuckDB.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, glob
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+fails = []
+for name, sql in sorted(oracle.items()):
+    files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+    if not files:
+        fails.append((name, "no spark output")); continue
+    got = pq.read_table(files[0]).to_pandas()
+    try:
+        exp = con.execute(sql).df()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}")); continue
+    # driver-style: sort columns by name
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    if list(got.columns) != list(exp.columns):
+        fails.append((name, f"cols {list(got.columns)} vs {list(exp.columns)}")); continue
+    if len(got) != len(exp):
+        fails.append((name, f"rows {len(got)} vs {len(exp)}")); continue
+    got = got.sort_values(by=list(got.columns), ignore_index=True)
+    exp = exp.sort_values(by=list(exp.columns), ignore_index=True)
+    bad = None
+    for c in got.columns:
+        gc, ec = got[c], exp[c]
+        if gc.dtype.kind == 'f' or ec.dtype.kind == 'f':
+            import numpy as np
+            g, e = gc.astype(float).values, ec.astype(float).values
+            exact = (g == e) | (pd.isna(g) & pd.isna(e))
+            if not exact.all():
+                i = (~exact).argmax()
+                bad = f"col {c} float mismatch @{i}: {g[i]!r} vs {e[i]!r}"
+                break
+        else:
+            if not gc.astype(str).equals(ec.astype(str)):
+                neq = gc.astype(str) != ec.astype(str)
+                i = neq.idxmax()
+                bad = f"col {c} mismatch @{i}: {gc[i]!r} vs {ec[i]!r}"
+                break
+    if bad: fails.append((name, bad))
+    else: print(f"OK   {name} ({len(got)} rows)")
+
+for name, why in fails:
+    print(f"FAIL {name}: {why}")
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} pass")
+sys.exit(1 if fails else 0)
