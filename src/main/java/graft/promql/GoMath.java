@@ -1,0 +1,18 @@
+package graft.promql;
+
+/** IEEE-754 arithmetic helpers matching Go's float64 operators.
+ *
+ * Spark's SQL Divide/Remainder deviate from IEEE on zero divisors (ANSI mode
+ * throws; legacy mode yields NULL) while the reference engine relies on plain
+ * Go float division (x/0 = ±Inf, 0/0 = NaN — ref promql/engine.go:3451
+ * scalarBinop). These are invoked via Catalyst StaticInvoke, so they inline
+ * into whole-stage codegen.
+ */
+public final class GoMath {
+  private GoMath() {}
+
+  public static double div(double a, double b) { return a / b; }
+
+  /** Go math.Mod semantics == Java % (sign of dividend, NaN on zero divisor). */
+  public static double mod(double a, double b) { return a % b; }
+}

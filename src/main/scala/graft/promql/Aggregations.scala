@@ -1,0 +1,107 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** PromQL aggregation operators (ref: promql/engine.go:3616 aggregation,
+  * :3986 aggregationK, :4208 count_values).
+  *
+  * All 15 operators compile to one hash aggregation (or one window for the
+  * k-variants) keyed on (grouping-signature, step) — map-side partial
+  * aggregation applies, no driver involvement.
+  */
+object Aggregations {
+
+  def eval(pl: Planner, ae: AggregateExpr): DataFrame = {
+    val in = pl.eval(ae.expr) match {
+      case VectorVal(df) => df
+      case other => throw PromQLError(s"aggregation over non-vector: $other")
+    }
+    val glabelsCol =
+      if (ae.without) pl.withoutLabelsCol(col("labels"), ae.grouping)
+      else pl.keepLabelsCol(col("labels"), ae.grouping)
+    val pre = in
+      .withColumn("glabels", glabelsCol)
+      .withColumn("gsig", pl.sigCol(col("glabels")))
+
+    def grouped(v: Column): DataFrame =
+      pre.groupBy(col("gsig"), col("t"))
+        .agg(first(col("glabels")).as("labels"), v.as("v"))
+        .select(col("labels"), col("t"), col("v"), col("t").as("st"))
+
+    // parameter (k / φ / ratio): constant fast-path, else per-step scalar join
+    lazy val paramConst: Option[Double] = ae.param.flatMap(pl.constValue)
+    def paramCol(df: DataFrame): (DataFrame, Column) = paramConst match {
+      case Some(c) => (df, lit(c))
+      case None =>
+        val sdf = pl.eval(ae.param.get) match {
+          case ScalarVal(s, _) => s.withColumnRenamed("v", "__param")
+          case _ => throw PromQLError(s"${ae.op} parameter must be a scalar")
+        }
+        (df.join(broadcast(sdf), Seq("t")), col("__param"))
+    }
+
+    ae.op match {
+      case "sum" => grouped(sum(col("v")))
+      case "avg" => grouped(avg(col("v")))
+      case "count" => grouped(count(lit(1)).cast("double"))
+      case "group" => grouped(first(lit(1.0)))
+      // min/max skip NaN unless the group is all-NaN (ref: engine.go:3680)
+      case "min" => grouped(coalesce(min(when(!isnan(col("v")), col("v"))), lit(Double.NaN)))
+      case "max" => grouped(coalesce(max(when(!isnan(col("v")), col("v"))), lit(Double.NaN)))
+      case "stddev" => grouped(stddev_pop(col("v")))
+      case "stdvar" => grouped(var_pop(col("v")))
+
+      case "quantile" =>
+        val phi = paramConst.getOrElse(
+          throw PromQLError("quantile: non-constant φ not supported yet"))
+        if (phi.isNaN) grouped(first(lit(Double.NaN)))
+        else if (phi < 0) grouped(first(lit(Double.NegativeInfinity)))
+        else if (phi > 1) grouped(first(lit(Double.PositiveInfinity)))
+        else grouped(expr(s"percentile(v, ${phi}D)"))
+
+      case "topk" | "bottomk" =>
+        val (df, k) = paramCol(pre)
+        val ord: Seq[Column] =
+          if (ae.op == "topk") Seq(isnan(col("v")).asc, col("v").desc, pl.sigCol(col("labels")).asc)
+          else Seq(isnan(col("v")).asc, col("v").asc, pl.sigCol(col("labels")).asc)
+        val w = Window.partitionBy(col("gsig"), col("t")).orderBy(ord: _*)
+        df.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= k.cast("long"))
+          .select(col("labels"), col("t"), col("v"), col("st"))
+
+      case "limitk" =>
+        val (df, k) = paramCol(pre)
+        val w = Window.partitionBy(col("gsig"), col("t"))
+          .orderBy(pl.sigCol(col("labels")).asc)
+        df.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= k.cast("long"))
+          .select(col("labels"), col("t"), col("v"), col("st"))
+
+      case "limit_ratio" =>
+        // deterministic pseudo-random subset by series-hash ratio
+        // (ref: engine.go aggregationK limit_ratio; hash formula approximated —
+        // we use xxhash64 over the canonical label signature)
+        val (df, r) = paramCol(pre)
+        val frac = (xxhash64(to_json(col("labels"))).cast("double") / lit(Long.MaxValue.toDouble) + 1.0) / 2.0
+        df.filter(when(r >= 0, frac < r).otherwise(frac >= (lit(1.0) + r)))
+          .select(col("labels"), col("t"), col("v"), col("st"))
+
+      case "count_values" =>
+        val lbl = ae.param match {
+          case Some(StringLiteral(s)) => s
+          case _ => throw PromQLError("count_values: label name must be a string literal")
+        }
+        pre.withColumn("__fv", RangeUdfs.goFormatUdf(col("v")))
+          .groupBy(col("gsig"), col("t"), col("__fv"))
+          .agg(first(col("glabels")).as("glabels"), count(lit(1)).cast("double").as("v"))
+          .select(
+            map_concat(map_filter(col("glabels"), (k, _) => k =!= lbl),
+                       map(lit(lbl), col("__fv"))).as("labels"),
+            col("t"), col("v"), col("t").as("st"))
+
+      case other => throw PromQLError(s"unknown aggregator: $other")
+    }
+  }
+}

@@ -1,0 +1,173 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PromQL binary operators as join forms (ref: promql/engine.go:3191
+  * VectorBinop, :3115 VectorAnd, :3138 VectorOr, :3165 VectorUnless,
+  * :3404 VectorscalarBinop, :3451 scalarBinop).
+  *
+  * Vector/vector matching is an equi-join on the canonical signature of the
+  * matching-label subset plus the step — a standard shuffled hash join that
+  * scales; set ops are semi/anti joins; scalar sides are broadcast.
+  */
+object BinOps {
+
+  import MathCols._
+
+  private val setOps = Set("and", "or", "unless")
+  private val cmpOps = Set("==", "!=", "<", ">", "<=", ">=")
+
+  private def arith(op: String, l: Column, r: Column): Column = op match {
+    case "+" => l + r
+    case "-" => l - r
+    case "*" => l * r
+    case "/" => divD(l, r)
+    case "%" => modD(l, r)
+    case "^" => powD(l, r)
+    case "atan2" => atan2D(l, r)
+  }
+
+  def eval(pl: Planner, be: BinaryExpr): PValue = {
+    val op = be.op
+    (pl.eval(be.lhs), pl.eval(be.rhs)) match {
+      case (ScalarVal(l, lc), ScalarVal(r, rc)) =>
+        if (setOps.contains(op))
+          throw PromQLError(s"set operator $op not allowed between scalars")
+        if (cmpOps.contains(op) && !be.returnBool)
+          throw PromQLError("comparisons between scalars must use BOOL modifier")
+        def sop(a: Double, b: Double): Double =
+          if (cmpOps.contains(op)) { if (cmpConst(op, a, b)) 1.0 else 0.0 }
+          else constArith(op, a, b)
+        (lc, rc) match {
+          case (Some(a), Some(b)) =>
+            val v = sop(a, b)
+            ScalarVal(pl.gridDF.select(col("t"), lit(v).as("v")), Some(v))
+          case _ =>
+            val lj = l.withColumnRenamed("v", "lv")
+            val rj = r.withColumnRenamed("v", "rv")
+            val joined = lj.join(rj, Seq("t"))
+            val v =
+              if (cmpOps.contains(op)) when(ieeeCmp(op, col("lv"), col("rv")), 1.0).otherwise(0.0)
+              else arith(op, col("lv"), col("rv"))
+            ScalarVal(joined.select(col("t"), v.as("v")), None)
+        }
+
+      case (VectorVal(l), ScalarVal(r, rc)) => vecScalar(pl, be, l, r, rc, scalarOnLeft = false)
+      case (ScalarVal(l, lc), VectorVal(r)) => vecScalar(pl, be, r, l, lc, scalarOnLeft = true)
+      case (VectorVal(l), VectorVal(r)) => VectorVal(vecVec(pl, be, l, r))
+      case (a, b) => throw PromQLError(s"binary $op unsupported between $a and $b")
+    }
+  }
+
+  private def cmpConst(op: String, a: Double, b: Double): Boolean = op match {
+    case "==" => a == b
+    case "!=" => a != b
+    case "<" => a < b
+    case ">" => a > b
+    case "<=" => a <= b
+    case ">=" => a >= b
+  }
+  private def constArith(op: String, a: Double, b: Double): Double = op match {
+    case "+" => a + b
+    case "-" => a - b
+    case "*" => a * b
+    case "/" => a / b
+    case "%" => a % b
+    case "^" => math.pow(a, b)
+    case "atan2" => math.atan2(a, b)
+  }
+
+  private def vecScalar(pl: Planner, be: BinaryExpr, vdf: DataFrame,
+      sdf: DataFrame, sconst: Option[Double], scalarOnLeft: Boolean): PValue = {
+    val op = be.op
+    if (setOps.contains(op))
+      throw PromQLError(s"set operator $op requires vector operands")
+    val (df, sv) = sconst match {
+      case Some(c) => (vdf, lit(c))
+      case None => (vdf.join(broadcast(sdf.withColumnRenamed("v", "__s")), Seq("t")), col("__s"))
+    }
+    val (lv, rv) = if (scalarOnLeft) (sv, col("v")) else (col("v"), sv)
+    val out =
+      if (cmpOps.contains(op)) {
+        if (be.returnBool)
+          df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
+            when(ieeeCmp(op, lv, rv), 1.0).otherwise(0.0).as("v"), col("st"))
+        else
+          df.filter(ieeeCmp(op, lv, rv))
+            .select(col("labels"), col("t"), col("v"), col("st"))
+      } else {
+        df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
+          arith(op, lv, rv).as("v"), col("st"))
+      }
+    VectorVal(out)
+  }
+
+  private def matchSig(pl: Planner, labels: Column, m: VectorMatching): Column =
+    if (m.on) pl.sigCol(pl.keepLabelsCol(labels, m.matchingLabels))
+    else pl.sigCol(pl.withoutLabelsCol(labels, m.matchingLabels))
+
+  private def vecVec(pl: Planner, be: BinaryExpr, l: DataFrame, r: DataFrame): DataFrame = {
+    val op = be.op
+    val m = be.matching
+    val lp = l.select(matchSig(pl, col("labels"), m).as("msig"),
+      col("labels").as("l_labels"), col("t"), col("v").as("l_v"), col("st").as("l_st"))
+    val rp = r.select(matchSig(pl, col("labels"), m).as("msig"),
+      col("labels").as("r_labels"), col("t"), col("v").as("r_v"), col("st").as("r_st"))
+
+    op match {
+      case "and" =>
+        lp.join(rp.select(col("msig"), col("t")).distinct(), Seq("msig", "t"), "left_semi")
+          .select(col("l_labels").as("labels"), col("t"), col("l_v").as("v"), col("l_st").as("st"))
+      case "unless" =>
+        lp.join(rp.select(col("msig"), col("t")).distinct(), Seq("msig", "t"), "left_anti")
+          .select(col("l_labels").as("labels"), col("t"), col("l_v").as("v"), col("l_st").as("st"))
+      case "or" =>
+        val lOut = lp.select(col("l_labels").as("labels"), col("t"), col("l_v").as("v"), col("l_st").as("st"))
+        val rOnly = rp.join(lp.select(col("msig"), col("t")).distinct(), Seq("msig", "t"), "left_anti")
+          .select(col("r_labels").as("labels"), col("t"), col("r_v").as("v"), col("r_st").as("st"))
+        lOut.unionByName(rOnly)
+
+      case _ =>
+        val joined = lp.join(rp, Seq("msig", "t"))
+        val manyIsLeft = be.matching.card != MatchCard.OneToMany
+        val manyLabels = if (manyIsLeft) col("l_labels") else col("r_labels")
+        val oneLabels = if (manyIsLeft) col("r_labels") else col("l_labels")
+        val manyV = if (manyIsLeft) col("l_v") else col("r_v")
+        val manySt = if (manyIsLeft) col("l_st") else col("r_st")
+        // result labels (ref: promql/engine.go:3359 resultMetric):
+        // 1:1 → lhs projected to the matching-label subset; N:1/1:N → the
+        // "many" side's labels minus __name__; then merge include labels from
+        // the "one" side.
+        val baseLabels: Column =
+          if (m.card == MatchCard.OneToOne) {
+            if (m.on) pl.keepLabelsCol(col("l_labels"), m.matchingLabels)
+            else pl.withoutLabelsCol(col("l_labels"), m.matchingLabels)
+          } else pl.dropNameCol(manyLabels)
+        val includeLabels: Column =
+          if (m.include.isEmpty) baseLabels
+          else map_concat(
+            map_filter(baseLabels, (k, _) => !k.isInCollection(m.include)),
+            pl.keepLabelsCol(oneLabels, m.include))
+        if (cmpOps.contains(op)) {
+          if (be.returnBool)
+            joined.select(includeLabels.as("labels"), col("t"),
+              when(ieeeCmp(op, col("l_v"), col("r_v")), 1.0).otherwise(0.0).as("v"), manySt.as("st"))
+          else {
+            // filter comparison: keep the many side's full labels (metric name
+            // included), but still merge group_x(include) labels from the one side
+            val filterLabels =
+              if (m.include.isEmpty) manyLabels
+              else map_concat(
+                map_filter(manyLabels, (k, _) => !k.isInCollection(m.include)),
+                pl.keepLabelsCol(oneLabels, m.include))
+            joined.filter(ieeeCmp(op, col("l_v"), col("r_v")))
+              .select(filterLabels.as("labels"), col("t"), manyV.as("v"), manySt.as("st"))
+          }
+        } else {
+          joined.select(includeLabels.as("labels"), col("t"),
+            arith(op, col("l_v"), col("r_v")).as("v"), manySt.as("st"))
+        }
+    }
+  }
+}

@@ -1,0 +1,232 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PromQL function-call dispatch (ref: promql/engine.go:2108 case *parser.Call;
+  * implementations promql/functions.go). Range-vector functions are fused with
+  * their selector in [[Planner.evalRange]]; this file handles instant-vector
+  * and scalar functions.
+  */
+object CallEval {
+
+  import MathCols._
+
+  private val rangeFuncs = Set(
+    "rate", "increase", "delta", "irate", "idelta", "resets", "changes",
+    "deriv", "predict_linear", "double_exponential_smoothing",
+    "avg_over_time", "sum_over_time", "count_over_time", "min_over_time",
+    "max_over_time", "first_over_time", "last_over_time", "quantile_over_time",
+    "stddev_over_time", "stdvar_over_time", "mad_over_time",
+    "present_over_time", "absent_over_time",
+    "ts_of_first_over_time", "ts_of_last_over_time",
+    "ts_of_max_over_time", "ts_of_min_over_time")
+
+  /** name → elementwise double transform */
+  private val simple: Map[String, Column => Column] = Map(
+    "abs" -> absD, "ceil" -> ceilD, "floor" -> floorD, "exp" -> expD,
+    "sqrt" -> sqrtD, "ln" -> lnD, "log2" -> log2D, "log10" -> log10D,
+    "sgn" -> sgnD, "sin" -> sinD, "cos" -> cosD, "tan" -> tanD,
+    "asin" -> asinD, "acos" -> acosD, "atan" -> atanD, "sinh" -> sinhD,
+    "cosh" -> coshD, "tanh" -> tanhD, "asinh" -> asinhD, "acosh" -> acoshD,
+    "atanh" -> atanhD,
+    "deg" -> (c => degrees(c)), "rad" -> (c => radians(c)))
+
+  /** date-part functions over a UTC timestamp built from seconds
+    * (ref: promql/functions.go:2574 dateWrapper) */
+  private val dateFns: Map[String, Column => Column] = Map(
+    "minute" -> (ts => minute(ts).cast("double")),
+    "hour" -> (ts => hour(ts).cast("double")),
+    "day_of_week" -> (ts => (dayofweek(ts) - 1).cast("double")),
+    "day_of_month" -> (ts => dayofmonth(ts).cast("double")),
+    "day_of_year" -> (ts => dayofyear(ts).cast("double")),
+    "days_in_month" -> (ts => dayofmonth(last_day(ts)).cast("double")),
+    "month" -> (ts => month(ts).cast("double")),
+    "year" -> (ts => year(ts).cast("double")))
+
+  def eval(pl: Planner, name: String, args: List[Expr]): PValue = {
+
+    def vecArg(e: Expr): DataFrame = pl.eval(e) match {
+      case VectorVal(df) => df
+      case other => throw PromQLError(s"$name expects instant vector, got $other")
+    }
+    def scalarArg(e: Expr): (DataFrame, Option[Double]) = pl.eval(e) match {
+      case ScalarVal(df, c) => (df, c)
+      case other => throw PromQLError(s"$name expects scalar, got $other")
+    }
+    def strArg(e: Expr): String = pl.eval(e) match {
+      case StringVal(s) => s
+      case other => throw PromQLError(s"$name expects string literal, got $other")
+    }
+    /** apply elementwise transform dropping __name__ */
+    def mapV(df: DataFrame, f: Column => Column): PValue =
+      VectorVal(df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
+        f(col("v")).as("v"), col("st")))
+    /** bind a scalar argument as a Column usable inside a vector projection */
+    def bindScalar(df: DataFrame, e: Expr): (DataFrame, Column) = {
+      val (sdf, sc) = scalarArg(e)
+      sc match {
+        case Some(c) => (df, lit(c))
+        case None =>
+          val tag = s"__s${System.identityHashCode(e)}"
+          (df.join(broadcast(sdf.withColumnRenamed("v", tag)), Seq("t")), col(tag))
+      }
+    }
+
+    name match {
+      case n if rangeFuncs.contains(n) =>
+        val (rangeArg, extra) = n match {
+          case "quantile_over_time" => (args(1), List(args.head))
+          case "predict_linear" | "double_exponential_smoothing" => (args.head, args.tail)
+          case _ => (args.head, Nil)
+        }
+        VectorVal(pl.evalRange(n, rangeArg, extra))
+
+      case n if simple.contains(n) => mapV(vecArg(args.head), simple(n))
+
+      case "clamp" =>
+        val in = vecArg(args.head)
+        val (df1, lo) = bindScalar(in, args(1))
+        val (df2, hi) = bindScalar(df1, args(2))
+        VectorVal(df2.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
+          clampD(col("v"), lo, hi).as("v"), col("st")))
+      case "clamp_max" =>
+        val (df, hi) = bindScalar(vecArg(args.head), args(1))
+        VectorVal(df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
+          minD(col("v"), hi).as("v"), col("st")))
+      case "clamp_min" =>
+        val (df, lo) = bindScalar(vecArg(args.head), args(1))
+        VectorVal(df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
+          maxD(col("v"), lo).as("v"), col("st")))
+      case "round" =>
+        val in = vecArg(args.head)
+        val (df, to) =
+          if (args.length > 1) bindScalar(in, args(1)) else (in, lit(1.0))
+        VectorVal(df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
+          roundTo(col("v"), to).as("v"), col("st")))
+
+      case "time" =>
+        ScalarVal(pl.gridDF.select(col("t"), (col("t").cast("double") / 1000.0).as("v")), None)
+      case "pi" =>
+        ScalarVal(pl.gridDF.select(col("t"), lit(math.Pi).as("v")), Some(math.Pi))
+      case "max_of" | "min_of" =>
+        val bound = args.map(a => scalarArg(a))
+        val consts = bound.map(_._2)
+        if (consts.forall(_.isDefined)) {
+          val v = if (name == "max_of") consts.flatten.foldLeft(Double.NegativeInfinity)(math.max)
+                  else consts.flatten.foldLeft(Double.PositiveInfinity)(math.min)
+          ScalarVal(pl.gridDF.select(col("t"), lit(v).as("v")), Some(v))
+        } else {
+          val joined = bound.map(_._1).zipWithIndex
+            .map { case (df, i) => df.withColumnRenamed("v", s"__v$i") }
+            .reduce((a, b) => a.join(b, Seq("t")))
+          val cols = bound.indices.map(i => col(s"__v$i"))
+          val v = cols.reduce((a, b) => if (name == "max_of") maxD(a, b) else minD(a, b))
+          ScalarVal(joined.select(col("t"), v.as("v")), None)
+        }
+
+      case "timestamp" =>
+        val in = vecArg(args.head)
+        VectorVal(in.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
+          (col("st").cast("double") / 1000.0).as("v"), col("st")))
+
+      case "scalar" =>
+        val in = vecArg(args.head)
+        val agg = in.groupBy(col("t")).agg(count(lit(1)).as("n"), first(col("v")).as("fv"))
+        val out = pl.gridDF.join(agg, Seq("t"), "left")
+          .select(col("t"), when(col("n") === 1, col("fv")).otherwise(lit(Double.NaN)).as("v"))
+        ScalarVal(out, None)
+
+      case "vector" =>
+        val (sdf, _) = scalarArg(args.head)
+        VectorVal(sdf.select(pl.emptyLabelsCol.as("labels"), col("t"), col("v"), col("t").as("st")))
+
+      case "absent" =>
+        val in = vecArg(args.head)
+        val present = in.select(col("t")).distinct()
+        val lbls = pl.absentLabelsFor(args.head)
+        VectorVal(pl.gridDF.join(present, Seq("t"), "left_anti")
+          .select(lbls.as("labels"), col("t"), lit(1.0).as("v"), col("t").as("st")))
+
+      case n if dateFns.contains(n) =>
+        val in =
+          if (args.isEmpty)
+            pl.gridDF.select(pl.emptyLabelsCol.as("labels"), col("t"),
+              (col("t").cast("double") / 1000.0).as("v"), col("t").as("st"))
+          else vecArg(args.head)
+        val ts = timestamp_seconds(col("v"))
+        VectorVal(in.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
+          dateFns(n)(ts).as("v"), col("st")))
+
+      case "label_replace" =>
+        // ref: promql/functions.go:2483 evalLabelReplace (RE2 fully anchored)
+        val in = vecArg(args.head)
+        val dst = strArg(args(1)); val repl = strArg(args(2))
+        val src = strArg(args(3)); val regex = strArg(args(4))
+        val anchored = "^(?:" + regex + ")$"
+        val srcV = pl.lvalCol(col("labels"), src)
+        val matched = srcV.rlike(anchored)
+        val newV = regexp_replace(srcV, anchored, repl)
+        val newLabels = when(!matched, col("labels")).otherwise(
+          when(length(newV) === 0, map_filter(col("labels"), (k, _) => k =!= dst))
+            .otherwise(map_concat(map_filter(col("labels"), (k, _) => k =!= dst),
+                                  map(lit(dst), newV))))
+        VectorVal(in.select(newLabels.as("labels"), col("t"), col("v"), col("st")))
+
+      case "label_join" =>
+        val in = vecArg(args.head)
+        val dst = strArg(args(1)); val sep = strArg(args(2))
+        val srcs = args.drop(3).map(strArg)
+        val newV = concat_ws(sep, srcs.map(s => pl.lvalCol(col("labels"), s)): _*)
+        val newLabels =
+          when(length(newV) === 0, map_filter(col("labels"), (k, _) => k =!= dst))
+            .otherwise(map_concat(map_filter(col("labels"), (k, _) => k =!= dst),
+                                  map(lit(dst), newV)))
+        VectorVal(in.select(newLabels.as("labels"), col("t"), col("v"), col("st")))
+
+      case "sort" | "sort_desc" | "sort_by_label" | "sort_by_label_desc" =>
+        // ordering is presentation-only (range results are label-sorted anyway,
+        // ref: promql/engine.go:907); pass through
+        VectorVal(vecArg(args.head))
+
+      case "histogram_quantile" =>
+        val phi = pl.constValue(args.head).getOrElse(
+          throw PromQLError("histogram_quantile: φ must be constant"))
+        VectorVal(classicHistogramQuantile(pl, vecArg(args(1)), phi))
+
+      case "histogram_fraction" =>
+        val lo = pl.constValue(args.head).getOrElse(throw PromQLError("histogram_fraction: lo must be constant"))
+        val hi = pl.constValue(args(1)).getOrElse(throw PromQLError("histogram_fraction: hi must be constant"))
+        VectorVal(classicHistogramFraction(pl, vecArg(args(2)), lo, hi))
+
+      case other => throw PromQLError(s"unsupported function: $other")
+    }
+  }
+
+  /** classic-histogram path: group bucket series by labels-without-le
+    * (ref: promql/functions.go:2177 → quantile.go:105). */
+  private def bucketsOf(pl: Planner, in: DataFrame): DataFrame = {
+    val leStr = pl.lvalCol(col("labels"), "le")
+    val leD = when(leStr === "+Inf" || leStr === "Inf" || leStr === "inf",
+      lit(Double.PositiveInfinity)).otherwise(leStr.cast("double"))
+    in.filter(leStr =!= "")
+      .withColumn("__le", leD)
+      .withColumn("glabels",
+        map_filter(col("labels"), (k, _) => k =!= "le" && k =!= "__name__"))
+      .groupBy(pl.sigCol(col("glabels")).as("gsig"), col("t"))
+      .agg(first(col("glabels")).as("labels"),
+           collect_list(struct(col("__le"), col("v"))).as("buckets"))
+  }
+
+  private def classicHistogramQuantile(pl: Planner, in: DataFrame, phi: Double): DataFrame =
+    bucketsOf(pl, in)
+      .select(col("labels"), col("t"),
+        RangeUdfs.bucketQuantile(lit(phi), col("buckets")).as("v"), col("t").as("st"))
+      .filter(!isnull(col("v")))
+
+  private def classicHistogramFraction(pl: Planner, in: DataFrame, lo: Double, hi: Double): DataFrame =
+    bucketsOf(pl, in)
+      .select(col("labels"), col("t"),
+        RangeUdfs.bucketFraction(lit(lo), lit(hi), col("buckets")).as("v"), col("t").as("st"))
+      .filter(!isnull(col("v")))
+}

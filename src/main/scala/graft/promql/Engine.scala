@@ -1,0 +1,44 @@
+package graft.promql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Public API of the PromQL-on-Spark engine.
+  *
+  * Input: a canonical samples DataFrame —
+  *   labels MAP<STRING,STRING> (including __name__),
+  *   t LONG (epoch millis, ref model/timestamp/timestamp.go:22),
+  *   v DOUBLE,
+  *   stale BOOLEAN (explicit staleness marker; the reference encodes this as a
+  *     NaN bit pattern, model/value/value.go:28 — Spark's UnsafeRow normalizes
+  *     NaN payloads, so we carry an explicit column instead).
+  *
+  * At 100 TB the samples table should be parquet partitioned by a time bucket
+  * (e.g. 2h/1d — mirroring the reference's 2h blocks, tsdb/db.go:56) and
+  * sorted/bucketed by a series hash; every query here filters t to the minimal
+  * window first, so partition pruning + parquet min/max stats bound the scan.
+  */
+object Engine {
+
+  val samplesSchema: StructType = StructType(Seq(
+    StructField("labels", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField("t", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = false),
+    StructField("stale", BooleanType, nullable = false)))
+
+  def parse(q: String): Expr = Parser.parse(q)
+
+  def instantQuery(spark: SparkSession, samples: DataFrame, q: String, tsMs: Long,
+      lookbackMs: Long = 300000L): PValue =
+    new Planner(spark, samples, EvalParams(tsMs, tsMs, 1000L, lookbackMs)).eval(parse(q))
+
+  def rangeQuery(spark: SparkSession, samples: DataFrame, q: String,
+      startMs: Long, endMs: Long, stepMs: Long, lookbackMs: Long = 300000L): PValue = {
+    val e = parse(q)
+    e.valueType match {
+      case ValueType.InstantVector | ValueType.Scalar => ()
+      case t => throw PromQLError(s"range query expression must be scalar or instant vector, got $t")
+    }
+    new Planner(spark, samples, EvalParams(startMs, endMs, stepMs, lookbackMs)).eval(e)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.promql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column helpers with exact IEEE/Go float semantics.
+  *
+  * Spark's SQL math functions deviate from the reference's Go `math` package in
+  * corners that matter for oracle parity: `log(-1)` is NULL in Spark but NaN in
+  * Go; `least`/`greatest` treat NaN as the largest value while Go's
+  * `math.Min/Max` propagate NaN; SQL `ceil`/`floor` return LONG (overflow on
+  * ±Inf) while Go returns float64. We route those through
+  * `java.lang.Math` via Catalyst `StaticInvoke` — still whole-stage-codegen'd
+  * (a static call in generated Java), no UDF penalty.
+  *
+  * (ref: promql/functions.go:1744 simpleFloatFunc dispatch)
+  */
+object MathCols {
+
+  private def jmath(fn: String, args: Column*): Column =
+    org.apache.spark.sql.GraftBridge.mathInvoke(fn, args)
+
+  def ceilD(c: Column): Column = jmath("ceil", c)
+  def floorD(c: Column): Column = jmath("floor", c)
+  def expD(c: Column): Column = jmath("exp", c)
+  def sqrtD(c: Column): Column = jmath("sqrt", c)
+  def lnD(c: Column): Column = jmath("log", c)
+  def log10D(c: Column): Column = jmath("log10", c)
+  def log2D(c: Column): Column = lnD(c) / lit(0.6931471805599453)
+  def absD(c: Column): Column = jmath("abs", c)
+  def powD(a: Column, b: Column): Column = jmath("pow", a, b)
+  def atan2D(a: Column, b: Column): Column = jmath("atan2", a, b)
+  def minD(a: Column, b: Column): Column = jmath("min", a, b)   // NaN-propagating
+  def maxD(a: Column, b: Column): Column = jmath("max", a, b)
+  def sinD(c: Column): Column = jmath("sin", c)
+  def cosD(c: Column): Column = jmath("cos", c)
+  def tanD(c: Column): Column = jmath("tan", c)
+  def asinD(c: Column): Column = jmath("asin", c)
+  def acosD(c: Column): Column = jmath("acos", c)
+  def atanD(c: Column): Column = jmath("atan", c)
+  def sinhD(c: Column): Column = jmath("sinh", c)
+  def coshD(c: Column): Column = jmath("cosh", c)
+  def tanhD(c: Column): Column = jmath("tanh", c)
+  // Go math.Asinh/Acosh/Atanh have no java.lang.Math twin — same formulas
+  def asinhD(c: Column): Column = lnD(c + sqrtD(c * c + lit(1.0)))
+  def acoshD(c: Column): Column =
+    when(c < 1.0, lit(Double.NaN)).otherwise(lnD(c + sqrtD(c * c - lit(1.0))))
+  def atanhD(c: Column): Column =
+    when(absD(c) >= 1.0 && !(absD(c) === 1.0), lit(Double.NaN))
+      .otherwise(lit(0.5) * lnD((lit(1.0) + c) / (lit(1.0) - c)))
+  def sgnD(c: Column): Column = signum(c)
+
+  /** IEEE division/modulo via static helper — Spark's `/` and `%` either
+    * throw (ANSI) or yield NULL (legacy) on zero divisors. */
+  def divD(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.staticInvoke(classOf[GoMath], "div", Seq(a, b))
+  def modD(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.staticInvoke(classOf[GoMath], "mod", Seq(a, b))
+
+  /** IEEE comparison result (PromQL semantics): any NaN operand ⇒ false,
+    * except `!=` where NaN ⇒ true. Spark natively treats NaN==NaN as TRUE and
+    * NaN as largest — must be masked. */
+  def ieeeCmp(op: String, l: Column, r: Column): Column = {
+    val anyNaN = isnan(l) || isnan(r)
+    op match {
+      case "==" => !anyNaN && (l === r)
+      case "!=" => anyNaN || (l =!= r)
+      case "<"  => !anyNaN && (l < r)
+      case ">"  => !anyNaN && (l > r)
+      case "<=" => !anyNaN && (l <= r)
+      case ">=" => !anyNaN && (l >= r)
+    }
+  }
+
+  /** PromQL round(v, to): nearest multiple of `to`, ties rounding up.
+    * (ref: promql/functions.go:1159 funcRound) */
+  def roundTo(v: Column, to: Column): Column =
+    floorD(v / to + lit(0.5)) * to
+
+  /** clamp with Go min/max NaN propagation; min > max ⇒ NaN.
+    * (ref: promql/functions.go:1137 funcClamp) */
+  def clampD(v: Column, lo: Column, hi: Column): Column =
+    when(lo > hi, lit(Double.NaN)).otherwise(maxD(minD(v, hi), lo))
+}

@@ -1,0 +1,477 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Evaluation parameters for one query (instant = start==end, one step). */
+final case class EvalParams(
+    startMs: Long, endMs: Long, stepMs: Long,
+    lookbackMs: Long = 300000L,           // ref: promql/engine.go:64 (5m default)
+    defaultSubqueryStepMs: Long = 60000L) {
+  def numSteps: Long = (endMs - startMs) / stepMs + 1
+}
+
+/** PromQL value kinds flowing through the planner (ref: promql/value.go).
+  * Vector/Matrix results are DataFrames:
+  *   VectorVal: labels MAP, t LONG (step ms), v DOUBLE, st LONG (sample ts)
+  *   ScalarVal: t LONG, v DOUBLE
+  *   MatrixVal: labels MAP, t LONG (sample ts), v DOUBLE   (top-level only)
+  */
+sealed trait PValue
+final case class VectorVal(df: DataFrame) extends PValue
+final case class ScalarVal(df: DataFrame, const: Option[Double]) extends PValue
+final case class MatrixVal(df: DataFrame) extends PValue
+final case class StringVal(s: String) extends PValue
+
+final case class PromQLError(msg: String) extends RuntimeException(msg)
+
+/** Compiles a PromQL AST into a DataFrame plan over the canonical samples
+  * table (labels MAP<STRING,STRING>, t LONG ms, v DOUBLE, stale BOOLEAN).
+  *
+  * Architecture (the key divergence from the reference's per-step interpreter,
+  * ref promql/engine.go:1410 rangeEval): ALL steps are evaluated at once in one
+  * distributed plan. Lookback/range selection is an explode-by-coverage: each
+  * sample row computes the step indices it can serve ([t, t+window) ∩ grid) and
+  * emits only those — O(rows × window/step) work, independent of grid length,
+  * followed by one hash aggregation keyed on (series, step). No per-step loop,
+  * no driver-side evaluation, no nested-loop range join.
+  */
+final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams) {
+  import MathCols._
+
+  private val P = params
+
+  // ---------- label plumbing ----------
+
+  /** canonical, group-/join-able signature of a label map */
+  private def sigOf(m: Column): Column = array_sort(map_entries(m))
+
+  private def lval(labels: Column, name: String): Column =
+    coalesce(element_at(labels, name), lit(""))
+
+  private def anchored(re: String): String = "^(?:" + re + ")$"
+
+  private def dropName(labels: Column): Column =
+    map_filter(labels, (k, _) => k =!= "__name__")
+
+  private def keepLabels(labels: Column, keep: Seq[String]): Column =
+    if (keep.isEmpty) map_filter(labels, (_, _) => lit(false))
+    else map_filter(labels, (k, _) => k.isInCollection(keep))
+
+  private def withoutLabels(labels: Column, drop: Seq[String]): Column =
+    map_filter(labels, (k, _) => !k.isInCollection(drop :+ "__name__"))
+
+  private val emptyLabels: Column =
+    map_filter(map(lit("x"), lit("x")), (_, _) => lit(false))
+
+  // ---------- step grid ----------
+
+  private def grid: DataFrame =
+    spark.range(P.numSteps).select((lit(P.startMs) + col("id") * P.stepMs).as("t"))
+
+  private def resolveAt(a: AtModifier): Long = a match {
+    case AtModifier.AtTimestamp(ms) => ms
+    case AtModifier.AtStart => P.startMs
+    case AtModifier.AtEnd => P.endMs
+  }
+
+  /** step indices covered by a sample visible over [wt, wt+window):
+    * k1 = max(0, ceil((wt-start)/step)), k2 = min(n-1, floor((wt+window-1-start)/step)) */
+  private def coverage(df: DataFrame, wt: Column, windowMs: Long): DataFrame =
+    df.withColumn("__k1",
+        greatest(ceil((wt - P.startMs).cast("double") / P.stepMs).cast("long"), lit(0L)))
+      .withColumn("__k2",
+        least(floor((wt + (windowMs - 1) - P.startMs).cast("double") / P.stepMs).cast("long"),
+              lit(P.numSteps - 1)))
+      .filter(col("__k1") <= col("__k2"))
+      .withColumn("__k", explode(sequence(col("__k1"), col("__k2"))))
+      .withColumn("t_step", lit(P.startMs) + col("__k") * P.stepMs)
+      .drop("__k1", "__k2", "__k")
+
+  // ---------- selectors ----------
+
+  private def selectorBase(vs: VectorSelector): DataFrame = {
+    val ms = vs.metricName.map(n => LabelMatcher("__name__", MatchOp.Eq, n)).toList ++ vs.matchers
+    ms.foldLeft(samples) { (df, m) =>
+      val c = lval(col("labels"), m.name)
+      df.filter(m.op match {
+        case MatchOp.Eq => c === m.value
+        case MatchOp.Neq => c =!= m.value
+        case MatchOp.Re => c.rlike(anchored(m.value))
+        case MatchOp.NotRe => !c.rlike(anchored(m.value))
+      })
+    }
+  }
+
+  /** Instant vector selector: per (series, step) the most recent sample in
+    * (step−lookback, step], stale markers shadowing (ref: promql/engine.go:2730
+    * vectorSelectorSingle; staleness ref model/value/value.go:28). */
+  def instantSelect(vs: VectorSelector): DataFrame = {
+    val base = selectorBase(vs)
+    vs.at match {
+      case Some(atm) =>
+        val te = resolveAt(atm) - vs.offsetMs
+        val picked = base
+          .filter(col("t") > te - P.lookbackMs && col("t") <= te)
+          .groupBy(sigOf(col("labels")).as("__sg"))
+          .agg(max_by(struct(col("t"), col("v"), col("stale"), col("labels")), col("t")).as("p"))
+          .select(col("p.labels").as("labels"), col("p.t").as("st"),
+                  col("p.v").as("v"), col("p.stale").as("stale"))
+          .filter(!col("stale")).drop("stale")
+        grid.crossJoin(picked).select(col("labels"), col("t"), col("v"), col("st"))
+      case None =>
+        val shifted = base.withColumn("wt", col("t") + vs.offsetMs)
+        coverage(shifted, col("wt"), P.lookbackMs)
+          .groupBy(sigOf(col("labels")).as("__sg"), col("t_step"))
+          .agg(max_by(struct(col("wt"), col("t"), col("v"), col("stale"), col("labels")),
+                      col("wt")).as("p"))
+          .select(col("p.labels").as("labels"), col("t_step").as("t"),
+                  col("p.v").as("v"), col("p.t").as("st"), col("p.stale").as("stale"))
+          .filter(!col("stale")).drop("stale")
+    }
+  }
+
+  // ---------- range inputs (matrix selectors & subqueries) ----------
+
+  /** points: labels, t (sample ts), v — stale already removed */
+  private final case class RangeInput(
+      points: DataFrame, rangeMs: Long, offsetMs: Long, at: Option[AtModifier])
+
+  private def rangeInput(e: Expr): RangeInput = e match {
+    case MatrixSelector(vs, range) =>
+      RangeInput(selectorBase(vs).filter(!col("stale")).select(col("labels"), col("t"), col("v")),
+                 range, vs.offsetMs, vs.at)
+    case SubqueryExpr(inner, range, step0, offset, at) =>
+      val istep = if (step0 > 0) step0 else P.defaultSubqueryStepMs
+      // inner grid: multiples of istep spanning [outerStart-offset-range, outerEnd-offset]
+      // (ref: promql/engine.go:1932 runSubquery — subquery steps are epoch-aligned)
+      val lo = P.startMs - offset - range
+      val hi = P.endMs - offset
+      val k1 = math.ceil(lo.toDouble / istep).toLong
+      val k2 = math.floor(hi.toDouble / istep).toLong
+      if (k2 < k1) throw PromQLError("empty subquery range")
+      val innerParams = EvalParams(k1 * istep, k2 * istep, istep, P.lookbackMs, P.defaultSubqueryStepMs)
+      val innerPlanner = new Planner(spark, samples, innerParams)
+      val inner2 = innerPlanner.eval(inner) match {
+        case VectorVal(df) => df.select(col("labels"), col("t"), col("v"))
+        case ScalarVal(df, _) => df.select(emptyLabels.as("labels"), col("t"), col("v"))
+        case _ => throw PromQLError("subquery inner expression must be vector or scalar")
+      }
+      RangeInput(inner2, range, offset, at)
+    case ParenExpr(inner) => rangeInput(inner)
+    case _ => throw PromQLError(s"expected range vector, got $e")
+  }
+
+  /** Windowed points ready for per-(series,step) aggregation. Adds:
+    * wt (offset-shifted ts), prev_v / prev_wt (previous point in series — for
+    * counter-reset / changes logic), t_step, __sg. When the selector is pinned
+    * with @, a single pseudo-step is used and the result is fanned out to the
+    * grid after aggregation (step-invariant, ref: promql/engine.go:2564). */
+  private def windowedPoints(ri: RangeInput): (DataFrame, Boolean) = {
+    val w = Window.partitionBy(sigOf(col("labels"))).orderBy(col("t"))
+    val base = ri.points
+      .withColumn("prev_v", lag(col("v"), 1).over(w))
+      .withColumn("prev_t", lag(col("t"), 1).over(w))
+      .withColumn("wt", col("t") + ri.offsetMs)
+      .withColumn("prev_wt", col("prev_t") + ri.offsetMs)
+    ri.at match {
+      case Some(atm) =>
+        val te = resolveAt(atm)
+        val pts = base
+          .filter(col("wt") > te - ri.rangeMs && col("wt") <= te)
+          .withColumn("t_step", lit(te))
+        (pts.withColumn("__sg", sigOf(col("labels"))), true)
+      case None =>
+        val pts = coverage(base, col("wt"), ri.rangeMs)
+          // sample visible at steps where wt ∈ (t_step − range, t_step]
+          .withColumn("__sg", sigOf(col("labels")))
+        (pts, false)
+    }
+  }
+
+  /** After aggregating a pinned (@) range: fan the per-series constant back out
+    * to every grid step. */
+  private def fanOut(df: DataFrame, fixed: Boolean): DataFrame =
+    if (!fixed) df
+    else grid.crossJoin(df.drop("t")).select(df.columns.filter(_ != "t").map(col) :+ col("t"): _*)
+
+  // ---------- range-function evaluation ----------
+
+  /** Functions that keep the metric name (ref: promql/functions.go DropName
+    * flags / name_label_dropping.test). */
+  private val keepNameFuncs = Set("last_over_time", "first_over_time",
+    "sort", "sort_desc", "sort_by_label", "sort_by_label_desc")
+
+  private def evalRangeFunc(name: String, arg: Expr, extra: List[Expr]): DataFrame = {
+    val ri = rangeInput(arg)
+    val (pts, fixed) = windowedPoints(ri)
+    val rangeStart = col("t_step") - ri.rangeMs  // window is (rangeStart, t_step]
+    val rangeSec = ri.rangeMs / 1000.0
+    val pairInWindow = col("prev_wt") > rangeStart
+    val g = pts.groupBy(col("__sg"), col("t_step"))
+
+    def labelsOut = if (keepNameFuncs.contains(name)) col("labels") else dropName(col("labels"))
+
+    def finish(agged: DataFrame, v: Column, cond: Column = lit(true), st: Column = col("t_step")): DataFrame = {
+      val r = agged
+        .withColumn("v", v)
+        .filter(cond && !isnull(col("v")))
+        .select(labelsOut.as("labels"), col("t_step").as("t"), col("v"), st.as("st"))
+      fanOut(r, fixed)
+    }
+
+    def extrapolated(isCounter: Boolean, isRate: Boolean, isDelta: Boolean): DataFrame = {
+      val agged = g.agg(
+        first(col("labels")).as("labels"),
+        count(col("v")).as("cnt"),
+        min(col("wt")).as("minWt"), max(col("wt")).as("maxWt"),
+        expr("min_by(v, wt)").as("firstV"), expr("max_by(v, wt)").as("lastV"),
+        sum(when(pairInWindow && col("v") < col("prev_v"), col("prev_v")).otherwise(0.0)).as("corr"))
+      // ref: promql/functions.go:452 extrapolatedRate — formulas reimplemented
+      val resultValue =
+        if (isCounter) col("lastV") - col("firstV") + col("corr")
+        else col("lastV") - col("firstV")
+      val durToStart0 = (col("minWt") - (col("t_step") - ri.rangeMs)).cast("double") / 1000.0
+      val durToEnd0 = (col("t_step") - col("maxWt")).cast("double") / 1000.0
+      val sampled = (col("maxWt") - col("minWt")).cast("double") / 1000.0
+      val avgDur = sampled / (col("cnt") - 1).cast("double")
+      val thresh = avgDur * 1.1
+      val durToStart1 = when(durToStart0 >= thresh, avgDur / 2).otherwise(durToStart0)
+      val durToStart =
+        if (isCounter)
+          when(resultValue > 0 && col("firstV") >= 0,
+               least(durToStart1, sampled * (col("firstV") / resultValue)))
+            .otherwise(durToStart1)
+        else durToStart1
+      val durToEnd = when(durToEnd0 >= thresh, avgDur / 2).otherwise(durToEnd0)
+      val extInterval = sampled + durToStart + durToEnd
+      val factor0 = extInterval / sampled
+      val factor = if (isRate) factor0 / rangeSec else factor0
+      finish(agged, resultValue * factor, col("cnt") >= 2)
+    }
+
+    name match {
+      case "rate" => extrapolated(isCounter = true, isRate = true, isDelta = false)
+      case "increase" => extrapolated(isCounter = true, isRate = false, isDelta = false)
+      case "delta" => extrapolated(isCounter = false, isRate = false, isDelta = true)
+
+      case "irate" | "idelta" =>
+        val agged = g.agg(
+          first(col("labels")).as("labels"),
+          count(col("v")).as("cnt"),
+          expr("max_by(struct(v, prev_v, prev_wt, wt), wt)").as("lp"))
+        // ref: promql/functions.go:830 instantValue — last two points in window
+        val ok = col("cnt") >= 1 && col("lp.prev_wt").isNotNull &&
+          (col("lp.prev_wt") > col("t_step") - ri.rangeMs)
+        val diff =
+          if (name == "irate")
+            when(col("lp.v") < col("lp.prev_v"), col("lp.v"))
+              .otherwise(col("lp.v") - col("lp.prev_v"))
+          else col("lp.v") - col("lp.prev_v")
+        val v =
+          if (name == "irate") diff / ((col("lp.wt") - col("lp.prev_wt")).cast("double") / 1000.0)
+          else diff
+        finish(agged, v, ok)
+
+      case "resets" =>
+        // ref: promql/functions.go:2359 — count of counter resets in window
+        val agged = g.agg(first(col("labels")).as("labels"),
+          sum(when(pairInWindow && col("v") < col("prev_v"), 1).otherwise(0)).cast("double").as("nr"))
+        finish(agged, col("nr"))
+
+      case "changes" =>
+        // ref: promql/functions.go:2431 — NaN→NaN is not a change
+        val changed = (col("v") =!= col("prev_v") && !(isnan(col("v")) && isnan(col("prev_v")))) ||
+          (isnan(col("v")) =!= isnan(col("prev_v")))
+        val agged = g.agg(first(col("labels")).as("labels"),
+          sum(when(pairInWindow && changed, 1).otherwise(0)).cast("double").as("nc"))
+        finish(agged, col("nc"))
+
+      case "avg_over_time" =>
+        finish(g.agg(first(col("labels")).as("labels"), avg(col("v")).as("a")), col("a"))
+      case "sum_over_time" =>
+        finish(g.agg(first(col("labels")).as("labels"), sum(col("v")).as("a")), col("a"))
+      case "count_over_time" =>
+        finish(g.agg(first(col("labels")).as("labels"), count(col("v")).cast("double").as("a")), col("a"))
+      case "min_over_time" =>
+        finish(g.agg(first(col("labels")).as("labels"),
+          min(when(!isnan(col("v")), col("v"))).as("a"), count(lit(1)).as("n")),
+          coalesce(col("a"), lit(Double.NaN)))
+      case "max_over_time" =>
+        finish(g.agg(first(col("labels")).as("labels"),
+          max(when(!isnan(col("v")), col("v"))).as("a"), count(lit(1)).as("n")),
+          coalesce(col("a"), lit(Double.NaN)))
+      case "first_over_time" =>
+        val agged = g.agg(first(col("labels")).as("labels"),
+          expr("min_by(struct(v, t), wt)").as("p"))
+        finish(agged, col("p.v"), st = col("p.t"))
+      case "last_over_time" =>
+        val agged = g.agg(first(col("labels")).as("labels"),
+          expr("max_by(struct(v, t), wt)").as("p"))
+        finish(agged, col("p.v"), st = col("p.t"))
+      case "ts_of_first_over_time" =>
+        finish(g.agg(first(col("labels")).as("labels"), min(col("wt")).as("a")),
+               col("a").cast("double") / 1000.0)
+      case "ts_of_last_over_time" =>
+        finish(g.agg(first(col("labels")).as("labels"), max(col("wt")).as("a")),
+               col("a").cast("double") / 1000.0)
+      case "ts_of_max_over_time" =>
+        finish(g.agg(first(col("labels")).as("labels"), expr("max_by(wt, struct(v, wt))").as("a")),
+               col("a").cast("double") / 1000.0)
+      case "ts_of_min_over_time" =>
+        finish(g.agg(first(col("labels")).as("labels"),
+          expr("min_by(wt, struct(v, -wt))").as("a")), col("a").cast("double") / 1000.0)
+      case "stddev_over_time" =>
+        finish(g.agg(first(col("labels")).as("labels"), stddev_pop(col("v")).as("a")), col("a"))
+      case "stdvar_over_time" =>
+        finish(g.agg(first(col("labels")).as("labels"), var_pop(col("v")).as("a")), col("a"))
+      case "present_over_time" =>
+        finish(g.agg(first(col("labels")).as("labels")), lit(1.0))
+      case "quantile_over_time" =>
+        val phi = constValue(extra.head).getOrElse(
+          throw PromQLError("quantile_over_time: non-constant φ unsupported yet"))
+        val q =
+          if (phi.isNaN) lit(Double.NaN)
+          else if (phi < 0) lit(Double.NegativeInfinity)
+          else if (phi > 1) lit(Double.PositiveInfinity)
+          else expr(s"percentile(v, ${phi}D)")
+        finish(g.agg(first(col("labels")).as("labels"), q.as("a")), col("a"))
+      case "deriv" | "predict_linear" =>
+        // ref: promql/functions.go:1949 linearRegression (OLS)
+        val xs = col("wt").cast("double") / 1000.0
+        val agged = g.agg(first(col("labels")).as("labels"),
+          count(col("v")).as("cnt"),
+          expr("regr_slope(v, wt / 1000.0)").as("slope"),
+          expr("regr_intercept(v, wt / 1000.0)").as("icept"))
+        val v =
+          if (name == "deriv") col("slope")
+          else {
+            val sSec = constValue(extra.head).getOrElse(
+              throw PromQLError("predict_linear: non-constant horizon unsupported yet"))
+            col("icept") + col("slope") * (col("t_step").cast("double") / 1000.0 + sSec)
+          }
+        finish(agged, v, col("cnt") >= 2)
+      case "mad_over_time" | "double_exponential_smoothing" =>
+        val sorted = sort_array(collect_list(struct(col("wt"), col("v"))))
+        val agged = g.agg(first(col("labels")).as("labels"), sorted.as("pts"))
+        val v = name match {
+          case "mad_over_time" => RangeUdfs.mad(col("pts"))
+          case _ =>
+            val sf = constValue(extra.head).getOrElse(throw PromQLError("des: sf must be constant"))
+            val tf = constValue(extra(1)).getOrElse(throw PromQLError("des: tf must be constant"))
+            RangeUdfs.doubleExpSmoothing(col("pts"), lit(sf), lit(tf))
+        }
+        finish(agged, v)
+      case "absent_over_time" =>
+        val present = windowedPoints(ri)._1.select(col("t_step")).distinct()
+        val lbls = absentLabels(arg)
+        fanOut(grid.join(present.withColumnRenamed("t_step", "t"), Seq("t"), "left_anti")
+          .select(lbls.as("labels"), col("t"), lit(1.0).as("v"), col("t").as("st")), fixed = false)
+      case other => throw PromQLError(s"unsupported range function: $other")
+    }
+  }
+
+  /** synthesize labels from equality matchers (ref: promql/functions.go:1717). */
+  private def absentLabels(e: Expr): Column = e match {
+    case MatrixSelector(vs, _) => absentLabelsOf(vs)
+    case SubqueryExpr(inner, _, _, _, _) => emptyLabels
+    case ParenExpr(inner) => absentLabels(inner)
+    case vs: VectorSelector => absentLabelsOf(vs)
+    case _ => emptyLabels
+  }
+  private def absentLabelsOf(vs: VectorSelector): Column = {
+    val eqs = vs.matchers.filter(m => m.op == MatchOp.Eq && m.name != "__name__")
+      .filter(_.value.nonEmpty)
+    // drop labels that appear in multiple matchers
+    val names = eqs.groupBy(_.name).filter(_._2.size == 1).keys.toList.sorted
+    val kept = eqs.filter(m => names.contains(m.name))
+    if (kept.isEmpty) emptyLabels
+    else map(kept.sortBy(_.name).flatMap(m => Seq(lit(m.name), lit(m.value))): _*)
+  }
+
+  // ---------- constants ----------
+
+  /** fold a scalar expression to a constant when possible */
+  def constValue(e: Expr): Option[Double] = e match {
+    case NumberLiteral(v) => Some(v)
+    case ParenExpr(i) => constValue(i)
+    case UnaryExpr("-", i) => constValue(i).map(-_)
+    case UnaryExpr("+", i) => constValue(i)
+    case BinaryExpr(op, l, r, _, _) =>
+      for (a <- constValue(l); b <- constValue(r); c <- scalarConstOp(op, a, b)) yield c
+    case Call("pi", Nil) => Some(math.Pi)
+    case Call("max_of", args) =>
+      val vs = args.map(constValue)
+      if (vs.forall(_.isDefined)) Some(vs.flatten.foldLeft(Double.NegativeInfinity)(math.max)) else None
+    case Call("min_of", args) =>
+      val vs = args.map(constValue)
+      if (vs.forall(_.isDefined)) Some(vs.flatten.foldLeft(Double.PositiveInfinity)(math.min)) else None
+    case _ => None
+  }
+
+  private def scalarConstOp(op: String, a: Double, b: Double): Option[Double] = op match {
+    case "+" => Some(a + b)
+    case "-" => Some(a - b)
+    case "*" => Some(a * b)
+    case "/" => Some(a / b)
+    case "%" => Some(a % b)
+    case "^" => Some(math.pow(a, b))
+    case "atan2" => Some(math.atan2(a, b))
+    case _ => None
+  }
+
+  // ---------- main dispatch ----------
+
+  def eval(e: Expr): PValue = e match {
+    case NumberLiteral(v) =>
+      ScalarVal(grid.select(col("t"), lit(v).as("v")), Some(v))
+    case StringLiteral(s) => StringVal(s)
+    case ParenExpr(i) => eval(i)
+    case vs: VectorSelector => VectorVal(instantSelect(vs))
+    case ms: MatrixSelector =>
+      // top-level range selector (instant query): all points in window
+      val ri = rangeInput(ms)
+      val te = ri.at.map(resolveAt).getOrElse(P.endMs)
+      MatrixVal(ri.points
+        .withColumn("wt", col("t") + ri.offsetMs)
+        .filter(col("wt") > te - ri.rangeMs && col("wt") <= te)
+        .select(col("labels"), col("t"), col("v")))
+    case sq: SubqueryExpr =>
+      val ri = rangeInput(sq)
+      val te = ri.at.map(resolveAt).getOrElse(P.endMs)
+      MatrixVal(ri.points
+        .withColumn("wt", col("t") + ri.offsetMs)
+        .filter(col("wt") > te - ri.rangeMs && col("wt") <= te)
+        .select(col("labels"), col("wt").as("t"), col("v")))
+    case UnaryExpr(op, inner) =>
+      eval(inner) match {
+        case ScalarVal(df, c) =>
+          val f: Double => Double = if (op == "-") (x => -x) else identity
+          ScalarVal(df.select(col("t"), (if (op == "-") -col("v") else col("v")).as("v")), c.map(f))
+        case VectorVal(df) =>
+          // unary minus drops __name__ (arithmetic); unary plus is identity
+          val lbls = if (op == "-") dropName(col("labels")) else col("labels")
+          VectorVal(df.select(lbls.as("labels"), col("t"),
+            (if (op == "-") -col("v") else col("v")).as("v"), col("st")))
+        case other => throw PromQLError(s"unary $op on $other")
+      }
+    case agg: AggregateExpr => VectorVal(Aggregations.eval(this, agg))
+    case be: BinaryExpr => BinOps.eval(this, be)
+    case Call(name, args) => CallEval.eval(this, name, args)
+  }
+
+  // accessors for helper objects
+  private[promql] def sparkSession: SparkSession = spark
+  private[promql] def p: EvalParams = P
+  private[promql] def gridDF: DataFrame = grid
+  private[promql] def sigCol(m: Column): Column = sigOf(m)
+  private[promql] def dropNameCol(c: Column): Column = dropName(c)
+  private[promql] def keepLabelsCol(c: Column, keep: Seq[String]): Column = keepLabels(c, keep)
+  private[promql] def withoutLabelsCol(c: Column, drop: Seq[String]): Column = withoutLabels(c, drop)
+  private[promql] def emptyLabelsCol: Column = emptyLabels
+  private[promql] def lvalCol(labels: Column, name: String): Column = lval(labels, name)
+  private[promql] def evalRange(name: String, arg: Expr, extra: List[Expr]): DataFrame =
+    evalRangeFunc(name, arg, extra)
+  private[promql] def absentLabelsFor(e: Expr): Column = absentLabels(e)
+}

@@ -1,0 +1,160 @@
+package graft.promql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.udf
+
+/** Scalar helpers shared by UDF-backed range functions.
+  *
+  * Only the inherently-sequential window functions (Holt-Winters smoothing,
+  * MAD) take the UDF path; everything hot (rate family, *_over_time) is
+  * decomposed into built-in codegen'd aggregates in [[Planner]].
+  */
+object RangeUdfs {
+
+  /** φ-quantile with linear interpolation (ref: promql/quantile.go:717). */
+  def quantile(q: Double, values: Seq[Double]): Double = {
+    if (values.isEmpty || q.isNaN) return Double.NaN
+    if (q < 0) return Double.NegativeInfinity
+    if (q > 1) return Double.PositiveInfinity
+    val sorted = values.sorted
+    val n = sorted.length
+    val rank = q * (n - 1)
+    val lower = math.floor(rank).toInt
+    val upper = math.ceil(rank).toInt
+    val weight = rank - lower
+    sorted(lower) * (1 - weight) + sorted(upper) * weight
+  }
+
+  /** median absolute deviation (ref: promql/functions.go:1438). */
+  val mad = udf { (pts: Seq[Row]) =>
+    if (pts == null || pts.isEmpty) null.asInstanceOf[java.lang.Double]
+    else {
+      val vs = pts.map(_.getDouble(1))
+      val med = quantile(0.5, vs)
+      java.lang.Double.valueOf(quantile(0.5, vs.map(v => math.abs(v - med))))
+    }
+  }
+
+  /** Holt's linear trend / double exponential smoothing
+    * (ref: promql/functions.go:981). Inherently sequential per window. */
+  val doubleExpSmoothing = udf { (pts: Seq[Row], sf: Double, tf: Double) =>
+    if (pts == null || pts.length < 2 || sf <= 0 || sf >= 1 || tf <= 0 || tf >= 1)
+      null.asInstanceOf[java.lang.Double]
+    else {
+      val vs = pts.map(_.getDouble(1))
+      var s = vs(0)
+      var b = vs(1) - vs(0)
+      var i = 1
+      while (i < vs.length) {
+        val x = sf * vs(i) + (1 - sf) * (s + b)
+        val newB = tf * (x - s) + (1 - tf) * b
+        s = x; b = newB
+        i += 1
+      }
+      java.lang.Double.valueOf(s)
+    }
+  }
+
+  /** Classic-histogram quantile over (le, cumulativeCount) buckets
+    * (ref: promql/quantile.go:105 BucketQuantile, monotonicity repair :668). */
+  def bucketQuantileImpl(q: Double, les: Seq[Double], counts: Seq[Double]): Double = {
+    if (q.isNaN) return Double.NaN
+    if (q < 0) return Double.NegativeInfinity
+    if (q > 1) return Double.PositiveInfinity
+    val pairs = les.zip(counts).sortBy(_._1)
+    if (pairs.isEmpty || !pairs.last._1.isPosInfinity) return Double.NaN
+    if (pairs.length < 2) return Double.NaN
+    // monotonicity repair: cumulative counts must be non-decreasing
+    val ub = pairs.map(_._1).toArray
+    val cc = pairs.map(_._2).toArray
+    var i = 1
+    while (i < cc.length) { if (cc(i) < cc(i - 1)) cc(i) = cc(i - 1); i += 1 }
+    val observations = cc.last
+    if (observations == 0) return Double.NaN
+    var rank = q * observations
+    var b = cc.indexWhere(_ >= rank)
+    if (b == -1) b = cc.length - 1
+    if (b == cc.length - 1) return ub(cc.length - 2)
+    if (b == 0 && ub(0) <= 0) return ub(0)
+    var bucketStart = 0.0
+    val bucketEnd = ub(b)
+    var count = cc(b)
+    if (b > 0) {
+      bucketStart = ub(b - 1)
+      count -= cc(b - 1)
+      rank -= cc(b - 1)
+    }
+    bucketStart + (bucketEnd - bucketStart) * (rank / count)
+  }
+
+  val bucketQuantile = udf { (q: Double, buckets: Seq[Row]) =>
+    if (buckets == null || buckets.isEmpty) null.asInstanceOf[java.lang.Double]
+    else {
+      val clean = buckets.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      if (clean.isEmpty) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(
+        bucketQuantileImpl(q, clean.map(_.getDouble(0)), clean.map(_.getDouble(1))))
+    }
+  }
+
+  /** classic-histogram fraction of observations in [lo, hi]
+    * (ref: promql/quantile.go:520 BucketFraction). */
+  def bucketFractionImpl(lo: Double, hi: Double, les: Seq[Double], counts: Seq[Double]): Double = {
+    val pairs = les.zip(counts).sortBy(_._1)
+    if (pairs.isEmpty || !pairs.last._1.isPosInfinity) return Double.NaN
+    val total = pairs.last._2
+    if (total == 0) return Double.NaN
+    if (lo.isNaN || hi.isNaN) return Double.NaN
+    if (hi < lo) return 0.0
+    def rank(x: Double): Double = {
+      if (x.isPosInfinity) return total
+      // cumulative count at x with linear interpolation inside buckets
+      var prevLe = 0.0
+      var prevCc = 0.0
+      var i = 0
+      while (i < pairs.length) {
+        val (le, cc) = pairs(i)
+        if (x <= le) {
+          if (i == 0 && le <= 0) return cc
+          val lower = if (i == 0) 0.0 else { prevLe }
+          val width = le - lower
+          val frac = if (width <= 0) 1.0 else (x - lower) / width
+          return prevCc + (cc - prevCc) * math.max(0.0, math.min(1.0, frac))
+        }
+        prevLe = le; prevCc = cc
+        i += 1
+      }
+      total
+    }
+    (rank(hi) - rank(lo)) / total
+  }
+
+  val bucketFraction = udf { (lo: Double, hi: Double, buckets: Seq[Row]) =>
+    if (buckets == null || buckets.isEmpty) null.asInstanceOf[java.lang.Double]
+    else {
+      val clean = buckets.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      if (clean.isEmpty) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(
+        bucketFractionImpl(lo, hi, clean.map(_.getDouble(0)), clean.map(_.getDouble(1))))
+    }
+  }
+
+  /** Go strconv.FormatFloat(f,'f',-1,64)-style rendering used by count_values
+    * label values (ref: promql/engine.go:4208). */
+  def goFormat(d: Double): String = {
+    if (d.isNaN) "NaN"
+    else if (d == Double.PositiveInfinity) "+Inf"
+    else if (d == Double.NegativeInfinity) "-Inf"
+    else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+    else new java.math.BigDecimal(java.lang.Double.toString(d)).stripTrailingZeros.toPlainString
+  }
+
+  val goFormatUdf = udf { (d: Double) => goFormat(d) }
+
+  /** per-window quantile for non-constant φ */
+  val quantileUdf = udf { (q: Double, pts: Seq[Row]) =>
+    if (pts == null) null.asInstanceOf[java.lang.Double]
+    else java.lang.Double.valueOf(quantile(q, pts.map(_.getDouble(1))))
+  }
+}

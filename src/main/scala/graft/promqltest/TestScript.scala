@@ -1,0 +1,251 @@
+package graft.promqltest
+
+import graft.promql.{Lexer, MatchOp, Parser, VectorSelector, ParseError}
+
+/** Parser for the reference's declarative PromQL test scripts
+  * (format ref: promql/promqltest/test.go:286 parseLoad, :514 parseSeries,
+  * :624 parseEval). Original Scala implementation; scripts are read from the
+  * reference tree at runtime, never copied.
+  */
+object TestScript {
+
+  sealed trait SeriesValue
+  case object Gap extends SeriesValue
+  case object StaleMark extends SeriesValue
+  final case class Num(v: Double) extends SeriesValue
+  final case class Hist(spec: String) extends SeriesValue // native histogram literal (unsupported yet)
+
+  final case class SeriesSpec(labels: Map[String, String], values: Vector[SeriesValue])
+
+  sealed trait Command
+  final case class Load(stepMs: Long, series: List[SeriesSpec], withNhcb: Boolean) extends Command
+  case object Clear extends Command
+  final case class Eval(
+      exprText: String,
+      instant: Boolean,
+      atMs: Long,                    // instant
+      fromMs: Long, toMs: Long, stepMs: Long, // range
+      expectFail: Boolean,
+      ordered: Boolean,
+      expected: List[(Option[SeriesSpec], Vector[SeriesValue])], // None labels = scalar/string expectation
+      line: Int) extends Command
+
+  final case class ScriptError(msg: String, line: Int)
+      extends RuntimeException(s"line $line: $msg")
+
+  def parse(text: String): List[Command] = {
+    val lines = text.split("\n", -1)
+    val out = List.newBuilder[Command]
+    var i = 0
+    def isBlank(s: String) = s.trim.isEmpty || s.trim.startsWith("#")
+    def indented(s: String) = s.nonEmpty && (s.charAt(0) == ' ' || s.charAt(0) == '\t')
+
+    while (i < lines.length) {
+      val raw = lines(i)
+      if (isBlank(raw) || indented(raw)) { i += 1 }
+      else {
+        val line = raw.trim
+        val lineNo = i + 1
+        val parts = line.split("\\s+", 2)
+        parts(0) match {
+          case "clear" => out += Clear; i += 1
+          case "load" | "load_with_nhcb" =>
+            val step = parseTime(parts(1).trim)
+            val series = List.newBuilder[SeriesSpec]
+            i += 1
+            while (i < lines.length && (isBlank(lines(i)) || indented(lines(i)))) {
+              if (!isBlank(lines(i))) series += parseSeries(lines(i).trim, i + 1)
+              i += 1
+            }
+            out += Load(step, series.result(), parts(0).endsWith("nhcb"))
+          case cmd if cmd.startsWith("eval") =>
+            val (ev, next) = parseEval(lines, i)
+            out += ev
+            i = next
+          case other => throw ScriptError(s"unknown command '$other'", lineNo)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** `5m`, `50m`, `0`, `1h`, also bare seconds; returns millis */
+  def parseTime(s: String): Long = {
+    val t = s.trim
+    if (t.matches("^-?[0-9]+(\\.[0-9]+)?$")) (t.toDouble * 1000.0).toLong
+    else {
+      val neg = t.startsWith("-")
+      val core = if (neg) t.drop(1) else t
+      val v = Lexer.parseDuration(core)
+      if (neg) -v else v
+    }
+  }
+
+  private def splitSelectorAndRest(line: String, lineNo: Int): (String, String) = {
+    var depth = 0
+    var inQuote = false
+    var quoteCh = ' '
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuote) {
+        if (c == '\\') i += 1
+        else if (c == quoteCh) inQuote = false
+      } else c match {
+        case '"' | '\'' | '`' => inQuote = true; quoteCh = c
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case ' ' | '\t' if depth == 0 => return (line.substring(0, i), line.substring(i).trim)
+        case _ => ()
+      }
+      i += 1
+    }
+    (line, "")
+  }
+
+  def parseSeries(line: String, lineNo: Int): SeriesSpec = {
+    val (sel, rest) = splitSelectorAndRest(line, lineNo)
+    val labels = parseSelectorLabels(sel, lineNo)
+    SeriesSpec(labels, parseValues(rest, lineNo))
+  }
+
+  def parseSelectorLabels(sel: String, lineNo: Int): Map[String, String] = {
+    val expr =
+      try Parser.parse(sel)
+      catch { case e: ParseError => throw ScriptError(s"bad series selector '$sel': ${e.msg}", lineNo) }
+    expr match {
+      case VectorSelector(name, matchers, _, _) =>
+        val m = matchers.map { lm =>
+          if (lm.op != MatchOp.Eq)
+            throw ScriptError(s"series selector must use '=' matchers: $sel", lineNo)
+          lm.name -> lm.value
+        }.toMap
+        name.map(n => m + ("__name__" -> n)).getOrElse(m)
+      case _ => throw ScriptError(s"expected series selector, got '$sel'", lineNo)
+    }
+  }
+
+  /** value sequence notation: `_`, `stale`, `n`, `a+bxN`, `a-bxN`, `axN`,
+    * `{{...}}` histogram literals (possibly with xN repetition). */
+  def parseValues(s: String, lineNo: Int): Vector[SeriesValue] = {
+    val out = Vector.newBuilder[SeriesValue]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == '\t')) i += 1
+      if (i < n) {
+        if (s.startsWith("{{", i)) {
+          val end = s.indexOf("}}", i)
+          if (end < 0) throw ScriptError("unterminated histogram literal", lineNo)
+          var spec = s.substring(i + 2, end)
+          i = end + 2
+          // optional xN repetition
+          var reps = 1
+          if (i < n && s.charAt(i) == 'x') {
+            val j = i + 1
+            var k = j
+            while (k < n && s.charAt(k).isDigit) k += 1
+            reps = s.substring(j, k).toInt + 1
+            i = k
+          }
+          (0 until reps).foreach(_ => out += Hist(spec))
+        } else {
+          var j = i
+          while (j < n && s.charAt(j) != ' ' && s.charAt(j) != '\t') j += 1
+          val tok = s.substring(i, j)
+          i = j
+          out ++= expandToken(tok, lineNo)
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def expandToken(tok: String, lineNo: Int): Vector[SeriesValue] = {
+    if (tok == "_") return Vector(Gap)
+    if (tok == "stale") return Vector(StaleMark)
+    // expansion: a+bxN | a-bxN | axN (b defaults 0)
+    val num = "[+-]?(?:[0-9]*\\.?[0-9]+(?:[eE][+-]?[0-9]+)?|Inf|inf|NaN)"
+    val expRe = s"^($num)(?:([+-])($num))?x([0-9]+)$$".r
+    tok match {
+      case expRe(a, sign, b, times) =>
+        val start = parseNum(a, lineNo)
+        val inc0 = if (b == null) 0.0 else parseNum(b, lineNo)
+        val inc = if (sign == "-") -inc0 else inc0
+        val cnt = times.toInt
+        Vector.tabulate(cnt + 1)(k => Num(start + inc * k))
+      case _ =>
+        Vector(Num(parseNum(tok, lineNo)))
+    }
+  }
+
+  def parseNum(s: String, lineNo: Int): Double = {
+    val t = s.trim
+    try {
+      if (t.equalsIgnoreCase("inf") || t.equalsIgnoreCase("+inf")) Double.PositiveInfinity
+      else if (t.equalsIgnoreCase("-inf")) Double.NegativeInfinity
+      else if (t.equalsIgnoreCase("nan")) Double.NaN
+      else if (t.toLowerCase.startsWith("0x")) java.lang.Long.parseLong(t.drop(2), 16).toDouble
+      else t.toDouble
+    } catch {
+      case _: NumberFormatException => throw ScriptError(s"bad number '$s'", lineNo)
+    }
+  }
+
+  private def parseEval(lines: Array[String], start: Int): (Eval, Int) = {
+    val lineNo = start + 1
+    val line = lines(start).trim
+    val evalRe = "^(eval|eval_fail|eval_warn|eval_info|eval_ordered)\\s+(instant|range)\\s+(.*)$".r
+    line match {
+      case evalRe(kind, mode, rest0) =>
+        var expectFail = kind == "eval_fail"
+        val ordered = kind == "eval_ordered"
+        var atMs = 0L; var fromMs = 0L; var toMs = 0L; var stepMs = 0L
+        var exprText = ""
+        if (mode == "instant") {
+          val m = "^at\\s+(\\S+)\\s+(.*)$".r
+          rest0 match {
+            case m(at, e) => atMs = parseTime(at); exprText = e
+            case _ => throw ScriptError(s"bad eval instant syntax: $line", lineNo)
+          }
+        } else {
+          val m = "^from\\s+(\\S+)\\s+to\\s+(\\S+)\\s+step\\s+(\\S+)\\s+(.*)$".r
+          rest0 match {
+            case m(f, t, st, e) =>
+              fromMs = parseTime(f); toMs = parseTime(t); stepMs = parseTime(st); exprText = e
+            case _ => throw ScriptError(s"bad eval range syntax: $line", lineNo)
+          }
+        }
+        // gather indented expectation lines
+        val expected = List.newBuilder[(Option[SeriesSpec], Vector[SeriesValue])]
+        var i = start + 1
+        def isBlank(s: String) = s.trim.isEmpty || s.trim.startsWith("#")
+        def indented(s: String) = s.nonEmpty && (s.charAt(0) == ' ' || s.charAt(0) == '\t')
+        while (i < lines.length && (isBlank(lines(i)) || indented(lines(i)))) {
+          if (!isBlank(lines(i))) {
+            val l = lines(i).trim
+            if (l.startsWith("expect ")) {
+              val what = l.drop(7).trim
+              if (what.startsWith("fail")) expectFail = true
+              // warn/info/no_warn/no_info annotations: ignored (not value checks)
+            } else {
+              // scalar expectation: bare number/expansion; else series line
+              val c0 = l.charAt(0)
+              if (c0.isDigit || c0 == '-' || c0 == '+' || c0 == '.' ||
+                  l.startsWith("Inf") || l.startsWith("NaN") || l.startsWith("_") ||
+                  l.startsWith("stale")) {
+                expected += ((None, parseValues(l, i + 1)))
+              } else {
+                val sp = parseSeries(l, i + 1)
+                expected += ((Some(sp.copy(values = Vector.empty)), sp.values))
+              }
+            }
+          }
+          i += 1
+        }
+        (Eval(exprText, mode == "instant", atMs, fromMs, toMs, stepMs,
+              expectFail, ordered, expected.result(), lineNo), i)
+      case _ => throw ScriptError(s"bad eval syntax: $line", lineNo)
+    }
+  }
+}

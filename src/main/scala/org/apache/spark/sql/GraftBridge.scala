@@ -1,0 +1,26 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types.{AbstractDataType, DoubleType}
+
+/** Bridge into Spark's private[sql] Column↔Expression converters (Spark 4
+  * moved them behind `classic.ExpressionUtils`). Lets the engine build
+  * codegen'd `StaticInvoke` columns for exact Go-math semantics without the
+  * UDF serialization penalty. */
+object GraftBridge {
+  def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  def toCol(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** java.lang.Math static call on double args, whole-stage-codegen friendly */
+  def mathInvoke(fn: String, args: Seq[Column]): Column =
+    staticInvoke(classOf[java.lang.Math], fn, args)
+
+  def staticInvoke(cls: Class[_], fn: String, args: Seq[Column]): Column = {
+    val exprs = args.map(a => toExpr(a.cast("double")))
+    toCol(StaticInvoke(
+      cls, DoubleType, fn, exprs,
+      exprs.map(_ => DoubleType: AbstractDataType), propagateNull = true,
+      returnNullable = false))
+  }
+}
