@@ -26,7 +26,7 @@ object Engine {
     StructField("v", DoubleType, nullable = false),
     StructField("stale", BooleanType, nullable = false)))
 
-  def parse(q: String): Expr = Parser.parse(q)
+  def parse(q: String, stepMs: Long = 0L): Expr = Parser.parse(q, stepMs)
 
   def instantQuery(spark: SparkSession, samples: DataFrame, q: String, tsMs: Long,
       lookbackMs: Long = 300000L): PValue =
@@ -34,7 +34,7 @@ object Engine {
 
   def rangeQuery(spark: SparkSession, samples: DataFrame, q: String,
       startMs: Long, endMs: Long, stepMs: Long, lookbackMs: Long = 300000L): PValue = {
-    val e = parse(q)
+    val e = parse(q, stepMs)
     e.valueType match {
       case ValueType.InstantVector | ValueType.Scalar => ()
       case t => throw PromQLError(s"range query expression must be scalar or instant vector, got $t")

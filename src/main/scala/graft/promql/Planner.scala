@@ -209,6 +209,9 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     val rangeStart = col("t_step") - ri.rangeMs  // window is (rangeStart, t_step]
     val rangeSec = ri.rangeMs / 1000.0
     val pairInWindow = col("prev_wt") > rangeStart
+    // IEEE `<` — Spark orders NaN as the largest value, so `x < NaN` would be
+    // true; a NaN neighbor must never register as a counter reset
+    val resetPair = pairInWindow && !isnan(col("prev_v")) && (col("v") < col("prev_v"))
     val g = pts.groupBy(col("__sg"), col("t_step"))
 
     def labelsOut = if (keepNameFuncs.contains(name)) col("labels") else dropName(col("labels"))
@@ -227,7 +230,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         count(col("v")).as("cnt"),
         min(col("wt")).as("minWt"), max(col("wt")).as("maxWt"),
         expr("min_by(v, wt)").as("firstV"), expr("max_by(v, wt)").as("lastV"),
-        sum(when(pairInWindow && col("v") < col("prev_v"), col("prev_v")).otherwise(0.0)).as("corr"))
+        sum(when(resetPair, col("prev_v")).otherwise(0.0)).as("corr"))
       // ref: promql/functions.go:452 extrapolatedRate — formulas reimplemented
       val resultValue =
         if (isCounter) col("lastV") - col("firstV") + col("corr")
@@ -266,7 +269,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           (col("lp.prev_wt") > col("t_step") - ri.rangeMs)
         val diff =
           if (name == "irate")
-            when(col("lp.v") < col("lp.prev_v"), col("lp.v"))
+            when(!isnan(col("lp.prev_v")) && col("lp.v") < col("lp.prev_v"), col("lp.v"))
               .otherwise(col("lp.v") - col("lp.prev_v"))
           else col("lp.v") - col("lp.prev_v")
         val v =
@@ -277,7 +280,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       case "resets" =>
         // ref: promql/functions.go:2359 — count of counter resets in window
         val agged = g.agg(first(col("labels")).as("labels"),
-          sum(when(pairInWindow && col("v") < col("prev_v"), 1).otherwise(0)).cast("double").as("nr"))
+          sum(when(resetPair, 1).otherwise(0)).cast("double").as("nr"))
         finish(agged, col("nr"))
 
       case "changes" =>
@@ -288,10 +291,15 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           sum(when(pairInWindow && changed, 1).otherwise(0)).cast("double").as("nc"))
         finish(agged, col("nc"))
 
-      case "avg_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"), avg(col("v")).as("a")), col("a"))
-      case "sum_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"), sum(col("v")).as("a")), col("a"))
+      case "avg_over_time" | "sum_over_time" =>
+        // time-ordered Kahan summation for float-exact parity with the
+        // reference (plain distributed sum() reorders additions and fails on
+        // catastrophic-cancellation inputs; ref functions.go:1218/:1572)
+        val sorted = sort_array(collect_list(struct(col("wt"), col("v"))))
+        val agged = g.agg(first(col("labels")).as("labels"), sorted.as("pts"))
+        val v = if (name == "avg_over_time") RangeUdfs.avgOT(col("pts"))
+                else RangeUdfs.kahanSumOT(col("pts"))
+        finish(agged, v)
       case "count_over_time" =>
         finish(g.agg(first(col("labels")).as("labels"), count(col("v")).cast("double").as("a")), col("a"))
       case "min_over_time" =>
@@ -383,9 +391,9 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   private def absentLabelsOf(vs: VectorSelector): Column = {
     val eqs = vs.matchers.filter(m => m.op == MatchOp.Eq && m.name != "__name__")
       .filter(_.value.nonEmpty)
-    // drop labels that appear in multiple matchers
-    val names = eqs.groupBy(_.name).filter(_._2.size == 1).keys.toList.sorted
-    val kept = eqs.filter(m => names.contains(m.name))
+    // drop labels that appear in multiple matchers of ANY kind
+    val allCounts = vs.matchers.groupBy(_.name).view.mapValues(_.size).toMap
+    val kept = eqs.filter(m => allCounts.getOrElse(m.name, 0) == 1)
     if (kept.isEmpty) emptyLabels
     else map(kept.sortBy(_.name).flatMap(m => Seq(lit(m.name), lit(m.value))): _*)
   }

@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions.udf
   */
 object RangeUdfs {
 
-  /** φ-quantile with linear interpolation (ref: promql/quantile.go:717). */
+  /** φ-quantile with linear interpolation (ref: promql/quantile.go:717);
+    * any NaN observation makes the result NaN. */
   def quantile(q: Double, values: Seq[Double]): Double = {
     if (values.isEmpty || q.isNaN) return Double.NaN
     if (q < 0) return Double.NegativeInfinity
     if (q > 1) return Double.PositiveInfinity
+    if (values.exists(_.isNaN)) return Double.NaN
     val sorted = values.sorted
     val n = sorted.length
     val rank = q * (n - 1)
@@ -24,6 +26,64 @@ object RangeUdfs {
     val upper = math.ceil(rank).toInt
     val weight = rank - lower
     sorted(lower) * (1 - weight) + sorted(upper) * weight
+  }
+
+  /** Neumaier/Kahan compensated increment (ref: util/kahansum/kahansum.go:25). */
+  def kahanInc(inc: Double, sum: Double, c: Double): (Double, Double) = {
+    val t = sum + inc
+    val nc =
+      if (t.isInfinite) 0.0
+      else if (math.abs(sum) >= math.abs(inc)) c + ((sum - t) + inc)
+      else c + ((inc - t) + sum)
+    (t, nc)
+  }
+
+  /** time-ordered Kahan sum (ref: promql/functions.go:1572 funcSumOverTime). */
+  def kahanSumSeq(vs: Seq[Double]): Double = {
+    var s = 0.0; var c = 0.0
+    vs.foreach { v => val (ns, nc) = kahanInc(v, s, c); s = ns; c = nc }
+    if (s.isInfinite) s else s + c
+  }
+
+  /** direct-then-incremental mean (ref: promql/functions.go:1218
+    * funcAvgOverTime float path — switches to incremental mean on overflow). */
+  def avgSeq(vs: Seq[Double]): Double = {
+    var sum = vs.head; var kahanC = 0.0
+    var mean = 0.0
+    var incremental = false
+    var count = 1.0
+    var i = 1
+    while (i < vs.length) {
+      val v = vs(i)
+      count = i + 1.0
+      var handled = false
+      if (!incremental) {
+        val (ns, nc) = kahanInc(v, sum, kahanC)
+        if (!ns.isInfinite) { sum = ns; kahanC = nc; handled = true }
+        else {
+          incremental = true
+          mean = sum / (count - 1)
+          kahanC /= (count - 1)
+        }
+      }
+      if (!handled) {
+        val q = (count - 1) / count
+        val (nm, nc) = kahanInc(v / count, q * mean, q * kahanC)
+        mean = nm; kahanC = nc
+      }
+      i += 1
+    }
+    if (incremental) mean + kahanC else sum / count + kahanC / count
+  }
+
+  val kahanSumOT = udf { (pts: Seq[Row]) =>
+    if (pts == null || pts.isEmpty) null.asInstanceOf[java.lang.Double]
+    else java.lang.Double.valueOf(kahanSumSeq(pts.map(_.getDouble(1))))
+  }
+
+  val avgOT = udf { (pts: Seq[Row]) =>
+    if (pts == null || pts.isEmpty) null.asInstanceOf[java.lang.Double]
+    else java.lang.Double.valueOf(avgSeq(pts.map(_.getDouble(1))))
   }
 
   /** median absolute deviation (ref: promql/functions.go:1438). */

@@ -76,7 +76,9 @@ object Runner {
           }
         }
       case ev: TestScript.Eval =>
-        val touchesHist = histMetrics.exists(m => m.nonEmpty && ev.exprText.contains(m))
+        val touchesHist = histMetrics.exists(m => m.nonEmpty &&
+          java.util.regex.Pattern.compile("\\b" + java.util.regex.Pattern.quote(m) + "\\b")
+            .matcher(ev.exprText).find())
         results += runEval(spark, samplesDf(), ev, touchesHist)
     }
     FileResult(path, results.result())

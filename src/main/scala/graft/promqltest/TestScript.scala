@@ -54,7 +54,17 @@ object TestScript {
             val series = List.newBuilder[SeriesSpec]
             i += 1
             while (i < lines.length && (isBlank(lines(i)) || indented(lines(i)))) {
-              if (!isBlank(lines(i))) series += parseSeries(lines(i).trim, i + 1)
+              if (!isBlank(lines(i))) {
+                val ln = lines(i).trim
+                try series += parseSeries(ln, i + 1)
+                catch {
+                  case _: Throwable =>
+                    // unsupported series notation (@st annotations, duration
+                    // values, …) — register the metric so evals touching it skip
+                    val name = "^([a-zA-Z_:][a-zA-Z0-9_:]*)".r.findFirstIn(ln).getOrElse("")
+                    series += SeriesSpec(Map("__name__" -> name), Vector(Hist("unsupported-notation")))
+                }
+              }
               i += 1
             }
             out += Load(step, series.result(), parts(0).endsWith("nhcb"))
@@ -137,8 +147,15 @@ object TestScript {
         if (s.startsWith("{{", i)) {
           val end = s.indexOf("}}", i)
           if (end < 0) throw ScriptError("unterminated histogram literal", lineNo)
-          var spec = s.substring(i + 2, end)
+          val spec = new StringBuilder(s.substring(i + 2, end))
           i = end + 2
+          // optional increment form: {{...}}+{{...}} / {{...}}-{{...}}
+          if (i + 2 < n && (s.charAt(i) == '+' || s.charAt(i) == '-') && s.startsWith("{{", i + 1)) {
+            val end2 = s.indexOf("}}", i + 1)
+            if (end2 < 0) throw ScriptError("unterminated histogram literal", lineNo)
+            spec ++= s.substring(i, end2 + 2)
+            i = end2 + 2
+          }
           // optional xN repetition
           var reps = 1
           if (i < n && s.charAt(i) == 'x') {
@@ -148,7 +165,7 @@ object TestScript {
             reps = s.substring(j, k).toInt + 1
             i = k
           }
-          (0 until reps).foreach(_ => out += Hist(spec))
+          (0 until reps).foreach(_ => out += Hist(spec.result()))
         } else {
           var j = i
           while (j < n && s.charAt(j) != ' ' && s.charAt(j) != '\t') j += 1
