@@ -92,13 +92,13 @@ object BinOps {
       if (cmpOps.contains(op)) {
         if (be.returnBool)
           df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-            when(ieeeCmp(op, lv, rv), 1.0).otherwise(0.0).as("v"), col("st"))
+            when(ieeeCmp(op, lv, rv), 1.0).otherwise(0.0).as("v"), col("t").as("st"))
         else
           df.filter(ieeeCmp(op, lv, rv))
             .select(col("labels"), col("t"), col("v"), col("st"))
       } else {
         df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          arith(op, lv, rv).as("v"), col("st"))
+          arith(op, lv, rv).as("v"), col("t").as("st"))
       }
     VectorVal(out)
   }
@@ -152,7 +152,7 @@ object BinOps {
         if (cmpOps.contains(op)) {
           if (be.returnBool)
             joined.select(includeLabels.as("labels"), col("t"),
-              when(ieeeCmp(op, col("l_v"), col("r_v")), 1.0).otherwise(0.0).as("v"), manySt.as("st"))
+              when(ieeeCmp(op, col("l_v"), col("r_v")), 1.0).otherwise(0.0).as("v"), col("t").as("st"))
           else {
             // filter comparison: keep the many side's full labels (metric name
             // included), but still merge group_x(include) labels from the one side
@@ -162,11 +162,11 @@ object BinOps {
                 map_filter(manyLabels, (k, _) => !k.isInCollection(m.include)),
                 pl.keepLabelsCol(oneLabels, m.include))
             joined.filter(ieeeCmp(op, col("l_v"), col("r_v")))
-              .select(filterLabels.as("labels"), col("t"), manyV.as("v"), manySt.as("st"))
+              .select(filterLabels.as("labels"), col("t"), manyV.as("v"), col("t").as("st"))
           }
         } else {
           joined.select(includeLabels.as("labels"), col("t"),
-            arith(op, col("l_v"), col("r_v")).as("v"), manySt.as("st"))
+            arith(op, col("l_v"), col("r_v")).as("v"), col("t").as("st"))
         }
     }
   }

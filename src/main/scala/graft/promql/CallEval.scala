@@ -61,7 +61,7 @@ object CallEval {
     /** apply elementwise transform dropping __name__ */
     def mapV(df: DataFrame, f: Column => Column): PValue =
       VectorVal(df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-        f(col("v")).as("v"), col("st")))
+        f(col("v")).as("v"), col("t").as("st")))
     /** bind a scalar argument as a Column usable inside a vector projection */
     def bindScalar(df: DataFrame, e: Expr): (DataFrame, Column) = {
       val (sdf, sc) = scalarArg(e)
@@ -89,21 +89,21 @@ object CallEval {
         val (df1, lo) = bindScalar(in, args(1))
         val (df2, hi) = bindScalar(df1, args(2))
         VectorVal(df2.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          clampD(col("v"), lo, hi).as("v"), col("st")))
+          clampD(col("v"), lo, hi).as("v"), col("t").as("st")))
       case "clamp_max" =>
         val (df, hi) = bindScalar(vecArg(args.head), args(1))
         VectorVal(df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          minD(col("v"), hi).as("v"), col("st")))
+          minD(col("v"), hi).as("v"), col("t").as("st")))
       case "clamp_min" =>
         val (df, lo) = bindScalar(vecArg(args.head), args(1))
         VectorVal(df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          maxD(col("v"), lo).as("v"), col("st")))
+          maxD(col("v"), lo).as("v"), col("t").as("st")))
       case "round" =>
         val in = vecArg(args.head)
         val (df, to) =
           if (args.length > 1) bindScalar(in, args(1)) else (in, lit(1.0))
         VectorVal(df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          roundTo(col("v"), to).as("v"), col("st")))
+          roundTo(col("v"), to).as("v"), col("t").as("st")))
 
       case "time" =>
         ScalarVal(pl.gridDF.select(col("t"), (col("t").cast("double") / 1000.0).as("v")), None)
@@ -128,7 +128,7 @@ object CallEval {
       case "timestamp" =>
         val in = vecArg(args.head)
         VectorVal(in.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          (col("st").cast("double") / 1000.0).as("v"), col("st")))
+          (col("st").cast("double") / 1000.0).as("v"), col("t").as("st")))
 
       case "scalar" =>
         val in = vecArg(args.head)
@@ -156,7 +156,7 @@ object CallEval {
           else vecArg(args.head)
         val ts = timestamp_seconds(col("v"))
         VectorVal(in.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          dateFns(n)(ts).as("v"), col("st")))
+          dateFns(n)(ts).as("v"), col("t").as("st")))
 
       case "label_replace" =>
         // ref: promql/functions.go:2483 evalLabelReplace (RE2 fully anchored)

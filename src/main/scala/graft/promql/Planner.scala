@@ -145,9 +145,14 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     case SubqueryExpr(inner, range, step0, offset, at) =>
       val istep = if (step0 > 0) step0 else P.defaultSubqueryStepMs
       // inner grid: multiples of istep spanning [outerStart-offset-range, outerEnd-offset]
-      // (ref: promql/engine.go:1932 runSubquery — subquery steps are epoch-aligned)
-      val lo = P.startMs - offset - range
-      val hi = P.endMs - offset
+      // (ref: promql/engine.go:1932 runSubquery — subquery steps are epoch-aligned);
+      // an @ modifier pins the whole inner evaluation window
+      val (outerLo, outerHi) = at match {
+        case Some(atm) => val te = resolveAt(atm); (te, te)
+        case None => (P.startMs, P.endMs)
+      }
+      val lo = outerLo - offset - range
+      val hi = outerHi - offset
       val k1 = math.ceil(lo.toDouble / istep).toLong
       val k2 = math.floor(hi.toDouble / istep).toLong
       if (k2 < k1) throw PromQLError("empty subquery range")
@@ -194,7 +199,8 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * to every grid step. */
   private def fanOut(df: DataFrame, fixed: Boolean): DataFrame =
     if (!fixed) df
-    else grid.crossJoin(df.drop("t")).select(df.columns.filter(_ != "t").map(col) :+ col("t"): _*)
+    else grid.crossJoin(df.drop("t", "st"))
+      .select(col("labels"), col("t"), col("v"), col("t").as("st"))
 
   // ---------- range-function evaluation ----------
 
@@ -313,11 +319,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       case "first_over_time" =>
         val agged = g.agg(first(col("labels")).as("labels"),
           expr("min_by(struct(v, t), wt)").as("p"))
-        finish(agged, col("p.v"), st = col("p.t"))
+        finish(agged, col("p.v"))
       case "last_over_time" =>
         val agged = g.agg(first(col("labels")).as("labels"),
           expr("max_by(struct(v, t), wt)").as("p"))
-        finish(agged, col("p.v"), st = col("p.t"))
+        finish(agged, col("p.v"))
       case "ts_of_first_over_time" =>
         finish(g.agg(first(col("labels")).as("labels"), min(col("wt")).as("a")),
                col("a").cast("double") / 1000.0)
