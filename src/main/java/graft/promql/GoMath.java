@@ -15,4 +15,23 @@ public final class GoMath {
 
   /** Go math.Mod semantics == Java % (sign of dividend, NaN on zero divisor). */
   public static double mod(double a, double b) { return a % b; }
+
+  // --- UTC date parts (ref: promql/functions.go:2574 dateWrapper:
+  // `time.Unix(int64(v), 0).UTC()` — always UTC, independent of any session
+  // timezone, which Spark's minute()/hour()/... are NOT). ---
+
+  private static java.time.ZonedDateTime utc(double v) {
+    return java.time.Instant.ofEpochSecond((long) v)
+        .atZone(java.time.ZoneOffset.UTC);
+  }
+
+  public static double dateMinute(double v) { return utc(v).getMinute(); }
+  public static double dateHour(double v) { return utc(v).getHour(); }
+  /** Go time.Weekday(): Sunday = 0. */
+  public static double dateDayOfWeek(double v) { return utc(v).getDayOfWeek().getValue() % 7; }
+  public static double dateDayOfMonth(double v) { return utc(v).getDayOfMonth(); }
+  public static double dateDayOfYear(double v) { return utc(v).getDayOfYear(); }
+  public static double dateDaysInMonth(double v) { return utc(v).toLocalDate().lengthOfMonth(); }
+  public static double dateMonth(double v) { return utc(v).getMonthValue(); }
+  public static double dateYear(double v) { return utc(v).getYear(); }
 }

@@ -42,9 +42,16 @@ object Aggregations {
         (df.join(broadcast(sdf), Seq("t")), col("__param"))
     }
 
+    // deterministic series order (by full-label signature) for the Kahan paths;
+    // struct field 1 is the value, matching the (wt, v) shape the UDFs expect
+    def sortedVals = sort_array(collect_list(struct(pl.sigCol(col("labels")).as("s"), col("v").as("v"))))
+
     ae.op match {
-      case "sum" => grouped(sum(col("v")))
-      case "avg" => grouped(avg(col("v")))
+      // Kahan-compensated sum/avg in canonical series order — plain distributed
+      // sum() reorders additions and fails catastrophic-cancellation corpus
+      // inputs (ref: promql/engine.go:3642 group accumulation uses Kahan)
+      case "sum" => grouped(RangeUdfs.kahanSumOT(sortedVals))
+      case "avg" => grouped(RangeUdfs.avgOT(sortedVals))
       case "count" => grouped(count(lit(1)).cast("double"))
       case "group" => grouped(first(lit(1.0)))
       // min/max skip NaN unless the group is all-NaN (ref: engine.go:3680)
@@ -54,12 +61,14 @@ object Aggregations {
       case "stdvar" => grouped(var_pop(col("v")))
 
       case "quantile" =>
-        val phi = paramConst.getOrElse(
-          throw PromQLError("quantile: non-constant φ not supported yet"))
-        if (phi.isNaN) grouped(first(lit(Double.NaN)))
-        else if (phi < 0) grouped(first(lit(Double.NegativeInfinity)))
-        else if (phi > 1) grouped(first(lit(Double.PositiveInfinity)))
-        else grouped(expr(s"percentile(v, ${phi}D)"))
+        // UDF path unconditionally: reference sorts NaN smallest
+        // (quantile.go:717) where Spark percentile sorts NaN largest; φ may be
+        // a per-step scalar expression (engine.go:2095 fParams)
+        val (qdf, phi) = paramCol(pre)
+        qdf.groupBy(col("gsig"), col("t"))
+          .agg(first(col("glabels")).as("labels"), first(phi).as("__phi"), sortedVals.as("__pts"))
+          .select(col("labels"), col("t"),
+            RangeUdfs.quantileUdf(col("__phi"), col("__pts")).as("v"), col("t").as("st"))
 
       case "topk" | "bottomk" =>
         val (df, k) = paramCol(pre)
@@ -84,7 +93,9 @@ object Aggregations {
         // (ref: engine.go aggregationK limit_ratio; hash formula approximated —
         // we use xxhash64 over the canonical label signature)
         val (df, r) = paramCol(pre)
-        val frac = (xxhash64(to_json(col("labels"))).cast("double") / lit(Long.MaxValue.toDouble) + 1.0) / 2.0
+        // canonical sorted-entries signature — to_json of a map is insertion-
+        // order-dependent and was not a stable series identity
+        val frac = (xxhash64(pl.sigCol(col("labels"))).cast("double") / lit(Long.MaxValue.toDouble) + 1.0) / 2.0
         df.filter(when(r >= 0, frac < r).otherwise(frac >= (lit(1.0) + r)))
           .select(col("labels"), col("t"), col("v"), col("st"))
 

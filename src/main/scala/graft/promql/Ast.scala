@@ -188,6 +188,14 @@ object Functions {
     f("sin", List(InstantVector), InstantVector),
     f("sinh", List(InstantVector), InstantVector),
     f("sort", List(InstantVector), InstantVector),
+    // query-context scalar functions (ref: promql/parser/functions.go end/start/
+    // step/range entries; resolved per-query, promql/engine.go:4472-4478)
+    f("start", Nil, Scalar),
+    f("end", Nil, Scalar),
+    f("step", Nil, Scalar),
+    f("range", Nil, Scalar),
+    f("start_timestamp", List(InstantVector), InstantVector, 1),
+    f("histogram_quantiles", List(StringV, InstantVector, Scalar), InstantVector, -1),
     f("sort_desc", List(InstantVector), InstantVector),
     f("sort_by_label", List(InstantVector, StringV), InstantVector, -1),
     f("sort_by_label_desc", List(InstantVector, StringV), InstantVector, -1),

@@ -129,7 +129,30 @@ object BinOps {
         lOut.unionByName(rOnly)
 
       case _ =>
-        val joined = lp.join(rp, Seq("msig", "t"))
+        // duplicate-series detection (ref: promql/engine.go:3226, :3279 —
+        // the "one" side must be unique per match group; 1:1 requires both
+        // sides unique, else "many-to-many matching not allowed"). The count
+        // is a window over the same (msig, t) key the join shuffles on, and
+        // the error is raised lazily inside the value expression so it stays
+        // in the distributed plan.
+        val wdup = org.apache.spark.sql.expressions.Window.partitionBy(col("msig"), col("t"))
+        val lpc = lp.withColumn("__lc", count(lit(1)).over(wdup))
+        val rpc = rp.withColumn("__rc", count(lit(1)).over(wdup))
+        val dupCnt = m.card match {
+          case MatchCard.OneToOne => greatest(col("__lc"), col("__rc"))
+          case MatchCard.ManyToOne => col("__rc")
+          case MatchCard.OneToMany => col("__lc")
+        }
+        val dupMsg = m.card match {
+          case MatchCard.OneToOne =>
+            "found duplicate series for the match group; many-to-many matching not allowed: matching labels must be unique on one side"
+          case _ => "multiple matches for labels: grouping labels must ensure unique matches"
+        }
+        def guardD(v: Column): Column =
+          when(dupCnt > 1, raise_error(lit(dupMsg)).cast("double")).otherwise(v)
+        def guardB(c: Column): Column =
+          when(dupCnt > 1, raise_error(lit(dupMsg)).cast("boolean")).otherwise(c)
+        val joined = lpc.join(rpc, Seq("msig", "t"))
         val manyIsLeft = be.matching.card != MatchCard.OneToMany
         val manyLabels = if (manyIsLeft) col("l_labels") else col("r_labels")
         val oneLabels = if (manyIsLeft) col("r_labels") else col("l_labels")
@@ -152,7 +175,8 @@ object BinOps {
         if (cmpOps.contains(op)) {
           if (be.returnBool)
             joined.select(includeLabels.as("labels"), col("t"),
-              when(ieeeCmp(op, col("l_v"), col("r_v")), 1.0).otherwise(0.0).as("v"), col("t").as("st"))
+              guardD(when(ieeeCmp(op, col("l_v"), col("r_v")), 1.0).otherwise(0.0)).as("v"),
+              col("t").as("st"))
           else {
             // filter comparison: keep the many side's full labels (metric name
             // included), but still merge group_x(include) labels from the one side
@@ -161,12 +185,12 @@ object BinOps {
               else map_concat(
                 map_filter(manyLabels, (k, _) => !k.isInCollection(m.include)),
                 pl.keepLabelsCol(oneLabels, m.include))
-            joined.filter(ieeeCmp(op, col("l_v"), col("r_v")))
+            joined.filter(guardB(ieeeCmp(op, col("l_v"), col("r_v"))))
               .select(filterLabels.as("labels"), col("t"), manyV.as("v"), col("t").as("st"))
           }
         } else {
           joined.select(includeLabels.as("labels"), col("t"),
-            arith(op, col("l_v"), col("r_v")).as("v"), col("t").as("st"))
+            guardD(arith(op, col("l_v"), col("r_v"))).as("v"), col("t").as("st"))
         }
     }
   }

@@ -32,17 +32,21 @@ object CallEval {
     "atanh" -> atanhD,
     "deg" -> (c => degrees(c)), "rad" -> (c => radians(c)))
 
-  /** date-part functions over a UTC timestamp built from seconds
-    * (ref: promql/functions.go:2574 dateWrapper) */
+  /** date-part functions over epoch SECONDS, computed in UTC unconditionally
+    * via codegen'd static calls — Spark's minute()/hour()/… honor
+    * spark.sql.session.timeZone, the reference does not
+    * (ref: promql/functions.go:2574 dateWrapper `time.Unix(int64(v),0).UTC()`) */
+  private def goDate(fn: String)(v: Column): Column =
+    org.apache.spark.sql.GraftBridge.staticInvoke(classOf[GoMath], fn, Seq(v))
   private val dateFns: Map[String, Column => Column] = Map(
-    "minute" -> (ts => minute(ts).cast("double")),
-    "hour" -> (ts => hour(ts).cast("double")),
-    "day_of_week" -> (ts => (dayofweek(ts) - 1).cast("double")),
-    "day_of_month" -> (ts => dayofmonth(ts).cast("double")),
-    "day_of_year" -> (ts => dayofyear(ts).cast("double")),
-    "days_in_month" -> (ts => dayofmonth(last_day(ts)).cast("double")),
-    "month" -> (ts => month(ts).cast("double")),
-    "year" -> (ts => year(ts).cast("double")))
+    "minute" -> goDate("dateMinute"),
+    "hour" -> goDate("dateHour"),
+    "day_of_week" -> goDate("dateDayOfWeek"),
+    "day_of_month" -> goDate("dateDayOfMonth"),
+    "day_of_year" -> goDate("dateDayOfYear"),
+    "days_in_month" -> goDate("dateDaysInMonth"),
+    "month" -> goDate("dateMonth"),
+    "year" -> goDate("dateYear"))
 
   def eval(pl: Planner, name: String, args: List[Expr]): PValue = {
 
@@ -107,6 +111,17 @@ object CallEval {
 
       case "time" =>
         ScalarVal(pl.gridDF.select(col("t"), (col("t").cast("double") / 1000.0).as("v")), None)
+      case "start" | "end" | "step" | "range" =>
+        // per-query constants (ref: promql/engine.go:4472-4478; instant
+        // queries have step = range = 0)
+        val p = pl.p
+        val v = name match {
+          case "start" => p.startMs / 1000.0
+          case "end" => p.endMs / 1000.0
+          case "step" => if (p.isInstant) 0.0 else p.stepMs / 1000.0
+          case _ => if (p.isInstant) 0.0 else (p.endMs - p.startMs) / 1000.0
+        }
+        ScalarVal(pl.gridDF.select(col("t"), lit(v).as("v")), Some(v))
       case "pi" =>
         ScalarVal(pl.gridDF.select(col("t"), lit(math.Pi).as("v")), Some(math.Pi))
       case "max_of" | "min_of" =>
@@ -154,9 +169,8 @@ object CallEval {
             pl.gridDF.select(pl.emptyLabelsCol.as("labels"), col("t"),
               (col("t").cast("double") / 1000.0).as("v"), col("t").as("st"))
           else vecArg(args.head)
-        val ts = timestamp_seconds(col("v"))
         VectorVal(in.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          dateFns(n)(ts).as("v"), col("t").as("st")))
+          dateFns(n)(col("v")).as("v"), col("t").as("st")))
 
       case "label_replace" =>
         // ref: promql/functions.go:2483 evalLabelReplace (RE2 fully anchored)

@@ -26,15 +26,17 @@ object Engine {
     StructField("v", DoubleType, nullable = false),
     StructField("stale", BooleanType, nullable = false)))
 
-  def parse(q: String, stepMs: Long = 0L): Expr = Parser.parse(q, stepMs)
+  def parse(q: String, stepMs: Long = 0L, rangeMs: Long = 0L): Expr =
+    Parser.parse(q, stepMs, rangeMs)
 
   def instantQuery(spark: SparkSession, samples: DataFrame, q: String, tsMs: Long,
       lookbackMs: Long = 300000L): PValue =
-    new Planner(spark, samples, EvalParams(tsMs, tsMs, 1000L, lookbackMs)).eval(parse(q))
+    new Planner(spark, samples,
+      EvalParams(tsMs, tsMs, 1000L, lookbackMs, isInstant = true)).eval(parse(q))
 
   def rangeQuery(spark: SparkSession, samples: DataFrame, q: String,
       startMs: Long, endMs: Long, stepMs: Long, lookbackMs: Long = 300000L): PValue = {
-    val e = parse(q, stepMs)
+    val e = parse(q, stepMs, endMs - startMs)
     e.valueType match {
       case ValueType.InstantVector | ValueType.Scalar => ()
       case t => throw PromQLError(s"range query expression must be scalar or instant vector, got $t")

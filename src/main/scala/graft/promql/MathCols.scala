@@ -73,9 +73,13 @@ object MathCols {
   }
 
   /** PromQL round(v, to): nearest multiple of `to`, ties rounding up.
-    * (ref: promql/functions.go:1159 funcRound) */
-  def roundTo(v: Column, to: Column): Column =
-    floorD(v / to + lit(0.5)) * to
+    * Uses the inverse-multiplier form for bit-exact parity
+    * (ref: promql/functions.go:1159 funcRound "Invert as it seems to cause
+    * fewer floating point accuracy issues"). */
+  def roundTo(v: Column, to: Column): Column = {
+    val inv = lit(1.0) / to
+    floorD(v * inv + lit(0.5)) / inv
+  }
 
   /** clamp with Go min/max NaN propagation; min > max ⇒ NaN.
     * (ref: promql/functions.go:1137 funcClamp) */

@@ -8,7 +8,8 @@ import org.apache.spark.sql.expressions.Window
 final case class EvalParams(
     startMs: Long, endMs: Long, stepMs: Long,
     lookbackMs: Long = 300000L,           // ref: promql/engine.go:64 (5m default)
-    defaultSubqueryStepMs: Long = 60000L) {
+    defaultSubqueryStepMs: Long = 60000L,
+    isInstant: Boolean = false) {         // instant ⇒ step()/range() = 0 (engine.go:4472-4478)
   def numSteps: Long = (endMs - startMs) / stepMs + 1
 }
 
@@ -343,29 +344,50 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       case "present_over_time" =>
         finish(g.agg(first(col("labels")).as("labels")), lit(1.0))
       case "quantile_over_time" =>
-        val phi = constValue(extra.head).getOrElse(
-          throw PromQLError("quantile_over_time: non-constant φ unsupported yet"))
-        val q =
-          if (phi.isNaN) lit(Double.NaN)
-          else if (phi < 0) lit(Double.NegativeInfinity)
-          else if (phi > 1) lit(Double.PositiveInfinity)
-          else expr(s"percentile(v, ${phi}D)")
-        finish(g.agg(first(col("labels")).as("labels"), q.as("a")), col("a"))
+        // ref: promql/functions.go:1652 → quantile.go:717 — NaN sorts smallest
+        // (Spark percentile sorts NaN largest, so the UDF path is used
+        // unconditionally); φ may be a per-step scalar expression.
+        val sorted = sort_array(collect_list(struct(col("wt"), col("v"))))
+        val agged = g.agg(first(col("labels")).as("labels"), sorted.as("__pts"))
+          .select(labelsOut.as("labels"), col("t_step").as("t"), col("__pts"))
+        val fanned = if (!fixed) agged else grid.crossJoin(agged.drop("t"))
+        val (qdf, phiCol) = constValue(extra.head) match {
+          case Some(c) => (fanned, lit(c))
+          case None => eval(extra.head) match {
+            case ScalarVal(s, _) =>
+              (fanned.join(broadcast(s.withColumnRenamed("v", "__phi")), Seq("t")), col("__phi"))
+            case other => throw PromQLError(s"quantile_over_time: φ must be scalar, got $other")
+          }
+        }
+        qdf.select(col("labels"), col("t"),
+            RangeUdfs.quantileUdf(phiCol, col("__pts")).as("v"), col("t").as("st"))
+          .filter(!isnull(col("v")))
       case "deriv" | "predict_linear" =>
         // ref: promql/functions.go:1949 linearRegression (OLS)
-        val xs = col("wt").cast("double") / 1000.0
         val agged = g.agg(first(col("labels")).as("labels"),
           count(col("v")).as("cnt"),
           expr("regr_slope(v, wt / 1000.0)").as("slope"),
           expr("regr_intercept(v, wt / 1000.0)").as("icept"))
-        val v =
-          if (name == "deriv") col("slope")
+        if (name == "deriv") finish(agged, col("slope"), col("cnt") >= 2)
+        else {
+          val sSec = constValue(extra.head).getOrElse(
+            throw PromQLError("predict_linear: non-constant horizon unsupported yet"))
+          if (!fixed)
+            finish(agged,
+              col("icept") + col("slope") * (col("t_step").cast("double") / 1000.0 + sSec),
+              col("cnt") >= 2)
           else {
-            val sSec = constValue(extra.head).getOrElse(
-              throw PromQLError("predict_linear: non-constant horizon unsupported yet"))
-            col("icept") + col("slope") * (col("t_step").cast("double") / 1000.0 + sSec)
+            // @-pinned window: slope/intercept are step-invariant but the
+            // prediction anchors at each OUTPUT step (ref: functions.go:2020
+            // linearRegression(samples, enh.Ts) — enh.Ts is the eval step).
+            val base = agged.filter(col("cnt") >= 2)
+              .select(labelsOut.as("labels"), col("slope"), col("icept"))
+            grid.crossJoin(base)
+              .select(col("labels"), col("t"),
+                (col("icept") + col("slope") * (col("t").cast("double") / 1000.0 + sSec)).as("v"),
+                col("t").as("st"))
           }
-        finish(agged, v, col("cnt") >= 2)
+        }
       case "mad_over_time" | "double_exponential_smoothing" =>
         val sorted = sort_array(collect_list(struct(col("wt"), col("v"))))
         val agged = g.agg(first(col("labels")).as("labels"), sorted.as("pts"))

@@ -12,18 +12,20 @@ import org.apache.spark.sql.functions.udf
   */
 object RangeUdfs {
 
-  /** φ-quantile with linear interpolation (ref: promql/quantile.go:717);
-    * any NaN observation makes the result NaN. */
+  /** φ-quantile with linear interpolation (ref: promql/quantile.go:717).
+    * NaN observations sort SMALLEST (ref: vectorByValueHeap.Less,
+    * promql/value.go — `math.IsNaN(s[i].F)` ⇒ less), so a NaN only taints the
+    * result when the rank actually touches it — unlike Spark's percentile,
+    * which sorts NaN largest. */
   def quantile(q: Double, values: Seq[Double]): Double = {
     if (values.isEmpty || q.isNaN) return Double.NaN
     if (q < 0) return Double.NegativeInfinity
     if (q > 1) return Double.PositiveInfinity
-    if (values.exists(_.isNaN)) return Double.NaN
-    val sorted = values.sorted
+    val sorted = values.sortWith((a, b) => (a.isNaN && !b.isNaN) || a < b)
     val n = sorted.length
     val rank = q * (n - 1)
-    val lower = math.floor(rank).toInt
-    val upper = math.ceil(rank).toInt
+    val lower = math.max(0, math.floor(rank).toInt)
+    val upper = math.min(n - 1, lower + 1)
     val weight = rank - lower
     sorted(lower) * (1 - weight) + sorted(upper) * weight
   }
@@ -86,13 +88,17 @@ object RangeUdfs {
     else java.lang.Double.valueOf(avgSeq(pts.map(_.getDouble(1))))
   }
 
-  /** median absolute deviation (ref: promql/functions.go:1438). */
+  /** median absolute deviation (ref: promql/functions.go:1438 — any NaN
+    * sample makes the result NaN rather than being silently dropped). */
   val mad = udf { (pts: Seq[Row]) =>
     if (pts == null || pts.isEmpty) null.asInstanceOf[java.lang.Double]
     else {
       val vs = pts.map(_.getDouble(1))
-      val med = quantile(0.5, vs)
-      java.lang.Double.valueOf(quantile(0.5, vs.map(v => math.abs(v - med))))
+      if (vs.exists(_.isNaN)) java.lang.Double.valueOf(Double.NaN)
+      else {
+        val med = quantile(0.5, vs)
+        java.lang.Double.valueOf(quantile(0.5, vs.map(v => math.abs(v - med))))
+      }
     }
   }
 

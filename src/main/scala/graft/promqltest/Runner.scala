@@ -122,8 +122,11 @@ object Runner {
             EvalResult(ev.line, ev.exprText, ok, skipped = false,
               if (ok) "" else s"scalar: got $g want $expV")
           } else {
+            // range-query scalar results render as a single empty-label series
+            // in the test notation (`{} 5 5 5`), ref promqltest scalar→Matrix
             val expVals = ev.expected match {
               case List((None, vs)) => vs
+              case List((Some(sp), vs)) if sp.labels.isEmpty => vs
               case other => return EvalResult(ev.line, ev.exprText, ok = false, skipped = false, "bad scalar range expectation")
             }
             val steps = gridSteps(ev)

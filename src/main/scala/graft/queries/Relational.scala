@@ -64,8 +64,11 @@ object Relational {
       val o  = t(s, dir, "orders")
       val c  = t(s, dir, "customer")
       val n  = t(s, dir, "nation")
+      // customer SCALES with the fact data (~150M rows at 100 TB) — never
+      // broadcast it; shuffle/AQE handles that join. Only fixed-size dims
+      // (nation: 25 rows) are broadcast.
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(n("n_name"))
         .agg(sum(cents(li("l_extendedprice") * (lit(1.0) - li("l_discount")))).as("revenue_cents"),
@@ -77,7 +80,9 @@ object Relational {
     "q04_brand_volume" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val p  = t(s, dir, "part")
-      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      // part scales too (~20M rows / GBs at 100 TB) — no broadcast hint;
+      // AQE picks broadcast at small SF and shuffle join at scale
+      li.join(p, li("l_partkey") === p("p_partkey"))
         .groupBy(p("p_brand"))
         .agg(sum(li("l_quantity")).cast("long").as("qty"),
              count(lit(1)).as("n"))
@@ -190,8 +195,8 @@ object Relational {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-         sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS base_cents,
-         sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS disc_cents,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS base_cents,
+         CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS disc_cents,
          count(*) AS count_order
          FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
     "q02_priority_count" ->
@@ -200,7 +205,7 @@ object Relational {
          GROUP BY 1 ORDER BY 1""",
     "q03_revenue_by_nation" ->
       """SELECT n_name,
-         sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS revenue_cents,
+         CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
          count(*) AS n_lines
          FROM lineitem JOIN orders ON l_orderkey=o_orderkey
          JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey
@@ -233,7 +238,7 @@ object Relational {
     "q10_events_hourly" ->
       """SELECT event_type,
          CAST(floor(epoch_ms(ts)/3600000) AS BIGINT)*3600000 AS hour_ms,
-         sum(CAST(round(value*100) AS BIGINT)) AS value_cents, count(*) AS n
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents, count(*) AS n
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
     "q11_events_asof_grid" ->
       """WITH grid AS (
