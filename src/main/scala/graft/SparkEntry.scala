@@ -15,8 +15,10 @@ object SparkEntry {
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+    graft.queries.PromQLSuite.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle
+    graft.queries.Relational.oracle ++
+    graft.queries.PromQLSuite.oracle
 }

@@ -1,0 +1,303 @@
+package graft.queries
+
+import graft.promql._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PromQL operators wired into the driver's DuckDB-oracle correctness gate.
+  *
+  * The canonical samples table is DERIVED deterministically from the driver's
+  * events.parquet (so the DuckDB side can derive the identical table in a CTE):
+  * one series per (event_type, user_id % 5), value = round(value*100) — exact
+  * integer-valued doubles, so sums/avgs are order-independent and hash-stable
+  * across engines. Every query below goes through the full PromQL path:
+  * Parser → Planner → DataFrame plan (Engine.rangeQuery), then projects
+  * labels to plain columns for the driver's column-sorted hash compare.
+  *
+  * Window: 2024-01-01 01:00 → 23:00 UTC, step 1h (the events table spans
+  * 2024-01-01). Lookback for instant selectors: 10m.
+  */
+object PromQLSuite {
+
+  private val startMs = 1704070800000L // 2024-01-01T01:00:00Z
+  private val endMs   = 1704150000000L // 2024-01-01T23:00:00Z
+  private val stepMs  = 3600000L
+  private val lookMs  = 600000L        // 10m
+
+  /** canonical samples: labels {__name__, type, usr}, t ms, v cents */
+  def samples(s: SparkSession, dir: String): DataFrame =
+    Relational.events(s, dir).select(
+      map(
+        lit("__name__"), lit("events_value"),
+        lit("type"), col("event_type"),
+        lit("usr"), (col("user_id") % 5).cast("string")).as("labels"),
+      col("ts_ms").as("t"),
+      round(col("value") * 100).as("v"),
+      lit(false).as("stale"))
+
+  /** identical derivation on the DuckDB side */
+  private val samplesCte =
+    """samples AS (
+         SELECT epoch_ms(ts) AS t, event_type AS type,
+                CAST(user_id % 5 AS VARCHAR) AS usr,
+                round(value*100) AS v
+         FROM events),
+       grid AS (
+         SELECT CAST(epoch_ms(g.generate_series) AS BIGINT) AS step_ms
+         FROM generate_series(TIMESTAMP '2024-01-01 01:00:00',
+                              TIMESTAMP '2024-01-01 23:00:00',
+                              INTERVAL 1 HOUR) g)"""
+
+  private def run(s: SparkSession, dir: String, q: String): DataFrame =
+    Engine.rangeQuery(s, samples(s, dir), q, startMs, endMs, stepMs, lookMs) match {
+      case VectorVal(df) => df
+      case ScalarVal(df, _) => df
+      case other => throw new IllegalStateException(s"unexpected result $other")
+    }
+
+  private def lbl(name: String): Column = element_at(col("labels"), name)
+
+  /** project (labels→columns, t, v) with a deterministic sort */
+  private def out(df: DataFrame, labels: String*): DataFrame = {
+    val cols = labels.map(l => lbl(l).as(l)) ++ Seq(col("t"), col("v"))
+    val sortCols = labels.map(col) :+ col("t")
+    df.select(cols: _*).orderBy(sortCols: _*)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // instant vector selector: last sample per series in (step-10m, step]
+    "pq01_selector" -> { (s, dir) =>
+      out(run(s, dir, """events_value"""), "type", "usr") },
+
+    // sum by — Kahan group aggregation over instant selections
+    "pq02_sum_by_type" -> { (s, dir) =>
+      out(run(s, dir, """sum by (type) (events_value)"""), "type") },
+
+    // label-matcher filtering (regex + equality)
+    "pq03_matchers" -> { (s, dir) =>
+      out(run(s, dir, """events_value{type=~"err.*|click", usr="1"}"""), "type", "usr") },
+
+    // *_over_time family over a 1h range window
+    "pq04_count_over_time" -> { (s, dir) =>
+      out(run(s, dir, """count_over_time(events_value[1h])"""), "type", "usr") },
+    "pq05_sum_over_time" -> { (s, dir) =>
+      out(run(s, dir, """sum_over_time(events_value[1h])"""), "type", "usr") },
+    "pq06_avg_over_time" -> { (s, dir) =>
+      out(run(s, dir, """avg_over_time(events_value[1h])"""), "type", "usr") },
+    "pq07_minmax_over_time" -> { (s, dir) =>
+      out(run(s, dir, """min_over_time(events_value[1h]) + max_over_time(events_value[1h])"""),
+          "type", "usr") },
+    "pq08_last_over_time" -> { (s, dir) =>
+      out(run(s, dir, """last_over_time(events_value[1h])"""), "type", "usr") },
+
+    // counter rate family: reset correction + edge extrapolation
+    // (ref: promql/functions.go:452 extrapolatedRate)
+    "pq09_increase" -> { (s, dir) =>
+      out(run(s, dir, """increase(events_value[1h])"""), "type", "usr") },
+    "pq10_delta" -> { (s, dir) =>
+      out(run(s, dir, """delta(events_value[1h])"""), "type", "usr") },
+
+    // aggregations
+    "pq11_topk" -> { (s, dir) =>
+      out(run(s, dir, """topk(3, events_value)"""), "type", "usr") },
+    "pq12_quantile_by" -> { (s, dir) =>
+      out(run(s, dir, """quantile by (type) (0.5, events_value)"""), "type") },
+    "pq13_count_values" -> { (s, dir) =>
+      out(run(s, dir, """count by (type) (events_value > bool 2500)"""), "type") },
+
+    // vector/vector binop: 1:1 join on shared labels
+    "pq14_binop_ratio" -> { (s, dir) =>
+      out(run(s, dir,
+        """sum by (usr) (events_value{type="error"}) / sum by (usr) (events_value)"""),
+        "usr") },
+
+    // subquery: inner 10m-grid evaluation windowed by the outer range
+    "pq15_subquery" -> { (s, dir) =>
+      out(run(s, dir, """max_over_time(sum by (type) (events_value)[1h:10m])"""), "type") },
+
+    // changes() over the range window
+    "pq16_changes" -> { (s, dir) =>
+      out(run(s, dir, """changes(events_value[1h])"""), "type", "usr") },
+
+    // absent() on a missing metric — step grid synthesis
+    "pq17_absent" -> { (s, dir) =>
+      out(run(s, dir, """absent(nonexistent_metric)""")) },
+
+    // scalar arithmetic + comparison filter
+    "pq18_arith_filter" -> { (s, dir) =>
+      out(run(s, dir, """(events_value * 2 + 100) > 5000"""), "type", "usr") },
+  )
+
+  /** DuckDB oracles replicating the exact reference formulas. */
+  val oracle: Map[String, String] = Map(
+    "pq01_selector" -> s"""WITH $samplesCte
+      SELECT s.type, s.usr, g.step_ms AS t, arg_max(s.v, s.t) AS v
+      FROM grid g JOIN samples s ON s.t > g.step_ms - $lookMs AND s.t <= g.step_ms
+      GROUP BY 1,2,3 ORDER BY 1,2,3""",
+
+    "pq02_sum_by_type" -> s"""WITH $samplesCte,
+      last AS (
+        SELECT s.type, s.usr, g.step_ms, arg_max(s.v, s.t) AS v
+        FROM grid g JOIN samples s ON s.t > g.step_ms - $lookMs AND s.t <= g.step_ms
+        GROUP BY 1,2,3)
+      SELECT type, step_ms AS t, sum(v) AS v FROM last GROUP BY 1,2 ORDER BY 1,2""",
+
+    "pq03_matchers" -> s"""WITH $samplesCte
+      SELECT s.type, s.usr, g.step_ms AS t, arg_max(s.v, s.t) AS v
+      FROM grid g JOIN samples s ON s.t > g.step_ms - $lookMs AND s.t <= g.step_ms
+      WHERE regexp_full_match(s.type, 'err.*|click') AND s.usr = '1'
+      GROUP BY 1,2,3 ORDER BY 1,2,3""",
+
+    "pq04_count_over_time" -> s"""WITH $samplesCte
+      SELECT s.type, s.usr, g.step_ms AS t, CAST(count(*) AS DOUBLE) AS v
+      FROM grid g JOIN samples s ON s.t > g.step_ms - 3600000 AND s.t <= g.step_ms
+      GROUP BY 1,2,3 ORDER BY 1,2,3""",
+
+    "pq05_sum_over_time" -> s"""WITH $samplesCte
+      SELECT s.type, s.usr, g.step_ms AS t, sum(s.v) AS v
+      FROM grid g JOIN samples s ON s.t > g.step_ms - 3600000 AND s.t <= g.step_ms
+      GROUP BY 1,2,3 ORDER BY 1,2,3""",
+
+    "pq06_avg_over_time" -> s"""WITH $samplesCte
+      SELECT s.type, s.usr, g.step_ms AS t, sum(s.v)/count(*) AS v
+      FROM grid g JOIN samples s ON s.t > g.step_ms - 3600000 AND s.t <= g.step_ms
+      GROUP BY 1,2,3 ORDER BY 1,2,3""",
+
+    "pq07_minmax_over_time" -> s"""WITH $samplesCte
+      SELECT s.type, s.usr, g.step_ms AS t, min(s.v) + max(s.v) AS v
+      FROM grid g JOIN samples s ON s.t > g.step_ms - 3600000 AND s.t <= g.step_ms
+      GROUP BY 1,2,3 ORDER BY 1,2,3""",
+
+    "pq08_last_over_time" -> s"""WITH $samplesCte
+      SELECT s.type, s.usr, g.step_ms AS t, arg_max(s.v, s.t) AS v
+      FROM grid g JOIN samples s ON s.t > g.step_ms - 3600000 AND s.t <= g.step_ms
+      GROUP BY 1,2,3 ORDER BY 1,2,3""",
+
+    // extrapolatedRate (ref: promql/functions.go:452) replicated literally:
+    // increase = (last-first+resets) * (sampled+durStart+durEnd)/sampled
+    "pq09_increase" -> s"""WITH $samplesCte,
+      w AS (
+        SELECT s.type, s.usr, g.step_ms, s.t, s.v,
+               lag(s.v) OVER (PARTITION BY s.type, s.usr, g.step_ms ORDER BY s.t) AS pv
+        FROM grid g JOIN samples s ON s.t > g.step_ms - 3600000 AND s.t <= g.step_ms),
+      agg AS (
+        SELECT type, usr, step_ms, count(*) AS cnt,
+               min(t) AS minwt, max(t) AS maxwt,
+               arg_min(v, t) AS firstv, arg_max(v, t) AS lastv,
+               sum(CASE WHEN pv IS NOT NULL AND v < pv THEN pv ELSE 0 END) AS corr
+        FROM w GROUP BY 1,2,3),
+      calc AS (
+        SELECT *, (lastv - firstv + corr) AS rv,
+               CAST(maxwt - minwt AS DOUBLE)/1000.0 AS sampled,
+               CAST(minwt - (step_ms - 3600000) AS DOUBLE)/1000.0 AS dts0,
+               CAST(step_ms - maxwt AS DOUBLE)/1000.0 AS dte0,
+               (CAST(maxwt - minwt AS DOUBLE)/1000.0) / CAST(cnt - 1 AS DOUBLE) AS avgdur
+        FROM agg WHERE cnt >= 2),
+      calc2 AS (
+        SELECT *,
+          CASE WHEN dts0 >= avgdur*1.1 THEN avgdur/2 ELSE dts0 END AS dts1,
+          CASE WHEN dte0 >= avgdur*1.1 THEN avgdur/2 ELSE dte0 END AS dte
+        FROM calc),
+      calc3 AS (
+        SELECT *,
+          CASE WHEN rv > 0 AND firstv >= 0
+               THEN least(dts1, sampled * (firstv / rv)) ELSE dts1 END AS dts
+        FROM calc2)
+      SELECT type, usr, step_ms AS t, rv * ((sampled + dts + dte) / sampled) AS v
+      FROM calc3 ORDER BY 1,2,3""",
+
+    "pq10_delta" -> s"""WITH $samplesCte,
+      agg AS (
+        SELECT s.type, s.usr, g.step_ms, count(*) AS cnt,
+               min(s.t) AS minwt, max(s.t) AS maxwt,
+               arg_min(s.v, s.t) AS firstv, arg_max(s.v, s.t) AS lastv
+        FROM grid g JOIN samples s ON s.t > g.step_ms - 3600000 AND s.t <= g.step_ms
+        GROUP BY 1,2,3),
+      calc AS (
+        SELECT *, (lastv - firstv) AS rv,
+               CAST(maxwt - minwt AS DOUBLE)/1000.0 AS sampled,
+               CAST(minwt - (step_ms - 3600000) AS DOUBLE)/1000.0 AS dts0,
+               CAST(step_ms - maxwt AS DOUBLE)/1000.0 AS dte0,
+               (CAST(maxwt - minwt AS DOUBLE)/1000.0) / CAST(cnt - 1 AS DOUBLE) AS avgdur
+        FROM agg WHERE cnt >= 2)
+      SELECT type, usr, step_ms AS t,
+        rv * ((sampled
+               + (CASE WHEN dts0 >= avgdur*1.1 THEN avgdur/2 ELSE dts0 END)
+               + (CASE WHEN dte0 >= avgdur*1.1 THEN avgdur/2 ELSE dte0 END)) / sampled) AS v
+      FROM calc ORDER BY 1,2,3""",
+
+    // topk(3): per step by value desc, canonical label-signature tiebreak
+    // (signature order for these series == (type, usr) order)
+    "pq11_topk" -> s"""WITH $samplesCte,
+      last AS (
+        SELECT s.type, s.usr, g.step_ms, arg_max(s.v, s.t) AS v
+        FROM grid g JOIN samples s ON s.t > g.step_ms - $lookMs AND s.t <= g.step_ms
+        GROUP BY 1,2,3)
+      SELECT type, usr, step_ms AS t, v FROM (
+        SELECT *, row_number() OVER (PARTITION BY step_ms ORDER BY v DESC, type, usr) AS rk
+        FROM last) WHERE rk <= 3 ORDER BY 1,2,3""",
+
+    // φ-quantile, linear interpolation (ref: promql/quantile.go:717 ==
+    // DuckDB quantile_cont on NaN-free input)
+    "pq12_quantile_by" -> s"""WITH $samplesCte,
+      last AS (
+        SELECT s.type, s.usr, g.step_ms, arg_max(s.v, s.t) AS v
+        FROM grid g JOIN samples s ON s.t > g.step_ms - $lookMs AND s.t <= g.step_ms
+        GROUP BY 1,2,3)
+      SELECT type, step_ms AS t, quantile_cont(v, 0.5) AS v
+      FROM last GROUP BY 1,2 ORDER BY 1,2""",
+
+    "pq13_count_values" -> s"""WITH $samplesCte,
+      last AS (
+        SELECT s.type, s.usr, g.step_ms, arg_max(s.v, s.t) AS v
+        FROM grid g JOIN samples s ON s.t > g.step_ms - $lookMs AND s.t <= g.step_ms
+        GROUP BY 1,2,3)
+      SELECT type, step_ms AS t, CAST(count(*) AS DOUBLE) AS v
+      FROM last GROUP BY 1,2 ORDER BY 1,2""",
+
+    "pq14_binop_ratio" -> s"""WITH $samplesCte,
+      last AS (
+        SELECT s.type, s.usr, g.step_ms, arg_max(s.v, s.t) AS v
+        FROM grid g JOIN samples s ON s.t > g.step_ms - $lookMs AND s.t <= g.step_ms
+        GROUP BY 1,2,3),
+      err AS (SELECT usr, step_ms, sum(v) AS v FROM last WHERE type='error' GROUP BY 1,2),
+      tot AS (SELECT usr, step_ms, sum(v) AS v FROM last GROUP BY 1,2)
+      SELECT e.usr, e.step_ms AS t, e.v / t.v AS v
+      FROM err e JOIN tot t ON e.usr = t.usr AND e.step_ms = t.step_ms
+      ORDER BY 1,2""",
+
+    // subquery: inner sum-by on an epoch-aligned 10m grid, outer max over
+    // the inner points in (step-1h, step]
+    "pq15_subquery" -> s"""WITH $samplesCte,
+      igrid AS (
+        SELECT CAST(epoch_ms(g.generate_series) AS BIGINT) AS istep
+        FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                             TIMESTAMP '2024-01-01 23:00:00',
+                             INTERVAL 10 MINUTE) g),
+      ilast AS (
+        SELECT s.type, s.usr, g.istep, arg_max(s.v, s.t) AS v
+        FROM igrid g JOIN samples s ON s.t > g.istep - $lookMs AND s.t <= g.istep
+        GROUP BY 1,2,3),
+      isum AS (SELECT type, istep, sum(v) AS v FROM ilast GROUP BY 1,2)
+      SELECT i.type, g.step_ms AS t, max(i.v) AS v
+      FROM grid g JOIN isum i ON i.istep > g.step_ms - 3600000 AND i.istep <= g.step_ms
+      GROUP BY 1,2 ORDER BY 1,2""",
+
+    "pq16_changes" -> s"""WITH $samplesCte,
+      w AS (
+        SELECT s.type, s.usr, g.step_ms, s.v,
+               lag(s.v) OVER (PARTITION BY s.type, s.usr, g.step_ms ORDER BY s.t) AS pv
+        FROM grid g JOIN samples s ON s.t > g.step_ms - 3600000 AND s.t <= g.step_ms)
+      SELECT type, usr, step_ms AS t,
+             CAST(sum(CASE WHEN pv IS NOT NULL AND v <> pv THEN 1 ELSE 0 END) AS DOUBLE) AS v
+      FROM w GROUP BY 1,2,3 ORDER BY 1,2,3""",
+
+    "pq17_absent" -> s"""WITH $samplesCte
+      SELECT step_ms AS t, 1.0 AS v FROM grid ORDER BY 1""",
+
+    "pq18_arith_filter" -> s"""WITH $samplesCte
+      SELECT s.type, s.usr, g.step_ms AS t, arg_max(s.v, s.t) * 2 + 100 AS v
+      FROM grid g JOIN samples s ON s.t > g.step_ms - $lookMs AND s.t <= g.step_ms
+      GROUP BY 1,2,3 HAVING arg_max(s.v, s.t) * 2 + 100 > 5000 ORDER BY 1,2,3""",
+  )
+}
