@@ -16,9 +16,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-    graft.queries.PromQLSuite.queries
+    graft.queries.PromQLSuite.queries ++
+    graft.queries.PipelineSuite.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-    graft.queries.PromQLSuite.oracle
+    graft.queries.PromQLSuite.oracle ++
+    graft.queries.PipelineSuite.oracle
 }

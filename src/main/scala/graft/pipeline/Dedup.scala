@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All operators are bucketed/banded — NO all-pairs comparison anywhere, so
+  * every shape survives a 100 TB corpus:
+  *  - exact: one hash aggregation on a normalized-text key (map-side partial).
+  *  - MinHash-LSH: per-doc signature is O(#shingles); banding explodes ×B
+  *    rows; candidate pairs come from a groupBy on (band, bandHash) with a
+  *    bucket-size cap, so a pathological hot bucket degrades to a skipped
+  *    stop-bucket instead of an O(n²) join.
+  *  - n-gram Jaccard: inverted-index join with a document-frequency cap on
+  *    shingles (high-DF shingles are dropped BEFORE the self-join — removes
+  *    the quadratic hot keys), then exact verification on the capped sets.
+  *  - SimHash: 64-bit signature; near-dup candidates via 4×16-bit band
+  *    equality buckets (hamming ≤ 3 guaranteed caught in ≥1 band).
+  */
+object Dedup {
+
+  /** lowercase, trim, collapse whitespace */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  def words(c: Column): Column = split(normText(c), " ")
+
+  /** distinct word n-gram shingles of the `__w` words-array column (SQL-lambda
+    * expression — element_at is 1-based; empty when the doc has < n words) */
+  private def shingleExpr(n: Int): Column = expr(
+    s"CASE WHEN size(__w) < $n THEN array() ELSE array_distinct(" +
+    s"transform(sequence(1, size(__w) - ${n - 1}), i -> concat_ws(' ', " +
+    (0 until n).map(k => s"element_at(__w, i + $k)").mkString(", ") + "))) END")
+
+  /** (doc_id, shingle) exploded pairs */
+  private def shingleRows(docs: DataFrame, n: Int): DataFrame =
+    docs.withColumn("__w", words(col("text")))
+      .select(col("doc_id"), explode(shingleExpr(n)).as("sg"))
+
+  /** Exact dedup: group by normalized text, keep the smallest doc_id.
+    * 100 TB: a single shuffle keyed on xxhash64(norm) — group sizes are
+    * bounded by duplicate multiplicity, never by corpus size. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__key", sha2(normText(col("text")), 256))
+      .groupBy(col("__key"))
+      .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n_members"))
+
+  /** MinHash signatures: `perms` permutations approximated by seeded murmur3
+    * (hash(shingle, seed)) minima — the standard broken-up minwise family. */
+  def minhashSignatures(docs: DataFrame, perms: Int = 64): DataFrame = {
+    val sh = shingleRows(docs, 3)
+    val mins = (0 until perms).map(p => min(hash(col("sg"), lit(p))).as(s"m$p"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs with signature-estimated Jaccard.
+    * bands × rowsPerBand must equal the signature length. Candidates are
+    * generated ONLY within (band, bandHash) buckets; buckets larger than
+    * `maxBucket` are dropped as stop-buckets (skew guard). */
+  def minhashPairs(docs: DataFrame, minEstJaccard: Double = 0.3,
+      bands: Int = 16, rowsPerBand: Int = 4, maxBucket: Int = 200): DataFrame = {
+    val sigs = minhashSignatures(docs, bands * rowsPerBand)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> struct(b AS band, hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bh))")).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val small = banded
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("__bn") <= maxBucket)
+    val a = small.select(col("band"), col("bh"), col("doc_id").as("da"), col("sig").as("siga"))
+    val b = small.select(col("band"), col("bh"), col("doc_id").as("db"), col("sig").as("sigb"))
+    a.join(b, Seq("band", "bh")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        (expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), z -> z))").cast("double")
+          / size(col("siga"))).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Exact n-gram Jaccard pairs ≥ τ via inverted-index join.
+    * Shingles appearing in more than `maxDF` documents are dropped on BOTH
+    * the candidate and the verification side (a deterministic filter, so the
+    * DuckDB oracle replicates it exactly). */
+  def ngramJaccardPairs(docs: DataFrame, tau: Double = 0.1, n: Int = 3,
+      maxDF: Int = 100): DataFrame = {
+    val sh = shingleRows(docs, n)
+    val rare = sh.withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sg"))))
+      .filter(col("__df") <= maxDF)
+      .select(col("doc_id"), col("sg"))
+    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sg"))
+    val shared = rare.select(col("sg"), col("doc_id").as("da"))
+      .join(rare.select(col("sg"), col("doc_id").as("db")), Seq("sg"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sg", "na"), Seq("da"))
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sg", "nb"), Seq("db"))
+      .select(col("da"), col("db"), col("shared"),
+        (col("shared").cast("double") / (col("na") + col("nb") - col("shared")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** 64-bit SimHash over word murmur3 hashes (weight = term frequency). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .withColumn("h", hash(col("w")).cast("long").bitwiseAND(lit(0xFFFFFFFFL))) // 32-bit murmur3, widened
+      .withColumn("h2", hash(col("w"), lit(1)).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+      .withColumn("h64", shiftleft(col("h"), 32).bitwiseOR(col("h2")))
+    // per-bit vote: +1 if bit set else -1; sign of the sum is the output bit
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftrightunsigned(col("h64"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    w.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: equality on any of 4 16-bit bands. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
+        "(simhash >> (b * 16)) & 65535 AS bv))")).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = banded.select(col("band"), col("bv"), col("doc_id").as("da"), col("simhash").as("ha"))
+    val b = banded.select(col("band"), col("bv"), col("doc_id").as("db"), col("simhash").as("hb"))
+    a.join(b, Seq("band", "bv")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"), bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

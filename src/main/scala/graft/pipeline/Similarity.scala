@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (ARRAY<FLOAT>).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k of a SMALL query set against the
+  *    corpus — the query side is broadcast, the corpus is scanned once, and
+  *    top-k is a per-(query) window over partial per-partition top-ks (Spark's
+  *    window + filter collapses to a TakeOrdered-like shape). Baseline and
+  *    oracle anchor.
+  *  - [[lshTopK]]: random-hyperplane LSH. `tables × planes` signed projections
+  *    bucket the corpus; candidates are vectors sharing a bucket with the
+  *    query in ≥1 table, reranked exactly. Hyperplane components are
+  *    deterministic pseudo-randoms derived from murmur3(table, plane, dim) —
+  *    no driver-side RNG state, so executors regenerate them for free.
+  *    100 TB: the corpus side is one shuffle on (table, bucket); bucket
+  *    occupancy is controlled by `planes` (2^planes buckets/table).
+  */
+object Similarity {
+
+  /** elementwise float→double cast */
+  private def asD(c: Column): Column = expr(s"transform(${c.toString}, x -> cast(x AS double))")
+
+  /** sequential left-to-right dot product — deterministic fold order, so the
+    * DuckDB oracle (list_dot_product, also sequential) matches bit-for-bit */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, p) -> acc + p)")
+
+  def norm(a: String): Column = sqrt(dot(a, a))
+
+  /** exact cosine top-k: query set (qdf: vec_id, embedding) must be small */
+  def bruteForceTopK(corpus: DataFrame, qdf: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(qdf.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val scored = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot("qv", "nv") / (norm("qv") * norm("nv"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
+  /** deterministic pseudo-random hyperplane component in [-1, 1) */
+  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
+    (hash(lit(table), lit(plane), dim).cast("double") / lit(Int.MaxValue.toDouble))
+
+  /** signature bits for one table: sign of the projection on each plane */
+  private def bucketOf(vecCol: String, table: Int, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = expr(
+        s"aggregate(zip_with($vecCol, transform(sequence(0, size($vecCol) - 1), " +
+        s"d -> cast(hash($table, $p, d) AS double) / ${Int.MaxValue.toDouble}D), " +
+        s"(x, w) -> cast(x AS double) * w), 0D, (acc, v) -> acc + v)")
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** LSH-bucketed approximate top-k, exact rerank within candidates.
+    * Recall < 1 by construction (rows-only correctness check). */
+  def lshTopK(corpus: DataFrame, qdf: DataFrame, k: Int,
+      tables: Int = 8, planes: Int = 10): DataFrame = {
+    def withBuckets(df: DataFrame, vcol: String, idAs: String, vAs: String): DataFrame =
+      df.select(
+        col("vec_id").as(idAs), col("embedding").as(vAs),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"), bucketOf("embedding", t, planes).as("bkt"))): _*)).as("tb"))
+        .select(col(idAs), col(vAs), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val qb = broadcast(withBuckets(qdf, "embedding", "qid", "qv"))
+    val cb = withBuckets(corpus, "embedding", "nid", "nv")
+    val cand = qb.join(cb, Seq("tbl", "bkt")).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
+    val scored = cand.select(col("qid"), col("nid"),
+      (dot("qv", "nv") / (norm("qv") * norm("nv"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
+  /** embedding near-duplicate pairs (cos ≥ τ) via the same LSH bucketing —
+    * candidates share ≥1 bucket, verified exactly; never all-pairs. */
+  def cosineDupPairs(corpus: DataFrame, tau: Double,
+      tables: Int = 8, planes: Int = 10): DataFrame = {
+    def withBuckets(idAs: String, vAs: String): DataFrame =
+      corpus.select(
+        col("vec_id").as(idAs), col("embedding").as(vAs),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"), bucketOf("embedding", t, planes).as("bkt"))): _*)).as("tb"))
+        .select(col(idAs), col(vAs), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val a = withBuckets("da", "va")
+    val b = withBuckets("db", "vb")
+    a.join(b, Seq("tbl", "bkt")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("va"), col("vb")).distinct()
+      .select(col("da"), col("db"),
+        (dot("va", "vb") / (norm("va") * norm("vb"))).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+}

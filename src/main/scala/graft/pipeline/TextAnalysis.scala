@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: language ID, quality scoring, token counting,
+  * document fingerprinting. Everything here is a narrow projection over the
+  * documents table — embarrassingly parallel, no shuffle at any scale.
+  */
+object TextAnalysis {
+
+  import Dedup.{normText, words}
+
+  /** tiny per-language stopword profiles (n-gram-heuristic lang-id: score =
+    * profile-token hits; deterministic argmax with name tiebreak) */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** predicted language + per-profile hit counts */
+  def langId(docs: DataFrame): DataFrame = {
+    val w = docs.withColumn("__w", words(col("text")))
+    val scored = profiles.foldLeft(w) { case (df, (lang, stop)) =>
+      df.withColumn(s"score_$lang",
+        size(expr(s"filter(__w, x -> x IN (${stop.map(s => s"'$s'").mkString(",")}))")))
+    }
+    // argmax with language-name tiebreak (ascending — first max wins)
+    val best = profiles.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("s"), lit(lang).as("l"))
+    }.reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    scored.select(col("doc_id") +: best.getField("l").as("pred_lang") +:
+      profiles.map { case (l, _) => col(s"score_$l") }: _*)
+  }
+
+  /** quality stats: token count, mean word length, stopword ratio, alpha
+    * ratio, and a composite score (weights are arbitrary but fixed) */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val stop = profiles.flatMap(_._2).distinct
+    docs.withColumn("__w", words(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        (length(regexp_replace(normText(col("text")), " ", "")).cast("double")
+          / size(col("__w")).cast("double")).as("mean_wlen"),
+        (size(expr(s"filter(__w, x -> x IN (${stop.map(s => s"'$s'").mkString(",")}))")).cast("double")
+          / size(col("__w")).cast("double")).as("stop_ratio"),
+        (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
+          / length(col("text")).cast("double")).as("alpha_ratio"))
+      .withColumn("quality",
+        col("stop_ratio") * 0.4 + col("alpha_ratio") * 0.4
+          + when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 0.2).otherwise(0.0))
+  }
+
+  /** whitespace token count + BPE-ish regex token estimate */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("ws_tokens"),
+      size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)"))
+        .cast("long").as("re_tokens"))
+
+  /** 61-bit Rabin-Karp rolling polynomial fingerprint of the normalized text
+    * (base 257 mod 2^61−1) — content-defined identity that is stable across
+    * partitionings; UDF because SQL lacks modular bignum arithmetic. */
+  val rollingFp = udf { (s: String) =>
+    val M = (1L << 61) - 1
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      // multiply mod M via 128-bit split (Math.multiplyHigh is JDK9+)
+      val x = h
+      val lo = x * 257L
+      val hi = Math.multiplyHigh(x, 257L)
+      val merged = (hi << 3) | (lo >>> 61)
+      h = (lo & M) + merged
+      if (h >= M) h -= M
+      h = (h + s.charAt(i)) % M
+      i += 1
+    }
+    h
+  }
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), rollingFp(Dedup.normText(col("text"))).as("fp"))
+}

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.pipeline._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators wired into the driver's correctness gate,
+  * over the driver-generated documents/embeddings tables.
+  *
+  * Oracle style mirrors [[PromQLSuite]]: where the semantics are ANSI-SQL
+  * expressible the DuckDB oracle replicates the operator exactly (dedup,
+  * Jaccard with the same DF cap, lang-id/quality/token formulas, cosine
+  * top-k with the same sequential dot product); hash-based operators
+  * (MinHash/SimHash/LSH/fingerprint) get rows-only checks since their hash
+  * functions are Spark-internal.
+  */
+object PipelineSuite {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lp01_exact_dedup" -> { (s, dir) =>
+      Dedup.exact(docs(s, dir))
+        .select(col("kept_doc_id"), col("n_members")).orderBy(col("kept_doc_id")) },
+
+    "lp02_minhash_pairs" -> { (s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), minEstJaccard = 0.3)
+        .orderBy(col("da"), col("db")) },
+
+    "lp03_jaccard_pairs" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), tau = 0.1, n = 3, maxDF = 100)
+        .orderBy(col("da"), col("db")) },
+
+    "lp04_simhash" -> { (s, dir) =>
+      Dedup.simhash(docs(s, dir)).orderBy(col("doc_id")) },
+
+    "lp05_ann_topk" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("qid"), col("rank")) },
+
+    "lp06_ann_lsh" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("qid"), col("rank")) },
+
+    "lp07_lang_id" -> { (s, dir) =>
+      TextAnalysis.langId(docs(s, dir)).orderBy(col("doc_id")) },
+
+    "lp08_quality" -> { (s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir)).orderBy(col("doc_id")) },
+
+    "lp09_token_counts" -> { (s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir)).orderBy(col("doc_id")) },
+
+    "lp10_fingerprints" -> { (s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir)).orderBy(col("doc_id")) },
+
+    "lp11_multimodal_meta" -> { (s, dir) =>
+      Multimodal.extractFeatures(s, Multimodal.asMedia(docs(s, dir)))
+        .select(col("doc_id"), col("byte_len")).orderBy(col("doc_id")) },
+
+    "lp12_cos_dup_pairs" -> { (s, dir) =>
+      Similarity.cosineDupPairs(embs(s, dir), tau = 0.4)
+        .orderBy(col("da"), col("db")) },
+  )
+
+  val oracle: Map[String, String] = Map(
+    "lp01_exact_dedup" ->
+      """SELECT min(doc_id) AS kept_doc_id, count(*) AS n_members
+         FROM documents
+         GROUP BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+         ORDER BY 1""",
+
+    // same shingling, same DF cap, same Jaccard formula
+    "lp03_jaccard_pairs" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) < 3 THEN []
+             ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)] END)) sg
+           FROM d),
+         rare AS (
+           SELECT doc_id, sg FROM (
+             SELECT doc_id, sg, count(*) OVER (PARTITION BY sg) df FROM sh)
+           WHERE df <= 100),
+         sizes AS (SELECT doc_id, count(*) n_sg FROM rare GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id da, b.doc_id db, count(*) shared
+           FROM rare a JOIN rare b ON a.sg = b.sg AND a.doc_id < b.doc_id
+           GROUP BY 1,2)
+         SELECT da, db, shared,
+                CAST(shared AS DOUBLE)/CAST(sa.n_sg + sb.n_sg - shared AS DOUBLE) AS jaccard
+         FROM shared JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         WHERE CAST(shared AS DOUBLE)/CAST(sa.n_sg + sb.n_sg - shared AS DOUBLE) >= 0.1
+         ORDER BY 1,2""",
+
+    // sequential dot product on DOUBLE-cast lists == the Spark fold
+    "lp05_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 10),
+         scored AS (
+           SELECT q.qid, c.vec_id nid,
+             list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM q JOIN e c ON q.qid <> c.vec_id),
+         rk AS (
+           SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+           FROM scored)
+         SELECT qid, rank, nid, round(cos, 6) AS cos FROM rk WHERE rank <= 5
+         ORDER BY qid, rank""",
+
+    "lp07_lang_id" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein'))) score_de,
+             len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in'))) score_en,
+             len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un'))) score_es,
+             len(list_filter(w, x -> x IN ('le','la','de','et','est','un','une'))) score_fr,
+             len(list_filter(w, x -> x IN ('的','是','了','在','我'))) score_zh
+           FROM d)
+         SELECT doc_id,
+           CASE greatest(score_de, score_en, score_es, score_fr, score_zh)
+             WHEN score_de THEN 'de' WHEN score_en THEN 'en' WHEN score_es THEN 'es'
+             WHEN score_fr THEN 'fr' ELSE 'zh' END AS pred_lang,
+           score_de, score_en, score_es, score_fr, score_zh
+         FROM s ORDER BY doc_id""",
+
+    "lp08_quality" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') norm,
+                  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             CAST(len(w) AS BIGINT) n_tokens,
+             CAST(length(replace(norm, ' ', '')) AS DOUBLE)/CAST(len(w) AS DOUBLE) mean_wlen,
+             CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein',
+               'the','a','of','and','is','to','in','el','la','de','que','y','en','un',
+               'le','et','est','une','的','是','了','在','我'))) AS DOUBLE)
+               /CAST(len(w) AS DOUBLE) stop_ratio,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               /CAST(length(text) AS DOUBLE) alpha_ratio
+           FROM d)
+         SELECT doc_id, n_tokens, mean_wlen, stop_ratio, alpha_ratio,
+           stop_ratio * 0.4 + alpha_ratio * 0.4
+             + CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 0.2 ELSE 0.0 END AS quality
+         FROM s ORDER BY doc_id""",
+
+    "lp09_token_counts" ->
+      """SELECT doc_id,
+           CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) re_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "lp11_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+         FROM documents ORDER BY doc_id""",
+  )
+}
