@@ -1,0 +1,154 @@
+package graft.promql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-function unit specs (no SparkSession). */
+class QuantileSpec extends AnyFunSuite {
+  import RangeUdfs._
+
+  test("quantile interpolates linearly") {
+    assert(quantile(0.5, Seq(1.0, 2.0, 3.0)) == 2.0)
+    assert(quantile(0.25, Seq(1.0, 2.0, 3.0, 4.0)) == 1.75)
+    assert(quantile(0.0, Seq(5.0, 1.0)) == 1.0)
+    assert(quantile(1.0, Seq(5.0, 1.0)) == 5.0)
+  }
+
+  test("quantile bounds and NaN φ (ref promql/quantile.go:717)") {
+    assert(quantile(-0.1, Seq(1.0)).isNegInfinity)
+    assert(quantile(1.1, Seq(1.0)).isPosInfinity)
+    assert(quantile(Double.NaN, Seq(1.0)).isNaN)
+    assert(quantile(0.5, Nil).isNaN)
+  }
+
+  test("NaN observations sort smallest (ref vectorByValueHeap)") {
+    // NaN at the low end: high quantiles untouched by NaN
+    assert(quantile(1.0, Seq(Double.NaN, 1.0, 2.0)) == 2.0)
+    assert(quantile(0.0, Seq(Double.NaN, 1.0, 2.0)).isNaN)
+  }
+
+  test("Kahan sum survives catastrophic cancellation") {
+    assert(kahanSumSeq(Seq(1e100, 1.0, -1e100)) == 1.0)
+    assert(kahanSumSeq(Seq(1.0, 1e100, 1.0, -1e100)) == 2.0)
+  }
+
+  test("avgSeq switches to incremental mean on overflow") {
+    val big = Double.MaxValue
+    assert(avgSeq(Seq(big, big)) == big)
+    assert(avgSeq(Seq(1.0, 2.0, 3.0)) == 2.0)
+  }
+
+  test("goFormat renders like Go strconv") {
+    assert(goFormat(1.0) == "1")
+    assert(goFormat(0.5) == "0.5")
+    assert(goFormat(Double.PositiveInfinity) == "+Inf")
+    assert(goFormat(Double.NaN) == "NaN")
+  }
+
+  test("bucketQuantile classic histogram") {
+    // buckets le=[1, 2, +Inf], cumulative counts [1, 3, 4]
+    val les = Seq(1.0, 2.0, Double.PositiveInfinity)
+    val ccs = Seq(1.0, 3.0, 4.0)
+    assert(bucketQuantileImpl(0.5, les, ccs) == 1.5)
+    assert(bucketQuantileImpl(1.0, les, ccs) == 2.0) // top bucket clamps to highest finite le
+  }
+}
+
+class ParserSpec extends AnyFunSuite {
+
+  private def p(s: String, stepMs: Long = 0L): Expr = Parser.parse(s, stepMs)
+
+  test("unary minus binds at MUL precedence: -2^2 = -(2^2)") {
+    val e = p("-2^2")
+    assert(e == UnaryExpr("-", BinaryExpr("^", NumberLiteral(2), NumberLiteral(2))))
+  }
+
+  test("^ is right-associative") {
+    p("2^3^2") match {
+      case BinaryExpr("^", NumberLiteral(2), BinaryExpr("^", NumberLiteral(3), NumberLiteral(2), _, _), _, _) => ()
+      case other => fail(other.toString)
+    }
+  }
+
+  test("offset binds a signed duration primary only") {
+    // metric offset 100 + 2  ==  (metric offset 100s) + 2
+    p("m offset 100 + 2") match {
+      case BinaryExpr("+", VectorSelector(Some("m"), _, off, _), NumberLiteral(2), _, _) =>
+        assert(off == 100000L)
+      case other => fail(other.toString)
+    }
+    // parenthesized: arithmetic inside the offset
+    p("m offset (100 + 2)") match {
+      case VectorSelector(Some("m"), _, off, _) => assert(off == 102000L)
+      case other => fail(other.toString)
+    }
+  }
+
+  test("duration expressions: step() and compound arithmetic") {
+    p("m[1+(step()-5)*2]", stepMs = 10000L) match {
+      case MatrixSelector(_, r) => assert(r == 11000L)
+      case other => fail(other.toString)
+    }
+  }
+
+  test("matchers parse with all four ops") {
+    p("""m{a="x", b!="y", c=~"z.*", d!~"w"}""") match {
+      case VectorSelector(Some("m"), ms, _, _) =>
+        assert(ms.map(_.op) == List(MatchOp.Eq, MatchOp.Neq, MatchOp.Re, MatchOp.NotRe))
+      case other => fail(other.toString)
+    }
+  }
+
+  test("aggregation modifiers before and after") {
+    val a = p("sum by (job) (m)")
+    val b = p("sum(m) by (job)")
+    assert(a == b)
+    assert(a.asInstanceOf[AggregateExpr].grouping == List("job"))
+  }
+
+  test("vector matching modifiers") {
+    p("a / on(job) group_left(extra) b") match {
+      case BinaryExpr("/", _, _, m, false) =>
+        assert(m.on && m.matchingLabels == List("job"))
+        assert(m.card == MatchCard.ManyToOne && m.include == List("extra"))
+      case other => fail(other.toString)
+    }
+  }
+
+  test("@ modifier forms") {
+    p("m @ 123") match {
+      case VectorSelector(_, _, _, Some(AtModifier.AtTimestamp(ms))) => assert(ms == 123000L)
+      case other => fail(other.toString)
+    }
+    assert(p("m @ start()").asInstanceOf[VectorSelector].at.contains(AtModifier.AtStart))
+    assert(p("m @ end()").asInstanceOf[VectorSelector].at.contains(AtModifier.AtEnd))
+  }
+
+  test("subquery with default step") {
+    p("rate(m[5m])[30m:]") match {
+      case SubqueryExpr(Call("rate", _), r, s, _, _) =>
+        assert(r == 1800000L && s == 0L)
+      case other => fail(other.toString)
+    }
+  }
+}
+
+class GoMathSpec extends AnyFunSuite {
+  test("div/mod follow IEEE not SQL") {
+    assert(GoMath.div(1.0, 0.0).isPosInfinity)
+    assert(GoMath.div(0.0, 0.0).isNaN)
+    assert(GoMath.mod(5.0, 3.0) == 2.0)
+    assert(GoMath.mod(-5.0, 3.0) == -2.0) // sign of dividend (Go math.Mod)
+    assert(GoMath.mod(5.0, 0.0).isNaN)
+  }
+
+  test("UTC date parts ignore local zone") {
+    // 2024-01-01T00:00:00Z is a Monday
+    val t = 1704067200.0
+    assert(GoMath.dateYear(t) == 2024.0)
+    assert(GoMath.dateMonth(t) == 1.0)
+    assert(GoMath.dateDayOfMonth(t) == 1.0)
+    assert(GoMath.dateDayOfWeek(t) == 1.0) // Go Weekday: Sunday=0, Monday=1
+    assert(GoMath.dateHour(t) == 0.0)
+    assert(GoMath.dateDaysInMonth(t) == 31.0)
+  }
+}

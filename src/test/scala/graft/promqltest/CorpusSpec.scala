@@ -1,0 +1,55 @@
+package graft.promqltest
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Runs the reference's declarative .test corpus (read from /root/reference
+  * at runtime, never copied) against the engine with per-file minimum-pass
+  * floors. Floors are set at the current pass level so regressions fail the
+  * build while future improvements only raise them.
+  *
+  * The fast file set keeps `sbt test` within a few minutes; the complete
+  * corpus (incl. the heavy histogram files) runs via
+  * `runMain graft.promqltest.CorpusMain all`.
+  */
+class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** file → (minPassed, maxFailed) floors */
+  private val floors: Seq[(String, Int, Int)] = Seq(
+    ("selectors.test", 31, 0),
+    ("literals.test", 25, 0),
+    ("staleness.test", 17, 0),
+    ("duration_expression.test", 59, 0),
+    ("trig_functions.test", 19, 0),
+    ("range_queries.test", 13, 0),
+    ("subquery.test", 30, 1),
+    ("at_modifier.test", 78, 0),
+    ("operators.test", 142, 0),
+    ("aggregators.test", 137, 0),
+    ("collision.test", 1, 0))
+
+  for ((file, minPass, maxFail) <- floors) {
+    test(s"corpus $file: ≥$minPass pass, ≤$maxFail fail") {
+      val r = Runner.runFile(spark, s"${CorpusMain.corpusDir}/$file")
+      val fails = r.results.filter(x => !x.ok && !x.skipped).take(5)
+        .map(x => s"L${x.line} ${x.expr.take(60)}: ${x.detail.take(120)}")
+      assert(r.passed >= minPass && r.failed <= maxFail,
+        s"\n${r.summary}\n${fails.mkString("\n")}")
+    }
+  }
+}
