@@ -45,33 +45,60 @@ object Aggregations {
     // deterministic series order (by full-label signature) for the Kahan paths;
     // struct field 1 is the value, matching the (wt, v) shape the UDFs expect
     def sortedVals = sort_array(collect_list(struct(pl.sigCol(col("labels")).as("s"), col("v").as("v"))))
+    // float-only view: most aggregators skip histogram samples with a warning
+    // (ref: engine.go:3680 min/max, :3654 stddev, aggregationK)
+    lazy val preF = pre.filter(col("h").isNull)
+    def groupedF(v: Column): DataFrame =
+      preF.groupBy(col("gsig"), col("t"))
+        .agg(first(col("glabels")).as("labels"), v.as("v"))
+        .select(col("labels"), col("t"), col("v"), col("t").as("st"))
+
+    /** sum/avg: float groups via ordered Kahan, histogram groups via
+      * histogram addition; MIXED groups are dropped (ref: engine.go:3619). */
+    def sumAvg(isAvg: Boolean): DataFrame = {
+      val hin = pre.filter(col("h").isNotNull)
+      val fAgg = preF.groupBy(col("gsig"), col("t"))
+        .agg(first(col("glabels")).as("labels"),
+          (if (isAvg) RangeUdfs.avgOT(sortedVals) else RangeUdfs.kahanSumOT(sortedVals)).as("v"))
+      val hAgg = hin.groupBy(col("gsig"), col("t"))
+        .agg(first(col("glabels")).as("labels"),
+          (if (isAvg) HistUdfs.avgHists(collect_list(col("h")))
+           else HistUdfs.sumHists(collect_list(col("h")))).as("hv"))
+      val fClean = fAgg.join(hAgg.select(col("gsig"), col("t")), Seq("gsig", "t"), "left_anti")
+        .select(col("labels"), col("t"), col("v"), col("t").as("st"))
+      val hClean = hAgg.join(fAgg.select(col("gsig"), col("t")), Seq("gsig", "t"), "left_anti")
+        .filter(col("hv").isNotNull) // incompatible-layout groups are dropped
+        .select(col("labels"), col("t"), lit(Double.NaN).as("v"), col("t").as("st"),
+          col("hv").as("h"))
+      fClean.withColumn("h", lit(null).cast(FHist.schemaType)).unionByName(hClean)
+    }
 
     ae.op match {
       // Kahan-compensated sum/avg in canonical series order — plain distributed
       // sum() reorders additions and fails catastrophic-cancellation corpus
       // inputs (ref: promql/engine.go:3642 group accumulation uses Kahan)
-      case "sum" => grouped(RangeUdfs.kahanSumOT(sortedVals))
-      case "avg" => grouped(RangeUdfs.avgOT(sortedVals))
+      case "sum" => sumAvg(isAvg = false)
+      case "avg" => sumAvg(isAvg = true)
       case "count" => grouped(count(lit(1)).cast("double"))
       case "group" => grouped(first(lit(1.0)))
       // min/max skip NaN unless the group is all-NaN (ref: engine.go:3680)
-      case "min" => grouped(coalesce(min(when(!isnan(col("v")), col("v"))), lit(Double.NaN)))
-      case "max" => grouped(coalesce(max(when(!isnan(col("v")), col("v"))), lit(Double.NaN)))
-      case "stddev" => grouped(stddev_pop(col("v")))
-      case "stdvar" => grouped(var_pop(col("v")))
+      case "min" => groupedF(coalesce(min(when(!isnan(col("v")), col("v"))), lit(Double.NaN)))
+      case "max" => groupedF(coalesce(max(when(!isnan(col("v")), col("v"))), lit(Double.NaN)))
+      case "stddev" => groupedF(stddev_pop(col("v")))
+      case "stdvar" => groupedF(var_pop(col("v")))
 
       case "quantile" =>
         // UDF path unconditionally: reference sorts NaN smallest
         // (quantile.go:717) where Spark percentile sorts NaN largest; φ may be
         // a per-step scalar expression (engine.go:2095 fParams)
-        val (qdf, phi) = paramCol(pre)
+        val (qdf, phi) = paramCol(preF)
         qdf.groupBy(col("gsig"), col("t"))
           .agg(first(col("glabels")).as("labels"), first(phi).as("__phi"), sortedVals.as("__pts"))
           .select(col("labels"), col("t"),
             RangeUdfs.quantileUdf(col("__phi"), col("__pts")).as("v"), col("t").as("st"))
 
       case "topk" | "bottomk" =>
-        val (df, k) = paramCol(pre)
+        val (df, k) = paramCol(preF)
         val ord: Seq[Column] =
           if (ae.op == "topk") Seq(isnan(col("v")).asc, col("v").desc, pl.sigCol(col("labels")).asc)
           else Seq(isnan(col("v")).asc, col("v").asc, pl.sigCol(col("labels")).asc)
@@ -86,7 +113,7 @@ object Aggregations {
           .orderBy(pl.sigCol(col("labels")).asc)
         df.withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= k.cast("long"))
-          .select(col("labels"), col("t"), col("v"), col("st"))
+          .select(col("labels"), col("t"), col("v"), col("st"), col("h"))
 
       case "limit_ratio" =>
         // deterministic pseudo-random subset by series-hash ratio
@@ -97,20 +124,28 @@ object Aggregations {
         // order-dependent and was not a stable series identity
         val frac = (xxhash64(pl.sigCol(col("labels"))).cast("double") / lit(Long.MaxValue.toDouble) + 1.0) / 2.0
         df.filter(when(r >= 0, frac < r).otherwise(frac >= (lit(1.0) + r)))
-          .select(col("labels"), col("t"), col("v"), col("st"))
+          .select(col("labels"), col("t"), col("v"), col("st"), col("h"))
 
       case "count_values" =>
-        val lbl = ae.param match {
-          case Some(StringLiteral(s)) => s
+        def unwrapStr(e: Expr): String = e match {
+          case StringLiteral(s) => s
+          case ParenExpr(i) => unwrapStr(i)
           case _ => throw PromQLError("count_values: label name must be a string literal")
         }
-        pre.withColumn("__fv", RangeUdfs.goFormatUdf(col("v")))
-          .groupBy(col("gsig"), col("t"), col("__fv"))
-          .agg(first(col("glabels")).as("glabels"), count(lit(1)).cast("double").as("v"))
-          .select(
+        val lbl = unwrapStr(ae.param.get)
+        // histogram samples group by their Go String() rendering
+        // (ref: engine.go:4208 count_values)
+        // group on the FINAL label set — the value label may overwrite a
+        // grouping label, merging groups (engine.go:4208)
+        pre.withColumn("__fv",
+            coalesce(HistUdfs.guarded(col("h"))(HistUdfs.histStringH(col("h"))),
+                     RangeUdfs.goFormatUdf(col("v"))))
+          .withColumn("__flabels",
             map_concat(map_filter(col("glabels"), (k, _) => k =!= lbl),
-                       map(lit(lbl), col("__fv"))).as("labels"),
-            col("t"), col("v"), col("t").as("st"))
+                       map(lit(lbl), col("__fv"))))
+          .groupBy(pl.sigCol(col("__flabels")).as("__fsig"), col("t"))
+          .agg(first(col("__flabels")).as("labels"), count(lit(1)).cast("double").as("v"))
+          .select(col("labels"), col("t"), col("v"), col("t").as("st"))
 
       case other => throw PromQLError(s"unknown aggregator: $other")
     }

@@ -195,7 +195,7 @@ object Functions {
     f("step", Nil, Scalar),
     f("range", Nil, Scalar),
     f("start_timestamp", List(InstantVector), InstantVector, 1),
-    f("histogram_quantiles", List(StringV, InstantVector, Scalar), InstantVector, -1),
+    f("histogram_quantiles", List(InstantVector, StringV, Scalar, Scalar), InstantVector, 9),
     f("sort_desc", List(InstantVector), InstantVector),
     f("sort_by_label", List(InstantVector, StringV), InstantVector, -1),
     f("sort_by_label_desc", List(InstantVector, StringV), InstantVector, -1),

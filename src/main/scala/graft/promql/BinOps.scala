@@ -83,9 +83,14 @@ object BinOps {
     val op = be.op
     if (setOps.contains(op))
       throw PromQLError(s"set operator $op requires vector operands")
+    // histogram × scalar is defined only for * (both sides) and / (hist on
+    // the left); all other hist/scalar combinations drop the sample
+    // (ref: promql/engine.go:3484 vectorElemBinop histogram branches)
+    val histOk = !cmpOps.contains(op) && (op == "*" || (op == "/" && !scalarOnLeft))
+    val vdf2 = if (histOk) vdf else vdf.filter(col("h").isNull)
     val (df, sv) = sconst match {
-      case Some(c) => (vdf, lit(c))
-      case None => (vdf.join(broadcast(sdf.withColumnRenamed("v", "__s")), Seq("t")), col("__s"))
+      case Some(c) => (vdf2, lit(c))
+      case None => (vdf2.join(broadcast(sdf.withColumnRenamed("v", "__s")), Seq("t")), col("__s"))
     }
     val (lv, rv) = if (scalarOnLeft) (sv, col("v")) else (col("v"), sv)
     val out =
@@ -95,10 +100,14 @@ object BinOps {
             when(ieeeCmp(op, lv, rv), 1.0).otherwise(0.0).as("v"), col("t").as("st"))
         else
           df.filter(ieeeCmp(op, lv, rv))
-            .select(col("labels"), col("t"), col("v"), col("st"))
+            .select(col("labels"), col("t"), col("v"), col("st"), col("h"))
       } else {
+        val hOut =
+          if (!histOk) lit(null).cast(FHist.schemaType)
+          else if (op == "*") HistUdfs.guarded(col("h"))(HistUdfs.scaleH(col("h"), sv))
+          else HistUdfs.guarded(col("h"))(HistUdfs.divH(col("h"), sv)) // ÷0 removes buckets
         df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          arith(op, lv, rv).as("v"), col("t").as("st"))
+          arith(op, lv, rv).as("v"), col("t").as("st"), hOut.as("h"))
       }
     VectorVal(out)
   }
@@ -107,25 +116,38 @@ object BinOps {
     if (m.on) pl.sigCol(pl.keepLabelsCol(labels, m.matchingLabels))
     else pl.sigCol(pl.withoutLabelsCol(labels, m.matchingLabels))
 
-  private def vecVec(pl: Planner, be: BinaryExpr, l: DataFrame, r: DataFrame): DataFrame = {
+  private def vecVec(pl: Planner, be: BinaryExpr, l0: DataFrame, r0: DataFrame): DataFrame = {
     val op = be.op
     val m = be.matching
+    // ordering comparisons are float-only; == and != also compare histograms
+    // (ref engine.go:3484 vectorElemBinop histogram equality)
+    val eqOps = op == "==" || op == "!="
+    val (l, r) =
+      if (cmpOps.contains(op) && !eqOps)
+        (l0.filter(col("h").isNull), r0.filter(col("h").isNull))
+      else (l0, r0)
     val lp = l.select(matchSig(pl, col("labels"), m).as("msig"),
-      col("labels").as("l_labels"), col("t"), col("v").as("l_v"), col("st").as("l_st"))
+      col("labels").as("l_labels"), col("t"), col("v").as("l_v"), col("st").as("l_st"),
+      col("h").as("l_h"))
     val rp = r.select(matchSig(pl, col("labels"), m).as("msig"),
-      col("labels").as("r_labels"), col("t"), col("v").as("r_v"), col("st").as("r_st"))
+      col("labels").as("r_labels"), col("t"), col("v").as("r_v"), col("st").as("r_st"),
+      col("h").as("r_h"))
 
     op match {
       case "and" =>
         lp.join(rp.select(col("msig"), col("t")).distinct(), Seq("msig", "t"), "left_semi")
-          .select(col("l_labels").as("labels"), col("t"), col("l_v").as("v"), col("l_st").as("st"))
+          .select(col("l_labels").as("labels"), col("t"), col("l_v").as("v"), col("l_st").as("st"),
+            col("l_h").as("h"))
       case "unless" =>
         lp.join(rp.select(col("msig"), col("t")).distinct(), Seq("msig", "t"), "left_anti")
-          .select(col("l_labels").as("labels"), col("t"), col("l_v").as("v"), col("l_st").as("st"))
+          .select(col("l_labels").as("labels"), col("t"), col("l_v").as("v"), col("l_st").as("st"),
+            col("l_h").as("h"))
       case "or" =>
-        val lOut = lp.select(col("l_labels").as("labels"), col("t"), col("l_v").as("v"), col("l_st").as("st"))
+        val lOut = lp.select(col("l_labels").as("labels"), col("t"), col("l_v").as("v"),
+          col("l_st").as("st"), col("l_h").as("h"))
         val rOnly = rp.join(lp.select(col("msig"), col("t")).distinct(), Seq("msig", "t"), "left_anti")
-          .select(col("r_labels").as("labels"), col("t"), col("r_v").as("v"), col("r_st").as("st"))
+          .select(col("r_labels").as("labels"), col("t"), col("r_v").as("v"), col("r_st").as("st"),
+            col("r_h").as("h"))
         lOut.unionByName(rOnly)
 
       case _ =>
@@ -173,10 +195,22 @@ object BinOps {
             map_filter(baseLabels, (k, _) => !k.isInCollection(m.include)),
             pl.keepLabelsCol(oneLabels, m.include))
         if (cmpOps.contains(op)) {
+          val manyH = if (manyIsLeft) col("l_h") else col("r_h")
+          val bothF = col("l_h").isNull && col("r_h").isNull
+          val bothH = col("l_h").isNotNull && col("r_h").isNotNull
+          val pred: Column =
+            if (!eqOps) ieeeCmp(op, col("l_v"), col("r_v"))
+            else {
+              val hEq = HistUdfs.eqH(col("l_h"), col("r_h"))
+              when(bothF, ieeeCmp(op, col("l_v"), col("r_v")))
+                .when(bothH, if (op == "==") hEq else !hEq)
+                .otherwise(lit(false)) // mixed float/histogram: drop
+            }
           if (be.returnBool)
-            joined.select(includeLabels.as("labels"), col("t"),
-              guardD(when(ieeeCmp(op, col("l_v"), col("r_v")), 1.0).otherwise(0.0)).as("v"),
-              col("t").as("st"))
+            joined.filter(if (eqOps) bothF || bothH else lit(true))
+              .select(includeLabels.as("labels"), col("t"),
+                guardD(when(pred, 1.0).otherwise(0.0)).as("v"),
+                col("t").as("st"))
           else {
             // filter comparison: keep the many side's full labels (metric name
             // included), but still merge group_x(include) labels from the one side
@@ -185,12 +219,31 @@ object BinOps {
               else map_concat(
                 map_filter(manyLabels, (k, _) => !k.isInCollection(m.include)),
                 pl.keepLabelsCol(oneLabels, m.include))
-            joined.filter(guardB(ieeeCmp(op, col("l_v"), col("r_v"))))
-              .select(filterLabels.as("labels"), col("t"), manyV.as("v"), col("t").as("st"))
+            joined.filter(guardB(pred))
+              .select(filterLabels.as("labels"), col("t"), manyV.as("v"), col("t").as("st"),
+                manyH.as("h"))
           }
         } else {
-          joined.select(includeLabels.as("labels"), col("t"),
-            guardD(arith(op, col("l_v"), col("r_v"))).as("v"), col("t").as("st"))
+          // histogram arithmetic: h±h, h×scalar-sample, h÷scalar-sample
+          // (ref: engine.go:3484 vectorElemBinop histogram branches); float-
+          // with-histogram combinations for other ops drop the sample
+          val lh = col("l_h"); val rh = col("r_h")
+          val bothFloat = lh.isNull && rh.isNull
+          val hOut = op match {
+            case "+" => when(lh.isNotNull && rh.isNotNull, HistUdfs.addH(lh, rh))
+            case "-" => when(lh.isNotNull && rh.isNotNull, HistUdfs.subH(lh, rh))
+            case "*" => when(lh.isNotNull && rh.isNull, HistUdfs.scaleH(lh, col("r_v")))
+              .when(lh.isNull && rh.isNotNull, HistUdfs.scaleH(rh, col("l_v")))
+            case "/" => when(lh.isNotNull && rh.isNull, HistUdfs.divH(lh, col("r_v")))
+            case _ => lit(null).cast(FHist.schemaType)
+          }
+          joined
+            .withColumn("__hout", hOut)
+            .filter(bothFloat || col("__hout").isNotNull)
+            .select(includeLabels.as("labels"), col("t"),
+              guardD(when(bothFloat, arith(op, col("l_v"), col("r_v")))
+                .otherwise(lit(Double.NaN))).as("v"),
+              col("t").as("st"), col("__hout").as("h"))
         }
     }
   }

@@ -62,9 +62,12 @@ object CallEval {
       case StringVal(s) => s
       case other => throw PromQLError(s"$name expects string literal, got $other")
     }
+    /** float samples only — scalar-math functions skip histogram samples
+      * (ref: promql/functions.go simpleFloatFunc + info annotations) */
+    def floats(df: DataFrame): DataFrame = df.filter(col("h").isNull)
     /** apply elementwise transform dropping __name__ */
     def mapV(df: DataFrame, f: Column => Column): PValue =
-      VectorVal(df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
+      VectorVal(floats(df).select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
         f(col("v")).as("v"), col("t").as("st")))
     /** bind a scalar argument as a Column usable inside a vector projection */
     def bindScalar(df: DataFrame, e: Expr): (DataFrame, Column) = {
@@ -89,21 +92,21 @@ object CallEval {
       case n if simple.contains(n) => mapV(vecArg(args.head), simple(n))
 
       case "clamp" =>
-        val in = vecArg(args.head)
+        val in = floats(vecArg(args.head))
         val (df1, lo) = bindScalar(in, args(1))
         val (df2, hi) = bindScalar(df1, args(2))
         VectorVal(df2.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
           clampD(col("v"), lo, hi).as("v"), col("t").as("st")))
       case "clamp_max" =>
-        val (df, hi) = bindScalar(vecArg(args.head), args(1))
+        val (df, hi) = bindScalar(floats(vecArg(args.head)), args(1))
         VectorVal(df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
           minD(col("v"), hi).as("v"), col("t").as("st")))
       case "clamp_min" =>
-        val (df, lo) = bindScalar(vecArg(args.head), args(1))
+        val (df, lo) = bindScalar(floats(vecArg(args.head)), args(1))
         VectorVal(df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
           maxD(col("v"), lo).as("v"), col("t").as("st")))
       case "round" =>
-        val in = vecArg(args.head)
+        val in = floats(vecArg(args.head))
         val (df, to) =
           if (args.length > 1) bindScalar(in, args(1)) else (in, lit(1.0))
         VectorVal(df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
@@ -146,7 +149,7 @@ object CallEval {
           (col("st").cast("double") / 1000.0).as("v"), col("t").as("st")))
 
       case "scalar" =>
-        val in = vecArg(args.head)
+        val in = floats(vecArg(args.head))
         val agg = in.groupBy(col("t")).agg(count(lit(1)).as("n"), first(col("v")).as("fv"))
         val out = pl.gridDF.join(agg, Seq("t"), "left")
           .select(col("t"), when(col("n") === 1, col("fv")).otherwise(lit(Double.NaN)).as("v"))
@@ -168,7 +171,7 @@ object CallEval {
           if (args.isEmpty)
             pl.gridDF.select(pl.emptyLabelsCol.as("labels"), col("t"),
               (col("t").cast("double") / 1000.0).as("v"), col("t").as("st"))
-          else vecArg(args.head)
+          else floats(vecArg(args.head))
         VectorVal(in.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
           dateFns(n)(col("v")).as("v"), col("t").as("st")))
 
@@ -203,15 +206,66 @@ object CallEval {
         // ref: promql/engine.go:907); pass through
         VectorVal(vecArg(args.head))
 
+      // native-histogram accessors (ref: promql/functions.go:2044
+      // simpleHistogramFunc) — struct-field projections, codegen'd
+      case "histogram_count" | "histogram_sum" | "histogram_avg"
+         | "histogram_stddev" | "histogram_stdvar" =>
+        val in = vecArg(args.head).filter(col("h").isNotNull)
+        val v = name match {
+          case "histogram_count" => col("h.cnt")
+          case "histogram_sum" => col("h.sum")
+          case "histogram_avg" => divD(col("h.sum"), col("h.cnt"))
+          case "histogram_stddev" => HistUdfs.guarded(col("h"))(HistUdfs.stddevH(col("h")))
+          case _ => HistUdfs.guarded(col("h"))(HistUdfs.stdvarH(col("h")))
+        }
+        VectorVal(in.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
+          v.as("v"), col("t").as("st")))
+
       case "histogram_quantile" =>
         val phi = pl.constValue(args.head).getOrElse(
           throw PromQLError("histogram_quantile: φ must be constant"))
-        VectorVal(classicHistogramQuantile(pl, vecArg(args(1)), phi))
+        val in = vecArg(args(1))
+        // native path (ref: quantile.go:172) ∪ classic le-bucket path
+        val native = in.filter(col("h").isNotNull)
+          .select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
+            HistUdfs.guarded(col("h"))(HistUdfs.quantileH(lit(phi), col("h"))).as("v"), col("t").as("st"))
+          .filter(!isnull(col("v")))
+        VectorVal(native.unionByName(
+          classicHistogramQuantile(pl, in.filter(col("h").isNull), phi)))
+
+      case "histogram_quantiles" =>
+        // (ref: promql/functions.go:2243 funcHistogramQuantiles — one output
+        // series per quantile with label `lbl`=OpenMetrics-formatted φ)
+        val in = vecArg(args.head)
+        val lbl = strArg(args(1))
+        val qs = args.drop(2).map(a => pl.constValue(a).getOrElse(
+          throw PromQLError("histogram_quantiles: quantiles must be constant")))
+        def fmtQ(q: Double): String =
+          if (q == math.rint(q) && math.abs(q) < 1e15) s"${q.toLong}.0"
+          else RangeUdfs.goFormat(q)
+        def addQ(labels: Column, q: Double): Column =
+          map_concat(map_filter(labels, (k, _) => k =!= lbl), map(lit(lbl), lit(fmtQ(q))))
+        val parts = qs.map { q =>
+          val native = in.filter(col("h").isNotNull)
+            .select(addQ(pl.dropNameCol(col("labels")), q).as("labels"), col("t"),
+              HistUdfs.guarded(col("h"))(HistUdfs.quantileH(lit(q), col("h"))).as("v"), col("t").as("st"))
+            .filter(!isnull(col("v")))
+          val classic = classicHistogramQuantile(pl, in.filter(col("h").isNull), q)
+            .select(addQ(col("labels"), q).as("labels"), col("t"), col("v"), col("st"))
+          native.unionByName(classic)
+        }
+        VectorVal(parts.reduce(_.unionByName(_)))
 
       case "histogram_fraction" =>
         val lo = pl.constValue(args.head).getOrElse(throw PromQLError("histogram_fraction: lo must be constant"))
         val hi = pl.constValue(args(1)).getOrElse(throw PromQLError("histogram_fraction: hi must be constant"))
-        VectorVal(classicHistogramFraction(pl, vecArg(args(2)), lo, hi))
+        val in = vecArg(args(2))
+        val native = in.filter(col("h").isNotNull)
+          .select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
+            HistUdfs.guarded(col("h"))(HistUdfs.fractionH(lit(lo), lit(hi), col("h"))).as("v"), col("t").as("st"))
+          .filter(!isnull(col("v")))
+        VectorVal(native.unionByName(
+          classicHistogramFraction(pl, in.filter(col("h").isNull), lo, hi)))
 
       case other => throw PromQLError(s"unsupported function: $other")
     }

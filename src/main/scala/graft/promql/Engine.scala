@@ -24,14 +24,26 @@ object Engine {
     StructField("labels", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
     StructField("t", LongType, nullable = false),
     StructField("v", DoubleType, nullable = false),
-    StructField("stale", BooleanType, nullable = false)))
+    StructField("stale", BooleanType, nullable = false),
+    // nullable native-histogram sample (null ⇒ float sample); see FHist
+    StructField("h", FHist.schemaType, nullable = true)))
+
+  /** accept samples tables without the optional columns */
+  private def normalize(samples: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    var df = samples
+    if (!df.columns.contains("stale")) df = df.withColumn("stale", lit(false))
+    if (!df.columns.contains("h"))
+      df = df.withColumn("h", lit(null).cast(FHist.schemaType))
+    df
+  }
 
   def parse(q: String, stepMs: Long = 0L, rangeMs: Long = 0L): Expr =
     Parser.parse(q, stepMs, rangeMs)
 
   def instantQuery(spark: SparkSession, samples: DataFrame, q: String, tsMs: Long,
       lookbackMs: Long = 300000L): PValue =
-    new Planner(spark, samples,
+    new Planner(spark, normalize(samples),
       EvalParams(tsMs, tsMs, 1000L, lookbackMs, isInstant = true)).eval(parse(q))
 
   def rangeQuery(spark: SparkSession, samples: DataFrame, q: String,
@@ -41,6 +53,6 @@ object Engine {
       case ValueType.InstantVector | ValueType.Scalar => ()
       case t => throw PromQLError(s"range query expression must be scalar or instant vector, got $t")
     }
-    new Planner(spark, samples, EvalParams(startMs, endMs, stepMs, lookbackMs)).eval(e)
+    new Planner(spark, normalize(samples), EvalParams(startMs, endMs, stepMs, lookbackMs)).eval(e)
   }
 }

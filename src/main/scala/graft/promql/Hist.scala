@@ -1,0 +1,413 @@
+package graft.promql
+
+import org.apache.spark.sql.types._
+
+/** Native-histogram sample value.
+  *
+  * Original Scala design: buckets are a SPARSE INDEX representation
+  * (parallel index/count arrays) rather than the reference's span-RLE
+  * (model/histogram/float_histogram.go:34) — simpler to manipulate in
+  * distributed arithmetic and encodes naturally as Spark arrays; the two are
+  * information-equivalent.
+  *
+  * Semantics ported from the reference:
+  *  - standard exponential schemas −4..8: positive bucket i covers
+  *    (2^((i−1)·2^−s), 2^(i·2^−s)]; negative buckets mirror it
+  *    (model/histogram/generic.go getBound)
+  *  - custom-bounds schema −53 (NHCB): bucket i covers
+  *    (cv(i−1), cv(i)], first lower bound −Inf, one overflow bucket to +Inf
+  *  - zero bucket [−zt, zt] with count zc
+  *
+  * crh (counter reset hint): 0=unknown 1=reset 2=not_reset 3=gauge
+  * (model/histogram/histogram.go:26-33).
+  */
+final case class FHist(
+    schema: Int, zt: Double, zc: Double, cnt: Double, sum: Double,
+    pidx: Seq[Int], pcnt: Seq[Double],
+    nidx: Seq[Int], ncnt: Seq[Double],
+    cv: Seq[Double], crh: Int) {
+
+  def isCustom: Boolean = schema == FHist.CustomSchema
+
+  /** all buckets in ascending value order: (lower, upper, count) */
+  def allBuckets: Seq[(Double, Double, Double)] = {
+    if (isCustom) {
+      pidx.zip(pcnt).sortBy(_._1).map { case (i, c) =>
+        val lower = if (i == 0) Double.NegativeInfinity else cv(i - 1)
+        val upper = if (i < cv.length) cv(i) else Double.PositiveInfinity
+        (lower, upper, c)
+      }
+    } else {
+      def bound(i: Int): Double = math.pow(2.0, i * math.pow(2.0, -schema))
+      val neg = nidx.zip(ncnt).sortBy(-_._1).map { case (i, c) =>
+        (-bound(i), -bound(i - 1), c)
+      }
+      val zero = if (zc != 0) Seq((-zt, zt, zc)) else Nil
+      val pos = pidx.zip(pcnt).sortBy(_._1).map { case (i, c) =>
+        (bound(i - 1), bound(i), c)
+      }
+      neg ++ zero ++ pos
+    }
+  }
+
+  /** reduce to a coarser standard schema (ref: float_histogram.go:1912
+    * ReduceResolution — idx mapping ((i−1) >> Δ) + 1) */
+  def reduceTo(target: Int): FHist = {
+    if (isCustom || target >= schema) this
+    else {
+      val d = schema - target
+      def remap(idx: Seq[Int], cnt: Seq[Double]): (Seq[Int], Seq[Double]) = {
+        val m = scala.collection.mutable.TreeMap[Int, Double]()
+        idx.zip(cnt).foreach { case (i, c) =>
+          val ni = ((i - 1) >> d) + 1
+          m(ni) = m.getOrElse(ni, 0.0) + c
+        }
+        (m.keys.toSeq, m.values.toSeq)
+      }
+      val (pi, pc) = remap(pidx, pcnt)
+      val (ni, nc) = remap(nidx, ncnt)
+      copy(schema = target, pidx = pi, pcnt = pc, nidx = ni, ncnt = nc)
+    }
+  }
+
+  /** fold custom-bounds buckets onto a coarser common bounds list (counts
+    * move to the smallest common bound ≥ their upper bound, or overflow) */
+  private def remapCv(common: Seq[Double]): FHist = {
+    val m = scala.collection.mutable.TreeMap[Int, Double]()
+    pidx.zip(pcnt).foreach { case (i, c) =>
+      val upper = if (i < cv.length) cv(i) else Double.PositiveInfinity
+      val ni =
+        if (upper.isPosInfinity) common.length
+        else common.indexWhere(_ >= upper) match {
+          case -1 => common.length
+          case k => k
+        }
+      m(ni) = m.getOrElse(ni, 0.0) + c
+    }
+    copy(cv = common, pidx = m.keys.toSeq, pcnt = m.values.toSeq)
+  }
+
+  private def merge(other: FHist, sign: Double): FHist = {
+    require(isCustom == other.isCustom, "cannot combine custom and exponential histograms")
+    val (self1, other1) =
+      if (isCustom && cv != other.cv) {
+        // mismatched NHCB bounds reconcile to the INTERSECTION of both bounds
+        // lists (ref: float_histogram.go Add doc + reconcile helpers)
+        val common = cv.intersect(other.cv)
+        (remapCv(common), other.remapCv(common))
+      } else (this, other)
+    val t = math.min(self1.schema, other1.schema)
+    val a = self1.reduceTo(t)
+    val b = other1.reduceTo(t)
+    def comb(ai: Seq[Int], ac: Seq[Double], bi: Seq[Int], bc: Seq[Double]): (Seq[Int], Seq[Double]) = {
+      val m = scala.collection.mutable.TreeMap[Int, Double]()
+      ai.zip(ac).foreach { case (i, c) => m(i) = m.getOrElse(i, 0.0) + c }
+      bi.zip(bc).foreach { case (i, c) => m(i) = m.getOrElse(i, 0.0) + sign * c }
+      val kept = m.toSeq
+      (kept.map(_._1), kept.map(_._2))
+    }
+    val (pi, pc) = comb(a.pidx, a.pcnt, b.pidx, b.pcnt)
+    val (ni, nc) = comb(a.nidx, a.ncnt, b.nidx, b.ncnt)
+    FHist(t, math.max(zt, other.zt), zc + sign * other.zc,
+      cnt + sign * other.cnt, sum + sign * other.sum,
+      pi, pc, ni, nc, a.cv,
+      FHist.mergeHint(crh, other.crh))
+  }
+
+  /** histogram + histogram (ref: float_histogram.go:353 Add) */
+  def add(other: FHist): FHist = merge(other, 1.0)
+  /** histogram − histogram (ref: float_histogram.go:538 Sub) */
+  def sub(other: FHist): FHist = merge(other, -1.0)
+
+  /** scale by a factor (ref: float_histogram.go:291 Mul — negative factor
+    * flips the hint to gauge) */
+  def scale(f: Double): FHist =
+    copy(zc = zc * f, cnt = cnt * f, sum = sum * f,
+      pcnt = pcnt.map(_ * f), ncnt = ncnt.map(_ * f),
+      crh = if (f < 0) FHist.HintGauge else crh)
+
+  /** divide by a scalar (ref: float_histogram.go:310 Div — division by zero
+    * REMOVES all regular buckets and sets the scalar fields to ±Inf/NaN) */
+  def divide(s: Double): FHist =
+    if (s == 0)
+      copy(zc = zc / s, cnt = cnt / s, sum = sum / s,
+        pidx = Nil, pcnt = Nil, nidx = Nil, ncnt = Nil)
+    else copy(zc = zc / s, cnt = cnt / s, sum = sum / s,
+      pcnt = pcnt.map(_ / s), ncnt = ncnt.map(_ / s),
+      crh = if (s < 0) FHist.HintGauge else crh)
+
+  /** drop zero-count buckets (presentation compaction) */
+  def compact: FHist = {
+    val p = pidx.zip(pcnt).filter(_._2 != 0.0)
+    val n = nidx.zip(ncnt).filter(_._2 != 0.0)
+    copy(pidx = p.map(_._1), pcnt = p.map(_._2), nidx = n.map(_._1), ncnt = n.map(_._2))
+  }
+
+  /** counter reset detection (ref: float_histogram.go:751 DetectReset —
+    * count/zero-count drop or any aligned-bucket drop) */
+  def detectReset(prev: FHist): Boolean = {
+    if (crh == FHist.HintReset) return true
+    if (crh == FHist.HintNotReset) return false
+    if (cnt < prev.cnt || zc < prev.zc) return true
+    if (isCustom != prev.isCustom) return true
+    // mismatched NHCB bounds: compare on the reconciled intersection
+    // (ref: float_histogram.go:1704 detectResetWithMismatchedCustomBounds)
+    val (self1, prev1) =
+      if (isCustom && cv != prev.cv) {
+        val common = cv.intersect(prev.cv)
+        (remapCv(common), prev.remapCv(common))
+      } else (this, prev)
+    val t = math.min(self1.schema, prev1.schema)
+    val a = self1.reduceTo(t); val b = prev1.reduceTo(t)
+    def anyDrop(ai: Seq[Int], ac: Seq[Double], bi: Seq[Int], bc: Seq[Double]): Boolean = {
+      // cumulative-from-edge comparison like the reference: a bucket-wise
+      // comparison on aligned indices
+      val bm = bi.zip(bc).toMap
+      val am = ai.zip(ac).toMap
+      (am.keySet ++ bm.keySet).exists(i => am.getOrElse(i, 0.0) < bm.getOrElse(i, 0.0))
+    }
+    anyDrop(a.pidx, a.pcnt, b.pidx, b.pcnt) || anyDrop(a.nidx, a.ncnt, b.nidx, b.ncnt)
+  }
+
+  def isGauge: Boolean = crh == FHist.HintGauge
+
+  /** Go FloatHistogram.String() rendering (ref: float_histogram.go:177) —
+    * used by count_values label values. Negative buckets print [lo,hi),
+    * the zero bucket [-zt,zt], positive/custom buckets (lo,hi]. */
+  def goString: String = {
+    def g(d: Double) = RangeUdfs.goFormat(d)
+    val parts = Seq.newBuilder[String]
+    if (isCustom) {
+      pidx.zip(pcnt).sortBy(_._1).filter(_._2 != 0).foreach { case (i, c) =>
+        val lo = if (i == 0) Double.NegativeInfinity else cv(i - 1)
+        val hi = if (i < cv.length) cv(i) else Double.PositiveInfinity
+        parts += s"(${g(lo)},${g(hi)}]:${g(c)}"
+      }
+    } else {
+      def bound(i: Int): Double = math.pow(2.0, i * math.pow(2.0, -schema))
+      nidx.zip(ncnt).sortBy(-_._1).filter(_._2 != 0).foreach { case (i, c) =>
+        parts += s"[${g(-bound(i))},${g(-bound(i - 1))}):${g(c)}"
+      }
+      if (zc != 0) parts += s"[${g(-zt)},${g(zt)}]:${g(zc)}"
+      pidx.zip(pcnt).sortBy(_._1).filter(_._2 != 0).foreach { case (i, c) =>
+        parts += s"(${g(bound(i - 1))},${g(bound(i))}]:${g(c)}"
+      }
+    }
+    s"{count:${g(cnt)}, sum:${g(sum)}" + parts.result().map(", " + _).mkString + "}"
+  }
+
+  /** stddev/stdvar over bucket midpoints (ref: promql/functions.go:2081
+    * histogramStdDev/Var — exponential buckets use the geometric mean of the
+    * bounds, custom/zero buckets the arithmetic midpoint) */
+  def variance: Double = {
+    if (cnt == 0) return Double.NaN
+    val mean = sum / cnt
+    var acc = 0.0; var comp = 0.0
+    allBuckets.foreach { case (lo, hi, c) =>
+      if (c != 0) {
+        val mid =
+          if (isCustom) (hi + lo) / 2.0       // arithmetic mean (±Inf stays ±Inf)
+          else if (lo <= 0 && hi >= 0) 0.0    // zero bucket of exponential histogram
+          else {
+            val v = math.sqrt(hi * lo)        // geometric mean
+            if (hi < 0) -v else v
+          }
+        val delta = mid - mean
+        val (ns, nc) = RangeUdfs.kahanInc(c * delta * delta, acc, comp)
+        acc = ns; comp = nc
+      }
+    }
+    (acc + comp) / cnt
+  }
+}
+
+object FHist {
+  val CustomSchema: Int = -53
+  val HintUnknown = 0; val HintReset = 1; val HintNotReset = 2; val HintGauge = 3
+
+  def mergeHint(a: Int, b: Int): Int =
+    if (a == HintGauge || b == HintGauge) HintGauge else HintUnknown
+
+  val empty: FHist = FHist(0, 0.0, 0.0, 0.0, 0.0, Nil, Nil, Nil, Nil, Nil, HintUnknown)
+
+  /** Spark-side struct schema for the nullable `h` samples column */
+  val schemaType: StructType = StructType(Seq(
+    StructField("schema", IntegerType, nullable = false),
+    StructField("zt", DoubleType, nullable = false),
+    StructField("zc", DoubleType, nullable = false),
+    StructField("cnt", DoubleType, nullable = false),
+    StructField("sum", DoubleType, nullable = false),
+    StructField("pidx", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("pcnt", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("nidx", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("ncnt", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("cv", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("crh", IntegerType, nullable = false)))
+
+  /** Parse a test-notation histogram literal body (the text between `{{ }}`,
+    * ref promql/parser parse.go:561 buildHistogramFromMap):
+    * `schema:0 sum:5 count:4 z_bucket:1 z_bucket_w:0.5 buckets:[1 2 1]
+    *  offset:1 n_buckets:[...] n_offset:-1 custom_values:[...]
+    *  counter_reset_hint:gauge` */
+  def parseLiteral(spec: String): FHist = {
+    var h = empty
+    var pOffset = 0; var nOffset = 0
+    var pBuckets: Seq[Double] = Nil; var nBuckets: Seq[Double] = Nil
+    val kv = "([a-z_]+):\\s*(\\[[^\\]]*\\]|[^\\s]+)".r
+    def num(s: String): Double = TestNum.parse(s)
+    def arr(s: String): Seq[Double] =
+      s.stripPrefix("[").stripSuffix("]").trim match {
+        case "" => Nil
+        case body => body.split("\\s+").toSeq.map(num)
+      }
+    kv.findAllMatchIn(spec).foreach { m =>
+      val key = m.group(1); val v = m.group(2)
+      key match {
+        case "schema" => h = h.copy(schema = num(v).toInt)
+        case "sum" => h = h.copy(sum = num(v))
+        case "count" => h = h.copy(cnt = num(v))
+        case "z_bucket" => h = h.copy(zc = num(v))
+        case "z_bucket_w" => h = h.copy(zt = num(v))
+        case "buckets" => pBuckets = arr(v)
+        case "offset" => pOffset = num(v).toInt
+        case "n_buckets" => nBuckets = arr(v)
+        case "n_offset" => nOffset = num(v).toInt
+        case "custom_values" => h = h.copy(cv = arr(v), schema = CustomSchema)
+        case "counter_reset_hint" => h = h.copy(crh = v match {
+          case "reset" => HintReset
+          case "not_reset" => HintNotReset
+          case "gauge" => HintGauge
+          case _ => HintUnknown
+        })
+        case _ => throw PromQLError(s"unknown histogram literal key '$key'")
+      }
+    }
+    // custom-bounds histograms index buckets from 0; exponential literal
+    // buckets start at index (offset) .. mirroring a single span
+    val pStart = if (h.isCustom) pOffset else pOffset
+    h = h.copy(
+      pidx = pBuckets.indices.map(_ + pStart),
+      pcnt = pBuckets,
+      nidx = nBuckets.indices.map(_ + nOffset),
+      ncnt = nBuckets)
+    h
+  }
+
+  /** native histogram_quantile (ref: promql/quantile.go:172
+    * HistogramQuantile — forward/reverse rank walk, exponential
+    * interpolation for standard buckets, linear for custom/zero). */
+  def quantile(q: Double, h: FHist): Double = {
+    if (q < 0) return Double.NegativeInfinity
+    if (q > 1) return Double.PositiveInfinity
+    if (h.cnt == 0 || q.isNaN) return Double.NaN
+
+    val buckets = h.allBuckets.filter(_._3 != 0)
+    if (buckets.isEmpty) return Double.NaN
+    val forward = h.sum.isNaN || q < 0.5
+    val it = if (forward) buckets else buckets.reverse
+    var rank = if (forward) q * h.cnt else (1 - q) * h.cnt
+    var count = 0.0
+    var bucket: (Double, Double, Double) = it.head
+    val iter = it.iterator
+    var found = false
+    while (iter.hasNext && !found) {
+      bucket = iter.next()
+      count += bucket._3
+      if (count >= rank) found = true
+    }
+    var (lower, upper, bcount) = bucket
+    if (!h.isCustom && lower < 0 && upper > 0) {
+      // zero bucket bounds tightening
+      if (h.nidx.isEmpty && h.pidx.nonEmpty) lower = 0
+      else if (h.pidx.isEmpty && h.nidx.nonEmpty) upper = 0
+    } else if (h.isCustom) {
+      if (lower.isNegInfinity) {
+        if (upper <= 0) return upper
+        lower = 0
+      } else if (upper.isPosInfinity) {
+        return lower
+      }
+    }
+    if (count > h.cnt) count = h.cnt
+    if (count < rank) {
+      if (h.sum.isNaN) return Double.NaN
+      return upper
+    }
+    rank = if (forward) rank - (count - bcount) else count - rank
+    val fraction = rank / bcount
+    if (h.isCustom || (lower <= 0 && upper >= 0))
+      return lower + (upper - lower) * fraction
+    val logLower = log2(math.abs(lower))
+    val logUpper = log2(math.abs(upper))
+    if (lower > 0) exp2(logLower + (logUpper - logLower) * fraction)
+    else -exp2(logUpper + (logLower - logUpper) * (1 - fraction))
+  }
+
+  private def log2(x: Double): Double = math.log(x) / 0.6931471805599453
+  private def exp2(x: Double): Double = math.pow(2.0, x)
+
+  /** native histogram_fraction (ref: promql/quantile.go:400
+    * HistogramFraction). */
+  def fraction(lowerB: Double, upperB: Double, h: FHist): Double = {
+    if (h.cnt == 0 || lowerB.isNaN || upperB.isNaN) return Double.NaN
+    if (lowerB >= upperB) return 0.0
+    var rank = 0.0
+    var lowerRank = 0.0; var upperRank = 0.0
+    var lowerSet = false; var upperSet = false
+    val buckets = h.allBuckets
+    val iter = buckets.iterator
+    var break = false
+    while (iter.hasNext && !break) {
+      var (lo, hi, c) = iter.next()
+      var zeroBucket = false
+      if (!h.isCustom && lo <= 0 && hi >= 0) {
+        zeroBucket = true
+        if (h.nidx.isEmpty && h.pidx.nonEmpty) lo = 0
+        else if (h.pidx.isEmpty && h.nidx.nonEmpty) hi = 0
+      }
+      def fractionBelow(v: Double, linear: Boolean): Double = {
+        if (linear) {
+          if (lo.isNegInfinity) return c // infinite-width: no interpolation
+          rank + c * math.max(0.0, math.min(1.0, (v - lo) / (hi - lo)))
+        } else {
+          // log-scale interpolation (ref: histogram Bucket.FractionBelow)
+          val f =
+            if (lo > 0) (log2(v) - log2(lo)) / (log2(hi) - log2(lo))
+            else (log2(-lo) - log2(-v)) / (log2(-lo) - log2(-hi))
+          rank + c * math.max(0.0, math.min(1.0, f))
+        }
+      }
+      if (!lowerSet && lo >= lowerB) { lowerRank = rank; lowerSet = true }
+      if (!upperSet && lo >= upperB) { upperRank = rank; upperSet = true }
+      if (!(lowerSet && upperSet)) {
+        if (!lowerSet && lo < lowerB && hi > lowerB) {
+          lowerRank = if (h.isCustom || zeroBucket) fractionBelow(lowerB, linear = true)
+                      else fractionBelow(lowerB, linear = false)
+          lowerSet = true
+        }
+        if (!upperSet && lo < upperB && hi > upperB) {
+          upperRank = if (h.isCustom || zeroBucket) fractionBelow(upperB, linear = true)
+                      else fractionBelow(upperB, linear = false)
+          upperSet = true
+        }
+      }
+      if (lowerSet && upperSet) break = true
+      else rank += c
+    }
+    val count = if (h.sum.isNaN) buckets.map(_._3).sum else h.cnt
+    val lr = if (!lowerSet || lowerRank > count) count else lowerRank
+    val ur = if (!upperSet || upperRank > count) count else upperRank
+    (ur - lr) / h.cnt
+  }
+}
+
+/** shared numeric literal parsing for test notation */
+object TestNum {
+  def parse(t0: String): Double = {
+    val t = t0.trim
+    if (t.equalsIgnoreCase("inf") || t.equalsIgnoreCase("+inf")) Double.PositiveInfinity
+    else if (t.equalsIgnoreCase("-inf")) Double.NegativeInfinity
+    else if (t.equalsIgnoreCase("nan")) Double.NaN
+    else t.toDouble
+  }
+}

@@ -1,0 +1,185 @@
+package graft.promql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** UDFs over the nullable native-histogram struct column.
+  *
+  * The float hot path stays whole-stage-codegen'd; histogram samples are
+  * heavyweight nested values whose per-sample math (bucket merges, quantile
+  * walks) is scalar anyway — the same work the reference does per sample —
+  * so a deserializing UDF costs a constant factor, not a complexity class.
+  * All UDFs are null-safe: null in ⇒ null out.
+  */
+object HistUdfs {
+
+  import org.apache.spark.sql.functions.{when, lit}
+
+  /** (wt sorted, h) point for range-window UDFs */
+  final case class HPt(wt: Long, h: FHist)
+
+  /** Spark's ScalaUDF deserializes case-class args BEFORE the lambda runs and
+    * NPEs on a null struct — every call over a nullable `h` column must be
+    * guarded at the EXPRESSION level (CaseWhen is lazy) so the UDF never
+    * evaluates on a null histogram. `when` without `otherwise` yields a typed
+    * null for the guarded branch. */
+  def guarded(h: Column)(c: Column): Column = when(h.isNotNull, c)
+
+  val quantileH = udf { (q: java.lang.Double, h: FHist) =>
+    if (h == null || q == null) null
+    else java.lang.Double.valueOf(FHist.quantile(q, h))
+  }
+
+  val fractionH = udf { (lo: java.lang.Double, hi: java.lang.Double, h: FHist) =>
+    if (h == null || lo == null || hi == null) null
+    else java.lang.Double.valueOf(FHist.fraction(lo, hi, h))
+  }
+
+  val stddevH = udf { (h: FHist) =>
+    if (h == null) null else java.lang.Double.valueOf(math.sqrt(h.variance))
+  }
+  val stdvarH = udf { (h: FHist) =>
+    if (h == null) null else java.lang.Double.valueOf(h.variance)
+  }
+
+  // Incompatible-layout combinations (custom vs exponential, mismatched
+  // custom bounds) drop the output sample — the reference emits a warning
+  // annotation and skips (engine.go histogram branches); never a query error.
+  val addH = udf { (a: FHist, b: FHist) =>
+    if (a == null) b else if (b == null) a
+    else try a.add(b).compact catch { case _: Exception => null }
+  }
+  val subH = udf { (a: FHist, b: FHist) =>
+    if (a == null || b == null) null
+    else try a.sub(b).compact catch { case _: Exception => null }
+  }
+  val scaleH = udf { (h: FHist, f: java.lang.Double) =>
+    if (h == null || f == null) null else h.scale(f)
+  }
+  val divH = udf { (h: FHist, s: java.lang.Double) =>
+    if (h == null || s == null) null else h.divide(s)
+  }
+
+  /** Go String() rendering for count_values label values */
+  val histStringH = udf { (h: FHist) =>
+    if (h == null) null else h.compact.goString
+  }
+
+  /** changes(): adjacent histogram samples that differ (exact equality,
+    * ref functions.go:2431 — histogram-aware) */
+  val changesH = udf { (pts: Seq[HPt]) =>
+    if (pts == null || pts.length < 2) java.lang.Double.valueOf(0.0)
+    else {
+      val hs = pts.sortBy(_.wt).map(_.h.compact)
+      var n = 0
+      var i = 1
+      while (i < hs.length) {
+        val a = hs(i - 1); val b = hs(i)
+        val same = a.schema == b.schema && a.zt == b.zt && a.zc == b.zc &&
+          a.cnt == b.cnt && (a.sum == b.sum || (a.sum.isNaN && b.sum.isNaN)) &&
+          a.cv == b.cv && a.pidx == b.pidx && a.pcnt == b.pcnt &&
+          a.nidx == b.nidx && a.ncnt == b.ncnt
+        if (!same) n += 1
+        i += 1
+      }
+      java.lang.Double.valueOf(n.toDouble)
+    }
+  }
+
+  /** resets(): adjacent counter resets (ref functions.go:2359) */
+  val resetsH = udf { (pts: Seq[HPt]) =>
+    if (pts == null || pts.length < 2) java.lang.Double.valueOf(0.0)
+    else {
+      val hs = pts.sortBy(_.wt).map(_.h)
+      var n = 0
+      var i = 1
+      while (i < hs.length) {
+        if (try hs(i).detectReset(hs(i - 1)) catch { case _: Exception => true }) n += 1
+        i += 1
+      }
+      java.lang.Double.valueOf(n.toDouble)
+    }
+  }
+  /** exact histogram equality (ref: float_histogram.go:607 Equals) */
+  val eqH = udf { (a: FHist, b: FHist) =>
+    if (a == null || b == null) null
+    else {
+      val x = a.compact; val y = b.compact
+      java.lang.Boolean.valueOf(
+        x.schema == y.schema && x.zt == y.zt && x.zc == y.zc && x.cnt == y.cnt &&
+        (x.sum == y.sum || (x.sum.isNaN && y.sum.isNaN)) && x.cv == y.cv &&
+        x.pidx == y.pidx && x.pcnt == y.pcnt && x.nidx == y.nidx && x.ncnt == y.ncnt)
+    }
+  }
+
+  /** group sum of histograms (sorted input for deterministic merge order;
+    * ref promql/engine.go:3642 histogram aggregation) — a group with
+    * incompatible layouts is dropped entirely (warn+skip in the reference) */
+  val sumHists = udf { (hs: Seq[FHist]) =>
+    if (hs == null || hs.isEmpty) null
+    else try hs.reduce((a, b) => a.add(b)).compact catch { case _: Exception => null }
+  }
+
+  val avgHists = udf { (hs: Seq[FHist]) =>
+    if (hs == null || hs.isEmpty) null
+    else try hs.reduce((a, b) => a.add(b)).scale(1.0 / hs.length).compact
+    catch { case _: Exception => null }
+  }
+
+  /** rate/increase/delta over a histogram-only window (ref:
+    * promql/functions.go:640 histogramRate + :452 extrapolatedRate). Returns
+    * null when the window has < 2 points or incompatible layouts. */
+  def histRate(isCounter: Boolean, isRate: Boolean, rangeMs: Long) =
+    udf { (pts: Seq[HPt], tStep: java.lang.Long) =>
+      if (pts == null || pts.length < 2 || tStep == null) null
+      else {
+        val sorted = pts.sortBy(_.wt)
+        val hs = sorted.map(_.h)
+        try {
+          var prev = hs.head
+          val last = hs.last
+          // null out first point if reset between 1st and 2nd
+          if (isCounter && hs(1).detectReset(prev))
+            prev = FHist.empty.copy(schema = hs(1).schema, cv = hs(1).cv)
+          if (prev.isCustom != last.isCustom) null
+          else {
+            var h = last.sub(prev)
+            if (isCounter) {
+              var p = if (hs(1).detectReset(hs.head))
+                FHist.empty.copy(schema = hs(1).schema, cv = hs(1).cv) else hs.head
+              sorted.drop(1).foreach { cp =>
+                if (cp.h.detectReset(p)) h = h.add(p)
+                p = cp.h
+              }
+            }
+            // extrapolation identical to the float path
+            val rangeStart = tStep - rangeMs
+            val firstT = sorted.head.wt; val lastT = sorted.last.wt
+            val durToStart0 = (firstT - rangeStart).toDouble / 1000.0
+            val durToEnd0 = (tStep - lastT).toDouble / 1000.0
+            val sampled = (lastT - firstT).toDouble / 1000.0
+            val avgDur = sampled / (sorted.length - 1).toDouble
+            val thresh = avgDur * 1.1
+            var durToStart = if (durToStart0 >= thresh) avgDur / 2 else durToStart0
+            if (isCounter && h.cnt > 0 && hs.head.cnt >= 0) {
+              val durToZero = sampled * (hs.head.cnt / h.cnt)
+              if (durToZero < durToStart) durToStart = durToZero
+            }
+            val durToEnd = if (durToEnd0 >= thresh) avgDur / 2 else durToEnd0
+            var factor = if (sampled != 0) (sampled + durToStart + durToEnd) / sampled else 1.0
+            if (isRate) factor /= (rangeMs / 1000.0)
+            h.scale(factor).copy(crh = FHist.HintGauge).compact
+          }
+        } catch { case _: Exception => null }
+      }
+    }
+
+  /** sum_over_time / avg_over_time over histogram-only windows */
+  def histOverTime(isAvg: Boolean) = udf { (pts: Seq[HPt]) =>
+    if (pts == null || pts.isEmpty) null
+    else try {
+      val s = pts.sortBy(_.wt).map(_.h).reduce((a, b) => a.add(b))
+      (if (isAvg) s.scale(1.0 / pts.length) else s).compact
+    } catch { case _: Exception => null }
+  }
+}

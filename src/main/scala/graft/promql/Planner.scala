@@ -66,6 +66,13 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   private val emptyLabels: Column =
     map_filter(map(lit("x"), lit("x")), (_, _) => lit(false))
 
+  /** null native-histogram value (the float-sample case) */
+  private val nullH: Column = lit(null).cast(FHist.schemaType)
+
+  /** guarantee the `h` column on every vector/matrix result */
+  private def ensureH(df: DataFrame): DataFrame =
+    if (df.columns.contains("h")) df else df.withColumn("h", nullH)
+
   // ---------- step grid ----------
 
   private def grid: DataFrame =
@@ -116,19 +123,20 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         val picked = base
           .filter(col("t") > te - P.lookbackMs && col("t") <= te)
           .groupBy(sigOf(col("labels")).as("__sg"))
-          .agg(max_by(struct(col("t"), col("v"), col("stale"), col("labels")), col("t")).as("p"))
+          .agg(max_by(struct(col("t"), col("v"), col("stale"), col("labels"), col("h")), col("t")).as("p"))
           .select(col("p.labels").as("labels"), col("p.t").as("st"),
-                  col("p.v").as("v"), col("p.stale").as("stale"))
+                  col("p.v").as("v"), col("p.stale").as("stale"), col("p.h").as("h"))
           .filter(!col("stale")).drop("stale")
-        grid.crossJoin(picked).select(col("labels"), col("t"), col("v"), col("st"))
+        grid.crossJoin(picked).select(col("labels"), col("t"), col("v"), col("st"), col("h"))
       case None =>
         val shifted = base.withColumn("wt", col("t") + vs.offsetMs)
         coverage(shifted, col("wt"), P.lookbackMs)
           .groupBy(sigOf(col("labels")).as("__sg"), col("t_step"))
-          .agg(max_by(struct(col("wt"), col("t"), col("v"), col("stale"), col("labels")),
+          .agg(max_by(struct(col("wt"), col("t"), col("v"), col("stale"), col("labels"), col("h")),
                       col("wt")).as("p"))
           .select(col("p.labels").as("labels"), col("t_step").as("t"),
-                  col("p.v").as("v"), col("p.t").as("st"), col("p.stale").as("stale"))
+                  col("p.v").as("v"), col("p.t").as("st"), col("p.stale").as("stale"),
+                  col("p.h").as("h"))
           .filter(!col("stale")).drop("stale")
     }
   }
@@ -141,7 +149,8 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
 
   private def rangeInput(e: Expr): RangeInput = e match {
     case MatrixSelector(vs, range) =>
-      RangeInput(selectorBase(vs).filter(!col("stale")).select(col("labels"), col("t"), col("v")),
+      RangeInput(selectorBase(vs).filter(!col("stale"))
+                   .select(col("labels"), col("t"), col("v"), col("h")),
                  range, vs.offsetMs, vs.at)
     case SubqueryExpr(inner, range, step0, offset, at) =>
       val istep = if (step0 > 0) step0 else P.defaultSubqueryStepMs
@@ -156,12 +165,18 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       val hi = outerHi - offset
       val k1 = math.ceil(lo.toDouble / istep).toLong
       val k2 = math.floor(hi.toDouble / istep).toLong
-      if (k2 < k1) throw PromQLError("empty subquery range")
+      if (k2 < k1)
+        // no inner grid point falls in the window — empty range vector
+        return RangeInput(
+          samples.filter(lit(false)).select(col("labels"), col("t"), col("v"), col("h")),
+          range, offset, at)
       val innerParams = EvalParams(k1 * istep, k2 * istep, istep, P.lookbackMs, P.defaultSubqueryStepMs)
       val innerPlanner = new Planner(spark, samples, innerParams)
       val inner2 = innerPlanner.eval(inner) match {
-        case VectorVal(df) => df.select(col("labels"), col("t"), col("v"))
-        case ScalarVal(df, _) => df.select(emptyLabels.as("labels"), col("t"), col("v"))
+        case VectorVal(df) => df.select(col("labels"), col("t"), col("v"), col("h"))
+        case ScalarVal(df, _) =>
+          df.select(emptyLabels.as("labels"), col("t"), col("v"),
+            lit(null).cast(FHist.schemaType).as("h"))
         case _ => throw PromQLError("subquery inner expression must be vector or scalar")
       }
       RangeInput(inner2, range, offset, at)
@@ -176,9 +191,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * grid after aggregation (step-invariant, ref: promql/engine.go:2564). */
   private def windowedPoints(ri: RangeInput): (DataFrame, Boolean) = {
     val w = Window.partitionBy(sigOf(col("labels"))).orderBy(col("t"))
+    // prev_* skip histogram samples (ignoreNulls): float functions see the
+    // previous FLOAT point, mirroring the reference's separate Floats slice
     val base = ri.points
-      .withColumn("prev_v", lag(col("v"), 1).over(w))
-      .withColumn("prev_t", lag(col("t"), 1).over(w))
+      .withColumn("prev_v", lag(when(col("h").isNull, col("v")), 1, null, ignoreNulls = true).over(w))
+      .withColumn("prev_t", lag(when(col("h").isNull, col("t")), 1, null, ignoreNulls = true).over(w))
       .withColumn("wt", col("t") + ri.offsetMs)
       .withColumn("prev_wt", col("prev_t") + ri.offsetMs)
     ri.at match {
@@ -200,8 +217,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * to every grid step. */
   private def fanOut(df: DataFrame, fixed: Boolean): DataFrame =
     if (!fixed) df
-    else grid.crossJoin(df.drop("t", "st"))
-      .select(col("labels"), col("t"), col("v"), col("t").as("st"))
+    else {
+      val extra = if (df.columns.contains("h")) Seq(col("h")) else Nil
+      grid.crossJoin(df.drop("t", "st"))
+        .select(Seq(col("labels"), col("t"), col("v"), col("t").as("st")) ++ extra: _*)
+    }
 
   // ---------- range-function evaluation ----------
 
@@ -219,25 +239,66 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     // IEEE `<` — Spark orders NaN as the largest value, so `x < NaN` would be
     // true; a NaN neighbor must never register as a counter reset
     val resetPair = pairInWindow && !isnan(col("prev_v")) && (col("v") < col("prev_v"))
-    val g = pts.groupBy(col("__sg"), col("t_step"))
+    // float / histogram split: float functions see only float samples
+    // (mirrors the reference's separate Floats/Histograms slices); functions
+    // that must not mix (rate/sum_over_time/…) exclude mixed windows entirely
+    // (ref: promql/functions.go:452 MixedFloatsHistogramsWarning)
+    val fpts = pts.filter(col("h").isNull)
+    val hpts = pts.filter(col("h").isNotNull)
+    val g = fpts.groupBy(col("__sg"), col("t_step"))
+    val gAll = pts.groupBy(col("__sg"), col("t_step"))
+    def hAgged = hpts.groupBy(col("__sg"), col("t_step"))
+      .agg(first(col("labels")).as("labels"),
+        count(lit(1)).as("hcnt"),
+        sort_array(collect_list(struct(col("wt"), col("h")))).as("hp"))
+    /** drop (series, step) groups that also appear in `other` */
+    def exclMixed(df: DataFrame, other: DataFrame): DataFrame =
+      df.join(other.select(col("__sg"), col("t_step")).distinct(),
+        Seq("__sg", "t_step"), "left_anti")
 
     def labelsOut = if (keepNameFuncs.contains(name)) col("labels") else dropName(col("labels"))
 
-    def finish(agged: DataFrame, v: Column, cond: Column = lit(true), st: Column = col("t_step")): DataFrame = {
+    def finish(agged: DataFrame, v: Column, cond: Column = lit(true), st: Column = col("t_step"),
+        h: Column = lit(null).cast(FHist.schemaType)): DataFrame = {
       val r = agged
         .withColumn("v", v)
-        .filter(cond && !isnull(col("v")))
-        .select(labelsOut.as("labels"), col("t_step").as("t"), col("v"), st.as("st"))
+        .withColumn("__h", h)
+        .filter(cond && (!isnull(col("v")) || col("__h").isNotNull))
+        .select(labelsOut.as("labels"), col("t_step").as("t"),
+          coalesce(col("v"), lit(Double.NaN)).as("v"), st.as("st"), col("__h").as("h"))
+      fanOut(r, fixed)
+    }
+
+    /** histogram-only-window branch returning a FLOAT value per group */
+    def histBranchF(udfCol: Column): DataFrame = {
+      val clean = exclMixed(hAgged, fpts)
+      val r = clean
+        .withColumn("v", udfCol)
+        .filter(!isnull(col("v")))
+        .select(labelsOut.as("labels"), col("t_step").as("t"),
+          col("v"), col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"))
+      fanOut(r, fixed)
+    }
+
+    /** union a histogram-only-window result computed by `udfCol` over the
+      * sorted (wt, h) list */
+    def histBranch(udfCol: Column, minPts: Int = 1): DataFrame = {
+      val clean = exclMixed(hAgged, fpts)
+      val r = clean
+        .withColumn("__h", udfCol)
+        .filter(col("hcnt") >= minPts && col("__h").isNotNull)
+        .select(labelsOut.as("labels"), col("t_step").as("t"),
+          lit(Double.NaN).as("v"), col("t_step").as("st"), col("__h").as("h"))
       fanOut(r, fixed)
     }
 
     def extrapolated(isCounter: Boolean, isRate: Boolean, isDelta: Boolean): DataFrame = {
-      val agged = g.agg(
+      val agged = exclMixed(g.agg(
         first(col("labels")).as("labels"),
         count(col("v")).as("cnt"),
         min(col("wt")).as("minWt"), max(col("wt")).as("maxWt"),
         expr("min_by(v, wt)").as("firstV"), expr("max_by(v, wt)").as("lastV"),
-        sum(when(resetPair, col("prev_v")).otherwise(0.0)).as("corr"))
+        sum(when(resetPair, col("prev_v")).otherwise(0.0)).as("corr")), hpts)
       // ref: promql/functions.go:452 extrapolatedRate — formulas reimplemented
       val resultValue =
         if (isCounter) col("lastV") - col("firstV") + col("corr")
@@ -258,7 +319,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       val extInterval = sampled + durToStart + durToEnd
       val factor0 = extInterval / sampled
       val factor = if (isRate) factor0 / rangeSec else factor0
-      finish(agged, resultValue * factor, col("cnt") >= 2)
+      val floatRes = finish(agged, resultValue * factor, col("cnt") >= 2)
+      // histogram-only windows (ref: functions.go:640 histogramRate)
+      val histRes = histBranch(
+        HistUdfs.histRate(isCounter, isRate, ri.rangeMs)(col("hp"), col("t_step")), minPts = 2)
+      floatRes.unionByName(histRes)
     }
 
     name match {
@@ -286,29 +351,33 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
 
       case "resets" =>
         // ref: promql/functions.go:2359 — count of counter resets in window
-        val agged = g.agg(first(col("labels")).as("labels"),
-          sum(when(resetPair, 1).otherwise(0)).cast("double").as("nr"))
+        val agged = exclMixed(g.agg(first(col("labels")).as("labels"),
+          sum(when(resetPair, 1).otherwise(0)).cast("double").as("nr")), hpts)
         finish(agged, col("nr"))
+          .unionByName(histBranchF(HistUdfs.resetsH(col("hp"))))
 
       case "changes" =>
         // ref: promql/functions.go:2431 — NaN→NaN is not a change
         val changed = (col("v") =!= col("prev_v") && !(isnan(col("v")) && isnan(col("prev_v")))) ||
           (isnan(col("v")) =!= isnan(col("prev_v")))
-        val agged = g.agg(first(col("labels")).as("labels"),
-          sum(when(pairInWindow && changed, 1).otherwise(0)).cast("double").as("nc"))
+        val agged = exclMixed(g.agg(first(col("labels")).as("labels"),
+          sum(when(pairInWindow && changed, 1).otherwise(0)).cast("double").as("nc")), hpts)
         finish(agged, col("nc"))
+          .unionByName(histBranchF(HistUdfs.changesH(col("hp"))))
 
       case "avg_over_time" | "sum_over_time" =>
         // time-ordered Kahan summation for float-exact parity with the
         // reference (plain distributed sum() reorders additions and fails on
         // catastrophic-cancellation inputs; ref functions.go:1218/:1572)
         val sorted = sort_array(collect_list(struct(col("wt"), col("v"))))
-        val agged = g.agg(first(col("labels")).as("labels"), sorted.as("pts"))
+        val agged = exclMixed(g.agg(first(col("labels")).as("labels"), sorted.as("pts")), hpts)
         val v = if (name == "avg_over_time") RangeUdfs.avgOT(col("pts"))
                 else RangeUdfs.kahanSumOT(col("pts"))
         finish(agged, v)
+          .unionByName(histBranch(HistUdfs.histOverTime(name == "avg_over_time")(col("hp"))))
       case "count_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"), count(col("v")).cast("double").as("a")), col("a"))
+        // counts float AND histogram samples (ref: functions.go:1371)
+        finish(gAll.agg(first(col("labels")).as("labels"), count(lit(1)).cast("double").as("a")), col("a"))
       case "min_over_time" =>
         finish(g.agg(first(col("labels")).as("labels"),
           min(when(!isnan(col("v")), col("v"))).as("a"), count(lit(1)).as("n")),
@@ -318,18 +387,18 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           max(when(!isnan(col("v")), col("v"))).as("a"), count(lit(1)).as("n")),
           coalesce(col("a"), lit(Double.NaN)))
       case "first_over_time" =>
-        val agged = g.agg(first(col("labels")).as("labels"),
-          expr("min_by(struct(v, t), wt)").as("p"))
-        finish(agged, col("p.v"))
+        val agged = gAll.agg(first(col("labels")).as("labels"),
+          expr("min_by(struct(v, t, h), wt)").as("p"))
+        finish(agged, col("p.v"), h = col("p.h"))
       case "last_over_time" =>
-        val agged = g.agg(first(col("labels")).as("labels"),
-          expr("max_by(struct(v, t), wt)").as("p"))
-        finish(agged, col("p.v"))
+        val agged = gAll.agg(first(col("labels")).as("labels"),
+          expr("max_by(struct(v, t, h), wt)").as("p"))
+        finish(agged, col("p.v"), h = col("p.h"))
       case "ts_of_first_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"), min(col("wt")).as("a")),
+        finish(gAll.agg(first(col("labels")).as("labels"), min(col("wt")).as("a")),
                col("a").cast("double") / 1000.0)
       case "ts_of_last_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"), max(col("wt")).as("a")),
+        finish(gAll.agg(first(col("labels")).as("labels"), max(col("wt")).as("a")),
                col("a").cast("double") / 1000.0)
       case "ts_of_max_over_time" =>
         finish(g.agg(first(col("labels")).as("labels"), expr("max_by(wt, struct(v, wt))").as("a")),
@@ -342,7 +411,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       case "stdvar_over_time" =>
         finish(g.agg(first(col("labels")).as("labels"), var_pop(col("v")).as("a")), col("a"))
       case "present_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels")), lit(1.0))
+        finish(gAll.agg(first(col("labels")).as("labels")), lit(1.0))
       case "quantile_over_time" =>
         // ref: promql/functions.go:1652 → quantile.go:717 — NaN sorts smallest
         // (Spark percentile sorts NaN largest, so the UDF path is used
@@ -459,7 +528,14 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
 
   // ---------- main dispatch ----------
 
-  def eval(e: Expr): PValue = e match {
+  def eval(e: Expr): PValue = eval0(e) match {
+    // every vector/matrix result carries the nullable `h` column
+    case VectorVal(df) => VectorVal(ensureH(df))
+    case MatrixVal(df) => MatrixVal(ensureH(df))
+    case other => other
+  }
+
+  private def eval0(e: Expr): PValue = e match {
     case NumberLiteral(v) =>
       ScalarVal(grid.select(col("t"), lit(v).as("v")), Some(v))
     case StringLiteral(s) => StringVal(s)
@@ -472,24 +548,27 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       MatrixVal(ri.points
         .withColumn("wt", col("t") + ri.offsetMs)
         .filter(col("wt") > te - ri.rangeMs && col("wt") <= te)
-        .select(col("labels"), col("t"), col("v")))
+        .select(col("labels"), col("t"), col("v"), col("h")))
     case sq: SubqueryExpr =>
       val ri = rangeInput(sq)
       val te = ri.at.map(resolveAt).getOrElse(P.endMs)
       MatrixVal(ri.points
         .withColumn("wt", col("t") + ri.offsetMs)
         .filter(col("wt") > te - ri.rangeMs && col("wt") <= te)
-        .select(col("labels"), col("wt").as("t"), col("v")))
+        .select(col("labels"), col("wt").as("t"), col("v"), col("h")))
     case UnaryExpr(op, inner) =>
       eval(inner) match {
         case ScalarVal(df, c) =>
           val f: Double => Double = if (op == "-") (x => -x) else identity
           ScalarVal(df.select(col("t"), (if (op == "-") -col("v") else col("v")).as("v")), c.map(f))
         case VectorVal(df) =>
-          // unary minus drops __name__ (arithmetic); unary plus is identity
+          // unary minus drops __name__ (arithmetic) and negates histograms
           val lbls = if (op == "-") dropName(col("labels")) else col("labels")
+          val hOut =
+            if (op == "-") HistUdfs.guarded(col("h"))(HistUdfs.scaleH(col("h"), lit(-1.0)))
+            else col("h")
           VectorVal(df.select(lbls.as("labels"), col("t"),
-            (if (op == "-") -col("v") else col("v")).as("v"), col("st")))
+            (if (op == "-") -col("v") else col("v")).as("v"), col("st"), hOut.as("h")))
         case other => throw PromQLError(s"unary $op on $other")
       }
     case agg: AggregateExpr => VectorVal(Aggregations.eval(this, agg))

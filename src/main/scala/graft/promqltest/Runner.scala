@@ -32,6 +32,30 @@ object Runner {
     }
   }
 
+  /** bucket-level histogram compare: schemas may differ after reductions, so
+    * compare the materialized (lower, upper, count) bucket lists */
+  def histAlmostEqual(a: FHist, b: FHist): Boolean = {
+    if (!almostEqual(a.cnt, b.cnt) || !almostEqual(a.sum, b.sum)) return false
+    val ab = a.compact.allBuckets.filter(x => x._3 != 0.0)
+    val bb = b.compact.allBuckets.filter(x => x._3 != 0.0)
+    if (ab.length != bb.length) return false
+    ab.zip(bb).forall { case ((al, au, ac), (bl, bu, bc)) =>
+      almostEqual(al, bl) && almostEqual(au, bu) && almostEqual(ac, bc)
+    }
+  }
+
+  private def fhistFromRow(r: Row): FHist =
+    FHist(r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      r.getSeq[Int](5), r.getSeq[Double](6), r.getSeq[Int](7), r.getSeq[Double](8),
+      r.getSeq[Double](9), r.getInt(10))
+
+  private def hRow(h: FHist): Row =
+    Row(h.schema, h.zt, h.zc, h.cnt, h.sum, h.pidx, h.pcnt, h.nidx, h.ncnt, h.cv, h.crh)
+
+  /** one loaded sample */
+  private final case class S(labels: Map[String, String], t: Long, v: Double,
+      stale: Boolean, h: Option[FHist])
+
   def runFile(spark: SparkSession, path: String): FileResult = {
     val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
     val cmds =
@@ -41,56 +65,96 @@ object Runner {
           return FileResult(path, List(EvalResult(0, "<parse script>", ok = false,
             skipped = true, s"script parse error: ${e.getMessage}")))
       }
-    val storage = mutable.ArrayBuffer[(Map[String, String], Long, Double, Boolean)]()
+    val storage = mutable.ArrayBuffer[S]()
     var cachedDf: Option[DataFrame] = None
-    var hasHist = false
     val results = List.newBuilder[EvalResult]
 
     def samplesDf(): DataFrame = cachedDf.getOrElse {
-      val rows = storage.map { case (l, t, v, s) => Row(l, t, v, s) }
+      val rows = storage.map(s => Row(s.labels, s.t, s.v, s.stale, s.h.map(hRow).orNull))
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toSeq, 4), Engine.samplesSchema)
       cachedDf = Some(df)
       df
     }
 
-    val histMetrics = mutable.Set[String]()
+    val unsupportedMetrics = mutable.Set[String]()
     cmds.foreach {
       case TestScript.Clear =>
-        storage.clear(); cachedDf = None; histMetrics.clear()
-      case TestScript.Load(step, series, _) =>
+        storage.clear(); cachedDf = None; unsupportedMetrics.clear()
+      case TestScript.Load(step, series, withNhcb) =>
         cachedDf = None
+        val loadStart = storage.length
         series.foreach { sp =>
           var t = 0L
           sp.values.foreach { v =>
             v match {
-              case TestScript.Num(d) => storage += ((sp.labels, t, d, false))
-              case TestScript.StaleMark => storage += ((sp.labels, t, Double.NaN, true))
+              case TestScript.Num(d) => storage += S(sp.labels, t, d, stale = false, None)
+              case TestScript.StaleMark => storage += S(sp.labels, t, Double.NaN, stale = true, None)
               case TestScript.Gap => ()
-              case TestScript.Hist(_) =>
-                // native-histogram samples are not loaded (unsupported yet);
-                // evals touching these metrics are skipped below
-                histMetrics += sp.labels.getOrElse("__name__", "")
+              case TestScript.Hist(h) => storage += S(sp.labels, t, Double.NaN, stale = false, Some(h))
+              case TestScript.Unsupported =>
+                unsupportedMetrics += sp.labels.getOrElse("__name__", "")
             }
             t += step
           }
         }
+        if (withNhcb) storage ++= nhcbSeries(storage.slice(loadStart, storage.length).toSeq)
       case ev: TestScript.Eval =>
-        val touchesHist = histMetrics.exists(m => m.nonEmpty &&
+        val touchesUnsupported = unsupportedMetrics.exists(m => m.nonEmpty &&
           java.util.regex.Pattern.compile("\\b" + java.util.regex.Pattern.quote(m) + "\\b")
             .matcher(ev.exprText).find())
-        results += runEval(spark, samplesDf(), ev, touchesHist)
+        if (touchesUnsupported)
+          results += EvalResult(ev.line, ev.exprText, ok = false, skipped = true,
+            "series uses unsupported load notation")
+        else results += runEval(spark, samplesDf(), ev)
     }
     FileResult(path, results.result())
   }
 
-  private def runEval(spark: SparkSession, samples: DataFrame,
-      ev: TestScript.Eval, hasHist: Boolean): EvalResult = {
-    import TestScript._
-    val expectsHist = ev.expected.exists(_._2.exists(_.isInstanceOf[Hist]))
-    if (hasHist || expectsHist)
-      return EvalResult(ev.line, ev.exprText, ok = false, skipped = true, "native histograms not supported yet")
+  /** Convert classic `name_bucket{le=…}` / `name_count` / `name_sum` series
+    * loaded in this block into native custom-bounds histogram series `name`
+    * (ref: promqltest test.go:970 appendCustomHistogram +
+    * util/convertnhcb/convertnhcb.go TempHistogram.Convert). Classic series
+    * are KEPT alongside the synthesized native ones. */
+  private def nhcbSeries(loaded: Seq[S]): Seq[S] = {
+    final case class Key(labels: Map[String, String], t: Long)
+    val buckets = mutable.Map[Key, mutable.Map[Double, Double]]()
+    val counts = mutable.Map[Key, Double]()
+    val sums = mutable.Map[Key, Double]()
+    loaded.foreach { s =>
+      if (s.h.isEmpty && !s.stale) {
+        val name = s.labels.getOrElse("__name__", "")
+        if (name.endsWith("_bucket") && s.labels.contains("le")) {
+          val le = try TestNum.parse(s.labels("le")) catch { case _: Exception => Double.NaN }
+          if (!le.isNaN) {
+            val base = s.labels - "le" + ("__name__" -> name.stripSuffix("_bucket"))
+            buckets.getOrElseUpdate(Key(base, s.t), mutable.Map()) += (le -> s.v)
+          }
+        } else if (name.endsWith("_count")) {
+          val base = s.labels + ("__name__" -> name.stripSuffix("_count"))
+          counts(Key(base, s.t)) = s.v
+        } else if (name.endsWith("_sum")) {
+          val base = s.labels + ("__name__" -> name.stripSuffix("_sum"))
+          sums(Key(base, s.t)) = s.v
+        }
+      }
+    }
+    buckets.toSeq.map { case (key, bm) =>
+      var bs = bm.toSeq.sortBy(_._1)
+      val count = counts.get(key).orElse(bs.lastOption.map(_._2)).getOrElse(0.0)
+      if (bs.isEmpty || !bs.last._1.isPosInfinity) bs = bs :+ (Double.PositiveInfinity, count)
+      val cv = bs.init.map(_._1)
+      val cum = bs.map(_._2)
+      val diffs = cum.zip(0.0 +: cum.init).map { case (c, p) => c - p }
+      val h = FHist(FHist.CustomSchema, 0.0, 0.0, count, sums.getOrElse(key, 0.0),
+        diffs.indices, diffs, Nil, Nil, cv, FHist.HintUnknown)
+      S(key.labels, key.t, Double.NaN, stale = false, Some(h.compact))
+    }
+  }
 
+  private def runEval(spark: SparkSession, samples: DataFrame,
+      ev: TestScript.Eval): EvalResult = {
+    import TestScript._
     try {
       val value =
         if (ev.instant) Engine.instantQuery(spark, samples, ev.exprText, ev.atMs)
@@ -143,19 +207,16 @@ object Runner {
           }
 
         case VectorVal(df) =>
-          val rows = df.collect()
-          val got: Map[Map[String, String], Map[Long, Double]] = rows
+          val sel = df.select(df("labels"), df("t"), df("v"), df("h"))
+          val rows = sel.collect()
+          val got: Map[Map[String, String], Map[Long, (Double, Option[FHist])]] = rows
             .groupBy(r => mapOf(r, 0))
-            .map { case (k, rs) => k -> rs.map(r => r.getLong(1) -> r.getDouble(2)).toMap }
+            .map { case (k, rs) => k -> rs.map(r =>
+              r.getLong(1) -> (r.getDouble(2),
+                if (r.isNullAt(3)) None else Some(fhistFromRow(r.getStruct(3))))).toMap }
           compareVector(ev, got)
 
         case MatrixVal(df) =>
-          // matrix expectations (top-level range selector): values at load
-          // timestamps; compare full point sets
-          val rows = df.collect()
-          val got: Map[Map[String, String], Map[Long, Double]] = rows
-            .groupBy(r => mapOf(r, 0))
-            .map { case (k, rs) => k -> rs.map(r => r.getLong(1) -> r.getDouble(2)).toMap }
           EvalResult(ev.line, ev.exprText, ok = false, skipped = true, "matrix comparison not implemented")
 
         case StringVal(s) =>
@@ -177,7 +238,7 @@ object Runner {
     r.getMap[String, String](i).toMap
 
   private def compareVector(ev: TestScript.Eval,
-      got: Map[Map[String, String], Map[Long, Double]]): Runner.EvalResult = {
+      got: Map[Map[String, String], Map[Long, (Double, Option[FHist])]]): Runner.EvalResult = {
     import TestScript._
     val steps = gridSteps(ev)
     val problems = mutable.ArrayBuffer[String]()
@@ -187,24 +248,32 @@ object Runner {
     // unexpected series
     got.keys.foreach { k =>
       if (!expectedBySeries.contains(k)) {
-        // a series is only unexpected if it has a value at a step where the
-        // expectation set is defined (range: any step)
-        problems += s"unexpected series $k (${got(k).toList.sortBy(_._1).take(3)})"
+        problems += s"unexpected series $k (${got(k).toList.sortBy(_._1).take(3).map(x => x._1 -> x._2._1)})"
       }
     }
     expectedBySeries.foreach { case (lbls, vs) =>
       got.get(lbls) match {
         case None =>
-          if (vs.exists(_.isInstanceOf[Num]))
+          if (vs.exists(v => v.isInstanceOf[Num] || v.isInstanceOf[Hist]))
             problems += s"missing series $lbls"
         case Some(pts) =>
           steps.zipWithIndex.foreach { case (ts, idx) =>
             val want = if (idx < vs.length) vs(idx) else Gap
             (want, pts.get(ts)) match {
-              case (Num(w), Some(g)) =>
+              case (Num(w), Some((g, None))) =>
                 if (!almostEqual(g, w)) problems += s"$lbls t=$ts got $g want $w"
+              case (Num(w), Some((_, Some(_)))) =>
+                problems += s"$lbls t=$ts got histogram, want float $w"
               case (Num(w), None) => problems += s"$lbls t=$ts missing, want $w"
-              case (Gap, Some(g)) => problems += s"$lbls t=$ts got $g want nothing"
+              case (Hist(wh), Some((_, Some(gh)))) =>
+                if (!histAlmostEqual(wh, gh))
+                  problems += s"$lbls t=$ts hist mismatch: got cnt=${gh.cnt} sum=${gh.sum} " +
+                    s"buckets=${gh.compact.allBuckets.take(4)} want cnt=${wh.cnt} sum=${wh.sum} " +
+                    s"buckets=${wh.compact.allBuckets.take(4)}"
+              case (Hist(wh), Some((g, None))) =>
+                problems += s"$lbls t=$ts got float $g, want histogram"
+              case (Hist(_), None) => problems += s"$lbls t=$ts missing, want histogram"
+              case (Gap, Some((g, _))) => problems += s"$lbls t=$ts got $g want nothing"
               case _ => ()
             }
           }

@@ -1,6 +1,6 @@
 package graft.promqltest
 
-import graft.promql.{Lexer, MatchOp, Parser, VectorSelector, ParseError}
+import graft.promql.{FHist, Lexer, MatchOp, Parser, VectorSelector, ParseError}
 
 /** Parser for the reference's declarative PromQL test scripts
   * (format ref: promql/promqltest/test.go:286 parseLoad, :514 parseSeries,
@@ -13,7 +13,8 @@ object TestScript {
   case object Gap extends SeriesValue
   case object StaleMark extends SeriesValue
   final case class Num(v: Double) extends SeriesValue
-  final case class Hist(spec: String) extends SeriesValue // native histogram literal (unsupported yet)
+  final case class Hist(h: FHist) extends SeriesValue   // parsed native-histogram literal
+  case object Unsupported extends SeriesValue           // notation we cannot load yet
 
   final case class SeriesSpec(labels: Map[String, String], values: Vector[SeriesValue])
 
@@ -62,7 +63,7 @@ object TestScript {
                     // unsupported series notation (@st annotations, duration
                     // values, …) — register the metric so evals touching it skip
                     val name = "^([a-zA-Z_:][a-zA-Z0-9_:]*)".r.findFirstIn(ln).getOrElse("")
-                    series += SeriesSpec(Map("__name__" -> name), Vector(Hist("unsupported-notation")))
+                    series += SeriesSpec(Map("__name__" -> name), Vector(Unsupported))
                 }
               }
               i += 1
@@ -147,25 +148,38 @@ object TestScript {
         if (s.startsWith("{{", i)) {
           val end = s.indexOf("}}", i)
           if (end < 0) throw ScriptError("unterminated histogram literal", lineNo)
-          val spec = new StringBuilder(s.substring(i + 2, end))
+          val base = FHist.parseLiteral(s.substring(i + 2, end))
           i = end + 2
-          // optional increment form: {{...}}+{{...}} / {{...}}-{{...}}
+          // optional increment form: {{...}}+{{...}}xN — cumulative add/sub
+          // (ref: promql/parser/parse.go:519 histogramsIncreaseSeries)
+          var inc: Option[FHist] = None
+          var sign = 1
           if (i + 2 < n && (s.charAt(i) == '+' || s.charAt(i) == '-') && s.startsWith("{{", i + 1)) {
+            sign = if (s.charAt(i) == '-') -1 else 1
             val end2 = s.indexOf("}}", i + 1)
             if (end2 < 0) throw ScriptError("unterminated histogram literal", lineNo)
-            spec ++= s.substring(i, end2 + 2)
+            inc = Some(FHist.parseLiteral(s.substring(i + 3, end2)))
             i = end2 + 2
           }
           // optional xN repetition
-          var reps = 1
+          var reps = 0
           if (i < n && s.charAt(i) == 'x') {
             val j = i + 1
             var k = j
             while (k < n && s.charAt(k).isDigit) k += 1
-            reps = s.substring(j, k).toInt + 1
+            reps = s.substring(j, k).toInt
             i = k
           }
-          (0 until reps).foreach(_ => out += Hist(spec.result()))
+          var cur = base
+          out += Hist(cur)
+          (0 until reps).foreach { _ =>
+            inc match {
+              case Some(d) =>
+                cur = (if (sign > 0) cur.add(d) else cur.sub(d)).copy(crh = cur.crh)
+                out += Hist(cur)
+              case None => out += Hist(base)
+            }
+          }
         } else {
           var j = i
           while (j < n && s.charAt(j) != ' ' && s.charAt(j) != '\t') j += 1

@@ -37,10 +37,11 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("duration_expression.test", 59, 0),
     ("trig_functions.test", 19, 0),
     ("range_queries.test", 13, 0),
-    ("subquery.test", 30, 1),
+    ("subquery.test", 33, 1),
     ("at_modifier.test", 78, 0),
-    ("operators.test", 142, 0),
-    ("aggregators.test", 137, 0),
+    ("operators.test", 211, 0),
+    ("aggregators.test", 158, 0),
+    ("limit.test", 36, 1),
     ("collision.test", 1, 0))
 
   for ((file, minPass, maxFail) <- floors) {
