@@ -87,7 +87,11 @@ final case class VectorMatching(
     card: MatchCard = MatchCard.OneToOne,
     matchingLabels: List[String] = Nil,
     on: Boolean = false,
-    include: List[String] = Nil)
+    include: List[String] = Nil,
+    // fill/fill_left/fill_right modifiers (ref: parser/ast.go:329
+    // VectorMatchFillValues): value used when that SIDE has no match
+    fillLhs: Option[Double] = None,
+    fillRhs: Option[Double] = None)
 
 final case class BinaryExpr(
     op: String, lhs: Expr, rhs: Expr,

@@ -17,6 +17,8 @@ object BinOps {
 
   private val setOps = Set("and", "or", "unless")
   private val cmpOps = Set("==", "!=", "<", ">", "<=", ">=")
+  /** histogram bucket-trim operators (hist `</` scalar keeps the name) */
+  private val trimOps = Set("</", ">/")
 
   private def arith(op: String, l: Column, r: Column): Column = op match {
     case "+" => l + r
@@ -34,6 +36,8 @@ object BinOps {
       case (ScalarVal(l, lc), ScalarVal(r, rc)) =>
         if (setOps.contains(op))
           throw PromQLError(s"set operator $op not allowed between scalars")
+        if (trimOps.contains(op)) // float </ float: incompatible, drop (info)
+          return ScalarVal(l.filter(lit(false)), None)
         if (cmpOps.contains(op) && !be.returnBool)
           throw PromQLError("comparisons between scalars must use BOOL modifier")
         def sop(a: Double, b: Double): Double =
@@ -83,6 +87,19 @@ object BinOps {
     val op = be.op
     if (setOps.contains(op))
       throw PromQLError(s"set operator $op requires vector operands")
+    // hist </ scalar, >/ scalar: trim buckets, KEEPING the metric name
+    // (ref: engine.go:3537-3539; float `</` anything drops with an info)
+    if (trimOps.contains(op)) {
+      if (scalarOnLeft) return VectorVal(vdf.filter(lit(false)))
+      val (df, sv) = sconst match {
+        case Some(c) => (vdf, lit(c))
+        case None => (vdf.join(broadcast(sdf.withColumnRenamed("v", "__s")), Seq("t")), col("__s"))
+      }
+      return VectorVal(df.filter(col("h").isNotNull)
+        .select(col("labels"), col("t"), col("v"), col("st"),
+          HistUdfs.guarded(col("h"))(
+            HistUdfs.trimH(col("h"), sv, lit(op == "</"))).as("h")))
+    }
     // histogram × scalar is defined only for * (both sides) and / (hist on
     // the left); all other hist/scalar combinations drop the sample
     // (ref: promql/engine.go:3484 vectorElemBinop histogram branches)
@@ -174,26 +191,55 @@ object BinOps {
           when(dupCnt > 1, raise_error(lit(dupMsg)).cast("double")).otherwise(v)
         def guardB(c: Column): Column =
           when(dupCnt > 1, raise_error(lit(dupMsg)).cast("boolean")).otherwise(c)
-        val joined = lpc.join(rpc, Seq("msig", "t"))
+        // fill modifiers turn the match into an outer join on the missing
+        // side(s); the fill value substitutes the absent sample value.
+        // fill_left applies to the MANY side and fill_right to the ONE side —
+        // the reference engine swaps operands for group_right so its "lhs"
+        // is always the many side (ref: parser/ast.go:329, engine.go:3191,
+        // fill-modifier.test group_right cases).
         val manyIsLeft = be.matching.card != MatchCard.OneToMany
+        val (fillL, fillR) =
+          if (manyIsLeft) (m.fillLhs, m.fillRhs) else (m.fillRhs, m.fillLhs)
+        val joinType = (fillL.isDefined, fillR.isDefined) match {
+          case (true, true) => "full_outer"
+          case (true, false) => "right_outer"
+          case (false, true) => "left_outer"
+          case _ => "inner"
+        }
+        val joined0 = lpc.join(rpc, Seq("msig", "t"), joinType)
+        val joined = joined0
+          .withColumn("l_v", fillL.map(f => coalesce(col("l_v"), lit(f))).getOrElse(col("l_v")))
+          .withColumn("r_v", fillR.map(f => coalesce(col("r_v"), lit(f))).getOrElse(col("r_v")))
+          // label projections fall back to the present side (for `on` and
+          // ignoring-style matching the projected label sets agree by
+          // construction of the match group)
+          .withColumn("l_labels_eff", coalesce(col("l_labels"), col("r_labels")))
+          .withColumn("r_labels_eff", coalesce(col("r_labels"), col("l_labels")))
         val manyLabels = if (manyIsLeft) col("l_labels") else col("r_labels")
-        val oneLabels = if (manyIsLeft) col("r_labels") else col("l_labels")
+        val manyLabelsEff = if (manyIsLeft) col("l_labels_eff") else col("r_labels_eff")
+        val oneLabelsEff = if (manyIsLeft) col("r_labels_eff") else col("l_labels_eff")
         val manyV = if (manyIsLeft) col("l_v") else col("r_v")
-        val manySt = if (manyIsLeft) col("l_st") else col("r_st")
         // result labels (ref: promql/engine.go:3359 resultMetric):
         // 1:1 → lhs projected to the matching-label subset; N:1/1:N → the
         // "many" side's labels minus __name__; then merge include labels from
-        // the "one" side.
+        // the "one" side. The *_eff variants fall back to the present side
+        // for fill-modifier outer-join rows.
+        def groupProj(c: Column): Column =
+          if (m.on) pl.keepLabelsCol(c, m.matchingLabels)
+          else pl.withoutLabelsCol(c, m.matchingLabels)
         val baseLabels: Column =
-          if (m.card == MatchCard.OneToOne) {
-            if (m.on) pl.keepLabelsCol(col("l_labels"), m.matchingLabels)
-            else pl.withoutLabelsCol(col("l_labels"), m.matchingLabels)
-          } else pl.dropNameCol(manyLabels)
+          if (m.card == MatchCard.OneToOne) groupProj(col("l_labels_eff"))
+          else
+            // a fill-synthesized many side produces ONE row per match group,
+            // labeled with the match-group projection (fill-modifier.test
+            // `{status="404"} 500`)
+            when(manyLabels.isNotNull, pl.dropNameCol(manyLabels))
+              .otherwise(groupProj(oneLabelsEff))
         val includeLabels: Column =
           if (m.include.isEmpty) baseLabels
           else map_concat(
             map_filter(baseLabels, (k, _) => !k.isInCollection(m.include)),
-            pl.keepLabelsCol(oneLabels, m.include))
+            pl.keepLabelsCol(oneLabelsEff, m.include))
         if (cmpOps.contains(op)) {
           val manyH = if (manyIsLeft) col("l_h") else col("r_h")
           val bothF = col("l_h").isNull && col("r_h").isNull
@@ -213,12 +259,16 @@ object BinOps {
                 col("t").as("st"))
           else {
             // filter comparison: keep the many side's full labels (metric name
-            // included), but still merge group_x(include) labels from the one side
+            // included), but still merge group_x(include) labels from the one
+            // side; a fill-synthesized many side takes the other side's
+            // labels minus the metric name
+            val manyOrFilled =
+              when(manyLabels.isNotNull, manyLabels).otherwise(pl.dropNameCol(oneLabelsEff))
             val filterLabels =
-              if (m.include.isEmpty) manyLabels
+              if (m.include.isEmpty) manyOrFilled
               else map_concat(
-                map_filter(manyLabels, (k, _) => !k.isInCollection(m.include)),
-                pl.keepLabelsCol(oneLabels, m.include))
+                map_filter(manyOrFilled, (k, _) => !k.isInCollection(m.include)),
+                pl.keepLabelsCol(oneLabelsEff, m.include))
             joined.filter(guardB(pred))
               .select(filterLabels.as("labels"), col("t"), manyV.as("v"), col("t").as("st"),
                 manyH.as("h"))
@@ -235,14 +285,19 @@ object BinOps {
             case "*" => when(lh.isNotNull && rh.isNull, HistUdfs.scaleH(lh, col("r_v")))
               .when(lh.isNull && rh.isNotNull, HistUdfs.scaleH(rh, col("l_v")))
             case "/" => when(lh.isNotNull && rh.isNull, HistUdfs.divH(lh, col("r_v")))
+            case "</" => when(lh.isNotNull && rh.isNull, HistUdfs.trimH(lh, col("r_v"), lit(true)))
+            case ">/" => when(lh.isNotNull && rh.isNull, HistUdfs.trimH(lh, col("r_v"), lit(false)))
             case _ => lit(null).cast(FHist.schemaType)
           }
+          val isTrim = trimOps.contains(op)
+          val vExpr =
+            if (isTrim) lit(Double.NaN)
+            else guardD(when(bothFloat, arith(op, col("l_v"), col("r_v")))
+              .otherwise(lit(Double.NaN)))
           joined
             .withColumn("__hout", hOut)
-            .filter(bothFloat || col("__hout").isNotNull)
-            .select(includeLabels.as("labels"), col("t"),
-              guardD(when(bothFloat, arith(op, col("l_v"), col("r_v")))
-                .otherwise(lit(Double.NaN))).as("v"),
+            .filter((bothFloat && !isTrim) || col("__hout").isNotNull)
+            .select(includeLabels.as("labels"), col("t"), vExpr.as("v"),
               col("t").as("st"), col("__hout").as("h"))
         }
     }

@@ -224,14 +224,17 @@ object CallEval {
       case "histogram_quantile" =>
         val phi = pl.constValue(args.head).getOrElse(
           throw PromQLError("histogram_quantile: φ must be constant"))
-        val in = vecArg(args(1))
+        val (nat, cls) = splitHistInputs(pl, vecArg(args(1)))
         // native path (ref: quantile.go:172) ∪ classic le-bucket path
-        val native = in.filter(col("h").isNotNull)
-          .select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
+        val native = nat
+          .select(col("labels"), col("t"),
             HistUdfs.guarded(col("h"))(HistUdfs.quantileH(lit(phi), col("h"))).as("v"), col("t").as("st"))
           .filter(!isnull(col("v")))
-        VectorVal(native.unionByName(
-          classicHistogramQuantile(pl, in.filter(col("h").isNull), phi)))
+        val classic = cls
+          .select(col("labels"), col("t"),
+            RangeUdfs.bucketQuantile(lit(phi), col("buckets")).as("v"), col("t").as("st"))
+          .filter(!isnull(col("v")))
+        VectorVal(native.unionByName(classic))
 
       case "histogram_quantiles" =>
         // (ref: promql/functions.go:2243 funcHistogramQuantiles — one output
@@ -245,13 +248,16 @@ object CallEval {
           else RangeUdfs.goFormat(q)
         def addQ(labels: Column, q: Double): Column =
           map_concat(map_filter(labels, (k, _) => k =!= lbl), map(lit(lbl), lit(fmtQ(q))))
+        val (nat, cls) = splitHistInputs(pl, in)
         val parts = qs.map { q =>
-          val native = in.filter(col("h").isNotNull)
-            .select(addQ(pl.dropNameCol(col("labels")), q).as("labels"), col("t"),
+          val native = nat
+            .select(addQ(col("labels"), q).as("labels"), col("t"),
               HistUdfs.guarded(col("h"))(HistUdfs.quantileH(lit(q), col("h"))).as("v"), col("t").as("st"))
             .filter(!isnull(col("v")))
-          val classic = classicHistogramQuantile(pl, in.filter(col("h").isNull), q)
-            .select(addQ(col("labels"), q).as("labels"), col("t"), col("v"), col("st"))
+          val classic = cls
+            .select(addQ(col("labels"), q).as("labels"), col("t"),
+              RangeUdfs.bucketQuantile(lit(q), col("buckets")).as("v"), col("t").as("st"))
+            .filter(!isnull(col("v")))
           native.unionByName(classic)
         }
         VectorVal(parts.reduce(_.unionByName(_)))
@@ -259,42 +265,52 @@ object CallEval {
       case "histogram_fraction" =>
         val lo = pl.constValue(args.head).getOrElse(throw PromQLError("histogram_fraction: lo must be constant"))
         val hi = pl.constValue(args(1)).getOrElse(throw PromQLError("histogram_fraction: hi must be constant"))
-        val in = vecArg(args(2))
-        val native = in.filter(col("h").isNotNull)
-          .select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
+        val (nat, cls) = splitHistInputs(pl, vecArg(args(2)))
+        val native = nat
+          .select(col("labels"), col("t"),
             HistUdfs.guarded(col("h"))(HistUdfs.fractionH(lit(lo), lit(hi), col("h"))).as("v"), col("t").as("st"))
           .filter(!isnull(col("v")))
-        VectorVal(native.unionByName(
-          classicHistogramFraction(pl, in.filter(col("h").isNull), lo, hi)))
+        val classic = cls
+          .select(col("labels"), col("t"),
+            RangeUdfs.bucketFraction(lit(lo), lit(hi), col("buckets")).as("v"), col("t").as("st"))
+          .filter(!isnull(col("v")))
+        VectorVal(native.unionByName(classic))
 
       case other => throw PromQLError(s"unsupported function: $other")
     }
   }
 
-  /** classic-histogram path: group bucket series by labels-without-le
-    * (ref: promql/functions.go:2177 → quantile.go:105). */
-  private def bucketsOf(pl: Planner, in: DataFrame): DataFrame = {
+  /** Split a histogram-function input vector into the native side and the
+    * classic le-bucket side, mutually EXCLUDING conflicting groups — a label
+    * group with both a native sample and classic bucket series at the same
+    * timestamp is dropped from both (ref: promql/functions.go
+    * enh.resetHistograms conflict handling).
+    * Returns (native: labels,t,h | classic: labels,t,buckets). */
+  private[promql] def splitHistInputs(pl: Planner, in: DataFrame): (DataFrame, DataFrame) = {
     val leStr = pl.lvalCol(col("labels"), "le")
-    val leD = when(leStr === "+Inf" || leStr === "Inf" || leStr === "inf",
-      lit(Double.PositiveInfinity)).otherwise(leStr.cast("double"))
-    in.filter(leStr =!= "")
-      .withColumn("__le", leD)
+    val native = in.filter(col("h").isNotNull)
+      .select(pl.dropNameCol(col("labels")).as("labels"), col("t"), col("h"))
+      .withColumn("__k", pl.sigCol(col("labels")))
+    val classic = in.filter(col("h").isNull).filter(leStr =!= "")
+      .withColumn("__lestr", leStr)
+      // try_cast: an unparsable le label ("Hello World") drops the bucket,
+      // never fails the query
+      .withColumn("__le", when(col("__lestr") === "+Inf" || col("__lestr") === "Inf" ||
+          col("__lestr") === "inf", lit(Double.PositiveInfinity))
+        .otherwise(expr("try_cast(__lestr AS DOUBLE)")))
+      .filter(col("__le").isNotNull)
       .withColumn("glabels",
         map_filter(col("labels"), (k, _) => k =!= "le" && k =!= "__name__"))
-      .groupBy(pl.sigCol(col("glabels")).as("gsig"), col("t"))
+      .withColumn("__k", pl.sigCol(col("glabels")))
+    val nKeys = native.select(col("__k"), col("t")).distinct()
+    val cKeys = classic.select(col("__k"), col("t")).distinct()
+    val nativeClean = native.join(cKeys, Seq("__k", "t"), "left_anti")
+      .select(col("labels"), col("t"), col("h"))
+    val classicClean = classic.join(nKeys, Seq("__k", "t"), "left_anti")
+      .groupBy(col("__k"), col("t"))
       .agg(first(col("glabels")).as("labels"),
            collect_list(struct(col("__le"), col("v"))).as("buckets"))
+      .select(col("labels"), col("t"), col("buckets"))
+    (nativeClean, classicClean)
   }
-
-  private def classicHistogramQuantile(pl: Planner, in: DataFrame, phi: Double): DataFrame =
-    bucketsOf(pl, in)
-      .select(col("labels"), col("t"),
-        RangeUdfs.bucketQuantile(lit(phi), col("buckets")).as("v"), col("t").as("st"))
-      .filter(!isnull(col("v")))
-
-  private def classicHistogramFraction(pl: Planner, in: DataFrame, lo: Double, hi: Double): DataFrame =
-    bucketsOf(pl, in)
-      .select(col("labels"), col("t"),
-        RangeUdfs.bucketFraction(lit(lo), lit(hi), col("buckets")).as("v"), col("t").as("st"))
-      .filter(!isnull(col("v")))
 }

@@ -171,6 +171,121 @@ final case class FHist(
 
   def isGauge: Boolean = crh == FHist.HintGauge
 
+  /** Bucket-trim operators `</` (upper) and `>/` (lower) — keep only the
+    * observations below/above the trim point, interpolating inside the
+    * bucket that contains it (ref: float_histogram.go:2129 TrimBuckets +
+    * computeBucketTrim/computeZeroBucketTrim/handleInfinityBuckets). */
+  def trimBuckets(rhs: Double, isUpperTrim: Boolean): FHist = {
+    val linear = isCustom
+    var updatedCount = 0.0; var updatedSum = 0.0
+    var trimmed = false
+    var hasPositive = false; var hasNegative = false
+
+    def midpoint(lo: Double, hi: Double, isPositive: Boolean): Double = {
+      if (lo.isInfinite) {
+        if (hi.isInfinite) 0.0
+        else if (hi > 0) hi / 2 else hi
+      } else if (hi.isInfinite) lo
+      else if (linear) (lo + hi) / 2
+      else { val g = math.sqrt(math.abs(lo * hi)); if (isPositive) g else -g }
+    }
+    def fracBelow(lo: Double, hi: Double, v: Double): Double =
+      if (linear) (v - lo) / (hi - lo)
+      else {
+        val ll = math.log(math.abs(lo)) / 0.6931471805599453
+        val lu = math.log(math.abs(hi)) / 0.6931471805599453
+        val lv = math.log(math.abs(v)) / 0.6931471805599453
+        if (v > 0) (lv - ll) / (lu - ll) else 1 - ((lv - lu) / (ll - lu))
+      }
+    def split(lo: Double, hi: Double, c: Double, v: Double): Double =
+      if (v <= lo) 0.0 else if (v >= hi) c else c * fracBelow(lo, hi, v)
+    def zeroIfInf(x: Double): Double = if (x.isInfinite) 0.0 else x
+    def infTrim(lo: Double, hi: Double, c: Double): (Double, Double) = {
+      if (lo.isNegInfinity) {
+        if (isUpperTrim) {
+          if (rhs >= hi) (c, 0.0)
+          else if (rhs > 0 && hi > 0 && !hi.isPosInfinity) (c * rhs / hi, rhs / 2)
+          else if (hi <= 0) (c, rhs)
+          else (0.0, zeroIfInf(hi))
+        } else {
+          if (rhs >= 0 && hi > rhs && !hi.isPosInfinity) (c * (1 - rhs / hi), (rhs + hi) / 2)
+          else (0.0, zeroIfInf(hi))
+        }
+      } else { // hi == +Inf
+        if (isUpperTrim) (0.0, zeroIfInf(lo))
+        else if (rhs >= lo) (c, rhs)
+        else (0.0, zeroIfInf(lo))
+      }
+    }
+    def bucketTrim(lo: Double, hi: Double, c: Double, isPositive: Boolean): (Double, Double) = {
+      if (lo.isNegInfinity || hi.isPosInfinity) infTrim(lo, hi, c)
+      else {
+        val under = split(lo, hi, c, rhs)
+        if (isUpperTrim) (under, midpoint(lo, rhs, isPositive))
+        else (c - under, midpoint(rhs, hi, isPositive))
+      }
+    }
+
+    def bound(i: Int): Double = math.pow(2.0, i * math.pow(2.0, -schema))
+    def bounds(i: Int, positive: Boolean): (Double, Double) =
+      if (isCustom) (if (i == 0) Double.NegativeInfinity else cv(i - 1),
+                     if (i < cv.length) cv(i) else Double.PositiveInfinity)
+      else if (positive) (bound(i - 1), bound(i))
+      else (-bound(i), -bound(i - 1))
+
+    def trimSide(idx: Seq[Int], cnts: Seq[Double], positive: Boolean): Seq[Double] =
+      idx.zip(cnts).map { case (i, c) =>
+        if (c == 0) c
+        else {
+          if (positive) hasPositive = true else hasNegative = true
+          val (lo, hi) = bounds(i, positive)
+          val keepAll =
+            if (isUpperTrim) hi <= rhs else lo >= rhs
+          val contains =
+            if (isUpperTrim) !keepAll && lo < rhs else !keepAll && hi > rhs
+          if (keepAll) {
+            updatedCount += c
+            updatedSum += midpoint(lo, hi, positive) * c
+            c
+          } else if (contains) {
+            val (keep, mid) = bucketTrim(lo, hi, c, positive)
+            updatedCount += keep
+            updatedSum += mid * keep
+            if (keep != c) trimmed = true
+            keep
+          } else {
+            trimmed = true
+            0.0
+          }
+        }
+      }
+
+    val np = trimSide(pidx, pcnt, positive = true)
+    val nn = trimSide(nidx, ncnt, positive = false)
+    var nzc = zc
+    if (zc > 0) {
+      var lo = -zt; var hi = zt
+      if (hasNegative && !hasPositive) hi = 0
+      if (hasPositive && !hasNegative) lo = 0
+      val (keep, mid) =
+        if (isUpperTrim) {
+          if (rhs <= lo) (0.0, 0.0)
+          else if (rhs >= hi) (zc, (lo + hi) / 2)
+          else (zc * ((rhs - lo) / (hi - lo)), (lo + rhs) / 2)
+        } else {
+          if (rhs <= lo) (zc, (lo + hi) / 2)
+          else if (rhs >= hi) (0.0, 0.0)
+          else (zc * ((hi - rhs) / (hi - lo)), (rhs + hi) / 2)
+        }
+      if (keep != zc) trimmed = true
+      nzc = keep
+      updatedSum += mid * keep
+      updatedCount += keep
+    }
+    val out = copy(pcnt = np, ncnt = nn, zc = nzc)
+    if (trimmed) out.copy(cnt = updatedCount, sum = updatedSum).compact else out
+  }
+
   /** Go FloatHistogram.String() rendering (ref: float_histogram.go:177) —
     * used by count_values label values. Negative buckets print [lo,hi),
     * the zero bucket [-zt,zt], positive/custom buckets (lo,hi]. */
@@ -222,6 +337,116 @@ final case class FHist(
 }
 
 object FHist {
+
+  /** any scalar field or bucket overflowed to ±Inf
+    * (ref: float_histogram.go:2101 HasOverflow) */
+  def hasOverflow(h: FHist): Boolean =
+    h.zc.isInfinite || h.cnt.isInfinite || h.sum.isInfinite ||
+    h.pcnt.exists(_.isInfinite) || h.ncnt.exists(_.isInfinite) ||
+    h.cv.exists(_.isInfinite)
+
+  /** align two histograms to a common layout (min schema / intersected
+    * custom bounds); the compensation histogram follows the sum's layout */
+  private def align(a: FHist, b: FHist): (FHist, FHist) = {
+    require(a.isCustom == b.isCustom, "cannot combine custom and exponential histograms")
+    if (a.isCustom) {
+      if (a.cv == b.cv) (a, b)
+      else {
+        val common = a.cv.intersect(b.cv)
+        (a.remapCv(common), b.remapCv(common))
+      }
+    } else {
+      val t = math.min(a.schema, b.schema)
+      (a.reduceTo(t), b.reduceTo(t))
+    }
+  }
+
+  /** all-zero compensation histogram with `s`'s layout */
+  private def zeroLike(s: FHist): FHist =
+    s.copy(zc = 0.0, cnt = 0.0, sum = 0.0,
+      pcnt = s.pcnt.map(_ => 0.0), ncnt = s.ncnt.map(_ => 0.0))
+
+  /** per-field Kahan add: (sum, comp) += x
+    * (ref: float_histogram.go:418 KahanAdd) */
+  private def kahanAddH(s0: FHist, c0: FHist, x0: FHist): (FHist, FHist) = {
+    val (s1, x) = align(s0, x0)
+    val c =
+      if (s0.isCustom) { if (c0.cv == s1.cv) c0 else c0.remapCv(s1.cv) }
+      else c0.reduceTo(s1.schema)
+    import RangeUdfs.kahanInc
+    val (zcS, zcC) = kahanInc(x.zc, s1.zc, c.zc)
+    val (cntS, cntC) = kahanInc(x.cnt, s1.cnt, c.cnt)
+    val (sumS, sumC) = kahanInc(x.sum, s1.sum, c.sum)
+    def merge(si: Seq[Int], sc: Seq[Double], ci: Seq[Int], cc: Seq[Double],
+        xi: Seq[Int], xc: Seq[Double]): (Seq[Int], Seq[Double], Seq[Double]) = {
+      val sm = si.zip(sc).toMap
+      val cm = ci.zip(cc).toMap
+      val xm = xi.zip(xc).toMap
+      val keys = (sm.keySet ++ xm.keySet).toSeq.sorted
+      val out = keys.map { k =>
+        val (ns, nc) = kahanInc(xm.getOrElse(k, 0.0), sm.getOrElse(k, 0.0), cm.getOrElse(k, 0.0))
+        (k, ns, nc)
+      }
+      (out.map(_._1), out.map(_._2), out.map(_._3))
+    }
+    val (pi, ps, pc) = merge(s1.pidx, s1.pcnt, c.pidx, c.pcnt, x.pidx, x.pcnt)
+    val (ni, ns, nc) = merge(s1.nidx, s1.ncnt, c.nidx, c.ncnt, x.nidx, x.ncnt)
+    val zt = math.max(s1.zt, x.zt)
+    (s1.copy(zt = zt, zc = zcS, cnt = cntS, sum = sumS,
+       pidx = pi, pcnt = ps, nidx = ni, ncnt = ns,
+       crh = mergeHint(s1.crh, x.crh)),
+     s1.copy(zt = zt, zc = zcC, cnt = cntC, sum = sumC,
+       pidx = pi, pcnt = pc, nidx = ni, ncnt = nc, crh = HintUnknown))
+  }
+
+  /** Kahan-compensated histogram sum (ref: engine.go:3715 group sum /
+    * functions.go:1613 sum_over_time) */
+  def sumSeq(hs: Seq[FHist]): FHist = {
+    var s = hs.head
+    var c = zeroLike(s)
+    hs.drop(1).foreach { h =>
+      val (ns, nc) = kahanAddH(s, c, h)
+      s = ns; c = nc
+    }
+    s.add(c).copy(crh = s.crh)
+  }
+
+  /** average with incremental-mean fallback on overflow
+    * (ref: functions.go:1269-1325 avg_over_time hist path,
+    * engine.go:3776-3800 group avg) */
+  def avgSeq(hs: Seq[FHist]): FHist = {
+    var sum = hs.head
+    var c = zeroLike(sum)
+    var mean: FHist = null
+    var incremental = false
+    var count = 1.0
+    var i = 1
+    while (i < hs.length) {
+      val h = hs(i)
+      count = i + 1.0
+      var handled = false
+      if (!incremental) {
+        val (ns, nc) = kahanAddH(sum, c, h)
+        if (!hasOverflow(ns)) { sum = ns; c = nc; handled = true }
+        else {
+          incremental = true
+          mean = sum.divide(count - 1)
+          c = c.divide(count - 1)
+        }
+      }
+      if (!handled) {
+        val q = (count - 1) / count
+        c = c.scale(q)
+        val toAdd = h.divide(count)
+        val (nm, nc2) = kahanAddH(mean.scale(q), c, toAdd)
+        mean = nm; c = nc2
+      }
+      i += 1
+    }
+    if (incremental) mean.add(c).copy(crh = mean.crh)
+    else sum.divide(count).add(c.divide(count)).copy(crh = sum.crh)
+  }
+
   val CustomSchema: Int = -53
   val HintUnknown = 0; val HintReset = 1; val HintNotReset = 2; val HintGauge = 3
 
@@ -360,7 +585,10 @@ object FHist {
     while (iter.hasNext && !break) {
       var (lo, hi, c) = iter.next()
       var zeroBucket = false
-      if (!h.isCustom && lo <= 0 && hi >= 0) {
+      // bound tightening applies to custom buckets too (the first NHCB
+      // bucket (−Inf, x] becomes [0, x] for all-positive histograms) —
+      // unlike quantile, which gates this on !UsesCustomBuckets
+      if (lo <= 0 && hi >= 0) {
         zeroBucket = true
         if (h.nidx.isEmpty && h.pidx.nonEmpty) lo = 0
         else if (h.pidx.isEmpty && h.nidx.nonEmpty) hi = 0

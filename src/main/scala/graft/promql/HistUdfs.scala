@@ -60,6 +60,31 @@ object HistUdfs {
     if (h == null || s == null) null else h.divide(s)
   }
 
+  /** irate/idelta over histogram windows: last two points (ref:
+    * promql/functions.go:830 instantValue histogram branch — a counter reset
+    * makes irate use the last value itself) */
+  def histInstant(isRate: Boolean) = udf { (pts: Seq[HPt]) =>
+    if (pts == null || pts.length < 2) null
+    else try {
+      val sorted = pts.sortBy(_.wt)
+      val prev = sorted(sorted.length - 2)
+      val last = sorted.last
+      val diff =
+        if (isRate && last.h.detectReset(prev.h)) last.h
+        else last.h.sub(prev.h)
+      val out =
+        if (isRate) diff.divide((last.wt - prev.wt).toDouble / 1000.0)
+        else diff
+      out.copy(crh = FHist.HintGauge).compact
+    } catch { case _: Exception => null }
+  }
+
+  /** bucket-trim operators `</` / `>/` (ref: float_histogram.go:2129) */
+  val trimH = udf { (h: FHist, rhs: java.lang.Double, isUpper: java.lang.Boolean) =>
+    if (h == null || rhs == null) null
+    else try h.trimBuckets(rhs, isUpper) catch { case _: Exception => null }
+  }
+
   /** Go String() rendering for count_values label values */
   val histStringH = udf { (h: FHist) =>
     if (h == null) null else h.compact.goString
@@ -117,13 +142,12 @@ object HistUdfs {
     * incompatible layouts is dropped entirely (warn+skip in the reference) */
   val sumHists = udf { (hs: Seq[FHist]) =>
     if (hs == null || hs.isEmpty) null
-    else try hs.reduce((a, b) => a.add(b)).compact catch { case _: Exception => null }
+    else try FHist.sumSeq(hs).compact catch { case _: Exception => null }
   }
 
   val avgHists = udf { (hs: Seq[FHist]) =>
     if (hs == null || hs.isEmpty) null
-    else try hs.reduce((a, b) => a.add(b)).scale(1.0 / hs.length).compact
-    catch { case _: Exception => null }
+    else try FHist.avgSeq(hs).compact catch { case _: Exception => null }
   }
 
   /** rate/increase/delta over a histogram-only window (ref:
@@ -174,12 +198,13 @@ object HistUdfs {
       }
     }
 
-  /** sum_over_time / avg_over_time over histogram-only windows */
+  /** sum_over_time / avg_over_time over histogram-only windows (time-ordered
+    * Kahan, incremental-mean overflow fallback for avg) */
   def histOverTime(isAvg: Boolean) = udf { (pts: Seq[HPt]) =>
     if (pts == null || pts.isEmpty) null
     else try {
-      val s = pts.sortBy(_.wt).map(_.h).reduce((a, b) => a.add(b))
-      (if (isAvg) s.scale(1.0 / pts.length) else s).compact
+      val hs = pts.sortBy(_.wt).map(_.h)
+      (if (isAvg) FHist.avgSeq(hs) else FHist.sumSeq(hs)).compact
     } catch { case _: Exception => null }
   }
 }

@@ -332,10 +332,10 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       case "delta" => extrapolated(isCounter = false, isRate = false, isDelta = true)
 
       case "irate" | "idelta" =>
-        val agged = g.agg(
+        val agged = exclMixed(g.agg(
           first(col("labels")).as("labels"),
           count(col("v")).as("cnt"),
-          expr("max_by(struct(v, prev_v, prev_wt, wt), wt)").as("lp"))
+          expr("max_by(struct(v, prev_v, prev_wt, wt), wt)").as("lp")), hpts)
         // ref: promql/functions.go:830 instantValue — last two points in window
         val ok = col("cnt") >= 1 && col("lp.prev_wt").isNotNull &&
           (col("lp.prev_wt") > col("t_step") - ri.rangeMs)
@@ -348,6 +348,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           if (name == "irate") diff / ((col("lp.wt") - col("lp.prev_wt")).cast("double") / 1000.0)
           else diff
         finish(agged, v, ok)
+          .unionByName(histBranch(HistUdfs.histInstant(name == "irate")(col("hp")), minPts = 2))
 
       case "resets" =>
         // ref: promql/functions.go:2359 — count of counter resets in window

@@ -164,36 +164,44 @@ object RangeUdfs {
     }
   }
 
-  /** classic-histogram fraction of observations in [lo, hi]
-    * (ref: promql/quantile.go:520 BucketFraction). */
-  def bucketFractionImpl(lo: Double, hi: Double, les: Seq[Double], counts: Seq[Double]): Double = {
+  /** classic-histogram fraction of observations in [lower, upper] — literal
+    * port of the reference algorithm (ref: promql/quantile.go:520
+    * BucketFraction): cumulative ranks, first-bucket lower bound 0 (or −Inf
+    * when the first le ≤ 0), no interpolation inside infinite-width buckets. */
+  def bucketFractionImpl(lower: Double, upper: Double, les: Seq[Double], counts: Seq[Double]): Double = {
     val pairs = les.zip(counts).sortBy(_._1)
     if (pairs.isEmpty || !pairs.last._1.isPosInfinity) return Double.NaN
-    val total = pairs.last._2
-    if (total == 0) return Double.NaN
-    if (lo.isNaN || hi.isNaN) return Double.NaN
-    if (hi < lo) return 0.0
-    def rank(x: Double): Double = {
-      if (x.isPosInfinity) return total
-      // cumulative count at x with linear interpolation inside buckets
-      var prevLe = 0.0
-      var prevCc = 0.0
-      var i = 0
-      while (i < pairs.length) {
-        val (le, cc) = pairs(i)
-        if (x <= le) {
-          if (i == 0 && le <= 0) return cc
-          val lower = if (i == 0) 0.0 else { prevLe }
-          val width = le - lower
-          val frac = if (width <= 0) 1.0 else (x - lower) / width
-          return prevCc + (cc - prevCc) * math.max(0.0, math.min(1.0, frac))
-        }
-        prevLe = le; prevCc = cc
-        i += 1
+    val count = pairs.last._2
+    if (count == 0 || lower.isNaN || upper.isNaN) return Double.NaN
+    if (lower >= upper) return 0.0
+
+    var rank = 0.0
+    var lowerRank = 0.0; var upperRank = 0.0
+    var lowerSet = false; var upperSet = false
+    var lowerBound = if (pairs.head._1 <= 0) Double.NegativeInfinity else 0.0
+    var i = 0
+    var broke = false
+    while (i < pairs.length && !broke) {
+      if (i > 0) lowerBound = pairs(i - 1)._1
+      val upperBound = pairs(i)._1
+      val cc = pairs(i)._2
+      def interp(v: Double): Double =
+        if (lowerBound.isNegInfinity) cc
+        else rank + (cc - rank) * (v - lowerBound) / (upperBound - lowerBound)
+      if (!lowerSet && lowerBound >= lower) { lowerRank = rank; lowerSet = true }
+      if (!upperSet && lowerBound >= upper) { upperRank = rank; upperSet = true }
+      if (lowerSet && upperSet) broke = true
+      else {
+        if (!lowerSet && lowerBound < lower && upperBound > lower) { lowerRank = interp(lower); lowerSet = true }
+        if (!upperSet && lowerBound < upper && upperBound > upper) { upperRank = interp(upper); upperSet = true }
+        if (lowerSet && upperSet) broke = true
+        else rank = cc
       }
-      total
+      i += 1
     }
-    (rank(hi) - rank(lo)) / total
+    if (!lowerSet || lowerRank > count) lowerRank = count
+    if (!upperSet || upperRank > count) upperRank = count
+    (upperRank - lowerRank) / count
   }
 
   val bucketFraction = udf { (lo: Double, hi: Double, buckets: Seq[Row]) =>

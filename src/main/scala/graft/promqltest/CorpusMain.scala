@@ -30,7 +30,7 @@ object CorpusMain {
       println(r.summary)
       tp += r.passed; tf += r.failed; ts += r.skipped
       if (verbose) {
-        r.results.filterNot(_.ok).filterNot(_.skipped).take(20).foreach { er =>
+        r.results.filterNot(_.ok).filterNot(_.skipped).take(200).foreach { er =>
           println(s"  FAIL L${er.line}: ${er.expr.take(90)}\n    ${er.detail.take(300)}")
         }
         r.results.filter(_.skipped).take(8).foreach { er =>
