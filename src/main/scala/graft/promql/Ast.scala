@@ -53,8 +53,16 @@ final case class VectorSelector(
   def valueType: ValueType = ValueType.InstantVector
 }
 
-final case class MatrixSelector(vs: VectorSelector, rangeMs: Long) extends Expr {
+/** ext: 0 = plain, 1 = anchored, 2 = smoothed (experimental extended range
+  * selectors, ref: promql/parser/lex.go:132-133, engine.go:2848). */
+final case class MatrixSelector(vs: VectorSelector, rangeMs: Long, ext: Int = 0) extends Expr {
   def valueType: ValueType = ValueType.RangeVector
+}
+
+/** `metric smoothed` — instant selector with linear interpolation at the
+  * evaluation timestamp (ref: promql/engine.go:1730 smoothSeries). */
+final case class SmoothedVector(vs: VectorSelector) extends Expr {
+  def valueType: ValueType = ValueType.InstantVector
 }
 
 /** `expr[range:step]` — step 0 means "use default eval interval". */

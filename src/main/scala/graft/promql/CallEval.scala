@@ -276,8 +276,111 @@ object CallEval {
           .filter(!isnull(col("v")))
         VectorVal(native.unionByName(classic))
 
+      case "info" =>
+        VectorVal(evalInfo(pl, args))
+
       case other => throw PromQLError(s"unsupported function: $other")
     }
+  }
+
+  /** info() — enrich series with data labels from matching info metrics
+    * (ref: promql/info.go:39 evalInfo; identifying labels are hard-coded
+    * `instance`,`job`, default info metric `target_info`).
+    *
+    * Plan shape: the info side is an instant selection broadcast-joined onto
+    * the base vector on (identifying labels, step) — at 100 TB the info
+    * series set (one per target) is orders of magnitude smaller than the
+    * sample stream, so the broadcast is the right physical join. */
+  private def evalInfo(pl: Planner, args: List[Expr]): DataFrame = {
+    val base = pl.eval(args.head) match {
+      case VectorVal(df) => df
+      case other => throw PromQLError(s"info expects instant vector, got $other")
+    }
+    val selMatchers: List[LabelMatcher] = args.drop(1) match {
+      case Nil => Nil
+      case (vs: VectorSelector) :: _ =>
+        vs.metricName.map(n => LabelMatcher("__name__", MatchOp.Eq, n)).toList ++ vs.matchers
+      case other => throw PromQLError(s"info: second argument must be a label selector, got $other")
+    }
+    val nameMs = selMatchers.filter(_.name == "__name__")
+    val dataMs = selMatchers.filterNot(_.name == "__name__")
+    // effective info-series __name__ matchers (ref: info.go:92)
+    val effNameMs: List[LabelMatcher] =
+      if (nameMs.exists(m => m.op == MatchOp.Eq || m.op == MatchOp.Re)) nameMs
+      else if (nameMs.nonEmpty) LabelMatcher("__name__", MatchOp.Re, ".+_info") :: nameMs
+      else List(LabelMatcher("__name__", MatchOp.Eq, "target_info"))
+
+    def matches(m: LabelMatcher, v: String): Boolean = m.op match {
+      case MatchOp.Eq => v == m.value
+      case MatchOp.Neq => v != m.value
+      case MatchOp.Re => java.util.regex.Pattern.matches("(?:" + m.value + ")", v)
+      case MatchOp.NotRe => !java.util.regex.Pattern.matches("(?:" + m.value + ")", v)
+    }
+    // does an absent info match still satisfy every data matcher?
+    val emptyOk = dataMs.forall(m => matches(m, ""))
+
+    def matcherCond(labels: Column, m: LabelMatcher): Column = {
+      val v = coalesce(element_at(labels, m.name), lit(""))
+      m.op match {
+        case MatchOp.Eq => v === m.value
+        case MatchOp.Neq => v =!= m.value
+        case MatchOp.Re => v.rlike("^(?:" + m.value + ")$")
+        case MatchOp.NotRe => !v.rlike("^(?:" + m.value + ")$")
+      }
+    }
+
+    val ids = Seq("instance", "job")
+    def idCol(labels: Column, l: String): Column = coalesce(element_at(labels, l), lit(""))
+
+    // base series that ARE info series pass through unchanged (info.go:61)
+    val isInfoSeries = effNameMs.map(m => matcherCond(col("labels"), m)).reduce(_ && _)
+    val passThrough = base.filter(isInfoSeries)
+    val toEnrich = base.filter(!isInfoSeries)
+
+    // info side: instant selection, data matchers applied, deduped per
+    // (identifying labels, step)
+    val infoRaw = pl.instantSelect(VectorSelector(None, effNameMs))
+    val infoOk = dataMs.foldLeft(infoRaw)((df, m) => df.filter(matcherCond(col("labels"), m)))
+    // labels to merge: named by the data matchers, or all non-identifying
+    val addLabels: Column =
+      if (dataMs.nonEmpty) {
+        val names = dataMs.map(_.name).distinct
+        map_filter(col("ilabels"), (k, v) => k.isInCollection(names) && v =!= "")
+      } else
+        map_filter(col("ilabels"),
+          (k, v) => k =!= "__name__" && !k.isInCollection(ids) && v =!= "")
+    // merge label maps across ALL matching info series per (identifying, t)
+    // (e.g. target_info + build_info both contribute data labels);
+    // deterministic first-wins order by sorted label signature
+    val mergeMaps = udf { (ms: Seq[Map[String, String]]) =>
+      ms.sortBy(_.toSeq.sorted.mkString(" "))
+        .foldLeft(Map.empty[String, String])((acc, m) => m ++ acc)
+    }
+    val infoKeyed = infoOk
+      .select(col("labels").as("ilabels"), col("t"),
+        idCol(col("labels"), "instance").as("__ii"), idCol(col("labels"), "job").as("__ij"))
+      .groupBy(col("__ii"), col("__ij"), col("t"))
+      .agg(mergeMaps(collect_list(col("ilabels"))).as("ilabels"))
+      .select(col("__ii"), col("__ij"), col("t"), col("ilabels"))
+
+    val bb = toEnrich
+      .withColumn("__bi", idCol(col("labels"), "instance"))
+      .withColumn("__bj", idCol(col("labels"), "job"))
+    val joined = bb
+      .join(broadcast(infoKeyed),
+        bb("__bi") === infoKeyed("__ii") && bb("__bj") === infoKeyed("__ij") &&
+          bb("t") === infoKeyed("t"), "left")
+      .drop(infoKeyed("t"))
+    val enriched = joined
+      .filter(col("ilabels").isNotNull || lit(emptyOk))
+      .select(
+        when(col("ilabels").isNotNull,
+          map_concat(
+            map_filter(addLabels, (k, _) => !map_contains_key(col("labels"), k)),
+            col("labels")))
+          .otherwise(col("labels")).as("labels"),
+        col("t"), col("v"), col("st"), col("h"))
+    enriched.unionByName(passThrough)
   }
 
   /** Split a histogram-function input vector into the native side and the

@@ -60,6 +60,146 @@ object HistUdfs {
     if (h == null || s == null) null else h.divide(s)
   }
 
+  /** linear interpolation between histogram points (ref:
+    * promql/functions.go:108 interpolateHistograms — a counter reset models
+    * the series as starting from zero at p1) */
+  private def interpolateHists(h1: FHist, t1: Long, h2: FHist, t2: Long, t: Long,
+      isCounter: Boolean): FHist = {
+    if (t == t1) h1
+    else if (t == t2) h2
+    else {
+      val fraction = (t - t1).toDouble / (t2 - t1).toDouble
+      if (isCounter && h2.detectReset(h1)) h2.scale(fraction)
+      else h1.add(h2.sub(h1).scale(fraction))
+    }
+  }
+
+  /** anchored/smoothed rate/increase/delta over histogram windows
+    * (ref: promql/functions.go:374 extendedHistogramRate +
+    * :247 correctForCounterResetsHistogram). */
+  def extHistRate(isCounter: Boolean, isRate: Boolean, smoothed: Boolean, rangeMs: Long) =
+    udf { (pts: Seq[HPt], tStep: java.lang.Long) =>
+      if (pts == null || pts.isEmpty || tStep == null) null
+      else try {
+        val h = pts.sortBy(_.wt)
+        val rangeStart = tStep - rangeMs
+        val rangeEnd: Long = tStep
+        var lastIdx = h.length - 1
+        val firstIdx = {
+          val k = (0 until lastIdx).indexWhere(i => h(i).wt > rangeStart)
+          math.max(0, (if (k == -1) lastIdx else k) - 1)
+        }
+        if (smoothed) {
+          val k = (0 until lastIdx).indexWhere(i => h(i).wt >= rangeEnd)
+          lastIdx = if (k == -1) lastIdx else k
+        }
+        if (h(lastIdx).wt <= rangeStart) null
+        else if (smoothed && h(firstIdx).wt > rangeEnd) null
+        else {
+          val left =
+            if (smoothed && h(firstIdx).wt < rangeStart)
+              interpolateHists(h(firstIdx).h, h(firstIdx).wt,
+                h(firstIdx + 1).h, h(firstIdx + 1).wt, rangeStart, isCounter)
+            else h(firstIdx).h
+          val right =
+            if (smoothed && lastIdx > 0 && h(lastIdx).wt > rangeEnd)
+              interpolateHists(h(lastIdx - 1).h, h(lastIdx - 1).wt,
+                h(lastIdx).h, h(lastIdx).wt, rangeEnd, isCounter)
+            else h(lastIdx).h
+          var result = right.sub(left)
+          if (isCounter) {
+            var first = firstIdx + 1
+            var prev = left
+            if (smoothed && h(firstIdx).wt < rangeStart &&
+                h(firstIdx + 1).h.detectReset(h(firstIdx).h)) {
+              prev = h(firstIdx + 1).h
+              first += 1
+            }
+            val last = lastIdx - 1
+            if (first <= last + 1) {
+              var corr: FHist = null
+              var i = first
+              while (i <= last) {
+                if (h(i).h.detectReset(prev)) corr = if (corr == null) prev else corr.add(prev)
+                prev = h(i).h
+                i += 1
+              }
+              if (right.detectReset(prev)) corr = if (corr == null) prev else corr.add(prev)
+              if (corr != null) result = result.add(corr)
+            }
+          }
+          if (isRate) result = result.divide(rangeMs / 1000.0)
+          result.copy(crh = FHist.HintGauge).compact
+        }
+      } catch { case _: Exception => null }
+    }
+
+  /** `metric smoothed` instant selection for histogram samples
+    * (ref: engine.go:1769 smoothSeries histogram branch). */
+  val smoothedHistUdf = udf { (pts: Seq[HPt], tStep: java.lang.Long) =>
+    if (pts == null || pts.isEmpty || tStep == null) null
+    else try {
+      val h = pts.sortBy(_.wt)
+      val i = h.indexWhere(_.wt >= tStep) match { case -1 => h.length; case k => k }
+      if (i < h.length && h(i).wt == tStep) h(i).h
+      else if (i > 0 && i < h.length) {
+        val prev = h(i - 1); val next = h(i)
+        if (prev.h.isCustom != next.h.isCustom) null
+        else {
+          val isCounter = prev.h.crh != FHist.HintGauge || next.h.crh != FHist.HintGauge
+          interpolateHists(prev.h, prev.wt, next.h, next.wt, tStep, isCounter).compact
+        }
+      }
+      else if (i > 0) h(i - 1).h.copy(crh = FHist.HintUnknown)
+      else null
+    } catch { case _: Exception => null }
+  }
+
+  /** merged float/histogram point for anchored changes()/resets() */
+  final case class MPt(wt: Long, v: Double, h: Option[FHist])
+
+  private def histsEqual(a: FHist, b: FHist): Boolean = {
+    val x = a.compact; val y = b.compact
+    x.schema == y.schema && x.zt == y.zt && x.zc == y.zc && x.cnt == y.cnt &&
+    (x.sum == y.sum || (x.sum.isNaN && y.sum.isNaN)) && x.cv == y.cv &&
+    x.pidx == y.pidx && x.pcnt == y.pcnt && x.nidx == y.nidx && x.ncnt == y.ncnt
+  }
+
+  /** anchored changes()/resets() over a merged float+histogram timeline:
+    * anchor = latest sample at/before the range start (other pre-range
+    * samples skipped), float↔histogram transitions always count
+    * (ref: promql/functions.go:2326 pickFirstSampleIndices + funcResets/
+    * funcChanges merged iteration). */
+  def extMixedCount(isChanges: Boolean, rangeMs: Long) =
+    udf { (pts: Seq[MPt], tStep: java.lang.Long) =>
+      if (pts == null || pts.isEmpty || tStep == null) null
+      else try {
+        val f = pts.sortBy(_.wt)
+        val rangeStart = tStep - rangeMs
+        if (!f.exists(_.wt > rangeStart)) null
+        else {
+          val anchorIdx = f.lastIndexWhere(_.wt <= rangeStart)
+          val seq = (if (anchorIdx >= 0) Seq(f(anchorIdx)) else Nil) ++ f.filter(_.wt > rangeStart)
+          var n = 0
+          var i = 1
+          while (i < seq.length) {
+            val p = seq(i - 1); val c = seq(i)
+            (p.h, c.h) match {
+              case (None, None) =>
+                if (isChanges) { if (c.v != p.v && !(c.v.isNaN && p.v.isNaN)) n += 1 }
+                else if (c.v < p.v) n += 1
+              case (Some(a), Some(b)) =>
+                if (isChanges) { if (!histsEqual(a, b)) n += 1 }
+                else if (b.detectReset(a)) n += 1
+              case _ => n += 1 // float <-> histogram transition
+            }
+            i += 1
+          }
+          java.lang.Double.valueOf(n.toDouble)
+        }
+      } catch { case _: Exception => null }
+    }
+
   /** irate/idelta over histogram windows: last two points (ref:
     * promql/functions.go:830 instantValue histogram branch — a counter reset
     * makes irate use the last value itself) */

@@ -53,15 +53,19 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
 
   private def anchored(re: String): String = "^(?:" + re + ")$"
 
+  /** dropping the metric name also drops the __type__/__unit__ metadata
+    * labels (ref: schema/labels.go:26-60 IsMetadataLabel + DropReserved) */
   private def dropName(labels: Column): Column =
-    map_filter(labels, (k, _) => k =!= "__name__")
+    map_filter(labels, (k, _) =>
+      k =!= "__name__" && k =!= "__type__" && k =!= "__unit__")
 
   private def keepLabels(labels: Column, keep: Seq[String]): Column =
     if (keep.isEmpty) map_filter(labels, (_, _) => lit(false))
     else map_filter(labels, (k, _) => k.isInCollection(keep))
 
   private def withoutLabels(labels: Column, drop: Seq[String]): Column =
-    map_filter(labels, (k, _) => !k.isInCollection(drop :+ "__name__"))
+    map_filter(labels, (k, _) =>
+      !k.isInCollection(drop ++ Seq("__name__", "__type__", "__unit__")))
 
   private val emptyLabels: Column =
     map_filter(map(lit("x"), lit("x")), (_, _) => lit(false))
@@ -84,11 +88,13 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     case AtModifier.AtEnd => P.endMs
   }
 
-  /** step indices covered by a sample visible over [wt, wt+window):
-    * k1 = max(0, ceil((wt-start)/step)), k2 = min(n-1, floor((wt+window-1-start)/step)) */
-  private def coverage(df: DataFrame, wt: Column, windowMs: Long): DataFrame =
+  /** step indices covered by a sample visible over (t_step−window, t_step+future]:
+    * k1 = max(0, ceil((wt−future−start)/step)),
+    * k2 = min(n−1, floor((wt+window−1−start)/step)); future > 0 only for
+    * smoothed extended selectors (sample also serves earlier steps). */
+  private def coverage(df: DataFrame, wt: Column, windowMs: Long, futureMs: Long = 0L): DataFrame =
     df.withColumn("__k1",
-        greatest(ceil((wt - P.startMs).cast("double") / P.stepMs).cast("long"), lit(0L)))
+        greatest(ceil((wt - futureMs - P.startMs).cast("double") / P.stepMs).cast("long"), lit(0L)))
       .withColumn("__k2",
         least(floor((wt + (windowMs - 1) - P.startMs).cast("double") / P.stepMs).cast("long"),
               lit(P.numSteps - 1)))
@@ -143,15 +149,17 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
 
   // ---------- range inputs (matrix selectors & subqueries) ----------
 
-  /** points: labels, t (sample ts), v — stale already removed */
+  /** points: labels, t (sample ts), v — stale already removed;
+    * ext: 0 plain, 1 anchored, 2 smoothed */
   private final case class RangeInput(
-      points: DataFrame, rangeMs: Long, offsetMs: Long, at: Option[AtModifier])
+      points: DataFrame, rangeMs: Long, offsetMs: Long, at: Option[AtModifier],
+      ext: Int = 0)
 
   private def rangeInput(e: Expr): RangeInput = e match {
-    case MatrixSelector(vs, range) =>
+    case MatrixSelector(vs, range, ext) =>
       RangeInput(selectorBase(vs).filter(!col("stale"))
                    .select(col("labels"), col("t"), col("v"), col("h")),
-                 range, vs.offsetMs, vs.at)
+                 range, vs.offsetMs, vs.at, ext)
     case SubqueryExpr(inner, range, step0, offset, at) =>
       val istep = if (step0 > 0) step0 else P.defaultSubqueryStepMs
       // inner grid: multiples of istep spanning [outerStart-offset-range, outerEnd-offset]
@@ -206,8 +214,12 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           .withColumn("t_step", lit(te))
         (pts.withColumn("__sg", sigOf(col("labels"))), true)
       case None =>
-        val pts = coverage(base, col("wt"), ri.rangeMs)
-          // sample visible at steps where wt ∈ (t_step − range, t_step]
+        // extended selectors widen the buffer by the lookback delta: one
+        // boundary sample before the range (anchored/smoothed) and after it
+        // (smoothed) — ref engine.go:2848
+        val window = ri.rangeMs + (if (ri.ext != 0) P.lookbackMs else 0L)
+        val future = if (ri.ext == 2) P.lookbackMs else 0L
+        val pts = coverage(base, col("wt"), window, future)
           .withColumn("__sg", sigOf(col("labels")))
         (pts, false)
     }
@@ -233,6 +245,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   private def evalRangeFunc(name: String, arg: Expr, extra: List[Expr]): DataFrame = {
     val ri = rangeInput(arg)
     val (pts, fixed) = windowedPoints(ri)
+    if (ri.ext != 0) return evalExtendedRange(name, ri, pts, fixed)
     val rangeStart = col("t_step") - ri.rangeMs  // window is (rangeStart, t_step]
     val rangeSec = ri.rangeMs / 1000.0
     val pairInWindow = col("prev_wt") > rangeStart
@@ -478,9 +491,107 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     }
   }
 
+  /** anchored/smoothed range-function evaluation: one UDF over the sorted
+    * extended point window per (series, step) — only the reference's safe
+    * function sets are allowed (ref: promql/functions.go:2769). */
+  private def evalExtendedRange(name: String, ri: RangeInput,
+      pts: DataFrame, fixed: Boolean): DataFrame = {
+    val anchoredSafe = Set("resets", "changes", "rate", "increase", "delta")
+    val smoothedSafe = Set("rate", "increase", "delta")
+    val safe = if (ri.ext == 1) anchoredSafe else smoothedSafe
+    if (!safe.contains(name))
+      throw PromQLError(
+        s"${if (ri.ext == 1) "anchored" else "smoothed"} modifier can only be used with: " +
+        s"${safe.toSeq.sorted.mkString(", ")} - not with $name")
+    val fpts = pts.filter(col("h").isNull)
+    val hpts = pts.filter(col("h").isNotNull)
+    def excl(df: DataFrame, other: DataFrame): DataFrame =
+      df.join(other.select(col("__sg"), col("t_step")).distinct(),
+        Seq("__sg", "t_step"), "left_anti")
+    if (name == "changes" || name == "resets") {
+      // merged float+histogram timeline (anchored only)
+      val agged = pts.groupBy(col("__sg"), col("t_step"))
+        .agg(first(col("labels")).as("labels"),
+          sort_array(collect_list(struct(col("wt"), col("v"), col("h")))).as("mp"))
+      val r = agged
+        .withColumn("v", HistUdfs.extMixedCount(name == "changes", ri.rangeMs)(col("mp"), col("t_step")))
+        .filter(!isnull(col("v")))
+        .select(dropName(col("labels")).as("labels"), col("t_step").as("t"),
+          col("v"), col("t_step").as("st"))
+      return fanOut(r, fixed)
+    }
+    val agged = excl(fpts.groupBy(col("__sg"), col("t_step"))
+      .agg(first(col("labels")).as("labels"),
+        sort_array(collect_list(struct(col("wt"), col("v")))).as("pts")), hpts)
+    val vOut =
+      RangeUdfs.extRateUdf(name != "delta", name == "rate", ri.ext == 2, ri.rangeMs)(
+        col("pts"), col("t_step"))
+    val floatRes = agged.withColumn("v", vOut)
+      .filter(!isnull(col("v")))
+      .select(dropName(col("labels")).as("labels"), col("t_step").as("t"),
+        col("v"), col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"))
+    val histRes = {
+        val hAgged = excl(hpts.groupBy(col("__sg"), col("t_step"))
+          .agg(first(col("labels")).as("labels"),
+            sort_array(collect_list(struct(col("wt"), col("h")))).as("hp")), fpts)
+        hAgged.withColumn("__h",
+            HistUdfs.extHistRate(name != "delta", name == "rate", ri.ext == 2, ri.rangeMs)(
+              col("hp"), col("t_step")))
+          .filter(col("__h").isNotNull)
+          .select(dropName(col("labels")).as("labels"), col("t_step").as("t"),
+            lit(Double.NaN).as("v"), col("t_step").as("st"), col("__h").as("h"))
+      }
+    fanOut(floatRes.unionByName(histRes), fixed)
+  }
+
+  /** `metric smoothed` instant selection (ref: engine.go:1730 smoothSeries). */
+  private def smoothedSelect(vs: VectorSelector): DataFrame = {
+    val base = selectorBase(vs).filter(!col("stale"))
+      .withColumn("wt", col("t") + vs.offsetMs)
+    def agg(pts: DataFrame): DataFrame = {
+      val f = pts.filter(col("h").isNull)
+        .groupBy(sigOf(col("labels")).as("__sg"), col("t_step"))
+        .agg(first(col("labels")).as("labels"),
+          sort_array(collect_list(struct(col("wt"), col("v")))).as("pts"))
+        .withColumn("v", RangeUdfs.smoothedValUdf(col("pts"), col("t_step")))
+        .filter(!isnull(col("v")))
+        .select(col("labels"), col("t_step").as("t"), col("v"),
+          col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"))
+      val hh = pts.filter(col("h").isNotNull)
+        .groupBy(sigOf(col("labels")).as("__sg"), col("t_step"))
+        .agg(first(col("labels")).as("labels"),
+          sort_array(collect_list(struct(col("wt"), col("h")))).as("hp"))
+        .withColumn("__h", HistUdfs.smoothedHistUdf(col("hp"), col("t_step")))
+        .filter(col("__h").isNotNull)
+        .select(col("labels"), col("t_step").as("t"), lit(Double.NaN).as("v"),
+          col("t_step").as("st"), col("__h").as("h"))
+      // a mixed float/histogram lookback WINDOW drops the series with a
+      // warning (ref: engine.go:1764) — keyed on the input points, since a
+      // branch can be mixed even when only one side produces an output
+      def key(df: DataFrame) =
+        df.select(sigOf(col("labels")).as("__k"), col("t_step").as("__kt")).distinct()
+      val fk = key(pts.filter(col("h").isNull))
+      val hk = key(pts.filter(col("h").isNotNull))
+      f.join(hk, sigOf(col("labels")) === col("__k") && col("t") === col("__kt"), "left_anti")
+        .unionByName(
+          hh.join(fk, sigOf(col("labels")) === col("__k") && col("t") === col("__kt"), "left_anti"))
+    }
+    vs.at match {
+      case Some(atm) =>
+        // @-pinned: interpolate once at the pinned timestamp, fan out
+        val te = resolveAt(atm) - vs.offsetMs
+        val pts = base
+          .filter(col("wt") >= te - P.lookbackMs && col("wt") <= te + P.lookbackMs)
+          .withColumn("t_step", lit(te))
+        fanOut(agg(pts), fixed = true)
+      case None =>
+        agg(coverage(base, col("wt"), P.lookbackMs, P.lookbackMs))
+    }
+  }
+
   /** synthesize labels from equality matchers (ref: promql/functions.go:1717). */
   private def absentLabels(e: Expr): Column = e match {
-    case MatrixSelector(vs, _) => absentLabelsOf(vs)
+    case MatrixSelector(vs, _, _) => absentLabelsOf(vs)
     case SubqueryExpr(inner, _, _, _, _) => emptyLabels
     case ParenExpr(inner) => absentLabels(inner)
     case vs: VectorSelector => absentLabelsOf(vs)
@@ -542,6 +653,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     case StringLiteral(s) => StringVal(s)
     case ParenExpr(i) => eval(i)
     case vs: VectorSelector => VectorVal(instantSelect(vs))
+    case SmoothedVector(vs) => VectorVal(smoothedSelect(vs))
     case ms: MatrixSelector =>
       // top-level range selector (instant query): all points in window
       val ri = rangeInput(ms)

@@ -214,6 +214,82 @@ object RangeUdfs {
     }
   }
 
+  /** linear interpolation; a counter reset models y1 as 0
+    * (ref: promql/functions.go:93 interpolate) */
+  def interpolate(t1: Long, v1: Double, t2: Long, v2: Double, t: Long, isCounter: Boolean): Double = {
+    val y1 = if (isCounter && v2 < v1) 0.0 else v1
+    y1 + (v2 - y1) * (t - t1).toDouble / (t2 - t1).toDouble
+  }
+
+  /** anchored/smoothed rate/increase/delta over the EXTENDED point window
+    * (ref: promql/functions.go:309 extendedRate — boundary sample pickup,
+    * smoothed edge interpolation, counter-reset correction inside the range). */
+  def extRateUdf(isCounter: Boolean, isRate: Boolean, smoothed: Boolean, rangeMs: Long) =
+    udf { (pts: Seq[Row], tStep: java.lang.Long) =>
+      if (pts == null || pts.isEmpty || tStep == null) null
+      else {
+        val f = pts.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+        val rangeStart = tStep - rangeMs
+        val rangeEnd: Long = tStep
+        var lastIdx = f.length - 1
+        val firstIdx = {
+          val k = (0 until lastIdx).indexWhere(i => f(i)._1 > rangeStart)
+          math.max(0, (if (k == -1) lastIdx else k) - 1)
+        }
+        if (smoothed) {
+          val k = (0 until lastIdx).indexWhere(i => f(i)._1 >= rangeEnd)
+          lastIdx = if (k == -1) lastIdx else k
+        }
+        if (f(lastIdx)._1 <= rangeStart) null
+        else if (smoothed && f(firstIdx)._1 > rangeEnd) null
+        else {
+          val left =
+            if (smoothed && f(firstIdx)._1 < rangeStart)
+              interpolate(f(firstIdx)._1, f(firstIdx)._2,
+                f(firstIdx + 1)._1, f(firstIdx + 1)._2, rangeStart, isCounter)
+            else f(firstIdx)._2
+          val right =
+            if (smoothed && lastIdx > 0 && f(lastIdx)._1 > rangeEnd)
+              interpolate(f(lastIdx - 1)._1, f(lastIdx - 1)._2,
+                f(lastIdx)._1, f(lastIdx)._2, rangeEnd, isCounter)
+            else f(lastIdx)._2
+          var result = right - left
+          if (isCounter) {
+            var a = firstIdx; var b = lastIdx
+            if (f(a)._1 <= rangeStart) a += 1
+            if (f(b)._1 >= rangeEnd) b -= 1
+            var prev = left
+            var i = a
+            while (i <= b) {
+              if (f(i)._2 < prev) result += prev
+              prev = f(i)._2
+              i += 1
+            }
+            // right-boundary reset (ref: functions.go:174)
+            if (right < prev) result += prev
+          }
+          if (isRate) result /= (rangeMs / 1000.0)
+          java.lang.Double.valueOf(result)
+        }
+      }
+    }
+
+  /** `metric smoothed` instant selection: exact sample, interpolation between
+    * straddling samples, or carry-forward (ref: engine.go:1730 smoothSeries
+    * float branch; isCounter=false pending metadata typing). */
+  val smoothedValUdf = udf { (pts: Seq[Row], tStep: java.lang.Long) =>
+    if (pts == null || pts.isEmpty || tStep == null) null
+    else {
+      val f = pts.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      val i = f.indexWhere(_._1 >= tStep) match { case -1 => f.length; case k => k }
+      if (i < f.length && f(i)._1 == tStep) java.lang.Double.valueOf(f(i)._2)
+      else if (i > 0 && i < f.length)
+        java.lang.Double.valueOf(interpolate(f(i - 1)._1, f(i - 1)._2, f(i)._1, f(i)._2, tStep, isCounter = false))
+      else if (i > 0) java.lang.Double.valueOf(f(i - 1)._2)
+      else null
+    }
+  }
+
   /** Go strconv.FormatFloat(f,'f',-1,64)-style rendering used by count_values
     * label values (ref: promql/engine.go:4208). */
   def goFormat(d: Double): String = {

@@ -85,7 +85,7 @@ class ParserSpec extends AnyFunSuite {
 
   test("duration expressions: step() and compound arithmetic") {
     p("m[1+(step()-5)*2]", stepMs = 10000L) match {
-      case MatrixSelector(_, r) => assert(r == 11000L)
+      case MatrixSelector(_, r, _) => assert(r == 11000L)
       case other => fail(other.toString)
     }
   }
