@@ -1,0 +1,179 @@
+package graft.bench
+
+import graft.promql._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Replica of the reference's range-query benchmark
+  * (ref: promql/bench_test.go:41-150 generator, :159-334 query set,
+  * :349-352 scale: 10s interval, 8640+10000 intervals ≈ 1 day + step room).
+  *
+  * Dataset (deterministic, no RNG): metrics a_X/b_X (floats) and h_X
+  * (classic 10-bucket le histograms) at X ∈ {one=1, ten=10, hundred=100}
+  * series, plus a `sparse` series whose `l` label rotates every
+  * numIntervals/50 points; value = step + idx/len(metrics). ≈27M samples.
+  *
+  * Generated ONCE into parquet (columnar, partition-pruned by every query's
+  * time filter) — the same shape a 100 TB deployment would use, so measured
+  * plans are the production plans.
+  */
+object PromBench {
+
+  val intervalMs = 10000L
+  val numIntervals = 8640 + 10000
+
+  private final case class M(name: String, l: String, le: String, idx: Int)
+
+  private def metricsList: Seq[M] = {
+    val out = Seq.newBuilder[M]
+    var idx = -1
+    def add(name: String, l: String = "", le: String = ""): Unit = {
+      idx += 1; out += M(name, l, le, idx)
+    }
+    def histFor(scale: String, l: String): Unit = {
+      (0 until 10).foreach(j => add(s"h_$scale", l, j.toString))
+      add(s"h_$scale", l, "+Inf")
+    }
+    add("a_one"); add("b_one"); histFor("one", "")
+    (0 until 10).foreach { i =>
+      add("a_ten", i.toString); add("b_ten", i.toString); histFor("ten", i.toString)
+    }
+    (0 until 100).foreach { i =>
+      add("a_hundred", i.toString); add("b_hundred", i.toString); histFor("hundred", i.toString)
+    }
+    out.result()
+  }
+
+  /** write the bench dataset as parquet and return the reloaded DF */
+  def dataset(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/prombench.parquet"
+    if (!new java.io.File(path).exists()) {
+      val ms = metricsList
+      val n = ms.length
+      val mdf = spark.createDataFrame(ms)
+      val dense = spark.range(numIntervals).select(col("id").as("s"))
+        .crossJoin(broadcast(mdf))
+        .select(
+          map_filter(
+            map(lit("__name__"), col("name"), lit("l"), col("l"), lit("le"), col("le")),
+            (_, v) => v =!= "").as("labels"),
+          (col("s") * intervalMs).as("t"),
+          (col("s").cast("double") + col("idx").cast("double") / n).as("v"),
+          lit(false).as("stale"))
+      val pps = numIntervals / 50
+      val sparse = spark.range(numIntervals).select(col("id").as("s"))
+        .select(
+          map(lit("__name__"), lit("sparse"),
+              lit("l"), (col("s") / pps).cast("long").cast("string")).as("labels"),
+          (col("s") * intervalMs).as("t"),
+          (col("s").cast("double") / n).as("v"),
+          lit(false).as("stale"))
+      dense.unionByName(sparse)
+        .withColumn("metric", element_at(col("labels"), "__name__"))
+        .repartition(32, col("metric"))
+        .write.mode("overwrite").partitionBy("metric").parquet(path)
+    }
+    // metric partition column restores __name__ pruning on disk
+    spark.read.parquet(path)
+      .select(col("labels"), col("t"), col("v"), col("stale"))
+  }
+
+  final case class Case(expr: String, steps: Int)
+
+  /** the reference's 46 case templates, expanded X→{one,hundred} and
+    * steps→{1,1000} exactly as rangeQueryCases() does */
+  def cases(full: Boolean): Seq[Case] = {
+    val templates: Seq[(String, Int)] = Seq(
+      ("a_X", 0),
+      ("rate(a_X[1m])", 0),
+      ("rate(a_X[1m])", 10000),
+      ("rate(sparse[1m])", 10000),
+      ("rate(a_X[1m] smoothed)", 0),
+      ("rate(a_X[1m] smoothed)", 10000),
+      ("rate(sparse[1m] smoothed)", 10000),
+      ("double_exponential_smoothing(a_X[1d], 0.3, 0.3)", 0),
+      ("changes(a_X[1d])", 0),
+      ("rate(a_X[1d])", 0),
+      ("absent_over_time(a_X[1d])", 0),
+      ("-a_X", 0),
+      ("a_X - b_X", 0),
+      ("a_X - b_X", 10000),
+      ("a_X and b_X{l=~'.*[0-4]$'}", 0),
+      ("a_X or b_X{l=~'.*[0-4]$'}", 0),
+      ("a_X unless b_X{l=~'.*[0-4]$'}", 0),
+      ("a_X and b_X{l='notfound'}", 0),
+      ("abs(a_X)", 0),
+      ("label_replace(a_X, 'l2', '$1', 'l', '(.*)')", 0),
+      ("label_join(a_X, 'l2', '-', 'l', 'l')", 0),
+      ("sum(a_X)", 0),
+      ("avg(a_X)", 0),
+      ("sum without (l)(h_X)", 0),
+      ("sum without (le)(h_X)", 0),
+      ("sum by (l)(h_X)", 0),
+      ("sum by (le)(h_X)", 0),
+      ("count_values('value', h_X)", 100),
+      ("topk(1, a_X)", 0),
+      ("topk(5, a_X)", 0),
+      ("limitk(1, a_X)", 0),
+      ("limitk(5, a_X)", 0),
+      ("limit_ratio(0.1, a_X)", 0),
+      ("limit_ratio(0.5, a_X)", 0),
+      ("limit_ratio(-0.5, a_X)", 0),
+      ("rate(a_X[1m]) + rate(b_X[1m])", 0),
+      ("sum without (l)(rate(a_X[1m]))", 0),
+      ("sum without (l)(rate(a_X[1m])) / sum without (l)(rate(b_X[1m]))", 0),
+      ("histogram_quantile(0.9, rate(h_X[5m]))", 0),
+      ("a_X + on(l) group_right a_one", 0),
+      ("count({__name__!=''})", 1),
+      ("count({__name__!='',l=''})", 1),
+      ("timestamp(a_X)", 0))
+    val expanded = templates.flatMap { case (e, st) =>
+      if (!e.contains("X")) Seq((e, st))
+      else Seq((e.replace("X", "one"), st), (e.replace("X", "hundred"), st))
+    }
+    val withSteps = expanded.flatMap { case (e, st) =>
+      if (st != 0) Seq(Case(e, st)) else Seq(Case(e, 1), Case(e, 1000))
+    }
+    if (full) withSteps
+    // headline subset for the per-round BENCH line: hundred-scale, heavy steps
+    else withSteps.filter(c =>
+      (c.expr.contains("hundred") && c.steps >= 1000) || c.expr.contains("sparse"))
+  }
+
+  def run(spark: SparkSession, samples: DataFrame, c: Case): (Double, Long) = {
+    val endS = numIntervals.toLong * 10
+    val startS = (numIntervals - c.steps).toLong * 10
+    val t0 = System.nanoTime()
+    val rows = Engine.rangeQuery(spark, samples, c.expr.replace('\'', '"'),
+      startS * 1000, endS * 1000, 10000L) match {
+      case VectorVal(df) => df.count()
+      case ScalarVal(df, _) => df.count()
+      case MatrixVal(df) => df.count()
+      case StringVal(_) => 0L
+    }
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  /** standalone full-bench main: one JSON line per case + total */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val data = dataset(spark, sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench")).cache()
+    data.count()
+    val full = args.contains("full")
+    var total = 0.0
+    val parts = cases(full).map { c =>
+      val (sec, rows) = run(spark, data, c)
+      total += sec
+      System.err.println(f"${c.expr}%-70s steps=${c.steps}%-6d $sec%8.3fs $rows%10d rows")
+      s""""${c.expr.replace("\"", "'")}|${c.steps}":$sec"""
+    }
+    println(s"""{"metric":"prombench_total","value":$total,"unit":"sec","queries":{${parts.mkString(",")}}}""")
+    spark.stop()
+  }
+}

@@ -116,13 +116,19 @@ object Aggregations {
           .select(col("labels"), col("t"), col("v"), col("st"), col("h"))
 
       case "limit_ratio" =>
-        // deterministic pseudo-random subset by series-hash ratio
-        // (ref: engine.go aggregationK limit_ratio; hash formula approximated —
-        // we use xxhash64 over the canonical label signature)
+        // EXACT port of the reference's sampling hash: xxhash64 (seed 0) over
+        // the labels.Hash byte encoding `name 0xff value 0xff ...` of the
+        // sorted label set, mapped to [0,1) as unsigned/2^64; keep when
+        // offset < r (or ≥ 1+r for negative r) — so complements partition
+        // identically to the reference (ref: model/labels hashing +
+        // engine.go aggregationK AddRatioSample)
         val (df, r) = paramCol(pre)
-        // canonical sorted-entries signature — to_json of a map is insertion-
-        // order-dependent and was not a stable series identity
-        val frac = (xxhash64(pl.sigCol(col("labels"))).cast("double") / lit(Long.MaxValue.toDouble) + 1.0) / 2.0
+        val enc = expr(
+          "aggregate(array_sort(map_entries(labels)), cast(x'' AS BINARY), " +
+          "(acc, e) -> concat(acc, encode(e.key, 'UTF-8'), x'FF', encode(e.value, 'UTF-8'), x'FF'))")
+        val hh = org.apache.spark.sql.GraftBridge.xxhash64WithSeed(enc, 0L)
+        val frac = (shiftrightunsigned(hh, 1).cast("double") * 2.0 +
+          hh.bitwiseAND(lit(1L)).cast("double")) / lit(1.8446744073709552E19)
         df.filter(when(r >= 0, frac < r).otherwise(frac >= (lit(1.0) + r)))
           .select(col("labels"), col("t"), col("v"), col("st"), col("h"))
 

@@ -95,8 +95,10 @@ object CallEval {
         val in = floats(vecArg(args.head))
         val (df1, lo) = bindScalar(in, args(1))
         val (df2, hi) = bindScalar(df1, args(2))
-        VectorVal(df2.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          clampD(col("v"), lo, hi).as("v"), col("t").as("st")))
+        // max < min drops everything (ref: functions.go:1116)
+        VectorVal(df2.filter(!(hi < lo))
+          .select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
+            clampD(col("v"), lo, hi).as("v"), col("t").as("st")))
       case "clamp_max" =>
         val (df, hi) = bindScalar(floats(vecArg(args.head)), args(1))
         VectorVal(df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
@@ -201,9 +203,12 @@ object CallEval {
                                   map(lit(dst), newV)))
         VectorVal(in.select(newLabels.as("labels"), col("t"), col("v"), col("st")))
 
-      case "sort" | "sort_desc" | "sort_by_label" | "sort_by_label_desc" =>
+      case "sort" | "sort_desc" =>
         // ordering is presentation-only (range results are label-sorted anyway,
-        // ref: promql/engine.go:907); pass through
+        // ref: promql/engine.go:907), but sort()/sort_desc() drop histogram
+        // samples (ref: functions.go:1046 filterFloats)
+        VectorVal(floats(vecArg(args.head)))
+      case "sort_by_label" | "sort_by_label_desc" =>
         VectorVal(vecArg(args.head))
 
       // native-histogram accessors (ref: promql/functions.go:2044

@@ -59,6 +59,11 @@ object HistUdfs {
   val divH = udf { (h: FHist, s: java.lang.Double) =>
     if (h == null || s == null) null else h.divide(s)
   }
+  /** exact histogram equality (ref: float_histogram.go:607 Equals) */
+  val eqH = udf { (a: FHist, b: FHist) =>
+    if (a == null || b == null) null
+    else java.lang.Boolean.valueOf(histsEqual(a, b))
+  }
 
   /** linear interpolation between histogram points (ref:
     * promql/functions.go:108 interpolateHistograms — a counter reset models
@@ -200,22 +205,32 @@ object HistUdfs {
       } catch { case _: Exception => null }
     }
 
-  /** irate/idelta over histogram windows: last two points (ref:
-    * promql/functions.go:830 instantValue histogram branch — a counter reset
-    * makes irate use the last value itself) */
-  def histInstant(isRate: Boolean) = udf { (pts: Seq[HPt]) =>
+  /** float-or-histogram output value for merged-timeline functions */
+  final case class VH(v: Option[Double], h: Option[FHist])
+
+  /** irate/idelta: last two points of the MERGED float+histogram timeline
+    * (ref: promql/functions.go:830 instantValue — float counter reset uses
+    * the last value; histogram pair subtracts with reset handling; a mixed
+    * float/histogram pair drops with a warning). */
+  def mergedInstant(isRate: Boolean) = udf { (pts: Seq[MPt]) =>
     if (pts == null || pts.length < 2) null
     else try {
-      val sorted = pts.sortBy(_.wt)
-      val prev = sorted(sorted.length - 2)
-      val last = sorted.last
-      val diff =
-        if (isRate && last.h.detectReset(prev.h)) last.h
-        else last.h.sub(prev.h)
-      val out =
-        if (isRate) diff.divide((last.wt - prev.wt).toDouble / 1000.0)
-        else diff
-      out.copy(crh = FHist.HintGauge).compact
+      val s = pts.sortBy(_.wt)
+      val p0 = s(s.length - 2); val p1 = s.last
+      val dtSec = (p1.wt - p0.wt).toDouble / 1000.0
+      if (dtSec == 0) null
+      else (p0.h, p1.h) match {
+        case (None, None) =>
+          var v = if (isRate && p1.v < p0.v) p1.v else p1.v - p0.v
+          if (isRate) v /= dtSec
+          VH(Some(v), None)
+        case (Some(a), Some(b)) =>
+          var h = if (isRate && b.detectReset(a)) b else b.sub(a)
+          h = h.copy(crh = FHist.HintGauge).compact
+          if (isRate) h = h.divide(dtSec)
+          VH(None, Some(h))
+        case _ => null // mixed pair: warn + drop
+      }
     } catch { case _: Exception => null }
   }
 
@@ -228,53 +243,6 @@ object HistUdfs {
   /** Go String() rendering for count_values label values */
   val histStringH = udf { (h: FHist) =>
     if (h == null) null else h.compact.goString
-  }
-
-  /** changes(): adjacent histogram samples that differ (exact equality,
-    * ref functions.go:2431 — histogram-aware) */
-  val changesH = udf { (pts: Seq[HPt]) =>
-    if (pts == null || pts.length < 2) java.lang.Double.valueOf(0.0)
-    else {
-      val hs = pts.sortBy(_.wt).map(_.h.compact)
-      var n = 0
-      var i = 1
-      while (i < hs.length) {
-        val a = hs(i - 1); val b = hs(i)
-        val same = a.schema == b.schema && a.zt == b.zt && a.zc == b.zc &&
-          a.cnt == b.cnt && (a.sum == b.sum || (a.sum.isNaN && b.sum.isNaN)) &&
-          a.cv == b.cv && a.pidx == b.pidx && a.pcnt == b.pcnt &&
-          a.nidx == b.nidx && a.ncnt == b.ncnt
-        if (!same) n += 1
-        i += 1
-      }
-      java.lang.Double.valueOf(n.toDouble)
-    }
-  }
-
-  /** resets(): adjacent counter resets (ref functions.go:2359) */
-  val resetsH = udf { (pts: Seq[HPt]) =>
-    if (pts == null || pts.length < 2) java.lang.Double.valueOf(0.0)
-    else {
-      val hs = pts.sortBy(_.wt).map(_.h)
-      var n = 0
-      var i = 1
-      while (i < hs.length) {
-        if (try hs(i).detectReset(hs(i - 1)) catch { case _: Exception => true }) n += 1
-        i += 1
-      }
-      java.lang.Double.valueOf(n.toDouble)
-    }
-  }
-  /** exact histogram equality (ref: float_histogram.go:607 Equals) */
-  val eqH = udf { (a: FHist, b: FHist) =>
-    if (a == null || b == null) null
-    else {
-      val x = a.compact; val y = b.compact
-      java.lang.Boolean.valueOf(
-        x.schema == y.schema && x.zt == y.zt && x.zc == y.zc && x.cnt == y.cnt &&
-        (x.sum == y.sum || (x.sum.isNaN && y.sum.isNaN)) && x.cv == y.cv &&
-        x.pidx == y.pidx && x.pcnt == y.pcnt && x.nidx == y.nidx && x.ncnt == y.ncnt)
-    }
   }
 
   /** group sum of histograms (sorted input for deterministic merge order;

@@ -282,17 +282,6 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       fanOut(r, fixed)
     }
 
-    /** histogram-only-window branch returning a FLOAT value per group */
-    def histBranchF(udfCol: Column): DataFrame = {
-      val clean = exclMixed(hAgged, fpts)
-      val r = clean
-        .withColumn("v", udfCol)
-        .filter(!isnull(col("v")))
-        .select(labelsOut.as("labels"), col("t_step").as("t"),
-          col("v"), col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"))
-      fanOut(r, fixed)
-    }
-
     /** union a histogram-only-window result computed by `udfCol` over the
       * sorted (wt, h) list */
     def histBranch(udfCol: Column, minPts: Int = 1): DataFrame = {
@@ -345,39 +334,20 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       case "delta" => extrapolated(isCounter = false, isRate = false, isDelta = true)
 
       case "irate" | "idelta" =>
-        val agged = exclMixed(g.agg(
-          first(col("labels")).as("labels"),
-          count(col("v")).as("cnt"),
-          expr("max_by(struct(v, prev_v, prev_wt, wt), wt)").as("lp")), hpts)
-        // ref: promql/functions.go:830 instantValue — last two points in window
-        val ok = col("cnt") >= 1 && col("lp.prev_wt").isNotNull &&
-          (col("lp.prev_wt") > col("t_step") - ri.rangeMs)
-        val diff =
-          if (name == "irate")
-            when(!isnan(col("lp.prev_v")) && col("lp.v") < col("lp.prev_v"), col("lp.v"))
-              .otherwise(col("lp.v") - col("lp.prev_v"))
-          else col("lp.v") - col("lp.prev_v")
-        val v =
-          if (name == "irate") diff / ((col("lp.wt") - col("lp.prev_wt")).cast("double") / 1000.0)
-          else diff
-        finish(agged, v, ok)
-          .unionByName(histBranch(HistUdfs.histInstant(name == "irate")(col("hp")), minPts = 2))
+        // ref: promql/functions.go:830 instantValue — last two points of the
+        // merged float+histogram in-window timeline
+        val agged = gAll.agg(first(col("labels")).as("labels"),
+          sort_array(collect_list(struct(col("wt"), col("v"), col("h")))).as("mp"))
+          .withColumn("__o", HistUdfs.mergedInstant(name == "irate")(col("mp")))
+        finish(agged, col("__o.v"), col("__o").isNotNull, h = col("__o.h"))
 
-      case "resets" =>
-        // ref: promql/functions.go:2359 — count of counter resets in window
-        val agged = exclMixed(g.agg(first(col("labels")).as("labels"),
-          sum(when(resetPair, 1).otherwise(0)).cast("double").as("nr")), hpts)
-        finish(agged, col("nr"))
-          .unionByName(histBranchF(HistUdfs.resetsH(col("hp"))))
-
-      case "changes" =>
-        // ref: promql/functions.go:2431 — NaN→NaN is not a change
-        val changed = (col("v") =!= col("prev_v") && !(isnan(col("v")) && isnan(col("prev_v")))) ||
-          (isnan(col("v")) =!= isnan(col("prev_v")))
-        val agged = exclMixed(g.agg(first(col("labels")).as("labels"),
-          sum(when(pairInWindow && changed, 1).otherwise(0)).cast("double").as("nc")), hpts)
-        finish(agged, col("nc"))
-          .unionByName(histBranchF(HistUdfs.changesH(col("hp"))))
+      case "resets" | "changes" =>
+        // ref: promql/functions.go:2359/:2431 — merged float+histogram
+        // timeline; float↔histogram transitions always count
+        val agged = gAll.agg(first(col("labels")).as("labels"),
+          sort_array(collect_list(struct(col("wt"), col("v"), col("h")))).as("mp"))
+        finish(agged,
+          HistUdfs.extMixedCount(name == "changes", ri.rangeMs)(col("mp"), col("t_step")))
 
       case "avg_over_time" | "sum_over_time" =>
         // time-ordered Kahan summation for float-exact parity with the

@@ -16,6 +16,11 @@ object GraftBridge {
   def mathInvoke(fn: String, args: Seq[Column]): Column =
     staticInvoke(classOf[java.lang.Math], fn, args)
 
+  /** xxHash64 with an explicit seed (the `xxhash64` SQL function pins
+    * seed=42; Go's labels.Hash uses seed 0) */
+  def xxhash64WithSeed(c: Column, seed: Long): Column =
+    toCol(catalyst.expressions.XxHash64(Seq(toExpr(c)), seed))
+
   def staticInvoke(cls: Class[_], fn: String, args: Seq[Column]): Column = {
     val exprs = args.map(a => toExpr(a.cast("double")))
     toCol(StaticInvoke(
