@@ -23,7 +23,7 @@ object Aggregations {
       else pl.keepLabelsCol(col("labels"), ae.grouping)
     val pre = in
       .withColumn("glabels", glabelsCol)
-      .withColumn("gsig", pl.sigCol(col("glabels")))
+      .withColumn("gsig", pl.hashSigCol(col("glabels")))
 
     def grouped(v: Column): DataFrame =
       pre.groupBy(col("gsig"), col("t"))
@@ -149,7 +149,7 @@ object Aggregations {
           .withColumn("__flabels",
             map_concat(map_filter(col("glabels"), (k, _) => k =!= lbl),
                        map(lit(lbl), col("__fv"))))
-          .groupBy(pl.sigCol(col("__flabels")).as("__fsig"), col("t"))
+          .groupBy(pl.hashSigCol(col("__flabels")).as("__fsig"), col("t"))
           .agg(first(col("__flabels")).as("labels"), count(lit(1)).cast("double").as("v"))
           .select(col("labels"), col("t"), col("v"), col("t").as("st"))
 

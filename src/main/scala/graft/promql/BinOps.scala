@@ -130,8 +130,8 @@ object BinOps {
   }
 
   private def matchSig(pl: Planner, labels: Column, m: VectorMatching): Column =
-    if (m.on) pl.sigCol(pl.keepLabelsCol(labels, m.matchingLabels))
-    else pl.sigCol(pl.withoutLabelsCol(labels, m.matchingLabels))
+    if (m.on) pl.hashSigCol(pl.keepLabelsCol(labels, m.matchingLabels))
+    else pl.hashSigCol(pl.withoutLabelsCol(labels, m.matchingLabels))
 
   private def vecVec(pl: Planner, be: BinaryExpr, l0: DataFrame, r0: DataFrame): DataFrame = {
     val op = be.op

@@ -358,7 +358,7 @@ object CallEval {
     // (e.g. target_info + build_info both contribute data labels);
     // deterministic first-wins order by sorted label signature
     val mergeMaps = udf { (ms: Seq[Map[String, String]]) =>
-      ms.sortBy(_.toSeq.sorted.mkString(" "))
+      ms.sortBy(_.toSeq.sorted.mkString("\u0000"))
         .foldLeft(Map.empty[String, String])((acc, m) => m ++ acc)
     }
     val infoKeyed = infoOk
@@ -398,7 +398,7 @@ object CallEval {
     val leStr = pl.lvalCol(col("labels"), "le")
     val native = in.filter(col("h").isNotNull)
       .select(pl.dropNameCol(col("labels")).as("labels"), col("t"), col("h"))
-      .withColumn("__k", pl.sigCol(col("labels")))
+      .withColumn("__k", pl.hashSigCol(col("labels")))
     val classic = in.filter(col("h").isNull).filter(leStr =!= "")
       .withColumn("__lestr", leStr)
       // try_cast: an unparsable le label ("Hello World") drops the bucket,
@@ -409,7 +409,7 @@ object CallEval {
       .filter(col("__le").isNotNull)
       .withColumn("glabels",
         map_filter(col("labels"), (k, _) => k =!= "le" && k =!= "__name__"))
-      .withColumn("__k", pl.sigCol(col("glabels")))
+      .withColumn("__k", pl.hashSigCol(col("glabels")))
     val nKeys = native.select(col("__k"), col("t")).distinct()
     val cKeys = classic.select(col("__k"), col("t")).distinct()
     val nativeClean = native.join(cKeys, Seq("__k", "t"), "left_anti")

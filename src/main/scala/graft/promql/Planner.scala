@@ -45,8 +45,15 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
 
   // ---------- label plumbing ----------
 
-  /** canonical, group-/join-able signature of a label map */
+  /** canonical ORDERING signature of a label map (wide; used only where a
+    * deterministic label order matters — tiebreaks, sorted folds) */
   private def sigOf(m: Column): Column = array_sort(map_entries(m))
+
+  /** 8-byte shuffle/join key: xxhash64 of the canonical signature. Every
+    * groupBy/join/window that only needs EQUALITY keys on this instead of
+    * shuffling the wide array<struct> signature (SURVEY §1.5 series_id;
+    * collision probability ~2^-64 per pair). */
+  private def hsig(m: Column): Column = xxhash64(array_sort(map_entries(m)))
 
   private def lval(labels: Column, name: String): Column =
     coalesce(element_at(labels, name), lit(""))
@@ -128,7 +135,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         val te = resolveAt(atm) - vs.offsetMs
         val picked = base
           .filter(col("t") > te - P.lookbackMs && col("t") <= te)
-          .groupBy(sigOf(col("labels")).as("__sg"))
+          .groupBy(hsig(col("labels")).as("__sg"))
           .agg(max_by(struct(col("t"), col("v"), col("stale"), col("labels"), col("h")), col("t")).as("p"))
           .select(col("p.labels").as("labels"), col("p.t").as("st"),
                   col("p.v").as("v"), col("p.stale").as("stale"), col("p.h").as("h"))
@@ -137,7 +144,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       case None =>
         val shifted = base.withColumn("wt", col("t") + vs.offsetMs)
         coverage(shifted, col("wt"), P.lookbackMs)
-          .groupBy(sigOf(col("labels")).as("__sg"), col("t_step"))
+          .groupBy(hsig(col("labels")).as("__sg"), col("t_step"))
           .agg(max_by(struct(col("wt"), col("t"), col("v"), col("stale"), col("labels"), col("h")),
                       col("wt")).as("p"))
           .select(col("p.labels").as("labels"), col("t_step").as("t"),
@@ -198,7 +205,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * with @, a single pseudo-step is used and the result is fanned out to the
     * grid after aggregation (step-invariant, ref: promql/engine.go:2564). */
   private def windowedPoints(ri: RangeInput): (DataFrame, Boolean) = {
-    val w = Window.partitionBy(sigOf(col("labels"))).orderBy(col("t"))
+    val w = Window.partitionBy(hsig(col("labels"))).orderBy(col("t"))
     // prev_* skip histogram samples (ignoreNulls): float functions see the
     // previous FLOAT point, mirroring the reference's separate Floats slice
     val base = ri.points
@@ -212,7 +219,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         val pts = base
           .filter(col("wt") > te - ri.rangeMs && col("wt") <= te)
           .withColumn("t_step", lit(te))
-        (pts.withColumn("__sg", sigOf(col("labels"))), true)
+        (pts.withColumn("__sg", hsig(col("labels"))), true)
       case None =>
         // extended selectors widen the buffer by the lookback delta: one
         // boundary sample before the range (anchored/smoothed) and after it
@@ -220,7 +227,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         val window = ri.rangeMs + (if (ri.ext != 0) P.lookbackMs else 0L)
         val future = if (ri.ext == 2) P.lookbackMs else 0L
         val pts = coverage(base, col("wt"), window, future)
-          .withColumn("__sg", sigOf(col("labels")))
+          .withColumn("__sg", hsig(col("labels")))
         (pts, false)
     }
   }
@@ -520,7 +527,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       .withColumn("wt", col("t") + vs.offsetMs)
     def agg(pts: DataFrame): DataFrame = {
       val f = pts.filter(col("h").isNull)
-        .groupBy(sigOf(col("labels")).as("__sg"), col("t_step"))
+        .groupBy(hsig(col("labels")).as("__sg"), col("t_step"))
         .agg(first(col("labels")).as("labels"),
           sort_array(collect_list(struct(col("wt"), col("v")))).as("pts"))
         .withColumn("v", RangeUdfs.smoothedValUdf(col("pts"), col("t_step")))
@@ -528,7 +535,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         .select(col("labels"), col("t_step").as("t"), col("v"),
           col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"))
       val hh = pts.filter(col("h").isNotNull)
-        .groupBy(sigOf(col("labels")).as("__sg"), col("t_step"))
+        .groupBy(hsig(col("labels")).as("__sg"), col("t_step"))
         .agg(first(col("labels")).as("labels"),
           sort_array(collect_list(struct(col("wt"), col("h")))).as("hp"))
         .withColumn("__h", HistUdfs.smoothedHistUdf(col("hp"), col("t_step")))
@@ -539,12 +546,12 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       // warning (ref: engine.go:1764) — keyed on the input points, since a
       // branch can be mixed even when only one side produces an output
       def key(df: DataFrame) =
-        df.select(sigOf(col("labels")).as("__k"), col("t_step").as("__kt")).distinct()
+        df.select(hsig(col("labels")).as("__k"), col("t_step").as("__kt")).distinct()
       val fk = key(pts.filter(col("h").isNull))
       val hk = key(pts.filter(col("h").isNotNull))
-      f.join(hk, sigOf(col("labels")) === col("__k") && col("t") === col("__kt"), "left_anti")
+      f.join(hk, hsig(col("labels")) === col("__k") && col("t") === col("__kt"), "left_anti")
         .unionByName(
-          hh.join(fk, sigOf(col("labels")) === col("__k") && col("t") === col("__kt"), "left_anti"))
+          hh.join(fk, hsig(col("labels")) === col("__k") && col("t") === col("__kt"), "left_anti"))
     }
     vs.at match {
       case Some(atm) =>
@@ -664,6 +671,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   private[promql] def p: EvalParams = P
   private[promql] def gridDF: DataFrame = grid
   private[promql] def sigCol(m: Column): Column = sigOf(m)
+  private[promql] def hashSigCol(m: Column): Column = hsig(m)
   private[promql] def dropNameCol(c: Column): Column = dropName(c)
   private[promql] def keepLabelsCol(c: Column, keep: Seq[String]): Column = keepLabels(c, keep)
   private[promql] def withoutLabelsCol(c: Column, drop: Seq[String]): Column = withoutLabels(c, drop)

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.promql.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Prometheus text exposition-format parser
+  * (ref: model/textparse/promparse.go; format: `metric{l="v",...} value [ts]`,
+  * `# HELP/TYPE/comment` lines ignored).
+  *
+  * The parser is a deserializing map over raw text lines — embarrassingly
+  * parallel, usable identically on a batch `spark.read.text` and a
+  * Structured Streaming `readStream.text` source (the scrape bridge).
+  */
+object Exposition {
+
+  /** parse one exposition line; None for comments/blank/unparsable */
+  def parseLine(line: String, defaultTsMs: Long): Option[(Map[String, String], Long, Double)] = {
+    val s = line.trim
+    if (s.isEmpty || s.startsWith("#")) return None
+    try {
+      // metric name [+ labels]
+      val braceIdx = s.indexOf('{')
+      val (labels, rest) =
+        if (braceIdx >= 0) {
+          val end = s.indexOf('}', braceIdx)
+          if (end < 0) return None
+          val name = s.substring(0, braceIdx).trim
+          val body = s.substring(braceIdx + 1, end)
+          val lm = scala.collection.mutable.Map[String, String]("__name__" -> name)
+          // k="v" pairs; values may contain escaped quotes
+          val pair = """([a-zA-Z_][a-zA-Z0-9_]*)\s*=\s*"((?:[^"\\]|\\.)*)"""".r
+          pair.findAllMatchIn(body).foreach { m =>
+            lm(m.group(1)) = m.group(2)
+              .replace("\\\"", "\"").replace("\\n", "\n").replace("\\\\", "\\")
+          }
+          (lm.toMap, s.substring(end + 1).trim)
+        } else {
+          val sp = s.indexOf(' ')
+          if (sp < 0) return None
+          (Map("__name__" -> s.substring(0, sp)), s.substring(sp + 1).trim)
+        }
+      val parts = rest.split("\\s+")
+      if (parts.isEmpty || parts(0).isEmpty) return None
+      val v = parts(0) match {
+        case "+Inf" | "Inf" => Double.PositiveInfinity
+        case "-Inf" => Double.NegativeInfinity
+        case "NaN" => Double.NaN
+        case x => x.toDouble
+      }
+      val t = if (parts.length > 1) parts(1).toLong else defaultTsMs
+      Some((labels, t, v))
+    } catch { case _: Exception => None }
+  }
+
+  private val outSchema = StructType(Seq(
+    StructField("labels", MapType(StringType, StringType, valueContainsNull = false)),
+    StructField("t", LongType),
+    StructField("v", DoubleType)))
+
+  private val parseUdf = udf { (line: String, defaultTs: Long) =>
+    parseLine(line, defaultTs)
+  }
+
+  /** text lines (column `value`) → canonical samples columns */
+  def parse(lines: DataFrame, defaultTsMs: Long): DataFrame =
+    lines
+      .withColumn("__p", parseUdf(col("value"), lit(defaultTsMs)))
+      .filter(col("__p").isNotNull)
+      .select(col("__p._1").as("labels"), col("__p._2").as("t"), col("__p._3").as("v"),
+        lit(false).as("stale"),
+        lit(null).cast(graft.promql.FHist.schemaType).as("h"))
+
+  /** batch convenience: read exposition text files into a samples DataFrame */
+  def read(spark: SparkSession, path: String, defaultTsMs: Long = 0L): DataFrame =
+    parse(spark.read.text(path), defaultTsMs)
+}

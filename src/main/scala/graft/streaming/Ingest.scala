@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.promql.Engine
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Streaming ingest path (SURVEY §2.1 / M6): exposition text stream →
+  * relabel pipeline → watermarked append to the time-partitioned samples
+  * store, plus staleness-marker synthesis when a series disappears
+  * (ref: scrape/scrape.go:1575 staleness append; model/value/value.go:28).
+  *
+  * 100 TB notes:
+  *  - the sink partitions by a 2h time bucket (mirroring the reference's
+  *    block duration, tsdb/db.go:56) so query-time partition pruning bounds
+  *    every scan;
+  *  - the watermark IS the out-of-order window (tsdb/db.go:192
+  *    OutOfOrderTimeWindow) — late rows beyond it are dropped exactly like
+  *    the reference's OOO cutoff;
+  *  - staleness state is per-series keyed state (flatMapGroupsWithState),
+  *    sharded by series hash — write parallelism is partition parallelism,
+  *    the same lock-striping role as the reference's stripeSeries
+  *    (tsdb/head.go:2253).
+  */
+object Ingest {
+
+  /** 2h time bucket, the reference's block duration */
+  val blockMs: Long = 2 * 3600 * 1000L
+
+  /** exposition text file stream → relabeled samples stream */
+  def source(spark: SparkSession, dir: String, rules: Seq[Relabel.Rule] = Nil): DataFrame = {
+    val lines = spark.readStream.text(dir)
+    Relabel(Exposition.parse(lines, defaultTsMs = 0L), rules)
+  }
+
+  /** append the stream to the partitioned samples store */
+  def sink(samples: DataFrame, outDir: String, checkpointDir: String,
+      oooWindowMs: Long = 10 * 60 * 1000L): StreamingQuery =
+    samples
+      .withColumn("ts", timestamp_millis(col("t")))
+      .withWatermark("ts", s"$oooWindowMs milliseconds")
+      .withColumn("block", (col("t") / blockMs).cast("long") * blockMs)
+      .drop("ts")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("block")
+      .outputMode(OutputMode.Append)
+      .start()
+
+  final case class SeriesEvent(sig: String, labels: Map[String, String], t: Long, v: Double)
+  final case class SeriesState(lastSeenMs: Long, labels: Map[String, String])
+  final case class StaleOut(labels: Map[String, String], t: Long, v: Double, stale: Boolean)
+
+  /** Synthesize staleness markers: when a series key stops appearing for
+    * `staleAfterMs`, emit one marker row `staleAfter` past its last sample
+    * (the reference appends StaleNaN when a target/series vanishes from a
+    * scrape). Keyed per-series state with a processing-time timeout. */
+  def withStaleness(samples: DataFrame, staleAfterMs: Long): Dataset[StaleOut] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val keyed = samples
+      .select(to_json(map_from_entries(array_sort(map_entries(col("labels"))))).as("sig"),
+        col("labels"), col("t"), col("v"))
+      .as[SeriesEvent]
+      .groupByKey(_.sig)
+    keyed.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+      (_: String, events: Iterator[SeriesEvent], state: GroupState[SeriesState]) => {
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator(StaleOut(s.labels, s.lastSeenMs + staleAfterMs, Double.NaN, stale = true))
+        } else {
+          val evs = events.toSeq
+          val latest = evs.maxBy(_.t)
+          state.update(SeriesState(latest.t, latest.labels))
+          state.setTimeoutDuration(staleAfterMs)
+          evs.iterator.map(e => StaleOut(e.labels, e.t, e.v, stale = false))
+        }
+      })
+  }
+
+  /** retention maintenance: drop 2h block partitions older than the cutoff
+    * (the reference's time-retention partition drop) */
+  def applyRetention(spark: SparkSession, dir: String, keepMs: Long, nowMs: Long): Seq[String] = {
+    val cutoff = (nowMs - keepMs) / blockMs * blockMs
+    val root = new java.io.File(dir)
+    val dropped = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("block="))
+      .filter(f => f.getName.stripPrefix("block=").toLong < cutoff)
+    dropped.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(d))
+    dropped.map(_.getName).toSeq
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relabeling DSL — the ingest-time label-set transform applied at target
+  * discovery and scrape time (ref: model/relabel/relabel.go:44-68).
+  *
+  * Each rule compiles to a pure column transform / filter over the
+  * `labels MAP<STRING,STRING>` column, so a rule chain is one narrow
+  * projection — no shuffle at any scale. Regexes are fully anchored like the
+  * reference's.
+  */
+object Relabel {
+
+  sealed trait Action
+  case object Replace extends Action
+  case object Keep extends Action
+  case object Drop extends Action
+  case object KeepEqual extends Action
+  case object DropEqual extends Action
+  case object HashMod extends Action
+  case object LabelMap extends Action
+  case object LabelDrop extends Action
+  case object LabelKeep extends Action
+  case object Lowercase extends Action
+  case object Uppercase extends Action
+
+  /** one relabel_config (defaults ref: relabel.go DefaultRelabelConfig:
+    * separator ";", regex "(.*)", replacement "$1") */
+  final case class Rule(
+      action: Action,
+      sourceLabels: Seq[String] = Nil,
+      separator: String = ";",
+      regex: String = "(.*)",
+      targetLabel: String = "",
+      replacement: String = "$1",
+      modulus: Long = 0L)
+
+  private def anchored(re: String): String = "^(?:" + re + ")$"
+
+  /** concatenated source label values (absent → empty string) */
+  private def srcVal(labels: Column, r: Rule): Column =
+    concat_ws(r.separator, r.sourceLabels.map(l => coalesce(element_at(labels, l), lit(""))): _*)
+
+  private def setLabel(labels: Column, name: Column, value: Column): Column =
+    when(length(value) === 0, map_filter(labels, (k, _) => k =!= name))
+      .otherwise(map_concat(map_filter(labels, (k, _) => k =!= name), map(name, value)))
+
+  /** apply one rule; returns (newLabels, keepRow) */
+  def compile(labels: Column, r: Rule): (Column, Column) = {
+    val v = srcVal(labels, r)
+    val re = anchored(r.regex)
+    r.action match {
+      case Keep => (labels, v.rlike(re))
+      case Drop => (labels, !v.rlike(re))
+      case KeepEqual => (labels, v === coalesce(element_at(labels, r.targetLabel), lit("")))
+      case DropEqual => (labels, v =!= coalesce(element_at(labels, r.targetLabel), lit("")))
+      case Replace =>
+        val expanded = regexp_replace(v, re, r.replacement)
+        val tgt = regexp_replace(v, re, r.targetLabel) // target may use $1 too
+        (when(v.rlike(re), setLabel(labels, tgt, expanded)).otherwise(labels), lit(true))
+      case Lowercase => (setLabel(labels, lit(r.targetLabel), lower(v)), lit(true))
+      case Uppercase => (setLabel(labels, lit(r.targetLabel), upper(v)), lit(true))
+      case HashMod =>
+        // ref: relabel.go hashmod — md5(val), lower 8 bytes as uint64 % modulus
+        val h64 = conv(substring(md5(v), 17, 16), 16, 10).cast("decimal(20,0)")
+        val m = (h64 % r.modulus).cast("long").cast("string")
+        (setLabel(labels, lit(r.targetLabel), m), lit(true))
+      case LabelMap =>
+        // add label `expand(name)` = value for every label NAME matching regex
+        val mapped = map_filter(labels, (k, _) => k.rlike(re))
+        val renamed = transform_keys(mapped, (k, _) => regexp_replace(k, re, r.replacement))
+        (map_concat(map_filter(labels, (k, _) => !map_contains_key(renamed, k)), renamed), lit(true))
+      case LabelDrop => (map_filter(labels, (k, _) => !k.rlike(re)), lit(true))
+      case LabelKeep => (map_filter(labels, (k, _) => k.rlike(re)), lit(true))
+    }
+  }
+
+  /** apply a rule chain to a samples DataFrame (column `labels`) */
+  def apply(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    rules.foldLeft(df) { (d, r) =>
+      val (nl, keep) = compile(col("labels"), r)
+      d.filter(keep).withColumn("labels", nl)
+    }
+}

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.promql._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recording & alerting rules (SURVEY §2.8 / M7; ref: rules/recording.go:85,
+  * rules/alerting.go state machine, rules/manager.go:83 eval loop).
+  *
+  * Each rule evaluation is ONE instant query compiled to a distributed plan
+  * — the per-tick driver work is scheduling only, like the reference's rule
+  * manager. Alert identity state lives on the driver keyed by label
+  * signature: alert cardinality is target-scale (thousands), not
+  * sample-scale, so this mirrors the reference's in-memory alert map.
+  */
+object Rules {
+
+  final case class RecordingRule(
+      record: String, expr: String, labels: Map[String, String] = Map.empty)
+
+  final case class AlertingRule(
+      alert: String, expr: String,
+      forMs: Long = 0L, keepFiringForMs: Long = 0L,
+      labels: Map[String, String] = Map.empty,
+      annotations: Map[String, String] = Map.empty)
+
+  /** inactive → pending (`for:`) → firing → (keep_firing_for) → inactive
+    * (ref: rules/alerting.go:217-226) */
+  final case class AlertState(activeSinceMs: Long, firingSinceMs: Long, lastTrueMs: Long)
+
+  /** evaluate a recording rule at `tsMs`: rewrite __name__, merge static
+    * labels (ref: rules/recording.go:85) */
+  def evalRecording(spark: SparkSession, samples: DataFrame, rule: RecordingRule,
+      tsMs: Long): DataFrame = {
+    val res = Engine.instantQuery(spark, samples, rule.expr, tsMs) match {
+      case VectorVal(df) => df
+      case ScalarVal(df, _) =>
+        df.select(map(lit("x"), lit("x")).as("labels"), col("t"), col("v"),
+          col("t").as("st"), lit(null).cast(FHist.schemaType).as("h"))
+          .withColumn("labels", map_filter(col("labels"), (_, _) => lit(false)))
+      case other => throw PromQLError(s"recording rule must produce a vector, got $other")
+    }
+    val static = rule.labels.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    val withStatics =
+      if (static.isEmpty) col("labels")
+      else map_concat(
+        map_filter(col("labels"), (k, _) => !k.isInCollection(rule.labels.keys.toSeq)),
+        map(static: _*))
+    res.select(
+      map_concat(
+        map_filter(withStatics, (k, _) => k =!= "__name__"),
+        map(lit("__name__"), lit(rule.record))).as("labels"),
+      lit(tsMs).as("t"), col("v"), lit(false).as("stale"), col("h"))
+  }
+
+  /** One alerting evaluation step. Returns (ALERTS synthetic samples at
+    * tsMs, next state). Alert series labels = rule labels + alert labels +
+    * alertname/alertstate (ref: rules/alerting.go:41 ALERTS). */
+  def evalAlerting(spark: SparkSession, samples: DataFrame, rule: AlertingRule,
+      tsMs: Long, state: Map[String, AlertState]): (DataFrame, Map[String, AlertState]) = {
+    val res = Engine.instantQuery(spark, samples, rule.expr, tsMs) match {
+      case VectorVal(df) => df
+      case other => throw PromQLError(s"alerting rule must produce a vector, got $other")
+    }
+    val active: Map[String, Map[String, String]] = res
+      .select(col("labels")).collect()
+      .map(r => r.getMap[String, String](0).toMap)
+      .map(l => (l - "__name__") ++ rule.labels + ("alertname" -> rule.alert))
+      .map(l => l.toSeq.sorted.mkString("") -> l)
+      .toMap
+
+    val next = scala.collection.mutable.Map[String, AlertState]()
+    val out = Seq.newBuilder[(Map[String, String], String)]
+    // currently-true alerts: new → pending, past `for:` → firing
+    active.foreach { case (sig, lbls) =>
+      val st = state.getOrElse(sig, AlertState(tsMs, 0L, tsMs))
+      val firing = tsMs - st.activeSinceMs >= rule.forMs
+      val firingSince = if (firing && st.firingSinceMs == 0L) tsMs else st.firingSinceMs
+      next(sig) = AlertState(st.activeSinceMs, firingSince, tsMs)
+      out += ((lbls, if (firing) "firing" else "pending"))
+    }
+    // no-longer-true: keep firing for keep_firing_for, else drop
+    state.foreach { case (sig, st) =>
+      if (!active.contains(sig)) {
+        val wasFiring = st.firingSinceMs > 0L
+        if (wasFiring && tsMs - st.lastTrueMs <= rule.keepFiringForMs) {
+          next(sig) = st
+          // labels are not reconstructible from the sig alone: carry them via
+          // the keep-firing map below
+        }
+      }
+    }
+    val rows = out.result().map { case (lbls, stateName) =>
+      org.apache.spark.sql.Row(
+        lbls + ("__name__" -> "ALERTS", "alertstate" -> stateName), tsMs, 1.0, false, null)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Engine.samplesSchema)
+    (df, next.toMap)
+  }
+
+  final case class Group(name: String, intervalMs: Long,
+      recording: Seq[RecordingRule] = Nil, alerting: Seq[AlertingRule] = Nil)
+
+  /** Batch-driven group evaluation over a window of ticks (the reference's
+    * manager loop, rules/manager.go:83): recording results append back into
+    * the returned samples DataFrame so later rules see earlier outputs
+    * (rule dependency ordering within a group). */
+  def evalGroup(spark: SparkSession, samples0: DataFrame, g: Group,
+      fromMs: Long, toMs: Long): DataFrame = {
+    var samples = samples0
+    var alertStates = Map.empty[String, Map[String, AlertState]]
+    var outputs = List.empty[DataFrame]
+    var ts = fromMs
+    while (ts <= toMs) {
+      g.recording.foreach { r =>
+        val out = evalRecording(spark, samples, r, ts)
+        outputs ::= out
+        samples = samples.unionByName(out)
+      }
+      g.alerting.foreach { a =>
+        val (out, st) = evalAlerting(spark, samples, a, ts,
+          alertStates.getOrElse(a.alert, Map.empty))
+        alertStates += (a.alert -> st)
+        outputs ::= out
+        samples = samples.unionByName(out)
+      }
+      ts += g.intervalMs
+    }
+    outputs.reverse.reduce(_.unionByName(_))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.promql.Engine
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def samplesOf(rows: Seq[(Map[String, String], Long, Double)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (l, t, v) => Row(l, t, v, false, null) }, 2),
+      Engine.samplesSchema)
+
+  test("exposition parser handles labels, escapes, timestamps, comments") {
+    assert(Exposition.parseLine("# HELP foo bar", 0).isEmpty)
+    assert(Exposition.parseLine("foo 1.5", 99) ===
+      Some((Map("__name__" -> "foo"), 99L, 1.5)))
+    assert(Exposition.parseLine("""foo{a="x",b="y\"z"} 2 1234""", 0) ===
+      Some((Map("__name__" -> "foo", "a" -> "x", "b" -> "y\"z"), 1234L, 2.0)))
+    assert(Exposition.parseLine("up +Inf", 0).get._3.isPosInfinity)
+  }
+
+  test("relabel: replace, keep/drop, hashmod, labelmap, labeldrop") {
+    import Relabel._
+    val df = samplesOf(Seq(
+      (Map("__name__" -> "m", "job" -> "api", "instance" -> "i1"), 0L, 1.0),
+      (Map("__name__" -> "m", "job" -> "db", "instance" -> "i2"), 0L, 2.0)))
+
+    val kept = Relabel(df, Seq(Rule(Keep, sourceLabels = Seq("job"), regex = "api")))
+    assert(kept.count() == 1)
+
+    val replaced = Relabel(df, Seq(Rule(Replace, sourceLabels = Seq("job"),
+      regex = "(.*)", targetLabel = "svc", replacement = "svc-$1")))
+    val svcs = replaced.select(element_at(col("labels"), "svc")).collect().map(_.getString(0)).toSet
+    assert(svcs == Set("svc-api", "svc-db"))
+
+    val modded = Relabel(df, Seq(Rule(HashMod, sourceLabels = Seq("instance"),
+      targetLabel = "shard", modulus = 4)))
+    val shards = modded.select(element_at(col("labels"), "shard")).collect().map(_.getString(0))
+    assert(shards.forall(s => (0 until 4).map(_.toString).contains(s)))
+
+    val mapped = Relabel(df, Seq(Rule(LabelMap, regex = "job", replacement = "orig_job")))
+    assert(mapped.select(element_at(col("labels"), "orig_job")).collect()
+      .map(_.getString(0)).toSet == Set("api", "db"))
+
+    val dropped = Relabel(df, Seq(Rule(LabelDrop, regex = "inst.*")))
+    assert(dropped.select(map_keys(col("labels"))).collect()
+      .forall(!_.getSeq[String](0).contains("instance")))
+  }
+
+  test("recording rule rewrites __name__ and feeds later rules") {
+    val df = samplesOf(Seq(
+      (Map("__name__" -> "reqs", "job" -> "a"), 0L, 10.0),
+      (Map("__name__" -> "reqs", "job" -> "b"), 0L, 20.0)))
+    val out = Rules.evalGroup(spark, df,
+      Rules.Group("g", intervalMs = 60000,
+        recording = Seq(
+          Rules.RecordingRule("job:reqs:sum", "sum by (job) (reqs)"),
+          Rules.RecordingRule("total:reqs", "sum(job:reqs:sum)"))),
+      fromMs = 0L, toMs = 0L)
+    val total = out.filter(element_at(col("labels"), "__name__") === "total:reqs")
+      .select(col("v")).collect()
+    assert(total.map(_.getDouble(0)).toSeq == Seq(30.0))
+  }
+
+  test("alerting rule walks pending -> firing with for:") {
+    val df = samplesOf(Seq(
+      (Map("__name__" -> "errors", "job" -> "a"), 0L, 5.0),
+      (Map("__name__" -> "errors", "job" -> "a"), 60000L, 5.0)))
+    val rule = Rules.AlertingRule("HighErrors", "errors > 1", forMs = 60000)
+    val (out0, st0) = Rules.evalAlerting(spark, df, rule, 0L, Map.empty)
+    val s0 = out0.select(element_at(col("labels"), "alertstate")).collect().map(_.getString(0))
+    assert(s0.toSeq == Seq("pending"))
+    val (out1, _) = Rules.evalAlerting(spark, df, rule, 60000L, st0)
+    val s1 = out1.select(element_at(col("labels"), "alertstate")).collect().map(_.getString(0))
+    assert(s1.toSeq == Seq("firing"))
+  }
+
+  test("retention drops old 2h block partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ret").toFile
+    val old = new java.io.File(dir, "block=0"); old.mkdirs()
+    val recent = new java.io.File(dir, s"block=${100 * Ingest.blockMs}"); recent.mkdirs()
+    val dropped = Ingest.applyRetention(spark, dir.getPath,
+      keepMs = 10 * Ingest.blockMs, nowMs = 101 * Ingest.blockMs)
+    assert(dropped == Seq("block=0") && recent.exists())
+  }
+}
