@@ -15,9 +15,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // PromQL engine headline set over the bench_test.go replica dataset
+    // (hundred scale, 1000 steps @10s) — the BASELINE anchor
+    val pb: Map[String, Double] =
+      try {
+        val data = graft.bench.PromBench.dataset(spark,
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench")).cache()
+        data.count()
+        graft.bench.PromBench.headline.map { c =>
+          val (sec, _) = graft.bench.PromBench.run(spark, data, c)
+          s"pb:${c.expr}" -> sec
+        }.toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] prombench failed: ${e.getMessage}"); Map.empty
+      }
+    val all = results ++ pb
+    val qs = all.map { case (k, v) => s"\"" + k.replace("\"", "'") + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (all.nonEmpty) all.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -140,6 +140,20 @@ object PromBench {
       (c.expr.contains("hundred") && c.steps >= 1000) || c.expr.contains("sparse"))
   }
 
+  /** curated 10-query set for the driver's per-round BENCH line:
+    * hundred-scale, 1000 steps — one per operator family */
+  def headline: Seq[Case] = Seq(
+    Case("a_hundred", 1000),
+    Case("rate(a_hundred[1m])", 1000),
+    Case("rate(a_hundred[1m] smoothed)", 1000),
+    Case("rate(a_hundred[1d])", 1000),
+    Case("changes(a_hundred[1d])", 1000),
+    Case("sum(a_hundred)", 1000),
+    Case("sum by (le)(h_hundred)", 1000),
+    Case("topk(5, a_hundred)", 1000),
+    Case("sum without (l)(rate(a_hundred[1m])) / sum without (l)(rate(b_hundred[1m]))", 1000),
+    Case("histogram_quantile(0.9, rate(h_hundred[5m]))", 1000))
+
   def run(spark: SparkSession, samples: DataFrame, c: Case): (Double, Long) = {
     val endS = numIntervals.toLong * 10
     val startS = (numIntervals - c.steps).toLong * 10

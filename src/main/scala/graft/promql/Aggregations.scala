@@ -122,6 +122,8 @@ object Aggregations {
         // offset < r (or ≥ 1+r for negative r) — so complements partition
         // identically to the reference (ref: model/labels hashing +
         // engine.go aggregationK AddRatioSample)
+        if (paramConst.exists(_.isNaN))
+          throw PromQLError("ratio value should be a number, got NaN")
         val (df, r) = paramCol(pre)
         val enc = expr(
           "aggregate(array_sort(map_entries(labels)), cast(x'' AS BINARY), " +
@@ -139,6 +141,8 @@ object Aggregations {
           case _ => throw PromQLError("count_values: label name must be a string literal")
         }
         val lbl = unwrapStr(ae.param.get)
+        if (!CallEval.validLabelName(lbl))
+          throw PromQLError(s"invalid label name in count_values(): $lbl")
         // histogram samples group by their Go String() rendering
         // (ref: engine.go:4208 count_values)
         // group on the FINAL label set — the value label may overwrite a

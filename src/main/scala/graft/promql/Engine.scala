@@ -38,13 +38,31 @@ object Engine {
     df
   }
 
+  /** The reference errors when a result vector contains two samples with the
+    * same labelset (engine.go "vector cannot contain metrics with the same
+    * labelset") — a lazily-raised window count over the final result, keyed
+    * the same as the plan's last shuffle (exchange reuse applies). */
+  private def checkUnique(v: PValue): PValue = v match {
+    case VectorVal(df) =>
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(xxhash64(array_sort(map_entries(col("labels")))), col("t"))
+      VectorVal(df
+        .withColumn("__dupcnt", count(lit(1)).over(w))
+        .withColumn("v", when(col("__dupcnt") > 1,
+            raise_error(lit("vector cannot contain metrics with the same labelset")).cast("double"))
+          .otherwise(col("v")))
+        .drop("__dupcnt"))
+    case other => other
+  }
+
   def parse(q: String, stepMs: Long = 0L, rangeMs: Long = 0L): Expr =
     Parser.parse(q, stepMs, rangeMs)
 
   def instantQuery(spark: SparkSession, samples: DataFrame, q: String, tsMs: Long,
       lookbackMs: Long = 300000L): PValue =
-    new Planner(spark, normalize(samples),
-      EvalParams(tsMs, tsMs, 1000L, lookbackMs, isInstant = true)).eval(parse(q))
+    checkUnique(new Planner(spark, normalize(samples),
+      EvalParams(tsMs, tsMs, 1000L, lookbackMs, isInstant = true)).eval(parse(q)))
 
   def rangeQuery(spark: SparkSession, samples: DataFrame, q: String,
       startMs: Long, endMs: Long, stepMs: Long, lookbackMs: Long = 300000L): PValue = {
@@ -53,6 +71,7 @@ object Engine {
       case ValueType.InstantVector | ValueType.Scalar => ()
       case t => throw PromQLError(s"range query expression must be scalar or instant vector, got $t")
     }
-    new Planner(spark, normalize(samples), EvalParams(startMs, endMs, stepMs, lookbackMs)).eval(e)
+    checkUnique(new Planner(spark, normalize(samples),
+      EvalParams(startMs, endMs, stepMs, lookbackMs)).eval(e))
   }
 }

@@ -143,16 +143,45 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         grid.crossJoin(picked).select(col("labels"), col("t"), col("v"), col("st"), col("h"))
       case None =>
         val shifted = base.withColumn("wt", col("t") + vs.offsetMs)
-        coverage(shifted, col("wt"), P.lookbackMs)
-          .groupBy(hsig(col("labels")).as("__sg"), col("t_step"))
-          .agg(max_by(struct(col("wt"), col("t"), col("v"), col("stale"), col("labels"), col("h")),
-                      col("wt")).as("p"))
-          .select(col("p.labels").as("labels"), col("t_step").as("t"),
-                  col("p.v").as("v"), col("p.t").as("st"), col("p.stale").as("stale"),
-                  col("p.h").as("h"))
-          .filter(!col("stale")).drop("stale")
+        // linear as-of regime: when the lookback explode would amplify the
+        // scan meaningfully AND there are many steps, a union-sort last-sample
+        // lookup against step markers replaces the explode — identical result
+        // (same max-by-wt pick), O(samples·log + series×steps)
+        val amp = math.min(P.lookbackMs.toDouble / P.stepMs, P.numSteps.toDouble)
+        if (amp >= linearSelectRatio && P.numSteps > 1) {
+          val keyed = shifted.withColumn("__sg", hsig(col("labels")))
+          val samplesU = keyed.select(col("__sg"), col("wt"), lit(0).as("knd"),
+            lit(null).cast("long").as("t_step"),
+            struct(col("wt").as("mwt"), col("t").as("st"), col("v"), col("stale"),
+              col("labels"), col("h")).as("pay"))
+          val payType = samplesU.schema("pay").dataType
+          val markers = keyed.select(col("__sg")).distinct()
+            .crossJoin(grid.select(col("t").as("t_step")))
+            .select(col("__sg"), col("t_step").as("wt"), lit(1).as("knd"), col("t_step"),
+              lit(null).cast(payType).as("pay"))
+          val wA = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("knd"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          samplesU.unionByName(markers)
+            .withColumn("p", last(col("pay"), ignoreNulls = true).over(wA))
+            .filter(col("knd") === 1 && col("p").isNotNull &&
+              col("p.mwt") > col("t_step") - P.lookbackMs && !col("p.stale"))
+            .select(col("p.labels").as("labels"), col("t_step").as("t"),
+              col("p.v").as("v"), col("p.st").as("st"), col("p.h").as("h"))
+        } else
+          coverage(shifted, col("wt"), P.lookbackMs)
+            .groupBy(hsig(col("labels")).as("__sg"), col("t_step"))
+            .agg(max_by(struct(col("wt"), col("t"), col("v"), col("stale"), col("labels"), col("h")),
+                        col("wt")).as("p"))
+            .select(col("p.labels").as("labels"), col("t_step").as("t"),
+                    col("p.v").as("v"), col("p.t").as("st"), col("p.stale").as("stale"),
+                    col("p.h").as("h"))
+            .filter(!col("stale")).drop("stale")
     }
   }
+
+  /** lookback amplification above which instant selection switches to the
+    * linear as-of lookup; overridable for path-equivalence tests */
+  private[promql] var linearSelectRatio: Double = 8.0
 
   // ---------- range inputs (matrix selectors & subqueries) ----------
 
@@ -204,33 +233,120 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * counter-reset / changes logic), t_step, __sg. When the selector is pinned
     * with @, a single pseudo-step is used and the result is fanned out to the
     * grid after aggregation (step-invariant, ref: promql/engine.go:2564). */
-  private def windowedPoints(ri: RangeInput): (DataFrame, Boolean) = {
+  /** offset-shifted points with previous-FLOAT-point columns */
+  private def basePoints(ri: RangeInput): DataFrame = {
     val w = Window.partitionBy(hsig(col("labels"))).orderBy(col("t"))
     // prev_* skip histogram samples (ignoreNulls): float functions see the
     // previous FLOAT point, mirroring the reference's separate Floats slice
-    val base = ri.points
+    ri.points
       .withColumn("prev_v", lag(when(col("h").isNull, col("v")), 1, null, ignoreNulls = true).over(w))
       .withColumn("prev_t", lag(when(col("h").isNull, col("t")), 1, null, ignoreNulls = true).over(w))
       .withColumn("wt", col("t") + ri.offsetMs)
       .withColumn("prev_wt", col("prev_t") + ri.offsetMs)
+  }
+
+  /** windowed points with the float/histogram split applied BEFORE the
+    * coverage explode — so consumers touching only one side never pay the
+    * other side's amplification (predicate pushdown below a generate is not
+    * guaranteed, so the split is explicit in the plan) */
+  private final case class WPoints(floats: DataFrame, hists: DataFrame, fixed: Boolean) {
+    lazy val all: DataFrame = floats.unionByName(hists)
+  }
+
+  private def windowedPoints(ri: RangeInput): WPoints = {
+    val base = basePoints(ri)
     ri.at match {
       case Some(atm) =>
         val te = resolveAt(atm)
         val pts = base
           .filter(col("wt") > te - ri.rangeMs && col("wt") <= te)
           .withColumn("t_step", lit(te))
-        (pts.withColumn("__sg", hsig(col("labels"))), true)
+          .withColumn("__sg", hsig(col("labels")))
+        WPoints(pts.filter(col("h").isNull), pts.filter(col("h").isNotNull), fixed = true)
       case None =>
         // extended selectors widen the buffer by the lookback delta: one
         // boundary sample before the range (anchored/smoothed) and after it
         // (smoothed) — ref engine.go:2848
         val window = ri.rangeMs + (if (ri.ext != 0) P.lookbackMs else 0L)
         val future = if (ri.ext == 2) P.lookbackMs else 0L
-        val pts = coverage(base, col("wt"), window, future)
-          .withColumn("__sg", hsig(col("labels")))
-        (pts, false)
+        def cov(df: DataFrame): DataFrame =
+          coverage(df, col("wt"), window, future).withColumn("__sg", hsig(col("labels")))
+        WPoints(cov(base.filter(col("h").isNull)), cov(base.filter(col("h").isNotNull)),
+          fixed = false)
     }
   }
+
+  /** Linear-time window statistics for LARGE window/step ratios, where the
+    * coverage explode's ⌈window/step⌉× amplification becomes pathological
+    * (rate(x[1d]) @10s step = 8640×; VERDICT regime switch / SURVEY §7.3
+    * risk 2). Cost: O(samples·log + series×steps) — one per-series prefix
+    * pass (cumulative window frames are O(n) in Spark) plus two union-sort
+    * as-of lookups against step markers. Returns one row per (series, step)
+    * with window stats:
+    *   cnt, firstV/minWt (first sample in window), lastV/maxWt (last),
+    *   corr (sum of reset predecessors), nResets, nChanges.
+    * Float samples only — histogram windows keep the explode path (they are
+    * the minority column; their explode is gated on h IS NOT NULL which
+    * Catalyst pushes below the generate). */
+  private def linearRangeStats(ri: RangeInput): DataFrame = {
+    val wOrd = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val resetCond = col("prev_v").isNotNull && !isnan(col("prev_v")) && (col("v") < col("prev_v"))
+    val changedCond = col("prev_v").isNotNull &&
+      ((col("v") =!= col("prev_v") && !(isnan(col("v")) && isnan(col("prev_v")))) ||
+       (isnan(col("v")) =!= isnan(col("prev_v"))))
+    val fbase = basePoints(ri).filter(col("h").isNull)
+      .withColumn("__sg", hsig(col("labels")))
+      .withColumn("pCnt", count(lit(1)).over(wOrd))
+      .withColumn("pCorr", sum(when(resetCond, col("prev_v")).otherwise(0.0)).over(wOrd))
+      .withColumn("pRst", sum(when(resetCond, 1L).otherwise(0L)).over(wOrd))
+      .withColumn("pChg", sum(when(changedCond, 1L).otherwise(0L)).over(wOrd))
+    val series = fbase.groupBy(col("__sg")).agg(first(col("labels")).as("labels"))
+    val payT = "struct<mwt:bigint,v:double,pCnt:bigint,pCorr:double,pRst:bigint,pChg:bigint>"
+    val samplesU = fbase.select(col("__sg"), col("wt"), lit(0).as("knd"),
+      lit(null).cast("long").as("t_step"),
+      struct(col("wt").as("mwt"), col("v"), col("pCnt"), col("pCorr"), col("pRst"), col("pChg"))
+        .cast(payT).as("pay"))
+    val endMarkers = series.select(col("__sg"))
+      .crossJoin(grid.select(col("t").as("t_step")))
+    // pass A — last sample at or before each step t (window end)
+    val aU = samplesU.unionByName(endMarkers.select(col("__sg"),
+      col("t_step").as("wt"), lit(1).as("knd"), col("t_step"),
+      lit(null).cast(payT).as("pay")))
+    val wA = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("knd"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val endInfo = aU
+      .withColumn("e", last(col("pay"), ignoreNulls = true).over(wA))
+      .filter(col("knd") === 1 && col("e").isNotNull &&
+        col("e.mwt") > col("t_step") - ri.rangeMs)
+      .select(col("__sg"), col("t_step"), col("e"))
+    // pass B — first sample strictly after each window start t−range
+    // (samples at wt == t−range sort BEFORE the marker, excluding them)
+    val bU = samplesU.unionByName(endMarkers.select(col("__sg"),
+      (col("t_step") - ri.rangeMs).as("wt"), lit(1).as("knd"), col("t_step"),
+      lit(null).cast(payT).as("pay")))
+    val wB = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("knd"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val startInfo = bU
+      .withColumn("s", first(col("pay"), ignoreNulls = true).over(wB))
+      .filter(col("knd") === 1 && col("s").isNotNull &&
+        col("s.mwt") <= col("t_step"))
+      .select(col("__sg"), col("t_step"), col("s"))
+    endInfo.join(startInfo, Seq("__sg", "t_step"))
+      .join(series, Seq("__sg"))
+      .select(col("__sg"), col("t_step"), col("labels"),
+        (col("e.pCnt") - col("s.pCnt") + 1).as("cnt"),
+        col("s.v").as("firstV"), col("s.mwt").as("minWt"),
+        col("e.v").as("lastV"), col("e.mwt").as("maxWt"),
+        (col("e.pCorr") - col("s.pCorr")).as("corr"),
+        (col("e.pRst") - col("s.pRst")).cast("double").as("nResets"),
+        (col("e.pChg") - col("s.pChg")).cast("double").as("nChanges"))
+  }
+
+  /** coverage-explode amplification (min(window/step, numSteps)) above which
+    * the explode path switches to [[linearRangeStats]]; below it the explode
+    * is cheap and bit-exact. Overridable for path-equivalence tests. */
+  private[promql] var linearPathRatio: Double = 128.0
 
   /** After aggregating a pinned (@) range: fan the per-series constant back out
     * to every grid step. */
@@ -251,8 +367,9 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
 
   private def evalRangeFunc(name: String, arg: Expr, extra: List[Expr]): DataFrame = {
     val ri = rangeInput(arg)
-    val (pts, fixed) = windowedPoints(ri)
-    if (ri.ext != 0) return evalExtendedRange(name, ri, pts, fixed)
+    val wp = windowedPoints(ri)
+    val fixed = wp.fixed
+    if (ri.ext != 0) return evalExtendedRange(name, ri, wp, fixed)
     val rangeStart = col("t_step") - ri.rangeMs  // window is (rangeStart, t_step]
     val rangeSec = ri.rangeMs / 1000.0
     val pairInWindow = col("prev_wt") > rangeStart
@@ -263,8 +380,9 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     // (mirrors the reference's separate Floats/Histograms slices); functions
     // that must not mix (rate/sum_over_time/…) exclude mixed windows entirely
     // (ref: promql/functions.go:452 MixedFloatsHistogramsWarning)
-    val fpts = pts.filter(col("h").isNull)
-    val hpts = pts.filter(col("h").isNotNull)
+    val pts = wp.all
+    val fpts = wp.floats
+    val hpts = wp.hists
     val g = fpts.groupBy(col("__sg"), col("t_step"))
     val gAll = pts.groupBy(col("__sg"), col("t_step"))
     def hAgged = hpts.groupBy(col("__sg"), col("t_step"))
@@ -301,13 +419,21 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       fanOut(r, fixed)
     }
 
+    // large amplifications take the linear prefix+as-of path instead of the
+    // coverage explode (regime switch; see linearRangeStats). Amplification
+    // is min(window/step, numSteps) — a sample covers at most numSteps steps.
+    val useLinear = !fixed && ri.at.isEmpty &&
+      math.min(ri.rangeMs.toDouble / P.stepMs, P.numSteps.toDouble) >= linearPathRatio
+
     def extrapolated(isCounter: Boolean, isRate: Boolean, isDelta: Boolean): DataFrame = {
-      val agged = exclMixed(g.agg(
-        first(col("labels")).as("labels"),
-        count(col("v")).as("cnt"),
-        min(col("wt")).as("minWt"), max(col("wt")).as("maxWt"),
-        expr("min_by(v, wt)").as("firstV"), expr("max_by(v, wt)").as("lastV"),
-        sum(when(resetPair, col("prev_v")).otherwise(0.0)).as("corr")), hpts)
+      val agged = exclMixed(
+        if (useLinear) linearRangeStats(ri)
+        else g.agg(
+          first(col("labels")).as("labels"),
+          count(col("v")).as("cnt"),
+          min(col("wt")).as("minWt"), max(col("wt")).as("maxWt"),
+          expr("min_by(v, wt)").as("firstV"), expr("max_by(v, wt)").as("lastV"),
+          sum(when(resetPair, col("prev_v")).otherwise(0.0)).as("corr")), hpts)
       // ref: promql/functions.go:452 extrapolatedRate — formulas reimplemented
       val resultValue =
         if (isCounter) col("lastV") - col("firstV") + col("corr")
@@ -349,12 +475,19 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         finish(agged, col("__o.v"), col("__o").isNotNull, h = col("__o.h"))
 
       case "resets" | "changes" =>
-        // ref: promql/functions.go:2359/:2431 — merged float+histogram
-        // timeline; float↔histogram transitions always count
-        val agged = gAll.agg(first(col("labels")).as("labels"),
-          sort_array(collect_list(struct(col("wt"), col("v"), col("h")))).as("mp"))
-        finish(agged,
-          HistUdfs.extMixedCount(name == "changes", ri.rangeMs)(col("mp"), col("t_step")))
+        if (useLinear)
+          // prefix-diff counts (float samples; hist windows excluded and
+          // handled by the merged path only at small ratios)
+          finish(exclMixed(linearRangeStats(ri), hpts),
+            if (name == "changes") col("nChanges") else col("nResets"))
+        else {
+          // ref: promql/functions.go:2359/:2431 — merged float+histogram
+          // timeline; float↔histogram transitions always count
+          val agged = gAll.agg(first(col("labels")).as("labels"),
+            sort_array(collect_list(struct(col("wt"), col("v"), col("h")))).as("mp"))
+          finish(agged,
+            HistUdfs.extMixedCount(name == "changes", ri.rangeMs)(col("mp"), col("t_step")))
+        }
 
       case "avg_over_time" | "sum_over_time" =>
         // time-ordered Kahan summation for float-exact parity with the
@@ -460,7 +593,12 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         }
         finish(agged, v)
       case "absent_over_time" =>
-        val present = windowedPoints(ri)._1.select(col("t_step")).distinct()
+        // large ratios: presence from the as-of pass, not the explode
+        // (float samples decide presence there; histogram-only series at
+        // day-scale windows are a documented gap of the fast path)
+        val present =
+          if (useLinear) linearRangeStats(ri).select(col("t_step")).distinct()
+          else pts.select(col("t_step")).distinct()
         val lbls = absentLabels(arg)
         fanOut(grid.join(present.withColumnRenamed("t_step", "t"), Seq("t"), "left_anti")
           .select(lbls.as("labels"), col("t"), lit(1.0).as("v"), col("t").as("st")), fixed = false)
@@ -472,7 +610,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * extended point window per (series, step) — only the reference's safe
     * function sets are allowed (ref: promql/functions.go:2769). */
   private def evalExtendedRange(name: String, ri: RangeInput,
-      pts: DataFrame, fixed: Boolean): DataFrame = {
+      wp: WPoints, fixed: Boolean): DataFrame = {
     val anchoredSafe = Set("resets", "changes", "rate", "increase", "delta")
     val smoothedSafe = Set("rate", "increase", "delta")
     val safe = if (ri.ext == 1) anchoredSafe else smoothedSafe
@@ -480,8 +618,9 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       throw PromQLError(
         s"${if (ri.ext == 1) "anchored" else "smoothed"} modifier can only be used with: " +
         s"${safe.toSeq.sorted.mkString(", ")} - not with $name")
-    val fpts = pts.filter(col("h").isNull)
-    val hpts = pts.filter(col("h").isNotNull)
+    val pts = wp.all
+    val fpts = wp.floats
+    val hpts = wp.hists
     def excl(df: DataFrame, other: DataFrame): DataFrame =
       df.join(other.select(col("__sg"), col("t_step")).distinct(),
         Seq("__sg", "t_step"), "left_anti")

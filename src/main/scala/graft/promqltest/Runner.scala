@@ -217,7 +217,20 @@ object Runner {
           compareVector(ev, got)
 
         case MatrixVal(df) =>
-          EvalResult(ev.line, ev.exprText, ok = false, skipped = true, "matrix comparison not implemented")
+          ev.rangeVector match {
+            case None =>
+              EvalResult(ev.line, ev.exprText, ok = ev.expected.isEmpty, skipped = ev.expected.nonEmpty,
+                "matrix expectation without range-vector directive")
+            case Some((f, t, s)) =>
+              val sel = df.select(df("labels"), df("t"), df("v"), df("h"))
+              val got: Map[Map[String, String], Map[Long, (Double, Option[FHist])]] = sel.collect()
+                .groupBy(r => mapOf(r, 0))
+                .map { case (k, rs) => k -> rs.map(r =>
+                  r.getLong(1) -> (r.getDouble(2),
+                    if (r.isNullAt(3)) None else Some(fhistFromRow(r.getStruct(3))))).toMap }
+              val steps = Vector.iterate(f, ((t - f) / s + 1).toInt)(_ + s)
+              compareVector(ev, got, steps)
+          }
 
         case StringVal(s) =>
           EvalResult(ev.line, ev.exprText, ok = true, skipped = false, "")
@@ -238,9 +251,10 @@ object Runner {
     r.getMap[String, String](i).toMap
 
   private def compareVector(ev: TestScript.Eval,
-      got: Map[Map[String, String], Map[Long, (Double, Option[FHist])]]): Runner.EvalResult = {
+      got: Map[Map[String, String], Map[Long, (Double, Option[FHist])]],
+      stepsOverride: Vector[Long] = null): Runner.EvalResult = {
     import TestScript._
-    val steps = gridSteps(ev)
+    val steps = if (stepsOverride != null) stepsOverride else gridSteps(ev)
     val problems = mutable.ArrayBuffer[String]()
     val expectedBySeries: Map[Map[String, String], Vector[SeriesValue]] =
       ev.expected.collect { case (Some(sp), vs) => sp.labels -> vs }.toMap

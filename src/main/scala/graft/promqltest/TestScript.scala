@@ -29,7 +29,9 @@ object TestScript {
       expectFail: Boolean,
       ordered: Boolean,
       expected: List[(Option[SeriesSpec], Vector[SeriesValue])], // None labels = scalar/string expectation
-      line: Int) extends Command
+      line: Int,
+      // `expect range vector from F to T step S` — grid for matrix results
+      rangeVector: Option[(Long, Long, Long)] = None) extends Command
 
   final case class ScriptError(msg: String, line: Int)
       extends RuntimeException(s"line $line: $msg")
@@ -249,16 +251,22 @@ object TestScript {
         }
         // gather indented expectation lines
         val expected = List.newBuilder[(Option[SeriesSpec], Vector[SeriesValue])]
+        var rangeVector: Option[(Long, Long, Long)] = None
         var i = start + 1
         def isBlank(s: String) = s.trim.isEmpty || s.trim.startsWith("#")
         def indented(s: String) = s.nonEmpty && (s.charAt(0) == ' ' || s.charAt(0) == '\t')
+        val rvRe = "^range\\s+vector\\s+from\\s+(\\S+)\\s+to\\s+(\\S+)\\s+step\\s+(\\S+)$".r
         while (i < lines.length && (isBlank(lines(i)) || indented(lines(i)))) {
           if (!isBlank(lines(i))) {
             val l = lines(i).trim
             if (l.startsWith("expect ")) {
               val what = l.drop(7).trim
               if (what.startsWith("fail")) expectFail = true
-              // warn/info/no_warn/no_info annotations: ignored (not value checks)
+              what match {
+                case rvRe(f, t, st) =>
+                  rangeVector = Some((parseTime(f), parseTime(t), parseTime(st)))
+                case _ => () // warn/info/no_warn/no_info: not value checks
+              }
             } else {
               // scalar expectation: bare number/expansion; else series line
               val c0 = l.charAt(0)
@@ -275,7 +283,7 @@ object TestScript {
           i += 1
         }
         (Eval(exprText, mode == "instant", atMs, fromMs, toMs, stepMs,
-              expectFail, ordered, expected.result(), lineNo), i)
+              expectFail, ordered, expected.result(), lineNo, rangeVector), i)
       case _ => throw ScriptError(s"bad eval syntax: $line", lineNo)
     }
   }

@@ -132,6 +132,85 @@ class ParserSpec extends AnyFunSuite {
   }
 }
 
+/** path-equivalence: the linear prefix+as-of regime must produce the same
+  * results as the coverage-explode regime for the rate family and
+  * changes/resets (same query, both thresholds). */
+class LinearPathSpec extends AnyFunSuite {
+
+  test("linear and explode range paths agree on rate/increase/delta/changes/resets") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      // two series with resets, gaps and NaN; 10s cadence over 2h
+      val rows = (0 until 720).flatMap { i =>
+        val t = i * 10000L
+        val v1 = (i % 97).toDouble // frequent resets
+        val v2 = if (i % 50 == 13) Double.NaN else i.toDouble + (if (i % 200 == 0) -i else 0)
+        Seq(
+          (Map("__name__" -> "m", "s" -> "a"), t, v1),
+          (Map("__name__" -> "m", "s" -> "b"), t, v2)) ++
+          (if (i % 7 == 0) Nil // gaps in series c
+           else Seq((Map("__name__" -> "m", "s" -> "c"), t, (i * 3 % 41).toDouble)))
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (l, t, v) => org.apache.spark.sql.Row(l, t, v, false, null) }, 4),
+        Engine.samplesSchema)
+
+      // window/step ratio 180, 120 steps → amplification 120
+      def results(q: String, forceLinear: Boolean): Map[(Map[String, String], Long), Double] = {
+        val pl = new Planner(spark, df.withColumn("h",
+            org.apache.spark.sql.functions.lit(null).cast(FHist.schemaType)),
+          EvalParams(3600000L, 4790000L, 10000L))
+        pl.linearPathRatio = if (forceLinear) 1.0 else 1e18
+        pl.eval(Engine.parse(q, 10000L)) match {
+          case VectorVal(r) =>
+            r.select("labels", "t", "v").collect()
+              .map(x => (x.getMap[String, String](0).toMap, x.getLong(1)) -> x.getDouble(2)).toMap
+          case other => fail(s"unexpected $other")
+        }
+      }
+      for (q <- Seq("rate(m[30m])", "increase(m[30m])", "delta(m[30m])",
+                    "changes(m[30m])", "resets(m[30m])")) {
+        val a = results(q, forceLinear = false)
+        val b = results(q, forceLinear = true)
+        assert(a.keySet == b.keySet, s"$q: key sets differ (${a.size} vs ${b.size})")
+        a.foreach { case (k, v) =>
+          assert(Runner_almost(v, b(k)), s"$q at $k: explode=$v linear=${b(k)}")
+        }
+      }
+      // instant selector: linear as-of vs coverage explode
+      def selResults(forceLinear: Boolean) = {
+        val pl = new Planner(spark, df.withColumn("h",
+            org.apache.spark.sql.functions.lit(null).cast(FHist.schemaType)),
+          EvalParams(3600000L, 4790000L, 10000L))
+        pl.linearSelectRatio = if (forceLinear) 1.0 else 1e18
+        pl.eval(Engine.parse("m")) match {
+          case VectorVal(r) =>
+            r.select("labels", "t", "v", "st").collect()
+              .map(x => (x.getMap[String, String](0).toMap, x.getLong(1)) ->
+                (x.getDouble(2), x.getLong(3))).toMap
+          case other => fail(s"unexpected $other")
+        }
+      }
+      val sa = selResults(false); val sb = selResults(true)
+      assert(sa.keySet == sb.keySet, s"selector key sets differ: ${sa.size} vs ${sb.size}")
+      sa.foreach { case (k, (v, st)) =>
+        val (v2, st2) = sb(k)
+        assert(st == st2 && Runner_almost(v, v2), s"selector at $k: ($v,$st) vs ($v2,$st2)")
+      }
+    } finally spark.stop()
+  }
+
+  private def Runner_almost(a: Double, b: Double): Boolean =
+    graft.promqltest.Runner.almostEqual(a, b, 1e-9)
+}
+
 class GoMathSpec extends AnyFunSuite {
   test("div/mod follow IEEE not SQL") {
     assert(GoMath.div(1.0, 0.0).isPosInfinity)

@@ -36,12 +36,16 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("staleness.test", 17, 0),
     ("duration_expression.test", 59, 0),
     ("trig_functions.test", 19, 0),
-    ("range_queries.test", 13, 0),
+    ("range_queries.test", 18, 0),
     ("subquery.test", 33, 1),
     ("at_modifier.test", 78, 0),
     ("operators.test", 211, 0),
-    ("aggregators.test", 158, 0),
-    ("limit.test", 36, 1),
+    ("aggregators.test", 160, 0),
+    ("limit.test", 37, 0),
+    ("fill-modifier.test", 46, 0),
+    ("info.test", 40, 0),
+    ("extended_vectors.test", 167, 2),
+    ("type_and_unit.test", 57, 1),
     ("collision.test", 1, 0))
 
   for ((file, minPass, maxFail) <- floors) {
