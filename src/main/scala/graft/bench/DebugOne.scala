@@ -1,0 +1,35 @@
+package graft.bench
+
+import graft.promql._
+import org.apache.spark.sql.SparkSession
+
+/** one-off plan/timing inspection for a single bench case:
+  * runMain graft.bench.DebugOne "<expr>" <steps> */
+object DebugOne {
+  def main(args: Array[String]): Unit = {
+    val expr = if (args.nonEmpty) args(0) else "rate(a_hundred[1d])"
+    val steps = if (args.length > 1) args(1).toInt else 1000
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val data = PromBench.dataset(spark, "/tmp/graft_bench").cache()
+    System.err.println(s"dataset rows: ${data.count()}")
+    val endS = PromBench.numIntervals.toLong * 10
+    val startS = (PromBench.numIntervals - steps).toLong * 10
+    val t0 = System.nanoTime()
+    val res = Engine.rangeQuery(spark, data, expr, startS * 1000, endS * 1000, 10000L)
+    val df = res match {
+      case VectorVal(d) => d
+      case ScalarVal(d, _) => d
+      case MatrixVal(d) => d
+      case _ => null
+    }
+    df.explain("formatted")
+    System.err.println(s"rows: ${df.count()}  sec: ${(System.nanoTime() - t0) / 1e9}")
+    spark.stop()
+  }
+}

@@ -95,8 +95,9 @@ object CallEval {
         val in = floats(vecArg(args.head))
         val (df1, lo) = bindScalar(in, args(1))
         val (df2, hi) = bindScalar(df1, args(2))
-        // max < min drops everything (ref: functions.go:1116)
-        VectorVal(df2.filter(!(hi < lo))
+        // max < min drops everything (ref: functions.go:1116) — IEEE `<`:
+        // NaN bounds must NOT trip this (Spark sorts NaN largest)
+        VectorVal(df2.filter(!ieeeCmp("<", hi, lo))
           .select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
             clampD(col("v"), lo, hi).as("v"), col("t").as("st")))
       case "clamp_max" =>

@@ -254,15 +254,23 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   }
 
   private def windowedPoints(ri: RangeInput): WPoints = {
-    val base = basePoints(ri)
+    val baseF = basePoints(ri).filter(col("h").isNull)
+    // histogram rows never consume the prev-float columns, so their side
+    // skips the lag window entirely (schema kept aligned with nulls)
+    val baseH = ri.points.filter(col("h").isNotNull)
+      .withColumn("prev_v", lit(null).cast("double"))
+      .withColumn("prev_t", lit(null).cast("long"))
+      .withColumn("wt", col("t") + ri.offsetMs)
+      .withColumn("prev_wt", lit(null).cast("long"))
+      .select(baseF.columns.map(col): _*)
     ri.at match {
       case Some(atm) =>
         val te = resolveAt(atm)
-        val pts = base
+        def pin(df: DataFrame): DataFrame = df
           .filter(col("wt") > te - ri.rangeMs && col("wt") <= te)
           .withColumn("t_step", lit(te))
           .withColumn("__sg", hsig(col("labels")))
-        WPoints(pts.filter(col("h").isNull), pts.filter(col("h").isNotNull), fixed = true)
+        WPoints(pin(baseF), pin(baseH), fixed = true)
       case None =>
         // extended selectors widen the buffer by the lookback delta: one
         // boundary sample before the range (anchored/smoothed) and after it
@@ -271,8 +279,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         val future = if (ri.ext == 2) P.lookbackMs else 0L
         def cov(df: DataFrame): DataFrame =
           coverage(df, col("wt"), window, future).withColumn("__sg", hsig(col("labels")))
-        WPoints(cov(base.filter(col("h").isNull)), cov(base.filter(col("h").isNotNull)),
-          fixed = false)
+        WPoints(cov(baseF), cov(baseH), fixed = false)
     }
   }
 
@@ -295,52 +302,58 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     val changedCond = col("prev_v").isNotNull &&
       ((col("v") =!= col("prev_v") && !(isnan(col("v")) && isnan(col("prev_v")))) ||
        (isnan(col("v")) =!= isnan(col("prev_v"))))
+    // prefix windows chain onto the same (partition, order) as the prev-point
+    // lag — one exchange + one sort for the whole prefix stage
     val fbase = basePoints(ri).filter(col("h").isNull)
       .withColumn("__sg", hsig(col("labels")))
       .withColumn("pCnt", count(lit(1)).over(wOrd))
       .withColumn("pCorr", sum(when(resetCond, col("prev_v")).otherwise(0.0)).over(wOrd))
       .withColumn("pRst", sum(when(resetCond, 1L).otherwise(0L)).over(wOrd))
       .withColumn("pChg", sum(when(changedCond, 1L).otherwise(0L)).over(wOrd))
-    val series = fbase.groupBy(col("__sg")).agg(first(col("labels")).as("labels"))
-    val payT = "struct<mwt:bigint,v:double,pCnt:bigint,pCorr:double,pRst:bigint,pChg:bigint>"
-    val samplesU = fbase.select(col("__sg"), col("wt"), lit(0).as("knd"),
+    val samplesU = fbase.select(col("__sg"), col("wt"), lit(0).as("knd"), lit("").as("mk"),
       lit(null).cast("long").as("t_step"),
-      struct(col("wt").as("mwt"), col("v"), col("pCnt"), col("pCorr"), col("pRst"), col("pChg"))
-        .cast(payT).as("pay"))
-    val endMarkers = series.select(col("__sg"))
-      .crossJoin(grid.select(col("t").as("t_step")))
-    // pass A — last sample at or before each step t (window end)
-    val aU = samplesU.unionByName(endMarkers.select(col("__sg"),
-      col("t_step").as("wt"), lit(1).as("knd"), col("t_step"),
-      lit(null).cast(payT).as("pay")))
+      struct(col("wt").as("mwt"), col("v"), col("labels"),
+        col("pCnt"), col("pCorr"), col("pRst"), col("pChg")).as("pay"))
+    val payType = samplesU.schema("pay").dataType
+    // series list WITHOUT the window subtree (plain distinct over the scan)
+    val seriesKeys = ri.points.filter(col("h").isNull)
+      .select(hsig(col("labels")).as("__sg")).distinct()
+    // BOTH marker kinds in ONE union → one sort, two frames, then a hash
+    // aggregation pairs them up — no self-join, no recomputed subtrees:
+    //   e @ t      — window end:   last sample at/before t
+    //   s @ t−W    — window start: first sample strictly after t−W
+    //     (samples at wt == t−W sort BEFORE the marker, excluding them)
+    val markers = seriesKeys.crossJoin(grid.select(col("t").as("__mt")))
+      .select(col("__sg"), col("__mt"), lit(1).as("knd"),
+        lit(null).cast(payType).as("pay"))
+    val allMarkers = markers.select(col("__sg"), col("__mt").as("wt"), col("knd"),
+        lit("e").as("mk"), col("__mt").as("t_step"), col("pay"))
+      .unionByName(markers.select(col("__sg"), (col("__mt") - ri.rangeMs).as("wt"), col("knd"),
+        lit("s").as("mk"), col("__mt").as("t_step"), col("pay")))
     val wA = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("knd"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val endInfo = aU
-      .withColumn("e", last(col("pay"), ignoreNulls = true).over(wA))
-      .filter(col("knd") === 1 && col("e").isNotNull &&
-        col("e.mwt") > col("t_step") - ri.rangeMs)
-      .select(col("__sg"), col("t_step"), col("e"))
-    // pass B — first sample strictly after each window start t−range
-    // (samples at wt == t−range sort BEFORE the marker, excluding them)
-    val bU = samplesU.unionByName(endMarkers.select(col("__sg"),
-      (col("t_step") - ri.rangeMs).as("wt"), lit(1).as("knd"), col("t_step"),
-      lit(null).cast(payT).as("pay")))
-    val wB = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("knd"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val startInfo = bU
-      .withColumn("s", first(col("pay"), ignoreNulls = true).over(wB))
-      .filter(col("knd") === 1 && col("s").isNotNull &&
-        col("s.mwt") <= col("t_step"))
-      .select(col("__sg"), col("t_step"), col("s"))
-    endInfo.join(startInfo, Seq("__sg", "t_step"))
-      .join(series, Seq("__sg"))
-      .select(col("__sg"), col("t_step"), col("labels"),
-        (col("e.pCnt") - col("s.pCnt") + 1).as("cnt"),
-        col("s.v").as("firstV"), col("s.mwt").as("minWt"),
-        col("e.v").as("lastV"), col("e.mwt").as("maxWt"),
-        (col("e.pCorr") - col("s.pCorr")).as("corr"),
-        (col("e.pRst") - col("s.pRst")).cast("double").as("nResets"),
-        (col("e.pChg") - col("s.pChg")).cast("double").as("nChanges"))
+    // pass B runs on a DESCENDING order with an UnboundedPreceding frame —
+    // Spark streams that in O(n), whereas an UnboundedFollowing frame
+    // re-evaluates the aggregate per row (O(n²) per partition)
+    val wB = Window.partitionBy(col("__sg")).orderBy(col("wt").desc, col("knd").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val combined = samplesU.unionByName(allMarkers)
+      .withColumn("eP", last(col("pay"), ignoreNulls = true).over(wA))
+      .withColumn("sP", last(col("pay"), ignoreNulls = true).over(wB))
+      .filter(col("knd") === 1)
+      .groupBy(col("__sg"), col("t_step"))
+      .agg(
+        first(when(col("mk") === "e", col("eP")), ignoreNulls = true).as("e"),
+        first(when(col("mk") === "s", col("sP")), ignoreNulls = true).as("s"))
+      .filter(col("e").isNotNull && col("e.mwt") > col("t_step") - ri.rangeMs &&
+        col("s").isNotNull && col("s.mwt") <= col("t_step"))
+    combined.select(col("__sg"), col("t_step"), col("e.labels").as("labels"),
+      (col("e.pCnt") - col("s.pCnt") + 1).as("cnt"),
+      col("s.v").as("firstV"), col("s.mwt").as("minWt"),
+      col("e.v").as("lastV"), col("e.mwt").as("maxWt"),
+      (col("e.pCorr") - col("s.pCorr")).as("corr"),
+      (col("e.pRst") - col("s.pRst")).cast("double").as("nResets"),
+      (col("e.pChg") - col("s.pChg")).cast("double").as("nChanges"))
   }
 
   /** coverage-explode amplification (min(window/step, numSteps)) above which

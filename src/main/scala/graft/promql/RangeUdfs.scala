@@ -122,13 +122,24 @@ object RangeUdfs {
     }
   }
 
+  /** merge buckets sharing an upper bound by summing counts — different
+    * string renderings of the same le ("0.2" vs "2e-1") arrive as separate
+    * series (ref: promql/quantile.go:620 coalesceBuckets) */
+  private def coalesceBuckets(pairs: Seq[(Double, Double)]): Seq[(Double, Double)] =
+    pairs.foldLeft(List.empty[(Double, Double)]) { (acc, p) =>
+      acc match {
+        case (le, c) :: tail if le == p._1 => (le, c + p._2) :: tail
+        case _ => p :: acc
+      }
+    }.reverse
+
   /** Classic-histogram quantile over (le, cumulativeCount) buckets
     * (ref: promql/quantile.go:105 BucketQuantile, monotonicity repair :668). */
   def bucketQuantileImpl(q: Double, les: Seq[Double], counts: Seq[Double]): Double = {
     if (q.isNaN) return Double.NaN
     if (q < 0) return Double.NegativeInfinity
     if (q > 1) return Double.PositiveInfinity
-    val pairs = les.zip(counts).sortBy(_._1)
+    val pairs = coalesceBuckets(les.zip(counts).sortBy(_._1))
     if (pairs.isEmpty || !pairs.last._1.isPosInfinity) return Double.NaN
     if (pairs.length < 2) return Double.NaN
     // monotonicity repair: cumulative counts must be non-decreasing
@@ -169,7 +180,7 @@ object RangeUdfs {
     * BucketFraction): cumulative ranks, first-bucket lower bound 0 (or −Inf
     * when the first le ≤ 0), no interpolation inside infinite-width buckets. */
   def bucketFractionImpl(lower: Double, upper: Double, les: Seq[Double], counts: Seq[Double]): Double = {
-    val pairs = les.zip(counts).sortBy(_._1)
+    val pairs = coalesceBuckets(les.zip(counts).sortBy(_._1))
     if (pairs.isEmpty || !pairs.last._1.isPosInfinity) return Double.NaN
     val count = pairs.last._2
     if (count == 0 || lower.isNaN || upper.isNaN) return Double.NaN
