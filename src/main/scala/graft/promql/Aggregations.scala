@@ -25,10 +25,12 @@ object Aggregations {
       .withColumn("glabels", glabelsCol)
       .withColumn("gsig", pl.hashSigCol(col("glabels")))
 
+    // a group's DropName flag is the OR of its members' flags
+    // (ref: engine.go:3609 "True if any sample in this group has DropName set")
     def grouped(v: Column): DataFrame =
       pre.groupBy(col("gsig"), col("t"))
-        .agg(first(col("glabels")).as("labels"), v.as("v"))
-        .select(col("labels"), col("t"), col("v"), col("t").as("st"))
+        .agg(first(col("glabels")).as("labels"), max(col("dn")).as("dn"), v.as("v"))
+        .select(col("labels"), col("t"), col("v"), col("t").as("st"), col("dn"))
 
     // parameter (k / φ / ratio): constant fast-path, else per-step scalar join
     lazy val paramConst: Option[Double] = ae.param.flatMap(pl.constValue)
@@ -50,25 +52,25 @@ object Aggregations {
     lazy val preF = pre.filter(col("h").isNull)
     def groupedF(v: Column): DataFrame =
       preF.groupBy(col("gsig"), col("t"))
-        .agg(first(col("glabels")).as("labels"), v.as("v"))
-        .select(col("labels"), col("t"), col("v"), col("t").as("st"))
+        .agg(first(col("glabels")).as("labels"), max(col("dn")).as("dn"), v.as("v"))
+        .select(col("labels"), col("t"), col("v"), col("t").as("st"), col("dn"))
 
     /** sum/avg: float groups via ordered Kahan, histogram groups via
       * histogram addition; MIXED groups are dropped (ref: engine.go:3619). */
     def sumAvg(isAvg: Boolean): DataFrame = {
       val hin = pre.filter(col("h").isNotNull)
       val fAgg = preF.groupBy(col("gsig"), col("t"))
-        .agg(first(col("glabels")).as("labels"),
+        .agg(first(col("glabels")).as("labels"), max(col("dn")).as("dn"),
           (if (isAvg) RangeUdfs.avgOT(sortedVals) else RangeUdfs.kahanSumOT(sortedVals)).as("v"))
       val hAgg = hin.groupBy(col("gsig"), col("t"))
-        .agg(first(col("glabels")).as("labels"),
+        .agg(first(col("glabels")).as("labels"), max(col("dn")).as("dn"),
           (if (isAvg) HistUdfs.avgHists(collect_list(col("h")))
            else HistUdfs.sumHists(collect_list(col("h")))).as("hv"))
       val fClean = fAgg.join(hAgg.select(col("gsig"), col("t")), Seq("gsig", "t"), "left_anti")
-        .select(col("labels"), col("t"), col("v"), col("t").as("st"))
+        .select(col("labels"), col("t"), col("v"), col("t").as("st"), col("dn"))
       val hClean = hAgg.join(fAgg.select(col("gsig"), col("t")), Seq("gsig", "t"), "left_anti")
         .filter(col("hv").isNotNull) // incompatible-layout groups are dropped
-        .select(col("labels"), col("t"), lit(Double.NaN).as("v"), col("t").as("st"),
+        .select(col("labels"), col("t"), lit(Double.NaN).as("v"), col("t").as("st"), col("dn"),
           col("hv").as("h"))
       fClean.withColumn("h", lit(null).cast(FHist.schemaType)).unionByName(hClean)
     }
@@ -93,9 +95,10 @@ object Aggregations {
         // a per-step scalar expression (engine.go:2095 fParams)
         val (qdf, phi) = paramCol(preF)
         qdf.groupBy(col("gsig"), col("t"))
-          .agg(first(col("glabels")).as("labels"), first(phi).as("__phi"), sortedVals.as("__pts"))
+          .agg(first(col("glabels")).as("labels"), max(col("dn")).as("dn"),
+            first(phi).as("__phi"), sortedVals.as("__pts"))
           .select(col("labels"), col("t"),
-            RangeUdfs.quantileUdf(col("__phi"), col("__pts")).as("v"), col("t").as("st"))
+            RangeUdfs.quantileUdf(col("__phi"), col("__pts")).as("v"), col("t").as("st"), col("dn"))
 
       case "topk" | "bottomk" =>
         val (df, k) = paramCol(preF)
@@ -105,7 +108,7 @@ object Aggregations {
         val w = Window.partitionBy(col("gsig"), col("t")).orderBy(ord: _*)
         df.withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= k.cast("long"))
-          .select(col("labels"), col("t"), col("v"), col("st"))
+          .select(col("labels"), col("t"), col("v"), col("st"), col("dn"))
 
       case "limitk" =>
         val (df, k) = paramCol(pre)
@@ -113,7 +116,7 @@ object Aggregations {
           .orderBy(pl.sigCol(col("labels")).asc)
         df.withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= k.cast("long"))
-          .select(col("labels"), col("t"), col("v"), col("st"), col("h"))
+          .select(col("labels"), col("t"), col("v"), col("st"), col("h"), col("dn"))
 
       case "limit_ratio" =>
         // EXACT port of the reference's sampling hash: xxhash64 (seed 0) over
@@ -132,7 +135,7 @@ object Aggregations {
         val frac = (shiftrightunsigned(hh, 1).cast("double") * 2.0 +
           hh.bitwiseAND(lit(1L)).cast("double")) / lit(1.8446744073709552E19)
         df.filter(when(r >= 0, frac < r).otherwise(frac >= (lit(1.0) + r)))
-          .select(col("labels"), col("t"), col("v"), col("st"), col("h"))
+          .select(col("labels"), col("t"), col("v"), col("st"), col("h"), col("dn"))
 
       case "count_values" =>
         def unwrapStr(e: Expr): String = e match {
@@ -154,8 +157,9 @@ object Aggregations {
             map_concat(map_filter(col("glabels"), (k, _) => k =!= lbl),
                        map(lit(lbl), col("__fv"))))
           .groupBy(pl.hashSigCol(col("__flabels")).as("__fsig"), col("t"))
-          .agg(first(col("__flabels")).as("labels"), count(lit(1)).cast("double").as("v"))
-          .select(col("labels"), col("t"), col("v"), col("t").as("st"))
+          .agg(first(col("__flabels")).as("labels"), max(col("dn")).as("dn"),
+            count(lit(1)).cast("double").as("v"))
+          .select(col("labels"), col("t"), col("v"), col("t").as("st"), col("dn"))
 
       case other => throw PromQLError(s"unknown aggregator: $other")
     }

@@ -98,7 +98,7 @@ object BinOps {
       return VectorVal(df.filter(col("h").isNotNull)
         .select(col("labels"), col("t"), col("v"), col("st"),
           HistUdfs.guarded(col("h"))(
-            HistUdfs.trimH(col("h"), sv, lit(op == "</"))).as("h")))
+            HistUdfs.trimH(col("h"), sv, lit(op == "</"))).as("h"), col("dn")))
     }
     // histogram × scalar is defined only for * (both sides) and / (hist on
     // the left); all other hist/scalar combinations drop the sample
@@ -110,21 +110,25 @@ object BinOps {
       case None => (vdf2.join(broadcast(sdf.withColumnRenamed("v", "__s")), Seq("t")), col("__s"))
     }
     val (lv, rv) = if (scalarOnLeft) (sv, col("v")) else (col("v"), sv)
+    // arithmetic / bool comparison mark the name for deferred dropping, labels
+    // stay intact (ref: engine.go:3438 changesMetricSchema(op)||returnBool →
+    // DropName=true); a plain comparison filter keeps the input's flag
     val out =
       if (cmpOps.contains(op)) {
         if (be.returnBool)
-          df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-            when(ieeeCmp(op, lv, rv), 1.0).otherwise(0.0).as("v"), col("t").as("st"))
+          df.select(col("labels"), col("t"),
+            when(ieeeCmp(op, lv, rv), 1.0).otherwise(0.0).as("v"), col("t").as("st"),
+            lit(true).as("dn"))
         else
           df.filter(ieeeCmp(op, lv, rv))
-            .select(col("labels"), col("t"), col("v"), col("st"), col("h"))
+            .select(col("labels"), col("t"), col("v"), col("st"), col("h"), col("dn"))
       } else {
         val hOut =
           if (!histOk) lit(null).cast(FHist.schemaType)
           else if (op == "*") HistUdfs.guarded(col("h"))(HistUdfs.scaleH(col("h"), sv))
           else HistUdfs.guarded(col("h"))(HistUdfs.divH(col("h"), sv)) // ÷0 removes buckets
-        df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          arith(op, lv, rv).as("v"), col("t").as("st"), hOut.as("h"))
+        df.select(col("labels"), col("t"),
+          arith(op, lv, rv).as("v"), col("t").as("st"), hOut.as("h"), lit(true).as("dn"))
       }
     VectorVal(out)
   }
@@ -145,26 +149,27 @@ object BinOps {
       else (l0, r0)
     val lp = l.select(matchSig(pl, col("labels"), m).as("msig"),
       col("labels").as("l_labels"), col("t"), col("v").as("l_v"), col("st").as("l_st"),
-      col("h").as("l_h"))
+      col("h").as("l_h"), col("dn").as("l_dn"))
     val rp = r.select(matchSig(pl, col("labels"), m).as("msig"),
       col("labels").as("r_labels"), col("t"), col("v").as("r_v"), col("st").as("r_st"),
-      col("h").as("r_h"))
+      col("h").as("r_h"), col("dn").as("r_dn"))
 
     op match {
+      // set ops carry each sample's own DropName flag through unchanged
       case "and" =>
         lp.join(rp.select(col("msig"), col("t")).distinct(), Seq("msig", "t"), "left_semi")
           .select(col("l_labels").as("labels"), col("t"), col("l_v").as("v"), col("l_st").as("st"),
-            col("l_h").as("h"))
+            col("l_h").as("h"), col("l_dn").as("dn"))
       case "unless" =>
         lp.join(rp.select(col("msig"), col("t")).distinct(), Seq("msig", "t"), "left_anti")
           .select(col("l_labels").as("labels"), col("t"), col("l_v").as("v"), col("l_st").as("st"),
-            col("l_h").as("h"))
+            col("l_h").as("h"), col("l_dn").as("dn"))
       case "or" =>
         val lOut = lp.select(col("l_labels").as("labels"), col("t"), col("l_v").as("v"),
-          col("l_st").as("st"), col("l_h").as("h"))
+          col("l_st").as("st"), col("l_h").as("h"), col("l_dn").as("dn"))
         val rOnly = rp.join(lp.select(col("msig"), col("t")).distinct(), Seq("msig", "t"), "left_anti")
           .select(col("r_labels").as("labels"), col("t"), col("r_v").as("v"), col("r_st").as("st"),
-            col("r_h").as("h"))
+            col("r_h").as("h"), col("r_dn").as("dn"))
         lOut.unionByName(rOnly)
 
       case _ =>
@@ -253,10 +258,12 @@ object BinOps {
                 .otherwise(lit(false)) // mixed float/histogram: drop
             }
           if (be.returnBool)
+            // bool marks the name for deferred dropping (engine.go:3307
+            // DropName: returnBool); labels stay intact
             joined.filter(if (eqOps) bothF || bothH else lit(true))
               .select(includeLabels.as("labels"), col("t"),
                 guardD(when(pred, 1.0).otherwise(0.0)).as("v"),
-                col("t").as("st"))
+                col("t").as("st"), lit(true).as("dn"))
           else {
             // filter comparison: keep the many side's full labels (metric name
             // included), but still merge group_x(include) labels from the one
@@ -269,9 +276,11 @@ object BinOps {
               else map_concat(
                 map_filter(manyOrFilled, (k, _) => !k.isInCollection(m.include)),
                 pl.keepLabelsCol(oneLabelsEff, m.include))
+            // the reference emits a FRESH sample with DropName=returnBool for
+            // comparisons (engine.go:3303-3308) — the input's flag is lost
             joined.filter(guardB(pred))
               .select(filterLabels.as("labels"), col("t"), manyV.as("v"), col("t").as("st"),
-                manyH.as("h"))
+                manyH.as("h"), lit(false).as("dn"))
           }
         } else {
           // histogram arithmetic: h±h, h×scalar-sample, h÷scalar-sample
@@ -294,11 +303,14 @@ object BinOps {
             if (isTrim) lit(Double.NaN)
             else guardD(when(bothFloat, arith(op, col("l_v"), col("r_v")))
               .otherwise(lit(Double.NaN)))
+          // arithmetic result labels already exclude the reserved labels
+          // (resultMetric deletes them eagerly even in delayed mode,
+          // engine.go:3377), so no deferred flag is needed here
           joined
             .withColumn("__hout", hOut)
             .filter((bothFloat && !isTrim) || col("__hout").isNotNull)
             .select(includeLabels.as("labels"), col("t"), vExpr.as("v"),
-              col("t").as("st"), col("__hout").as("h"))
+              col("t").as("st"), col("__hout").as("h"), lit(false).as("dn"))
         }
     }
   }

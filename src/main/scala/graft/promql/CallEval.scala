@@ -65,10 +65,11 @@ object CallEval {
     /** float samples only — scalar-math functions skip histogram samples
       * (ref: promql/functions.go simpleFloatFunc + info annotations) */
     def floats(df: DataFrame): DataFrame = df.filter(col("h").isNull)
-    /** apply elementwise transform dropping __name__ */
+    /** apply elementwise transform marking __name__ for deferred dropping
+      * (ref: functions.go:1753 simpleFloatFunc DropName: true) */
     def mapV(df: DataFrame, f: Column => Column): PValue =
-      VectorVal(floats(df).select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-        f(col("v")).as("v"), col("t").as("st")))
+      VectorVal(floats(df).select(col("labels"), col("t"),
+        f(col("v")).as("v"), col("t").as("st"), lit(true).as("dn")))
     /** bind a scalar argument as a Column usable inside a vector projection */
     def bindScalar(df: DataFrame, e: Expr): (DataFrame, Column) = {
       val (sdf, sc) = scalarArg(e)
@@ -98,22 +99,22 @@ object CallEval {
         // max < min drops everything (ref: functions.go:1116) — IEEE `<`:
         // NaN bounds must NOT trip this (Spark sorts NaN largest)
         VectorVal(df2.filter(!ieeeCmp("<", hi, lo))
-          .select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-            clampD(col("v"), lo, hi).as("v"), col("t").as("st")))
+          .select(col("labels"), col("t"),
+            clampD(col("v"), lo, hi).as("v"), col("t").as("st"), lit(true).as("dn")))
       case "clamp_max" =>
         val (df, hi) = bindScalar(floats(vecArg(args.head)), args(1))
-        VectorVal(df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          minD(col("v"), hi).as("v"), col("t").as("st")))
+        VectorVal(df.select(col("labels"), col("t"),
+          minD(col("v"), hi).as("v"), col("t").as("st"), lit(true).as("dn")))
       case "clamp_min" =>
         val (df, lo) = bindScalar(floats(vecArg(args.head)), args(1))
-        VectorVal(df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          maxD(col("v"), lo).as("v"), col("t").as("st")))
+        VectorVal(df.select(col("labels"), col("t"),
+          maxD(col("v"), lo).as("v"), col("t").as("st"), lit(true).as("dn")))
       case "round" =>
         val in = floats(vecArg(args.head))
         val (df, to) =
           if (args.length > 1) bindScalar(in, args(1)) else (in, lit(1.0))
-        VectorVal(df.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          roundTo(col("v"), to).as("v"), col("t").as("st")))
+        VectorVal(df.select(col("labels"), col("t"),
+          roundTo(col("v"), to).as("v"), col("t").as("st"), lit(true).as("dn")))
 
       case "time" =>
         ScalarVal(pl.gridDF.select(col("t"), (col("t").cast("double") / 1000.0).as("v")), None)
@@ -148,8 +149,8 @@ object CallEval {
 
       case "timestamp" =>
         val in = vecArg(args.head)
-        VectorVal(in.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          (col("st").cast("double") / 1000.0).as("v"), col("t").as("st")))
+        VectorVal(in.select(col("labels"), col("t"),
+          (col("st").cast("double") / 1000.0).as("v"), col("t").as("st"), lit(true).as("dn")))
 
       case "scalar" =>
         val in = floats(vecArg(args.head))
@@ -175,8 +176,8 @@ object CallEval {
             pl.gridDF.select(pl.emptyLabelsCol.as("labels"), col("t"),
               (col("t").cast("double") / 1000.0).as("v"), col("t").as("st"))
           else floats(vecArg(args.head))
-        VectorVal(in.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          dateFns(n)(col("v")).as("v"), col("t").as("st")))
+        VectorVal(in.select(col("labels"), col("t"),
+          dateFns(n)(col("v")).as("v"), col("t").as("st"), lit(true).as("dn")))
 
       case "label_replace" =>
         // ref: promql/functions.go:2483 evalLabelReplace (RE2 fully anchored)
@@ -198,7 +199,13 @@ object CallEval {
           when(length(newV) === 0, map_filter(col("labels"), (k, _) => k =!= dst))
             .otherwise(map_concat(map_filter(col("labels"), (k, _) => k =!= dst),
                                   map(lit(dst), newV))))
-        VectorVal(in.select(newLabels.as("labels"), col("t"), col("v"), col("st")))
+        // writing __name__ cancels a pending name drop for the matched rows
+        // (ref: functions.go:2512 — dst == __name__ ⇒ DropName = false)
+        val dnOut =
+          if (dst == "__name__") when(matched, lit(false)).otherwise(col("dn"))
+          else col("dn")
+        VectorVal(in.select(newLabels.as("labels"), col("t"), col("v"), col("st"),
+          col("h"), dnOut.as("dn")))
 
       case "label_join" =>
         val in = vecArg(args.head)
@@ -213,7 +220,10 @@ object CallEval {
           when(length(newV) === 0, map_filter(col("labels"), (k, _) => k =!= dst))
             .otherwise(map_concat(map_filter(col("labels"), (k, _) => k =!= dst),
                                   map(lit(dst), newV)))
-        VectorVal(in.select(newLabels.as("labels"), col("t"), col("v"), col("st")))
+        // ref: functions.go:2564 — dst == __name__ ⇒ DropName = false
+        val dnOut = if (dst == "__name__") lit(false) else col("dn")
+        VectorVal(in.select(newLabels.as("labels"), col("t"), col("v"), col("st"),
+          col("h"), dnOut.as("dn")))
 
       case "sort" | "sort_desc" =>
         // ordering is presentation-only (range results are label-sorted anyway,
@@ -235,21 +245,24 @@ object CallEval {
           case "histogram_stddev" => HistUdfs.guarded(col("h"))(HistUdfs.stddevH(col("h")))
           case _ => HistUdfs.guarded(col("h"))(HistUdfs.stdvarH(col("h")))
         }
-        VectorVal(in.select(pl.dropNameCol(col("labels")).as("labels"), col("t"),
-          v.as("v"), col("t").as("st")))
+        VectorVal(in.select(col("labels"), col("t"),
+          v.as("v"), col("t").as("st"), lit(true).as("dn")))
 
       case "histogram_quantile" =>
         val phi = pl.constValue(args.head).getOrElse(
           throw PromQLError("histogram_quantile: φ must be constant"))
         val (nat, cls) = splitHistInputs(pl, vecArg(args(1)))
-        // native path (ref: quantile.go:172) ∪ classic le-bucket path
+        // native path (ref: quantile.go:172) ∪ classic le-bucket path; both
+        // mark the name for deferred dropping (functions.go:2204 DropName: true)
         val native = nat
           .select(col("labels"), col("t"),
-            HistUdfs.guarded(col("h"))(HistUdfs.quantileH(lit(phi), col("h"))).as("v"), col("t").as("st"))
+            HistUdfs.guarded(col("h"))(HistUdfs.quantileH(lit(phi), col("h"))).as("v"),
+            col("t").as("st"), lit(true).as("dn"))
           .filter(!isnull(col("v")))
         val classic = cls
           .select(col("labels"), col("t"),
-            RangeUdfs.bucketQuantile(lit(phi), col("buckets")).as("v"), col("t").as("st"))
+            RangeUdfs.bucketQuantile(lit(phi), col("buckets")).as("v"),
+            col("t").as("st"), lit(true).as("dn"))
           .filter(!isnull(col("v")))
         VectorVal(native.unionByName(classic))
 
@@ -269,11 +282,13 @@ object CallEval {
         val parts = qs.map { q =>
           val native = nat
             .select(addQ(col("labels"), q).as("labels"), col("t"),
-              HistUdfs.guarded(col("h"))(HistUdfs.quantileH(lit(q), col("h"))).as("v"), col("t").as("st"))
+              HistUdfs.guarded(col("h"))(HistUdfs.quantileH(lit(q), col("h"))).as("v"),
+              col("t").as("st"), lit(true).as("dn"))
             .filter(!isnull(col("v")))
           val classic = cls
             .select(addQ(col("labels"), q).as("labels"), col("t"),
-              RangeUdfs.bucketQuantile(lit(q), col("buckets")).as("v"), col("t").as("st"))
+              RangeUdfs.bucketQuantile(lit(q), col("buckets")).as("v"),
+              col("t").as("st"), lit(true).as("dn"))
             .filter(!isnull(col("v")))
           native.unionByName(classic)
         }
@@ -285,11 +300,13 @@ object CallEval {
         val (nat, cls) = splitHistInputs(pl, vecArg(args(2)))
         val native = nat
           .select(col("labels"), col("t"),
-            HistUdfs.guarded(col("h"))(HistUdfs.fractionH(lit(lo), lit(hi), col("h"))).as("v"), col("t").as("st"))
+            HistUdfs.guarded(col("h"))(HistUdfs.fractionH(lit(lo), lit(hi), col("h"))).as("v"),
+            col("t").as("st"), lit(true).as("dn"))
           .filter(!isnull(col("v")))
         val classic = cls
           .select(col("labels"), col("t"),
-            RangeUdfs.bucketFraction(lit(lo), lit(hi), col("buckets")).as("v"), col("t").as("st"))
+            RangeUdfs.bucketFraction(lit(lo), lit(hi), col("buckets")).as("v"),
+            col("t").as("st"), lit(true).as("dn"))
           .filter(!isnull(col("v")))
         VectorVal(native.unionByName(classic))
 
@@ -403,7 +420,7 @@ object CallEval {
             map_filter(addLabels, (k, _) => !map_contains_key(col("labels"), k)),
             col("labels")))
           .otherwise(col("labels")).as("labels"),
-        col("t"), col("v"), col("st"), col("h"))
+        col("t"), col("v"), col("st"), col("h"), col("dn"))
     enriched.unionByName(passThrough)
   }
 
@@ -416,8 +433,8 @@ object CallEval {
   private[promql] def splitHistInputs(pl: Planner, in: DataFrame): (DataFrame, DataFrame) = {
     val leStr = pl.lvalCol(col("labels"), "le")
     val native = in.filter(col("h").isNotNull)
-      .select(pl.dropNameCol(col("labels")).as("labels"), col("t"), col("h"))
-      .withColumn("__k", pl.hashSigCol(col("labels")))
+      .select(col("labels"), col("t"), col("h"), col("dn"))
+      .withColumn("__k", pl.hashSigCol(map_filter(col("labels"), (k, _) => k =!= "le")))
     val classic = in.filter(col("h").isNull).filter(leStr =!= "")
       .withColumn("__lestr", leStr)
       // try_cast: an unparsable le label ("Hello World") drops the bucket,
@@ -426,18 +443,19 @@ object CallEval {
           col("__lestr") === "inf", lit(Double.PositiveInfinity))
         .otherwise(expr("try_cast(__lestr AS DOUBLE)")))
       .filter(col("__le").isNotNull)
-      .withColumn("glabels",
-        map_filter(col("labels"), (k, _) => k =!= "le" && k =!= "__name__"))
+      // grouping/output excludes only `le` (ref: quantile.go:51 excludedLabels);
+      // the metric name stays and is dropped deferred via the DropName flag
+      .withColumn("glabels", map_filter(col("labels"), (k, _) => k =!= "le"))
       .withColumn("__k", pl.hashSigCol(col("glabels")))
     val nKeys = native.select(col("__k"), col("t")).distinct()
     val cKeys = classic.select(col("__k"), col("t")).distinct()
     val nativeClean = native.join(cKeys, Seq("__k", "t"), "left_anti")
-      .select(col("labels"), col("t"), col("h"))
+      .select(col("labels"), col("t"), col("h"), col("dn"))
     val classicClean = classic.join(nKeys, Seq("__k", "t"), "left_anti")
       .groupBy(col("__k"), col("t"))
-      .agg(first(col("glabels")).as("labels"),
+      .agg(first(col("glabels")).as("labels"), max(col("dn")).as("dn"),
            collect_list(struct(col("__le"), col("v"))).as("buckets"))
-      .select(col("labels"), col("t"), col("buckets"))
+      .select(col("labels"), col("t"), col("buckets"), col("dn"))
     (nativeClean, classicClean)
   }
 }

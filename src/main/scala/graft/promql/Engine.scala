@@ -38,31 +38,70 @@ object Engine {
     df
   }
 
-  /** The reference errors when a result vector contains two samples with the
-    * same labelset (engine.go "vector cannot contain metrics with the same
-    * labelset") — a lazily-raised window count over the final result, keyed
-    * the same as the plan's last shuffle (exchange reuse applies). */
-  private def checkUnique(v: PValue): PValue = v match {
-    case VectorVal(df) =>
-      import org.apache.spark.sql.functions._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(xxhash64(array_sort(map_entries(col("labels")))), col("t"))
-      VectorVal(df
-        .withColumn("__dupcnt", count(lit(1)).over(w))
-        .withColumn("v", when(col("__dupcnt") > 1,
-            raise_error(lit("vector cannot contain metrics with the same labelset")).cast("double"))
-          .otherwise(col("v")))
-        .drop("__dupcnt"))
-    case other => other
+  /** Final output shaping (ref: promql/engine.go:4254 cleanupMetricLabels):
+    * samples flagged `dn` (deferred name drop) shed the reserved labels
+    * (__name__/__type__/__unit__, schema/labels.go IsMetadataLabel), THEN the
+    * reference's duplicate-labelset check runs on the final labels — a
+    * lazily-raised window count keyed the same as the plan's last shuffle. */
+  private def finalShape(v: PValue): PValue = {
+    import org.apache.spark.sql.functions._
+    def strip(df: DataFrame): DataFrame = {
+      val d = if (df.columns.contains("dn")) df else df.withColumn("dn", lit(false))
+      d.withColumn("labels",
+          when(col("dn"), map_filter(col("labels"), (k, _) =>
+            k =!= "__name__" && k =!= "__type__" && k =!= "__unit__"))
+          .otherwise(col("labels")))
+        .drop("dn")
+    }
+    v match {
+      case VectorVal(df0) =>
+        val df = strip(df0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(xxhash64(array_sort(map_entries(col("labels")))), col("t"))
+        VectorVal(df
+          .withColumn("__dupcnt", count(lit(1)).over(w))
+          .withColumn("v", when(col("__dupcnt") > 1,
+              raise_error(lit("vector cannot contain metrics with the same labelset")).cast("double"))
+            .otherwise(col("v")))
+          .drop("__dupcnt"))
+      case MatrixVal(df0) => MatrixVal(strip(df0))
+      case other => other
+    }
   }
 
   def parse(q: String, stepMs: Long = 0L, rangeMs: Long = 0L): Expr =
     Parser.parse(q, stepMs, rangeMs)
 
+  /** Resolve `@ start()` / `@ end()` to absolute timestamps of the TOP-LEVEL
+    * query before evaluation (ref: promql/engine.go:4472-4478 — the
+    * preprocessor rewrites them once; a selector inside a subquery pins to the
+    * outer query's bounds, not the inner grid). */
+  private def resolveAtModifiers(e: Expr, startMs: Long, endMs: Long): Expr = {
+    def at(a: Option[AtModifier]): Option[AtModifier] = a.map {
+      case AtModifier.AtStart => AtModifier.AtTimestamp(startMs)
+      case AtModifier.AtEnd => AtModifier.AtTimestamp(endMs)
+      case other => other
+    }
+    def go(x: Expr): Expr = x match {
+      case vs: VectorSelector => vs.copy(at = at(vs.at))
+      case ms: MatrixSelector => ms.copy(vs = go(ms.vs).asInstanceOf[VectorSelector])
+      case sv: SmoothedVector => sv.copy(vs = go(sv.vs).asInstanceOf[VectorSelector])
+      case sq: SubqueryExpr => sq.copy(expr = go(sq.expr), at = at(sq.at))
+      case c: Call => c.copy(args = c.args.map(go))
+      case a: AggregateExpr => a.copy(expr = go(a.expr), param = a.param.map(go))
+      case b: BinaryExpr => b.copy(lhs = go(b.lhs), rhs = go(b.rhs))
+      case u: UnaryExpr => u.copy(expr = go(u.expr))
+      case p: ParenExpr => p.copy(expr = go(p.expr))
+      case other => other
+    }
+    go(e)
+  }
+
   def instantQuery(spark: SparkSession, samples: DataFrame, q: String, tsMs: Long,
       lookbackMs: Long = 300000L): PValue =
-    checkUnique(new Planner(spark, normalize(samples),
-      EvalParams(tsMs, tsMs, 1000L, lookbackMs, isInstant = true)).eval(parse(q)))
+    finalShape(new Planner(spark, normalize(samples),
+      EvalParams(tsMs, tsMs, 1000L, lookbackMs, isInstant = true))
+      .eval(resolveAtModifiers(parse(q), tsMs, tsMs)))
 
   def rangeQuery(spark: SparkSession, samples: DataFrame, q: String,
       startMs: Long, endMs: Long, stepMs: Long, lookbackMs: Long = 300000L): PValue = {
@@ -71,7 +110,8 @@ object Engine {
       case ValueType.InstantVector | ValueType.Scalar => ()
       case t => throw PromQLError(s"range query expression must be scalar or instant vector, got $t")
     }
-    checkUnique(new Planner(spark, normalize(samples),
-      EvalParams(startMs, endMs, stepMs, lookbackMs)).eval(e))
+    finalShape(new Planner(spark, normalize(samples),
+      EvalParams(startMs, endMs, stepMs, lookbackMs))
+      .eval(resolveAtModifiers(e, startMs, endMs)))
   }
 }

@@ -15,9 +15,12 @@ final case class EvalParams(
 
 /** PromQL value kinds flowing through the planner (ref: promql/value.go).
   * Vector/Matrix results are DataFrames:
-  *   VectorVal: labels MAP, t LONG (step ms), v DOUBLE, st LONG (sample ts)
+  *   VectorVal: labels MAP, t LONG (step ms), v DOUBLE, st LONG (sample ts),
+  *              dn BOOLEAN (deferred __name__ drop, ref: value.go:215 DropName
+  *              + engine.go:4254 cleanupMetricLabels — labels keep the metric
+  *              name until final output shaping in [[Engine]])
   *   ScalarVal: t LONG, v DOUBLE
-  *   MatrixVal: labels MAP, t LONG (sample ts), v DOUBLE   (top-level only)
+  *   MatrixVal: labels MAP, t LONG (sample ts), v DOUBLE, dn   (top-level only)
   */
 sealed trait PValue
 final case class VectorVal(df: DataFrame) extends PValue
@@ -84,6 +87,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   private def ensureH(df: DataFrame): DataFrame =
     if (df.columns.contains("h")) df else df.withColumn("h", nullH)
 
+  /** guarantee the `dn` (deferred name-drop) column on every vector/matrix
+    * result; producers that never drop the name may omit it */
+  private def ensureDn(df: DataFrame): DataFrame =
+    if (df.columns.contains("dn")) df else df.withColumn("dn", lit(false))
+
   // ---------- step grid ----------
 
   private def grid: DataFrame =
@@ -142,7 +150,15 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           .filter(!col("stale")).drop("stale")
         grid.crossJoin(picked).select(col("labels"), col("t"), col("v"), col("st"), col("h"))
       case None =>
-        val shifted = base.withColumn("wt", col("t") + vs.offsetMs)
+        // plan-time time-range pruning (ref: engine.go:945 FindMinMaxTime /
+        // :977 getTimeRangesForSelector): only (start−lookback, end] shifted
+        // by the offset can contribute. Literal bounds on the raw `t` column
+        // reach the parquet scan (partition pruning + row-group min/max) —
+        // without this every query sorts the full per-series history.
+        val pruned = base.filter(
+          col("t") > P.startMs - P.lookbackMs - vs.offsetMs &&
+          col("t") <= P.endMs - vs.offsetMs)
+        val shifted = pruned.withColumn("wt", col("t") + vs.offsetMs)
         // linear as-of regime: when the lookback explode would amplify the
         // scan meaningfully AND there are many steps, a union-sort last-sample
         // lookup against step markers replaces the explode — identical result
@@ -193,8 +209,23 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
 
   private def rangeInput(e: Expr): RangeInput = e match {
     case MatrixSelector(vs, range, ext) =>
+      // time-range pruning (ref: engine.go:977): the union of all step windows
+      // (t_step−range, t_step], widened by the extended-selector slack
+      // (anchored/smoothed reach one lookback before the range; smoothed also
+      // one lookback after — engine.go:2235-2238). Safe w.r.t. the prev-point
+      // lag: pairs whose predecessor falls before the first window start are
+      // never consumed (pairInWindow / prefix-difference both exclude them).
+      val (lo0, hi0) = vs.at match {
+        case Some(atm) => val te = resolveAt(atm); (te, te)
+        case None => (P.startMs, P.endMs)
+      }
+      val extSlack = if (ext != 0) P.lookbackMs else 0L
+      val futSlack = if (ext == 2) P.lookbackMs else 0L
+      val loT = lo0 - range - extSlack - vs.offsetMs
+      val hiT = hi0 + futSlack - vs.offsetMs
       RangeInput(selectorBase(vs).filter(!col("stale"))
-                   .select(col("labels"), col("t"), col("v"), col("h")),
+                   .filter(col("t") > loT && col("t") <= hiT)
+                   .select(col("labels"), col("t"), col("v"), col("h"), lit(false).as("dn")),
                  range, vs.offsetMs, vs.at, ext)
     case SubqueryExpr(inner, range, step0, offset, at) =>
       val istep = if (step0 > 0) step0 else P.defaultSubqueryStepMs
@@ -212,15 +243,27 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       if (k2 < k1)
         // no inner grid point falls in the window — empty range vector
         return RangeInput(
-          samples.filter(lit(false)).select(col("labels"), col("t"), col("v"), col("h")),
+          samples.filter(lit(false))
+            .select(col("labels"), col("t"), col("v"), col("h"), lit(false).as("dn")),
           range, offset, at)
       val innerParams = EvalParams(k1 * istep, k2 * istep, istep, P.lookbackMs, P.defaultSubqueryStepMs)
       val innerPlanner = new Planner(spark, samples, innerParams)
+      // subquery outputs neutralize explicit counter-reset hints: a high-res
+      // subquery re-emits the same histogram sample at several inner steps, so
+      // a CounterReset hint would be counted once per copy, and a NotCounterReset
+      // hint could mask a reset in samples the subquery skipped
+      // (ref: engine.go:2023-2045 evalSubquery hint rewrite)
+      val hAdj = when(col("h").isNotNull &&
+          (col("h.crh") === FHist.HintReset || col("h.crh") === FHist.HintNotReset),
+          col("h").withField("crh", lit(FHist.HintUnknown)))
+        .otherwise(col("h"))
       val inner2 = innerPlanner.eval(inner) match {
-        case VectorVal(df) => df.select(col("labels"), col("t"), col("v"), col("h"))
+        // inner DropName flags ride through the subquery window
+        // (ref: engine.go:2276 inputDropName from subquery series)
+        case VectorVal(df) => df.select(col("labels"), col("t"), col("v"), hAdj.as("h"), col("dn"))
         case ScalarVal(df, _) =>
           df.select(emptyLabels.as("labels"), col("t"), col("v"),
-            lit(null).cast(FHist.schemaType).as("h"))
+            lit(null).cast(FHist.schemaType).as("h"), lit(false).as("dn"))
         case _ => throw PromQLError("subquery inner expression must be vector or scalar")
       }
       RangeInput(inner2, range, offset, at)
@@ -312,7 +355,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       .withColumn("pChg", sum(when(changedCond, 1L).otherwise(0L)).over(wOrd))
     val samplesU = fbase.select(col("__sg"), col("wt"), lit(0).as("knd"), lit("").as("mk"),
       lit(null).cast("long").as("t_step"),
-      struct(col("wt").as("mwt"), col("v"), col("labels"),
+      struct(col("wt").as("mwt"), col("v"), col("labels"), col("dn"),
         col("pCnt"), col("pCorr"), col("pRst"), col("pChg")).as("pay"))
     val payType = samplesU.schema("pay").dataType
     // series list WITHOUT the window subtree (plain distinct over the scan)
@@ -348,6 +391,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       .filter(col("e").isNotNull && col("e.mwt") > col("t_step") - ri.rangeMs &&
         col("s").isNotNull && col("s.mwt") <= col("t_step"))
     combined.select(col("__sg"), col("t_step"), col("e.labels").as("labels"),
+      col("e.dn").as("dn"),
       (col("e.pCnt") - col("s.pCnt") + 1).as("cnt"),
       col("s.v").as("firstV"), col("s.mwt").as("minWt"),
       col("e.v").as("lastV"), col("e.mwt").as("maxWt"),
@@ -366,7 +410,8 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   private def fanOut(df: DataFrame, fixed: Boolean): DataFrame =
     if (!fixed) df
     else {
-      val extra = if (df.columns.contains("h")) Seq(col("h")) else Nil
+      val extra = (if (df.columns.contains("h")) Seq(col("h")) else Nil) ++
+        (if (df.columns.contains("dn")) Seq(col("dn")) else Nil)
       grid.crossJoin(df.drop("t", "st"))
         .select(Seq(col("labels"), col("t"), col("v"), col("t").as("st")) ++ extra: _*)
     }
@@ -399,7 +444,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     val g = fpts.groupBy(col("__sg"), col("t_step"))
     val gAll = pts.groupBy(col("__sg"), col("t_step"))
     def hAgged = hpts.groupBy(col("__sg"), col("t_step"))
-      .agg(first(col("labels")).as("labels"),
+      .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
         count(lit(1)).as("hcnt"),
         sort_array(collect_list(struct(col("wt"), col("h")))).as("hp"))
     /** drop (series, step) groups that also appear in `other` */
@@ -407,7 +452,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       df.join(other.select(col("__sg"), col("t_step")).distinct(),
         Seq("__sg", "t_step"), "left_anti")
 
-    def labelsOut = if (keepNameFuncs.contains(name)) col("labels") else dropName(col("labels"))
+    // deferred name drop: labels stay intact; the flag ORs the input series'
+    // flag (subquery inner, ref engine.go:2282 seriesDropName) with whether
+    // this function drops the name (all range funcs except last/first_over_time)
+    val funcDrops = !keepNameFuncs.contains(name)
+    def dnOut = col("dn") || lit(funcDrops)
 
     def finish(agged: DataFrame, v: Column, cond: Column = lit(true), st: Column = col("t_step"),
         h: Column = lit(null).cast(FHist.schemaType)): DataFrame = {
@@ -415,8 +464,9 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         .withColumn("v", v)
         .withColumn("__h", h)
         .filter(cond && (!isnull(col("v")) || col("__h").isNotNull))
-        .select(labelsOut.as("labels"), col("t_step").as("t"),
-          coalesce(col("v"), lit(Double.NaN)).as("v"), st.as("st"), col("__h").as("h"))
+        .select(col("labels"), col("t_step").as("t"),
+          coalesce(col("v"), lit(Double.NaN)).as("v"), st.as("st"), col("__h").as("h"),
+          dnOut.as("dn"))
       fanOut(r, fixed)
     }
 
@@ -427,8 +477,9 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       val r = clean
         .withColumn("__h", udfCol)
         .filter(col("hcnt") >= minPts && col("__h").isNotNull)
-        .select(labelsOut.as("labels"), col("t_step").as("t"),
-          lit(Double.NaN).as("v"), col("t_step").as("st"), col("__h").as("h"))
+        .select(col("labels"), col("t_step").as("t"),
+          lit(Double.NaN).as("v"), col("t_step").as("st"), col("__h").as("h"),
+          dnOut.as("dn"))
       fanOut(r, fixed)
     }
 
@@ -442,7 +493,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       val agged = exclMixed(
         if (useLinear) linearRangeStats(ri)
         else g.agg(
-          first(col("labels")).as("labels"),
+          first(col("labels")).as("labels"), max(col("dn")).as("dn"),
           count(col("v")).as("cnt"),
           min(col("wt")).as("minWt"), max(col("wt")).as("maxWt"),
           expr("min_by(v, wt)").as("firstV"), expr("max_by(v, wt)").as("lastV"),
@@ -482,7 +533,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       case "irate" | "idelta" =>
         // ref: promql/functions.go:830 instantValue — last two points of the
         // merged float+histogram in-window timeline
-        val agged = gAll.agg(first(col("labels")).as("labels"),
+        val agged = gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
           sort_array(collect_list(struct(col("wt"), col("v"), col("h")))).as("mp"))
           .withColumn("__o", HistUdfs.mergedInstant(name == "irate")(col("mp")))
         finish(agged, col("__o.v"), col("__o").isNotNull, h = col("__o.h"))
@@ -496,7 +547,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         else {
           // ref: promql/functions.go:2359/:2431 — merged float+histogram
           // timeline; float↔histogram transitions always count
-          val agged = gAll.agg(first(col("labels")).as("labels"),
+          val agged = gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
             sort_array(collect_list(struct(col("wt"), col("v"), col("h")))).as("mp"))
           finish(agged,
             HistUdfs.extMixedCount(name == "changes", ri.rangeMs)(col("mp"), col("t_step")))
@@ -507,55 +558,55 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         // reference (plain distributed sum() reorders additions and fails on
         // catastrophic-cancellation inputs; ref functions.go:1218/:1572)
         val sorted = sort_array(collect_list(struct(col("wt"), col("v"))))
-        val agged = exclMixed(g.agg(first(col("labels")).as("labels"), sorted.as("pts")), hpts)
+        val agged = exclMixed(g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), sorted.as("pts")), hpts)
         val v = if (name == "avg_over_time") RangeUdfs.avgOT(col("pts"))
                 else RangeUdfs.kahanSumOT(col("pts"))
         finish(agged, v)
           .unionByName(histBranch(HistUdfs.histOverTime(name == "avg_over_time")(col("hp"))))
       case "count_over_time" =>
         // counts float AND histogram samples (ref: functions.go:1371)
-        finish(gAll.agg(first(col("labels")).as("labels"), count(lit(1)).cast("double").as("a")), col("a"))
+        finish(gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), count(lit(1)).cast("double").as("a")), col("a"))
       case "min_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"),
+        finish(g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
           min(when(!isnan(col("v")), col("v"))).as("a"), count(lit(1)).as("n")),
           coalesce(col("a"), lit(Double.NaN)))
       case "max_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"),
+        finish(g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
           max(when(!isnan(col("v")), col("v"))).as("a"), count(lit(1)).as("n")),
           coalesce(col("a"), lit(Double.NaN)))
       case "first_over_time" =>
-        val agged = gAll.agg(first(col("labels")).as("labels"),
+        val agged = gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
           expr("min_by(struct(v, t, h), wt)").as("p"))
         finish(agged, col("p.v"), h = col("p.h"))
       case "last_over_time" =>
-        val agged = gAll.agg(first(col("labels")).as("labels"),
+        val agged = gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
           expr("max_by(struct(v, t, h), wt)").as("p"))
         finish(agged, col("p.v"), h = col("p.h"))
       case "ts_of_first_over_time" =>
-        finish(gAll.agg(first(col("labels")).as("labels"), min(col("wt")).as("a")),
+        finish(gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), min(col("wt")).as("a")),
                col("a").cast("double") / 1000.0)
       case "ts_of_last_over_time" =>
-        finish(gAll.agg(first(col("labels")).as("labels"), max(col("wt")).as("a")),
+        finish(gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), max(col("wt")).as("a")),
                col("a").cast("double") / 1000.0)
       case "ts_of_max_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"), expr("max_by(wt, struct(v, wt))").as("a")),
+        finish(g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), expr("max_by(wt, struct(v, wt))").as("a")),
                col("a").cast("double") / 1000.0)
       case "ts_of_min_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"),
+        finish(g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
           expr("min_by(wt, struct(v, -wt))").as("a")), col("a").cast("double") / 1000.0)
       case "stddev_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"), stddev_pop(col("v")).as("a")), col("a"))
+        finish(g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), stddev_pop(col("v")).as("a")), col("a"))
       case "stdvar_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"), var_pop(col("v")).as("a")), col("a"))
+        finish(g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), var_pop(col("v")).as("a")), col("a"))
       case "present_over_time" =>
-        finish(gAll.agg(first(col("labels")).as("labels")), lit(1.0))
+        finish(gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn")), lit(1.0))
       case "quantile_over_time" =>
         // ref: promql/functions.go:1652 → quantile.go:717 — NaN sorts smallest
         // (Spark percentile sorts NaN largest, so the UDF path is used
         // unconditionally); φ may be a per-step scalar expression.
         val sorted = sort_array(collect_list(struct(col("wt"), col("v"))))
-        val agged = g.agg(first(col("labels")).as("labels"), sorted.as("__pts"))
-          .select(labelsOut.as("labels"), col("t_step").as("t"), col("__pts"))
+        val agged = g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), sorted.as("__pts"))
+          .select(col("labels"), col("t_step").as("t"), col("__pts"), dnOut.as("dn"))
         val fanned = if (!fixed) agged else grid.crossJoin(agged.drop("t"))
         val (qdf, phiCol) = constValue(extra.head) match {
           case Some(c) => (fanned, lit(c))
@@ -566,11 +617,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           }
         }
         qdf.select(col("labels"), col("t"),
-            RangeUdfs.quantileUdf(phiCol, col("__pts")).as("v"), col("t").as("st"))
+            RangeUdfs.quantileUdf(phiCol, col("__pts")).as("v"), col("t").as("st"), col("dn"))
           .filter(!isnull(col("v")))
       case "deriv" | "predict_linear" =>
         // ref: promql/functions.go:1949 linearRegression (OLS)
-        val agged = g.agg(first(col("labels")).as("labels"),
+        val agged = g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
           count(col("v")).as("cnt"),
           expr("regr_slope(v, wt / 1000.0)").as("slope"),
           expr("regr_intercept(v, wt / 1000.0)").as("icept"))
@@ -587,16 +638,16 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
             // prediction anchors at each OUTPUT step (ref: functions.go:2020
             // linearRegression(samples, enh.Ts) — enh.Ts is the eval step).
             val base = agged.filter(col("cnt") >= 2)
-              .select(labelsOut.as("labels"), col("slope"), col("icept"))
+              .select(col("labels"), dnOut.as("dn"), col("slope"), col("icept"))
             grid.crossJoin(base)
               .select(col("labels"), col("t"),
                 (col("icept") + col("slope") * (col("t").cast("double") / 1000.0 + sSec)).as("v"),
-                col("t").as("st"))
+                col("t").as("st"), col("dn"))
           }
         }
       case "mad_over_time" | "double_exponential_smoothing" =>
         val sorted = sort_array(collect_list(struct(col("wt"), col("v"))))
-        val agged = g.agg(first(col("labels")).as("labels"), sorted.as("pts"))
+        val agged = g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), sorted.as("pts"))
         val v = name match {
           case "mad_over_time" => RangeUdfs.mad(col("pts"))
           case _ =>
@@ -614,7 +665,8 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           else pts.select(col("t_step")).distinct()
         val lbls = absentLabels(arg)
         fanOut(grid.join(present.withColumnRenamed("t_step", "t"), Seq("t"), "left_anti")
-          .select(lbls.as("labels"), col("t"), lit(1.0).as("v"), col("t").as("st")), fixed = false)
+          .select(lbls.as("labels"), col("t"), lit(1.0).as("v"), col("t").as("st"),
+            lit(true).as("dn")), fixed = false)
       case other => throw PromQLError(s"unsupported range function: $other")
     }
   }
@@ -640,47 +692,57 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     if (name == "changes" || name == "resets") {
       // merged float+histogram timeline (anchored only)
       val agged = pts.groupBy(col("__sg"), col("t_step"))
-        .agg(first(col("labels")).as("labels"),
+        .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
           sort_array(collect_list(struct(col("wt"), col("v"), col("h")))).as("mp"))
       val r = agged
         .withColumn("v", HistUdfs.extMixedCount(name == "changes", ri.rangeMs)(col("mp"), col("t_step")))
         .filter(!isnull(col("v")))
-        .select(dropName(col("labels")).as("labels"), col("t_step").as("t"),
-          col("v"), col("t_step").as("st"))
+        .select(col("labels"), col("t_step").as("t"),
+          col("v"), col("t_step").as("st"), lit(true).as("dn"))
       return fanOut(r, fixed)
     }
     val agged = excl(fpts.groupBy(col("__sg"), col("t_step"))
-      .agg(first(col("labels")).as("labels"),
+      .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
         sort_array(collect_list(struct(col("wt"), col("v")))).as("pts")), hpts)
     val vOut =
       RangeUdfs.extRateUdf(name != "delta", name == "rate", ri.ext == 2, ri.rangeMs)(
         col("pts"), col("t_step"))
     val floatRes = agged.withColumn("v", vOut)
       .filter(!isnull(col("v")))
-      .select(dropName(col("labels")).as("labels"), col("t_step").as("t"),
-        col("v"), col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"))
+      .select(col("labels"), col("t_step").as("t"),
+        col("v"), col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"),
+        lit(true).as("dn"))
     val histRes = {
         val hAgged = excl(hpts.groupBy(col("__sg"), col("t_step"))
-          .agg(first(col("labels")).as("labels"),
+          .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
             sort_array(collect_list(struct(col("wt"), col("h")))).as("hp")), fpts)
         hAgged.withColumn("__h",
             HistUdfs.extHistRate(name != "delta", name == "rate", ri.ext == 2, ri.rangeMs)(
               col("hp"), col("t_step")))
           .filter(col("__h").isNotNull)
-          .select(dropName(col("labels")).as("labels"), col("t_step").as("t"),
-            lit(Double.NaN).as("v"), col("t_step").as("st"), col("__h").as("h"))
+          .select(col("labels"), col("t_step").as("t"),
+            lit(Double.NaN).as("v"), col("t_step").as("st"), col("__h").as("h"),
+            lit(true).as("dn"))
       }
     fanOut(floatRes.unionByName(histRes), fixed)
   }
 
   /** `metric smoothed` instant selection (ref: engine.go:1730 smoothSeries). */
   private def smoothedSelect(vs: VectorSelector): DataFrame = {
+    val (sLo, sHi) = vs.at match {
+      case Some(atm) => val te = resolveAt(atm); (te, te)
+      case None => (P.startMs, P.endMs)
+    }
     val base = selectorBase(vs).filter(!col("stale"))
+      // smoothed interpolation touches (start−lookback, end+lookback] only
+      .filter(col("t") >= sLo - P.lookbackMs - vs.offsetMs &&
+              col("t") <= sHi + P.lookbackMs - vs.offsetMs)
       .withColumn("wt", col("t") + vs.offsetMs)
+      .withColumn("dn", lit(false))
     def agg(pts: DataFrame): DataFrame = {
       val f = pts.filter(col("h").isNull)
         .groupBy(hsig(col("labels")).as("__sg"), col("t_step"))
-        .agg(first(col("labels")).as("labels"),
+        .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
           sort_array(collect_list(struct(col("wt"), col("v")))).as("pts"))
         .withColumn("v", RangeUdfs.smoothedValUdf(col("pts"), col("t_step")))
         .filter(!isnull(col("v")))
@@ -688,7 +750,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"))
       val hh = pts.filter(col("h").isNotNull)
         .groupBy(hsig(col("labels")).as("__sg"), col("t_step"))
-        .agg(first(col("labels")).as("labels"),
+        .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
           sort_array(collect_list(struct(col("wt"), col("h")))).as("hp"))
         .withColumn("__h", HistUdfs.smoothedHistUdf(col("hp"), col("t_step")))
         .filter(col("__h").isNotNull)
@@ -770,9 +832,9 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   // ---------- main dispatch ----------
 
   def eval(e: Expr): PValue = eval0(e) match {
-    // every vector/matrix result carries the nullable `h` column
-    case VectorVal(df) => VectorVal(ensureH(df))
-    case MatrixVal(df) => MatrixVal(ensureH(df))
+    // every vector/matrix result carries the nullable `h` and `dn` columns
+    case VectorVal(df) => VectorVal(ensureDn(ensureH(df)))
+    case MatrixVal(df) => MatrixVal(ensureDn(ensureH(df)))
     case other => other
   }
 
@@ -790,27 +852,28 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       MatrixVal(ri.points
         .withColumn("wt", col("t") + ri.offsetMs)
         .filter(col("wt") > te - ri.rangeMs && col("wt") <= te)
-        .select(col("labels"), col("t"), col("v"), col("h")))
+        .select(col("labels"), col("t"), col("v"), col("h"), col("dn")))
     case sq: SubqueryExpr =>
       val ri = rangeInput(sq)
       val te = ri.at.map(resolveAt).getOrElse(P.endMs)
       MatrixVal(ri.points
         .withColumn("wt", col("t") + ri.offsetMs)
         .filter(col("wt") > te - ri.rangeMs && col("wt") <= te)
-        .select(col("labels"), col("wt").as("t"), col("v"), col("h")))
+        .select(col("labels"), col("wt").as("t"), col("v"), col("h"), col("dn")))
     case UnaryExpr(op, inner) =>
       eval(inner) match {
         case ScalarVal(df, c) =>
           val f: Double => Double = if (op == "-") (x => -x) else identity
           ScalarVal(df.select(col("t"), (if (op == "-") -col("v") else col("v")).as("v")), c.map(f))
         case VectorVal(df) =>
-          // unary minus drops __name__ (arithmetic) and negates histograms
-          val lbls = if (op == "-") dropName(col("labels")) else col("labels")
+          // unary minus marks __name__ for dropping (ref: engine.go:2470
+          // mat[i].DropName = true) and negates histograms
           val hOut =
             if (op == "-") HistUdfs.guarded(col("h"))(HistUdfs.scaleH(col("h"), lit(-1.0)))
             else col("h")
-          VectorVal(df.select(lbls.as("labels"), col("t"),
-            (if (op == "-") -col("v") else col("v")).as("v"), col("st"), hOut.as("h")))
+          VectorVal(df.select(col("labels"), col("t"),
+            (if (op == "-") -col("v") else col("v")).as("v"), col("st"), hOut.as("h"),
+            (if (op == "-") lit(true) else col("dn")).as("dn")))
         case other => throw PromQLError(s"unary $op on $other")
       }
     case agg: AggregateExpr => VectorVal(Aggregations.eval(this, agg))

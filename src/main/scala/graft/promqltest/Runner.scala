@@ -161,11 +161,12 @@ object Runner {
         else Engine.rangeQuery(spark, samples, ev.exprText, ev.fromMs, ev.toMs, ev.stepMs)
 
       if (ev.expectFail) {
-        // force evaluation; engine currently lacks many runtime error checks
+        // force FULL evaluation (collect, not count — count() prunes columns,
+        // skipping lazily-raised errors like the duplicate-labelset check)
         val n = value match {
-          case VectorVal(df) => df.count()
-          case ScalarVal(df, _) => df.count()
-          case MatrixVal(df) => df.count()
+          case VectorVal(df) => df.collect().length
+          case ScalarVal(df, _) => df.collect().length
+          case MatrixVal(df) => df.collect().length
           case StringVal(_) => 0L
         }
         return EvalResult(ev.line, ev.exprText, ok = false, skipped = true,
