@@ -53,18 +53,21 @@ object Engine {
           .otherwise(col("labels")))
         .drop("dn")
     }
+    def dupCheck(df: DataFrame): DataFrame = {
+      // same-timestamp duplicate labelsets after the name drop are an error
+      // (ref engine.go:4254); merging disjoint-timestamp series is implicit
+      // in the flat (labels, t, v) representation
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(xxhash64(array_sort(map_entries(col("labels")))), col("t"))
+      df.withColumn("__dupcnt", count(lit(1)).over(w))
+        .withColumn("v", when(col("__dupcnt") > 1,
+            raise_error(lit("vector cannot contain metrics with the same labelset")).cast("double"))
+          .otherwise(col("v")))
+        .drop("__dupcnt")
+    }
     v match {
-      case VectorVal(df0) =>
-        val df = strip(df0)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(xxhash64(array_sort(map_entries(col("labels")))), col("t"))
-        VectorVal(df
-          .withColumn("__dupcnt", count(lit(1)).over(w))
-          .withColumn("v", when(col("__dupcnt") > 1,
-              raise_error(lit("vector cannot contain metrics with the same labelset")).cast("double"))
-            .otherwise(col("v")))
-          .drop("__dupcnt"))
-      case MatrixVal(df0) => MatrixVal(strip(df0))
+      case VectorVal(df0) => VectorVal(dupCheck(strip(df0)))
+      case MatrixVal(df0) => MatrixVal(dupCheck(strip(df0)))
       case other => other
     }
   }

@@ -353,10 +353,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       .withColumn("pCorr", sum(when(resetCond, col("prev_v")).otherwise(0.0)).over(wOrd))
       .withColumn("pRst", sum(when(resetCond, 1L).otherwise(0L)).over(wOrd))
       .withColumn("pChg", sum(when(changedCond, 1L).otherwise(0L)).over(wOrd))
+      .withColumn("pDn", sum(when(col("dn"), 1L).otherwise(0L)).over(wOrd))
     val samplesU = fbase.select(col("__sg"), col("wt"), lit(0).as("knd"), lit("").as("mk"),
       lit(null).cast("long").as("t_step"),
       struct(col("wt").as("mwt"), col("v"), col("labels"), col("dn"),
-        col("pCnt"), col("pCorr"), col("pRst"), col("pChg")).as("pay"))
+        col("pCnt"), col("pCorr"), col("pRst"), col("pChg"), col("pDn")).as("pay"))
     val payType = samplesU.schema("pay").dataType
     // series list WITHOUT the window subtree (plain distinct over the scan)
     val seriesKeys = ri.points.filter(col("h").isNull)
@@ -391,7 +392,9 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       .filter(col("e").isNotNull && col("e.mwt") > col("t_step") - ri.rangeMs &&
         col("s").isNotNull && col("s.mwt") <= col("t_step"))
     combined.select(col("__sg"), col("t_step"), col("e.labels").as("labels"),
-      col("e.dn").as("dn"),
+      // OR of dn over the in-window samples — matches the explode path's
+      // max(dn) (reference per-series seriesDropName)
+      (col("e.pDn") - col("s.pDn") + col("s.dn").cast("long") > 0L).as("dn"),
       (col("e.pCnt") - col("s.pCnt") + 1).as("cnt"),
       col("s.v").as("firstV"), col("s.mwt").as("minWt"),
       col("e.v").as("lastV"), col("e.mwt").as("maxWt"),

@@ -25,8 +25,12 @@ object Rules {
       annotations: Map[String, String] = Map.empty)
 
   /** inactive → pending (`for:`) → firing → (keep_firing_for) → inactive
-    * (ref: rules/alerting.go:217-226) */
-  final case class AlertState(activeSinceMs: Long, firingSinceMs: Long, lastTrueMs: Long)
+    * (ref: rules/alerting.go:217-226). Carries the alert labels so a
+    * keep-firing alert (condition no longer true) can still emit its ALERTS
+    * series. */
+  final case class AlertState(activeSinceMs: Long, firingSinceMs: Long = -1L,
+      lastTrueMs: Long = 0L, labels: Map[String, String] = Map.empty,
+      keepFiringSinceMs: Long = -1L)
 
   /** evaluate a recording rule at `tsMs`: rewrite __name__, merge static
     * labels (ref: rules/recording.go:85) */
@@ -73,20 +77,24 @@ object Rules {
     val out = Seq.newBuilder[(Map[String, String], String)]
     // currently-true alerts: new → pending, past `for:` → firing
     active.foreach { case (sig, lbls) =>
-      val st = state.getOrElse(sig, AlertState(tsMs, 0L, tsMs))
+      // firingSinceMs: -1 = never fired (0 is a valid fire timestamp)
+      val st = state.getOrElse(sig, AlertState(tsMs, -1L, tsMs, lbls))
       val firing = tsMs - st.activeSinceMs >= rule.forMs
-      val firingSince = if (firing && st.firingSinceMs == 0L) tsMs else st.firingSinceMs
-      next(sig) = AlertState(st.activeSinceMs, firingSince, tsMs)
+      val firingSince = if (firing && st.firingSinceMs < 0L) tsMs else st.firingSinceMs
+      next(sig) = AlertState(st.activeSinceMs, firingSince, tsMs, lbls)
       out += ((lbls, if (firing) "firing" else "pending"))
     }
-    // no-longer-true: keep firing for keep_firing_for, else drop
+    // no-longer-true: a firing alert keeps emitting alertstate="firing" until
+    // keep_firing_for elapses from the FIRST false evaluation (the
+    // reference's KeepFiringSince, rules/alerting.go:217-226); pending drops
     state.foreach { case (sig, st) =>
       if (!active.contains(sig)) {
-        val wasFiring = st.firingSinceMs > 0L
-        if (wasFiring && tsMs - st.lastTrueMs <= rule.keepFiringForMs) {
-          next(sig) = st
-          // labels are not reconstructible from the sig alone: carry them via
-          // the keep-firing map below
+        val wasFiring = st.firingSinceMs >= 0L
+        val kfSince = if (st.keepFiringSinceMs >= 0L) st.keepFiringSinceMs else tsMs
+        if (wasFiring && rule.keepFiringForMs > 0L &&
+            tsMs - kfSince < rule.keepFiringForMs) {
+          next(sig) = st.copy(keepFiringSinceMs = kfSince)
+          out += ((st.labels, "firing"))
         }
       }
     }
@@ -102,31 +110,75 @@ object Rules {
   final case class Group(name: String, intervalMs: Long,
       recording: Seq[RecordingRule] = Nil, alerting: Seq[AlertingRule] = Nil)
 
+  /** Metric names a rule expression reads — used for in-group dependency
+    * ordering (ref: rules/manager.go:500 dependencyMap). */
+  private def referencedNames(expr: String): Set[String] = {
+    def go(e: Expr): Set[String] = e match {
+      case vs: VectorSelector =>
+        vs.metricName.toSet ++ vs.matchers.collect {
+          case LabelMatcher("__name__", MatchOp.Eq, v) => v }
+      case ms: MatrixSelector => go(ms.vs)
+      case sv: SmoothedVector => go(sv.vs)
+      case sq: SubqueryExpr => go(sq.expr)
+      case c: Call => c.args.map(go).foldLeft(Set.empty[String])(_ ++ _)
+      case a: AggregateExpr => go(a.expr) ++ a.param.map(go).getOrElse(Set.empty)
+      case b: BinaryExpr => go(b.lhs) ++ go(b.rhs)
+      case u: UnaryExpr => go(u.expr)
+      case p: ParenExpr => go(p.expr)
+      case _ => Set.empty
+    }
+    try go(Engine.parse(expr)) catch { case _: Throwable => Set.empty }
+  }
+
+  /** Topologically order recording rules so producers run before consumers
+    * (ref: rules/manager.go:500); cycles fall back to input order. */
+  private[streaming] def orderRecording(rules: Seq[RecordingRule]): Seq[RecordingRule] = {
+    val produces = rules.map(_.record).toSet
+    val deps: Map[String, Set[String]] = rules.map { r =>
+      r.record -> (referencedNames(r.expr) & produces - r.record) }.toMap
+    val ordered = Seq.newBuilder[RecordingRule]
+    val done = scala.collection.mutable.Set[String]()
+    var pending = rules
+    var progressed = true
+    while (pending.nonEmpty && progressed) {
+      val (ready, rest) = pending.partition(r => deps(r.record).forall(done))
+      progressed = ready.nonEmpty
+      ready.foreach { r => ordered += r; done += r.record }
+      pending = rest
+    }
+    ordered ++= pending // cycle remainder: input order
+    ordered.result()
+  }
+
   /** Batch-driven group evaluation over a window of ticks (the reference's
-    * manager loop, rules/manager.go:83): recording results append back into
-    * the returned samples DataFrame so later rules see earlier outputs
-    * (rule dependency ordering within a group). */
+    * manager loop, rules/manager.go:83): recording results feed back so later
+    * rules see earlier outputs. Rule outputs are collected per tick
+    * (rule-output cardinality — the same scale the reference appends to its
+    * head per eval), so each tick's plan is base ∪ one in-memory scan instead
+    * of O(rules × ticks) nested unions. */
   def evalGroup(spark: SparkSession, samples0: DataFrame, g: Group,
       fromMs: Long, toMs: Long): DataFrame = {
-    var samples = samples0
+    import scala.jdk.CollectionConverters._
+    val base = samples0
+    val acc = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    def samples: DataFrame =
+      if (acc.isEmpty) base
+      else base.unionByName(spark.createDataFrame(acc.toList.asJava, Engine.samplesSchema))
     var alertStates = Map.empty[String, Map[String, AlertState]]
-    var outputs = List.empty[DataFrame]
+    val recOrdered = orderRecording(g.recording)
     var ts = fromMs
     while (ts <= toMs) {
-      g.recording.foreach { r =>
-        val out = evalRecording(spark, samples, r, ts)
-        outputs ::= out
-        samples = samples.unionByName(out)
+      recOrdered.foreach { r =>
+        acc ++= evalRecording(spark, samples, r, ts).collect()
       }
       g.alerting.foreach { a =>
         val (out, st) = evalAlerting(spark, samples, a, ts,
           alertStates.getOrElse(a.alert, Map.empty))
         alertStates += (a.alert -> st)
-        outputs ::= out
-        samples = samples.unionByName(out)
+        acc ++= out.collect()
       }
       ts += g.intervalMs
     }
-    outputs.reverse.reduce(_.unionByName(_))
+    spark.createDataFrame(acc.toList.asJava, Engine.samplesSchema)
   }
 }

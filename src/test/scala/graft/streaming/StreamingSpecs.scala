@@ -93,6 +93,41 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.toSeq == Seq("firing"))
   }
 
+  test("keep_firing_for keeps emitting firing rows after condition clears") {
+    // true at t=0 (firing immediately, for=0); false afterwards
+    val df = samplesOf(Seq((Map("__name__" -> "errors", "job" -> "a"), 0L, 5.0)))
+    val rule = Rules.AlertingRule("Flappy", "errors > 1", forMs = 0L,
+      keepFiringForMs = 120000L)
+    val (out0, st0) = Rules.evalAlerting(spark, df, rule, 0L, Map.empty)
+    assert(out0.select(element_at(col("labels"), "alertstate")).collect()
+      .map(_.getString(0)).toSeq == Seq("firing"))
+    // t=60s: condition false (lookback still sees the stale-free sample at 0?
+    // no — 5m lookback keeps it true; use t beyond lookback)
+    val (out1, st1) = Rules.evalAlerting(spark, df, rule, 400000L, st0)
+    val s1 = out1.collect().map(r => (
+      r.getMap[String, String](0)("alertstate"), r.getMap[String, String](0)("job")))
+    assert(s1.toSeq == Seq(("firing", "a")), "keep-firing window emits firing with labels")
+    // beyond keep_firing_for from last-true: gone
+    val (out2, _) = Rules.evalAlerting(spark, df, rule, 400000L + 121000L, st1)
+    assert(out2.count() == 0)
+  }
+
+  test("evalGroup handles 100 ticks without plan blowup and orders rules topologically") {
+    val df = samplesOf(Seq(
+      (Map("__name__" -> "reqs", "job" -> "a"), 0L, 10.0),
+      (Map("__name__" -> "reqs", "job" -> "b"), 0L, 20.0)))
+    // dependency listed in reverse: total reads job:sum — topo sort must flip
+    val out = Rules.evalGroup(spark, df,
+      Rules.Group("g", intervalMs = 1000,
+        recording = Seq(
+          Rules.RecordingRule("total:reqs", "sum(job:reqs:sum)"),
+          Rules.RecordingRule("job:reqs:sum", "sum by (job) (reqs)"))),
+      fromMs = 0L, toMs = 99000L)
+    val totals = out.filter(element_at(col("labels"), "__name__") === "total:reqs")
+    assert(totals.count() == 100)
+    assert(totals.select("v").collect().forall(_.getDouble(0) == 30.0))
+  }
+
   test("retention drops old 2h block partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ret").toFile
     val old = new java.io.File(dir, "block=0"); old.mkdirs()
