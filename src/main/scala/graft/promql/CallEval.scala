@@ -249,19 +249,20 @@ object CallEval {
           v.as("v"), col("t").as("st"), lit(true).as("dn")))
 
       case "histogram_quantile" =>
-        val phi = pl.constValue(args.head).getOrElse(
-          throw PromQLError("histogram_quantile: φ must be constant"))
         val (nat, cls) = splitHistInputs(pl, vecArg(args(1)))
+        // φ may be a per-step scalar expression (ref: engine.go:2095)
+        val (natJ, phiN) = pl.scalarParam(args.head, nat, "t", "__phi", "histogram_quantile")
+        val (clsJ, phiC) = pl.scalarParam(args.head, cls, "t", "__phi", "histogram_quantile")
         // native path (ref: quantile.go:172) ∪ classic le-bucket path; both
         // mark the name for deferred dropping (functions.go:2204 DropName: true)
-        val native = nat
+        val native = natJ
           .select(col("labels"), col("t"),
-            HistUdfs.guarded(col("h"))(HistUdfs.quantileH(lit(phi), col("h"))).as("v"),
+            HistUdfs.guarded(col("h"))(HistUdfs.quantileH(phiN, col("h"))).as("v"),
             col("t").as("st"), lit(true).as("dn"))
           .filter(!isnull(col("v")))
-        val classic = cls
+        val classic = clsJ
           .select(col("labels"), col("t"),
-            RangeUdfs.bucketQuantile(lit(phi), col("buckets")).as("v"),
+            RangeUdfs.bucketQuantile(phiC, col("buckets")).as("v"),
             col("t").as("st"), lit(true).as("dn"))
           .filter(!isnull(col("v")))
         VectorVal(native.unionByName(classic))
@@ -295,17 +296,19 @@ object CallEval {
         VectorVal(parts.reduce(_.unionByName(_)))
 
       case "histogram_fraction" =>
-        val lo = pl.constValue(args.head).getOrElse(throw PromQLError("histogram_fraction: lo must be constant"))
-        val hi = pl.constValue(args(1)).getOrElse(throw PromQLError("histogram_fraction: hi must be constant"))
         val (nat, cls) = splitHistInputs(pl, vecArg(args(2)))
-        val native = nat
+        val (natJ1, loN) = pl.scalarParam(args.head, nat, "t", "__lo", "histogram_fraction")
+        val (natJ2, hiN) = pl.scalarParam(args(1), natJ1, "t", "__hi", "histogram_fraction")
+        val (clsJ1, loC) = pl.scalarParam(args.head, cls, "t", "__lo", "histogram_fraction")
+        val (clsJ2, hiC) = pl.scalarParam(args(1), clsJ1, "t", "__hi", "histogram_fraction")
+        val native = natJ2
           .select(col("labels"), col("t"),
-            HistUdfs.guarded(col("h"))(HistUdfs.fractionH(lit(lo), lit(hi), col("h"))).as("v"),
+            HistUdfs.guarded(col("h"))(HistUdfs.fractionH(loN, hiN, col("h"))).as("v"),
             col("t").as("st"), lit(true).as("dn"))
           .filter(!isnull(col("v")))
-        val classic = cls
+        val classic = clsJ2
           .select(col("labels"), col("t"),
-            RangeUdfs.bucketFraction(lit(lo), lit(hi), col("buckets")).as("v"),
+            RangeUdfs.bucketFraction(loC, hiC, col("buckets")).as("v"),
             col("t").as("st"), lit(true).as("dn"))
           .filter(!isnull(col("v")))
         VectorVal(native.unionByName(classic))

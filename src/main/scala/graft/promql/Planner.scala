@@ -629,14 +629,12 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           expr("regr_slope(v, wt / 1000.0)").as("slope"),
           expr("regr_intercept(v, wt / 1000.0)").as("icept"))
         if (name == "deriv") finish(agged, col("slope"), col("cnt") >= 2)
-        else {
-          val sSec = constValue(extra.head).getOrElse(
-            throw PromQLError("predict_linear: non-constant horizon unsupported yet"))
-          if (!fixed)
+        else constValue(extra.head) match {
+          case Some(sSec) if !fixed =>
             finish(agged,
               col("icept") + col("slope") * (col("t_step").cast("double") / 1000.0 + sSec),
               col("cnt") >= 2)
-          else {
+          case Some(sSec) =>
             // @-pinned window: slope/intercept are step-invariant but the
             // prediction anchors at each OUTPUT step (ref: functions.go:2020
             // linearRegression(samples, enh.Ts) — enh.Ts is the eval step).
@@ -646,19 +644,39 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
               .select(col("labels"), col("t"),
                 (col("icept") + col("slope") * (col("t").cast("double") / 1000.0 + sSec)).as("v"),
                 col("t").as("st"), col("dn"))
-          }
+          case None =>
+            // per-step horizon expression
+            val base = agged.filter(col("cnt") >= 2)
+            val stepped =
+              if (!fixed) base
+              else grid.crossJoin(base.drop("t_step"))
+                .withColumn("t_step", col("t")).drop("t")
+            val (j, sC) = scalarParam(extra.head, stepped, "t_step", "__horiz", "predict_linear")
+            j.select(col("labels"), col("t_step").as("t"),
+              (col("icept") + col("slope") * (col("t_step").cast("double") / 1000.0 + sC)).as("v"),
+              col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"), dnOut.as("dn"))
         }
       case "mad_over_time" | "double_exponential_smoothing" =>
         val sorted = sort_array(collect_list(struct(col("wt"), col("v"))))
         val agged = g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), sorted.as("pts"))
-        val v = name match {
-          case "mad_over_time" => RangeUdfs.mad(col("pts"))
+        if (name == "mad_over_time") finish(agged, RangeUdfs.mad(col("pts")))
+        else (constValue(extra.head), constValue(extra(1))) match {
+          case (Some(sf), Some(tf)) =>
+            finish(agged, RangeUdfs.doubleExpSmoothing(col("pts"), lit(sf), lit(tf)))
           case _ =>
-            val sf = constValue(extra.head).getOrElse(throw PromQLError("des: sf must be constant"))
-            val tf = constValue(extra(1)).getOrElse(throw PromQLError("des: tf must be constant"))
-            RangeUdfs.doubleExpSmoothing(col("pts"), lit(sf), lit(tf))
+            // per-step sf/tf expressions: fan a pinned window out first so
+            // each output step sees its own parameter values
+            val stepped =
+              if (!fixed) agged
+              else grid.crossJoin(agged.drop("t_step"))
+                .withColumn("t_step", col("t")).drop("t")
+            val (j1, sfC) = scalarParam(extra.head, stepped, "t_step", "__sf", "double_exponential_smoothing")
+            val (j2, tfC) = scalarParam(extra(1), j1, "t_step", "__tf", "double_exponential_smoothing")
+            j2.select(col("labels"), col("t_step").as("t"),
+                RangeUdfs.doubleExpSmoothing(col("pts"), sfC, tfC).as("v"),
+                col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"), dnOut.as("dn"))
+              .filter(!isnull(col("v")))
         }
-        finish(agged, v)
       case "absent_over_time" =>
         // large ratios: presence from the as-of pass, not the explode
         // (float samples decide presence there; histogram-only series at
@@ -820,6 +838,22 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       if (vs.forall(_.isDefined)) Some(vs.flatten.foldLeft(Double.PositiveInfinity)(math.min)) else None
     case _ => None
   }
+
+  /** Scalar function parameter: constant fast-path, else evaluate the
+    * expression as a per-step scalar and broadcast-join it onto `df` keyed
+    * on `tCol` (ref: promql/engine.go:2095 — parameters are full
+    * expressions evaluated at every output step). */
+  private[promql] def scalarParam(e: Expr, df: DataFrame, tCol: String,
+      alias: String, what: String): (DataFrame, Column) =
+    constValue(e) match {
+      case Some(c) => (df, lit(c))
+      case None => eval(e) match {
+        case ScalarVal(s, _) =>
+          (df.join(broadcast(s.select(col("t").as(tCol), col("v").as(alias))), Seq(tCol)),
+            col(alias))
+        case other => throw PromQLError(s"$what: parameter must be a scalar, got $other")
+      }
+    }
 
   private def scalarConstOp(op: String, a: Double, b: Double): Option[Double] = op match {
     case "+" => Some(a + b)

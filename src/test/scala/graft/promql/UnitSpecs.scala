@@ -231,3 +231,60 @@ class GoMathSpec extends AnyFunSuite {
     assert(GoMath.dateDaysInMonth(t) == 31.0)
   }
 }
+
+/** Non-constant (per-step scalar expression) function parameters must agree
+  * with their constant counterparts (ref: promql/engine.go:2095 — parameters
+  * are full expressions evaluated at every output step). */
+class NonConstParamSpec extends AnyFunSuite {
+
+  test("scalar(metric) parameters match constant parameters") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val rows = (0 until 60).flatMap { i =>
+        val t = i * 10000L
+        Seq(
+          (Map("__name__" -> "hb", "le" -> "0.1"), t, (i / 3).toDouble),
+          (Map("__name__" -> "hb", "le" -> "1"), t, i.toDouble),
+          (Map("__name__" -> "hb", "le" -> "+Inf"), t, (i * 2).toDouble),
+          (Map("__name__" -> "m"), t, i.toDouble + math.sin(i) * 3),
+          (Map("__name__" -> "p_phi"), t, 0.9),
+          (Map("__name__" -> "p_horiz"), t, 600.0),
+          (Map("__name__" -> "p_sf"), t, 0.1),
+          (Map("__name__" -> "p_tf"), t, 0.3))
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (l, t, v) => org.apache.spark.sql.Row(l, t, v, false, null) }, 4),
+        Engine.samplesSchema)
+
+      def run(q: String): Map[(Map[String, String], Long), Double] =
+        Engine.rangeQuery(spark, df, q, 300000L, 590000L, 10000L) match {
+          case VectorVal(r) =>
+            r.select("labels", "t", "v").collect()
+              .map(x => (x.getMap[String, String](0).toMap, x.getLong(1)) -> x.getDouble(2)).toMap
+          case other => fail(s"unexpected $other")
+        }
+
+      val pairs = Seq(
+        "histogram_quantile(scalar(p_phi), hb)" -> "histogram_quantile(0.9, hb)",
+        "histogram_fraction(0, scalar(p_phi), hb)" -> "histogram_fraction(0, 0.9, hb)",
+        "predict_linear(m[2m], scalar(p_horiz))" -> "predict_linear(m[2m], 600)",
+        "double_exponential_smoothing(m[2m], scalar(p_sf), scalar(p_tf))" ->
+          "double_exponential_smoothing(m[2m], 0.1, 0.3)",
+        "quantile_over_time(scalar(p_phi), m[2m])" -> "quantile_over_time(0.9, m[2m])")
+      pairs.foreach { case (dynQ, constQ) =>
+        val a = run(dynQ); val b = run(constQ)
+        assert(a.keySet == b.keySet, s"$dynQ: key sets differ (${a.size} vs ${b.size})")
+        a.foreach { case (k, v) =>
+          assert(graft.promqltest.Runner.almostEqual(v, b(k), 1e-9), s"$dynQ at $k: $v vs ${b(k)}")
+        }
+      }
+    } finally spark.stop()
+  }
+}
