@@ -106,9 +106,12 @@ object Aggregations {
           if (ae.op == "topk") Seq(isnan(col("v")).asc, col("v").desc, pl.sigCol(col("labels")).asc)
           else Seq(isnan(col("v")).asc, col("v").asc, pl.sigCol(col("labels")).asc)
         val w = Window.partitionBy(col("gsig"), col("t")).orderBy(ord: _*)
+        // __rk doubles as the presentation order (`expect ordered` — the
+        // reference's heap pops topk descending / bottomk ascending)
         df.withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= k.cast("long"))
-          .select(col("labels"), col("t"), col("v"), col("st"), col("dn"))
+          .select(col("labels"), col("t"), col("v"), col("st"), col("dn"),
+            col("__rk").cast("double").as("__ord"))
 
       case "limitk" =>
         val (df, k) = paramCol(pre)

@@ -135,7 +135,15 @@ object BinOps {
 
   private def matchSig(pl: Planner, labels: Column, m: VectorMatching): Column =
     if (m.on) pl.hashSigCol(pl.keepLabelsCol(labels, m.matchingLabels))
-    else pl.hashSigCol(pl.withoutLabelsCol(labels, m.matchingLabels))
+    else {
+      // "without" signatures exclude ONLY __name__ + the listed labels —
+      // __type__/__unit__ stay in the match key (ref: engine.go:1469
+      // names = append([]string{labels.MetricName}, names...); PROM-39
+      // type_and_unit.test `/ ignoring(group)` with differing __unit__
+      // must not match)
+      val excl = m.matchingLabels :+ "__name__"
+      pl.hashSigCol(map_filter(labels, (k, _) => !k.isInCollection(excl)))
+    }
 
   private def vecVec(pl: Planner, be: BinaryExpr, l0: DataFrame, r0: DataFrame): DataFrame = {
     val op = be.op

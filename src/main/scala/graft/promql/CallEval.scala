@@ -152,6 +152,18 @@ object CallEval {
         VectorVal(in.select(col("labels"), col("t"),
           (col("st").cast("double") / 1000.0).as("v"), col("t").as("st"), lit(true).as("dn")))
 
+      case "start_timestamp" =>
+        // ST propagates only when the argument is a direct vector selector
+        // (ref: engine.go:2680 propagateSTs; functions.go:1919) — any other
+        // expression loses the ST side channel and yields an empty vector
+        args.head match {
+          case vs: VectorSelector =>
+            VectorVal(pl.instantSelect(vs, emitStt = true)
+              .select(col("labels"), col("t"), col("v"), col("st"), col("h"),
+                lit(true).as("dn")))
+          case other => VectorVal(vecArg(other).filter(lit(false)))
+        }
+
       case "scalar" =>
         val in = floats(vecArg(args.head))
         val agg = in.groupBy(col("t")).agg(count(lit(1)).as("n"), first(col("v")).as("fv"))
@@ -226,12 +238,37 @@ object CallEval {
           col("h"), dnOut.as("dn")))
 
       case "sort" | "sort_desc" =>
-        // ordering is presentation-only (range results are label-sorted anyway,
-        // ref: promql/engine.go:907), but sort()/sort_desc() drop histogram
-        // samples (ref: functions.go:1046 filterFloats)
-        VectorVal(floats(vecArg(args.head)))
+        // sort()/sort_desc() drop histogram samples (ref: functions.go:1046
+        // filterFloats) and attach a presentation rank `__ord` (observable
+        // for instant queries only — range results are label-sorted,
+        // ref: promql/engine.go:907). NaN sorts to the bottom in both
+        // directions (funcSort/funcSortDesc reverse-with-NaN-first trick).
+        val in = floats(vecArg(args.head))
+        if (!pl.p.isInstant) VectorVal(in)
+        else {
+          val dir: Seq[Column] =
+            if (name == "sort_desc") Seq(isnan(col("v")).asc, col("v").desc)
+            else Seq(isnan(col("v")).asc, col("v").asc)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("t")).orderBy(dir: _*)
+          VectorVal(in.withColumn("__ord", row_number().over(w).cast("double")))
+        }
       case "sort_by_label" | "sort_by_label_desc" =>
-        VectorVal(vecArg(args.head))
+        // natural-order sort on the given label values, full-labelset
+        // tiebreak (ref: functions.go:1064 funcSortByLabel, facette/natsort)
+        val in = vecArg(args.head)
+        if (!pl.p.isInstant) VectorVal(in)
+        else {
+          val desc = name == "sort_by_label_desc"
+          val keys = args.tail.map(a =>
+            MathCols.natSortKeyUdf(pl.lvalCol(col("labels"), strArg(a)))) :+
+            array_join(transform(sort_array(map_entries(col("labels"))),
+              e => concat(e.getField("key"), lit(" "), e.getField("value"))), "")
+          val dir = if (desc) keys.map(_.desc) else keys.map(_.asc)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("t")).orderBy(dir: _*)
+          VectorVal(in.withColumn("__ord", row_number().over(w).cast("double")))
+        }
 
       // native-histogram accessors (ref: promql/functions.go:2044
       // simpleHistogramFunc) — struct-field projections, codegen'd

@@ -26,15 +26,21 @@ object Engine {
     StructField("v", DoubleType, nullable = false),
     StructField("stale", BooleanType, nullable = false),
     // nullable native-histogram sample (null ⇒ float sample); see FHist
-    StructField("h", FHist.schemaType, nullable = true)))
+    StructField("h", FHist.schemaType, nullable = true),
+    // per-sample start timestamp, ms (0 = unknown; ref: PROM-60 start
+    // timestamps — promql/functions.go:760 isStartTimestampReset). Consumed
+    // by rate/increase/irate/resets and start_timestamp().
+    StructField("stt", LongType, nullable = true)))
 
   /** accept samples tables without the optional columns */
   private def normalize(samples: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     var df = samples
     if (!df.columns.contains("stale")) df = df.withColumn("stale", lit(false))
     if (!df.columns.contains("h"))
       df = df.withColumn("h", lit(null).cast(FHist.schemaType))
+    if (!df.columns.contains("stt")) df = df.withColumn("stt", lit(0L))
+    else df = df.withColumn("stt", coalesce(col("stt"), lit(0L)))
     df
   }
 

@@ -15,8 +15,16 @@ object HistUdfs {
 
   import org.apache.spark.sql.functions.{when, lit}
 
-  /** (wt sorted, h) point for range-window UDFs */
-  final case class HPt(wt: Long, h: FHist)
+  /** (wt sorted, h) point for range-window UDFs; stt = per-sample start
+    * timestamp (0 = unknown, ref PROM-60) — trailing field so ST-oblivious
+    * UDFs ignore it */
+  final case class HPt(wt: Long, h: FHist, stt: Long)
+
+  /** Start-timestamp counter-reset detection
+    * (ref: promql/functions.go:760 isStartTimestampReset). */
+  def isStReset(prevSt: Long, prevT: Long, curSt: Long, curT: Long): Boolean =
+    curSt != 0 && curSt < curT && curSt >= prevT &&
+      (curSt > prevT || (prevSt <= prevT && prevSt != 0 && prevSt != prevT))
 
   /** Spark's ScalaUDF deserializes case-class args BEFORE the lambda runs and
     * NPEs on a null struct — every call over a nullable `h` column must be
@@ -160,8 +168,9 @@ object HistUdfs {
     } catch { case _: Exception => null }
   }
 
-  /** merged float/histogram point for anchored changes()/resets() */
-  final case class MPt(wt: Long, v: Double, h: Option[FHist])
+  /** merged float/histogram point for anchored changes()/resets(); stt =
+    * start timestamp (0 = unknown) */
+  final case class MPt(wt: Long, v: Double, h: Option[FHist], stt: Long)
 
   private def histsEqual(a: FHist, b: FHist): Boolean = {
     val x = a.compact; val y = b.compact
@@ -192,10 +201,10 @@ object HistUdfs {
             (p.h, c.h) match {
               case (None, None) =>
                 if (isChanges) { if (c.v != p.v && !(c.v.isNaN && p.v.isNaN)) n += 1 }
-                else if (c.v < p.v) n += 1
+                else if (c.v < p.v || isStReset(p.stt, p.wt, c.stt, c.wt)) n += 1
               case (Some(a), Some(b)) =>
                 if (isChanges) { if (!histsEqual(a, b)) n += 1 }
-                else if (b.detectReset(a)) n += 1
+                else if (isStReset(p.stt, p.wt, c.stt, c.wt) || b.detectReset(a)) n += 1
               case _ => n += 1 // float <-> histogram transition
             }
             i += 1
@@ -221,11 +230,13 @@ object HistUdfs {
       if (dtSec == 0) null
       else (p0.h, p1.h) match {
         case (None, None) =>
-          var v = if (isRate && p1.v < p0.v) p1.v else p1.v - p0.v
+          var v = if (isRate && (p1.v < p0.v || isStReset(p0.stt, p0.wt, p1.stt, p1.wt)))
+            p1.v else p1.v - p0.v
           if (isRate) v /= dtSec
           VH(Some(v), None)
         case (Some(a), Some(b)) =>
-          var h = if (isRate && b.detectReset(a)) b else b.sub(a)
+          var h = if (isRate && (isStReset(p0.stt, p0.wt, p1.stt, p1.wt) || b.detectReset(a)))
+            b else b.sub(a)
           h = h.copy(crh = FHist.HintGauge).compact
           if (isRate) h = h.divide(dtSec)
           VH(None, Some(h))
@@ -259,45 +270,73 @@ object HistUdfs {
   }
 
   /** rate/increase/delta over a histogram-only window (ref:
-    * promql/functions.go:640 histogramRate + :452 extrapolatedRate). Returns
-    * null when the window has < 2 points or incompatible layouts. */
+    * promql/functions.go:640 histogramRate + :452 extrapolatedRate, incl.
+    * PROM-60 start-timestamp resets and the zero-sample-at-ST substitute for
+    * left extrapolation). Returns null when the window can't produce a rate
+    * (single point without usable ST, incompatible layouts). */
   def histRate(isCounter: Boolean, isRate: Boolean, rangeMs: Long) =
     udf { (pts: Seq[HPt], tStep: java.lang.Long) =>
-      if (pts == null || pts.length < 2 || tStep == null) null
+      if (pts == null || pts.isEmpty || tStep == null) null
       else {
         val sorted = pts.sortBy(_.wt)
-        val hs = sorted.map(_.h)
+        val n = sorted.length
         try {
-          var prev = hs.head
-          val last = hs.last
-          // null out first point if reset between 1st and 2nd
-          if (isCounter && hs(1).detectReset(prev))
-            prev = FHist.empty.copy(schema = hs(1).schema, cv = hs(1).cv)
-          if (prev.isCustom != last.isCustom) null
-          else {
-            var h = last.sub(prev)
-            if (isCounter) {
-              var p = if (hs(1).detectReset(hs.head))
-                FHist.empty.copy(schema = hs(1).schema, cv = hs(1).cv) else hs.head
-              sorted.drop(1).foreach { cp =>
-                if (cp.h.detectReset(p)) h = h.add(p)
-                p = cp.h
+          val rangeStart = tStep - rangeMs
+          val firstT = sorted.head.wt; val lastT = sorted.last.wt
+          val st0 = sorted.head.stt
+          val stBranch = isCounter && st0 != 0 && st0 > rangeStart && st0 < firstT
+          var bad = false
+          var h: FHist = null
+          if (n >= 2) {
+            val hs = sorted.map(_.h)
+            var prev = hs.head
+            var usingCustom = prev.isCustom
+            val last = hs.last
+            // null out first point if reset between 1st and 2nd
+            val firstPairReset = isCounter &&
+              (isStReset(sorted(0).stt, sorted(0).wt, sorted(1).stt, sorted(1).wt) ||
+               hs(1).detectReset(prev))
+            if (firstPairReset) {
+              prev = FHist.empty.copy(schema = hs(1).schema, cv = hs(1).cv)
+              usingCustom = hs(1).isCustom
+            }
+            if (usingCustom != last.isCustom) bad = true
+            else {
+              h = last.sub(prev)
+              if (isCounter) {
+                var p = prev
+                var i = 1
+                while (i < n) {
+                  val c = hs(i)
+                  if (isStReset(sorted(i - 1).stt, sorted(i - 1).wt, sorted(i).stt, sorted(i).wt) ||
+                      c.detectReset(p)) h = h.add(p)
+                  p = c
+                  i += 1
+                }
               }
             }
-            // extrapolation identical to the float path
-            val rangeStart = tStep - rangeMs
-            val firstT = sorted.head.wt; val lastT = sorted.last.wt
-            val durToStart0 = (firstT - rangeStart).toDouble / 1000.0
-            val durToEnd0 = (tStep - lastT).toDouble / 1000.0
-            val sampled = (lastT - firstT).toDouble / 1000.0
-            val avgDur = sampled / (sorted.length - 1).toDouble
+          }
+          if (bad || (n == 1 && !stBranch)) null
+          else {
+            var durToStart = (firstT - rangeStart).toDouble / 1000.0
+            var durToEnd = (tStep - lastT).toDouble / 1000.0
+            val sampled0 = (lastT - firstT).toDouble / 1000.0
+            val avgDur = if (n > 1) sampled0 / (n - 1).toDouble else 0.0
             val thresh = avgDur * 1.1
-            var durToStart = if (durToStart0 >= thresh) avgDur / 2 else durToStart0
-            if (isCounter && h.cnt > 0 && hs.head.cnt >= 0) {
-              val durToZero = sampled * (hs.head.cnt / h.cnt)
-              if (durToZero < durToStart) durToStart = durToZero
+            var sampled = sampled0
+            if (stBranch) {
+              // zero-value sample assumed at ST instead of left extrapolation
+              durToStart = 0.0
+              sampled = (lastT - st0).toDouble / 1000.0
+              h = if (h == null) sorted.head.h else h.add(sorted.head.h)
+            } else {
+              if (durToStart >= thresh) durToStart = avgDur / 2
+              if (isCounter && h.cnt > 0 && sorted.head.h.cnt >= 0) {
+                val durToZero = sampled0 * (sorted.head.h.cnt / h.cnt)
+                if (durToZero < durToStart) durToStart = durToZero
+              }
             }
-            val durToEnd = if (durToEnd0 >= thresh) avgDur / 2 else durToEnd0
+            if (durToEnd >= thresh) durToEnd = avgDur / 2
             var factor = if (sampled != 0) (sampled + durToStart + durToEnd) / sampled else 1.0
             if (isRate) factor /= (rangeMs / 1000.0)
             h.scale(factor).copy(crh = FHist.HintGauge).compact

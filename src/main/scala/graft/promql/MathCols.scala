@@ -85,4 +85,35 @@ object MathCols {
     * (ref: promql/functions.go:1137 funcClamp) */
   def clampD(v: Column, lo: Column, hi: Column): Column =
     when(lo > hi, lit(Double.NaN)).otherwise(maxD(minD(v, hi), lo))
+
+  /** Natural-sort key: lexicographic comparison of the keys matches natural
+    * ordering ("a2" < "a10"). Digit runs are encoded as
+    * U+0001 + zero-padded-length + stripped-digits so longer numbers sort
+    * after shorter ones; text runs as U+0002 + text (numbers sort before
+    * text at the same position). Mirrors the chunked comparison of
+    * facette/natsort used by sort_by_label (ref: promql/functions.go:1075). */
+  val natSortKeyUdf = org.apache.spark.sql.functions.udf { (s: String) =>
+    if (s == null) "" else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c.isDigit) {
+          var j = i
+          while (j < s.length && s.charAt(j).isDigit) j += 1
+          var k = i
+          while (k < j - 1 && s.charAt(k) == '0') k += 1
+          val digits = s.substring(k, j)
+          sb.append('\u0001').append(f"${digits.length}%06d").append(digits)
+          i = j
+        } else {
+          var j = i
+          while (j < s.length && !s.charAt(j).isDigit) j += 1
+          sb.append('\u0002').append(s.substring(i, j))
+          i = j
+        }
+      }
+      sb.toString
+    }
+  }
 }

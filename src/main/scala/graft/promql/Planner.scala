@@ -58,6 +58,13 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * collision probability ~2^-64 per pair). */
   private def hsig(m: Column): Column = xxhash64(array_sort(map_entries(m)))
 
+  /** Column form of start-timestamp counter-reset detection
+    * (ref: promql/functions.go:760 isStartTimestampReset; Scala twin
+    * [[HistUdfs.isStReset]]). Callers guard prev existence. */
+  private def stResetCol(prevSt: Column, prevWt: Column, curSt: Column, curWt: Column): Column =
+    curSt =!= 0L && curSt < curWt && curSt >= prevWt &&
+      (curSt > prevWt || (prevSt <= prevWt && prevSt =!= 0L && prevSt =!= prevWt))
+
   private def lval(labels: Column, name: String): Column =
     coalesce(element_at(labels, name), lit(""))
 
@@ -135,20 +142,30 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
 
   /** Instant vector selector: per (series, step) the most recent sample in
     * (step−lookback, step], stale markers shadowing (ref: promql/engine.go:2730
-    * vectorSelectorSingle; staleness ref model/value/value.go:28). */
-  def instantSelect(vs: VectorSelector): DataFrame = {
+    * vectorSelectorSingle; staleness ref model/value/value.go:28).
+    * emitStt: emit the picked sample's start timestamp (seconds) as the value
+    * instead — the start_timestamp() fast path (ref: functions.go:1920 +
+    * engine.go:2680 propagateSTs, direct-selector argument only). */
+  def instantSelect(vs: VectorSelector, emitStt: Boolean = false): DataFrame = {
     val base = selectorBase(vs)
+    // start_timestamp() output: ST seconds (0 = unknown), never a histogram
+    def shape(df: DataFrame): DataFrame =
+      if (!emitStt) df.drop("stt")
+      else df.select(col("labels"), col("t"),
+        (coalesce(col("stt"), lit(0L)).cast("double") / 1000.0).as("v"),
+        col("st"), nullH.as("h"))
     vs.at match {
       case Some(atm) =>
         val te = resolveAt(atm) - vs.offsetMs
         val picked = base
           .filter(col("t") > te - P.lookbackMs && col("t") <= te)
           .groupBy(hsig(col("labels")).as("__sg"))
-          .agg(max_by(struct(col("t"), col("v"), col("stale"), col("labels"), col("h")), col("t")).as("p"))
+          .agg(max_by(struct(col("t"), col("v"), col("stale"), col("labels"), col("h"), col("stt")), col("t")).as("p"))
           .select(col("p.labels").as("labels"), col("p.t").as("st"),
-                  col("p.v").as("v"), col("p.stale").as("stale"), col("p.h").as("h"))
+                  col("p.v").as("v"), col("p.stale").as("stale"), col("p.h").as("h"),
+                  col("p.stt").as("stt"))
           .filter(!col("stale")).drop("stale")
-        grid.crossJoin(picked).select(col("labels"), col("t"), col("v"), col("st"), col("h"))
+        shape(grid.crossJoin(picked).select(col("labels"), col("t"), col("v"), col("st"), col("h"), col("stt")))
       case None =>
         // plan-time time-range pruning (ref: engine.go:945 FindMinMaxTime /
         // :977 getTimeRangesForSelector): only (start−lookback, end] shifted
@@ -169,7 +186,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           val samplesU = keyed.select(col("__sg"), col("wt"), lit(0).as("knd"),
             lit(null).cast("long").as("t_step"),
             struct(col("wt").as("mwt"), col("t").as("st"), col("v"), col("stale"),
-              col("labels"), col("h")).as("pay"))
+              col("labels"), col("h"), col("stt")).as("pay"))
           val payType = samplesU.schema("pay").dataType
           val markers = keyed.select(col("__sg")).distinct()
             .crossJoin(grid.select(col("t").as("t_step")))
@@ -177,21 +194,22 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
               lit(null).cast(payType).as("pay"))
           val wA = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("knd"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          samplesU.unionByName(markers)
+          shape(samplesU.unionByName(markers)
             .withColumn("p", last(col("pay"), ignoreNulls = true).over(wA))
             .filter(col("knd") === 1 && col("p").isNotNull &&
               col("p.mwt") > col("t_step") - P.lookbackMs && !col("p.stale"))
             .select(col("p.labels").as("labels"), col("t_step").as("t"),
-              col("p.v").as("v"), col("p.st").as("st"), col("p.h").as("h"))
+              col("p.v").as("v"), col("p.st").as("st"), col("p.h").as("h"),
+              col("p.stt").as("stt")))
         } else
-          coverage(shifted, col("wt"), P.lookbackMs)
+          shape(coverage(shifted, col("wt"), P.lookbackMs)
             .groupBy(hsig(col("labels")).as("__sg"), col("t_step"))
-            .agg(max_by(struct(col("wt"), col("t"), col("v"), col("stale"), col("labels"), col("h")),
+            .agg(max_by(struct(col("wt"), col("t"), col("v"), col("stale"), col("labels"), col("h"), col("stt")),
                         col("wt")).as("p"))
             .select(col("p.labels").as("labels"), col("t_step").as("t"),
                     col("p.v").as("v"), col("p.t").as("st"), col("p.stale").as("stale"),
-                    col("p.h").as("h"))
-            .filter(!col("stale")).drop("stale")
+                    col("p.h").as("h"), col("p.stt").as("stt"))
+            .filter(!col("stale")).drop("stale"))
     }
   }
 
@@ -225,7 +243,8 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       val hiT = hi0 + futSlack - vs.offsetMs
       RangeInput(selectorBase(vs).filter(!col("stale"))
                    .filter(col("t") > loT && col("t") <= hiT)
-                   .select(col("labels"), col("t"), col("v"), col("h"), lit(false).as("dn")),
+                   .select(col("labels"), col("t"), col("v"), col("h"), lit(false).as("dn"),
+                           col("stt")),
                  range, vs.offsetMs, vs.at, ext)
     case SubqueryExpr(inner, range, step0, offset, at) =>
       val istep = if (step0 > 0) step0 else P.defaultSubqueryStepMs
@@ -244,7 +263,8 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         // no inner grid point falls in the window — empty range vector
         return RangeInput(
           samples.filter(lit(false))
-            .select(col("labels"), col("t"), col("v"), col("h"), lit(false).as("dn")),
+            .select(col("labels"), col("t"), col("v"), col("h"), lit(false).as("dn"),
+                    lit(0L).as("stt")),
           range, offset, at)
       val innerParams = EvalParams(k1 * istep, k2 * istep, istep, P.lookbackMs, P.defaultSubqueryStepMs)
       val innerPlanner = new Planner(spark, samples, innerParams)
@@ -259,11 +279,14 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         .otherwise(col("h"))
       val inner2 = innerPlanner.eval(inner) match {
         // inner DropName flags ride through the subquery window
-        // (ref: engine.go:2276 inputDropName from subquery series)
-        case VectorVal(df) => df.select(col("labels"), col("t"), col("v"), hAdj.as("h"), col("dn"))
+        // (ref: engine.go:2276 inputDropName from subquery series); start
+        // timestamps do NOT propagate through subqueries (PROM-60 —
+        // start_timestamps.test "Subqueries cut the propagation")
+        case VectorVal(df) => df.select(col("labels"), col("t"), col("v"), hAdj.as("h"),
+          col("dn"), lit(0L).as("stt"))
         case ScalarVal(df, _) =>
           df.select(emptyLabels.as("labels"), col("t"), col("v"),
-            lit(null).cast(FHist.schemaType).as("h"), lit(false).as("dn"))
+            lit(null).cast(FHist.schemaType).as("h"), lit(false).as("dn"), lit(0L).as("stt"))
         case _ => throw PromQLError("subquery inner expression must be vector or scalar")
       }
       RangeInput(inner2, range, offset, at)
@@ -282,8 +305,13 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     // prev_* skip histogram samples (ignoreNulls): float functions see the
     // previous FLOAT point, mirroring the reference's separate Floats slice
     ri.points
+      // start timestamps shift into the offset frame alongside wt (0 stays 0
+      // = unknown); prev_wst is the previous FLOAT point's shifted ST
+      .withColumn("wst", when(col("stt") =!= 0L, col("stt") + ri.offsetMs).otherwise(0L))
       .withColumn("prev_v", lag(when(col("h").isNull, col("v")), 1, null, ignoreNulls = true).over(w))
       .withColumn("prev_t", lag(when(col("h").isNull, col("t")), 1, null, ignoreNulls = true).over(w))
+      .withColumn("prev_wst", coalesce(
+        lag(when(col("h").isNull, col("wst")), 1, null, ignoreNulls = true).over(w), lit(0L)))
       .withColumn("wt", col("t") + ri.offsetMs)
       .withColumn("prev_wt", col("prev_t") + ri.offsetMs)
   }
@@ -301,8 +329,10 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     // histogram rows never consume the prev-float columns, so their side
     // skips the lag window entirely (schema kept aligned with nulls)
     val baseH = ri.points.filter(col("h").isNotNull)
+      .withColumn("wst", when(col("stt") =!= 0L, col("stt") + ri.offsetMs).otherwise(0L))
       .withColumn("prev_v", lit(null).cast("double"))
       .withColumn("prev_t", lit(null).cast("long"))
+      .withColumn("prev_wst", lit(0L))
       .withColumn("wt", col("t") + ri.offsetMs)
       .withColumn("prev_wt", lit(null).cast("long"))
       .select(baseF.columns.map(col): _*)
@@ -341,7 +371,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   private def linearRangeStats(ri: RangeInput): DataFrame = {
     val wOrd = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val resetCond = col("prev_v").isNotNull && !isnan(col("prev_v")) && (col("v") < col("prev_v"))
+    // value decrease OR start-timestamp reset (matches the explode path's
+    // resetOrSt; PROM-60)
+    val resetCond = col("prev_v").isNotNull &&
+      ((!isnan(col("prev_v")) && (col("v") < col("prev_v"))) ||
+       stResetCol(col("prev_wst"), col("prev_wt"), col("wst"), col("wt")))
     val changedCond = col("prev_v").isNotNull &&
       ((col("v") =!= col("prev_v") && !(isnan(col("v")) && isnan(col("prev_v")))) ||
        (isnan(col("v")) =!= isnan(col("prev_v"))))
@@ -356,7 +390,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       .withColumn("pDn", sum(when(col("dn"), 1L).otherwise(0L)).over(wOrd))
     val samplesU = fbase.select(col("__sg"), col("wt"), lit(0).as("knd"), lit("").as("mk"),
       lit(null).cast("long").as("t_step"),
-      struct(col("wt").as("mwt"), col("v"), col("labels"), col("dn"),
+      struct(col("wt").as("mwt"), col("v"), col("labels"), col("dn"), col("wst"),
         col("pCnt"), col("pCorr"), col("pRst"), col("pChg"), col("pDn")).as("pay"))
     val payType = samplesU.schema("pay").dataType
     // series list WITHOUT the window subtree (plain distinct over the scan)
@@ -396,7 +430,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       // max(dn) (reference per-series seriesDropName)
       (col("e.pDn") - col("s.pDn") + col("s.dn").cast("long") > 0L).as("dn"),
       (col("e.pCnt") - col("s.pCnt") + 1).as("cnt"),
-      col("s.v").as("firstV"), col("s.mwt").as("minWt"),
+      col("s.v").as("firstV"), col("s.mwt").as("minWt"), col("s.wst").as("firstSt"),
       col("e.v").as("lastV"), col("e.mwt").as("maxWt"),
       (col("e.pCorr") - col("s.pCorr")).as("corr"),
       (col("e.pRst") - col("s.pRst")).cast("double").as("nResets"),
@@ -449,7 +483,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     def hAgged = hpts.groupBy(col("__sg"), col("t_step"))
       .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
         count(lit(1)).as("hcnt"),
-        sort_array(collect_list(struct(col("wt"), col("h")))).as("hp"))
+        sort_array(collect_list(struct(col("wt"), col("h"), col("wst").as("stt")))).as("hp"))
     /** drop (series, step) groups that also appear in `other` */
     def exclMixed(df: DataFrame, other: DataFrame): DataFrame =
       df.join(other.select(col("__sg"), col("t_step")).distinct(),
@@ -493,6 +527,12 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       math.min(ri.rangeMs.toDouble / P.stepMs, P.numSteps.toDouble) >= linearPathRatio
 
     def extrapolated(isCounter: Boolean, isRate: Boolean, isDelta: Boolean): DataFrame = {
+      // counter resets: value decrease OR a start-timestamp reset (PROM-60)
+      val resetOrSt =
+        if (isCounter) pairInWindow &&
+          ((!isnan(col("prev_v")) && (col("v") < col("prev_v"))) ||
+           stResetCol(col("prev_wst"), col("prev_wt"), col("wst"), col("wt")))
+        else resetPair
       val agged = exclMixed(
         if (useLinear) linearRangeStats(ri)
         else g.agg(
@@ -500,31 +540,44 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           count(col("v")).as("cnt"),
           min(col("wt")).as("minWt"), max(col("wt")).as("maxWt"),
           expr("min_by(v, wt)").as("firstV"), expr("max_by(v, wt)").as("lastV"),
-          sum(when(resetPair, col("prev_v")).otherwise(0.0)).as("corr")), hpts)
+          expr("min_by(wst, wt)").as("firstSt"),
+          sum(when(resetOrSt, col("prev_v")).otherwise(0.0)).as("corr")), hpts)
       // ref: promql/functions.go:452 extrapolatedRate — formulas reimplemented
-      val resultValue =
+      val resultValue0 =
         if (isCounter) col("lastV") - col("firstV") + col("corr")
         else col("lastV") - col("firstV")
+      // first sample's ST inside the range ⇒ assume a zero sample at ST
+      // instead of extrapolating left (functions.go:550); also enables a
+      // single-sample rate
+      val stBranch =
+        if (isCounter) col("firstSt") =!= 0L &&
+          col("firstSt") > (col("t_step") - ri.rangeMs) && col("firstSt") < col("minWt")
+        else lit(false)
+      val resultValue = when(stBranch, resultValue0 + col("firstV")).otherwise(resultValue0)
       val durToStart0 = (col("minWt") - (col("t_step") - ri.rangeMs)).cast("double") / 1000.0
       val durToEnd0 = (col("t_step") - col("maxWt")).cast("double") / 1000.0
-      val sampled = (col("maxWt") - col("minWt")).cast("double") / 1000.0
-      val avgDur = sampled / (col("cnt") - 1).cast("double")
+      val sampled0 = (col("maxWt") - col("minWt")).cast("double") / 1000.0
+      val avgDur = when(col("cnt") > 1, sampled0 / (col("cnt") - 1).cast("double"))
+        .otherwise(lit(0.0))
       val thresh = avgDur * 1.1
       val durToStart1 = when(durToStart0 >= thresh, avgDur / 2).otherwise(durToStart0)
-      val durToStart =
+      val durToStart2 =
         if (isCounter)
-          when(resultValue > 0 && col("firstV") >= 0,
-               least(durToStart1, sampled * (col("firstV") / resultValue)))
+          when(resultValue0 > 0 && col("firstV") >= 0,
+               least(durToStart1, sampled0 * (col("firstV") / resultValue0)))
             .otherwise(durToStart1)
         else durToStart1
+      val durToStart = when(stBranch, lit(0.0)).otherwise(durToStart2)
+      val sampled = when(stBranch,
+        (col("maxWt") - col("firstSt")).cast("double") / 1000.0).otherwise(sampled0)
       val durToEnd = when(durToEnd0 >= thresh, avgDur / 2).otherwise(durToEnd0)
       val extInterval = sampled + durToStart + durToEnd
-      val factor0 = extInterval / sampled
+      val factor0 = when(sampled =!= 0.0, extInterval / sampled).otherwise(lit(1.0))
       val factor = if (isRate) factor0 / rangeSec else factor0
-      val floatRes = finish(agged, resultValue * factor, col("cnt") >= 2)
+      val floatRes = finish(agged, resultValue * factor, col("cnt") >= 2 || stBranch)
       // histogram-only windows (ref: functions.go:640 histogramRate)
       val histRes = histBranch(
-        HistUdfs.histRate(isCounter, isRate, ri.rangeMs)(col("hp"), col("t_step")), minPts = 2)
+        HistUdfs.histRate(isCounter, isRate, ri.rangeMs)(col("hp"), col("t_step")), minPts = 1)
       floatRes.unionByName(histRes)
     }
 
@@ -537,7 +590,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         // ref: promql/functions.go:830 instantValue — last two points of the
         // merged float+histogram in-window timeline
         val agged = gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
-          sort_array(collect_list(struct(col("wt"), col("v"), col("h")))).as("mp"))
+          sort_array(collect_list(struct(col("wt"), col("v"), col("h"), col("wst").as("stt")))).as("mp"))
           .withColumn("__o", HistUdfs.mergedInstant(name == "irate")(col("mp")))
         finish(agged, col("__o.v"), col("__o").isNotNull, h = col("__o.h"))
 
@@ -551,7 +604,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           // ref: promql/functions.go:2359/:2431 — merged float+histogram
           // timeline; float↔histogram transitions always count
           val agged = gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
-            sort_array(collect_list(struct(col("wt"), col("v"), col("h")))).as("mp"))
+            sort_array(collect_list(struct(col("wt"), col("v"), col("h"), col("wst").as("stt")))).as("mp"))
           finish(agged,
             HistUdfs.extMixedCount(name == "changes", ri.rangeMs)(col("mp"), col("t_step")))
         }
@@ -714,7 +767,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       // merged float+histogram timeline (anchored only)
       val agged = pts.groupBy(col("__sg"), col("t_step"))
         .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
-          sort_array(collect_list(struct(col("wt"), col("v"), col("h")))).as("mp"))
+          sort_array(collect_list(struct(col("wt"), col("v"), col("h"), col("wst").as("stt")))).as("mp"))
       val r = agged
         .withColumn("v", HistUdfs.extMixedCount(name == "changes", ri.rangeMs)(col("mp"), col("t_step")))
         .filter(!isnull(col("v")))
@@ -736,7 +789,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     val histRes = {
         val hAgged = excl(hpts.groupBy(col("__sg"), col("t_step"))
           .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
-            sort_array(collect_list(struct(col("wt"), col("h")))).as("hp")), fpts)
+            sort_array(collect_list(struct(col("wt"), col("h"), col("wst").as("stt")))).as("hp")), fpts)
         hAgged.withColumn("__h",
             HistUdfs.extHistRate(name != "delta", name == "rate", ri.ext == 2, ri.rangeMs)(
               col("hp"), col("t_step")))
@@ -772,7 +825,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       val hh = pts.filter(col("h").isNotNull)
         .groupBy(hsig(col("labels")).as("__sg"), col("t_step"))
         .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
-          sort_array(collect_list(struct(col("wt"), col("h")))).as("hp"))
+          sort_array(collect_list(struct(col("wt"), col("h"), lit(0L).as("stt")))).as("hp"))
         .withColumn("__h", HistUdfs.smoothedHistUdf(col("hp"), col("t_step")))
         .filter(col("__h").isNotNull)
         .select(col("labels"), col("t_step").as("t"), lit(Double.NaN).as("v"),

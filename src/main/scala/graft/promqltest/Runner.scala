@@ -52,9 +52,9 @@ object Runner {
   private def hRow(h: FHist): Row =
     Row(h.schema, h.zt, h.zc, h.cnt, h.sum, h.pidx, h.pcnt, h.nidx, h.ncnt, h.cv, h.crh)
 
-  /** one loaded sample */
+  /** one loaded sample (stt = start timestamp ms, 0 = unknown) */
   private final case class S(labels: Map[String, String], t: Long, v: Double,
-      stale: Boolean, h: Option[FHist])
+      stale: Boolean, h: Option[FHist], stt: Long = 0L)
 
   def runFile(spark: SparkSession, path: String): FileResult = {
     val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
@@ -70,7 +70,7 @@ object Runner {
     val results = List.newBuilder[EvalResult]
 
     def samplesDf(): DataFrame = cachedDf.getOrElse {
-      val rows = storage.map(s => Row(s.labels, s.t, s.v, s.stale, s.h.map(hRow).orNull))
+      val rows = storage.map(s => Row(s.labels, s.t, s.v, s.stale, s.h.map(hRow).orNull, s.stt))
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toSeq, 4), Engine.samplesSchema)
       cachedDf = Some(df)
@@ -86,12 +86,14 @@ object Runner {
         val loadStart = storage.length
         series.foreach { sp =>
           var t = 0L
-          sp.values.foreach { v =>
+          sp.values.zipWithIndex.foreach { case (v, k) =>
+            // @st offsets are relative to the sample's own timestamp
+            val stt = sp.sts.lift(k).flatten.map(t + _).getOrElse(0L)
             v match {
-              case TestScript.Num(d) => storage += S(sp.labels, t, d, stale = false, None)
+              case TestScript.Num(d) => storage += S(sp.labels, t, d, stale = false, None, stt)
               case TestScript.StaleMark => storage += S(sp.labels, t, Double.NaN, stale = true, None)
               case TestScript.Gap => ()
-              case TestScript.Hist(h) => storage += S(sp.labels, t, Double.NaN, stale = false, Some(h))
+              case TestScript.Hist(h) => storage += S(sp.labels, t, Double.NaN, stale = false, Some(h), stt)
               case TestScript.Unsupported =>
                 unsupportedMetrics += sp.labels.getOrElse("__name__", "")
             }
@@ -208,14 +210,29 @@ object Runner {
           }
 
         case VectorVal(df) =>
-          val sel = df.select(df("labels"), df("t"), df("v"), df("h"))
+          val hasOrd = df.columns.contains("__ord")
+          val sel =
+            if (hasOrd) df.select(df("labels"), df("t"), df("v"), df("h"), df("__ord"))
+            else df.select(df("labels"), df("t"), df("v"), df("h"))
           val rows = sel.collect()
           val got: Map[Map[String, String], Map[Long, (Double, Option[FHist])]] = rows
             .groupBy(r => mapOf(r, 0))
             .map { case (k, rs) => k -> rs.map(r =>
               r.getLong(1) -> (r.getDouble(2),
                 if (r.isNullAt(3)) None else Some(fhistFromRow(r.getStruct(3))))).toMap }
-          compareVector(ev, got)
+          val base = compareVector(ev, got)
+          if (!ev.ordered || !ev.instant || !base.ok) base
+          else if (!hasOrd)
+            base.copy(ok = false, detail = "expect ordered: result carries no ordering")
+          else {
+            // the result sequence (by __ord) must match the expectation order
+            // (ref: promqltest test.go `expect ordered` — instant only)
+            val gotSeq = rows.sortBy(_.getDouble(4)).map(r => mapOf(r, 0)).toVector
+            val wantSeq = ev.expected.collect { case (Some(sp), _) => sp.labels }.toVector
+            if (gotSeq == wantSeq) base
+            else base.copy(ok = false,
+              detail = s"order mismatch: got ${gotSeq.take(4)} want ${wantSeq.take(4)}")
+          }
 
         case MatrixVal(df) =>
           ev.rangeVector match {

@@ -16,7 +16,11 @@ object TestScript {
   final case class Hist(h: FHist) extends SeriesValue   // parsed native-histogram literal
   case object Unsupported extends SeriesValue           // notation we cannot load yet
 
-  final case class SeriesSpec(labels: Map[String, String], values: Vector[SeriesValue])
+  /** sts: per-position start-timestamp OFFSETS in ms relative to the sample's
+    * own timestamp (None = unknown), from a preceding `metric@st` line
+    * (ref: promql/promqltest/test.go:349 isSTLine/parseSTLine) */
+  final case class SeriesSpec(labels: Map[String, String], values: Vector[SeriesValue],
+      sts: Vector[Option[Long]] = Vector.empty)
 
   sealed trait Command
   final case class Load(stepMs: Long, series: List[SeriesSpec], withNhcb: Boolean) extends Command
@@ -55,15 +59,31 @@ object TestScript {
           case "load" | "load_with_nhcb" =>
             val step = parseTime(parts(1).trim)
             val series = List.newBuilder[SeriesSpec]
+            var pendingSt: Option[(Map[String, String], Vector[Option[Long]])] = None
             i += 1
             while (i < lines.length && (isBlank(lines(i)) || indented(lines(i)))) {
               if (!isBlank(lines(i))) {
                 val ln = lines(i).trim
-                try series += parseSeries(ln, i + 1)
-                catch {
+                val (selPart, restPart) = splitSelectorAndRest(ln, i + 1)
+                if (selPart.endsWith("@st")) {
+                  // start-timestamp line: offsets attach to the NEXT series
+                  // line with identical labels (ref test.go:313)
+                  try pendingSt = Some((parseSelectorLabels(selPart.dropRight(3), i + 1),
+                    parseStSequence(restPart, i + 1)))
+                  catch { case _: Throwable => pendingSt = None }
+                } else try {
+                  var sp = parseSeries(ln, i + 1)
+                  pendingSt match {
+                    case Some((lbl, sts)) if lbl == sp.labels && sts.length == sp.values.length =>
+                      sp = sp.copy(sts = sts)
+                    case _ => ()
+                  }
+                  pendingSt = None
+                  series += sp
+                } catch {
                   case _: Throwable =>
-                    // unsupported series notation (@st annotations, duration
-                    // values, …) — register the metric so evals touching it skip
+                    // unsupported series notation (duration values, …) —
+                    // register the metric so evals touching it skip
                     val name = "^([a-zA-Z_:][a-zA-Z0-9_:]*)".r.findFirstIn(ln).getOrElse("")
                     series += SeriesSpec(Map("__name__" -> name), Vector(Unsupported))
                 }
@@ -212,6 +232,42 @@ object TestScript {
     }
   }
 
+  /** `@st` offset sequence (ref: promql/promqltest/test.go:389
+    * parseSTSequence): `_` one omitted, `_xN` N omitted, `<dur>` one,
+    * `<dur>xN` N+1 equal, `<dur>±<dur>xN` N+1 stepping by the delta.
+    * Durations are signed Prometheus durations; stored as ms offsets. */
+  def parseStSequence(s: String, lineNo: Int): Vector[Option[Long]] = {
+    val out = Vector.newBuilder[Option[Long]]
+    s.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+      if (tok == "_") out += None
+      else if (tok.startsWith("_x")) {
+        val n = tok.drop(2).toInt
+        (0 until n).foreach(_ => out += None)
+      } else {
+        // strip an xN repetition suffix (durations never contain 'x')
+        val xi = tok.lastIndexOf('x')
+        val (base, reps) =
+          if (xi > 0 && xi < tok.length - 1 && tok.drop(xi + 1).forall(_.isDigit))
+            (tok.substring(0, xi), tok.drop(xi + 1).toInt)
+          else (tok, -1)
+        def dur(d: String): Long = parseTime(d.stripPrefix("+"))
+        // a '+'/'-' at index ≥ 1 separates <start><signed delta>
+        val si = base.indexWhere(c => c == '+' || c == '-', 1)
+        if (si > 0) {
+          val start = dur(base.substring(0, si))
+          val delta = dur(base.substring(si))
+          if (reps < 0) throw ScriptError(s"ST item '$tok' has a delta but no xN", lineNo)
+          (0 to reps).foreach(k => out += Some(start + delta * k))
+        } else {
+          val v = dur(base)
+          if (reps < 0) out += Some(v)
+          else (0 to reps).foreach(_ => out += Some(v))
+        }
+      }
+    }
+    out.result()
+  }
+
   def parseNum(s: String, lineNo: Int): Double = {
     val t = s.trim
     try {
@@ -232,7 +288,7 @@ object TestScript {
     line match {
       case evalRe(kind, mode, rest0) =>
         var expectFail = kind == "eval_fail"
-        val ordered = kind == "eval_ordered"
+        var ordered = kind == "eval_ordered"
         var atMs = 0L; var fromMs = 0L; var toMs = 0L; var stepMs = 0L
         var exprText = ""
         if (mode == "instant") {
@@ -262,6 +318,7 @@ object TestScript {
             if (l.startsWith("expect ")) {
               val what = l.drop(7).trim
               if (what.startsWith("fail")) expectFail = true
+              if (what == "ordered") ordered = true
               what match {
                 case rvRe(f, t, st) =>
                   rangeVector = Some((parseTime(f), parseTime(t), parseTime(st)))

@@ -54,7 +54,7 @@ object Rules {
       map_concat(
         map_filter(withStatics, (k, _) => k =!= "__name__"),
         map(lit("__name__"), lit(rule.record))).as("labels"),
-      lit(tsMs).as("t"), col("v"), lit(false).as("stale"), col("h"))
+      lit(tsMs).as("t"), col("v"), lit(false).as("stale"), col("h"), lit(0L).as("stt"))
   }
 
   /** One alerting evaluation step. Returns (ALERTS synthetic samples at
@@ -100,7 +100,7 @@ object Rules {
     }
     val rows = out.result().map { case (lbls, stateName) =>
       org.apache.spark.sql.Row(
-        lbls + ("__name__" -> "ALERTS", "alertstate" -> stateName), tsMs, 1.0, false, null)
+        lbls + ("__name__" -> "ALERTS", "alertstate" -> stateName), tsMs, 1.0, false, null, 0L)
     }
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), Engine.samplesSchema)

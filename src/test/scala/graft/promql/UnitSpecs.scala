@@ -159,7 +159,7 @@ class LinearPathSpec extends AnyFunSuite {
       }
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(
-          rows.map { case (l, t, v) => org.apache.spark.sql.Row(l, t, v, false, null) }, 4),
+          rows.map { case (l, t, v) => org.apache.spark.sql.Row(l, t, v, false, null, 0L) }, 4),
         Engine.samplesSchema)
 
       // window/step ratio 180, 120 steps → amplification 120
@@ -260,7 +260,7 @@ class NonConstParamSpec extends AnyFunSuite {
       }
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(
-          rows.map { case (l, t, v) => org.apache.spark.sql.Row(l, t, v, false, null) }, 4),
+          rows.map { case (l, t, v) => org.apache.spark.sql.Row(l, t, v, false, null, 0L) }, 4),
         Engine.samplesSchema)
 
       def run(q: String): Map[(Map[String, String], Long), Double] =

@@ -25,7 +25,7 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
   private def samplesOf(rows: Seq[(Map[String, String], Long, Double)]) =
     spark.createDataFrame(
       spark.sparkContext.parallelize(
-        rows.map { case (l, t, v) => Row(l, t, v, false, null) }, 2),
+        rows.map { case (l, t, v) => Row(l, t, v, false, null, 0L) }, 2),
       Engine.samplesSchema)
 
   test("exposition parser handles labels, escapes, timestamps, comments") {
