@@ -32,6 +32,9 @@ object Engine {
     // by rate/increase/irate/resets and start_timestamp().
     StructField("stt", LongType, nullable = true)))
 
+  /** public form of [[normalize]] for store/serving layers */
+  def canonical(samples: DataFrame): DataFrame = normalize(samples)
+
   /** accept samples tables without the optional columns */
   private def normalize(samples: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}

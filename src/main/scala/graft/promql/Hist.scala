@@ -338,6 +338,12 @@ final case class FHist(
 
 object FHist {
 
+  /** rebuild from a schemaType-shaped Row (collected results) */
+  def fromRow(r: org.apache.spark.sql.Row): FHist =
+    FHist(r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      r.getSeq[Int](5), r.getSeq[Double](6), r.getSeq[Int](7), r.getSeq[Double](8),
+      r.getSeq[Double](9), r.getInt(10))
+
   /** any scalar field or bucket overflowed to ±Inf
     * (ref: float_histogram.go:2101 HasOverflow) */
   def hasOverflow(h: FHist): Boolean =

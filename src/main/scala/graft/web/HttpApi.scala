@@ -1,0 +1,323 @@
+package graft.web
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.promql._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Prometheus HTTP v1 query API + federation + remote-write receiver over
+  * the Spark engine (SURVEY M8; ref: web/api/v1/api.go:443-660 routes,
+  * web/federate.go:55, storage/remote/write_handler.go:270).
+  *
+  * Serving is driver-side by design: each request compiles to a distributed
+  * plan via [[graft.promql.Engine]] and collects only the RESULT rows
+  * (result cardinality, not sample cardinality — same shape as the
+  * reference's API layer sitting on its engine). JSON bodies mirror the
+  * reference's encoding: quoted Go-formatted sample values, second-resolution
+  * timestamps with ms fractions, histogram objects with boundary-rule
+  * bucket arrays (ref: util/jsonutil/marshal.go).
+  */
+final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
+    nowMs: () => Long = () => System.currentTimeMillis()) {
+
+  private val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Unit = { routes(); server.start() }
+  def stop(): Unit = server.stop(0)
+
+  // ---------- request plumbing ----------
+
+  private def params(ex: HttpExchange): Map[String, List[String]] = {
+    def parse(q: String): Seq[(String, String)] =
+      if (q == null || q.isEmpty) Nil
+      else q.split("&").toSeq.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        val dec = (s: String) => java.net.URLDecoder.decode(s, "UTF-8")
+        if (i < 0) (dec(kv), "") else (dec(kv.take(i)), dec(kv.drop(i + 1)))
+      }
+    val fromUrl = parse(ex.getRequestURI.getRawQuery)
+    // POST form bodies are accepted like the reference (api.go uses
+    // r.FormValue which merges query + form)
+    val fromBody =
+      if (ex.getRequestMethod == "POST" &&
+          Option(ex.getRequestHeaders.getFirst("Content-Type"))
+            .exists(_.startsWith("application/x-www-form-urlencoded")))
+        parse(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      else Nil
+    (fromUrl ++ fromBody).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList }
+  }
+
+  /** unix seconds (float) or RFC3339 (ref: api.go parseTime) */
+  private def parseTimeMs(s: String): Long =
+    if (s.matches("^-?[0-9]+(\\.[0-9]+)?$")) math.round(s.toDouble * 1000.0)
+    else java.time.Instant.parse(s).toEpochMilli
+
+  /** duration seconds (float) or Prometheus duration (ref: api.go parseDuration) */
+  private def parseDurMs(s: String): Long =
+    if (s.matches("^-?[0-9]+(\\.[0-9]+)?$")) math.round(s.toDouble * 1000.0)
+    else Lexer.parseDuration(s)
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  private def ok(ex: HttpExchange, data: String): Unit =
+    respond(ex, 200, s"""{"status":"success","data":$data}""")
+
+  private def err(ex: HttpExchange, code: Int, errorType: String, msg: String): Unit =
+    respond(ex, code,
+      Json.obj("status" -> Json.str("error"), "errorType" -> Json.str(errorType),
+        "error" -> Json.str(msg)))
+
+  private def handler(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) =>
+    try f(ex)
+    catch {
+      case e: ParseError => err(ex, 400, "bad_data", e.getMessage)
+      case e: PromQLError => err(ex, 422, "execution", e.getMessage)
+      case e: IllegalArgumentException => err(ex, 400, "bad_data", String.valueOf(e.getMessage))
+      case e: java.time.format.DateTimeParseException => err(ex, 400, "bad_data", e.getMessage)
+      case e: Throwable =>
+        val m = Option(e.getMessage).getOrElse(e.getClass.getName)
+        // lazily-raised engine errors surface as Spark job failures
+        if (m.contains("USER_RAISED_EXCEPTION") || m.contains("duplicate series") ||
+            m.contains("same labelset"))
+          err(ex, 422, "execution", m.take(300))
+        else err(ex, 500, "internal", m.take(300))
+    }
+    finally ex.close()
+
+  // ---------- result rendering ----------
+
+  private def labelsOf(r: Row, i: Int): Map[String, String] =
+    r.getMap[String, String](i).toMap
+
+  private def histJson(r: Row): String = {
+    val h = FHist.fromRow(r)
+    val buckets = h.compact.allBuckets.filter(_._3 != 0.0).map { case (lo, hi, c) =>
+      // boundary rule (ref: model/histogram bucket Boundaries): 0 = (lo,hi],
+      // 1 = [lo,hi), 3 = [lo,hi] (zero bucket)
+      val rule = if (lo < 0 && hi > 0) 3 else if (lo < 0) 1 else 0
+      Json.arr(Seq(rule.toString, Json.value(lo), Json.value(hi), Json.value(c)))
+    }
+    Json.obj("count" -> Json.value(h.cnt), "sum" -> Json.value(h.sum),
+      "buckets" -> Json.arr(buckets))
+  }
+
+  /** [t, "v"] or [t, {histogram}] */
+  private def point(r: Row, tIdx: Int, vIdx: Int, hIdx: Int): (Boolean, String) =
+    if (!r.isNullAt(hIdx))
+      (true, "[" + Json.ts(r.getLong(tIdx)) + "," + histJson(r.getStruct(hIdx)) + "]")
+    else
+      (false, "[" + Json.ts(r.getLong(tIdx)) + "," + Json.value(r.getDouble(vIdx)) + "]")
+
+  private def renderVectorInstant(df: DataFrame): String = {
+    val hasOrd = df.columns.contains("__ord")
+    val cols = Seq(col("labels"), col("t"), col("v"), col("h")) ++
+      (if (hasOrd) Seq(col("__ord")) else Nil)
+    var rows = df.select(cols: _*).collect().toSeq
+    if (hasOrd) rows = rows.sortBy(_.getDouble(4))
+    val items = rows.map { r =>
+      val (isH, p) = point(r, 1, 2, 3)
+      Json.obj("metric" -> Json.metric(labelsOf(r, 0)),
+        (if (isH) "histogram" else "value") -> p)
+    }
+    Json.obj("resultType" -> Json.str("vector"), "result" -> Json.arr(items))
+  }
+
+  private def renderMatrix(df: DataFrame): String = {
+    val rows = df.select(col("labels"), col("t"), col("v"), col("h")).collect().toSeq
+    val bySeries = rows.groupBy(r => labelsOf(r, 0)).toSeq.sortBy(_._1.toSeq.sorted.mkString)
+    val items = bySeries.map { case (lbls, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val (hs, fs) = sorted.partition(r => !r.isNullAt(3))
+      val fields = Seq("metric" -> Json.metric(lbls)) ++
+        (if (fs.nonEmpty) Seq("values" -> Json.arr(fs.map(point(_, 1, 2, 3)._2))) else Nil) ++
+        (if (hs.nonEmpty) Seq("histograms" -> Json.arr(hs.map(point(_, 1, 2, 3)._2))) else Nil)
+      Json.obj(fields: _*)
+    }
+    Json.obj("resultType" -> Json.str("matrix"), "result" -> Json.arr(items))
+  }
+
+  private def renderScalar(df: DataFrame): String = {
+    val r = df.orderBy(col("t")).collect().last
+    Json.obj("resultType" -> Json.str("scalar"),
+      "result" -> ("[" + Json.ts(r.getLong(0)) + "," + Json.value(r.getDouble(1)) + "]"))
+  }
+
+  // ---------- selectors ----------
+
+  private def parseMatch(s: String): List[LabelMatcher] =
+    Engine.parse(s) match {
+      case VectorSelector(name, matchers, _, _) =>
+        name.map(n => LabelMatcher("__name__", MatchOp.Eq, n)).toList ++ matchers
+      case _ => throw new IllegalArgumentException(s"invalid series selector: $s")
+    }
+
+  private def matcherFilter(df: DataFrame, ms: List[LabelMatcher]): DataFrame =
+    ms.foldLeft(df) { (d, m) =>
+      val c = coalesce(element_at(col("labels"), m.name), lit(""))
+      d.filter(m.op match {
+        case MatchOp.Eq => c === m.value
+        case MatchOp.Neq => c =!= m.value
+        case MatchOp.Re => c.rlike("^(?:" + m.value + ")$")
+        case MatchOp.NotRe => !c.rlike("^(?:" + m.value + ")$")
+      })
+    }
+
+  /** union of match[] selectors over [start, end] */
+  private def seriesSet(p: Map[String, List[String]]): DataFrame = {
+    val start = p.get("start").flatMap(_.headOption).map(parseTimeMs).getOrElse(Long.MinValue / 2)
+    val end = p.get("end").flatMap(_.headOption).map(parseTimeMs).getOrElse(Long.MaxValue / 2)
+    val matches = p.getOrElse("match[]", Nil)
+    val base = store.samples.filter(col("t") >= start && col("t") <= end && !col("stale"))
+    if (matches.isEmpty) base
+    else matches.map(m => matcherFilter(base, parseMatch(m))).reduce(_ unionByName _)
+  }
+
+  // ---------- routes ----------
+
+  private def routes(): Unit = {
+    server.createContext("/api/v1/query_range", handler { ex =>
+      val p = params(ex)
+      def need(k: String) = p.get(k).flatMap(_.headOption)
+        .getOrElse(throw new IllegalArgumentException(s"missing parameter $k"))
+      val q = need("query")
+      val start = parseTimeMs(need("start"))
+      val end = parseTimeMs(need("end"))
+      val step = parseDurMs(need("step"))
+      if (step <= 0) throw new IllegalArgumentException(
+        "zero or negative query resolution step widths are not accepted")
+      if (end < start) throw new IllegalArgumentException(
+        "end timestamp must not be before start time")
+      Engine.rangeQuery(spark, store.samples, q, start, end, step) match {
+        case VectorVal(df) => ok(ex, renderMatrix(df))
+        case ScalarVal(df, _) =>
+          // scalar range renders as a matrix (ref: api.go rangedQuery)
+          ok(ex, Json.obj("resultType" -> Json.str("matrix"), "result" -> Json.arr(Seq(
+            Json.obj("metric" -> "{}", "values" -> Json.arr(
+              df.orderBy(col("t")).collect().toSeq.map(r =>
+                "[" + Json.ts(r.getLong(0)) + "," + Json.value(r.getDouble(1)) + "]")))))))
+        case other => throw PromQLError(s"invalid expression type for range query")
+      }
+    })
+
+    server.createContext("/api/v1/query", handler { ex =>
+      // exact-path dispatch: the JDK router prefix-matches on the longest
+      // registered context, so unknown /api/v1/queryXXX paths land here
+      if (ex.getRequestURI.getPath != "/api/v1/query")
+        err(ex, 404, "not_found", "not found")
+      else {
+        val p = params(ex)
+        val q = p.get("query").flatMap(_.headOption)
+          .getOrElse(throw new IllegalArgumentException("missing parameter query"))
+        val ts = p.get("time").flatMap(_.headOption).map(parseTimeMs).getOrElse(nowMs())
+        Engine.instantQuery(spark, store.samples, q, ts) match {
+          case VectorVal(df) => ok(ex, renderVectorInstant(df))
+          case ScalarVal(df, _) => ok(ex, renderScalar(df))
+          case MatrixVal(df) => ok(ex, renderMatrix(df))
+          case StringVal(s) => ok(ex, Json.obj("resultType" -> Json.str("string"),
+            "result" -> ("[" + Json.ts(ts) + "," + Json.str(s) + "]")))
+        }
+      }
+    })
+
+    server.createContext("/api/v1/series", handler { ex =>
+      val p = params(ex)
+      if (p.getOrElse("match[]", Nil).isEmpty)
+        throw new IllegalArgumentException("no match[] parameter provided")
+      val rows = seriesSet(p).select(col("labels")).distinct().collect().toSeq
+      val items = rows.map(r => labelsOf(r, 0)).distinct
+        .sortBy(_.toSeq.sorted.mkString(" "))
+        .map(Json.metric)
+      ok(ex, Json.arr(items))
+    })
+
+    server.createContext("/api/v1/labels", handler { ex =>
+      val rows = seriesSet(params(ex))
+        .select(explode(map_keys(col("labels"))).as("k")).distinct()
+        .orderBy(col("k")).collect().toSeq
+      ok(ex, Json.arr(rows.map(r => Json.str(r.getString(0)))))
+    })
+
+    server.createContext("/api/v1/label/", handler { ex =>
+      val path = ex.getRequestURI.getPath
+      val m = "^/api/v1/label/([^/]+)/values$".r
+      path match {
+        case m(name0) =>
+          val name = java.net.URLDecoder.decode(name0, "UTF-8")
+          val rows = seriesSet(params(ex))
+            .select(element_at(col("labels"), name).as("v"))
+            .filter(col("v").isNotNull).distinct().orderBy(col("v")).collect().toSeq
+          ok(ex, Json.arr(rows.map(r => Json.str(r.getString(0)))))
+        case _ => err(ex, 404, "not_found", "not found")
+      }
+    })
+
+    server.createContext("/api/v1/admin/tsdb/delete_series", handler { ex =>
+      val p = params(ex)
+      val matches = p.getOrElse("match[]", Nil)
+      if (matches.isEmpty) throw new IllegalArgumentException("no match[] parameter provided")
+      val start = p.get("start").flatMap(_.headOption).map(parseTimeMs).getOrElse(Long.MinValue / 2)
+      val end = p.get("end").flatMap(_.headOption).map(parseTimeMs).getOrElse(Long.MaxValue / 2)
+      matches.foreach(m => store.deleteSeries(parseMatch(m), start, end))
+      ex.sendResponseHeaders(204, -1)
+    })
+
+    server.createContext("/api/v1/admin/tsdb/clean_tombstones", handler { ex =>
+      store.cleanTombstones()
+      ex.sendResponseHeaders(204, -1)
+    })
+
+    server.createContext("/api/v1/write", handler { ex =>
+      val body = ex.getRequestBody.readAllBytes()
+      val isV2 = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+        .exists(_.contains("io.prometheus.write.v2.Request"))
+      val snappyOn = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+        .forall(_.equalsIgnoreCase("snappy")) // PRW mandates snappy; absent ⇒ assume snappy
+      val samples = RemoteWrite.decode(body, isV2, snappyOn)
+      if (samples.nonEmpty) {
+        val rows = samples.map(s => Row(s.labels, s.t, s.v, false, null, s.stt))
+        store.append(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, math.max(1, samples.length / 10000)),
+          Engine.samplesSchema))
+      }
+      ex.sendResponseHeaders(204, -1)
+    })
+
+    server.createContext("/federate", handler { ex =>
+      // latest value per matching series within the lookback window
+      // (ref: web/federate.go:55) in exposition text format
+      val p = params(ex)
+      val ts = nowMs()
+      val rows = seriesSet(p)
+        .filter(col("t") > ts - 300000L && col("t") <= ts && col("h").isNull)
+        .groupBy(xxhash64(array_sort(map_entries(col("labels")))).as("__sg"))
+        .agg(max_by(struct(col("labels"), col("t"), col("v")), col("t")).as("p"))
+        .select(col("p.labels"), col("p.t"), col("p.v")).collect().toSeq
+      val sb = new StringBuilder
+      rows.sortBy(r => labelsOf(r, 0).toSeq.sorted.mkString(" ")).foreach { r =>
+        val lbls = labelsOf(r, 0)
+        val name = lbls.getOrElse("__name__", "")
+        val rest = (lbls - "__name__" - "__type__" - "__unit__").toSeq.sorted
+          .map { case (k, v) => s"""$k="${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
+        sb.append(name).append(rest.mkString("{", ",", "}"))
+          .append(' ').append(Json.goFloat(r.getDouble(2)))
+          .append(' ').append(r.getLong(1)).append('\n')
+      }
+      respond(ex, 200, sb.toString, "text/plain; version=0.0.4")
+    })
+
+    server.createContext("/api/v1/status/buildinfo", handler { ex =>
+      ok(ex, Json.obj("version" -> Json.str("graft-spark"),
+        "goVersion" -> Json.str("n/a")))
+    })
+  }
+}

@@ -1,0 +1,75 @@
+package graft.web
+
+/** Minimal JSON writer for the v1 API responses.
+  *
+  * Float rendering mirrors the reference's jsonutil.MarshalFloat
+  * (ref: util/jsonutil/marshal.go:47): sample values are emitted as STRINGS,
+  * shortest round-trip representation, plain decimal normally and exponent
+  * form when |v| < 1e-6 or ≥ 1e21; timestamps as seconds with millisecond
+  * fraction (ref: marshal.go:25 MarshalTimestamp).
+  */
+object Json {
+
+  def escape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  def str(s: String): String = "\"" + escape(s) + "\""
+
+  /** Go strconv.FormatFloat(v, 'f'|'e', -1, 64) over the shortest
+    * round-trip decimal (Java's Double.toString digits are also shortest). */
+  def goFloat(d: Double): String = {
+    if (d.isNaN) return "NaN"
+    if (d == Double.PositiveInfinity) return "+Inf"
+    if (d == Double.NegativeInfinity) return "-Inf"
+    val abs = math.abs(d)
+    val bd = new java.math.BigDecimal(java.lang.Double.toString(d)).stripTrailingZeros
+    if (abs == 0) "0"
+    else if (abs >= 1e-6 && abs < 1e21) bd.toPlainString
+    else {
+      // 'e' form: single leading digit mantissa, signed ≥2-digit exponent
+      val neg = bd.signum < 0
+      val digits = bd.unscaledValue.abs.toString
+      val exp = digits.length - 1 - bd.scale
+      val mant =
+        if (digits.length == 1) digits
+        else digits.take(1) + "." + digits.drop(1)
+      val es = if (exp < 0) "-" else "+"
+      val ea = math.abs(exp)
+      val ed = if (ea < 10) s"0$ea" else ea.toString
+      (if (neg) "-" else "") + mant + "e" + es + ed
+    }
+  }
+
+  /** sample value as a JSON string token (the API quotes values) */
+  def value(d: Double): String = str(goFloat(d))
+
+  /** timestamp ms → seconds with ms fraction, unquoted */
+  def ts(ms: Long): String = {
+    val neg = ms < 0
+    val a = math.abs(ms)
+    val frac = a % 1000
+    val whole = a / 1000
+    val f = if (frac == 0) "" else f".$frac%03d"
+    (if (neg) "-" else "") + whole + f
+  }
+
+  def obj(fields: (String, String)*): String =
+    fields.map { case (k, v) => str(k) + ":" + v }.mkString("{", ",", "}")
+
+  def arr(items: Iterable[String]): String = items.mkString("[", ",", "]")
+
+  def metric(labels: Map[String, String]): String =
+    labels.toSeq.sortBy(_._1).map { case (k, v) => str(k) + ":" + str(v) }
+      .mkString("{", ",", "}")
+}

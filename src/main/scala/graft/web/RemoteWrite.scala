@@ -1,0 +1,201 @@
+package graft.web
+
+import scala.collection.mutable
+
+/** Prometheus remote-write receiver decoding: snappy-compressed protobuf
+  * bodies in PRW 1.0 (`prometheus.WriteRequest`) or PRW 2.0
+  * (`io.prometheus.write.v2.Request`) wire format
+  * (ref: storage/remote/write_handler.go:270 + prompb proto definitions,
+  * prompb/io/prometheus/write/v2/types.proto).
+  *
+  * The wire format is hand-decoded — only varint/fixed64/length-delimited
+  * field parsing over the handful of message shapes PRW uses; no protobuf
+  * runtime needed. Unknown fields are skipped per proto rules, so
+  * exemplars/metadata/histogram fields pass through harmlessly (native
+  * histogram payload decode is not wired yet — samples and labels are).
+  *
+  * At scale this is the HTTP edge of an ingest bridge: decode on the
+  * receiving edge, append micro-batches to the store (SURVEY §2.1 remote
+  * write → readStream).
+  */
+object RemoteWrite {
+
+  final case class Sample(labels: Map[String, String], t: Long, v: Double,
+      stt: Long = 0L)
+
+  /** protobuf wire reader over a byte array slice */
+  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var res = 0L
+      while (true) {
+        val b = buf(pos); pos += 1
+        res |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return res
+        shift += 7
+        if (shift > 63) throw new IllegalArgumentException("varint too long")
+      }
+      res
+    }
+    def fixed64(): Long = {
+      var res = 0L
+      var i = 0
+      while (i < 8) { res |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8
+      res
+    }
+    def bytes(): (Int, Int) = {
+      val len = varint().toInt
+      val s = pos
+      pos += len
+      (s, pos)
+    }
+    def str(): String = {
+      val (s, e) = bytes()
+      new String(buf, s, e - s, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def sub(): Reader = { val (s, e) = bytes(); new Reader(buf, s, e) }
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => varint()
+      case 1 => pos += 8
+      case 2 => val (_, _) = bytes()
+      case 5 => pos += 4
+      case wt => throw new IllegalArgumentException(s"unsupported wire type $wt")
+    }
+  }
+
+  private def decodeSample(r: Reader): (Double, Long) = {
+    var v = 0.0; var t = 0L
+    while (r.hasMore) {
+      val tag = r.varint()
+      (tag >> 3, (tag & 7).toInt) match {
+        case (1, 1) => v = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (2, 0) => t = r.varint()
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    (v, t)
+  }
+
+  /** PRW 1.0: WriteRequest{ repeated TimeSeries{ repeated Label{name,value},
+    * repeated Sample{value,timestamp} } } */
+  def decodeV1(body: Array[Byte]): Seq[Sample] = {
+    val out = mutable.ArrayBuffer[Sample]()
+    val r = new Reader(body, 0, body.length)
+    while (r.hasMore) {
+      val tag = r.varint()
+      (tag >> 3, (tag & 7).toInt) match {
+        case (1, 2) => // timeseries
+          val ts = r.sub()
+          val labels = mutable.Map[String, String]()
+          val samples = mutable.ArrayBuffer[(Double, Long)]()
+          while (ts.hasMore) {
+            val t2 = ts.varint()
+            (t2 >> 3, (t2 & 7).toInt) match {
+              case (1, 2) => // label
+                val lr = ts.sub()
+                var n = ""; var v = ""
+                while (lr.hasMore) {
+                  val t3 = lr.varint()
+                  (t3 >> 3, (t3 & 7).toInt) match {
+                    case (1, 2) => n = lr.str()
+                    case (2, 2) => v = lr.str()
+                    case (_, wt) => lr.skip(wt)
+                  }
+                }
+                labels(n) = v
+              case (2, 2) => samples += decodeSample(ts.sub())
+              case (_, wt) => ts.skip(wt)
+            }
+          }
+          val lm = labels.toMap
+          samples.foreach { case (v, t) => out += Sample(lm, t, v) }
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    out.toSeq
+  }
+
+  /** PRW 2.0: Request{ repeated string symbols = 4,
+    * repeated TimeSeries{ packed uint32 labels_refs = 1,
+    * repeated Sample = 2, created_timestamp = 6 } = 5 }.
+    * labels_refs are (name,value) symbol-index pairs; created_timestamp
+    * feeds the start-timestamp column (PROM-60). */
+  def decodeV2(body: Array[Byte]): Seq[Sample] = {
+    val symbols = mutable.ArrayBuffer[String]()
+    final case class TsRaw(refs: Seq[Int], samples: Seq[(Double, Long)], createdTs: Long)
+    val rawSeries = mutable.ArrayBuffer[TsRaw]()
+    val r = new Reader(body, 0, body.length)
+    while (r.hasMore) {
+      val tag = r.varint()
+      (tag >> 3, (tag & 7).toInt) match {
+        case (4, 2) => symbols += r.str()
+        case (5, 2) =>
+          val ts = r.sub()
+          val refs = mutable.ArrayBuffer[Int]()
+          val samples = mutable.ArrayBuffer[(Double, Long)]()
+          var created = 0L
+          while (ts.hasMore) {
+            val t2 = ts.varint()
+            (t2 >> 3, (t2 & 7).toInt) match {
+              case (1, 2) => // packed labels_refs
+                val pr = ts.sub()
+                while (pr.hasMore) refs += pr.varint().toInt
+              case (1, 0) => refs += ts.varint().toInt // unpacked fallback
+              case (2, 2) => samples += decodeSample(ts.sub())
+              case (6, 0) => created = ts.varint()
+              case (_, wt) => ts.skip(wt)
+            }
+          }
+          rawSeries += TsRaw(refs.toSeq, samples.toSeq, created)
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    rawSeries.toSeq.flatMap { raw =>
+      val labels = raw.refs.grouped(2).collect {
+        case Seq(n, v) if n < symbols.length && v < symbols.length =>
+          symbols(n) -> symbols(v)
+      }.toMap
+      raw.samples.map { case (v, t) => Sample(labels, t, v, raw.createdTs) }
+    }
+  }
+
+  /** full receiver path: snappy-decompress (block format, ref
+    * write_handler.go decompression) + decode by content-type version */
+  def decode(body: Array[Byte], isV2: Boolean, snappyCompressed: Boolean = true): Seq[Sample] = {
+    val raw = if (snappyCompressed) org.xerial.snappy.Snappy.uncompress(body) else body
+    if (isV2) decodeV2(raw) else decodeV1(raw)
+  }
+
+  /** test/helper encoder (block-compressed PRW 1.0) — lets specs and local
+    * producers exercise the receiver without a protobuf runtime */
+  def encodeV1(samples: Seq[Sample]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    def vint(o: java.io.ByteArrayOutputStream, x0: Long): Unit = {
+      var x = x0
+      while ((x & ~0x7fL) != 0) { o.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      o.write(x.toInt)
+    }
+    def delim(o: java.io.ByteArrayOutputStream, tag: Int, body: Array[Byte]): Unit = {
+      vint(o, (tag << 3) | 2); vint(o, body.length); o.write(body)
+    }
+    samples.groupBy(_.labels).foreach { case (labels, ss) =>
+      val tso = new java.io.ByteArrayOutputStream()
+      labels.toSeq.sortBy(_._1).foreach { case (n, v) =>
+        val lo = new java.io.ByteArrayOutputStream()
+        delim(lo, 1, n.getBytes("UTF-8")); delim(lo, 2, v.getBytes("UTF-8"))
+        delim(tso, 1, lo.toByteArray)
+      }
+      ss.foreach { s =>
+        val so = new java.io.ByteArrayOutputStream()
+        vint(so, (1 << 3) | 1)
+        val bits = java.lang.Double.doubleToLongBits(s.v)
+        (0 until 8).foreach(i => so.write(((bits >> (8 * i)) & 0xff).toInt))
+        vint(so, 2 << 3); vint(so, s.t)
+        delim(tso, 2, so.toByteArray)
+      }
+      delim(bo, 1, tso.toByteArray)
+    }
+    org.xerial.snappy.Snappy.compress(bo.toByteArray)
+  }
+}

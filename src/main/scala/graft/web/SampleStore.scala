@@ -1,0 +1,68 @@
+package graft.web
+
+import graft.promql.{Engine, LabelMatcher, MatchOp}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mutable sample store backing the serving layer (HTTP API, remote write,
+  * federation).
+  *
+  * Deletions are recorded as TOMBSTONES — (matchers, interval) pairs applied
+  * as filters at read time, exactly the reference's model
+  * (ref: tsdb/tombstones/tombstones.go; delete API web/api/v1/api.go:498) —
+  * and materialized by [[cleanTombstones]]. At 100 TB the store is a
+  * parquet/Delta table: `append` maps to an appending write, tombstones to a
+  * predicate table joined at scan, cleanTombstones to Delta DELETE/VACUUM
+  * (SURVEY §1.4). This in-memory form is the single-process serving seam;
+  * the query path is identical either way (a DataFrame in canonical schema).
+  */
+final class SampleStore(spark: SparkSession, initial: DataFrame) {
+
+  final case class Tombstone(matchers: List[LabelMatcher], minT: Long, maxT: Long)
+
+  @volatile private var base: DataFrame = Engine.canonical(initial)
+  @volatile private var tombs: List[Tombstone] = Nil
+  private var appendsSinceCheckpoint = 0
+
+  private def matcherCond(m: LabelMatcher): org.apache.spark.sql.Column = {
+    val c = coalesce(element_at(col("labels"), m.name), lit(""))
+    m.op match {
+      case MatchOp.Eq => c === m.value
+      case MatchOp.Neq => c =!= m.value
+      case MatchOp.Re => c.rlike("^(?:" + m.value + ")$")
+      case MatchOp.NotRe => !c.rlike("^(?:" + m.value + ")$")
+    }
+  }
+
+  /** canonical samples view with tombstones applied */
+  def samples: DataFrame = {
+    val t = tombs
+    t.foldLeft(base) { (df, ts) =>
+      val hit = ts.matchers.map(matcherCond).reduce(_ && _) &&
+        col("t") >= ts.minT && col("t") <= ts.maxT
+      df.filter(!hit)
+    }
+  }
+
+  /** append a batch in canonical schema (e.g. a decoded remote-write
+    * request). Periodic localCheckpoint bounds logical-plan growth under
+    * sustained ingest (the Structured Streaming path has its own state). */
+  def append(batch: DataFrame): Unit = synchronized {
+    base = base.unionByName(Engine.canonical(batch), allowMissingColumns = false)
+    appendsSinceCheckpoint += 1
+    if (appendsSinceCheckpoint >= 64) {
+      base = base.localCheckpoint(true)
+      appendsSinceCheckpoint = 0
+    }
+  }
+
+  /** /api/v1/admin/tsdb/delete_series (ref: web/api/v1/api.go:498) */
+  def deleteSeries(matchers: List[LabelMatcher], minT: Long, maxT: Long): Unit =
+    synchronized { tombs = Tombstone(matchers, minT, maxT) :: tombs }
+
+  /** /api/v1/admin/tsdb/clean_tombstones — materialize deletions */
+  def cleanTombstones(): Unit = synchronized {
+    base = samples.localCheckpoint(true)
+    tombs = Nil
+  }
+}

@@ -1,0 +1,149 @@
+package graft.web
+
+import graft.promql.Engine
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URI
+
+/** End-to-end smoke of the v1 HTTP API over a loaded fixture: query,
+  * query_range, series, labels, label values, federate, remote write,
+  * delete_series (ref routes: web/api/v1/api.go:443-660). */
+class HttpApiSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def fixtureStore(): SampleStore = {
+    // two counters over 10 minutes at 30s resolution
+    val rows = for {
+      inst <- Seq("a", "b")
+      k <- 0 to 20
+    } yield Row(Map("__name__" -> "http_requests_total", "instance" -> inst,
+        "job" -> "api"), k * 30000L, (if (inst == "a") 10.0 else 20.0) * k,
+        false, null, 0L)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Engine.samplesSchema)
+    new SampleStore(spark, df)
+  }
+
+  private val client = HttpClient.newHttpClient()
+  private def get(port: Int, pathAndQuery: String): (Int, String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$pathAndQuery")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def withApi(f: (Int, SampleStore) => Unit): Unit = {
+    val store = fixtureStore()
+    val api = new HttpApi(spark, store, 0, () => 600000L)
+    api.start()
+    try f(api.boundPort, store) finally api.stop()
+  }
+
+  test("instant query, range query, scalar and error paths") {
+    withApi { (port, _) =>
+      val (c1, b1) = get(port, "/api/v1/query?query=http_requests_total&time=600")
+      assert(c1 == 200 && b1.contains("\"status\":\"success\""))
+      assert(b1.contains("\"resultType\":\"vector\""))
+      assert(b1.contains("\"instance\":\"a\"") && b1.contains("[600,\"200\"]"))
+
+      val (c2, b2) = get(port,
+        "/api/v1/query_range?query=sum(rate(http_requests_total%5B2m%5D))&start=120&end=600&step=60")
+      assert(c2 == 200 && b2.contains("\"resultType\":\"matrix\""))
+      assert(b2.contains("\"values\":[[120,\"1\"]")) // 10+20 per 30s = 1/s
+
+      val (c3, b3) = get(port, "/api/v1/query?query=scalar(42)&time=600")
+      assert(c3 == 200 && b3.contains("\"resultType\":\"scalar\"") && b3.contains("[600,\"42\"]"))
+
+      val (c4, b4) = get(port, "/api/v1/query?query=sum(")
+      assert(c4 == 400 && b4.contains("\"errorType\":\"bad_data\""))
+
+      val (c5, _) = get(port, "/api/v1/query_range?query=up&start=600&end=120&step=60")
+      assert(c5 == 400)
+    }
+  }
+
+  test("series, labels, label values, federate") {
+    withApi { (port, _) =>
+      val (c1, b1) = get(port, "/api/v1/series?match%5B%5D=http_requests_total%7Binstance%3D%22a%22%7D")
+      assert(c1 == 200 && b1.contains("\"instance\":\"a\"") && !b1.contains("\"instance\":\"b\""))
+
+      val (c2, b2) = get(port, "/api/v1/labels")
+      assert(c2 == 200 && b2.contains("\"__name__\"") && b2.contains("\"instance\"") && b2.contains("\"job\""))
+
+      val (c3, b3) = get(port, "/api/v1/label/instance/values")
+      assert(c3 == 200 && b3.contains("[\"a\",\"b\"]"))
+
+      val (c4, b4) = get(port, "/federate?match%5B%5D=http_requests_total")
+      assert(c4 == 200)
+      assert(b4.contains("http_requests_total{instance=\"a\",job=\"api\"} 200 600000"))
+    }
+  }
+
+  test("remote write ingests and is queryable; delete_series tombstones") {
+    withApi { (port, store) =>
+      val payload = RemoteWrite.encodeV1(Seq(
+        RemoteWrite.Sample(Map("__name__" -> "pushed_metric", "src" -> "rw"), 590000L, 7.0)))
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+          .header("Content-Encoding", "snappy")
+          .header("Content-Type", "application/x-protobuf")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(payload)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 204)
+
+      val (c1, b1) = get(port, "/api/v1/query?query=pushed_metric&time=600")
+      assert(c1 == 200 && b1.contains("\"src\":\"rw\"") && b1.contains("[600,\"7\"]"))
+
+      val del = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/api/v1/admin/tsdb/delete_series?match%5B%5D=pushed_metric"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 204)
+
+      val (c2, b2) = get(port, "/api/v1/query?query=pushed_metric&time=600")
+      assert(c2 == 200 && !b2.contains("\"src\":\"rw\""))
+      store.cleanTombstones()
+      val (c3, b3) = get(port, "/api/v1/query?query=pushed_metric&time=600")
+      assert(c3 == 200 && !b3.contains("\"src\":\"rw\""))
+    }
+  }
+
+  test("PRW 2.0 symbol-table decode with created timestamp") {
+    // hand-encode a v2 Request: symbols + one series with packed refs
+    val bo = new java.io.ByteArrayOutputStream()
+    def vint(o: java.io.ByteArrayOutputStream, x0: Long): Unit = {
+      var x = x0
+      while ((x & ~0x7fL) != 0) { o.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      o.write(x.toInt)
+    }
+    def delim(o: java.io.ByteArrayOutputStream, tag: Int, body: Array[Byte]): Unit = {
+      vint(o, (tag << 3) | 2); vint(o, body.length); o.write(body)
+    }
+    // symbols: ["", "__name__", "m2", "job", "x"] (index 0 = empty per spec)
+    Seq("", "__name__", "m2", "job", "x").foreach(s => delim(bo, 4, s.getBytes("UTF-8")))
+    val ts = new java.io.ByteArrayOutputStream()
+    val refs = new java.io.ByteArrayOutputStream()
+    Seq(1, 2, 3, 4).foreach(i => vint(refs, i))
+    delim(ts, 1, refs.toByteArray)
+    val so = new java.io.ByteArrayOutputStream()
+    vint(so, (1 << 3) | 1)
+    val bits = java.lang.Double.doubleToLongBits(3.5)
+    (0 until 8).foreach(i => so.write(((bits >> (8 * i)) & 0xff).toInt))
+    vint(so, 2 << 3); vint(so, 123000L)
+    delim(ts, 2, so.toByteArray)
+    vint(ts, 6 << 3); vint(ts, 100000L) // created_timestamp
+    delim(bo, 5, ts.toByteArray)
+
+    val out = RemoteWrite.decodeV2(bo.toByteArray)
+    assert(out == Seq(RemoteWrite.Sample(
+      Map("__name__" -> "m2", "job" -> "x"), 123000L, 3.5, 100000L)))
+  }
+}
