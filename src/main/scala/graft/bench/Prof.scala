@@ -1,0 +1,29 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiling entry: time individual PromBench headline queries.
+  * Usage: runMain graft.bench.Prof "<expr>[@steps]" ... (default steps 1000) */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val data = PromBench.dataset(spark,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench")).cache()
+    data.count()
+    args.foreach { a =>
+      val (expr, steps) = a.lastIndexOf('@') match {
+        case i if i > 0 && a.drop(i + 1).forall(_.isDigit) => (a.take(i), a.drop(i + 1).toInt)
+        case _ => (a, 1000)
+      }
+      val (sec, rows) = PromBench.run(spark, data, PromBench.Case(expr, steps))
+      println(f"PROF $sec%8.2f s  rows=$rows%-8d  $expr@$steps")
+    }
+    spark.stop()
+  }
+}

@@ -21,12 +21,13 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     nowMs: () => Long = () => System.currentTimeMillis()) {
 
   private val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = { routes(); server.start() }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   // ---------- request plumbing ----------
 
@@ -233,7 +234,11 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       val p = params(ex)
       if (p.getOrElse("match[]", Nil).isEmpty)
         throw new IllegalArgumentException("no match[] parameter provided")
-      val rows = seriesSet(p).select(col("labels")).distinct().collect().toSeq
+      // distinct() can't run on MAP columns — dedupe on the sorted-entries hash
+      val rows = seriesSet(p)
+        .groupBy(xxhash64(array_sort(map_entries(col("labels")))).as("__sg"))
+        .agg(first(col("labels")).as("labels"))
+        .select(col("labels")).collect().toSeq
       val items = rows.map(r => labelsOf(r, 0)).distinct
         .sortBy(_.toSeq.sorted.mkString(" "))
         .map(Json.metric)

@@ -58,7 +58,9 @@ class HttpApiSpec extends AnyFunSuite {
       assert(c2 == 200 && b2.contains("\"resultType\":\"matrix\""))
       assert(b2.contains("\"values\":[[120,\"1\"]")) // 10+20 per 30s = 1/s
 
-      val (c3, b3) = get(port, "/api/v1/query?query=scalar(42)&time=600")
+      // a bare literal evaluates to a scalar (scalar(42) itself is a type
+      // error in the reference: scalar() takes an instant vector)
+      val (c3, b3) = get(port, "/api/v1/query?query=42&time=600")
       assert(c3 == 200 && b3.contains("\"resultType\":\"scalar\"") && b3.contains("[600,\"42\"]"))
 
       val (c4, b4) = get(port, "/api/v1/query?query=sum(")
