@@ -17,12 +17,28 @@ object Prof {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench")).cache()
     data.count()
     args.foreach { a =>
+      // "ratio=N" pseudo-arg flips the regime threshold for subsequent queries
+      if (a.startsWith("ratio=")) {
+        graft.promql.Planner.defaultLinearPathRatio = a.drop(6).toDouble
+        println(s"PROF ratio -> ${a.drop(6)}")
+      } else {
       val (expr, steps) = a.lastIndexOf('@') match {
         case i if i > 0 && a.drop(i + 1).forall(_.isDigit) => (a.take(i), a.drop(i + 1).toInt)
         case _ => (a, 1000)
       }
-      val (sec, rows) = PromBench.run(spark, data, PromBench.Case(expr, steps))
-      println(f"PROF $sec%8.2f s  rows=$rows%-8d  $expr@$steps")
+      if (sys.env.contains("PROF_EXPLAIN")) {
+        val endS = PromBench.numIntervals.toLong * 10
+        val startS = (PromBench.numIntervals.toLong - steps) * 10
+        graft.promql.Engine.rangeQuery(spark, data, expr,
+            startS * 1000, endS * 1000, 10000L) match {
+          case graft.promql.VectorVal(df) => df.explain("formatted")
+          case other => println(s"non-vector: $other")
+        }
+      } else {
+        val (sec, rows) = PromBench.run(spark, data, PromBench.Case(expr, steps))
+        println(f"PROF $sec%8.2f s  rows=$rows%-8d  $expr@$steps")
+      }
+      }
     }
     spark.stop()
   }

@@ -379,10 +379,17 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     val changedCond = col("prev_v").isNotNull &&
       ((col("v") =!= col("prev_v") && !(isnan(col("v")) && isnan(col("prev_v")))) ||
        (isnan(col("v")) =!= isnan(col("prev_v"))))
-    // prefix windows chain onto the same (partition, order) as the prev-point
-    // lag — one exchange + one sort for the whole prefix stage
-    val fbase = basePoints(ri).filter(col("h").isNull)
+    // __sg materialized BEFORE any window so the lag and prefix passes all
+    // share one exchange + one sort (a fresh hsig(labels) per window spec
+    // would reshuffle each pass); all-float input ⇒ plain lag == prev-FLOAT
+    val wLag = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("t"))
+    val fbase = ri.points.filter(col("h").isNull)
       .withColumn("__sg", hsig(col("labels")))
+      .withColumn("wt", col("t") + ri.offsetMs)
+      .withColumn("wst", when(col("stt") =!= 0L, col("stt") + ri.offsetMs).otherwise(0L))
+      .withColumn("prev_v", lag(col("v"), 1).over(wLag))
+      .withColumn("prev_wt", lag(col("wt"), 1).over(wLag))
+      .withColumn("prev_wst", coalesce(lag(col("wst"), 1).over(wLag), lit(0L)))
       .withColumn("pCnt", count(lit(1)).over(wOrd))
       .withColumn("pCorr", sum(when(resetCond, col("prev_v")).otherwise(0.0)).over(wOrd))
       .withColumn("pRst", sum(when(resetCond, 1L).otherwise(0L)).over(wOrd))
@@ -401,13 +408,15 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     //   e @ t      — window end:   last sample at/before t
     //   s @ t−W    — window start: first sample strictly after t−W
     //     (samples at wt == t−W sort BEFORE the marker, excluding them)
-    val markers = seriesKeys.crossJoin(grid.select(col("t").as("__mt")))
-      .select(col("__sg"), col("__mt"), lit(1).as("knd"),
-        lit(null).cast(payType).as("pay"))
-    val allMarkers = markers.select(col("__sg"), col("__mt").as("wt"), col("knd"),
-        lit("e").as("mk"), col("__mt").as("t_step"), col("pay"))
-      .unionByName(markers.select(col("__sg"), (col("__mt") - ri.rangeMs).as("wt"), col("knd"),
-        lit("s").as("mk"), col("__mt").as("t_step"), col("pay")))
+    // ONE marker subtree: both boundary kinds explode from an inline array
+    // (a per-kind union would re-build — and re-scan — the series×grid cross
+    // join once per kind)
+    val allMarkers = seriesKeys.crossJoin(grid.select(col("t").as("__mt")))
+      .select(col("__sg"), col("__mt"), explode(array(
+        struct(lit("e").as("mk"), col("__mt").as("wt")),
+        struct(lit("s").as("mk"), (col("__mt") - ri.rangeMs).as("wt")))).as("k"))
+      .select(col("__sg"), col("k.wt").as("wt"), lit(1).as("knd"), col("k.mk").as("mk"),
+        col("__mt").as("t_step"), lit(null).cast(payType).as("pay"))
     val wA = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("knd"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // pass B runs on a DESCENDING order with an UnboundedPreceding frame —
@@ -439,8 +448,12 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
 
   /** coverage-explode amplification (min(window/step, numSteps)) above which
     * the explode path switches to [[linearRangeStats]]; below it the explode
-    * is cheap and bit-exact. Overridable for path-equivalence tests. */
-  private[promql] var linearPathRatio: Double = 128.0
+    * is cheap and bit-exact. 16 ≈ the crossover where the explode's row
+    * amplification outweighs the linear path's fixed two-sorted-pass cost on
+    * large scans (measured on the bench replica: rate(h_hundred[5m]) amp 30
+    * is 3× faster linear; amp ≤8 explodes are at parity or better).
+    * Overridable for path-equivalence tests. */
+  private[promql] var linearPathRatio: Double = Planner.defaultLinearPathRatio
 
   /** After aggregating a pinned (@) range: fan the per-series constant back out
     * to every grid step. */
@@ -595,12 +608,26 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         finish(agged, col("__o.v"), col("__o").isNotNull, h = col("__o.h"))
 
       case "resets" | "changes" =>
-        if (useLinear)
-          // prefix-diff counts (float samples; hist windows excluded and
-          // handled by the merged path only at small ratios)
-          finish(exclMixed(linearRangeStats(ri), hpts),
+        if (useLinear) {
+          // SERIES-level split: float-only series take the prefix-diff linear
+          // path; any series carrying histogram samples falls back to the
+          // merged-timeline explode (few in practice — the explode input is
+          // restricted to those series, so the amplification stays bounded)
+          val histSeries = ri.points.filter(col("h").isNotNull)
+            .select(hsig(col("labels")).as("__sg")).distinct()
+          val linPart = finish(
+            linearRangeStats(ri).join(broadcast(histSeries), Seq("__sg"), "left_anti"),
             if (name == "changes") col("nChanges") else col("nResets"))
-        else {
+          val mergedPart = {
+            val agged = pts.join(broadcast(histSeries), Seq("__sg"), "left_semi")
+              .groupBy(col("__sg"), col("t_step"))
+              .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
+                sort_array(collect_list(struct(col("wt"), col("v"), col("h"), col("wst").as("stt")))).as("mp"))
+            finish(agged,
+              HistUdfs.extMixedCount(name == "changes", ri.rangeMs)(col("mp"), col("t_step")))
+          }
+          linPart.unionByName(mergedPart)
+        } else {
           // ref: promql/functions.go:2359/:2431 — merged float+histogram
           // timeline; float↔histogram transitions always count
           val agged = gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
@@ -745,6 +772,140 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     }
   }
 
+  /** explode amplification threshold for the extended-selector linear path
+    * (overridable for path-equivalence tests) */
+  private[promql] var linearExtPathRatio: Double = Planner.defaultLinearExtPathRatio
+
+  /** Linear-regime anchored/smoothed rate/increase/delta over FLOAT samples:
+    * boundary as-of rows + per-series prefix reset sums instead of the
+    * (range+2·lookback)/step coverage explode. Column twin of
+    * [[RangeUdfs.extRateUdf]] (ref: promql/functions.go:309 extendedRate) —
+    * the boundary sample before the range (both modifiers), edge
+    * interpolation at both range bounds (smoothed), and the in-range
+    * counter-reset correction are reconstructed from three as-of markers per
+    * (series, step):
+    *   e @ t        — last sample at/before the range end
+    *   f @ t−range  — first sample strictly after the range start
+    *   a @ t−1      — first sample at/after the range end (smoothed only)
+    * Returns one row per surviving (series, step): (__sg, t_step, labels, v).
+    * Cost: one shuffle on __sg + two in-partition sorted passes — identical
+    * shape to [[linearRangeStats]], O(samples + series×steps). */
+  private def linearExtRate(name: String, ri: RangeInput): DataFrame = {
+    val isCounter = name != "delta"
+    val isRate = name == "rate"
+    val smoothed = ri.ext == 2
+    val lb = P.lookbackMs
+    // Go `<` semantics: NaN compares false on either side (Spark orders NaN
+    // as the largest double, so `x < NaN` would be true — guard it)
+    def ltG(a: Column, b: Column): Column = !isnan(b) && (a < b)
+    // __sg materialized BEFORE any window so every pass shares one exchange
+    // (each fresh hsig(labels) instantiation would otherwise get its own
+    // hashpartitioning column and force a reshuffle per window)
+    val pts0 = ri.points.filter(col("h").isNull)
+      .withColumn("__sg", hsig(col("labels")))
+      .withColumn("wt", col("t") + ri.offsetMs)
+    val wLag = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("t"))
+    val wOrdF = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // all-float input (h filtered), so plain lag == the prev-FLOAT lag
+    val fbase = pts0
+      .withColumn("prev_v", lag(col("v"), 1).over(wLag))
+      .withColumn("prev_wt", lag(col("wt"), 1).over(wLag))
+      .withColumn("pCorr", sum(when(col("prev_v").isNotNull && ltG(col("v"), col("prev_v")),
+          col("prev_v")).otherwise(0.0)).over(wOrdF))
+    val samplesU = fbase.select(col("__sg"), col("wt"), lit(0).as("knd"), lit("").as("mk"),
+      lit(null).cast("long").as("t_step"),
+      struct(col("wt").as("mwt"), col("v"), col("labels"),
+        col("prev_v"), col("prev_wt"), col("pCorr")).as("pay"))
+    val payType = samplesU.schema("pay").dataType
+    val seriesKeys = ri.points.filter(col("h").isNull)
+      .select(hsig(col("labels")).as("__sg")).distinct()
+    // ONE marker subtree: per (series, step) the 2-3 boundary kinds explode
+    // from an inline array, instead of re-building (and re-scanning) the
+    // series×grid cross join once per kind
+    val kindArr =
+      if (smoothed) array(
+        struct(lit("e").as("mk"), col("__mt").as("wt")),
+        struct(lit("f").as("mk"), (col("__mt") - ri.rangeMs).as("wt")),
+        struct(lit("a").as("mk"), (col("__mt") - 1L).as("wt")))
+      else array(
+        struct(lit("e").as("mk"), col("__mt").as("wt")),
+        struct(lit("f").as("mk"), (col("__mt") - ri.rangeMs).as("wt")))
+    val allMarkers = seriesKeys.crossJoin(grid.select(col("t").as("__mt")))
+      .select(col("__sg"), col("__mt"), explode(kindArr).as("k"))
+      .select(col("__sg"), col("k.wt").as("wt"), lit(1).as("knd"), col("k.mk").as("mk"),
+        col("__mt").as("t_step"), lit(null).cast(payType).as("pay"))
+    val wA = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("knd"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.partitionBy(col("__sg")).orderBy(col("wt").desc, col("knd").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val combined = samplesU.unionByName(allMarkers)
+      .withColumn("eP", last(col("pay"), ignoreNulls = true).over(wA))
+      .withColumn("sP", last(col("pay"), ignoreNulls = true).over(wB))
+      .filter(col("knd") === 1)
+      .groupBy(col("__sg"), col("t_step"))
+      .agg(
+        first(when(col("mk") === "e", col("eP")), ignoreNulls = true).as("e0"),
+        first(when(col("mk") === "f", col("sP")), ignoreNulls = true).as("f"),
+        first(when(col("mk") === "a", col("sP")), ignoreNulls = true).as("a0"))
+    val rs = col("t_step") - ri.rangeMs                    // range start
+    val re = col("t_step")                                 // range end
+    // boundary sample S (last at/before range start) reconstructed from F's
+    // prev columns; buffer-constrained to (rs−lookback, rs]
+    val sValid = col("f").isNotNull && col("f.prev_wt").isNotNull &&
+      col("f.prev_wt") > rs - lb
+    val sWt = col("f.prev_wt"); val sV = col("f.prev_v")
+    val pCorrF = col("f.pCorr")
+    val pCorrS = pCorrF - when(ltG(col("f.v"), sV), sV).otherwise(0.0)
+    // A (first at/after range end) buffer-constrained to ≤ re+lookback
+    val aDef = lit(smoothed) && col("a0").isNotNull && col("a0.mwt") <= re + lb
+    val aPred = aDef && col("a0.prev_wt").isNotNull && col("a0.prev_wt") > rs - lb
+    def interpAt(t1: Column, v1: Column, t2: Column, v2: Column, at: Column): Column = {
+      val y1 = if (isCounter) when(ltG(v2, v1), lit(0.0)).otherwise(v1) else v1
+      y1 + (v2 - y1) * (at - t1).cast("double") / (t2 - t1).cast("double")
+    }
+    val left =
+      if (!smoothed) when(sValid, sV).otherwise(col("f.v"))
+      else when(sValid && sWt < rs, interpAt(sWt, sV, col("f.mwt"), col("f.v"), rs))
+        .otherwise(when(sValid, sV).otherwise(col("f.v")))
+    val right =
+      if (!smoothed) col("e0.v")
+      else when(!aDef, col("e0.v"))
+        .when(col("a0.mwt") === re, col("a0.v"))
+        .when(aPred, interpAt(col("a0.prev_wt"), col("a0.prev_v"),
+                              col("a0.mwt"), col("a0.v"), re))
+        .otherwise(col("a0.v"))
+    // prefix-sum base at the window's first sample / end at its last pair
+    val pB =
+      if (!smoothed) when(sValid, pCorrS).otherwise(pCorrF)
+      else when(sValid && sWt < rs, pCorrF)
+        .otherwise(when(sValid, pCorrS).otherwise(pCorrF))
+    val bAdj =
+      if (!smoothed) lit(0.0)
+      else when(sValid && sWt < rs && ltG(col("f.v"), left), left).otherwise(0.0)
+    val pEnd =
+      if (!smoothed) col("e0.pCorr")
+      else when(!aDef, col("e0.pCorr"))
+        .when(col("a0.mwt") === re, col("a0.pCorr"))
+        .when(aPred, col("a0.pCorr") -
+          when(ltG(col("a0.v"), col("a0.prev_v")), col("a0.prev_v")).otherwise(0.0))
+        .otherwise(pB)
+    val rAdj =
+      if (!smoothed) lit(0.0)
+      else when(aDef && col("a0.mwt") > re && aPred && ltG(right, col("a0.prev_v")),
+        col("a0.prev_v")).otherwise(0.0)
+    val corr = if (isCounter) pEnd - pB + bAdj + rAdj else lit(0.0)
+    val res0 = right - left + corr
+    val res = if (isRate) res0 / (ri.rangeMs / 1000.0) else res0
+    // validity (UDF: f(lastIdx).wt ≤ rangeStart → null; smoothed also
+    // f(firstIdx).wt > rangeEnd → null)
+    val lastWt = if (!smoothed) col("e0.mwt") else coalesce(when(aDef, col("a0.mwt")), col("e0.mwt"))
+    val firstWt = when(sValid, sWt).otherwise(col("f.mwt"))
+    val valid0 = col("e0").isNotNull && col("f").isNotNull && lastWt > rs
+    val valid = if (!smoothed) valid0 else valid0 && firstWt <= re
+    combined.filter(valid)
+      .select(col("__sg"), col("t_step"), col("e0.labels").as("labels"), res.as("v"))
+  }
+
   /** anchored/smoothed range-function evaluation: one UDF over the sorted
     * extended point window per (series, step) — only the reference's safe
     * function sets are allowed (ref: promql/functions.go:2769). */
@@ -775,17 +936,32 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           col("v"), col("t_step").as("st"), lit(true).as("dn"))
       return fanOut(r, fixed)
     }
-    val agged = excl(fpts.groupBy(col("__sg"), col("t_step"))
-      .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
-        sort_array(collect_list(struct(col("wt"), col("v")))).as("pts")), hpts)
-    val vOut =
-      RangeUdfs.extRateUdf(name != "delta", name == "rate", ri.ext == 2, ri.rangeMs)(
-        col("pts"), col("t_step"))
-    val floatRes = agged.withColumn("v", vOut)
-      .filter(!isnull(col("v")))
-      .select(col("labels"), col("t_step").as("t"),
-        col("v"), col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"),
-        lit(true).as("dn"))
+    // regime switch: above the amplification threshold the coverage explode
+    // (range + one/two lookbacks per step) dominates — use the as-of/prefix
+    // linear plan instead (same shape as the plain-rate linear regime)
+    val extAmp = math.min(
+      (ri.rangeMs + P.lookbackMs * (if (ri.ext == 2) 2 else 1)).toDouble / P.stepMs,
+      P.numSteps.toDouble)
+    val useLinearExt = !fixed && extAmp >= linearExtPathRatio
+    val floatRes =
+      if (useLinearExt)
+        excl(linearExtRate(name, ri), hpts)
+          .select(col("labels"), col("t_step").as("t"),
+            col("v"), col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"),
+            lit(true).as("dn"))
+      else {
+        val agged = excl(fpts.groupBy(col("__sg"), col("t_step"))
+          .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
+            sort_array(collect_list(struct(col("wt"), col("v")))).as("pts")), hpts)
+        val vOut =
+          RangeUdfs.extRateUdf(name != "delta", name == "rate", ri.ext == 2, ri.rangeMs)(
+            col("pts"), col("t_step"))
+        agged.withColumn("v", vOut)
+          .filter(!isnull(col("v")))
+          .select(col("labels"), col("t_step").as("t"),
+            col("v"), col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"),
+            lit(true).as("dn"))
+      }
     val histRes = {
         val hAgged = excl(hpts.groupBy(col("__sg"), col("t_step"))
           .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
@@ -985,4 +1161,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   private[promql] def evalRange(name: String, arg: Expr, extra: List[Expr]): DataFrame =
     evalRangeFunc(name, arg, extra)
   private[promql] def absentLabelsFor(e: Expr): Column = absentLabels(e)
+}
+
+object Planner {
+  /** process-wide defaults for the regime-switch thresholds (per-instance
+    * overridable); exposed for benchmark A/B runs within one JVM */
+  @volatile var defaultLinearPathRatio: Double = 16.0
+  @volatile var defaultLinearExtPathRatio: Double = 32.0
 }

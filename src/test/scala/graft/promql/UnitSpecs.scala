@@ -211,6 +211,69 @@ class LinearPathSpec extends AnyFunSuite {
     graft.promqltest.Runner.almostEqual(a, b, 1e-9)
 }
 
+/** path-equivalence for the EXTENDED (anchored/smoothed) selectors: the
+  * as-of/prefix linear regime must match the coverage-explode + UDF regime
+  * across boundary pickup, edge interpolation and reset corrections. */
+class ExtLinearPathSpec extends AnyFunSuite {
+
+  test("ext linear and explode paths agree on anchored/smoothed rate family") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      // series with resets (a), NaN + a deep negative dip (b), gaps (c),
+      // plus a series that stops mid-range (d) and one starting late (e)
+      val rows = (0 until 720).flatMap { i =>
+        val t = i * 10000L
+        val v1 = (i % 97).toDouble
+        val v2 = if (i % 50 == 13) Double.NaN else i.toDouble + (if (i % 200 == 0) -i else 0)
+        Seq(
+          (Map("__name__" -> "m", "s" -> "a"), t, v1),
+          (Map("__name__" -> "m", "s" -> "b"), t, v2)) ++
+          (if (i % 7 == 0) Nil
+           else Seq((Map("__name__" -> "m", "s" -> "c"), t, (i * 3 % 41).toDouble))) ++
+          (if (i > 360) Nil
+           else Seq((Map("__name__" -> "m", "s" -> "d"), t, i.toDouble))) ++
+          (if (i < 400) Nil
+           else Seq((Map("__name__" -> "m", "s" -> "e"), t, (i % 13).toDouble)))
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (l, t, v) => org.apache.spark.sql.Row(l, t, v, false, null, 0L) }, 4),
+        Engine.samplesSchema)
+      def results(q: String, forceLinear: Boolean): Map[(Map[String, String], Long), Double] = {
+        val pl = new Planner(spark, df.withColumn("h",
+            org.apache.spark.sql.functions.lit(null).cast(FHist.schemaType)),
+          EvalParams(3600000L, 4790000L, 10000L))
+        pl.linearExtPathRatio = if (forceLinear) 1.0 else 1e18
+        pl.eval(Engine.parse(q, 10000L)) match {
+          case VectorVal(r) =>
+            r.select("labels", "t", "v").collect()
+              .map(x => (x.getMap[String, String](0).toMap, x.getLong(1)) -> x.getDouble(2)).toMap
+          case other => fail(s"unexpected $other")
+        }
+      }
+      for (mod <- Seq("anchored", "smoothed");
+           fn <- Seq("rate", "increase", "delta")) {
+        val q = s"$fn(m[30m] $mod)"
+        val a = results(q, forceLinear = false)
+        val b = results(q, forceLinear = true)
+        assert(a.keySet == b.keySet,
+          s"$q: key sets differ (explode=${a.size} linear=${b.size}; " +
+          s"onlyExplode=${(a.keySet -- b.keySet).take(3)} onlyLinear=${(b.keySet -- a.keySet).take(3)})")
+        a.foreach { case (k, v) =>
+          assert(graft.promqltest.Runner.almostEqual(v, b(k), 1e-9),
+            s"$q at $k: explode=$v linear=${b(k)}")
+        }
+      }
+    } finally spark.stop()
+  }
+}
+
 class GoMathSpec extends AnyFunSuite {
   test("div/mod follow IEEE not SQL") {
     assert(GoMath.div(1.0, 0.0).isPosInfinity)
