@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.promql.Engine
+import graft.web.SampleStore
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pull-model scrape manager: HTTP-poll a target set on an interval, parse
+  * the exposition body (Prometheus text or OpenMetrics), apply relabeling,
+  * attach `instance`/`job`, synthesize the per-scrape report series
+  * (`up`, `scrape_duration_seconds`, `scrape_samples_scraped`) and append
+  * micro-batches to the store (ref: scrape/scrape.go:1264 scrapeLoop.run,
+  * report series :1788 report()).
+  *
+  * The poller is a driver-side edge by design — the same shape as the
+  * reference's scrape manager (one process polls its shard of targets). At
+  * 100 TB scale the target set shards across many ingest bridges and the
+  * Spark side only sees their appended micro-batches; the parse itself is
+  * the distributed [[Exposition]]/[[OpenMetrics]] map either way.
+  */
+final class ScrapeManager(
+    spark: SparkSession,
+    store: SampleStore,
+    targets: Seq[ScrapeManager.ScrapeTarget],
+    intervalMs: Long = 15000L,
+    metricRelabel: Seq[Relabel.Rule] = Nil,
+    honorTimestamps: Boolean = true,
+    client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient(),
+    nowMs: () => Long = () => System.currentTimeMillis()) {
+
+  import ScrapeManager.ScrapeTarget
+
+  @volatile private var running = false
+  private var thread: Option[Thread] = None
+
+  /** one synchronous scrape pass over every target; returns appended rows */
+  def scrapeOnce(): Long = targets.map(scrapeTarget).sum
+
+  private def scrapeTarget(tgt: ScrapeTarget): Long = {
+    val t0 = nowMs()
+    val (samples, ok) =
+      try {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(tgt.url)).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() != 200) (Nil, false)
+        else {
+          val lines = resp.body().split("\n").toSeq
+          val defaultTs = t0
+          val parsed = lines.flatMap { ln =>
+            if (tgt.openMetrics)
+              OpenMetrics.parseLine(ln, defaultTs)
+                .filter(_.kind == 0).map(r => (r.labels, r.t, r.v))
+            else Exposition.parseLine(ln, defaultTs)
+          }
+          (parsed, true)
+        }
+      } catch { case _: Exception => (Nil, false) }
+    val dur = (nowMs() - t0) / 1000.0
+    // target labels (ref: scrape.go:700 target label decoration)
+    def decorate(labels: Map[String, String]): Map[String, String] =
+      labels ++ Map("instance" -> tgt.instance, "job" -> tgt.job) ++ tgt.extraLabels
+    def toDf(rows: Seq[(Map[String, String], Long, Double)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (l, t, v) => Row(l, t, v, false, null, 0L) },
+          math.max(1, rows.size / 10000)),
+        Engine.samplesSchema)
+    val stamped = samples.map { case (l, t, v) =>
+      (decorate(l), if (honorTimestamps) t else t0, v)
+    }
+    // metric_relabel_configs apply to scraped samples only; the report
+    // series bypass them (ref: scrape.go append vs report)
+    val report = Seq(
+      ("up", if (ok) 1.0 else 0.0),
+      ("scrape_duration_seconds", dur),
+      ("scrape_samples_scraped", samples.size.toDouble)).map { case (n, v) =>
+      (decorate(Map("__name__" -> n)), t0, v)
+    }
+    val scraped =
+      if (stamped.isEmpty) None
+      else Some(Relabel(toDf(stamped), metricRelabel))
+    val batch = scraped match {
+      case Some(df) => df.unionByName(toDf(report))
+      case None => toDf(report)
+    }
+    store.append(batch)
+    stamped.size.toLong + report.size
+  }
+
+  def start(): Unit = synchronized {
+    if (running) return
+    running = true
+    val th = new Thread(() => {
+      while (running) {
+        try scrapeOnce() catch { case _: InterruptedException => }
+        try Thread.sleep(intervalMs) catch { case _: InterruptedException => }
+      }
+    }, "graft-scrape-loop")
+    th.setDaemon(true)
+    th.start()
+    thread = Some(th)
+  }
+
+  def stop(): Unit = synchronized {
+    running = false
+    thread.foreach(_.interrupt())
+    thread = None
+  }
+}
+
+object ScrapeManager {
+  final case class ScrapeTarget(
+      url: String, job: String, instance: String,
+      openMetrics: Boolean = false,
+      extraLabels: Map[String, String] = Map.empty)
+}

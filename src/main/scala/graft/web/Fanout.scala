@@ -1,0 +1,51 @@
+package graft.web
+
+import graft.promql.{Engine, LabelMatcher, MatchOp}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fanout storage: a primary local store plus remote-read secondaries
+  * queried per selector and unioned into one canonical samples frame
+  * (ref: storage/fanout.go:45 — local querier merged with remote queriers).
+  *
+  * `fetch` is the per-query entry: the remote sides filter on their end
+  * (matchers + time range travel in the ReadRequest), so the edge carries
+  * only matched series — the same volume contract as the reference's remote
+  * read. Secondaries failing are skipped (fanout degrades, ref
+  * storage/fanout.go secondary querier error handling). */
+final class FanoutStore(
+    spark: SparkSession,
+    primary: SampleStore,
+    secondaries: Seq[RemoteReadClient]) {
+
+  private def matcherCond(m: LabelMatcher): org.apache.spark.sql.Column = {
+    val c = coalesce(element_at(col("labels"), m.name), lit(""))
+    m.op match {
+      case MatchOp.Eq => c === m.value
+      case MatchOp.Neq => c =!= m.value
+      case MatchOp.Re => c.rlike("^(?:" + m.value + ")$")
+      case MatchOp.NotRe => !c.rlike("^(?:" + m.value + ")$")
+    }
+  }
+
+  /** canonical samples for one selector over [startMs, endMs] — local scan
+    * unioned with every secondary's remote-read result */
+  def fetch(matchers: List[LabelMatcher], startMs: Long, endMs: Long): DataFrame = {
+    val local = matchers.foldLeft(
+      primary.samples.filter(col("t") >= startMs && col("t") <= endMs))(
+      (df, m) => df.filter(matcherCond(m)))
+    val remote = secondaries.flatMap { c =>
+      try {
+        val series = c.read(RemoteRead.Query(startMs, endMs, matchers))
+        val rows = series.flatMap(s => s.samples.map { case (t, v) =>
+          Row(s.labels, t, v, false, null, 0L)
+        })
+        if (rows.isEmpty) None
+        else Some(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, math.max(1, rows.size / 10000)),
+          Engine.samplesSchema))
+      } catch { case _: Exception => None } // degrade: skip failing secondary
+    }
+    remote.foldLeft(Engine.canonical(local))(_ unionByName _)
+  }
+}

@@ -324,5 +324,70 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       ok(ex, Json.obj("version" -> Json.str("graft-spark"),
         "goVersion" -> Json.str("n/a")))
     })
+
+    server.createContext("/api/v1/read", handler { ex =>
+      // remote-read server, SAMPLES response (ref: storage/remote/
+      // read_handler.go; float samples only — the snappy/proto framing has
+      // no native-histogram payload wired here yet, matching decodeV1)
+      val queries = RemoteRead.decodeRequest(ex.getRequestBody.readAllBytes())
+      val results = queries.map { q =>
+        val rows = matcherFilter(
+            store.samples.filter(col("t") >= q.startMs && col("t") <= q.endMs &&
+              !col("stale") && col("h").isNull), q.matchers)
+          .groupBy(xxhash64(array_sort(map_entries(col("labels")))).as("__sg"))
+          .agg(first(col("labels")).as("labels"),
+            sort_array(collect_list(struct(col("t"), col("v")))).as("pts"))
+          .select(col("labels"), col("pts")).collect().toSeq
+        rows.map { r =>
+          RemoteRead.Series(labelsOf(r, 0),
+            r.getSeq[Row](1).map(p => (p.getLong(0), p.getDouble(1))))
+        }
+      }
+      val body = RemoteRead.encodeResponse(results)
+      ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+      ex.getResponseHeaders.set("Content-Encoding", "snappy")
+      ex.sendResponseHeaders(200, body.length)
+      val os = ex.getResponseBody; os.write(body); os.close()
+    })
+
+    server.createContext("/api/v1/metadata", handler { ex =>
+      // ref: web/api/v1/api.go metricMetadata — {metric: [{type,help,unit}]}
+      val items = store.metadata.toSeq.sortBy(_._1).map { case (fam, (t, u, h)) =>
+        fam -> Json.arr(Seq(Json.obj(
+          "type" -> Json.str(if (t.isEmpty) "unknown" else t),
+          "help" -> Json.str(h), "unit" -> Json.str(u))))
+      }
+      ok(ex, Json.obj(items: _*))
+    })
+
+    server.createContext("/api/v1/query_exemplars", handler { ex =>
+      val p = params(ex)
+      val q = p.get("query").flatMap(_.headOption)
+        .getOrElse(throw new IllegalArgumentException("missing parameter query"))
+      val start = p.get("start").flatMap(_.headOption).map(parseTimeMs).getOrElse(Long.MinValue / 2)
+      val end = p.get("end").flatMap(_.headOption).map(parseTimeMs).getOrElse(Long.MaxValue / 2)
+      val data = store.exemplars match {
+        case None => Nil
+        case Some(df) =>
+          matcherFilter(df.filter(col("exemplar.t") >= start && col("exemplar.t") <= end),
+              parseMatch(q))
+            .groupBy(xxhash64(array_sort(map_entries(col("labels")))).as("__sg"))
+            // sort_array can't order structs containing MAPs — sort driver-side
+            .agg(first(col("labels")).as("labels"),
+              collect_list(struct(col("exemplar.t").as("t"),
+                col("exemplar.v").as("v"), col("exemplar.labels").as("el"))).as("exs"))
+            .select(col("labels"), col("exs")).collect().toSeq
+      }
+      val items = data.sortBy(r => labelsOf(r, 0).toSeq.sorted.mkString(" ")).map { r =>
+        Json.obj(
+          "seriesLabels" -> Json.metric(labelsOf(r, 0)),
+          "exemplars" -> Json.arr(r.getSeq[Row](1).sortBy(_.getLong(0)).map { e =>
+            Json.obj("labels" -> Json.metric(e.getMap[String, String](2).toMap),
+              "value" -> Json.str(Json.goFloat(e.getDouble(1))),
+              "timestamp" -> Json.ts(e.getLong(0)))
+          }))
+      }
+      ok(ex, Json.arr(items))
+    })
   }
 }

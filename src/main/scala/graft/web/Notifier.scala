@@ -1,0 +1,73 @@
+package graft.web
+
+import graft.streaming.Rules
+
+/** Alertmanager notification sink: POST firing alerts as the v2 JSON array
+  * to every configured Alertmanager (ref: notifier/notifier.go sendAll,
+  * payload shape notifier/alertmanager.go — [{labels, annotations,
+  * startsAt, endsAt, generatorURL}]).
+  *
+  * Stateless fan-out over the configured URLs; send failures to one AM do
+  * not block the others (the reference's per-AM queue semantics collapse to
+  * best-effort synchronous sends at this seam). Driver-side by design:
+  * alert cardinality, not sample cardinality.
+  */
+final class Notifier(
+    alertmanagerUrls: Seq[String],
+    externalUrl: String = "http://localhost:9090",
+    client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient()) {
+
+  final case class Alert(
+      labels: Map[String, String],
+      annotations: Map[String, String] = Map.empty,
+      startsAtMs: Long,
+      endsAtMs: Long = 0L)
+
+  private def rfc3339(ms: Long): String =
+    java.time.Instant.ofEpochMilli(ms).toString
+
+  private def alertJson(a: Alert): String = {
+    val ends =
+      if (a.endsAtMs > 0L) Json.str(rfc3339(a.endsAtMs))
+      else Json.str(rfc3339(0L)) // zero time = open-ended, AM applies resolve_timeout
+    Json.obj(
+      "labels" -> Json.metric(a.labels),
+      "annotations" -> Json.metric(a.annotations),
+      "startsAt" -> Json.str(rfc3339(a.startsAtMs)),
+      "endsAt" -> ends,
+      "generatorURL" -> Json.str(
+        externalUrl + "/graph?g0.expr=" + java.net.URLEncoder.encode(
+          a.labels.getOrElse("alertname", ""), "UTF-8")))
+  }
+
+  /** send one batch; returns per-URL success flags */
+  def send(alerts: Seq[Alert]): Seq[Boolean] = {
+    if (alerts.isEmpty) return alertmanagerUrls.map(_ => true)
+    val body = Json.arr(alerts.map(alertJson))
+    alertmanagerUrls.map { base =>
+      try {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(base.stripSuffix("/") + "/api/v2/alerts"))
+            .header("Content-Type", "application/json")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        resp.statusCode() / 100 == 2
+      } catch { case _: Exception => false }
+    }
+  }
+
+  /** bridge from a rules-engine alert state map: every firing entry becomes
+    * a notification (ref: rules/alerting.go sendAlerts — only alerts past
+    * `for:`are sent; pending are not) */
+  def sendFromState(rule: Rules.AlertingRule,
+      state: Map[String, Rules.AlertState], nowMs: Long): Seq[Boolean] = {
+    val firing = state.values.filter(_.firingSinceMs >= 0L).toSeq
+    send(firing.map { st =>
+      Alert(
+        labels = st.labels,
+        annotations = rule.annotations,
+        startsAtMs = if (st.firingSinceMs >= 0L) st.firingSinceMs else nowMs)
+    })
+  }
+}

@@ -1,0 +1,254 @@
+package graft.web
+
+import graft.promql.{LabelMatcher, MatchOp}
+import scala.collection.mutable
+
+/** Prometheus remote-read protocol: snappy-compressed protobuf
+  * `prompb.ReadRequest` / `ReadResponse` (SAMPLES response type; ref:
+  * storage/remote/read_handler.go + prompb/remote.proto). Same hand-rolled
+  * wire codec approach as [[RemoteWrite]] — varint/fixed64/length-delimited
+  * over the handful of message shapes, no protobuf runtime.
+  *
+  * Server side: [[decodeRequest]] → evaluate each query over the store →
+  * [[encodeResponse]]. Client side: [[RemoteReadClient]] issues the same
+  * request against a remote endpoint and decodes the response — the read
+  * half of fanout (ref: storage/fanout.go:45).
+  */
+object RemoteRead {
+
+  final case class Query(startMs: Long, endMs: Long, matchers: List[LabelMatcher])
+  final case class Series(labels: Map[String, String], samples: Seq[(Long, Double)])
+
+  // ---------- wire helpers (shared shape with RemoteWrite) ----------
+
+  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var res = 0L
+      while (true) {
+        val b = buf(pos); pos += 1
+        res |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return res
+        shift += 7
+        if (shift > 63) throw new IllegalArgumentException("varint too long")
+      }
+      res
+    }
+    def fixed64(): Long = {
+      var res = 0L; var i = 0
+      while (i < 8) { res |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8; res
+    }
+    def str(): String = {
+      val len = varint().toInt; val s = pos; pos += len
+      new String(buf, s, len, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def sub(): Reader = {
+      val len = varint().toInt; val s = pos; pos += len
+      new Reader(buf, s, s + len)
+    }
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => varint()
+      case 1 => pos += 8
+      case 2 => val len = varint().toInt; pos += len
+      case 5 => pos += 4
+      case wt => throw new IllegalArgumentException(s"unsupported wire type $wt")
+    }
+  }
+
+  private def vint(o: java.io.ByteArrayOutputStream, x0: Long): Unit = {
+    var x = x0
+    while ((x & ~0x7fL) != 0) { o.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+    o.write(x.toInt)
+  }
+  private def delim(o: java.io.ByteArrayOutputStream, tag: Int, body: Array[Byte]): Unit = {
+    vint(o, (tag << 3) | 2); vint(o, body.length); o.write(body)
+  }
+
+  // ---------- request ----------
+
+  /** prompb.LabelMatcher.Type: EQ=0 NEQ=1 RE=2 NRE=3 */
+  private def matchOp(i: Long): MatchOp = i match {
+    case 0 => MatchOp.Eq
+    case 1 => MatchOp.Neq
+    case 2 => MatchOp.Re
+    case 3 => MatchOp.NotRe
+    case other => throw new IllegalArgumentException(s"unknown matcher type $other")
+  }
+  private def matchOpCode(op: MatchOp): Int = op match {
+    case MatchOp.Eq => 0
+    case MatchOp.Neq => 1
+    case MatchOp.Re => 2
+    case MatchOp.NotRe => 3
+  }
+
+  /** ReadRequest{ repeated Query{ int64 start=1; int64 end=2;
+    * repeated LabelMatcher{type=1,name=2,value=3} = 3 } = 1 } */
+  def decodeRequest(body: Array[Byte], snappyCompressed: Boolean = true): Seq[Query] = {
+    val raw = if (snappyCompressed) org.xerial.snappy.Snappy.uncompress(body) else body
+    val out = mutable.ArrayBuffer[Query]()
+    val r = new Reader(raw, 0, raw.length)
+    while (r.hasMore) {
+      val tag = r.varint()
+      (tag >> 3, (tag & 7).toInt) match {
+        case (1, 2) =>
+          val q = r.sub()
+          var start = 0L; var end = 0L
+          val ms = mutable.ListBuffer[LabelMatcher]()
+          while (q.hasMore) {
+            val t2 = q.varint()
+            (t2 >> 3, (t2 & 7).toInt) match {
+              case (1, 0) => start = q.varint()
+              case (2, 0) => end = q.varint()
+              case (3, 2) =>
+                val mr = q.sub()
+                var tpe = 0L; var n = ""; var v = ""
+                while (mr.hasMore) {
+                  val t3 = mr.varint()
+                  (t3 >> 3, (t3 & 7).toInt) match {
+                    case (1, 0) => tpe = mr.varint()
+                    case (2, 2) => n = mr.str()
+                    case (3, 2) => v = mr.str()
+                    case (_, wt) => mr.skip(wt)
+                  }
+                }
+                ms += LabelMatcher(n, matchOp(tpe), v)
+              case (_, wt) => q.skip(wt)
+            }
+          }
+          out += Query(start, end, ms.toList)
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    out.toSeq
+  }
+
+  def encodeRequest(queries: Seq[Query]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    queries.foreach { q =>
+      val qo = new java.io.ByteArrayOutputStream()
+      vint(qo, 1 << 3); vint(qo, q.startMs)
+      vint(qo, 2 << 3); vint(qo, q.endMs)
+      q.matchers.foreach { m =>
+        val mo = new java.io.ByteArrayOutputStream()
+        vint(mo, 1 << 3); vint(mo, matchOpCode(m.op).toLong)
+        delim(mo, 2, m.name.getBytes("UTF-8"))
+        delim(mo, 3, m.value.getBytes("UTF-8"))
+        delim(qo, 3, mo.toByteArray)
+      }
+      delim(bo, 1, qo.toByteArray)
+    }
+    org.xerial.snappy.Snappy.compress(bo.toByteArray)
+  }
+
+  // ---------- response ----------
+
+  /** ReadResponse{ repeated QueryResult{ repeated TimeSeries{
+    * repeated Label=1; repeated Sample{value=1,timestamp=2}=2 } = 1 } = 1 } */
+  def encodeResponse(results: Seq[Seq[Series]]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    results.foreach { series =>
+      val qr = new java.io.ByteArrayOutputStream()
+      series.foreach { s =>
+        val tso = new java.io.ByteArrayOutputStream()
+        s.labels.toSeq.sortBy(_._1).foreach { case (n, v) =>
+          val lo = new java.io.ByteArrayOutputStream()
+          delim(lo, 1, n.getBytes("UTF-8")); delim(lo, 2, v.getBytes("UTF-8"))
+          delim(tso, 1, lo.toByteArray)
+        }
+        s.samples.sortBy(_._1).foreach { case (t, v) =>
+          val so = new java.io.ByteArrayOutputStream()
+          vint(so, (1 << 3) | 1)
+          val bits = java.lang.Double.doubleToLongBits(v)
+          (0 until 8).foreach(i => so.write(((bits >> (8 * i)) & 0xff).toInt))
+          vint(so, 2 << 3); vint(so, t)
+          delim(tso, 2, so.toByteArray)
+        }
+        delim(qr, 1, tso.toByteArray)
+      }
+      delim(bo, 1, qr.toByteArray)
+    }
+    org.xerial.snappy.Snappy.compress(bo.toByteArray)
+  }
+
+  def decodeResponse(body: Array[Byte], snappyCompressed: Boolean = true): Seq[Seq[Series]] = {
+    val raw = if (snappyCompressed) org.xerial.snappy.Snappy.uncompress(body) else body
+    val out = mutable.ArrayBuffer[Seq[Series]]()
+    val r = new Reader(raw, 0, raw.length)
+    while (r.hasMore) {
+      val tag = r.varint()
+      (tag >> 3, (tag & 7).toInt) match {
+        case (1, 2) =>
+          val qr = r.sub()
+          val series = mutable.ArrayBuffer[Series]()
+          while (qr.hasMore) {
+            val t2 = qr.varint()
+            (t2 >> 3, (t2 & 7).toInt) match {
+              case (1, 2) =>
+                val ts = qr.sub()
+                val labels = mutable.Map[String, String]()
+                val samples = mutable.ArrayBuffer[(Long, Double)]()
+                while (ts.hasMore) {
+                  val t3 = ts.varint()
+                  (t3 >> 3, (t3 & 7).toInt) match {
+                    case (1, 2) =>
+                      val lr = ts.sub()
+                      var n = ""; var v = ""
+                      while (lr.hasMore) {
+                        val t4 = lr.varint()
+                        (t4 >> 3, (t4 & 7).toInt) match {
+                          case (1, 2) => n = lr.str()
+                          case (2, 2) => v = lr.str()
+                          case (_, wt) => lr.skip(wt)
+                        }
+                      }
+                      labels(n) = v
+                    case (2, 2) =>
+                      val sr = ts.sub()
+                      var v = 0.0; var t = 0L
+                      while (sr.hasMore) {
+                        val t4 = sr.varint()
+                        (t4 >> 3, (t4 & 7).toInt) match {
+                          case (1, 1) => v = java.lang.Double.longBitsToDouble(sr.fixed64())
+                          case (2, 0) => t = sr.varint()
+                          case (_, wt) => sr.skip(wt)
+                        }
+                      }
+                      samples += ((t, v))
+                    case (_, wt) => ts.skip(wt)
+                  }
+                }
+                series += Series(labels.toMap, samples.toSeq)
+              case (_, wt) => qr.skip(wt)
+            }
+          }
+          out += series.toSeq
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    out.toSeq
+  }
+}
+
+/** remote-read CLIENT: the read half of fanout (ref: storage/fanout.go:45,
+  * storage/remote/client.go). Driver-side HTTP per query — result
+  * cardinality is series×samples-in-range for the matched selector, the
+  * same volume the reference's fanout pulls; at 100 TB the remote side does
+  * the heavy filtering and this edge carries only matched series. */
+final class RemoteReadClient(endpoint: String,
+    client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient()) {
+
+  def read(q: RemoteRead.Query): Seq[RemoteRead.Series] = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+      .header("Content-Type", "application/x-protobuf")
+      .header("Content-Encoding", "snappy")
+      .header("X-Prometheus-Remote-Read-Version", "0.1.0")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(
+        RemoteRead.encodeRequest(Seq(q))))
+      .build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() != 200)
+      throw new RuntimeException(s"remote read failed: HTTP ${resp.statusCode()}")
+    RemoteRead.decodeResponse(resp.body()).headOption.getOrElse(Nil)
+  }
+}

@@ -60,6 +60,41 @@ final class SampleStore(spark: SparkSession, initial: DataFrame) {
   def deleteSeries(matchers: List[LabelMatcher], minT: Long, maxT: Long): Unit =
     synchronized { tombs = Tombstone(matchers, minT, maxT) :: tombs }
 
+  // ---------- metric metadata (ref: schema/labels.go, api.go /metadata) ----
+
+  /** family → (type, unit, help); family-cardinality, driver-resident */
+  @volatile private var meta: Map[String, (String, String, String)] = Map.empty
+
+  def mergeMetadata(rows: Map[String, (String, String, String)]): Unit =
+    synchronized { meta = meta ++ rows }
+
+  /** merge from an [[graft.streaming.OpenMetrics.metadataOf]]-shaped frame */
+  def mergeMetadata(df: DataFrame): Unit =
+    mergeMetadata(df.collect().map { r =>
+      def s(i: Int) = if (r.isNullAt(i)) "" else r.getString(i)
+      r.getString(0) -> ((s(1), s(2), s(3)))
+    }.toMap)
+
+  def metadata: Map[String, (String, String, String)] = meta
+
+  // ---------- exemplars (ref: model/exemplar/exemplar.go:25) --------------
+
+  /** exemplar rows: (labels MAP — the parent series, exemplar STRUCT
+    * (labels, v, t)); sample-path volume stays untouched — exemplars ride a
+    * side table exactly like the reference's exemplar storage */
+  @volatile private var exemplarDf: Option[DataFrame] = None
+
+  def appendExemplars(batch: DataFrame): Unit = synchronized {
+    val cleaned = batch.filter(col("exemplar").isNotNull)
+      .select(col("labels"), col("exemplar"))
+    exemplarDf = Some(exemplarDf match {
+      case Some(df) => df.unionByName(cleaned).localCheckpoint(true)
+      case None => cleaned.localCheckpoint(true)
+    })
+  }
+
+  def exemplars: Option[DataFrame] = exemplarDf
+
   /** /api/v1/admin/tsdb/clean_tombstones — materialize deletions */
   def cleanTombstones(): Unit = synchronized {
     base = samples.localCheckpoint(true)

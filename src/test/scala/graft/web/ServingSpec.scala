@@ -1,0 +1,209 @@
+package graft.web
+
+import com.sun.net.httpserver.HttpServer
+import graft.promql.{Engine, LabelMatcher, MatchOp, VectorVal}
+import graft.streaming.{OpenMetrics, Relabel, ScrapeManager}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Serving/ingest breadth: OpenMetrics parsing (+metadata/exemplars),
+  * scrape poller with report series + metric relabeling, remote-read
+  * server/client round-trip, fanout across two stores, Alertmanager
+  * notification sink, and the metadata / query_exemplars endpoints. */
+class ServingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val client = java.net.http.HttpClient.newHttpClient()
+
+  private def get(port: Int, pq: String): (Int, String) = {
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port$pq")).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def emptyStore(): SampleStore = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 1), Engine.samplesSchema)
+    new SampleStore(spark, df)
+  }
+
+  test("OpenMetrics: samples, seconds timestamps, metadata, exemplars, attachMeta") {
+    val text = Seq(
+      "# TYPE http_requests counter",
+      "# UNIT http_requests requests",
+      "# HELP http_requests Total requests.",
+      "http_requests_total{path=\"/\"} 100 5.5",
+      "http_requests_total{path=\"/api\"} 7 # {trace_id=\"abc\"} 0.5 5.2",
+      "# TYPE temp gauge",
+      "temp 21.5",
+      "# EOF")
+    import spark.implicits._
+    val parsed = OpenMetrics.parseAll(text.toDF("value"), 9000L)
+    val samples = OpenMetrics.samplesOf(parsed).collect()
+      .map(r => (r.getMap[String, String](0).toMap, r.getLong(1), r.getDouble(2),
+        Option(r.get(5)))).toSeq
+    assert(samples.size == 3)
+    val byPath = samples.collect {
+      case (l, t, v, ex) if l.get("path").isDefined => l("path") -> ((t, v, ex))
+    }.toMap
+    assert(byPath("/") == ((5500L, 100.0, None)))        // seconds → ms
+    assert(byPath("/api")._1 == 9000L)                   // default ts
+    assert(byPath("/api")._3.isDefined)                  // exemplar captured
+    assert(samples.exists { case (l, t, v, _) =>
+      l("__name__") == "temp" && t == 9000L && v == 21.5 })
+
+    val meta = OpenMetrics.metadataOf(parsed).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(meta("http_requests") == (("counter", "requests", "Total requests.")))
+    assert(meta("temp")._1 == "gauge")
+
+    // __type__/__unit__ attachment by family (suffix-stripped)
+    val attached = OpenMetrics.attachMeta(
+      OpenMetrics.samplesOf(parsed), OpenMetrics.metadataOf(parsed))
+    val att = attached.collect().map(r => r.getMap[String, String](0).toMap).toSeq
+    val reqRow = att.find(_.get("path").contains("/")).get
+    assert(reqRow("__type__") == "counter" && reqRow("__unit__") == "requests")
+
+    // exemplar rows land in the store and serve via /api/v1/query_exemplars
+    val store = emptyStore()
+    store.append(OpenMetrics.samplesOf(parsed).drop("exemplar"))
+    store.appendExemplars(OpenMetrics.samplesOf(parsed))
+    store.mergeMetadata(OpenMetrics.metadataOf(parsed))
+    val api = new HttpApi(spark, store, 0, () => 10000L)
+    api.start()
+    try {
+      val (c1, b1) = get(api.boundPort,
+        "/api/v1/query_exemplars?query=http_requests_total&start=0&end=10")
+      assert(c1 == 200 && b1.contains("\"trace_id\":\"abc\"") &&
+        b1.contains("\"timestamp\":5.200"))
+      val (c2, b2) = get(api.boundPort, "/api/v1/metadata")
+      assert(c2 == 200 && b2.contains("\"http_requests\"") &&
+        b2.contains("\"type\":\"counter\"") && b2.contains("\"unit\":\"requests\""))
+    } finally api.stop()
+  }
+
+  test("scrape poller: exposition fetch, report series, metric relabeling") {
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/metrics", ex => {
+      val body = "reqs_total{code=\"200\"} 10\nreqs_total{code=\"500\"} 2\ndropme 1\n"
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.getResponseBody.close()
+    })
+    server.start()
+    try {
+      val store = emptyStore()
+      val mgr = new ScrapeManager(spark, store,
+        Seq(ScrapeManager.ScrapeTarget(
+          s"http://127.0.0.1:${server.getAddress.getPort}/metrics",
+          job = "t", instance = "i1")),
+        metricRelabel = Seq(Relabel.Rule(Relabel.Drop,
+          sourceLabels = Seq("__name__"), regex = "dropme")),
+        nowMs = () => 60000L)
+      val n = mgr.scrapeOnce()
+      assert(n == 6L) // 3 scraped + 3 report (dropme dropped AFTER count)
+      val rows = store.samples.collect().map(r =>
+        (r.getMap[String, String](0).toMap, r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows.exists { case (l, t, v) =>
+        l("__name__") == "reqs_total" && l("code") == "200" &&
+          l("instance") == "i1" && l("job") == "t" && t == 60000L && v == 10.0 })
+      assert(!rows.exists(_._1("__name__") == "dropme")) // relabel-dropped
+      assert(rows.exists { case (l, _, v) => l("__name__") == "up" && v == 1.0 })
+      assert(rows.exists(_._1("__name__") == "scrape_samples_scraped"))
+
+      // down target → up 0
+      val store2 = emptyStore()
+      val mgr2 = new ScrapeManager(spark, store2,
+        Seq(ScrapeManager.ScrapeTarget("http://127.0.0.1:1/metrics", "t", "dead")),
+        nowMs = () => 60000L)
+      mgr2.scrapeOnce()
+      val up = store2.samples.collect().map(r =>
+        (r.getMap[String, String](0).toMap, r.getDouble(2))).toSeq
+      assert(up.exists { case (l, v) => l("__name__") == "up" && v == 0.0 })
+    } finally server.stop(0)
+  }
+
+  test("remote read: wire round-trip, server endpoint, client, fanout query") {
+    // request codec round-trip
+    val q = RemoteRead.Query(1000L, 9000L, List(
+      LabelMatcher("__name__", MatchOp.Eq, "m"),
+      LabelMatcher("dc", MatchOp.Re, "us-.*")))
+    assert(RemoteRead.decodeRequest(RemoteRead.encodeRequest(Seq(q))) == Seq(q))
+
+    // store A holds series {src=a}; store B holds {src=b}
+    def storeWith(src: String, v0: Double): SampleStore = {
+      val rows = (0 to 5).map(k =>
+        Row(Map("__name__" -> "m", "src" -> src), k * 1000L, v0 + k, false, null, 0L))
+      new SampleStore(spark,
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), Engine.samplesSchema))
+    }
+    val apiA = new HttpApi(spark, storeWith("a", 10.0), 0, () => 5000L)
+    apiA.start()
+    try {
+      val url = s"http://127.0.0.1:${apiA.boundPort}/api/v1/read"
+      val got = new RemoteReadClient(url)
+        .read(RemoteRead.Query(0L, 5000L, List(LabelMatcher("__name__", MatchOp.Eq, "m"))))
+      assert(got.size == 1)
+      assert(got.head.labels == Map("__name__" -> "m", "src" -> "a"))
+      assert(got.head.samples == (0 to 5).map(k => (k * 1000L, 10.0 + k)))
+
+      // fanout: local store B + remote store A; engine queries the union
+      val fan = new FanoutStore(spark, storeWith("b", 20.0),
+        Seq(new RemoteReadClient(url)))
+      val df = fan.fetch(List(LabelMatcher("__name__", MatchOp.Eq, "m")), 0L, 5000L)
+      Engine.instantQuery(spark, df, "sum by (src) (m)", 5000L) match {
+        case VectorVal(r) =>
+          val out = r.collect().map(x =>
+            x.getMap[String, String](0).toMap.getOrElse("src", "") -> x.getDouble(2)).toMap
+          assert(out == Map("a" -> 15.0, "b" -> 25.0))
+        case other => fail(other.toString)
+      }
+
+      // failing secondary degrades to local-only
+      val fan2 = new FanoutStore(spark, storeWith("b", 20.0),
+        Seq(new RemoteReadClient("http://127.0.0.1:1/api/v1/read")))
+      val df2 = fan2.fetch(List(LabelMatcher("__name__", MatchOp.Eq, "m")), 0L, 5000L)
+      assert(df2.collect().length == 6)
+    } finally apiA.stop()
+  }
+
+  test("notifier posts firing alerts to alertmanagers") {
+    @volatile var received: String = null
+    val am = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    am.createContext("/api/v2/alerts", ex => {
+      received = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    am.start()
+    try {
+      val n = new Notifier(Seq(s"http://127.0.0.1:${am.getAddress.getPort}"))
+      val rule = graft.streaming.Rules.AlertingRule("HighErr", "errs > 1",
+        annotations = Map("summary" -> "too many"))
+      val state = Map(
+        "k1" -> graft.streaming.Rules.AlertState(1000L, firingSinceMs = 2000L,
+          lastTrueMs = 3000L, labels = Map("alertname" -> "HighErr", "dc" -> "x")),
+        "k2" -> graft.streaming.Rules.AlertState(1000L, firingSinceMs = -1L,
+          lastTrueMs = 3000L, labels = Map("alertname" -> "HighErr", "dc" -> "pend")))
+      val oks = n.sendFromState(rule, state, 3000L)
+      assert(oks == Seq(true))
+      assert(received != null)
+      assert(received.contains("\"alertname\":\"HighErr\""))
+      assert(received.contains("\"dc\":\"x\""))
+      assert(!received.contains("\"dc\":\"pend\"")) // pending not notified
+      assert(received.contains("\"summary\":\"too many\""))
+      assert(received.contains("1970-01-01T00:00:02Z")) // startsAt = firingSince
+
+      // unreachable AM reports failure without throwing
+      val bad = new Notifier(Seq("http://127.0.0.1:1"))
+      assert(bad.sendFromState(rule, state, 3000L) == Seq(false))
+    } finally am.stop(0)
+  }
+}
