@@ -338,6 +338,11 @@ final case class FHist(
 
 object FHist {
 
+  /** inverse of [[fromRow]]: a schemaType-shaped Row for DataFrame builds */
+  def toRow(h: FHist): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(h.schema, h.zt, h.zc, h.cnt, h.sum,
+      h.pidx, h.pcnt, h.nidx, h.ncnt, h.cv, h.crh)
+
   /** rebuild from a schemaType-shaped Row (collected results) */
   def fromRow(r: org.apache.spark.sql.Row): FHist =
     FHist(r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),

@@ -287,13 +287,15 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         .exists(_.contains("io.prometheus.write.v2.Request"))
       val snappyOn = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
         .forall(_.equalsIgnoreCase("snappy")) // PRW mandates snappy; absent ⇒ assume snappy
-      val samples = RemoteWrite.decode(body, isV2, snappyOn)
+      val (samples, meta) = RemoteWrite.decodeFull(body, isV2, snappyOn)
       if (samples.nonEmpty) {
-        val rows = samples.map(s => Row(s.labels, s.t, s.v, false, null, s.stt))
+        val rows = samples.map(s =>
+          Row(s.labels, s.t, s.v, false, s.h.map(FHist.toRow).orNull, s.stt))
         store.append(spark.createDataFrame(
           spark.sparkContext.parallelize(rows, math.max(1, samples.length / 10000)),
           Engine.samplesSchema))
       }
+      if (meta.nonEmpty) store.mergeMetadata(meta)
       ex.sendResponseHeaders(204, -1)
     })
 
@@ -323,6 +325,24 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     server.createContext("/api/v1/status/buildinfo", handler { ex =>
       ok(ex, Json.obj("version" -> Json.str("graft-spark"),
         "goVersion" -> Json.str("n/a")))
+    })
+
+    server.createContext("/api/v1/otlp/v1/metrics", handler { ex =>
+      // OTLP/HTTP metrics ingest (ref: web/api/v1/api.go:484)
+      val gz = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+        .exists(_.contains("gzip"))
+      val dec = Otlp.decode(ex.getRequestBody.readAllBytes(), gz)
+      if (dec.samples.nonEmpty) {
+        val rows = dec.samples.map(s =>
+          Row(s.labels, s.t, s.v, false, s.h.map(FHist.toRow).orNull, s.stt))
+        store.append(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, math.max(1, rows.length / 10000)),
+          Engine.samplesSchema))
+      }
+      if (dec.metadata.nonEmpty) store.mergeMetadata(dec.metadata)
+      // empty ExportMetricsServiceResponse
+      ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+      ex.sendResponseHeaders(200, -1)
     })
 
     server.createContext("/api/v1/read", handler { ex =>

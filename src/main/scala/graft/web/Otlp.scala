@@ -1,0 +1,435 @@
+package graft.web
+
+import graft.promql.FHist
+import scala.collection.mutable
+
+/** OTLP/HTTP metrics receiver decoding: protobuf
+  * `ExportMetricsServiceRequest` → canonical samples, following the
+  * reference's translation rules (ref: web/api/v1/api.go:484 OTLP route +
+  * storage/remote/otlptranslator/prometheusremotewrite/):
+  *   - metric/label names sanitized to [a-zA-Z0-9_:]
+  *   - monotonic cumulative sums → counters (`_total` suffix)
+  *   - gauges/sums → float samples; summaries → _count/_sum/{quantile}
+  *   - explicit-bounds histograms → classic `_bucket{le}`/`_sum`/`_count`
+  *     (cumulative le buckets, +Inf closed)
+  *   - exponential histograms → native histograms: prometheus index =
+  *     otlp offset + 1, schema clamped to 8 via resolution reduction,
+  *     default zero threshold 2^-128
+  *     (ref: histograms.go:170 convertBucketsLayout, :88
+  *     exponentialToNativeHistogram)
+  *   - resource `service.name`/`service.instance.id` → job/instance labels;
+  *     remaining resource attributes emit a `target_info` series
+  *     (ref: helper.go resource translation)
+  * Delta-temporality points are dropped (cumulative-only, like the
+  * reference's default).
+  *
+  * Same hand-rolled wire reader as [[RemoteWrite]]; no protobuf runtime.
+  */
+object Otlp {
+
+  import RemoteWrite.Sample
+
+  private val defaultZeroThreshold = math.pow(2.0, -128)
+
+  // ---------- wire reader ----------
+
+  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var res = 0L
+      while (true) {
+        val b = buf(pos); pos += 1
+        res |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return res
+        shift += 7
+        if (shift > 63) throw new IllegalArgumentException("varint too long")
+      }
+      res
+    }
+    def fixed64(): Long = {
+      var res = 0L; var i = 0
+      while (i < 8) { res |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8; res
+    }
+    def fixed32(): Int = {
+      var res = 0; var i = 0
+      while (i < 4) { res |= (buf(pos + i) & 0xff) << (8 * i); i += 1 }
+      pos += 4; res
+    }
+    def double(): Double = java.lang.Double.longBitsToDouble(fixed64())
+    def str(): String = {
+      val len = varint().toInt; val s = pos; pos += len
+      new String(buf, s, len, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def sub(): Reader = {
+      val len = varint().toInt; val s = pos; pos += len
+      new Reader(buf, s, s + len)
+    }
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => varint()
+      case 1 => pos += 8
+      case 2 => val len = varint().toInt; pos += len
+      case 5 => pos += 4
+      case wt => throw new IllegalArgumentException(s"unsupported wire type $wt")
+    }
+  }
+
+  private def zigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
+
+  // ---------- attribute / name translation ----------
+
+  private[web] def sanitize(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach { c =>
+      if (c.isLetterOrDigit || c == '_' || c == ':') sb.append(c) else sb.append('_')
+    }
+    val out = sb.toString
+    if (out.nonEmpty && out.head.isDigit) "_" + out else out
+  }
+
+  /** KeyValue{key=1, value=2 AnyValue{string=1,bool=2,int=3,double=4}} */
+  private def decodeKeyValue(r: Reader): (String, String) = {
+    var k = ""; var v = ""
+    while (r.hasMore) {
+      val tag = r.varint()
+      (tag >> 3, (tag & 7).toInt) match {
+        case (1, 2) => k = r.str()
+        case (2, 2) =>
+          val ar = r.sub()
+          while (ar.hasMore) {
+            val t2 = ar.varint()
+            (t2 >> 3, (t2 & 7).toInt) match {
+              case (1, 2) => v = ar.str()
+              case (2, 0) => v = if (ar.varint() != 0L) "true" else "false"
+              case (3, 0) => v = ar.varint().toString
+              case (4, 1) => v = graft.web.Json.goFloat(ar.double())
+              case (_, wt) => ar.skip(wt)
+            }
+          }
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    (k, v)
+  }
+
+  // ---------- data points ----------
+
+  private final case class NumPoint(attrs: Map[String, String], tNano: Long,
+    stNano: Long, v: Double)
+  private final case class HistPoint(attrs: Map[String, String], tNano: Long,
+    stNano: Long, count: Double, sum: Double, hasSum: Boolean,
+    bucketCounts: Seq[Long], bounds: Seq[Double])
+  private final case class ExpPoint(attrs: Map[String, String], tNano: Long,
+    stNano: Long, count: Double, sum: Double, scale: Int, zeroCount: Double,
+    posOff: Int, posCounts: Seq[Long], negOff: Int, negCounts: Seq[Long],
+    zeroThreshold: Double)
+  private final case class SummaryPoint(attrs: Map[String, String], tNano: Long,
+    stNano: Long, count: Double, sum: Double, quantiles: Seq[(Double, Double)])
+
+  private def decodeNumPoint(r: Reader): NumPoint = {
+    val attrs = mutable.Map[String, String]()
+    var t = 0L; var st = 0L; var v = 0.0
+    while (r.hasMore) {
+      val tag = r.varint()
+      (tag >> 3, (tag & 7).toInt) match {
+        case (7, 2) => val (k, s) = decodeKeyValue(r.sub()); attrs(k) = s
+        case (2, 1) => st = r.fixed64()
+        case (3, 1) => t = r.fixed64()
+        case (4, 1) => v = r.double()
+        case (6, 1) => v = r.fixed64().toDouble // as_int (sfixed64)
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    NumPoint(attrs.toMap, t, st, v)
+  }
+
+  private def decodeHistPoint(r: Reader): HistPoint = {
+    val attrs = mutable.Map[String, String]()
+    var t = 0L; var st = 0L; var count = 0.0; var sum = 0.0; var hasSum = false
+    val bucketCounts = mutable.ArrayBuffer[Long]()
+    val bounds = mutable.ArrayBuffer[Double]()
+    while (r.hasMore) {
+      val tag = r.varint()
+      (tag >> 3, (tag & 7).toInt) match {
+        case (9, 2) => val (k, s) = decodeKeyValue(r.sub()); attrs(k) = s
+        case (2, 1) => st = r.fixed64()
+        case (3, 1) => t = r.fixed64()
+        case (4, 1) => count = r.fixed64().toDouble
+        case (5, 1) => sum = r.double(); hasSum = true
+        case (6, 2) => val br = r.sub(); while (br.hasMore) bucketCounts += br.fixed64()
+        case (6, 1) => bucketCounts += r.fixed64()
+        case (7, 2) => val br = r.sub(); while (br.hasMore) bounds += br.double()
+        case (7, 1) => bounds += r.double()
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    HistPoint(attrs.toMap, t, st, count, sum, hasSum, bucketCounts.toSeq, bounds.toSeq)
+  }
+
+  private def decodeExpPoint(r: Reader): ExpPoint = {
+    val attrs = mutable.Map[String, String]()
+    var t = 0L; var st = 0L; var count = 0.0; var sum = 0.0
+    var scale = 0; var zeroCount = 0.0; var zeroTh = defaultZeroThreshold
+    var posOff = 0; var negOff = 0
+    val posCounts = mutable.ArrayBuffer[Long]()
+    val negCounts = mutable.ArrayBuffer[Long]()
+    def decodeBuckets(br: Reader): (Int, Seq[Long]) = {
+      var off = 0
+      val cs = mutable.ArrayBuffer[Long]()
+      while (br.hasMore) {
+        val t2 = br.varint()
+        (t2 >> 3, (t2 & 7).toInt) match {
+          case (1, 0) => off = zigzag(br.varint()).toInt
+          case (2, 2) => val pr = br.sub(); while (pr.hasMore) cs += pr.varint()
+          case (2, 0) => cs += br.varint()
+          case (_, wt) => br.skip(wt)
+        }
+      }
+      (off, cs.toSeq)
+    }
+    while (r.hasMore) {
+      val tag = r.varint()
+      (tag >> 3, (tag & 7).toInt) match {
+        case (1, 2) => val (k, s) = decodeKeyValue(r.sub()); attrs(k) = s
+        case (2, 1) => st = r.fixed64()
+        case (3, 1) => t = r.fixed64()
+        case (4, 1) => count = r.fixed64().toDouble
+        case (5, 1) => sum = r.double()
+        case (6, 0) => scale = zigzag(r.varint()).toInt
+        case (7, 1) => zeroCount = r.fixed64().toDouble
+        case (8, 2) => val (o, cs) = decodeBuckets(r.sub()); posOff = o; posCounts.clear(); posCounts ++= cs
+        case (9, 2) => val (o, cs) = decodeBuckets(r.sub()); negOff = o; negCounts.clear(); negCounts ++= cs
+        case (14, 1) => zeroTh = r.double()
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    ExpPoint(attrs.toMap, t, st, count, sum, scale, zeroCount,
+      posOff, posCounts.toSeq, negOff, negCounts.toSeq, zeroTh)
+  }
+
+  private def decodeSummaryPoint(r: Reader): SummaryPoint = {
+    val attrs = mutable.Map[String, String]()
+    var t = 0L; var st = 0L; var count = 0.0; var sum = 0.0
+    val qs = mutable.ArrayBuffer[(Double, Double)]()
+    while (r.hasMore) {
+      val tag = r.varint()
+      (tag >> 3, (tag & 7).toInt) match {
+        case (7, 2) => val (k, s) = decodeKeyValue(r.sub()); attrs(k) = s
+        case (2, 1) => st = r.fixed64()
+        case (3, 1) => t = r.fixed64()
+        case (4, 1) => count = r.fixed64().toDouble
+        case (5, 1) => sum = r.double()
+        case (6, 2) =>
+          val qr = r.sub()
+          var q = 0.0; var v = 0.0
+          while (qr.hasMore) {
+            val t2 = qr.varint()
+            (t2 >> 3, (t2 & 7).toInt) match {
+              case (1, 1) => q = qr.double()
+              case (2, 1) => v = qr.double()
+              case (_, wt) => qr.skip(wt)
+            }
+          }
+          qs += ((q, v))
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    SummaryPoint(attrs.toMap, t, st, count, sum, qs.toSeq)
+  }
+
+  // ---------- metric assembly ----------
+
+  /** exponential → native: prometheus index = otlp offset + bucket pos + 1;
+    * scale > 8 reduced via FHist.reduceTo (exact downscale) */
+  private def expToFHist(p: ExpPoint): FHist = {
+    def sparse(off: Int, counts: Seq[Long]): (Seq[Int], Seq[Double]) = {
+      val pairs = counts.zipWithIndex.collect {
+        case (c, i) if c != 0L => (off + i + 1, c.toDouble)
+      }
+      (pairs.map(_._1), pairs.map(_._2))
+    }
+    val (pidx, pcnt) = sparse(p.posOff, p.posCounts)
+    val (nidx, ncnt) = sparse(p.negOff, p.negCounts)
+    val zt = if (p.zeroThreshold > 0) p.zeroThreshold else defaultZeroThreshold
+    val h = FHist(p.scale, zt, p.zeroCount, p.count, p.sum,
+      pidx, pcnt, nidx, ncnt, Nil, 0)
+    if (p.scale > 8) h.reduceTo(8) else h
+  }
+
+  final case class Decoded(samples: Seq[Sample], metadata: RemoteWrite.Meta)
+
+  /** decode an ExportMetricsServiceRequest body (optionally gzipped) */
+  def decode(body0: Array[Byte], gzipped: Boolean = false): Decoded = {
+    val body =
+      if (!gzipped) body0
+      else new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(body0)).readAllBytes()
+    val samples = mutable.ArrayBuffer[Sample]()
+    val meta = mutable.Map[String, (String, String, String)]()
+    val r = new Reader(body, 0, body.length)
+    while (r.hasMore) {
+      val tag = r.varint()
+      (tag >> 3, (tag & 7).toInt) match {
+        case (1, 2) => decodeResourceMetrics(r.sub(), samples, meta)
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    Decoded(samples.toSeq, meta.toMap)
+  }
+
+  private def decodeResourceMetrics(r: Reader,
+      out: mutable.ArrayBuffer[Sample],
+      meta: mutable.Map[String, (String, String, String)]): Unit = {
+    val resAttrs = mutable.Map[String, String]()
+    val scopes = mutable.ArrayBuffer[Reader]()
+    while (r.hasMore) {
+      val tag = r.varint()
+      (tag >> 3, (tag & 7).toInt) match {
+        case (1, 2) => // Resource{attributes=1}
+          val rr = r.sub()
+          while (rr.hasMore) {
+            val t2 = rr.varint()
+            (t2 >> 3, (t2 & 7).toInt) match {
+              case (1, 2) => val (k, v) = decodeKeyValue(rr.sub()); resAttrs(k) = v
+              case (_, wt) => rr.skip(wt)
+            }
+          }
+        case (2, 2) => scopes += r.sub()
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    // job/instance from service.* (ref: helper.go); the rest → target_info
+    val idLabels = Map.newBuilder[String, String]
+    resAttrs.get("service.name").foreach { sn =>
+      val ns = resAttrs.get("service.namespace").map(_ + "/").getOrElse("")
+      idLabels += ("job" -> (ns + sn))
+    }
+    resAttrs.get("service.instance.id").foreach(id => idLabels += ("instance" -> id))
+    val ids = idLabels.result()
+    val infoAttrs = (resAttrs -- Seq("service.name", "service.namespace", "service.instance.id"))
+      .map { case (k, v) => sanitize(k) -> v }.toMap
+    var latestT = 0L
+    scopes.foreach { sr =>
+      while (sr.hasMore) {
+        val tag = sr.varint()
+        (tag >> 3, (tag & 7).toInt) match {
+          case (2, 2) => latestT = math.max(latestT,
+            decodeMetric(sr.sub(), ids, out, meta))
+          case (_, wt) => sr.skip(wt)
+        }
+      }
+    }
+    if (infoAttrs.nonEmpty && latestT > 0L)
+      out += Sample(ids ++ infoAttrs + ("__name__" -> "target_info"), latestT, 1.0)
+  }
+
+  /** returns the latest sample timestamp seen (for target_info stamping) */
+  private def decodeMetric(r: Reader, ids: Map[String, String],
+      out: mutable.ArrayBuffer[Sample],
+      meta: mutable.Map[String, (String, String, String)]): Long = {
+    var name = ""; var desc = ""; var unit = ""
+    val pend = mutable.ArrayBuffer[(Int, Reader)]()
+    var temporality = 2 // cumulative unless stated
+    var monotonic = false
+    while (r.hasMore) {
+      val tag = r.varint()
+      (tag >> 3, (tag & 7).toInt) match {
+        case (1, 2) => name = r.str()
+        case (2, 2) => desc = r.str()
+        case (3, 2) => unit = r.str()
+        case (5, 2) => // gauge{data_points=1}
+          val gr = r.sub()
+          while (gr.hasMore) {
+            val t2 = gr.varint()
+            (t2 >> 3, (t2 & 7).toInt) match {
+              case (1, 2) => pend += ((5, gr.sub()))
+              case (_, wt) => gr.skip(wt)
+            }
+          }
+        case (7, 2) => // sum{data_points=1, temporality=2, is_monotonic=3}
+          val gr = r.sub()
+          while (gr.hasMore) {
+            val t2 = gr.varint()
+            (t2 >> 3, (t2 & 7).toInt) match {
+              case (1, 2) => pend += ((7, gr.sub()))
+              case (2, 0) => temporality = gr.varint().toInt
+              case (3, 0) => monotonic = gr.varint() != 0L
+              case (_, wt) => gr.skip(wt)
+            }
+          }
+        case (9, 2) | (10, 2) | (11, 2) => // histogram / exp histogram / summary
+          val kind = (tag >> 3).toInt
+          val gr = r.sub()
+          while (gr.hasMore) {
+            val t2 = gr.varint()
+            (t2 >> 3, (t2 & 7).toInt) match {
+              case (1, 2) => pend += ((kind, gr.sub()))
+              case (2, 0) => temporality = gr.varint().toInt
+              case (_, wt) => gr.skip(wt)
+            }
+          }
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    val isCounter = monotonic && temporality == 2
+    val base0 = sanitize(name)
+    val base = if (isCounter && !base0.endsWith("_total")) base0 + "_total" else base0
+    var latest = 0L
+    def ms(nano: Long): Long = nano / 1000000L
+    def lbls(attrs: Map[String, String], n: String) =
+      ids ++ attrs.map { case (k, v) => sanitize(k) -> v } + ("__name__" -> n)
+    val mtype = pend.headOption.map(_._1) match {
+      case Some(5) => "gauge"
+      case Some(7) => if (isCounter) "counter" else "gauge"
+      case Some(9) | Some(10) => "histogram"
+      case Some(11) => "summary"
+      case _ => "unknown"
+    }
+    if (base.nonEmpty) meta(base) = (mtype, unit, desc)
+    pend.foreach { case (kind, pr) =>
+      kind match {
+        case 5 | 7 =>
+          if (kind == 5 || temporality == 2) { // gauges have no temporality
+            val p = decodeNumPoint(pr)
+            latest = math.max(latest, ms(p.tNano))
+            out += Sample(lbls(p.attrs, base), ms(p.tNano), p.v, ms(p.stNano))
+          }
+        case 9 =>
+          if (temporality == 2) {
+            val p = decodeHistPoint(pr)
+            val t = ms(p.tNano); latest = math.max(latest, t)
+            val st = ms(p.stNano)
+            // classic series: cumulative le buckets + +Inf, _sum, _count
+            var cum = 0.0
+            p.bounds.zipWithIndex.foreach { case (b, i) =>
+              cum += p.bucketCounts.lift(i).getOrElse(0L).toDouble
+              out += Sample(lbls(p.attrs, base + "_bucket") +
+                ("le" -> graft.web.Json.goFloat(b)), t, cum, st)
+            }
+            out += Sample(lbls(p.attrs, base + "_bucket") + ("le" -> "+Inf"), t, p.count, st)
+            if (p.hasSum) out += Sample(lbls(p.attrs, base + "_sum"), t, p.sum, st)
+            out += Sample(lbls(p.attrs, base + "_count"), t, p.count, st)
+          }
+        case 10 =>
+          if (temporality == 2) {
+            val p = decodeExpPoint(pr)
+            val t = ms(p.tNano); latest = math.max(latest, t)
+            out += Sample(lbls(p.attrs, base), t, Double.NaN, ms(p.stNano),
+              Some(expToFHist(p)))
+          }
+        case 11 =>
+          val p = decodeSummaryPoint(pr)
+          val t = ms(p.tNano); latest = math.max(latest, t)
+          val st = ms(p.stNano)
+          out += Sample(lbls(p.attrs, base + "_count"), t, p.count, st)
+          out += Sample(lbls(p.attrs, base + "_sum"), t, p.sum, st)
+          p.quantiles.foreach { case (q, v) =>
+            out += Sample(lbls(p.attrs, base) +
+              ("quantile" -> graft.web.Json.goFloat(q)), t, v, st)
+          }
+        case _ =>
+      }
+    }
+    latest
+  }
+}

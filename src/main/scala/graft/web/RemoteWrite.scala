@@ -20,8 +20,13 @@ import scala.collection.mutable
   */
 object RemoteWrite {
 
+  import graft.promql.FHist
+
   final case class Sample(labels: Map[String, String], t: Long, v: Double,
-      stt: Long = 0L)
+      stt: Long = 0L, h: Option[FHist] = None)
+
+  /** family → (type, unit, help), from PRW 2.0 per-series metadata */
+  type Meta = Map[String, (String, String, String)]
 
   /** protobuf wire reader over a byte array slice */
   private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
@@ -64,6 +69,90 @@ object RemoteWrite {
     }
   }
 
+  private def zigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
+
+  /** prompb.Histogram (ref: prompb/types.proto:71-116 — span-RLE buckets
+    * with delta- or absolute-count encodings) → the engine's sparse-index
+    * [[FHist]]. Returns (hist, timestamp ms). */
+  private def decodeHistogram(r: Reader): (FHist, Long) = {
+    var cntI = 0L; var cntF = Double.NaN
+    var sum = 0.0; var schema = 0; var zt = 0.0
+    var zcI = 0L; var zcF = Double.NaN
+    val negSpans = mutable.ArrayBuffer[(Int, Int)]()
+    val posSpans = mutable.ArrayBuffer[(Int, Int)]()
+    val negDeltas = mutable.ArrayBuffer[Long]()
+    val posDeltas = mutable.ArrayBuffer[Long]()
+    val negCounts = mutable.ArrayBuffer[Double]()
+    val posCounts = mutable.ArrayBuffer[Double]()
+    val customVals = mutable.ArrayBuffer[Double]()
+    var crh = 0; var ts = 0L
+    def span(sr: Reader): (Int, Int) = {
+      var off = 0; var len = 0
+      while (sr.hasMore) {
+        val t2 = sr.varint()
+        (t2 >> 3, (t2 & 7).toInt) match {
+          case (1, 0) => off = zigzag(sr.varint()).toInt
+          case (2, 0) => len = sr.varint().toInt
+          case (_, wt) => sr.skip(wt)
+        }
+      }
+      (off, len)
+    }
+    def packedZig(sr: Reader, out: mutable.ArrayBuffer[Long]): Unit =
+      while (sr.hasMore) out += zigzag(sr.varint())
+    def packedF64(sr: Reader, out: mutable.ArrayBuffer[Double]): Unit =
+      while (sr.hasMore) out += java.lang.Double.longBitsToDouble(sr.fixed64())
+    while (r.hasMore) {
+      val tag = r.varint()
+      (tag >> 3, (tag & 7).toInt) match {
+        case (1, 0) => cntI = r.varint()
+        case (2, 1) => cntF = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (3, 1) => sum = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (4, 0) => schema = zigzag(r.varint()).toInt
+        case (5, 1) => zt = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (6, 0) => zcI = r.varint()
+        case (7, 1) => zcF = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (8, 2) => negSpans += span(r.sub())
+        case (9, 2) => packedZig(r.sub(), negDeltas)
+        case (9, 0) => negDeltas += zigzag(r.varint())
+        case (10, 2) => packedF64(r.sub(), negCounts)
+        case (10, 1) => negCounts += java.lang.Double.longBitsToDouble(r.fixed64())
+        case (11, 2) => posSpans += span(r.sub())
+        case (12, 2) => packedZig(r.sub(), posDeltas)
+        case (12, 0) => posDeltas += zigzag(r.varint())
+        case (13, 2) => packedF64(r.sub(), posCounts)
+        case (13, 1) => posCounts += java.lang.Double.longBitsToDouble(r.fixed64())
+        case (14, 0) => crh = r.varint().toInt
+        case (15, 0) => ts = r.varint()
+        case (16, 2) => packedF64(r.sub(), customVals)
+        case (16, 1) => customVals += java.lang.Double.longBitsToDouble(r.fixed64())
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    /** span-RLE → (sparse indexes, counts); values are delta-cumulative for
+      * integer histograms, absolute for float histograms */
+    def buckets(spans: Seq[(Int, Int)], deltas: Seq[Long], counts: Seq[Double])
+        : (Seq[Int], Seq[Double]) = {
+      val idx = mutable.ArrayBuffer[Int]()
+      var cur = 0
+      spans.foreach { case (off, len) =>
+        cur += off
+        (0 until len).foreach { _ => idx += cur; cur += 1 }
+      }
+      val vals =
+        if (deltas.nonEmpty) deltas.scanLeft(0L)(_ + _).drop(1).map(_.toDouble)
+        else counts
+      (idx.toSeq, vals.toSeq)
+    }
+    val (pidx, pcnt) = buckets(posSpans.toSeq, posDeltas.toSeq, posCounts.toSeq)
+    val (nidx, ncnt) = buckets(negSpans.toSeq, negDeltas.toSeq, negCounts.toSeq)
+    val h = FHist(schema, zt,
+      if (!zcF.isNaN) zcF else zcI.toDouble,
+      if (!cntF.isNaN) cntF else cntI.toDouble,
+      sum, pidx, pcnt, nidx, ncnt, customVals.toSeq, crh)
+    (h, ts)
+  }
+
   private def decodeSample(r: Reader): (Double, Long) = {
     var v = 0.0; var t = 0L
     while (r.hasMore) {
@@ -89,6 +178,7 @@ object RemoteWrite {
           val ts = r.sub()
           val labels = mutable.Map[String, String]()
           val samples = mutable.ArrayBuffer[(Double, Long)]()
+          val hists = mutable.ArrayBuffer[(FHist, Long)]()
           while (ts.hasMore) {
             val t2 = ts.varint()
             (t2 >> 3, (t2 & 7).toInt) match {
@@ -105,11 +195,13 @@ object RemoteWrite {
                 }
                 labels(n) = v
               case (2, 2) => samples += decodeSample(ts.sub())
+              case (4, 2) => hists += decodeHistogram(ts.sub())
               case (_, wt) => ts.skip(wt)
             }
           }
           val lm = labels.toMap
           samples.foreach { case (v, t) => out += Sample(lm, t, v) }
+          hists.foreach { case (h, t) => out += Sample(lm, t, Double.NaN, 0L, Some(h)) }
         case (_, wt) => r.skip(wt)
       }
     }
@@ -121,9 +213,14 @@ object RemoteWrite {
     * repeated Sample = 2, created_timestamp = 6 } = 5 }.
     * labels_refs are (name,value) symbol-index pairs; created_timestamp
     * feeds the start-timestamp column (PROM-60). */
-  def decodeV2(body: Array[Byte]): Seq[Sample] = {
+  def decodeV2(body: Array[Byte]): Seq[Sample] = decodeV2Full(body)._1
+
+  /** v2 decode including per-series Metadata (type=1, help_ref=3,
+    * unit_ref=4 — symbol-table indices; ref write/v2/types.proto:140-158) */
+  def decodeV2Full(body: Array[Byte]): (Seq[Sample], Meta) = {
     val symbols = mutable.ArrayBuffer[String]()
-    final case class TsRaw(refs: Seq[Int], samples: Seq[(Double, Long)], createdTs: Long)
+    final case class TsRaw(refs: Seq[Int], samples: Seq[(Double, Long)],
+      hists: Seq[(FHist, Long)], createdTs: Long, mType: Int, helpRef: Int, unitRef: Int)
     val rawSeries = mutable.ArrayBuffer[TsRaw]()
     val r = new Reader(body, 0, body.length)
     while (r.hasMore) {
@@ -134,7 +231,9 @@ object RemoteWrite {
           val ts = r.sub()
           val refs = mutable.ArrayBuffer[Int]()
           val samples = mutable.ArrayBuffer[(Double, Long)]()
+          val hists = mutable.ArrayBuffer[(FHist, Long)]()
           var created = 0L
+          var mType = 0; var helpRef = 0; var unitRef = 0
           while (ts.hasMore) {
             val t2 = ts.varint()
             (t2 >> 3, (t2 & 7).toInt) match {
@@ -143,28 +242,57 @@ object RemoteWrite {
                 while (pr.hasMore) refs += pr.varint().toInt
               case (1, 0) => refs += ts.varint().toInt // unpacked fallback
               case (2, 2) => samples += decodeSample(ts.sub())
+              case (3, 2) => hists += decodeHistogram(ts.sub())
+              case (5, 2) =>
+                val mr = ts.sub()
+                while (mr.hasMore) {
+                  val t3 = mr.varint()
+                  (t3 >> 3, (t3 & 7).toInt) match {
+                    case (1, 0) => mType = mr.varint().toInt
+                    case (3, 0) => helpRef = mr.varint().toInt
+                    case (4, 0) => unitRef = mr.varint().toInt
+                    case (_, wt) => mr.skip(wt)
+                  }
+                }
               case (6, 0) => created = ts.varint()
               case (_, wt) => ts.skip(wt)
             }
           }
-          rawSeries += TsRaw(refs.toSeq, samples.toSeq, created)
+          rawSeries += TsRaw(refs.toSeq, samples.toSeq, hists.toSeq, created,
+            mType, helpRef, unitRef)
         case (_, wt) => r.skip(wt)
       }
     }
-    rawSeries.toSeq.flatMap { raw =>
+    val typeNames = Map(1 -> "counter", 2 -> "gauge", 3 -> "histogram",
+      4 -> "gaugehistogram", 5 -> "summary", 6 -> "info", 7 -> "stateset")
+    val metaOut = mutable.Map[String, (String, String, String)]()
+    val samplesOut = rawSeries.toSeq.flatMap { raw =>
       val labels = raw.refs.grouped(2).collect {
         case Seq(n, v) if n < symbols.length && v < symbols.length =>
           symbols(n) -> symbols(v)
       }.toMap
-      raw.samples.map { case (v, t) => Sample(labels, t, v, raw.createdTs) }
+      labels.get("__name__").foreach { fam =>
+        if (raw.mType != 0 || raw.helpRef != 0 || raw.unitRef != 0)
+          metaOut(fam) = (typeNames.getOrElse(raw.mType, "unknown"),
+            if (raw.unitRef < symbols.length) symbols(raw.unitRef) else "",
+            if (raw.helpRef < symbols.length) symbols(raw.helpRef) else "")
+      }
+      raw.samples.map { case (v, t) => Sample(labels, t, v, raw.createdTs) } ++
+        raw.hists.map { case (h, t) => Sample(labels, t, Double.NaN, raw.createdTs, Some(h)) }
     }
+    (samplesOut, metaOut.toMap)
   }
 
   /** full receiver path: snappy-decompress (block format, ref
     * write_handler.go decompression) + decode by content-type version */
-  def decode(body: Array[Byte], isV2: Boolean, snappyCompressed: Boolean = true): Seq[Sample] = {
+  def decode(body: Array[Byte], isV2: Boolean, snappyCompressed: Boolean = true): Seq[Sample] =
+    decodeFull(body, isV2, snappyCompressed)._1
+
+  /** decode with PRW 2.0 metadata (empty for 1.0) */
+  def decodeFull(body: Array[Byte], isV2: Boolean, snappyCompressed: Boolean = true)
+      : (Seq[Sample], Meta) = {
     val raw = if (snappyCompressed) org.xerial.snappy.Snappy.uncompress(body) else body
-    if (isV2) decodeV2(raw) else decodeV1(raw)
+    if (isV2) decodeV2Full(raw) else (decodeV1(raw), Map.empty)
   }
 
   /** test/helper encoder (block-compressed PRW 1.0) — lets specs and local

@@ -175,6 +175,227 @@ class ServingSpec extends AnyFunSuite {
     } finally apiA.stop()
   }
 
+  test("remote write decodes native histograms (spans/deltas) and v2 metadata") {
+    // hand-encode PRW 1.0: one TimeSeries with a delta-encoded int histogram
+    val bo = new java.io.ByteArrayOutputStream()
+    def vint(o: java.io.ByteArrayOutputStream, x0: Long): Unit = {
+      var x = x0
+      while ((x & ~0x7fL) != 0) { o.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      o.write(x.toInt)
+    }
+    def zig(v: Long): Long = (v << 1) ^ (v >> 63)
+    def delim(o: java.io.ByteArrayOutputStream, tag: Int, body: Array[Byte]): Unit = {
+      vint(o, (tag << 3) | 2); vint(o, body.length); o.write(body)
+    }
+    def f64(o: java.io.ByteArrayOutputStream, tag: Int, v: Double): Unit = {
+      vint(o, (tag << 3) | 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).foreach(i => o.write(((bits >> (8 * i)) & 0xff).toInt))
+    }
+    val ho = new java.io.ByteArrayOutputStream()
+    vint(ho, 1 << 3); vint(ho, 6L)            // count_int = 6
+    f64(ho, 3, 10.5)                          // sum
+    vint(ho, 4 << 3); vint(ho, zig(0L))       // schema = 0
+    f64(ho, 5, 0.001)                         // zero_threshold
+    vint(ho, 6 << 3); vint(ho, 1L)            // zero_count_int = 1
+    val sp = new java.io.ByteArrayOutputStream()
+    vint(sp, 1 << 3); vint(sp, zig(0L)); vint(sp, 2 << 3); vint(sp, 2L)
+    delim(ho, 11, sp.toByteArray)             // positive span (0, 2)
+    val pd = new java.io.ByteArrayOutputStream()
+    vint(pd, zig(2L)); vint(pd, zig(1L))      // deltas 2,+1 → counts 2,3
+    delim(ho, 12, pd.toByteArray)
+    vint(ho, 15 << 3); vint(ho, 7000L)        // timestamp
+    val lo = new java.io.ByteArrayOutputStream()
+    delim(lo, 1, "__name__".getBytes("UTF-8")); delim(lo, 2, "nh".getBytes("UTF-8"))
+    val tso = new java.io.ByteArrayOutputStream()
+    delim(tso, 1, lo.toByteArray)
+    delim(tso, 4, ho.toByteArray)             // histograms = field 4
+    delim(bo, 1, tso.toByteArray)
+    val payload = org.xerial.snappy.Snappy.compress(bo.toByteArray)
+
+    val decoded = RemoteWrite.decode(payload, isV2 = false)
+    assert(decoded.size == 1)
+    val h = decoded.head.h.get
+    assert(h.cnt == 6.0 && h.sum == 10.5 && h.zc == 1.0)
+    assert(h.pidx == Seq(0, 1) && h.pcnt == Seq(2.0, 3.0))
+
+    // through the receiver: histogram functions work on the written series
+    val store = emptyStore()
+    val api = new HttpApi(spark, store, 0, () => 7000L)
+    api.start()
+    try {
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${api.boundPort}/api/v1/write"))
+          .header("Content-Encoding", "snappy")
+          .header("Content-Type", "application/x-protobuf")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(payload)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 204)
+      val (c1, b1) = get(api.boundPort, "/api/v1/query?query=histogram_count(nh)&time=7")
+      assert(c1 == 200 && b1.contains("[7,\"6\"]"))
+      val (c2, b2) = get(api.boundPort, "/api/v1/query?query=histogram_sum(nh)&time=7")
+      assert(c2 == 200 && b2.contains("[7,\"10.5\"]"))
+    } finally api.stop()
+
+    // PRW 2.0 metadata: type/unit/help via symbol refs
+    val v2 = new java.io.ByteArrayOutputStream()
+    Seq("", "__name__", "m2", "reqs", "Total reqs.").foreach(s =>
+      delim(v2, 4, s.getBytes("UTF-8")))
+    val ts2 = new java.io.ByteArrayOutputStream()
+    val refs = new java.io.ByteArrayOutputStream()
+    Seq(1, 2).foreach(i => vint(refs, i))
+    delim(ts2, 1, refs.toByteArray)
+    val so = new java.io.ByteArrayOutputStream()
+    f64(so, 1, 1.0); vint(so, 2 << 3); vint(so, 1000L)
+    delim(ts2, 2, so.toByteArray)
+    val mo = new java.io.ByteArrayOutputStream()
+    vint(mo, 1 << 3); vint(mo, 1L)   // type counter
+    vint(mo, 3 << 3); vint(mo, 4L)   // help_ref
+    vint(mo, 4 << 3); vint(mo, 3L)   // unit_ref
+    delim(ts2, 5, mo.toByteArray)
+    delim(v2, 5, ts2.toByteArray)
+    val (s2, meta2) = RemoteWrite.decodeV2Full(v2.toByteArray)
+    assert(s2.size == 1 && s2.head.labels == Map("__name__" -> "m2"))
+    assert(meta2 == Map("m2" -> (("counter", "reqs", "Total reqs."))))
+  }
+
+  test("OTLP receiver: gauge, counter sum, explicit + exponential histograms, target_info") {
+    val bo = new java.io.ByteArrayOutputStream()
+    def vint(o: java.io.ByteArrayOutputStream, x0: Long): Unit = {
+      var x = x0
+      while ((x & ~0x7fL) != 0) { o.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      o.write(x.toInt)
+    }
+    def zig(v: Long): Long = (v << 1) ^ (v >> 63)
+    def delim(o: java.io.ByteArrayOutputStream, tag: Int, body: Array[Byte]): Unit = {
+      vint(o, (tag << 3) | 2); vint(o, body.length); o.write(body)
+    }
+    def f64(o: java.io.ByteArrayOutputStream, tag: Int, v: Double): Unit = {
+      vint(o, (tag << 3) | 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).foreach(i => o.write(((bits >> (8 * i)) & 0xff).toInt))
+    }
+    def fx64(o: java.io.ByteArrayOutputStream, tag: Int, v: Long): Unit = {
+      vint(o, (tag << 3) | 1)
+      (0 until 8).foreach(i => o.write(((v >> (8 * i)) & 0xff).toInt))
+    }
+    def kv(k: String, v: String): Array[Byte] = {
+      val any = new java.io.ByteArrayOutputStream()
+      delim(any, 1, v.getBytes("UTF-8"))
+      val o = new java.io.ByteArrayOutputStream()
+      delim(o, 1, k.getBytes("UTF-8")); delim(o, 2, any.toByteArray)
+      o.toByteArray
+    }
+    val tNano = 8L * 1000000000L // t = 8s
+
+    def gaugeMetric(name: String, v: Double): Array[Byte] = {
+      val dp = new java.io.ByteArrayOutputStream()
+      delim(dp, 7, kv("k8s.pod", "p1"))
+      fx64(dp, 3, tNano); f64(dp, 4, v)
+      val g = new java.io.ByteArrayOutputStream(); delim(g, 1, dp.toByteArray)
+      val m = new java.io.ByteArrayOutputStream()
+      delim(m, 1, name.getBytes("UTF-8")); delim(m, 5, g.toByteArray)
+      m.toByteArray
+    }
+    def sumMetric(name: String, v: Double): Array[Byte] = {
+      val dp = new java.io.ByteArrayOutputStream()
+      fx64(dp, 3, tNano); f64(dp, 4, v)
+      val s = new java.io.ByteArrayOutputStream()
+      delim(s, 1, dp.toByteArray)
+      vint(s, 2 << 3); vint(s, 2L) // cumulative
+      vint(s, 3 << 3); vint(s, 1L) // monotonic
+      val m = new java.io.ByteArrayOutputStream()
+      delim(m, 1, name.getBytes("UTF-8")); delim(m, 7, s.toByteArray)
+      m.toByteArray
+    }
+    def histMetric(name: String): Array[Byte] = {
+      val dp = new java.io.ByteArrayOutputStream()
+      fx64(dp, 3, tNano); fx64(dp, 4, 7L); f64(dp, 5, 21.0)
+      val bc = new java.io.ByteArrayOutputStream()
+      Seq(2L, 3L, 2L).foreach(c => (0 until 8).foreach(i => bc.write(((c >> (8 * i)) & 0xff).toInt)))
+      delim(dp, 6, bc.toByteArray) // bucket_counts packed fixed64
+      val eb = new java.io.ByteArrayOutputStream()
+      Seq(1.0, 5.0).foreach { d =>
+        val bits = java.lang.Double.doubleToLongBits(d)
+        (0 until 8).foreach(i => eb.write(((bits >> (8 * i)) & 0xff).toInt))
+      }
+      delim(dp, 7, eb.toByteArray) // explicit_bounds packed double
+      val h = new java.io.ByteArrayOutputStream()
+      delim(h, 1, dp.toByteArray)
+      vint(h, 2 << 3); vint(h, 2L) // cumulative
+      val m = new java.io.ByteArrayOutputStream()
+      delim(m, 1, name.getBytes("UTF-8")); delim(m, 9, h.toByteArray)
+      m.toByteArray
+    }
+    def expMetric(name: String): Array[Byte] = {
+      val dp = new java.io.ByteArrayOutputStream()
+      fx64(dp, 3, tNano); fx64(dp, 4, 6L); f64(dp, 5, 12.0)
+      vint(dp, 6 << 3); vint(dp, zig(0L)) // scale 0
+      fx64(dp, 7, 1L)                     // zero_count
+      val pb = new java.io.ByteArrayOutputStream()
+      vint(pb, 1 << 3); vint(pb, zig(0L)) // offset 0
+      val pc = new java.io.ByteArrayOutputStream()
+      Seq(2L, 3L).foreach(c => vint(pc, c))
+      delim(pb, 2, pc.toByteArray)
+      delim(dp, 8, pb.toByteArray)        // positive buckets
+      val h = new java.io.ByteArrayOutputStream()
+      delim(h, 1, dp.toByteArray)
+      vint(h, 2 << 3); vint(h, 2L)
+      val m = new java.io.ByteArrayOutputStream()
+      delim(m, 1, name.getBytes("UTF-8")); delim(m, 10, h.toByteArray)
+      m.toByteArray
+    }
+
+    val sm = new java.io.ByteArrayOutputStream()
+    Seq(gaugeMetric("mem.usage", 5.5), sumMetric("req.count", 42.0),
+      histMetric("lat.ms"), expMetric("size.bytes")).foreach(delim(sm, 2, _))
+    val res = new java.io.ByteArrayOutputStream()
+    Seq(kv("service.name", "svc"), kv("service.instance.id", "i9"),
+      kv("deployment.environment", "prod")).foreach(delim(res, 1, _))
+    val rm = new java.io.ByteArrayOutputStream()
+    delim(rm, 1, res.toByteArray); delim(rm, 2, sm.toByteArray)
+    delim(bo, 1, rm.toByteArray)
+
+    val dec = Otlp.decode(bo.toByteArray)
+    val byName = dec.samples.groupBy(_.labels("__name__"))
+    // names sanitized; counter gets _total; job/instance from service.*
+    val g = byName("mem_usage").head
+    assert(g.v == 5.5 && g.t == 8000L &&
+      g.labels("job") == "svc" && g.labels("instance") == "i9" &&
+      g.labels("k8s_pod") == "p1")
+    assert(byName("req_count_total").head.v == 42.0)
+    val buckets = byName("lat_ms_bucket").map(s => s.labels("le") -> s.v).toMap
+    assert(buckets == Map("1" -> 2.0, "5" -> 5.0, "+Inf" -> 7.0)) // cumulative
+    assert(byName("lat_ms_sum").head.v == 21.0 && byName("lat_ms_count").head.v == 7.0)
+    val eh = byName("size_bytes").head.h.get
+    assert(eh.cnt == 6.0 && eh.sum == 12.0 && eh.zc == 1.0)
+    assert(eh.pidx == Seq(1, 2) && eh.pcnt == Seq(2.0, 3.0)) // otlp off+1
+    val ti = byName("target_info").head
+    assert(ti.v == 1.0 && ti.labels("deployment_environment") == "prod" &&
+      ti.labels("job") == "svc")
+    assert(dec.metadata("req_count_total")._1 == "counter")
+
+    // through the HTTP route, then query it
+    val store = emptyStore()
+    val api = new HttpApi(spark, store, 0, () => 8000L)
+    api.start()
+    try {
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${api.boundPort}/api/v1/otlp/v1/metrics"))
+          .header("Content-Type", "application/x-protobuf")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(bo.toByteArray)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      val (c1, b1) = get(api.boundPort,
+        "/api/v1/query?query=histogram_quantile(0.5,%20lat_ms_bucket)&time=8")
+      assert(c1 == 200 && b1.contains("\"value\""))
+      val (c2, b2) = get(api.boundPort, "/api/v1/query?query=histogram_count(size_bytes)&time=8")
+      assert(c2 == 200 && b2.contains("[8,\"6\"]"))
+    } finally api.stop()
+  }
+
   test("notifier posts firing alerts to alertmanagers") {
     @volatile var received: String = null
     val am = HttpServer.create(new java.net.InetSocketAddress(0), 0)
