@@ -202,8 +202,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
               col("p.v").as("v"), col("p.st").as("st"), col("p.h").as("h"),
               col("p.stt").as("stt")))
         } else
-          shape(coverage(shifted, col("wt"), P.lookbackMs)
-            .groupBy(hsig(col("labels")).as("__sg"), col("t_step"))
+          // __sg hashed BEFORE the explode (one hash per sample, not per
+          // exploded row)
+          shape(coverage(shifted.withColumn("__sg", hsig(col("labels"))),
+              col("wt"), P.lookbackMs)
+            .groupBy(col("__sg"), col("t_step"))
             .agg(max_by(struct(col("wt"), col("t"), col("v"), col("stale"), col("labels"), col("h"), col("stt")),
                         col("wt")).as("p"))
             .select(col("p.labels").as("labels"), col("t_step").as("t"),
@@ -350,8 +353,10 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         // (smoothed) — ref engine.go:2848
         val window = ri.rangeMs + (if (ri.ext != 0) P.lookbackMs else 0L)
         val future = if (ri.ext == 2) P.lookbackMs else 0L
+        // __sg hashed BEFORE the explode: one hash per sample instead of one
+        // per (sample × covered step)
         def cov(df: DataFrame): DataFrame =
-          coverage(df, col("wt"), window, future).withColumn("__sg", hsig(col("labels")))
+          coverage(df.withColumn("__sg", hsig(col("labels"))), col("wt"), window, future)
         WPoints(cov(baseF), cov(baseH), fixed = false)
     }
   }
@@ -989,33 +994,35 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
               col("t") <= sHi + P.lookbackMs - vs.offsetMs)
       .withColumn("wt", col("t") + vs.offsetMs)
       .withColumn("dn", lit(false))
-    def agg(pts: DataFrame): DataFrame = {
+    def agg(pts0: DataFrame): DataFrame = {
+      val pts = pts0 // arrives with __sg hashed pre-explode
       val f = pts.filter(col("h").isNull)
-        .groupBy(hsig(col("labels")).as("__sg"), col("t_step"))
+        .groupBy(col("__sg"), col("t_step"))
         .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
           sort_array(collect_list(struct(col("wt"), col("v")))).as("pts"))
         .withColumn("v", RangeUdfs.smoothedValUdf(col("pts"), col("t_step")))
         .filter(!isnull(col("v")))
-        .select(col("labels"), col("t_step").as("t"), col("v"),
+        .select(col("__sg"), col("labels"), col("t_step").as("t"), col("v"),
           col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"))
       val hh = pts.filter(col("h").isNotNull)
-        .groupBy(hsig(col("labels")).as("__sg"), col("t_step"))
+        .groupBy(col("__sg"), col("t_step"))
         .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
           sort_array(collect_list(struct(col("wt"), col("h"), lit(0L).as("stt")))).as("hp"))
         .withColumn("__h", HistUdfs.smoothedHistUdf(col("hp"), col("t_step")))
         .filter(col("__h").isNotNull)
-        .select(col("labels"), col("t_step").as("t"), lit(Double.NaN).as("v"),
+        .select(col("__sg"), col("labels"), col("t_step").as("t"), lit(Double.NaN).as("v"),
           col("t_step").as("st"), col("__h").as("h"))
       // a mixed float/histogram lookback WINDOW drops the series with a
       // warning (ref: engine.go:1764) — keyed on the input points, since a
       // branch can be mixed even when only one side produces an output
       def key(df: DataFrame) =
-        df.select(hsig(col("labels")).as("__k"), col("t_step").as("__kt")).distinct()
+        df.select(col("__sg").as("__k"), col("t_step").as("__kt")).distinct()
       val fk = key(pts.filter(col("h").isNull))
       val hk = key(pts.filter(col("h").isNotNull))
-      f.join(hk, hsig(col("labels")) === col("__k") && col("t") === col("__kt"), "left_anti")
+      f.join(hk, col("__sg") === col("__k") && col("t") === col("__kt"), "left_anti")
         .unionByName(
-          hh.join(fk, hsig(col("labels")) === col("__k") && col("t") === col("__kt"), "left_anti"))
+          hh.join(fk, col("__sg") === col("__k") && col("t") === col("__kt"), "left_anti"))
+        .drop("__sg")
     }
     vs.at match {
       case Some(atm) =>
@@ -1024,9 +1031,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         val pts = base
           .filter(col("wt") >= te - P.lookbackMs && col("wt") <= te + P.lookbackMs)
           .withColumn("t_step", lit(te))
+          .withColumn("__sg", hsig(col("labels")))
         fanOut(agg(pts), fixed = true)
       case None =>
-        agg(coverage(base, col("wt"), P.lookbackMs, P.lookbackMs))
+        agg(coverage(base.withColumn("__sg", hsig(col("labels"))),
+          col("wt"), P.lookbackMs, P.lookbackMs))
     }
   }
 

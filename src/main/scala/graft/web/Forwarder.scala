@@ -1,0 +1,71 @@
+package graft.web
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Remote-write FORWARDING: ship a samples frame to a downstream PRW 1.0
+  * receiver (ref: storage/remote/queue_manager.go — the sending half of
+  * remote storage).
+  *
+  * Spark-shaped sharding: `foreachPartition` makes every executor its own
+  * send queue (the reference's shards ↔ partitions), batching `maxBatch`
+  * samples per request with bounded retry/backoff. Repartitioning by series
+  * hash upstream gives per-shard series affinity exactly like the
+  * reference's shard assignment; at 100 TB the edge scales with executors,
+  * not with the driver. Float samples only (encodeV1 carries no histogram
+  * payload) — histogram rows are filtered out. */
+final class RemoteWriteForwarder(
+    endpoint: String,
+    maxBatch: Int = 5000,
+    maxRetries: Int = 3,
+    backoffMs: Long = 100L) extends Serializable {
+
+  /** forward all float samples; returns the count shipped */
+  def forward(samples: DataFrame): Long = {
+    val url = endpoint
+    val mb = maxBatch; val mr = maxRetries; val bo = backoffMs
+    val shipped = samples.sparkSession.sparkContext.longAccumulator("rw_forwarded")
+    samples
+      .filter(col("h").isNull && !col("stale"))
+      .select(col("labels"), col("t"), col("v"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val client = java.net.http.HttpClient.newHttpClient()
+        def send(batch: Seq[RemoteWrite.Sample]): Unit = {
+          if (batch.isEmpty) return
+          val body = RemoteWrite.encodeV1(batch)
+          var attempt = 0
+          var done = false
+          while (!done && attempt <= mr) {
+            try {
+              val resp = client.send(
+                java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+                  .header("Content-Encoding", "snappy")
+                  .header("Content-Type", "application/x-protobuf")
+                  .header("X-Prometheus-Remote-Write-Version", "0.1.0")
+                  .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+                  .build(),
+                java.net.http.HttpResponse.BodyHandlers.discarding())
+              // 2xx done; 4xx unrecoverable (drop, like the reference);
+              // 5xx retries with backoff
+              if (resp.statusCode() / 100 == 2 || resp.statusCode() / 100 == 4) done = true
+              else throw new RuntimeException(s"HTTP ${resp.statusCode()}")
+            } catch {
+              case e: Exception =>
+                attempt += 1
+                if (attempt > mr) throw new RuntimeException(
+                  s"remote write forward failed after $mr retries: ${e.getMessage}")
+                Thread.sleep(bo * attempt)
+            }
+          }
+          shipped.add(batch.size.toLong)
+        }
+        val buf = scala.collection.mutable.ArrayBuffer[RemoteWrite.Sample]()
+        rows.foreach { r =>
+          buf += RemoteWrite.Sample(r.getMap[String, String](0).toMap, r.getLong(1), r.getDouble(2))
+          if (buf.size >= mb) { send(buf.toSeq); buf.clear() }
+        }
+        send(buf.toSeq)
+      }
+    shipped.value
+  }
+}

@@ -281,6 +281,13 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       ex.sendResponseHeaders(204, -1)
     })
 
+    server.createContext("/api/v1/admin/tsdb/snapshot", handler { ex =>
+      val dir = sys.props.getOrElse("graft.snapshot.dir",
+        sys.env.getOrElse("GRAFT_SNAPSHOT_DIR", "/tmp/graft_snapshots"))
+      val name = store.snapshot(dir)
+      ok(ex, Json.obj("name" -> Json.str(name)))
+    })
+
     server.createContext("/api/v1/write", handler { ex =>
       val body = ex.getRequestBody.readAllBytes()
       val isV2 = Option(ex.getRequestHeaders.getFirst("Content-Type"))

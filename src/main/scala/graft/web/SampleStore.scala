@@ -100,4 +100,13 @@ final class SampleStore(spark: SparkSession, initial: DataFrame) {
     base = samples.localCheckpoint(true)
     tombs = Nil
   }
+
+  /** /api/v1/admin/tsdb/snapshot — persist the current (tombstone-applied)
+    * view as parquet (ref: web/api/v1/api.go snapshot → tsdb Snapshot);
+    * returns the snapshot name */
+  def snapshot(baseDir: String): String = {
+    val name = s"${System.currentTimeMillis()}-${java.util.UUID.randomUUID.toString.take(8)}"
+    samples.write.mode("overwrite").parquet(s"$baseDir/$name")
+    name
+  }
 }

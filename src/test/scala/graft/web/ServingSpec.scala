@@ -396,6 +396,36 @@ class ServingSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("remote-write forwarding ships partitions to a downstream receiver; snapshot") {
+    // downstream = a second HttpApi with its own store
+    val downstream = emptyStore()
+    val api = new HttpApi(spark, downstream, 0, () => 10000L)
+    api.start()
+    try {
+      val rows = (0 until 50).map(k =>
+        Row(Map("__name__" -> "fwd", "k" -> (k % 5).toString), k * 100L, k.toDouble,
+          false, null, 0L))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3), Engine.samplesSchema)
+      val fwd = new RemoteWriteForwarder(
+        s"http://127.0.0.1:${api.boundPort}/api/v1/write", maxBatch = 16)
+      assert(fwd.forward(df) == 50L)
+      assert(downstream.samples.count() == 50L)
+      val (c1, b1) = get(api.boundPort, "/api/v1/query?query=count(fwd)&time=10")
+      assert(c1 == 200 && b1.contains("\"5\""))
+
+      // snapshot endpoint persists parquet and returns the name
+      val snapDir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+      System.setProperty("graft.snapshot.dir", snapDir)
+      try {
+        val (c2, b2) = get(api.boundPort, "/api/v1/admin/tsdb/snapshot")
+        assert(c2 == 200 && b2.contains("\"name\""))
+        val name = b2.split("\"name\":\"")(1).split("\"")(0)
+        assert(spark.read.parquet(s"$snapDir/$name").count() == 50L)
+      } finally System.clearProperty("graft.snapshot.dir")
+    } finally api.stop()
+  }
+
   test("notifier posts firing alerts to alertmanagers") {
     @volatile var received: String = null
     val am = HttpServer.create(new java.net.InetSocketAddress(0), 0)
