@@ -34,7 +34,50 @@ final class ScrapeManager(
   private var thread: Option[Thread] = None
 
   /** one synchronous scrape pass over every target; returns appended rows */
-  def scrapeOnce(): Long = targets.map(scrapeTarget).sum
+  def scrapeOnce(): Long = targets.map(t => if (t.proto) scrapeProto(t) else scrapeTarget(t)).sum
+
+  /** protobuf-negotiated scrape (content type io.prometheus.client.MetricFamily,
+    * delimited) — the only text-free scrape path; carries native histograms
+    * and family metadata (ref: scrape/scrape.go accept header negotiation,
+    * model/textparse/protobufparse.go) */
+  private def scrapeProto(tgt: ScrapeTarget): Long = {
+    import graft.promql.FHist
+    import graft.web.ProtoExposition
+    val t0 = nowMs()
+    val (parsed, ok) =
+      try {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(tgt.url))
+            .header("Accept", "application/vnd.google.protobuf;" +
+              "proto=io.prometheus.client.MetricFamily;encodings=delimited").GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        if (resp.statusCode() != 200) (ProtoExposition.Parsed(Nil, Map.empty), false)
+        else (ProtoExposition.parse(resp.body(), t0), true)
+      } catch { case _: Exception => (ProtoExposition.Parsed(Nil, Map.empty), false) }
+    val dur = (nowMs() - t0) / 1000.0
+    def decorate(labels: Map[String, String]): Map[String, String] =
+      labels ++ Map("instance" -> tgt.instance, "job" -> tgt.job) ++ tgt.extraLabels
+    val stamped = parsed.samples.map { s =>
+      s.copy(labels = decorate(s.labels), t = if (honorTimestamps && s.t != 0L) s.t else t0)
+    }
+    val report = Seq(
+      ("up", if (ok) 1.0 else 0.0),
+      ("scrape_duration_seconds", dur),
+      ("scrape_samples_scraped", parsed.samples.size.toDouble)).map { case (n, v) =>
+      Row(decorate(Map("__name__" -> n)), t0, v, false, null, 0L)
+    }
+    val rows = stamped.map(s =>
+      Row(s.labels, s.t, s.v, false, s.h.map(FHist.toRow).orNull, s.stt))
+    val df0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 10000)),
+      Engine.samplesSchema)
+    val scraped = if (rows.isEmpty) None else Some(Relabel(df0, metricRelabel))
+    val reportDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(report, 1), Engine.samplesSchema)
+    store.append(scraped.map(_.unionByName(reportDf)).getOrElse(reportDf))
+    if (parsed.meta.nonEmpty) store.mergeMetadata(parsed.meta)
+    stamped.size.toLong + report.size
+  }
 
   private def scrapeTarget(tgt: ScrapeTarget): Long = {
     val t0 = nowMs()
@@ -113,5 +156,6 @@ object ScrapeManager {
   final case class ScrapeTarget(
       url: String, job: String, instance: String,
       openMetrics: Boolean = false,
+      proto: Boolean = false,
       extraLabels: Map[String, String] = Map.empty)
 }

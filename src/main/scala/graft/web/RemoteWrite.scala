@@ -29,7 +29,7 @@ object RemoteWrite {
   type Meta = Map[String, (String, String, String)]
 
   /** protobuf wire reader over a byte array slice */
-  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+  private[web] final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
     def varint(): Long = {
       var shift = 0; var res = 0L

@@ -131,6 +131,118 @@ class ServingSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("protobuf exposition scrape: counter, summary, classic + native histogram, metadata") {
+    // hand-encoded io.prometheus.client.MetricFamily delimited stream
+    val o = new java.io.ByteArrayOutputStream()
+    def vint(out: java.io.ByteArrayOutputStream, x0: Long): Unit = {
+      var x = x0
+      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt)
+    }
+    def delim(out: java.io.ByteArrayOutputStream, tag: Int, body: Array[Byte]): Unit = {
+      vint(out, (tag << 3) | 2); vint(out, body.length); out.write(body)
+    }
+    def dbl(out: java.io.ByteArrayOutputStream, tag: Int, v: Double): Unit = {
+      vint(out, (tag << 3) | 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).foreach(i => out.write(((bits >> (8 * i)) & 0xff).toInt))
+    }
+    def varintF(out: java.io.ByteArrayOutputStream, tag: Int, v: Long): Unit = {
+      vint(out, tag << 3); vint(out, v)
+    }
+    def bytesOf(f: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream(); f(b); b.toByteArray
+    }
+    def strF(out: java.io.ByteArrayOutputStream, tag: Int, s: String): Unit =
+      delim(out, tag, s.getBytes("UTF-8"))
+    def lp(n: String, v: String) = bytesOf { b => strF(b, 1, n); strF(b, 2, v) }
+    // family 1: counter reqs{m="a"} 41
+    val fam1 = bytesOf { f =>
+      strF(f, 1, "reqs"); varintF(f, 3, 0)
+      delim(f, 4, bytesOf { m =>
+        delim(m, 1, lp("m", "a"))
+        delim(m, 3, bytesOf(c => dbl(c, 1, 41.0)))
+      })
+    }
+    // family 2: summary lat: count 5, sum 12.5, q0.5=2.0
+    val fam2 = bytesOf { f =>
+      strF(f, 1, "lat"); varintF(f, 3, 2); strF(f, 5, "seconds")
+      delim(f, 4, bytesOf { m =>
+        delim(m, 4, bytesOf { s =>
+          varintF(s, 1, 5); dbl(s, 2, 12.5)
+          delim(s, 3, bytesOf { q => dbl(q, 1, 0.5); dbl(q, 2, 2.0) })
+        })
+      })
+    }
+    // family 3: classic histogram chist: count 3, sum 6.0, buckets le=1:1, le=+Inf:3
+    val fam3 = bytesOf { f =>
+      strF(f, 1, "chist"); varintF(f, 3, 4)
+      delim(f, 4, bytesOf { m =>
+        delim(m, 7, bytesOf { h =>
+          varintF(h, 1, 3); dbl(h, 2, 6.0)
+          delim(h, 3, bytesOf { b => varintF(b, 1, 1); dbl(b, 2, 1.0) })
+          delim(h, 3, bytesOf { b => varintF(b, 1, 3); dbl(b, 2, Double.PositiveInfinity) })
+        })
+      })
+    }
+    // family 4: native histogram nhist: schema 0, count 4, sum 10, one positive
+    // span (offset 0 len 2) deltas [3, -2] => buckets [3, 1]
+    val fam4 = bytesOf { f =>
+      strF(f, 1, "nhist"); varintF(f, 3, 4)
+      delim(f, 4, bytesOf { m =>
+        delim(m, 7, bytesOf { h =>
+          varintF(h, 1, 4); dbl(h, 2, 10.0)
+          vint(h, (5 << 3)); vint(h, 0) // schema sint32 0 (zigzag 0)
+          delim(h, 12, bytesOf { s => vint(s, 1 << 3); vint(s, 0); varintF(s, 2, 2) })
+          delim(h, 13, bytesOf { d => vint(d, 6); vint(d, 3) }) // packed sint64 [3,-2]
+        })
+      })
+    }
+    Seq(fam1, fam2, fam3, fam4).foreach { fam => vint(o, fam.length); o.write(fam) }
+    val stream = o.toByteArray
+
+    // parser-level checks
+    val parsed = ProtoExposition.parse(stream, 7000L)
+    val byName = parsed.samples.groupBy(_.labels("__name__"))
+    assert(byName("reqs").head.v == 41.0 && byName("reqs").head.labels("m") == "a")
+    assert(byName("lat_count").head.v == 5.0 && byName("lat_sum").head.v == 12.5)
+    assert(byName("lat").head.labels("quantile") == "0.5" && byName("lat").head.v == 2.0)
+    assert(byName("chist_count").head.v == 3.0)
+    assert(byName("chist_bucket").map(s => s.labels("le") -> s.v).toMap ==
+      Map("1" -> 1.0, "+Inf" -> 3.0))
+    val nh = byName("nhist").head.h.get
+    assert(nh.cnt == 4.0 && nh.sum == 10.0 && nh.pcnt == Seq(3.0, 1.0))
+    assert(parsed.meta("lat") == (("summary", "seconds", "")))
+
+    // end-to-end scrape through an HTTP server with proto negotiation
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/metrics", ex => {
+      assert(Option(ex.getRequestHeaders.getFirst("Accept"))
+        .exists(_.contains("io.prometheus.client.MetricFamily")))
+      ex.sendResponseHeaders(200, stream.length)
+      ex.getResponseBody.write(stream); ex.getResponseBody.close()
+    })
+    server.start()
+    try {
+      val store = emptyStore()
+      val mgr = new ScrapeManager(spark, store,
+        Seq(ScrapeManager.ScrapeTarget(
+          s"http://127.0.0.1:${server.getAddress.getPort}/metrics",
+          job = "pj", instance = "pi", proto = true)),
+        nowMs = () => 80000L)
+      val n = mgr.scrapeOnce()
+      assert(n == 12L) // 9 scraped + 3 report
+      val rows = store.samples.collect().map(r =>
+        (r.getMap[String, String](0).toMap, r.getLong(1), r.getDouble(2), Option(r.get(4)))).toSeq
+      assert(rows.exists { case (l, t, v, _) =>
+        l("__name__") == "reqs" && l("job") == "pj" && t == 80000L && v == 41.0 })
+      assert(rows.exists { case (l, _, _, h) => l("__name__") == "nhist" && h.isDefined })
+      assert(rows.exists { case (l, _, v, _) => l("__name__") == "up" && v == 1.0 })
+      assert(store.metadata.exists { case (fam, (t, u, _)) =>
+        fam == "lat" && t == "summary" && u == "seconds" })
+    } finally server.stop(0)
+  }
+
   test("remote read: wire round-trip, server endpoint, client, fanout query") {
     // request codec round-trip
     val q = RemoteRead.Query(1000L, 9000L, List(
