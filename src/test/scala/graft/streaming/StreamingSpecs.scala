@@ -128,6 +128,31 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(totals.select("v").collect().forall(_.getDouble(0) == 30.0))
   }
 
+  test("classicToNhcb synthesizes custom-bounds native histograms, keeps classic series") {
+    val rows = Seq(
+      (Map("__name__" -> "h_bucket", "le" -> "1", "job" -> "j"), 1000L, 2.0),
+      (Map("__name__" -> "h_bucket", "le" -> "2.5", "job" -> "j"), 1000L, 5.0),
+      (Map("__name__" -> "h_bucket", "le" -> "+Inf", "job" -> "j"), 1000L, 7.0),
+      (Map("__name__" -> "h_count", "job" -> "j"), 1000L, 7.0),
+      (Map("__name__" -> "h_sum", "job" -> "j"), 1000L, 11.5),
+      (Map("__name__" -> "other", "job" -> "j"), 1000L, 3.0))
+    val out = Ingest.classicToNhcb(samplesOf(rows))
+    assert(out.count() == 7) // 6 classic + 1 synthesized
+    val nh = out.filter(col("h").isNotNull).collect()
+    assert(nh.length == 1)
+    val r = nh.head
+    assert(r.getMap[String, String](0).toMap == Map("__name__" -> "h", "job" -> "j"))
+    val h = r.getStruct(4)
+    // FHist(schema=custom, ..., cnt, sum, pidx, pcnt, _, _, cv, _)
+    assert(h.getDouble(3) == 7.0 && h.getDouble(4) == 11.5)
+    assert(h.getSeq[Double](6) == Seq(2.0, 3.0, 2.0))    // de-cumulated buckets
+    assert(h.getSeq[Double](9) == Seq(1.0, 2.5))          // custom bounds
+    // engine sees it: histogram_count over the synthesized series
+    val q = Engine.instantQuery(spark, out, "histogram_count(h)", 1000L)
+    val got = q.asInstanceOf[graft.promql.VectorVal].df.collect()
+    assert(got.length == 1 && got.head.getDouble(got.head.fieldIndex("v")) == 7.0)
+  }
+
   test("retention drops old 2h block partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ret").toFile
     val old = new java.io.File(dir, "block=0"); old.mkdirs()
