@@ -422,27 +422,46 @@ object CallEval {
     // (identifying labels, step)
     val infoRaw = pl.instantSelect(VectorSelector(None, effNameMs))
     val infoOk = dataMs.foldLeft(infoRaw)((df, m) => df.filter(matcherCond(col("labels"), m)))
-    // labels to merge: named by the data matchers, or all non-identifying
-    val addLabels: Column =
-      if (dataMs.nonEmpty) {
-        val names = dataMs.map(_.name).distinct
-        map_filter(col("ilabels"), (k, v) => k.isInCollection(names) && v =!= "")
-      } else
-        map_filter(col("ilabels"),
-          (k, v) => k =!= "__name__" && !k.isInCollection(ids) && v =!= "")
-    // merge label maps across ALL matching info series per (identifying, t)
-    // (e.g. target_info + build_info both contribute data labels);
-    // deterministic first-wins order by sorted label signature
-    val mergeMaps = udf { (ms: Seq[Map[String, String]]) =>
-      ms.sortBy(_.toSeq.sorted.mkString("\u0000"))
-        .foldLeft(Map.empty[String, String])((acc, m) => m ++ acc)
-    }
+    // info samples must be floats (ref: info.go:384) — lazy runtime error
+    // embedded in the label dataflow so it fires iff the sample is selected
+    val iLabelsChecked =
+      when(col("h").isNotNull, raise_error(lit("info sample should be float"))
+        .cast(org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+        .otherwise(col("labels"))
     val infoKeyed = infoOk
-      .select(col("labels").as("ilabels"), col("t"),
+      .select(iLabelsChecked.as("ilabels"), col("t"),
         idCol(col("labels"), "instance").as("__ii"), idCol(col("labels"), "job").as("__ij"))
       .groupBy(col("__ii"), col("__ij"), col("t"))
-      .agg(mergeMaps(collect_list(col("ilabels"))).as("ilabels"))
-      .select(col("__ii"), col("__ij"), col("t"), col("ilabels"))
+      .agg(collect_list(col("ilabels")).as("imaps"))
+      .select(col("__ii"), col("__ij"), col("t"), col("imaps"))
+
+    // Per-base-row merge (ref: info.go:426-459): one contribution per info
+    // metric name; a data label contributed twice with different values
+    // errors ("conflicting label: x") UNLESS the base metric already carries
+    // it (the reference's lb.Set is skipped for base labels, so its Get-based
+    // conflict check can never fire for them).
+    val dataNames = dataMs.map(_.name).distinct
+    val mergeWithBase = udf { (base: Map[String, String], imaps: Seq[Map[String, String]]) =>
+      val perName = Option(imaps).getOrElse(Seq.empty)
+        .groupBy(_.getOrElse("__name__", ""))
+        .map { case (_, ms) => ms.minBy(_.toSeq.sorted.mkString("\u0001")) }
+        .toSeq.sortBy(_.toSeq.sorted.mkString("\u0001"))
+      val acc = scala.collection.mutable.LinkedHashMap[String, String]()
+      perName.foreach { m =>
+        m.foreach { case (k, v) =>
+          val considered = k != "__name__" && v != "" &&
+            (if (dataNames.nonEmpty) dataNames.contains(k) else !ids.contains(k))
+          if (considered) acc.get(k) match {
+            case Some(x) if x != v =>
+              throw new IllegalArgumentException(s"conflicting label: $k")
+            case Some(_) => ()
+            case None => if (!base.contains(k)) acc(k) = v
+          }
+        }
+      }
+      acc.toMap ++ base
+    }
 
     val bb = toEnrich
       .withColumn("__bi", idCol(col("labels"), "instance"))
@@ -453,12 +472,9 @@ object CallEval {
           bb("t") === infoKeyed("t"), "left")
       .drop(infoKeyed("t"))
     val enriched = joined
-      .filter(col("ilabels").isNotNull || lit(emptyOk))
+      .filter(col("imaps").isNotNull || lit(emptyOk))
       .select(
-        when(col("ilabels").isNotNull,
-          map_concat(
-            map_filter(addLabels, (k, _) => !map_contains_key(col("labels"), k)),
-            col("labels")))
+        when(col("imaps").isNotNull, mergeWithBase(col("labels"), col("imaps")))
           .otherwise(col("labels")).as("labels"),
         col("t"), col("v"), col("st"), col("h"), col("dn"))
     enriched.unionByName(passThrough)
