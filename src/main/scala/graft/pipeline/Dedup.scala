@@ -166,7 +166,7 @@ object Dedup {
     val sh = simhash(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
-        "(simhash >> (b * 16)) & 65535 AS bv))")).as("bb"))
+        "shiftright(simhash, b * 16) & 65535 AS bv))")).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
     val a = banded.select(col("band"), col("bv"), col("doc_id").as("da"), col("simhash").as("ha"))
     val b = banded.select(col("band"), col("bv"), col("doc_id").as("db"), col("simhash").as("hb"))

@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Unit specs for the LLM-pipeline operators (the driver's oracle gate
+  * checks them end-to-end at sf scale; these pin the SEMANTICS on small
+  * hand-checkable inputs). */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docsOf(rows: (Long, String)*): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, t) => Row(i, t, t.length.toLong) }, 2), schema)
+  }
+
+  private def embsOf(rows: (Long, Seq[Float])*): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, v) => Row(i, v) }, 2), schema)
+  }
+
+  test("exact dedup groups by normalized text, keeps min doc_id") {
+    val d = docsOf(
+      1L -> "Hello   World", 2L -> "hello world", 3L -> " HELLO WORLD ",
+      4L -> "different")
+    val out = Dedup.exact(d).collect()
+      .map(r => r.getLong(r.fieldIndex("kept_doc_id")) -> r.getLong(r.fieldIndex("n_members"))).toMap
+    assert(out == Map(1L -> 3L, 4L -> 1L))
+  }
+
+  test("ngram Jaccard: exact pair similarity with DF cap") {
+    // doc1/doc2 share 2 of their 3-gram shingles; doc3 disjoint
+    val d = docsOf(
+      1L -> "a b c d",    // shingles: "a b c", "b c d"
+      2L -> "a b c d e",  // shingles: "a b c", "b c d", "c d e"
+      3L -> "x y z w")
+    val out = Dedup.ngramJaccardPairs(d, tau = 0.1, n = 3, maxDF = 100).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("da")) == 1L && r.getLong(r.fieldIndex("db")) == 2L)
+    assert(r.getLong(r.fieldIndex("shared")) == 2L)
+    // |A∩B| / |A∪B| = 2 / (2 + 3 - 2)
+    assert(math.abs(r.getDouble(r.fieldIndex("jaccard")) - 2.0 / 3.0) < 1e-12)
+    // DF cap drops the shared shingles entirely -> no pair survives
+    assert(Dedup.ngramJaccardPairs(d, tau = 0.1, n = 3, maxDF = 1).count() == 0)
+  }
+
+  test("minhash: identical docs get identical signatures and est_jaccard 1.0") {
+    val d = docsOf(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "completely unrelated text about something else entirely here now")
+    val sigs = Dedup.minhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(sigs(1L) == sigs(2L) && sigs(1L) != sigs(3L))
+    val pairs = Dedup.minhashPairs(d, minEstJaccard = 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical docs collide, near-identical docs within hamming bound") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val d = docsOf(1L -> base, 2L -> base, 3L -> "totally different words everywhere")
+    val pairs = Dedup.simhashPairs(d, maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getInt(r.fieldIndex("hamming")) == 0))
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("brute-force cosine top-k: exact ranking") {
+    val e = embsOf(
+      1L -> Seq(1f, 0f),           // query
+      2L -> Seq(2f, 0f),           // cos 1.0
+      3L -> Seq(1f, 1f),           // cos ~0.7071
+      4L -> Seq(0f, 1f),           // cos 0.0
+      5L -> Seq(-1f, 0f))          // cos -1.0
+    val out = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 1L), k = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(r.fieldIndex("rank")), r.getLong(r.fieldIndex("nid")),
+        r.getDouble(r.fieldIndex("cos"))))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1, 2L), (2, 3L), (3, 4L)))
+    assert(out(0)._3 == 1.0 && math.abs(out(1)._3 - math.sqrt(0.5)) < 1e-12 && out(2)._3 == 0.0)
+  }
+
+  test("LSH top-k: identical vectors always share every bucket; rerank is exact") {
+    val v = Seq(0.5f, -0.25f, 1f, 0.75f)
+    val e = embsOf(1L -> v, 2L -> v, 3L -> v.map(x => -x))
+    val out = Similarity.lshTopK(e, e.filter(col("vec_id") === 1L), k = 2).collect()
+    // the identical vector must be found with cos 1.0 at rank 1
+    assert(out.exists(r => r.getLong(r.fieldIndex("nid")) == 2L &&
+      r.getInt(r.fieldIndex("rank")) == 1 && r.getDouble(r.fieldIndex("cos")) == 1.0))
+  }
+
+  test("cosineDupPairs finds exact duplicates, respects tau") {
+    val e = embsOf(
+      1L -> Seq(1f, 2f, 3f), 2L -> Seq(1f, 2f, 3f), 3L -> Seq(-3f, 1f, -2f))
+    val out = Similarity.cosineDupPairs(e, tau = 0.99).collect()
+    assert(out.length == 1 &&
+      out.head.getLong(0) == 1L && out.head.getLong(1) == 2L &&
+      out.head.getDouble(2) == 1.0)
+  }
+
+  test("token counts: whitespace and regex tokenizations") {
+    val d = docsOf(1L -> "Hello, world! 42x")
+    val r = TextAnalysis.tokenCounts(d).collect().head
+    // ws tokens: ["hello,", "world!", "42x"]
+    assert(r.getLong(r.fieldIndex("ws_tokens")) == 3L)
+    // regex [a-z]+|[0-9]|[^a-z0-9\s]: hello , world ! 4 2 x -> 7
+    assert(r.getLong(r.fieldIndex("re_tokens")) == 7L)
+  }
+
+  test("fingerprints are deterministic and shift-sensitive") {
+    val d1 = docsOf(1L -> "abcdef ghij klmno")
+    val d2 = docsOf(1L -> "abcdef ghij klmno")
+    val d3 = docsOf(1L -> "abcdef ghij klmnX")
+    val f1 = TextAnalysis.fingerprints(d1).collect().head
+    val f2 = TextAnalysis.fingerprints(d2).collect().head
+    val f3 = TextAnalysis.fingerprints(d3).collect().head
+    assert(f1.toSeq == f2.toSeq && f1.toSeq != f3.toSeq)
+  }
+
+  test("multimodal: batched decode plumbing produces per-doc features") {
+    val d = docsOf(1L -> "payload-one", 2L -> "payload-two-longer")
+    val out = Multimodal.extractFeatures(spark, Multimodal.asMedia(d), batchSize = 1)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getLong(r.fieldIndex("byte_len"))).toMap
+    assert(out == Map(1L -> 11L, 2L -> 18L))
+  }
+}
