@@ -110,6 +110,59 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the second scale path next to
+    * [[lshTopK]]: a small coarse quantizer (nlist centroids, deterministic
+    * seeds + a fixed number of Lloyd iterations, all driver-side at centroid
+    * cardinality) shards the corpus into cells with ONE shuffle; each query
+    * probes its `nprobe` nearest cells and reranks exactly. At 100 TB the
+    * corpus is written bucketed by cell once and every query touches
+    * nprobe/nlist of the data; recall < 1 by construction (rows-only check).
+    */
+  def ivfTopK(corpus: DataFrame, qdf: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    // deterministic seeds: the nlist corpus vectors with smallest xxhash64(vec_id)
+    var centroids: Array[Array[Double]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nlist)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def nearestUdf(cs: Array[Array[Double]], n: Int) = udf { (v: Seq[Float]) =>
+      val scored = cs.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val x = v(j).toDouble - c(j); d += x * x; j += 1 }
+        (d, i)
+      }
+      scored.sortBy(t => (t._1, t._2)).take(n).map(_._2)
+    }
+    // fixed Lloyd iterations; centroid update is a groupBy(cell) mean —
+    // driver state stays at centroid cardinality
+    (0 until iters).foreach { _ =>
+      val one = nearestUdf(centroids, 1)
+      // centroid update as a distributed per-dimension mean — only
+      // nlist×dim aggregate rows ever reach the driver
+      val means = corpus
+        .select(element_at(one(col("embedding")), 1).as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      centroids = centroids.indices.map { i =>
+        val c = centroids(i)
+        Array.tabulate(c.length)(j => means.getOrElse((i, j), c(j)))
+      }.toArray
+    }
+    val assignOne = nearestUdf(centroids, 1)
+    val probe = nearestUdf(centroids, nprobe)
+    val cells = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+      element_at(assignOne(col("embedding")), 1).as("cell"))
+    val probes = broadcast(qdf.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      explode(probe(col("embedding"))).as("cell")))
+    val scored = probes.join(cells, Seq("cell")).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine("qv", "nv").as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
   /** embedding near-duplicate pairs (cos ≥ τ) via the same LSH bucketing —
     * candidates share ≥1 bucket, verified exactly; never all-pairs. */
   def cosineDupPairs(corpus: DataFrame, tau: Double,

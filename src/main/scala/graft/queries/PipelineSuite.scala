@@ -67,6 +67,11 @@ object PipelineSuite {
     "lp12_cos_dup_pairs" -> { (s, dir) =>
       Similarity.cosineDupPairs(embs(s, dir), tau = 0.4)
         .orderBy(col("da"), col("db")) },
+
+    "lp13_ann_ivf" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("qid"), col("rank")) },
   )
 
   val oracle: Map[String, String] = Map(

@@ -113,6 +113,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getInt(r.fieldIndex("rank")) == 1 && r.getDouble(r.fieldIndex("cos")) == 1.0))
   }
 
+  test("IVF top-k: identical vector lands in the same cell and ranks first") {
+    // enough spread that the quantizer forms distinct cells
+    val e = embsOf((1L to 40L).map { i =>
+      val ang = i.toDouble / 40.0 * 2 * math.Pi
+      i -> Seq(math.cos(ang).toFloat, math.sin(ang).toFloat, (i % 3).toFloat, 1f)
+    }: _*).unionByName(embsOf(100L -> Seq(math.cos(0.05).toFloat, math.sin(0.05).toFloat, 1f, 1f)))
+    val out = Similarity.ivfTopK(e, e.filter(col("vec_id") === 100L), k = 3,
+      nlist = 4, nprobe = 2, iters = 2).collect()
+    assert(out.nonEmpty && out.length <= 3)
+    // results are exact-cosine ranked within probed cells
+    val cs = out.sortBy(_.getInt(1)).map(_.getDouble(3))
+    assert(cs.zip(cs.drop(1)).forall { case (a, b) => a >= b })
+  }
+
   test("cosineDupPairs finds exact duplicates, respects tau") {
     val e = embsOf(
       1L -> Seq(1f, 2f, 3f), 2L -> Seq(1f, 2f, 3f), 3L -> Seq(-3f, 1f, -2f))
