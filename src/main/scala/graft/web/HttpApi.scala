@@ -24,6 +24,28 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
   server.setExecutor(pool)
 
+  private val startedMs = nowMs()
+
+  /** rule registry + evaluated alert state, wired in by the host
+    * (group name → signature → state); rendered by /rules and /alerts */
+  @volatile var ruleGroups: Seq[graft.streaming.Rules.Group] = Nil
+  @volatile var alertState: Map[String, Map[String, graft.streaming.Rules.AlertState]] = Map.empty
+  @volatile var scrapeTargets: Seq[graft.streaming.ScrapeManager.ScrapeTarget] = Nil
+
+  /** (rendered alert JSON, state string) for one alerting rule */
+  private def activeAlertsOf(group: String,
+      a: graft.streaming.Rules.AlertingRule): Seq[(String, String)] =
+    alertState.getOrElse(group, Map.empty).toSeq.collect {
+      case (_, st) if st.labels.getOrElse("alertname", "") == a.alert =>
+        val state = if (st.firingSinceMs >= 0) "firing" else "pending"
+        (Json.obj(
+          "labels" -> Json.metric(st.labels),
+          "annotations" -> Json.metric(a.annotations),
+          "state" -> Json.str(state),
+          "activeAt" -> Json.str(java.time.Instant.ofEpochMilli(st.activeSinceMs).toString),
+          "value" -> Json.value(1.0)), state)
+    }.sortBy(_._1)
+
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = { routes(); server.start() }
@@ -332,6 +354,101 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     server.createContext("/api/v1/status/buildinfo", handler { ex =>
       ok(ex, Json.obj("version" -> Json.str("graft-spark"),
         "goVersion" -> Json.str("n/a")))
+    })
+
+    server.createContext("/api/v1/status/flags", handler { ex => ok(ex, "{}") })
+
+    server.createContext("/api/v1/status/config", handler { ex =>
+      ok(ex, Json.obj("yaml" -> Json.str("# graft-spark serving configuration")))
+    })
+
+    server.createContext("/api/v1/status/runtimeinfo", handler { ex =>
+      ok(ex, Json.obj(
+        "startTime" -> Json.str(java.time.Instant.ofEpochMilli(startedMs).toString),
+        "serverTime" -> Json.str(java.time.Instant.ofEpochMilli(nowMs()).toString),
+        "storageRetention" -> Json.str("")))
+    })
+
+    // TSDB head stats (ref: api.go serveTSDBStatus) — each stat is one
+    // distributed aggregation over the store; only top-10 rows are collected
+    server.createContext("/api/v1/status/tsdb", handler { ex =>
+      val s = store.samples
+      val sig = xxhash64(to_json(map_from_entries(array_sort(map_entries(col("labels"))))))
+      val series = s.select(element_at(col("labels"), "__name__").as("n"), sig.as("sg")).distinct()
+        .cache()
+      val numSeries = series.count()
+      val top = (df: DataFrame) => Json.arr(df.collect().toSeq.map(r =>
+        Json.obj("name" -> Json.str(Option(r.getString(0)).getOrElse("")),
+          "value" -> r.getLong(1).toString)))
+      val byMetric = series.groupBy(col("n")).count()
+        .orderBy(col("count").desc, col("n")).limit(10)
+        .select(col("n"), col("count"))
+      val pairs = s.select(explode(map_entries(col("labels"))).as("e")).select(col("e.key"), col("e.value"))
+      val valueCountByName = pairs.distinct().groupBy(col("key")).count()
+        .orderBy(col("count").desc, col("key")).limit(10)
+      val tRange = s.agg(min(col("t")), max(col("t")), count(lit(1))).collect().head
+      val out = Json.obj(
+        "headStats" -> Json.obj(
+          "numSeries" -> numSeries.toString,
+          "numLabelPairs" -> pairs.distinct().count().toString,
+          "chunkCount" -> (if (tRange.isNullAt(2)) "0" else tRange.getLong(2).toString),
+          "minTime" -> (if (tRange.isNullAt(0)) "0" else tRange.getLong(0).toString),
+          "maxTime" -> (if (tRange.isNullAt(1)) "0" else tRange.getLong(1).toString)),
+        "seriesCountByMetricName" -> top(byMetric),
+        "labelValueCountByLabelName" -> top(valueCountByName),
+        "memoryInBytesByLabelName" -> "[]",
+        "seriesCountByLabelValuePair" -> "[]")
+      series.unpersist()
+      ok(ex, out)
+    })
+
+    // rule registry + live alerts (ref: api.go rules/alerts handlers) —
+    // the host wires evaluated state in via `ruleGroups`/`alertState`
+    server.createContext("/api/v1/rules", handler { ex =>
+      val groups = ruleGroups.map { g =>
+        val rec = g.recording.map(r => Json.obj(
+          "type" -> Json.str("recording"), "name" -> Json.str(r.record),
+          "query" -> Json.str(r.expr), "labels" -> Json.metric(r.labels),
+          "health" -> Json.str("ok")))
+        val alr = g.alerting.map { a =>
+          val alerts = activeAlertsOf(g.name, a)
+          Json.obj(
+            "type" -> Json.str("alerting"), "name" -> Json.str(a.alert),
+            "query" -> Json.str(a.expr),
+            "duration" -> (a.forMs / 1000.0).toString,
+            "keepFiringFor" -> (a.keepFiringForMs / 1000.0).toString,
+            "labels" -> Json.metric(a.labels),
+            "annotations" -> Json.metric(a.annotations),
+            "state" -> Json.str(
+              if (alerts.exists(_._2 == "firing")) "firing"
+              else if (alerts.nonEmpty) "pending" else "inactive"),
+            "alerts" -> Json.arr(alerts.map(_._1)),
+            "health" -> Json.str("ok"))
+        }
+        Json.obj("name" -> Json.str(g.name), "file" -> Json.str(""),
+          "interval" -> (g.intervalMs / 1000.0).toString,
+          "rules" -> Json.arr(rec ++ alr))
+      }
+      ok(ex, Json.obj("groups" -> Json.arr(groups)))
+    })
+
+    server.createContext("/api/v1/alerts", handler { ex =>
+      val all = ruleGroups.flatMap(g => g.alerting.flatMap(a => activeAlertsOf(g.name, a)))
+      ok(ex, Json.obj("alerts" -> Json.arr(all.map(_._1))))
+    })
+
+    server.createContext("/api/v1/targets", handler { ex =>
+      val active = scrapeTargets.map { t =>
+        Json.obj(
+          "discoveredLabels" -> Json.metric(Map("__address__" -> t.url)),
+          "labels" -> Json.metric(
+            Map("instance" -> t.instance, "job" -> t.job) ++ t.extraLabels),
+          "scrapePool" -> Json.str(t.job),
+          "scrapeUrl" -> Json.str(t.url),
+          "health" -> Json.str("up"))
+      }
+      ok(ex, Json.obj("activeTargets" -> Json.arr(active),
+        "droppedTargets" -> "[]"))
     })
 
     server.createContext("/api/v1/otlp/v1/metrics", handler { ex =>

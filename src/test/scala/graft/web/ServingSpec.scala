@@ -538,6 +538,45 @@ class ServingSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("status/rules/alerts/targets endpoints render registry state") {
+    val store = emptyStore()
+    store.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Map("__name__" -> "m1", "job" -> "a"), 1000L, 1.0, false, null, 0L),
+        Row(Map("__name__" -> "m1", "job" -> "b"), 1000L, 2.0, false, null, 0L),
+        Row(Map("__name__" -> "m2", "job" -> "a"), 2000L, 3.0, false, null, 0L)), 1),
+      Engine.samplesSchema))
+    val api = new HttpApi(spark, store, 0, () => 99000L)
+    api.ruleGroups = Seq(graft.streaming.Rules.Group("g1", 60000L,
+      recording = Seq(graft.streaming.Rules.RecordingRule("rec:m1", "sum(m1)")),
+      alerting = Seq(graft.streaming.Rules.AlertingRule("HighM1", "m1 > 10", forMs = 60000L))))
+    api.alertState = Map("g1" -> Map(
+      "sig1" -> graft.streaming.Rules.AlertState(50000L, 70000L, 90000L,
+        Map("alertname" -> "HighM1", "job" -> "a"))))
+    api.scrapeTargets = Seq(graft.streaming.ScrapeManager.ScrapeTarget(
+      "http://x:1/metrics", "j1", "i1"))
+    api.start()
+    try {
+      val (c1, b1) = get(api.boundPort, "/api/v1/status/tsdb")
+      assert(c1 == 200 && b1.contains("\"numSeries\":3") &&
+        b1.contains("\"seriesCountByMetricName\""))
+      val (c2, b2) = get(api.boundPort, "/api/v1/rules")
+      assert(c2 == 200 && b2.contains("\"name\":\"g1\"") &&
+        b2.contains("\"type\":\"recording\"") && b2.contains("\"state\":\"firing\""))
+      val (c3, b3) = get(api.boundPort, "/api/v1/alerts")
+      assert(c3 == 200 && b3.contains("\"alertname\":\"HighM1\"") &&
+        b3.contains("\"state\":\"firing\""))
+      val (c4, b4) = get(api.boundPort, "/api/v1/targets")
+      assert(c4 == 200 && b4.contains("\"scrapePool\":\"j1\"") && b4.contains("\"health\":\"up\""))
+      val (c5, b5) = get(api.boundPort, "/api/v1/status/runtimeinfo")
+      assert(c5 == 200 && b5.contains("startTime"))
+      val (c6, _) = get(api.boundPort, "/api/v1/status/flags")
+      assert(c6 == 200)
+      val (c7, b7) = get(api.boundPort, "/api/v1/status/config")
+      assert(c7 == 200 && b7.contains("yaml"))
+    } finally api.stop()
+  }
+
   test("notifier posts firing alerts to alertmanagers") {
     @volatile var received: String = null
     val am = HttpServer.create(new java.net.InetSocketAddress(0), 0)
