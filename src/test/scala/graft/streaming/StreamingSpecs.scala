@@ -153,6 +153,36 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length == 1 && got.head.getDouble(got.head.fieldIndex("v")) == 7.0)
   }
 
+  test("streaming ingest end-to-end: file source -> relabel -> block-partitioned sink") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    // samples spanning two 2h blocks (t in ms on the exposition line)
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "scrape1.txt"),
+      ("# TYPE m counter\n" +
+       "m{job=\"a\"} 1 1000\n" +
+       "m{job=\"a\"} 2 3600000\n" +
+       "m{job=\"b\"} 5 7300000\n").getBytes("UTF-8"))
+    val src = Ingest.source(spark, inDir)
+    assert(src.isStreaming)
+    val q = Ingest.sink(src, outDir, ckDir, oooWindowMs = 60000L)
+    try { q.processAllAvailable() } finally q.stop()
+    // block partitioning on disk = the 2h-block layout queries prune on
+    val blocks = new java.io.File(outDir).listFiles()
+      .filter(_.getName.startsWith("block=")).map(_.getName).sorted
+    assert(blocks.toSeq == Seq("block=0", "block=7200000"))
+    val rows = spark.read.parquet(outDir)
+      .collect().map(r => (r.getMap[String, String](0)("job"), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSet == Set(("a", 1000L, 1.0), ("a", 3600000L, 2.0), ("b", 7300000L, 5.0)))
+    // and the engine can query the sink directly
+    val df = spark.read.parquet(outDir).select(col("labels"), col("t"), col("v"),
+      col("stale"), col("h"), lit(0L).as("stt"))
+    // at t=7300000 only job=b's sample is within the 5m lookback
+    val got = graft.promql.Engine.instantQuery(spark, df, "sum(m)", 7300000L)
+      .asInstanceOf[graft.promql.VectorVal].df.collect()
+    assert(got.length == 1 && got.head.getDouble(got.head.fieldIndex("v")) == 5.0)
+  }
+
   test("retention drops old 2h block partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ret").toFile
     val old = new java.io.File(dir, "block=0"); old.mkdirs()
