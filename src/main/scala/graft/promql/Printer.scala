@@ -1,0 +1,117 @@
+package graft.promql
+
+/** Canonical PromQL expression printer (ref: promql/parser/printer.go
+  * String() methods; model/time.go Duration.String for durations). Used by
+  * the /api/v1/format_query endpoint and for rendering rule queries. */
+object Printer {
+
+  /** ms → Prometheus duration string (y/w/d/h/m/s/ms greedy decomposition) */
+  def dur(ms0: Long): String = {
+    if (ms0 == 0) return "0s"
+    val neg = ms0 < 0
+    var ms = math.abs(ms0)
+    val units = Seq(
+      "y" -> 365L * 24 * 3600 * 1000, "w" -> 7L * 24 * 3600 * 1000,
+      "d" -> 24L * 3600 * 1000, "h" -> 3600L * 1000,
+      "m" -> 60L * 1000, "s" -> 1000L, "ms" -> 1L)
+    val sb = new StringBuilder(if (neg) "-" else "")
+    units.foreach { case (u, w) =>
+      if (ms >= w) { sb.append(ms / w).append(u); ms %= w }
+    }
+    sb.toString
+  }
+
+  private def quote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\t' => sb.append("\\t")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  private def num(d: Double): String = {
+    if (d.isNaN) "NaN"
+    else if (d == Double.PositiveInfinity) "+Inf"
+    else if (d == Double.NegativeInfinity) "-Inf"
+    else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+    else graft.web.Json.goFloat(d)
+  }
+
+  private def matcherStr(m: LabelMatcher): String = {
+    val op = m.op match {
+      case MatchOp.Eq => "="
+      case MatchOp.Neq => "!="
+      case MatchOp.Re => "=~"
+      case MatchOp.NotRe => "!~"
+    }
+    m.name + op + quote(m.value)
+  }
+
+  private def atOffset(offsetMs: Long, at: Option[AtModifier]): String = {
+    val a = at match {
+      case Some(AtModifier.AtTimestamp(ms)) => f" @ ${ms / 1000.0}%.3f"
+      case Some(AtModifier.AtStart) => " @ start()"
+      case Some(AtModifier.AtEnd) => " @ end()"
+      case None => ""
+    }
+    val o =
+      if (offsetMs > 0) s" offset ${dur(offsetMs)}"
+      else if (offsetMs < 0) s" offset -${dur(-offsetMs)}"
+      else ""
+    a + o
+  }
+
+  private def selectorBody(vs: VectorSelector): String = {
+    val ms = vs.matchers.filterNot(m =>
+      m.name == "__name__" && m.op == MatchOp.Eq && vs.metricName.contains(m.value))
+    val name = vs.metricName.getOrElse("")
+    if (ms.isEmpty) name
+    else name + ms.map(matcherStr).mkString("{", ",", "}")
+  }
+
+  def fmt(e: Expr): String = e match {
+    case NumberLiteral(v) => num(v)
+    case StringLiteral(v) => quote(v)
+    case vs: VectorSelector => selectorBody(vs) + atOffset(vs.offsetMs, vs.at)
+    case SmoothedVector(vs) => selectorBody(vs) + " smoothed" + atOffset(vs.offsetMs, vs.at)
+    case MatrixSelector(vs, rangeMs, ext) =>
+      val extStr = ext match { case 1 => " anchored"; case 2 => " smoothed"; case _ => "" }
+      s"${selectorBody(vs)}[${dur(rangeMs)}]$extStr${atOffset(vs.offsetMs, vs.at)}"
+    case SubqueryExpr(inner, rangeMs, stepMs, offsetMs, at) =>
+      val step = if (stepMs != 0) dur(stepMs) else ""
+      s"${fmt(inner)}[${dur(rangeMs)}:$step]${atOffset(offsetMs, at)}"
+    case Call(name, args) => name + "(" + args.map(fmt).mkString(", ") + ")"
+    case AggregateExpr(op, inner, param, grouping, without) =>
+      val grp =
+        if (without) " without (" + grouping.mkString(", ") + ") "
+        else if (grouping.nonEmpty) " by (" + grouping.mkString(", ") + ") "
+        else ""
+      val p = param.map(fmt(_) + ", ").getOrElse("")
+      s"$op$grp($p${fmt(inner)})"
+    case BinaryExpr(op, lhs, rhs, vm, returnBool) =>
+      val boolStr = if (returnBool) " bool" else ""
+      val manyCard = vm.card == MatchCard.ManyToOne || vm.card == MatchCard.OneToMany
+      var matching = ""
+      if (vm.matchingLabels.nonEmpty || vm.on || manyCard) {
+        val tag = if (vm.on) "on" else "ignoring"
+        matching += s" $tag (" + vm.matchingLabels.mkString(", ") + ")"
+      }
+      if (manyCard) {
+        val side = if (vm.card == MatchCard.ManyToOne) "left" else "right"
+        matching += s" group_$side (" + vm.include.mkString(", ") + ")"
+      }
+      (vm.fillLhs, vm.fillRhs) match {
+        case (Some(l), Some(r)) if l == r => matching += s" fill (${num(l)})"
+        case (l, r) =>
+          l.foreach(v => matching += s" fill_left (${num(v)})")
+          r.foreach(v => matching += s" fill_right (${num(v)})")
+      }
+      s"${fmt(lhs)} $op$boolStr$matching ${fmt(rhs)}"
+    case UnaryExpr(op, inner) => op + fmt(inner)
+    case ParenExpr(inner) => "(" + fmt(inner) + ")"
+  }
+}

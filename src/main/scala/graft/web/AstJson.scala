@@ -1,0 +1,128 @@
+package graft.web
+
+import graft.promql._
+
+/** /api/v1/parse_query AST encoding (ref: web/api/v1/translate_ast.go —
+  * node type tags and field names mirror the reference so query-builder
+  * clients can consume either engine). */
+object AstJson {
+
+  private def matchOp(op: MatchOp): String = op match {
+    case MatchOp.Eq => "="
+    case MatchOp.Neq => "!="
+    case MatchOp.Re => "=~"
+    case MatchOp.NotRe => "!~"
+  }
+
+  private def matchers(ms: List[LabelMatcher]): String =
+    Json.arr(ms.map(m => Json.obj(
+      "name" -> Json.str(m.name), "type" -> Json.str(matchOp(m.op)),
+      "value" -> Json.str(m.value))))
+
+  private def strList(ss: List[String]): String = Json.arr(ss.map(Json.str))
+
+  private def atFields(offsetMs: Long, at: Option[AtModifier]): Seq[(String, String)] = {
+    val ts = at match {
+      case Some(AtModifier.AtTimestamp(ms)) => ms.toString
+      case _ => "null"
+    }
+    val soe = at match {
+      case Some(AtModifier.AtStart) => Json.str("start")
+      case Some(AtModifier.AtEnd) => Json.str("end")
+      case _ => "null"
+    }
+    Seq("offset" -> offsetMs.toString, "timestamp" -> ts, "startOrEnd" -> soe)
+  }
+
+  private def plainDec(d: Double): String =
+    if (d.isNaN) "NaN"
+    else if (d.isInfinite) { if (d > 0) "+Inf" else "-Inf" }
+    else new java.math.BigDecimal(java.lang.Double.toString(d))
+      .stripTrailingZeros.toPlainString
+
+  private def vtName(v: ValueType): String = v match {
+    case ValueType.Scalar => "scalar"
+    case ValueType.InstantVector => "vector"
+    case ValueType.RangeVector => "matrix"
+    case ValueType.StringV => "string"
+  }
+
+  def translate(e: Expr): String = e match {
+    case NumberLiteral(v) =>
+      Json.obj("type" -> Json.str("numberLiteral"), "val" -> Json.str(plainDec(v)))
+    case StringLiteral(v) =>
+      Json.obj("type" -> Json.str("stringLiteral"), "val" -> Json.str(v))
+    case vs: VectorSelector =>
+      Json.obj(Seq(
+        "type" -> Json.str("vectorSelector"),
+        "name" -> Json.str(vs.metricName.getOrElse("")),
+        "matchers" -> matchers(vs.matchers)) ++
+        atFields(vs.offsetMs, vs.at) ++ Seq(
+        "anchored" -> "false", "smoothed" -> "false"): _*)
+    case SmoothedVector(vs) =>
+      Json.obj(Seq(
+        "type" -> Json.str("vectorSelector"),
+        "name" -> Json.str(vs.metricName.getOrElse("")),
+        "matchers" -> matchers(vs.matchers)) ++
+        atFields(vs.offsetMs, vs.at) ++ Seq(
+        "anchored" -> "false", "smoothed" -> "true"): _*)
+    case MatrixSelector(vs, rangeMs, ext) =>
+      Json.obj(Seq(
+        "type" -> Json.str("matrixSelector"),
+        "name" -> Json.str(vs.metricName.getOrElse("")),
+        "range" -> rangeMs.toString,
+        "matchers" -> matchers(vs.matchers)) ++
+        atFields(vs.offsetMs, vs.at) ++ Seq(
+        "anchored" -> (ext == 1).toString, "smoothed" -> (ext == 2).toString): _*)
+    case SubqueryExpr(inner, rangeMs, stepMs, offsetMs, at) =>
+      Json.obj(Seq(
+        "type" -> Json.str("subquery"),
+        "expr" -> translate(inner),
+        "range" -> rangeMs.toString,
+        "step" -> stepMs.toString) ++ atFields(offsetMs, at): _*)
+    case Call(name, args) =>
+      val sig = Functions.registry.get(name)
+      Json.obj(
+        "type" -> Json.str("call"),
+        "func" -> Json.obj(
+          "name" -> Json.str(name),
+          "argTypes" -> Json.arr(sig.map(_.argTypes.map(t => Json.str(vtName(t))))
+            .getOrElse(Nil)),
+          "variadic" -> sig.map(_.variadic).getOrElse(0).toString,
+          "returnType" -> Json.str(sig.map(s => vtName(s.returnType)).getOrElse("vector"))),
+        "args" -> Json.arr(args.map(translate)))
+    case AggregateExpr(op, inner, param, grouping, without) =>
+      Json.obj(
+        "type" -> Json.str("aggregation"),
+        "op" -> Json.str(op),
+        "expr" -> translate(inner),
+        "param" -> param.map(translate).getOrElse("null"),
+        "grouping" -> strList(grouping),
+        "without" -> without.toString)
+    case BinaryExpr(op, lhs, rhs, vm, returnBool) =>
+      val card = vm.card match {
+        case MatchCard.OneToOne => "one-to-one"
+        case MatchCard.ManyToOne => "many-to-one"
+        case MatchCard.OneToMany => "one-to-many"
+      }
+      Json.obj(
+        "type" -> Json.str("binaryExpr"),
+        "op" -> Json.str(op),
+        "lhs" -> translate(lhs),
+        "rhs" -> translate(rhs),
+        "matching" -> Json.obj(
+          "card" -> Json.str(card),
+          "labels" -> strList(vm.matchingLabels),
+          "on" -> vm.on.toString,
+          "include" -> strList(vm.include),
+          "fillValues" -> Json.obj(
+            "lhs" -> vm.fillLhs.map(plainDec).getOrElse("null"),
+            "rhs" -> vm.fillRhs.map(plainDec).getOrElse("null"))),
+        "bool" -> returnBool.toString)
+    case UnaryExpr(op, inner) =>
+      Json.obj("type" -> Json.str("unaryExpr"), "op" -> Json.str(op),
+        "expr" -> translate(inner))
+    case ParenExpr(inner) =>
+      Json.obj("type" -> Json.str("parenExpr"), "expr" -> translate(inner))
+  }
+}

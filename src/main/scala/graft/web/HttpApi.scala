@@ -356,6 +356,18 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         "goVersion" -> Json.str("n/a")))
     })
 
+    server.createContext("/api/v1/format_query", handler { ex =>
+      val q = params(ex).get("query").flatMap(_.headOption)
+        .getOrElse(throw new ParseError("missing query", 0))
+      ok(ex, Json.str(graft.promql.Printer.fmt(graft.promql.Parser.parse(q))))
+    })
+
+    server.createContext("/api/v1/parse_query", handler { ex =>
+      val q = params(ex).get("query").flatMap(_.headOption)
+        .getOrElse(throw new ParseError("missing query", 0))
+      ok(ex, AstJson.translate(graft.promql.Parser.parse(q)))
+    })
+
     server.createContext("/api/v1/status/flags", handler { ex => ok(ex, "{}") })
 
     server.createContext("/api/v1/status/config", handler { ex =>

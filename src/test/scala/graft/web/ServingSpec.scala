@@ -577,6 +577,33 @@ class ServingSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("format_query and parse_query endpoints") {
+    val api = new HttpApi(spark, emptyStore(), 0, () => 1000L)
+    api.start()
+    try {
+      val q = java.net.URLEncoder.encode(
+        "sum by(job) (rate(http_requests_total{code=\"200\"}[5m]))", "UTF-8")
+      val (c1, b1) = get(api.boundPort, s"/api/v1/format_query?query=$q")
+      assert(c1 == 200 &&
+        b1.contains("sum by (job) (rate(http_requests_total{code=\\\"200\\\"}[5m]))"))
+      val (c2, b2) = get(api.boundPort, s"/api/v1/parse_query?query=$q")
+      assert(c2 == 200 && b2.contains("\"type\":\"aggregation\"") &&
+        b2.contains("\"type\":\"call\"") && b2.contains("\"type\":\"matrixSelector\"") &&
+        b2.contains("\"range\":300000") && b2.contains("\"name\":\"code\""))
+      // round-trip: formatted output reparses to the same formatted output
+      val q2 = java.net.URLEncoder.encode(
+        "a / on(x) group_left (y) fill (0) b[1h:5m] offset 1m", "UTF-8")
+      val (c3, b3) = get(api.boundPort, s"/api/v1/format_query?query=$q2")
+      assert(c3 == 200)
+      val formatted = b3.split("\"data\":\"")(1).dropRight(2).replace("\\\"", "\"")
+      val (c4, b4) = get(api.boundPort,
+        s"/api/v1/format_query?query=${java.net.URLEncoder.encode(formatted, "UTF-8")}")
+      assert(c4 == 200 && b4 == b3)
+      val (c5, _) = get(api.boundPort, "/api/v1/parse_query?query=sum(")
+      assert(c5 == 400)
+    } finally api.stop()
+  }
+
   test("notifier posts firing alerts to alertmanagers") {
     @volatile var received: String = null
     val am = HttpServer.create(new java.net.InetSocketAddress(0), 0)
