@@ -95,6 +95,20 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
   private def ok(ex: HttpExchange, data: String): Unit =
     respond(ex, 200, s"""{"status":"success","data":$data}""")
 
+  private def okW(ex: HttpExchange, data: String, warnings: Seq[String]): Unit =
+    if (warnings.isEmpty) ok(ex, data)
+    else respond(ex, 200, s"""{"status":"success","warnings":${
+      Json.arr(warnings.map(Json.str))},"data":$data}""")
+
+  /** API-level `limit` param (0 = disabled; ref api.go parseLimitParam).
+    * Returns (kept, warnings) — truncation warns like the reference. */
+  private def applyLimit[T](items: Seq[T], p: Map[String, List[String]]): (Seq[T], Seq[String]) = {
+    val lim = p.get("limit").flatMap(_.headOption).map(_.toInt).getOrElse(0)
+    if (lim < 0) throw new IllegalArgumentException("limit must be non-negative")
+    if (lim == 0 || items.size <= lim) (items, Nil)
+    else (items.take(lim), Seq("results truncated due to limit"))
+  }
+
   private def err(ex: HttpExchange, code: Int, errorType: String, msg: String): Unit =
     respond(ex, code,
       Json.obj("status" -> Json.str("error"), "errorType" -> Json.str(errorType),
@@ -141,24 +155,28 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     else
       (false, "[" + Json.ts(r.getLong(tIdx)) + "," + Json.value(r.getDouble(vIdx)) + "]")
 
-  private def renderVectorInstant(df: DataFrame): String = {
+  private def renderVectorInstant(df: DataFrame,
+      p: Map[String, List[String]] = Map.empty): (String, Seq[String]) = {
     val hasOrd = df.columns.contains("__ord")
     val cols = Seq(col("labels"), col("t"), col("v"), col("h")) ++
       (if (hasOrd) Seq(col("__ord")) else Nil)
     var rows = df.select(cols: _*).collect().toSeq
     if (hasOrd) rows = rows.sortBy(_.getDouble(4))
-    val items = rows.map { r =>
-      val (isH, p) = point(r, 1, 2, 3)
+    val (kept, warns) = applyLimit(rows, p)
+    val items = kept.map { r =>
+      val (isH, pt) = point(r, 1, 2, 3)
       Json.obj("metric" -> Json.metric(labelsOf(r, 0)),
-        (if (isH) "histogram" else "value") -> p)
+        (if (isH) "histogram" else "value") -> pt)
     }
-    Json.obj("resultType" -> Json.str("vector"), "result" -> Json.arr(items))
+    (Json.obj("resultType" -> Json.str("vector"), "result" -> Json.arr(items)), warns)
   }
 
-  private def renderMatrix(df: DataFrame): String = {
+  private def renderMatrix(df: DataFrame,
+      p: Map[String, List[String]] = Map.empty): (String, Seq[String]) = {
     val rows = df.select(col("labels"), col("t"), col("v"), col("h")).collect().toSeq
     val bySeries = rows.groupBy(r => labelsOf(r, 0)).toSeq.sortBy(_._1.toSeq.sorted.mkString)
-    val items = bySeries.map { case (lbls, rs) =>
+    val (kept, warns) = applyLimit(bySeries, p)
+    val items = kept.map { case (lbls, rs) =>
       val sorted = rs.sortBy(_.getLong(1))
       val (hs, fs) = sorted.partition(r => !r.isNullAt(3))
       val fields = Seq("metric" -> Json.metric(lbls)) ++
@@ -166,7 +184,7 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         (if (hs.nonEmpty) Seq("histograms" -> Json.arr(hs.map(point(_, 1, 2, 3)._2))) else Nil)
       Json.obj(fields: _*)
     }
-    Json.obj("resultType" -> Json.str("matrix"), "result" -> Json.arr(items))
+    (Json.obj("resultType" -> Json.str("matrix"), "result" -> Json.arr(items)), warns)
   }
 
   private def renderScalar(df: DataFrame): String = {
@@ -221,7 +239,8 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       if (end < start) throw new IllegalArgumentException(
         "end timestamp must not be before start time")
       Engine.rangeQuery(spark, store.samples, q, start, end, step) match {
-        case VectorVal(df) => ok(ex, renderMatrix(df))
+        case VectorVal(df) =>
+          val (j, w) = renderMatrix(df, p); okW(ex, j, w)
         case ScalarVal(df, _) =>
           // scalar range renders as a matrix (ref: api.go rangedQuery)
           ok(ex, Json.obj("resultType" -> Json.str("matrix"), "result" -> Json.arr(Seq(
@@ -243,9 +262,11 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
           .getOrElse(throw new IllegalArgumentException("missing parameter query"))
         val ts = p.get("time").flatMap(_.headOption).map(parseTimeMs).getOrElse(nowMs())
         Engine.instantQuery(spark, store.samples, q, ts) match {
-          case VectorVal(df) => ok(ex, renderVectorInstant(df))
+          case VectorVal(df) =>
+            val (j, w) = renderVectorInstant(df, p); okW(ex, j, w)
           case ScalarVal(df, _) => ok(ex, renderScalar(df))
-          case MatrixVal(df) => ok(ex, renderMatrix(df))
+          case MatrixVal(df) =>
+            val (j, w) = renderMatrix(df, p); okW(ex, j, w)
           case StringVal(s) => ok(ex, Json.obj("resultType" -> Json.str("string"),
             "result" -> ("[" + Json.ts(ts) + "," + Json.str(s) + "]")))
         }
@@ -261,17 +282,18 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         .groupBy(xxhash64(array_sort(map_entries(col("labels")))).as("__sg"))
         .agg(first(col("labels")).as("labels"))
         .select(col("labels")).collect().toSeq
-      val items = rows.map(r => labelsOf(r, 0)).distinct
-        .sortBy(_.toSeq.sorted.mkString(" "))
-        .map(Json.metric)
-      ok(ex, Json.arr(items))
+      val (kept, warns) = applyLimit(
+        rows.map(r => labelsOf(r, 0)).distinct.sortBy(_.toSeq.sorted.mkString(" ")), p)
+      okW(ex, Json.arr(kept.map(Json.metric)), warns)
     })
 
     server.createContext("/api/v1/labels", handler { ex =>
-      val rows = seriesSet(params(ex))
+      val p = params(ex)
+      val rows = seriesSet(p)
         .select(explode(map_keys(col("labels"))).as("k")).distinct()
         .orderBy(col("k")).collect().toSeq
-      ok(ex, Json.arr(rows.map(r => Json.str(r.getString(0)))))
+      val (kept, warns) = applyLimit(rows.map(r => Json.str(r.getString(0))), p)
+      okW(ex, Json.arr(kept), warns)
     })
 
     server.createContext("/api/v1/label/", handler { ex =>
@@ -280,10 +302,12 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       path match {
         case m(name0) =>
           val name = java.net.URLDecoder.decode(name0, "UTF-8")
-          val rows = seriesSet(params(ex))
+          val p = params(ex)
+          val rows = seriesSet(p)
             .select(element_at(col("labels"), name).as("v"))
             .filter(col("v").isNotNull).distinct().orderBy(col("v")).collect().toSeq
-          ok(ex, Json.arr(rows.map(r => Json.str(r.getString(0)))))
+          val (kept, warns) = applyLimit(rows.map(r => Json.str(r.getString(0))), p)
+          okW(ex, Json.arr(kept), warns)
         case _ => err(ex, 404, "not_found", "not found")
       }
     })

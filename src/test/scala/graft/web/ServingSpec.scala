@@ -577,6 +577,28 @@ class ServingSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("limit parameter truncates results with a warning") {
+    val store = emptyStore()
+    store.append(spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 6).map(i =>
+        Row(Map("__name__" -> "lm", "k" -> i.toString), 1000L, i.toDouble,
+          false, null, 0L)), 1),
+      Engine.samplesSchema))
+    val api = new HttpApi(spark, store, 0, () => 2000L)
+    api.start()
+    try {
+      val (c1, b1) = get(api.boundPort, "/api/v1/query?query=lm&time=2&limit=3")
+      assert(c1 == 200 && b1.contains("results truncated due to limit"))
+      assert(b1.sliding(8).count(_ == "\"metric\"") == 3)
+      val (c2, b2) = get(api.boundPort, "/api/v1/query?query=lm&time=2")
+      assert(c2 == 200 && !b2.contains("warnings"))
+      assert(b2.sliding(8).count(_ == "\"metric\"") == 6)
+      val (c3, b3) = get(api.boundPort,
+        "/api/v1/label/k/values?match[]=lm&limit=2")
+      assert(c3 == 200 && b3.contains("truncated") && b3.contains("\"0\",\"1\"]"))
+    } finally api.stop()
+  }
+
   test("format_query and parse_query endpoints") {
     val api = new HttpApi(spark, emptyStore(), 0, () => 1000L)
     api.start()
