@@ -238,7 +238,9 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         "zero or negative query resolution step widths are not accepted")
       if (end < start) throw new IllegalArgumentException(
         "end timestamp must not be before start time")
-      Engine.rangeQuery(spark, store.samples, q, start, end, step) match {
+      val lb = p.get("lookback_delta").flatMap(_.headOption).map(parseDurMs)
+        .getOrElse(300000L) // ref: api.go extractQueryOpts
+      Engine.rangeQuery(spark, store.samples, q, start, end, step, lb) match {
         case VectorVal(df) =>
           val (j, w) = renderMatrix(df, p); okW(ex, j, w)
         case ScalarVal(df, _) =>
@@ -261,7 +263,9 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         val q = p.get("query").flatMap(_.headOption)
           .getOrElse(throw new IllegalArgumentException("missing parameter query"))
         val ts = p.get("time").flatMap(_.headOption).map(parseTimeMs).getOrElse(nowMs())
-        Engine.instantQuery(spark, store.samples, q, ts) match {
+        val lb = p.get("lookback_delta").flatMap(_.headOption).map(parseDurMs)
+          .getOrElse(300000L) // ref: api.go extractQueryOpts
+        Engine.instantQuery(spark, store.samples, q, ts, lb) match {
           case VectorVal(df) =>
             val (j, w) = renderVectorInstant(df, p); okW(ex, j, w)
           case ScalarVal(df, _) => ok(ex, renderScalar(df))

@@ -596,6 +596,11 @@ class ServingSpec extends AnyFunSuite {
       val (c3, b3) = get(api.boundPort,
         "/api/v1/label/k/values?match[]=lm&limit=2")
       assert(c3 == 200 && b3.contains("truncated") && b3.contains("\"0\",\"1\"]"))
+      // lookback_delta: samples at t=1s are outside a 1s lookback at t=300s
+      val (c4, b4) = get(api.boundPort, "/api/v1/query?query=lm&time=300&lookback_delta=1s")
+      assert(c4 == 200 && b4.contains("\"result\":[]"))
+      val (c5, b5) = get(api.boundPort, "/api/v1/query?query=lm&time=300&lookback_delta=10m")
+      assert(c5 == 200 && b5.sliding(8).count(_ == "\"metric\"") == 6)
     } finally api.stop()
   }
 
