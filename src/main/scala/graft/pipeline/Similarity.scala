@@ -136,18 +136,27 @@ object Similarity {
     }
     // fixed Lloyd iterations; centroid update is a groupBy(cell) mean —
     // driver state stays at centroid cardinality
+    val dim = if (centroids.nonEmpty) centroids(0).length else 0
     (0 until iters).foreach { _ =>
       val one = nearestUdf(centroids, 1)
-      // centroid update as a distributed per-dimension mean — only
-      // nlist×dim aggregate rows ever reach the driver
-      val means = corpus
-        .select(element_at(one(col("embedding")), 1).as("cell"),
-          posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      // centroid update as a distributed per-dimension mean: one codegen'd
+      // aggregation with dim sum columns (an explode next to the assignment
+      // UDF would re-evaluate the UDF once per exploded element — measured
+      // 64x); only nlist rows reach the driver
+      val sums = (0 until dim).map(i => sum(element_at(col("embedding"), i + 1)).as(s"s$i"))
+      val rows = corpus
+        .select(element_at(one(col("embedding")), 1).as("cell"), col("embedding"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val byCell = rows.map(r => r.getInt(0) -> r).toMap
       centroids = centroids.indices.map { i =>
-        val c = centroids(i)
-        Array.tabulate(c.length)(j => means.getOrElse((i, j), c(j)))
+        byCell.get(i) match {
+          case Some(r) =>
+            val n = r.getLong(1).toDouble
+            Array.tabulate(dim)(j => r.getDouble(2 + j) / n)
+          case None => centroids(i)
+        }
       }.toArray
     }
     val assignOne = nearestUdf(centroids, 1)
