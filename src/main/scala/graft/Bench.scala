@@ -13,15 +13,17 @@ object Bench {
     // optional regex filter for perf iteration, e.g. SPARK_GRAFT_ONLY='lp.*'
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     def keep(name: String): Boolean = only.forall(_.findFirstIn(name).isDefined)
-    // untimed warmup: JVM/codegen/parquet-footer setup should not be billed
-    // to whichever query happens to run first (the reference's Go benchmarks
-    // likewise exclude setup via b.ResetTimer)
+    // Steady-state timing: run each query once untimed (JVM warmup + the
+    // per-plan Janino codegen compile, 1-4s per unique plan), then time the
+    // second run. The reference's Go benchmarks loop b.N times and report
+    // per-iteration steady state — this is the comparable number; cold
+    // single-shot timing would mostly measure the JIT, not the plan.
     try {
       Seq("events", "documents", "embeddings", "lineitem")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-      SparkEntry.queries.get("pq01_selector").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.filter(q => keep(q._1)).map { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -36,6 +38,7 @@ object Bench {
           sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench")).cache()
         data.count()
         pbCases.map { c =>
+          graft.bench.PromBench.run(spark, data, c) // warm (codegen compile)
           val (sec, _) = graft.bench.PromBench.run(spark, data, c)
           s"pb:${c.expr}" -> sec
         }.toMap
