@@ -742,6 +742,36 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
               col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"), dnOut.as("dn"))
         }
       case "mad_over_time" | "double_exponential_smoothing" =>
+        // series-at-once regime for the inherently-sequential folds: at large
+        // window/step ratios the coverage explode would materialize
+        // ⌈window/step⌉× rows (rate-family goes linear instead, but these
+        // folds have no prefix decomposition) — ONE sort per series + a
+        // two-pointer pass evaluating every step is O(samples + steps×window)
+        // compute with O(samples) rows (ref: functions.go:981/:1438 folds)
+        val desParams: Option[(Double, Double)] =
+          if (name == "mad_over_time") Some((0.5, 0.5))
+          else (constValue(extra.head), constValue(extra(1))) match {
+            case (Some(sf), Some(tf)) => Some((sf, tf))
+            case _ => None
+          }
+        val seriesAtOnce = !fixed && ri.at.isEmpty && desParams.isDefined &&
+          math.min(ri.rangeMs.toDouble / P.stepMs, P.numSteps.toDouble) >= linearPathRatio
+        if (seriesAtOnce) {
+          val (sf, tf) = desParams.get
+          val fb = ri.points.filter(col("h").isNull)
+            .withColumn("wt", col("t") + ri.offsetMs)
+            .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
+          val agged = fb.groupBy(hsig(col("labels")).as("__sg"))
+            .agg(first(col("labels")).as("labels"),
+              sort_array(collect_list(struct(col("wt"), col("v"), col("dn")))).as("pts"))
+          val allSteps = RangeUdfs.seriesAllSteps(name == "mad_over_time",
+            P.startMs, P.stepMs, P.numSteps.toInt, ri.rangeMs, sf, tf)
+          return agged
+            .select(col("labels"), explode(allSteps(col("pts"))).as("o"))
+            .select(col("labels"), col("o._1").as("t"), col("o._2").as("v"),
+              col("o._1").as("st"), lit(null).cast(FHist.schemaType).as("h"),
+              (col("o._3") || lit(funcDrops)).as("dn"))
+        }
         val sorted = sort_array(collect_list(struct(col("wt"), col("v"))))
         val agged = g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), sorted.as("pts"))
         if (name == "mad_over_time") finish(agged, RangeUdfs.mad(col("pts")))

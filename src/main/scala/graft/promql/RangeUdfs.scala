@@ -122,6 +122,63 @@ object RangeUdfs {
     }
   }
 
+  /** Series-at-once evaluation of the inherently-sequential window functions
+    * (mad_over_time / double_exponential_smoothing) for LARGE window/step
+    * ratios: the coverage explode materializes ⌈window/step⌉× rows, while one
+    * pass over the sorted series evaluates every step's window in place with
+    * two pointers (same per-window fold as the per-group UDFs above —
+    * bit-identical results). Input struct(wt, v, dn) sorted; output
+    * (t_step, v, dn = OR of in-window dn). */
+  def seriesAllSteps(isMad: Boolean, startMs: Long, stepMs: Long, numSteps: Int,
+      rangeMs: Long, sf: Double, tf: Double) = udf { (pts: Seq[Row]) =>
+    if (pts == null || pts.isEmpty) Seq.empty[(Long, Double, Boolean)]
+    else {
+      val n = pts.length
+      val wts = new Array[Long](n); val vs = new Array[Double](n)
+      val dns = new Array[Boolean](n)
+      var i = 0
+      while (i < n) {
+        val r = pts(i); wts(i) = r.getLong(0); vs(i) = r.getDouble(1)
+        dns(i) = r.getBoolean(2); i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Double, Boolean)]()
+      var lo = 0; var hi = 0 // window (t-range, t] == indices [lo, hi)
+      var k = 0
+      while (k < numSteps) {
+        val t = startMs + k * stepMs
+        while (lo < n && wts(lo) <= t - rangeMs) lo += 1
+        while (hi < n && wts(hi) <= t) hi += 1
+        val len = hi - lo
+        var dn = false
+        var j = lo
+        while (j < hi && !dn) { dn = dns(j); j += 1 }
+        if (isMad) {
+          if (len >= 1) {
+            val w = vs.slice(lo, hi).toSeq
+            val v =
+              if (w.exists(_.isNaN)) Double.NaN
+              else {
+                val med = quantile(0.5, w)
+                quantile(0.5, w.map(x => math.abs(x - med)))
+              }
+            out += ((t, v, dn))
+          }
+        } else if (len >= 2 && sf > 0 && sf < 1 && tf > 0 && tf < 1) {
+          var s = vs(lo); var b = vs(lo + 1) - vs(lo)
+          var j2 = lo + 1
+          while (j2 < hi) {
+            val x = sf * vs(j2) + (1 - sf) * (s + b)
+            val nb = tf * (x - s) + (1 - tf) * b
+            s = x; b = nb; j2 += 1
+          }
+          out += ((t, s, dn))
+        }
+        k += 1
+      }
+      out.toSeq
+    }
+  }
+
   /** merge buckets sharing an upper bound by summing counts — different
     * string renderings of the same le ("0.2" vs "2e-1") arrive as separate
     * series (ref: promql/quantile.go:620 coalesceBuckets) */

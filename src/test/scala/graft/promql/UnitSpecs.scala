@@ -176,7 +176,10 @@ class LinearPathSpec extends AnyFunSuite {
         }
       }
       for (q <- Seq("rate(m[30m])", "increase(m[30m])", "delta(m[30m])",
-                    "changes(m[30m])", "resets(m[30m])")) {
+                    "changes(m[30m])", "resets(m[30m])",
+                    // series-at-once regime for the sequential folds
+                    "mad_over_time(m[30m])",
+                    "double_exponential_smoothing(m[30m], 0.3, 0.3)")) {
         val a = results(q, forceLinear = false)
         val b = results(q, forceLinear = true)
         assert(a.keySet == b.keySet, s"$q: key sets differ (${a.size} vs ${b.size})")
