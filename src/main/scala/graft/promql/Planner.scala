@@ -478,8 +478,85 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   private val keepNameFuncs = Set("last_over_time", "first_over_time",
     "sort", "sort_desc", "sort_by_label", "sort_by_label_desc")
 
-  private def evalRangeFunc(name: String, arg: Expr, extra: List[Expr]): DataFrame = {
-    val ri = rangeInput(arg)
+  private def evalRangeFunc(name: String, arg: Expr, extra: List[Expr]): DataFrame =
+    evalRangeFuncOn(name, arg, rangeInput(arg), extra)
+
+  /** Series-at-once fast path for LARGE window/step ratios: the whole
+    * `*_over_time` family (plus deriv/predict_linear/des) evaluates every
+    * step's window in ONE sorted pass per series (seriesWindowAgg), instead
+    * of the coverage explode's ⌈window/step⌉× row amplification. The
+    * rate/changes family has its own prefix-decomposed linear path
+    * (linearRangeStats); these folds don't decompose, but the two-pointer
+    * pass has the reference's own per-step cost without the explode's rows.
+    * Ops consuming histogram samples split per series: float-pure series
+    * take the fast pass, histogram-carrying series take the explode
+    * restricted to just them (same device as changes/resets). */
+  private def seriesAtOnceFast(name: String, arg: Expr, ri: RangeInput,
+      extra: List[Expr]): Option[DataFrame] = {
+    if (ri.ext != 0 || ri.at.isDefined ||
+        math.min(ri.rangeMs.toDouble / P.stepMs, P.numSteps.toDouble) < linearPathRatio)
+      return None
+    // (op, p1, p2); None = not eligible (e.g. non-constant parameters)
+    val spec: Option[(String, Double, Double)] = name match {
+      case "count_over_time" => Some(("count", 0, 0))
+      case "present_over_time" => Some(("present", 0, 0))
+      case "sum_over_time" => Some(("sum", 0, 0))
+      case "avg_over_time" => Some(("avg", 0, 0))
+      case "min_over_time" => Some(("min", 0, 0))
+      case "max_over_time" => Some(("max", 0, 0))
+      case "stddev_over_time" => Some(("stddev", 0, 0))
+      case "stdvar_over_time" => Some(("stdvar", 0, 0))
+      case "mad_over_time" => Some(("mad", 0, 0))
+      case "quantile_over_time" => constValue(extra.head).map(q => ("quantile", q, 0.0))
+      case "deriv" => Some(("deriv", 0, 0))
+      case "predict_linear" => constValue(extra.head).map(h => ("predict", h, 0.0))
+      case "double_exponential_smoothing" =>
+        (constValue(extra.head), constValue(extra(1))) match {
+          case (Some(sf), Some(tf)) => Some(("des", sf, tf))
+          case _ => None
+        }
+      case _ => None
+    }
+    spec.map { case (op, p1, p2) =>
+      // these ops' explode paths read histogram samples (count/present merge
+      // timelines; sum/avg exclude mixed windows and have a histogram branch)
+      val histConsuming = Set("count", "present", "sum", "avg").contains(op)
+      def fast(src: DataFrame): DataFrame = {
+        val fb = src.withColumn("wt", col("t") + ri.offsetMs)
+          .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
+        val agged = fb.groupBy(hsig(col("labels")).as("__sg"))
+          .agg(first(col("labels")).as("labels"),
+            sort_array(collect_list(struct(col("wt"), col("v")))).as("pts"))
+        val udfC = RangeUdfs.seriesWindowAgg(op, P.startMs, P.stepMs,
+          P.numSteps.toInt, ri.rangeMs, p1, p2)
+        agged.select(col("labels"), explode(udfC(col("pts"))).as("o"))
+          .select(col("labels"), col("o._1").as("t"), col("o._2").as("v"),
+            col("o._1").as("st"), lit(null).cast(FHist.schemaType).as("h"),
+            // every op here drops the metric name (none are in keepNameFuncs)
+            lit(true).as("dn"))
+      }
+      if (!histConsuming)
+        // histogram samples are IGNORED by these folds (ref: e.g.
+        // engine min/max/stddev float-only slices) — float rows suffice
+        fast(ri.points.filter(col("h").isNull))
+      else {
+        val histSeries = ri.points.filter(col("h").isNotNull)
+          .select(hsig(col("labels")).as("__sg")).distinct()
+        val fastLeg = fast(ri.points.join(broadcast(histSeries),
+          hsig(col("labels")) === col("__sg"), "left_anti"))
+        val slowLeg = evalRangeBody(name, arg, ri.copy(points =
+          ri.points.join(broadcast(histSeries),
+            hsig(col("labels")) === col("__sg"), "left_semi")), extra)
+        fastLeg.unionByName(slowLeg)
+      }
+    }
+  }
+
+  private def evalRangeFuncOn(name: String, arg: Expr, ri: RangeInput,
+      extra: List[Expr]): DataFrame =
+    seriesAtOnceFast(name, arg, ri, extra).getOrElse(evalRangeBody(name, arg, ri, extra))
+
+  private def evalRangeBody(name: String, arg: Expr, ri: RangeInput, extra: List[Expr]): DataFrame = {
     val wp = windowedPoints(ri)
     val fixed = wp.fixed
     if (ri.ext != 0) return evalExtendedRange(name, ri, wp, fixed)
@@ -742,36 +819,8 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
               col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"), dnOut.as("dn"))
         }
       case "mad_over_time" | "double_exponential_smoothing" =>
-        // series-at-once regime for the inherently-sequential folds: at large
-        // window/step ratios the coverage explode would materialize
-        // ⌈window/step⌉× rows (rate-family goes linear instead, but these
-        // folds have no prefix decomposition) — ONE sort per series + a
-        // two-pointer pass evaluating every step is O(samples + steps×window)
-        // compute with O(samples) rows (ref: functions.go:981/:1438 folds)
-        val desParams: Option[(Double, Double)] =
-          if (name == "mad_over_time") Some((0.5, 0.5))
-          else (constValue(extra.head), constValue(extra(1))) match {
-            case (Some(sf), Some(tf)) => Some((sf, tf))
-            case _ => None
-          }
-        val seriesAtOnce = !fixed && ri.at.isEmpty && desParams.isDefined &&
-          math.min(ri.rangeMs.toDouble / P.stepMs, P.numSteps.toDouble) >= linearPathRatio
-        if (seriesAtOnce) {
-          val (sf, tf) = desParams.get
-          val fb = ri.points.filter(col("h").isNull)
-            .withColumn("wt", col("t") + ri.offsetMs)
-            .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
-          val agged = fb.groupBy(hsig(col("labels")).as("__sg"))
-            .agg(first(col("labels")).as("labels"),
-              sort_array(collect_list(struct(col("wt"), col("v"), col("dn")))).as("pts"))
-          val allSteps = RangeUdfs.seriesAllSteps(name == "mad_over_time",
-            P.startMs, P.stepMs, P.numSteps.toInt, ri.rangeMs, sf, tf)
-          return agged
-            .select(col("labels"), explode(allSteps(col("pts"))).as("o"))
-            .select(col("labels"), col("o._1").as("t"), col("o._2").as("v"),
-              col("o._1").as("st"), lit(null).cast(FHist.schemaType).as("h"),
-              (col("o._3") || lit(funcDrops)).as("dn"))
-        }
+        // (large window/step ratios with constant parameters are intercepted
+        // by seriesAtOnceFast before reaching this explode path)
         val sorted = sort_array(collect_list(struct(col("wt"), col("v"))))
         val agged = g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), sorted.as("pts"))
         if (name == "mad_over_time") finish(agged, RangeUdfs.mad(col("pts")))

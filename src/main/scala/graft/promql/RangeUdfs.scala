@@ -122,26 +122,23 @@ object RangeUdfs {
     }
   }
 
-  /** Series-at-once evaluation of the inherently-sequential window functions
-    * (mad_over_time / double_exponential_smoothing) for LARGE window/step
+  /** Series-at-once evaluation of the `*_over_time` family (plus deriv /
+    * predict_linear / double_exponential_smoothing) for LARGE window/step
     * ratios: the coverage explode materializes ⌈window/step⌉× rows, while one
-    * pass over the sorted series evaluates every step's window in place with
-    * two pointers (same per-window fold as the per-group UDFs above —
-    * bit-identical results). Input struct(wt, v, dn) sorted; output
-    * (t_step, v, dn = OR of in-window dn). */
-  def seriesAllSteps(isMad: Boolean, startMs: Long, stepMs: Long, numSteps: Int,
-      rangeMs: Long, sf: Double, tf: Double) = udf { (pts: Seq[Row]) =>
-    if (pts == null || pts.isEmpty) Seq.empty[(Long, Double, Boolean)]
+    * pass over the (wt, v)-sorted series evaluates every step's window in
+    * place with two pointers — O(samples) rows, O(samples + steps×window)
+    * compute. Per-window folds mirror the explode path / reference exactly
+    * (functions.go: sum :1572, avg :1218, variance varianceOverTime, OLS
+    * :1949 linearRegression, des :981, mad :1438). Output (t_step, v). */
+  def seriesWindowAgg(op: String, startMs: Long, stepMs: Long, numSteps: Int,
+      rangeMs: Long, p1: Double, p2: Double) = udf { (pts: Seq[Row]) =>
+    if (pts == null || pts.isEmpty) Seq.empty[(Long, Double)]
     else {
       val n = pts.length
       val wts = new Array[Long](n); val vs = new Array[Double](n)
-      val dns = new Array[Boolean](n)
       var i = 0
-      while (i < n) {
-        val r = pts(i); wts(i) = r.getLong(0); vs(i) = r.getDouble(1)
-        dns(i) = r.getBoolean(2); i += 1
-      }
-      val out = scala.collection.mutable.ArrayBuffer[(Long, Double, Boolean)]()
+      while (i < n) { val r = pts(i); wts(i) = r.getLong(0); vs(i) = r.getDouble(1); i += 1 }
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
       var lo = 0; var hi = 0 // window (t-range, t] == indices [lo, hi)
       var k = 0
       while (k < numSteps) {
@@ -149,29 +146,87 @@ object RangeUdfs {
         while (lo < n && wts(lo) <= t - rangeMs) lo += 1
         while (hi < n && wts(hi) <= t) hi += 1
         val len = hi - lo
-        var dn = false
-        var j = lo
-        while (j < hi && !dn) { dn = dns(j); j += 1 }
-        if (isMad) {
-          if (len >= 1) {
-            val w = vs.slice(lo, hi).toSeq
-            val v =
-              if (w.exists(_.isNaN)) Double.NaN
-              else {
-                val med = quantile(0.5, w)
-                quantile(0.5, w.map(x => math.abs(x - med)))
+        if (len > 0) {
+          def slice: Seq[Double] = vs.slice(lo, hi).toSeq
+          op match {
+            case "count" => out += ((t, len.toDouble))
+            case "present" => out += ((t, 1.0))
+            case "sum" => out += ((t, kahanSumSeq(slice)))
+            case "avg" => out += ((t, avgSeq(slice)))
+            case "min" | "max" =>
+              var m = Double.NaN; var j = lo
+              while (j < hi) {
+                val v = vs(j)
+                if (!v.isNaN && (m.isNaN || (if (op == "min") v < m else v > m))) m = v
+                j += 1
               }
-            out += ((t, v, dn))
+              out += ((t, m))
+            case "stddev" | "stdvar" =>
+              // ref varianceOverTime: Kahan-compensated Welford
+              var count = 0.0; var mean = 0.0; var cMean = 0.0
+              var aux = 0.0; var cAux = 0.0
+              var j = lo
+              while (j < hi) {
+                val f = vs(j); count += 1
+                val delta = f - (mean + cMean)
+                val (nm, ncm) = kahanInc(delta / count, mean, cMean)
+                mean = nm; cMean = ncm
+                val (na, nca) = kahanInc(delta * (f - (mean + cMean)), aux, cAux)
+                aux = na; cAux = nca
+                j += 1
+              }
+              val variance = (aux + cAux) / count
+              out += ((t, if (op == "stddev") math.sqrt(variance) else variance))
+            case "quantile" => out += ((t, quantile(p1, slice)))
+            case "mad" =>
+              val w = slice
+              val v =
+                if (w.exists(_.isNaN)) Double.NaN
+                else {
+                  val med = quantile(0.5, w)
+                  quantile(0.5, w.map(x => math.abs(x - med)))
+                }
+              out += ((t, v))
+            case "deriv" | "predict" if len >= 2 =>
+              // ref functions.go:1949 linearRegression(samples, t)
+              var sumX = 0.0; var cX = 0.0; var sumY = 0.0; var cY = 0.0
+              var sumXY = 0.0; var cXY = 0.0; var sumX2 = 0.0; var cX2 = 0.0
+              val initY = vs(lo); var constY = true
+              var j = lo
+              while (j < hi) {
+                val y = vs(j)
+                if (constY && j > lo && y != initY) constY = false
+                val x = (wts(j) - t).toDouble / 1e3
+                val (a1, b1) = kahanInc(x, sumX, cX); sumX = a1; cX = b1
+                val (a2, b2) = kahanInc(y, sumY, cY); sumY = a2; cY = b2
+                val (a3, b3) = kahanInc(x * y, sumXY, cXY); sumXY = a3; cXY = b3
+                val (a4, b4) = kahanInc(x * x, sumX2, cX2); sumX2 = a4; cX2 = b4
+                j += 1
+              }
+              val nn = len.toDouble
+              val (slope, icept) =
+                if (constY) {
+                  if (initY.isInfinite) (Double.NaN, Double.NaN) else (0.0, initY)
+                } else {
+                  val sX = sumX + cX; val sY = sumY + cY
+                  val sXY = sumXY + cXY; val sX2 = sumX2 + cX2
+                  val covXY = sXY - sX * sY / nn
+                  val varX = sX2 - sX * sX / nn
+                  val sl = covXY / varX
+                  (sl, sY / nn - sl * sX / nn)
+                }
+              out += ((t, if (op == "deriv") slope else icept + slope * p1))
+            case "des" if len >= 2 && p1 > 0 && p1 < 1 && p2 > 0 && p2 < 1 =>
+              var s = vs(lo); var b = vs(lo + 1) - vs(lo)
+              var j = lo + 1
+              while (j < hi) {
+                val x = p1 * vs(j) + (1 - p1) * (s + b)
+                val nb = p2 * (x - s) + (1 - p2) * b
+                s = x; b = nb; j += 1
+              }
+              out += ((t, s))
+            case _ => ()
           }
-        } else if (len >= 2 && sf > 0 && sf < 1 && tf > 0 && tf < 1) {
-          var s = vs(lo); var b = vs(lo + 1) - vs(lo)
-          var j2 = lo + 1
-          while (j2 < hi) {
-            val x = sf * vs(j2) + (1 - sf) * (s + b)
-            val nb = tf * (x - s) + (1 - tf) * b
-            s = x; b = nb; j2 += 1
-          }
-          out += ((t, s, dn))
         }
         k += 1
       }

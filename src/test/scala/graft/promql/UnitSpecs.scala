@@ -177,9 +177,15 @@ class LinearPathSpec extends AnyFunSuite {
       }
       for (q <- Seq("rate(m[30m])", "increase(m[30m])", "delta(m[30m])",
                     "changes(m[30m])", "resets(m[30m])",
-                    // series-at-once regime for the sequential folds
+                    // series-at-once regime (seriesWindowAgg)
                     "mad_over_time(m[30m])",
-                    "double_exponential_smoothing(m[30m], 0.3, 0.3)")) {
+                    "double_exponential_smoothing(m[30m], 0.3, 0.3)",
+                    "count_over_time(m[30m])", "present_over_time(m[30m])",
+                    "sum_over_time(m[30m])", "avg_over_time(m[30m])",
+                    "min_over_time(m[30m])", "max_over_time(m[30m])",
+                    "stddev_over_time(m[30m])", "stdvar_over_time(m[30m])",
+                    "quantile_over_time(0.9, m[30m])",
+                    "deriv(m[30m])", "predict_linear(m[30m], 600)")) {
         val a = results(q, forceLinear = false)
         val b = results(q, forceLinear = true)
         assert(a.keySet == b.keySet, s"$q: key sets differ (${a.size} vs ${b.size})")
