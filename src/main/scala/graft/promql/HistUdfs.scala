@@ -277,8 +277,14 @@ object HistUdfs {
   def histRate(isCounter: Boolean, isRate: Boolean, rangeMs: Long) =
     udf { (pts: Seq[HPt], tStep: java.lang.Long) =>
       if (pts == null || pts.isEmpty || tStep == null) null
-      else {
-        val sorted = pts.sortBy(_.wt)
+      else histRateWindow(isCounter, isRate, rangeMs, pts.sortBy(_.wt), tStep.longValue)
+    }
+
+  /** the per-window fold of [[histRate]], shared with the series-at-once
+    * path ([[histRateAllSteps]]); `sorted` must be wt-ascending */
+  def histRateWindow(isCounter: Boolean, isRate: Boolean, rangeMs: Long,
+      sorted: Seq[HPt], tStep: Long): FHist = {
+      {
         val n = sorted.length
         try {
           val rangeStart = tStep - rangeMs
@@ -344,6 +350,34 @@ object HistUdfs {
         } catch { case _: Exception => null }
       }
     }
+
+  /** Series-at-once histogram rate: every step's window evaluated in one
+    * two-pointer pass over the wt-sorted series (same device as
+    * RangeUdfs.seriesWindowAgg; same per-window fold as [[histRate]]) —
+    * O(samples) rows instead of the coverage explode's ⌈window/step⌉×
+    * amplification on the wide histogram column. */
+  def histRateAllSteps(isCounter: Boolean, isRate: Boolean, rangeMs: Long,
+      startMs: Long, stepMs: Long, numSteps: Int) = udf { (pts: Seq[HPt]) =>
+    if (pts == null || pts.isEmpty) Seq.empty[(Long, FHist)]
+    else {
+      val sorted = pts.toIndexedSeq
+      val n = sorted.length
+      val out = scala.collection.mutable.ArrayBuffer[(Long, FHist)]()
+      var lo = 0; var hi = 0 // window (t-range, t] == [lo, hi)
+      var k = 0
+      while (k < numSteps) {
+        val t = startMs + k * stepMs
+        while (lo < n && sorted(lo).wt <= t - rangeMs) lo += 1
+        while (hi < n && sorted(hi).wt <= t) hi += 1
+        if (hi > lo) {
+          val h = histRateWindow(isCounter, isRate, rangeMs, sorted.slice(lo, hi), t)
+          if (h != null) out += ((t, h))
+        }
+        k += 1
+      }
+      out.toSeq
+    }
+  }
 
   /** sum_over_time / avg_over_time over histogram-only windows (time-ordered
     * Kahan, incremental-mean overflow fallback for avg) */

@@ -575,10 +575,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     val hpts = wp.hists
     val g = fpts.groupBy(col("__sg"), col("t_step"))
     val gAll = pts.groupBy(col("__sg"), col("t_step"))
-    def hAgged = hpts.groupBy(col("__sg"), col("t_step"))
+    def hAggedOf(src: DataFrame) = src.groupBy(col("__sg"), col("t_step"))
       .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
         count(lit(1)).as("hcnt"),
         sort_array(collect_list(struct(col("wt"), col("h"), col("wst").as("stt")))).as("hp"))
+    def hAgged = hAggedOf(hpts)
     /** drop (series, step) groups that also appear in `other` */
     def exclMixed(df: DataFrame, other: DataFrame): DataFrame =
       df.join(other.select(col("__sg"), col("t_step")).distinct(),
@@ -604,8 +605,8 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
 
     /** union a histogram-only-window result computed by `udfCol` over the
       * sorted (wt, h) list */
-    def histBranch(udfCol: Column, minPts: Int = 1): DataFrame = {
-      val clean = exclMixed(hAgged, fpts)
+    def histBranch(udfCol: Column, minPts: Int = 1, src: DataFrame = null): DataFrame = {
+      val clean = exclMixed(if (src == null) hAgged else hAggedOf(src), fpts)
       val r = clean
         .withColumn("__h", udfCol)
         .filter(col("hcnt") >= minPts && col("__h").isNotNull)
@@ -628,6 +629,14 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           ((!isnan(col("prev_v")) && (col("v") < col("prev_v"))) ||
            stResetCol(col("prev_wst"), col("prev_wt"), col("wst"), col("wt")))
         else resetPair
+      // per-series type census for the linear regime: float windows can only
+      // be "mixed" when the SAME series carries both sample kinds, so the
+      // exclusion (and the histogram explode) restricts to those series
+      lazy val histSer = ri.points.filter(col("h").isNotNull)
+        .select(hsig(col("labels")).as("__sg")).distinct()
+      lazy val floatSer = ri.points.filter(col("h").isNull)
+        .select(hsig(col("labels")).as("__sg")).distinct()
+      lazy val mixedSer = histSer.join(floatSer, Seq("__sg"), "left_semi")
       val agged = exclMixed(
         if (useLinear) linearRangeStats(ri)
         else g.agg(
@@ -636,7 +645,8 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           min(col("wt")).as("minWt"), max(col("wt")).as("maxWt"),
           expr("min_by(v, wt)").as("firstV"), expr("max_by(v, wt)").as("lastV"),
           expr("min_by(wst, wt)").as("firstSt"),
-          sum(when(resetOrSt, col("prev_v")).otherwise(0.0)).as("corr")), hpts)
+          sum(when(resetOrSt, col("prev_v")).otherwise(0.0)).as("corr")),
+        if (useLinear) hpts.join(broadcast(mixedSer), Seq("__sg"), "left_semi") else hpts)
       // ref: promql/functions.go:452 extrapolatedRate — formulas reimplemented
       val resultValue0 =
         if (isCounter) col("lastV") - col("firstV") + col("corr")
@@ -671,8 +681,31 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       val factor = if (isRate) factor0 / rangeSec else factor0
       val floatRes = finish(agged, resultValue * factor, col("cnt") >= 2 || stBranch)
       // histogram-only windows (ref: functions.go:640 histogramRate)
-      val histRes = histBranch(
-        HistUdfs.histRate(isCounter, isRate, ri.rangeMs)(col("hp"), col("t_step")), minPts = 1)
+      val histRes =
+        if (!useLinear) histBranch(
+          HistUdfs.histRate(isCounter, isRate, ri.rangeMs)(col("hp"), col("t_step")), minPts = 1)
+        else {
+          // series-at-once for hist-PURE series (no coverage explode on the
+          // wide histogram column); MIXED series keep the explode restricted
+          // to just them — same split device as changes/resets
+          val histPureRows = ri.points.filter(col("h").isNotNull)
+            .join(broadcast(mixedSer), hsig(col("labels")) === col("__sg"), "left_anti")
+            .withColumn("wt", col("t") + ri.offsetMs)
+            .withColumn("wst", when(col("stt") =!= 0L, col("stt") + ri.offsetMs).otherwise(0L))
+            .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
+          val aggedH = histPureRows.groupBy(hsig(col("labels")).as("__sg"))
+            .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
+              sort_array(collect_list(struct(col("wt"), col("h"), col("wst").as("stt")))).as("hp"))
+          val fastH = aggedH.select(col("labels"), col("dn"),
+              explode(HistUdfs.histRateAllSteps(isCounter, isRate, ri.rangeMs,
+                P.startMs, P.stepMs, P.numSteps.toInt)(col("hp"))).as("o"))
+            .select(col("labels"), col("o._1").as("t"), lit(Double.NaN).as("v"),
+              col("o._1").as("st"), col("o._2").as("h"), (col("dn") || lit(funcDrops)).as("dn"))
+          val mixedH = histBranch(
+            HistUdfs.histRate(isCounter, isRate, ri.rangeMs)(col("hp"), col("t_step")),
+            minPts = 1, src = hpts.join(broadcast(mixedSer), Seq("__sg"), "left_semi"))
+          fastH.unionByName(mixedH)
+        }
       floatRes.unionByName(histRes)
     }
 

@@ -193,6 +193,43 @@ class LinearPathSpec extends AnyFunSuite {
           assert(Runner_almost(v, b(k)), s"$q at $k: explode=$v linear=${b(k)}")
         }
       }
+      // histogram series: the series-at-once hist fold vs the coverage
+      // explode (hist-pure series `hh` with a counter reset; mixed-type
+      // series `mx` keeps the restricted explode)
+      val histRows = (0 until 720).flatMap { i =>
+        val t = i * 10000L
+        val cnt = (if (i >= 400) i - 400 else i).toDouble // reset at i=400
+        val hh = FHist(0, 0.0, 1.0, cnt + 2.0, cnt * 1.5,
+          Seq(0, 1), Seq(1.0, cnt + 1.0), Nil, Nil, Nil, 0)
+        Seq(org.apache.spark.sql.Row(
+          Map("__name__" -> "hm", "s" -> "hh"), t, Double.NaN, false, FHist.toRow(hh), 0L)) ++
+          (if (i % 2 == 0)
+            Seq(org.apache.spark.sql.Row(
+              Map("__name__" -> "hm", "s" -> "mx"), t, Double.NaN, false, FHist.toRow(hh), 0L))
+          else
+            Seq(org.apache.spark.sql.Row(
+              Map("__name__" -> "hm", "s" -> "mx"), t, i.toDouble, false, null, 0L)))
+      }
+      val hdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(histRows, 4), Engine.samplesSchema)
+      def histResults(q: String, forceLinear: Boolean): Map[(Map[String, String], Long), String] = {
+        val pl = new Planner(spark, hdf, EvalParams(3600000L, 4790000L, 10000L))
+        pl.linearPathRatio = if (forceLinear) 1.0 else 1e18
+        pl.eval(Engine.parse(q, 10000L)) match {
+          case VectorVal(r) =>
+            r.select("labels", "t", "v", "h").collect()
+              .map(x => (x.getMap[String, String](0).toMap, x.getLong(1)) ->
+                (x.getDouble(2).toString + "|" + String.valueOf(x.get(3)))).toMap
+          case other => fail(s"unexpected $other")
+        }
+      }
+      for (q <- Seq("rate(hm[30m])", "increase(hm[30m])", "delta(hm[30m])")) {
+        val a = histResults(q, forceLinear = false)
+        val b = histResults(q, forceLinear = true)
+        assert(a.keySet == b.keySet, s"$q: hist key sets differ (${a.size} vs ${b.size})")
+        a.foreach { case (k, v) => assert(v == b(k), s"$q at $k:\n  explode=$v\n  linear=${b(k)}") }
+      }
+
       // instant selector: linear as-of vs coverage explode
       def selResults(forceLinear: Boolean) = {
         val pl = new Planner(spark, df.withColumn("h",
