@@ -631,12 +631,24 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         else resetPair
       // per-series type census for the linear regime: float windows can only
       // be "mixed" when the SAME series carries both sample kinds, so the
-      // exclusion (and the histogram explode) restricts to those series
-      lazy val histSer = ri.points.filter(col("h").isNotNull)
-        .select(hsig(col("labels")).as("__sg")).distinct()
-      lazy val floatSer = ri.points.filter(col("h").isNull)
-        .select(hsig(col("labels")).as("__sg")).distinct()
-      lazy val mixedSer = histSer.join(floatSer, Seq("__sg"), "left_semi")
+      // exclusion (and the histogram explode) restricts to those series.
+      // ONE map-side-combined aggregation (output = series cardinality).
+      lazy val mixedSer = ri.points
+        .groupBy(hsig(col("labels")).as("__sg"))
+        .agg(max(col("h").isNotNull).as("anyH"), max(col("h").isNull).as("anyF"))
+        .filter(col("anyH") && col("anyF"))
+        .select(col("__sg"))
+      // mixed series' histogram rows, coverage-exploded AFTER the restriction
+      // (a join does not push below Generate — restricting hpts post-explode
+      // would still explode every hist-pure series)
+      lazy val mixedHpts = {
+        val base = ri.points.filter(col("h").isNotNull)
+          .join(broadcast(mixedSer), hsig(col("labels")) === col("__sg"), "left_semi")
+          .drop("__sg")
+          .withColumn("wst", when(col("stt") =!= 0L, col("stt") + ri.offsetMs).otherwise(0L))
+          .withColumn("wt", col("t") + ri.offsetMs)
+        coverage(base.withColumn("__sg", hsig(col("labels"))), col("wt"), ri.rangeMs)
+      }
       val agged = exclMixed(
         if (useLinear) linearRangeStats(ri)
         else g.agg(
@@ -646,7 +658,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           expr("min_by(v, wt)").as("firstV"), expr("max_by(v, wt)").as("lastV"),
           expr("min_by(wst, wt)").as("firstSt"),
           sum(when(resetOrSt, col("prev_v")).otherwise(0.0)).as("corr")),
-        if (useLinear) hpts.join(broadcast(mixedSer), Seq("__sg"), "left_semi") else hpts)
+        if (useLinear) mixedHpts else hpts)
       // ref: promql/functions.go:452 extrapolatedRate — formulas reimplemented
       val resultValue0 =
         if (isCounter) col("lastV") - col("firstV") + col("corr")
@@ -703,7 +715,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
               col("o._1").as("st"), col("o._2").as("h"), (col("dn") || lit(funcDrops)).as("dn"))
           val mixedH = histBranch(
             HistUdfs.histRate(isCounter, isRate, ri.rangeMs)(col("hp"), col("t_step")),
-            minPts = 1, src = hpts.join(broadcast(mixedSer), Seq("__sg"), "left_semi"))
+            minPts = 1, src = mixedHpts)
           fastH.unionByName(mixedH)
         }
       floatRes.unionByName(histRes)
