@@ -161,6 +161,88 @@ object Dedup {
           .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
   }
 
+  /** Connected components over an undirected near-dup pair list (columns
+    * `da`, `db`) via alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): O(log² n) rounds, each round two shuffles. The per-node
+    * minimum is a map-side-combined aggregation joined back to the edge
+    * list — deliberately NOT a window function, so AQE can split a skewed
+    * join partition when one near-dup cluster is huge (a window partition
+    * cannot be split). Lineage is truncated per round with localCheckpoint;
+    * an iterative plan otherwise grows O(rounds) and chokes the driver.
+    *
+    * Returns (doc_id, component_id) for every node appearing in `pairs`,
+    * with component_id = the minimum doc_id of its component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // canonical orientation: u > v, no self-loops
+    var edges = pairs
+      .select(greatest(col("da"), col("db")).as("u"), least(col("da"), col("db")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    def checksum(df: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent set digest with no ANSI overflow (edges
+      // are distinct, so identical rows never cancel)
+      val r = df.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = checksum(edges)
+    var stable = false
+    var round = 0
+    while (!stable && round < maxIter) {
+      // large-star: every node attaches its strictly-larger neighbors to the
+      // minimum of its closed neighborhood (this is the skew-buster round —
+      // a high-degree center has its members re-pointed without it being a
+      // single reduce key for the emit side)
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ orientation holds
+      // small-star: attach all smaller neighbors (and the node itself) to
+      // the minimum smaller neighbor
+      val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val smallNbr = large.join(mins2, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val next = smallNbr.unionAll(mins2.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val nsig = checksum(next)
+      stable = nsig == sig
+      sig = nsig
+      edges = next
+      round += 1
+    }
+    // at the fixpoint the edge set is a star per component: (member, root).
+    // Roots appear only on the v side — map them to themselves.
+    edges.select(col("u").as("doc_id"), col("v").as("component_id"))
+      .unionAll(edges.select(col("v").as("doc_id"), col("v").as("component_id")).distinct())
+      .distinct()
+  }
+
+  /** Near-duplicate clusters: connected components over the exact n-gram
+    * Jaccard pair graph (deterministic, so the DuckDB oracle can replicate
+    * it with a recursive transitive-closure CTE). */
+  def dupClusters(docs: DataFrame, tau: Double = 0.1, n: Int = 3,
+      maxDF: Int = 100): DataFrame =
+    connectedComponents(ngramJaccardPairs(docs, tau, n, maxDF).select(col("da"), col("db")))
+
+  /** Near-dup dedup survivors: every document except non-canonical cluster
+    * members (canonical = minimum doc_id of the cluster). The anti-join is
+    * against cluster members only — cardinality of the duplicate set, not
+    * the corpus. */
+  def dedupSurvivors(docs: DataFrame, tau: Double = 0.1, n: Int = 3,
+      maxDF: Int = 100): DataFrame = {
+    val nonCanonical = dupClusters(docs, tau, n, maxDF)
+      .filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id"))
+    docs.select(col("doc_id")).join(nonCanonical, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("kept_doc_id"))
+  }
+
   /** SimHash near-dup candidates: equality on any of 4 16-bit bands. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simhash(docs)

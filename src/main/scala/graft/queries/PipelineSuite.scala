@@ -72,7 +72,43 @@ object PipelineSuite {
       val e = embs(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5)
         .orderBy(col("qid"), col("rank")) },
+
+    "lp14_dup_clusters" -> { (s, dir) =>
+      Dedup.dupClusters(docs(s, dir)).orderBy(col("doc_id")) },
+
+    "lp15_dedup_survivors" -> { (s, dir) =>
+      Dedup.dedupSurvivors(docs(s, dir)).orderBy(col("kept_doc_id")) },
   )
+
+  /** lp03's pair CTEs, shared by the clustering oracles */
+  private val jaccardPairCtes: String =
+    """d AS (
+         SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+         FROM documents),
+       sh AS (
+         SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) < 3 THEN []
+           ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)] END)) sg
+         FROM d),
+       rare AS (
+         SELECT doc_id, sg FROM (
+           SELECT doc_id, sg, count(*) OVER (PARTITION BY sg) df FROM sh)
+         WHERE df <= 100),
+       sizes AS (SELECT doc_id, count(*) n_sg FROM rare GROUP BY 1),
+       shared AS (
+         SELECT a.doc_id da, b.doc_id db, count(*) shared
+         FROM rare a JOIN rare b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         GROUP BY 1,2),
+       pairs AS (
+         SELECT da, db FROM shared
+         JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         WHERE CAST(shared AS DOUBLE)/CAST(sa.n_sg + sb.n_sg - shared AS DOUBLE) >= 0.1),
+       edges AS (SELECT da u, db v FROM pairs UNION SELECT db, da FROM pairs),
+       reach(u, v) AS (
+         SELECT u, v FROM edges
+         UNION
+         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       comp AS (
+         SELECT u AS doc_id, least(u, min(v)) AS component_id FROM reach GROUP BY u)"""
 
   val oracle: Map[String, String] = Map(
     "lp01_exact_dedup" ->
@@ -167,6 +203,17 @@ object PipelineSuite {
            CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) ws_tokens,
            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) re_tokens
          FROM documents ORDER BY doc_id""",
+
+    // transitive closure of the same pair graph; component = min reachable id
+    "lp14_dup_clusters" ->
+      s"""WITH RECURSIVE $jaccardPairCtes
+         SELECT doc_id, component_id FROM comp ORDER BY doc_id""",
+
+    "lp15_dedup_survivors" ->
+      s"""WITH RECURSIVE $jaccardPairCtes
+         SELECT doc_id AS kept_doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+         ORDER BY kept_doc_id""",
 
     "lp11_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len

@@ -136,6 +136,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.head.getDouble(2) == 1.0)
   }
 
+  private def pairsOf(rows: (Long, Long)*): DataFrame = {
+    val schema = StructType(Seq(StructField("da", LongType), StructField("db", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (a, b) => Row(a, b) }, 2), schema)
+  }
+
+  test("connected components: chains, stars, singleton edges, cycles") {
+    // component {1..5} as a chain, {10,11,12} as a star on 12, {20,21} single
+    // edge, {30,31,32,33} as a cycle with a chord; pair orientation mixed
+    val p = pairsOf(1L -> 2L, 3L -> 2L, 3L -> 4L, 5L -> 4L,
+      12L -> 10L, 12L -> 11L, 21L -> 20L,
+      30L -> 31L, 31L -> 32L, 32L -> 33L, 33L -> 30L, 30L -> 32L)
+    val out = Dedup.connectedComponents(p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L))
+    // each doc appears exactly once
+    assert(Dedup.connectedComponents(p).count() == 14L)
+    // empty pair set -> empty result
+    assert(Dedup.connectedComponents(pairsOf()).count() == 0L)
+  }
+
+  test("dedup survivors keep the canonical member of each near-dup cluster") {
+    val d = docsOf(
+      1L -> "a b c d e f",   // near-dup of 2
+      2L -> "a b c d e f g", // near-dup of 1 and 3 -> one cluster {1,2,3}
+      3L -> "b c d e f g",
+      4L -> "x y z w q r")   // unrelated
+    val kept = Dedup.dedupSurvivors(d, tau = 0.3).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+    val clusters = Dedup.dupClusters(d, tau = 0.3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("token counts: whitespace and regex tokenizations") {
     val d = docsOf(1L -> "Hello, world! 42x")
     val r = TextAnalysis.tokenCounts(d).collect().head
