@@ -286,23 +286,19 @@ object CallEval {
           v.as("v"), col("t").as("st"), lit(true).as("dn")))
 
       case "histogram_quantile" =>
-        val (nat, cls) = splitHistInputs(pl, vecArg(args(1)))
+        val fused = fusedHistInput(pl, vecArg(args(1)))
         // φ may be a per-step scalar expression (ref: engine.go:2095)
-        val (natJ, phiN) = pl.scalarParam(args.head, nat, "t", "__phi", "histogram_quantile")
-        val (clsJ, phiC) = pl.scalarParam(args.head, cls, "t", "__phi", "histogram_quantile")
-        // native path (ref: quantile.go:172) ∪ classic le-bucket path; both
-        // mark the name for deferred dropping (functions.go:2204 DropName: true)
-        val native = natJ
+        val (j, phi) = pl.scalarParam(args.head, fused, "t", "__phi", "histogram_quantile")
+        // native path (ref: quantile.go:172) vs classic le-bucket path picked
+        // per row (CaseWhen is lazy, so only one UDF runs per row); both mark
+        // the name for deferred dropping (functions.go:2204 DropName: true)
+        VectorVal(j
           .select(col("labels"), col("t"),
-            HistUdfs.guarded(col("h"))(HistUdfs.quantileH(phiN, col("h"))).as("v"),
+            when(col("h").isNotNull,
+              HistUdfs.guarded(col("h"))(HistUdfs.quantileH(phi, col("h"))))
+            .otherwise(RangeUdfs.bucketQuantile(phi, col("buckets"))).as("v"),
             col("t").as("st"), lit(true).as("dn"))
-          .filter(!isnull(col("v")))
-        val classic = clsJ
-          .select(col("labels"), col("t"),
-            RangeUdfs.bucketQuantile(phiC, col("buckets")).as("v"),
-            col("t").as("st"), lit(true).as("dn"))
-          .filter(!isnull(col("v")))
-        VectorVal(native.unionByName(classic))
+          .filter(!isnull(col("v"))))
 
       case "histogram_quantiles" =>
         // (ref: promql/functions.go:2243 funcHistogramQuantiles — one output
@@ -316,39 +312,29 @@ object CallEval {
           else RangeUdfs.goFormat(q)
         def addQ(labels: Column, q: Double): Column =
           map_concat(map_filter(labels, (k, _) => k =!= lbl), map(lit(lbl), lit(fmtQ(q))))
-        val (nat, cls) = splitHistInputs(pl, in)
+        val fused = fusedHistInput(pl, in)
         val parts = qs.map { q =>
-          val native = nat
+          fused
             .select(addQ(col("labels"), q).as("labels"), col("t"),
-              HistUdfs.guarded(col("h"))(HistUdfs.quantileH(lit(q), col("h"))).as("v"),
+              when(col("h").isNotNull,
+                HistUdfs.guarded(col("h"))(HistUdfs.quantileH(lit(q), col("h"))))
+              .otherwise(RangeUdfs.bucketQuantile(lit(q), col("buckets"))).as("v"),
               col("t").as("st"), lit(true).as("dn"))
             .filter(!isnull(col("v")))
-          val classic = cls
-            .select(addQ(col("labels"), q).as("labels"), col("t"),
-              RangeUdfs.bucketQuantile(lit(q), col("buckets")).as("v"),
-              col("t").as("st"), lit(true).as("dn"))
-            .filter(!isnull(col("v")))
-          native.unionByName(classic)
         }
         VectorVal(parts.reduce(_.unionByName(_)))
 
       case "histogram_fraction" =>
-        val (nat, cls) = splitHistInputs(pl, vecArg(args(2)))
-        val (natJ1, loN) = pl.scalarParam(args.head, nat, "t", "__lo", "histogram_fraction")
-        val (natJ2, hiN) = pl.scalarParam(args(1), natJ1, "t", "__hi", "histogram_fraction")
-        val (clsJ1, loC) = pl.scalarParam(args.head, cls, "t", "__lo", "histogram_fraction")
-        val (clsJ2, hiC) = pl.scalarParam(args(1), clsJ1, "t", "__hi", "histogram_fraction")
-        val native = natJ2
+        val fused = fusedHistInput(pl, vecArg(args(2)))
+        val (j1, lo) = pl.scalarParam(args.head, fused, "t", "__lo", "histogram_fraction")
+        val (j2, hi) = pl.scalarParam(args(1), j1, "t", "__hi", "histogram_fraction")
+        VectorVal(j2
           .select(col("labels"), col("t"),
-            HistUdfs.guarded(col("h"))(HistUdfs.fractionH(loN, hiN, col("h"))).as("v"),
+            when(col("h").isNotNull,
+              HistUdfs.guarded(col("h"))(HistUdfs.fractionH(lo, hi, col("h"))))
+            .otherwise(RangeUdfs.bucketFraction(lo, hi, col("buckets"))).as("v"),
             col("t").as("st"), lit(true).as("dn"))
-          .filter(!isnull(col("v")))
-        val classic = clsJ2
-          .select(col("labels"), col("t"),
-            RangeUdfs.bucketFraction(loC, hiC, col("buckets")).as("v"),
-            col("t").as("st"), lit(true).as("dn"))
-          .filter(!isnull(col("v")))
-        VectorVal(native.unionByName(classic))
+          .filter(!isnull(col("v"))))
 
       case "info" =>
         VectorVal(evalInfo(pl, args))
@@ -480,38 +466,64 @@ object CallEval {
     enriched.unionByName(passThrough)
   }
 
-  /** Split a histogram-function input vector into the native side and the
-    * classic le-bucket side, mutually EXCLUDING conflicting groups — a label
-    * group with both a native sample and classic bucket series at the same
-    * timestamp is dropped from both (ref: promql/functions.go
+  /** Classify a histogram-function input vector into native samples and
+    * classic le-bucket groups, mutually EXCLUDING conflicting groups — a
+    * label group with both a native sample and classic bucket series at the
+    * same timestamp is dropped from both (ref: promql/functions.go
     * enh.resetHistograms conflict handling).
-    * Returns (native: labels,t,h | classic: labels,t,buckets). */
-  private[promql] def splitHistInputs(pl: Planner, in: DataFrame): (DataFrame, DataFrame) = {
+    *
+    * Returns ONE DataFrame (labels, t, h, buckets, dn) where each row is
+    * EITHER native (`h` set, `buckets` null) or classic (`buckets` set, `h`
+    * null). The whole classification is a single aggregation behind a single
+    * exchange with a single downstream consumer — the caller computes
+    * `when(h.isNotNull, nativeFn).otherwise(classicFn)` instead of a union
+    * of two branches. (A two-sided split re-executed the input's
+    * post-shuffle computation once per consumer: for
+    * histogram_quantile(rate(classic[5m])) that re-ran the rate windows 3×.) */
+  private[promql] def fusedHistInput(pl: Planner, in: DataFrame): DataFrame = {
     val leStr = pl.lvalCol(col("labels"), "le")
-    val native = in.filter(col("h").isNotNull)
-      .select(col("labels"), col("t"), col("h"), col("dn"))
-      .withColumn("__k", pl.hashSigCol(map_filter(col("labels"), (k, _) => k =!= "le")))
-    val classic = in.filter(col("h").isNull).filter(leStr =!= "")
-      .withColumn("__lestr", leStr)
+    // one keyed projection feeds the census and both sides
+    val keyed = in
       // try_cast: an unparsable le label ("Hello World") drops the bucket,
-      // never fails the query
+      // never fails the query (empty/missing le casts to NULL too)
+      .withColumn("__lestr", leStr)
       .withColumn("__le", when(col("__lestr") === "+Inf" || col("__lestr") === "Inf" ||
           col("__lestr") === "inf", lit(Double.PositiveInfinity))
         .otherwise(expr("try_cast(__lestr AS DOUBLE)")))
-      .filter(col("__le").isNotNull)
+      .withColumn("__isN", col("h").isNotNull)
+      .withColumn("__isC", col("h").isNull && col("__le").isNotNull)
+      .filter(col("__isN") || col("__isC"))
       // grouping/output excludes only `le` (ref: quantile.go:51 excludedLabels);
       // the metric name stays and is dropped deferred via the DropName flag
       .withColumn("glabels", map_filter(col("labels"), (k, _) => k =!= "le"))
       .withColumn("__k", pl.hashSigCol(col("glabels")))
-    val nKeys = native.select(col("__k"), col("t")).distinct()
-    val cKeys = classic.select(col("__k"), col("t")).distinct()
-    val nativeClean = native.join(cKeys, Seq("__k", "t"), "left_anti")
-      .select(col("labels"), col("t"), col("h"), col("dn"))
-    val classicClean = classic.join(nKeys, Seq("__k", "t"), "left_anti")
-      .groupBy(col("__k"), col("t"))
-      .agg(first(col("glabels")).as("labels"), max(col("dn")).as("dn"),
-           collect_list(struct(col("__le"), col("v"))).as("buckets"))
-      .select(col("labels"), col("t"), col("buckets"), col("dn"))
-    (nativeClean, classicClean)
+    val grouped = keyed.groupBy(col("__k"), col("t")).agg(
+      max(col("__isN")).as("hasN"), max(col("__isC")).as("hasC"),
+      first(col("glabels")).as("glabels"),
+      max(when(col("__isC"), col("dn"))).as("cdn"),
+      collect_list(when(col("__isC"), struct(col("__le"), col("v")))).as("buckets"),
+      collect_list(when(col("__isN"),
+        struct(col("labels"), col("h"), col("dn")))).as("nrows"))
+    val nullH = lit(null).cast(in.schema("h").dataType)
+    val nullB = lit(null).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__le",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType)))))
+    // conflict groups (hasN && hasC) explode an empty array — dropped from
+    // both sides; native groups re-emit their individual samples with the
+    // ORIGINAL labels (incl. a stray le); classic groups emit one bucket row
+    grouped.select(col("t"), explode(
+        when(col("hasN") && !col("hasC"),
+          transform(col("nrows"), r => struct(
+            r.getField("labels").as("labels"), r.getField("h").as("h"),
+            nullB.as("buckets"), r.getField("dn").as("dn"))))
+        .when(col("hasC") && !col("hasN"),
+          array(struct(col("glabels").as("labels"), nullH.as("h"),
+            col("buckets").as("buckets"), col("cdn").as("dn"))))
+        .otherwise(array())).as("r"))
+      .select(col("r.labels").as("labels"), col("t"), col("r.h").as("h"),
+        col("r.buckets").as("buckets"), col("r.dn").as("dn"))
   }
 }
