@@ -73,9 +73,13 @@ object PromBench {
         .repartition(32, col("metric"))
         .write.mode("overwrite").partitionBy("metric").parquet(path)
     }
-    // metric partition column restores __name__ pruning on disk
+    // Keep the `metric` partition column: the planner's selectorBase filters
+    // equality/regex __name__ matchers on it, so the parquet scan prunes to
+    // the matched metric partitions — and when this DF is .cache()d, the
+    // in-memory scan skips cached batches by the flat column's min/max stats
+    // (batches are metric-homogeneous thanks to the repartition above).
     spark.read.parquet(path)
-      .select(col("labels"), col("t"), col("v"), col("stale"))
+      .select(col("labels"), col("t"), col("v"), col("stale"), col("metric"))
   }
 
   final case class Case(expr: String, steps: Int)

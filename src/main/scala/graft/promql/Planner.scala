@@ -129,7 +129,25 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
 
   private def selectorBase(vs: VectorSelector): DataFrame = {
     val ms = vs.metricName.map(n => LabelMatcher("__name__", MatchOp.Eq, n)).toList ++ vs.matchers
-    ms.foldLeft(samples) { (df, m) =>
+    // Physical-layout fast path: stores may materialize labels["__name__"] as
+    // a plain `metric` column (and partition the parquet files by it — the
+    // analog of the reference's postings index on __name__,
+    // tsdb/index/postings.go). A filter on that flat column reaches parquet
+    // partition pruning and in-memory-cache batch min/max skipping, neither of
+    // which can see through element_at(map). The map-side filters below still
+    // run, so correctness never depends on the metric column's accuracy.
+    val base0 =
+      if (!samples.columns.contains("metric")) samples
+      else ms.filter(_.name == "__name__").foldLeft(samples) { (df, m) =>
+        val c = coalesce(col("metric"), lit(""))
+        df.filter(m.op match {
+          case MatchOp.Eq => c === m.value
+          case MatchOp.Neq => c =!= m.value
+          case MatchOp.Re => c.rlike(anchored(m.value))
+          case MatchOp.NotRe => !c.rlike(anchored(m.value))
+        })
+      }.drop("metric")
+    ms.foldLeft(if (base0.columns.contains("metric")) base0.drop("metric") else base0) { (df, m) =>
       val c = lval(col("labels"), m.name)
       df.filter(m.op match {
         case MatchOp.Eq => c === m.value
