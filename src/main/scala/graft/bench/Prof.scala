@@ -1,10 +1,31 @@
 package graft.bench
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicLong
 
 /** Ad-hoc profiling entry: time individual PromBench headline queries.
-  * Usage: runMain graft.bench.Prof "<expr>[@steps]" ... (default steps 1000) */
+  * Usage: runMain graft.bench.Prof "<expr>[@steps]" ... (default steps 1000)
+  * Prints per-run task-metric aggregates (executor time, GC, spill) so a slow
+  * wall-clock number can be attributed to compute vs GC vs scheduling. */
 object Prof {
+  private val taskTime = new AtomicLong
+  private val gcTime = new AtomicLong
+  private val spillBytes = new AtomicLong
+  private val cpuTime = new AtomicLong
+
+  private final class MetricsListener extends SparkListener {
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        taskTime.addAndGet(m.executorRunTime)
+        gcTime.addAndGet(m.jvmGCTime)
+        cpuTime.addAndGet(m.executorCpuTime / 1000000L)
+        spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -13,6 +34,7 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new MetricsListener)
     val data = PromBench.dataset(spark,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench")).cache()
     data.count()
@@ -35,8 +57,9 @@ object Prof {
           case other => println(s"non-vector: $other")
         }
       } else {
+        Seq(taskTime, gcTime, spillBytes, cpuTime).foreach(_.set(0L))
         val (sec, rows) = PromBench.run(spark, data, PromBench.Case(expr, steps))
-        println(f"PROF $sec%8.2f s  rows=$rows%-8d  $expr@$steps")
+        println(f"PROF $sec%8.2f s  rows=$rows%-8d task=${taskTime.get / 1000.0}%6.1f cpu=${cpuTime.get / 1000.0}%6.1f gc=${gcTime.get / 1000.0}%5.1f spill=${spillBytes.get / (1 << 20)}%dMB  $expr@$steps")
       }
       }
     }

@@ -94,7 +94,7 @@ object HistUdfs {
     udf { (pts: Seq[HPt], tStep: java.lang.Long) =>
       if (pts == null || pts.isEmpty || tStep == null) null
       else try {
-        val h = pts.sortBy(_.wt)
+        val h = pts.toIndexedSeq.sortBy(_.wt)
         val rangeStart = tStep - rangeMs
         val rangeEnd: Long = tStep
         var lastIdx = h.length - 1
@@ -152,7 +152,7 @@ object HistUdfs {
   val smoothedHistUdf = udf { (pts: Seq[HPt], tStep: java.lang.Long) =>
     if (pts == null || pts.isEmpty || tStep == null) null
     else try {
-      val h = pts.sortBy(_.wt)
+      val h = pts.toIndexedSeq.sortBy(_.wt)
       val i = h.indexWhere(_.wt >= tStep) match { case -1 => h.length; case k => k }
       if (i < h.length && h(i).wt == tStep) h(i).h
       else if (i > 0 && i < h.length) {
@@ -188,7 +188,7 @@ object HistUdfs {
     udf { (pts: Seq[MPt], tStep: java.lang.Long) =>
       if (pts == null || pts.isEmpty || tStep == null) null
       else try {
-        val f = pts.sortBy(_.wt)
+        val f = pts.toIndexedSeq.sortBy(_.wt)
         val rangeStart = tStep - rangeMs
         if (!f.exists(_.wt > rangeStart)) null
         else {
@@ -224,7 +224,7 @@ object HistUdfs {
   def mergedInstant(isRate: Boolean) = udf { (pts: Seq[MPt]) =>
     if (pts == null || pts.length < 2) null
     else try {
-      val s = pts.sortBy(_.wt)
+      val s = pts.toIndexedSeq.sortBy(_.wt)
       val p0 = s(s.length - 2); val p1 = s.last
       val dtSec = (p1.wt - p0.wt).toDouble / 1000.0
       if (dtSec == 0) null
@@ -283,8 +283,12 @@ object HistUdfs {
   /** the per-window fold of [[histRate]], shared with the series-at-once
     * path ([[histRateAllSteps]]); `sorted` must be wt-ascending */
   def histRateWindow(isCounter: Boolean, isRate: Boolean, rangeMs: Long,
-      sorted: Seq[HPt], tStep: Long): FHist = {
+      sorted0: Seq[HPt], tStep: Long): FHist = {
       {
+        // force O(1) indexing — a List input makes the reset scan quadratic
+        val sorted = sorted0 match {
+          case ix: IndexedSeq[HPt] => ix; case other => other.toIndexedSeq
+        }
         val n = sorted.length
         try {
           val rangeStart = tStep - rangeMs
@@ -384,7 +388,7 @@ object HistUdfs {
   def histOverTime(isAvg: Boolean) = udf { (pts: Seq[HPt]) =>
     if (pts == null || pts.isEmpty) null
     else try {
-      val hs = pts.sortBy(_.wt).map(_.h)
+      val hs = pts.toIndexedSeq.sortBy(_.wt).map(_.h)
       (if (isAvg) FHist.avgSeq(hs) else FHist.sumSeq(hs)).compact
     } catch { case _: Exception => null }
   }

@@ -195,30 +195,23 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           col("t") <= P.endMs - vs.offsetMs)
         val shifted = pruned.withColumn("wt", col("t") + vs.offsetMs)
         // linear as-of regime: when the lookback explode would amplify the
-        // scan meaningfully AND there are many steps, a union-sort last-sample
-        // lookup against step markers replaces the explode — identical result
-        // (same max-by-wt pick), O(samples·log + series×steps)
+        // scan meaningfully AND there are many steps, a series-at-once pass
+        // replaces the explode — ONE hash aggregation collects each series'
+        // sorted samples, then one forward pointer serves every step
+        // (identical result to the max-by-wt pick). Histogram samples ride
+        // along as nullable struct fields (minority column; decoded only
+        // where present).
         val amp = math.min(P.lookbackMs.toDouble / P.stepMs, P.numSteps.toDouble)
         if (amp >= linearSelectRatio && P.numSteps > 1) {
-          val keyed = shifted.withColumn("__sg", hsig(col("labels")))
-          val samplesU = keyed.select(col("__sg"), col("wt"), lit(0).as("knd"),
-            lit(null).cast("long").as("t_step"),
-            struct(col("wt").as("mwt"), col("t").as("st"), col("v"), col("stale"),
-              col("labels"), col("h"), col("stt")).as("pay"))
-          val payType = samplesU.schema("pay").dataType
-          val markers = keyed.select(col("__sg")).distinct()
-            .crossJoin(grid.select(col("t").as("t_step")))
-            .select(col("__sg"), col("t_step").as("wt"), lit(1).as("knd"), col("t_step"),
-              lit(null).cast(payType).as("pay"))
-          val wA = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("knd"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          shape(samplesU.unionByName(markers)
-            .withColumn("p", last(col("pay"), ignoreNulls = true).over(wA))
-            .filter(col("knd") === 1 && col("p").isNotNull &&
-              col("p.mwt") > col("t_step") - P.lookbackMs && !col("p.stale"))
-            .select(col("p.labels").as("labels"), col("t_step").as("t"),
-              col("p.v").as("v"), col("p.st").as("st"), col("p.h").as("h"),
-              col("p.stt").as("stt")))
+          val agged = shifted.groupBy(hsig(col("labels")).as("__sg"))
+            .agg(first(col("labels")).as("labels"),
+              sort_array(collect_list(struct(col("wt"), col("t").as("st"), col("v"),
+                col("stale"), col("stt"), col("h")))).as("pts"))
+          val udfC = RangeUdfs.instantAllSteps(P.startMs, P.stepMs,
+            P.numSteps.toInt, P.lookbackMs)
+          shape(agged.select(col("labels"), explode(udfC(col("pts"))).as("o"))
+            .select(col("labels"), col("o.t").as("t"), col("o.v").as("v"),
+              col("o.st").as("st"), col("o.h").as("h"), col("o.stt").as("stt")))
         } else
           // __sg hashed BEFORE the explode (one hash per sample, not per
           // exploded row)
@@ -382,91 +375,37 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   /** Linear-time window statistics for LARGE window/step ratios, where the
     * coverage explode's ⌈window/step⌉× amplification becomes pathological
     * (rate(x[1d]) @10s step = 8640×; VERDICT regime switch / SURVEY §7.3
-    * risk 2). Cost: O(samples·log + series×steps) — one per-series prefix
-    * pass (cumulative window frames are O(n) in Spark) plus two union-sort
-    * as-of lookups against step markers. Returns one row per (series, step)
-    * with window stats:
-    *   cnt, firstV/minWt (first sample in window), lastV/maxWt (last),
-    *   corr (sum of reset predecessors), nResets, nChanges.
+    * risk 2). Series-at-once: ONE hash aggregation collects each series'
+    * (wt-sorted) float samples, then [[RangeUdfs.rateStatsAllSteps]] computes
+    * every step's window stats from per-series prefix sums + two pointers —
+    * O(samples + steps) per series, one shuffle keyed on the series hash,
+    * no row amplification. (This replaced an earlier prefix-window +
+    * step-marker as-of design: three window passes over a wide pay struct
+    * plus a per-(series, step) pairing aggregation cost ~10× the UDF pass's
+    * CPU on the bench replica.) Returns one row per (series, step) with
+    * window stats: cnt, firstV/minWt/firstSt (first sample in window),
+    * lastV/maxWt (last), corr (sum of reset predecessors), nResets,
+    * nChanges, dn (OR over in-window samples).
     * Float samples only — histogram windows keep the explode path (they are
     * the minority column; their explode is gated on h IS NOT NULL which
-    * Catalyst pushes below the generate). */
+    * Catalyst pushes below the generate). Per-series group size is bounded
+    * by the pruned window span × scrape rate — the same per-series order the
+    * reference holds as chunks in memory. */
   private def linearRangeStats(ri: RangeInput): DataFrame = {
-    val wOrd = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // value decrease OR start-timestamp reset (matches the explode path's
-    // resetOrSt; PROM-60)
-    val resetCond = col("prev_v").isNotNull &&
-      ((!isnan(col("prev_v")) && (col("v") < col("prev_v"))) ||
-       stResetCol(col("prev_wst"), col("prev_wt"), col("wst"), col("wt")))
-    val changedCond = col("prev_v").isNotNull &&
-      ((col("v") =!= col("prev_v") && !(isnan(col("v")) && isnan(col("prev_v")))) ||
-       (isnan(col("v")) =!= isnan(col("prev_v"))))
-    // __sg materialized BEFORE any window so the lag and prefix passes all
-    // share one exchange + one sort (a fresh hsig(labels) per window spec
-    // would reshuffle each pass); all-float input ⇒ plain lag == prev-FLOAT
-    val wLag = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("t"))
-    val fbase = ri.points.filter(col("h").isNull)
-      .withColumn("__sg", hsig(col("labels")))
+    val fb = ri.points.filter(col("h").isNull)
       .withColumn("wt", col("t") + ri.offsetMs)
       .withColumn("wst", when(col("stt") =!= 0L, col("stt") + ri.offsetMs).otherwise(0L))
-      .withColumn("prev_v", lag(col("v"), 1).over(wLag))
-      .withColumn("prev_wt", lag(col("wt"), 1).over(wLag))
-      .withColumn("prev_wst", coalesce(lag(col("wst"), 1).over(wLag), lit(0L)))
-      .withColumn("pCnt", count(lit(1)).over(wOrd))
-      .withColumn("pCorr", sum(when(resetCond, col("prev_v")).otherwise(0.0)).over(wOrd))
-      .withColumn("pRst", sum(when(resetCond, 1L).otherwise(0L)).over(wOrd))
-      .withColumn("pChg", sum(when(changedCond, 1L).otherwise(0L)).over(wOrd))
-      .withColumn("pDn", sum(when(col("dn"), 1L).otherwise(0L)).over(wOrd))
-    val samplesU = fbase.select(col("__sg"), col("wt"), lit(0).as("knd"), lit("").as("mk"),
-      lit(null).cast("long").as("t_step"),
-      struct(col("wt").as("mwt"), col("v"), col("labels"), col("dn"), col("wst"),
-        col("pCnt"), col("pCorr"), col("pRst"), col("pChg"), col("pDn")).as("pay"))
-    val payType = samplesU.schema("pay").dataType
-    // series list WITHOUT the window subtree (plain distinct over the scan)
-    val seriesKeys = ri.points.filter(col("h").isNull)
-      .select(hsig(col("labels")).as("__sg")).distinct()
-    // BOTH marker kinds in ONE union → one sort, two frames, then a hash
-    // aggregation pairs them up — no self-join, no recomputed subtrees:
-    //   e @ t      — window end:   last sample at/before t
-    //   s @ t−W    — window start: first sample strictly after t−W
-    //     (samples at wt == t−W sort BEFORE the marker, excluding them)
-    // ONE marker subtree: both boundary kinds explode from an inline array
-    // (a per-kind union would re-build — and re-scan — the series×grid cross
-    // join once per kind)
-    val allMarkers = seriesKeys.crossJoin(grid.select(col("t").as("__mt")))
-      .select(col("__sg"), col("__mt"), explode(array(
-        struct(lit("e").as("mk"), col("__mt").as("wt")),
-        struct(lit("s").as("mk"), (col("__mt") - ri.rangeMs).as("wt")))).as("k"))
-      .select(col("__sg"), col("k.wt").as("wt"), lit(1).as("knd"), col("k.mk").as("mk"),
-        col("__mt").as("t_step"), lit(null).cast(payType).as("pay"))
-    val wA = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("knd"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // pass B runs on a DESCENDING order with an UnboundedPreceding frame —
-    // Spark streams that in O(n), whereas an UnboundedFollowing frame
-    // re-evaluates the aggregate per row (O(n²) per partition)
-    val wB = Window.partitionBy(col("__sg")).orderBy(col("wt").desc, col("knd").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val combined = samplesU.unionByName(allMarkers)
-      .withColumn("eP", last(col("pay"), ignoreNulls = true).over(wA))
-      .withColumn("sP", last(col("pay"), ignoreNulls = true).over(wB))
-      .filter(col("knd") === 1)
-      .groupBy(col("__sg"), col("t_step"))
-      .agg(
-        first(when(col("mk") === "e", col("eP")), ignoreNulls = true).as("e"),
-        first(when(col("mk") === "s", col("sP")), ignoreNulls = true).as("s"))
-      .filter(col("e").isNotNull && col("e.mwt") > col("t_step") - ri.rangeMs &&
-        col("s").isNotNull && col("s.mwt") <= col("t_step"))
-    combined.select(col("__sg"), col("t_step"), col("e.labels").as("labels"),
-      // OR of dn over the in-window samples — matches the explode path's
-      // max(dn) (reference per-series seriesDropName)
-      (col("e.pDn") - col("s.pDn") + col("s.dn").cast("long") > 0L).as("dn"),
-      (col("e.pCnt") - col("s.pCnt") + 1).as("cnt"),
-      col("s.v").as("firstV"), col("s.mwt").as("minWt"), col("s.wst").as("firstSt"),
-      col("e.v").as("lastV"), col("e.mwt").as("maxWt"),
-      (col("e.pCorr") - col("s.pCorr")).as("corr"),
-      (col("e.pRst") - col("s.pRst")).cast("double").as("nResets"),
-      (col("e.pChg") - col("s.pChg")).cast("double").as("nChanges"))
+      .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
+    val agged = fb.groupBy(hsig(col("labels")).as("__sg"))
+      .agg(first(col("labels")).as("labels"),
+        sort_array(collect_list(struct(col("wt"), col("v"), col("wst"), col("dn")))).as("pts"))
+    val udfC = RangeUdfs.rateStatsAllSteps(P.startMs, P.stepMs, P.numSteps.toInt, ri.rangeMs)
+    agged.select(col("__sg"), col("labels"), explode(udfC(col("pts"))).as("o"))
+      .select(col("__sg"), col("o.t").as("t_step"), col("labels"), col("o.dn").as("dn"),
+        col("o.cnt").as("cnt"), col("o.firstV").as("firstV"), col("o.minWt").as("minWt"),
+        col("o.firstSt").as("firstSt"), col("o.lastV").as("lastV"), col("o.maxWt").as("maxWt"),
+        col("o.corr").as("corr"), col("o.nResets").as("nResets"),
+        col("o.nChanges").as("nChanges"))
   }
 
   /** coverage-explode amplification (min(window/step, numSteps)) above which

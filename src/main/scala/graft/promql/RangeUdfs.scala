@@ -49,7 +49,9 @@ object RangeUdfs {
 
   /** direct-then-incremental mean (ref: promql/functions.go:1218
     * funcAvgOverTime float path — switches to incremental mean on overflow). */
-  def avgSeq(vs: Seq[Double]): Double = {
+  def avgSeq(vs0: Seq[Double]): Double = {
+    // force O(1) indexing — callers may pass a List (Seq decodes as one)
+    val vs = vs0 match { case ix: IndexedSeq[Double] => ix; case other => other.toArray.toIndexedSeq }
     var sum = vs.head; var kahanC = 0.0
     var mean = 0.0
     var incremental = false
@@ -108,7 +110,7 @@ object RangeUdfs {
     if (pts == null || pts.length < 2 || sf <= 0 || sf >= 1 || tf <= 0 || tf >= 1)
       null.asInstanceOf[java.lang.Double]
     else {
-      val vs = pts.map(_.getDouble(1))
+      val vs = pts.iterator.map(_.getDouble(1)).toArray
       var s = vs(0)
       var b = vs(1) - vs(0)
       var i = 1
@@ -136,8 +138,11 @@ object RangeUdfs {
     else {
       val n = pts.length
       val wts = new Array[Long](n); val vs = new Array[Double](n)
+      // iterator, not pts(i): Seq decodes as an immutable List, where
+      // positional indexing is O(i) — a quadratic trap on long series
       var i = 0
-      while (i < n) { val r = pts(i); wts(i) = r.getLong(0); vs(i) = r.getDouble(1); i += 1 }
+      val it0 = pts.iterator
+      while (it0.hasNext) { val r = it0.next(); wts(i) = r.getLong(0); vs(i) = r.getDouble(1); i += 1 }
       val out = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
       var lo = 0; var hi = 0 // window (t-range, t] == indices [lo, hi)
       var k = 0
@@ -227,6 +232,112 @@ object RangeUdfs {
               out += ((t, s))
             case _ => ()
           }
+        }
+        k += 1
+      }
+      out.toSeq
+    }
+  }
+
+  /** one step's window statistics for the rate/increase/delta/changes/resets
+    * family (the columns [[graft.promql.Planner]]'s `extrapolated` math
+    * consumes) */
+  final case class RangeStat(t: Long, cnt: Long, firstV: Double, minWt: Long,
+      firstSt: Long, lastV: Double, maxWt: Long, corr: Double,
+      nResets: Double, nChanges: Double, dn: Boolean)
+
+  /** Series-at-once window statistics for the rate family at LARGE
+    * window/step ratios: prefix reset/change/name-drop sums are computed once
+    * per series (pair i ⇐ samples i−1,i — ref promql/functions.go:452
+    * extrapolatedRate's reset scan), then every step's stats are prefix
+    * differences + the window-boundary samples found by two pointers —
+    * O(samples + steps) per series, zero row amplification. Input rows
+    * (wt, v, wst, dn) sorted by wt; wst = shifted start timestamp (0 =
+    * unknown; PROM-60 ST resets, functions.go:760 isStartTimestampReset). */
+  def rateStatsAllSteps(startMs: Long, stepMs: Long, numSteps: Int,
+      rangeMs: Long) = udf { (pts: Seq[Row]) =>
+    if (pts == null || pts.isEmpty) Seq.empty[RangeStat]
+    else {
+      val n = pts.length
+      val wts = new Array[Long](n); val vs = new Array[Double](n)
+      val sts = new Array[Long](n); val dns = new Array[Boolean](n)
+      // iterator, not pts(i): Seq decodes as an immutable List, where
+      // positional indexing is O(i) — a quadratic trap on long series
+      var i = 0
+      val it = pts.iterator
+      while (it.hasNext) {
+        val r = it.next()
+        wts(i) = r.getLong(0); vs(i) = r.getDouble(1)
+        sts(i) = r.getLong(2); dns(i) = r.getBoolean(3)
+        i += 1
+      }
+      // prefix pair properties: index i describes the pair (i−1, i)
+      val pCorr = new Array[Double](n); val pRst = new Array[Int](n)
+      val pChg = new Array[Int](n); val pDn = new Array[Int](n)
+      pDn(0) = if (dns(0)) 1 else 0
+      i = 1
+      while (i < n) {
+        val pv = vs(i - 1); val v = vs(i)
+        // ST reset: cur ST falls after prev's observed time (same predicate
+        // as the explode path's stResetCol)
+        val stReset = sts(i) != 0L && sts(i) < wts(i) && sts(i) >= wts(i - 1) &&
+          (sts(i) > wts(i - 1) ||
+           (sts(i - 1) <= wts(i - 1) && sts(i - 1) != 0L && sts(i - 1) != wts(i - 1)))
+        val reset = (!pv.isNaN && v < pv) || stReset
+        // Spark compare semantics: NaN == NaN, so both-NaN is "unchanged"
+        val changed = (v != pv && !(v.isNaN && pv.isNaN)) || (v.isNaN != pv.isNaN)
+        pCorr(i) = pCorr(i - 1) + (if (reset) pv else 0.0)
+        pRst(i) = pRst(i - 1) + (if (reset) 1 else 0)
+        pChg(i) = pChg(i - 1) + (if (changed) 1 else 0)
+        pDn(i) = pDn(i - 1) + (if (dns(i)) 1 else 0)
+        i += 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[RangeStat]()
+      var lo = 0; var hi = 0 // window (t−range, t] == indices [lo, hi)
+      var k = 0
+      while (k < numSteps) {
+        val t = startMs + k.toLong * stepMs
+        while (lo < n && wts(lo) <= t - rangeMs) lo += 1
+        while (hi < n && wts(hi) <= t) hi += 1
+        if (hi > lo) {
+          val e = hi - 1
+          out += RangeStat(t, (hi - lo).toLong, vs(lo), wts(lo), sts(lo),
+            vs(e), wts(e), pCorr(e) - pCorr(lo),
+            (pRst(e) - pRst(lo)).toDouble, (pChg(e) - pChg(lo)).toDouble,
+            pDn(e) - pDn(lo) + (if (dns(lo)) 1 else 0) > 0)
+        }
+        k += 1
+      }
+      out.toSeq
+    }
+  }
+
+  /** one instant-selector pick: (step, sample ts, v, stt, h) */
+  final case class IPick(t: Long, st: Long, v: Double, stt: Long, h: FHist)
+  /** instant-selector input sample (wt = offset-shifted ts, st = raw ts) */
+  final case class IPt(wt: Long, st: Long, v: Double, stale: Boolean,
+      stt: Long, h: FHist)
+
+  /** Series-at-once instant selection: per step, the most recent sample at or
+    * before it within the lookback window, stale markers shadowing (ref:
+    * promql/engine.go:2730 vectorSelectorSingle). One forward pointer over
+    * the wt-sorted series serves every step — O(samples + steps), replacing
+    * the lookback coverage explode at large lookback/step ratios. */
+  def instantAllSteps(startMs: Long, stepMs: Long, numSteps: Int,
+      lookbackMs: Long) = udf { (pts: Seq[IPt]) =>
+    if (pts == null || pts.isEmpty) Seq.empty[IPick]
+    else {
+      val arr = pts.toIndexedSeq
+      val n = arr.length
+      val out = new scala.collection.mutable.ArrayBuffer[IPick]()
+      var hi = 0; var k = 0
+      while (k < numSteps) {
+        val t = startMs + k.toLong * stepMs
+        while (hi < n && arr(hi).wt <= t) hi += 1
+        if (hi > 0) {
+          val p = arr(hi - 1)
+          if (p.wt > t - lookbackMs && !p.stale)
+            out += IPick(t, p.st, p.v, p.stt, p.h)
         }
         k += 1
       }
@@ -351,7 +462,7 @@ object RangeUdfs {
     udf { (pts: Seq[Row], tStep: java.lang.Long) =>
       if (pts == null || pts.isEmpty || tStep == null) null
       else {
-        val f = pts.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+        val f = pts.iterator.map(r => (r.getLong(0), r.getDouble(1))).toIndexedSeq.sortBy(_._1)
         val rangeStart = tStep - rangeMs
         val rangeEnd: Long = tStep
         var lastIdx = f.length - 1
@@ -403,7 +514,7 @@ object RangeUdfs {
   val smoothedValUdf = udf { (pts: Seq[Row], tStep: java.lang.Long) =>
     if (pts == null || pts.isEmpty || tStep == null) null
     else {
-      val f = pts.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      val f = pts.iterator.map(r => (r.getLong(0), r.getDouble(1))).toIndexedSeq.sortBy(_._1)
       val i = f.indexWhere(_._1 >= tStep) match { case -1 => f.length; case k => k }
       if (i < f.length && f(i)._1 == tStep) java.lang.Double.valueOf(f(i)._2)
       else if (i > 0 && i < f.length)
