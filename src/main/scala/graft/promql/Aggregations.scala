@@ -49,7 +49,7 @@ object Aggregations {
     def sortedVals = sort_array(collect_list(struct(pl.sigCol(col("labels")).as("s"), col("v").as("v"))))
     // float-only view: most aggregators skip histogram samples with a warning
     // (ref: engine.go:3680 min/max, :3654 stddev, aggregationK)
-    lazy val preF = pre.filter(col("h").isNull)
+    lazy val preF = pre.filter(pl.hIsNull)
     def groupedF(v: Column): DataFrame =
       preF.groupBy(col("gsig"), col("t"))
         .agg(first(col("glabels")).as("labels"), max(col("dn")).as("dn"), v.as("v"))
@@ -58,7 +58,7 @@ object Aggregations {
     /** sum/avg: float groups via ordered Kahan, histogram groups via
       * histogram addition; MIXED groups are dropped (ref: engine.go:3619). */
     def sumAvg(isAvg: Boolean): DataFrame = {
-      val hin = pre.filter(col("h").isNotNull)
+      val hin = pre.filter(pl.hNotNull)
       val fAgg = preF.groupBy(col("gsig"), col("t"))
         .agg(first(col("glabels")).as("labels"), max(col("dn")).as("dn"),
           (if (isAvg) RangeUdfs.avgOT(sortedVals) else RangeUdfs.kahanSumOT(sortedVals)).as("v"))

@@ -95,7 +95,7 @@ object BinOps {
         case Some(c) => (vdf, lit(c))
         case None => (vdf.join(broadcast(sdf.withColumnRenamed("v", "__s")), Seq("t")), col("__s"))
       }
-      return VectorVal(df.filter(col("h").isNotNull)
+      return VectorVal(df.filter(pl.hNotNull)
         .select(col("labels"), col("t"), col("v"), col("st"),
           HistUdfs.guarded(col("h"))(
             HistUdfs.trimH(col("h"), sv, lit(op == "</"))).as("h"), col("dn")))
@@ -104,7 +104,7 @@ object BinOps {
     // the left); all other hist/scalar combinations drop the sample
     // (ref: promql/engine.go:3484 vectorElemBinop histogram branches)
     val histOk = !cmpOps.contains(op) && (op == "*" || (op == "/" && !scalarOnLeft))
-    val vdf2 = if (histOk) vdf else vdf.filter(col("h").isNull)
+    val vdf2 = if (histOk) vdf else vdf.filter(pl.hIsNull)
     val (df, sv) = sconst match {
       case Some(c) => (vdf2, lit(c))
       case None => (vdf2.join(broadcast(sdf.withColumnRenamed("v", "__s")), Seq("t")), col("__s"))
@@ -153,7 +153,7 @@ object BinOps {
     val eqOps = op == "==" || op == "!="
     val (l, r) =
       if (cmpOps.contains(op) && !eqOps)
-        (l0.filter(col("h").isNull), r0.filter(col("h").isNull))
+        (l0.filter(pl.hIsNull), r0.filter(pl.hIsNull))
       else (l0, r0)
     val lp = l.select(matchSig(pl, col("labels"), m).as("msig"),
       col("labels").as("l_labels"), col("t"), col("v").as("l_v"), col("st").as("l_st"),

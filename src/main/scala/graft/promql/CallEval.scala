@@ -64,7 +64,7 @@ object CallEval {
     }
     /** float samples only — scalar-math functions skip histogram samples
       * (ref: promql/functions.go simpleFloatFunc + info annotations) */
-    def floats(df: DataFrame): DataFrame = df.filter(col("h").isNull)
+    def floats(df: DataFrame): DataFrame = df.filter(pl.hIsNull)
     /** apply elementwise transform marking __name__ for deferred dropping
       * (ref: functions.go:1753 simpleFloatFunc DropName: true) */
     def mapV(df: DataFrame, f: Column => Column): PValue =
@@ -274,7 +274,7 @@ object CallEval {
       // simpleHistogramFunc) — struct-field projections, codegen'd
       case "histogram_count" | "histogram_sum" | "histogram_avg"
          | "histogram_stddev" | "histogram_stdvar" =>
-        val in = vecArg(args.head).filter(col("h").isNotNull)
+        val in = vecArg(args.head).filter(pl.hNotNull)
         val v = name match {
           case "histogram_count" => col("h.cnt")
           case "histogram_sum" => col("h.sum")
@@ -294,7 +294,7 @@ object CallEval {
         // the name for deferred dropping (functions.go:2204 DropName: true)
         VectorVal(j
           .select(col("labels"), col("t"),
-            when(col("h").isNotNull,
+            when(pl.hNotNull,
               HistUdfs.guarded(col("h"))(HistUdfs.quantileH(phi, col("h"))))
             .otherwise(RangeUdfs.bucketQuantile(phi, col("buckets"))).as("v"),
             col("t").as("st"), lit(true).as("dn"))
@@ -316,7 +316,7 @@ object CallEval {
         val parts = qs.map { q =>
           fused
             .select(addQ(col("labels"), q).as("labels"), col("t"),
-              when(col("h").isNotNull,
+              when(pl.hNotNull,
                 HistUdfs.guarded(col("h"))(HistUdfs.quantileH(lit(q), col("h"))))
               .otherwise(RangeUdfs.bucketQuantile(lit(q), col("buckets"))).as("v"),
               col("t").as("st"), lit(true).as("dn"))
@@ -330,7 +330,7 @@ object CallEval {
         val (j2, hi) = pl.scalarParam(args(1), j1, "t", "__hi", "histogram_fraction")
         VectorVal(j2
           .select(col("labels"), col("t"),
-            when(col("h").isNotNull,
+            when(pl.hNotNull,
               HistUdfs.guarded(col("h"))(HistUdfs.fractionH(lo, hi, col("h"))))
             .otherwise(RangeUdfs.bucketFraction(lo, hi, col("buckets"))).as("v"),
             col("t").as("st"), lit(true).as("dn"))
@@ -411,7 +411,7 @@ object CallEval {
     // info samples must be floats (ref: info.go:384) — lazy runtime error
     // embedded in the label dataflow so it fires iff the sample is selected
     val iLabelsChecked =
-      when(col("h").isNotNull, raise_error(lit("info sample should be float"))
+      when(pl.hNotNull, raise_error(lit("info sample should be float"))
         .cast(org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
         .otherwise(col("labels"))
@@ -490,8 +490,8 @@ object CallEval {
       .withColumn("__le", when(col("__lestr") === "+Inf" || col("__lestr") === "Inf" ||
           col("__lestr") === "inf", lit(Double.PositiveInfinity))
         .otherwise(expr("try_cast(__lestr AS DOUBLE)")))
-      .withColumn("__isN", col("h").isNotNull)
-      .withColumn("__isC", col("h").isNull && col("__le").isNotNull)
+      .withColumn("__isN", pl.hNotNull)
+      .withColumn("__isC", pl.hIsNull && col("__le").isNotNull)
       .filter(col("__isN") || col("__isC"))
       // grouping/output excludes only `le` (ref: quantile.go:51 excludedLabels);
       // the metric name stays and is dropped deferred via the DropName flag

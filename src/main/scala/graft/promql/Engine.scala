@@ -35,6 +35,17 @@ object Engine {
   /** public form of [[normalize]] for store/serving layers */
   def canonical(samples: DataFrame): DataFrame = normalize(samples)
 
+  /** Column metadata marking an optional column that the STORE did not
+    * provide (synthesized all-null/zero by [[normalize]]). The planner reads
+    * this as a static capability bit: predicates on a store-absent column
+    * constant-fold, so Catalyst's PruneFilters + PropagateEmptyRelation erase
+    * every native-histogram / start-timestamp leg (mixed-series censuses,
+    * anti-joins, histogram branches) from plans over float-only stores — the
+    * common case at 100 TB, where those legs would each re-scan the input. */
+  private[promql] val storeAbsentKey = "graft.store_absent"
+  private val storeAbsent: Metadata =
+    new MetadataBuilder().putBoolean(storeAbsentKey, true).build()
+
   /** accept samples tables without the optional columns */
   private def normalize(samples: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
@@ -42,7 +53,9 @@ object Engine {
     if (!df.columns.contains("stale")) df = df.withColumn("stale", lit(false))
     if (!df.columns.contains("h"))
       df = df.withColumn("h", lit(null).cast(FHist.schemaType))
-    if (!df.columns.contains("stt")) df = df.withColumn("stt", lit(0L))
+        .withMetadata("h", storeAbsent)
+    if (!df.columns.contains("stt"))
+      df = df.withColumn("stt", lit(0L)).withMetadata("stt", storeAbsent)
     else df = df.withColumn("stt", coalesce(col("stt"), lit(0L)))
     df
   }

@@ -46,6 +46,30 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
 
   private val P = params
 
+  // ---------- static store capabilities ----------
+
+  /** true when the STORE has no native-histogram / start-timestamp column
+    * (normalize synthesized it — see Engine.storeAbsentKey). No PromQL
+    * operator creates a native histogram or a start timestamp from floats,
+    * so absence at the store is absence everywhere in the query; predicates
+    * below fold to literals and Catalyst erases the corresponding legs
+    * (censuses, anti-joins, histogram branches) from the physical plan. */
+  private val noHist: Boolean =
+    samples.schema.fields.find(_.name == "h")
+      .exists(_.metadata.contains(Engine.storeAbsentKey))
+  private val noStt: Boolean =
+    samples.schema.fields.find(_.name == "stt")
+      .exists(_.metadata.contains(Engine.storeAbsentKey))
+
+  /** `h IS NOT NULL` / `h IS NULL`, constant-folded on histogram-free stores */
+  private[promql] def hNotNull: Column = if (noHist) lit(false) else col("h").isNotNull
+  private[promql] def hIsNull: Column = if (noHist) lit(true) else col("h").isNull
+
+  /** offset-shifted start timestamp (0 = unknown), folded on stt-free stores */
+  private def wstCol(offsetMs: Long): Column =
+    if (noStt) lit(0L)
+    else when(col("stt") =!= 0L, col("stt") + lit(offsetMs)).otherwise(lit(0L))
+
   // ---------- label plumbing ----------
 
   /** canonical ORDERING signature of a label map (wide; used only where a
@@ -287,7 +311,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       // a CounterReset hint would be counted once per copy, and a NotCounterReset
       // hint could mask a reset in samples the subquery skipped
       // (ref: engine.go:2023-2045 evalSubquery hint rewrite)
-      val hAdj = when(col("h").isNotNull &&
+      val hAdj = when(hNotNull &&
           (col("h.crh") === FHist.HintReset || col("h.crh") === FHist.HintNotReset),
           col("h").withField("crh", lit(FHist.HintUnknown)))
         .otherwise(col("h"))
@@ -321,11 +345,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     ri.points
       // start timestamps shift into the offset frame alongside wt (0 stays 0
       // = unknown); prev_wst is the previous FLOAT point's shifted ST
-      .withColumn("wst", when(col("stt") =!= 0L, col("stt") + ri.offsetMs).otherwise(0L))
-      .withColumn("prev_v", lag(when(col("h").isNull, col("v")), 1, null, ignoreNulls = true).over(w))
-      .withColumn("prev_t", lag(when(col("h").isNull, col("t")), 1, null, ignoreNulls = true).over(w))
+      .withColumn("wst", wstCol(ri.offsetMs))
+      .withColumn("prev_v", lag(when(hIsNull, col("v")), 1, null, ignoreNulls = true).over(w))
+      .withColumn("prev_t", lag(when(hIsNull, col("t")), 1, null, ignoreNulls = true).over(w))
       .withColumn("prev_wst", coalesce(
-        lag(when(col("h").isNull, col("wst")), 1, null, ignoreNulls = true).over(w), lit(0L)))
+        lag(when(hIsNull, col("wst")), 1, null, ignoreNulls = true).over(w), lit(0L)))
       .withColumn("wt", col("t") + ri.offsetMs)
       .withColumn("prev_wt", col("prev_t") + ri.offsetMs)
   }
@@ -339,11 +363,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   }
 
   private def windowedPoints(ri: RangeInput): WPoints = {
-    val baseF = basePoints(ri).filter(col("h").isNull)
+    val baseF = basePoints(ri).filter(hIsNull)
     // histogram rows never consume the prev-float columns, so their side
     // skips the lag window entirely (schema kept aligned with nulls)
-    val baseH = ri.points.filter(col("h").isNotNull)
-      .withColumn("wst", when(col("stt") =!= 0L, col("stt") + ri.offsetMs).otherwise(0L))
+    val baseH = ri.points.filter(hNotNull)
+      .withColumn("wst", wstCol(ri.offsetMs))
       .withColumn("prev_v", lit(null).cast("double"))
       .withColumn("prev_t", lit(null).cast("long"))
       .withColumn("prev_wst", lit(0L))
@@ -392,9 +416,9 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * by the pruned window span × scrape rate — the same per-series order the
     * reference holds as chunks in memory. */
   private def linearRangeStats(ri: RangeInput): DataFrame = {
-    val fb = ri.points.filter(col("h").isNull)
+    val fb = ri.points.filter(hIsNull)
       .withColumn("wt", col("t") + ri.offsetMs)
-      .withColumn("wst", when(col("stt") =!= 0L, col("stt") + ri.offsetMs).otherwise(0L))
+      .withColumn("wst", wstCol(ri.offsetMs))
       .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
     val agged = fb.groupBy(hsig(col("labels")).as("__sg"))
       .agg(first(col("labels")).as("labels"),
@@ -495,9 +519,9 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       if (!histConsuming)
         // histogram samples are IGNORED by these folds (ref: e.g.
         // engine min/max/stddev float-only slices) — float rows suffice
-        fast(ri.points.filter(col("h").isNull))
+        fast(ri.points.filter(hIsNull))
       else {
-        val histSeries = ri.points.filter(col("h").isNotNull)
+        val histSeries = ri.points.filter(hNotNull)
           .select(hsig(col("labels")).as("__sg")).distinct()
         val fastLeg = fast(ri.points.join(broadcast(histSeries),
           hsig(col("labels")) === col("__sg"), "left_anti"))
@@ -592,17 +616,17 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       // ONE map-side-combined aggregation (output = series cardinality).
       lazy val mixedSer = ri.points
         .groupBy(hsig(col("labels")).as("__sg"))
-        .agg(max(col("h").isNotNull).as("anyH"), max(col("h").isNull).as("anyF"))
+        .agg(max(hNotNull).as("anyH"), max(hIsNull).as("anyF"))
         .filter(col("anyH") && col("anyF"))
         .select(col("__sg"))
       // mixed series' histogram rows, coverage-exploded AFTER the restriction
       // (a join does not push below Generate — restricting hpts post-explode
       // would still explode every hist-pure series)
       lazy val mixedHpts = {
-        val base = ri.points.filter(col("h").isNotNull)
+        val base = ri.points.filter(hNotNull)
           .join(broadcast(mixedSer), hsig(col("labels")) === col("__sg"), "left_semi")
           .drop("__sg")
-          .withColumn("wst", when(col("stt") =!= 0L, col("stt") + ri.offsetMs).otherwise(0L))
+          .withColumn("wst", wstCol(ri.offsetMs))
           .withColumn("wt", col("t") + ri.offsetMs)
         coverage(base.withColumn("__sg", hsig(col("labels"))), col("wt"), ri.rangeMs)
       }
@@ -657,10 +681,10 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           // series-at-once for hist-PURE series (no coverage explode on the
           // wide histogram column); MIXED series keep the explode restricted
           // to just them — same split device as changes/resets
-          val histPureRows = ri.points.filter(col("h").isNotNull)
+          val histPureRows = ri.points.filter(hNotNull)
             .join(broadcast(mixedSer), hsig(col("labels")) === col("__sg"), "left_anti")
             .withColumn("wt", col("t") + ri.offsetMs)
-            .withColumn("wst", when(col("stt") =!= 0L, col("stt") + ri.offsetMs).otherwise(0L))
+            .withColumn("wst", wstCol(ri.offsetMs))
             .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
           val aggedH = histPureRows.groupBy(hsig(col("labels")).as("__sg"))
             .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
@@ -697,7 +721,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           // path; any series carrying histogram samples falls back to the
           // merged-timeline explode (few in practice — the explode input is
           // restricted to those series, so the amplification stays bounded)
-          val histSeries = ri.points.filter(col("h").isNotNull)
+          val histSeries = ri.points.filter(hNotNull)
             .select(hsig(col("labels")).as("__sg")).distinct()
           val linPart = finish(
             linearRangeStats(ri).join(broadcast(histSeries), Seq("__sg"), "left_anti"),
@@ -887,7 +911,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     // __sg materialized BEFORE any window so every pass shares one exchange
     // (each fresh hsig(labels) instantiation would otherwise get its own
     // hashpartitioning column and force a reshuffle per window)
-    val pts0 = ri.points.filter(col("h").isNull)
+    val pts0 = ri.points.filter(hIsNull)
       .withColumn("__sg", hsig(col("labels")))
       .withColumn("wt", col("t") + ri.offsetMs)
     val wLag = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("t"))
@@ -903,7 +927,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       struct(col("wt").as("mwt"), col("v"), col("labels"),
         col("prev_v"), col("prev_wt"), col("pCorr")).as("pay"))
     val payType = samplesU.schema("pay").dataType
-    val seriesKeys = ri.points.filter(col("h").isNull)
+    val seriesKeys = ri.points.filter(hIsNull)
       .select(hsig(col("labels")).as("__sg")).distinct()
     // ONE marker subtree: per (series, step) the 2-3 boundary kinds explode
     // from an inline array, instead of re-building (and re-scanning) the
@@ -1077,7 +1101,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       .withColumn("dn", lit(false))
     def agg(pts0: DataFrame): DataFrame = {
       val pts = pts0 // arrives with __sg hashed pre-explode
-      val f = pts.filter(col("h").isNull)
+      val f = pts.filter(hIsNull)
         .groupBy(col("__sg"), col("t_step"))
         .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
           sort_array(collect_list(struct(col("wt"), col("v")))).as("pts"))
@@ -1085,7 +1109,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         .filter(!isnull(col("v")))
         .select(col("__sg"), col("labels"), col("t_step").as("t"), col("v"),
           col("t_step").as("st"), lit(null).cast(FHist.schemaType).as("h"))
-      val hh = pts.filter(col("h").isNotNull)
+      val hh = pts.filter(hNotNull)
         .groupBy(col("__sg"), col("t_step"))
         .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
           sort_array(collect_list(struct(col("wt"), col("h"), lit(0L).as("stt")))).as("hp"))
@@ -1098,8 +1122,8 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       // branch can be mixed even when only one side produces an output
       def key(df: DataFrame) =
         df.select(col("__sg").as("__k"), col("t_step").as("__kt")).distinct()
-      val fk = key(pts.filter(col("h").isNull))
-      val hk = key(pts.filter(col("h").isNotNull))
+      val fk = key(pts.filter(hIsNull))
+      val hk = key(pts.filter(hNotNull))
       f.join(hk, col("__sg") === col("__k") && col("t") === col("__kt"), "left_anti")
         .unionByName(
           hh.join(fk, col("__sg") === col("__k") && col("t") === col("__kt"), "left_anti"))
