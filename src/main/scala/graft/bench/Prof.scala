@@ -24,6 +24,14 @@ object Prof {
         spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
       }
     }
+    // PROF_STAGES=1: per-stage task-time breakdown (stage boundaries =
+    // exchange boundaries, so a hot stage pins a hot exchange-to-exchange span)
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      if (sys.env.contains("PROF_STAGES")) {
+        val i = s.stageInfo
+        println(f"  stage ${i.stageId}%4d run=${i.taskMetrics.executorRunTime / 1000.0}%7.1f cpu=${i.taskMetrics.executorCpuTime / 1e9}%7.1f rows=${i.taskMetrics.inputMetrics.recordsRead}%-10d shufIn=${i.taskMetrics.shuffleReadMetrics.recordsRead}%-10d shufOut=${i.taskMetrics.shuffleWriteMetrics.recordsWritten}%-10d ${i.name.takeWhile(_ != '\n').take(60)}")
+      }
   }
 
   def main(args: Array[String]): Unit = {
@@ -33,6 +41,13 @@ object Prof {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    sys.env.get("PROF_CONF").foreach { kvs =>
+      kvs.split(';').filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split('=')
+        spark.conf.set(k, v)
+        println(s"PROF conf $k=$v")
+      }
+    }
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new MetricsListener)
     val data = PromBench.dataset(spark,
@@ -42,7 +57,11 @@ object Prof {
       // "ratio=N" pseudo-arg flips the regime threshold for subsequent queries
       if (a.startsWith("ratio=")) {
         graft.promql.Planner.defaultLinearPathRatio = a.drop(6).toDouble
+        graft.promql.Planner.defaultRateLinearRatio = a.drop(6).toDouble
         println(s"PROF ratio -> ${a.drop(6)}")
+      } else if (a.startsWith("rratio=")) {
+        graft.promql.Planner.defaultRateLinearRatio = a.drop(7).toDouble
+        println(s"PROF rratio -> ${a.drop(7)}")
       } else {
       val (expr, steps) = a.lastIndexOf('@') match {
         case i if i > 0 && a.drop(i + 1).forall(_.isDigit) => (a.take(i), a.drop(i + 1).toInt)

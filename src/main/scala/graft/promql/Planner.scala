@@ -258,10 +258,14 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   // ---------- range inputs (matrix selectors & subqueries) ----------
 
   /** points: labels, t (sample ts), v — stale already removed;
-    * ext: 0 plain, 1 anchored, 2 smoothed */
+    * ext: 0 plain, 1 anchored, 2 smoothed;
+    * cheapRescan: true when `points` is a plain pruned selector scan, so a
+    * second traversal (e.g. the per-series labels dict) costs one more pass
+    * over the pruned input — false for subqueries, whose points re-run the
+    * whole inner evaluation */
   private final case class RangeInput(
       points: DataFrame, rangeMs: Long, offsetMs: Long, at: Option[AtModifier],
-      ext: Int = 0)
+      ext: Int = 0, cheapRescan: Boolean = false)
 
   private def rangeInput(e: Expr): RangeInput = e match {
     case MatrixSelector(vs, range, ext) =>
@@ -283,7 +287,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
                    .filter(col("t") > loT && col("t") <= hiT)
                    .select(col("labels"), col("t"), col("v"), col("h"), lit(false).as("dn"),
                            col("stt")),
-                 range, vs.offsetMs, vs.at, ext)
+                 range, vs.offsetMs, vs.at, ext, cheapRescan = true)
     case SubqueryExpr(inner, range, step0, offset, at) =>
       val istep = if (step0 > 0) step0 else P.defaultSubqueryStepMs
       // inner grid: multiples of istep spanning [outerStart-offset-range, outerEnd-offset]
@@ -339,10 +343,16 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * grid after aggregation (step-invariant, ref: promql/engine.go:2564). */
   /** offset-shifted points with previous-FLOAT-point columns */
   private def basePoints(ri: RangeInput): DataFrame = {
-    val w = Window.partitionBy(hsig(col("labels"))).orderBy(col("t"))
+    // __sg materialized BEFORE the windows: an attribute-based partition spec
+    // lets Spark collapse all three lags into ONE Window operator sharing one
+    // exchange (hsig(labels) inline defeats CollapseWindow — the lambda vars
+    // in the sort comparator never canonicalize equal), and the coverage
+    // explode downstream reuses the hash instead of recomputing it
+    val w = Window.partitionBy(col("__sg")).orderBy(col("t"))
     // prev_* skip histogram samples (ignoreNulls): float functions see the
     // previous FLOAT point, mirroring the reference's separate Floats slice
     ri.points
+      .withColumn("__sg", hsig(col("labels")))
       // start timestamps shift into the offset frame alongside wt (0 stays 0
       // = unknown); prev_wst is the previous FLOAT point's shifted ST
       .withColumn("wst", wstCol(ri.offsetMs))
@@ -367,6 +377,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     // histogram rows never consume the prev-float columns, so their side
     // skips the lag window entirely (schema kept aligned with nulls)
     val baseH = ri.points.filter(hNotNull)
+      .withColumn("__sg", hsig(col("labels")))
       .withColumn("wst", wstCol(ri.offsetMs))
       .withColumn("prev_v", lit(null).cast("double"))
       .withColumn("prev_t", lit(null).cast("long"))
@@ -380,7 +391,6 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         def pin(df: DataFrame): DataFrame = df
           .filter(col("wt") > te - ri.rangeMs && col("wt") <= te)
           .withColumn("t_step", lit(te))
-          .withColumn("__sg", hsig(col("labels")))
         WPoints(pin(baseF), pin(baseH), fixed = true)
       case None =>
         // extended selectors widen the buffer by the lookback delta: one
@@ -388,13 +398,27 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         // (smoothed) — ref engine.go:2848
         val window = ri.rangeMs + (if (ri.ext != 0) P.lookbackMs else 0L)
         val future = if (ri.ext == 2) P.lookbackMs else 0L
-        // __sg hashed BEFORE the explode: one hash per sample instead of one
-        // per (sample × covered step)
+        // labels dropped BEFORE the explode for plain selectors (a labels
+        // dict is joined back after aggregation — see labelsDict): the
+        // exploded rows stay all-primitive, so (a) the Generate does not
+        // copy the labels map per covered step, and (b) purely-declarative
+        // downstream aggs compile to codegen'd HashAggregate instead of a
+        // SortAggregate over the amplified rows (first(map) has an immutable
+        // buffer, which disqualifies hash aggregation)
+        val narrow = ri.ext == 0 && ri.cheapRescan
         def cov(df: DataFrame): DataFrame =
-          coverage(df.withColumn("__sg", hsig(col("labels"))), col("wt"), window, future)
+          coverage(if (narrow) df.drop("labels") else df, col("wt"), window, future)
         WPoints(cov(baseF), cov(baseH), fixed = false)
     }
   }
+
+  /** per-series (__sg → labels) dict for explode-regime range functions whose
+    * amplified rows dropped the labels map (windowedPoints `narrow`); one
+    * extra pass over the pruned selector scan, output = series cardinality.
+    * AQE picks broadcast vs shuffle for the restore join. */
+  private def labelsDict(ri: RangeInput): DataFrame =
+    ri.points.select(hsig(col("labels")).as("__sg"), col("labels"))
+      .dropDuplicates("__sg")
 
   /** Linear-time window statistics for LARGE window/step ratios, where the
     * coverage explode's ⌈window/step⌉× amplification becomes pathological
@@ -433,13 +457,24 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   }
 
   /** coverage-explode amplification (min(window/step, numSteps)) above which
-    * the explode path switches to [[linearRangeStats]]; below it the explode
-    * is cheap and bit-exact. 16 ≈ the crossover where the explode's row
-    * amplification outweighs the linear path's fixed two-sorted-pass cost on
-    * large scans (measured on the bench replica: rate(h_hundred[5m]) amp 30
-    * is 3× faster linear; amp ≤8 explodes are at parity or better).
+    * the explode path switches to the series-at-once `*_over_time` pass
+    * ([[seriesAtOnceFast]]). Low crossover: that pass is one sorted fold with
+    * a tiny output struct (measured on the bench replica:
+    * sum_over_time(a_hundred[10m]) amp 60 is 20× cheaper CPU than the
+    * explode, and the explode spills GBs at day-scale windows).
     * Overridable for path-equivalence tests. */
   private[promql] var linearPathRatio: Double = Planner.defaultLinearPathRatio
+
+  /** separate, much higher crossover for the rate/changes family
+    * ([[linearRangeStats]]): its per-series stats UDF carries an 11-field
+    * output struct per (series, step), a flat ~17µs/row boundary cost,
+    * while the explode's map-side-combined hash-agg cost grows only ~linearly
+    * in amplification with a small slope (measured: explode CPU ≈ linear CPU
+    * at amp ≈ 440 on rate(h_hundred[*]); wall crossover ≈ 480). Below this
+    * the fused Generate→partial-HashAggregate explode is faster AND bit-exact
+    * with the reference's fold order; above it the explode's row
+    * amplification becomes pathological (rate(x[1d]) @10s = 8640×). */
+  private[promql] var rateLinearRatio: Double = Planner.defaultRateLinearRatio
 
   /** After aggregating a pinned (@) range: fan the per-series constant back out
     * to every grid step. */
@@ -556,10 +591,26 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     val hpts = wp.hists
     val g = fpts.groupBy(col("__sg"), col("t_step"))
     val gAll = pts.groupBy(col("__sg"), col("t_step"))
-    def hAggedOf(src: DataFrame) = src.groupBy(col("__sg"), col("t_step"))
-      .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
+    // labels restore for the narrow explode (windowedPoints dropped the map
+    // from the amplified rows): aggregate label-free, then join the
+    // per-series dict back on the 8-byte key at (series × steps) cardinality
+    val hasLbl = fpts.columns.contains("labels")
+    lazy val dictDf = labelsDict(ri)
+    def aggL(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+        cols: Column*): DataFrame = {
+      val all = (if (hasLbl) Seq(first(col("labels")).as("labels")) else Nil) ++ cols
+      grouped.agg(all.head, all.tail: _*)
+    }
+    def withLbl(df: DataFrame): DataFrame =
+      if (df.columns.contains("labels")) df else df.join(dictDf, Seq("__sg"))
+    def hAggedOf(src: DataFrame) = {
+      val base = Seq(max(col("dn")).as("dn"),
         count(lit(1)).as("hcnt"),
         sort_array(collect_list(struct(col("wt"), col("h"), col("wst").as("stt")))).as("hp"))
+      val all = (if (src.columns.contains("labels"))
+        Seq(first(col("labels")).as("labels")) else Nil) ++ base
+      src.groupBy(col("__sg"), col("t_step")).agg(all.head, all.tail: _*)
+    }
     def hAgged = hAggedOf(hpts)
     /** drop (series, step) groups that also appear in `other` */
     def exclMixed(df: DataFrame, other: DataFrame): DataFrame =
@@ -574,7 +625,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
 
     def finish(agged: DataFrame, v: Column, cond: Column = lit(true), st: Column = col("t_step"),
         h: Column = lit(null).cast(FHist.schemaType)): DataFrame = {
-      val r = agged
+      val r = withLbl(agged)
         .withColumn("v", v)
         .withColumn("__h", h)
         .filter(cond && (!isnull(col("v")) || col("__h").isNotNull))
@@ -587,7 +638,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     /** union a histogram-only-window result computed by `udfCol` over the
       * sorted (wt, h) list */
     def histBranch(udfCol: Column, minPts: Int = 1, src: DataFrame = null): DataFrame = {
-      val clean = exclMixed(if (src == null) hAgged else hAggedOf(src), fpts)
+      val clean = withLbl(exclMixed(if (src == null) hAgged else hAggedOf(src), fpts))
       val r = clean
         .withColumn("__h", udfCol)
         .filter(col("hcnt") >= minPts && col("__h").isNotNull)
@@ -601,7 +652,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     // coverage explode (regime switch; see linearRangeStats). Amplification
     // is min(window/step, numSteps) — a sample covers at most numSteps steps.
     val useLinear = !fixed && ri.at.isEmpty &&
-      math.min(ri.rangeMs.toDouble / P.stepMs, P.numSteps.toDouble) >= linearPathRatio
+      math.min(ri.rangeMs.toDouble / P.stepMs, P.numSteps.toDouble) >= rateLinearRatio
 
     def extrapolated(isCounter: Boolean, isRate: Boolean, isDelta: Boolean): DataFrame = {
       // counter resets: value decrease OR a start-timestamp reset (PROM-60)
@@ -632,8 +683,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       }
       val agged = exclMixed(
         if (useLinear) linearRangeStats(ri)
-        else g.agg(
-          first(col("labels")).as("labels"), max(col("dn")).as("dn"),
+        else aggL(g, max(col("dn")).as("dn"),
           count(col("v")).as("cnt"),
           min(col("wt")).as("minWt"), max(col("wt")).as("maxWt"),
           expr("min_by(v, wt)").as("firstV"), expr("max_by(v, wt)").as("lastV"),
@@ -710,7 +760,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       case "irate" | "idelta" =>
         // ref: promql/functions.go:830 instantValue — last two points of the
         // merged float+histogram in-window timeline
-        val agged = gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
+        val agged = aggL(gAll, max(col("dn")).as("dn"),
           sort_array(collect_list(struct(col("wt"), col("v"), col("h"), col("wst").as("stt")))).as("mp"))
           .withColumn("__o", HistUdfs.mergedInstant(name == "irate")(col("mp")))
         finish(agged, col("__o.v"), col("__o").isNotNull, h = col("__o.h"))
@@ -727,9 +777,9 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
             linearRangeStats(ri).join(broadcast(histSeries), Seq("__sg"), "left_anti"),
             if (name == "changes") col("nChanges") else col("nResets"))
           val mergedPart = {
-            val agged = pts.join(broadcast(histSeries), Seq("__sg"), "left_semi")
-              .groupBy(col("__sg"), col("t_step"))
-              .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
+            val agged = aggL(pts.join(broadcast(histSeries), Seq("__sg"), "left_semi")
+              .groupBy(col("__sg"), col("t_step")),
+              max(col("dn")).as("dn"),
                 sort_array(collect_list(struct(col("wt"), col("v"), col("h"), col("wst").as("stt")))).as("mp"))
             finish(agged,
               HistUdfs.extMixedCount(name == "changes", ri.rangeMs)(col("mp"), col("t_step")))
@@ -738,7 +788,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         } else {
           // ref: promql/functions.go:2359/:2431 — merged float+histogram
           // timeline; float↔histogram transitions always count
-          val agged = gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
+          val agged = aggL(gAll, max(col("dn")).as("dn"),
             sort_array(collect_list(struct(col("wt"), col("v"), col("h"), col("wst").as("stt")))).as("mp"))
           finish(agged,
             HistUdfs.extMixedCount(name == "changes", ri.rangeMs)(col("mp"), col("t_step")))
@@ -749,54 +799,54 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         // reference (plain distributed sum() reorders additions and fails on
         // catastrophic-cancellation inputs; ref functions.go:1218/:1572)
         val sorted = sort_array(collect_list(struct(col("wt"), col("v"))))
-        val agged = exclMixed(g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), sorted.as("pts")), hpts)
+        val agged = exclMixed(aggL(g, max(col("dn")).as("dn"), sorted.as("pts")), hpts)
         val v = if (name == "avg_over_time") RangeUdfs.avgOT(col("pts"))
                 else RangeUdfs.kahanSumOT(col("pts"))
         finish(agged, v)
           .unionByName(histBranch(HistUdfs.histOverTime(name == "avg_over_time")(col("hp"))))
       case "count_over_time" =>
         // counts float AND histogram samples (ref: functions.go:1371)
-        finish(gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), count(lit(1)).cast("double").as("a")), col("a"))
+        finish(aggL(gAll, max(col("dn")).as("dn"), count(lit(1)).cast("double").as("a")), col("a"))
       case "min_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
+        finish(aggL(g, max(col("dn")).as("dn"),
           min(when(!isnan(col("v")), col("v"))).as("a"), count(lit(1)).as("n")),
           coalesce(col("a"), lit(Double.NaN)))
       case "max_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
+        finish(aggL(g, max(col("dn")).as("dn"),
           max(when(!isnan(col("v")), col("v"))).as("a"), count(lit(1)).as("n")),
           coalesce(col("a"), lit(Double.NaN)))
       case "first_over_time" =>
-        val agged = gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
+        val agged = aggL(gAll, max(col("dn")).as("dn"),
           expr("min_by(struct(v, t, h), wt)").as("p"))
         finish(agged, col("p.v"), h = col("p.h"))
       case "last_over_time" =>
-        val agged = gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
+        val agged = aggL(gAll, max(col("dn")).as("dn"),
           expr("max_by(struct(v, t, h), wt)").as("p"))
         finish(agged, col("p.v"), h = col("p.h"))
       case "ts_of_first_over_time" =>
-        finish(gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), min(col("wt")).as("a")),
+        finish(aggL(gAll, max(col("dn")).as("dn"), min(col("wt")).as("a")),
                col("a").cast("double") / 1000.0)
       case "ts_of_last_over_time" =>
-        finish(gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), max(col("wt")).as("a")),
+        finish(aggL(gAll, max(col("dn")).as("dn"), max(col("wt")).as("a")),
                col("a").cast("double") / 1000.0)
       case "ts_of_max_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), expr("max_by(wt, struct(v, wt))").as("a")),
+        finish(aggL(g, max(col("dn")).as("dn"), expr("max_by(wt, struct(v, wt))").as("a")),
                col("a").cast("double") / 1000.0)
       case "ts_of_min_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
+        finish(aggL(g, max(col("dn")).as("dn"),
           expr("min_by(wt, struct(v, -wt))").as("a")), col("a").cast("double") / 1000.0)
       case "stddev_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), stddev_pop(col("v")).as("a")), col("a"))
+        finish(aggL(g, max(col("dn")).as("dn"), stddev_pop(col("v")).as("a")), col("a"))
       case "stdvar_over_time" =>
-        finish(g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), var_pop(col("v")).as("a")), col("a"))
+        finish(aggL(g, max(col("dn")).as("dn"), var_pop(col("v")).as("a")), col("a"))
       case "present_over_time" =>
-        finish(gAll.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn")), lit(1.0))
+        finish(aggL(gAll, max(col("dn")).as("dn")), lit(1.0))
       case "quantile_over_time" =>
         // ref: promql/functions.go:1652 → quantile.go:717 — NaN sorts smallest
         // (Spark percentile sorts NaN largest, so the UDF path is used
         // unconditionally); φ may be a per-step scalar expression.
         val sorted = sort_array(collect_list(struct(col("wt"), col("v"))))
-        val agged = g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), sorted.as("__pts"))
+        val agged = withLbl(aggL(g, max(col("dn")).as("dn"), sorted.as("__pts")))
           .select(col("labels"), col("t_step").as("t"), col("__pts"), dnOut.as("dn"))
         val fanned = if (!fixed) agged else grid.crossJoin(agged.drop("t"))
         val (qdf, phiCol) = constValue(extra.head) match {
@@ -812,7 +862,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           .filter(!isnull(col("v")))
       case "deriv" | "predict_linear" =>
         // ref: promql/functions.go:1949 linearRegression (OLS)
-        val agged = g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
+        val agged = aggL(g, max(col("dn")).as("dn"),
           count(col("v")).as("cnt"),
           expr("regr_slope(v, wt / 1000.0)").as("slope"),
           expr("regr_intercept(v, wt / 1000.0)").as("icept"))
@@ -834,7 +884,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
                 col("t").as("st"), col("dn"))
           case None =>
             // per-step horizon expression
-            val base = agged.filter(col("cnt") >= 2)
+            val base = withLbl(agged).filter(col("cnt") >= 2)
             val stepped =
               if (!fixed) base
               else grid.crossJoin(base.drop("t_step"))
@@ -848,7 +898,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         // (large window/step ratios with constant parameters are intercepted
         // by seriesAtOnceFast before reaching this explode path)
         val sorted = sort_array(collect_list(struct(col("wt"), col("v"))))
-        val agged = g.agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"), sorted.as("pts"))
+        val agged = aggL(g, max(col("dn")).as("dn"), sorted.as("pts"))
         if (name == "mad_over_time") finish(agged, RangeUdfs.mad(col("pts")))
         else (constValue(extra.head), constValue(extra(1))) match {
           case (Some(sf), Some(tf)) =>
@@ -857,7 +907,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
             // per-step sf/tf expressions: fan a pinned window out first so
             // each output step sees its own parameter values
             val stepped =
-              if (!fixed) agged
+              if (!fixed) withLbl(agged)
               else grid.crossJoin(agged.drop("t_step"))
                 .withColumn("t_step", col("t")).drop("t")
             val (j1, sfC) = scalarParam(extra.head, stepped, "t_step", "__sf", "double_exponential_smoothing")
@@ -1281,5 +1331,6 @@ object Planner {
   /** process-wide defaults for the regime-switch thresholds (per-instance
     * overridable); exposed for benchmark A/B runs within one JVM */
   @volatile var defaultLinearPathRatio: Double = 16.0
+  @volatile var defaultRateLinearRatio: Double = 384.0
   @volatile var defaultLinearExtPathRatio: Double = 32.0
 }

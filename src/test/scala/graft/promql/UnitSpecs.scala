@@ -168,6 +168,7 @@ class LinearPathSpec extends AnyFunSuite {
             org.apache.spark.sql.functions.lit(null).cast(FHist.schemaType)),
           EvalParams(3600000L, 4790000L, 10000L))
         pl.linearPathRatio = if (forceLinear) 1.0 else 1e18
+        pl.rateLinearRatio = if (forceLinear) 1.0 else 1e18
         pl.eval(Engine.parse(q, 10000L)) match {
           case VectorVal(r) =>
             r.select("labels", "t", "v").collect()
@@ -215,6 +216,7 @@ class LinearPathSpec extends AnyFunSuite {
       def histResults(q: String, forceLinear: Boolean): Map[(Map[String, String], Long), String] = {
         val pl = new Planner(spark, hdf, EvalParams(3600000L, 4790000L, 10000L))
         pl.linearPathRatio = if (forceLinear) 1.0 else 1e18
+        pl.rateLinearRatio = if (forceLinear) 1.0 else 1e18
         pl.eval(Engine.parse(q, 10000L)) match {
           case VectorVal(r) =>
             r.select("labels", "t", "v", "h").collect()
