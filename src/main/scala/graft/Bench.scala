@@ -7,9 +7,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.promql.Engine.tunedConf.foldLeft(new org.apache.spark.SparkConf()){case (c,(k,v))=>c.set(k,v)})
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val prof = if (sys.env.get("SPARK_GRAFT_PROF").contains("1")) {
+      val p = new graft.bench.PromBench.StageProf
+      spark.sparkContext.addSparkListener(p); Some(p)
+    } else None
     // optional regex filter for perf iteration, e.g. SPARK_GRAFT_ONLY='lp.*'
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     def keep(name: String): Boolean = only.forall(_.findFirstIn(name).isDefined)
@@ -30,8 +36,13 @@ object Bench {
     }
     val results = SparkEntry.queries.filter(q => keep(q._1)).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
-      val secs = (1 to 2).map(_ => timed {
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L } })
+      val secs = (1 to 2).map { i =>
+        prof.foreach(_.stages.clear())
+        val s = timed {
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L } }
+        if (i == 2) prof.foreach { p => System.err.println(s"== $name $s"); p.report() }
+        s
+      }
       name -> secs.min
     }
     // PromQL engine headline set over the bench_test.go replica dataset

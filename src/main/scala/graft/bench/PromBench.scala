@@ -162,14 +162,59 @@ object PromBench {
     val endS = numIntervals.toLong * 10
     val startS = (numIntervals - c.steps).toLong * 10
     val t0 = System.nanoTime()
+    val prof = sys.env.get("SPARK_GRAFT_PROF").contains("1")
+    def cnt(df: DataFrame): Long = {
+      val tb = System.nanoTime()
+      val n = df.count()
+      if (prof) {
+        val phases = df.queryExecution.tracker.phases
+        val ph = phases.toSeq.sortBy(_._2.startTimeMs)
+          .map { case (k, s) => f"$k=${(s.endTimeMs - s.startTimeMs) / 1000.0}%.2fs" }
+        System.err.println(f"  build=${(tb - t0) / 1e9}%.2fs exec=${(System.nanoTime() - tb) / 1e9}%.2fs " +
+          ph.mkString(" "))
+      }
+      n
+    }
     val rows = Engine.rangeQuery(spark, samples, c.expr.replace('\'', '"'),
       startS * 1000, endS * 1000, 10000L) match {
-      case VectorVal(df) => df.count()
-      case ScalarVal(df, _) => df.count()
-      case MatrixVal(df) => df.count()
+      case VectorVal(df) => cnt(df)
+      case ScalarVal(df, _) => cnt(df)
+      case MatrixVal(df) => cnt(df)
       case StringVal(_) => 0L
     }
     ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  /** stage-level profiler (SPARK_GRAFT_PROF=1): accumulates executor CPU /
+    * run time and task counts per stage so slow plan segments are visible
+    * without the UI */
+  final class StageProf extends org.apache.spark.scheduler.SparkListener {
+    final case class S(name: String, var tasks: Int = 0, var runMs: Long = 0L,
+        var cpuMs: Long = 0L, var shuffleReadMb: Double = 0, var shuffleWriteMb: Double = 0,
+        var recordsRead: Long = 0)
+    val stages = scala.collection.concurrent.TrieMap.empty[Int, S]
+    override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+      stages.getOrElseUpdate(e.stageInfo.stageId, S(e.stageInfo.name.takeWhile(_ != '\n')))
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) stages.get(e.stageId).foreach { s =>
+        s.synchronized {
+          s.tasks += 1; s.runMs += m.executorRunTime; s.cpuMs += m.executorCpuTime / 1000000L
+          s.shuffleReadMb += m.shuffleReadMetrics.totalBytesRead / 1e6
+          s.shuffleWriteMb += m.shuffleWriteMetrics.bytesWritten / 1e6
+          s.recordsRead += m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead
+        }
+      }
+    }
+    def report(): Unit = {
+      val top = stages.toSeq.sortBy(-_._2.runMs).take(12)
+      top.foreach { case (id, s) =>
+        System.err.println(f"  stage $id%4d ${s.name}%-28s tasks=${s.tasks}%3d " +
+          f"run=${s.runMs / 1000.0}%7.2fs cpu=${s.cpuMs / 1000.0}%7.2fs " +
+          f"rows=${s.recordsRead}%10d shufR=${s.shuffleReadMb}%8.1fMB shufW=${s.shuffleWriteMb}%8.1fMB")
+      }
+      stages.clear()
+    }
   }
 
   /** standalone full-bench main: one JSON line per case + total */
@@ -179,16 +224,35 @@ object PromBench {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.promql.Engine.tunedConf.foldLeft(new org.apache.spark.SparkConf()){case (c,(k,v))=>c.set(k,v)})
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val data = dataset(spark, sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench")).cache()
     data.count()
     val full = args.contains("full")
+    // any other arg is a substring filter on the expression (repeat runs allowed
+    // via a trailing xN arg, e.g. `histogram_quantile x3` for warm-plan timing)
+    val reps = args.collectFirst { case a if a.matches("x\\d+") => a.tail.toInt }.getOrElse(1)
+    // `expr:<promql>` times a raw expression (default 1000 steps; `steps:N` overrides)
+    val steps = args.collectFirst { case a if a.startsWith("steps:") => a.stripPrefix("steps:").toInt }.getOrElse(1000)
+    val exprs = args.filter(_.startsWith("expr:")).map(a => Case(a.stripPrefix("expr:"), steps))
+    val filters = args.filterNot(a =>
+      a == "full" || a.matches("x\\d+") || a.startsWith("expr:") || a.startsWith("steps:"))
+    val selected0 = cases(full) ++ headline.filterNot(cases(full).contains)
+    val selected =
+      if (exprs.nonEmpty) exprs.toSeq
+      else if (filters.isEmpty) cases(full)
+      else selected0.filter(c => filters.exists(c.expr.contains))
+    val prof = if (sys.env.get("SPARK_GRAFT_PROF").contains("1")) {
+      val p = new StageProf; spark.sparkContext.addSparkListener(p); Some(p)
+    } else None
     var total = 0.0
-    val parts = cases(full).map { c =>
+    val parts = selected.flatMap(c => Seq.fill(reps)(c)).map { c =>
+      prof.foreach(_.stages.clear())
       val (sec, rows) = run(spark, data, c)
       total += sec
       System.err.println(f"${c.expr}%-70s steps=${c.steps}%-6d $sec%8.3fs $rows%10d rows")
+      prof.foreach(_.report())
       s""""${c.expr.replace("\"", "'")}|${c.steps}":$sec"""
     }
     println(s"""{"metric":"prombench_total","value":$total,"unit":"sec","queries":{${parts.mkString(",")}}}""")

@@ -20,6 +20,22 @@ import org.apache.spark.sql.types._
   */
 object Engine {
 
+  /** Session confs the engine's plan shapes assume. The critical one: AQE's
+    * partition coalescing sizes post-shuffle stages by shuffle BYTES, but the
+    * step-grid plans put a coverage `Generate` (up to numSteps× row
+    * amplification) plus a hash aggregate downstream of a small shuffle — at
+    * the default 1 MB minPartitionSize a 17 MB shuffle collapses to ~13
+    * partitions carrying 30×+ that in generated rows (measured: the
+    * histogram_quantile∘rate bench stage ran 20 s of CPU in 13 tasks on 32
+    * cores). A small floor keeps amplifying stages at full parallelism;
+    * correctness is unaffected. */
+  val tunedConf: Map[String, String] = Map(
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k") ++
+    // ad-hoc A/B overrides, e.g. SPARK_GRAFT_CONF='spark.sql.adaptive.enabled=false;k=v'
+    sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(';')).flatMap { kv =>
+      kv.split("=", 2) match { case Array(k, v) => Some(k.trim -> v.trim); case _ => None }
+    }
+
   val samplesSchema: StructType = StructType(Seq(
     StructField("labels", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
     StructField("t", LongType, nullable = false),

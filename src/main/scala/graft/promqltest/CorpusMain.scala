@@ -21,6 +21,7 @@ object CorpusMain {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.promql.Engine.tunedConf.foldLeft(new org.apache.spark.SparkConf()){case (c,(k,v))=>c.set(k,v)})
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -16,10 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object PipelineSuite {
 
+  /** Read an input table, spreading it across the executors when the file
+    * layout under-parallelizes (a small table = one parquet row group = ONE
+    * partition, which serializes CPU-heavy per-row stages like shingling +
+    * minhash behind a single core). At real scale the scan splits by
+    * maxPartitionBytes and the repartition is a no-op branch; the shuffle it
+    * adds at small scale is KBs against seconds of serial CPU. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      df.repartition(s.sparkContext.defaultParallelism)
+    else df
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    spread(s, s.read.parquet(s"$dir/documents.parquet"))
   private def embs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lp01_exact_dedup" -> { (s, dir) =>

@@ -24,12 +24,20 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read it as long nanos and expose an exact epoch-millis column.
-    */
+  /** events.parquet's `ts` physical type varies by generator version:
+    * TIMESTAMP(NANOS) (Spark reads as BIGINT nanos under the legacy conf —
+    * the vectorized reader rejects nanos otherwise) or TIMESTAMP(MICROS)
+    * (plain TIMESTAMP/_NTZ). Expose one exact epoch-millis BIGINT column
+    * either way; the DuckDB oracle's `epoch_ms(ts)` is schema-agnostic too. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts_ms", (col("ts") / 1000000L).cast("long"))
+    val df = t(s, dir, "events")
+    val tsMs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
+      // session timeZone is UTC, so NTZ→TZ cast is identity on the epoch
+      case _ => expr("unix_micros(cast(ts AS TIMESTAMP)) DIV 1000")
+    }
+    df.withColumn("ts_ms", tsMs.cast("long"))
   }
 
   /** money → exact integer cents (identical expression on the DuckDB side). */
