@@ -249,10 +249,16 @@ object PromBench {
     var total = 0.0
     val parts = selected.flatMap(c => Seq.fill(reps)(c)).map { c =>
       prof.foreach(_.stages.clear())
+      if (prof.isDefined)
+        org.apache.spark.sql.catalyst.rules.RuleExecutor.resetMetrics()
       val (sec, rows) = run(spark, data, c)
       total += sec
       System.err.println(f"${c.expr}%-70s steps=${c.steps}%-6d $sec%8.3fs $rows%10d rows")
-      prof.foreach(_.report())
+      prof.foreach { p =>
+        p.report()
+        org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent()
+          .linesIterator.take(14).foreach(l => System.err.println("  " + l))
+      }
       s""""${c.expr.replace("\"", "'")}|${c.steps}":$sec"""
     }
     println(s"""{"metric":"prombench_total","value":$total,"unit":"sec","queries":{${parts.mkString(",")}}}""")

@@ -226,7 +226,25 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         // along as nullable struct fields (minority column; decoded only
         // where present).
         val amp = math.min(P.lookbackMs.toDouble / P.stepMs, P.numSteps.toDouble)
-        if (amp >= linearSelectRatio && P.numSteps > 1) {
+        if (amp >= linearSelectRatio && P.numSteps > 1 && noHist) {
+          // float-only stores (the static capability flag): the whole pick
+          // rides primitive arrays across the UDF boundary (RangeUdfs
+          // .instantPickAllSteps) — no Row boxing, no FHist codec
+          val agged = shifted.groupBy(hsig(col("labels")).as("__sg"))
+            .agg(first(col("labels")).as("labels"),
+              collect_list(col("wt")).as("wts"),
+              collect_list(coalesce(col("stale"), lit(false))).as("stales"),
+              collect_list(col("t")).as("sts"), collect_list(col("v")).as("vsx"),
+              collect_list(coalesce(col("stt"), lit(0L))).as("stts"))
+          val udfC = RangeUdfs.instantPickAllSteps(P.startMs, P.stepMs,
+            P.numSteps.toInt, P.lookbackMs)
+          val nullH = lit(null).cast(FHist.schemaType)
+          shape(agged
+            .select(col("labels"), explode(
+              udfC(col("wts"), col("stales"), col("sts"), col("vsx"), col("stts"))).as("o"))
+            .select(col("labels"), col("o.t").as("t"), col("o.v").as("v"),
+              col("o.st").as("st"), nullH.as("h"), col("o.stt").as("stt")))
+        } else if (amp >= linearSelectRatio && P.numSteps > 1) {
           val agged = shifted.groupBy(hsig(col("labels")).as("__sg"))
             .agg(first(col("labels")).as("labels"),
               sort_array(collect_list(struct(col("wt"), col("t").as("st"), col("v"),
@@ -444,11 +462,19 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       .withColumn("wt", col("t") + ri.offsetMs)
       .withColumn("wst", wstCol(ri.offsetMs))
       .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
+    // four parallel primitive-array collect_lists (ONE accumulation order —
+    // they ride the same aggregate buffer); the UDF argsorts by wt itself.
+    // Primitive arrays cross the UDF boundary on the no-copy fast paths,
+    // ~10× cheaper than a Seq[Row] of structs (see RangeUdfs.RangeStatsArr).
     val agged = fb.groupBy(hsig(col("labels")).as("__sg"))
       .agg(first(col("labels")).as("labels"),
-        sort_array(collect_list(struct(col("wt"), col("v"), col("wst"), col("dn")))).as("pts"))
+        collect_list(col("wt")).as("wts"), collect_list(col("v")).as("vsx"),
+        collect_list(col("wst")).as("wsts"),
+        collect_list(coalesce(col("dn"), lit(false))).as("dns"))
     val udfC = RangeUdfs.rateStatsAllSteps(P.startMs, P.stepMs, P.numSteps.toInt, ri.rangeMs)
-    agged.select(col("__sg"), col("labels"), explode(udfC(col("pts"))).as("o"))
+    agged
+      .select(col("__sg"), col("labels"),
+        explode(udfC(col("wts"), col("vsx"), col("wsts"), col("dns"))).as("o"))
       .select(col("__sg"), col("o.t").as("t_step"), col("labels"), col("o.dn").as("dn"),
         col("o.cnt").as("cnt"), col("o.firstV").as("firstV"), col("o.minWt").as("minWt"),
         col("o.firstSt").as("firstSt"), col("o.lastV").as("lastV"), col("o.maxWt").as("maxWt"),
@@ -465,15 +491,17 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * Overridable for path-equivalence tests. */
   private[promql] var linearPathRatio: Double = Planner.defaultLinearPathRatio
 
-  /** separate, much higher crossover for the rate/changes family
-    * ([[linearRangeStats]]): its per-series stats UDF carries an 11-field
-    * output struct per (series, step), a flat ~17µs/row boundary cost,
-    * while the explode's map-side-combined hash-agg cost grows only ~linearly
-    * in amplification with a small slope (measured: explode CPU ≈ linear CPU
-    * at amp ≈ 440 on rate(h_hundred[*]); wall crossover ≈ 480). Below this
-    * the fused Generate→partial-HashAggregate explode is faster AND bit-exact
-    * with the reference's fold order; above it the explode's row
-    * amplification becomes pathological (rate(x[1d]) @10s = 8640×). */
+  /** separate crossover for the rate/changes family ([[linearRangeStats]]):
+    * its per-series stats UDF pays a row-boundary cost per (series, step)
+    * output, while the explode's hash-agg cost grows linearly in
+    * amplification. Re-measured after the AQE coalescing floor fix (which
+    * had been starving the linear path's agg stage of parallelism and
+    * inflated the apparent crossover to ~440): explode CPU ≈ linear CPU at
+    * amp ≈ 6 (rate(a_hundred[1m])) and ≈ 11 (rate(h_hundred[2m]), 1100
+    * series); at amp 30 the linear path is 2× cheaper CPU and wins wall
+    * (rate(h_hundred[5m]) 8.2→6.0 s inside histogram_quantile). Below 16
+    * the fused Generate→HashAggregate explode stays faster AND bit-exact
+    * with the reference's fold order. */
   private[promql] var rateLinearRatio: Double = Planner.defaultRateLinearRatio
 
   /** After aggregating a pinned (@) range: fan the per-series constant back out
@@ -1331,6 +1359,6 @@ object Planner {
   /** process-wide defaults for the regime-switch thresholds (per-instance
     * overridable); exposed for benchmark A/B runs within one JVM */
   @volatile var defaultLinearPathRatio: Double = 16.0
-  @volatile var defaultRateLinearRatio: Double = 384.0
+  @volatile var defaultRateLinearRatio: Double = 16.0
   @volatile var defaultLinearExtPathRatio: Double = 32.0
 }

@@ -246,6 +246,18 @@ object RangeUdfs {
       firstSt: Long, lastV: Double, maxWt: Long, corr: Double,
       nResets: Double, nChanges: Double, dn: Boolean)
 
+  /** argsort-by-key encoded as one primitive long sort: key = wt·2²⁰ + i
+    * (exact for |wt| < 2⁴², i < 2²⁰ — i.e. any epoch-ms timestamp and up to
+    * 1M samples per series per query window) */
+  private def sortKeys(wts: Array[Long]): Array[Long] = {
+    val n = wts.length
+    val keys = new Array[Long](n)
+    var i = 0
+    while (i < n) { keys(i) = wts(i) * 1048576L + i; i += 1 }
+    java.util.Arrays.sort(keys)
+    keys
+  }
+
   /** Series-at-once window statistics for the rate family at LARGE
     * window/step ratios: prefix reset/change/name-drop sums are computed once
     * per series (pair i ⇐ samples i−1,i — ref promql/functions.go:452
@@ -254,21 +266,28 @@ object RangeUdfs {
     * O(samples + steps) per series, zero row amplification. Input rows
     * (wt, v, wst, dn) sorted by wt; wst = shifted start timestamp (0 =
     * unknown; PROM-60 ST resets, functions.go:760 isStartTimestampReset). */
+  /** Inputs as four parallel primitive arrays (unsorted — argsorted here):
+    * primitive-array columns enter the UDF via the no-copy long/double-array
+    * fast paths, replacing the former sorted Seq[Row] input that paid a
+    * per-element GenericRow allocation AND a sort_array over wide structs.
+    * Output stays ONE Seq[RangeStat] consumed by ONE explode — returning
+    * parallel arrays zipped on the SQL side re-evaluates the UDF once per
+    * field extraction when CollapseProject inlines it into the Generate. */
   def rateStatsAllSteps(startMs: Long, stepMs: Long, numSteps: Int,
-      rangeMs: Long) = udf { (pts: Seq[Row]) =>
-    if (pts == null || pts.isEmpty) Seq.empty[RangeStat]
+      rangeMs: Long) = udf { (wts0: Array[Long], vs0: Array[Double],
+        sts0: Array[Long], dns0: Array[Boolean]) =>
+    val n = if (wts0 == null) 0 else wts0.length
+    if (n == 0) Seq.empty[RangeStat]
     else {
-      val n = pts.length
+      // the four collect_lists share one accumulation order; argsort by wt
+      val keys = sortKeys(wts0)
       val wts = new Array[Long](n); val vs = new Array[Double](n)
       val sts = new Array[Long](n); val dns = new Array[Boolean](n)
-      // iterator, not pts(i): Seq decodes as an immutable List, where
-      // positional indexing is O(i) — a quadratic trap on long series
       var i = 0
-      val it = pts.iterator
-      while (it.hasNext) {
-        val r = it.next()
-        wts(i) = r.getLong(0); vs(i) = r.getDouble(1)
-        sts(i) = r.getLong(2); dns(i) = r.getBoolean(3)
+      while (i < n) {
+        val j = (keys(i) - (keys(i) >> 20 << 20)).toInt
+        wts(i) = keys(i) >> 20
+        vs(i) = vs0(j); sts(i) = sts0(j); dns(i) = dns0(j)
         i += 1
       }
       // prefix pair properties: index i describes the pair (i−1, i)
@@ -317,6 +336,36 @@ object RangeUdfs {
   /** instant-selector input sample (wt = offset-shifted ts, st = raw ts) */
   final case class IPt(wt: Long, st: Long, v: Double, stale: Boolean,
       stt: Long, h: FHist)
+
+  /** [[instantAllSteps]] for FLOAT-ONLY stores (the static store-capability
+    * flag erases the histogram leg): inputs arrive as five parallel primitive
+    * arrays (unsorted; argsorted here) on the no-copy fast paths — no
+    * per-element Row allocation, no FHist codec on the boundary. Output is
+    * one Seq for one explode (see [[rateStatsAllSteps]] on why). */
+  final case class IPickF(t: Long, st: Long, v: Double, stt: Long)
+  def instantPickAllSteps(startMs: Long, stepMs: Long, numSteps: Int,
+      lookbackMs: Long) = udf { (wts0: Array[Long], stales0: Array[Boolean],
+        sts0: Array[Long], vs0: Array[Double], stts0: Array[Long]) =>
+    val n = if (wts0 == null) 0 else wts0.length
+    if (n == 0) Seq.empty[IPickF]
+    else {
+      val keys = sortKeys(wts0)
+      val out = new scala.collection.mutable.ArrayBuffer[IPickF]()
+      var hi = 0; var k = 0
+      while (k < numSteps) {
+        val t = startMs + k.toLong * stepMs
+        while (hi < n && (keys(hi) >> 20) <= t) hi += 1
+        if (hi > 0) {
+          val wt = keys(hi - 1) >> 20
+          val j = (keys(hi - 1) - (wt << 20)).toInt
+          if (wt > t - lookbackMs && !stales0(j))
+            out += IPickF(t, sts0(j), vs0(j), stts0(j))
+        }
+        k += 1
+      }
+      out.toSeq
+    }
+  }
 
   /** Series-at-once instant selection: per step, the most recent sample at or
     * before it within the lookback window, stale markers shadowing (ref:

@@ -130,25 +130,33 @@ object Rules {
     try go(Engine.parse(expr)) catch { case _: Throwable => Set.empty }
   }
 
-  /** Topologically order recording rules so producers run before consumers
-    * (ref: rules/manager.go:500); cycles fall back to input order. */
-  private[streaming] def orderRecording(rules: Seq[RecordingRule]): Seq[RecordingRule] = {
+  /** Topological LEVELS of recording rules: producers come in earlier levels
+    * than consumers, and rules within one level are mutually independent, so
+    * a level evaluates CONCURRENTLY (ref: rules/manager.go:500
+    * dependencyMap / RuleDependencyController + the ConcurrentRules
+    * controller, rules/manager.go:524). Cycles fall back to one final
+    * sequential level in input order. */
+  private[streaming] def recordingLevels(rules: Seq[RecordingRule]): Seq[Seq[RecordingRule]] = {
     val produces = rules.map(_.record).toSet
     val deps: Map[String, Set[String]] = rules.map { r =>
       r.record -> (referencedNames(r.expr) & produces - r.record) }.toMap
-    val ordered = Seq.newBuilder[RecordingRule]
+    val levels = Seq.newBuilder[Seq[RecordingRule]]
     val done = scala.collection.mutable.Set[String]()
     var pending = rules
     var progressed = true
     while (pending.nonEmpty && progressed) {
       val (ready, rest) = pending.partition(r => deps(r.record).forall(done))
       progressed = ready.nonEmpty
-      ready.foreach { r => ordered += r; done += r.record }
+      if (ready.nonEmpty) { levels += ready; done ++= ready.map(_.record) }
       pending = rest
     }
-    ordered ++= pending // cycle remainder: input order
-    ordered.result()
+    if (pending.nonEmpty) levels += pending // cycle remainder: input order
+    levels.result()
   }
+
+  /** flattened [[recordingLevels]] — producers before consumers */
+  private[streaming] def orderRecording(rules: Seq[RecordingRule]): Seq[RecordingRule] =
+    recordingLevels(rules).flatten
 
   /** Batch-driven group evaluation over a window of ticks (the reference's
     * manager loop, rules/manager.go:83): recording results feed back so later
@@ -165,20 +173,40 @@ object Rules {
       if (acc.isEmpty) base
       else base.unionByName(spark.createDataFrame(acc.toList.asJava, Engine.samplesSchema))
     var alertStates = Map.empty[String, Map[String, AlertState]]
-    val recOrdered = orderRecording(g.recording)
+    val recLevels = recordingLevels(g.recording)
     var ts = fromMs
     while (ts <= toMs) {
-      recOrdered.foreach { r =>
-        acc ++= evalRecording(spark, samples, r, ts).collect()
+      // rules within a topological level are independent — their Spark jobs
+      // are submitted concurrently (the reference's ConcurrentRules
+      // controller runs exactly these batches in goroutines); the snapshot
+      // `samples` each level sees includes only earlier levels' outputs
+      recLevels.foreach { level =>
+        val snap = samples
+        acc ++= parEval(level.map(r => () => evalRecording(spark, snap, r, ts).collect())).flatten
       }
-      g.alerting.foreach { a =>
-        val (out, st) = evalAlerting(spark, samples, a, ts,
+      // alerting rules never feed other rules — all concurrent
+      val snap = samples
+      val alertOut = parEval(g.alerting.map(a => () => {
+        val (out, st) = evalAlerting(spark, snap, a, ts,
           alertStates.getOrElse(a.alert, Map.empty))
-        alertStates += (a.alert -> st)
-        acc ++= out.collect()
+        (a.alert, st, out.collect())
+      }))
+      alertOut.foreach { case (name, st, rows) =>
+        alertStates += (name -> st); acc ++= rows
       }
       ts += g.intervalMs
     }
     spark.createDataFrame(acc.toList.asJava, Engine.samplesSchema)
   }
+
+  /** run independent rule evaluations concurrently (Spark's scheduler
+    * accepts jobs from many threads; result order matches input order) */
+  private def parEval[T](thunks: Seq[() => T]): Seq[T] =
+    if (thunks.lengthCompare(1) <= 0) thunks.map(_())
+    else {
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence(thunks.map(t => Future(t()))), Duration.Inf)
+    }
 }
