@@ -55,7 +55,12 @@ object Bench {
           sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench")).cache()
         data.count()
         pbCases.map { c =>
-          graft.bench.PromBench.run(spark, data, c) // warm (codegen compile)
+          // two untimed warm passes: the plan's Janino codegen compiles on
+          // the first, and the series-at-once UDF loops need ~2k invocations
+          // before C2 takes them (the Go reference harness's b.N loop
+          // likewise reports post-warmup per-iteration steady state)
+          graft.bench.PromBench.run(spark, data, c)
+          graft.bench.PromBench.run(spark, data, c)
           val sec = (1 to 2).map(_ => graft.bench.PromBench.run(spark, data, c)._1).min
           s"pb:${c.expr}" -> sec
         }.toMap

@@ -570,10 +570,10 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
         val agged = fb.groupBy(hsig(col("labels")).as("__sg"))
           .agg(first(col("labels")).as("labels"),
-            sort_array(collect_list(struct(col("wt"), col("v")))).as("pts"))
+            collect_list(col("wt")).as("wts"), collect_list(col("v")).as("vsx"))
         val udfC = RangeUdfs.seriesWindowAgg(op, P.startMs, P.stepMs,
           P.numSteps.toInt, ri.rangeMs, p1, p2)
-        agged.select(col("labels"), explode(udfC(col("pts"))).as("o"))
+        agged.select(col("labels"), explode(udfC(col("wts"), col("vsx"))).as("o"))
           .select(col("labels"), col("o._1").as("t"), col("o._2").as("v"),
             col("o._1").as("st"), lit(null).cast(FHist.schemaType).as("h"),
             // every op here drops the metric name (none are in keepNameFuncs)

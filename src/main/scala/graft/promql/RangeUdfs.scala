@@ -133,16 +133,20 @@ object RangeUdfs {
     * (functions.go: sum :1572, avg :1218, variance varianceOverTime, OLS
     * :1949 linearRegression, des :981, mad :1438). Output (t_step, v). */
   def seriesWindowAgg(op: String, startMs: Long, stepMs: Long, numSteps: Int,
-      rangeMs: Long, p1: Double, p2: Double) = udf { (pts: Seq[Row]) =>
-    if (pts == null || pts.isEmpty) Seq.empty[(Long, Double)]
+      rangeMs: Long, p1: Double, p2: Double) = udf { (wts0: Array[Long], vs0: Array[Double]) =>
+    val n = if (wts0 == null) 0 else wts0.length
+    if (n == 0) Seq.empty[(Long, Double)]
     else {
-      val n = pts.length
+      // two parallel primitive-array columns (no-copy fast paths; the two
+      // collect_lists share one accumulation order); argsort by wt here
+      val keys = sortKeys(wts0)
       val wts = new Array[Long](n); val vs = new Array[Double](n)
-      // iterator, not pts(i): Seq decodes as an immutable List, where
-      // positional indexing is O(i) — a quadratic trap on long series
       var i = 0
-      val it0 = pts.iterator
-      while (it0.hasNext) { val r = it0.next(); wts(i) = r.getLong(0); vs(i) = r.getDouble(1); i += 1 }
+      while (i < n) {
+        val j = (keys(i) - (keys(i) >> 20 << 20)).toInt
+        wts(i) = keys(i) >> 20; vs(i) = vs0(j)
+        i += 1
+      }
       val out = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
       var lo = 0; var hi = 0 // window (t-range, t] == indices [lo, hi)
       var k = 0
