@@ -252,6 +252,36 @@ class LinearPathSpec extends AnyFunSuite {
         val (v2, st2) = sb(k)
         assert(st == st2 && Runner_almost(v, v2), s"selector at $k: ($v,$st) vs ($v2,$st2)")
       }
+
+      // FLOAT-ONLY store (store-capability flag set by Engine.canonical on a
+      // table with no h/stt columns): the linear regime takes the primitive-
+      // array instantPickAllSteps path — must agree with the struct path and
+      // the explode, including stale-marker shadowing
+      val staleRows = rows.map { case (l, t, v) =>
+        org.apache.spark.sql.Row(l, t, v, t % 170000L == 0L) // scattered markers
+      }
+      val floatDf = Engine.canonical(spark.createDataFrame(
+        spark.sparkContext.parallelize(staleRows, 4),
+        org.apache.spark.sql.types.StructType(Engine.samplesSchema.fields.take(4))))
+      def floatSel(forceLinear: Boolean) = {
+        val pl = new Planner(spark, floatDf, EvalParams(3600000L, 4790000L, 10000L))
+        pl.linearSelectRatio = if (forceLinear) 1.0 else 1e18
+        pl.eval(Engine.parse("m")) match {
+          case VectorVal(r) =>
+            r.select("labels", "t", "v", "st").collect()
+              .map(x => (x.getMap[String, String](0).toMap, x.getLong(1)) ->
+                (x.getDouble(2), x.getLong(3))).toMap
+          case other => fail(s"unexpected $other")
+        }
+      }
+      val fa = floatSel(false); val fb = floatSel(true)
+      assert(fa.keySet == fb.keySet,
+        s"float-store selector key sets differ: ${fa.size} vs ${fb.size} " +
+        s"(onlyExplode=${(fa.keySet -- fb.keySet).take(3)} onlyLinear=${(fb.keySet -- fa.keySet).take(3)})")
+      fa.foreach { case (k, (v, st)) =>
+        val (v2, st2) = fb(k)
+        assert(st == st2 && Runner_almost(v, v2), s"float selector at $k: ($v,$st) vs ($v2,$st2)")
+      }
     } finally spark.stop()
   }
 
