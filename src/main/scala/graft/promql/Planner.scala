@@ -537,8 +537,16 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * restricted to just them (same device as changes/resets). */
   private def seriesAtOnceFast(name: String, arg: Expr, ri: RangeInput,
       extra: List[Expr]): Option[DataFrame] = {
+    // Crossover on window/step alone (NOT min(·, numSteps)): even at 1 step
+    // the explode path pays a per-sample struct allocation in its
+    // collect_list groups, while this pass folds the same sorted window from
+    // primitive arrays — measured 3.8→1.3 s on des(a_hundred[1d]) @1 step.
+    // Safe to widen: these folds re-fold each window in the same sorted
+    // order as the explode path (no prefix decomposition), so results are
+    // bit-identical in every regime — unlike the rate family's corr prefix
+    // sums, whose gate keeps the min(·, numSteps) amplification form.
     if (ri.ext != 0 || ri.at.isDefined ||
-        math.min(ri.rangeMs.toDouble / P.stepMs, P.numSteps.toDouble) < linearPathRatio)
+        ri.rangeMs.toDouble / P.stepMs < linearPathRatio)
       return None
     // (op, p1, p2); None = not eligible (e.g. non-constant parameters)
     val spec: Option[(String, Double, Double)] = name match {
@@ -681,6 +689,13 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     // is min(window/step, numSteps) — a sample covers at most numSteps steps.
     val useLinear = !fixed && ri.at.isEmpty &&
       math.min(ri.rangeMs.toDouble / P.stepMs, P.numSteps.toDouble) >= rateLinearRatio
+    // changes/resets consume only the INTEGER prefix counts (nChanges,
+    // nResets, dn) of linearRangeStats — prefix differences of ints are
+    // exact, so the wider window/step-only crossover is safe for them even
+    // at few steps (where the rate family stays on the explode to keep its
+    // float corr sums bit-identical to the reference's per-window fold).
+    val useLinearExact = !fixed && ri.at.isEmpty &&
+      ri.rangeMs.toDouble / P.stepMs >= rateLinearRatio
 
     def extrapolated(isCounter: Boolean, isRate: Boolean, isDelta: Boolean): DataFrame = {
       // counter resets: value decrease OR a start-timestamp reset (PROM-60)
@@ -794,7 +809,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         finish(agged, col("__o.v"), col("__o").isNotNull, h = col("__o.h"))
 
       case "resets" | "changes" =>
-        if (useLinear) {
+        if (useLinearExact) {
           // SERIES-level split: float-only series take the prefix-diff linear
           // path; any series carrying histogram samples falls back to the
           // merged-timeline explode (few in practice — the explode input is
