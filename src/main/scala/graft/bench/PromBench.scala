@@ -68,16 +68,25 @@ object PromBench {
           (col("s") * intervalMs).as("t"),
           (col("s").cast("double") / n).as("v"),
           lit(false).as("stale"))
+      // Spread each metric across writer tasks by SERIES, sorted by (metric,
+      // t) within each: h_hundred alone is 76% of the rows, and a
+      // one-file-per-metric layout would make every scan of it single-task
+      // (and every cache-eviction recompute a full shuffle). Each written
+      // file stays single-metric (partitionBy) with tight t min/max row
+      // groups — the 2h-block × series layout SCALE.md prescribes at 100 TB.
       dense.unionByName(sparse)
         .withColumn("metric", element_at(col("labels"), "__name__"))
-        .repartition(32, col("metric"))
+        .repartition(64, col("metric"), element_at(col("labels"), "l"),
+          element_at(col("labels"), "le"))
+        .sortWithinPartitions(col("metric"), col("t"))
         .write.mode("overwrite").partitionBy("metric").parquet(path)
     }
     // Keep the `metric` partition column: the planner's selectorBase filters
     // equality/regex __name__ matchers on it, so the parquet scan prunes to
     // the matched metric partitions — and when this DF is .cache()d, the
     // in-memory scan skips cached batches by the flat column's min/max stats
-    // (batches are metric-homogeneous thanks to the repartition above).
+    // (batches are metric-pure and t-sorted thanks to the write layout
+    // above; a cache-eviction recompute is a plain parquet re-read).
     spark.read.parquet(path)
       .select(col("labels"), col("t"), col("v"), col("stale"), col("metric"))
   }
