@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Edge count at or below which [[connectedComponents]] solves in-memory
+    * on the driver instead of running distributed star contractions.
+    * Overridable so specs can force the distributed path on small graphs. */
+  @volatile private[pipeline] var smallGraphEdges: Long = 1000000L
+
   /** lowercase, trim, collapse whitespace */
   def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
@@ -188,6 +193,37 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
     var sig = checksum(edges)
+    // Small-graph fast path: below ~1M edges the per-round fixed cost of the
+    // star contractions (4 shuffles + a checkpoint + a checksum job per
+    // round) dwarfs the work — a 16 MB collect and an in-memory union-find
+    // give the identical (member, min-of-component) output. The distributed
+    // rounds below remain the path for web-scale duplicate graphs, where the
+    // edge list never fits one machine.
+    if (sig._1 <= Dedup.smallGraphEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, java.lang.Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != null && parent.get(r).longValue != r) r = parent.get(r).longValue
+        var c = x // path compression
+        while (c != r) { val nx = parent.get(c).longValue; parent.put(c, r); c = nx }
+        r
+      }
+      es.foreach { case (u, v) =>
+        if (parent.get(u) == null) parent.put(u, u)
+        if (parent.get(v) == null) parent.put(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
+      }
+      // roots are already the component minimum: union always points the
+      // larger root at the smaller, and roots start as their own ids
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet.forEach(k => out += ((k.longValue, find(k.longValue))))
+      return out.toSeq.toDF("doc_id", "component_id")
+    }
     var stable = false
     var round = 0
     while (!stable && round < maxIter) {

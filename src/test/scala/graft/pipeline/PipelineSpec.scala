@@ -159,6 +159,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.connectedComponents(p).count() == 14L)
     // empty pair set -> empty result
     assert(Dedup.connectedComponents(pairsOf()).count() == 0L)
+    // the distributed star-contraction path (forced by zeroing the
+    // small-graph threshold) must agree with the in-memory union-find
+    val saved = Dedup.smallGraphEdges
+    try {
+      Dedup.smallGraphEdges = 0L
+      val dist = Dedup.connectedComponents(p).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == out)
+    } finally Dedup.smallGraphEdges = saved
   }
 
   test("dedup survivors keep the canonical member of each near-dup cluster") {
