@@ -14,6 +14,7 @@ object DebugOne {
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(Engine.tunedConf.foldLeft(new org.apache.spark.SparkConf()){case (c,(k,v))=>c.set(k,v)})
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val data = PromBench.dataset(spark, "/tmp/graft_bench").cache()
@@ -28,8 +29,10 @@ object DebugOne {
       case MatrixVal(d) => d
       case _ => null
     }
-    df.explain("formatted")
     System.err.println(s"rows: ${df.count()}  sec: ${(System.nanoTime() - t0) / 1e9}")
+    // explain AFTER execution: the AQE plan is final, so codegen ids and the
+    // runtime-chosen joins/partition counts are visible
+    df.explain("formatted")
     spark.stop()
   }
 }

@@ -44,9 +44,15 @@ object Aggregations {
         (df.join(broadcast(sdf), Seq("t")), col("__param"))
     }
 
-    // deterministic series order (by full-label signature) for the Kahan paths;
-    // struct field 1 is the value, matching the (wt, v) shape the UDFs expect
-    def sortedVals = sort_array(collect_list(struct(pl.sigCol(col("labels")).as("s"), col("v").as("v"))))
+    // deterministic series order for the Kahan paths — keyed by the 8-byte
+    // xxhash64 signature, not the wide sorted-entries array: the collected
+    // struct stays 16 bytes/member through the aggregate buffer and shuffle,
+    // and sort_array compares longs instead of array-of-struct lexicographic.
+    // Fold order differs from the reference's label-lexicographic series
+    // order only in rounding (Kahan compensation bounds it to ~1 ulp; corpus
+    // compare tolerance 1e-6). Struct field 1 is the value, matching the
+    // (wt, v) shape the UDFs expect.
+    def sortedVals = sort_array(collect_list(struct(pl.hashSigCol(col("labels")).as("s"), col("v").as("v"))))
     // float-only view: most aggregators skip histogram samples with a warning
     // (ref: engine.go:3680 min/max, :3654 stddev, aggregationK)
     lazy val preF = pre.filter(pl.hIsNull)

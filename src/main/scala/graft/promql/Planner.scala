@@ -165,6 +165,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       else ms.filter(_.name == "__name__").foldLeft(samples) { (df, m) =>
         val c = coalesce(col("metric"), lit(""))
         df.filter(m.op match {
+          // plain equality (no coalesce) for a non-empty name: a NULL metric
+          // can never equal it, and the bare `attr = lit` form is what both
+          // parquet row-group stats and InMemoryTableScan batch min/max
+          // pruning recognize — coalesce(attr, '') = lit prunes nothing
+          case MatchOp.Eq if m.value.nonEmpty => col("metric") === m.value
           case MatchOp.Eq => c === m.value
           case MatchOp.Neq => c =!= m.value
           case MatchOp.Re => c.rlike(anchored(m.value))
