@@ -74,7 +74,7 @@ object PromBench {
       // (and every cache-eviction recompute a full shuffle). Each written
       // file stays single-metric (partitionBy) with tight t min/max row
       // groups — the 2h-block × series layout SCALE.md prescribes at 100 TB.
-      dense.unionByName(sparse)
+      Engine.withSeriesSig(dense.unionByName(sparse))
         .withColumn("metric", element_at(col("labels"), "__name__"))
         .repartition(64, col("metric"), element_at(col("labels"), "l"),
           element_at(col("labels"), "le"))
@@ -87,8 +87,9 @@ object PromBench {
     // in-memory scan skips cached batches by the flat column's min/max stats
     // (batches are metric-pure and t-sorted thanks to the write layout
     // above; a cache-eviction recompute is a plain parquet re-read).
+    // __sg is the ingest-materialized series signature (Engine.withSeriesSig)
     spark.read.parquet(path)
-      .select(col("labels"), col("t"), col("v"), col("stale"), col("metric"))
+      .select(col("labels"), col("t"), col("v"), col("stale"), col("metric"), col("__sg"))
   }
 
   final case class Case(expr: String, steps: Int)

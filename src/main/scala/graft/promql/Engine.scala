@@ -51,6 +51,19 @@ object Engine {
   /** public form of [[normalize]] for store/serving layers */
   def canonical(samples: DataFrame): DataFrame = normalize(samples)
 
+  /** Materialize the 8-byte series signature at ingest/write time:
+    * `__sg = xxhash64(array_sort(map_entries(labels)), 42)` — the engine's
+    * series identity (the analog of the reference's TSDB series ref,
+    * tsdb/index/postings.go). Stores that persist this column save the
+    * planner one hash+sort pass per sample per selector, and the scan-side
+    * projection stays inside whole-stage codegen (array_sort's lambda
+    * comparator is a CodegenFallback expression). The column is OPTIONAL and
+    * must be exactly this function of `labels` — the planner trusts it. */
+  def withSeriesSig(samples: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{array_sort, col, map_entries, xxhash64}
+    samples.withColumn("__sg", xxhash64(array_sort(map_entries(col("labels")))))
+  }
+
   /** Column metadata marking an optional column that the STORE did not
     * provide (synthesized all-null/zero by [[normalize]]). The planner reads
     * this as a static capability bit: predicates on a store-absent column

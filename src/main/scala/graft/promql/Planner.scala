@@ -82,6 +82,16 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * collision probability ~2^-64 per pair). */
   private def hsig(m: Column): Column = xxhash64(array_sort(map_entries(m)))
 
+  /** Stored-or-computed series signature: a store may materialize
+    * `__sg = xxhash64(array_sort(map_entries(labels)), 42)` at ingest
+    * ([[Engine.withSeriesSig]] — the analog of the reference's series ID in
+    * the TSDB index, tsdb/index/postings.go). When present, every selector
+    * skips one hash+sort pass per sample AND the scan→exchange projection
+    * stays fully codegen'd (array_sort's lambda is a CodegenFallback). When
+    * absent, the hash is computed once here, after time pruning. */
+  private def withSg(df: DataFrame): DataFrame =
+    if (df.columns.contains("__sg")) df else df.withColumn("__sg", hsig(col("labels")))
+
   /** Column form of start-timestamp counter-reset detection
     * (ref: promql/functions.go:760 isStartTimestampReset; Scala twin
     * [[HistUdfs.isStReset]]). Callers guard prev existence. */
@@ -204,9 +214,9 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     vs.at match {
       case Some(atm) =>
         val te = resolveAt(atm) - vs.offsetMs
-        val picked = base
+        val picked = withSg(base)
           .filter(col("t") > te - P.lookbackMs && col("t") <= te)
-          .groupBy(hsig(col("labels")).as("__sg"))
+          .groupBy(col("__sg"))
           .agg(max_by(struct(col("t"), col("v"), col("stale"), col("labels"), col("h"), col("stt")), col("t")).as("p"))
           .select(col("p.labels").as("labels"), col("p.t").as("st"),
                   col("p.v").as("v"), col("p.stale").as("stale"), col("p.h").as("h"),
@@ -222,7 +232,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         val pruned = base.filter(
           col("t") > P.startMs - P.lookbackMs - vs.offsetMs &&
           col("t") <= P.endMs - vs.offsetMs)
-        val shifted = pruned.withColumn("wt", col("t") + vs.offsetMs)
+        val shifted = withSg(pruned).withColumn("wt", col("t") + vs.offsetMs)
         // linear as-of regime: when the lookback explode would amplify the
         // scan meaningfully AND there are many steps, a series-at-once pass
         // replaces the explode — ONE hash aggregation collects each series'
@@ -235,7 +245,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           // float-only stores (the static capability flag): the whole pick
           // rides primitive arrays across the UDF boundary (RangeUdfs
           // .instantPickAllSteps) — no Row boxing, no FHist codec
-          val agged = shifted.groupBy(hsig(col("labels")).as("__sg"))
+          val agged = shifted.groupBy(col("__sg"))
             .agg(first(col("labels")).as("labels"),
               collect_list(col("wt")).as("wts"),
               collect_list(coalesce(col("stale"), lit(false))).as("stales"),
@@ -250,7 +260,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
             .select(col("labels"), col("o.t").as("t"), col("o.v").as("v"),
               col("o.st").as("st"), nullH.as("h"), col("o.stt").as("stt")))
         } else if (amp >= linearSelectRatio && P.numSteps > 1) {
-          val agged = shifted.groupBy(hsig(col("labels")).as("__sg"))
+          val agged = shifted.groupBy(col("__sg"))
             .agg(first(col("labels")).as("labels"),
               sort_array(collect_list(struct(col("wt"), col("t").as("st"), col("v"),
                 col("stale"), col("stt"), col("h")))).as("pts"))
@@ -260,10 +270,9 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
             .select(col("labels"), col("o.t").as("t"), col("o.v").as("v"),
               col("o.st").as("st"), col("o.h").as("h"), col("o.stt").as("stt")))
         } else
-          // __sg hashed BEFORE the explode (one hash per sample, not per
-          // exploded row)
-          shape(coverage(shifted.withColumn("__sg", hsig(col("labels"))),
-              col("wt"), P.lookbackMs)
+          // __sg rides from the pruned scan (hashed once per sample — or
+          // store-provided — never per exploded row)
+          shape(coverage(shifted, col("wt"), P.lookbackMs)
             .groupBy(col("__sg"), col("t_step"))
             .agg(max_by(struct(col("wt"), col("t"), col("v"), col("stale"), col("labels"), col("h"), col("stt")),
                         col("wt")).as("p"))
@@ -306,10 +315,13 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       val futSlack = if (ext == 2) P.lookbackMs else 0L
       val loT = lo0 - range - extSlack - vs.offsetMs
       val hiT = hi0 + futSlack - vs.offsetMs
-      RangeInput(selectorBase(vs).filter(!col("stale"))
-                   .filter(col("t") > loT && col("t") <= hiT)
+      // invariant: RangeInput.points always carries __sg (store-provided or
+      // hashed once on the pruned scan) — every downstream group/join/window
+      // keys on the column instead of re-hashing labels
+      RangeInput(withSg(selectorBase(vs).filter(!col("stale"))
+                   .filter(col("t") > loT && col("t") <= hiT))
                    .select(col("labels"), col("t"), col("v"), col("h"), lit(false).as("dn"),
-                           col("stt")),
+                           col("stt"), col("__sg")),
                  range, vs.offsetMs, vs.at, ext, cheapRescan = true)
     case SubqueryExpr(inner, range, step0, offset, at) =>
       val istep = if (step0 > 0) step0 else P.defaultSubqueryStepMs
@@ -329,7 +341,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         return RangeInput(
           samples.filter(lit(false))
             .select(col("labels"), col("t"), col("v"), col("h"), lit(false).as("dn"),
-                    lit(0L).as("stt")),
+                    lit(0L).as("stt"), lit(0L).as("__sg")),
           range, offset, at)
       val innerParams = EvalParams(k1 * istep, k2 * istep, istep, P.lookbackMs, P.defaultSubqueryStepMs)
       val innerPlanner = new Planner(spark, samples, innerParams)
@@ -354,7 +366,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
             lit(null).cast(FHist.schemaType).as("h"), lit(false).as("dn"), lit(0L).as("stt"))
         case _ => throw PromQLError("subquery inner expression must be vector or scalar")
       }
-      RangeInput(inner2, range, offset, at)
+      RangeInput(withSg(inner2), range, offset, at)
     case ParenExpr(inner) => rangeInput(inner)
     case _ => throw PromQLError(s"expected range vector, got $e")
   }
@@ -366,16 +378,15 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * grid after aggregation (step-invariant, ref: promql/engine.go:2564). */
   /** offset-shifted points with previous-FLOAT-point columns */
   private def basePoints(ri: RangeInput): DataFrame = {
-    // __sg materialized BEFORE the windows: an attribute-based partition spec
-    // lets Spark collapse all three lags into ONE Window operator sharing one
-    // exchange (hsig(labels) inline defeats CollapseWindow — the lambda vars
-    // in the sort comparator never canonicalize equal), and the coverage
-    // explode downstream reuses the hash instead of recomputing it
+    // __sg is an attribute (rangeInput invariant), so Spark collapses all
+    // three lags into ONE Window operator sharing one exchange (an inline
+    // hsig(labels) would defeat CollapseWindow — the lambda vars in the sort
+    // comparator never canonicalize equal), and the coverage explode
+    // downstream reuses the hash instead of recomputing it
     val w = Window.partitionBy(col("__sg")).orderBy(col("t"))
     // prev_* skip histogram samples (ignoreNulls): float functions see the
     // previous FLOAT point, mirroring the reference's separate Floats slice
-    ri.points
-      .withColumn("__sg", hsig(col("labels")))
+    withSg(ri.points)
       // start timestamps shift into the offset frame alongside wt (0 stays 0
       // = unknown); prev_wst is the previous FLOAT point's shifted ST
       .withColumn("wst", wstCol(ri.offsetMs))
@@ -399,8 +410,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     val baseF = basePoints(ri).filter(hIsNull)
     // histogram rows never consume the prev-float columns, so their side
     // skips the lag window entirely (schema kept aligned with nulls)
-    val baseH = ri.points.filter(hNotNull)
-      .withColumn("__sg", hsig(col("labels")))
+    val baseH = withSg(ri.points).filter(hNotNull)
       .withColumn("wst", wstCol(ri.offsetMs))
       .withColumn("prev_v", lit(null).cast("double"))
       .withColumn("prev_t", lit(null).cast("long"))
@@ -440,7 +450,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * extra pass over the pruned selector scan, output = series cardinality.
     * AQE picks broadcast vs shuffle for the restore join. */
   private def labelsDict(ri: RangeInput): DataFrame =
-    ri.points.select(hsig(col("labels")).as("__sg"), col("labels"))
+    withSg(ri.points).select(col("__sg"), col("labels"))
       .dropDuplicates("__sg")
 
   /** Linear-time window statistics for LARGE window/step ratios, where the
@@ -471,7 +481,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     // they ride the same aggregate buffer); the UDF argsorts by wt itself.
     // Primitive arrays cross the UDF boundary on the no-copy fast paths,
     // ~10× cheaper than a Seq[Row] of structs (see RangeUdfs.RangeStatsArr).
-    val agged = fb.groupBy(hsig(col("labels")).as("__sg"))
+    val agged = withSg(fb).groupBy(col("__sg"))
       .agg(first(col("labels")).as("labels"),
         collect_list(col("wt")).as("wts"), collect_list(col("v")).as("vsx"),
         collect_list(col("wst")).as("wsts"),
@@ -581,7 +591,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       def fast(src: DataFrame): DataFrame = {
         val fb = src.withColumn("wt", col("t") + ri.offsetMs)
           .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
-        val agged = fb.groupBy(hsig(col("labels")).as("__sg"))
+        val agged = withSg(fb).groupBy(col("__sg"))
           .agg(first(col("labels")).as("labels"),
             collect_list(col("wt")).as("wts"), collect_list(col("v")).as("vsx"))
         val udfC = RangeUdfs.seriesWindowAgg(op, P.startMs, P.stepMs,
@@ -598,12 +608,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         fast(ri.points.filter(hIsNull))
       else {
         val histSeries = ri.points.filter(hNotNull)
-          .select(hsig(col("labels")).as("__sg")).distinct()
+          .select(col("__sg")).distinct()
         val fastLeg = fast(ri.points.join(broadcast(histSeries),
-          hsig(col("labels")) === col("__sg"), "left_anti"))
+          Seq("__sg"), "left_anti"))
         val slowLeg = evalRangeBody(name, arg, ri.copy(points =
-          ri.points.join(broadcast(histSeries),
-            hsig(col("labels")) === col("__sg"), "left_semi")), extra)
+          ri.points.join(broadcast(histSeries), Seq("__sg"), "left_semi")), extra)
         fastLeg.unionByName(slowLeg)
       }
     }
@@ -714,7 +723,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       // exclusion (and the histogram explode) restricts to those series.
       // ONE map-side-combined aggregation (output = series cardinality).
       lazy val mixedSer = ri.points
-        .groupBy(hsig(col("labels")).as("__sg"))
+        .groupBy(col("__sg"))
         .agg(max(hNotNull).as("anyH"), max(hIsNull).as("anyF"))
         .filter(col("anyH") && col("anyF"))
         .select(col("__sg"))
@@ -723,11 +732,10 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       // would still explode every hist-pure series)
       lazy val mixedHpts = {
         val base = ri.points.filter(hNotNull)
-          .join(broadcast(mixedSer), hsig(col("labels")) === col("__sg"), "left_semi")
-          .drop("__sg")
+          .join(broadcast(mixedSer), Seq("__sg"), "left_semi")
           .withColumn("wst", wstCol(ri.offsetMs))
           .withColumn("wt", col("t") + ri.offsetMs)
-        coverage(base.withColumn("__sg", hsig(col("labels"))), col("wt"), ri.rangeMs)
+        coverage(base, col("wt"), ri.rangeMs)
       }
       val agged = exclMixed(
         if (useLinear) linearRangeStats(ri)
@@ -780,11 +788,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           // wide histogram column); MIXED series keep the explode restricted
           // to just them — same split device as changes/resets
           val histPureRows = ri.points.filter(hNotNull)
-            .join(broadcast(mixedSer), hsig(col("labels")) === col("__sg"), "left_anti")
+            .join(broadcast(mixedSer), Seq("__sg"), "left_anti")
             .withColumn("wt", col("t") + ri.offsetMs)
             .withColumn("wst", wstCol(ri.offsetMs))
             .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
-          val aggedH = histPureRows.groupBy(hsig(col("labels")).as("__sg"))
+          val aggedH = histPureRows.groupBy(col("__sg"))
             .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
               sort_array(collect_list(struct(col("wt"), col("h"), col("wst").as("stt")))).as("hp"))
           val fastH = aggedH.select(col("labels"), col("dn"),
@@ -820,7 +828,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           // merged-timeline explode (few in practice — the explode input is
           // restricted to those series, so the amplification stays bounded)
           val histSeries = ri.points.filter(hNotNull)
-            .select(hsig(col("labels")).as("__sg")).distinct()
+            .select(col("__sg")).distinct()
           val linPart = finish(
             linearRangeStats(ri).join(broadcast(histSeries), Seq("__sg"), "left_anti"),
             if (name == "changes") col("nChanges") else col("nResets"))
@@ -1006,11 +1014,10 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     // Go `<` semantics: NaN compares false on either side (Spark orders NaN
     // as the largest double, so `x < NaN` would be true — guard it)
     def ltG(a: Column, b: Column): Column = !isnan(b) && (a < b)
-    // __sg materialized BEFORE any window so every pass shares one exchange
-    // (each fresh hsig(labels) instantiation would otherwise get its own
-    // hashpartitioning column and force a reshuffle per window)
+    // __sg is an attribute (rangeInput invariant) so every pass shares one
+    // exchange (each fresh hsig(labels) instantiation would otherwise get its
+    // own hashpartitioning column and force a reshuffle per window)
     val pts0 = ri.points.filter(hIsNull)
-      .withColumn("__sg", hsig(col("labels")))
       .withColumn("wt", col("t") + ri.offsetMs)
     val wLag = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("t"))
     val wOrdF = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1026,7 +1033,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         col("prev_v"), col("prev_wt"), col("pCorr")).as("pay"))
     val payType = samplesU.schema("pay").dataType
     val seriesKeys = ri.points.filter(hIsNull)
-      .select(hsig(col("labels")).as("__sg")).distinct()
+      .select(col("__sg")).distinct()
     // ONE marker subtree: per (series, step) the 2-3 boundary kinds explode
     // from an inline array, instead of re-building (and re-scanning) the
     // series×grid cross join once per kind
@@ -1231,14 +1238,12 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       case Some(atm) =>
         // @-pinned: interpolate once at the pinned timestamp, fan out
         val te = resolveAt(atm) - vs.offsetMs
-        val pts = base
+        val pts = withSg(base)
           .filter(col("wt") >= te - P.lookbackMs && col("wt") <= te + P.lookbackMs)
           .withColumn("t_step", lit(te))
-          .withColumn("__sg", hsig(col("labels")))
         fanOut(agg(pts), fixed = true)
       case None =>
-        agg(coverage(base.withColumn("__sg", hsig(col("labels"))),
-          col("wt"), P.lookbackMs, P.lookbackMs))
+        agg(coverage(withSg(base), col("wt"), P.lookbackMs, P.lookbackMs))
     }
   }
 

@@ -33,10 +33,14 @@ object Ingest {
     Relabel(Exposition.parse(lines, defaultTsMs = 0L), rules)
   }
 
-  /** append the stream to the partitioned samples store */
+  /** append the stream to the partitioned samples store; materializes the
+    * flat `metric` column (selector fast path / partition pruning) and the
+    * 8-byte `__sg` series signature ([[Engine.withSeriesSig]]) so queries
+    * never re-derive either from the labels map */
   def sink(samples: DataFrame, outDir: String, checkpointDir: String,
       oooWindowMs: Long = 10 * 60 * 1000L): StreamingQuery =
-    samples
+    Engine.withSeriesSig(samples)
+      .withColumn("metric", element_at(col("labels"), "__name__"))
       .withColumn("ts", timestamp_millis(col("t")))
       .withWatermark("ts", s"$oooWindowMs milliseconds")
       .withColumn("block", (col("t") / blockMs).cast("long") * blockMs)

@@ -48,7 +48,16 @@ final class SampleStore(spark: SparkSession, initial: DataFrame) {
     * request). Periodic localCheckpoint bounds logical-plan growth under
     * sustained ingest (the Structured Streaming path has its own state). */
   def append(batch: DataFrame): Unit = synchronized {
-    base = base.unionByName(Engine.canonical(batch), allowMissingColumns = false)
+    // align the store's materialized columns: a base loaded from the block
+    // sink carries __sg/metric (Ingest.sink), which a freshly decoded
+    // remote-write/OTLP batch does not — derive them so the union stays exact
+    var b = Engine.canonical(batch)
+    if (base.columns.contains("__sg") && !b.columns.contains("__sg"))
+      b = Engine.withSeriesSig(b)
+    if (base.columns.contains("metric") && !b.columns.contains("metric"))
+      b = b.withColumn("metric", element_at(col("labels"), "__name__"))
+    b = b.drop(Seq("__sg", "metric").filterNot(base.columns.contains): _*)
+    base = base.unionByName(b, allowMissingColumns = false)
     appendsSinceCheckpoint += 1
     if (appendsSinceCheckpoint >= 64) {
       base = base.localCheckpoint(true)

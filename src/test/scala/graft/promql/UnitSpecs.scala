@@ -429,3 +429,60 @@ class NonConstParamSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 }
+
+/** A store-materialized `__sg` series signature (Engine.withSeriesSig) must
+  * be plan-transparent: identical results to the computed-hash path on every
+  * selector regime (instant as-of + explode, rate linear + explode, aggs,
+  * extended selectors). */
+class StoredSigSpec extends AnyFunSuite {
+
+  test("stored __sg column yields identical results to computed signatures") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val rows = (0 until 720).flatMap { i =>
+        val t = i * 10000L
+        Seq(
+          (Map("__name__" -> "m", "s" -> "a"), t, (i % 97).toDouble),
+          (Map("__name__" -> "m", "s" -> "b"), t, i.toDouble)) ++
+          (if (i % 7 == 0) Nil
+           else Seq((Map("__name__" -> "m", "s" -> "c"), t, (i * 3 % 41).toDouble)))
+      }
+      val plain = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (l, t, v) => org.apache.spark.sql.Row(l, t, v, false, null, 0L) }, 4),
+        Engine.samplesSchema)
+      val stored = Engine.withSeriesSig(plain)
+
+      def run(df: org.apache.spark.sql.DataFrame, q: String) =
+        Engine.rangeQuery(spark, df, q, 3600000L, 4790000L, 10000L) match {
+          case VectorVal(r) =>
+            r.select("labels", "t", "v").collect()
+              .map(x => (x.getMap[String, String](0).toMap, x.getLong(1)) -> x.getDouble(2)).toMap
+          case ScalarVal(r, _) =>
+            r.select("t", "v").collect()
+              .map(x => (Map.empty[String, String], x.getLong(0)) -> x.getDouble(1)).toMap
+          case other => fail(s"unexpected $other")
+        }
+
+      for (q <- Seq("m", "rate(m[1m])", "rate(m[30m])", "sum(m)",
+                    "sum_over_time(m[30m])", "changes(m[30m])",
+                    "rate(m[5m] smoothed)", "m smoothed", "count(m offset 1m)",
+                    "max_over_time(m[10m:1m])", "scalar(sum(rate(m[5m])))")) {
+        val a = run(plain, q)
+        val b = run(stored, q)
+        assert(a.keySet == b.keySet, s"$q: key sets differ (${a.size} vs ${b.size})")
+        a.foreach { case (k, v) =>
+          assert(java.lang.Double.compare(v, b(k)) == 0 ||
+            graft.promqltest.Runner.almostEqual(v, b(k), 1e-12),
+            s"$q at $k: plain=$v stored=${b(k)}")
+        }
+      }
+    } finally spark.stop()
+  }
+}
