@@ -96,25 +96,27 @@ object Engine {
     * lazily-raised window count keyed the same as the plan's last shuffle. */
   private def finalShape(v: PValue): PValue = {
     import org.apache.spark.sql.functions._
-    def strip(df: DataFrame): DataFrame = {
-      val d = if (df.columns.contains("dn")) df else df.withColumn("dn", lit(false))
-      d.withColumn("labels",
+    def strip(df: DataFrame): DataFrame =
+      if (!df.columns.contains("dn")) df
+      else df.select(df.columns.filterNot(_ == "dn").map {
+        case "labels" =>
           when(col("dn"), map_filter(col("labels"), (k, _) =>
             k =!= "__name__" && k =!= "__type__" && k =!= "__unit__"))
-          .otherwise(col("labels")))
-        .drop("dn")
-    }
+            .otherwise(col("labels")).as("labels")
+        case c => col(c)
+      }: _*)
     def dupCheck(df: DataFrame): DataFrame = {
       // same-timestamp duplicate labelsets after the name drop are an error
       // (ref engine.go:4254); merging disjoint-timestamp series is implicit
       // in the flat (labels, t, v) representation
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(xxhash64(array_sort(map_entries(col("labels")))), col("t"))
-      df.withColumn("__dupcnt", count(lit(1)).over(w))
-        .withColumn("v", when(col("__dupcnt") > 1,
+      df.select(df.columns.map {
+        case "v" => when(count(lit(1)).over(w) > 1,
             raise_error(lit("vector cannot contain metrics with the same labelset")).cast("double"))
-          .otherwise(col("v")))
-        .drop("__dupcnt")
+          .otherwise(col("v")).as("v")
+        case c => col(c)
+      }: _*)
     }
     v match {
       case VectorVal(df0) => VectorVal(dupCheck(strip(df0)))

@@ -148,16 +148,19 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * k1 = max(0, ceil((wt−future−start)/step)),
     * k2 = min(n−1, floor((wt+window−1−start)/step)); future > 0 only for
     * smoothed extended selectors (sample also serves earlier steps). */
-  private def coverage(df: DataFrame, wt: Column, windowMs: Long, futureMs: Long = 0L): DataFrame =
-    df.withColumn("__k1",
-        greatest(ceil((wt - futureMs - P.startMs).cast("double") / P.stepMs).cast("long"), lit(0L)))
-      .withColumn("__k2",
-        least(floor((wt + (windowMs - 1) - P.startMs).cast("double") / P.stepMs).cast("long"),
-              lit(P.numSteps - 1)))
+  private def coverage(df: DataFrame, wt: Column, windowMs: Long, futureMs: Long = 0L): DataFrame = {
+    // batched into 3 Dataset ops (each op costs one full eager-analysis pass
+    // on the driver — the per-query plan-build constant is dominated by op
+    // count, not expression size); the explode emits t_step directly
+    val k1 = greatest(ceil((wt - futureMs - P.startMs).cast("double") / P.stepMs).cast("long"), lit(0L))
+    val k2 = least(floor((wt + (windowMs - 1) - P.startMs).cast("double") / P.stepMs).cast("long"),
+                   lit(P.numSteps - 1))
+    df.withColumns(Map("__k1" -> k1, "__k2" -> k2))
       .filter(col("__k1") <= col("__k2"))
-      .withColumn("__k", explode(sequence(col("__k1"), col("__k2"))))
-      .withColumn("t_step", lit(P.startMs) + col("__k") * P.stepMs)
-      .drop("__k1", "__k2", "__k")
+      .select(df.columns.map(col) :+
+        explode(transform(sequence(col("__k1"), col("__k2")),
+          k => lit(P.startMs) + k * P.stepMs)).as("t_step"): _*)
+  }
 
   // ---------- selectors ----------
 
@@ -170,11 +173,14 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     // partition pruning and in-memory-cache batch min/max skipping, neither of
     // which can see through element_at(map). The map-side filters below still
     // run, so correctness never depends on the metric column's accuracy.
-    val base0 =
-      if (!samples.columns.contains("metric")) samples
-      else ms.filter(_.name == "__name__").foldLeft(samples) { (df, m) =>
+    // ONE filter op with the whole conjunction (each Dataset op costs a full
+    // eager-analysis pass; the conjuncts short-circuit left-to-right in
+    // codegen, so the cheap flat-column check still guards the map lookups)
+    val fastConds: Seq[Column] =
+      if (!samples.columns.contains("metric")) Nil
+      else ms.filter(_.name == "__name__").map { m =>
         val c = coalesce(col("metric"), lit(""))
-        df.filter(m.op match {
+        m.op match {
           // plain equality (no coalesce) for a non-empty name: a NULL metric
           // can never equal it, and the bare `attr = lit` form is what both
           // parquet row-group stats and InMemoryTableScan batch min/max
@@ -184,17 +190,20 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           case MatchOp.Neq => c =!= m.value
           case MatchOp.Re => c.rlike(anchored(m.value))
           case MatchOp.NotRe => !c.rlike(anchored(m.value))
-        })
-      }.drop("metric")
-    ms.foldLeft(if (base0.columns.contains("metric")) base0.drop("metric") else base0) { (df, m) =>
+        }
+      }
+    val mapConds: Seq[Column] = ms.map { m =>
       val c = lval(col("labels"), m.name)
-      df.filter(m.op match {
+      m.op match {
         case MatchOp.Eq => c === m.value
         case MatchOp.Neq => c =!= m.value
         case MatchOp.Re => c.rlike(anchored(m.value))
         case MatchOp.NotRe => !c.rlike(anchored(m.value))
-      })
+      }
     }
+    val conds = fastConds ++ mapConds
+    val filtered = if (conds.isEmpty) samples else samples.filter(conds.reduce(_ && _))
+    if (filtered.columns.contains("metric")) filtered.drop("metric") else filtered
   }
 
   /** Instant vector selector: per (series, step) the most recent sample in
@@ -386,16 +395,20 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     val w = Window.partitionBy(col("__sg")).orderBy(col("t"))
     // prev_* skip histogram samples (ignoreNulls): float functions see the
     // previous FLOAT point, mirroring the reference's separate Floats slice
+    // start timestamps shift into the offset frame alongside wt (0 stays 0
+    // = unknown); prev_wst is the previous FLOAT point's shifted ST.
+    // ONE withColumns batch = one analysis pass; the three lags still share
+    // one Window operator (same attribute-based partition spec).
+    val prevT = lag(when(hIsNull, col("t")), 1, null, ignoreNulls = true).over(w)
     withSg(ri.points)
-      // start timestamps shift into the offset frame alongside wt (0 stays 0
-      // = unknown); prev_wst is the previous FLOAT point's shifted ST
-      .withColumn("wst", wstCol(ri.offsetMs))
-      .withColumn("prev_v", lag(when(hIsNull, col("v")), 1, null, ignoreNulls = true).over(w))
-      .withColumn("prev_t", lag(when(hIsNull, col("t")), 1, null, ignoreNulls = true).over(w))
-      .withColumn("prev_wst", coalesce(
-        lag(when(hIsNull, col("wst")), 1, null, ignoreNulls = true).over(w), lit(0L)))
-      .withColumn("wt", col("t") + ri.offsetMs)
-      .withColumn("prev_wt", col("prev_t") + ri.offsetMs)
+      .withColumns(Map(
+        "wst" -> wstCol(ri.offsetMs),
+        "prev_v" -> lag(when(hIsNull, col("v")), 1, null, ignoreNulls = true).over(w),
+        "prev_t" -> prevT,
+        "prev_wst" -> coalesce(
+          lag(when(hIsNull, wstCol(ri.offsetMs)), 1, null, ignoreNulls = true).over(w), lit(0L)),
+        "wt" -> (col("t") + ri.offsetMs),
+        "prev_wt" -> (prevT + ri.offsetMs)))
   }
 
   /** windowed points with the float/histogram split applied BEFORE the
@@ -411,12 +424,13 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     // histogram rows never consume the prev-float columns, so their side
     // skips the lag window entirely (schema kept aligned with nulls)
     val baseH = withSg(ri.points).filter(hNotNull)
-      .withColumn("wst", wstCol(ri.offsetMs))
-      .withColumn("prev_v", lit(null).cast("double"))
-      .withColumn("prev_t", lit(null).cast("long"))
-      .withColumn("prev_wst", lit(0L))
-      .withColumn("wt", col("t") + ri.offsetMs)
-      .withColumn("prev_wt", lit(null).cast("long"))
+      .withColumns(Map(
+        "wst" -> wstCol(ri.offsetMs),
+        "prev_v" -> lit(null).cast("double"),
+        "prev_t" -> lit(null).cast("long"),
+        "prev_wst" -> lit(0L),
+        "wt" -> (col("t") + ri.offsetMs),
+        "prev_wt" -> lit(null).cast("long")))
       .select(baseF.columns.map(col): _*)
     ri.at match {
       case Some(atm) =>
@@ -474,8 +488,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * reference holds as chunks in memory. */
   private def linearRangeStats(ri: RangeInput): DataFrame = {
     val fb = ri.points.filter(hIsNull)
-      .withColumn("wt", col("t") + ri.offsetMs)
-      .withColumn("wst", wstCol(ri.offsetMs))
+      .withColumns(Map("wt" -> (col("t") + ri.offsetMs), "wst" -> wstCol(ri.offsetMs)))
       .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
     // four parallel primitive-array collect_lists (ONE accumulation order —
     // they ride the same aggregate buffer); the UDF argsorts by wt itself.
@@ -676,8 +689,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     def finish(agged: DataFrame, v: Column, cond: Column = lit(true), st: Column = col("t_step"),
         h: Column = lit(null).cast(FHist.schemaType)): DataFrame = {
       val r = withLbl(agged)
-        .withColumn("v", v)
-        .withColumn("__h", h)
+        .withColumns(Map("v" -> v, "__h" -> h))
         .filter(cond && (!isnull(col("v")) || col("__h").isNotNull))
         .select(col("labels"), col("t_step").as("t"),
           coalesce(col("v"), lit(Double.NaN)).as("v"), st.as("st"), col("__h").as("h"),
@@ -1022,9 +1034,12 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     val wLag = Window.partitionBy(col("__sg")).orderBy(col("wt"), col("t"))
     val wOrdF = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // all-float input (h filtered), so plain lag == the prev-FLOAT lag
+    // pCorr stays a second op: its sum-over-window consumes the prev_v lag
+    // column (a window expression cannot nest inside another window function)
     val fbase = pts0
-      .withColumn("prev_v", lag(col("v"), 1).over(wLag))
-      .withColumn("prev_wt", lag(col("wt"), 1).over(wLag))
+      .withColumns(Map(
+        "prev_v" -> lag(col("v"), 1).over(wLag),
+        "prev_wt" -> lag(col("wt"), 1).over(wLag)))
       .withColumn("pCorr", sum(when(col("prev_v").isNotNull && ltG(col("v"), col("prev_v")),
           col("prev_v")).otherwise(0.0)).over(wOrdF))
     val samplesU = fbase.select(col("__sg"), col("wt"), lit(0).as("knd"), lit("").as("mk"),
@@ -1202,8 +1217,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       // smoothed interpolation touches (start−lookback, end+lookback] only
       .filter(col("t") >= sLo - P.lookbackMs - vs.offsetMs &&
               col("t") <= sHi + P.lookbackMs - vs.offsetMs)
-      .withColumn("wt", col("t") + vs.offsetMs)
-      .withColumn("dn", lit(false))
+      .withColumns(Map("wt" -> (col("t") + vs.offsetMs), "dn" -> lit(false)))
     def agg(pts0: DataFrame): DataFrame = {
       val pts = pts0 // arrives with __sg hashed pre-explode
       val f = pts.filter(hIsNull)
