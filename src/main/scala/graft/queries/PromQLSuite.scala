@@ -126,6 +126,28 @@ object PromQLSuite {
     // scalar arithmetic + comparison filter
     "pq18_arith_filter" -> { (s, dir) =>
       out(run(s, dir, """(events_value * 2 + 100) > 5000"""), "type", "usr") },
+
+    // timestamp(): the picked sample's own timestamp in seconds
+    // (ref: promql/functions.go:1930)
+    "pq19_timestamp" -> { (s, dir) =>
+      out(run(s, dir, """timestamp(events_value)"""), "type", "usr") },
+
+    // label_join: derived label from existing ones (ref: functions.go:1573)
+    "pq20_label_join" -> { (s, dir) =>
+      out(run(s, dir, """label_join(events_value, "tu", "-", "type", "usr")"""),
+          "type", "usr", "tu") },
+
+    // clamp to [min, max] (ref: functions.go:920)
+    "pq21_clamp" -> { (s, dir) =>
+      out(run(s, dir, """clamp(events_value, 1000, 8000)"""), "type", "usr") },
+
+    // irate: last two in-window samples, reset-aware (ref: functions.go:830)
+    "pq22_irate" -> { (s, dir) =>
+      out(run(s, dir, """irate(events_value[1h])"""), "type", "usr") },
+
+    // offset: shifted instant selection under an aggregation
+    "pq23_offset_sum" -> { (s, dir) =>
+      out(run(s, dir, """sum by (type) (events_value offset 30m)"""), "type") },
   )
 
   /** DuckDB oracles replicating the exact reference formulas. */
@@ -299,5 +321,50 @@ object PromQLSuite {
       SELECT s.type, s.usr, g.step_ms AS t, arg_max(s.v, s.t) * 2 + 100 AS v
       FROM grid g JOIN samples s ON s.t > g.step_ms - $lookMs AND s.t <= g.step_ms
       GROUP BY 1,2,3 HAVING arg_max(s.v, s.t) * 2 + 100 > 5000 ORDER BY 1,2,3""",
+
+    "pq19_timestamp" -> s"""WITH $samplesCte
+      SELECT s.type, s.usr, g.step_ms AS t, CAST(max(s.t) AS DOUBLE)/1000.0 AS v
+      FROM grid g JOIN samples s ON s.t > g.step_ms - $lookMs AND s.t <= g.step_ms
+      GROUP BY 1,2,3 ORDER BY 1,2,3""",
+
+    "pq20_label_join" -> s"""WITH $samplesCte
+      SELECT s.type, s.usr, s.type || '-' || s.usr AS tu, g.step_ms AS t,
+             arg_max(s.v, s.t) AS v
+      FROM grid g JOIN samples s ON s.t > g.step_ms - $lookMs AND s.t <= g.step_ms
+      GROUP BY 1,2,3,4 ORDER BY 1,2,4""",
+
+    "pq21_clamp" -> s"""WITH $samplesCte
+      SELECT s.type, s.usr, g.step_ms AS t,
+             LEAST(GREATEST(arg_max(s.v, s.t), 1000.0), 8000.0) AS v
+      FROM grid g JOIN samples s ON s.t > g.step_ms - $lookMs AND s.t <= g.step_ms
+      GROUP BY 1,2,3 ORDER BY 1,2,3""",
+
+    // irate (ref: functions.go:830 instantValue): last two in-window samples;
+    // a decrease is a counter reset, so the raw last value is the delta
+    "pq22_irate" -> s"""WITH $samplesCte,
+      w AS (
+        SELECT s.type, s.usr, g.step_ms, s.t, s.v,
+               row_number() OVER (PARTITION BY s.type, s.usr, g.step_ms
+                                  ORDER BY s.t DESC) AS rn
+        FROM grid g JOIN samples s ON s.t > g.step_ms - 3600000 AND s.t <= g.step_ms),
+      p AS (
+        SELECT type, usr, step_ms,
+               max(CASE WHEN rn = 1 THEN v END) AS v1,
+               max(CASE WHEN rn = 2 THEN v END) AS v0,
+               max(CASE WHEN rn = 1 THEN t END) AS t1,
+               max(CASE WHEN rn = 2 THEN t END) AS t0
+        FROM w WHERE rn <= 2 GROUP BY 1,2,3 HAVING count(*) = 2)
+      SELECT type, usr, step_ms AS t,
+             (CASE WHEN v1 < v0 THEN v1 ELSE v1 - v0 END)
+               / (CAST(t1 - t0 AS DOUBLE)/1000.0) AS v
+      FROM p WHERE t1 <> t0 ORDER BY 1,2,3""",
+
+    "pq23_offset_sum" -> s"""WITH $samplesCte,
+      last AS (
+        SELECT s.type, s.usr, g.step_ms, arg_max(s.v, s.t) AS v
+        FROM grid g JOIN samples s
+          ON s.t > g.step_ms - 1800000 - $lookMs AND s.t <= g.step_ms - 1800000
+        GROUP BY 1,2,3)
+      SELECT type, step_ms AS t, sum(v) AS v FROM last GROUP BY 1,2 ORDER BY 1,2""",
   )
 }
