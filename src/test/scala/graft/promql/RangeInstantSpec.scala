@@ -1,0 +1,111 @@
+package graft.promql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's core evaluation invariant: a range query IS the union of
+  * independent instant queries at each grid step (promql/engine.go — the
+  * range engine loops instant evaluations over the grid; our all-steps-at-once
+  * DataFrame plans must be observationally identical). This property test
+  * drives both entry points over a mixed fixture — irregular cadence, NaN,
+  * counter resets, staleness markers, a native-histogram series — across the
+  * operator families, and requires exact (labels, step) key agreement plus
+  * almost-equal values. */
+class RangeInstantSpec extends AnyFunSuite {
+
+  test("range query equals per-step instant queries") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val rnd = new scala.util.Random(20260814L)
+      val rows = (0 until 360).flatMap { i =>
+        val t = i * 10000L + (rnd.nextInt(7) - 3) * 1000L // jittered cadence
+        val v1 = (i % 89).toDouble // resets
+        val v2 = if (i % 40 == 11) Double.NaN else math.sin(i / 7.0) * 50 + i
+        val stale = i % 97 == 5
+        val h = FHist(0, 0.0, 1.0, (i % 50) + 2.0, (i % 50) * 1.5,
+          Seq(0, 2), Seq(1.0, (i % 50) + 1.0), Nil, Nil, Nil, 0)
+        Seq(
+          org.apache.spark.sql.Row(Map("__name__" -> "m", "s" -> "a"), t, v1, false, null, 0L),
+          org.apache.spark.sql.Row(Map("__name__" -> "m", "s" -> "b"), t, v2, stale, null, 0L)) ++
+          (if (i % 5 == 0)
+            Seq(org.apache.spark.sql.Row(Map("__name__" -> "hm", "s" -> "h"), t, Double.NaN,
+              false, FHist.toRow(h), 0L))
+          else Nil) ++
+          (if (i % 11 == 0)
+            Seq(org.apache.spark.sql.Row(Map("__name__" -> "g", "s" -> "c"), t,
+              rnd.nextInt(1000).toDouble, false, null, 0L))
+          else Nil)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), Engine.samplesSchema)
+
+      val startMs = 1800000L
+      val stepMs = 150000L
+      val steps = 12
+      val endMs = startMs + (steps - 1) * stepMs
+
+      type Key = (Map[String, String], Long)
+      def shape(v: PValue, at: Option[Long]): Map[Key, String] = v match {
+        case VectorVal(r) =>
+          r.select("labels", "t", "v", "h").collect().map { x =>
+            val k = (x.getMap[String, String](0).toMap,
+              at.getOrElse(x.getLong(1)))
+            k -> (f"${x.getDouble(2)}%.9e" + "|" + String.valueOf(x.get(3)))
+          }.toMap
+        case ScalarVal(r, _) =>
+          r.select("t", "v").collect().map { x =>
+            ((Map.empty[String, String], at.getOrElse(x.getLong(0)))) ->
+              f"${x.getDouble(1)}%.9e"
+          }.toMap
+        case other => fail(s"unexpected $other")
+      }
+      def close(a: String, b: String): Boolean = (a == b) || {
+        (a.split('|'), b.split('|')) match {
+          case (Array(av), Array(bv)) =>
+            graft.promqltest.Runner.almostEqual(av.toDouble, bv.toDouble, 1e-9)
+          case (Array(av, ah), Array(bv, bh)) =>
+            ah == bh && graft.promqltest.Runner.almostEqual(av.toDouble, bv.toDouble, 1e-9)
+          case _ => false
+        }
+      }
+
+      val queries = Seq(
+        "m",
+        "m{s=\"a\"} offset 2m",
+        "rate(m[4m])",
+        "increase(m[10m])",
+        "sum by (s) (m)",
+        "avg_over_time(m[5m])",
+        "changes(m[7m])",
+        "topk(1, m)",
+        "m / ignoring(s) group_left sum(m)",
+        "quantile_over_time(0.5, m[5m])",
+        "max_over_time(sum by (s) (m)[5m:1m])",
+        "absent(nope)",
+        "scalar(sum(m))",
+        "histogram_sum(hm)",
+        "rate(hm[5m])",
+        "last_over_time(g[2m])",
+        "count(m != bool 3)")
+
+      for (q <- queries) {
+        val ranged = shape(Engine.rangeQuery(spark, df, q, startMs, endMs, stepMs), None)
+        val stepped = (0 until steps).flatMap { k =>
+          val t = startMs + k * stepMs
+          shape(Engine.instantQuery(spark, df, q, t), Some(t))
+        }.toMap
+        assert(ranged.keySet == stepped.keySet,
+          s"$q: keys differ — range-only=${(ranged.keySet -- stepped.keySet).take(3)} " +
+          s"instant-only=${(stepped.keySet -- ranged.keySet).take(3)}")
+        ranged.foreach { case (k, v) =>
+          assert(close(v, stepped(k)), s"$q at $k: range=$v instant=${stepped(k)}")
+        }
+      }
+    } finally spark.stop()
+  }
+}
