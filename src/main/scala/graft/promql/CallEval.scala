@@ -263,7 +263,7 @@ object CallEval {
           val keys = args.tail.map(a =>
             MathCols.natSortKeyUdf(pl.lvalCol(col("labels"), strArg(a)))) :+
             array_join(transform(sort_array(map_entries(col("labels"))),
-              e => concat(e.getField("key"), lit(" "), e.getField("value"))), "")
+              e => concat(e.getField("key"), lit("\u0000"), e.getField("value"))), "\u0001")
           val dir = if (desc) keys.map(_.desc) else keys.map(_.asc)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("t")).orderBy(dir: _*)

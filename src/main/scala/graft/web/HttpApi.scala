@@ -287,7 +287,7 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         .agg(first(col("labels")).as("labels"))
         .select(col("labels")).collect().toSeq
       val (kept, warns) = applyLimit(
-        rows.map(r => labelsOf(r, 0)).distinct.sortBy(_.toSeq.sorted.mkString(" ")), p)
+        rows.map(r => labelsOf(r, 0)).distinct.sortBy(_.toSeq.sorted.mkString("\u0000")), p)
       okW(ex, Json.arr(kept.map(Json.metric)), warns)
     })
 
@@ -367,7 +367,7 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         .agg(max_by(struct(col("labels"), col("t"), col("v")), col("t")).as("p"))
         .select(col("p.labels"), col("p.t"), col("p.v")).collect().toSeq
       val sb = new StringBuilder
-      rows.sortBy(r => labelsOf(r, 0).toSeq.sorted.mkString(" ")).foreach { r =>
+      rows.sortBy(r => labelsOf(r, 0).toSeq.sorted.mkString("\u0000")).foreach { r =>
         val lbls = labelsOf(r, 0)
         val name = lbls.getOrElse("__name__", "")
         val rest = (lbls - "__name__" - "__type__" - "__unit__").toSeq.sorted
