@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics and filter operators for training-data curation.
+  *
+  * Complements [[Dedup]]/[[TextAnalysis]] with the remaining staples of a
+  * public LLM-data pipeline (C4, Gopher §A1.1, RefinedWeb all describe these):
+  * word/n-gram repetition filters, deterministic stratified sampling, and
+  * per-source / whole-corpus aggregates.
+  *
+  * Every operator is one or two hash aggregations with map-side partials —
+  * the 100 TB shape is "explode to (doc, gram) → two-level agg"; nothing here
+  * holds per-doc state beyond the aggregation buffers, and nothing joins
+  * all-pairs.
+  */
+object CorpusStats {
+
+  import Dedup.words
+
+  /** Word n-grams WITHOUT the distinct-ing that [[Dedup]] applies — corpus
+    * frequency counting needs occurrence multiplicity (tight-loop UDF for the
+    * same reason as Dedup.shingleUdf: the SQL-lambda transform evaluates
+    * interpreted per position). */
+  private def gramUdf(n: Int) = udf { (w: Seq[String]) =>
+    if (w.length < n) Array.empty[String]
+    else {
+      val out = new Array[String](w.length - n + 1)
+      var i = 0
+      while (i <= w.length - n) {
+        val sb = new java.lang.StringBuilder(w(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(w(i + k)); k += 1 }
+        out(i) = sb.toString; i += 1
+      }
+      out
+    }
+  }
+
+  /** Per-doc word-repetition statistics in the style of the Gopher quality
+    * filters (duplicate-word mass, most-frequent-gram share): for each doc,
+    *   n_words, n_distinct,
+    *   dup_word_frac   = Σ count(w)·[count(w)>1] / n_words,
+    *   top_word_frac   = max count(w) / n_words,
+    *   top_bigram_frac = max count(2gram) / n_bigrams (0 when no bigrams),
+    *   dup_trigram_frac= Σ count(g)·[count(g)>1] / n_trigrams (0 when none),
+    * plus `keep` — the doc passes when repetition is below fixed thresholds.
+    *
+    * Shape: three explode→(doc, gram) aggregations (map-side combine on the
+    * (doc_id, gram) key; the second level is keyed on doc_id alone), joined
+    * on doc_id. No top-word identity is reported, so no argmax tie-break
+    * ambiguity exists and the operator is hash-exact against any engine. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def gramStats(n: Int, pfx: String): DataFrame =
+      docs.select(col("doc_id"),
+          explode(if (n == 1) words(col("text")) else gramUdf(n)(words(col("text")))).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("c")).as(s"${pfx}_n"),
+          count(lit(1)).as(s"${pfx}_distinct"),
+          max(col("c")).as(s"${pfx}_top"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as(s"${pfx}_dup"))
+    val w = gramStats(1, "w")
+    val b = gramStats(2, "b")
+    val t = gramStats(3, "t")
+    // n-gram legs can be empty for very short docs — left joins + zero fills
+    val j = w.join(b, Seq("doc_id"), "left").join(t, Seq("doc_id"), "left")
+    val dupWordFrac = col("w_dup").cast("double") / col("w_n").cast("double")
+    val topWordFrac = col("w_top").cast("double") / col("w_n").cast("double")
+    val topBigramFrac = coalesce(col("b_top").cast("double") / col("b_n").cast("double"), lit(0.0))
+    val dupTrigramFrac = coalesce(col("t_dup").cast("double") / col("t_n").cast("double"), lit(0.0))
+    j.select(
+      col("doc_id"),
+      col("w_n").as("n_words"),
+      col("w_distinct").as("n_distinct"),
+      dupWordFrac.as("dup_word_frac"),
+      topWordFrac.as("top_word_frac"),
+      topBigramFrac.as("top_bigram_frac"),
+      dupTrigramFrac.as("dup_trigram_frac"),
+      (topWordFrac <= 0.2 && topBigramFrac <= 0.1 && dupTrigramFrac <= 0.3)
+        .cast("int").as("keep")) // int not boolean: oracle-hash-friendly 0/1
+  }
+
+  /** Deterministic stratified sampling: keep a doc iff
+    * `(doc_id * 2654435761) mod 2^32 < rate(lang) * 2^32` — Knuth
+    * multiplicative hashing on the id, so the decision is a pure row-local
+    * predicate (no shuffle, no RNG state, reproducible across engines and
+    * across reruns at any scale; contrast `TABLESAMPLE`, which is
+    * partition-layout dependent). Rates are per-stratum (here: language). */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double = 0.0): DataFrame = {
+    val m = lit(4294967296L) // 2^32
+    val h = (col("doc_id") * lit(2654435761L)) % m
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    docs.filter(h < (rate * m.cast("double"))) // h ∈ [0, 2^32): doc_id ≥ 0
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Per-source corpus census: doc count, char volume, language spread, and
+    * the number of DISTINCT normalized texts (i.e. post-exact-dedup size —
+    * the per-domain "how much unique data do I actually have" number).
+    * One aggregation; count_distinct compiles to a partial-first expand. */
+  def sourceStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(sha2(Dedup.normText(col("text")), 256)).as("n_unique_texts"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("n_langs"), col("n_unique_texts"))
+
+  /** Global top-k word n-grams by occurrence count (tie-break: n-gram asc) —
+    * the corpus-analysis staple behind contamination checks and boilerplate
+    * detection. explode → count (map-side combine) → TakeOrdered(k): the
+    * full gram table is never collected or sorted, only the per-partition
+    * top-k heaps reach the driver. */
+  def ngramTopK(docs: DataFrame, n: Int, k: Int): DataFrame =
+    docs.select(explode(gramUdf(n)(words(col("text")))).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+}

@@ -88,6 +88,19 @@ object PipelineSuite {
 
     "lp15_dedup_survivors" -> { (s, dir) =>
       Dedup.dedupSurvivors(docs(s, dir)).orderBy(col("kept_doc_id")) },
+
+    "lp16_repetition" -> { (s, dir) =>
+      CorpusStats.repetitionStats(docs(s, dir)).orderBy(col("doc_id")) },
+
+    "lp17_sample" -> { (s, dir) =>
+      CorpusStats.stratifiedSample(docs(s, dir),
+        Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.1).orderBy(col("doc_id")) },
+
+    "lp18_source_stats" -> { (s, dir) =>
+      CorpusStats.sourceStats(docs(s, dir)).orderBy(col("source")) },
+
+    "lp19_ngram_top20" -> { (s, dir) =>
+      CorpusStats.ngramTopK(docs(s, dir), n = 3, k = 20) },
   )
 
   /** lp03's pair CTEs, shared by the clustering oracles */
@@ -228,5 +241,59 @@ object PipelineSuite {
     "lp11_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
          FROM documents ORDER BY doc_id""",
+
+    // same word/2-gram/3-gram multiplicity counting, same fraction formulas
+    "lp16_repetition" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+           FROM documents),
+         c1 AS (SELECT doc_id, g, count(*) c FROM (SELECT doc_id, unnest(w) g FROM d) GROUP BY 1,2),
+         s1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n, count(*) dist, max(c) top,
+                       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) dup
+                FROM c1 GROUP BY 1),
+         c2 AS (SELECT doc_id, g, count(*) c FROM (
+                  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]) g
+                  FROM d WHERE len(w) >= 2) GROUP BY 1,2),
+         s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n, max(c) top FROM c2 GROUP BY 1),
+         c3 AS (SELECT doc_id, g, count(*) c FROM (
+                  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)]) g
+                  FROM d WHERE len(w) >= 3) GROUP BY 1,2),
+         s3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n,
+                       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) dup
+                FROM c3 GROUP BY 1)
+         SELECT s1.doc_id, s1.n AS n_words, s1.dist AS n_distinct,
+           CAST(s1.dup AS DOUBLE)/CAST(s1.n AS DOUBLE) AS dup_word_frac,
+           CAST(s1.top AS DOUBLE)/CAST(s1.n AS DOUBLE) AS top_word_frac,
+           coalesce(CAST(s2.top AS DOUBLE)/CAST(s2.n AS DOUBLE), 0.0) AS top_bigram_frac,
+           coalesce(CAST(s3.dup AS DOUBLE)/CAST(s3.n AS DOUBLE), 0.0) AS dup_trigram_frac,
+           CAST(CAST(s1.top AS DOUBLE)/CAST(s1.n AS DOUBLE) <= 0.2
+             AND coalesce(CAST(s2.top AS DOUBLE)/CAST(s2.n AS DOUBLE), 0.0) <= 0.1
+             AND coalesce(CAST(s3.dup AS DOUBLE)/CAST(s3.n AS DOUBLE), 0.0) <= 0.3 AS INT) AS keep
+         FROM s1 LEFT JOIN s2 ON s1.doc_id = s2.doc_id
+                 LEFT JOIN s3 ON s1.doc_id = s3.doc_id
+         ORDER BY s1.doc_id""",
+
+    // same Knuth multiplicative-hash predicate
+    "lp17_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE (doc_id * 2654435761) % 4294967296 <
+               (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END) * 4294967296
+         ORDER BY doc_id""",
+
+    "lp18_source_stats" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_unique_texts
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "lp19_ngram_top20" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+           FROM documents),
+         g AS (
+           SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)]) ngram
+           FROM d WHERE len(w) >= 3)
+         SELECT ngram, count(*) AS cnt FROM g GROUP BY 1
+         ORDER BY cnt DESC, ngram ASC LIMIT 20""",
   )
 }

@@ -209,4 +209,79 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getLong(r.fieldIndex("byte_len"))).toMap
     assert(out == Map(1L -> 11L, 2L -> 18L))
   }
+
+  private def docsFull(rows: (Long, String, String, String)*): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, t, l, s) => Row(i, t, l, s, t.length.toLong) }, 2), schema)
+  }
+
+  test("repetition stats: hand-checked fractions and keep thresholds") {
+    val d = docsOf(
+      1L -> "a a b", // top word a=2/3, dup=2/3; bigrams {a a, a b}; trigram {a a b}
+      2L -> "a b c d e f g h i j k") // 11 distinct words, 10 distinct bigrams
+    val out = CorpusStats.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(r1.fieldIndex("n_words")) == 3L)
+    assert(r1.getLong(r1.fieldIndex("n_distinct")) == 2L)
+    assert(math.abs(r1.getDouble(r1.fieldIndex("dup_word_frac")) - 2.0 / 3) < 1e-15)
+    assert(math.abs(r1.getDouble(r1.fieldIndex("top_word_frac")) - 2.0 / 3) < 1e-15)
+    assert(math.abs(r1.getDouble(r1.fieldIndex("top_bigram_frac")) - 0.5) < 1e-15)
+    assert(r1.getDouble(r1.fieldIndex("dup_trigram_frac")) == 0.0)
+    assert(r1.getInt(r1.fieldIndex("keep")) == 0)
+    val r2 = out(2L)
+    assert(math.abs(r2.getDouble(r2.fieldIndex("top_word_frac")) - 1.0 / 11) < 1e-15)
+    assert(math.abs(r2.getDouble(r2.fieldIndex("top_bigram_frac")) - 0.1) < 1e-15)
+    assert(r2.getInt(r2.fieldIndex("keep")) == 1)
+  }
+
+  test("repetition stats: single-word doc has empty n-gram legs, zero-filled") {
+    val r = CorpusStats.repetitionStats(docsOf(7L -> "solo")).collect().head
+    assert(r.getLong(r.fieldIndex("n_words")) == 1L)
+    assert(r.getDouble(r.fieldIndex("top_bigram_frac")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("dup_trigram_frac")) == 0.0)
+    assert(r.getInt(r.fieldIndex("keep")) == 0) // top_word_frac = 1.0
+  }
+
+  test("stratified sample: deterministic multiplicative-hash predicate") {
+    val d = docsFull(
+      (0L until 200L).map(i => (i, s"doc $i", if (i % 2 == 0) "en" else "zh", "s")): _*)
+    def kept(rates: Map[String, Double], default: Double = 0.0): Set[Long] =
+      CorpusStats.stratifiedSample(d, rates, default).collect().map(_.getLong(0)).toSet
+    // rate 1.0 keeps everything in the stratum; rate 0.0 keeps nothing
+    val all = kept(Map("en" -> 1.0, "zh" -> 1.0))
+    assert(all.size == 200)
+    assert(kept(Map("en" -> 1.0)) == (0L until 200L by 2).toSet)
+    // matches the closed-form predicate exactly, and is rerun-stable
+    val k = kept(Map("en" -> 0.3, "zh" -> 0.7))
+    val expect = (0L until 200L).filter { i =>
+      val h = (i * 2654435761L) % 4294967296L
+      h < (if (i % 2 == 0) 0.3 else 0.7) * 4294967296L
+    }.toSet
+    assert(k == expect)
+    assert(kept(Map("en" -> 0.3, "zh" -> 0.7)) == k)
+  }
+
+  test("source stats: census counts per source") {
+    val d = docsFull(
+      (1L, "same text", "en", "sA"), (2L, "same  TEXT ", "fr", "sA"),
+      (3L, "other", "en", "sA"), (4L, "x", "en", "sB"))
+    val out = CorpusStats.sourceStats(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    // sA: 3 docs, 2 langs, 2 unique normalized texts (1 ≡ 2 after normalize)
+    assert(out == Map("sA" -> ((3L, 2L, 2L)), "sB" -> ((1L, 1L, 1L))))
+  }
+
+  test("ngram top-k: multiplicity counting with deterministic tie-break") {
+    val d = docsOf(1L -> "a b a b a", 2L -> "z z z z")
+    // trigrams: doc1 -> "a b a"×2, "b a b"×1; doc2 -> "z z z"×2
+    val out = CorpusStats.ngramTopK(d, n = 3, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a b a", 2L), ("z z z", 2L)))
+  }
 }
