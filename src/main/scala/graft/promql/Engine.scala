@@ -154,20 +154,21 @@ object Engine {
   }
 
   def instantQuery(spark: SparkSession, samples: DataFrame, q: String, tsMs: Long,
-      lookbackMs: Long = 300000L): PValue =
+      lookbackMs: Long = 300000L, defaultSubqueryStepMs: Long = 60000L): PValue =
     finalShape(new Planner(spark, normalize(samples),
-      EvalParams(tsMs, tsMs, 1000L, lookbackMs, isInstant = true))
+      EvalParams(tsMs, tsMs, 1000L, lookbackMs, defaultSubqueryStepMs, isInstant = true))
       .eval(resolveAtModifiers(parse(q), tsMs, tsMs)))
 
   def rangeQuery(spark: SparkSession, samples: DataFrame, q: String,
-      startMs: Long, endMs: Long, stepMs: Long, lookbackMs: Long = 300000L): PValue = {
+      startMs: Long, endMs: Long, stepMs: Long, lookbackMs: Long = 300000L,
+      defaultSubqueryStepMs: Long = 60000L): PValue = {
     val e = parse(q, stepMs, endMs - startMs)
     e.valueType match {
       case ValueType.InstantVector | ValueType.Scalar => ()
       case t => throw PromQLError(s"range query expression must be scalar or instant vector, got $t")
     }
     finalShape(new Planner(spark, normalize(samples),
-      EvalParams(startMs, endMs, stepMs, lookbackMs))
+      EvalParams(startMs, endMs, stepMs, lookbackMs, defaultSubqueryStepMs))
       .eval(resolveAtModifiers(e, startMs, endMs)))
   }
 }

@@ -1,0 +1,558 @@
+package graft.promqltest
+
+import graft.promql._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import scala.collection.mutable
+import YamlLite.{YList, YMap, YNode, YScalar}
+
+/** promtool-style rules unit testing (ref: cmd/promtool/unittest.go
+  * RulesUnitTest + docs/configuration/unit_testing_rules.md): parse the YAML
+  * test format, load `input_series`, evaluate every rule group over the tick
+  * grid, then check `promql_expr_test` samples and `alert_rule_test` firing
+  * alerts.
+  *
+  * Execution twist: the reference loops tick-by-tick (`unittest.go:330`),
+  * re-running every rule at every `evaluation_interval` — fine in-process,
+  * hopeless when each rule eval is a distributed query. Here each rule is ONE
+  * all-steps-at-once RANGE query over the whole grid (the engine's range
+  * semantics are exactly per-step instant evaluation), and only the driver-side
+  * post-processing walks ticks: recording outputs append with per-tick
+  * staleness markers (ref: rules/group.go seriesInPreviousEval), and the alert
+  * state machine (pending → for → firing → keep_firing_for,
+  * rules/alerting.go:387 Eval) folds over the collected per-tick results.
+  * Rules therefore must not read their own (or a later rule's) output at an
+  * EARLIER tick — same-tick visibility, the common case, is preserved by
+  * evaluating rules in dependency file order; the divergent case is detected
+  * and reported as unsupported.
+  */
+object RuleUnitTest {
+
+  final case class Opts(
+      enableAtModifier: Boolean = true,
+      enableNegativeOffset: Boolean = true,
+      run: Option[String] = None,
+      ignoreUnknownFields: Boolean = false)
+
+  // ---------- parsed structures ----------
+
+  private final case class PSample(labels: Map[String, String], value: Double, hist: Option[FHist])
+  private final case class PromqlCase(expr: String, evalMs: Long, exp: List[PSample])
+  private final case class ExpAlert(labels: Map[String, String], annotations: Map[String, String])
+  private final case class AlertCase(evalMs: Long, alertname: String, exp: List[ExpAlert])
+  private final case class TG(
+      name: String, intervalMs: Long, startMs: Long,
+      input: List[(Map[String, String], Vector[TestScript.SeriesValue])],
+      promql: List[PromqlCase], alertCases: List[AlertCase],
+      externalLabels: Map[String, String])
+  private final case class RRule(
+      record: String, alert: String, expr: String,
+      forMs: Long, keepFiringMs: Long,
+      labels: Map[String, String], annotations: Map[String, String]) {
+    def isAlert: Boolean = alert.nonEmpty
+    def name: String = if (isAlert) alert else record
+  }
+  private final case class RGroup(name: String, rules: List[RRule])
+
+  private final case class TestError(msg: String) extends RuntimeException(msg)
+
+  private val ResolvedRetentionMs = 15L * 60 * 1000 // rules/alerting.go resolvedRetention
+
+  // ---------- YAML → structures ----------
+
+  private def strict(m: YMap, allowed: Set[String], where: String): Unit = {
+    val unknown = m.keys.filterNot(allowed)
+    if (unknown.nonEmpty)
+      throw TestError(s"unknown field(s) ${unknown.mkString(", ")} in $where")
+  }
+
+  private def durMs(s: String): Long = TestScript.parseTime(s)
+
+  private def parseStartTs(s: String): Long =
+    if (s.matches("^-?[0-9]+(\\.[0-9]+)?$")) (s.toDouble * 1000.0).toLong
+    else java.time.Instant.parse(s).toEpochMilli
+
+  private def kvMap(n: Option[YNode], where: String): Map[String, String] = n match {
+    case None | Some(YScalar("")) => Map.empty
+    case Some(YMap(entries)) => entries.map {
+      case (k, YScalar(v)) => k -> v
+      case (k, other) => throw TestError(s"$where: label '$k' must be a scalar, got $other")
+    }.toMap
+    case Some(other) => throw TestError(s"$where: expected a map, got $other")
+  }
+
+  private def parseRuleFile(path: String, ignoreUnknown: Boolean): List[RGroup] = {
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val root = YamlLite.parse(text) match {
+      case m: YMap => m
+      case other => throw TestError(s"$path: expected mapping at top level, got $other")
+    }
+    if (!ignoreUnknown) strict(root, Set("groups"), path)
+    root.list("groups").map {
+      case g: YMap =>
+        if (!ignoreUnknown)
+          strict(g, Set("name", "interval", "limit", "rules", "labels", "query_offset"), s"$path group")
+        val gname = g.str("name").getOrElse("")
+        val rules = g.list("rules").map {
+          case r: YMap =>
+            if (!ignoreUnknown)
+              strict(r, Set("record", "alert", "expr", "for", "keep_firing_for",
+                "labels", "annotations"), s"$path rule")
+            val record = r.str("record").getOrElse("")
+            val alert = r.str("alert").getOrElse("")
+            if ((record.nonEmpty) == (alert.nonEmpty))
+              throw TestError(s"$path: rule must have exactly one of 'record' and 'alert'")
+            val expr = r.str("expr").getOrElse(
+              throw TestError(s"$path: rule '${if (alert.nonEmpty) alert else record}' missing expr"))
+            // rule expressions must parse at load time (ref rulefmt validation)
+            try Engine.parse(expr)
+            catch { case e: Throwable =>
+              throw TestError(s"$path: invalid expr '$expr': ${e.getMessage}") }
+            RRule(record, alert, expr,
+              r.str("for").map(durMs).getOrElse(0L),
+              r.str("keep_firing_for").map(durMs).getOrElse(0L),
+              kvMap(r.get("labels"), path), kvMap(r.get("annotations"), path))
+          case other => throw TestError(s"$path: bad rule node $other")
+        }
+        RGroup(gname, rules)
+      case other => throw TestError(s"$path: bad group node $other")
+    }
+  }
+
+  private def parseSampleList(n: Option[YNode]): List[PSample] = n match {
+    case None | Some(YScalar("")) | Some(YList(Nil)) => Nil
+    case Some(YList(items)) => items.map {
+      case m: YMap =>
+        strict(m, Set("labels", "value", "histogram"), "exp_samples entry")
+        val labels = m.str("labels").filter(_.nonEmpty)
+          .map(TestScript.parseSelectorLabels(_, 0)).getOrElse(Map.empty)
+        val hist = m.str("histogram").map { hs =>
+          val inner = hs.trim.stripPrefix("{{").stripSuffix("}}")
+          FHist.parseLiteral(inner)
+        }
+        PSample(labels, m.str("value").map(TestNum.parse).getOrElse(0.0), hist)
+      case other => throw TestError(s"bad exp_samples node $other")
+    }
+    case Some(other) => throw TestError(s"bad exp_samples $other")
+  }
+
+  private def parseTestGroup(n: YNode, defIntervalMs: Long): TG = n match {
+    case m: YMap =>
+      strict(m, Set("interval", "input_series", "alert_rule_test", "promql_expr_test",
+        "external_labels", "external_url", "name", "start_timestamp"), "test group")
+      val interval = m.str("interval").map(durMs).getOrElse(defIntervalMs)
+      val start = m.str("start_timestamp").map(parseStartTs).getOrElse(0L)
+      val input = m.list("input_series").map {
+        case s: YMap =>
+          strict(s, Set("series", "values"), "input_series entry")
+          val sel = s.str("series").getOrElse(throw TestError("input_series missing 'series'"))
+          val vals = s.str("values").getOrElse("")
+          val labels = TestScript.parseSelectorLabels(sel, 0)
+          (labels, TestScript.parseValues(vals, 0))
+        case other => throw TestError(s"bad input_series node $other")
+      }
+      val promql = m.list("promql_expr_test").map {
+        case c: YMap =>
+          strict(c, Set("expr", "eval_time", "exp_samples"), "promql_expr_test entry")
+          PromqlCase(
+            c.str("expr").getOrElse(throw TestError("promql_expr_test missing expr")),
+            c.str("eval_time").map(durMs).getOrElse(0L),
+            parseSampleList(c.get("exp_samples")))
+        case other => throw TestError(s"bad promql_expr_test node $other")
+      }
+      val alerts = m.list("alert_rule_test").map {
+        case c: YMap =>
+          strict(c, Set("eval_time", "alertname", "exp_alerts"), "alert_rule_test entry")
+          val exp = c.get("exp_alerts") match {
+            case None | Some(YScalar("")) | Some(YList(Nil)) => Nil
+            case Some(YList(items)) => items.map {
+              case a: YMap =>
+                strict(a, Set("exp_labels", "exp_annotations"), "exp_alerts entry")
+                ExpAlert(kvMap(a.get("exp_labels"), "exp_labels"),
+                  kvMap(a.get("exp_annotations"), "exp_annotations"))
+              case other => throw TestError(s"bad exp_alerts node $other")
+            }
+            case Some(other) => throw TestError(s"bad exp_alerts $other")
+          }
+          AlertCase(c.str("eval_time").map(durMs).getOrElse(0L),
+            c.str("alertname").getOrElse(
+              throw TestError("an item under alert_rule_test misses required attribute alertname")),
+            exp)
+        case other => throw TestError(s"bad alert_rule_test node $other")
+      }
+      TG(m.str("name").getOrElse(""), interval, start, input, promql, alerts,
+        kvMap(m.get("external_labels"), "external_labels"))
+    case other => throw TestError(s"bad test group node $other")
+  }
+
+  // ---------- feature-flag + dependency checks ----------
+
+  private def walk(e: Expr)(f: Expr => Unit): Unit = {
+    f(e)
+    e match {
+      case ms: MatrixSelector => walk(ms.vs)(f)
+      case sv: SmoothedVector => walk(sv.vs)(f)
+      case sq: SubqueryExpr => walk(sq.expr)(f)
+      case c: Call => c.args.foreach(walk(_)(f))
+      case a: AggregateExpr => walk(a.expr)(f); a.param.foreach(walk(_)(f))
+      case b: BinaryExpr => walk(b.lhs)(f); walk(b.rhs)(f)
+      case u: UnaryExpr => walk(u.expr)(f)
+      case p: ParenExpr => walk(p.expr)(f)
+      case _ => ()
+    }
+  }
+
+  /** engine feature gates (ref: promql/engine.go:318,325 EnableAtModifier /
+    * EnableNegativeOffset — validated per query, not at parse) */
+  private def checkFeatures(exprText: String, opts: Opts): Unit = {
+    val e = Engine.parse(exprText)
+    walk(e) {
+      case vs: VectorSelector =>
+        if (!opts.enableAtModifier && vs.at.nonEmpty)
+          throw TestError("@ modifier is disabled")
+        if (!opts.enableNegativeOffset && vs.offsetMs < 0)
+          throw TestError("negative offset is disabled")
+      case sq: SubqueryExpr =>
+        if (!opts.enableAtModifier && sq.at.nonEmpty)
+          throw TestError("@ modifier is disabled")
+        if (!opts.enableNegativeOffset && sq.offsetMs < 0)
+          throw TestError("negative offset is disabled")
+      case _ => ()
+    }
+  }
+
+  private def referencedNames(exprText: String): Set[String] = {
+    val out = mutable.Set[String]()
+    try walk(Engine.parse(exprText)) {
+      case vs: VectorSelector =>
+        out ++= vs.metricName
+        out ++= vs.matchers.collect { case LabelMatcher("__name__", MatchOp.Eq, v) => v }
+      case _ => ()
+    } catch { case _: Throwable => () }
+    out.toSet
+  }
+
+  // ---------- evaluation ----------
+
+  private def hRowOf(h: FHist): Row = Runner.hRow(h)
+
+  /** template mini-expander: `{{ $labels.x }}`, `{{ $value }}`,
+    * `{{ $externalLabels.x }}` (ref: template/template.go AlertTemplateData —
+    * the corpus uses only these forms) */
+  private def expand(text: String, labels: Map[String, String], value: Double,
+      external: Map[String, String]): String = {
+    val re = "\\{\\{\\s*\\$(labels|externalLabels)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*\\}\\}|\\{\\{\\s*\\$value\\s*\\}\\}".r
+    re.replaceAllIn(text, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (m.group(1) == null) RangeUdfs.goFormat(value)
+        else if (m.group(1) == "labels") labels.getOrElse(m.group(2), "")
+        else external.getOrElse(m.group(2), "")))
+  }
+
+  private def canon(l: Map[String, String]): String =
+    l.toSeq.sorted.map { case (k, v) => s"$k\u0000$v" }.mkString("\u0001")
+
+  /** run one test group; returns error strings (empty = pass) */
+  private def runGroup(spark: SparkSession, tg: TG, groups: List[RGroup],
+      evalIntervalMs: Long, fuzzy: Boolean, opts: Opts): List[String] = {
+    val errs = mutable.ArrayBuffer[String]()
+
+    // ---- load input series ----
+    val store = mutable.ArrayBuffer[Row]()
+    tg.input.foreach { case (labels, values) =>
+      var t = tg.startMs
+      // the reference loads through a real TSDB head, whose chunk appender
+      // materializes counter-reset hints (first-in-chunk → unknown, appended
+      // non-reset → not_reset, reset → chunk cut → unknown; tsdb appender) —
+      // the unittest sample compare is hint-sensitive, so synthesize the same
+      var prevH: Option[FHist] = None
+      values.foreach { v =>
+        v match {
+          case TestScript.Num(d) => store += Row(labels, t, d, false, null, 0L)
+          case TestScript.StaleMark => store += Row(labels, t, Double.NaN, true, null, 0L)
+          case TestScript.Hist(h0) =>
+            val h =
+              if (h0.crh == FHist.HintGauge) h0
+              else prevH match {
+                case Some(p) if !h0.detectReset(p) => h0.copy(crh = FHist.HintNotReset)
+                case Some(_) => h0.copy(crh = FHist.HintUnknown)
+                case None => h0
+              }
+            prevH = Some(h0)
+            store += Row(labels, t, Double.NaN, false, hRowOf(h), 0L)
+          case TestScript.Gap => ()
+          case TestScript.Unsupported =>
+            throw TestError(s"unsupported series notation for ${labels.getOrElse("__name__", "?")}")
+        }
+        t += tg.intervalMs
+      }
+    }
+    def storeDf(): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(store.toList.asJava, Engine.samplesSchema)
+    }
+
+    val maxEvalMs = (tg.promql.map(_.evalMs) ++ tg.alertCases.map(_.evalMs) :+ 0L).max
+    val mint = tg.startMs
+    val maxt = mint + maxEvalMs
+    val nTicks = ((maxt - mint) / evalIntervalMs + 1).toInt
+    val ticks: Vector[Long] = Vector.iterate(mint, nTicks)(_ + evalIntervalMs)
+
+    // ---- rule order sanity: range-eval requires producers-before-consumers
+    // across ticks (see object scaladoc) ----
+    val flat = groups.flatMap(_.rules)
+    val producedAfter: Array[Set[String]] = flat.indices.toArray.map { i =>
+      flat.drop(i).flatMap(r =>
+        if (r.isAlert) Seq("ALERTS", "ALERTS_FOR_STATE") else Seq(r.record)).toSet
+    }
+    flat.zipWithIndex.foreach { case (r, i) =>
+      val refs = referencedNames(r.expr) & producedAfter(i)
+      if (refs.nonEmpty)
+        throw TestError(s"rule '${r.name}' reads ${refs.mkString(",")} produced by itself or a " +
+          "later rule — cross-tick feedback is unsupported in range-evaluated rule testing")
+    }
+
+    // per-alertname snapshots of FIRING alerts at each tick we must report on
+    val alertTickOf: Map[Long, Long] = tg.alertCases.map { c =>
+      c.evalMs -> (mint + ((mint + c.evalMs - mint) / evalIntervalMs) * evalIntervalMs)
+    }.toMap
+    val neededTicks: Set[(Long, String)] = tg.alertCases
+      .map(c => (alertTickOf(c.evalMs), c.alertname)).toSet
+    val firingSnapshots = mutable.Map[(Long, String), List[ExpAlert]]().withDefaultValue(Nil)
+
+    // ---- evaluate every rule as one range query ----
+    groups.foreach { g =>
+      g.rules.foreach { r =>
+        checkFeatures(r.expr, opts)
+        val value =
+          try Engine.rangeQuery(spark, storeDf(), r.expr, mint, ticks.last, evalIntervalMs,
+            defaultSubqueryStepMs = evalIntervalMs)
+          catch { case e: Throwable =>
+            throw TestError(s"rule: ${r.name}, err: ${e.getMessage}") }
+        // collect per-tick results: (labels, v, h)
+        val byTick: Map[Long, Seq[(Map[String, String], Double, Option[FHist])]] =
+          try {
+            val rows = value match {
+              case VectorVal(df) => df.select(df("labels"), df("t"), df("v"), df("h")).collect()
+                .map(r0 => (r0.getMap[String, String](0).toMap, r0.getLong(1), r0.getDouble(2),
+                  if (r0.isNullAt(3)) None else Some(Runner.fhistFromRow(r0.getStruct(3)))))
+              case ScalarVal(df, _) => df.collect()
+                .map(r0 => (Map.empty[String, String], r0.getLong(0), r0.getDouble(1), None))
+              case other => throw TestError(s"rule result is not a vector or scalar")
+            }
+            rows.groupBy(_._2).map { case (t, rs) =>
+              t -> rs.toSeq.map(x => (x._1, x._3, x._4)) }
+          } catch { case e: Throwable =>
+            throw TestError(s"rule: ${r.name}, err: ${Option(e.getMessage).getOrElse(e.toString).take(300)}") }
+
+        if (!r.isAlert) evalRecordingRule(r, byTick, ticks, store)
+        else evalAlertingRule(r, byTick, ticks, tg, store, neededTicks, firingSnapshots)
+      }
+    }
+
+    // ---- alert expectations ----
+    tg.alertCases.foreach { c =>
+      val got = firingSnapshots((alertTickOf(c.evalMs), c.alertname))
+      val exp = c.exp.map(a => a.copy(labels = a.labels + ("alertname" -> c.alertname)))
+      def render(as: List[ExpAlert]) = as.map(a => s"labels=${a.labels} annotations=${a.annotations}")
+      if (got.map(a => (canon(a.labels), canon(a.annotations))).sorted !=
+          exp.map(a => (canon(a.labels), canon(a.annotations))).sorted)
+        errs += s"${if (tg.name.nonEmpty) s"name: ${tg.name}, " else ""}alertname: ${c.alertname}, " +
+          s"time: ${c.evalMs / 1000}s, exp: ${render(exp)}, got: ${render(got)}"
+    }
+
+    // ---- promql expectations ----
+    val finalDf = storeDf()
+    tg.promql.foreach { c =>
+      try {
+        checkFeatures(c.expr, opts)
+        val got: List[PSample] = Engine.instantQuery(spark, finalDf, c.expr, mint + c.evalMs,
+          defaultSubqueryStepMs = evalIntervalMs) match {
+          case VectorVal(df) => df.select(df("labels"), df("v"), df("h")).collect().toList
+            .map(r0 => PSample(r0.getMap[String, String](0).toMap, r0.getDouble(1),
+              if (r0.isNullAt(2)) None else Some(Runner.fhistFromRow(r0.getStruct(2)))))
+          case ScalarVal(df, _) => df.collect().toList.map(r0 =>
+            PSample(Map.empty, r0.getDouble(1), None))
+          case _ => throw TestError("rule result is not a vector or scalar")
+        }
+        val onlyUlp = (x: Double, y: Double) =>
+          x == y || math.nextAfter(x, Double.NegativeInfinity) == y ||
+            math.nextAfter(x, Double.PositiveInfinity) == y
+        def valEq(x: Double, y: Double): Boolean =
+          (x.isNaN && y.isNaN) || (if (fuzzy) onlyUlp(x, y) else x == y)
+        def histEq(a: Option[FHist], b: Option[FHist]): Boolean = (a, b) match {
+          case (None, None) => true
+          case (Some(x), Some(y)) => Runner.histAlmostEqual(x, y) && x.crh == y.crh
+          case _ => false
+        }
+        val gotS = got.sortBy(s => canon(s.labels))
+        val expS = c.exp.sortBy(s => canon(s.labels))
+        val same = gotS.length == expS.length && gotS.zip(expS).forall { case (g2, e2) =>
+          g2.labels == e2.labels && histEq(g2.hist, e2.hist) &&
+            (e2.hist.nonEmpty || valEq(g2.value, e2.value))
+        }
+        if (!same)
+          errs += s"expr: '${c.expr}', time: ${c.evalMs / 1000}s, " +
+            s"exp: ${expS.map(s => (s.labels, s.value, s.hist.map(_.cnt)))}, " +
+            s"got: ${gotS.map(s => (s.labels, s.value, s.hist.map(_.cnt)))}"
+      } catch {
+        case e: Throwable =>
+          errs += s"expr: '${c.expr}', time: ${c.evalMs / 1000}s, err: " +
+            Option(e.getMessage).getOrElse(e.toString).take(300)
+      }
+    }
+    errs.toList
+  }
+
+  /** recording rule: rewrite __name__, merge static labels, per-tick staleness
+    * (ref: rules/recording.go:85 Eval + rules/group.go vanished-series
+    * markers) */
+  private def evalRecordingRule(r: RRule,
+      byTick: Map[Long, Seq[(Map[String, String], Double, Option[FHist])]],
+      ticks: Vector[Long], store: mutable.ArrayBuffer[Row]): Unit = {
+    var prev = Set.empty[Map[String, String]]
+    ticks.foreach { ts =>
+      val outs = byTick.getOrElse(ts, Nil).map { case (labels, v, h) =>
+        val lbls = (labels - "__name__") ++ r.labels + ("__name__" -> r.record)
+        (lbls, v, h)
+      }
+      val dup = outs.groupBy(_._1).collectFirst { case (l, rs) if rs.size > 1 => l }
+      dup.foreach(l => throw TestError(
+        s"rule: ${r.record}, err: vector contains metrics with the same labelset after applying rule labels"))
+      val cur = outs.map(_._1).toSet
+      outs.foreach { case (lbls, v, h) =>
+        store += Row(lbls, ts, if (h.isEmpty) v else Double.NaN, false, h.map(hRowOf).orNull, 0L)
+      }
+      (prev -- cur).foreach(lbls => store += Row(lbls, ts, Double.NaN, true, null, 0L))
+      prev = cur
+    }
+  }
+
+  private object St { val Pending = 0; val Firing = 1; val Inactive = 2 }
+  private final class AAlert(
+      var labels: Map[String, String], var annotations: Map[String, String],
+      var value: Double, var activeAt: Long) {
+    var state: Int = St.Pending
+    var resolvedAt: Long = -1L
+    var keepFiringSince: Long = -1L
+  }
+
+  /** alerting rule: the reference's per-tick state machine
+    * (rules/alerting.go:387 Eval) folded over the range-query results; emits
+    * ALERTS / ALERTS_FOR_STATE samples with vanish-staleness and records
+    * firing-alert snapshots for the ticks the test asks about */
+  private def evalAlertingRule(r: RRule,
+      byTick: Map[Long, Seq[(Map[String, String], Double, Option[FHist])]],
+      ticks: Vector[Long], tg: TG, store: mutable.ArrayBuffer[Row],
+      neededTicks: Set[(Long, String)],
+      snapshots: mutable.Map[(Long, String), List[ExpAlert]]): Unit = {
+    val active = mutable.Map[String, AAlert]()
+    var prevSeries = Set.empty[Map[String, String]]
+    ticks.foreach { ts =>
+      // build this tick's alerts from the expr results (template-expanded)
+      val resAlerts = mutable.Map[String, AAlert]()
+      byTick.getOrElse(ts, Nil).foreach { case (series, v, _) =>
+        val tmplLabels = series
+        val expandedRuleLabels = r.labels.map { case (k, tv) =>
+          k -> expand(tv, tmplLabels, v, tg.externalLabels) }
+        val annotations = r.annotations.map { case (k, tv) =>
+          k -> expand(tv, tmplLabels, v, tg.externalLabels) }
+        val lbls = (series - "__name__") ++ expandedRuleLabels + ("alertname" -> r.alert)
+        val key = canon(lbls)
+        if (resAlerts.contains(key))
+          throw TestError(s"rule: ${r.alert}, err: vector contains metrics with the same labelset")
+        resAlerts(key) = new AAlert(lbls, annotations, v, ts)
+      }
+      // merge into active state
+      resAlerts.foreach { case (key, a) =>
+        active.get(key) match {
+          case Some(al) if al.state != St.Inactive =>
+            al.value = a.value; al.annotations = a.annotations
+          case _ => active(key) = a
+        }
+      }
+      val curSeries = mutable.Set[Map[String, String]]()
+      active.toSeq.foreach { case (key, a) =>
+        var skip = false
+        if (!resAlerts.contains(key)) {
+          var keepFiring = false
+          if (a.state == St.Firing && r.keepFiringMs > 0) {
+            if (a.keepFiringSince < 0) a.keepFiringSince = ts
+            if (ts - a.keepFiringSince < r.keepFiringMs) keepFiring = true
+          }
+          if (a.state == St.Pending || (a.resolvedAt >= 0 && ts - a.resolvedAt > ResolvedRetentionMs))
+            active.remove(key)
+          if (a.state != St.Inactive && !keepFiring) {
+            a.state = St.Inactive; a.resolvedAt = ts
+          }
+          if (!keepFiring) skip = true
+        } else a.keepFiringSince = -1L
+        if (!skip) {
+          if (a.state == St.Pending && ts - a.activeAt >= r.forMs) a.state = St.Firing
+          // ALERTS + ALERTS_FOR_STATE samples (rules/alerting.go:237,258)
+          val stateName = if (a.state == St.Firing) "firing" else "pending"
+          val alertsLbls = a.labels + ("__name__" -> "ALERTS", "alertstate" -> stateName)
+          val forLbls = a.labels + ("__name__" -> "ALERTS_FOR_STATE")
+          store += Row(alertsLbls, ts, 1.0, false, null, 0L)
+          store += Row(forLbls, ts, (a.activeAt / 1000L).toDouble, false, null, 0L)
+          curSeries += alertsLbls
+          curSeries += forLbls
+        }
+      }
+      (prevSeries -- curSeries).foreach(lbls =>
+        store += Row(lbls, ts, Double.NaN, true, null, 0L))
+      prevSeries = curSeries.toSet
+      // snapshot firing alerts if a test case looks at this (tick, alertname)
+      if (neededTicks.contains((ts, r.alert))) {
+        val firing = active.values.toList
+          .filter(a => a.state == St.Firing && a.resolvedAt < 0)
+          .map(a => ExpAlert(a.labels, a.annotations))
+        snapshots((ts, r.alert)) = snapshots.getOrElse((ts, r.alert), Nil) ++ firing
+      }
+    }
+  }
+
+  // ---------- file driver ----------
+
+  /** run one unit-test file; returns error strings (empty = success, the
+    * reference's exit-0) */
+  def runFile(spark: SparkSession, path: String, opts: Opts = Opts()): List[String] = {
+    try {
+      val dir = java.nio.file.Paths.get(path).toAbsolutePath.getParent
+      val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+      val root = YamlLite.parse(text) match {
+        case m: YMap => m
+        case other => return List(s"$path: expected mapping at top level")
+      }
+      strict(root, Set("rule_files", "evaluation_interval", "group_eval_order", "tests",
+        "fuzzy_compare"), path)
+      val evalIntervalMs = root.str("evaluation_interval").map(durMs).getOrElse(60000L)
+      val fuzzy = root.str("fuzzy_compare").contains("true")
+      val ruleFiles = root.list("rule_files").map {
+        case YScalar(s) => dir.resolve(s).toString
+        case other => throw TestError(s"bad rule_files entry $other")
+      }
+      val orderNames = root.list("group_eval_order").collect { case YScalar(s) => s }
+      val groups0 = ruleFiles.flatMap(parseRuleFile(_, opts.ignoreUnknownFields))
+      // rule exprs must satisfy the session's feature flags (engine-level in
+      // the reference; checked up front so a bad rule fails the file)
+      val groups = {
+        val orderIdx = orderNames.zipWithIndex.toMap
+        groups0.sortBy(g => orderIdx.getOrElse(g.name, 0))  // stable: file order within ties
+      }
+      val runRe = opts.run.map(_.r)
+      val errs = mutable.ArrayBuffer[String]()
+      root.list("tests").zipWithIndex.foreach { case (tn, i) =>
+        val tg = parseTestGroup(tn, evalIntervalMs)
+        val name = if (tg.name.isEmpty) s"unnamed#$i" else tg.name
+        if (runRe.forall(_.findFirstIn(tg.name).isDefined)) {
+          try errs ++= runGroup(spark, tg, groups, evalIntervalMs, fuzzy, opts)
+          catch { case e: Throwable =>
+            errs += s"$name: ${Option(e.getMessage).getOrElse(e.toString).take(300)}" }
+        }
+      }
+      errs.toList
+    } catch {
+      case e: Throwable => List(s"$path: ${Option(e.getMessage).getOrElse(e.toString).take(300)}")
+    }
+  }
+}

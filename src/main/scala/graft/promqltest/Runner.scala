@@ -44,12 +44,12 @@ object Runner {
     }
   }
 
-  private def fhistFromRow(r: Row): FHist =
+  private[promqltest] def fhistFromRow(r: Row): FHist =
     FHist(r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
       r.getSeq[Int](5), r.getSeq[Double](6), r.getSeq[Int](7), r.getSeq[Double](8),
       r.getSeq[Double](9), r.getInt(10))
 
-  private def hRow(h: FHist): Row =
+  private[promqltest] def hRow(h: FHist): Row =
     Row(h.schema, h.zt, h.zc, h.cnt, h.sum, h.pidx, h.pcnt, h.nidx, h.ncnt, h.cv, h.crh)
 
   /** one loaded sample (stt = start timestamp ms, 0 = unknown) */

@@ -1,0 +1,174 @@
+package graft.promqltest
+
+/** Minimal YAML subset parser for the promtool rules unit-test file format
+  * (ref: cmd/promtool/unittest.go unitTestFile + model/rulefmt). Supports the
+  * constructs those files use: nested block maps and lists, `- ` items that
+  * open inline maps, quoted/unquoted scalars, inline `{}`/`[]`, and comments.
+  * NOT a general YAML parser (no anchors, multi-docs, flow collections,
+  * multiline scalars) — the corpus needs none of those.
+  */
+object YamlLite {
+
+  sealed trait YNode
+  final case class YMap(entries: List[(String, YNode)]) extends YNode {
+    def get(k: String): Option[YNode] = entries.find(_._1 == k).map(_._2)
+    def keys: List[String] = entries.map(_._1)
+    def str(k: String): Option[String] = get(k).collect { case YScalar(s) => s }
+    def list(k: String): List[YNode] = get(k) match {
+      case Some(YList(items)) => items
+      case Some(YScalar("")) | None => Nil
+      case Some(other) => throw YamlError(s"expected list for key '$k', got $other")
+    }
+  }
+  final case class YList(items: List[YNode]) extends YNode
+  final case class YScalar(raw: String) extends YNode
+
+  final case class YamlError(msg: String) extends RuntimeException(msg)
+
+  private final case class Line(indent: Int, content: String, no: Int)
+
+  def parse(text: String): YNode = {
+    val lines = logicalLines(text)
+    if (lines.isEmpty) YMap(Nil)
+    else {
+      val (node, next) = parseBlock(lines, 0, lines.head.indent)
+      if (next != lines.length)
+        throw YamlError(s"trailing content at line ${lines(next).no}: '${lines(next).content}'")
+      node
+    }
+  }
+
+  /** strip comments (a `#` at start or after whitespace, outside quotes) and
+    * drop blank lines */
+  private def logicalLines(text: String): Vector[Line] =
+    text.split("\n", -1).iterator.zipWithIndex.flatMap { case (raw0, i) =>
+      val raw = stripComment(raw0.replace("\t", "  "))
+      val content = raw.trim
+      if (content.isEmpty) None
+      else Some(Line(raw.indexWhere(_ != ' '), content, i + 1))
+    }.toVector
+
+  private def stripComment(s: String): String = {
+    var inQ = false; var q = ' '
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        if (c == '\\' && q == '"') i += 1
+        else if (c == q) inQ = false
+      } else if (c == '\'' || c == '"') { inQ = true; q = c }
+      else if (c == '#' && (i == 0 || s.charAt(i - 1) == ' ')) return s.substring(0, i)
+      i += 1
+    }
+    s
+  }
+
+  private def parseBlock(lines: Vector[Line], pos: Int, indent: Int): (YNode, Int) =
+    if (lines(pos).content == "-" || lines(pos).content.startsWith("- "))
+      parseList(lines, pos, indent)
+    else parseMap(lines, pos, indent)
+
+  private def parseList(lines: Vector[Line], pos0: Int, indent: Int): (YNode, Int) = {
+    val items = List.newBuilder[YNode]
+    var pos = pos0
+    while (pos < lines.length && lines(pos).indent == indent &&
+        (lines(pos).content == "-" || lines(pos).content.startsWith("- "))) {
+      val ln = lines(pos)
+      val rest = ln.content.drop(1).trim
+      if (rest.isEmpty) {
+        // `-` alone: item is the following deeper block (or empty scalar)
+        if (pos + 1 < lines.length && lines(pos + 1).indent > indent) {
+          val (n, next) = parseBlock(lines, pos + 1, lines(pos + 1).indent)
+          items += n; pos = next
+        } else { items += YScalar(""); pos += 1 }
+      } else if (rest == "{}") { items += YMap(Nil); pos += 1 }
+      else if (rest == "[]") { items += YList(Nil); pos += 1 }
+      else if (splitKey(rest).isDefined) {
+        // `- key: ...` opens a map whose keys sit at the column of `key`;
+        // parse it by substituting a virtual line for the dash line
+        val col = indent + (ln.content.length - rest.length)
+        val virtual = Line(col, rest, ln.no) +: lines.drop(pos + 1)
+        val (n, nextV) = parseMap(virtual, 0, col)
+        items += n
+        pos = pos + nextV // consumed the virtual line + (nextV - 1) real ones
+      } else { items += YScalar(unquote(rest)); pos += 1 }
+    }
+    (YList(items.result()), pos)
+  }
+
+  private def parseMap(lines: Vector[Line], pos0: Int, indent: Int): (YNode, Int) = {
+    val entries = List.newBuilder[(String, YNode)]
+    var pos = pos0
+    while (pos < lines.length && lines(pos).indent == indent &&
+        !(lines(pos).content == "-" || lines(pos).content.startsWith("- "))) {
+      val (e, np) = parseMapEntry(lines, pos, indent)
+      entries += e; pos = np
+    }
+    (YMap(entries.result()), pos)
+  }
+
+  private def parseMapEntry(lines: Vector[Line], pos: Int, indent: Int): ((String, YNode), Int) = {
+    val ln = lines(pos)
+    splitKey(ln.content) match {
+      case Some((k, v)) =>
+        if (v.nonEmpty) ((k, inlineValue(v)), pos + 1)
+        else if (pos + 1 < lines.length && lines(pos + 1).indent > indent) {
+          val (n, next) = parseBlock(lines, pos + 1, lines(pos + 1).indent)
+          ((k, n), next)
+        } else ((k, YScalar("")), pos + 1)
+      case None => throw YamlError(s"line ${ln.no}: expected 'key: value', got '${ln.content}'")
+    }
+  }
+
+  /** split `key: value` / `key:` at the first unquoted colon-space (or
+    * colon-EOL); returns None when the line has no such colon */
+  private def splitKey(s: String): Option[(String, String)] = {
+    var inQ = false; var q = ' '
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        if (c == '\\' && q == '"') i += 1
+        else if (c == q) inQ = false
+      } else if (c == '\'' || c == '"') { inQ = true; q = c }
+      else if (c == ':' && (i + 1 == s.length || s.charAt(i + 1) == ' ')) {
+        val k = s.substring(0, i).trim
+        // a PromQL expression is not a key (e.g. recorded names contain ':');
+        // keys in this format are bare identifiers
+        if (k.nonEmpty && k.forall(ch => ch.isLetterOrDigit || ch == '_' || ch == '-'))
+          return Some((unquote(k), s.substring(i + 1).trim))
+        return None
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def inlineValue(v: String): YNode = v match {
+    case "{}" => YMap(Nil)
+    case "[]" => YList(Nil)
+    case other => YScalar(unquote(other))
+  }
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+      s.substring(1, s.length - 1).replace("''", "'")
+    else if (s.length >= 2 && s.head == '"' && s.last == '"') {
+      val inner = s.substring(1, s.length - 1)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < inner.length) {
+        val c = inner.charAt(i)
+        if (c == '\\' && i + 1 < inner.length) {
+          inner.charAt(i + 1) match {
+            case '"' => sb += '"'; i += 2
+            case '\\' => sb += '\\'; i += 2
+            case 'n' => sb += '\n'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case o => sb += c; sb += o; i += 2
+          }
+        } else { sb += c; i += 1 }
+      }
+      sb.toString
+    } else s
+}

@@ -1,0 +1,69 @@
+package graft.promqltest
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The reference's promtool rules-unit-test corpus, exit-code-matched against
+  * cmd/promtool/unittest_test.go's own expectation table (21 cases: passing
+  * suites, failure modes, feature flags, run filters, fuzzy compare). */
+class RuleUnitTestSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("promtool unit-test corpus: all 21 reference cases match expected exit codes") {
+    val results = RuleTestMain.runAll(spark)
+    val bad = results.filter(!_._3)
+    assert(bad.isEmpty, s"mismatched cases: ${bad.map(b => b._1 -> b._2.take(2)).mkString("; ")}")
+  }
+
+  test("yaml-lite: parses the unit-test structures") {
+    import YamlLite._
+    val n = parse(
+      """# comment
+        |rule_files:
+        |  - rules.yml
+        |evaluation_interval: 1m
+        |tests:
+        |  - interval: 1m
+        |    input_series:
+        |      - series: 'up{job="x", instance="y:9090"'
+        |        values: "0+0x1440"  # inline comment
+        |    alert_rule_test:
+        |      - eval_time: 1d
+        |        alertname: A
+        |        exp_alerts:
+        |          - {}
+        |          - exp_labels:
+        |              severity: page
+        |      - eval_time: 0
+        |        exp_alerts: []
+        |  - {}
+        |""".stripMargin)
+    val m = n.asInstanceOf[YMap]
+    assert(m.str("evaluation_interval").contains("1m"))
+    assert(m.list("rule_files") == List(YScalar("rules.yml")))
+    val t0 = m.list("tests").head.asInstanceOf[YMap]
+    assert(m.list("tests")(1) == YMap(Nil))
+    val s0 = t0.list("input_series").head.asInstanceOf[YMap]
+    assert(s0.str("series").contains("""up{job="x", instance="y:9090""""))
+    assert(s0.str("values").contains("0+0x1440"))
+    val a0 = t0.list("alert_rule_test").head.asInstanceOf[YMap]
+    assert(a0.list("exp_alerts").head == YMap(Nil))
+    assert(a0.list("exp_alerts")(1).asInstanceOf[YMap]
+      .get("exp_labels").get.asInstanceOf[YMap].str("severity").contains("page"))
+    assert(t0.list("alert_rule_test")(1).asInstanceOf[YMap].list("exp_alerts").isEmpty)
+  }
+}
