@@ -170,4 +170,64 @@ object OpenMetrics {
     val parsed = parseAll(spark.read.text(path), defaultTsMs)
     (samplesOf(parsed), metadataOf(parsed))
   }
+
+  /** Go fmt `%g` replica (strconv ftoa 'g' with shortest digits: e-form when
+    * the decimal exponent is < -4 or ≥ 6) — the value rendering of promtool's
+    * OpenMetrics dump (cmd/promtool/tsdb.go:829). */
+  def goG(d: Double): String = {
+    if (d.isNaN) return "NaN"
+    if (d == Double.PositiveInfinity) return "+Inf"
+    if (d == Double.NegativeInfinity) return "-Inf"
+    if (d == 0.0) return if (1.0 / d < 0) "-0" else "0"
+    val bd = new java.math.BigDecimal(java.lang.Double.toString(math.abs(d))).stripTrailingZeros
+    val exp = bd.precision - bd.scale - 1
+    val sign = if (d < 0) "-" else ""
+    if (exp < -4 || exp >= 6) {
+      val digits = bd.unscaledValue.abs.toString
+      val m = if (digits.length == 1) digits else digits.substring(0, 1) + "." + digits.substring(1)
+      val es = if (exp < 0) "-" else "+"
+      s"$sign${m}e$es" + f"${math.abs(exp)}%02d"
+    } else sign + bd.toPlainString
+  }
+
+  private def escapeLabelValue(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  /** promtool `tsdb dump-openmetrics` analog (ref: cmd/promtool/tsdb.go:820
+    * formatSeriesSetOpenMetrics): float samples as
+    * `name{labels} %g %.3f` lines, series in label order (the reference's
+    * labels.Compare — pairwise by sorted label name/value), samples in time
+    * order, trailing `# EOF`. The sort is distributed (range partitioner);
+    * only the iterator pages through the driver, so a dump of a huge store
+    * streams instead of collecting. Roundtrip property: dump ∘ read = id on
+    * canonical input (the reference asserts the same in
+    * TestTSDBDumpOpenMetricsRoundTrip). */
+  def dumpOpenMetrics(samples: DataFrame): Iterator[String] = {
+    val lineUdf = udf { (labels: Map[String, String], v: Double, t: Long) =>
+      val name = labels.getOrElse("__name__", "")
+      val rest = labels.toSeq.filter(_._1 != "__name__").sortBy(_._1)
+      val lb = rest.map { case (k, vv) => s"""$k="${escapeLabelValue(vv)}"""" }.mkString(",")
+      val ts = String.format(java.util.Locale.ROOT, "%.3f",
+        java.lang.Double.valueOf(t / 1000.0))
+      s"$name{$lb} ${goG(v)} $ts"
+    }
+    // pairwise labels.Compare order == string order on NUL-joined sorted pairs
+    val sortKey = udf { (labels: Map[String, String]) =>
+      labels.toSeq.sortBy(_._1).map { case (k, v) => k + "\u0000" + v }.mkString("\u0000")
+    }
+    val it = samples
+      .filter(col("h").isNull && !col("stale"))
+      .select(lineUdf(col("labels"), col("v"), col("t")).as("__line"),
+        sortKey(col("labels")).as("__sk"), col("t"))
+      .orderBy(col("__sk"), col("t"))
+      .select("__line")
+      .toLocalIterator()
+    new Iterator[String] {
+      private var eof = false
+      def hasNext: Boolean = it.hasNext || !eof
+      def next(): String =
+        if (it.hasNext) it.next().getString(0)
+        else { eof = true; "# EOF" }
+    }
+  }
 }

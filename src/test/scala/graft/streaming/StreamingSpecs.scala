@@ -183,6 +183,34 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length == 1 && got.head.getDouble(got.head.fieldIndex("v")) == 5.0)
   }
 
+  test("openmetrics dump: Go %g value rendering") {
+    import OpenMetrics.goG
+    assert(goG(1.0) == "1")
+    assert(goG(0.0) == "0")
+    assert(goG(123456.0) == "123456")
+    assert(goG(1234567.0) == "1.234567e+06")
+    assert(goG(1.0267820369e10) == "1.0267820369e+10")
+    assert(goG(1.026872507e10) == "1.026872507e+10")
+    assert(goG(0.000345) == "0.000345")
+    assert(goG(0.0000345) == "3.45e-05")
+    assert(goG(-2.5) == "-2.5")
+    assert(goG(Double.PositiveInfinity) == "+Inf")
+  }
+
+  test("openmetrics dump round-trips the reference's dump corpus") {
+    // ref: cmd/promtool/tsdb_test.go TestTSDBDumpOpenMetricsRoundTrip —
+    // backfill the OM file, dump it, expect the identical text back
+    for (f <- Seq("dump-openmetrics-roundtrip-test.prom", "dump-openmetrics-test.prom")) {
+      val path = s"/root/reference/cmd/promtool/testdata/$f"
+      val want = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+        .replace("\r\n", "\n")
+      val (samples, _) = OpenMetrics.read(spark, path)
+      val got = OpenMetrics.dumpOpenMetrics(samples).mkString("", "\n", "\n")
+      assert(got == want, s"$f roundtrip mismatch")
+    }
+  }
+
   test("retention drops old 2h block partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ret").toFile
     val old = new java.io.File(dir, "block=0"); old.mkdirs()
