@@ -178,18 +178,29 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     // codegen, so the cheap flat-column check still guards the map lookups)
     val fastConds: Seq[Column] =
       if (!samples.columns.contains("metric")) Nil
-      else ms.filter(_.name == "__name__").map { m =>
+      else ms.filter(_.name == "__name__").flatMap { m =>
         val c = coalesce(col("metric"), lit(""))
         m.op match {
           // plain equality (no coalesce) for a non-empty name: a NULL metric
           // can never equal it, and the bare `attr = lit` form is what both
           // parquet row-group stats and InMemoryTableScan batch min/max
           // pruning recognize — coalesce(attr, '') = lit prunes nothing
-          case MatchOp.Eq if m.value.nonEmpty => col("metric") === m.value
-          case MatchOp.Eq => c === m.value
-          case MatchOp.Neq => c =!= m.value
-          case MatchOp.Re => c.rlike(anchored(m.value))
-          case MatchOp.NotRe => !c.rlike(anchored(m.value))
+          case MatchOp.Eq if m.value.nonEmpty => Seq(col("metric") === m.value)
+          case MatchOp.Eq => Seq(c === m.value)
+          case MatchOp.Neq => Seq(c =!= m.value)
+          case MatchOp.Re =>
+            // regex can't reach parquet stats; its literal skeleton can: a
+            // pure alternation becomes an exact IN-list (pushed as In), a
+            // literal prefix becomes a StartsWith conjunct (pushed, prunes
+            // row groups / partition dirs) guarding the residual rlike
+            Planner.literalAlternation(m.value) match {
+              case Some(names) => Seq(col("metric").isInCollection(names))
+              case None =>
+                val pfx = Planner.literalPrefix(m.value)
+                val guard = if (pfx.isEmpty) Nil else Seq(col("metric").startsWith(pfx))
+                guard :+ c.rlike(anchored(m.value))
+            }
+          case MatchOp.NotRe => Seq(!c.rlike(anchored(m.value)))
         }
       }
     val mapConds: Seq[Column] = ms.map { m =>
@@ -1400,4 +1411,39 @@ object Planner {
   @volatile var defaultLinearPathRatio: Double = 16.0
   @volatile var defaultRateLinearRatio: Double = 16.0
   @volatile var defaultLinearExtPathRatio: Double = 32.0
+
+  private val regexMeta = ".*+?()[]{}|^$\\".toSet
+
+  /** Pure-literal alternation (`a|b|c`) → the exact value set — the
+    * reference's FixedSetMatches fast path (model/labels/regexp.go). A
+    * selector regex of this shape compiles to a pushable IN-list instead of
+    * an rlike. Conservative: any metacharacter anywhere disables it. */
+  private[promql] def literalAlternation(re: String): Option[Seq[String]] = {
+    val parts = re.split("\\|", -1)
+    if (parts.nonEmpty && parts.forall(p => p.nonEmpty && !p.exists(regexMeta)))
+      Some(parts.toSeq.distinct)
+    else None
+  }
+
+  /** Literal prefix of a regex (chars up to the first metacharacter; the char
+    * before a quantifier is excluded since the quantifier may erase it) — the
+    * reference's optimized prefix match (model/labels/regexp.go literal
+    * prefix). Only valid when no top-level alternation exists, so any `|`
+    * disables it. */
+  private[promql] def literalPrefix(re: String): String = {
+    if (re.exists(_ == '|')) return ""
+    val sb = new StringBuilder
+    var i = 0
+    while (i < re.length) {
+      val c = re.charAt(i)
+      if (regexMeta(c)) {
+        // a quantifier modifies the PREVIOUS char — drop it from the prefix
+        if ((c == '*' || c == '+' || c == '?' || c == '{') && sb.nonEmpty)
+          sb.deleteCharAt(sb.length - 1)
+        return sb.toString
+      }
+      sb += c; i += 1
+    }
+    sb.toString
+  }
 }

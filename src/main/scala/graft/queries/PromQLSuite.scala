@@ -148,6 +148,10 @@ object PromQLSuite {
     // offset: shifted instant selection under an aggregation
     "pq23_offset_sum" -> { (s, dir) =>
       out(run(s, dir, """sum by (type) (events_value offset 30m)"""), "type") },
+
+    // cardinality analysis (promtool tsdb analyze / /api/v1/status/tsdb)
+    "pq24_label_stats" -> { (s, dir) =>
+      graft.web.TsdbStats.labelStats(samples(s, dir)).orderBy(col("label")) },
   )
 
   /** DuckDB oracles replicating the exact reference formulas. */
@@ -366,5 +370,20 @@ object PromQLSuite {
           ON s.t > g.step_ms - 1800000 - $lookMs AND s.t <= g.step_ms - 1800000
         GROUP BY 1,2,3)
       SELECT type, step_ms AS t, sum(v) AS v FROM last GROUP BY 1,2 ORDER BY 1,2""",
+
+    // one row per label name over the distinct series of the store:
+    // labels are {__name__: events_value, type, usr}
+    "pq24_label_stats" -> s"""WITH series AS (
+        SELECT DISTINCT event_type AS type, CAST(user_id % 5 AS VARCHAR) AS usr
+        FROM events)
+      SELECT '__name__' AS label, CAST(1 AS BIGINT) AS n_values,
+             CAST(count(*) AS BIGINT) AS n_series FROM series
+      UNION ALL
+      SELECT 'type', CAST(count(DISTINCT type) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM series
+      UNION ALL
+      SELECT 'usr', CAST(count(DISTINCT usr) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM series
+      ORDER BY label""",
   )
 }

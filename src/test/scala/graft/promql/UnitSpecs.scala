@@ -434,6 +434,74 @@ class NonConstParamSpec extends AnyFunSuite {
   * be plan-transparent: identical results to the computed-hash path on every
   * selector regime (instant as-of + explode, rate linear + explode, aggs,
   * extended selectors). */
+class RegexPushdownSpec extends AnyFunSuite {
+
+  test("literal skeleton extraction from selector regexes") {
+    assert(Planner.literalAlternation("a|b|c").contains(Seq("a", "b", "c")))
+    assert(Planner.literalAlternation("api_req_total").contains(Seq("api_req_total")))
+    assert(Planner.literalAlternation("a|b.*").isEmpty)
+    assert(Planner.literalAlternation("a|").isEmpty)
+    assert(Planner.literalPrefix("api_.*") == "api_")
+    assert(Planner.literalPrefix("api_[0-9]+") == "api_")
+    assert(Planner.literalPrefix("ab?c") == "a")   // ? may erase the b
+    assert(Planner.literalPrefix("ab*") == "a")
+    assert(Planner.literalPrefix("a|b") == "")      // alternation invalidates
+    assert(Planner.literalPrefix("\\d+") == "")
+    assert(Planner.literalPrefix("abc") == "abc")
+  }
+
+  test("name-regex selectors push In/StartsWith to the parquet scan on a flat metric store") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      import org.apache.spark.sql.functions.{col, element_at}
+      val rows = (0 until 120).flatMap { i =>
+        Seq("api_req", "api_err", "db_conns", "up").map { n =>
+          (Map("__name__" -> n, "job" -> "j"), i * 10000L, i.toDouble)
+        }
+      }
+      val plain = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (l, t, v) => org.apache.spark.sql.Row(l, t, v, false, null, 0L) }, 4),
+        Engine.samplesSchema)
+      val dir = java.nio.file.Files.createTempDirectory("graft_rx").toString
+      plain.withColumn("metric", element_at(col("labels"), "__name__"))
+        .write.mode("overwrite").parquet(dir)
+      val flat = spark.read.parquet(dir)
+
+      def run(df: org.apache.spark.sql.DataFrame, q: String) =
+        Engine.instantQuery(spark, df, q, 600000L) match {
+          case VectorVal(r) => r
+          case other => fail(s"unexpected $other")
+        }
+
+      // pushed-filter shapes reach the scan
+      val pfx = run(flat, """{__name__=~"api_.*"}""")
+      val pfxPlan = pfx.queryExecution.executedPlan.toString
+      assert(pfxPlan.contains("StringStartsWith(metric,api_"),
+        s"no StartsWith pushed filter in:\n${pfxPlan.take(2000)}")
+      val alt = run(flat, """{__name__=~"api_req|up"}""")
+      val altPlan = alt.queryExecution.executedPlan.toString
+      assert(altPlan.contains("In(metric, [api_req,up])") || altPlan.contains("In(metric,[api_req,up])"),
+        s"no In pushed filter in:\n${altPlan.take(2000)}")
+
+      // and results match the map-only path exactly
+      for (q <- Seq("""{__name__=~"api_.*"}""", """{__name__=~"api_req|up"}""",
+                    """{__name__=~"(api|db).*s"}""", """{__name__!~"api_.*"}""")) {
+        def collectSet(df: org.apache.spark.sql.DataFrame) =
+          df.select("labels", "t", "v").collect()
+            .map(r => (r.getMap[String, String](0).toMap, r.getLong(1), r.getDouble(2))).toSet
+        assert(collectSet(run(flat, q)) == collectSet(run(plain, q)), s"mismatch for $q")
+      }
+    } finally spark.stop()
+  }
+}
+
 class StoredSigSpec extends AnyFunSuite {
 
   test("stored __sg column yields identical results to computed signatures") {
