@@ -511,6 +511,18 @@ object RuleUnitTest {
     }
   }
 
+  /** promtool `check rules` duplicate detection (cmd/promtool/main.go:1006
+    * checkDuplicates): rules with the same name AND the same static labels
+    * are flagged, across all groups of the file. Also validates the file
+    * (syntax + expr grammar — features.yml's experimental forms must parse). */
+  def duplicateRules(path: String, ignoreUnknownFields: Boolean = false)
+      : List[(String, Map[String, String])] = {
+    val rules = parseRuleFile(path, ignoreUnknownFields).flatMap(_.rules)
+    rules.groupBy(r => (r.name, r.labels)).collect {
+      case ((n, lbls), rs) if rs.size > 1 => (n, lbls)
+    }.toList.sortBy(_._1)
+  }
+
   // ---------- file driver ----------
 
   /** run one unit-test file; returns error strings (empty = success, the

@@ -29,6 +29,17 @@ class RuleUnitTestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.isEmpty, s"mismatched cases: ${bad.map(b => b._1 -> b._2.take(2)).mkString("; ")}")
   }
 
+  test("check rules: duplicate detection + experimental-grammar rule files parse") {
+    val d = "/root/reference/cmd/promtool/testdata"
+    // ref: cmd/promtool/main_test.go TestCheckDuplicates — one duplicate
+    assert(RuleUnitTest.duplicateRules(s"$d/rules_duplicates.yml") ==
+      List(("job:test:count_over_time1m", Map.empty[String, String])))
+    assert(RuleUnitTest.duplicateRules(s"$d/rules.yml").isEmpty)
+    // features.yml: sort_by_label, duration expressions, anchored selectors,
+    // fill modifiers — must all parse as rule exprs
+    assert(RuleUnitTest.duplicateRules(s"$d/features.yml").isEmpty)
+  }
+
   test("yaml-lite: parses the unit-test structures") {
     import YamlLite._
     val n = parse(
