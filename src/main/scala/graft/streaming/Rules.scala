@@ -74,7 +74,7 @@ object Rules {
       .toMap
 
     val next = scala.collection.mutable.Map[String, AlertState]()
-    val out = Seq.newBuilder[(Map[String, String], String)]
+    val out = Seq.newBuilder[(Map[String, String], String, Long)]
     // currently-true alerts: new → pending, past `for:` → firing
     active.foreach { case (sig, lbls) =>
       // firingSinceMs: -1 = never fired (0 is a valid fire timestamp)
@@ -82,7 +82,7 @@ object Rules {
       val firing = tsMs - st.activeSinceMs >= rule.forMs
       val firingSince = if (firing && st.firingSinceMs < 0L) tsMs else st.firingSinceMs
       next(sig) = AlertState(st.activeSinceMs, firingSince, tsMs, lbls)
-      out += ((lbls, if (firing) "firing" else "pending"))
+      out += ((lbls, if (firing) "firing" else "pending", st.activeSinceMs))
     }
     // no-longer-true: a firing alert keeps emitting alertstate="firing" until
     // keep_firing_for elapses from the FIRST false evaluation (the
@@ -94,13 +94,19 @@ object Rules {
         if (wasFiring && rule.keepFiringForMs > 0L &&
             tsMs - kfSince < rule.keepFiringForMs) {
           next(sig) = st.copy(keepFiringSinceMs = kfSince)
-          out += ((st.labels, "firing"))
+          out += ((st.labels, "firing", st.activeSinceMs))
         }
       }
     }
-    val rows = out.result().map { case (lbls, stateName) =>
-      org.apache.spark.sql.Row(
-        lbls + ("__name__" -> "ALERTS", "alertstate" -> stateName), tsMs, 1.0, false, null, 0L)
+    val rows = out.result().flatMap { case (lbls, stateName, activeSinceMs) =>
+      Seq(
+        org.apache.spark.sql.Row(
+          lbls + ("__name__" -> "ALERTS", "alertstate" -> stateName), tsMs, 1.0, false, null, 0L),
+        // the `for`-state series restoration reads after a restart
+        // (ref: rules/alerting.go:258 forStateSample)
+        org.apache.spark.sql.Row(
+          lbls + ("__name__" -> "ALERTS_FOR_STATE"), tsMs,
+          (activeSinceMs / 1000L).toDouble, false, null, 0L))
     }
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), Engine.samplesSchema)
@@ -158,21 +164,73 @@ object Rules {
   private[streaming] def orderRecording(rules: Seq[RecordingRule]): Seq[RecordingRule] =
     recordingLevels(rules).flatten
 
+  /** Restore alert `for` state from persisted ALERTS_FOR_STATE series after
+    * a restart (ref: rules/group.go:739 RestoreForState): for each alerting
+    * rule whose hold duration is at least the grace period, read the last
+    * non-stale ALERTS_FOR_STATE sample per labelset within
+    * (ts − outageTolerance, ts], and shift the restored ActiveAt by the
+    * downtime (or pin it `for − grace` before now when the remaining pending
+    * time is under the grace period). Driver-side at alert cardinality —
+    * one distributed filter+agg per alerting rule. */
+  private[streaming] def restoredStates(spark: SparkSession, samples: DataFrame,
+      g: Group, tsMs: Long, outageToleranceMs: Long, forGracePeriodMs: Long)
+      : Map[String, Map[String, AlertState]] =
+    g.alerting.filter(_.forMs >= forGracePeriodMs).map { a =>
+      val staticEq = a.labels.toSeq.collect {
+        // template-valued labels expand per alert instance — not matchable
+        // (ref: rules/alerting.go:279 QueryForStateSeries skips them)
+        case (k, v) if !v.contains("{{") => element_at(col("labels"), k) === v
+      }
+      val cond = (element_at(col("labels"), "__name__") === "ALERTS_FOR_STATE") &&
+        (element_at(col("labels"), "alertname") === a.alert) &&
+        col("t") > tsMs - outageToleranceMs && col("t") <= tsMs &&
+        staticEq.foldLeft(lit(true))(_ && _)
+      val rows = samples.filter(cond)
+        .select(col("labels"), col("t"), col("v"), col("stale")).collect()
+      val states = rows
+        .map(r => (r.getMap[String, String](0).toMap - "__name__",
+          r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .groupBy(_._1)
+        .flatMap { case (lbls, rs) =>
+          val (_, t, v, stale) = rs.maxBy(_._2)
+          if (stale) None // alert was resolved before the outage
+          else {
+            val downAtMs = (t / 1000L) * 1000L
+            val restoredMs = (v * 1000.0).toLong
+            val remainingMs = a.forMs - (downAtMs - restoredMs)
+            val activeAt =
+              if (remainingMs <= 0) restoredMs // was already firing
+              else if (remainingMs < forGracePeriodMs)
+                tsMs + forGracePeriodMs - a.forMs // fire after the grace period
+              else restoredMs + (tsMs - downAtMs) // shift by the downtime
+            Some(lbls.toSeq.sorted.mkString("\u0001") ->
+              AlertState(activeAt, -1L, tsMs, lbls))
+          }
+        }
+      a.alert -> states
+    }.toMap
+
   /** Batch-driven group evaluation over a window of ticks (the reference's
     * manager loop, rules/manager.go:83): recording results feed back so later
     * rules see earlier outputs. Rule outputs are collected per tick
     * (rule-output cardinality — the same scale the reference appends to its
     * head per eval), so each tick's plan is base ∪ one in-memory scan instead
-    * of O(rules × ticks) nested unions. */
+    * of O(rules × ticks) nested unions. `restoreForState` seeds the alert
+    * states from persisted ALERTS_FOR_STATE series (restart continuity). */
   def evalGroup(spark: SparkSession, samples0: DataFrame, g: Group,
-      fromMs: Long, toMs: Long): DataFrame = {
+      fromMs: Long, toMs: Long, restoreForState: Boolean = false,
+      outageToleranceMs: Long = 3600000L,   // ref: config default for_outage_tolerance 1h
+      forGracePeriodMs: Long = 600000L): DataFrame = {  // ref: for_grace_period 10m
     import scala.jdk.CollectionConverters._
     val base = samples0
     val acc = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
     def samples: DataFrame =
       if (acc.isEmpty) base
       else base.unionByName(spark.createDataFrame(acc.toList.asJava, Engine.samplesSchema))
-    var alertStates = Map.empty[String, Map[String, AlertState]]
+    var alertStates: Map[String, Map[String, AlertState]] =
+      if (restoreForState)
+        restoredStates(spark, samples0, g, fromMs, outageToleranceMs, forGracePeriodMs)
+      else Map.empty
     val recLevels = recordingLevels(g.recording)
     var ts = fromMs
     while (ts <= toMs) {

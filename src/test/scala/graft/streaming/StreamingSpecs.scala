@@ -85,11 +85,16 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
       (Map("__name__" -> "errors", "job" -> "a"), 0L, 5.0),
       (Map("__name__" -> "errors", "job" -> "a"), 60000L, 5.0)))
     val rule = Rules.AlertingRule("HighErrors", "errors > 1", forMs = 60000)
+    def alertRows(df0: org.apache.spark.sql.DataFrame) =
+      df0.filter(element_at(col("labels"), "__name__") === "ALERTS")
     val (out0, st0) = Rules.evalAlerting(spark, df, rule, 0L, Map.empty)
-    val s0 = out0.select(element_at(col("labels"), "alertstate")).collect().map(_.getString(0))
+    val s0 = alertRows(out0).select(element_at(col("labels"), "alertstate")).collect().map(_.getString(0))
     assert(s0.toSeq == Seq("pending"))
+    // the for-state series rides along (restoration input)
+    assert(out0.filter(element_at(col("labels"), "__name__") === "ALERTS_FOR_STATE")
+      .select("v").collect().map(_.getDouble(0)).toSeq == Seq(0.0))
     val (out1, _) = Rules.evalAlerting(spark, df, rule, 60000L, st0)
-    val s1 = out1.select(element_at(col("labels"), "alertstate")).collect().map(_.getString(0))
+    val s1 = alertRows(out1).select(element_at(col("labels"), "alertstate")).collect().map(_.getString(0))
     assert(s1.toSeq == Seq("firing"))
   }
 
@@ -99,17 +104,46 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     val rule = Rules.AlertingRule("Flappy", "errors > 1", forMs = 0L,
       keepFiringForMs = 120000L)
     val (out0, st0) = Rules.evalAlerting(spark, df, rule, 0L, Map.empty)
-    assert(out0.select(element_at(col("labels"), "alertstate")).collect()
+    assert(out0.filter(element_at(col("labels"), "__name__") === "ALERTS")
+      .select(element_at(col("labels"), "alertstate")).collect()
       .map(_.getString(0)).toSeq == Seq("firing"))
     // t=60s: condition false (lookback still sees the stale-free sample at 0?
     // no — 5m lookback keeps it true; use t beyond lookback)
     val (out1, st1) = Rules.evalAlerting(spark, df, rule, 400000L, st0)
-    val s1 = out1.collect().map(r => (
-      r.getMap[String, String](0)("alertstate"), r.getMap[String, String](0)("job")))
+    val s1 = out1.filter(element_at(col("labels"), "__name__") === "ALERTS")
+      .collect().map(r => (
+        r.getMap[String, String](0)("alertstate"), r.getMap[String, String](0)("job")))
     assert(s1.toSeq == Seq(("firing", "a")), "keep-firing window emits firing with labels")
     // beyond keep_firing_for from last-true: gone
     val (out2, _) = Rules.evalAlerting(spark, df, rule, 400000L + 121000L, st1)
     assert(out2.count() == 0)
+  }
+
+  test("for-state restoration resumes the pending countdown across a restart") {
+    // condition true every minute 0..8m; for: 3m, restart gap 2m..5m
+    val input = samplesOf((0 to 8).map(i =>
+      (Map("__name__" -> "errors", "job" -> "a"), i * 60000L, 5.0)))
+    val g = Rules.Group("g", intervalMs = 60000,
+      alerting = Seq(Rules.AlertingRule("Slow", "errors > 1", forMs = 180000)))
+    // pre-restart ticks 0..2m: pending, ALERTS_FOR_STATE persisted (v = 0s)
+    val before = Rules.evalGroup(spark, input, g, fromMs = 0L, toMs = 120000L)
+    assert(before.filter(element_at(col("labels"), "__name__") === "ALERTS_FOR_STATE")
+      .select("v").collect().map(_.getDouble(0)).forall(_ == 0.0))
+    val store = input.unionByName(before)
+    def states(df: org.apache.spark.sql.DataFrame) =
+      df.filter(element_at(col("labels"), "__name__") === "ALERTS")
+        .select(col("t"), element_at(col("labels"), "alertstate")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // restored: activeAt shifts by the 3m downtime to t=3m → fires at 6m
+    // (ref: rules/group.go:739 RestoreForState, downtime-shift branch)
+    val restored = states(Rules.evalGroup(spark, store, g,
+      fromMs = 300000L, toMs = 360000L,
+      restoreForState = true, forGracePeriodMs = 60000L))
+    assert(restored == Map(300000L -> "pending", 360000L -> "firing"))
+    // without restoration the countdown restarts: still pending at 6m
+    val cold = states(Rules.evalGroup(spark, store, g,
+      fromMs = 300000L, toMs = 360000L))
+    assert(cold == Map(300000L -> "pending", 360000L -> "pending"))
   }
 
   test("evalGroup handles 100 ticks without plan blowup and orders rules topologically") {
