@@ -232,6 +232,19 @@ object Rules {
         restoredStates(spark, samples0, g, fromMs, outageToleranceMs, forGracePeriodMs)
       else Map.empty
     val recLevels = recordingLevels(g.recording)
+    // per-rule output-series tracking: a series produced at the previous tick
+    // but absent now gets a staleness marker, exactly the reference's
+    // seriesInPreviousEval handling (rules/group.go Eval) — without it a
+    // resolved alert's ALERTS series stays visible for the whole lookback
+    val prevSeries = scala.collection.mutable.Map[String, Set[Map[String, String]]]()
+    def withStaleness(ruleKey: String, ts0: Long,
+        rows: Array[org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.Row] = {
+      val cur = rows.map(_.getMap[String, String](0).toMap).toSet
+      val vanished = prevSeries.getOrElse(ruleKey, Set.empty) -- cur
+      prevSeries(ruleKey) = cur
+      rows.toSeq ++ vanished.map(lbls =>
+        org.apache.spark.sql.Row(lbls, ts0, Double.NaN, true, null, 0L))
+    }
     var ts = fromMs
     while (ts <= toMs) {
       // rules within a topological level are independent — their Spark jobs
@@ -240,7 +253,8 @@ object Rules {
       // `samples` each level sees includes only earlier levels' outputs
       recLevels.foreach { level =>
         val snap = samples
-        acc ++= parEval(level.map(r => () => evalRecording(spark, snap, r, ts).collect())).flatten
+        parEval(level.map(r => () => r.record -> evalRecording(spark, snap, r, ts).collect()))
+          .foreach { case (key, rows) => acc ++= withStaleness(s"rec:$key", ts, rows) }
       }
       // alerting rules never feed other rules — all concurrent
       val snap = samples
@@ -250,7 +264,7 @@ object Rules {
         (a.alert, st, out.collect())
       }))
       alertOut.foreach { case (name, st, rows) =>
-        alertStates += (name -> st); acc ++= rows
+        alertStates += (name -> st); acc ++= withStaleness(s"alrt:$name", ts, rows)
       }
       ts += g.intervalMs
     }

@@ -33,8 +33,24 @@ final class ScrapeManager(
   @volatile private var running = false
   private var thread: Option[Thread] = None
 
+  // target set provider — static by default; [[useFileSd]] swaps in
+  // file-based re-discovery per pass (ref: discovery/file re-reads on change;
+  // per-pass parse is equivalent at target cardinality)
+  @volatile private var targetProvider: () => Seq[ScrapeTarget] = () => targets
+
+  def setTargetProvider(f: () => Seq[ScrapeTarget]): Unit = targetProvider = f
+
+  /** file-based service discovery: re-parse the SD files before every
+    * scrape pass (ref: discovery/file/file.go) */
+  def useFileSd(paths: Seq[String], defaultJob: String): Unit =
+    setTargetProvider(() =>
+      paths.flatMap(p =>
+        try ScrapeManager.fileSdTargets(p, defaultJob)
+        catch { case _: Exception => Nil })) // a malformed SD file drops its groups, not the loop
+
   /** one synchronous scrape pass over every target; returns appended rows */
-  def scrapeOnce(): Long = targets.map(t => if (t.proto) scrapeProto(t) else scrapeTarget(t)).sum
+  def scrapeOnce(): Long =
+    targetProvider().map(t => if (t.proto) scrapeProto(t) else scrapeTarget(t)).sum
 
   /** protobuf-negotiated scrape (content type io.prometheus.client.MetricFamily,
     * delimited) — the only text-free scrape path; carries native histograms
@@ -158,4 +174,59 @@ object ScrapeManager {
       openMetrics: Boolean = false,
       proto: Boolean = false,
       extraLabels: Map[String, String] = Map.empty)
+
+  /** Parse a file-SD target file — a JSON array or YAML list of target
+    * groups `{labels: {...}, targets: [host:port, ...]}` (ref:
+    * discovery/file/file.go readFile; promtool's good-sd-file corpus) —
+    * into scrape targets. A group's `job` label overrides `defaultJob`;
+    * other group labels ride as extra target labels. */
+  def fileSdTargets(path: String, defaultJob: String, scheme: String = "http",
+      metricsPath: String = "/metrics"): Seq[ScrapeTarget] = {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    val groups: Seq[(Map[String, String], Seq[String])] =
+      if (path.endsWith(".json")) graft.web.JsonLite.parse(text) match {
+        case items: List[_] => items.map {
+          case m: Map[_, _] =>
+            val mm = m.asInstanceOf[Map[String, Any]]
+            val unknown = mm.keySet.diff(Set("labels", "targets"))
+            if (unknown.nonEmpty)
+              throw new IllegalArgumentException(s"$path: unknown field(s) ${unknown.mkString(",")}")
+            val lbls = mm.get("labels") match {
+              case Some(l: Map[_, _]) =>
+                l.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> String.valueOf(v) }
+              case _ => Map.empty[String, String]
+            }
+            val tgts = mm.get("targets") match {
+              case Some(t: List[_]) => t.map(String.valueOf(_))
+              case _ => Nil
+            }
+            (lbls, tgts)
+          case other => throw new IllegalArgumentException(s"$path: bad target group $other")
+        }
+        case other => throw new IllegalArgumentException(s"$path: expected a JSON array, got $other")
+      } else {
+        import graft.promqltest.YamlLite
+        import graft.promqltest.YamlLite.{YList, YMap, YScalar}
+        YamlLite.parse(text) match {
+          case YList(items) => items.map {
+            case g: YMap =>
+              val unknown = g.keys.toSet.diff(Set("labels", "targets"))
+              if (unknown.nonEmpty)
+                throw new IllegalArgumentException(s"$path: unknown field(s) ${unknown.mkString(",")}")
+              val lbls = g.get("labels") match {
+                case Some(m: YMap) => m.entries.collect { case (k, YScalar(v)) => k -> v }.toMap
+                case _ => Map.empty[String, String]
+              }
+              (lbls, g.list("targets").collect { case YScalar(s) => s })
+            case other => throw new IllegalArgumentException(s"$path: bad target group $other")
+          }
+          case other => throw new IllegalArgumentException(s"$path: expected a list, got $other")
+        }
+      }
+    for ((lbls, tgts) <- groups; addr <- tgts) yield
+      ScrapeTarget(s"$scheme://$addr$metricsPath",
+        lbls.getOrElse("job", defaultJob), addr,
+        extraLabels = lbls - "job")
+  }
 }

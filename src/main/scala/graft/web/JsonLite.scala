@@ -1,0 +1,105 @@
+package graft.web
+
+/** Minimal JSON parser (RFC 8259 subset, no dependencies): values decode to
+  * `Map[String, Any]` / `List[Any]` / `String` / `Double` / `Boolean` / null.
+  * Used by file-based service discovery and request decoding — payloads are
+  * target/config cardinality, never the sample hot path. */
+object JsonLite {
+
+  final case class JsonError(msg: String) extends RuntimeException(msg)
+
+  def parse(s: String): Any = {
+    val p = new P(s)
+    p.ws()
+    val v = p.value()
+    p.ws()
+    if (p.pos != s.length) throw JsonError(s"trailing content at ${p.pos}")
+    v
+  }
+
+  private final class P(s: String) {
+    var pos = 0
+    def ws(): Unit = while (pos < s.length && Character.isWhitespace(s.charAt(pos))) pos += 1
+    private def expect(c: Char): Unit = {
+      if (pos >= s.length || s.charAt(pos) != c) throw JsonError(s"expected '$c' at $pos")
+      pos += 1
+    }
+    def value(): Any = {
+      if (pos >= s.length) throw JsonError("unexpected end")
+      s.charAt(pos) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case 't' => lit("true", java.lang.Boolean.TRUE)
+        case 'f' => lit("false", java.lang.Boolean.FALSE)
+        case 'n' => lit("null", null)
+        case _ => num()
+      }
+    }
+    private def lit(word: String, v: Any): Any = {
+      if (!s.startsWith(word, pos)) throw JsonError(s"bad literal at $pos")
+      pos += word.length; v
+    }
+    private def obj(): Map[String, Any] = {
+      expect('{'); ws()
+      val b = Map.newBuilder[String, Any]
+      if (pos < s.length && s.charAt(pos) == '}') { pos += 1; return b.result() }
+      var more = true
+      while (more) {
+        ws(); val k = str(); ws(); expect(':'); ws()
+        b += k -> value(); ws()
+        if (pos < s.length && s.charAt(pos) == ',') pos += 1
+        else { expect('}'); more = false }
+      }
+      b.result()
+    }
+    private def arr(): List[Any] = {
+      expect('['); ws()
+      val b = List.newBuilder[Any]
+      if (pos < s.length && s.charAt(pos) == ']') { pos += 1; return b.result() }
+      var more = true
+      while (more) {
+        ws(); b += value(); ws()
+        if (pos < s.length && s.charAt(pos) == ',') pos += 1
+        else { expect(']'); more = false }
+      }
+      b.result()
+    }
+    private def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (pos < s.length && s.charAt(pos) != '"') {
+        val c = s.charAt(pos)
+        if (c == '\\') {
+          pos += 1
+          if (pos >= s.length) throw JsonError("bad escape")
+          s.charAt(pos) match {
+            case '"' => sb += '"'
+            case '\\' => sb += '\\'
+            case '/' => sb += '/'
+            case 'b' => sb += '\b'
+            case 'f' => sb += '\f'
+            case 'n' => sb += '\n'
+            case 'r' => sb += '\r'
+            case 't' => sb += '\t'
+            case 'u' =>
+              if (pos + 4 >= s.length) throw JsonError("bad \\u escape")
+              sb += Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar
+              pos += 4
+            case o => throw JsonError(s"bad escape \\$o")
+          }
+          pos += 1
+        } else { sb += c; pos += 1 }
+      }
+      expect('"')
+      sb.toString
+    }
+    private def num(): Double = {
+      val start = pos
+      while (pos < s.length && "+-0123456789.eE".indexOf(s.charAt(pos)) >= 0) pos += 1
+      if (pos == start) throw JsonError(s"bad value at $pos")
+      try s.substring(start, pos).toDouble
+      catch { case _: NumberFormatException => throw JsonError(s"bad number at $start") }
+    }
+  }
+}

@@ -131,7 +131,7 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .select("v").collect().map(_.getDouble(0)).forall(_ == 0.0))
     val store = input.unionByName(before)
     def states(df: org.apache.spark.sql.DataFrame) =
-      df.filter(element_at(col("labels"), "__name__") === "ALERTS")
+      df.filter(element_at(col("labels"), "__name__") === "ALERTS" && !col("stale"))
         .select(col("t"), element_at(col("labels"), "alertstate")).collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
     // restored: activeAt shifts by the 3m downtime to t=3m → fires at 6m
@@ -144,6 +144,26 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     val cold = states(Rules.evalGroup(spark, store, g,
       fromMs = 300000L, toMs = 360000L))
     assert(cold == Map(300000L -> "pending", 360000L -> "pending"))
+  }
+
+  test("resolved alerts stale-mark their ALERTS series (vanish staleness)") {
+    // condition true only while the lone sample is inside the 5m lookback
+    val input = samplesOf(Seq((Map("__name__" -> "errors", "job" -> "a"), 0L, 5.0)))
+    val g = Rules.Group("g", intervalMs = 60000,
+      alerting = Seq(Rules.AlertingRule("Hot", "errors > 1", forMs = 0L)))
+    val out = Rules.evalGroup(spark, input, g, fromMs = 0L, toMs = 360000L)
+    // fresh firing rows at 0..4m; a stale marker lands at 5m when it resolves
+    val stale = out.filter(element_at(col("labels"), "__name__") === "ALERTS" && col("stale"))
+      .select("t").collect().map(_.getLong(0))
+    assert(stale.toSeq == Seq(300000L))
+    // so an instant query AFTER resolution sees nothing (the marker shadows
+    // the 4m sample that would otherwise ride the 5m lookback)
+    val store = input.unionByName(out)
+    def alertsAt(ts: Long) =
+      graft.promql.Engine.instantQuery(spark, store, "ALERTS", ts)
+        .asInstanceOf[graft.promql.VectorVal].df.count()
+    assert(alertsAt(240000L) == 1)
+    assert(alertsAt(360000L) == 0)
   }
 
   test("evalGroup handles 100 ticks without plan blowup and orders rules topologically") {
@@ -215,6 +235,25 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     val got = graft.promql.Engine.instantQuery(spark, df, "sum(m)", 7300000L)
       .asInstanceOf[graft.promql.VectorVal].df.collect()
     assert(got.length == 1 && got.head.getDouble(got.head.fieldIndex("v")) == 5.0)
+  }
+
+  test("file service discovery parses the reference's sd-file corpus") {
+    val d = "/root/reference/cmd/promtool/testdata"
+    // JSON one-group form: labels + targets together
+    val j = ScrapeManager.fileSdTargets(s"$d/good-sd-file.json", "default")
+    assert(j == Seq(ScrapeManager.ScrapeTarget(
+      "http://localhost:9100/metrics", "node", "localhost:9100")))
+    // YAML forms: {labels}-only group contributes nothing; {targets}-only
+    // group falls back to the default job
+    for (f <- Seq("good-sd-file.yml", "good-sd-file.yaml")) {
+      val y = ScrapeManager.fileSdTargets(s"$d/$f", "default")
+      assert(y == Seq(ScrapeManager.ScrapeTarget(
+        "http://localhost:9100/metrics", "default", "localhost:9100")), f)
+    }
+    // unknown fields are an error (promtool check service-discovery strict)
+    intercept[IllegalArgumentException] {
+      ScrapeManager.fileSdTargets(s"$d/bad-sd-file-format.yml", "default")
+    }
   }
 
   test("openmetrics dump: Go %g value rendering") {
