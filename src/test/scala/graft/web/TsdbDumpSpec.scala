@@ -1,0 +1,59 @@
+package graft.web
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** promtool `tsdb dump` golden-file corpus (ref: cmd/promtool/tsdb_test.go
+  * TestTSDBDump): same loaded storage, same matcher/time cases, compared
+  * line-sorted against the reference's dump-test-N.prom / dump-series-N.prom
+  * fixtures. */
+class TsdbDumpSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // the reference test's `load 1m` storage (tsdb_test.go:95-100)
+  private def store = {
+    val series = Seq(
+      (Map("__name__" -> "metric", "foo" -> "bar", "baz" -> "abc"), Seq(1.0, 2.0, 3.0, 4.0, 5.0)),
+      (Map("__name__" -> "heavy_metric", "foo" -> "bar"), Seq(5.0, 4.0, 3.0, 2.0, 1.0)),
+      (Map("__name__" -> "heavy_metric", "foo" -> "foo"), Seq(5.0, 4.0, 3.0, 2.0, 1.0)))
+    val rows = series.flatMap { case (l, vs) =>
+      vs.zipWithIndex.map { case (v, i) => Row(l, i * 60000L, v, false, null, 0L) } }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), graft.promql.Engine.samplesSchema)
+  }
+
+  private def golden(f: String): Seq[String] =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"/root/reference/cmd/promtool/testdata/$f")), "UTF-8")
+      .replace("\r\n", "\n").split("\n", -1).toSeq.filter(_.nonEmpty).sorted
+
+  test("dump matches the reference's golden files across matcher/time cases") {
+    val cases = Seq(
+      (Long.MinValue, Long.MaxValue, Seq("{__name__=~'(?s:.*)'}"), 1),
+      (Long.MinValue, Long.MaxValue, Seq("{foo=~'.+'}", "{foo=~'.+'}"), 1),
+      (Long.MinValue, Long.MaxValue, Seq("{__name__=~'(?s:.*)'}", "{baz='abc'}"), 1),
+      (Long.MinValue, Long.MaxValue, Seq("{__name__='heavy_metric'}", "{baz='abc'}"), 1),
+      (Long.MinValue, Long.MaxValue,
+        Seq("{__name__='heavy_metric',foo='foo'}", "{__name__='metric'}"), 2),
+      (60000L, 120000L, Seq("{__name__='metric'}"), 3))
+    for ((mint, maxt, matchers, n) <- cases) {
+      val dumped = TsdbDump.dumpSamples(store, mint, maxt, matchers).toSeq.sorted
+      assert(dumped == golden(s"dump-test-$n.prom"), s"dump case $matchers")
+      val series = TsdbDump.dumpSeries(store, mint, maxt, matchers).toSeq.sorted
+      assert(series == golden(s"dump-series-$n.prom"), s"series case $matchers")
+    }
+  }
+}
