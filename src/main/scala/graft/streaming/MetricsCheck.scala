@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** promtool `check metrics --extended` analog (ref: cmd/promtool/main.go
+  * checkMetricsExtended): per-family sample cardinality over an exposition
+  * payload. Families follow expfmt semantics — `_bucket`/`_sum`/`_count`
+  * samples fold into their histogram/summary family, summary quantiles carry
+  * the family name directly. One distributed parse + one aggregation; the
+  * family map is metadata-cardinality and broadcasts. */
+object MetricsCheck {
+
+  final case class MetricStat(name: String, cardinality: Long, percentage: Double)
+
+  def extendedStats(spark: SparkSession, path: String): (Seq[MetricStat], Long) = {
+    val (samples, meta) = OpenMetrics.read(spark, path)
+    val types: Map[String, String] = meta.select(col("family"), col("type")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    val familyOf = udf { (name: String) =>
+      if (types.contains(name)) name
+      else {
+        def strip(suffix: String, kinds: Set[String]): Option[String] =
+          if (!name.endsWith(suffix)) None
+          else Some(name.dropRight(suffix.length))
+            .filter(f => types.get(f).exists(kinds))
+        strip("_bucket", Set("histogram", "gaugehistogram"))
+          .orElse(strip("_sum", Set("histogram", "summary", "gaugehistogram")))
+          .orElse(strip("_count", Set("histogram", "summary", "gaugehistogram")))
+          .orElse(strip("_total", Set("counter")))
+          .getOrElse(name)
+      }
+    }
+    val counts = samples
+      .select(familyOf(element_at(col("labels"), "__name__")).as("family"))
+      .groupBy(col("family")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    val stats = counts.sortBy { case (n, c) => (-c, n) }
+      .map { case (n, c) => MetricStat(n, c, c.toDouble / total) }
+    (stats.toSeq, total)
+  }
+}

@@ -256,6 +256,19 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("check metrics --extended reproduces the reference's cardinality stats") {
+    // ref: cmd/promtool/main_test.go TestCheckMetricsExtended over metrics-test.prom
+    val (stats, total) = MetricsCheck.extendedStats(spark,
+      "/root/reference/cmd/promtool/testdata/metrics-test.prom")
+    assert(total == 27)
+    assert(stats.map(s => (s.name, s.cardinality)) == Seq(
+      ("prometheus_tsdb_compaction_chunk_size_bytes", 15L),
+      ("go_gc_duration_seconds", 7L),
+      ("net_conntrack_dialer_conn_attempted_total", 4L),
+      ("go_info", 1L)))
+    assert(stats.head.percentage == 15.0 / 27.0)
+  }
+
   test("openmetrics dump: Go %g value rendering") {
     import OpenMetrics.goG
     assert(goG(1.0) == "1")
