@@ -40,4 +40,72 @@ object MetricsCheck {
       .map { case (n, c) => MetricStat(n, c, c.toDouble / total) }
     (stats.toSeq, total)
   }
+
+  final case class LintProblem(metric: String, text: String)
+
+  /** non-base unit tokens → base unit (client_golang promlint lintMetricUnits
+    * table, abridged to the common cases) */
+  private val unitFixes = Map(
+    "milliseconds" -> "seconds", "microseconds" -> "seconds",
+    "nanoseconds" -> "seconds", "minutes" -> "seconds", "hours" -> "seconds",
+    "days" -> "seconds", "kilobytes" -> "bytes", "megabytes" -> "bytes",
+    "gigabytes" -> "bytes", "terabytes" -> "bytes", "bits" -> "bytes",
+    "inches" -> "meters", "feet" -> "meters", "miles" -> "meters",
+    "fahrenheit" -> "celsius", "kelvin" -> "celsius", "percent" -> "ratio")
+
+  private val camelCase = ".*[a-z0-9][A-Z].*".r
+
+  /** promtool `check metrics` lint subset (client_golang promlint rules:
+    * counters end in _total, snake_case names/labels, base units, reserved
+    * histogram/summary suffixes and labels, help text present). Driver-side —
+    * lint input is one exposition payload, never sample-scale. */
+  def lint(text: String): Seq[LintProblem] = {
+    val lines = text.split("\n").toSeq
+    val meta = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, String]]()
+    lines.foreach { ln =>
+      val s = ln.trim
+      if (s.startsWith("#")) {
+        val parts = s.drop(1).trim.split("\\s+", 3)
+        if (parts.length >= 2 && Set("TYPE", "HELP", "UNIT").contains(parts(0)))
+          meta.getOrElseUpdate(parts(1), scala.collection.mutable.Map())(parts(0)) =
+            if (parts.length > 2) parts(2) else ""
+      }
+    }
+    val samples = lines.flatMap(ln => OpenMetrics.parseLine(ln, 0L)).filter(_.kind == 0)
+    val problems = Seq.newBuilder[LintProblem]
+    meta.toSeq.sortBy(_._1).foreach { case (fam, m) =>
+      val typ = m.getOrElse("TYPE", "untyped")
+      if (!m.contains("HELP")) problems += LintProblem(fam, "no help text")
+      if (typ == "counter" && !fam.endsWith("_total"))
+        problems += LintProblem(fam, "counter metrics should have \"_total\" suffix")
+      if (camelCase.matches(fam))
+        problems += LintProblem(fam, s"'$fam' should be written in 'snake_case' not 'camelCase'")
+      fam.split("_").foreach { tok =>
+        unitFixes.get(tok).foreach(base => problems +=
+          LintProblem(fam, s"use base unit \"$base\" instead of \"$tok\""))
+      }
+      if (typ != "histogram" && typ != "gaugehistogram") {
+        if (fam.endsWith("_bucket"))
+          problems += LintProblem(fam, "non-histogram metrics should not have \"_bucket\" suffix")
+      }
+    }
+    val typOf = (n: String) => meta.get(n).flatMap(_.get("TYPE")).getOrElse("untyped")
+    samples.foreach { r =>
+      val name = r.labels.getOrElse("__name__", "")
+      val fam = name.stripSuffix("_bucket").stripSuffix("_sum").stripSuffix("_count")
+      r.labels.keys.filterNot(_ == "__name__").foreach { k =>
+        if (camelCase.matches(k))
+          problems += LintProblem(name, s"label name '$k' should be written in 'snake_case' not 'camelCase'")
+        if (k == "le" && typOf(fam) != "histogram" && typOf(name) != "histogram" &&
+            typOf(fam) != "gaugehistogram")
+          problems += LintProblem(name, "non-histogram metrics should not have \"le\" label")
+        if (k == "quantile" && typOf(name) != "summary")
+          problems += LintProblem(name, "non-summary metrics should not have \"quantile\" label")
+      }
+    }
+    problems.result().distinct
+  }
+
+  def lintFile(path: String): Seq[LintProblem] =
+    lint(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
 }

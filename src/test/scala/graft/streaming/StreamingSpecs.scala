@@ -269,6 +269,32 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.head.percentage == 15.0 / 27.0)
   }
 
+  test("check metrics lint: camelCase flagged, clean corpus stays clean") {
+    // ref: cmd/promtool/main_test.go TestCheckMetricsLintOptions
+    val findings = MetricsCheck.lint(
+      """# HELP testMetric_CamelCase A test metric with camelCase
+        |# TYPE testMetric_CamelCase gauge
+        |testMetric_CamelCase{label="value1"} 1
+        |""".stripMargin)
+    assert(findings.exists(p => p.metric == "testMetric_CamelCase" &&
+      p.text.contains("snake_case")))
+    // the reference's stats corpus lints clean
+    assert(MetricsCheck.lintFile(
+      "/root/reference/cmd/promtool/testdata/metrics-test.prom").isEmpty)
+    // counter suffix + unit + reserved-label rules
+    val more = MetricsCheck.lint(
+      """# HELP reqs total requests
+        |# TYPE reqs counter
+        |reqs 5
+        |# HELP d_milliseconds latency
+        |# TYPE d_milliseconds gauge
+        |d_milliseconds{quantile="0.5"} 1
+        |""".stripMargin)
+    assert(more.exists(p => p.metric == "reqs" && p.text.contains("_total")))
+    assert(more.exists(p => p.metric == "d_milliseconds" && p.text.contains("base unit")))
+    assert(more.exists(p => p.text.contains("quantile")))
+  }
+
   test("openmetrics dump: Go %g value rendering") {
     import OpenMetrics.goG
     assert(goG(1.0) == "1")
