@@ -147,7 +147,29 @@ object YamlLite {
   private def inlineValue(v: String): YNode = v match {
     case "{}" => YMap(Nil)
     case "[]" => YList(Nil)
+    case other if other.length >= 2 && other.head == '[' && other.last == ']' =>
+      // flow list of scalars: [a, "b", 'c'] (the config format's inline lists)
+      YList(splitFlow(other.substring(1, other.length - 1))
+        .map(s => YScalar(unquote(s.trim))))
     case other => YScalar(unquote(other))
+  }
+
+  /** split on top-level commas, respecting quotes */
+  private def splitFlow(s: String): List[String] = {
+    val out = List.newBuilder[String]
+    var inQ = false; var q = ' '
+    var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        if (c == '\\' && q == '"') i += 1
+        else if (c == q) inQ = false
+      } else if (c == '\'' || c == '"') { inQ = true; q = c }
+      else if (c == ',') { out += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    if (start < s.length || s.nonEmpty) out += s.substring(start)
+    out.result().filter(_.trim.nonEmpty)
   }
 
   private def unquote(s: String): String =

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import graft.promqltest.YamlLite
+import graft.promqltest.YamlLite.{YList, YMap, YNode, YScalar}
+
+/** prometheus.yml configuration loader (ref: config/config.go) — the subset
+  * this engine acts on: global intervals + external labels, rule_files
+  * (glob-expanded), scrape_configs (static + file SD targets, paths/schemes,
+  * relabel chains), remote_write/remote_read URLs, alertmanager targets.
+  * Unknown fields are intentionally IGNORED (auth/TLS/SD mechanisms outside
+  * the engine's scope) — `load` is lenient where promtool's checker is
+  * strict, because its job is to boot the stack from an existing config, not
+  * to lint it. */
+object Config {
+
+  final case class ScrapeJob(
+      jobName: String,
+      staticTargets: Seq[ScrapeManager.ScrapeTarget],
+      fileSdPaths: Seq[String],
+      intervalMs: Long,
+      relabel: Seq[Relabel.Rule],
+      metricRelabel: Seq[Relabel.Rule],
+      scheme: String, metricsPath: String)
+
+  final case class PromConfig(
+      scrapeIntervalMs: Long,
+      evaluationIntervalMs: Long,
+      externalLabels: Map[String, String],
+      ruleFiles: Seq[String],
+      scrapeJobs: Seq[ScrapeJob],
+      remoteWriteUrls: Seq[String],
+      remoteReadUrls: Seq[String],
+      alertmanagerUrls: Seq[String]) {
+    /** all scrape targets of a job (static + current file-SD contents) */
+    def targetsOf(job: ScrapeJob): Seq[ScrapeManager.ScrapeTarget] =
+      job.staticTargets ++ job.fileSdPaths.flatMap(p =>
+        try ScrapeManager.fileSdTargets(p, job.jobName, job.scheme, job.metricsPath)
+        catch { case _: Exception => Nil })
+  }
+
+  private def durMs(s: String): Long = graft.promqltest.TestScript.parseTime(s)
+
+  private def str(n: YMap, k: String, dflt: String = ""): String =
+    n.str(k).filter(_.nonEmpty).getOrElse(dflt)
+
+  private def kv(n: Option[YNode]): Map[String, String] = n match {
+    case Some(m: YMap) => m.entries.collect { case (k, YScalar(v)) => k -> v }.toMap
+    case _ => Map.empty
+  }
+
+  private def strList(n: Option[YNode]): Seq[String] = n match {
+    case Some(YList(items)) => items.collect { case YScalar(s) => s }
+    case Some(YScalar(s)) if s.nonEmpty => Seq(s)
+    case _ => Nil
+  }
+
+  /** relabel_configs entry → Relabel.Rule (defaults ref: relabel.go
+    * DefaultRelabelConfig) */
+  private def relabelRule(m: YMap): Relabel.Rule = {
+    import Relabel._
+    val action = str(m, "action", "replace").toLowerCase match {
+      case "replace" => Replace
+      case "keep" => Keep
+      case "drop" => Drop
+      case "keepequal" => KeepEqual
+      case "dropequal" => DropEqual
+      case "hashmod" => HashMod
+      case "labelmap" => LabelMap
+      case "labeldrop" => LabelDrop
+      case "labelkeep" => LabelKeep
+      case "lowercase" => Lowercase
+      case "uppercase" => Uppercase
+      case other => throw new IllegalArgumentException(s"unknown relabel action '$other'")
+    }
+    Rule(action,
+      sourceLabels = strList(m.get("source_labels")),
+      separator = str(m, "separator", ";"),
+      regex = str(m, "regex", "(.*)"),
+      targetLabel = str(m, "target_label"),
+      replacement = str(m, "replacement", "$1"),
+      modulus = m.str("modulus").map(_.toLong).getOrElse(0L))
+  }
+
+  private def relabelChain(n: Option[YNode]): Seq[Relabel.Rule] = n match {
+    case Some(YList(items)) => items.collect { case m: YMap => relabelRule(m) }
+    case _ => Nil
+  }
+
+  /** expand a rule_files pattern (globs supported) relative to baseDir;
+    * non-matching patterns contribute nothing (the reference warns) */
+  private def expandGlob(baseDir: java.nio.file.Path, pattern: String): Seq[String] = {
+    val p = if (pattern.startsWith("/")) pattern else baseDir.resolve(pattern).toString
+    if (!p.contains("*")) {
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(p))) Seq(p) else Nil
+    } else {
+      val dir = java.nio.file.Paths.get(p).getParent
+      if (dir == null || !java.nio.file.Files.isDirectory(dir)) Nil
+      else {
+        val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + p)
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+          .asScalaIter.filter(matcher.matches).map(_.toString).toSeq.sorted
+        finally s.close()
+      }
+    }
+  }
+
+  def parse(text: String, baseDir: String = "."): PromConfig = {
+    val root = YamlLite.parse(text) match {
+      case m: YMap => m
+      case other => throw new IllegalArgumentException(s"expected a mapping, got $other")
+    }
+    val base = java.nio.file.Paths.get(baseDir)
+    val global = root.get("global") match { case Some(m: YMap) => m; case _ => YMap(Nil) }
+    // defaults ref: config/config.go DefaultGlobalConfig (1m scrape, 1m eval)
+    val scrapeMs = global.str("scrape_interval").map(durMs).getOrElse(60000L)
+    val evalMs = global.str("evaluation_interval").map(durMs).getOrElse(60000L)
+    val jobs = root.list("scrape_configs").collect { case m: YMap =>
+      val name = str(m, "job_name")
+      val scheme = str(m, "scheme", "http")
+      val path = str(m, "metrics_path", "/metrics")
+      val statics = m.list("static_configs").collect { case sc: YMap =>
+        val lbls = kv(sc.get("labels"))
+        strList(sc.get("targets")).map(addr =>
+          ScrapeManager.ScrapeTarget(s"$scheme://$addr$path",
+            lbls.getOrElse("job", name), addr, extraLabels = lbls - "job"))
+      }.flatten
+      val sdFiles = m.list("file_sd_configs").collect { case fc: YMap =>
+        strList(fc.get("files")).flatMap(expandGlob(base, _))
+      }.flatten
+      ScrapeJob(name, statics, sdFiles,
+        m.str("scrape_interval").map(durMs).getOrElse(scrapeMs),
+        relabelChain(m.get("relabel_configs")),
+        relabelChain(m.get("metric_relabel_configs")),
+        scheme, path)
+    }
+    def urlsOf(key: String): Seq[String] =
+      root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)
+    val ams = root.get("alerting") match {
+      case Some(a: YMap) => a.list("alertmanagers").collect { case m: YMap =>
+        val scheme = str(m, "scheme", "http")
+        val pathPrefix = str(m, "path_prefix")
+        m.list("static_configs").collect { case sc: YMap =>
+          strList(sc.get("targets")).map(t => s"$scheme://$t$pathPrefix")
+        }.flatten
+      }.flatten
+      case _ => Nil
+    }
+    PromConfig(scrapeMs, evalMs, kv(global.get("external_labels")),
+      root.list("rule_files").collect { case YScalar(s) => s }.flatMap(expandGlob(base, _)),
+      jobs, urlsOf("remote_write"), urlsOf("remote_read"), ams)
+  }
+
+  def load(path: String): PromConfig = {
+    val p = java.nio.file.Paths.get(path)
+    parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
+      Option(p.getParent).map(_.toString).getOrElse("."))
+  }
+
+  private implicit class JIter[T](it: java.util.Iterator[T]) {
+    def asScalaIter: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+}

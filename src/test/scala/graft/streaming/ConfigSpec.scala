@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** prometheus.yml loader against the reference's own canonical config
+  * fixture (config/testdata/conf.good.yml — the file config_test.go parses
+  * for its expected-struct test). */
+class ConfigSpec extends AnyFunSuite {
+
+  private val good = "/root/reference/config/testdata/conf.good.yml"
+
+  test("conf.good.yml: globals, rule files, jobs, remotes, alertmanagers") {
+    val cfg = Config.load(good)
+    assert(cfg.scrapeIntervalMs == 15000L)
+    assert(cfg.evaluationIntervalMs == 30000L)
+    assert(cfg.externalLabels == Map("monitor" -> "codelab", "foo" -> "bar"))
+    // "first.rules" exists next to the config; "my/*.rules" matches nothing
+    assert(cfg.ruleFiles == Seq("/root/reference/config/testdata/first.rules"))
+    assert(cfg.scrapeJobs.size == 34)
+
+    val prom = cfg.scrapeJobs.find(_.jobName == "prometheus").get
+    assert(prom.intervalMs == 15000L) // inherits the global
+    assert(prom.staticTargets.map(_.instance) == Seq("localhost:9090", "localhost:9191"))
+    assert(prom.staticTargets.head.url == "http://localhost:9090/metrics")
+    assert(prom.staticTargets.head.extraLabels == Map("my" -> "label", "your" -> "label"))
+    assert(prom.relabel.size == 6)
+    val r0 = prom.relabel.head
+    assert(r0.action == Relabel.Replace)
+    assert(r0.sourceLabels == Seq("job", "__meta_dns_name"))
+    assert(r0.regex == "(.*)some-[regex]")
+    assert(r0.targetLabel == "job" && r0.replacement == "foo-${1}")
+    assert(prom.relabel.map(_.action).count(_ == Relabel.KeepEqual) == 1)
+    assert(prom.relabel.map(_.action).count(_ == Relabel.DropEqual) == 1)
+    // an explicitly-overridden per-job interval
+    assert(cfg.scrapeJobs.find(_.jobName == "service-x").get.intervalMs == 50000L)
+
+    assert(cfg.remoteWriteUrls == Seq("http://remote1/push", "http://remote2/push"))
+    assert(cfg.remoteReadUrls == Seq("http://remote1/read", "http://remote3/read"))
+    assert(cfg.alertmanagerUrls == Seq(
+      "https://1.2.3.4:9093", "https://1.2.3.5:9093", "https://1.2.3.6:9093"))
+  }
+
+  test("file-SD wiring: targetsOf merges static and discovered targets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg")
+    java.nio.file.Files.writeString(dir.resolve("sd.json"),
+      """[{"labels": {"job": "node"}, "targets": ["h1:9100", "h2:9100"]}]""")
+    val cfg = Config.parse(
+      s"""scrape_configs:
+         |  - job_name: base
+         |    static_configs:
+         |      - targets: ["s1:80"]
+         |    file_sd_configs:
+         |      - files:
+         |          - sd.json
+         |""".stripMargin, dir.toString)
+    val job = cfg.scrapeJobs.head
+    assert(job.fileSdPaths == Seq(dir.resolve("sd.json").toString))
+    val targets = cfg.targetsOf(job)
+    assert(targets.map(t => (t.instance, t.job)).toSet ==
+      Set(("s1:80", "base"), ("h1:9100", "node"), ("h2:9100", "node")))
+  }
+}
