@@ -68,6 +68,14 @@ object Aggregations {
       val fAgg = preF.groupBy(col("gsig"), col("t"))
         .agg(first(col("glabels")).as("labels"), max(col("dn")).as("dn"),
           (if (isAvg) RangeUdfs.avgOT(sortedVals) else RangeUdfs.kahanSumOT(sortedVals)).as("v"))
+      // histogram-free store: the hist legs (hAgg + two anti-joins) would be
+      // erased by Catalyst anyway — skipping them here keeps the logical tree
+      // a third the size, which matters for per-query planning latency on
+      // composite plans (binops over aggregations re-analyze the whole tree
+      // per Dataset op)
+      if (pl.storeHasNoHist)
+        return fAgg.select(col("labels"), col("t"), col("v"), col("t").as("st"), col("dn"))
+          .withColumn("h", lit(null).cast(FHist.schemaType))
       val hAgg = hin.groupBy(col("gsig"), col("t"))
         .agg(first(col("glabels")).as("labels"), max(col("dn")).as("dn"),
           (if (isAvg) HistUdfs.avgHists(collect_list(col("h")))

@@ -133,6 +133,42 @@ object BinOps {
     VectorVal(out)
   }
 
+  /** aggregators whose output is one row per (group labels, t) — the
+    * k-variants keep member labels and are excluded */
+  private val groupedAggOps =
+    Set("sum", "avg", "count", "group", "min", "max", "stddev", "stdvar", "quantile")
+
+  private def unwrapAst(e: Expr): Expr = e match {
+    case ParenExpr(i) => unwrapAst(i)
+    case _ => e
+  }
+
+  /** Static uniqueness: is `e`'s output provably one row per (matchSig, t)
+    * under matching `m`? True when `e` is a grouped aggregation whose
+    * match-key projection is injective on its (already grouped) label sets.
+    * Then the reference's duplicate-series check (engine.go:3226/:3279) can
+    * never fire for that side and the plan drops its count window — the
+    * common `sum without(x)(...) / sum without(x)(...)` shape joins with no
+    * window at all. */
+  private def uniquePerMatch(e: Expr, m: VectorMatching): Boolean = unwrapAst(e) match {
+    case a: AggregateExpr if groupedAggOps.contains(a.op) =>
+      if (m.on)
+        // msig keeps exactly matchingLabels: injective when group labels are
+        // always a kept subset (by-grouping contained in the on() set)
+        !a.without && a.grouping.toSet.subsetOf(m.matchingLabels.toSet)
+      else if (a.without)
+        // msig drops matchingLabels+__name__; a without-agg already dropped
+        // grouping+__name__+__type__+__unit__, so dropping is injective when
+        // every ignored label is certainly absent
+        m.matchingLabels.toSet.subsetOf(
+          a.grouping.toSet ++ Set("__name__", "__type__", "__unit__"))
+      else
+        // by-agg labels ⊆ grouping: injective when nothing present is dropped
+        m.matchingLabels.toSet.intersect(a.grouping.toSet).isEmpty &&
+          !a.grouping.contains("__name__")
+    case _ => false
+  }
+
   private def matchSig(pl: Planner, labels: Column, m: VectorMatching): Column =
     if (m.on) pl.hashSigCol(pl.keepLabelsCol(labels, m.matchingLabels))
     else {
@@ -188,12 +224,18 @@ object BinOps {
         // the error is raised lazily inside the value expression so it stays
         // in the distributed plan.
         val wdup = org.apache.spark.sql.expressions.Window.partitionBy(col("msig"), col("t"))
-        val lpc = lp.withColumn("__lc", count(lit(1)).over(wdup))
-        val rpc = rp.withColumn("__rc", count(lit(1)).over(wdup))
+        // per-side duplicate counts are only materialized when that side's
+        // count can matter AND uniqueness isn't statically provable
+        val needLc = m.card != MatchCard.ManyToOne && !uniquePerMatch(be.lhs, m)
+        val needRc = m.card != MatchCard.OneToMany && !uniquePerMatch(be.rhs, m)
+        val lpc = if (needLc) lp.withColumn("__lc", count(lit(1)).over(wdup)) else lp
+        val rpc = if (needRc) rp.withColumn("__rc", count(lit(1)).over(wdup)) else rp
+        val lcC: Column = if (needLc) col("__lc") else lit(1L)
+        val rcC: Column = if (needRc) col("__rc") else lit(1L)
         val dupCnt = m.card match {
-          case MatchCard.OneToOne => greatest(col("__lc"), col("__rc"))
-          case MatchCard.ManyToOne => col("__rc")
-          case MatchCard.OneToMany => col("__lc")
+          case MatchCard.OneToOne => greatest(lcC, rcC)
+          case MatchCard.ManyToOne => rcC
+          case MatchCard.OneToMany => lcC
         }
         val dupMsg = m.card match {
           case MatchCard.OneToOne =>
@@ -220,14 +262,15 @@ object BinOps {
           case _ => "inner"
         }
         val joined0 = lpc.join(rpc, Seq("msig", "t"), joinType)
-        val joined = joined0
-          .withColumn("l_v", fillL.map(f => coalesce(col("l_v"), lit(f))).getOrElse(col("l_v")))
-          .withColumn("r_v", fillR.map(f => coalesce(col("r_v"), lit(f))).getOrElse(col("r_v")))
-          // label projections fall back to the present side (for `on` and
-          // ignoring-style matching the projected label sets agree by
-          // construction of the match group)
-          .withColumn("l_labels_eff", coalesce(col("l_labels"), col("r_labels")))
-          .withColumn("r_labels_eff", coalesce(col("r_labels"), col("l_labels")))
+        // ONE withColumns batch = one analysis pass over the joined tree
+        // (label projections fall back to the present side: for `on` and
+        // ignoring-style matching the projected label sets agree by
+        // construction of the match group)
+        val joined = joined0.withColumns(Map(
+          "l_v" -> fillL.map(f => coalesce(col("l_v"), lit(f))).getOrElse(col("l_v")),
+          "r_v" -> fillR.map(f => coalesce(col("r_v"), lit(f))).getOrElse(col("r_v")),
+          "l_labels_eff" -> coalesce(col("l_labels"), col("r_labels")),
+          "r_labels_eff" -> coalesce(col("r_labels"), col("l_labels"))))
         val manyLabels = if (manyIsLeft) col("l_labels") else col("r_labels")
         val manyLabelsEff = if (manyIsLeft) col("l_labels_eff") else col("r_labels_eff")
         val oneLabelsEff = if (manyIsLeft) col("r_labels_eff") else col("l_labels_eff")

@@ -155,20 +155,55 @@ object Engine {
 
   def instantQuery(spark: SparkSession, samples: DataFrame, q: String, tsMs: Long,
       lookbackMs: Long = 300000L, defaultSubqueryStepMs: Long = 60000L): PValue =
-    finalShape(new Planner(spark, normalize(samples),
-      EvalParams(tsMs, tsMs, 1000L, lookbackMs, defaultSubqueryStepMs, isInstant = true))
-      .eval(resolveAtModifiers(parse(q), tsMs, tsMs)))
+    instantQueryCounted(spark, samples, q, tsMs, lookbackMs, defaultSubqueryStepMs, 0L)._1
 
   def rangeQuery(spark: SparkSession, samples: DataFrame, q: String,
       startMs: Long, endMs: Long, stepMs: Long, lookbackMs: Long = 300000L,
-      defaultSubqueryStepMs: Long = 60000L): PValue = {
+      defaultSubqueryStepMs: Long = 60000L): PValue =
+    rangeQueryCounted(spark, samples, q, startMs, endMs, stepMs, lookbackMs,
+      defaultSubqueryStepMs, 0L)._1
+
+  /** Sum of the planner's time-pruned selector scan counts — the engine's
+    * sample accounting (ref: promql/engine.go MaxSamples; an upper bound on
+    * the reference's currentSamples peak, see Planner.scanLog). Each count is
+    * a pushed-down count aggregation over the pruned store scan — column-
+    * pruned, partition-pruned, no wide rows collected. */
+  private def countScans(pl: Planner): Long = pl.scanLog.map(_.count()).sum
+
+  private def budget(pl: Planner, maxSamples: Long, wantCount: Boolean): Long =
+    if (maxSamples <= 0 && !wantCount) -1L
+    else {
+      val n = countScans(pl)
+      if (maxSamples > 0 && n > maxSamples) throw TooManySamplesError("query execution")
+      n
+    }
+
+  /** [[instantQuery]] plus sample accounting: returns (value, sampleCount).
+    * sampleCount is −1 unless a budget is set (maxSamples > 0) or
+    * wantCount requests stats counting; throws [[TooManySamplesError]]
+    * when the budget is exceeded. */
+  def instantQueryCounted(spark: SparkSession, samples: DataFrame, q: String, tsMs: Long,
+      lookbackMs: Long = 300000L, defaultSubqueryStepMs: Long = 60000L,
+      maxSamples: Long = 0L, wantCount: Boolean = false): (PValue, Long) = {
+    val pl = new Planner(spark, normalize(samples),
+      EvalParams(tsMs, tsMs, 1000L, lookbackMs, defaultSubqueryStepMs, isInstant = true))
+    val v = pl.eval(resolveAtModifiers(parse(q), tsMs, tsMs))
+    (finalShape(v), budget(pl, maxSamples, wantCount))
+  }
+
+  /** [[rangeQuery]] plus sample accounting — see [[instantQueryCounted]]. */
+  def rangeQueryCounted(spark: SparkSession, samples: DataFrame, q: String,
+      startMs: Long, endMs: Long, stepMs: Long, lookbackMs: Long = 300000L,
+      defaultSubqueryStepMs: Long = 60000L, maxSamples: Long = 0L,
+      wantCount: Boolean = false): (PValue, Long) = {
     val e = parse(q, stepMs, endMs - startMs)
     e.valueType match {
       case ValueType.InstantVector | ValueType.Scalar => ()
       case t => throw PromQLError(s"range query expression must be scalar or instant vector, got $t")
     }
-    finalShape(new Planner(spark, normalize(samples),
+    val pl = new Planner(spark, normalize(samples),
       EvalParams(startMs, endMs, stepMs, lookbackMs, defaultSubqueryStepMs))
-      .eval(resolveAtModifiers(e, startMs, endMs)))
+    val v = pl.eval(resolveAtModifiers(e, startMs, endMs))
+    (finalShape(v), budget(pl, maxSamples, wantCount))
   }
 }

@@ -30,6 +30,16 @@ final case class StringVal(s: String) extends PValue
 
 final case class PromQLError(msg: String) extends RuntimeException(msg)
 
+/** query exceeded its sample budget (ref: promql/engine.go:117
+  * ErrTooManySamples — surfaced as a 422 execution error by the API) */
+final case class TooManySamplesError(where: String) extends RuntimeException(
+  s"query processing would load too many samples into memory in $where")
+
+/** query exceeded its wall-clock budget (ref: promql/engine.go:111
+  * ErrQueryTimeout — surfaced as a 503 timeout error by the API) */
+final case class QueryTimeoutError(where: String) extends RuntimeException(
+  s"query timed out in $where")
+
 /** Compiles a PromQL AST into a DataFrame plan over the canonical samples
   * table (labels MAP<STRING,STRING>, t LONG ms, v DOUBLE, stale BOOLEAN).
   *
@@ -45,6 +55,17 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   import MathCols._
 
   private val P = params
+
+  /** Time-pruned selector scans recorded during planning — the engine's
+    * sample-budget accounting surface (ref: promql/engine.go MaxSamples /
+    * ErrTooManySamples). Each entry is one selector's pushed-down pruned
+    * scan; counting it is a map-side count aggregation on the store (no wide
+    * rows move). The sum is an upper bound on samples the reference engine
+    * would hold (it counts per-step loads but releases per step), so a
+    * budget refusal here never admits a query the reference would refuse
+    * at materially lower cost. Subquery planners append into their parent. */
+  private[promql] val scanLog = scala.collection.mutable.Buffer.empty[DataFrame]
+  private def recordScan(df: DataFrame): DataFrame = { scanLog += df; df }
 
   // ---------- static store capabilities ----------
 
@@ -64,6 +85,10 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
   /** `h IS NOT NULL` / `h IS NULL`, constant-folded on histogram-free stores */
   private[promql] def hNotNull: Column = if (noHist) lit(false) else col("h").isNotNull
   private[promql] def hIsNull: Column = if (noHist) lit(true) else col("h").isNull
+  /** store-capability flag for operators that can skip whole histogram legs
+    * at CONSTRUCTION time (cheaper than relying on Catalyst to erase them —
+    * the pruned subtrees never pay analyzer/optimizer passes) */
+  private[promql] def storeHasNoHist: Boolean = noHist
 
   /** offset-shifted start timestamp (0 = unknown), folded on stt-free stores */
   private def wstCol(offsetMs: Long): Column =
@@ -234,8 +259,8 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     vs.at match {
       case Some(atm) =>
         val te = resolveAt(atm) - vs.offsetMs
-        val picked = withSg(base)
-          .filter(col("t") > te - P.lookbackMs && col("t") <= te)
+        val picked = withSg(recordScan(base
+          .filter(col("t") > te - P.lookbackMs && col("t") <= te)))
           .groupBy(col("__sg"))
           .agg(max_by(struct(col("t"), col("v"), col("stale"), col("labels"), col("h"), col("stt")), col("t")).as("p"))
           .select(col("p.labels").as("labels"), col("p.t").as("st"),
@@ -249,9 +274,9 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         // by the offset can contribute. Literal bounds on the raw `t` column
         // reach the parquet scan (partition pruning + row-group min/max) —
         // without this every query sorts the full per-series history.
-        val pruned = base.filter(
+        val pruned = recordScan(base.filter(
           col("t") > P.startMs - P.lookbackMs - vs.offsetMs &&
-          col("t") <= P.endMs - vs.offsetMs)
+          col("t") <= P.endMs - vs.offsetMs))
         val shifted = withSg(pruned).withColumn("wt", col("t") + vs.offsetMs)
         // linear as-of regime: when the lookback explode would amplify the
         // scan meaningfully AND there are many steps, a series-at-once pass
@@ -338,8 +363,8 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       // invariant: RangeInput.points always carries __sg (store-provided or
       // hashed once on the pruned scan) — every downstream group/join/window
       // keys on the column instead of re-hashing labels
-      RangeInput(withSg(selectorBase(vs).filter(!col("stale"))
-                   .filter(col("t") > loT && col("t") <= hiT))
+      RangeInput(withSg(recordScan(selectorBase(vs).filter(!col("stale"))
+                   .filter(col("t") > loT && col("t") <= hiT)))
                    .select(col("labels"), col("t"), col("v"), col("h"), lit(false).as("dn"),
                            col("stt"), col("__sg")),
                  range, vs.offsetMs, vs.at, ext, cheapRescan = true)
@@ -386,6 +411,7 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
             lit(null).cast(FHist.schemaType).as("h"), lit(false).as("dn"), lit(0L).as("stt"))
         case _ => throw PromQLError("subquery inner expression must be vector or scalar")
       }
+      scanLog ++= innerPlanner.scanLog // inner selectors count toward the budget
       RangeInput(withSg(inner2), range, offset, at)
     case ParenExpr(inner) => rangeInput(inner)
     case _ => throw PromQLError(s"expected range vector, got $e")
@@ -997,11 +1023,16 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
               .filter(!isnull(col("v")))
         }
       case "absent_over_time" =>
-        // large ratios: presence from the as-of pass, not the explode
-        // (float samples decide presence there; histogram-only series at
-        // day-scale windows are a documented gap of the fast path)
+        // large ratios: float presence from the linear stats pass, histogram
+        // presence from the minority-side coverage leg (linearRangeStats
+        // filters `h IS NULL`, so a window holding only native-histogram
+        // samples would otherwise read as absent — both sample kinds
+        // suppress absence, ref: promql/functions.go absentOverTime)
         val present =
-          if (useLinear) linearRangeStats(ri).select(col("t_step")).distinct()
+          if (useLinear)
+            linearRangeStats(ri).select(col("t_step"))
+              .unionByName(wp.hists.select(col("t_step")))
+              .distinct()
           else pts.select(col("t_step")).distinct()
         val lbls = absentLabels(arg)
         fanOut(grid.join(present.withColumnRenamed("t_step", "t"), Seq("t"), "left_anti")

@@ -1,0 +1,64 @@
+package graft.promql
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query resource protection for the serving layer (ref:
+  * promql/engine.go:303-306 EngineOpts{MaxConcurrent via
+  * ActiveQueryTracker, Timeout, MaxSamples}, :768 ActiveQueryTracker).
+  *
+  * Spark-native enforcement:
+  *  - concurrency: a fair semaphore bounds in-flight queries; waiters time
+  *    out against the same deadline as execution ("query timed out in query
+  *    queue", ref util/stats + engine.go exec queue span)
+  *  - timeout: each admitted query runs under its own Spark job group with
+  *    `interruptOnCancel`; on deadline the WHOLE group is cancelled — every
+  *    stage of the distributed plan stops, not just the driver-side wait
+  *    (the analog of the reference's per-step ctx.Done() checks)
+  *  - samples: the budget itself is enforced by
+  *    [[Engine.rangeQueryCounted]]/[[Engine.instantQueryCounted]] from the
+  *    planner's pruned selector scans; run those inside [[exec]] so the
+  *    counting jobs are cancellable too.
+  */
+final case class QueryLimits(
+    timeoutMs: Long = 120000L, // ref: cmd/prometheus --query.timeout default 2m
+    maxSamples: Long = 0L, // 0 = unlimited; ref --query.max-samples default 5e7
+    maxConcurrent: Int = 20) // ref --query.max-concurrency default 20
+
+final class QueryGate(spark: SparkSession, limits: QueryLimits = QueryLimits()) {
+
+  private val sem = new java.util.concurrent.Semaphore(limits.maxConcurrent, true)
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** wall-clock of the queue wait incurred by the LAST exec on this thread
+    * (stats surface; the JDK server pool keeps one request per thread) */
+  private val lastQueueNs = new ThreadLocal[Long] { override def initialValue(): Long = 0L }
+  def lastQueueSeconds: Double = lastQueueNs.get() / 1e9
+
+  def exec[T](desc: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val deadlineNs = t0 + limits.timeoutMs * 1000000L
+    if (!sem.tryAcquire(limits.timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      throw QueryTimeoutError("query queue")
+    lastQueueNs.set(System.nanoTime() - t0)
+    val gid = s"graft-query-${seq.incrementAndGet()}"
+    val sc = spark.sparkContext
+    try {
+      val fut = java.util.concurrent.CompletableFuture.supplyAsync { () =>
+        // job group is thread-local — set it on the thread that will run the
+        // Spark actions, so cancelJobGroup reaches every spawned stage
+        sc.setJobGroup(gid, desc.take(200), interruptOnCancel = true)
+        try body finally sc.clearJobGroup()
+      }
+      try fut.get(math.max(1L, deadlineNs - System.nanoTime()),
+        java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          fut.cancel(true)
+          sc.cancelJobGroup(gid)
+          throw QueryTimeoutError("expression evaluation")
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
+    } finally sem.release()
+  }
+}

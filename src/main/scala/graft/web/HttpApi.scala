@@ -18,11 +18,19 @@ import org.apache.spark.sql.functions._
   * bucket arrays (ref: util/jsonutil/marshal.go).
   */
 final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
-    nowMs: () => Long = () => System.currentTimeMillis()) {
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    limits: QueryLimits = QueryLimits()) {
 
   private val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
   server.setExecutor(pool)
+
+  /** per-query resource protection: concurrency gate + job-group timeout
+    * (ref: promql/engine.go:768 ActiveQueryTracker, --query.timeout) */
+  private val gate = new QueryGate(spark, limits)
+
+  /** OTLP delta→cumulative receive-edge state (ref: api.go:378 ConvertDelta) */
+  private val otlpDelta = new Otlp.DeltaConverter
 
   private val startedMs = nowMs()
 
@@ -109,6 +117,15 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     else (items.take(lim), Seq("results truncated due to limit"))
   }
 
+  /** push the API `limit` into the distributed plan as `limit(n+1)` — the
+    * +1 row keeps [[applyLimit]]'s truncation warning observable while the
+    * cluster stops producing past the limit (GlobalLimit; with a preceding
+    * orderBy Spark plans TakeOrdered) */
+  private def planLimit(df: DataFrame, p: Map[String, List[String]]): DataFrame = {
+    val lim = p.get("limit").flatMap(_.headOption).map(_.toInt).getOrElse(0)
+    if (lim <= 0) df else df.limit(lim + 1)
+  }
+
   private def err(ex: HttpExchange, code: Int, errorType: String, msg: String): Unit =
     respond(ex, code,
       Json.obj("status" -> Json.str("error"), "errorType" -> Json.str(errorType),
@@ -118,6 +135,10 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     try f(ex)
     catch {
       case e: ParseError => err(ex, 400, "bad_data", e.getMessage)
+      // resource-protection errors carry the reference's status mapping
+      // (web/api/v1/api.go returnAPIError: timeout→503, exec→422)
+      case e: QueryTimeoutError => err(ex, 503, "timeout", e.getMessage)
+      case e: TooManySamplesError => err(ex, 422, "execution", e.getMessage)
       case e: PromQLError => err(ex, 422, "execution", e.getMessage)
       case e: IllegalArgumentException => err(ex, 400, "bad_data", String.valueOf(e.getMessage))
       case e: java.time.format.DateTimeParseException => err(ex, 400, "bad_data", e.getMessage)
@@ -223,6 +244,31 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     else matches.map(m => matcherFilter(base, parseMatch(m))).reduce(_ unionByName _)
   }
 
+  /** `stats=` parameter: per-phase timings + sample accounting appended to
+    * the data envelope (ref: util/stats/query_stats.go QueryTimings/
+    * QuerySamples JSON; api.go query handlers render when stats != "") */
+  private def statsField(prepS: Double, innerS: Double, samples: Long): (String, String) = {
+    val queueS = gate.lastQueueSeconds
+    val n = math.max(samples, 0L).toString
+    "stats" -> Json.obj(
+      "timings" -> Json.obj(
+        "evalTotalTime" -> (prepS + innerS).toString,
+        "resultSortTime" -> "0",
+        "queryPreparationTime" -> prepS.toString,
+        "innerEvalTime" -> innerS.toString,
+        "execQueueTime" -> queueS.toString,
+        "execTotalTime" -> (queueS + prepS + innerS).toString),
+      "samples" -> Json.obj(
+        "totalQueryableSamples" -> n,
+        "peakSamples" -> n))
+  }
+
+  /** splice extra fields into an already-rendered JSON object */
+  private def spliced(objJson: String, extra: Seq[(String, String)]): String =
+    if (extra.isEmpty) objJson
+    else objJson.dropRight(1) + extra.map { case (k, v) => "," + Json.str(k) + ":" + v }
+      .mkString + "}"
+
   // ---------- routes ----------
 
   private def routes(): Unit = {
@@ -240,16 +286,27 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         "end timestamp must not be before start time")
       val lb = p.get("lookback_delta").flatMap(_.headOption).map(parseDurMs)
         .getOrElse(300000L) // ref: api.go extractQueryOpts
-      Engine.rangeQuery(spark, store.samples, q, start, end, step, lb) match {
-        case VectorVal(df) =>
-          val (j, w) = renderMatrix(df, p); okW(ex, j, w)
-        case ScalarVal(df, _) =>
-          // scalar range renders as a matrix (ref: api.go rangedQuery)
-          ok(ex, Json.obj("resultType" -> Json.str("matrix"), "result" -> Json.arr(Seq(
-            Json.obj("metric" -> "{}", "values" -> Json.arr(
-              df.orderBy(col("t")).collect().toSeq.map(r =>
-                "[" + Json.ts(r.getLong(0)) + "," + Json.value(r.getDouble(1)) + "]")))))))
-        case other => throw PromQLError(s"invalid expression type for range query")
+      val wantStats = p.get("stats").flatMap(_.headOption).exists(_.nonEmpty)
+      gate.exec(q) {
+        val t0 = System.nanoTime()
+        val (v, n) = Engine.rangeQueryCounted(spark, store.samples, q, start, end, step, lb,
+          maxSamples = limits.maxSamples, wantCount = wantStats)
+        val t1 = System.nanoTime()
+        def st(j: String, innerNs: Long): String =
+          if (!wantStats) j
+          else spliced(j, Seq(statsField((t1 - t0) / 1e9, innerNs / 1e9, n)))
+        v match {
+          case VectorVal(df) =>
+            val (j, w) = renderMatrix(df, p); okW(ex, st(j, System.nanoTime() - t1), w)
+          case ScalarVal(df, _) =>
+            // scalar range renders as a matrix (ref: api.go rangedQuery)
+            val j = Json.obj("resultType" -> Json.str("matrix"), "result" -> Json.arr(Seq(
+              Json.obj("metric" -> "{}", "values" -> Json.arr(
+                df.orderBy(col("t")).collect().toSeq.map(r =>
+                  "[" + Json.ts(r.getLong(0)) + "," + Json.value(r.getDouble(1)) + "]"))))))
+            ok(ex, st(j, System.nanoTime() - t1))
+          case other => throw PromQLError(s"invalid expression type for range query")
+        }
       }
     })
 
@@ -265,14 +322,24 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         val ts = p.get("time").flatMap(_.headOption).map(parseTimeMs).getOrElse(nowMs())
         val lb = p.get("lookback_delta").flatMap(_.headOption).map(parseDurMs)
           .getOrElse(300000L) // ref: api.go extractQueryOpts
-        Engine.instantQuery(spark, store.samples, q, ts, lb) match {
-          case VectorVal(df) =>
-            val (j, w) = renderVectorInstant(df, p); okW(ex, j, w)
-          case ScalarVal(df, _) => ok(ex, renderScalar(df))
-          case MatrixVal(df) =>
-            val (j, w) = renderMatrix(df, p); okW(ex, j, w)
-          case StringVal(s) => ok(ex, Json.obj("resultType" -> Json.str("string"),
-            "result" -> ("[" + Json.ts(ts) + "," + Json.str(s) + "]")))
+        val wantStats = p.get("stats").flatMap(_.headOption).exists(_.nonEmpty)
+        gate.exec(q) {
+          val t0 = System.nanoTime()
+          val (v, n) = Engine.instantQueryCounted(spark, store.samples, q, ts, lb,
+            maxSamples = limits.maxSamples, wantCount = wantStats)
+          val t1 = System.nanoTime()
+          def st(j: String, innerNs: Long): String =
+            if (!wantStats) j
+            else spliced(j, Seq(statsField((t1 - t0) / 1e9, innerNs / 1e9, n)))
+          v match {
+            case VectorVal(df) =>
+              val (j, w) = renderVectorInstant(df, p); okW(ex, st(j, System.nanoTime() - t1), w)
+            case ScalarVal(df, _) => ok(ex, st(renderScalar(df), System.nanoTime() - t1))
+            case MatrixVal(df) =>
+              val (j, w) = renderMatrix(df, p); okW(ex, st(j, System.nanoTime() - t1), w)
+            case StringVal(s) => ok(ex, st(Json.obj("resultType" -> Json.str("string"),
+              "result" -> ("[" + Json.ts(ts) + "," + Json.str(s) + "]")), 0L))
+          }
         }
       }
     })
@@ -281,11 +348,15 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       val p = params(ex)
       if (p.getOrElse("match[]", Nil).isEmpty)
         throw new IllegalArgumentException("no match[] parameter provided")
-      // distinct() can't run on MAP columns — dedupe on the sorted-entries hash
-      val rows = seriesSet(p)
+      // distinct() can't run on MAP columns — dedupe on the sorted-entries
+      // hash. The API limit is pushed into the PLAN (`limit(n+1)` keeps the
+      // truncation warning observable) so the driver never materializes the
+      // full series set — at real cardinality (millions of matched series)
+      // the un-limited collect is a driver OOM, not a slowdown.
+      val rows = planLimit(seriesSet(p)
         .groupBy(xxhash64(array_sort(map_entries(col("labels")))).as("__sg"))
         .agg(first(col("labels")).as("labels"))
-        .select(col("labels")).collect().toSeq
+        .select(col("labels")), p).collect().toSeq
       val (kept, warns) = applyLimit(
         rows.map(r => labelsOf(r, 0)).distinct.sortBy(_.toSeq.sorted.mkString("\u0000")), p)
       okW(ex, Json.arr(kept.map(Json.metric)), warns)
@@ -293,9 +364,11 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
 
     server.createContext("/api/v1/labels", handler { ex =>
       val p = params(ex)
-      val rows = seriesSet(p)
+      // orderBy+limit compiles to TakeOrdered — a per-partition top-k heap,
+      // no global sort, no full collect
+      val rows = planLimit(seriesSet(p)
         .select(explode(map_keys(col("labels"))).as("k")).distinct()
-        .orderBy(col("k")).collect().toSeq
+        .orderBy(col("k")), p).collect().toSeq
       val (kept, warns) = applyLimit(rows.map(r => Json.str(r.getString(0))), p)
       okW(ex, Json.arr(kept), warns)
     })
@@ -307,9 +380,9 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         case m(name0) =>
           val name = java.net.URLDecoder.decode(name0, "UTF-8")
           val p = params(ex)
-          val rows = seriesSet(p)
+          val rows = planLimit(seriesSet(p)
             .select(element_at(col("labels"), name).as("v"))
-            .filter(col("v").isNotNull).distinct().orderBy(col("v")).collect().toSeq
+            .filter(col("v").isNotNull).distinct().orderBy(col("v")), p).collect().toSeq
           val (kept, warns) = applyLimit(rows.map(r => Json.str(r.getString(0))), p)
           okW(ex, Json.arr(kept), warns)
         case _ => err(ex, 404, "not_found", "not found")
@@ -492,10 +565,11 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     })
 
     server.createContext("/api/v1/otlp/v1/metrics", handler { ex =>
-      // OTLP/HTTP metrics ingest (ref: web/api/v1/api.go:484)
+      // OTLP/HTTP metrics ingest (ref: web/api/v1/api.go:484); delta
+      // temporality converts to cumulative on the receive edge
       val gz = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
         .exists(_.contains("gzip"))
-      val dec = Otlp.decode(ex.getRequestBody.readAllBytes(), gz)
+      val dec = Otlp.decode(ex.getRequestBody.readAllBytes(), gz, Some(otlpDelta))
       if (dec.samples.nonEmpty) {
         val rows = dec.samples.map(s =>
           Row(s.labels, s.t, s.v, false, s.h.map(FHist.toRow).orNull, s.stt))

@@ -20,8 +20,10 @@ import scala.collection.mutable
   *   - resource `service.name`/`service.instance.id` → job/instance labels;
   *     remaining resource attributes emit a `target_info` series
   *     (ref: helper.go resource translation)
-  * Delta-temporality points are dropped (cumulative-only, like the
-  * reference's default).
+  * Delta-temporality points convert to cumulative through a per-series
+  * [[Otlp.DeltaConverter]] when one is supplied (ref: api.go:378
+  * ConvertDelta / otlp-deltatocumulative); without one they are dropped
+  * (the reference's default).
   *
   * Same hand-rolled wire reader as [[RemoteWrite]]; no protobuf runtime.
   */
@@ -258,8 +260,106 @@ object Otlp {
 
   final case class Decoded(samples: Seq[Sample], metadata: RemoteWrite.Meta)
 
-  /** decode an ExportMetricsServiceRequest body (optionally gzipped) */
-  def decode(body0: Array[Byte], gzipped: Boolean = false): Decoded = {
+  /** Delta→cumulative conversion state for OTLP receive (ref:
+    * web/api/v1/api.go:378 ConvertDelta /
+    * --enable-feature=otlp-deltatocumulative, the OTel deltatocumulative
+    * processor semantics): per-series running totals on the receive edge,
+    * so delta-temporality SDK exports ingest as the same cumulative samples
+    * a cumulative exporter would produce.
+    *
+    * Accumulation rule per series (keyed on the final translated label set):
+    *   - first point initializes the total and pins the accumulation start;
+    *   - an in-order point whose window start does not jump past the
+    *     accumulated end extends the total;
+    *   - a window start AFTER the last accumulated point (a stream restart /
+    *     gap with fresh start) resets the total to that point;
+    *   - out-of-order points are dropped (the processor's behavior).
+    * Emitted samples carry the accumulation-start timestamp as their CT.
+    *
+    * Memory is bounded by active delta-series cardinality — the same shape
+    * as the reference receiver's per-series head state. Driver-side by
+    * design: this is receive-edge state, not query state. */
+  final class DeltaConverter {
+    private final class NumS(var startNano: Long, var lastNano: Long, var cum: Double)
+    private final class HistS(var startNano: Long, var lastNano: Long,
+      var counts: Array[Long], var bounds: Seq[Double],
+      var count: Double, var sum: Double, var hasSum: Boolean)
+    private final class ExpS(var startNano: Long, var lastNano: Long, var h: FHist)
+    private val nums = new java.util.concurrent.ConcurrentHashMap[Map[String, String], NumS]()
+    private val hists = new java.util.concurrent.ConcurrentHashMap[Map[String, String], HistS]()
+    private val exps = new java.util.concurrent.ConcurrentHashMap[Map[String, String], ExpS]()
+
+    // 0 = unknown start stays unknown (the cumulative exporters' encoding)
+    private def startOf(stNano: Long, tNano: Long): Long = stNano
+    private def restarted(last: Long, stNano: Long, tNano: Long): Boolean =
+      stNano != 0 && stNano > last
+
+    /** delta number point → Some((cumulative value, start nano)); None = out-of-order drop */
+    def addNum(key: Map[String, String], stNano: Long, tNano: Long, v: Double): Option[(Double, Long)] =
+      nums.synchronized {
+        val s = nums.get(key)
+        if (s == null) {
+          nums.put(key, new NumS(startOf(stNano, tNano), tNano, v))
+          Some((v, startOf(stNano, tNano)))
+        } else if (tNano <= s.lastNano) None
+        else {
+          if (restarted(s.lastNano, stNano, tNano)) { s.startNano = stNano; s.cum = v }
+          else s.cum += v
+          s.lastNano = tNano
+          Some((s.cum, s.startNano))
+        }
+      }
+
+    /** delta classic-histogram point → cumulative (counts, count, sum, hasSum, start) */
+    def addHist(key: Map[String, String], stNano: Long, tNano: Long, bounds: Seq[Double],
+        counts: Seq[Long], count: Double, sum: Double, hasSum: Boolean)
+        : Option[(Seq[Long], Double, Double, Boolean, Long)] =
+      hists.synchronized {
+        val s = hists.get(key)
+        if (s == null || tNano > s.lastNano &&
+            (restarted(s.lastNano, stNano, tNano) || s.bounds != bounds)) {
+          // fresh series, stream restart, or a bucket-layout change (the
+          // processor resets on layout change — counts are not comparable)
+          val ns = new HistS(startOf(stNano, tNano), tNano, counts.toArray, bounds,
+            count, sum, hasSum)
+          hists.put(key, ns)
+          Some((counts, count, sum, hasSum, ns.startNano))
+        } else if (tNano <= s.lastNano) None
+        else {
+          var i = 0
+          while (i < s.counts.length && i < counts.length) {
+            s.counts(i) += counts(i); i += 1
+          }
+          s.count += count; s.sum += sum; s.hasSum = s.hasSum && hasSum
+          s.lastNano = tNano
+          Some((s.counts.toSeq, s.count, s.sum, s.hasSum, s.startNano))
+        }
+      }
+
+    /** delta exponential-histogram point → cumulative native histogram */
+    def addExp(key: Map[String, String], stNano: Long, tNano: Long, h: FHist)
+        : Option[(FHist, Long)] =
+      exps.synchronized {
+        val s = exps.get(key)
+        if (s == null) {
+          exps.put(key, new ExpS(startOf(stNano, tNano), tNano, h))
+          Some((h, startOf(stNano, tNano)))
+        } else if (tNano <= s.lastNano) None
+        else {
+          if (restarted(s.lastNano, stNano, tNano)) { s.startNano = stNano; s.h = h }
+          else s.h = s.h.add(h)
+          s.lastNano = tNano
+          Some((s.h, s.startNano))
+        }
+      }
+  }
+
+  /** decode an ExportMetricsServiceRequest body (optionally gzipped).
+    * `delta`: a [[DeltaConverter]] enables delta→cumulative conversion;
+    * None drops delta-temporality points (the reference's default without
+    * the otlp-deltatocumulative feature). */
+  def decode(body0: Array[Byte], gzipped: Boolean = false,
+      delta: Option[DeltaConverter] = None): Decoded = {
     val body =
       if (!gzipped) body0
       else new java.util.zip.GZIPInputStream(
@@ -270,7 +370,7 @@ object Otlp {
     while (r.hasMore) {
       val tag = r.varint()
       (tag >> 3, (tag & 7).toInt) match {
-        case (1, 2) => decodeResourceMetrics(r.sub(), samples, meta)
+        case (1, 2) => decodeResourceMetrics(r.sub(), samples, meta, delta)
         case (_, wt) => r.skip(wt)
       }
     }
@@ -279,7 +379,8 @@ object Otlp {
 
   private def decodeResourceMetrics(r: Reader,
       out: mutable.ArrayBuffer[Sample],
-      meta: mutable.Map[String, (String, String, String)]): Unit = {
+      meta: mutable.Map[String, (String, String, String)],
+      delta: Option[DeltaConverter]): Unit = {
     val resAttrs = mutable.Map[String, String]()
     val scopes = mutable.ArrayBuffer[Reader]()
     while (r.hasMore) {
@@ -314,7 +415,7 @@ object Otlp {
         val tag = sr.varint()
         (tag >> 3, (tag & 7).toInt) match {
           case (2, 2) => latestT = math.max(latestT,
-            decodeMetric(sr.sub(), ids, out, meta))
+            decodeMetric(sr.sub(), ids, out, meta, delta))
           case (_, wt) => sr.skip(wt)
         }
       }
@@ -326,7 +427,8 @@ object Otlp {
   /** returns the latest sample timestamp seen (for target_info stamping) */
   private def decodeMetric(r: Reader, ids: Map[String, String],
       out: mutable.ArrayBuffer[Sample],
-      meta: mutable.Map[String, (String, String, String)]): Long = {
+      meta: mutable.Map[String, (String, String, String)],
+      delta: Option[DeltaConverter]): Long = {
     var name = ""; var desc = ""; var unit = ""
     val pend = mutable.ArrayBuffer[(Int, Reader)]()
     var temporality = 2 // cumulative unless stated
@@ -371,7 +473,8 @@ object Otlp {
         case (_, wt) => r.skip(wt)
       }
     }
-    val isCounter = monotonic && temporality == 2
+    // a monotonic delta sum converted to cumulative IS a counter
+    val isCounter = monotonic && (temporality == 2 || delta.isDefined)
     val base0 = sanitize(name)
     val base = if (isCounter && !base0.endsWith("_total")) base0 + "_total" else base0
     var latest = 0L
@@ -393,22 +496,42 @@ object Otlp {
             val p = decodeNumPoint(pr)
             latest = math.max(latest, ms(p.tNano))
             out += Sample(lbls(p.attrs, base), ms(p.tNano), p.v, ms(p.stNano))
+          } else delta.foreach { c => // delta sum → running cumulative total
+            val p = decodeNumPoint(pr)
+            val key = lbls(p.attrs, base)
+            c.addNum(key, p.stNano, p.tNano, p.v).foreach { case (cum, st) =>
+              latest = math.max(latest, ms(p.tNano))
+              out += Sample(key, ms(p.tNano), cum, ms(st))
+            }
           }
         case 9 =>
+          // classic series: cumulative le buckets + +Inf, _sum, _count
+          def emitClassic(attrs: Map[String, String], t: Long, st: Long,
+              bounds: Seq[Double], counts: Seq[Long], count: Double,
+              sum: Double, hasSum: Boolean): Unit = {
+            var cum = 0.0
+            bounds.zipWithIndex.foreach { case (b, i) =>
+              cum += counts.lift(i).getOrElse(0L).toDouble
+              out += Sample(lbls(attrs, base + "_bucket") +
+                ("le" -> graft.web.Json.goFloat(b)), t, cum, st)
+            }
+            out += Sample(lbls(attrs, base + "_bucket") + ("le" -> "+Inf"), t, count, st)
+            if (hasSum) out += Sample(lbls(attrs, base + "_sum"), t, sum, st)
+            out += Sample(lbls(attrs, base + "_count"), t, count, st)
+          }
           if (temporality == 2) {
             val p = decodeHistPoint(pr)
             val t = ms(p.tNano); latest = math.max(latest, t)
-            val st = ms(p.stNano)
-            // classic series: cumulative le buckets + +Inf, _sum, _count
-            var cum = 0.0
-            p.bounds.zipWithIndex.foreach { case (b, i) =>
-              cum += p.bucketCounts.lift(i).getOrElse(0L).toDouble
-              out += Sample(lbls(p.attrs, base + "_bucket") +
-                ("le" -> graft.web.Json.goFloat(b)), t, cum, st)
-            }
-            out += Sample(lbls(p.attrs, base + "_bucket") + ("le" -> "+Inf"), t, p.count, st)
-            if (p.hasSum) out += Sample(lbls(p.attrs, base + "_sum"), t, p.sum, st)
-            out += Sample(lbls(p.attrs, base + "_count"), t, p.count, st)
+            emitClassic(p.attrs, t, ms(p.stNano), p.bounds, p.bucketCounts,
+              p.count, p.sum, p.hasSum)
+          } else delta.foreach { c => // delta histogram → running bucket totals
+            val p = decodeHistPoint(pr)
+            c.addHist(lbls(p.attrs, base), p.stNano, p.tNano, p.bounds,
+                p.bucketCounts, p.count, p.sum, p.hasSum)
+              .foreach { case (counts, count, sum, hasSum, stN) =>
+                val t = ms(p.tNano); latest = math.max(latest, t)
+                emitClassic(p.attrs, t, ms(stN), p.bounds, counts, count, sum, hasSum)
+              }
           }
         case 10 =>
           if (temporality == 2) {
@@ -416,6 +539,13 @@ object Otlp {
             val t = ms(p.tNano); latest = math.max(latest, t)
             out += Sample(lbls(p.attrs, base), t, Double.NaN, ms(p.stNano),
               Some(expToFHist(p)))
+          } else delta.foreach { c => // delta exp histogram → native-hist sum
+            val p = decodeExpPoint(pr)
+            val key = lbls(p.attrs, base)
+            c.addExp(key, p.stNano, p.tNano, expToFHist(p)).foreach { case (h, stN) =>
+              val t = ms(p.tNano); latest = math.max(latest, t)
+              out += Sample(key, t, Double.NaN, ms(stN), Some(h))
+            }
           }
         case 11 =>
           val p = decodeSummaryPoint(pr)

@@ -225,7 +225,12 @@ class LinearPathSpec extends AnyFunSuite {
           case other => fail(s"unexpected $other")
         }
       }
-      for (q <- Seq("rate(hm[30m])", "increase(hm[30m])", "delta(hm[30m])")) {
+      // absent_over_time: a hist-ONLY series (`hh`) must register presence in
+      // the linear regime too (the float stats pass alone would fabricate
+      // absence); an unmatched selector must still emit absence in both
+      for (q <- Seq("rate(hm[30m])", "increase(hm[30m])", "delta(hm[30m])",
+                    "absent_over_time(hm{s=\"hh\"}[30m])",
+                    "absent_over_time(hm{s=\"nope\"}[30m])")) {
         val a = histResults(q, forceLinear = false)
         val b = histResults(q, forceLinear = true)
         assert(a.keySet == b.keySet, s"$q: hist key sets differ (${a.size} vs ${b.size})")

@@ -148,4 +148,78 @@ class HttpApiSpec extends AnyFunSuite {
     assert(out == Seq(RemoteWrite.Sample(
       Map("__name__" -> "m2", "job" -> "x"), 123000L, 3.5, 100000L)))
   }
+
+  test("sample budget refuses over-limit queries with the reference 422 shape") {
+    val store = fixtureStore()
+    // instant query at t=600 scans 10 in-lookback samples per series × 2
+    val api = new HttpApi(spark, store, 0, () => 600000L,
+      graft.promql.QueryLimits(maxSamples = 10L))
+    api.start()
+    try {
+      val (c1, b1) = get(api.boundPort, "/api/v1/query?query=http_requests_total&time=600")
+      assert(c1 == 422, b1)
+      assert(b1.contains("\"errorType\":\"execution\""))
+      assert(b1.contains(
+        "query processing would load too many samples into memory in query execution"))
+      // under-budget query on the same API still succeeds (one series)
+      val (c2, b2) = get(api.boundPort,
+        "/api/v1/query?query=http_requests_total%7Binstance%3D%22a%22%7D&time=600")
+      assert(c2 == 200 && b2.contains("\"status\":\"success\""), b2)
+    } finally api.stop()
+  }
+
+  test("query timeout cancels cleanly with the reference 503 shape") {
+    val store = fixtureStore()
+    val api = new HttpApi(spark, store, 0, () => 600000L,
+      graft.promql.QueryLimits(timeoutMs = 1L))
+    api.start()
+    try {
+      val (c, b) = get(api.boundPort, "/api/v1/query?query=sum(http_requests_total)&time=600")
+      assert(c == 503, b)
+      assert(b.contains("\"errorType\":\"timeout\"") && b.contains("query timed out in"), b)
+    } finally api.stop()
+    // the session must remain healthy for subsequent queries
+    val api2 = new HttpApi(spark, store, 0, () => 600000L)
+    api2.start()
+    try {
+      val (c2, b2) = get(api2.boundPort, "/api/v1/query?query=sum(http_requests_total)&time=600")
+      assert(c2 == 200, b2)
+    } finally api2.stop()
+  }
+
+  test("stats= renders timings and sample counts in the data envelope") {
+    withApi { (port, _) =>
+      val (c1, b1) = get(port, "/api/v1/query?query=http_requests_total&time=600&stats=all")
+      assert(c1 == 200, b1)
+      assert(b1.contains("\"stats\":{\"timings\":{"), b1)
+      for (k <- Seq("evalTotalTime", "resultSortTime", "queryPreparationTime",
+          "innerEvalTime", "execQueueTime", "execTotalTime",
+          "totalQueryableSamples", "peakSamples"))
+        assert(b1.contains("\"" + k + "\":"), s"missing $k in $b1")
+      // counted scan: 10 lookback samples per series × 2 series
+      assert(b1.contains("\"totalQueryableSamples\":20"), b1)
+      val (c2, b2) = get(port,
+        "/api/v1/query_range?query=http_requests_total&start=120&end=600&step=60&stats=all")
+      assert(c2 == 200 && b2.contains("\"stats\":{\"timings\":{"), b2)
+      // without stats= the envelope stays clean
+      val (c3, b3) = get(port, "/api/v1/query?query=http_requests_total&time=600")
+      assert(c3 == 200 && !b3.contains("\"stats\""), b3)
+    }
+  }
+
+  test("series/labels limits are plan-side and keep the truncation warning") {
+    withApi { (port, _) =>
+      val (c1, b1) = get(port, "/api/v1/series?match%5B%5D=http_requests_total&limit=1")
+      assert(c1 == 200, b1)
+      assert(b1.contains("results truncated due to limit"), b1)
+      // exactly one metric object returned
+      assert(b1.split("\"__name__\"").length == 2, b1)
+      val (c2, b2) = get(port, "/api/v1/labels?limit=2")
+      assert(c2 == 200 && b2.contains("results truncated due to limit"), b2)
+      assert(b2.contains("\"data\":[\"__name__\",\"instance\"]"), b2)
+      val (c3, b3) = get(port, "/api/v1/label/instance/values?limit=1")
+      assert(c3 == 200 && b3.contains("results truncated due to limit"), b3)
+      assert(b3.contains("\"data\":[\"a\"]"), b3)
+    }
+  }
 }

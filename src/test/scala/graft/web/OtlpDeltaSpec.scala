@@ -1,0 +1,157 @@
+package graft.web
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OTLP delta-temporality conversion (ref: web/api/v1/api.go:378
+  * ConvertDelta / otlp-deltatocumulative): a delta sum / histogram /
+  * exponential-histogram stream must ingest to the SAME cumulative samples
+  * a cumulative exporter would produce. */
+class OtlpDeltaSpec extends AnyFunSuite {
+
+  // ---------- minimal OTLP wire encoders ----------
+  private def vint(o: java.io.ByteArrayOutputStream, x0: Long): Unit = {
+    var x = x0
+    while ((x & ~0x7fL) != 0) { o.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+    o.write(x.toInt)
+  }
+  private def zig(v: Long): Long = (v << 1) ^ (v >> 63)
+  private def delim(o: java.io.ByteArrayOutputStream, tag: Int, body: Array[Byte]): Unit = {
+    vint(o, (tag << 3) | 2); vint(o, body.length); o.write(body)
+  }
+  private def f64(o: java.io.ByteArrayOutputStream, tag: Int, v: Double): Unit = {
+    vint(o, (tag << 3) | 1)
+    val bits = java.lang.Double.doubleToLongBits(v)
+    (0 until 8).foreach(i => o.write(((bits >> (8 * i)) & 0xff).toInt))
+  }
+  private def fx64(o: java.io.ByteArrayOutputStream, tag: Int, v: Long): Unit = {
+    vint(o, (tag << 3) | 1)
+    (0 until 8).foreach(i => o.write(((v >> (8 * i)) & 0xff).toInt))
+  }
+
+  /** one-resource request with one metric body under the given field tag */
+  private def request(metric: Array[Byte]): Array[Byte] = {
+    val sm = new java.io.ByteArrayOutputStream()
+    delim(sm, 2, metric)
+    val rm = new java.io.ByteArrayOutputStream()
+    delim(rm, 2, sm.toByteArray)
+    val bo = new java.io.ByteArrayOutputStream()
+    delim(bo, 1, rm.toByteArray)
+    bo.toByteArray
+  }
+
+  private def sumMetric(name: String, temporality: Long, points: Seq[(Long, Long, Double)]): Array[Byte] = {
+    val s = new java.io.ByteArrayOutputStream()
+    points.foreach { case (stNano, tNano, v) =>
+      val dp = new java.io.ByteArrayOutputStream()
+      if (stNano != 0) fx64(dp, 2, stNano)
+      fx64(dp, 3, tNano); f64(dp, 4, v)
+      delim(s, 1, dp.toByteArray)
+    }
+    vint(s, 2 << 3); vint(s, temporality)
+    vint(s, 3 << 3); vint(s, 1L) // monotonic
+    val m = new java.io.ByteArrayOutputStream()
+    delim(m, 1, name.getBytes("UTF-8")); delim(m, 7, s.toByteArray)
+    m.toByteArray
+  }
+
+  private def histMetric(name: String, temporality: Long,
+      points: Seq[(Long, Long, Long, Double, Seq[Long])]): Array[Byte] = {
+    val h = new java.io.ByteArrayOutputStream()
+    points.foreach { case (stNano, tNano, count, sum, counts) =>
+      val dp = new java.io.ByteArrayOutputStream()
+      if (stNano != 0) fx64(dp, 2, stNano)
+      fx64(dp, 3, tNano); fx64(dp, 4, count); f64(dp, 5, sum)
+      val bc = new java.io.ByteArrayOutputStream()
+      counts.foreach(c => (0 until 8).foreach(i => bc.write(((c >> (8 * i)) & 0xff).toInt)))
+      delim(dp, 6, bc.toByteArray)
+      val eb = new java.io.ByteArrayOutputStream()
+      Seq(1.0, 5.0).foreach { d =>
+        val bits = java.lang.Double.doubleToLongBits(d)
+        (0 until 8).foreach(i => eb.write(((bits >> (8 * i)) & 0xff).toInt))
+      }
+      delim(dp, 7, eb.toByteArray)
+      delim(h, 1, dp.toByteArray)
+    }
+    vint(h, 2 << 3); vint(h, temporality)
+    val m = new java.io.ByteArrayOutputStream()
+    delim(m, 1, name.getBytes("UTF-8")); delim(m, 9, h.toByteArray)
+    m.toByteArray
+  }
+
+  private def expMetric(name: String, temporality: Long,
+      points: Seq[(Long, Long, Long, Double, Seq[Long])]): Array[Byte] = {
+    val h = new java.io.ByteArrayOutputStream()
+    points.foreach { case (stNano, tNano, count, sum, pcnts) =>
+      val dp = new java.io.ByteArrayOutputStream()
+      if (stNano != 0) fx64(dp, 2, stNano)
+      fx64(dp, 3, tNano); fx64(dp, 4, count); f64(dp, 5, sum)
+      vint(dp, 6 << 3); vint(dp, zig(0L)) // scale 0
+      fx64(dp, 7, 0L)                     // zero_count
+      val pb = new java.io.ByteArrayOutputStream()
+      vint(pb, 1 << 3); vint(pb, zig(0L)) // offset 0
+      val pc = new java.io.ByteArrayOutputStream()
+      pcnts.foreach(c => vint(pc, c))
+      delim(pb, 2, pc.toByteArray)
+      delim(dp, 8, pb.toByteArray)
+      delim(h, 1, dp.toByteArray)
+    }
+    vint(h, 2 << 3); vint(h, temporality)
+    val m = new java.io.ByteArrayOutputStream()
+    delim(m, 1, name.getBytes("UTF-8")); delim(m, 10, h.toByteArray)
+    m.toByteArray
+  }
+
+  private val G = 1000000000L
+
+  test("delta sums accumulate to the cumulative stream; without a converter they drop") {
+    val conv = new Otlp.DeltaConverter
+    // delta points: windows (0,8], (8,16], (16,24] with values 5, 3, 2
+    val deltas = Seq((0L, 8 * G, 5.0), (8 * G, 16 * G, 3.0), (16 * G, 24 * G, 2.0))
+    val got = deltas.flatMap(p =>
+      Otlp.decode(request(sumMetric("req.count", 1L, Seq(p))), delta = Some(conv)).samples)
+    // the cumulative exporter's equivalent
+    val want = Seq((0L, 8 * G, 5.0), (0L, 16 * G, 8.0), (0L, 24 * G, 10.0)).flatMap(p =>
+      Otlp.decode(request(sumMetric("req.count", 2L, Seq(p)))).samples)
+    assert(got.map(s => (s.labels, s.t, s.v, s.stt)) ==
+           want.map(s => (s.labels, s.t, s.v, s.stt)))
+    assert(got.head.labels("__name__") == "req_count_total") // converted counter
+    // restart: a fresh window start AFTER the last point resets the total
+    val r = Otlp.decode(request(sumMetric("req.count", 1L, Seq((30 * G, 40 * G, 4.0)))),
+      delta = Some(conv)).samples
+    assert(r.map(s => (s.t, s.v, s.stt)) == Seq((40000L, 4.0, 30000L)))
+    // out-of-order delta points are dropped
+    assert(Otlp.decode(request(sumMetric("req.count", 1L, Seq((0L, 16 * G, 9.0)))),
+      delta = Some(conv)).samples.isEmpty)
+    // default (no converter): delta points drop entirely
+    assert(Otlp.decode(request(sumMetric("req.count", 1L, deltas))).samples.isEmpty)
+  }
+
+  test("delta explicit-bounds histograms accumulate bucket totals") {
+    val conv = new Otlp.DeltaConverter
+    val p1 = (0L, 8 * G, 7L, 21.0, Seq(2L, 3L, 2L))
+    val p2 = (8 * G, 16 * G, 4L, 9.0, Seq(1L, 2L, 1L))
+    val d1 = Otlp.decode(request(histMetric("lat.ms", 1L, Seq(p1))), delta = Some(conv)).samples
+    val d2 = Otlp.decode(request(histMetric("lat.ms", 1L, Seq(p2))), delta = Some(conv)).samples
+    def buckets(ss: Seq[RemoteWrite.Sample]) =
+      ss.filter(_.labels("__name__") == "lat_ms_bucket").map(s => s.labels("le") -> s.v).toMap
+    assert(buckets(d1) == Map("1" -> 2.0, "5" -> 5.0, "+Inf" -> 7.0))
+    assert(buckets(d2) == Map("1" -> 3.0, "5" -> 8.0, "+Inf" -> 11.0)) // accumulated
+    assert(d2.find(_.labels("__name__") == "lat_ms_sum").get.v == 30.0)
+    assert(d2.find(_.labels("__name__") == "lat_ms_count").get.v == 11.0)
+    assert(d2.forall(_.stt == 0L)) // accumulation start pinned to the first window
+  }
+
+  test("delta exponential histograms accumulate to native-histogram sums") {
+    val conv = new Otlp.DeltaConverter
+    val d1 = Otlp.decode(request(expMetric("size.bytes", 1L,
+      Seq((0L, 8 * G, 5L, 12.0, Seq(2L, 3L))))), delta = Some(conv)).samples
+    val d2 = Otlp.decode(request(expMetric("size.bytes", 1L,
+      Seq((8 * G, 16 * G, 3L, 6.0, Seq(1L, 2L))))), delta = Some(conv)).samples
+    val h1 = d1.head.h.get
+    assert(h1.cnt == 5.0 && h1.sum == 12.0 && h1.pcnt == Seq(2.0, 3.0))
+    val h2 = d2.head.h.get
+    assert(h2.cnt == 8.0 && h2.sum == 18.0)
+    // accumulated positive buckets at the same indexes
+    assert(h2.pidx.zip(h2.pcnt).toMap == Map(1 -> 3.0, 2 -> 5.0))
+  }
+}
