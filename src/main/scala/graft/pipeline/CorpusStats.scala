@@ -90,12 +90,21 @@ object CorpusStats {
     * partition-layout dependent). Rates are per-stratum (here: language). */
   def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
       defaultRate: Double = 0.0): DataFrame = {
+    // (doc_id * A) mod 2^32 computed WITHOUT 64-bit overflow: a naive
+    // doc_id * 2654435761 overflows signed Long at doc_id ≈ 3.47e9 (ANSI
+    // mode throws; non-ANSI silently over-samples). Split the reduced id
+    // into 16-bit halves — every intermediate stays < 2^49, and the value
+    // is identical to the exact product mod 2^32 for ALL non-negative ids.
     val m = lit(4294967296L) // 2^32
-    val h = (col("doc_id") * lit(2654435761L)) % m
+    val A = 2654435761L // Knuth multiplicative constant
+    val d = pmod(col("doc_id"), m)
+    val d1 = shiftright(d, 16)
+    val d0 = d.bitwiseAND(lit(65535L))
+    val h = (pmod(d1 * A, m) * 65536L + d0 * A) % m
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
       when(col("lang") === lang, lit(r)).otherwise(acc)
     }
-    docs.filter(h < (rate * m.cast("double"))) // h ∈ [0, 2^32): doc_id ≥ 0
+    docs.filter(h < (rate * m.cast("double"))) // h ∈ [0, 2^32)
       .select(col("doc_id"), col("lang"), col("source"))
   }
 

@@ -220,12 +220,29 @@ object RuleUnitTest {
     }
   }
 
-  private def referencedNames(exprText: String): Set[String] = {
+  /** Which of `produced` could a selector in the expression read?
+    * CONSERVATIVE: regex / negative / name-less __name__ constraints count
+    * every produced name their matcher set could admit — a rule reading its
+    * own output through `{__name__=~"ALERTS.*"}` must trip the cross-tick
+    * feedback guard, not silently return wrong per-tick results. */
+  private def referencedProduced(exprText: String, produced: Set[String]): Set[String] = {
     val out = mutable.Set[String]()
     try walk(Engine.parse(exprText)) {
       case vs: VectorSelector =>
-        out ++= vs.metricName
-        out ++= vs.matchers.collect { case LabelMatcher("__name__", MatchOp.Eq, v) => v }
+        val nameMs = vs.matchers.filter(_.name == "__name__")
+        if (vs.metricName.isEmpty && nameMs.isEmpty) out ++= produced
+        else {
+          out ++= vs.metricName.filter(produced)
+          nameMs.foreach { m =>
+            def re = ("^(?:" + m.value + ")$").r
+            m.op match {
+              case MatchOp.Eq => if (produced(m.value)) out += m.value
+              case MatchOp.Neq => out ++= produced - m.value
+              case MatchOp.Re => out ++= produced.filter(n => re.findFirstIn(n).isDefined)
+              case MatchOp.NotRe => out ++= produced.filter(n => re.findFirstIn(n).isEmpty)
+            }
+          }
+        }
       case _ => ()
     } catch { case _: Throwable => () }
     out.toSet
@@ -305,7 +322,7 @@ object RuleUnitTest {
         if (r.isAlert) Seq("ALERTS", "ALERTS_FOR_STATE") else Seq(r.record)).toSet
     }
     flat.zipWithIndex.foreach { case (r, i) =>
-      val refs = referencedNames(r.expr) & producedAfter(i)
+      val refs = referencedProduced(r.expr, producedAfter(i))
       if (refs.nonEmpty)
         throw TestError(s"rule '${r.name}' reads ${refs.mkString(",")} produced by itself or a " +
           "later rule — cross-tick feedback is unsupported in range-evaluated rule testing")

@@ -273,10 +273,12 @@ object PipelineSuite {
                  LEFT JOIN s3 ON s1.doc_id = s3.doc_id
          ORDER BY s1.doc_id""",
 
-    // same Knuth multiplicative-hash predicate
+    // same Knuth multiplicative-hash predicate, same overflow-free split
+    // (16-bit halves of doc_id mod 2^32 — intermediates stay < 2^49)
     "lp17_sample" ->
       """SELECT doc_id, lang, source FROM documents
-         WHERE (doc_id * 2654435761) % 4294967296 <
+         WHERE ((((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296 * 65536
+                + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 <
                (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END) * 4294967296
          ORDER BY doc_id""",
 

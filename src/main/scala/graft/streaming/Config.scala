@@ -90,7 +90,9 @@ object Config {
     * non-matching patterns contribute nothing (the reference warns) */
   private def expandGlob(baseDir: java.nio.file.Path, pattern: String): Seq[String] = {
     val p = if (pattern.startsWith("/")) pattern else baseDir.resolve(pattern).toString
-    if (!p.contains("*")) {
+    // filepath.Glob metacharacters are * ? and [...] (ref: Go path/filepath
+    // Match) — a pattern like `rules-?.yml` must glob, not literal-match
+    if (!p.exists(c => c == '*' || c == '?' || c == '[')) {
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(p))) Seq(p) else Nil
     } else {
       val dir = java.nio.file.Paths.get(p).getParent

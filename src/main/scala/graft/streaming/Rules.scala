@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Rules {
 
+  /** canonical alert-state key: sorted label pairs joined on U+0001 — the
+    * ONE definition both live evaluation and for-state restoration key on
+    * (a divergence between them silently turns restoration into a no-op) */
+  private def stateSig(l: Map[String, String]): String =
+    l.toSeq.sorted.mkString("\u0001")
+
   final case class RecordingRule(
       record: String, expr: String, labels: Map[String, String] = Map.empty)
 
@@ -70,7 +76,7 @@ object Rules {
       .select(col("labels")).collect()
       .map(r => r.getMap[String, String](0).toMap)
       .map(l => (l - "__name__") ++ rule.labels + ("alertname" -> rule.alert))
-      .map(l => l.toSeq.sorted.mkString("") -> l)
+      .map(l => stateSig(l) -> l)
       .toMap
 
     val next = scala.collection.mutable.Map[String, AlertState]()
@@ -203,7 +209,7 @@ object Rules {
               else if (remainingMs < forGracePeriodMs)
                 tsMs + forGracePeriodMs - a.forMs // fire after the grace period
               else restoredMs + (tsMs - downAtMs) // shift by the downtime
-            Some(lbls.toSeq.sorted.mkString("\u0001") ->
+            Some(stateSig(lbls) ->
               AlertState(activeAt, -1L, tsMs, lbls))
           }
         }

@@ -284,4 +284,136 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == Seq(("a b a", 2L), ("z z z", 2L)))
   }
+
+  // ---------- recall floors for the approximate (no-oracle) operators ----
+  // The driver gate can only check row counts for these; the floors below
+  // pin QUALITY against exact ground truth so a silent recall regression
+  // (changed hashing, broken banding, bad quantizer) fails the suite.
+
+  /** deterministic pseudo-random coordinate in [-1, 1) (splitmix64) */
+  private def prand(seed: Long): Double = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    (z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble
+  }
+  private def pseudoVec(id: Long, dim: Int, jitter: Long = -1L): Seq[Float] =
+    (0 until dim).map { d =>
+      val base = prand(id * 7919L + d)
+      val j = if (jitter < 0) 0.0 else 0.05 * prand(jitter * 104729L + d)
+      (base + j).toFloat
+    }
+
+  /** clustered corpus: `nClusters` base vectors, each with `copies` jittered
+    * near-duplicates (cos ≈ 0.99) — the regime ANN indexes must not miss */
+  private def clusteredEmbs(nClusters: Int, copies: Int, dim: Int): DataFrame =
+    embsOf((for {
+      c <- 0 until nClusters
+      r <- 0 to copies
+    } yield {
+      val id = (c * 100 + r).toLong
+      id -> pseudoVec(c.toLong, dim, jitter = if (r == 0) -1L else id)
+    }): _*)
+
+  private def topkSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select(col("qid"), col("nid")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  test("LSH top-k recall floor vs brute-force ground truth") {
+    val corpus = clusteredEmbs(nClusters = 40, copies = 7, dim = 16)
+    val queries = corpus.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
+    val truth = topkSets(Similarity.bruteForceTopK(corpus, queries, k = 7))
+    val got = topkSets(Similarity.lshTopK(corpus, queries, k = 7))
+    val recalls = truth.map { case (q, t) =>
+      (got.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"LSH recall@7 $recall < 0.9 (per-query: $recalls)")
+  }
+
+  test("IVF top-k recall floor vs brute-force ground truth") {
+    val corpus = clusteredEmbs(nClusters = 40, copies = 7, dim = 16)
+    val queries = corpus.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
+    val truth = topkSets(Similarity.bruteForceTopK(corpus, queries, k = 7))
+    val got = topkSets(Similarity.ivfTopK(corpus, queries, k = 7,
+      nlist = 16, nprobe = 6, iters = 3))
+    val recalls = truth.map { case (q, t) =>
+      (got.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.8, s"IVF recall@7 $recall < 0.8 (per-query: $recalls)")
+  }
+
+  test("cosineDupPairs recall floor vs brute-force near-dup pairs") {
+    val corpus = clusteredEmbs(nClusters = 30, copies = 3, dim = 16)
+    // exact ground truth: all pairs with cos >= tau via self brute force
+    val tau = 0.98
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val truth = (for { i <- ids; j <- ids if i < j && cos(vecs(i), vecs(j)) >= tau }
+      yield (i, j)).toSet
+    assert(truth.size >= 30) // the planted near-dups are in the ground truth
+    val got = Similarity.cosineDupPairs(corpus, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth)) // verification is exact: no false positives
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"cos-dup recall $recall < 0.9")
+  }
+
+  test("minhash pair recall floor vs exact n-gram Jaccard") {
+    // 20 base docs of 30 pseudo-random words; each with a near-duplicate
+    // where 2 words changed (shingle Jaccard ≈ 0.7-0.8)
+    def wordsOf(seed: Long, n: Int, changed: Set[Int]): String =
+      (0 until n).map { i =>
+        val s = if (changed(i)) seed * 31L + i + 1000000L else seed * 31L + i
+        "w" + math.abs(prand(s) * 1e6).toLong
+      }.mkString(" ")
+    val docs = docsOf((for (c <- 0 until 20; r <- 0 to 1) yield {
+      val id = (c * 10 + r).toLong
+      id -> wordsOf(c.toLong, 30, if (r == 0) Set.empty[Int] else Set(7, 19))
+    }): _*)
+    // exact ground truth at high Jaccard
+    val exact = Dedup.ngramJaccardPairs(docs, tau = 0.6, n = 3, maxDF = 10000)
+      .collect().map(r => ((r.getLong(r.fieldIndex("da")), r.getLong(r.fieldIndex("db"))),
+        r.getDouble(r.fieldIndex("jaccard")))).toMap
+    assert(exact.size >= 20) // every planted pair qualifies
+    val est = Dedup.minhashPairs(docs, minEstJaccard = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val found = exact.keySet & est.keySet
+    val recall = found.size.toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall < 0.9")
+    // the estimator tracks the exact similarity on recovered pairs
+    found.foreach { p =>
+      assert(math.abs(est(p) - exact(p)) <= 0.3,
+        s"pair $p: est ${est(p)} vs exact ${exact(p)}") }
+  }
+
+  test("simhash banding is complete within the hamming budget") {
+    // 4×16-bit bands: any pair at hamming ≤ 3 leaves ≥1 band untouched
+    // (pigeonhole), so simhashPairs must return EXACTLY the hamming ≤ 3
+    // pairs — completeness is structural, not probabilistic
+    def wordsOf(seed: Long, n: Int, changed: Set[Int]): String =
+      (0 until n).map { i =>
+        val s = if (changed(i)) seed * 31L + i + 1000000L else seed * 31L + i
+        "w" + math.abs(prand(s) * 1e6).toLong
+      }.mkString(" ")
+    val docs = docsOf((for (c <- 0 until 15; r <- 0 to 1) yield {
+      val id = (c * 10 + r).toLong
+      // r=1: an EXACT duplicate for odd clusters, one-word change for even
+      id -> wordsOf(c.toLong, 200,
+        if (r == 0 || c % 2 == 1) Set.empty[Int] else Set(13))
+    }): _*)
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sh.keys.toSeq.sorted
+    val truth = (for { i <- ids; j <- ids if i < j &&
+      java.lang.Long.bitCount(sh(i) ^ sh(j)) <= 3 } yield (i, j)).toSet
+    assert(truth.size >= 7) // at least the exact-duplicate pairs
+    val got = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"banding must be exact for hamming<=3: " +
+      s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+  }
 }
