@@ -166,6 +166,7 @@ object PromBench {
     Case("sum by (le)(h_hundred)", 1000),
     Case("topk(5, a_hundred)", 1000),
     Case("sum without (l)(rate(a_hundred[1m])) / sum without (l)(rate(b_hundred[1m]))", 1000),
+    Case("sum_over_time(h_hundred[1d])", 1000),
     Case("histogram_quantile(0.9, rate(h_hundred[5m]))", 1000))
 
   def run(spark: SparkSession, samples: DataFrame, c: Case): (Double, Long) = {

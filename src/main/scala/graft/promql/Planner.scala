@@ -635,9 +635,12 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       case _ => None
     }
     spec.map { case (op, p1, p2) =>
-      // these ops' explode paths read histogram samples (count/present merge
-      // timelines; sum/avg exclude mixed windows and have a histogram branch)
-      val histConsuming = Set("count", "present", "sum", "avg").contains(op)
+      // count/present consume only TIMESTAMPS — both sample kinds ride the
+      // fast pass directly (no hist decode, no split); sum/avg exclude mixed
+      // windows and have a histogram branch, so hist-carrying series keep
+      // the (minority-side) explode
+      val timestampsOnly = op == "count" || op == "present"
+      val histConsuming = !timestampsOnly && (op == "sum" || op == "avg")
       def fast(src: DataFrame): DataFrame = {
         val fb = src.withColumn("wt", col("t") + ri.offsetMs)
           .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
@@ -652,7 +655,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
             // every op here drops the metric name (none are in keepNameFuncs)
             lit(true).as("dn"))
       }
-      if (!histConsuming)
+      if (timestampsOnly)
+        // count/present over BOTH kinds in one fast pass (ref: count_over_time
+        // counts histogram samples too) — the v column rides along unread
+        fast(ri.points)
+      else if (!histConsuming)
         // histogram samples are IGNORED by these folds (ref: e.g.
         // engine min/max/stddev float-only slices) — float rows suffice
         fast(ri.points.filter(hIsNull))

@@ -147,6 +147,26 @@ object RangeUdfs {
         wts(i) = keys(i) >> 20; vs(i) = vs0(j)
         i += 1
       }
+      // Prefix decomposition for sum/avg: window sum = psum(hi) − psum(lo)
+      // in O(1) per step instead of an O(window) refold — the difference
+      // between O(samples + steps) and O(steps × window) at day-scale
+      // windows (8640× at 1d/10s). The subtraction loses precision only
+      // under cancellation (|window sum| ≪ |prefix|); a per-step error
+      // bound detects that regime and falls back to the exact Kahan refold,
+      // so results stay within 1e-12 relative of the reference's per-window
+      // fold everywhere (LinearPathSpec pins both regimes at 1e-9). NaN/±Inf
+      // prefixes poison the bound and likewise force the refold.
+      val wantPrefix = op == "sum" || op == "avg"
+      val psum: Array[Double] = if (!wantPrefix) null else {
+        val p = new Array[Double](n + 1)
+        var s = 0.0; var c = 0.0; var i2 = 0
+        while (i2 < n) {
+          val (ns, nc) = kahanInc(vs(i2), s, c); s = ns; c = nc
+          p(i2 + 1) = if (s.isInfinite) s else s + c
+          i2 += 1
+        }
+        p
+      }
       val out = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
       var lo = 0; var hi = 0 // window (t-range, t] == indices [lo, hi)
       var k = 0
@@ -157,11 +177,20 @@ object RangeUdfs {
         val len = hi - lo
         if (len > 0) {
           def slice: Seq[Double] = vs.slice(lo, hi).toSeq
+          def windowSum: Double = {
+            val f = psum(hi) - psum(lo)
+            val bound = 4.5e-16 * (math.abs(psum(hi)) + math.abs(psum(lo)))
+            if (bound <= 1e-12 * math.abs(f)) f else kahanSumSeq(slice)
+          }
           op match {
             case "count" => out += ((t, len.toDouble))
             case "present" => out += ((t, 1.0))
-            case "sum" => out += ((t, kahanSumSeq(slice)))
-            case "avg" => out += ((t, avgSeq(slice)))
+            case "sum" => out += ((t, windowSum))
+            case "avg" =>
+              // normal regime: mean = window sum / count (the reference's
+              // non-overflow path); overflow/cancellation → exact refold
+              val f = windowSum
+              out += ((t, if (f.isInfinite) avgSeq(slice) else f / len))
             case "min" | "max" =>
               var m = Double.NaN; var j = lo
               while (j < hi) {

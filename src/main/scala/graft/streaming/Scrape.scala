@@ -40,6 +40,9 @@ final class ScrapeManager(
 
   def setTargetProvider(f: () => Seq[ScrapeTarget]): Unit = targetProvider = f
 
+  /** current discovered target set (also feeds /api/v1/targets) */
+  def currentTargets(): Seq[ScrapeTarget] = targetProvider()
+
   /** file-based service discovery: re-parse the SD files before every
     * scrape pass (ref: discovery/file/file.go) */
   def useFileSd(paths: Seq[String], defaultJob: String): Unit =
@@ -47,6 +50,35 @@ final class ScrapeManager(
       paths.flatMap(p =>
         try ScrapeManager.fileSdTargets(p, defaultJob)
         catch { case _: Exception => Nil })) // a malformed SD file drops its groups, not the loop
+
+  /** HTTP service discovery (ref: discovery/http/http.go Discovery.Refresh):
+    * GET the endpoint — an application/json array of target groups in the
+    * same shape file SD uses — re-fetched at the refresh cadence. A failed
+    * refresh KEEPS the last successful target set (the reference serves the
+    * previous groups until a refresh succeeds). */
+  def useHttpSd(url: String, defaultJob: String, refreshMs: Long = 60000L): Unit = {
+    val cache = new java.util.concurrent.atomic.AtomicReference[(Long, Seq[ScrapeTarget])]((0L, Nil))
+    setTargetProvider { () =>
+      val (at, last) = cache.get()
+      val now = nowMs()
+      if (at != 0L && now - at < refreshMs) last
+      else {
+        val next =
+          try {
+            val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+              .header("Accept", "application/json")
+              .GET().build()
+            val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+            if (resp.statusCode() != 200)
+              throw new IllegalStateException(s"http sd: status ${resp.statusCode()}")
+            ScrapeManager.groupsToTargets(
+              ScrapeManager.jsonSdGroups(resp.body(), url), defaultJob)
+          } catch { case _: Exception => last }
+        cache.set((now, next))
+        next
+      }
+    }
+  }
 
   /** one synchronous scrape pass over every target; returns appended rows */
   def scrapeOnce(): Long =
@@ -185,27 +217,8 @@ object ScrapeManager {
     val text = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
     val groups: Seq[(Map[String, String], Seq[String])] =
-      if (path.endsWith(".json")) graft.web.JsonLite.parse(text) match {
-        case items: List[_] => items.map {
-          case m: Map[_, _] =>
-            val mm = m.asInstanceOf[Map[String, Any]]
-            val unknown = mm.keySet.diff(Set("labels", "targets"))
-            if (unknown.nonEmpty)
-              throw new IllegalArgumentException(s"$path: unknown field(s) ${unknown.mkString(",")}")
-            val lbls = mm.get("labels") match {
-              case Some(l: Map[_, _]) =>
-                l.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> String.valueOf(v) }
-              case _ => Map.empty[String, String]
-            }
-            val tgts = mm.get("targets") match {
-              case Some(t: List[_]) => t.map(String.valueOf(_))
-              case _ => Nil
-            }
-            (lbls, tgts)
-          case other => throw new IllegalArgumentException(s"$path: bad target group $other")
-        }
-        case other => throw new IllegalArgumentException(s"$path: expected a JSON array, got $other")
-      } else {
+      if (path.endsWith(".json")) jsonSdGroups(text, path)
+      else {
         import graft.promqltest.YamlLite
         import graft.promqltest.YamlLite.{YList, YMap, YScalar}
         YamlLite.parse(text) match {
@@ -224,9 +237,42 @@ object ScrapeManager {
           case other => throw new IllegalArgumentException(s"$path: expected a list, got $other")
         }
       }
+    groupsToTargets(groups, defaultJob, scheme, metricsPath)
+  }
+
+  /** JSON array of SD target groups `{labels: {...}, targets: [...]}` —
+    * the wire format shared by file SD (.json) and HTTP SD
+    * (ref: discovery/targetgroup/targetgroup.go UnmarshalJSON) */
+  def jsonSdGroups(text: String, source: String): Seq[(Map[String, String], Seq[String])] =
+    graft.web.JsonLite.parse(text) match {
+      case items: List[_] => items.map {
+        case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          val unknown = mm.keySet.diff(Set("labels", "targets"))
+          if (unknown.nonEmpty)
+            throw new IllegalArgumentException(s"$source: unknown field(s) ${unknown.mkString(",")}")
+          val lbls = mm.get("labels") match {
+            case Some(l: Map[_, _]) =>
+              l.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> String.valueOf(v) }
+            case _ => Map.empty[String, String]
+          }
+          val tgts = mm.get("targets") match {
+            case Some(t: List[_]) => t.map(String.valueOf(_))
+            case _ => Nil
+          }
+          (lbls, tgts)
+        case other => throw new IllegalArgumentException(s"$source: bad target group $other")
+      }
+      case other => throw new IllegalArgumentException(s"$source: expected a JSON array, got $other")
+    }
+
+  /** expand SD groups into scrape targets (a group's `job` label overrides
+    * the default; other labels ride as extra target labels) */
+  def groupsToTargets(groups: Seq[(Map[String, String], Seq[String])],
+      defaultJob: String, scheme: String = "http",
+      metricsPath: String = "/metrics"): Seq[ScrapeTarget] =
     for ((lbls, tgts) <- groups; addr <- tgts) yield
       ScrapeTarget(s"$scheme://$addr$metricsPath",
         lbls.getOrElse("job", defaultJob), addr,
         extraLabels = lbls - "job")
-  }
 }

@@ -39,6 +39,8 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
   @volatile var ruleGroups: Seq[graft.streaming.Rules.Group] = Nil
   @volatile var alertState: Map[String, Map[String, graft.streaming.Rules.AlertState]] = Map.empty
   @volatile var scrapeTargets: Seq[graft.streaming.ScrapeManager.ScrapeTarget] = Nil
+  /** notifier fan-out endpoints, rendered by /api/v1/alertmanagers */
+  @volatile var alertmanagerUrls: Seq[String] = Nil
 
   /** (rendered alert JSON, state string) for one alerting rule */
   private def activeAlertsOf(group: String,
@@ -562,6 +564,48 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       }
       ok(ex, Json.obj("activeTargets" -> Json.arr(active),
         "droppedTargets" -> "[]"))
+    })
+
+    server.createContext("/api/v1/targets/metadata", handler { ex =>
+      // ref: web/api/v1/api.go targetMetadata — per-target family metadata,
+      // filtered by match_target label matchers and an optional metric name
+      val p = params(ex)
+      val matchers = p.get("match_target").flatMap(_.headOption)
+        .map(parseMatch).getOrElse(Nil)
+      val metricFilter = p.get("metric").flatMap(_.headOption)
+      def matches(lbls: Map[String, String]): Boolean = matchers.forall { m =>
+        val v = lbls.getOrElse(m.name, "")
+        m.op match {
+          case MatchOp.Eq => v == m.value
+          case MatchOp.Neq => v != m.value
+          case MatchOp.Re => v.matches("(?:" + m.value + ")")
+          case MatchOp.NotRe => !v.matches("(?:" + m.value + ")")
+        }
+      }
+      val meta = store.metadata
+      val items = for {
+        t <- scrapeTargets
+        lbls = Map("instance" -> t.instance, "job" -> t.job) ++ t.extraLabels
+        if matches(lbls)
+        (fam, (typ, unit, help)) <- meta.toSeq.sortBy(_._1)
+        if metricFilter.forall(_ == fam)
+      } yield Json.obj(
+        "target" -> Json.metric(lbls),
+        "metric" -> Json.str(fam),
+        "type" -> Json.str(if (typ.isEmpty) "unknown" else typ),
+        "help" -> Json.str(help),
+        "unit" -> Json.str(unit))
+      val (kept, _) = applyLimit(items, p)
+      ok(ex, Json.arr(kept))
+    })
+
+    server.createContext("/api/v1/alertmanagers", handler { ex =>
+      // ref: web/api/v1/api.go alertmanagers — discovery state of the
+      // notifier fan-out (static URLs at this seam; no dropped set)
+      ok(ex, Json.obj(
+        "activeAlertmanagers" -> Json.arr(alertmanagerUrls.map(u =>
+          Json.obj("url" -> Json.str(u)))),
+        "droppedAlertmanagers" -> "[]"))
     })
 
     server.createContext("/api/v1/otlp/v1/metrics", handler { ex =>

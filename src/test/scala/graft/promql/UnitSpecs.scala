@@ -230,7 +230,11 @@ class LinearPathSpec extends AnyFunSuite {
       // absence); an unmatched selector must still emit absence in both
       for (q <- Seq("rate(hm[30m])", "increase(hm[30m])", "delta(hm[30m])",
                     "absent_over_time(hm{s=\"hh\"}[30m])",
-                    "absent_over_time(hm{s=\"nope\"}[30m])")) {
+                    "absent_over_time(hm{s=\"nope\"}[30m])",
+                    // count/present fold both sample kinds in one fast pass;
+                    // sum/avg route hist-carrying series to the explode
+                    "count_over_time(hm[30m])", "present_over_time(hm[30m])",
+                    "sum_over_time(hm[30m])", "avg_over_time(hm[30m])")) {
         val a = histResults(q, forceLinear = false)
         val b = histResults(q, forceLinear = true)
         assert(a.keySet == b.keySet, s"$q: hist key sets differ (${a.size} vs ${b.size})")

@@ -256,6 +256,42 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("http service discovery: refresh cadence, failure keeps last set") {
+    // tiny SD endpoint serving the shared target-group JSON
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    @volatile var body = """[{"labels":{"job":"node","env":"prod"},"targets":["h1:9100","h2:9100"]}]"""
+    @volatile var status = 200
+    server.createContext("/sd", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = body.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(status, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      var now = 1000L
+      val mgr = new ScrapeManager(spark, null, Nil, nowMs = () => now)
+      mgr.useHttpSd(s"http://127.0.0.1:${server.getAddress.getPort}/sd",
+        "default", refreshMs = 60000L)
+      val t1 = mgr.currentTargets()
+      assert(t1.map(t => (t.url, t.job, t.extraLabels)) == Seq(
+        ("http://h1:9100/metrics", "node", Map("env" -> "prod")),
+        ("http://h2:9100/metrics", "node", Map("env" -> "prod"))))
+      // within the refresh window: served from cache even if the body changed
+      body = """[{"targets":["h3:9100"]}]"""
+      assert(mgr.currentTargets() == t1)
+      // past the window: re-fetched (job falls back to the default)
+      now += 61000L
+      val t2 = mgr.currentTargets()
+      assert(t2.map(t => (t.url, t.job)) == Seq(("http://h3:9100/metrics", "default")))
+      // a failing refresh keeps the last successful set
+      status = 500
+      now += 61000L
+      assert(mgr.currentTargets() == t2)
+    } finally server.stop(0)
+  }
+
   test("check metrics --extended reproduces the reference's cardinality stats") {
     // ref: cmd/promtool/main_test.go TestCheckMetricsExtended over metrics-test.prom
     val (stats, total) = MetricsCheck.extendedStats(spark,

@@ -207,6 +207,37 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("targets/metadata and alertmanagers endpoints render registry state") {
+    val store = fixtureStore()
+    store.mergeMetadata(Map(
+      "http_requests_total" -> (("counter", "", "Total requests.")),
+      "mem_bytes" -> (("gauge", "bytes", "Memory."))))
+    val api = new HttpApi(spark, store, 0, () => 600000L)
+    api.scrapeTargets = Seq(
+      graft.streaming.ScrapeManager.ScrapeTarget("http://a:9100/metrics", "api", "a:9100"),
+      graft.streaming.ScrapeManager.ScrapeTarget("http://b:9100/metrics", "db", "b:9100"))
+    api.alertmanagerUrls = Seq("http://am1:9093/api/v2/alerts")
+    api.start()
+    try {
+      val port = api.boundPort
+      // all targets × all families
+      val (c1, b1) = get(port, "/api/v1/targets/metadata")
+      assert(c1 == 200, b1)
+      assert(b1.contains("\"metric\":\"http_requests_total\"") &&
+        b1.contains("\"type\":\"counter\"") && b1.contains("\"help\":\"Total requests.\""), b1)
+      // match_target filters targets; metric filters families
+      val (c2, b2) = get(port,
+        "/api/v1/targets/metadata?match_target=%7Bjob%3D%22api%22%7D&metric=mem_bytes")
+      assert(c2 == 200 && b2.contains("\"unit\":\"bytes\"") &&
+        !b2.contains("http_requests_total") && !b2.contains("\"job\":\"db\""), b2)
+      val (c3, b3) = get(port, "/api/v1/alertmanagers")
+      assert(c3 == 200, b3)
+      assert(b3.contains(
+        "\"activeAlertmanagers\":[{\"url\":\"http://am1:9093/api/v2/alerts\"}]"), b3)
+      assert(b3.contains("\"droppedAlertmanagers\":[]"), b3)
+    } finally api.stop()
+  }
+
   test("series/labels limits are plan-side and keep the truncation warning") {
     withApi { (port, _) =>
       val (c1, b1) = get(port, "/api/v1/series?match%5B%5D=http_requests_total&limit=1")
