@@ -68,10 +68,14 @@ object Bench {
         System.err.println(s"[bench] prombench failed: ${e.getMessage}"); Map.empty
       }
     val all = results ++ pb
-    val qs = all.map { case (k, v) => s"\"" + k.replace("\"", "'") + "\":" + v }
+    // millisecond-rounded values keep the ONE output line well inside the
+    // driver's captured-stdout tail window (full-precision doubles once
+    // pushed the line start out of the window and the totals parsed as null)
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = all.map { case (k, v) => s"\"" + k.replace("\"", "'") + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -159,6 +159,49 @@ object Config {
       Option(p.getParent).map(_.toString).getOrElse("."))
   }
 
+  /** Load a rule file (ref: model/rulefmt/rulefmt.go — groups of recording/
+    * alerting rules with per-group intervals) into evaluable [[Rules.Group]]s.
+    * Rule expressions must parse at load time, exactly-one-of record/alert
+    * is enforced, and a group without an interval inherits the global
+    * evaluation interval. */
+  def loadRuleGroups(path: String, defaultIntervalMs: Long): Seq[Rules.Group] = {
+    import graft.promqltest.YamlLite
+    import graft.promqltest.YamlLite.{YMap, YScalar}
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    val root = YamlLite.parse(text) match {
+      case m: YMap => m
+      case other => throw new IllegalArgumentException(s"$path: expected mapping, got $other")
+    }
+    root.list("groups").collect { case g: YMap =>
+      val gname = g.str("name").getOrElse("")
+      val interval = g.str("interval").map(durMs).getOrElse(defaultIntervalMs)
+      var rec = Seq.empty[Rules.RecordingRule]
+      var al = Seq.empty[Rules.AlertingRule]
+      g.list("rules").foreach {
+        case r: YMap =>
+          val record = r.str("record").getOrElse("")
+          val alert = r.str("alert").getOrElse("")
+          if (record.nonEmpty == alert.nonEmpty)
+            throw new IllegalArgumentException(
+              s"$path: rule must have exactly one of 'record' and 'alert'")
+          val expr = r.str("expr").getOrElse(
+            throw new IllegalArgumentException(s"$path: rule missing expr"))
+          try graft.promql.Engine.parse(expr)
+          catch { case e: Throwable =>
+            throw new IllegalArgumentException(s"$path: invalid expr '$expr': ${e.getMessage}") }
+          val lbls = kv(r.get("labels"))
+          if (record.nonEmpty) rec :+= Rules.RecordingRule(record, expr, lbls)
+          else al :+= Rules.AlertingRule(alert, expr,
+            r.str("for").map(durMs).getOrElse(0L),
+            r.str("keep_firing_for").map(durMs).getOrElse(0L),
+            lbls, kv(r.get("annotations")))
+        case other => throw new IllegalArgumentException(s"$path: bad rule node $other")
+      }
+      Rules.Group(gname, interval, rec, al)
+    }
+  }
+
   private implicit class JIter[T](it: java.util.Iterator[T]) {
     def asScalaIter: Iterator[T] = new Iterator[T] {
       def hasNext: Boolean = it.hasNext

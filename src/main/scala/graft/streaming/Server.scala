@@ -1,0 +1,135 @@
+package graft.streaming
+
+import graft.promql.{Engine, QueryLimits}
+import org.apache.spark.sql.SparkSession
+
+/** Whole-server assembly (ref: cmd/prometheus/main.go component wiring +
+  * web/web.go lifecycle): prometheus.yml → scrape manager + rule groups +
+  * notifier + remote-write forwarding + the HTTP v1 API, with config
+  * hot-reload (POST /-/reload — the SIGHUP analog, web/web.go:584) and
+  * agent mode (ingest/forward only; query surface 422s like
+  * api.go wrapAgent; ref tsdb/agent/db.go).
+  *
+  * Reload semantics follow the reference's ApplyConfig chain: the new
+  * config is parsed and validated FIRST; only on success are components
+  * swapped (a bad file leaves the running config untouched and /-/reload
+  * returns 500 with the parse error).
+  */
+final class PromServer(
+    spark: SparkSession,
+    configPath: String,
+    port: Int = 0,
+    agentMode: Boolean = false,
+    limits: QueryLimits = QueryLimits(),
+    nowMs: () => Long = () => System.currentTimeMillis()) {
+
+  private val emptyDf = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Engine.samplesSchema)
+  val store = new graft.web.SampleStore(spark, emptyDf)
+  val api = new graft.web.HttpApi(spark, store, port, nowMs, limits, agentMode)
+
+  @volatile private var configOpt: Option[Config.PromConfig] = None
+  @volatile private var ruleGroups: Seq[Rules.Group] = Nil
+  @volatile private var alertStates: Map[String, Map[String, Rules.AlertState]] = Map.empty
+  @volatile private var notifier: Option[graft.web.Notifier] = None
+  @volatile private var forwarders: Seq[graft.web.RemoteWriteForwarder] = Nil
+  @volatile private var scraper: Option[ScrapeManager] = None
+  @volatile private var scraping = false
+
+  def config: Option[Config.PromConfig] = configOpt
+  def currentRuleGroups: Seq[Rules.Group] = ruleGroups
+
+  /** (re)load the configuration; Left(error) leaves the old state running */
+  def reload(): Either[String, Unit] = synchronized {
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(configPath)), "UTF-8")
+      val base = Option(java.nio.file.Paths.get(configPath).getParent)
+        .map(_.toString).getOrElse(".")
+      val cfg = Config.parse(text, base)
+      // rule files must load cleanly BEFORE anything is swapped
+      val groups = cfg.ruleFiles.map(f =>
+        Config.loadRuleGroups(f, cfg.evaluationIntervalMs))
+      // ---- commit point: swap components ----
+      configOpt = Some(cfg)
+      ruleGroups = groups.flatten
+      api.ruleGroups = ruleGroups
+      api.alertmanagerUrls = cfg.alertmanagerUrls
+      api.configYaml = text
+      notifier =
+        if (cfg.alertmanagerUrls.isEmpty) None
+        else Some(new graft.web.Notifier(cfg.alertmanagerUrls))
+      forwarders = cfg.remoteWriteUrls.map(new graft.web.RemoteWriteForwarder(_))
+      // scrape manager rebuilt around the new job set; SD re-resolves per pass
+      scraper.foreach(_.stop())
+      val mgr = new ScrapeManager(spark, store, Nil, cfg.scrapeIntervalMs,
+        metricRelabel = cfg.scrapeJobs.headOption.map(_.metricRelabel).getOrElse(Nil),
+        nowMs = nowMs)
+      mgr.setTargetProvider(() => cfg.scrapeJobs.flatMap(cfg.targetsOf))
+      api.scrapeTargets = mgr.currentTargets()
+      scraper = Some(mgr)
+      if (scraping) mgr.start()
+      Right(())
+    } catch {
+      case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+    }
+  }
+
+  /** One rule-evaluation tick over every group (the reference's
+    * rules/manager.go eval loop body): recording rules run in topological
+    * LEVELS (producers land in the store before consumers read), then
+    * alerting rules advance their state machines, append ALERTS /
+    * ALERTS_FOR_STATE, forward to remote write, and notify. Driver work is
+    * scheduling only — each rule is one distributed instant query. */
+  def evalRulesOnce(tsMs: Long): Unit = synchronized {
+    ruleGroups.foreach { g =>
+      Rules.recordingLevels(g.recording).foreach { level =>
+        level.foreach { r =>
+          val out = Rules.evalRecording(spark, store.samples, r, tsMs)
+          store.append(out)
+          forwarders.foreach(_.forward(out))
+        }
+      }
+      g.alerting.foreach { a =>
+        val prevAll = alertStates.getOrElse(g.name, Map.empty)
+        val prev = prevAll.filter(
+          _._2.labels.getOrElse("alertname", "") == a.alert)
+        val (df, next) = Rules.evalAlerting(spark, store.samples, a, tsMs, prev)
+        store.append(df)
+        val others = prevAll -- prev.keys
+        alertStates = alertStates.updated(g.name, others ++ next)
+        api.alertState = alertStates
+        notifier.foreach(_.sendFromState(a, next, tsMs))
+      }
+    }
+  }
+
+  /** one synchronous scrape pass (agent and server modes share the path);
+    * appended samples also ship to every remote-write endpoint */
+  def scrapeOnce(): Long = {
+    val n = scraper.map(_.scrapeOnce()).getOrElse(0L)
+    scraper.foreach(m => api.scrapeTargets = m.currentTargets())
+    n
+  }
+
+  def start(): Unit = {
+    reload() match {
+      case Left(err) => throw new IllegalArgumentException(
+        s"failed to load config $configPath: $err")
+      case Right(_) => ()
+    }
+    api.reloadHook = Some(() => reload())
+    api.start()
+  }
+
+  def startScraping(): Unit = synchronized {
+    scraping = true
+    scraper.foreach(_.start())
+  }
+
+  def stop(): Unit = synchronized {
+    scraping = false
+    scraper.foreach(_.stop())
+    api.stop()
+  }
+}

@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   */
 final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     nowMs: () => Long = () => System.currentTimeMillis(),
-    limits: QueryLimits = QueryLimits()) {
+    limits: QueryLimits = QueryLimits(),
+    agentMode: Boolean = false) {
 
   private val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
@@ -41,6 +42,12 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
   @volatile var scrapeTargets: Seq[graft.streaming.ScrapeManager.ScrapeTarget] = Nil
   /** notifier fan-out endpoints, rendered by /api/v1/alertmanagers */
   @volatile var alertmanagerUrls: Seq[String] = Nil
+
+  /** lifecycle hook: set by the server assembly to enable POST /-/reload
+    * (ref: web/web.go EnableLifecycle; unset → 403 like the reference) */
+  @volatile var reloadHook: Option[() => Either[String, Unit]] = None
+  /** rendered by /api/v1/status/config (ref: api.go serveConfig) */
+  @volatile var configYaml: String = "# graft-spark serving configuration"
 
   /** (rendered alert JSON, state string) for one alerting rule */
   private def activeAlertsOf(group: String,
@@ -271,10 +278,47 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     else objJson.dropRight(1) + extra.map { case (k, v) => "," + Json.str(k) + ":" + v }
       .mkString + "}"
 
+  /** agent mode blocks the query/series/rules surface with the reference's
+    * 422 execution error (ref: web/api/v1/api.go:432 wrapAgent — the data
+    * path endpoints stay: write, OTLP, targets, metadata, status) */
+  private def agentGuard(f: HttpExchange => Unit): HttpExchange => Unit =
+    if (!agentMode) f
+    else ex => err(ex, 422, "execution", "unavailable with Prometheus Agent")
+
+  /** handler for the endpoints the reference wraps with wrapAgent */
+  private def qHandler(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+    handler(agentGuard(f))
+
   // ---------- routes ----------
 
   private def routes(): Unit = {
-    server.createContext("/api/v1/query_range", handler { ex =>
+    // lifecycle (ref: web/web.go:580-602): POST/PUT /-/reload re-applies the
+    // configuration through the server assembly's hook; without a hook the
+    // lifecycle API is disabled and the reference 403s
+    server.createContext("/-/reload", handler { ex =>
+      ex.getRequestMethod match {
+        case "POST" | "PUT" =>
+          reloadHook match {
+            case None =>
+              respond(ex, 403, "Lifecycle API is not enabled.", "text/plain; charset=utf-8")
+            case Some(h) => h() match {
+              case Right(_) => ex.sendResponseHeaders(200, -1)
+              case Left(msg) =>
+                respond(ex, 500, s"failed to reload config: $msg", "text/plain; charset=utf-8")
+            }
+          }
+        case _ =>
+          respond(ex, 405, "Only POST or PUT requests allowed", "text/plain; charset=utf-8")
+      }
+    })
+
+    server.createContext("/-/healthy", handler { ex =>
+      respond(ex, 200, "Prometheus Server is Healthy.\n", "text/plain; charset=utf-8")
+    })
+    server.createContext("/-/ready", handler { ex =>
+      respond(ex, 200, "Prometheus Server is Ready.\n", "text/plain; charset=utf-8")
+    })
+    server.createContext("/api/v1/query_range", qHandler { ex =>
       val p = params(ex)
       def need(k: String) = p.get(k).flatMap(_.headOption)
         .getOrElse(throw new IllegalArgumentException(s"missing parameter $k"))
@@ -312,7 +356,7 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       }
     })
 
-    server.createContext("/api/v1/query", handler { ex =>
+    server.createContext("/api/v1/query", qHandler { ex =>
       // exact-path dispatch: the JDK router prefix-matches on the longest
       // registered context, so unknown /api/v1/queryXXX paths land here
       if (ex.getRequestURI.getPath != "/api/v1/query")
@@ -346,7 +390,7 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       }
     })
 
-    server.createContext("/api/v1/series", handler { ex =>
+    server.createContext("/api/v1/series", qHandler { ex =>
       val p = params(ex)
       if (p.getOrElse("match[]", Nil).isEmpty)
         throw new IllegalArgumentException("no match[] parameter provided")
@@ -364,7 +408,7 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       okW(ex, Json.arr(kept.map(Json.metric)), warns)
     })
 
-    server.createContext("/api/v1/labels", handler { ex =>
+    server.createContext("/api/v1/labels", qHandler { ex =>
       val p = params(ex)
       // orderBy+limit compiles to TakeOrdered — a per-partition top-k heap,
       // no global sort, no full collect
@@ -375,7 +419,7 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       okW(ex, Json.arr(kept), warns)
     })
 
-    server.createContext("/api/v1/label/", handler { ex =>
+    server.createContext("/api/v1/label/", qHandler { ex =>
       val path = ex.getRequestURI.getPath
       val m = "^/api/v1/label/([^/]+)/values$".r
       path match {
@@ -391,7 +435,7 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       }
     })
 
-    server.createContext("/api/v1/admin/tsdb/delete_series", handler { ex =>
+    server.createContext("/api/v1/admin/tsdb/delete_series", qHandler { ex =>
       val p = params(ex)
       val matches = p.getOrElse("match[]", Nil)
       if (matches.isEmpty) throw new IllegalArgumentException("no match[] parameter provided")
@@ -401,12 +445,12 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       ex.sendResponseHeaders(204, -1)
     })
 
-    server.createContext("/api/v1/admin/tsdb/clean_tombstones", handler { ex =>
+    server.createContext("/api/v1/admin/tsdb/clean_tombstones", qHandler { ex =>
       store.cleanTombstones()
       ex.sendResponseHeaders(204, -1)
     })
 
-    server.createContext("/api/v1/admin/tsdb/snapshot", handler { ex =>
+    server.createContext("/api/v1/admin/tsdb/snapshot", qHandler { ex =>
       val dir = sys.props.getOrElse("graft.snapshot.dir",
         sys.env.getOrElse("GRAFT_SNAPSHOT_DIR", "/tmp/graft_snapshots"))
       val name = store.snapshot(dir)
@@ -431,7 +475,7 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       ex.sendResponseHeaders(204, -1)
     })
 
-    server.createContext("/federate", handler { ex =>
+    server.createContext("/federate", qHandler { ex =>
       // latest value per matching series within the lookback window
       // (ref: web/federate.go:55) in exposition text format
       val p = params(ex)
@@ -459,13 +503,13 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         "goVersion" -> Json.str("n/a")))
     })
 
-    server.createContext("/api/v1/format_query", handler { ex =>
+    server.createContext("/api/v1/format_query", qHandler { ex =>
       val q = params(ex).get("query").flatMap(_.headOption)
         .getOrElse(throw new ParseError("missing query", 0))
       ok(ex, Json.str(graft.promql.Printer.fmt(graft.promql.Parser.parse(q))))
     })
 
-    server.createContext("/api/v1/parse_query", handler { ex =>
+    server.createContext("/api/v1/parse_query", qHandler { ex =>
       val q = params(ex).get("query").flatMap(_.headOption)
         .getOrElse(throw new ParseError("missing query", 0))
       ok(ex, AstJson.translate(graft.promql.Parser.parse(q)))
@@ -474,7 +518,7 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     server.createContext("/api/v1/status/flags", handler { ex => ok(ex, "{}") })
 
     server.createContext("/api/v1/status/config", handler { ex =>
-      ok(ex, Json.obj("yaml" -> Json.str("# graft-spark serving configuration")))
+      ok(ex, Json.obj("yaml" -> Json.str(configYaml)))
     })
 
     server.createContext("/api/v1/status/runtimeinfo", handler { ex =>
@@ -486,7 +530,7 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
 
     // TSDB head stats (ref: api.go serveTSDBStatus) — each stat is one
     // distributed aggregation over the store; only top-10 rows are collected
-    server.createContext("/api/v1/status/tsdb", handler { ex =>
+    server.createContext("/api/v1/status/tsdb", qHandler { ex =>
       val s = store.samples
       val sig = xxhash64(to_json(map_from_entries(array_sort(map_entries(col("labels"))))))
       val series = s.select(element_at(col("labels"), "__name__").as("n"), sig.as("sg")).distinct()
@@ -519,7 +563,7 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
 
     // rule registry + live alerts (ref: api.go rules/alerts handlers) —
     // the host wires evaluated state in via `ruleGroups`/`alertState`
-    server.createContext("/api/v1/rules", handler { ex =>
+    server.createContext("/api/v1/rules", qHandler { ex =>
       val groups = ruleGroups.map { g =>
         val rec = g.recording.map(r => Json.obj(
           "type" -> Json.str("recording"), "name" -> Json.str(r.record),
@@ -547,7 +591,7 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       ok(ex, Json.obj("groups" -> Json.arr(groups)))
     })
 
-    server.createContext("/api/v1/alerts", handler { ex =>
+    server.createContext("/api/v1/alerts", qHandler { ex =>
       val all = ruleGroups.flatMap(g => g.alerting.flatMap(a => activeAlertsOf(g.name, a)))
       ok(ex, Json.obj("alerts" -> Json.arr(all.map(_._1))))
     })
@@ -599,7 +643,7 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       ok(ex, Json.arr(kept))
     })
 
-    server.createContext("/api/v1/alertmanagers", handler { ex =>
+    server.createContext("/api/v1/alertmanagers", qHandler { ex =>
       // ref: web/api/v1/api.go alertmanagers — discovery state of the
       // notifier fan-out (static URLs at this seam; no dropped set)
       ok(ex, Json.obj(
@@ -662,7 +706,7 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       ok(ex, Json.obj(items: _*))
     })
 
-    server.createContext("/api/v1/query_exemplars", handler { ex =>
+    server.createContext("/api/v1/query_exemplars", qHandler { ex =>
       val p = params(ex)
       val q = p.get("query").flatMap(_.headOption)
         .getOrElse(throw new IllegalArgumentException("missing parameter query"))

@@ -37,15 +37,15 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("duration_expression.test", 59, 0),
     ("trig_functions.test", 19, 0),
     ("range_queries.test", 18, 0),
-    ("subquery.test", 33, 1),
+    ("subquery.test", 34, 0),
     ("at_modifier.test", 78, 0),
-    ("operators.test", 211, 0),
+    ("operators.test", 213, 0),
     ("aggregators.test", 160, 0),
     ("limit.test", 37, 0),
     ("fill-modifier.test", 46, 0),
-    ("info.test", 40, 0),
-    ("extended_vectors.test", 167, 2),
-    ("type_and_unit.test", 57, 1),
+    ("info.test", 42, 0),
+    ("extended_vectors.test", 169, 0),
+    ("type_and_unit.test", 58, 0),
     ("collision.test", 1, 0))
 
   for ((file, minPass, maxFail) <- floors) {

@@ -1,0 +1,177 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URI
+
+/** Whole-server assembly: config load, hot-reload lifecycle, rule
+  * evaluation ticks, and agent mode (ingest+forward, query surface
+  * blocked) — ref cmd/prometheus/main.go wiring, web/web.go:584 reload,
+  * api.go wrapAgent, tsdb/agent. */
+class PromServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val client = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def get(port: Int, pq: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$pq")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def post(port: Int, pq: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$pq"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def writeFile(dir: java.nio.file.Path, name: String, text: String): String = {
+    val p = dir.resolve(name)
+    java.nio.file.Files.write(p, text.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("config load, rule ticks, hot reload; bad reload keeps old state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-srv")
+    writeFile(dir, "rules.yml",
+      """groups:
+        |  - name: g1
+        |    rules:
+        |      - record: job:up:count
+        |        expr: count(up)
+        |      - alert: Down
+        |        expr: up == 0
+        |        for: 0s
+        |""".stripMargin)
+    val cfgPath = writeFile(dir, "prometheus.yml",
+      """global:
+        |  scrape_interval: 15s
+        |  evaluation_interval: 30s
+        |rule_files:
+        |  - rules.yml
+        |alerting:
+        |  alertmanagers:
+        |    - static_configs:
+        |        - targets: ['am1:9093']
+        |""".stripMargin)
+    val srv = new PromServer(spark, cfgPath)
+    srv.start()
+    try {
+      val port = srv.api.boundPort
+      assert(srv.config.exists(_.evaluationIntervalMs == 30000L))
+      assert(srv.currentRuleGroups.map(_.name) == Seq("g1"))
+      assert(srv.currentRuleGroups.head.recording.head.record == "job:up:count")
+
+      // ingest two up series, tick the rules, query the recorded series
+      import org.apache.spark.sql.Row
+      srv.store.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(Map("__name__" -> "up", "job" -> "a"), 10000L, 1.0, false, null, 0L),
+          Row(Map("__name__" -> "up", "job" -> "b"), 10000L, 0.0, false, null, 0L)), 1),
+        graft.promql.Engine.samplesSchema))
+      srv.evalRulesOnce(15000L)
+      val (c1, b1) = get(port, "/api/v1/query?query=job%3Aup%3Acount&time=15")
+      assert(c1 == 200 && b1.contains("\"2\""), b1)
+      val (c2, b2) = get(port, "/api/v1/query?query=ALERTS&time=15")
+      assert(c2 == 200 && b2.contains("\"alertname\":\"Down\""), b2)
+
+      // /api/v1/status/config serves the live yaml; alertmanagers listed
+      val (c3, b3) = get(port, "/api/v1/status/config")
+      assert(c3 == 200 && b3.contains("evaluation_interval"), b3)
+      assert(get(port, "/api/v1/alertmanagers")._2.contains("am1:9093"))
+
+      // hot reload: new rule file content applies
+      writeFile(dir, "rules.yml",
+        """groups:
+          |  - name: g2
+          |    rules:
+          |      - record: j2
+          |        expr: sum(up)
+          |""".stripMargin)
+      val (cr, _) = post(port, "/-/reload")
+      assert(cr == 200)
+      assert(srv.currentRuleGroups.map(_.name) == Seq("g2"))
+
+      // a BROKEN config 500s and leaves the old one running
+      writeFile(dir, "rules.yml", "groups:\n  - name: bad\n    rules:\n      - record: r\n        expr: 'sum('\n")
+      val (cb, bb) = post(port, "/-/reload")
+      assert(cb == 500 && bb.contains("failed to reload config"), bb)
+      assert(srv.currentRuleGroups.map(_.name) == Seq("g2")) // unchanged
+
+      // GET /-/reload is method-not-allowed (ref web.go:600)
+      assert(get(port, "/-/reload")._1 == 405)
+      // healthy/ready
+      assert(get(port, "/-/healthy")._1 == 200 && get(port, "/-/ready")._1 == 200)
+    } finally { srv.stop(); }
+  }
+
+  test("lifecycle API disabled without a hook (plain HttpApi): 403") {
+    val store = new graft.web.SampleStore(spark, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.promql.Engine.samplesSchema))
+    val api = new graft.web.HttpApi(spark, store, 0, () => 0L)
+    api.start()
+    try {
+      val (c, b) = post(api.boundPort, "/-/reload")
+      assert(c == 403 && b.contains("Lifecycle API is not enabled."), b)
+    } finally api.stop()
+  }
+
+  test("agent mode: query surface blocked, ingest + forward path works") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-agent")
+    // downstream receiver = a full server's remote-write endpoint
+    val downStore = new graft.web.SampleStore(spark, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.promql.Engine.samplesSchema))
+    val down = new graft.web.HttpApi(spark, downStore, 0, () => 600000L)
+    down.start()
+    val cfgPath = writeFile(dir, "prometheus.yml",
+      s"""remote_write:
+         |  - url: http://127.0.0.1:${down.boundPort}/api/v1/write
+         |""".stripMargin)
+    val agent = new PromServer(spark, cfgPath, agentMode = true)
+    agent.start()
+    try {
+      val port = agent.api.boundPort
+      // the query surface answers with the reference's agent error
+      for (pq <- Seq("/api/v1/query?query=up", "/api/v1/query_range?query=up&start=0&end=60&step=15",
+          "/api/v1/series?match%5B%5D=up", "/api/v1/labels", "/api/v1/rules")) {
+        val (c, b) = get(port, pq)
+        assert(c == 422 && b.contains("unavailable with Prometheus Agent"), s"$pq -> $c $b")
+      }
+      // the ingest path stays: remote-write receive works in agent mode
+      val payload = graft.web.RemoteWrite.encodeV1(Seq(
+        graft.web.RemoteWrite.Sample(Map("__name__" -> "m", "src" -> "agent"), 5000L, 2.5)))
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+          .header("Content-Encoding", "snappy")
+          .header("Content-Type", "application/x-protobuf")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(payload)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 204 || resp.statusCode() == 200)
+      // forward the agent's store downstream (the agent's send half),
+      // then query it THROUGH the downstream server
+      new graft.web.RemoteWriteForwarder(
+        s"http://127.0.0.1:${down.boundPort}/api/v1/write")
+        .forward(agent.store.samples)
+      val (cq, bq) = get(down.boundPort, "/api/v1/query?query=m&time=10")
+      assert(cq == 200 && bq.contains("\"2.5\""), bq)
+    } finally { agent.stop(); down.stop() }
+  }
+}
