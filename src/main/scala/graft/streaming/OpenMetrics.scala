@@ -179,7 +179,9 @@ object OpenMetrics {
     if (d == Double.PositiveInfinity) return "+Inf"
     if (d == Double.NegativeInfinity) return "-Inf"
     if (d == 0.0) return if (1.0 / d < 0) "-0" else "0"
-    val bd = new java.math.BigDecimal(java.lang.Double.toString(math.abs(d))).stripTrailingZeros
+    // true shortest round-trip digits (Go %g parity on JDK 17 — see
+    // Json.shortestDecimal; Double.toString alone can over-produce digits)
+    val bd = graft.web.Json.shortestDecimal(math.abs(d))
     val exp = bd.precision - bd.scale - 1
     val sign = if (d < 0) "-" else ""
     if (exp < -4 || exp >= 6) {

@@ -517,6 +517,13 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
 
     server.createContext("/api/v1/status/flags", handler { ex => ok(ex, "{}") })
 
+    server.createContext("/api/v1/status/walreplay", handler { ex =>
+      // ref: api.go:2025 serveWALReplayStatus / tsdb/head.go:699 — recovery
+      // here is Structured Streaming checkpoint restore, which completes
+      // before serving starts, so the analog is an always-complete replay
+      ok(ex, Json.obj("min" -> "0", "max" -> "0", "current" -> "0"))
+    })
+
     server.createContext("/api/v1/status/config", handler { ex =>
       ok(ex, Json.obj("yaml" -> Json.str(configYaml)))
     })

@@ -26,14 +26,34 @@ object Json {
 
   def str(s: String): String = "\"" + escape(s) + "\""
 
+  /** Shortest round-trip decimal of a finite double (the digit sequence Go's
+    * strconv/Ryu produces). Java's `Double.toString` guarantees round-trip
+    * but NOT minimal digits before JDK 19 (JDK-4511638), so its digit count
+    * is only a starting point: precision is walked DOWN while the rounded
+    * value still round-trips — the minimal-precision half-even rounding of
+    * the exact binary value is the closest shortest representation, matching
+    * Ryu's output. Cost: usually zero or one extra BigDecimal rounding. */
+  def shortestDecimal(d: Double): java.math.BigDecimal = {
+    val viaString = new java.math.BigDecimal(java.lang.Double.toString(d)).stripTrailingZeros
+    val exact = new java.math.BigDecimal(d)
+    var best = viaString
+    var p = viaString.precision - 1
+    while (p >= 1) {
+      val r = exact.round(new java.math.MathContext(p))
+      if (r.doubleValue() == d) { best = r.stripTrailingZeros; p -= 1 }
+      else p = 0 // fewer digits can only be coarser — stop
+    }
+    best
+  }
+
   /** Go strconv.FormatFloat(v, 'f'|'e', -1, 64) over the shortest
-    * round-trip decimal (Java's Double.toString digits are also shortest). */
+    * round-trip decimal. */
   def goFloat(d: Double): String = {
     if (d.isNaN) return "NaN"
     if (d == Double.PositiveInfinity) return "+Inf"
     if (d == Double.NegativeInfinity) return "-Inf"
     val abs = math.abs(d)
-    val bd = new java.math.BigDecimal(java.lang.Double.toString(d)).stripTrailingZeros
+    val bd = shortestDecimal(d)
     if (abs == 0) "0"
     else if (abs >= 1e-6 && abs < 1e21) bd.toPlainString
     else {

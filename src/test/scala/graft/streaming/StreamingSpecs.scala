@@ -343,6 +343,14 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(goG(0.0000345) == "3.45e-05")
     assert(goG(-2.5) == "-2.5")
     assert(goG(Double.PositiveInfinity) == "+Inf")
+    // JDK 17's Double.toString over-produces digits for these (fixed only in
+    // JDK 19, JDK-4511638); Go's strconv emits the true shortest form
+    assert(goG(5.7223519193314771e17) == "5.722351919331477e+17")
+    assert(goG(-2.6814475343671142e18) == "-2.681447534367114e+18")
+    assert(goG(1.64606760795392717e18) == "1.6460676079539272e+18")
+    assert(graft.web.Json.goFloat(5.7223519193314771e17) == "572235191933147700")
+    // shortest forms still round-trip exactly
+    assert("5.722351919331477e17".toDouble == 5.7223519193314771e17)
   }
 
   test("openmetrics dump round-trips the reference's dump corpus") {
