@@ -392,4 +392,37 @@ object HistUdfs {
       (if (isAvg) FHist.avgSeq(hs) else FHist.sumSeq(hs)).compact
     } catch { case _: Exception => null }
   }
+
+  /** Series-at-once sum/avg_over_time over HIST-PURE series: every step's
+    * window folded from one sorted pass — the histogram twin of
+    * [[RangeUdfs.seriesWindowAgg]] and the same two-pointer shape as
+    * [[histRateAllSteps]], so day-scale windows on native-histogram series
+    * skip the coverage explode. Windows whose layouts are incompatible drop
+    * (the explode path's histOverTime null behavior). */
+  def histOverTimeAllSteps(isAvg: Boolean, startMs: Long, stepMs: Long,
+      numSteps: Int, rangeMs: Long) = udf { (pts: Seq[HPt]) =>
+    if (pts == null || pts.isEmpty) Seq.empty[(Long, FHist)]
+    else {
+      val sorted = pts.toIndexedSeq // pre-sorted by wt via sort_array
+      val n = sorted.length
+      val out = scala.collection.mutable.ArrayBuffer[(Long, FHist)]()
+      var lo = 0; var hi = 0 // window (t−range, t] == [lo, hi)
+      var k = 0
+      while (k < numSteps) {
+        val t = startMs + k.toLong * stepMs
+        while (lo < n && sorted(lo).wt <= t - rangeMs) lo += 1
+        while (hi < n && sorted(hi).wt <= t) hi += 1
+        if (hi > lo) {
+          val h =
+            try {
+              val hs = sorted.slice(lo, hi).map(_.h)
+              (if (isAvg) FHist.avgSeq(hs) else FHist.sumSeq(hs)).compact
+            } catch { case _: Exception => null }
+          if (h != null) out += ((t, h))
+        }
+        k += 1
+      }
+      out.toSeq
+    }
+  }
 }

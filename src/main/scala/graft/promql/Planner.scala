@@ -664,13 +664,33 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         // engine min/max/stddev float-only slices) — float rows suffice
         fast(ri.points.filter(hIsNull))
       else {
-        val histSeries = ri.points.filter(hNotNull)
-          .select(col("__sg")).distinct()
-        val fastLeg = fast(ri.points.join(broadcast(histSeries),
-          Seq("__sg"), "left_anti"))
+        // sum/avg: three-way series split. Float-pure series → float fast
+        // pass; HIST-PURE series → the histogram series-at-once fold (same
+        // two-pointer device as the hist rate path — no coverage explode at
+        // day windows); only MIXED series (both kinds, where windows need
+        // per-window mixed-exclusion) keep the restricted explode.
+        val kinds = ri.points.groupBy(col("__sg"))
+          .agg(max(hNotNull).as("anyH"), max(hIsNull).as("anyF"))
+        val histOnlySer = kinds.filter(col("anyH") && !col("anyF")).select(col("__sg"))
+        val mixedSer = kinds.filter(col("anyH") && col("anyF")).select(col("__sg"))
+        val fastLeg = fast(ri.points
+          .join(broadcast(histOnlySer.unionByName(mixedSer)), Seq("__sg"), "left_anti"))
+        val histLeg = {
+          val rows = ri.points.join(broadcast(histOnlySer), Seq("__sg"), "left_semi")
+            .withColumns(Map("wt" -> (col("t") + ri.offsetMs), "wst" -> wstCol(ri.offsetMs)))
+            .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
+          val agged = rows.groupBy(col("__sg"))
+            .agg(first(col("labels")).as("labels"),
+              sort_array(collect_list(struct(col("wt"), col("h"), col("wst").as("stt")))).as("hp"))
+          agged.select(col("labels"),
+              explode(HistUdfs.histOverTimeAllSteps(op == "avg",
+                P.startMs, P.stepMs, P.numSteps.toInt, ri.rangeMs)(col("hp"))).as("o"))
+            .select(col("labels"), col("o._1").as("t"), lit(Double.NaN).as("v"),
+              col("o._1").as("st"), col("o._2").as("h"), lit(true).as("dn"))
+        }
         val slowLeg = evalRangeBody(name, arg, ri.copy(points =
-          ri.points.join(broadcast(histSeries), Seq("__sg"), "left_semi")), extra)
-        fastLeg.unionByName(slowLeg)
+          ri.points.join(broadcast(mixedSer), Seq("__sg"), "left_semi")), extra)
+        fastLeg.unionByName(histLeg).unionByName(slowLeg)
       }
     }
   }

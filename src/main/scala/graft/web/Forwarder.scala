@@ -18,21 +18,31 @@ final class RemoteWriteForwarder(
     endpoint: String,
     maxBatch: Int = 5000,
     maxRetries: Int = 3,
-    backoffMs: Long = 100L) extends Serializable {
+    backoffMs: Long = 100L,
+    protoVersion: Int = 1) extends Serializable {
 
-  /** forward all float samples; returns the count shipped */
+  /** forward samples; v2 endpoints also carry NATIVE HISTOGRAMS (PRW 1.0
+    * send stays float-only — encodeV1 has no histogram payload). Returns
+    * the count shipped. */
   def forward(samples: DataFrame): Long = {
     val url = endpoint
     val mb = maxBatch; val mr = maxRetries; val bo = backoffMs
+    val v2 = protoVersion >= 2
     val shipped = samples.sparkSession.sparkContext.longAccumulator("rw_forwarded")
-    samples
-      .filter(col("h").isNull && !col("stale"))
-      .select(col("labels"), col("t"), col("v"))
+    val base = samples.filter(!col("stale"))
+    val projected =
+      if (v2 && samples.columns.contains("h"))
+        base.select(col("labels"), col("t"), col("v"), col("h"))
+      else
+        base.filter(if (samples.columns.contains("h")) col("h").isNull else lit(true))
+          .select(col("labels"), col("t"), col("v"), lit(null).cast("string").as("h"))
+    projected
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val client = java.net.http.HttpClient.newHttpClient()
         def send(batch: Seq[RemoteWrite.Sample]): Unit = {
           if (batch.isEmpty) return
-          val body = RemoteWrite.encodeV1(batch)
+          val body =
+            if (v2) RemoteWrite.encodeV2(batch) else RemoteWrite.encodeV1(batch)
           var attempt = 0
           var done = false
           while (!done && attempt <= mr) {
@@ -40,8 +50,10 @@ final class RemoteWriteForwarder(
               val resp = client.send(
                 java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
                   .header("Content-Encoding", "snappy")
-                  .header("Content-Type", "application/x-protobuf")
-                  .header("X-Prometheus-Remote-Write-Version", "0.1.0")
+                  .header("Content-Type",
+                    if (v2) "application/x-protobuf;proto=io.prometheus.write.v2.Request"
+                    else "application/x-protobuf")
+                  .header("X-Prometheus-Remote-Write-Version", if (v2) "2.0.0" else "0.1.0")
                   .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
                   .build(),
                 java.net.http.HttpResponse.BodyHandlers.discarding())
@@ -61,7 +73,11 @@ final class RemoteWriteForwarder(
         }
         val buf = scala.collection.mutable.ArrayBuffer[RemoteWrite.Sample]()
         rows.foreach { r =>
-          buf += RemoteWrite.Sample(r.getMap[String, String](0).toMap, r.getLong(1), r.getDouble(2))
+          val h =
+            if (!v2 || r.isNullAt(3)) None
+            else Some(graft.promql.FHist.fromRow(r.getStruct(3)))
+          buf += RemoteWrite.Sample(r.getMap[String, String](0).toMap,
+            r.getLong(1), r.getDouble(2), h = h)
           if (buf.size >= mb) { send(buf.toSeq); buf.clear() }
         }
         send(buf.toSeq)

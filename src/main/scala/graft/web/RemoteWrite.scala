@@ -326,4 +326,98 @@ object RemoteWrite {
     }
     org.xerial.snappy.Snappy.compress(bo.toByteArray)
   }
+
+  /** PRW 2.0 encoder (block-compressed): symbol table + labels_refs series,
+    * float samples AND native histograms (ref: prompb/io/prometheus/write/v2/
+    * types.proto — Request{symbols=4, timeseries=5}; TimeSeries{labels_refs=1,
+    * samples=2, histograms=3, created_timestamp=6}). Histograms are emitted
+    * in FLOAT form (count_float, zero_count_float, packed counts) — the sparse FHist
+    * representation maps 1:1 and receivers accept either family. This is the
+    * sending half the forwarder uses for v2 endpoints. */
+  def encodeV2(samples: Seq[Sample]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    def vint(o: java.io.ByteArrayOutputStream, x0: Long): Unit = {
+      var x = x0
+      while ((x & ~0x7fL) != 0) { o.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      o.write(x.toInt)
+    }
+    def zig(v: Long): Long = (v << 1) ^ (v >> 63)
+    def delim(o: java.io.ByteArrayOutputStream, tag: Int, body: Array[Byte]): Unit = {
+      vint(o, (tag << 3) | 2); vint(o, body.length); o.write(body)
+    }
+    def f64(o: java.io.ByteArrayOutputStream, tag: Int, v: Double): Unit = {
+      vint(o, (tag << 3) | 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).foreach(i => o.write(((bits >> (8 * i)) & 0xff).toInt))
+    }
+    def packedF64(o: java.io.ByteArrayOutputStream, tag: Int, vs: Seq[Double]): Unit =
+      if (vs.nonEmpty) {
+        val p = new java.io.ByteArrayOutputStream()
+        vs.foreach { v =>
+          val bits = java.lang.Double.doubleToLongBits(v)
+          (0 until 8).foreach(i => p.write(((bits >> (8 * i)) & 0xff).toInt))
+        }
+        delim(o, tag, p.toByteArray)
+      }
+    /** sparse indexes → span-RLE (offset deltas between runs) */
+    def spansOf(o: java.io.ByteArrayOutputStream, tag: Int, idx: Seq[Int]): Unit = {
+      var prevEnd = 0
+      var i = 0
+      while (i < idx.length) {
+        val start = idx(i)
+        var j = i
+        while (j + 1 < idx.length && idx(j + 1) == idx(j) + 1) j += 1
+        val so = new java.io.ByteArrayOutputStream()
+        vint(so, 1 << 3); vint(so, zig((start - prevEnd).toLong)) // offset
+        vint(so, 2 << 3); vint(so, (j - i + 1).toLong) // length
+        delim(o, tag, so.toByteArray)
+        prevEnd = idx(j) + 1
+        i = j + 1
+      }
+    }
+    def histMsg(h: graft.promql.FHist, t: Long): Array[Byte] = {
+      val ho = new java.io.ByteArrayOutputStream()
+      f64(ho, 2, h.cnt) // count_float
+      f64(ho, 3, h.sum)
+      vint(ho, 4 << 3); vint(ho, zig(h.schema.toLong))
+      f64(ho, 5, h.zt)
+      f64(ho, 7, h.zc) // zero_count_float
+      spansOf(ho, 8, h.nidx)
+      packedF64(ho, 10, h.ncnt)
+      spansOf(ho, 11, h.pidx)
+      packedF64(ho, 13, h.pcnt)
+      if (h.crh != 0) { vint(ho, 14 << 3); vint(ho, h.crh.toLong) }
+      vint(ho, 15 << 3); vint(ho, t)
+      packedF64(ho, 16, h.cv)
+      ho.toByteArray
+    }
+    // symbol table: index 0 is the empty string per spec
+    val symIdx = mutable.LinkedHashMap[String, Int]("" -> 0)
+    def sym(s: String): Int = symIdx.getOrElseUpdate(s, symIdx.size)
+    val seriesBodies = samples.groupBy(_.labels).toSeq.map { case (labels, ss) =>
+      val tso = new java.io.ByteArrayOutputStream()
+      val refs = new java.io.ByteArrayOutputStream()
+      labels.toSeq.sortBy(_._1).foreach { case (n, v) =>
+        vint(refs, sym(n).toLong); vint(refs, sym(v).toLong)
+      }
+      delim(tso, 1, refs.toByteArray)
+      ss.foreach { s =>
+        s.h match {
+          case Some(h) => delim(tso, 3, histMsg(h, s.t))
+          case None =>
+            val so = new java.io.ByteArrayOutputStream()
+            f64(so, 1, s.v)
+            vint(so, 2 << 3); vint(so, s.t)
+            delim(tso, 2, so.toByteArray)
+        }
+      }
+      ss.map(_.stt).find(_ != 0L).foreach { ct =>
+        vint(tso, 6 << 3); vint(tso, ct)
+      }
+      tso.toByteArray
+    }
+    symIdx.keys.foreach(s => delim(bo, 4, s.getBytes("UTF-8")))
+    seriesBodies.foreach(delim(bo, 5, _))
+    org.xerial.snappy.Snappy.compress(bo.toByteArray)
+  }
 }

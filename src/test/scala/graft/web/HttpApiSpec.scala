@@ -149,6 +149,43 @@ class HttpApiSpec extends AnyFunSuite {
       Map("__name__" -> "m2", "job" -> "x"), 123000L, 3.5, 100000L)))
   }
 
+  test("PRW 2.0 encoder round-trips and v2 forwarding carries native histograms") {
+    val h = graft.promql.FHist(0, math.pow(2, -128), 1.0, 6.0, 12.0,
+      Seq(1, 2, 5), Seq(2.0, 3.0, 1.0), Seq(0), Seq(1.0), Nil, 1)
+    val in = Seq(
+      RemoteWrite.Sample(Map("__name__" -> "hm", "job" -> "j"), 1000L, Double.NaN, 500L, Some(h)),
+      RemoteWrite.Sample(Map("__name__" -> "fm", "job" -> "j"), 2000L, 3.25))
+    val (out, _) = RemoteWrite.decodeV2Full(
+      org.xerial.snappy.Snappy.uncompress(RemoteWrite.encodeV2(in)))
+    val byName = out.groupBy(_.labels("__name__"))
+    assert(byName("fm").head.v == 3.25 && byName("fm").head.t == 2000L)
+    assert(byName("fm").head.labels == Map("__name__" -> "fm", "job" -> "j"))
+    // the sparse histogram survives the span-RLE round trip exactly
+    assert(byName("hm").head.h.contains(h))
+    assert(byName("hm").head.stt == 500L)
+
+    // e2e: v2 forwarding ships float AND histogram rows to a receiver,
+    // where the histogram is queryable
+    val down = fixtureStore()
+    val api = new HttpApi(spark, down, 0, () => 600000L)
+    api.start()
+    try {
+      val src = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(Map("__name__" -> "fwd_f"), 3000L, 1.5, false, null, 0L),
+          Row(Map("__name__" -> "fwd_h"), 3000L, Double.NaN, false,
+            graft.promql.FHist.toRow(h), 0L)), 1),
+        Engine.samplesSchema)
+      val n = new RemoteWriteForwarder(
+        s"http://127.0.0.1:${api.boundPort}/api/v1/write", protoVersion = 2)
+        .forward(src)
+      assert(n == 2L) // histogram row INCLUDED (v1 would drop it)
+      val (c, b) = get(api.boundPort, "/api/v1/query?query=fwd_h&time=3")
+      assert(c == 200 && b.contains("\"histogram\""), b)
+      assert(b.contains("\"count\":\"6\"") && b.contains("\"sum\":\"12\""), b)
+    } finally api.stop()
+  }
+
   test("sample budget refuses over-limit queries with the reference 422 shape") {
     val store = fixtureStore()
     // instant query at t=600 scans 10 in-lookback samples per series × 2
