@@ -20,7 +20,8 @@ object Config {
       intervalMs: Long,
       relabel: Seq[Relabel.Rule],
       metricRelabel: Seq[Relabel.Rule],
-      scheme: String, metricsPath: String)
+      scheme: String, metricsPath: String,
+      limits: ScrapeManager.ScrapeLimits = ScrapeManager.ScrapeLimits())
 
   final case class PromConfig(
       scrapeIntervalMs: Long,
@@ -134,7 +135,12 @@ object Config {
         m.str("scrape_interval").map(durMs).getOrElse(scrapeMs),
         relabelChain(m.get("relabel_configs")),
         relabelChain(m.get("metric_relabel_configs")),
-        scheme, path)
+        scheme, path,
+        ScrapeManager.ScrapeLimits(
+          m.str("sample_limit").map(_.toLong).getOrElse(0L),
+          m.str("label_limit").map(_.toInt).getOrElse(0),
+          m.str("label_name_length_limit").map(_.toInt).getOrElse(0),
+          m.str("label_value_length_limit").map(_.toInt).getOrElse(0)))
     }
     def urlsOf(key: String): Seq[String] =
       root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)

@@ -33,10 +33,28 @@ object Rules {
   /** inactive → pending (`for:`) → firing → (keep_firing_for) → inactive
     * (ref: rules/alerting.go:217-226). Carries the alert labels so a
     * keep-firing alert (condition no longer true) can still emit its ALERTS
-    * series. */
+    * series, plus the per-instance expanded annotations and last value. */
   final case class AlertState(activeSinceMs: Long, firingSinceMs: Long = -1L,
       lastTrueMs: Long = 0L, labels: Map[String, String] = Map.empty,
-      keepFiringSinceMs: Long = -1L)
+      keepFiringSinceMs: Long = -1L,
+      annotations: Map[String, String] = Map.empty,
+      value: Double = 0.0)
+
+  /** Alert template mini-expander: `{{ $labels.x }}`, `{{ $value }}`,
+    * `{{ $externalLabels.x }}` (ref: template/template.go AlertTemplateData —
+    * the forms rule files use; full Go templating is out of scope). Applied
+    * to rule labels AND annotations per alert instance at evaluation time
+    * (ref: rules/alerting.go:370 expand). */
+  def expandTemplate(text: String, labels: Map[String, String], value: Double,
+      external: Map[String, String] = Map.empty): String = {
+    val re = ("\\{\\{\\s*\\$(labels|externalLabels)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*\\}\\}" +
+      "|\\{\\{\\s*\\$value\\s*\\}\\}").r
+    re.replaceAllIn(text, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (m.group(1) == null) graft.promql.RangeUdfs.goFormat(value)
+        else if (m.group(1) == "labels") labels.getOrElse(m.group(2), "")
+        else external.getOrElse(m.group(2), "")))
+  }
 
   /** evaluate a recording rule at `tsMs`: rewrite __name__, merge static
     * labels (ref: rules/recording.go:85) */
@@ -67,27 +85,38 @@ object Rules {
     * tsMs, next state). Alert series labels = rule labels + alert labels +
     * alertname/alertstate (ref: rules/alerting.go:41 ALERTS). */
   def evalAlerting(spark: SparkSession, samples: DataFrame, rule: AlertingRule,
-      tsMs: Long, state: Map[String, AlertState]): (DataFrame, Map[String, AlertState]) = {
+      tsMs: Long, state: Map[String, AlertState],
+      externalLabels: Map[String, String] = Map.empty)
+      : (DataFrame, Map[String, AlertState]) = {
     val res = Engine.instantQuery(spark, samples, rule.expr, tsMs) match {
       case VectorVal(df) => df
       case other => throw PromQLError(s"alerting rule must produce a vector, got $other")
     }
-    val active: Map[String, Map[String, String]] = res
-      .select(col("labels")).collect()
-      .map(r => r.getMap[String, String](0).toMap)
-      .map(l => (l - "__name__") ++ rule.labels + ("alertname" -> rule.alert))
-      .map(l => stateSig(l) -> l)
+    // per-instance template expansion of rule labels AND annotations with
+    // $labels/$value/$externalLabels (ref: rules/alerting.go:340-380 Eval)
+    val active: Map[String, (Map[String, String], Double)] = res
+      .select(col("labels"), col("v")).collect()
+      .map(r => (r.getMap[String, String](0).toMap, r.getDouble(1)))
+      .map { case (l0, v) =>
+        val ruleLbls = rule.labels.map { case (k, t) =>
+          k -> expandTemplate(t, l0, v, externalLabels) }
+        val l = (l0 - "__name__") ++ ruleLbls + ("alertname" -> rule.alert)
+        stateSig(l) -> ((l, v))
+      }
       .toMap
 
     val next = scala.collection.mutable.Map[String, AlertState]()
     val out = Seq.newBuilder[(Map[String, String], String, Long)]
     // currently-true alerts: new → pending, past `for:` → firing
-    active.foreach { case (sig, lbls) =>
+    active.foreach { case (sig, (lbls, value)) =>
       // firingSinceMs: -1 = never fired (0 is a valid fire timestamp)
       val st = state.getOrElse(sig, AlertState(tsMs, -1L, tsMs, lbls))
       val firing = tsMs - st.activeSinceMs >= rule.forMs
       val firingSince = if (firing && st.firingSinceMs < 0L) tsMs else st.firingSinceMs
-      next(sig) = AlertState(st.activeSinceMs, firingSince, tsMs, lbls)
+      val annos = rule.annotations.map { case (k, t) =>
+        k -> expandTemplate(t, lbls, value, externalLabels) }
+      next(sig) = AlertState(st.activeSinceMs, firingSince, tsMs, lbls,
+        annotations = annos, value = value)
       out += ((lbls, if (firing) "firing" else "pending", st.activeSinceMs))
     }
     // no-longer-true: a firing alert keeps emitting alertstate="firing" until

@@ -26,9 +26,35 @@ final class ScrapeManager(
     metricRelabel: Seq[Relabel.Rule] = Nil,
     honorTimestamps: Boolean = true,
     client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient(),
-    nowMs: () => Long = () => System.currentTimeMillis()) {
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    limits: ScrapeManager.ScrapeLimits = ScrapeManager.ScrapeLimits()) {
 
   import ScrapeManager.ScrapeTarget
+
+  /** Scrape-limit enforcement (ref: scrape/scrape.go sampleLimitErr /
+    * verifyLabelLimits — a violated limit FAILS the whole scrape: the
+    * appended batch rolls back and the target reports up=0). Label checks
+    * run on the decorated label sets; the sample limit applies after metric
+    * relabeling like the reference's append-time check. Returns an error
+    * description, or None when the scrape passes. */
+  private def limitViolation(labelSets: Iterator[Map[String, String]],
+      postRelabelCount: Long): Option[String] = {
+    if (limits.sampleLimit > 0 && postRelabelCount > limits.sampleLimit)
+      return Some(s"sample_limit exceeded ($postRelabelCount > ${limits.sampleLimit})")
+    if (limits.labelLimit > 0 || limits.labelNameLengthLimit > 0 ||
+        limits.labelValueLengthLimit > 0)
+      labelSets.foreach { ls =>
+        if (limits.labelLimit > 0 && ls.size > limits.labelLimit)
+          return Some(s"label_limit exceeded (${ls.size} > ${limits.labelLimit})")
+        ls.foreach { case (n, v) =>
+          if (limits.labelNameLengthLimit > 0 && n.length > limits.labelNameLengthLimit)
+            return Some(s"label_name_length_limit exceeded for '$n'")
+          if (limits.labelValueLengthLimit > 0 && v.length > limits.labelValueLengthLimit)
+            return Some(s"label_value_length_limit exceeded for label '$n'")
+        }
+      }
+    None
+  }
 
   @volatile private var running = false
   private var thread: Option[Thread] = None
@@ -108,23 +134,28 @@ final class ScrapeManager(
     val stamped = parsed.samples.map { s =>
       s.copy(labels = decorate(s.labels), t = if (honorTimestamps && s.t != 0L) s.t else t0)
     }
-    val report = Seq(
-      ("up", if (ok) 1.0 else 0.0),
-      ("scrape_duration_seconds", dur),
-      ("scrape_samples_scraped", parsed.samples.size.toDouble)).map { case (n, v) =>
-      Row(decorate(Map("__name__" -> n)), t0, v, false, null, 0L)
-    }
     val rows = stamped.map(s =>
       Row(s.labels, s.t, s.v, false, s.h.map(FHist.toRow).orNull, s.stt))
     val df0 = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, rows.size / 10000)),
       Engine.samplesSchema)
     val scraped = if (rows.isEmpty) None else Some(Relabel(df0, metricRelabel))
+    val postN = scraped.map(_.count()).getOrElse(0L)
+    val violation = if (!ok) None else limitViolation(stamped.iterator.map(_.labels), postN)
+    val effOk = ok && violation.isEmpty
+    val report = Seq(
+      ("up", if (effOk) 1.0 else 0.0),
+      ("scrape_duration_seconds", dur),
+      ("scrape_samples_scraped", parsed.samples.size.toDouble),
+      ("scrape_samples_post_metric_relabeling", postN.toDouble)).map { case (n, v) =>
+      Row(decorate(Map("__name__" -> n)), t0, v, false, null, 0L)
+    }
     val reportDf = spark.createDataFrame(
       spark.sparkContext.parallelize(report, 1), Engine.samplesSchema)
-    store.append(scraped.map(_.unionByName(reportDf)).getOrElse(reportDf))
-    if (parsed.meta.nonEmpty) store.mergeMetadata(parsed.meta)
-    stamped.size.toLong + report.size
+    store.append(scraped.filter(_ => violation.isEmpty)
+      .map(_.unionByName(reportDf)).getOrElse(reportDf))
+    if (parsed.meta.nonEmpty && violation.isEmpty) store.mergeMetadata(parsed.meta)
+    (if (violation.isEmpty) stamped.size.toLong else 0L) + report.size
   }
 
   private def scrapeTarget(tgt: ScrapeTarget): Long = {
@@ -162,21 +193,26 @@ final class ScrapeManager(
     }
     // metric_relabel_configs apply to scraped samples only; the report
     // series bypass them (ref: scrape.go append vs report)
-    val report = Seq(
-      ("up", if (ok) 1.0 else 0.0),
-      ("scrape_duration_seconds", dur),
-      ("scrape_samples_scraped", samples.size.toDouble)).map { case (n, v) =>
-      (decorate(Map("__name__" -> n)), t0, v)
-    }
     val scraped =
       if (stamped.isEmpty) None
       else Some(Relabel(toDf(stamped), metricRelabel))
-    val batch = scraped match {
+    val postN = scraped.map(_.count()).getOrElse(0L)
+    val violation = if (!ok) None else limitViolation(stamped.iterator.map(_._1), postN)
+    val effOk = ok && violation.isEmpty
+    val report = Seq(
+      ("up", if (effOk) 1.0 else 0.0),
+      ("scrape_duration_seconds", dur),
+      ("scrape_samples_scraped", samples.size.toDouble),
+      ("scrape_samples_post_metric_relabeling", postN.toDouble)).map { case (n, v) =>
+      (decorate(Map("__name__" -> n)), t0, v)
+    }
+    // a violated limit drops the WHOLE scraped batch (append rollback)
+    val batch = scraped.filter(_ => violation.isEmpty) match {
       case Some(df) => df.unionByName(toDf(report))
       case None => toDf(report)
     }
     store.append(batch)
-    stamped.size.toLong + report.size
+    (if (violation.isEmpty) stamped.size.toLong else 0L) + report.size
   }
 
   def start(): Unit = synchronized {
@@ -201,6 +237,15 @@ final class ScrapeManager(
 }
 
 object ScrapeManager {
+  /** per-scrape protection limits, 0 = disabled (ref: config/config.go
+    * ScrapeConfig{SampleLimit, LabelLimit, LabelNameLengthLimit,
+    * LabelValueLengthLimit}) */
+  final case class ScrapeLimits(
+      sampleLimit: Long = 0L,
+      labelLimit: Int = 0,
+      labelNameLengthLimit: Int = 0,
+      labelValueLengthLimit: Int = 0)
+
   final case class ScrapeTarget(
       url: String, job: String, instance: String,
       openMetrics: Boolean = false,

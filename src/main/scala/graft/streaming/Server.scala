@@ -64,7 +64,9 @@ final class PromServer(
       scraper.foreach(_.stop())
       val mgr = new ScrapeManager(spark, store, Nil, cfg.scrapeIntervalMs,
         metricRelabel = cfg.scrapeJobs.headOption.map(_.metricRelabel).getOrElse(Nil),
-        nowMs = nowMs)
+        nowMs = nowMs,
+        limits = cfg.scrapeJobs.headOption.map(_.limits)
+          .getOrElse(ScrapeManager.ScrapeLimits()))
       mgr.setTargetProvider(() => cfg.scrapeJobs.flatMap(cfg.targetsOf))
       api.scrapeTargets = mgr.currentTargets()
       scraper = Some(mgr)

@@ -57,10 +57,11 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         val state = if (st.firingSinceMs >= 0) "firing" else "pending"
         (Json.obj(
           "labels" -> Json.metric(st.labels),
-          "annotations" -> Json.metric(a.annotations),
+          "annotations" -> Json.metric(
+            if (st.annotations.nonEmpty) st.annotations else a.annotations),
           "state" -> Json.str(state),
           "activeAt" -> Json.str(java.time.Instant.ofEpochMilli(st.activeSinceMs).toString),
-          "value" -> Json.value(1.0)), state)
+          "value" -> Json.value(st.value)), state)
     }.sortBy(_._1)
 
   def boundPort: Int = server.getAddress.getPort

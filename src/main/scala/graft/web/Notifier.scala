@@ -66,7 +66,9 @@ final class Notifier(
     send(firing.map { st =>
       Alert(
         labels = st.labels,
-        annotations = rule.annotations,
+        // per-instance template-expanded annotations when the evaluation
+        // produced them (ref: rules/alerting.go sends expanded annotations)
+        annotations = if (st.annotations.nonEmpty) st.annotations else rule.annotations,
         startsAtMs = if (st.firingSinceMs >= 0L) st.firingSinceMs else nowMs)
     })
   }

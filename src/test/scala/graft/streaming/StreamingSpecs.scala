@@ -28,6 +28,9 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
         rows.map { case (l, t, v) => Row(l, t, v, false, null, 0L) }, 2),
       Engine.samplesSchema)
 
+  private def emptyStoreS() = new graft.web.SampleStore(spark,
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Engine.samplesSchema))
+
   test("exposition parser handles labels, escapes, timestamps, comments") {
     assert(Exposition.parseLine("# HELP foo bar", 0).isEmpty)
     assert(Exposition.parseLine("foo 1.5", 99) ===
@@ -96,6 +99,59 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     val (out1, _) = Rules.evalAlerting(spark, df, rule, 60000L, st0)
     val s1 = alertRows(out1).select(element_at(col("labels"), "alertstate")).collect().map(_.getString(0))
     assert(s1.toSeq == Seq("firing"))
+  }
+
+  test("alert templates expand $labels/$value/$externalLabels into labels and annotations") {
+    val df = samplesOf(Seq(
+      (Map("__name__" -> "errors", "job" -> "api", "instance" -> "i1"), 0L, 7.5)))
+    val rule = Rules.AlertingRule("HighErrors", "errors > 1",
+      labels = Map("severity" -> "page-{{ $labels.job }}"),
+      annotations = Map(
+        "summary" -> "{{ $labels.instance }} of {{ $labels.job }} at {{ $value }}",
+        "runbook" -> "https://{{ $externalLabels.site }}/hi"))
+    val (_, st) = Rules.evalAlerting(spark, df, rule, 0L, Map.empty,
+      externalLabels = Map("site" -> "prom.example"))
+    val a = st.values.head
+    assert(a.labels("severity") == "page-api")
+    assert(a.annotations("summary") == "i1 of api at 7.5")
+    assert(a.annotations("runbook") == "https://prom.example/hi")
+    assert(a.value == 7.5)
+  }
+
+  test("scrape limits fail the whole scrape: up=0, batch dropped") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = "a_total 1\nb_total 2\nc_total 3\n".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      val tgt = Seq(ScrapeManager.ScrapeTarget(
+        s"http://127.0.0.1:${server.getAddress.getPort}/metrics", "t", "i1"))
+      def run(limits: ScrapeManager.ScrapeLimits): (Double, Seq[String]) = {
+        val store = emptyStoreS()
+        val mgr = new ScrapeManager(spark, store, tgt, nowMs = () => 60000L,
+          limits = limits)
+        mgr.scrapeOnce()
+        val rows = store.samples.collect()
+          .map(r => (r.getMap[String, String](0).toMap, r.getDouble(2)))
+        (rows.collectFirst { case (l, v) if l("__name__") == "up" => v }.get,
+         rows.map(_._1("__name__")).toSeq)
+      }
+      // under the limit: healthy scrape
+      val (up1, names1) = run(ScrapeManager.ScrapeLimits(sampleLimit = 10))
+      assert(up1 == 1.0 && names1.contains("a_total"))
+      // sample_limit exceeded: up=0 and the scraped samples are DROPPED
+      val (up2, names2) = run(ScrapeManager.ScrapeLimits(sampleLimit = 2))
+      assert(up2 == 0.0 && !names2.exists(_.endsWith("_total")), names2.toString)
+      assert(names2.contains("scrape_samples_post_metric_relabeling"))
+      // label_value_length_limit: instance/job values checked too
+      val (up3, _) = run(ScrapeManager.ScrapeLimits(labelValueLengthLimit = 3))
+      assert(up3 == 0.0)
+      val (up4, _) = run(ScrapeManager.ScrapeLimits(labelLimit = 1))
+      assert(up4 == 0.0)
+    } finally server.stop(0)
   }
 
   test("keep_firing_for keeps emitting firing rows after condition clears") {
