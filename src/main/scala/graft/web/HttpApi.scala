@@ -674,6 +674,22 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
           Engine.samplesSchema))
       }
       if (dec.metadata.nonEmpty) store.mergeMetadata(dec.metadata)
+      if (dec.exemplars.nonEmpty) {
+        // exemplar rows: (series labels, exemplar{labels, v, t}) — the same
+        // shape the OpenMetrics ingest feeds /api/v1/query_exemplars
+        val exRows = dec.exemplars.map { case (sl, el, t, v) =>
+          Row(sl, Row(el, v, t))
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("labels",
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType, valueContainsNull = false)),
+          org.apache.spark.sql.types.StructField("exemplar",
+            graft.streaming.OpenMetrics.exemplarType)))
+        store.appendExemplars(spark.createDataFrame(
+          spark.sparkContext.parallelize(exRows, 1), schema))
+      }
       // empty ExportMetricsServiceResponse
       ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
       ex.sendResponseHeaders(200, -1)

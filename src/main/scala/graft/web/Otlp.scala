@@ -63,6 +63,14 @@ object Otlp {
       val len = varint().toInt; val s = pos; pos += len
       new String(buf, s, len, java.nio.charset.StandardCharsets.UTF_8)
     }
+    /** length-delimited raw bytes as lowercase hex (trace/span ids) */
+    def hex(): String = {
+      val len = varint().toInt; val s = pos; pos += len
+      val sb = new StringBuilder(len * 2)
+      var i = s
+      while (i < s + len) { sb.append(f"${buf(i) & 0xff}%02x"); i += 1 }
+      sb.toString
+    }
     def sub(): Reader = {
       val len = varint().toInt; val s = pos; pos += len
       new Reader(buf, s, s + len)
@@ -116,21 +124,48 @@ object Otlp {
 
   // ---------- data points ----------
 
+  /** exemplar: translated label set (trace_id/span_id hex + sanitized
+    * filtered attributes), timestamp, value (ref: otlptranslator
+    * getPromExemplars) */
+  private final case class Ex(labels: Map[String, String], tNano: Long, v: Double)
+
+  private def decodeExemplar(r: Reader): Ex = {
+    val attrs = mutable.Map[String, String]()
+    var t = 0L; var v = 0.0; var traceId = ""; var spanId = ""
+    while (r.hasMore) {
+      val tag = r.varint()
+      (tag >> 3, (tag & 7).toInt) match {
+        case (7, 2) => val (k, s) = decodeKeyValue(r.sub()); attrs(sanitize(k)) = s
+        case (2, 1) => t = r.fixed64()
+        case (3, 1) => v = r.double()
+        case (6, 1) => v = r.fixed64().toDouble // as_int
+        case (4, 2) => spanId = r.hex()
+        case (5, 2) => traceId = r.hex()
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    val ids =
+      (if (traceId.nonEmpty) Map("trace_id" -> traceId) else Map.empty[String, String]) ++
+      (if (spanId.nonEmpty) Map("span_id" -> spanId) else Map.empty[String, String])
+    Ex(attrs.toMap ++ ids, t, v)
+  }
+
   private final case class NumPoint(attrs: Map[String, String], tNano: Long,
-    stNano: Long, v: Double)
+    stNano: Long, v: Double, exemplars: Seq[Ex] = Nil)
   private final case class HistPoint(attrs: Map[String, String], tNano: Long,
     stNano: Long, count: Double, sum: Double, hasSum: Boolean,
-    bucketCounts: Seq[Long], bounds: Seq[Double])
+    bucketCounts: Seq[Long], bounds: Seq[Double], exemplars: Seq[Ex] = Nil)
   private final case class ExpPoint(attrs: Map[String, String], tNano: Long,
     stNano: Long, count: Double, sum: Double, scale: Int, zeroCount: Double,
     posOff: Int, posCounts: Seq[Long], negOff: Int, negCounts: Seq[Long],
-    zeroThreshold: Double)
+    zeroThreshold: Double, exemplars: Seq[Ex] = Nil)
   private final case class SummaryPoint(attrs: Map[String, String], tNano: Long,
     stNano: Long, count: Double, sum: Double, quantiles: Seq[(Double, Double)])
 
   private def decodeNumPoint(r: Reader): NumPoint = {
     val attrs = mutable.Map[String, String]()
     var t = 0L; var st = 0L; var v = 0.0
+    val exs = mutable.ArrayBuffer[Ex]()
     while (r.hasMore) {
       val tag = r.varint()
       (tag >> 3, (tag & 7).toInt) match {
@@ -139,10 +174,11 @@ object Otlp {
         case (3, 1) => t = r.fixed64()
         case (4, 1) => v = r.double()
         case (6, 1) => v = r.fixed64().toDouble // as_int (sfixed64)
+        case (5, 2) => exs += decodeExemplar(r.sub())
         case (_, wt) => r.skip(wt)
       }
     }
-    NumPoint(attrs.toMap, t, st, v)
+    NumPoint(attrs.toMap, t, st, v, exs.toSeq)
   }
 
   private def decodeHistPoint(r: Reader): HistPoint = {
@@ -150,6 +186,7 @@ object Otlp {
     var t = 0L; var st = 0L; var count = 0.0; var sum = 0.0; var hasSum = false
     val bucketCounts = mutable.ArrayBuffer[Long]()
     val bounds = mutable.ArrayBuffer[Double]()
+    val exs = mutable.ArrayBuffer[Ex]()
     while (r.hasMore) {
       val tag = r.varint()
       (tag >> 3, (tag & 7).toInt) match {
@@ -162,10 +199,12 @@ object Otlp {
         case (6, 1) => bucketCounts += r.fixed64()
         case (7, 2) => val br = r.sub(); while (br.hasMore) bounds += br.double()
         case (7, 1) => bounds += r.double()
+        case (8, 2) => exs += decodeExemplar(r.sub())
         case (_, wt) => r.skip(wt)
       }
     }
-    HistPoint(attrs.toMap, t, st, count, sum, hasSum, bucketCounts.toSeq, bounds.toSeq)
+    HistPoint(attrs.toMap, t, st, count, sum, hasSum, bucketCounts.toSeq, bounds.toSeq,
+      exs.toSeq)
   }
 
   private def decodeExpPoint(r: Reader): ExpPoint = {
@@ -173,6 +212,7 @@ object Otlp {
     var t = 0L; var st = 0L; var count = 0.0; var sum = 0.0
     var scale = 0; var zeroCount = 0.0; var zeroTh = defaultZeroThreshold
     var posOff = 0; var negOff = 0
+    val exs = mutable.ArrayBuffer[Ex]()
     val posCounts = mutable.ArrayBuffer[Long]()
     val negCounts = mutable.ArrayBuffer[Long]()
     def decodeBuckets(br: Reader): (Int, Seq[Long]) = {
@@ -202,11 +242,12 @@ object Otlp {
         case (8, 2) => val (o, cs) = decodeBuckets(r.sub()); posOff = o; posCounts.clear(); posCounts ++= cs
         case (9, 2) => val (o, cs) = decodeBuckets(r.sub()); negOff = o; negCounts.clear(); negCounts ++= cs
         case (14, 1) => zeroTh = r.double()
+        case (11, 2) => exs += decodeExemplar(r.sub())
         case (_, wt) => r.skip(wt)
       }
     }
     ExpPoint(attrs.toMap, t, st, count, sum, scale, zeroCount,
-      posOff, posCounts.toSeq, negOff, negCounts.toSeq, zeroTh)
+      posOff, posCounts.toSeq, negOff, negCounts.toSeq, zeroTh, exs.toSeq)
   }
 
   private def decodeSummaryPoint(r: Reader): SummaryPoint = {
@@ -258,7 +299,11 @@ object Otlp {
     if (p.scale > 8) h.reduceTo(8) else h
   }
 
-  final case class Decoded(samples: Seq[Sample], metadata: RemoteWrite.Meta)
+  /** (series labels, exemplar labels, exemplar t ms, exemplar value) */
+  type ExemplarRow = (Map[String, String], Map[String, String], Long, Double)
+
+  final case class Decoded(samples: Seq[Sample], metadata: RemoteWrite.Meta,
+      exemplars: Seq[ExemplarRow] = Nil)
 
   /** Delta→cumulative conversion state for OTLP receive (ref:
     * web/api/v1/api.go:378 ConvertDelta /
@@ -366,21 +411,23 @@ object Otlp {
         new java.io.ByteArrayInputStream(body0)).readAllBytes()
     val samples = mutable.ArrayBuffer[Sample]()
     val meta = mutable.Map[String, (String, String, String)]()
+    val exemplars = mutable.ArrayBuffer[ExemplarRow]()
     val r = new Reader(body, 0, body.length)
     while (r.hasMore) {
       val tag = r.varint()
       (tag >> 3, (tag & 7).toInt) match {
-        case (1, 2) => decodeResourceMetrics(r.sub(), samples, meta, delta)
+        case (1, 2) => decodeResourceMetrics(r.sub(), samples, meta, delta, exemplars)
         case (_, wt) => r.skip(wt)
       }
     }
-    Decoded(samples.toSeq, meta.toMap)
+    Decoded(samples.toSeq, meta.toMap, exemplars.toSeq)
   }
 
   private def decodeResourceMetrics(r: Reader,
       out: mutable.ArrayBuffer[Sample],
       meta: mutable.Map[String, (String, String, String)],
-      delta: Option[DeltaConverter]): Unit = {
+      delta: Option[DeltaConverter],
+      exOut: mutable.ArrayBuffer[ExemplarRow]): Unit = {
     val resAttrs = mutable.Map[String, String]()
     val scopes = mutable.ArrayBuffer[Reader]()
     while (r.hasMore) {
@@ -415,7 +462,7 @@ object Otlp {
         val tag = sr.varint()
         (tag >> 3, (tag & 7).toInt) match {
           case (2, 2) => latestT = math.max(latestT,
-            decodeMetric(sr.sub(), ids, out, meta, delta))
+            decodeMetric(sr.sub(), ids, out, meta, delta, exOut))
           case (_, wt) => sr.skip(wt)
         }
       }
@@ -428,7 +475,8 @@ object Otlp {
   private def decodeMetric(r: Reader, ids: Map[String, String],
       out: mutable.ArrayBuffer[Sample],
       meta: mutable.Map[String, (String, String, String)],
-      delta: Option[DeltaConverter]): Long = {
+      delta: Option[DeltaConverter],
+      exOut: mutable.ArrayBuffer[ExemplarRow]): Long = {
     var name = ""; var desc = ""; var unit = ""
     val pend = mutable.ArrayBuffer[(Int, Reader)]()
     var temporality = 2 // cumulative unless stated
@@ -496,12 +544,15 @@ object Otlp {
             val p = decodeNumPoint(pr)
             latest = math.max(latest, ms(p.tNano))
             out += Sample(lbls(p.attrs, base), ms(p.tNano), p.v, ms(p.stNano))
+            p.exemplars.foreach(e =>
+              exOut += ((lbls(p.attrs, base), e.labels, ms(e.tNano), e.v)))
           } else delta.foreach { c => // delta sum → running cumulative total
             val p = decodeNumPoint(pr)
             val key = lbls(p.attrs, base)
             c.addNum(key, p.stNano, p.tNano, p.v).foreach { case (cum, st) =>
               latest = math.max(latest, ms(p.tNano))
               out += Sample(key, ms(p.tNano), cum, ms(st))
+              p.exemplars.foreach(e => exOut += ((key, e.labels, ms(e.tNano), e.v)))
             }
           }
         case 9 =>
@@ -519,11 +570,20 @@ object Otlp {
             if (hasSum) out += Sample(lbls(attrs, base + "_sum"), t, sum, st)
             out += Sample(lbls(attrs, base + "_count"), t, count, st)
           }
+          // exemplars attach to the bucket whose bound first covers the value
+          // (ref: otlptranslator histograms.go addExemplars)
+          def emitHistExemplars(p: HistPoint): Unit = p.exemplars.foreach { e =>
+            val le = p.bounds.find(_ >= e.v).map(graft.web.Json.goFloat)
+              .getOrElse("+Inf")
+            exOut += ((lbls(p.attrs, base + "_bucket") + ("le" -> le),
+              e.labels, ms(e.tNano), e.v))
+          }
           if (temporality == 2) {
             val p = decodeHistPoint(pr)
             val t = ms(p.tNano); latest = math.max(latest, t)
             emitClassic(p.attrs, t, ms(p.stNano), p.bounds, p.bucketCounts,
               p.count, p.sum, p.hasSum)
+            emitHistExemplars(p)
           } else delta.foreach { c => // delta histogram → running bucket totals
             val p = decodeHistPoint(pr)
             c.addHist(lbls(p.attrs, base), p.stNano, p.tNano, p.bounds,
@@ -531,6 +591,7 @@ object Otlp {
               .foreach { case (counts, count, sum, hasSum, stN) =>
                 val t = ms(p.tNano); latest = math.max(latest, t)
                 emitClassic(p.attrs, t, ms(stN), p.bounds, counts, count, sum, hasSum)
+                emitHistExemplars(p)
               }
           }
         case 10 =>
@@ -539,12 +600,15 @@ object Otlp {
             val t = ms(p.tNano); latest = math.max(latest, t)
             out += Sample(lbls(p.attrs, base), t, Double.NaN, ms(p.stNano),
               Some(expToFHist(p)))
+            p.exemplars.foreach(e =>
+              exOut += ((lbls(p.attrs, base), e.labels, ms(e.tNano), e.v)))
           } else delta.foreach { c => // delta exp histogram → native-hist sum
             val p = decodeExpPoint(pr)
             val key = lbls(p.attrs, base)
             c.addExp(key, p.stNano, p.tNano, expToFHist(p)).foreach { case (h, stN) =>
               val t = ms(p.tNano); latest = math.max(latest, t)
               out += Sample(key, t, Double.NaN, ms(stN), Some(h))
+              p.exemplars.foreach(e => exOut += ((key, e.labels, ms(e.tNano), e.v)))
             }
           }
         case 11 =>

@@ -126,6 +126,38 @@ class OtlpDeltaSpec extends AnyFunSuite {
     assert(Otlp.decode(request(sumMetric("req.count", 1L, deltas))).samples.isEmpty)
   }
 
+  test("exemplars decode with trace/span ids and attach to the right series") {
+    // sum point with one exemplar {filtered attr, trace_id, span_id, t, v}
+    val exm = new java.io.ByteArrayOutputStream()
+    fx64(exm, 2, 9 * G)   // time_unix_nano
+    f64(exm, 3, 41.5)     // as_double
+    vint(exm, (4 << 3) | 2); exm.write(2); exm.write(Array[Byte](0x0a, 0x0b)) // span_id
+    vint(exm, (5 << 3) | 2); exm.write(2); exm.write(Array[Byte](0x01, 0x02.toByte)) // trace_id
+    // filtered_attributes: KeyValue{key="peer.service", value="db"}
+    val anyv = new java.io.ByteArrayOutputStream()
+    delim(anyv, 1, "db".getBytes("UTF-8"))
+    val kvb = new java.io.ByteArrayOutputStream()
+    delim(kvb, 1, "peer.service".getBytes("UTF-8")); delim(kvb, 2, anyv.toByteArray)
+    delim(exm, 7, kvb.toByteArray)
+
+    val dp = new java.io.ByteArrayOutputStream()
+    fx64(dp, 3, 8 * G); f64(dp, 4, 42.0)
+    delim(dp, 5, exm.toByteArray) // exemplars
+    val sum = new java.io.ByteArrayOutputStream()
+    delim(sum, 1, dp.toByteArray)
+    vint(sum, 2 << 3); vint(sum, 2L) // cumulative
+    vint(sum, 3 << 3); vint(sum, 1L) // monotonic
+    val m = new java.io.ByteArrayOutputStream()
+    delim(m, 1, "req.count".getBytes("UTF-8")); delim(m, 7, sum.toByteArray)
+
+    val dec = Otlp.decode(request(m.toByteArray))
+    assert(dec.exemplars.size == 1, dec.exemplars.toString)
+    val (series, el, t, v) = dec.exemplars.head
+    assert(series("__name__") == "req_count_total")
+    assert(el == Map("peer_service" -> "db", "trace_id" -> "0102", "span_id" -> "0a0b"))
+    assert(t == 9000L && v == 41.5)
+  }
+
   test("delta explicit-bounds histograms accumulate bucket totals") {
     val conv = new Otlp.DeltaConverter
     val p1 = (0L, 8 * G, 7L, 21.0, Seq(2L, 3L, 2L))
