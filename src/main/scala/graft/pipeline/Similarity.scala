@@ -118,22 +118,24 @@ object Similarity {
     * corpus is written bucketed by cell once and every query touches
     * nprobe/nlist of the data; recall < 1 by construction (rows-only check).
     */
-  def ivfTopK(corpus: DataFrame, qdf: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    // deterministic seeds: the nlist corpus vectors with smallest xxhash64(vec_id)
+  private[pipeline] def nearestUdf(cs: Array[Array[Double]], n: Int) = udf { (v: Seq[Float]) =>
+    val scored = cs.zipWithIndex.map { case (c, i) =>
+      var d = 0.0; var j = 0
+      while (j < c.length) { val x = v(j).toDouble - c(j); d += x * x; j += 1 }
+      (d, i)
+    }
+    scored.sortBy(t => (t._1, t._2)).take(n).map(_._2)
+  }
+
+  /** Distributed Lloyd with deterministic seeds (the nlist corpus vectors
+    * with smallest xxhash64(vec_id)); driver state stays at centroid
+    * cardinality throughout. */
+  private[pipeline] def trainCentroids(corpus: DataFrame, nlist: Int,
+      iters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = corpus
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nlist)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    def nearestUdf(cs: Array[Array[Double]], n: Int) = udf { (v: Seq[Float]) =>
-      val scored = cs.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < c.length) { val x = v(j).toDouble - c(j); d += x * x; j += 1 }
-        (d, i)
-      }
-      scored.sortBy(t => (t._1, t._2)).take(n).map(_._2)
-    }
     // fixed Lloyd iterations; centroid update is a groupBy(cell) mean —
     // driver state stays at centroid cardinality
     val dim = if (centroids.nonEmpty) centroids(0).length else 0
@@ -159,6 +161,12 @@ object Similarity {
         }
       }.toArray
     }
+    centroids
+  }
+
+  def ivfTopK(corpus: DataFrame, qdf: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val centroids = trainCentroids(corpus, nlist, iters)
     val assignOne = nearestUdf(centroids, 1)
     val probe = nearestUdf(centroids, nprobe)
     val cells = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"),
@@ -187,5 +195,59 @@ object Similarity {
       .select(col("da"), col("db"), col("va"), col("vb")).distinct()
       .select(col("da"), col("db"), cosine("va", "vb").as("cos"))
       .filter(col("cos") >= tau)
+  }
+}
+
+/** PERSISTED IVF index — the build-once / query-many shape [[Similarity
+  * .ivfTopK]] describes for 100 TB: the quantizer trains once, the corpus is
+  * written PARTITIONED BY CELL (one parquet directory per cell), and each
+  * query batch reads only its probed cells — `nprobe/nlist` of the files via
+  * static partition pruning on the flat `cell` column (the probed-cell set
+  * is query-batch cardinality, collected driver-side; no scan of the rest).
+  * Centroids persist as a small text artifact next to the cells. */
+object IvfIndex {
+
+  import org.apache.spark.sql.functions._
+  import Similarity.{cosine, nearestUdf, trainCentroids}
+
+  def build(corpus: DataFrame, dir: String, nlist: Int = 16, iters: Int = 2): Unit = {
+    val centroids = trainCentroids(corpus, nlist, iters)
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve("centroids.txt"),
+      centroids.map(_.mkString(",")).mkString("\n").getBytes("UTF-8"))
+    val assignOne = nearestUdf(centroids, 1)
+    corpus.select(col("vec_id"), col("embedding"),
+        element_at(assignOne(col("embedding")), 1).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  def loadCentroids(dir: String): Array[Array[Double]] =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir).resolve("centroids.txt")), "UTF-8")
+      .split("\n").filter(_.nonEmpty).map(_.split(",").map(_.toDouble))
+
+  /** approximate top-k against a built index; exact cosine rerank within the
+    * probed cells (identical semantics to [[Similarity.ivfTopK]] at the same
+    * centroids) */
+  def query(spark: org.apache.spark.sql.SparkSession, dir: String,
+      qdf: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val centroids = loadCentroids(dir)
+    val probe = nearestUdf(centroids, nprobe)
+    val probes = qdf.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      explode(probe(col("embedding"))).as("cell"))
+    // static partition pruning: only the probed cell directories are read
+    val probedCells = probes.select(col("cell")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(s"$dir/cells")
+      .filter(col("cell").isInCollection(probedCells))
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cell"))
+    val scored = broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine("qv", "nv").as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 }

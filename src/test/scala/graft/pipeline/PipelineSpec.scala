@@ -342,6 +342,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"IVF recall@7 $recall < 0.8 (per-query: $recalls)")
   }
 
+  test("persisted IVF index: bucketed-by-cell layout, query matches in-memory IVF") {
+    val corpus = clusteredEmbs(nClusters = 20, copies = 5, dim = 8)
+    val queries = corpus.filter(col("vec_id") % 100 === 0 && col("vec_id") < 300)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(corpus, dir, nlist = 8, iters = 2)
+    // the corpus landed partitioned by cell (one directory per cell)
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSeq
+    assert(cellDirs.nonEmpty && cellDirs.size <= 8, cellDirs.toString)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("nid")))).toSet
+    // identical results to the in-memory path at the same quantizer params
+    val fromIndex = rows(IvfIndex.query(spark, dir, queries, k = 5, nprobe = 3))
+    val direct = rows(Similarity.ivfTopK(corpus, queries, k = 5, nlist = 8,
+      nprobe = 3, iters = 2))
+    assert(fromIndex == direct)
+    assert(fromIndex.nonEmpty)
+  }
+
   test("cosineDupPairs recall floor vs brute-force near-dup pairs") {
     val corpus = clusteredEmbs(nClusters = 30, copies = 3, dim = 16)
     // exact ground truth: all pairs with cos >= tau via self brute force
