@@ -85,6 +85,7 @@ final class PromServer(
     * scheduling only — each rule is one distributed instant query. */
   def evalRulesOnce(tsMs: Long): Unit = synchronized {
     ruleGroups.foreach { g =>
+      val g0 = System.nanoTime()
       Rules.recordingLevels(g.recording).foreach { level =>
         level.foreach { r =>
           val out = Rules.evalRecording(spark, store.samples, r, tsMs)
@@ -103,6 +104,8 @@ final class PromServer(
         api.alertState = alertStates
         notifier.foreach(_.sendFromState(a, next, tsMs))
       }
+      api.ruleEvalStats = api.ruleEvalStats
+        .updated(g.name, (tsMs, (System.nanoTime() - g0) / 1e9))
     }
   }
 

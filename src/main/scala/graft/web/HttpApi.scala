@@ -43,6 +43,10 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
   /** notifier fan-out endpoints, rendered by /api/v1/alertmanagers */
   @volatile var alertmanagerUrls: Seq[String] = Nil
 
+  /** group name → (last evaluation wall time ms, duration sec), maintained
+    * by the rule-eval loop; rendered by /api/v1/rules */
+  @volatile var ruleEvalStats: Map[String, (Long, Double)] = Map.empty
+
   /** lifecycle hook: set by the server assembly to enable POST /-/reload
     * (ref: web/web.go EnableLifecycle; unset → 403 like the reference) */
   @volatile var reloadHook: Option[() => Either[String, Unit]] = None
@@ -572,29 +576,47 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     // rule registry + live alerts (ref: api.go rules/alerts handlers) —
     // the host wires evaluated state in via `ruleGroups`/`alertState`
     server.createContext("/api/v1/rules", qHandler { ex =>
+      // `type=alert|record` filter (ref: api.go rules handler typeParam)
+      val p = params(ex)
+      val typeFilter = p.get("type").flatMap(_.headOption).getOrElse("")
+      if (typeFilter.nonEmpty && typeFilter != "alert" && typeFilter != "record")
+        throw new IllegalArgumentException(
+          s"not supported value $typeFilter of parameter type")
       val groups = ruleGroups.map { g =>
-        val rec = g.recording.map(r => Json.obj(
-          "type" -> Json.str("recording"), "name" -> Json.str(r.record),
-          "query" -> Json.str(r.expr), "labels" -> Json.metric(r.labels),
-          "health" -> Json.str("ok")))
-        val alr = g.alerting.map { a =>
-          val alerts = activeAlertsOf(g.name, a)
-          Json.obj(
-            "type" -> Json.str("alerting"), "name" -> Json.str(a.alert),
-            "query" -> Json.str(a.expr),
-            "duration" -> (a.forMs / 1000.0).toString,
-            "keepFiringFor" -> (a.keepFiringForMs / 1000.0).toString,
-            "labels" -> Json.metric(a.labels),
-            "annotations" -> Json.metric(a.annotations),
-            "state" -> Json.str(
-              if (alerts.exists(_._2 == "firing")) "firing"
-              else if (alerts.nonEmpty) "pending" else "inactive"),
-            "alerts" -> Json.arr(alerts.map(_._1)),
-            "health" -> Json.str("ok"))
-        }
+        val (lastMs, durS) = ruleEvalStats.getOrElse(g.name, (0L, 0.0))
+        val evalFields = Seq(
+          "evaluationTime" -> durS.toString,
+          "lastEvaluation" -> Json.str(
+            java.time.Instant.ofEpochMilli(lastMs).toString))
+        val rec =
+          if (typeFilter == "alert") Nil
+          else g.recording.map(r => Json.obj(Seq(
+            "type" -> Json.str("recording"), "name" -> Json.str(r.record),
+            "query" -> Json.str(r.expr), "labels" -> Json.metric(r.labels),
+            "health" -> Json.str("ok")) ++ evalFields: _*))
+        val alr =
+          if (typeFilter == "record") Nil
+          else g.alerting.map { a =>
+            val alerts = activeAlertsOf(g.name, a)
+            Json.obj(Seq(
+              "type" -> Json.str("alerting"), "name" -> Json.str(a.alert),
+              "query" -> Json.str(a.expr),
+              "duration" -> (a.forMs / 1000.0).toString,
+              "keepFiringFor" -> (a.keepFiringForMs / 1000.0).toString,
+              "labels" -> Json.metric(a.labels),
+              "annotations" -> Json.metric(a.annotations),
+              "state" -> Json.str(
+                if (alerts.exists(_._2 == "firing")) "firing"
+                else if (alerts.nonEmpty) "pending" else "inactive"),
+              "alerts" -> Json.arr(alerts.map(_._1)),
+              "health" -> Json.str("ok")) ++ evalFields: _*)
+          }
         Json.obj("name" -> Json.str(g.name), "file" -> Json.str(""),
           "interval" -> (g.intervalMs / 1000.0).toString,
-          "rules" -> Json.arr(rec ++ alr))
+          "rules" -> Json.arr(rec ++ alr),
+          "evaluationTime" -> durS.toString,
+          "lastEvaluation" -> Json.str(
+            java.time.Instant.ofEpochMilli(lastMs).toString))
       }
       ok(ex, Json.obj("groups" -> Json.arr(groups)))
     })

@@ -91,6 +91,14 @@ class PromServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (c2, b2) = get(port, "/api/v1/query?query=ALERTS&time=15")
       assert(c2 == 200 && b2.contains("\"alertname\":\"Down\""), b2)
 
+      // rules endpoint: type filter + eval stats from the tick above
+      val (cr1, br1) = get(port, "/api/v1/rules?type=record")
+      assert(cr1 == 200 && br1.contains("job:up:count") && !br1.contains("\"alerting\""), br1)
+      val (cr2, br2) = get(port, "/api/v1/rules?type=alert")
+      assert(cr2 == 200 && br2.contains("\"alerting\"") && !br2.contains("\"recording\""), br2)
+      assert(br2.contains("\"lastEvaluation\":\"1970-01-01T00:00:15Z\""), br2)
+      assert(get(port, "/api/v1/rules?type=bogus")._1 == 400)
+
       // /api/v1/status/config serves the live yaml; alertmanagers listed
       val (c3, b3) = get(port, "/api/v1/status/config")
       assert(c3 == 200 && b3.contains("evaluation_interval"), b3)

@@ -293,6 +293,29 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length == 1 && got.head.getDouble(got.head.fieldIndex("v")) == 5.0)
   }
 
+  test("ingest checkpoint restart resumes without reprocessing (WAL-replay analog)") {
+    // the Structured Streaming checkpoint IS the WAL: a restarted sink
+    // resumes from the committed offset — previously-ingested files are not
+    // re-appended (no duplicates), new files flow (ref: tsdb/wlog replay on
+    // startup; tsdb/agent/db.go replays then continues)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_in2").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_out2").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck2").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "s1.txt"),
+      "m{job=\"a\"} 1 1000\n".getBytes("UTF-8"))
+    val q1 = Ingest.sink(Ingest.source(spark, inDir), outDir, ckDir, oooWindowMs = 60000L)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(outDir).count() == 1)
+    // "restart": a NEW query against the same checkpoint; a new file arrives
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "s2.txt"),
+      "m{job=\"b\"} 2 2000\n".getBytes("UTF-8"))
+    val q2 = Ingest.sink(Ingest.source(spark, inDir), outDir, ckDir, oooWindowMs = 60000L)
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getMap[String, String](0)("job"), r.getDouble(2))).toSeq
+    assert(rows.sorted == Seq(("a", 1.0), ("b", 2.0)), rows.toString) // no replays
+  }
+
   test("file service discovery parses the reference's sd-file corpus") {
     val d = "/root/reference/cmd/promtool/testdata"
     // JSON one-group form: labels + targets together
