@@ -115,6 +115,13 @@ object YamlLite {
         else if (pos + 1 < lines.length && lines(pos + 1).indent > indent) {
           val (n, next) = parseBlock(lines, pos + 1, lines(pos + 1).indent)
           ((k, n), next)
+        } else if (pos + 1 < lines.length && lines(pos + 1).indent == indent &&
+            (lines(pos + 1).content == "-" || lines(pos + 1).content.startsWith("- "))) {
+          // YAML allows a block sequence at the SAME indentation as its
+          // parent mapping key (`groups:\n- name: x`); the parent map's
+          // loop stops at the dash, so the items bind to this key
+          val (n, next) = parseList(lines, pos + 1, indent)
+          ((k, n), next)
         } else ((k, YScalar("")), pos + 1)
       case None => throw YamlError(s"line ${ln.no}: expected 'key: value', got '${ln.content}'")
     }

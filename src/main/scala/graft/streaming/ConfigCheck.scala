@@ -1,0 +1,200 @@
+package graft.streaming
+
+import graft.promqltest.YamlLite
+import graft.promqltest.YamlLite.{YList, YMap, YNode, YScalar}
+
+/** promtool `check config` / `check rules` analog (ref: cmd/promtool/
+  * main.go:540 CheckConfig, :940 CheckRules, exit codes main.go:70
+  * successExitCode=0 / failureExitCode=1 / lintErrExitCode=3).
+  *
+  * Validation follows the reference's strict unmarshal: unknown top-level /
+  * global / scrape-config fields are ERRORS (yaml.UnmarshalStrict), rule
+  * files referenced by the config must load (missing file = error, like
+  * promtool), rule expressions must parse, and alert templates must use
+  * known variables ($labels/$value/$externalLabels — `$label.foo` is the
+  * reference's template execution error). Lint: duplicate rules (same
+  * name + labels, main.go:1006 checkDuplicates) → exit 3.
+  */
+object ConfigCheck {
+
+  final case class Result(exitCode: Int, errors: Seq[String], lintIssues: Seq[String])
+
+  private val topLevelFields = Set(
+    "global", "runtime", "rule_files", "scrape_config_files", "scrape_configs",
+    "alerting", "remote_write", "remote_read", "storage", "tracing", "otlp")
+
+  private val globalFields = Set(
+    "scrape_interval", "scrape_timeout", "scrape_protocols",
+    "evaluation_interval", "rule_query_offset", "query_log_file",
+    "scrape_failure_log_file", "external_labels", "body_size_limit",
+    "sample_limit", "label_limit", "label_name_length_limit",
+    "label_value_length_limit", "target_limit", "keep_dropped_targets",
+    "metric_name_validation_scheme", "metric_name_escaping_scheme",
+    "always_scrape_classic_histograms", "convert_classic_histograms_to_nhcb")
+
+  private val scrapeFields = Set(
+    "job_name", "scrape_interval", "scrape_timeout", "scrape_protocols",
+    "metrics_path", "scheme", "honor_labels", "honor_timestamps",
+    "track_timestamps_staleness", "params", "basic_auth", "authorization",
+    "oauth2", "tls_config", "proxy_url", "no_proxy", "proxy_from_environment",
+    "proxy_connect_header", "follow_redirects", "enable_http2",
+    "relabel_configs", "metric_relabel_configs", "body_size_limit",
+    "sample_limit", "label_limit", "label_name_length_limit",
+    "label_value_length_limit", "target_limit", "keep_dropped_targets",
+    "native_histogram_bucket_limit", "native_histogram_min_bucket_factor",
+    "always_scrape_classic_histograms", "convert_classic_histograms_to_nhcb",
+    "fallback_scrape_protocol", "enable_compression", "static_configs",
+    "http_headers", "metric_name_validation_scheme", "metric_name_escaping_scheme")
+
+  private def unknownKeys(m: YMap, known: Set[String],
+      where: String, alsoOk: String => Boolean = _ => false): Seq[String] =
+    m.keys.filterNot(k => known(k) || alsoOk(k))
+      .map(k => s"$where: field $k not found in type config")
+
+  /** template variables the reference's AlertTemplateData exposes — an
+    * unknown `$x` fails template execution in promtool's test-expansion */
+  private def templateErrors(text: String, where: String): Seq[String] =
+    "\\$([A-Za-z_][A-Za-z0-9_]*)".r.findAllMatchIn(text).toSeq
+      .map(_.group(1))
+      .filterNot(Set("labels", "value", "externalLabels", "externalURL"))
+      .map(v => s"$where: undefined variable \"$$$v\" in template")
+
+  /** check one rule file: (errors, lint issues, rule count) */
+  def checkRuleFile(path: String): (Seq[String], Seq[String], Int) = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p))
+      return (Seq(s"$path: no such file or directory"), Nil, 0)
+    try {
+      val root = YamlLite.parse(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")) match {
+        case m: YMap => m
+        case other => return (Seq(s"$path: expected mapping, got $other"), Nil, 0)
+      }
+      val errs = Seq.newBuilder[String]
+      // (name, sorted labels) per rule for the duplicate lint
+      val seenKeys = scala.collection.mutable.ArrayBuffer[(String, Seq[(String, String)])]()
+      var count = 0
+      root.list("groups").foreach {
+        case g: YMap =>
+          g.list("rules").foreach {
+            case r: YMap =>
+              count += 1
+              val record = r.str("record").getOrElse("")
+              val alert = r.str("alert").getOrElse("")
+              if (record.nonEmpty == alert.nonEmpty)
+                errs += s"$path: rule must have exactly one of 'record' and 'alert'"
+              r.str("expr") match {
+                case None => errs += s"$path: rule missing expr"
+                case Some(e) =>
+                  try graft.promql.Engine.parse(e)
+                  catch { case ex: Throwable =>
+                    errs += s"$path: could not parse expression: ${ex.getMessage}" }
+              }
+              def kv(key: String): Seq[(String, String)] = r.get(key) match {
+                case Some(m: YMap) => m.entries.collect { case (k, YScalar(v)) => k -> v }
+                case _ => Nil
+              }
+              (kv("labels") ++ kv("annotations")).foreach { case (_, v) =>
+                errs ++= templateErrors(v, path) }
+              seenKeys += ((if (alert.nonEmpty) alert else record,
+                kv("labels").sortBy(_._1)))
+            case _ => errs += s"$path: bad rule node"
+          }
+        case _ => errs += s"$path: bad group node"
+      }
+      val dups = seenKeys.groupBy(identity).filter(_._2.size > 1).keys.toSeq
+        .map { case (n, _) => s"$path: duplicate rule $n" }
+      (errs.result(), dups, count)
+    } catch {
+      case e: Throwable => (Seq(s"$path: ${e.getMessage}"), Nil, 0)
+    }
+  }
+
+  /** promtool `check rules <file>` */
+  def checkRules(path: String): Result = {
+    val (errs, lint, _) = checkRuleFile(path)
+    if (errs.nonEmpty) Result(1, errs, lint)
+    else if (lint.nonEmpty) Result(3, Nil, lint)
+    else Result(0, Nil, Nil)
+  }
+
+  /** promtool `check config <file>` */
+  def checkConfig(path: String): Result = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p))
+      return Result(1, Seq(s"$path: no such file or directory"), Nil)
+    val text =
+      try new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      catch { case e: Throwable => return Result(1, Seq(e.getMessage), Nil) }
+    val root = YamlLite.parse(text) match {
+      case m: YMap => m
+      case YScalar("") => YMap(Nil) // an empty config is valid
+      case _: YList => return Result(1, Seq(s"$path: expected a mapping"), Nil)
+      case _ => YMap(Nil)
+    }
+    val errs = Seq.newBuilder[String]
+    errs ++= unknownKeys(root, topLevelFields, path)
+    root.get("global") match {
+      case Some(g: YMap) => errs ++= unknownKeys(g, globalFields, s"$path global")
+      case _ => ()
+    }
+    root.list("scrape_configs").foreach {
+      case sc: YMap =>
+        // every `*_sd_configs` mechanism is a known field (the reference has
+        // ~25 providers; their inner options are provider-specific and not
+        // re-validated here — matching promtool's no-network parse)
+        errs ++= unknownKeys(sc, scrapeFields, s"$path scrape_config",
+          alsoOk = _.endsWith("_sd_configs"))
+      case _ => errs += s"$path: bad scrape_config node"
+    }
+    // the config itself must parse into the serving model
+    try Config.parse(text, Option(p.getParent).map(_.toString).getOrElse("."))
+    catch { case e: Throwable => errs += s"$path: ${e.getMessage}" }
+    // rule files must EXIST and load (promtool fails on missing globs'
+    // literal paths; glob patterns may legitimately match nothing)
+    val base = Option(p.getParent).map(_.toString).getOrElse(".")
+    val lint = Seq.newBuilder[String]
+    root.list("rule_files").collect { case YScalar(rf) => rf }.foreach { rf =>
+      val isGlob = rf.exists(c => c == '*' || c == '?' || c == '[')
+      val resolved =
+        if (rf.startsWith("/")) Seq(rf)
+        else Seq(java.nio.file.Paths.get(base).resolve(rf).toString)
+      resolved.foreach { f =>
+        if (!isGlob && !java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
+          errs += s"$f: no such file or directory"
+        else if (!isGlob) {
+          val (e2, l2, _) = checkRuleFile(f)
+          errs ++= e2; lint ++= l2
+        }
+      }
+    }
+    val es = errs.result(); val ls = lint.result()
+    if (es.nonEmpty) Result(1, es, ls)
+    else if (ls.nonEmpty) Result(3, Nil, ls)
+    else Result(0, Nil, Nil)
+  }
+}
+
+/** CLI analog: `runMain graft.streaming.ConfigCheckMain [config|rules] <files...>` */
+object ConfigCheckMain {
+  def main(args: Array[String]): Unit = {
+    val (mode, files) = args.toList match {
+      case "rules" :: fs => ("rules", fs)
+      case "config" :: fs => ("config", fs)
+      case fs => ("config", fs)
+    }
+    var worst = 0
+    files.foreach { f =>
+      val r = if (mode == "rules") ConfigCheck.checkRules(f) else ConfigCheck.checkConfig(f)
+      val verdict =
+        if (r.exitCode == 0) "SUCCESS"
+        else if (r.exitCode == 3) "SUCCESS (with lint issues)"
+        else "FAILED"
+      println(s"Checking $f\n  $verdict")
+      r.errors.foreach(e => println(s"  error: $e"))
+      r.lintIssues.foreach(l => println(s"  lint: $l"))
+      worst = math.max(worst, r.exitCode)
+    }
+    if (worst != 0) sys.exit(worst)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** promtool check config / check rules over the REFERENCE'S OWN corpus
+  * (ref: cmd/promtool/main_test.go TestExitCodes + TestCheckRules) —
+  * exit-code parity: 0 ok, 1 failure, 3 lint issue. */
+class ConfigCheckSpec extends AnyFunSuite {
+
+  private val d = "/root/reference/cmd/promtool/testdata"
+
+  test("check config exit codes match promtool's TestExitCodes table") {
+    // good: an empty config is valid
+    assert(ConfigCheck.checkConfig(s"$d/prometheus-config.good.yml").exitCode == 0)
+    // good: AWS SD configs with omitted region parse without network calls
+    assert(ConfigCheck.checkConfig(s"$d/prometheus-aws-sd-empty-region.good.yml").exitCode == 0)
+    // bad: unknown top-level field (strict unmarshal)
+    val bad = ConfigCheck.checkConfig(s"$d/prometheus-config.bad.yml")
+    assert(bad.exitCode == 1 && bad.errors.exists(_.contains("not-prometheus")), bad.toString)
+    // nonexistent file
+    assert(ConfigCheck.checkConfig(s"$d/prometheus-config.nonexistent.yml").exitCode == 1)
+    // lint: the referenced rule file contains a duplicate rule -> 3
+    val lint = ConfigCheck.checkConfig(s"$d/prometheus-config.lint.yml")
+    assert(lint.exitCode == 3 && lint.lintIssues.exists(_.contains("duplicate rule")),
+      lint.toString)
+    // rule files referenced by the config must exist
+    val missing = ConfigCheck.checkConfig(s"$d/config_with_rule_files.yml")
+    assert(missing.exitCode == 1 &&
+      missing.errors.exists(_.contains("non-existent-file.yml")), missing.toString)
+  }
+
+  test("check rules: good file passes, syntax and template errors fail, duplicates lint") {
+    assert(ConfigCheck.checkRules(s"$d/rules.yml").exitCode == 0)
+    // 'test +' is a parse error
+    val syn = ConfigCheck.checkRules(s"$d/bad-rules-syntax.yml")
+    assert(syn.exitCode == 1 &&
+      syn.errors.exists(_.contains("could not parse expression")), syn.toString)
+    // '{{ $label.foo }}' uses an undefined template variable
+    val tmpl = ConfigCheck.checkRules(s"$d/rules-bad.yml")
+    assert(tmpl.exitCode == 1 &&
+      tmpl.errors.exists(_.contains("undefined variable \"$label\"")), tmpl.toString)
+    // duplicate alert (same name + labels) is a lint issue -> 3
+    val dup = ConfigCheck.checkRules(s"$d/prometheus-rules.lint.yml")
+    assert(dup.exitCode == 3 &&
+      dup.lintIssues.exists(_.contains("HighRequestLatency")), dup.toString)
+  }
+}
