@@ -21,7 +21,8 @@ object Config {
       relabel: Seq[Relabel.Rule],
       metricRelabel: Seq[Relabel.Rule],
       scheme: String, metricsPath: String,
-      limits: ScrapeManager.ScrapeLimits = ScrapeManager.ScrapeLimits())
+      limits: ScrapeManager.ScrapeLimits = ScrapeManager.ScrapeLimits(),
+      honorLabels: Boolean = false)
 
   final case class PromConfig(
       scrapeIntervalMs: Long,
@@ -34,9 +35,10 @@ object Config {
       alertmanagerUrls: Seq[String]) {
     /** all scrape targets of a job (static + current file-SD contents) */
     def targetsOf(job: ScrapeJob): Seq[ScrapeManager.ScrapeTarget] =
-      job.staticTargets ++ job.fileSdPaths.flatMap(p =>
+      (job.staticTargets ++ job.fileSdPaths.flatMap(p =>
         try ScrapeManager.fileSdTargets(p, job.jobName, job.scheme, job.metricsPath)
-        catch { case _: Exception => Nil })
+        catch { case _: Exception => Nil }))
+        .map(_.copy(honorLabels = job.honorLabels))
   }
 
   private def durMs(s: String): Long = graft.promqltest.TestScript.parseTime(s)
@@ -140,7 +142,8 @@ object Config {
           m.str("sample_limit").map(_.toLong).getOrElse(0L),
           m.str("label_limit").map(_.toInt).getOrElse(0),
           m.str("label_name_length_limit").map(_.toInt).getOrElse(0),
-          m.str("label_value_length_limit").map(_.toInt).getOrElse(0)))
+          m.str("label_value_length_limit").map(_.toInt).getOrElse(0)),
+        m.str("honor_labels").contains("true"))
     }
     def urlsOf(key: String): Seq[String] =
       root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)

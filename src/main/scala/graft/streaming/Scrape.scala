@@ -130,7 +130,7 @@ final class ScrapeManager(
       } catch { case _: Exception => (ProtoExposition.Parsed(Nil, Map.empty), false) }
     val dur = (nowMs() - t0) / 1000.0
     def decorate(labels: Map[String, String]): Map[String, String] =
-      labels ++ Map("instance" -> tgt.instance, "job" -> tgt.job) ++ tgt.extraLabels
+      ScrapeManager.decorate(tgt, labels)
     val stamped = parsed.samples.map { s =>
       s.copy(labels = decorate(s.labels), t = if (honorTimestamps && s.t != 0L) s.t else t0)
     }
@@ -181,7 +181,7 @@ final class ScrapeManager(
     val dur = (nowMs() - t0) / 1000.0
     // target labels (ref: scrape.go:700 target label decoration)
     def decorate(labels: Map[String, String]): Map[String, String] =
-      labels ++ Map("instance" -> tgt.instance, "job" -> tgt.job) ++ tgt.extraLabels
+      ScrapeManager.decorate(tgt, labels)
     def toDf(rows: Seq[(Map[String, String], Long, Double)]) =
       spark.createDataFrame(
         spark.sparkContext.parallelize(
@@ -246,11 +246,27 @@ object ScrapeManager {
       labelNameLengthLimit: Int = 0,
       labelValueLengthLimit: Int = 0)
 
+  /** Target-label decoration (ref: scrape/scrape.go mutateSampleLabels):
+    * honor_labels=false (default) renames CONFLICTING scraped labels to
+    * `exported_<name>` before target labels apply; honor_labels=true keeps
+    * the scraped values and target labels only fill the gaps. */
+  def decorate(tgt: ScrapeTarget, labels: Map[String, String]): Map[String, String] = {
+    val tgtLbls = Map("instance" -> tgt.instance, "job" -> tgt.job) ++ tgt.extraLabels
+    if (tgt.honorLabels) tgtLbls ++ labels
+    else {
+      val renamed = labels.map { case (k, v) =>
+        (if (tgtLbls.contains(k) && !k.startsWith("__")) "exported_" + k else k) -> v
+      }
+      renamed ++ tgtLbls
+    }
+  }
+
   final case class ScrapeTarget(
       url: String, job: String, instance: String,
       openMetrics: Boolean = false,
       proto: Boolean = false,
-      extraLabels: Map[String, String] = Map.empty)
+      extraLabels: Map[String, String] = Map.empty,
+      honorLabels: Boolean = false)
 
   /** Parse a file-SD target file — a JSON array or YAML list of target
     * groups `{labels: {...}, targets: [host:port, ...]}` (ref:

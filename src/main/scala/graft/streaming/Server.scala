@@ -56,9 +56,11 @@ final class PromServer(
       api.ruleGroups = ruleGroups
       api.alertmanagerUrls = cfg.alertmanagerUrls
       api.configYaml = text
+      api.externalLabels = cfg.externalLabels
       notifier =
         if (cfg.alertmanagerUrls.isEmpty) None
-        else Some(new graft.web.Notifier(cfg.alertmanagerUrls))
+        else Some(new graft.web.Notifier(cfg.alertmanagerUrls,
+          externalLabels = cfg.externalLabels))
       forwarders = cfg.remoteWriteUrls.map(new graft.web.RemoteWriteForwarder(_))
       // scrape manager rebuilt around the new job set; SD re-resolves per pass
       scraper.foreach(_.stop())
@@ -97,7 +99,8 @@ final class PromServer(
         val prevAll = alertStates.getOrElse(g.name, Map.empty)
         val prev = prevAll.filter(
           _._2.labels.getOrElse("alertname", "") == a.alert)
-        val (df, next) = Rules.evalAlerting(spark, store.samples, a, tsMs, prev)
+        val (df, next) = Rules.evalAlerting(spark, store.samples, a, tsMs, prev,
+          externalLabels = configOpt.map(_.externalLabels).getOrElse(Map.empty))
         store.append(df)
         val others = prevAll -- prev.keys
         alertStates = alertStates.updated(g.name, others ++ next)

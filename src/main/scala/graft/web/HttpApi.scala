@@ -47,6 +47,11 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     * by the rule-eval loop; rendered by /api/v1/rules */
   @volatile var ruleEvalStats: Map[String, (Long, Double)] = Map.empty
 
+  /** config `global.external_labels` — attached to federation output
+    * (series labels win on conflict; ref: web/federate.go external-label
+    * merge) and exposed for the notifier/rule paths */
+  @volatile var externalLabels: Map[String, String] = Map.empty
+
   /** lifecycle hook: set by the server assembly to enable POST /-/reload
     * (ref: web/web.go EnableLifecycle; unset → 403 like the reference) */
   @volatile var reloadHook: Option[() => Either[String, Unit]] = None
@@ -492,7 +497,9 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         .select(col("p.labels"), col("p.t"), col("p.v")).collect().toSeq
       val sb = new StringBuilder
       rows.sortBy(r => labelsOf(r, 0).toSeq.sorted.mkString("\u0000")).foreach { r =>
-        val lbls = labelsOf(r, 0)
+        // external labels ride along; the series' own labels win conflicts
+        // (ref: federate.go external-label merge, series value first)
+        val lbls = externalLabels ++ labelsOf(r, 0)
         val name = lbls.getOrElse("__name__", "")
         val rest = (lbls - "__name__" - "__type__" - "__unit__").toSeq.sorted
           .map { case (k, v) => s"""$k="${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }

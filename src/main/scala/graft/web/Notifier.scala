@@ -15,7 +15,8 @@ import graft.streaming.Rules
 final class Notifier(
     alertmanagerUrls: Seq[String],
     externalUrl: String = "http://localhost:9090",
-    client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient()) {
+    client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient(),
+    externalLabels: Map[String, String] = Map.empty) {
 
   final case class Alert(
       labels: Map[String, String],
@@ -65,7 +66,9 @@ final class Notifier(
     val firing = state.values.filter(_.firingSinceMs >= 0L).toSeq
     send(firing.map { st =>
       Alert(
-        labels = st.labels,
+        // external labels attach to outbound alerts; the alert's own labels
+        // win conflicts (ref: notifier/notifier.go Send label merge)
+        labels = externalLabels ++ st.labels,
         // per-instance template-expanded annotations when the evaluation
         // produced them (ref: rules/alerting.go sends expanded annotations)
         annotations = if (st.annotations.nonEmpty) st.annotations else rule.annotations,

@@ -118,6 +118,21 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.value == 7.5)
   }
 
+  test("target decoration: exported_ renaming vs honor_labels") {
+    val t0 = ScrapeManager.ScrapeTarget("u", "job1", "i1",
+      extraLabels = Map("env" -> "prod"))
+    // default (honor_labels=false): conflicting scraped labels are renamed
+    // to exported_<name>, target values win (ref: scrape.go mutateSampleLabels)
+    assert(ScrapeManager.decorate(t0,
+      Map("__name__" -> "m", "job" -> "inner", "env" -> "dev", "x" -> "1")) ==
+      Map("__name__" -> "m", "exported_job" -> "inner", "exported_env" -> "dev",
+        "x" -> "1", "instance" -> "i1", "job" -> "job1", "env" -> "prod"))
+    // honor_labels=true: scraped values win, target labels only fill gaps
+    assert(ScrapeManager.decorate(t0.copy(honorLabels = true),
+      Map("__name__" -> "m", "job" -> "inner")) ==
+      Map("__name__" -> "m", "job" -> "inner", "instance" -> "i1", "env" -> "prod"))
+  }
+
   test("scrape limits fail the whole scrape: up=0, batch dropped") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(0), 0)

@@ -244,6 +244,18 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("federation attaches external labels; series labels win conflicts") {
+    val api = new HttpApi(spark, fixtureStore(), 0, () => 600000L)
+    api.externalLabels = Map("site" -> "eu1", "job" -> "xjob")
+    api.start()
+    try {
+      val (c, b) = get(api.boundPort, "/federate?match%5B%5D=http_requests_total")
+      assert(c == 200, b)
+      assert(b.contains("site=\"eu1\""), b)
+      assert(b.contains("job=\"api\"") && !b.contains("xjob"), b)
+    } finally api.stop()
+  }
+
   test("targets/metadata and alertmanagers endpoints render registry state") {
     val store = fixtureStore()
     store.mergeMetadata(Map(
