@@ -3,6 +3,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadBefore =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
+      catch { case _: Exception => "" }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,7 +78,19 @@ object Bench {
     val qs = all.map { case (k, v) => s"\"" + k.replace("\"", "'") + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
+      catch { case _: Exception => "" }
+    val loadAfter = loadavg
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","load_before":"$loadBefore","load_after":"$loadAfter"}"""
+    // the artifact of record: a FILE the driver (or a human) can read without
+    // scraping a truncated stdout tail (round-5/6 verdict housekeeping)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
+    println(json)
     spark.stop()
   }
 }
