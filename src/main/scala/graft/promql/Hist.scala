@@ -99,12 +99,36 @@ final case class FHist(
     val t = math.min(self1.schema, other1.schema)
     val a = self1.reduceTo(t)
     val b = other1.reduceTo(t)
-    def comb(ai: Seq[Int], ac: Seq[Double], bi: Seq[Int], bc: Seq[Double]): (Seq[Int], Seq[Double]) = {
-      val m = scala.collection.mutable.TreeMap[Int, Double]()
-      ai.zip(ac).foreach { case (i, c) => m(i) = m.getOrElse(i, 0.0) + c }
-      bi.zip(bc).foreach { case (i, c) => m(i) = m.getOrElse(i, 0.0) + sign * c }
-      val kept = m.toSeq
-      (kept.map(_._1), kept.map(_._2))
+    // hot path (every rate/sum fold window): allocation-light two-pointer
+    // union walk over the sorted-unique index arrays; the map-based variant
+    // only for inputs that arrive unsorted (none internally, but external
+    // wire decodes are not trusted to be). Value arithmetic matches the map
+    // path bit-for-bit (0.0 + c on single-sided keys).
+    def comb(ai0: Seq[Int], ac0: Seq[Double], bi0: Seq[Int], bc0: Seq[Double]): (Seq[Int], Seq[Double]) = {
+      val ai = FHist.toIntArr(ai0); val bi = FHist.toIntArr(bi0)
+      if (FHist.strictlyInc(ai) && FHist.strictlyInc(bi)) {
+        val ac = FHist.toDblArr(ac0); val bc = FHist.toDblArr(bc0)
+        val cap = ai.length + bi.length
+        val oi = new Array[Int](cap); val oc = new Array[Double](cap)
+        var i = 0; var j = 0; var k = 0
+        while (i < ai.length || j < bi.length) {
+          if (j >= bi.length || (i < ai.length && ai(i) < bi(j))) {
+            oi(k) = ai(i); oc(k) = 0.0 + ac(i); i += 1
+          } else if (i >= ai.length || bi(j) < ai(i)) {
+            oi(k) = bi(j); oc(k) = 0.0 + sign * bc(j); j += 1
+          } else {
+            oi(k) = ai(i); oc(k) = ac(i) + sign * bc(j); i += 1; j += 1
+          }
+          k += 1
+        }
+        (FHist.wrapI(oi, k), FHist.wrapD(oc, k))
+      } else {
+        val m = scala.collection.mutable.TreeMap[Int, Double]()
+        ai0.zip(ac0).foreach { case (i, c) => m(i) = m.getOrElse(i, 0.0) + c }
+        bi0.zip(bc0).foreach { case (i, c) => m(i) = m.getOrElse(i, 0.0) + sign * c }
+        val kept = m.toSeq
+        (kept.map(_._1), kept.map(_._2))
+      }
     }
     val (pi, pc) = comb(a.pidx, a.pcnt, b.pidx, b.pcnt)
     val (ni, nc) = comb(a.nidx, a.ncnt, b.nidx, b.ncnt)
@@ -138,9 +162,21 @@ final case class FHist(
 
   /** drop zero-count buckets (presentation compaction) */
   def compact: FHist = {
-    val p = pidx.zip(pcnt).filter(_._2 != 0.0)
-    val n = nidx.zip(ncnt).filter(_._2 != 0.0)
-    copy(pidx = p.map(_._1), pcnt = p.map(_._2), nidx = n.map(_._1), ncnt = n.map(_._2))
+    def keep(idx: Seq[Int], cnt: Seq[Double]): (Seq[Int], Seq[Double]) = {
+      val ia = FHist.toIntArr(idx); val ca = FHist.toDblArr(cnt)
+      var k = 0
+      val oi = new Array[Int](ia.length); val oc = new Array[Double](ia.length)
+      var i = 0
+      while (i < ia.length) {
+        if (ca(i) != 0.0) { oi(k) = ia(i); oc(k) = ca(i); k += 1 }
+        i += 1
+      }
+      if (k == ia.length) (idx, cnt) else (FHist.wrapI(oi, k), FHist.wrapD(oc, k))
+    }
+    val (pi, pc) = keep(pidx, pcnt)
+    val (ni, nc) = keep(nidx, ncnt)
+    if ((pi eq pidx) && (ni eq nidx)) this
+    else copy(pidx = pi, pcnt = pc, nidx = ni, ncnt = nc)
   }
 
   /** counter reset detection (ref: float_histogram.go:751 DetectReset —
@@ -159,12 +195,32 @@ final case class FHist(
       } else (this, prev)
     val t = math.min(self1.schema, prev1.schema)
     val a = self1.reduceTo(t); val b = prev1.reduceTo(t)
-    def anyDrop(ai: Seq[Int], ac: Seq[Double], bi: Seq[Int], bc: Seq[Double]): Boolean = {
+    def anyDrop(ai0: Seq[Int], ac0: Seq[Double], bi0: Seq[Int], bc0: Seq[Double]): Boolean = {
       // cumulative-from-edge comparison like the reference: a bucket-wise
-      // comparison on aligned indices
-      val bm = bi.zip(bc).toMap
-      val am = ai.zip(ac).toMap
-      (am.keySet ++ bm.keySet).exists(i => am.getOrElse(i, 0.0) < bm.getOrElse(i, 0.0))
+      // comparison on aligned indices (two-pointer on the sorted-unique
+      // index arrays — this runs per adjacent pair in every counter fold)
+      val ai = FHist.toIntArr(ai0); val bi = FHist.toIntArr(bi0)
+      if (FHist.strictlyInc(ai) && FHist.strictlyInc(bi)) {
+        val ac = FHist.toDblArr(ac0); val bc = FHist.toDblArr(bc0)
+        var i = 0; var j = 0
+        while (i < ai.length || j < bi.length) {
+          if (j >= bi.length || (i < ai.length && ai(i) < bi(j))) {
+            if (ac(i) < 0.0) return true
+            i += 1
+          } else if (i >= ai.length || bi(j) < ai(i)) {
+            if (0.0 < bc(j)) return true
+            j += 1
+          } else {
+            if (ac(i) < bc(j)) return true
+            i += 1; j += 1
+          }
+        }
+        false
+      } else {
+        val bm = bi0.zip(bc0).toMap
+        val am = ai0.zip(ac0).toMap
+        (am.keySet ++ bm.keySet).exists(i => am.getOrElse(i, 0.0) < bm.getOrElse(i, 0.0))
+      }
     }
     anyDrop(a.pidx, a.pcnt, b.pidx, b.pcnt) || anyDrop(a.nidx, a.ncnt, b.nidx, b.ncnt)
   }
@@ -338,6 +394,59 @@ final case class FHist(
 
 object FHist {
 
+  // ---- allocation-light array plumbing for the hot fold paths ----
+
+  /** strictly-increasing (sorted unique) — precondition for the two-pointer
+    * bucket walks; every internally-built index array satisfies it */
+  private[promql] def strictlyInc(a: Array[Int]): Boolean = {
+    var i = 1
+    while (i < a.length) { if (a(i - 1) >= a(i)) return false; i += 1 }
+    true
+  }
+  private[promql] def toIntArr(s: Seq[Int]): Array[Int] = s match {
+    case as: scala.collection.immutable.ArraySeq.ofInt => as.unsafeArray
+    case _ => s.toArray
+  }
+  private[promql] def toDblArr(s: Seq[Double]): Array[Double] = s match {
+    case as: scala.collection.immutable.ArraySeq.ofDouble => as.unsafeArray
+    case _ => s.toArray
+  }
+  private[promql] def wrapI(a: Array[Int], n: Int): Seq[Int] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      if (n == a.length) a else java.util.Arrays.copyOf(a, n))
+  private[promql] def wrapD(a: Array[Double], n: Int): Seq[Double] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      if (n == a.length) a else java.util.Arrays.copyOf(a, n))
+
+  /** fast Catalyst decode for the fold expressions (StepFoldExprs): direct
+    * field reads off the InternalRow — no reflection-derived encoder */
+  def fromInternal(r: org.apache.spark.sql.catalyst.InternalRow): FHist = {
+    import scala.collection.immutable.ArraySeq
+    FHist(r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      ArraySeq.unsafeWrapArray(r.getArray(5).toIntArray()),
+      ArraySeq.unsafeWrapArray(r.getArray(6).toDoubleArray()),
+      ArraySeq.unsafeWrapArray(r.getArray(7).toIntArray()),
+      ArraySeq.unsafeWrapArray(r.getArray(8).toDoubleArray()),
+      ArraySeq.unsafeWrapArray(r.getArray(9).toDoubleArray()),
+      r.getInt(10))
+  }
+
+  /** fast Catalyst encode (inverse of [[fromInternal]]) */
+  def toInternal(h: FHist): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val r = new GenericInternalRow(11)
+    r.setInt(0, h.schema); r.setDouble(1, h.zt); r.setDouble(2, h.zc)
+    r.setDouble(3, h.cnt); r.setDouble(4, h.sum)
+    r.update(5, new GenericArrayData(toIntArr(h.pidx)))
+    r.update(6, new GenericArrayData(toDblArr(h.pcnt)))
+    r.update(7, new GenericArrayData(toIntArr(h.nidx)))
+    r.update(8, new GenericArrayData(toDblArr(h.ncnt)))
+    r.update(9, new GenericArrayData(toDblArr(h.cv)))
+    r.setInt(10, h.crh)
+    r
+  }
+
   /** inverse of [[fromRow]]: a schemaType-shaped Row for DataFrame builds */
   def toRow(h: FHist): org.apache.spark.sql.Row =
     org.apache.spark.sql.Row(h.schema, h.zt, h.zc, h.cnt, h.sum,
@@ -388,17 +497,42 @@ object FHist {
     val (zcS, zcC) = kahanInc(x.zc, s1.zc, c.zc)
     val (cntS, cntC) = kahanInc(x.cnt, s1.cnt, c.cnt)
     val (sumS, sumC) = kahanInc(x.sum, s1.sum, c.sum)
-    def merge(si: Seq[Int], sc: Seq[Double], ci: Seq[Int], cc: Seq[Double],
-        xi: Seq[Int], xc: Seq[Double]): (Seq[Int], Seq[Double], Seq[Double]) = {
-      val sm = si.zip(sc).toMap
-      val cm = ci.zip(cc).toMap
-      val xm = xi.zip(xc).toMap
-      val keys = (sm.keySet ++ xm.keySet).toSeq.sorted
-      val out = keys.map { k =>
-        val (ns, nc) = kahanInc(xm.getOrElse(k, 0.0), sm.getOrElse(k, 0.0), cm.getOrElse(k, 0.0))
-        (k, ns, nc)
+    def merge(si0: Seq[Int], sc0: Seq[Double], ci0: Seq[Int], cc0: Seq[Double],
+        xi0: Seq[Int], xc0: Seq[Double]): (Seq[Int], Seq[Double], Seq[Double]) = {
+      // hot in sum/avg_over_time + group-sum folds: three-pointer walk over
+      // the sorted index arrays (keys = s ∪ x, comp looked up by pointer)
+      val si = toIntArr(si0); val xi = toIntArr(xi0); val ci = toIntArr(ci0)
+      if (strictlyInc(si) && strictlyInc(xi) && strictlyInc(ci)) {
+        val sc = toDblArr(sc0); val xc = toDblArr(xc0); val cc = toDblArr(cc0)
+        val cap = si.length + xi.length
+        val oi = new Array[Int](cap); val os = new Array[Double](cap); val oc = new Array[Double](cap)
+        var i = 0; var j = 0; var k = 0; var p = 0
+        while (i < si.length || j < xi.length) {
+          var key = 0; var sv = 0.0; var xv = 0.0
+          if (j >= xi.length || (i < si.length && si(i) < xi(j))) {
+            key = si(i); sv = sc(i); i += 1
+          } else if (i >= si.length || xi(j) < si(i)) {
+            key = xi(j); xv = xc(j); j += 1
+          } else {
+            key = si(i); sv = sc(i); xv = xc(j); i += 1; j += 1
+          }
+          while (p < ci.length && ci(p) < key) p += 1
+          val cvv = if (p < ci.length && ci(p) == key) cc(p) else 0.0
+          val (ns, nc) = kahanInc(xv, sv, cvv)
+          oi(k) = key; os(k) = ns; oc(k) = nc; k += 1
+        }
+        (wrapI(oi, k), wrapD(os, k), wrapD(oc, k))
+      } else {
+        val sm = si0.zip(sc0).toMap
+        val cm = ci0.zip(cc0).toMap
+        val xm = xi0.zip(xc0).toMap
+        val keys = (sm.keySet ++ xm.keySet).toSeq.sorted
+        val out = keys.map { k =>
+          val (ns, nc) = kahanInc(xm.getOrElse(k, 0.0), sm.getOrElse(k, 0.0), cm.getOrElse(k, 0.0))
+          (k, ns, nc)
+        }
+        (out.map(_._1), out.map(_._2), out.map(_._3))
       }
-      (out.map(_._1), out.map(_._2), out.map(_._3))
     }
     val (pi, ps, pc) = merge(s1.pidx, s1.pcnt, c.pidx, c.pcnt, x.pidx, x.pcnt)
     val (ni, ns, nc) = merge(s1.nidx, s1.ncnt, c.nidx, c.ncnt, x.nidx, x.ncnt)

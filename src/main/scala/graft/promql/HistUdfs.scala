@@ -359,28 +359,109 @@ object HistUdfs {
     * two-pointer pass over the wt-sorted series (same device as
     * RangeUdfs.seriesWindowAgg; same per-window fold as [[histRate]]) —
     * O(samples) rows instead of the coverage explode's ⌈window/step⌉×
-    * amplification on the wide histogram column. */
-  def histRateAllSteps(isCounter: Boolean, isRate: Boolean, rangeMs: Long,
-      startMs: Long, stepMs: Long, numSteps: Int) = udf { (pts: Seq[HPt]) =>
-    if (pts == null || pts.isEmpty) Seq.empty[(Long, FHist)]
-    else {
-      val sorted = pts.toIndexedSeq
-      val n = sorted.length
-      val out = scala.collection.mutable.ArrayBuffer[(Long, FHist)]()
-      var lo = 0; var hi = 0 // window (t-range, t] == [lo, hi)
-      var k = 0
-      while (k < numSteps) {
-        val t = startMs + k * stepMs
-        while (lo < n && sorted(lo).wt <= t - rangeMs) lo += 1
-        while (hi < n && sorted(hi).wt <= t) hi += 1
-        if (hi > lo) {
-          val h = histRateWindow(isCounter, isRate, rangeMs, sorted.slice(lo, hi), t)
-          if (h != null) out += ((t, h))
-        }
-        k += 1
+    * amplification on the wide histogram column.
+    *
+    * Adjacent-pair counter-reset detection is WINDOW-INDEPENDENT, so the
+    * flags are computed once per series (O(n) detectReset calls) and every
+    * step's window reuses them — hoisting the former per-(window × pair)
+    * detectReset re-scan, which dominated this fold's CPU (~30× re-checked
+    * per pair at 5m/10s windows). */
+  def histRateFoldSteps(isCounter: Boolean, isRate: Boolean, rangeMs: Long,
+      startMs: Long, stepMs: Long, numSteps: Int,
+      wts: Array[Long], stts: Array[Long], hs: Array[FHist]): java.util.ArrayList[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val n = wts.length
+    val out = new java.util.ArrayList[Any](numSteps min 4096)
+    if (n == 0) return out
+    // flags(i) = counter reset between samples i-1 and i
+    val flags = new Array[Boolean](n)
+    if (isCounter) {
+      var i = 1
+      while (i < n) {
+        flags(i) = isStReset(stts(i - 1), wts(i - 1), stts(i), wts(i)) ||
+          hs(i).detectReset(hs(i - 1))
+        i += 1
       }
-      out.toSeq
     }
+    var lo = 0; var hi = 0 // window (t-range, t] == [lo, hi)
+    var k = 0
+    while (k < numSteps) {
+      val t = startMs + k.toLong * stepMs
+      while (lo < n && wts(lo) <= t - rangeMs) lo += 1
+      while (hi < n && wts(hi) <= t) hi += 1
+      if (hi > lo) {
+        val h = histRateWindowPre(isCounter, isRate, rangeMs, wts, stts, hs, flags, lo, hi, t)
+        if (h != null) {
+          val r = new GenericInternalRow(2)
+          r.setLong(0, t); r.update(1, FHist.toInternal(h))
+          out.add(r)
+        }
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** [[histRateWindow]] over the window [lo, hi) of a pre-sorted series with
+    * precomputed pair-reset `flags` — identical results (the i = lo+1 pair's
+    * correction term is always the numerically-neutral `prev` that the
+    * replaced-first-point branch adds, so it is skipped outright). */
+  private def histRateWindowPre(isCounter: Boolean, isRate: Boolean, rangeMs: Long,
+      wts: Array[Long], stts: Array[Long], hs: Array[FHist],
+      flags: Array[Boolean], lo: Int, hi: Int, tStep: Long): FHist = {
+    val n = hi - lo
+    try {
+      val rangeStart = tStep - rangeMs
+      val firstT = wts(lo); val lastT = wts(hi - 1)
+      val st0 = stts(lo)
+      val stBranch = isCounter && st0 != 0 && st0 > rangeStart && st0 < firstT
+      var bad = false
+      var h: FHist = null
+      if (n >= 2) {
+        val lastH = hs(hi - 1)
+        val firstPairReset = isCounter && flags(lo + 1)
+        val prev =
+          if (firstPairReset)
+            FHist.empty.copy(schema = hs(lo + 1).schema, cv = hs(lo + 1).cv)
+          else hs(lo)
+        if (prev.isCustom != lastH.isCustom) bad = true
+        else {
+          h = lastH.sub(prev)
+          if (isCounter) {
+            var i = lo + 2
+            while (i < hi) {
+              if (flags(i)) h = h.add(hs(i - 1))
+              i += 1
+            }
+          }
+        }
+      }
+      if (bad || (n == 1 && !stBranch)) null
+      else {
+        var durToStart = (firstT - rangeStart).toDouble / 1000.0
+        var durToEnd = (tStep - lastT).toDouble / 1000.0
+        val sampled0 = (lastT - firstT).toDouble / 1000.0
+        val avgDur = if (n > 1) sampled0 / (n - 1).toDouble else 0.0
+        val thresh = avgDur * 1.1
+        var sampled = sampled0
+        if (stBranch) {
+          // zero-value sample assumed at ST instead of left extrapolation
+          durToStart = 0.0
+          sampled = (lastT - st0).toDouble / 1000.0
+          h = if (h == null) hs(lo) else h.add(hs(lo))
+        } else {
+          if (durToStart >= thresh) durToStart = avgDur / 2
+          if (isCounter && h.cnt > 0 && hs(lo).cnt >= 0) {
+            val durToZero = sampled0 * (hs(lo).cnt / h.cnt)
+            if (durToZero < durToStart) durToStart = durToZero
+          }
+        }
+        if (durToEnd >= thresh) durToEnd = avgDur / 2
+        var factor = if (sampled != 0) (sampled + durToStart + durToEnd) / sampled else 1.0
+        if (isRate) factor /= (rangeMs / 1000.0)
+        h.scale(factor).copy(crh = FHist.HintGauge).compact
+      }
+    } catch { case _: Exception => null }
   }
 
   /** sum_over_time / avg_over_time over histogram-only windows (time-ordered
@@ -399,30 +480,35 @@ object HistUdfs {
     * [[histRateAllSteps]], so day-scale windows on native-histogram series
     * skip the coverage explode. Windows whose layouts are incompatible drop
     * (the explode path's histOverTime null behavior). */
-  def histOverTimeAllSteps(isAvg: Boolean, startMs: Long, stepMs: Long,
-      numSteps: Int, rangeMs: Long) = udf { (pts: Seq[HPt]) =>
-    if (pts == null || pts.isEmpty) Seq.empty[(Long, FHist)]
-    else {
-      val sorted = pts.toIndexedSeq // pre-sorted by wt via sort_array
-      val n = sorted.length
-      val out = scala.collection.mutable.ArrayBuffer[(Long, FHist)]()
-      var lo = 0; var hi = 0 // window (t−range, t] == [lo, hi)
-      var k = 0
-      while (k < numSteps) {
-        val t = startMs + k.toLong * stepMs
-        while (lo < n && sorted(lo).wt <= t - rangeMs) lo += 1
-        while (hi < n && sorted(hi).wt <= t) hi += 1
-        if (hi > lo) {
-          val h =
-            try {
-              val hs = sorted.slice(lo, hi).map(_.h)
-              (if (isAvg) FHist.avgSeq(hs) else FHist.sumSeq(hs)).compact
-            } catch { case _: Exception => null }
-          if (h != null) out += ((t, h))
+  def histOverTimeFoldSteps(isAvg: Boolean, startMs: Long, stepMs: Long,
+      numSteps: Int, rangeMs: Long,
+      wts: Array[Long], hs: Array[FHist]): java.util.ArrayList[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import scala.collection.immutable.ArraySeq
+    val n = wts.length
+    val out = new java.util.ArrayList[Any](numSteps min 4096)
+    if (n == 0) return out
+    var lo = 0; var hi = 0 // window (t−range, t] == [lo, hi)
+    var k = 0
+    while (k < numSteps) {
+      val t = startMs + k.toLong * stepMs
+      while (lo < n && wts(lo) <= t - rangeMs) lo += 1
+      while (hi < n && wts(hi) <= t) hi += 1
+      if (hi > lo) {
+        val h =
+          try {
+            val w: Seq[FHist] =
+              ArraySeq.unsafeWrapArray(java.util.Arrays.copyOfRange(hs, lo, hi))
+            (if (isAvg) FHist.avgSeq(w) else FHist.sumSeq(w)).compact
+          } catch { case _: Exception => null }
+        if (h != null) {
+          val r = new GenericInternalRow(2)
+          r.setLong(0, t); r.update(1, FHist.toInternal(h))
+          out.add(r)
         }
-        k += 1
       }
-      out.toSeq
+      k += 1
     }
+    out
   }
 }

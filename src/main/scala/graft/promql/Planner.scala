@@ -296,22 +296,22 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
               collect_list(coalesce(col("stale"), lit(false))).as("stales"),
               collect_list(col("t")).as("sts"), collect_list(col("v")).as("vsx"),
               collect_list(coalesce(col("stt"), lit(0L))).as("stts"))
-          val udfC = RangeUdfs.instantPickAllSteps(P.startMs, P.stepMs,
-            P.numSteps.toInt, P.lookbackMs)
+          val pickC = StepFoldExprs.instantPickSteps(P.startMs, P.stepMs,
+            P.numSteps.toInt, P.lookbackMs)(col("wts"), col("stales"),
+            col("sts"), col("vsx"), col("stts"))
           val nullH = lit(null).cast(FHist.schemaType)
           shape(agged
-            .select(col("labels"), explode(
-              udfC(col("wts"), col("stales"), col("sts"), col("vsx"), col("stts"))).as("o"))
+            .select(col("labels"), explode(pickC).as("o"))
             .select(col("labels"), col("o.t").as("t"), col("o.v").as("v"),
               col("o.st").as("st"), nullH.as("h"), col("o.stt").as("stt")))
         } else if (amp >= linearSelectRatio && P.numSteps > 1) {
           val agged = shifted.groupBy(col("__sg"))
             .agg(first(col("labels")).as("labels"),
-              sort_array(collect_list(struct(col("wt"), col("t").as("st"), col("v"),
-                col("stale"), col("stt"), col("h")))).as("pts"))
-          val udfC = RangeUdfs.instantAllSteps(P.startMs, P.stepMs,
-            P.numSteps.toInt, P.lookbackMs)
-          shape(agged.select(col("labels"), explode(udfC(col("pts"))).as("o"))
+              collect_list(struct(col("wt"), col("t").as("st"), col("v"),
+                col("stale"), col("stt"), col("h"))).as("pts"))
+          val pickC = StepFoldExprs.instantMixedSteps(P.startMs, P.stepMs,
+            P.numSteps.toInt, P.lookbackMs)(col("pts"))
+          shape(agged.select(col("labels"), explode(pickC).as("o"))
             .select(col("labels"), col("o.t").as("t"), col("o.v").as("v"),
               col("o.st").as("st"), col("o.h").as("h"), col("o.stt").as("stt")))
         } else
@@ -536,10 +536,10 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         collect_list(col("wt")).as("wts"), collect_list(col("v")).as("vsx"),
         collect_list(col("wst")).as("wsts"),
         collect_list(coalesce(col("dn"), lit(false))).as("dns"))
-    val udfC = RangeUdfs.rateStatsAllSteps(P.startMs, P.stepMs, P.numSteps.toInt, ri.rangeMs)
+    val statsC = StepFoldExprs.rateStatsSteps(P.startMs, P.stepMs, P.numSteps.toInt,
+      ri.rangeMs)(col("wts"), col("vsx"), col("wsts"), col("dns"))
     agged
-      .select(col("__sg"), col("labels"),
-        explode(udfC(col("wts"), col("vsx"), col("wsts"), col("dns"))).as("o"))
+      .select(col("__sg"), col("labels"), explode(statsC).as("o"))
       .select(col("__sg"), col("o.t").as("t_step"), col("labels"), col("o.dn").as("dn"),
         col("o.cnt").as("cnt"), col("o.firstV").as("firstV"), col("o.minWt").as("minWt"),
         col("o.firstSt").as("firstSt"), col("o.lastV").as("lastV"), col("o.maxWt").as("maxWt"),
@@ -640,16 +640,22 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       // windows and have a histogram branch, so hist-carrying series keep
       // the (minority-side) explode
       val timestampsOnly = op == "count" || op == "present"
-      val histConsuming = !timestampsOnly && (op == "sum" || op == "avg")
+      // histogram-free STORE ⇒ no histogram can exist anywhere in the query
+      // (see noHist scaladoc), so the three-way kind split — whose census
+      // aggregation cannot constant-fold (max(lit(false)) over a non-empty
+      // scan still runs the scan) — is skipped at construction: measured 4
+      // redundant passes over the pruned selector scan on the bench replica
+      val histConsuming = !timestampsOnly && (op == "sum" || op == "avg") &&
+        !storeHasNoHist
       def fast(src: DataFrame): DataFrame = {
         val fb = src.withColumn("wt", col("t") + ri.offsetMs)
           .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
         val agged = withSg(fb).groupBy(col("__sg"))
           .agg(first(col("labels")).as("labels"),
             collect_list(col("wt")).as("wts"), collect_list(col("v")).as("vsx"))
-        val udfC = RangeUdfs.seriesWindowAgg(op, P.startMs, P.stepMs,
-          P.numSteps.toInt, ri.rangeMs, p1, p2)
-        agged.select(col("labels"), explode(udfC(col("wts"), col("vsx"))).as("o"))
+        val aggC = StepFoldExprs.windowAggSteps(op, P.startMs, P.stepMs,
+          P.numSteps.toInt, ri.rangeMs, p1, p2)(col("wts"), col("vsx"))
+        agged.select(col("labels"), explode(aggC).as("o"))
           .select(col("labels"), col("o._1").as("t"), col("o._2").as("v"),
             col("o._1").as("st"), lit(null).cast(FHist.schemaType).as("h"),
             // every op here drops the metric name (none are in keepNameFuncs)
@@ -681,10 +687,10 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
             .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
           val agged = rows.groupBy(col("__sg"))
             .agg(first(col("labels")).as("labels"),
-              sort_array(collect_list(struct(col("wt"), col("h"), col("wst").as("stt")))).as("hp"))
+              collect_list(struct(col("wt"), col("h"), col("wst").as("stt"))).as("hp"))
           agged.select(col("labels"),
-              explode(HistUdfs.histOverTimeAllSteps(op == "avg",
-                P.startMs, P.stepMs, P.numSteps.toInt, ri.rangeMs)(col("hp"))).as("o"))
+              explode(StepFoldExprs.histFoldSteps(op,
+                ri.rangeMs, P.startMs, P.stepMs, P.numSteps.toInt)(col("hp"))).as("o"))
             .select(col("labels"), col("o._1").as("t"), lit(Double.NaN).as("v"),
               col("o._1").as("st"), col("o._2").as("h"), lit(true).as("dn"))
         }
@@ -870,9 +876,10 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
             .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
           val aggedH = histPureRows.groupBy(col("__sg"))
             .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
-              sort_array(collect_list(struct(col("wt"), col("h"), col("wst").as("stt")))).as("hp"))
+              collect_list(struct(col("wt"), col("h"), col("wst").as("stt"))).as("hp"))
+          val histOp = if (isRate) "rate" else if (isCounter) "increase" else "delta"
           val fastH = aggedH.select(col("labels"), col("dn"),
-              explode(HistUdfs.histRateAllSteps(isCounter, isRate, ri.rangeMs,
+              explode(StepFoldExprs.histFoldSteps(histOp, ri.rangeMs,
                 P.startMs, P.stepMs, P.numSteps.toInt)(col("hp"))).as("o"))
             .select(col("labels"), col("o._1").as("t"), lit(Double.NaN).as("v"),
               col("o._1").as("st"), col("o._2").as("h"), (col("dn") || lit(funcDrops)).as("dn"))
@@ -1466,8 +1473,8 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
 object Planner {
   /** process-wide defaults for the regime-switch thresholds (per-instance
     * overridable); exposed for benchmark A/B runs within one JVM */
-  @volatile var defaultLinearPathRatio: Double = 16.0
-  @volatile var defaultRateLinearRatio: Double = 16.0
+  @volatile var defaultLinearPathRatio: Double = 6.0
+  @volatile var defaultRateLinearRatio: Double = 6.0
   @volatile var defaultLinearExtPathRatio: Double = 32.0
 
   private val regexMeta = ".*+?()[]{}|^$\\".toSet

@@ -132,11 +132,29 @@ object RangeUdfs {
     * compute. Per-window folds mirror the explode path / reference exactly
     * (functions.go: sum :1572, avg :1218, variance varianceOverTime, OLS
     * :1949 linearRegression, des :981, mad :1438). Output (t_step, v). */
-  def seriesWindowAgg(op: String, startMs: Long, stepMs: Long, numSteps: Int,
-      rangeMs: Long, p1: Double, p2: Double) = udf { (wts0: Array[Long], vs0: Array[Double]) =>
+  /** argsort keys packing (wt, original index) into one long for a single
+    * primitive Arrays.sort — keys(i) >> 20 = wt, low 20 bits = input index
+    * (exact for |wt| < 2⁴², i < 2²⁰ — i.e. any epoch-ms timestamp and up to
+    * 1M samples per series per query window) */
+  private[promql] def sortKeys(wts: Array[Long]): Array[Long] = {
+    val n = wts.length
+    val keys = new Array[Long](n)
+    var i = 0
+    while (i < n) { keys(i) = wts(i) * 1048576L + i; i += 1 }
+    java.util.Arrays.sort(keys)
+    keys
+  }
+
+  private[promql] def windowAggFold(op: String, startMs: Long, stepMs: Long,
+      numSteps: Int, rangeMs: Long, p1: Double, p2: Double,
+      wts0: Array[Long], vs0: Array[Double]): java.util.ArrayList[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    def row2(t: Long, v: Double): GenericInternalRow = {
+      val r = new GenericInternalRow(2); r.setLong(0, t); r.setDouble(1, v); r
+    }
     val n = if (wts0 == null) 0 else wts0.length
-    if (n == 0) Seq.empty[(Long, Double)]
-    else {
+    val outRows = new java.util.ArrayList[Any](if (n == 0) 0 else numSteps min 4096)
+    if (n != 0) {
       // two parallel primitive-array columns (no-copy fast paths; the two
       // collect_lists share one accumulation order); argsort by wt here
       val keys = sortKeys(wts0)
@@ -167,7 +185,6 @@ object RangeUdfs {
         }
         p
       }
-      val out = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
       var lo = 0; var hi = 0 // window (t-range, t] == indices [lo, hi)
       var k = 0
       while (k < numSteps) {
@@ -183,14 +200,14 @@ object RangeUdfs {
             if (bound <= 1e-12 * math.abs(f)) f else kahanSumSeq(slice)
           }
           op match {
-            case "count" => out += ((t, len.toDouble))
-            case "present" => out += ((t, 1.0))
-            case "sum" => out += ((t, windowSum))
+            case "count" => outRows.add(row2(t, len.toDouble))
+            case "present" => outRows.add(row2(t, 1.0))
+            case "sum" => outRows.add(row2(t, windowSum))
             case "avg" =>
               // normal regime: mean = window sum / count (the reference's
               // non-overflow path); overflow/cancellation → exact refold
               val f = windowSum
-              out += ((t, if (f.isInfinite) avgSeq(slice) else f / len))
+              outRows.add(row2(t, if (f.isInfinite) avgSeq(slice) else f / len))
             case "min" | "max" =>
               var m = Double.NaN; var j = lo
               while (j < hi) {
@@ -198,7 +215,7 @@ object RangeUdfs {
                 if (!v.isNaN && (m.isNaN || (if (op == "min") v < m else v > m))) m = v
                 j += 1
               }
-              out += ((t, m))
+              outRows.add(row2(t, m))
             case "stddev" | "stdvar" =>
               // ref varianceOverTime: Kahan-compensated Welford
               var count = 0.0; var mean = 0.0; var cMean = 0.0
@@ -214,8 +231,8 @@ object RangeUdfs {
                 j += 1
               }
               val variance = (aux + cAux) / count
-              out += ((t, if (op == "stddev") math.sqrt(variance) else variance))
-            case "quantile" => out += ((t, quantile(p1, slice)))
+              outRows.add(row2(t, if (op == "stddev") math.sqrt(variance) else variance))
+            case "quantile" => outRows.add(row2(t, quantile(p1, slice)))
             case "mad" =>
               val w = slice
               val v =
@@ -224,7 +241,7 @@ object RangeUdfs {
                   val med = quantile(0.5, w)
                   quantile(0.5, w.map(x => math.abs(x - med)))
                 }
-              out += ((t, v))
+              outRows.add(row2(t, v))
             case "deriv" | "predict" if len >= 2 =>
               // ref functions.go:1949 linearRegression(samples, t)
               var sumX = 0.0; var cX = 0.0; var sumY = 0.0; var cY = 0.0
@@ -253,7 +270,7 @@ object RangeUdfs {
                   val sl = covXY / varX
                   (sl, sY / nn - sl * sX / nn)
                 }
-              out += ((t, if (op == "deriv") slope else icept + slope * p1))
+              outRows.add(row2(t, if (op == "deriv") slope else icept + slope * p1))
             case "des" if len >= 2 && p1 > 0 && p1 < 1 && p2 > 0 && p2 < 1 =>
               var s = vs(lo); var b = vs(lo + 1) - vs(lo)
               var j = lo + 1
@@ -262,169 +279,14 @@ object RangeUdfs {
                 val nb = p2 * (x - s) + (1 - p2) * b
                 s = x; b = nb; j += 1
               }
-              out += ((t, s))
+              outRows.add(row2(t, s))
             case _ => ()
           }
         }
         k += 1
       }
-      out.toSeq
     }
-  }
-
-  /** one step's window statistics for the rate/increase/delta/changes/resets
-    * family (the columns [[graft.promql.Planner]]'s `extrapolated` math
-    * consumes) */
-  final case class RangeStat(t: Long, cnt: Long, firstV: Double, minWt: Long,
-      firstSt: Long, lastV: Double, maxWt: Long, corr: Double,
-      nResets: Double, nChanges: Double, dn: Boolean)
-
-  /** argsort-by-key encoded as one primitive long sort: key = wt·2²⁰ + i
-    * (exact for |wt| < 2⁴², i < 2²⁰ — i.e. any epoch-ms timestamp and up to
-    * 1M samples per series per query window) */
-  private def sortKeys(wts: Array[Long]): Array[Long] = {
-    val n = wts.length
-    val keys = new Array[Long](n)
-    var i = 0
-    while (i < n) { keys(i) = wts(i) * 1048576L + i; i += 1 }
-    java.util.Arrays.sort(keys)
-    keys
-  }
-
-  /** Series-at-once window statistics for the rate family at LARGE
-    * window/step ratios: prefix reset/change/name-drop sums are computed once
-    * per series (pair i ⇐ samples i−1,i — ref promql/functions.go:452
-    * extrapolatedRate's reset scan), then every step's stats are prefix
-    * differences + the window-boundary samples found by two pointers —
-    * O(samples + steps) per series, zero row amplification. Input rows
-    * (wt, v, wst, dn) sorted by wt; wst = shifted start timestamp (0 =
-    * unknown; PROM-60 ST resets, functions.go:760 isStartTimestampReset). */
-  /** Inputs as four parallel primitive arrays (unsorted — argsorted here):
-    * primitive-array columns enter the UDF via the no-copy long/double-array
-    * fast paths, replacing the former sorted Seq[Row] input that paid a
-    * per-element GenericRow allocation AND a sort_array over wide structs.
-    * Output stays ONE Seq[RangeStat] consumed by ONE explode — returning
-    * parallel arrays zipped on the SQL side re-evaluates the UDF once per
-    * field extraction when CollapseProject inlines it into the Generate. */
-  def rateStatsAllSteps(startMs: Long, stepMs: Long, numSteps: Int,
-      rangeMs: Long) = udf { (wts0: Array[Long], vs0: Array[Double],
-        sts0: Array[Long], dns0: Array[Boolean]) =>
-    val n = if (wts0 == null) 0 else wts0.length
-    if (n == 0) Seq.empty[RangeStat]
-    else {
-      // the four collect_lists share one accumulation order; argsort by wt
-      val keys = sortKeys(wts0)
-      val wts = new Array[Long](n); val vs = new Array[Double](n)
-      val sts = new Array[Long](n); val dns = new Array[Boolean](n)
-      var i = 0
-      while (i < n) {
-        val j = (keys(i) - (keys(i) >> 20 << 20)).toInt
-        wts(i) = keys(i) >> 20
-        vs(i) = vs0(j); sts(i) = sts0(j); dns(i) = dns0(j)
-        i += 1
-      }
-      // prefix pair properties: index i describes the pair (i−1, i)
-      val pCorr = new Array[Double](n); val pRst = new Array[Int](n)
-      val pChg = new Array[Int](n); val pDn = new Array[Int](n)
-      pDn(0) = if (dns(0)) 1 else 0
-      i = 1
-      while (i < n) {
-        val pv = vs(i - 1); val v = vs(i)
-        // ST reset: cur ST falls after prev's observed time (same predicate
-        // as the explode path's stResetCol)
-        val stReset = sts(i) != 0L && sts(i) < wts(i) && sts(i) >= wts(i - 1) &&
-          (sts(i) > wts(i - 1) ||
-           (sts(i - 1) <= wts(i - 1) && sts(i - 1) != 0L && sts(i - 1) != wts(i - 1)))
-        val reset = (!pv.isNaN && v < pv) || stReset
-        // Spark compare semantics: NaN == NaN, so both-NaN is "unchanged"
-        val changed = (v != pv && !(v.isNaN && pv.isNaN)) || (v.isNaN != pv.isNaN)
-        pCorr(i) = pCorr(i - 1) + (if (reset) pv else 0.0)
-        pRst(i) = pRst(i - 1) + (if (reset) 1 else 0)
-        pChg(i) = pChg(i - 1) + (if (changed) 1 else 0)
-        pDn(i) = pDn(i - 1) + (if (dns(i)) 1 else 0)
-        i += 1
-      }
-      val out = new scala.collection.mutable.ArrayBuffer[RangeStat]()
-      var lo = 0; var hi = 0 // window (t−range, t] == indices [lo, hi)
-      var k = 0
-      while (k < numSteps) {
-        val t = startMs + k.toLong * stepMs
-        while (lo < n && wts(lo) <= t - rangeMs) lo += 1
-        while (hi < n && wts(hi) <= t) hi += 1
-        if (hi > lo) {
-          val e = hi - 1
-          out += RangeStat(t, (hi - lo).toLong, vs(lo), wts(lo), sts(lo),
-            vs(e), wts(e), pCorr(e) - pCorr(lo),
-            (pRst(e) - pRst(lo)).toDouble, (pChg(e) - pChg(lo)).toDouble,
-            pDn(e) - pDn(lo) + (if (dns(lo)) 1 else 0) > 0)
-        }
-        k += 1
-      }
-      out.toSeq
-    }
-  }
-
-  /** one instant-selector pick: (step, sample ts, v, stt, h) */
-  final case class IPick(t: Long, st: Long, v: Double, stt: Long, h: FHist)
-  /** instant-selector input sample (wt = offset-shifted ts, st = raw ts) */
-  final case class IPt(wt: Long, st: Long, v: Double, stale: Boolean,
-      stt: Long, h: FHist)
-
-  /** [[instantAllSteps]] for FLOAT-ONLY stores (the static store-capability
-    * flag erases the histogram leg): inputs arrive as five parallel primitive
-    * arrays (unsorted; argsorted here) on the no-copy fast paths — no
-    * per-element Row allocation, no FHist codec on the boundary. Output is
-    * one Seq for one explode (see [[rateStatsAllSteps]] on why). */
-  final case class IPickF(t: Long, st: Long, v: Double, stt: Long)
-  def instantPickAllSteps(startMs: Long, stepMs: Long, numSteps: Int,
-      lookbackMs: Long) = udf { (wts0: Array[Long], stales0: Array[Boolean],
-        sts0: Array[Long], vs0: Array[Double], stts0: Array[Long]) =>
-    val n = if (wts0 == null) 0 else wts0.length
-    if (n == 0) Seq.empty[IPickF]
-    else {
-      val keys = sortKeys(wts0)
-      val out = new scala.collection.mutable.ArrayBuffer[IPickF]()
-      var hi = 0; var k = 0
-      while (k < numSteps) {
-        val t = startMs + k.toLong * stepMs
-        while (hi < n && (keys(hi) >> 20) <= t) hi += 1
-        if (hi > 0) {
-          val wt = keys(hi - 1) >> 20
-          val j = (keys(hi - 1) - (wt << 20)).toInt
-          if (wt > t - lookbackMs && !stales0(j))
-            out += IPickF(t, sts0(j), vs0(j), stts0(j))
-        }
-        k += 1
-      }
-      out.toSeq
-    }
-  }
-
-  /** Series-at-once instant selection: per step, the most recent sample at or
-    * before it within the lookback window, stale markers shadowing (ref:
-    * promql/engine.go:2730 vectorSelectorSingle). One forward pointer over
-    * the wt-sorted series serves every step — O(samples + steps), replacing
-    * the lookback coverage explode at large lookback/step ratios. */
-  def instantAllSteps(startMs: Long, stepMs: Long, numSteps: Int,
-      lookbackMs: Long) = udf { (pts: Seq[IPt]) =>
-    if (pts == null || pts.isEmpty) Seq.empty[IPick]
-    else {
-      val arr = pts.toIndexedSeq
-      val n = arr.length
-      val out = new scala.collection.mutable.ArrayBuffer[IPick]()
-      var hi = 0; var k = 0
-      while (k < numSteps) {
-        val t = startMs + k.toLong * stepMs
-        while (hi < n && arr(hi).wt <= t) hi += 1
-        if (hi > 0) {
-          val p = arr(hi - 1)
-          if (p.wt > t - lookbackMs && !p.stale)
-            out += IPick(t, p.st, p.v, p.stt, p.h)
-        }
-        k += 1
-      }
-      out.toSeq
-    }
+    outRows
   }
 
   /** merge buckets sharing an upper bound by summing counts — different

@@ -1,0 +1,366 @@
+package graft.promql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Catalyst expressions for the series-at-once fold family.
+  *
+  * These replace ScalaUDF boundaries on the hottest per-step fold paths. A
+  * ScalaUDF pays a reflection-derived encoder round-trip on BOTH sides: its
+  * output Seq[CaseClass] is re-serialized element-by-element (measured ~20µs
+  * per (series, step) output on the bench replica — the dominant CPU of the
+  * whole rate plan at 1M outputs), and parallel-array outputs are not an
+  * option because CollapseProject inlines the UDF once per field extraction.
+  * An Expression evaluates ONCE, reads its input off the ArrayData primitive
+  * fast paths, and emits GenericInternalRows that the downstream Generate
+  * consumes with no conversion at all.
+  *
+  * CodegenFallback is deliberate: the expression is invoked once per SERIES
+  * (after a collect_list), not once per sample, so interpreted dispatch is
+  * noise while the fold body stays plain JIT-compiled Scala. */
+object StepFoldExprs {
+
+  /** Column wrapper for a raw Catalyst expression (classic session only). */
+  def toCol(e: Expression): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(e)
+
+  def toExpr(c: Column): Expression =
+    org.apache.spark.sql.GraftSqlBridge.toExpression(c)
+
+  val rangeStatType: StructType = StructType(Seq(
+    StructField("t", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("firstV", DoubleType, nullable = false),
+    StructField("minWt", LongType, nullable = false),
+    StructField("firstSt", LongType, nullable = false),
+    StructField("lastV", DoubleType, nullable = false),
+    StructField("maxWt", LongType, nullable = false),
+    StructField("corr", DoubleType, nullable = false),
+    StructField("nResets", DoubleType, nullable = false),
+    StructField("nChanges", DoubleType, nullable = false),
+    StructField("dn", BooleanType, nullable = false)))
+
+  /** builder: rateStats(wts, vs, wsts, dns) as a Column */
+  def rateStatsSteps(startMs: Long, stepMs: Long, numSteps: Int, rangeMs: Long)(
+      wts: Column, vs: Column, sts: Column, dns: Column): Column =
+    toCol(RateStatsStepsExpr(toExpr(wts), toExpr(vs), toExpr(sts), toExpr(dns),
+      startMs, stepMs, numSteps, rangeMs))
+
+  val stepValueType: StructType = StructType(Seq(
+    StructField("_1", LongType, nullable = false),
+    StructField("_2", DoubleType, nullable = false)))
+
+  /** builder: the `*_over_time` family fold (RangeUdfs.windowAggFold) */
+  def windowAggSteps(op: String, startMs: Long, stepMs: Long, numSteps: Int,
+      rangeMs: Long, p1: Double, p2: Double)(wts: Column, vs: Column): Column =
+    toCol(WindowAggStepsExpr(toExpr(wts), toExpr(vs), op,
+      startMs, stepMs, numSteps, rangeMs, p1, p2))
+
+  /** builder: histogram-series fold; op ∈ rate|increase|delta|sum|avg.
+    * `pts` = UNSORTED collect_list of struct(wt, h, stt) — argsorted inside */
+  def histFoldSteps(op: String, rangeMs: Long, startMs: Long, stepMs: Long,
+      numSteps: Int)(pts: Column): Column =
+    toCol(HistFoldStepsExpr(toExpr(pts), op, rangeMs, startMs, stepMs, numSteps))
+
+  /** builder: float-only instant as-of pick over five parallel arrays */
+  def instantPickSteps(startMs: Long, stepMs: Long, numSteps: Int,
+      lookbackMs: Long)(wts: Column, stales: Column, sts: Column, vs: Column,
+      stts: Column): Column =
+    toCol(InstantPickStepsExpr(toExpr(wts), toExpr(stales), toExpr(sts),
+      toExpr(vs), toExpr(stts), startMs, stepMs, numSteps, lookbackMs))
+
+  /** builder: mixed float/histogram instant as-of pick;
+    * `pts` = UNSORTED collect_list of struct(wt, st, v, stale, stt, h) */
+  def instantMixedSteps(startMs: Long, stepMs: Long, numSteps: Int,
+      lookbackMs: Long)(pts: Column): Column =
+    toCol(InstantMixedStepsExpr(toExpr(pts), startMs, stepMs, numSteps, lookbackMs))
+}
+
+/** Series-at-once histogram rate/increase/delta/sum_over_time/avg_over_time
+  * fold (the Expression form of the former histRateAllSteps /
+  * histOverTimeAllSteps UDFs — the fold bodies live in
+  * [[HistUdfs.histRateFoldSteps]] / [[HistUdfs.histOverTimeFoldSteps]]).
+  * The FHist codec is [[FHist.fromInternal]]/[[FHist.toInternal]] — direct
+  * primitive reads, replacing the encoder round-trip that dominated the
+  * histogram plans. Input: UNSORTED array<struct<wt, h, stt>>; argsorted by
+  * wt here (replacing a sort_array over wide structs in the plan). */
+final case class HistFoldStepsExpr(child: Expression, op: String,
+    rangeMs: Long, startMs: Long, stepMs: Long, numSteps: Int)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("_1", LongType, nullable = false),
+    StructField("_2", FHist.schemaType, nullable = true))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null || arr.numElements() == 0)
+      return new GenericArrayData(Array.empty[Any])
+    val n0 = arr.numElements()
+    val wtsT = new Array[Long](n0); val sttsT = new Array[Long](n0)
+    val hsT = new Array[FHist](n0)
+    var m = 0; var i = 0
+    while (i < n0) {
+      val r = arr.getStruct(i, 3)
+      if (r != null && !r.isNullAt(1)) {
+        wtsT(m) = r.getLong(0)
+        hsT(m) = FHist.fromInternal(r.getStruct(1, 11))
+        sttsT(m) = if (r.isNullAt(2)) 0L else r.getLong(2)
+        m += 1
+      }
+      i += 1
+    }
+    val keys = RangeUdfs.sortKeys(java.util.Arrays.copyOf(wtsT, m))
+    val wts = new Array[Long](m); val stts = new Array[Long](m)
+    val hs = new Array[FHist](m)
+    i = 0
+    while (i < m) {
+      val j = (keys(i) - (keys(i) >> 20 << 20)).toInt
+      wts(i) = keys(i) >> 20; stts(i) = sttsT(j); hs(i) = hsT(j)
+      i += 1
+    }
+    val rows = op match {
+      case "sum" | "avg" =>
+        HistUdfs.histOverTimeFoldSteps(op == "avg", startMs, stepMs, numSteps,
+          rangeMs, wts, hs)
+      case _ =>
+        HistUdfs.histRateFoldSteps(op != "delta", op == "rate", rangeMs,
+          startMs, stepMs, numSteps, wts, stts, hs)
+    }
+    new GenericArrayData(rows.toArray)
+  }
+}
+
+/** Float-only instant as-of pick over five parallel primitive arrays — the
+  * Expression form of the former instantPickAllSteps UDF (ref:
+  * promql/engine.go:2730 vectorSelectorSingle). */
+final case class InstantPickStepsExpr(wtsE: Expression, stalesE: Expression,
+    stsE: Expression, vsE: Expression, sttsE: Expression,
+    startMs: Long, stepMs: Long, numSteps: Int, lookbackMs: Long)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(wtsE, stalesE, stsE, vsE, sttsE)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(wtsE = newChildren(0), stalesE = newChildren(1), stsE = newChildren(2),
+      vsE = newChildren(3), sttsE = newChildren(4))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t", LongType, nullable = false),
+    StructField("st", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = false),
+    StructField("stt", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val wtsD = wtsE.eval(input).asInstanceOf[ArrayData]
+    if (wtsD == null || wtsD.numElements() == 0)
+      return new GenericArrayData(Array.empty[Any])
+    val wts0 = wtsD.toLongArray()
+    val stales0 = stalesE.eval(input).asInstanceOf[ArrayData].toBooleanArray()
+    val sts0 = stsE.eval(input).asInstanceOf[ArrayData].toLongArray()
+    val vs0 = vsE.eval(input).asInstanceOf[ArrayData].toDoubleArray()
+    val stts0 = sttsE.eval(input).asInstanceOf[ArrayData].toLongArray()
+    val n = wts0.length
+    val keys = RangeUdfs.sortKeys(wts0)
+    val out = new java.util.ArrayList[Any](numSteps min 4096)
+    var hi = 0; var k = 0
+    while (k < numSteps) {
+      val t = startMs + k.toLong * stepMs
+      while (hi < n && (keys(hi) >> 20) <= t) hi += 1
+      if (hi > 0) {
+        val wt = keys(hi - 1) >> 20
+        val j = (keys(hi - 1) - (wt << 20)).toInt
+        if (wt > t - lookbackMs && !stales0(j)) {
+          val r = new GenericInternalRow(4)
+          r.setLong(0, t); r.setLong(1, sts0(j))
+          r.setDouble(2, vs0(j)); r.setLong(3, stts0(j))
+          out.add(r)
+        }
+      }
+      k += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Mixed float/histogram instant as-of pick — the Expression form of the
+  * former instantAllSteps UDF. Histogram payloads PASS THROUGH as raw
+  * Catalyst structs (copied, never decoded): the pick only reads wt/stale.
+  * Input: UNSORTED array<struct<wt, st, v, stale, stt, h>> (argsorted by wt
+  * here, replacing the plan-side sort_array over wide structs). */
+final case class InstantMixedStepsExpr(child: Expression,
+    startMs: Long, stepMs: Long, numSteps: Int, lookbackMs: Long)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t", LongType, nullable = false),
+    StructField("st", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = false),
+    StructField("stt", LongType, nullable = false),
+    StructField("h", FHist.schemaType, nullable = true))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null || arr.numElements() == 0)
+      return new GenericArrayData(Array.empty[Any])
+    val n = arr.numElements()
+    val wts0 = new Array[Long](n)
+    var i = 0
+    while (i < n) { wts0(i) = arr.getStruct(i, 6).getLong(0); i += 1 }
+    val keys = RangeUdfs.sortKeys(wts0)
+    val out = new java.util.ArrayList[Any](numSteps min 4096)
+    var hi = 0; var k = 0
+    while (k < numSteps) {
+      val t = startMs + k.toLong * stepMs
+      while (hi < n && (keys(hi) >> 20) <= t) hi += 1
+      if (hi > 0) {
+        val wt = keys(hi - 1) >> 20
+        if (wt > t - lookbackMs) {
+          val j = (keys(hi - 1) - (wt << 20)).toInt
+          val e = arr.getStruct(j, 6)
+          val stale = !e.isNullAt(3) && e.getBoolean(3)
+          if (!stale) {
+            val r = new GenericInternalRow(5)
+            r.setLong(0, t)
+            r.setLong(1, e.getLong(1))
+            if (e.isNullAt(2)) r.setDouble(2, Double.NaN) else r.setDouble(2, e.getDouble(2))
+            r.setLong(3, if (e.isNullAt(4)) 0L else e.getLong(4))
+            r.update(4, if (e.isNullAt(5)) null else e.getStruct(5, 11).copy())
+            out.add(r)
+          }
+        }
+      }
+      k += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Series-at-once `*_over_time`/deriv/predict_linear/des fold — Expression
+  * form of the former seriesWindowAgg UDF; the fold body lives in
+  * [[RangeUdfs.windowAggFold]] (see its scaladoc for per-op reference
+  * citations). Output: array<struct<_1: step ms, _2: value>> (the former
+  * tuple field names, so downstream selects are unchanged). */
+final case class WindowAggStepsExpr(wtsE: Expression, vsE: Expression,
+    op: String, startMs: Long, stepMs: Long, numSteps: Int, rangeMs: Long,
+    p1: Double, p2: Double)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(wtsE, vsE)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(wtsE = newChildren(0), vsE = newChildren(1))
+  override def dataType: DataType =
+    ArrayType(StepFoldExprs.stepValueType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val wtsD = wtsE.eval(input).asInstanceOf[ArrayData]
+    val vsD = vsE.eval(input).asInstanceOf[ArrayData]
+    val wts0 = if (wtsD == null) null else wtsD.toLongArray()
+    val vs0 = if (vsD == null) null else vsD.toDoubleArray()
+    new GenericArrayData(RangeUdfs.windowAggFold(op, startMs, stepMs, numSteps,
+      rangeMs, p1, p2, wts0, vs0).toArray)
+  }
+}
+
+/** Series-at-once rate-family window statistics (the Expression form of the
+  * former RangeUdfs.rateStatsAllSteps UDF — semantics identical; see that
+  * scaladoc for the algorithm and reference citations:
+  * promql/functions.go:452 extrapolatedRate reset scan, :760
+  * isStartTimestampReset). Inputs: four parallel arrays sharing one
+  * accumulation order (argsorted by wt here). Output:
+  * array<struct rangeStatType> — one element per step whose window holds ≥1
+  * sample. */
+final case class RateStatsStepsExpr(wtsE: Expression, vsE: Expression,
+    stsE: Expression, dnsE: Expression,
+    startMs: Long, stepMs: Long, numSteps: Int, rangeMs: Long)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(wtsE, vsE, stsE, dnsE)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(wtsE = newChildren(0), vsE = newChildren(1),
+      stsE = newChildren(2), dnsE = newChildren(3))
+  override def dataType: DataType =
+    ArrayType(StepFoldExprs.rangeStatType, containsNull = false)
+  override def nullable: Boolean = false
+
+  private val emptyOut = new GenericArrayData(Array.empty[Any])
+
+  override def eval(input: InternalRow): Any = {
+    val wtsD = wtsE.eval(input).asInstanceOf[ArrayData]
+    if (wtsD == null || wtsD.numElements() == 0) return emptyOut
+    val vsD = vsE.eval(input).asInstanceOf[ArrayData]
+    val stsD = stsE.eval(input).asInstanceOf[ArrayData]
+    val dnsD = dnsE.eval(input).asInstanceOf[ArrayData]
+    val wts0 = wtsD.toLongArray(); val vs0 = vsD.toDoubleArray()
+    val sts0 = stsD.toLongArray(); val dns0 = dnsD.toBooleanArray()
+    val n = wts0.length
+    // the four collect_lists share one accumulation order; argsort by wt
+    val keys = RangeUdfs.sortKeys(wts0)
+    val wts = new Array[Long](n); val vs = new Array[Double](n)
+    val sts = new Array[Long](n); val dns = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      val j = (keys(i) - (keys(i) >> 20 << 20)).toInt
+      wts(i) = keys(i) >> 20
+      vs(i) = vs0(j); sts(i) = sts0(j); dns(i) = dns0(j)
+      i += 1
+    }
+    // prefix pair properties: index i describes the pair (i−1, i)
+    val pCorr = new Array[Double](n); val pRst = new Array[Int](n)
+    val pChg = new Array[Int](n); val pDn = new Array[Int](n)
+    pDn(0) = if (dns(0)) 1 else 0
+    i = 1
+    while (i < n) {
+      val pv = vs(i - 1); val v = vs(i)
+      val stReset = sts(i) != 0L && sts(i) < wts(i) && sts(i) >= wts(i - 1) &&
+        (sts(i) > wts(i - 1) ||
+         (sts(i - 1) <= wts(i - 1) && sts(i - 1) != 0L && sts(i - 1) != wts(i - 1)))
+      val reset = (!pv.isNaN && v < pv) || stReset
+      val changed = (v != pv && !(v.isNaN && pv.isNaN)) || (v.isNaN != pv.isNaN)
+      pCorr(i) = pCorr(i - 1) + (if (reset) pv else 0.0)
+      pRst(i) = pRst(i - 1) + (if (reset) 1 else 0)
+      pChg(i) = pChg(i - 1) + (if (changed) 1 else 0)
+      pDn(i) = pDn(i - 1) + (if (dns(i)) 1 else 0)
+      i += 1
+    }
+    val out = new java.util.ArrayList[Any](numSteps min 4096)
+    var lo = 0; var hi = 0 // window (t−range, t] == indices [lo, hi)
+    var k = 0
+    while (k < numSteps) {
+      val t = startMs + k.toLong * stepMs
+      while (lo < n && wts(lo) <= t - rangeMs) lo += 1
+      while (hi < n && wts(hi) <= t) hi += 1
+      if (hi > lo) {
+        val e = hi - 1
+        val r = new GenericInternalRow(11)
+        r.setLong(0, t); r.setLong(1, (hi - lo).toLong)
+        r.setDouble(2, vs(lo)); r.setLong(3, wts(lo)); r.setLong(4, sts(lo))
+        r.setDouble(5, vs(e)); r.setLong(6, wts(e))
+        r.setDouble(7, pCorr(e) - pCorr(lo))
+        r.setDouble(8, (pRst(e) - pRst(lo)).toDouble)
+        r.setDouble(9, (pChg(e) - pChg(lo)).toDouble)
+        r.setBoolean(10, pDn(e) - pDn(lo) + (if (dns(lo)) 1 else 0) > 0)
+        out.add(r)
+      }
+      k += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the classic session's private[sql] Column ⇄ Expression
+  * converters, so graft's custom Catalyst expressions (StepFoldExprs) can be
+  * used as Columns. Lives in the org.apache.spark.sql package solely for
+  * access; no Spark internals are modified. */
+object GraftSqlBridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
