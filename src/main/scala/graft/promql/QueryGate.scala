@@ -24,30 +24,40 @@ final case class QueryLimits(
     maxSamples: Long = 0L, // 0 = unlimited; ref --query.max-samples default 5e7
     maxConcurrent: Int = 20) // ref --query.max-concurrency default 20
 
-final class QueryGate(spark: SparkSession, limits: QueryLimits = QueryLimits()) {
+final class QueryGate(spark: SparkSession, limits: QueryLimits = QueryLimits(),
+    tracker: () => Option[ActiveQueryTracker] = () => None,
+    queryLog: () => Option[QueryLogger] = () => None) {
 
   private val sem = new java.util.concurrent.Semaphore(limits.maxConcurrent, true)
   private val seq = new java.util.concurrent.atomic.AtomicLong()
 
-  /** wall-clock of the queue wait incurred by the LAST exec on this thread
-    * (stats surface; the JDK server pool keeps one request per thread) */
-  private val lastQueueNs = new ThreadLocal[Long] { override def initialValue(): Long = 0L }
-  def lastQueueSeconds: Double = lastQueueNs.get() / 1e9
+  def exec[T](desc: String)(body: => T): T = execTimed(desc)(_ => body)
 
-  def exec[T](desc: String)(body: => T): T = {
+  /** [[exec]] that hands the measured queue-wait seconds to the body (the
+    * stats= surface; the body runs on a pool thread, so a value parameter —
+    * not a ThreadLocal keyed to the submitting thread — is the only sound
+    * carrier). `params` feed the query log line (query/start/end/step —
+    * ref promql/engine.go exec's queryLogger fields). */
+  def execTimed[T](desc: String, params: Map[String, String] = Map.empty)(
+      body: Double => T): T = {
     val t0 = System.nanoTime()
     val deadlineNs = t0 + limits.timeoutMs * 1000000L
     if (!sem.tryAcquire(limits.timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
       throw QueryTimeoutError("query queue")
-    lastQueueNs.set(System.nanoTime() - t0)
+    val queueSeconds = (System.nanoTime() - t0) / 1e9
     val gid = s"graft-query-${seq.incrementAndGet()}"
     val sc = spark.sparkContext
+    // crash-forensics slot: written on admission, zeroed on ANY exit —
+    // whatever a restart reads back was in flight at the crash
+    val slot = tracker().map(_.insert(desc))
+    val t1 = System.nanoTime()
+    var error: Option[String] = None
     try {
       val fut = java.util.concurrent.CompletableFuture.supplyAsync { () =>
         // job group is thread-local — set it on the thread that will run the
         // Spark actions, so cancelJobGroup reaches every spawned stage
         sc.setJobGroup(gid, desc.take(200), interruptOnCancel = true)
-        try body finally sc.clearJobGroup()
+        try body(queueSeconds) finally sc.clearJobGroup()
       }
       try fut.get(math.max(1L, deadlineNs - System.nanoTime()),
         java.util.concurrent.TimeUnit.NANOSECONDS)
@@ -55,10 +65,19 @@ final class QueryGate(spark: SparkSession, limits: QueryLimits = QueryLimits()) 
         case _: java.util.concurrent.TimeoutException =>
           fut.cancel(true)
           sc.cancelJobGroup(gid)
+          error = Some("query timed out in expression evaluation")
           throw QueryTimeoutError("expression evaluation")
         case e: java.util.concurrent.ExecutionException =>
-          throw Option(e.getCause).getOrElse(e)
+          val cause = Option(e.getCause).getOrElse(e)
+          error = Some(Option(cause.getMessage).getOrElse(cause.getClass.getName))
+          throw cause
       }
-    } finally sem.release()
+    } finally {
+      sem.release()
+      slot.foreach(s => tracker().foreach(_.delete(s)))
+      queryLog().foreach(_.log(
+        if (params.nonEmpty) params else Map("query" -> desc),
+        (System.nanoTime() - t1) / 1e9, queueSeconds, error))
+    }
   }
 }

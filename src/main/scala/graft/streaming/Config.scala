@@ -32,7 +32,8 @@ object Config {
       scrapeJobs: Seq[ScrapeJob],
       remoteWriteUrls: Seq[String],
       remoteReadUrls: Seq[String],
-      alertmanagerUrls: Seq[String]) {
+      alertmanagerUrls: Seq[String],
+      queryLogFile: Option[String] = None) {
     /** all scrape targets of a job (static + current file-SD contents) */
     def targetsOf(job: ScrapeJob): Seq[ScrapeManager.ScrapeTarget] =
       (job.staticTargets ++ job.fileSdPaths.flatMap(p =>
@@ -159,7 +160,11 @@ object Config {
     }
     PromConfig(scrapeMs, evalMs, kv(global.get("external_labels")),
       root.list("rule_files").collect { case YScalar(s) => s }.flatMap(expandGlob(base, _)),
-      jobs, urlsOf("remote_write"), urlsOf("remote_read"), ams)
+      jobs, urlsOf("remote_write"), urlsOf("remote_read"), ams,
+      // --query.log-file analog: global.query_log_file (relative to the
+      // config file's directory, like rule_files)
+      global.str("query_log_file").filter(_.nonEmpty)
+        .map(f => base.resolve(f).toString))
   }
 
   def load(path: String): PromConfig = {

@@ -52,10 +52,13 @@ object ConfigCheck {
       .map(k => s"$where: field $k not found in type config")
 
   /** template variables the reference's AlertTemplateData exposes — an
-    * unknown `$x` fails template execution in promtool's test-expansion */
+    * unknown `$x` fails template execution in promtool's test-expansion.
+    * Only `$identifier` occurrences INSIDE `{{ ... }}` template actions are
+    * variables (text/template evaluates actions only); a literal
+    * "check $HOSTNAME in the runbook" outside an action passes. */
   private def templateErrors(text: String, where: String): Seq[String] =
-    "\\$([A-Za-z_][A-Za-z0-9_]*)".r.findAllMatchIn(text).toSeq
-      .map(_.group(1))
+    "\\{\\{(.*?)\\}\\}".r.findAllMatchIn(text).toSeq.flatMap(a =>
+      "\\$([A-Za-z_][A-Za-z0-9_]*)".r.findAllMatchIn(a.group(1)).map(_.group(1)))
       .filterNot(Set("labels", "value", "externalLabels", "externalURL"))
       .map(v => s"$where: undefined variable \"$$$v\" in template")
 

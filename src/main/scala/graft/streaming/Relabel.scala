@@ -83,4 +83,49 @@ object Relabel {
       val (nl, keep) = compile(col("labels"), r)
       d.filter(keep).withColumn("labels", nl)
     }
+
+  /** Driver-side single-label-set relabeling for TARGET relabel_configs
+    * (ref: model/relabel/relabel.go:206 Process — target cardinality is
+    * driver-scale, so this is a plain Scala mirror of [[compile]]'s column
+    * semantics). None = the target is dropped. */
+  def applyToMap(labels0: Map[String, String], rules: Seq[Rule]): Option[Map[String, String]] = {
+    var labels = labels0
+    def setLbl(m: Map[String, String], name: String, value: String): Map[String, String] =
+      if (value.isEmpty) m - name else m.updated(name, value)
+    for (r <- rules) {
+      val v = r.sourceLabels.map(l => labels.getOrElse(l, "")).mkString(r.separator)
+      val re = anchored(r.regex).r.pattern
+      val matches = re.matcher(v).matches()
+      r.action match {
+        case Keep => if (!matches) return None
+        case Drop => if (matches) return None
+        case KeepEqual => if (v != labels.getOrElse(r.targetLabel, "")) return None
+        case DropEqual => if (v == labels.getOrElse(r.targetLabel, "")) return None
+        case Replace =>
+          if (matches) {
+            val expanded = re.matcher(v).replaceAll(r.replacement)
+            val tgt = re.matcher(v).replaceAll(r.targetLabel)
+            labels = setLbl(labels, tgt, expanded)
+          }
+        case Lowercase => labels = setLbl(labels, r.targetLabel, v.toLowerCase)
+        case Uppercase => labels = setLbl(labels, r.targetLabel, v.toUpperCase)
+        case HashMod =>
+          val d = java.security.MessageDigest.getInstance("MD5").digest(v.getBytes("UTF-8"))
+          var h = 0L
+          var i = 8
+          while (i < 16) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+          labels = setLbl(labels, r.targetLabel,
+            java.lang.Long.remainderUnsigned(h, r.modulus).toString)
+        case LabelMap =>
+          val add = labels.collect {
+            case (k, value) if re.matcher(k).matches() =>
+              re.matcher(k).replaceAll(r.replacement) -> value
+          }
+          labels = labels ++ add
+        case LabelDrop => labels = labels.filter { case (k, _) => !re.matcher(k).matches() }
+        case LabelKeep => labels = labels.filter { case (k, _) => re.matcher(k).matches() }
+      }
+    }
+    Some(labels)
+  }
 }

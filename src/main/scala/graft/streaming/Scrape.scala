@@ -140,8 +140,14 @@ final class ScrapeManager(
       spark.sparkContext.parallelize(rows, math.max(1, rows.size / 10000)),
       Engine.samplesSchema)
     val scraped = if (rows.isEmpty) None else Some(Relabel(df0, metricRelabel))
-    val postN = scraped.map(_.count()).getOrElse(0L)
-    val violation = if (!ok) None else limitViolation(stamped.iterator.map(_.labels), postN)
+    // limits run on the POST-metric-relabel label sets (ref: append-time
+    // verifyLabelLimits — a relabel rule that drops the offending label must
+    // let the scrape pass); one collect replaces the former count (the batch
+    // is driver-origin and ≤ scrape size)
+    val postLabels = scraped.map(_.select("labels").collect()
+      .map(_.getAs[scala.collection.Map[String, String]](0).toMap)).getOrElse(Array.empty)
+    val postN = postLabels.length.toLong
+    val violation = if (!ok) None else limitViolation(postLabels.iterator, postN)
     val effOk = ok && violation.isEmpty
     val report = Seq(
       ("up", if (effOk) 1.0 else 0.0),
@@ -196,8 +202,11 @@ final class ScrapeManager(
     val scraped =
       if (stamped.isEmpty) None
       else Some(Relabel(toDf(stamped), metricRelabel))
-    val postN = scraped.map(_.count()).getOrElse(0L)
-    val violation = if (!ok) None else limitViolation(stamped.iterator.map(_._1), postN)
+    // post-relabel label sets (see scrapeProto: append-time verifyLabelLimits)
+    val postLabels = scraped.map(_.select("labels").collect()
+      .map(_.getAs[scala.collection.Map[String, String]](0).toMap)).getOrElse(Array.empty)
+    val postN = postLabels.length.toLong
+    val violation = if (!ok) None else limitViolation(postLabels.iterator, postN)
     val effOk = ok && violation.isEmpty
     val report = Seq(
       ("up", if (effOk) 1.0 else 0.0),
@@ -336,4 +345,37 @@ object ScrapeManager {
       ScrapeTarget(s"$scheme://$addr$metricsPath",
         lbls.getOrElse("job", defaultJob), addr,
         extraLabels = lbls - "job")
+
+  /** Apply a job's relabel_configs to a discovered target (ref:
+    * scrape/target.go:419 PopulateLabels): the target's discovery label set
+    * (__address__/__scheme__/__metrics_path__/job/instance + SD labels) runs
+    * the chain; None = target dropped. Surviving targets rebuild their URL
+    * from the possibly-rewritten __address__/__scheme__/__metrics_path__,
+    * default `instance` to __address__ when relabeling cleared it, and shed
+    * every remaining __-prefixed label (the reference's post-relabel strip). */
+  def relabelTarget(tgt: ScrapeTarget, rules: Seq[Relabel.Rule]): Option[ScrapeTarget] = {
+    if (rules.isEmpty) return Some(tgt)
+    val uri = java.net.URI.create(tgt.url)
+    val addr = uri.getHost + (if (uri.getPort != -1) s":${uri.getPort}" else "")
+    val path0 = Option(uri.getPath).filter(_.nonEmpty).getOrElse("/metrics")
+    val base = Map(
+      "__address__" -> addr,
+      "__scheme__" -> Option(uri.getScheme).getOrElse("http"),
+      "__metrics_path__" -> path0,
+      "job" -> tgt.job,
+      "instance" -> tgt.instance) ++ tgt.extraLabels
+    Relabel.applyToMap(base, rules).map { out =>
+      val scheme = out.getOrElse("__scheme__", "http")
+      val p0 = out.getOrElse("__metrics_path__", "/metrics")
+      val p = if (p0.startsWith("/")) p0 else "/" + p0
+      val addr2 = out.getOrElse("__address__", addr)
+      val q = Option(uri.getRawQuery).map("?" + _).getOrElse("")
+      tgt.copy(
+        url = s"$scheme://$addr2$p$q",
+        job = out.getOrElse("job", tgt.job),
+        instance = out.get("instance").filter(_.nonEmpty).getOrElse(addr2),
+        extraLabels = (out -- Seq("job", "instance"))
+          .filter { case (k, _) => !k.startsWith("__") })
+    }
+  }
 }

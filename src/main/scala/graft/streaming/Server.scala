@@ -21,20 +21,33 @@ final class PromServer(
     port: Int = 0,
     agentMode: Boolean = false,
     limits: QueryLimits = QueryLimits(),
-    nowMs: () => Long = () => System.currentTimeMillis()) {
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    dataDir: Option[String] = None) {
 
   private val emptyDf = spark.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Engine.samplesSchema)
   val store = new graft.web.SampleStore(spark, emptyDf)
   val api = new graft.web.HttpApi(spark, store, port, nowMs, limits, agentMode)
 
+  /** crash-forensics active-query file under the data dir (ref:
+    * promql/query_logger.go NewActiveQueryTracker — constructing it first
+    * REPORTS whatever the previous run left in flight, then re-allocates) */
+  private val tracker: Option[graft.promql.ActiveQueryTracker] =
+    dataDir.map(d => new graft.promql.ActiveQueryTracker(d, limits.maxConcurrent))
+  /** queries that were running when the previous process died */
+  val unfinishedQueries: Seq[String] = tracker.map(_.unfinishedQueries).getOrElse(Nil)
+  tracker.foreach(t => api.activeQueryTracker = Some(t))
+  unfinishedQueries.foreach(q =>
+    System.err.println(s"[graft] query did not finish in the last run: $q"))
+
   @volatile private var configOpt: Option[Config.PromConfig] = None
   @volatile private var ruleGroups: Seq[Rules.Group] = Nil
   @volatile private var alertStates: Map[String, Map[String, Rules.AlertState]] = Map.empty
   @volatile private var notifier: Option[graft.web.Notifier] = None
   @volatile private var forwarders: Seq[graft.web.RemoteWriteForwarder] = Nil
-  @volatile private var scraper: Option[ScrapeManager] = None
+  @volatile private var scrapers: Seq[ScrapeManager] = Nil
   @volatile private var scraping = false
+  @volatile private var queryLogPath: Option[String] = None
 
   def config: Option[Config.PromConfig] = configOpt
   def currentRuleGroups: Seq[Rules.Group] = ruleGroups
@@ -61,18 +74,33 @@ final class PromServer(
         if (cfg.alertmanagerUrls.isEmpty) None
         else Some(new graft.web.Notifier(cfg.alertmanagerUrls,
           externalLabels = cfg.externalLabels))
+      // query_log_file: swap the per-query logger (close the old one when
+      // the path changed; reload with the same path keeps appending —
+      // ref main.go reloadConfig → engine.SetQueryLogger)
+      val newLog = cfg.queryLogFile
+      if (queryLogPath != newLog) {
+        api.queryLogger.foreach(_.close())
+        api.queryLogger = newLog.map(new graft.promql.QueryLogger(_))
+        queryLogPath = newLog
+      }
       forwarders = cfg.remoteWriteUrls.map(new graft.web.RemoteWriteForwarder(_))
-      // scrape manager rebuilt around the new job set; SD re-resolves per pass
-      scraper.foreach(_.stop())
-      val mgr = new ScrapeManager(spark, store, Nil, cfg.scrapeIntervalMs,
-        metricRelabel = cfg.scrapeJobs.headOption.map(_.metricRelabel).getOrElse(Nil),
-        nowMs = nowMs,
-        limits = cfg.scrapeJobs.headOption.map(_.limits)
-          .getOrElse(ScrapeManager.ScrapeLimits()))
-      mgr.setTargetProvider(() => cfg.scrapeJobs.flatMap(cfg.targetsOf))
-      api.scrapeTargets = mgr.currentTargets()
-      scraper = Some(mgr)
-      if (scraping) mgr.start()
+      // ONE scrape pool per job (ref: scrape/manager.go ApplyConfig — a
+      // scrapePool per ScrapeConfig): each pool runs its own interval,
+      // relabel_configs (applied to discovered targets, possibly dropping
+      // or rewriting them), metric_relabel_configs and limits; SD
+      // re-resolves per pass
+      scrapers.foreach(_.stop())
+      val mgrs = cfg.scrapeJobs.map { job =>
+        val m = new ScrapeManager(spark, store, Nil,
+          intervalMs = if (job.intervalMs > 0) job.intervalMs else cfg.scrapeIntervalMs,
+          metricRelabel = job.metricRelabel, nowMs = nowMs, limits = job.limits)
+        m.setTargetProvider(() => cfg.targetsOf(job)
+          .flatMap(t => ScrapeManager.relabelTarget(t, job.relabel)))
+        m
+      }
+      api.scrapeTargets = mgrs.flatMap(_.currentTargets())
+      scrapers = mgrs
+      if (scraping) mgrs.foreach(_.start())
       Right(())
     } catch {
       case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -115,8 +143,8 @@ final class PromServer(
   /** one synchronous scrape pass (agent and server modes share the path);
     * appended samples also ship to every remote-write endpoint */
   def scrapeOnce(): Long = {
-    val n = scraper.map(_.scrapeOnce()).getOrElse(0L)
-    scraper.foreach(m => api.scrapeTargets = m.currentTargets())
+    val n = scrapers.map(_.scrapeOnce()).sum
+    if (scrapers.nonEmpty) api.scrapeTargets = scrapers.flatMap(_.currentTargets())
     n
   }
 
@@ -132,12 +160,14 @@ final class PromServer(
 
   def startScraping(): Unit = synchronized {
     scraping = true
-    scraper.foreach(_.start())
+    scrapers.foreach(_.start())
   }
 
   def stop(): Unit = synchronized {
     scraping = false
-    scraper.foreach(_.stop())
+    scrapers.foreach(_.stop())
+    api.queryLogger.foreach(_.close())
+    tracker.foreach(_.close())
     api.stop()
   }
 }

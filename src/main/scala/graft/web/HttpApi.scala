@@ -26,9 +26,15 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
   server.setExecutor(pool)
 
+  /** crash-forensics tracker (queries.active) + per-query log file —
+    * wired by the host (PromServer data dir / query_log_file config) */
+  @volatile var activeQueryTracker: Option[ActiveQueryTracker] = None
+  @volatile var queryLogger: Option[QueryLogger] = None
+
   /** per-query resource protection: concurrency gate + job-group timeout
     * (ref: promql/engine.go:768 ActiveQueryTracker, --query.timeout) */
-  private val gate = new QueryGate(spark, limits)
+  private val gate = new QueryGate(spark, limits,
+    tracker = () => activeQueryTracker, queryLog = () => queryLogger)
 
   /** OTLP delta→cumulative receive-edge state (ref: api.go:378 ConvertDelta) */
   private val otlpDelta = new Otlp.DeltaConverter
@@ -266,8 +272,8 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
   /** `stats=` parameter: per-phase timings + sample accounting appended to
     * the data envelope (ref: util/stats/query_stats.go QueryTimings/
     * QuerySamples JSON; api.go query handlers render when stats != "") */
-  private def statsField(prepS: Double, innerS: Double, samples: Long): (String, String) = {
-    val queueS = gate.lastQueueSeconds
+  private def statsField(queueS: Double, prepS: Double, innerS: Double,
+      samples: Long): (String, String) = {
     val n = math.max(samples, 0L).toString
     "stats" -> Json.obj(
       "timings" -> Json.obj(
@@ -343,14 +349,15 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       val lb = p.get("lookback_delta").flatMap(_.headOption).map(parseDurMs)
         .getOrElse(300000L) // ref: api.go extractQueryOpts
       val wantStats = p.get("stats").flatMap(_.headOption).exists(_.nonEmpty)
-      gate.exec(q) {
+      gate.execTimed(q, Map("query" -> q, "start" -> ((start / 1000.0).toString),
+          "end" -> ((end / 1000.0).toString), "step" -> ((step / 1000.0).toString))) { queueS =>
         val t0 = System.nanoTime()
         val (v, n) = Engine.rangeQueryCounted(spark, store.samples, q, start, end, step, lb,
           maxSamples = limits.maxSamples, wantCount = wantStats)
         val t1 = System.nanoTime()
         def st(j: String, innerNs: Long): String =
           if (!wantStats) j
-          else spliced(j, Seq(statsField((t1 - t0) / 1e9, innerNs / 1e9, n)))
+          else spliced(j, Seq(statsField(queueS, (t1 - t0) / 1e9, innerNs / 1e9, n)))
         v match {
           case VectorVal(df) =>
             val (j, w) = renderMatrix(df, p); okW(ex, st(j, System.nanoTime() - t1), w)
@@ -379,14 +386,14 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         val lb = p.get("lookback_delta").flatMap(_.headOption).map(parseDurMs)
           .getOrElse(300000L) // ref: api.go extractQueryOpts
         val wantStats = p.get("stats").flatMap(_.headOption).exists(_.nonEmpty)
-        gate.exec(q) {
+        gate.execTimed(q, Map("query" -> q, "time" -> ((ts / 1000.0).toString))) { queueS =>
           val t0 = System.nanoTime()
           val (v, n) = Engine.instantQueryCounted(spark, store.samples, q, ts, lb,
             maxSamples = limits.maxSamples, wantCount = wantStats)
           val t1 = System.nanoTime()
           def st(j: String, innerNs: Long): String =
             if (!wantStats) j
-            else spliced(j, Seq(statsField((t1 - t0) / 1e9, innerNs / 1e9, n)))
+            else spliced(j, Seq(statsField(queueS, (t1 - t0) / 1e9, innerNs / 1e9, n)))
           v match {
             case VectorVal(df) =>
               val (j, w) = renderVectorInstant(df, p); okW(ex, st(j, System.nanoTime() - t1), w)
@@ -725,28 +732,54 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     })
 
     server.createContext("/api/v1/read", handler { ex =>
-      // remote-read server, SAMPLES response (ref: storage/remote/
-      // read_handler.go; float samples only — the snappy/proto framing has
-      // no native-histogram payload wired here yet, matching decodeV1)
-      val queries = RemoteRead.decodeRequest(ex.getRequestBody.readAllBytes())
-      val results = queries.map { q =>
-        val rows = matcherFilter(
-            store.samples.filter(col("t") >= q.startMs && col("t") <= q.endMs &&
-              !col("stale") && col("h").isNull), q.matchers)
-          .groupBy(xxhash64(array_sort(map_entries(col("labels")))).as("__sg"))
-          .agg(first(col("labels")).as("labels"),
-            sort_array(collect_list(struct(col("t"), col("v")))).as("pts"))
-          .select(col("labels"), col("pts")).collect().toSeq
-        rows.map { r =>
-          RemoteRead.Series(labelsOf(r, 0),
-            r.getSeq[Row](1).map(p => (p.getLong(0), p.getDouble(1))))
+      // remote-read server (ref: storage/remote/read_handler.go): response
+      // type negotiated from accepted_response_types — the FIRST supported
+      // type wins, an empty list means SAMPLES (:134 negotiateResponseType).
+      // Float samples only — matching decodeV1's wire surface.
+      val (queries, accepted) =
+        RemoteRead.decodeRequestFull(ex.getRequestBody.readAllBytes())
+      val respType = accepted.find(t =>
+        t == RemoteRead.RespSamples || t == RemoteRead.RespStreamedXorChunks)
+        .getOrElse(if (accepted.isEmpty) RemoteRead.RespSamples else -1)
+      if (respType == -1)
+        err(ex, 400, "bad_data", "none of the accepted response types are supported")
+      else {
+        def seriesOf(q: RemoteRead.Query): Seq[RemoteRead.Series] =
+          matcherFilter(
+              store.samples.filter(col("t") >= q.startMs && col("t") <= q.endMs &&
+                !col("stale") && col("h").isNull), q.matchers)
+            .groupBy(xxhash64(array_sort(map_entries(col("labels")))).as("__sg"))
+            .agg(first(col("labels")).as("labels"),
+              sort_array(collect_list(struct(col("t"), col("v")))).as("pts"))
+            .select(col("labels"), col("pts")).collect().toSeq
+            .map { r =>
+              RemoteRead.Series(labelsOf(r, 0),
+                r.getSeq[Row](1).map(p => (p.getLong(0), p.getDouble(1))))
+            }
+        if (respType == RemoteRead.RespStreamedXorChunks) {
+          // streamed chunked frames: constant server memory per frame — the
+          // large-read path (ref :164 streamChunkedReadResponses; framing
+          // chunked.go uvarint + CRC32C). One frame per series; chunks cut
+          // at the head's 120-sample layout (codec.go StreamChunkedReadResponses).
+          ex.getResponseHeaders.set("Content-Type",
+            "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
+          ex.sendResponseHeaders(200, 0)
+          val os = ex.getResponseBody
+          queries.zipWithIndex.foreach { case (q, qi) =>
+            seriesOf(q).foreach { s =>
+              os.write(RemoteRead.frame(RemoteRead.encodeChunkedBody(qi.toLong,
+                Seq((s.labels, RemoteRead.toChunks(s.samples))))))
+            }
+          }
+          os.close()
+        } else {
+          val body = RemoteRead.encodeResponse(queries.map(seriesOf))
+          ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+          ex.getResponseHeaders.set("Content-Encoding", "snappy")
+          ex.sendResponseHeaders(200, body.length)
+          val os = ex.getResponseBody; os.write(body); os.close()
         }
       }
-      val body = RemoteRead.encodeResponse(results)
-      ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
-      ex.getResponseHeaders.set("Content-Encoding", "snappy")
-      ex.sendResponseHeaders(200, body.length)
-      val os = ex.getResponseBody; os.write(body); os.close()
     })
 
     server.createContext("/api/v1/metadata", handler { ex =>

@@ -324,7 +324,7 @@ object Otlp {
     * Memory is bounded by active delta-series cardinality — the same shape
     * as the reference receiver's per-series head state. Driver-side by
     * design: this is receive-edge state, not query state. */
-  final class DeltaConverter {
+  final class DeltaConverter(maxStaleNanos: Long = 3600L * 1000000000L) {
     private final class NumS(var startNano: Long, var lastNano: Long, var cum: Double)
     private final class HistS(var startNano: Long, var lastNano: Long,
       var counts: Array[Long], var bounds: Seq[Double],
@@ -339,8 +339,31 @@ object Otlp {
     private def restarted(last: Long, stNano: Long, tNano: Long): Boolean =
       stNano != 0 && stNano > last
 
+    /** Staleness sweep (ref: the deltatocumulative processor's max_stale):
+      * series whose last point is older than `maxStaleNanos` behind the
+      * observed high-water mark are evicted, bounding state by ACTIVE —
+      * not cumulative — delta-series cardinality (pod churn, ephemeral
+      * exporters). Amortized: runs at most once per sweep interval. */
+    private val hwmNano = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    @volatile private var lastSweepNano = Long.MinValue
+    private[web] def maybeSweep(tNano: Long): Unit = {
+      val hwm = hwmNano.accumulateAndGet(tNano, math.max(_, _))
+      if (maxStaleNanos <= 0) return
+      if (lastSweepNano != Long.MinValue && hwm - lastSweepNano < maxStaleNanos / 4) return
+      synchronized {
+        if (lastSweepNano != Long.MinValue && hwm - lastSweepNano < maxStaleNanos / 4) return
+        lastSweepNano = hwm
+        val cut = hwm - maxStaleNanos
+        nums.entrySet.removeIf(e => e.getValue.lastNano < cut)
+        hists.entrySet.removeIf(e => e.getValue.lastNano < cut)
+        exps.entrySet.removeIf(e => e.getValue.lastNano < cut)
+      }
+    }
+    private[web] def stateSize: Int = nums.size + hists.size + exps.size
+
     /** delta number point → Some((cumulative value, start nano)); None = out-of-order drop */
-    def addNum(key: Map[String, String], stNano: Long, tNano: Long, v: Double): Option[(Double, Long)] =
+    def addNum(key: Map[String, String], stNano: Long, tNano: Long, v: Double): Option[(Double, Long)] = {
+      maybeSweep(tNano)
       nums.synchronized {
         val s = nums.get(key)
         if (s == null) {
@@ -354,11 +377,13 @@ object Otlp {
           Some((s.cum, s.startNano))
         }
       }
+    }
 
     /** delta classic-histogram point → cumulative (counts, count, sum, hasSum, start) */
     def addHist(key: Map[String, String], stNano: Long, tNano: Long, bounds: Seq[Double],
         counts: Seq[Long], count: Double, sum: Double, hasSum: Boolean)
-        : Option[(Seq[Long], Double, Double, Boolean, Long)] =
+        : Option[(Seq[Long], Double, Double, Boolean, Long)] = {
+      maybeSweep(tNano)
       hists.synchronized {
         val s = hists.get(key)
         if (s == null || tNano > s.lastNano &&
@@ -380,10 +405,12 @@ object Otlp {
           Some((s.counts.toSeq, s.count, s.sum, s.hasSum, s.startNano))
         }
       }
+    }
 
     /** delta exponential-histogram point → cumulative native histogram */
     def addExp(key: Map[String, String], stNano: Long, tNano: Long, h: FHist)
-        : Option[(FHist, Long)] =
+        : Option[(FHist, Long)] = {
+      maybeSweep(tNano)
       exps.synchronized {
         val s = exps.get(key)
         if (s == null) {
@@ -397,6 +424,7 @@ object Otlp {
           Some((s.h, s.startNano))
         }
       }
+    }
   }
 
   /** decode an ExportMetricsServiceRequest body (optionally gzipped).

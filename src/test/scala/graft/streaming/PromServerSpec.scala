@@ -129,6 +129,59 @@ class PromServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { srv.stop(); }
   }
 
+  test("query logging: query_log_file lines + active-query crash forensics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qlog")
+    val logPath = dir.resolve("query.log")
+    writeFile(dir, "prom.yml",
+      s"""global:
+         |  scrape_interval: 15s
+         |  query_log_file: query.log
+         |""".stripMargin)
+    val dataDir = dir.resolve("data").toString
+    val srv = new PromServer(spark, dir.resolve("prom.yml").toString,
+      nowMs = () => 10000L, dataDir = Some(dataDir))
+    srv.start()
+    try {
+      assert(srv.unfinishedQueries.isEmpty)
+      val (c1, _) = get(srv.api.boundPort, "/api/v1/query?query=1%2B1&time=10")
+      assert(c1 == 200)
+      val (c2, _) = get(srv.api.boundPort,
+        "/api/v1/query_range?query=vector(1)&start=0&end=10&step=1")
+      assert(c2 == 200)
+      val lines = new String(java.nio.file.Files.readAllBytes(logPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq
+      assert(lines.size == 2, lines)
+      assert(lines.head.contains("\"query\":\"1+1\"") && lines.head.contains("\"time\":\"10.0\""))
+      assert(lines.head.contains("execTotalTime") && lines.head.contains("execQueueTime"))
+      assert(lines(1).contains("\"query\":\"vector(1)\"") &&
+        lines(1).contains("\"step\":\"1.0\"") && lines(1).contains("\"start\":\"0.0\""))
+      // a failing query logs an error field
+      val (c3, _) = get(srv.api.boundPort, "/api/v1/query?query=rate(up)&time=10")
+      assert(c3 == 422)
+      val lines2 = new String(java.nio.file.Files.readAllBytes(logPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq
+      assert(lines2.size == 3 && lines2(2).contains("\"error\":"), lines2)
+    } finally srv.stop()
+
+    // crash forensics: a slot written but never zeroed (process death
+    // between insert and delete) surfaces on the NEXT construction
+    // (ref query_logger.go logUnfinishedQueries)
+    val t1 = new graft.promql.ActiveQueryTracker(dataDir, 4, () => 99L)
+    t1.insert("sum(rate(crashy[5m]))")
+    val doneSlot = t1.insert("finished_fine")
+    t1.delete(doneSlot)
+    t1.close() // close WITHOUT deleting the first slot = crash
+    val t2 = new graft.promql.ActiveQueryTracker(dataDir, 4)
+    assert(t2.unfinishedQueries == Seq("sum(rate(crashy[5m]))"))
+    t2.insert("still running at crash")
+    t2.close() // crash again, this time with the query in flight
+    // a server over the same data dir surfaces the crashed-run queries
+    val srv2 = new PromServer(spark, dir.resolve("prom.yml").toString,
+      nowMs = () => 10000L, dataDir = Some(dataDir))
+    assert(srv2.unfinishedQueries == Seq("still running at crash"))
+    srv2.stop()
+  }
+
   test("lifecycle API disabled without a hook (plain HttpApi): 403") {
     val store = new graft.web.SampleStore(spark, spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
