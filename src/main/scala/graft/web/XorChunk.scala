@@ -1,0 +1,195 @@
+package graft.web
+
+import scala.collection.mutable
+
+/** Gorilla XOR chunk codec — the TSDB chunk encoding remote-read streams on
+  * the wire (ref: tsdb/chunkenc/xor.go Append/iterator + the Facebook
+  * Gorilla paper §4.1). Layout:
+  *   - bytes 0-1: big-endian sample count
+  *   - sample 0: timestamp as signed varint, value as raw 64 bits
+  *   - sample 1: time delta as unsigned varint, value XOR-encoded
+  *   - sample ≥2: delta-of-delta bucket-coded
+  *     (0 | 10+14b | 110+17b | 1110+20b | 1111+64b), value XOR-encoded
+  *   - value XOR: '0' = repeat; '10' = reuse leading/trailing window;
+  *     '11' + 5b leading + 6b sigbits + sigbits
+  * Bit order is MSB-first within bytes, matching the reference bitstream. */
+object XorChunk {
+
+  // ---------- bit stream ----------
+
+  private final class BitWriter {
+    private val buf = mutable.ArrayBuffer[Byte]()
+    private var bitPos = 0 // bits used in the last byte (0 = none/full)
+
+    def writeByte(b: Byte): Unit =
+      if (bitPos == 0) buf += b
+      else { // straddles two bytes
+        buf(buf.length - 1) = (buf.last | ((b & 0xff) >>> bitPos)).toByte
+        buf += ((b << (8 - bitPos)) & 0xff).toByte
+      }
+
+    def writeBit(bit: Boolean): Unit = {
+      if (bitPos == 0) buf += 0
+      if (bit) buf(buf.length - 1) =
+        (buf.last | (0x80 >>> bitPos)).toByte
+      bitPos = (bitPos + 1) & 7
+    }
+
+    def writeBits(u: Long, nbits: Int): Unit = {
+      var v = u << (64 - nbits)
+      var n = nbits
+      while (n >= 8) {
+        writeByte(((v >>> 56) & 0xff).toByte)
+        v <<= 8; n -= 8
+      }
+      var i = 0
+      while (i < n) { writeBit(((v >>> (63 - i)) & 1L) == 1L); i += 1 }
+    }
+
+    def result(): Array[Byte] = buf.toArray
+  }
+
+  private final class BitReader(buf: Array[Byte], var pos: Int) {
+    private var bitPos = 0
+    def readBit(): Boolean = {
+      val b = ((buf(pos) >>> (7 - bitPos)) & 1) == 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; pos += 1 }
+      b
+    }
+    def readBits(nbits: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < nbits) { v = (v << 1) | (if (readBit()) 1L else 0L); i += 1 }
+      v
+    }
+    def readByte(): Int = readBits(8).toInt
+    /** unsigned varint over the byte-aligned-within-bitstream reader */
+    def uvarint(): Long = {
+      var shift = 0; var res = 0L
+      var b = readByte()
+      while ((b & 0x80) != 0) {
+        res |= (b & 0x7fL) << shift; shift += 7; b = readByte()
+      }
+      res | ((b & 0x7fL) << shift)
+    }
+    def varint(): Long = { val u = uvarint(); (u >>> 1) ^ -(u & 1L) }
+  }
+
+  private def bitRange(x: Long, nbits: Int): Boolean =
+    -((1L << (nbits - 1)) - 1) <= x && x <= (1L << (nbits - 1))
+
+  // ---------- encode ----------
+
+  /** encode (t ms, v) samples, already time-sorted, into one XOR chunk */
+  def encode(samples: Seq[(Long, Double)]): Array[Byte] = {
+    val w = new BitWriter
+    val n = samples.length
+    w.writeByte(((n >> 8) & 0xff).toByte); w.writeByte((n & 0xff).toByte)
+    var prevT = 0L; var prevV = 0.0; var prevTDelta = 0L
+    var leading = 0xff; var trailing = 0
+    var i = 0
+    while (i < n) {
+      val (t, v) = samples(i)
+      if (i == 0) {
+        // signed varint (zigzag)
+        var u = (t << 1) ^ (t >> 63)
+        while ((u & ~0x7fL) != 0) { w.writeByte(((u & 0x7f) | 0x80).toByte); u >>>= 7 }
+        w.writeByte(u.toByte)
+        w.writeBits(java.lang.Double.doubleToRawLongBits(v), 64)
+      } else {
+        val tDelta = t - prevT
+        if (i == 1) {
+          var u = tDelta
+          while ((u & ~0x7fL) != 0) { w.writeByte(((u & 0x7f) | 0x80).toByte); u >>>= 7 }
+          w.writeByte(u.toByte)
+        } else {
+          val dod = tDelta - prevTDelta
+          if (dod == 0) w.writeBit(false)
+          else if (bitRange(dod, 14)) { w.writeBits(0x2, 2); w.writeBits(dod & 0x3fffL, 14) }
+          else if (bitRange(dod, 17)) { w.writeBits(0x6, 3); w.writeBits(dod & 0x1ffffL, 17) }
+          else if (bitRange(dod, 20)) { w.writeBits(0xe, 4); w.writeBits(dod & 0xfffffL, 20) }
+          else { w.writeBits(0xf, 4); w.writeBits(dod, 64) }
+        }
+        // value XOR
+        val vd = java.lang.Double.doubleToRawLongBits(v) ^
+          java.lang.Double.doubleToRawLongBits(prevV)
+        if (vd == 0) w.writeBit(false)
+        else {
+          w.writeBit(true)
+          var lead = java.lang.Long.numberOfLeadingZeros(vd)
+          if (lead >= 32) lead = 31
+          val trail = java.lang.Long.numberOfTrailingZeros(vd)
+          if (leading != 0xff && lead >= leading && trail >= trailing) {
+            w.writeBit(false)
+            w.writeBits(vd >>> trailing, 64 - leading - trailing)
+          } else {
+            leading = lead; trailing = trail
+            w.writeBit(true)
+            w.writeBits(lead.toLong, 5)
+            val sigbits = 64 - lead - trail
+            w.writeBits(sigbits.toLong, 6)
+            w.writeBits(vd >>> trail, sigbits)
+          }
+        }
+        prevTDelta = tDelta
+      }
+      prevT = t; prevV = v
+      i += 1
+    }
+    w.result()
+  }
+
+  // ---------- decode ----------
+
+  def decode(data: Array[Byte]): Seq[(Long, Double)] = {
+    if (data.length < 2) return Nil
+    val n = ((data(0) & 0xff) << 8) | (data(1) & 0xff)
+    val r = new BitReader(data, 2)
+    val out = new mutable.ArrayBuffer[(Long, Double)](n)
+    var t = 0L; var vBits = 0L; var tDelta = 0L
+    var leading = 0; var trailing = 0
+    var i = 0
+    while (i < n) {
+      if (i == 0) {
+        t = r.varint()
+        vBits = r.readBits(64)
+      } else {
+        if (i == 1) tDelta = r.uvarint()
+        else {
+          // delta-of-delta bucket
+          var ctl = 0
+          var bits = 0
+          while (ctl < 4 && r.readBit()) ctl += 1
+          ctl match {
+            case 0 => bits = 0
+            case 1 => bits = 14
+            case 2 => bits = 17
+            case 3 => bits = 20
+            case _ => bits = 64
+          }
+          if (bits > 0) {
+            var dod = r.readBits(bits)
+            if (bits != 64 && dod > (1L << (bits - 1))) dod -= (1L << bits)
+            tDelta += dod
+          }
+        }
+        t += tDelta
+        // value
+        if (r.readBit()) {
+          if (r.readBit()) {
+            leading = r.readBits(5).toInt
+            val sigbits0 = r.readBits(6).toInt
+            val sigbits = if (sigbits0 == 0) 64 else sigbits0
+            trailing = 64 - leading - sigbits
+          }
+          val sigbits = 64 - leading - trailing
+          val vd = r.readBits(sigbits) << trailing
+          vBits ^= vd
+        }
+      }
+      out += ((t, java.lang.Double.longBitsToDouble(vBits)))
+      i += 1
+    }
+    out.toSeq
+  }
+}

@@ -243,6 +243,64 @@ class ServingSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("remote read: streamed chunks — XOR codec, multi-frame stream, SAMPLES fallback") {
+    // XOR chunk codec round-trip (ref tsdb/chunkenc/xor.go): counter-ish,
+    // irregular deltas, repeats, NaN and negatives all survive bit-exact
+    val pts = Seq(
+      0L -> 1.5, 1000L -> 1.5, 2000L -> 2.25, 3100L -> -7.125, 3101L -> 0.0,
+      60000L -> 1e300, 61000L -> Double.NaN, 62000L -> 5.0, 63000L -> 5.0)
+    val dec = XorChunk.decode(XorChunk.encode(pts))
+    assert(dec.map(_._1) == pts.map(_._1))
+    assert(dec.zip(pts).forall { case ((_, a), (_, b)) =>
+      java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b) })
+
+    // framing round-trip incl. CRC
+    val f1 = RemoteRead.frame(Array[Byte](1, 2, 3))
+    val f2 = RemoteRead.frame(Array[Byte](9))
+    assert(RemoteRead.deframe(f1 ++ f2).map(_.toSeq) == Seq(Seq[Byte](1, 2, 3), Seq[Byte](9)))
+    val corrupted = f1.clone(); corrupted(corrupted.length - 1) = 99
+    intercept[IllegalArgumentException](RemoteRead.deframe(corrupted))
+
+    // end-to-end: 2 series × 150 samples each → multi-frame stream with
+    // 120-sample chunk cuts; old clients (no accepted types) get SAMPLES
+    val rows = for (s <- Seq("a", "b"); k <- 0 until 150) yield
+      Row(Map("__name__" -> "m", "src" -> s), k * 1000L, s.length * 100.0 + k,
+        false, null, 0L)
+    val store = new SampleStore(spark,
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), Engine.samplesSchema))
+    val api = new HttpApi(spark, store, 0, () => 150000L)
+    api.start()
+    try {
+      val url = s"http://127.0.0.1:${api.boundPort}/api/v1/read"
+      val q = RemoteRead.Query(0L, 150000L, List(LabelMatcher("__name__", MatchOp.Eq, "m")))
+      val streamed = new RemoteReadClient(url).read(q, streamed = true)
+      assert(streamed.size == 2)
+      streamed.foreach { s =>
+        assert(s.samples.size == 150)
+        assert(s.samples == (0 until 150).map(k =>
+          (k * 1000L, s.labels("src").length * 100.0 + k)))
+      }
+      // raw wire: streamed content type + >1 frame, each with >1 chunk
+      val resp = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(
+            RemoteRead.encodeRequest(Seq(q), Seq(RemoteRead.RespStreamedXorChunks))))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.headers().firstValue("Content-Type").orElse("")
+        .contains("ChunkedReadResponse"))
+      val frames = RemoteRead.deframe(resp.body())
+      assert(frames.size == 2)
+      val (qi0, series0) = RemoteRead.decodeChunkedBody(frames.head)
+      assert(qi0 == 0L && series0.head._2.size == 2) // 150 samples → 2 chunks
+      assert(series0.head._2.head.encoding == 1)
+
+      // fallback: a request without accepted_response_types gets SAMPLES
+      val old = new RemoteReadClient(url).read(q)
+      assert(old.size == 2 && old.forall(_.samples.size == 150))
+    } finally api.stop()
+  }
+
   test("remote read: wire round-trip, server endpoint, client, fanout query") {
     // request codec round-trip
     val q = RemoteRead.Query(1000L, 9000L, List(
