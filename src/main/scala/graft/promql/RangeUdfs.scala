@@ -132,17 +132,36 @@ object RangeUdfs {
     * compute. Per-window folds mirror the explode path / reference exactly
     * (functions.go: sum :1572, avg :1218, variance varianceOverTime, OLS
     * :1949 linearRegression, des :981, mad :1438). Output (t_step, v). */
-  /** argsort keys packing (wt, original index) into one long for a single
-    * primitive Arrays.sort — keys(i) >> 20 = wt, low 20 bits = input index
-    * (exact for |wt| < 2⁴², i < 2²⁰ — i.e. any epoch-ms timestamp and up to
-    * 1M samples per series per query window) */
-  private[promql] def sortKeys(wts: Array[Long]): Array[Long] = {
+  /** argsort of wts ascending, ties by input index — returns the
+    * permutation. Fast path packs (wt, index) into one long for a single
+    * primitive Arrays.sort (exact for |wt| < 2⁴² — any epoch-ms timestamp —
+    * and n < 2²⁰). A series with ≥2²⁰ samples in one query window (2 weeks
+    * at 1 s resolution — plausible at 100× scale) would overflow the index
+    * bits and silently pair values with wrong timestamps, so that regime
+    * takes an exact boxed index sort instead. */
+  private[promql] def argsortByWt(wts: Array[Long]): Array[Int] = {
     val n = wts.length
-    val keys = new Array[Long](n)
-    var i = 0
-    while (i < n) { keys(i) = wts(i) * 1048576L + i; i += 1 }
-    java.util.Arrays.sort(keys)
-    keys
+    val ord = new Array[Int](n)
+    if (n < (1 << 20)) {
+      val keys = new Array[Long](n)
+      var i = 0
+      while (i < n) { keys(i) = wts(i) * 1048576L + i; i += 1 }
+      java.util.Arrays.sort(keys)
+      i = 0
+      while (i < n) { ord(i) = (keys(i) - (keys(i) >> 20 << 20)).toInt; i += 1 }
+    } else {
+      val boxed = new Array[Integer](n)
+      var i = 0
+      while (i < n) { boxed(i) = Integer.valueOf(i); i += 1 }
+      java.util.Arrays.sort(boxed,
+        (a: Integer, b: Integer) => {
+          val c = java.lang.Long.compare(wts(a.intValue), wts(b.intValue))
+          if (c != 0) c else Integer.compare(a.intValue, b.intValue)
+        })
+      i = 0
+      while (i < n) { ord(i) = boxed(i).intValue; i += 1 }
+    }
+    ord
   }
 
   private[promql] def windowAggFold(op: String, startMs: Long, stepMs: Long,
@@ -157,12 +176,12 @@ object RangeUdfs {
     if (n != 0) {
       // two parallel primitive-array columns (no-copy fast paths; the two
       // collect_lists share one accumulation order); argsort by wt here
-      val keys = sortKeys(wts0)
+      val ord = argsortByWt(wts0)
       val wts = new Array[Long](n); val vs = new Array[Double](n)
       var i = 0
       while (i < n) {
-        val j = (keys(i) - (keys(i) >> 20 << 20)).toInt
-        wts(i) = keys(i) >> 20; vs(i) = vs0(j)
+        val j = ord(i)
+        wts(i) = wts0(j); vs(i) = vs0(j)
         i += 1
       }
       // Prefix decomposition for sum/avg: window sum = psum(hi) − psum(lo)

@@ -119,13 +119,13 @@ final case class HistFoldStepsExpr(child: Expression, op: String,
       }
       i += 1
     }
-    val keys = RangeUdfs.sortKeys(java.util.Arrays.copyOf(wtsT, m))
+    val ord = RangeUdfs.argsortByWt(java.util.Arrays.copyOf(wtsT, m))
     val wts = new Array[Long](m); val stts = new Array[Long](m)
     val hs = new Array[FHist](m)
     i = 0
     while (i < m) {
-      val j = (keys(i) - (keys(i) >> 20 << 20)).toInt
-      wts(i) = keys(i) >> 20; stts(i) = sttsT(j); hs(i) = hsT(j)
+      val j = ord(i)
+      wts(i) = wtsT(j); stts(i) = sttsT(j); hs(i) = hsT(j)
       i += 1
     }
     val rows = op match {
@@ -170,15 +170,18 @@ final case class InstantPickStepsExpr(wtsE: Expression, stalesE: Expression,
     val vs0 = vsE.eval(input).asInstanceOf[ArrayData].toDoubleArray()
     val stts0 = sttsE.eval(input).asInstanceOf[ArrayData].toLongArray()
     val n = wts0.length
-    val keys = RangeUdfs.sortKeys(wts0)
+    val ord = RangeUdfs.argsortByWt(wts0)
+    val swts = new Array[Long](n)
+    var s0 = 0
+    while (s0 < n) { swts(s0) = wts0(ord(s0)); s0 += 1 }
     val out = new java.util.ArrayList[Any](numSteps min 4096)
     var hi = 0; var k = 0
     while (k < numSteps) {
       val t = startMs + k.toLong * stepMs
-      while (hi < n && (keys(hi) >> 20) <= t) hi += 1
+      while (hi < n && swts(hi) <= t) hi += 1
       if (hi > 0) {
-        val wt = keys(hi - 1) >> 20
-        val j = (keys(hi - 1) - (wt << 20)).toInt
+        val wt = swts(hi - 1)
+        val j = ord(hi - 1)
         if (wt > t - lookbackMs && !stales0(j)) {
           val r = new GenericInternalRow(4)
           r.setLong(0, t); r.setLong(1, sts0(j))
@@ -221,16 +224,19 @@ final case class InstantMixedStepsExpr(child: Expression,
     val wts0 = new Array[Long](n)
     var i = 0
     while (i < n) { wts0(i) = arr.getStruct(i, 6).getLong(0); i += 1 }
-    val keys = RangeUdfs.sortKeys(wts0)
+    val ord = RangeUdfs.argsortByWt(wts0)
+    val swts = new Array[Long](n)
+    var s0 = 0
+    while (s0 < n) { swts(s0) = wts0(ord(s0)); s0 += 1 }
     val out = new java.util.ArrayList[Any](numSteps min 4096)
     var hi = 0; var k = 0
     while (k < numSteps) {
       val t = startMs + k.toLong * stepMs
-      while (hi < n && (keys(hi) >> 20) <= t) hi += 1
+      while (hi < n && swts(hi) <= t) hi += 1
       if (hi > 0) {
-        val wt = keys(hi - 1) >> 20
+        val wt = swts(hi - 1)
         if (wt > t - lookbackMs) {
-          val j = (keys(hi - 1) - (wt << 20)).toInt
+          val j = ord(hi - 1)
           val e = arr.getStruct(j, 6)
           val stale = !e.isNullAt(3) && e.getBoolean(3)
           if (!stale) {
@@ -312,13 +318,13 @@ final case class RateStatsStepsExpr(wtsE: Expression, vsE: Expression,
     val sts0 = stsD.toLongArray(); val dns0 = dnsD.toBooleanArray()
     val n = wts0.length
     // the four collect_lists share one accumulation order; argsort by wt
-    val keys = RangeUdfs.sortKeys(wts0)
+    val ord = RangeUdfs.argsortByWt(wts0)
     val wts = new Array[Long](n); val vs = new Array[Double](n)
     val sts = new Array[Long](n); val dns = new Array[Boolean](n)
     var i = 0
     while (i < n) {
-      val j = (keys(i) - (keys(i) >> 20 << 20)).toInt
-      wts(i) = keys(i) >> 20
+      val j = ord(i)
+      wts(i) = wts0(j)
       vs(i) = vs0(j); sts(i) = sts0(j); dns(i) = dns0(j)
       i += 1
     }

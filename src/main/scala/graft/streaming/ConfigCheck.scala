@@ -57,7 +57,7 @@ object ConfigCheck {
     * variables (text/template evaluates actions only); a literal
     * "check $HOSTNAME in the runbook" outside an action passes. */
   private def templateErrors(text: String, where: String): Seq[String] =
-    "\\{\\{(.*?)\\}\\}".r.findAllMatchIn(text).toSeq.flatMap(a =>
+    "(?s)\\{\\{(.*?)\\}\\}".r.findAllMatchIn(text).toSeq.flatMap(a =>
       "\\$([A-Za-z_][A-Za-z0-9_]*)".r.findAllMatchIn(a.group(1)).map(_.group(1)))
       .filterNot(Set("labels", "value", "externalLabels", "externalURL"))
       .map(v => s"$where: undefined variable \"$$$v\" in template")

@@ -744,36 +744,44 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       if (respType == -1)
         err(ex, 400, "bad_data", "none of the accepted response types are supported")
       else {
-        def seriesOf(q: RemoteRead.Query): Seq[RemoteRead.Series] =
+        def seriesDF(q: RemoteRead.Query): DataFrame =
           matcherFilter(
               store.samples.filter(col("t") >= q.startMs && col("t") <= q.endMs &&
                 !col("stale") && col("h").isNull), q.matchers)
             .groupBy(xxhash64(array_sort(map_entries(col("labels")))).as("__sg"))
             .agg(first(col("labels")).as("labels"),
               sort_array(collect_list(struct(col("t"), col("v")))).as("pts"))
-            .select(col("labels"), col("pts")).collect().toSeq
-            .map { r =>
-              RemoteRead.Series(labelsOf(r, 0),
-                r.getSeq[Row](1).map(p => (p.getLong(0), p.getDouble(1))))
-            }
+            .select(col("labels"), col("pts"))
+        def seriesOfRow(r: Row): RemoteRead.Series =
+          RemoteRead.Series(labelsOf(r, 0),
+            r.getSeq[Row](1).map(p => (p.getLong(0), p.getDouble(1))))
         if (respType == RemoteRead.RespStreamedXorChunks) {
-          // streamed chunked frames: constant server memory per frame — the
-          // large-read path (ref :164 streamChunkedReadResponses; framing
-          // chunked.go uvarint + CRC32C). One frame per series; chunks cut
-          // at the head's 120-sample layout (codec.go StreamChunkedReadResponses).
+          // streamed chunked frames — the large-read path (ref :164
+          // streamChunkedReadResponses writes per SERIES; framing chunked.go
+          // uvarint + CRC32C). One frame per series; chunks cut at the
+          // head's 120-sample layout (codec.go StreamChunkedReadResponses).
+          // toLocalIterator fetches ONE PARTITION of the grouped result at a
+          // time, so driver memory is O(partition), not O(matched series ×
+          // samples) — a full .collect() here would be exactly the OOM the
+          // streamed response type exists to avoid.
           ex.getResponseHeaders.set("Content-Type",
             "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
           ex.sendResponseHeaders(200, 0)
           val os = ex.getResponseBody
           queries.zipWithIndex.foreach { case (q, qi) =>
-            seriesOf(q).foreach { s =>
+            val it = seriesDF(q).toLocalIterator()
+            while (it.hasNext) {
+              val s = seriesOfRow(it.next())
               os.write(RemoteRead.frame(RemoteRead.encodeChunkedBody(qi.toLong,
                 Seq((s.labels, RemoteRead.toChunks(s.samples))))))
             }
           }
           os.close()
         } else {
-          val body = RemoteRead.encodeResponse(queries.map(seriesOf))
+          // SAMPLES: the protocol is one snappy protobuf body — inherently
+          // materialized; clients wanting bounded memory negotiate streamed.
+          val body = RemoteRead.encodeResponse(
+            queries.map(q => seriesDF(q).collect().toSeq.map(seriesOfRow)))
           ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
           ex.getResponseHeaders.set("Content-Encoding", "snappy")
           ex.sendResponseHeaders(200, body.length)

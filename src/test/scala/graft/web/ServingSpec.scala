@@ -301,6 +301,48 @@ class ServingSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("remote read streamed: frames written per partition, not one driver collect") {
+    // many series spread across the 4 shuffle partitions; the streamed
+    // branch must iterate the grouped result per partition
+    // (toLocalIterator → one Spark job per result partition) instead of
+    // one .collect() (exactly one job materializing every series at once —
+    // the O(matched series × samples) driver OOM at a 1-day 10k-series read).
+    val rows = for (s <- 0 until 40; k <- 0 until 30) yield
+      Row(Map("__name__" -> "big", "src" -> s"s$s"), k * 1000L, s * 1000.0 + k,
+        false, null, 0L)
+    val store = new SampleStore(spark,
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), Engine.samplesSchema))
+    val api = new HttpApi(spark, store, 0, () => 30000L)
+    api.start()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE would coalesce this tiny shuffle to one partition, hiding the
+    // per-partition iteration; at a real large read the partitions stay >1
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val url = s"http://127.0.0.1:${api.boundPort}/api/v1/read"
+      val q = RemoteRead.Query(0L, 30000L, List(LabelMatcher("__name__", MatchOp.Eq, "big")))
+      val streamed = new RemoteReadClient(url).read(q, streamed = true)
+      assert(streamed.size == 40)
+      assert(streamed.forall(_.samples.size == 30))
+      val sBySrc = streamed.map(s => s.labels("src") -> s.samples).toMap
+      assert(sBySrc("s7") == (0 until 30).map(k => (k * 1000L, 7000.0 + k)))
+      // ≥3 jobs ⇒ per-partition iteration (a single collect would be 1);
+      // the listener bus is async, so poll briefly
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs.get() < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(jobs.get() >= 3, s"expected per-partition jobs, saw ${jobs.get()}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.sparkContext.removeSparkListener(listener)
+      api.stop()
+    }
+  }
+
   test("remote read: wire round-trip, server endpoint, client, fanout query") {
     // request codec round-trip
     val q = RemoteRead.Query(1000L, 9000L, List(
