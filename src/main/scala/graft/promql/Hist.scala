@@ -482,13 +482,13 @@ object FHist {
   }
 
   /** all-zero compensation histogram with `s`'s layout */
-  private def zeroLike(s: FHist): FHist =
+  private[promql] def zeroLike(s: FHist): FHist =
     s.copy(zc = 0.0, cnt = 0.0, sum = 0.0,
       pcnt = s.pcnt.map(_ => 0.0), ncnt = s.ncnt.map(_ => 0.0))
 
   /** per-field Kahan add: (sum, comp) += x
     * (ref: float_histogram.go:418 KahanAdd) */
-  private def kahanAddH(s0: FHist, c0: FHist, x0: FHist): (FHist, FHist) = {
+  private[promql] def kahanAddH(s0: FHist, c0: FHist, x0: FHist): (FHist, FHist) = {
     val (s1, x) = align(s0, x0)
     val c =
       if (s0.isCustom) { if (c0.cv == s1.cv) c0 else c0.remapCv(s1.cv) }

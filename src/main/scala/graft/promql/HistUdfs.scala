@@ -479,7 +479,21 @@ object HistUdfs {
     * [[RangeUdfs.seriesWindowAgg]] and the same two-pointer shape as
     * [[histRateAllSteps]], so day-scale windows on native-histogram series
     * skip the coverage explode. Windows whose layouts are incompatible drop
-    * (the explode path's histOverTime null behavior). */
+    * (the explode path's histOverTime null behavior).
+    *
+    * Sliding-window aggregation via two blocks (the two-stacks / SWAG
+    * decomposition): a BACK block [lo, fStart) with per-index suffix
+    * aggregates suf(i) = hs(i)+…+hs(fStart−1), and a FRONT block
+    * [fStart, hi) with one running aggregate. Each sample is folded into at
+    * most two aggregates over its lifetime, so total work is
+    * O(samples + steps) histogram adds instead of the former
+    * O(steps × window) refold (8640× redundant adds at 1d/10s). Unlike a
+    * prefix-sum decomposition this uses ONLY additions of current window
+    * members — no subtraction, so no cancellation guard is needed, and the
+    * result's schema/custom-bounds layout is the same min-fold over window
+    * members as the reference's per-window fold. Incompatible
+    * custom/exponential mixes poison an aggregate to null and exactly the
+    * windows containing the mix drop, like the refold's per-window catch. */
   def histOverTimeFoldSteps(isAvg: Boolean, startMs: Long, stepMs: Long,
       numSteps: Int, rangeMs: Long,
       wts: Array[Long], hs: Array[FHist]): java.util.ArrayList[Any] = {
@@ -488,24 +502,170 @@ object HistUdfs {
     val n = wts.length
     val out = new java.util.ArrayList[Any](numSteps min 4096)
     if (n == 0) return out
-    var lo = 0; var hi = 0 // window (t−range, t] == [lo, hi)
+    // every aggregate is a Kahan (sum, compensation) PAIR — the corpus's
+    // magnitude-interleaved series (1 + 1e100 + 1 − 1e100 = 2, not 0)
+    // require the compensation to survive the decomposition, exactly as in
+    // [[FHist.sumSeq]]
+    val sufS = new Array[FHist](n) // back-block suffix aggregates
+    val sufC = new Array[FHist](n)
+    var fStart = 0                 // front block = [fStart, hi)
+    var fS: FHist = null; var fC: FHist = null // front fold (null = empty)
+    var fPoisoned = false          // front contains an incompatible mix
+    var lo = 0; var hi = 0         // window (t−range, t] == [lo, hi)
     var k = 0
     while (k < numSteps) {
       val t = startMs + k.toLong * stepMs
       while (lo < n && wts(lo) <= t - rangeMs) lo += 1
-      while (hi < n && wts(hi) <= t) hi += 1
+      while (hi < n && wts(hi) <= t) { // push: (fS, fC) covers [fStart, hi)
+        if (!fPoisoned) {
+          if (fS == null) { fS = hs(hi); fC = FHist.zeroLike(fS) }
+          else {
+            try {
+              val (ns, nc) = FHist.kahanAddH(fS, fC, hs(hi))
+              fS = ns; fC = nc
+            } catch { case _: Exception => fPoisoned = true; fS = null; fC = null }
+          }
+        }
+        hi += 1
+      }
+      if (lo > fStart) {
+        // back block exhausted past fStart: flip — the remaining window
+        // prefix [lo, hi) becomes the new back block with fresh suffix
+        // aggregates (right-to-left; a failed add poisons every deeper
+        // suffix, which is correct: those spans contain the same mix)
+        var i = hi - 1
+        var aS: FHist = null; var aC: FHist = null; var bad = false
+        while (i >= lo) {
+          if (!bad) {
+            if (aS == null) { aS = hs(i); aC = FHist.zeroLike(aS) }
+            else {
+              try {
+                val (ns, nc) = FHist.kahanAddH(aS, aC, hs(i))
+                aS = ns; aC = nc
+              } catch { case _: Exception => bad = true; aS = null; aC = null }
+            }
+          }
+          sufS(i) = aS; sufC(i) = aC
+          i -= 1
+        }
+        fStart = hi; fS = null; fC = null; fPoisoned = false
+      }
       if (hi > lo) {
-        val h =
-          try {
-            val w: Seq[FHist] =
-              ArraySeq.unsafeWrapArray(java.util.Arrays.copyOfRange(hs, lo, hi))
-            (if (isAvg) FHist.avgSeq(w) else FHist.sumSeq(w)).compact
-          } catch { case _: Exception => null }
+        val h: FHist =
+          if (fPoisoned) null
+          else {
+            try {
+              var s: FHist = null; var c: FHist = null
+              if (lo >= fStart) { s = fS; c = fC }            // front only
+              else if (fS == null) { s = sufS(lo); c = sufC(lo) } // back only
+              else {
+                val (s1, c1) = FHist.kahanAddH(sufS(lo), sufC(lo), fS)
+                val (s2, c2) = FHist.kahanAddH(s1, c1, fC)
+                s = s2; c = c2
+              }
+              if (s == null) null
+              else if (isAvg) {
+                if (s.zc.isNaN || s.cnt.isNaN || s.sum.isNaN ||
+                    FHist.hasOverflow(s)) {
+                  // reference avg switches to incremental mean on overflow —
+                  // refold this window exactly (rare; keeps Go parity). NaN
+                  // may be a collapsed Inf−Inf, so it refolds too.
+                  FHist.avgSeq(ArraySeq.unsafeWrapArray(
+                    java.util.Arrays.copyOfRange(hs, lo, hi))).compact
+                } else {
+                  val len = (hi - lo).toDouble
+                  s.divide(len).add(c.divide(len)).copy(crh = s.crh).compact
+                }
+              } else s.add(c).copy(crh = s.crh).compact
+            } catch { case _: Exception => null }
+          }
         if (h != null) {
           val r = new GenericInternalRow(2)
           r.setLong(0, t); r.update(1, FHist.toInternal(h))
           out.add(r)
         }
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Series-at-once sum/avg_over_time over a MIXED float+histogram series —
+    * the last range-fold shape that previously kept the coverage explode.
+    * One argsorted pass splits the timeline into float and histogram
+    * subsequences; the float windows reuse [[RangeUdfs.windowAggFold]]
+    * verbatim (prefix decomposition + cancellation-guard refold) and the
+    * histogram windows reuse [[histOverTimeFoldSteps]] (two-stacks SWAG), so
+    * both kinds keep their pure-series bit behavior. A per-window histogram
+    * COUNT from a prefix array classifies each step O(1): float-pure windows
+    * emit the float row, hist-pure windows the histogram row, windows
+    * containing both kinds drop (the reference's mixed-window exclusion,
+    * functions.go sum_over_time/avg_over_time). Output rows
+    * (t, v, histInternal): exactly one of v/hist is meaningful per row. */
+  def mixedOverTimeFoldSteps(isAvg: Boolean, startMs: Long, stepMs: Long,
+      numSteps: Int, rangeMs: Long,
+      wts: Array[Long], vs: Array[Double],
+      hs: Array[FHist]): java.util.ArrayList[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val n = wts.length
+    val out = new java.util.ArrayList[Any](numSteps min 4096)
+    if (n == 0) return out
+    // split: float subsequence and hist subsequence, + hist-count prefix
+    var nh = 0
+    var i = 0
+    while (i < n) { if (hs(i) != null) nh += 1; i += 1 }
+    val histPre = new Array[Int](n + 1)
+    val fwts = new Array[Long](n - nh); val fvs = new Array[Double](n - nh)
+    val hwts = new Array[Long](nh); val hhs = new Array[FHist](nh)
+    var fi = 0; var hj = 0
+    i = 0
+    while (i < n) {
+      if (hs(i) != null) { hwts(hj) = wts(i); hhs(hj) = hs(i); hj += 1 }
+      else { fwts(fi) = wts(i); fvs(fi) = vs(i); fi += 1 }
+      histPre(i + 1) = hj
+      i += 1
+    }
+    val op = if (isAvg) "avg" else "sum"
+    val floatRows = RangeUdfs.windowAggFold(op, startMs, stepMs, numSteps,
+      rangeMs, 0.0, 0.0, fwts, fvs)
+    val histRows = histOverTimeFoldSteps(isAvg, startMs, stepMs, numSteps,
+      rangeMs, hwts, hhs)
+    // merge: both row lists are t-ascending with ≤1 row per step
+    var fp = 0; var hp = 0
+    var lo = 0; var hi = 0
+    var k = 0
+    while (k < numSteps) {
+      val t = startMs + k.toLong * stepMs
+      while (lo < n && wts(lo) <= t - rangeMs) lo += 1
+      while (hi < n && wts(hi) <= t) hi += 1
+      while (fp < floatRows.size &&
+        floatRows.get(fp).asInstanceOf[GenericInternalRow].getLong(0) < t) fp += 1
+      while (hp < histRows.size &&
+        histRows.get(hp).asInstanceOf[GenericInternalRow].getLong(0) < t) hp += 1
+      val len = hi - lo
+      if (len > 0) {
+        val nHist = histPre(hi) - histPre(lo)
+        if (nHist == 0) {
+          // float-pure window: windowAggFold emitted a row for this t
+          if (fp < floatRows.size) {
+            val fr = floatRows.get(fp).asInstanceOf[GenericInternalRow]
+            if (fr.getLong(0) == t) {
+              val r = new GenericInternalRow(3)
+              r.setLong(0, t); r.setDouble(1, fr.getDouble(1)); r.update(2, null)
+              out.add(r)
+            }
+          }
+        } else if (nHist == len) {
+          // hist-pure window (row may be absent: incompatible-layout drop)
+          if (hp < histRows.size) {
+            val hr = histRows.get(hp).asInstanceOf[GenericInternalRow]
+            if (hr.getLong(0) == t) {
+              val r = new GenericInternalRow(3)
+              r.setLong(0, t); r.setDouble(1, Double.NaN); r.update(2, hr.get(1, FHist.schemaType))
+              out.add(r)
+            }
+          }
+        } // both kinds present: drop the window (reference warns + skips)
       }
       k += 1
     }

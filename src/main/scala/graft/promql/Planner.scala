@@ -670,11 +670,11 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         // engine min/max/stddev float-only slices) — float rows suffice
         fast(ri.points.filter(hIsNull))
       else {
-        // sum/avg: three-way series split. Float-pure series → float fast
-        // pass; HIST-PURE series → the histogram series-at-once fold (same
-        // two-pointer device as the hist rate path — no coverage explode at
-        // day windows); only MIXED series (both kinds, where windows need
-        // per-window mixed-exclusion) keep the restricted explode.
+        // sum/avg: three-way series split, every leg series-at-once. Float-
+        // pure series → float fast pass; HIST-PURE series → the histogram
+        // SWAG fold; MIXED series (both kinds) → the mixed fold, which
+        // classifies each window O(1) by a hist-count prefix and applies the
+        // reference's mixed-window exclusion — no coverage explode anywhere.
         val kinds = ri.points.groupBy(col("__sg"))
           .agg(max(hNotNull).as("anyH"), max(hIsNull).as("anyF"))
         val histOnlySer = kinds.filter(col("anyH") && !col("anyF")).select(col("__sg"))
@@ -694,9 +694,20 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
             .select(col("labels"), col("o._1").as("t"), lit(Double.NaN).as("v"),
               col("o._1").as("st"), col("o._2").as("h"), lit(true).as("dn"))
         }
-        val slowLeg = evalRangeBody(name, arg, ri.copy(points =
-          ri.points.join(broadcast(mixedSer), Seq("__sg"), "left_semi")), extra)
-        fastLeg.unionByName(histLeg).unionByName(slowLeg)
+        val mixedLeg = {
+          val rows = ri.points.join(broadcast(mixedSer), Seq("__sg"), "left_semi")
+            .withColumn("wt", col("t") + ri.offsetMs)
+            .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
+          val agged = rows.groupBy(col("__sg"))
+            .agg(first(col("labels")).as("labels"),
+              collect_list(struct(col("wt"), col("v"), col("h"))).as("mp"))
+          agged.select(col("labels"),
+              explode(StepFoldExprs.mixedOverTimeSteps(op == "avg",
+                ri.rangeMs, P.startMs, P.stepMs, P.numSteps.toInt)(col("mp"))).as("o"))
+            .select(col("labels"), col("o._1").as("t"), col("o._2").as("v"),
+              col("o._1").as("st"), col("o._3").as("h"), lit(true).as("dn"))
+        }
+        fastLeg.unionByName(histLeg).unionByName(mixedLeg)
       }
     }
   }

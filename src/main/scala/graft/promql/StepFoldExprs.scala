@@ -66,6 +66,12 @@ object StepFoldExprs {
       numSteps: Int)(pts: Column): Column =
     toCol(HistFoldStepsExpr(toExpr(pts), op, rangeMs, startMs, stepMs, numSteps))
 
+  /** builder: MIXED float+hist sum/avg_over_time fold;
+    * `pts` = UNSORTED collect_list of struct(wt, v, h) — argsorted inside */
+  def mixedOverTimeSteps(isAvg: Boolean, rangeMs: Long, startMs: Long,
+      stepMs: Long, numSteps: Int)(pts: Column): Column =
+    toCol(MixedOverTimeStepsExpr(toExpr(pts), isAvg, rangeMs, startMs, stepMs, numSteps))
+
   /** builder: float-only instant as-of pick over five parallel arrays */
   def instantPickSteps(startMs: Long, stepMs: Long, numSteps: Int,
       lookbackMs: Long)(wts: Column, stales: Column, sts: Column, vs: Column,
@@ -137,6 +143,54 @@ final case class HistFoldStepsExpr(child: Expression, op: String,
           startMs, stepMs, numSteps, wts, stts, hs)
     }
     new GenericArrayData(rows.toArray)
+  }
+}
+
+/** Series-at-once sum/avg_over_time over a MIXED float+histogram series —
+  * the Expression form of [[HistUdfs.mixedOverTimeFoldSteps]] (see its
+  * scaladoc: float windows reuse the prefix-decomposed float fold, hist
+  * windows the SWAG fold, mixed windows drop). Input: UNSORTED
+  * array<struct<wt, v, h>>; argsorted by wt here. */
+final case class MixedOverTimeStepsExpr(child: Expression, isAvg: Boolean,
+    rangeMs: Long, startMs: Long, stepMs: Long, numSteps: Int)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("_1", LongType, nullable = false),
+    StructField("_2", DoubleType, nullable = false),
+    StructField("_3", FHist.schemaType, nullable = true))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null || arr.numElements() == 0)
+      return new GenericArrayData(Array.empty[Any])
+    val n = arr.numElements()
+    val wts0 = new Array[Long](n); val vs0 = new Array[Double](n)
+    val hs0 = new Array[FHist](n)
+    var i = 0
+    while (i < n) {
+      val r = arr.getStruct(i, 3)
+      wts0(i) = r.getLong(0)
+      vs0(i) = if (r.isNullAt(1)) Double.NaN else r.getDouble(1)
+      hs0(i) = if (r.isNullAt(2)) null else FHist.fromInternal(r.getStruct(2, 11))
+      i += 1
+    }
+    val ord = RangeUdfs.argsortByWt(wts0)
+    val wts = new Array[Long](n); val vs = new Array[Double](n)
+    val hs = new Array[FHist](n)
+    i = 0
+    while (i < n) {
+      val j = ord(i)
+      wts(i) = wts0(j); vs(i) = vs0(j); hs(i) = hs0(j)
+      i += 1
+    }
+    new GenericArrayData(HistUdfs.mixedOverTimeFoldSteps(isAvg, startMs,
+      stepMs, numSteps, rangeMs, wts, vs, hs).toArray)
   }
 }
 

@@ -632,4 +632,107 @@ class BigSeriesFoldSpec extends AnyFunSuite {
     assert(math.abs(dRow.getDouble(1) - 2000.0) < 1e-6,
       s"deriv got ${dRow.getDouble(1)} want 2000.0")
   }
+
+  test("SWAG hist over-time fold matches the naive per-window refold") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    // irregular cadence with gaps; magnitude-interleaved counts exercise the
+    // Kahan compensation surviving the two-block decomposition; a custom-
+    // bounds histogram poisons the windows that contain it (incompatible
+    // with the exponential layout -> those windows must DROP in both folds)
+    val n = 700
+    val wts = new Array[Long](n); val hs = new Array[FHist](n)
+    var x = 987654321L
+    def rnd(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33 }
+    var t = 0L
+    var i = 0
+    while (i < n) {
+      t += 5000L + (rnd() % 9000L) // 5-14s cadence
+      wts(i) = t
+      if (i == 250 || i == 251) // custom-bounds island
+        hs(i) = FHist(FHist.CustomSchema, 0.0, 0.0, 3.0, 4.5,
+          Seq(0, 1), Seq(1.0, 2.0), Nil, Nil, Seq(1.0, 2.0), 0)
+      else {
+        val big = if (i % 3 == 0) 1e15 else 1.0
+        hs(i) = FHist(0, 0.001, (rnd() % 5).toDouble, big + (rnd() % 7).toDouble,
+          big * 0.5, Seq((rnd() % 4).toInt, 5), Seq(big, 2.0),
+          Seq((rnd() % 3).toInt), Seq(1.0), Nil, 0)
+      }
+      i += 1
+    }
+    val startMs = wts(0); val stepMs = 10000L; val rangeMs = 120000L
+    val numSteps = ((wts(n - 1) - wts(0)) / stepMs).toInt + 3
+    def near(a: Double, b: Double): Boolean =
+      (a.isNaN && b.isNaN) || math.abs(a - b) <= 1e-9 * (math.abs(a) max math.abs(b) max 1.0)
+    def same(a: FHist, b: FHist): Boolean =
+      a.schema == b.schema && near(a.cnt, b.cnt) && near(a.sum, b.sum) &&
+        near(a.zc, b.zc) && a.cv == b.cv && {
+          val ab = a.allBuckets; val bb = b.allBuckets
+          ab.size == bb.size && ab.zip(bb).forall { case ((l1, u1, c1), (l2, u2, c2)) =>
+            l1 == l2 && u1 == u2 && near(c1, c2) }
+        }
+    for (isAvg <- Seq(false, true)) {
+      val got = HistUdfs.histOverTimeFoldSteps(isAvg, startMs, stepMs, numSteps,
+        rangeMs, wts, hs)
+      // naive: full refold of every window (the pre-SWAG implementation)
+      val want = scala.collection.mutable.LinkedHashMap[Long, FHist]()
+      var k = 0
+      while (k < numSteps) {
+        val tt = startMs + k.toLong * stepMs
+        val w = (0 until n).filter(j => wts(j) > tt - rangeMs && wts(j) <= tt).map(hs)
+        if (w.nonEmpty) {
+          try {
+            val h = (if (isAvg) FHist.avgSeq(w) else FHist.sumSeq(w)).compact
+            want(tt) = h
+          } catch { case _: Exception => () } // incompatible mix: window drops
+        }
+        k += 1
+      }
+      val gotMap = (0 until got.size).map { j =>
+        val r = got.get(j).asInstanceOf[GenericInternalRow]
+        r.getLong(0) -> FHist.fromInternal(
+          r.get(1, FHist.schemaType).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      }.toMap
+      assert(gotMap.keySet == want.keySet,
+        s"isAvg=$isAvg: step sets differ (missing=${(want.keySet -- gotMap.keySet).take(3)} " +
+        s"extra=${(gotMap.keySet -- want.keySet).take(3)})")
+      want.foreach { case (tt, h) =>
+        assert(same(gotMap(tt), h), s"isAvg=$isAvg at $tt:\n  swag=${gotMap(tt)}\n  naive=$h")
+      }
+    }
+  }
+
+  test("mixed float+hist fold: per-window kind classification") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    // timeline: floats [0..29], hists [30..59], mixed interleave [60..89]
+    // at 10s cadence; 60s window => float-pure, hist-pure and mixed windows
+    val n = 90
+    val wts = Array.tabulate(n)(i => i * 10000L)
+    val vs = new Array[Double](n); val hs = new Array[FHist](n)
+    var i = 0
+    while (i < n) {
+      val isHist = i >= 30 && (i < 60 || i % 2 == 0)
+      if (isHist) { vs(i) = Double.NaN
+        hs(i) = FHist(0, 0.001, 1.0, i + 2.0, i * 1.5, Seq(0, 1), Seq(1.0, i + 1.0), Nil, Nil, Nil, 0) }
+      else { vs(i) = i.toDouble; hs(i) = null }
+      i += 1
+    }
+    val out = HistUdfs.mixedOverTimeFoldSteps(false, 0L, 10000L, n, 60000L, wts, vs, hs)
+    val rows = (0 until out.size).map(_.asInstanceOf[Int]).map(j =>
+      out.get(j).asInstanceOf[GenericInternalRow])
+    val byT = rows.map(r => r.getLong(0) -> r).toMap
+    // float-pure window ending at t=290s: sum of 24..29 * 10s steps -> indices 24..29
+    val f = byT(290000L)
+    assert(f.isNullAt(2) && near9(f.getDouble(1), (24 to 29).map(_.toDouble).sum))
+    // hist-pure window at t=590s: indices 54..59 all hist
+    val h = byT(590000L)
+    assert(!h.isNullAt(2))
+    val hh = FHist.fromInternal(h.get(2, FHist.schemaType)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+    assert(near9(hh.cnt, (54 to 59).map(_ + 2.0).sum))
+    // mixed window at t=890s (indices 84..89 alternate kinds): DROPPED
+    assert(!byT.contains(890000L))
+  }
+
+  private def near9(a: Double, b: Double): Boolean =
+    math.abs(a - b) <= 1e-9 * (math.abs(a) max math.abs(b) max 1.0)
 }
