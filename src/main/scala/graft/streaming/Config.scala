@@ -22,7 +22,9 @@ object Config {
       metricRelabel: Seq[Relabel.Rule],
       scheme: String, metricsPath: String,
       limits: ScrapeManager.ScrapeLimits = ScrapeManager.ScrapeLimits(),
-      honorLabels: Boolean = false)
+      honorLabels: Boolean = false,
+      dnsSd: Seq[Discovery.DnsSd.Config] = Nil,
+      httpSd: Seq[(String, Long)] = Nil)  // (url, refreshMs)
 
   final case class PromConfig(
       scrapeIntervalMs: Long,
@@ -134,6 +136,20 @@ object Config {
       val sdFiles = m.list("file_sd_configs").collect { case fc: YMap =>
         strList(fc.get("files")).flatMap(expandGlob(base, _))
       }.flatten
+      // dns_sd_configs (ref: discovery/dns/dns.go SDConfig; defaults
+      // type=SRV, refresh_interval=30s)
+      val dnsSd = m.list("dns_sd_configs").collect { case dc: YMap =>
+        Discovery.DnsSd.Config(
+          strList(dc.get("names")),
+          str(dc, "type", "SRV"),
+          dc.str("port").map(_.toInt).getOrElse(0),
+          dc.str("refresh_interval").map(durMs).getOrElse(30000L))
+      }
+      // http_sd_configs (ref: discovery/http/http.go; default refresh 60s)
+      val httpSd = m.list("http_sd_configs").collect { case hc: YMap =>
+        (str(hc, "url"),
+          hc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }.filter(_._1.nonEmpty)
       ScrapeJob(name, statics, sdFiles,
         m.str("scrape_interval").map(durMs).getOrElse(scrapeMs),
         relabelChain(m.get("relabel_configs")),
@@ -144,7 +160,8 @@ object Config {
           m.str("label_limit").map(_.toInt).getOrElse(0),
           m.str("label_name_length_limit").map(_.toInt).getOrElse(0),
           m.str("label_value_length_limit").map(_.toInt).getOrElse(0)),
-        m.str("honor_labels").contains("true"))
+        m.str("honor_labels").contains("true"),
+        dnsSd, httpSd)
     }
     def urlsOf(key: String): Seq[String] =
       root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)

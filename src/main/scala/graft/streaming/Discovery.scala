@@ -1,0 +1,225 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+/** Service-discovery manager + DNS SD (ref: discovery/manager.go,
+  * discovery/dns/dns.go).
+  *
+  * The manager owns target-group state across all providers of all scrape
+  * jobs: state is keyed by (setName=job, providerName) → source → group
+  * (ref: manager.go targets map[poolKey]map[string]*Group). Update
+  * semantics mirror updateGroup: a refresh only touches the sources it
+  * mentions (a provider whose lookup fails for ONE name keeps that name's
+  * previous targets), and a group with no targets deletes its source entry.
+  * A provider whose whole refresh throws keeps its entire previous state
+  * (the reference's refresh loop logs and re-serves the old groups).
+  *
+  * DNS SD resolves A/AAAA/SRV/MX/NS names on a refresh cadence with the
+  * reference's per-target `__meta_dns_*` labels; the resolver is injectable
+  * (tests drive the whole manager→relabel→scrape chain with a fake), the
+  * default uses the JDK (InetAddress for A/AAAA, JNDI DNS for SRV/MX/NS).
+  */
+object Discovery {
+
+  /** a discovered target group: per-target labels ride beside the group's
+    * shared labels (ref: discovery/targetgroup/targetgroup.go — Targets is
+    * a []LabelSet, Labels the group-wide set) */
+  final case class TargetGroup(source: String, labels: Map[String, String],
+      targets: Seq[(String, Map[String, String])])
+
+  /** one SD mechanism instance feeding one or more scrape jobs */
+  trait Provider {
+    def name: String
+    /** full current group set; sources absent from the result keep their
+      * previous groups, throwing keeps everything */
+    def refresh(): Seq[TargetGroup]
+    /** refresh cadence; 0 = re-resolve on every poll */
+    def refreshMs: Long = 0L
+  }
+
+  final class StaticProvider(override val name: String, groups: Seq[TargetGroup])
+      extends Provider {
+    override def refresh(): Seq[TargetGroup] = groups
+  }
+
+  /** file SD: re-parse per poll (ref: discovery/file/file.go) */
+  final class FileSdProvider(override val name: String, paths: Seq[String])
+      extends Provider {
+    override def refresh(): Seq[TargetGroup] = paths.map { p =>
+      val tgts = ScrapeManager.fileSdTargets(p, defaultJob = "")
+      TargetGroup(p, Map.empty,
+        tgts.map(t => (t.instance, t.extraLabels ++
+          (if (t.job.nonEmpty) Map("job" -> t.job) else Map.empty))))
+    }
+  }
+
+  /** HTTP SD: GET a JSON array of target groups on a refresh cadence
+    * (ref: discovery/http/http.go Refresh; source = url:index). A non-200
+    * or parse failure throws — the manager keeps the previous targets. */
+  final class HttpSdProvider(override val name: String, url: String,
+      override val refreshMs: Long = 60000L) extends Provider {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    override def refresh(): Seq[TargetGroup] = {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .header("Accept", "application/json").GET().build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(s"http sd: status ${resp.statusCode()}")
+      ScrapeManager.jsonSdGroups(resp.body(), url).zipWithIndex.map {
+        case ((lbls, tgts), i) =>
+          TargetGroup(s"$url:$i", lbls, tgts.map(a => (a, Map.empty[String, String])))
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- DNS SD
+
+  object DnsSd {
+    sealed trait Rec
+    final case class A(ip: String) extends Rec
+    final case class AAAA(ip: String) extends Rec
+    final case class SRV(target: String, port: Int) extends Rec
+    final case class MX(target: String) extends Rec
+    final case class NS(target: String) extends Rec
+
+    /** injectable lookup; throws on lookup failure (the caller keeps the
+      * name's previous targets — ref dns.go refreshOne error path) */
+    trait Resolver { def lookup(name: String, recordType: String): Seq[Rec] }
+
+    /** JDK-backed resolver: InetAddress for A/AAAA, JNDI DNS for SRV/MX/NS */
+    object SystemResolver extends Resolver {
+      override def lookup(name: String, recordType: String): Seq[Rec] =
+        recordType.toUpperCase match {
+          case "A" => java.net.InetAddress.getAllByName(name).toSeq
+            .collect { case a: java.net.Inet4Address => A(a.getHostAddress) }
+          case "AAAA" => java.net.InetAddress.getAllByName(name).toSeq
+            .collect { case a: java.net.Inet6Address => AAAA(a.getHostAddress) }
+          case t @ ("SRV" | "MX" | "NS") =>
+            val env = new java.util.Hashtable[String, String]()
+            env.put("java.naming.factory.initial", "com.sun.jndi.dns.DnsContextFactory")
+            val ctx = new javax.naming.directory.InitialDirContext(env)
+            try {
+              val attrs = ctx.getAttributes(name, Array(t))
+              val attr = attrs.get(t)
+              if (attr == null) Nil
+              else (0 until attr.size).map(i => String.valueOf(attr.get(i))).flatMap { s =>
+                t match {
+                  case "SRV" => // "priority weight port target"
+                    val f = s.trim.split("\\s+")
+                    if (f.length >= 4) Some(SRV(f(3), f(2).toInt)) else None
+                  case "MX" => // "preference target"
+                    val f = s.trim.split("\\s+")
+                    if (f.length >= 2) Some(MX(f(1))) else None
+                  case _ => Some(NS(s.trim))
+                }
+              }
+            } finally ctx.close()
+          case other => throw new IllegalArgumentException(s"invalid DNS-SD records type $other")
+        }
+    }
+
+    /** dns_sd_configs entry (ref: discovery/dns/dns.go SDConfig;
+      * defaults: SRV records, 30s refresh) */
+    final case class Config(names: Seq[String], recordType: String = "SRV",
+        port: Int = 0, refreshMs: Long = 30000L)
+
+    private def hostPort(host: String, port: Int): String = {
+      val h = host.stripSuffix(".")
+      if (h.contains(":") && !h.startsWith("[")) s"[$h]:$port" else s"$h:$port"
+    }
+
+    /** one name → one target group with per-record targets and the
+      * reference's meta labels (ref: dns.go:255 refreshOne) */
+    def resolveName(name: String, cfg: Config, resolver: Resolver): TargetGroup = {
+      val targets = resolver.lookup(name, cfg.recordType).map {
+        case SRV(target, port) =>
+          (hostPort(target, port), Map(
+            "__meta_dns_name" -> name,
+            "__meta_dns_srv_record_target" -> target,
+            "__meta_dns_srv_record_port" -> port.toString))
+        case A(ip) => (hostPort(ip, cfg.port), Map("__meta_dns_name" -> name))
+        case AAAA(ip) => (hostPort(ip, cfg.port), Map("__meta_dns_name" -> name))
+        case MX(target) =>
+          (hostPort(target, cfg.port), Map(
+            "__meta_dns_name" -> name,
+            "__meta_dns_mx_record_target" -> target))
+        case NS(target) =>
+          (hostPort(target, cfg.port), Map(
+            "__meta_dns_name" -> name,
+            "__meta_dns_ns_record_target" -> target))
+      }
+      TargetGroup(name, Map.empty, targets)
+    }
+  }
+
+  final class DnsProvider(override val name: String, cfg: DnsSd.Config,
+      resolver: DnsSd.Resolver = DnsSd.SystemResolver) extends Provider {
+    override def refreshMs: Long = cfg.refreshMs
+    /** per-name isolation: a failed lookup omits that name's group (the
+      * manager then keeps its previous targets) instead of failing the rest
+      * (ref: dns.go refresh — errors are logged per name) */
+    override def refresh(): Seq[TargetGroup] = cfg.names.flatMap { n =>
+      try Some(DnsSd.resolveName(n, cfg, resolver))
+      catch { case _: Exception => None }
+    }
+  }
+
+  // ---------------------------------------------------------------- manager
+
+  final class Manager(nowMs: () => Long = () => System.currentTimeMillis()) {
+    private[this] final case class Reg(setName: String, provider: Provider)
+    @volatile private var regs: Vector[Reg] = Vector.empty
+    // (setName, providerName) → source → group  (ref: manager.go targets)
+    private val state = TrieMap[(String, String), Map[String, TargetGroup]]()
+    private val lastPoll = TrieMap[(String, String), Long]()
+
+    def register(setName: String, provider: Provider): Unit = synchronized {
+      regs = regs :+ Reg(setName, provider)
+    }
+
+    /** drop every registration (config reload re-registers from scratch) */
+    def clear(): Unit = synchronized { regs = Vector.empty; state.clear(); lastPoll.clear() }
+
+    /** refresh every provider whose cadence has elapsed and fold the result
+      * into the per-source state (ref: manager.go updateGroup semantics) */
+    def poll(): Unit = regs.foreach { r =>
+      val key = (r.setName, r.provider.name)
+      val now = nowMs()
+      val due = lastPoll.get(key).forall(at => now - at >= r.provider.refreshMs)
+      if (due) {
+        try {
+          val groups = r.provider.refresh()
+          lastPoll.put(key, now)
+          val prev = state.getOrElse(key, Map.empty)
+          val next = groups.foldLeft(prev) { (acc, g) =>
+            if (g.targets.nonEmpty) acc + (g.source -> g) else acc - g.source
+          }
+          state.put(key, next)
+        } catch { case _: Exception => () } // whole-refresh failure: keep state
+      }
+    }
+
+    /** merged groups of a scrape job across all its providers
+      * (ref: manager.go allGroups) */
+    def groupsFor(setName: String): Seq[TargetGroup] =
+      regs.filter(_.setName == setName).flatMap(r =>
+        state.getOrElse((setName, r.provider.name), Map.empty).values.toSeq
+          .sortBy(_.source))
+
+    /** expand a job's merged groups into scrape targets (group labels +
+      * per-target labels; a `job` label overrides the default) — the same
+      * decoration [[ScrapeManager.groupsToTargets]] applies to raw groups */
+    def targetsFor(setName: String, defaultJob: String, scheme: String = "http",
+        metricsPath: String = "/metrics"): Seq[ScrapeManager.ScrapeTarget] =
+      for {
+        g <- groupsFor(setName)
+        (addr, tl) <- g.targets
+      } yield {
+        val lbls = g.labels ++ tl
+        ScrapeManager.ScrapeTarget(s"$scheme://$addr$metricsPath",
+          lbls.getOrElse("job", defaultJob), addr,
+          extraLabels = lbls - "job")
+      }
+  }
+}

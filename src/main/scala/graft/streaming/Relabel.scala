@@ -37,7 +37,55 @@ object Relabel {
       replacement: String = "$1",
       modulus: Long = 0L)
 
-  private def anchored(re: String): String = "^(?:" + re + ")$"
+  private def anchored(re: String): String =
+    "^(?:" + re.replace("(?P<", "(?<") + ")$" // Go RE2 named-group syntax → Java
+
+  /** Go regexp.Expand replacement syntax → Java Matcher syntax:
+    * `$$` → literal `$`; `${1}` → `$1` (Java braces only NAMED groups);
+    * `$name`/`${name}` → `${name}`; group refs the pattern doesn't define
+    * expand to EMPTY (Go semantics; Java would throw)
+    * (ref: model/relabel/relabel.go Process uses regexp.Expand). */
+  private[streaming] def goExpandToJava(repl: String, pattern: java.util.regex.Pattern): String = {
+    val groupCount = pattern.matcher("").groupCount()
+    val namedGroups = "\\(\\?<([A-Za-z][A-Za-z0-9]*)>".r
+      .findAllMatchIn(pattern.pattern()).map(_.group(1)).toSet
+    val sb = new StringBuilder
+    var i = 0
+    val n = repl.length
+    while (i < n) {
+      val c = repl.charAt(i)
+      if (c == '\\') { sb ++= "\\\\"; i += 1 }
+      else if (c != '$') { sb += c; i += 1 }
+      else if (i + 1 >= n) { sb ++= "\\$"; i += 1 }
+      else repl.charAt(i + 1) match {
+        case '$' => sb ++= "\\$"; i += 2
+        case '{' =>
+          val close = repl.indexOf('}', i + 2)
+          if (close < 0) { sb ++= "\\$"; i += 1 }
+          else {
+            val name = repl.substring(i + 2, close)
+            if (name.nonEmpty && name.forall(_.isDigit)) {
+              if (name.length < 9 && name.toInt <= groupCount) sb ++= "$" + name
+            } else if (namedGroups.contains(name)) sb ++= "${" + name + "}"
+            i = close + 1
+          }
+        case d if d.isDigit =>
+          var j = i + 1
+          while (j < n && repl.charAt(j).isDigit) j += 1
+          val num = repl.substring(i + 1, j)
+          if (num.length < 9 && num.toInt <= groupCount) sb ++= "$" + num
+          i = j
+        case a if a.isLetter || a == '_' =>
+          var j = i + 1
+          while (j < n && (repl.charAt(j).isLetterOrDigit || repl.charAt(j) == '_')) j += 1
+          val name = repl.substring(i + 1, j)
+          if (namedGroups.contains(name)) sb ++= "${" + name + "}"
+          i = j
+        case _ => sb ++= "\\$"; i += 1
+      }
+    }
+    sb.toString
+  }
 
   /** concatenated source label values (absent → empty string) */
   private def srcVal(labels: Column, r: Rule): Column =
@@ -57,8 +105,9 @@ object Relabel {
       case KeepEqual => (labels, v === coalesce(element_at(labels, r.targetLabel), lit("")))
       case DropEqual => (labels, v =!= coalesce(element_at(labels, r.targetLabel), lit("")))
       case Replace =>
-        val expanded = regexp_replace(v, re, r.replacement)
-        val tgt = regexp_replace(v, re, r.targetLabel) // target may use $1 too
+        val pat = java.util.regex.Pattern.compile(re)
+        val expanded = regexp_replace(v, re, goExpandToJava(r.replacement, pat))
+        val tgt = regexp_replace(v, re, goExpandToJava(r.targetLabel, pat)) // target may use $1 too
         (when(v.rlike(re), setLabel(labels, tgt, expanded)).otherwise(labels), lit(true))
       case Lowercase => (setLabel(labels, lit(r.targetLabel), lower(v)), lit(true))
       case Uppercase => (setLabel(labels, lit(r.targetLabel), upper(v)), lit(true))
@@ -70,7 +119,8 @@ object Relabel {
       case LabelMap =>
         // add label `expand(name)` = value for every label NAME matching regex
         val mapped = map_filter(labels, (k, _) => k.rlike(re))
-        val renamed = transform_keys(mapped, (k, _) => regexp_replace(k, re, r.replacement))
+        val renamed = transform_keys(mapped, (k, _) =>
+          regexp_replace(k, re, goExpandToJava(r.replacement, java.util.regex.Pattern.compile(re))))
         (map_concat(map_filter(labels, (k, _) => !map_contains_key(renamed, k)), renamed), lit(true))
       case LabelDrop => (map_filter(labels, (k, _) => !k.rlike(re)), lit(true))
       case LabelKeep => (map_filter(labels, (k, _) => k.rlike(re)), lit(true))
@@ -103,8 +153,8 @@ object Relabel {
         case DropEqual => if (v == labels.getOrElse(r.targetLabel, "")) return None
         case Replace =>
           if (matches) {
-            val expanded = re.matcher(v).replaceAll(r.replacement)
-            val tgt = re.matcher(v).replaceAll(r.targetLabel)
+            val expanded = re.matcher(v).replaceAll(goExpandToJava(r.replacement, re))
+            val tgt = re.matcher(v).replaceAll(goExpandToJava(r.targetLabel, re))
             labels = setLbl(labels, tgt, expanded)
           }
         case Lowercase => labels = setLbl(labels, r.targetLabel, v.toLowerCase)
@@ -119,7 +169,7 @@ object Relabel {
         case LabelMap =>
           val add = labels.collect {
             case (k, value) if re.matcher(k).matches() =>
-              re.matcher(k).replaceAll(r.replacement) -> value
+              re.matcher(k).replaceAll(goExpandToJava(r.replacement, re)) -> value
           }
           labels = labels ++ add
         case LabelDrop => labels = labels.filter { case (k, _) => !re.matcher(k).matches() }

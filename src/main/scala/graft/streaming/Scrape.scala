@@ -354,7 +354,12 @@ object ScrapeManager {
     * default `instance` to __address__ when relabeling cleared it, and shed
     * every remaining __-prefixed label (the reference's post-relabel strip). */
   def relabelTarget(tgt: ScrapeTarget, rules: Seq[Relabel.Rule]): Option[ScrapeTarget] = {
-    if (rules.isEmpty) return Some(tgt)
+    // the __-prefixed strip happens whether or not relabel rules exist —
+    // __meta_* SD labels never reach samples (ref: scrape/target.go
+    // PopulateLabels deletes MetaLabelPrefix labels unconditionally)
+    if (rules.isEmpty)
+      return Some(tgt.copy(extraLabels = tgt.extraLabels.filter {
+        case (k, _) => !k.startsWith("__") }))
     val uri = java.net.URI.create(tgt.url)
     val addr = uri.getHost + (if (uri.getPort != -1) s":${uri.getPort}" else "")
     val path0 = Option(uri.getPath).filter(_.nonEmpty).getOrElse("/metrics")

@@ -22,12 +22,24 @@ final class PromServer(
     agentMode: Boolean = false,
     limits: QueryLimits = QueryLimits(),
     nowMs: () => Long = () => System.currentTimeMillis(),
-    dataDir: Option[String] = None) {
+    dataDir: Option[String] = None,
+    dnsResolver: Discovery.DnsSd.Resolver = Discovery.DnsSd.SystemResolver,
+    consoleTemplates: Option[String] = None,
+    consoleLibraries: Option[String] = None,
+    externalUrl: String = "") {
+
+  /** SD manager shared by every scrape pool (ref: discovery/manager.go) */
+  val discovery = new Discovery.Manager(nowMs)
 
   private val emptyDf = spark.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Engine.samplesSchema)
   val store = new graft.web.SampleStore(spark, emptyDf)
   val api = new graft.web.HttpApi(spark, store, port, nowMs, limits, agentMode)
+  // console templates + external URL (ref: --web.console.templates /
+  // --web.console.libraries / --web.external-url flags)
+  api.consoleTemplatesPath = consoleTemplates
+  api.consoleLibrariesPath = consoleLibraries
+  if (externalUrl.nonEmpty) api.externalUrl = java.net.URI.create(externalUrl)
 
   /** crash-forensics active-query file under the data dir (ref:
     * promql/query_logger.go NewActiveQueryTracker — constructing it first
@@ -90,12 +102,36 @@ final class PromServer(
       // or rewriting them), metric_relabel_configs and limits; SD
       // re-resolves per pass
       scrapers.foreach(_.stop())
+      // the discovery manager merges target groups across every provider of
+      // every job (ref: discovery/manager.go — targets keyed by
+      // (setName, provider) → source); re-registered from scratch on reload
+      discovery.clear()
+      cfg.scrapeJobs.foreach { job =>
+        if (job.staticTargets.nonEmpty)
+          discovery.register(job.jobName, new Discovery.StaticProvider("static",
+            Seq(Discovery.TargetGroup("static/0", Map.empty,
+              job.staticTargets.map(t => (t.instance,
+                t.extraLabels ++ Map("job" -> t.job)))))))
+        if (job.fileSdPaths.nonEmpty)
+          discovery.register(job.jobName,
+            new Discovery.FileSdProvider("file", job.fileSdPaths))
+        job.dnsSd.zipWithIndex.foreach { case (dc, i) =>
+          discovery.register(job.jobName,
+            new Discovery.DnsProvider(s"dns/$i", dc, dnsResolver)) }
+        job.httpSd.zipWithIndex.foreach { case ((url, ms), i) =>
+          discovery.register(job.jobName,
+            new Discovery.HttpSdProvider(s"http/$i", url, ms)) }
+      }
       val mgrs = cfg.scrapeJobs.map { job =>
         val m = new ScrapeManager(spark, store, Nil,
           intervalMs = if (job.intervalMs > 0) job.intervalMs else cfg.scrapeIntervalMs,
           metricRelabel = job.metricRelabel, nowMs = nowMs, limits = job.limits)
-        m.setTargetProvider(() => cfg.targetsOf(job)
-          .flatMap(t => ScrapeManager.relabelTarget(t, job.relabel)))
+        m.setTargetProvider { () =>
+          discovery.poll()
+          discovery.targetsFor(job.jobName, job.jobName, job.scheme, job.metricsPath)
+            .map(_.copy(honorLabels = job.honorLabels))
+            .flatMap(t => ScrapeManager.relabelTarget(t, job.relabel))
+        }
         m
       }
       api.scrapeTargets = mgrs.flatMap(_.currentTargets())

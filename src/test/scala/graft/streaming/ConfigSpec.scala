@@ -59,4 +59,77 @@ class ConfigSpec extends AnyFunSuite {
     assert(targets.map(t => (t.instance, t.job)).toSet ==
       Set(("s1:80", "base"), ("h1:9100", "node"), ("h2:9100", "node")))
   }
+
+  test("DNS SD: fake resolver through manager, relabel and meta-label strip") {
+    import Discovery._
+    // conf.good.yml-shaped job: dns_sd_configs parse with defaults
+    val cfg = Config.parse(
+      """scrape_configs:
+        |  - job_name: service-y
+        |    dns_sd_configs:
+        |      - refresh_interval: 15s
+        |        names:
+        |          - first.dns.example.com
+        |          - second.dns.example.com
+        |      - names:
+        |          - a.dns.example.com
+        |        type: A
+        |        port: 9100
+        |    relabel_configs:
+        |      - source_labels: [__meta_dns_name]
+        |        regex: first\.(.*)\.example\.com
+        |        target_label: shard
+        |        replacement: ${1}
+        |""".stripMargin, "/tmp")
+    val job = cfg.scrapeJobs.head
+    assert(job.dnsSd.size == 2)
+    assert(job.dnsSd.head ==
+      DnsSd.Config(Seq("first.dns.example.com", "second.dns.example.com"),
+        "SRV", 0, 15000L))
+    assert(job.dnsSd(1) == DnsSd.Config(Seq("a.dns.example.com"), "A", 9100, 30000L))
+
+    // fake resolver: SRV for the first two names, A for the third;
+    // second.dns fails on the SECOND refresh (previous targets must survive)
+    var pass = 0
+    val resolver = new DnsSd.Resolver {
+      override def lookup(name: String, rt: String): Seq[DnsSd.Rec] = (name, rt) match {
+        case ("first.dns.example.com", "SRV") =>
+          Seq(DnsSd.SRV("web-1.example.com.", 8080), DnsSd.SRV("web-2.example.com.", 8081))
+        case ("second.dns.example.com", "SRV") =>
+          if (pass > 0) throw new RuntimeException("SERVFAIL")
+          else Seq(DnsSd.SRV("db-1.example.com.", 5432))
+        case ("a.dns.example.com", "A") => Seq(DnsSd.A("10.0.0.7"))
+        case other => fail(s"unexpected lookup $other")
+      }
+    }
+    var now = 0L
+    val mgr = new Manager(() => now)
+    job.dnsSd.zipWithIndex.foreach { case (dc, i) =>
+      mgr.register(job.jobName, new DnsProvider(s"dns/$i", dc, resolver)) }
+    mgr.poll()
+    pass = 1
+
+    def scraped() = mgr
+      .targetsFor(job.jobName, job.jobName, job.scheme, job.metricsPath)
+      .flatMap(t => ScrapeManager.relabelTarget(t, job.relabel))
+    val t1 = scraped()
+    assert(t1.map(_.instance).toSet ==
+      Set("web-1.example.com:8080", "web-2.example.com:8081",
+        "db-1.example.com:5432", "10.0.0.7:9100"))
+    assert(t1.forall(_.job == "service-y"))
+    assert(t1.forall(_.url.endsWith("/metrics")))
+    // relabel consumed __meta_dns_name; every __meta_* label is stripped
+    // post-relabel (ref: scrape/target.go PopulateLabels)
+    val w1 = t1.find(_.instance == "web-1.example.com:8080").get
+    assert(w1.extraLabels == Map("shard" -> "dns"))
+    assert(t1.find(_.instance == "10.0.0.7:9100").get.extraLabels.isEmpty)
+
+    // refresh before the 15s cadence: nothing re-resolved, same targets
+    now = 10000L; mgr.poll()
+    assert(scraped().map(_.instance).toSet == t1.map(_.instance).toSet)
+    // past the cadence: first.dns re-resolves, second.dns FAILS — its
+    // previous targets are kept (ref: dns.go refreshOne error path)
+    now = 16000L; mgr.poll()
+    assert(scraped().map(_.instance).toSet == t1.map(_.instance).toSet)
+  }
 }
