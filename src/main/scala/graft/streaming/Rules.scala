@@ -40,20 +40,26 @@ object Rules {
       annotations: Map[String, String] = Map.empty,
       value: Double = 0.0)
 
-  /** Alert template mini-expander: `{{ $labels.x }}`, `{{ $value }}`,
-    * `{{ $externalLabels.x }}` (ref: template/template.go AlertTemplateData —
-    * the forms rule files use; full Go templating is out of scope). Applied
-    * to rule labels AND annotations per alert instance at evaluation time
-    * (ref: rules/alerting.go:370 expand). */
+  /** Alert template expansion through the full Go-template engine with the
+    * reference's AlertTemplateData prelude ($labels/$externalLabels/
+    * $externalURL/$value) and Prometheus function map; an expansion error
+    * becomes the error string in place of the value (ref:
+    * rules/alerting.go:409-433 expand). Applied to rule labels AND
+    * annotations per alert instance at evaluation time. */
   def expandTemplate(text: String, labels: Map[String, String], value: Double,
-      external: Map[String, String] = Map.empty): String = {
-    val re = ("\\{\\{\\s*\\$(labels|externalLabels)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*\\}\\}" +
-      "|\\{\\{\\s*\\$value\\s*\\}\\}").r
-    re.replaceAllIn(text, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        if (m.group(1) == null) graft.promql.RangeUdfs.goFormat(value)
-        else if (m.group(1) == "labels") labels.getOrElse(m.group(2), "")
-        else external.getOrElse(m.group(2), "")))
+      external: Map[String, String] = Map.empty,
+      queryFunc: String => Seq[graft.template.GoTemplate.Sample] = _ => Nil,
+      tsMs: Long = 0L, externalUrl: String = "", name: String = ""): String = {
+    if (!text.contains("{{")) return text
+    val defs = "{{$labels := .Labels}}{{$externalLabels := .ExternalLabels}}" +
+      "{{$externalURL := .ExternalURL}}{{$value := .Value}}"
+    val data = Map("Labels" -> labels, "ExternalLabels" -> external,
+      "ExternalURL" -> externalUrl, "Value" -> value)
+    new graft.template.GoTemplate.Expander(defs + text, "__alert_" + name,
+      data, tsMs, queryFunc, java.net.URI.create(externalUrl)).expand() match {
+      case Right(s) => s
+      case Left(err) => s"<error expanding template: $err>"
+    }
   }
 
   /** evaluate a recording rule at `tsMs`: rewrite __name__, merge static
@@ -93,13 +99,25 @@ object Rules {
       case other => throw PromQLError(s"alerting rule must produce a vector, got $other")
     }
     // per-instance template expansion of rule labels AND annotations with
-    // $labels/$value/$externalLabels (ref: rules/alerting.go:340-380 Eval)
+    // $labels/$value/$externalLabels (ref: rules/alerting.go:340-380 Eval);
+    // templates may call query(...) against the same store at eval time
+    val tplQuery: String => Seq[graft.template.GoTemplate.Sample] = expr =>
+      Engine.instantQuery(spark, samples, expr, tsMs) match {
+        case VectorVal(df) => df.select(col("labels"), col("v")).collect().toSeq
+          .map(r => graft.template.GoTemplate.Sample(
+            r.getMap[String, String](0).toMap, r.getDouble(1)))
+        case ScalarVal(df, _) => df.select(col("v")).collect().toSeq
+          .map(r => graft.template.GoTemplate.Sample(Map.empty, r.getDouble(0)))
+        case _ => Nil
+      }
+    def expand(t: String, l: Map[String, String], v: Double): String =
+      expandTemplate(t, l, v, externalLabels, tplQuery, tsMs, name = rule.alert)
     val active: Map[String, (Map[String, String], Double)] = res
       .select(col("labels"), col("v")).collect()
       .map(r => (r.getMap[String, String](0).toMap, r.getDouble(1)))
       .map { case (l0, v) =>
         val ruleLbls = rule.labels.map { case (k, t) =>
-          k -> expandTemplate(t, l0, v, externalLabels) }
+          k -> expand(t, l0, v) }
         val l = (l0 - "__name__") ++ ruleLbls + ("alertname" -> rule.alert)
         stateSig(l) -> ((l, v))
       }
@@ -114,7 +132,7 @@ object Rules {
       val firing = tsMs - st.activeSinceMs >= rule.forMs
       val firingSince = if (firing && st.firingSinceMs < 0L) tsMs else st.firingSinceMs
       val annos = rule.annotations.map { case (k, t) =>
-        k -> expandTemplate(t, lbls, value, externalLabels) }
+        k -> expand(t, lbls, value) }
       next(sig) = AlertState(st.activeSinceMs, firingSince, tsMs, lbls,
         annotations = annos, value = value)
       out += ((lbls, if (firing) "firing" else "pending", st.activeSinceMs))

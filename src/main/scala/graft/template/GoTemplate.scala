@@ -1,0 +1,730 @@
+package graft.template
+
+import scala.collection.mutable
+
+/** Go text/template subset interpreter powering console templates and
+  * alert/annotation expansion (ref: template/template.go NewTemplateExpander,
+  * Go stdlib text/template + html/template semantics).
+  *
+  * Implemented: actions with pipelines (`|`), function calls, parenthesized
+  * pipelines, variables (`$x := …`, `=`, field chains `$x.Labels.foo`),
+  * dot field chains with missingkey options, if/else/else-if, range (with
+  * `$i, $v :=` decls and `else`), with, define/template/block, trim markers
+  * (`{{-` / `-}}`), comments, Go literal lexing (strings with escapes, raw
+  * strings, ints, floats), method dispatch on time/duration values, and
+  * HTML-escaping mode with `safeHtml` passthrough. Not implemented (absent
+  * from the reference's templates and its test corpus): break/continue and
+  * contextual (attribute/JS/CSS-aware) HTML escaping — HTML mode escapes
+  * every interpolation as text content, the conservative superset.
+  */
+object GoTemplate {
+
+  final class ParseException(msg: String) extends RuntimeException(msg)
+  final class ExecException(msg: String) extends RuntimeException(msg)
+
+  /** marks a string as HTML-safe: html mode interpolates it unescaped */
+  final case class SafeHtml(s: String)
+  /** Go's "invalid reflect.Value": missing field on nil data — prints
+    * `<no value>` in text mode, empty in html mode */
+  case object NoValue
+  /** template's view of one vector sample (ref: template.go sample struct);
+    * value is Double or FHist */
+  final case class Sample(Labels: Map[String, String], Value: Any)
+  /** Go time.Time at ms precision (model.Time) with the methods consoles
+    * and the reference test corpus use */
+  final case class GoTime(epochMs: Long) {
+    def format(layout: String): String = GoTimeFmt.format(epochMs, layout)
+    override def toString: String = GoTimeFmt.format(epochMs, "2006-01-02 15:04:05.999 -0700 MST")
+  }
+  final case class GoDuration(nanos: Long) {
+    override def toString: String = GoTimeFmt.durationString(nanos)
+  }
+
+  type Func = Seq[Any] => Any
+
+  // ------------------------------------------------------------------ AST
+
+  private sealed trait Node
+  private final case class TextNode(s: String) extends Node
+  private final case class ActionNode(pipe: Pipe) extends Node
+  private final case class IfNode(pipe: Pipe, body: Seq[Node], els: Seq[Node]) extends Node
+  private final case class RangeNode(pipe: Pipe, body: Seq[Node], els: Seq[Node]) extends Node
+  private final case class WithNode(pipe: Pipe, body: Seq[Node], els: Seq[Node]) extends Node
+  private final case class TemplateCall(name: String, pipe: Option[Pipe]) extends Node
+
+  private final case class Pipe(decls: Seq[String], redefine: Boolean, cmds: Seq[Cmd])
+  private final case class Cmd(terms: Seq[Term])
+  private sealed trait Term
+  private final case class NumLit(v: Any) extends Term // Long | Double
+  private final case class StrLit(s: String) extends Term
+  private final case class BoolLit(b: Boolean) extends Term
+  private case object NilLit extends Term
+  private final case class DotChain(chain: Seq[String]) extends Term
+  private final case class VarChain(name: String, chain: Seq[String]) extends Term
+  private final case class Ident(name: String) extends Term
+  private final case class ParenChain(pipe: Pipe, chain: Seq[String]) extends Term
+
+  // ---------------------------------------------------------------- lexer
+
+  private sealed trait Tok
+  private final case class TIdent(s: String) extends Tok
+  private final case class TVar(s: String) extends Tok
+  private final case class TField(s: String) extends Tok
+  private case object TDot extends Tok
+  private final case class TNum(v: Any) extends Tok
+  private final case class TStr(s: String) extends Tok
+  private case object TPipe extends Tok
+  private case object TLParen extends Tok
+  private case object TRParen extends Tok
+  private case object TDeclare extends Tok
+  private case object TAssign extends Tok
+  private case object TComma extends Tok
+
+  private def lexAction(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = src.length
+    def isIdentStart(c: Char) = c.isLetter || c == '_'
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = src.charAt(i)
+      c match {
+        case ' ' | '\t' | '\r' | '\n' => i += 1
+        case '|' => out += TPipe; i += 1
+        case '(' => out += TLParen; i += 1
+        case ')' => out += TRParen; i += 1
+        case ',' => out += TComma; i += 1
+        case ':' if i + 1 < n && src.charAt(i + 1) == '=' => out += TDeclare; i += 2
+        case '=' => out += TAssign; i += 1
+        case '$' =>
+          var j = i + 1
+          while (j < n && isIdent(src.charAt(j))) j += 1
+          out += TVar(src.substring(i + 1, j)); i = j
+        case '.' if i + 1 < n && isIdentStart(src.charAt(i + 1)) =>
+          var j = i + 1
+          while (j < n && isIdent(src.charAt(j))) j += 1
+          out += TField(src.substring(i + 1, j)); i = j
+        case '.' if i + 1 >= n || !src.charAt(i + 1).isDigit =>
+          out += TDot; i += 1
+        case '"' =>
+          val sb = new StringBuilder
+          var j = i + 1
+          var closed = false
+          while (j < n && !closed) {
+            src.charAt(j) match {
+              case '"' => closed = true; j += 1
+              case '\\' if j + 1 < n =>
+                src.charAt(j + 1) match {
+                  case 'n' => sb += '\n'; j += 2
+                  case 't' => sb += '\t'; j += 2
+                  case 'r' => sb += '\r'; j += 2
+                  case '\\' => sb += '\\'; j += 2
+                  case '"' => sb += '"'; j += 2
+                  case '\'' => sb += '\''; j += 2
+                  case 'u' if j + 5 < n =>
+                    sb += Integer.parseInt(src.substring(j + 2, j + 6), 16).toChar; j += 6
+                  case 'x' if j + 3 < n =>
+                    sb += Integer.parseInt(src.substring(j + 2, j + 4), 16).toChar; j += 4
+                  case o => sb += o; j += 2
+                }
+              case o => sb += o; j += 1
+            }
+          }
+          if (!closed) throw new ParseException("unterminated quoted string")
+          out += TStr(sb.toString); i = j
+        case '`' =>
+          val j = src.indexOf('`', i + 1)
+          if (j < 0) throw new ParseException("unterminated raw quoted string")
+          out += TStr(src.substring(i + 1, j)); i = j + 1
+        case d if d.isDigit || ((d == '-' || d == '+') && i + 1 < n &&
+            (src.charAt(i + 1).isDigit || src.charAt(i + 1) == '.')) ||
+            (d == '.' && i + 1 < n && src.charAt(i + 1).isDigit) =>
+          var j = i
+          if (d == '-' || d == '+') j += 1
+          var isFloat = false
+          if (j + 1 < n && src.charAt(j) == '0' &&
+              (src.charAt(j + 1) == 'x' || src.charAt(j + 1) == 'X')) {
+            j += 2
+            while (j < n && (src.charAt(j).isDigit ||
+              "abcdefABCDEF".indexOf(src.charAt(j)) >= 0)) j += 1
+            val hexDigits = src.substring(i, j)
+              .replaceFirst("^[+-]", "").replaceFirst("0[xX]", "")
+            out += TNum(java.lang.Long.parseLong(hexDigits, 16) *
+              (if (d == '-') -1L else 1L))
+            i = j
+          } else {
+            while (j < n && src.charAt(j).isDigit) j += 1
+            if (j < n && src.charAt(j) == '.') { isFloat = true; j += 1
+              while (j < n && src.charAt(j).isDigit) j += 1 }
+            if (j < n && (src.charAt(j) == 'e' || src.charAt(j) == 'E')) {
+              isFloat = true; j += 1
+              if (j < n && (src.charAt(j) == '-' || src.charAt(j) == '+')) j += 1
+              while (j < n && src.charAt(j).isDigit) j += 1
+            }
+            val text = src.substring(i, j)
+            out += TNum(if (isFloat) text.toDouble else text.toLong)
+            i = j
+          }
+        case a if isIdentStart(a) =>
+          var j = i
+          while (j < n && isIdent(src.charAt(j))) j += 1
+          src.substring(i, j) match {
+            case "true" => out += TNum(true) // folded via term parser
+            case "false" => out += TNum(false)
+            case s => out += TIdent(s)
+          }
+          i = j
+        case other =>
+          throw new ParseException(
+            f"unrecognized character in action: U+${other.toInt}%04X")
+      }
+    }
+    out.result()
+  }
+
+  // --------------------------------------------------------------- parser
+
+  /** template source pre-split into text and action segments */
+  private sealed trait Seg
+  private final case class SText(s: String) extends Seg
+  private final case class SAct(toks: Vector[Tok], raw: String) extends Seg
+
+  private def segments(text: String): Vector[Seg] = {
+    val out = Vector.newBuilder[Seg]
+    var i = 0
+    var trimNext = false
+    val n = text.length
+    while (i < n) {
+      val j = text.indexOf("{{", i)
+      if (j < 0) {
+        var chunk = text.substring(i)
+        if (trimNext) chunk = chunk.replaceFirst("^\\s+", "")
+        if (chunk.nonEmpty) out += SText(chunk)
+        i = n
+      } else {
+        var chunk = text.substring(i, j)
+        // find the matching }} honoring string literals
+        var k = j + 2
+        val trimLeft = k < n && text.charAt(k) == '-' &&
+          k + 1 < n && " \t\r\n".indexOf(text.charAt(k + 1)) >= 0
+        if (trimLeft) k += 1
+        var end = -1
+        var inStr = false; var inRaw = false
+        var m = k
+        while (m < n && end < 0) {
+          val c = text.charAt(m)
+          if (inStr) {
+            if (c == '\\') m += 1
+            else if (c == '"') inStr = false
+          } else if (inRaw) { if (c == '`') inRaw = false }
+          else if (c == '"') inStr = true
+          else if (c == '`') inRaw = true
+          else if (c == '}' && m + 1 < n && text.charAt(m + 1) == '}') end = m
+          m += 1
+        }
+        if (end < 0) throw new ParseException("unclosed action")
+        var body = text.substring(k, end)
+        var trimRight = false
+        if (body.endsWith("-") && body.length > 1 &&
+            " \t\r\n".indexOf(body.charAt(body.length - 2)) >= 0) {
+          trimRight = true; body = body.dropRight(1)
+        }
+        if (trimNext) chunk = chunk.replaceFirst("^\\s+", "")
+        if (trimLeft) chunk = chunk.replaceFirst("\\s+$", "")
+        if (chunk.nonEmpty) out += SText(chunk)
+        trimNext = trimRight
+        val t = body.trim
+        if (t.startsWith("/*")) {
+          if (!t.endsWith("*/")) throw new ParseException("unclosed comment")
+        } else {
+          if (t.isEmpty) throw new ParseException("missing value for command")
+          out += SAct(lexAction(body), t)
+        }
+        i = end + 2
+      }
+    }
+    out.result()
+  }
+
+  private final class Parser(segs: Vector[Seg]) {
+    private var pos = 0
+    val defines = mutable.Map[String, Seq[Node]]()
+
+    def parseRoot(): Seq[Node] = {
+      val (nodes, term) = parseNodes(topLevel = true)
+      if (term.nonEmpty) throw new ParseException(s"unexpected {{$term}}")
+      nodes
+    }
+
+    /** parse until an `end`/`else` terminator (returned) or EOF */
+    private def parseNodes(topLevel: Boolean): (Seq[Node], String) = {
+      val nodes = Seq.newBuilder[Node]
+      while (pos < segs.length) {
+        segs(pos) match {
+          case SText(s) => nodes += TextNode(s); pos += 1
+          case SAct(toks, raw) =>
+            val kw = toks.headOption match {
+              case Some(TIdent(s)) => s
+              case _ => ""
+            }
+            kw match {
+              case "end" | "else" =>
+                if (topLevel) throw new ParseException(s"unexpected {{$raw}}")
+                return (nodes.result(), kw)
+              case "if" | "with" =>
+                pos += 1
+                val pipe = parsePipe(toks.drop(1))
+                val (body, els) = parseBody()
+                nodes += (if (kw == "if") IfNode(pipe, body, els)
+                          else WithNode(pipe, body, els))
+              case "range" =>
+                pos += 1
+                val pipe = parsePipe(toks.drop(1))
+                val (body, els) = parseBody()
+                nodes += RangeNode(pipe, body, els)
+              case "define" | "block" =>
+                pos += 1
+                val name = toks.lift(1) match {
+                  case Some(TStr(s)) => s
+                  case _ => throw new ParseException(s"unexpected token in $kw clause")
+                }
+                val (body, term) = parseNodes(topLevel = false)
+                if (term != "end") throw new ParseException(s"unexpected $term in $kw")
+                pos += 1 // consume end
+                defines(name) = body
+                if (kw == "block") // block = define + invoke in place
+                  nodes += TemplateCall(name,
+                    if (toks.length > 2) Some(parsePipe(toks.drop(2))) else None)
+              case "template" =>
+                pos += 1
+                val name = toks.lift(1) match {
+                  case Some(TStr(s)) => s
+                  case _ => throw new ParseException("unexpected token in template clause")
+                }
+                nodes += TemplateCall(name,
+                  if (toks.length > 2) Some(parsePipe(toks.drop(2))) else None)
+              case _ =>
+                pos += 1
+                nodes += ActionNode(parsePipe(toks))
+            }
+        }
+      }
+      (nodes.result(), "")
+    }
+
+    /** body then optional else/else-if chain, consuming the closing `end` */
+    private def parseBody(): (Seq[Node], Seq[Node]) = {
+      val (body, term) = parseNodes(topLevel = false)
+      term match {
+        case "end" => pos += 1; (body, Nil)
+        case "else" =>
+          val elseToks = segs(pos).asInstanceOf[SAct].toks
+          pos += 1
+          if (elseToks.length > 1) {
+            // `else if pipe` / `else with`: nest and share our `end`
+            val kw2 = elseToks(1) match {
+              case TIdent(s) => s
+              case _ => throw new ParseException("unexpected token after else")
+            }
+            if (kw2 != "if" && kw2 != "with")
+              throw new ParseException(s"unexpected $kw2 after else")
+            val pipe = parsePipe(elseToks.drop(2))
+            val (b2, e2) = parseBody()
+            (body, Seq(if (kw2 == "if") IfNode(pipe, b2, e2) else WithNode(pipe, b2, e2)))
+          } else {
+            val (els, term2) = parseNodes(topLevel = false)
+            if (term2 != "end") throw new ParseException(s"unexpected $term2 after else")
+            pos += 1
+            (body, els)
+          }
+        case other => throw new ParseException(s"unexpected EOF, missing end ($other)")
+      }
+    }
+
+    private def parsePipe(toks: Vector[Tok]): Pipe = {
+      if (toks.isEmpty) throw new ParseException("missing value for command")
+      var rest = toks
+      var decls = Seq.empty[String]
+      var redefine = false
+      // [$a, $b] (:=|=)
+      val declEnd = rest.indexWhere(t => t == TDeclare || t == TAssign)
+      if (declEnd > 0 && rest.take(declEnd).forall(t =>
+            t.isInstanceOf[TVar] || t == TComma)) {
+        decls = rest.take(declEnd).collect { case TVar(s) => s }
+        redefine = rest(declEnd) == TAssign
+        rest = rest.drop(declEnd + 1)
+      }
+      val cmds = Seq.newBuilder[Cmd]
+      var cur = Vector.newBuilder[Tok]
+      var depth = 0
+      rest.foreach {
+        case TLParen => depth += 1; cur += TLParen
+        case TRParen => depth -= 1; cur += TRParen
+        case TPipe if depth == 0 =>
+          cmds += parseCmd(cur.result()); cur = Vector.newBuilder[Tok]
+        case t => cur += t
+      }
+      cmds += parseCmd(cur.result())
+      Pipe(decls, redefine, cmds.result())
+    }
+
+    private def parseCmd(toks: Vector[Tok]): Cmd = {
+      if (toks.isEmpty) throw new ParseException("missing value for command")
+      val terms = Seq.newBuilder[Term]
+      var i = 0
+      while (i < toks.length) {
+        val (term, next) = parseTerm(toks, i)
+        terms += term
+        i = next
+      }
+      Cmd(terms.result())
+    }
+
+    private def parseTerm(toks: Vector[Tok], start: Int): (Term, Int) = {
+      var i = start
+      def chain(from: Int): (Seq[String], Int) = {
+        var j = from
+        val c = Seq.newBuilder[String]
+        while (j < toks.length && toks(j).isInstanceOf[TField]) {
+          c += toks(j).asInstanceOf[TField].s; j += 1
+        }
+        (c.result(), j)
+      }
+      toks(i) match {
+        case TNum(b: Boolean) => (BoolLit(b), i + 1)
+        case TNum(v) => (NumLit(v), i + 1)
+        case TStr(s) => (StrLit(s), i + 1)
+        case TIdent("nil") => (NilLit, i + 1)
+        case TIdent(name) => (Ident(name), i + 1)
+        case TDot => (DotChain(Nil), i + 1)
+        case TField(f) =>
+          val (c, j) = chain(i + 1)
+          (DotChain(f +: c), j)
+        case TVar(v) =>
+          val (c, j) = chain(i + 1)
+          (VarChain(v, c), j)
+        case TLParen =>
+          var depth = 1
+          var j = i + 1
+          while (j < toks.length && depth > 0) {
+            toks(j) match {
+              case TLParen => depth += 1
+              case TRParen => depth -= 1
+              case _ =>
+            }
+            j += 1
+          }
+          if (depth != 0) throw new ParseException("unclosed left paren")
+          val inner = parsePipe(toks.slice(i + 1, j - 1))
+          val (c, k) = chain(j)
+          (ParenChain(inner, c), k)
+        case other => throw new ParseException(s"unexpected token $other in operand")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ execution
+
+  private final class Exec(funcs: Map[String, Func],
+      templates: mutable.Map[String, Seq[Node]], html: Boolean,
+      missingKey: String) {
+
+    private val out = new StringBuilder
+    // variable scopes, innermost last; "$" = root data
+    private var vars = List(mutable.Map[String, Any]())
+
+    def run(nodes: Seq[Node], data: Any): String = {
+      vars.head("$") = data
+      render(nodes, data)
+      out.toString
+    }
+
+    private def pushScope(): Unit = vars ::= mutable.Map[String, Any]()
+    private def popScope(): Unit = vars = vars.tail
+    private def setVar(name: String, v: Any, declare: Boolean): Unit =
+      if (declare) vars.head(name) = v
+      else vars.find(_.contains(name)) match {
+        case Some(scope) => scope(name) = v
+        case None => throw new ExecException(s"undefined variable: $$$name")
+      }
+    private def getVar(name: String): Any =
+      vars.find(_.contains(name)) match {
+        case Some(scope) => scope(name)
+        case None => throw new ExecException(s"undefined variable: $$$name")
+      }
+
+    private def render(nodes: Seq[Node], dot: Any): Unit = nodes.foreach {
+      case TextNode(s) => out ++= s
+      case ActionNode(pipe) =>
+        val v = evalPipe(pipe, dot)
+        if (pipe.decls.isEmpty) out ++= formatFinal(v)
+      case IfNode(pipe, body, els) =>
+        pushScope()
+        val v = evalPipe(pipe, dot)
+        if (isTrue(v)) render(body, dot) else render(els, dot)
+        popScope()
+      case WithNode(pipe, body, els) =>
+        pushScope()
+        val v = evalPipe(pipe, dot)
+        if (isTrue(v)) {
+          if (pipe.decls.nonEmpty) setVar(pipe.decls.head, v, !pipe.redefine)
+          render(body, v)
+        } else render(els, dot)
+        popScope()
+      case RangeNode(pipe, body, els) =>
+        pushScope()
+        val v = evalPipe(pipe, dot, assignDecls = false)
+        val items: Seq[(Any, Any)] = v match {
+          case s: Seq[_] => s.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+          case s: Array[_] => s.toSeq.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+          case m: Map[_, _] => m.toSeq.sortBy(_._1.toString).map {
+            case (k, e) => (k, e) }
+          case null | NoValue => Nil
+          case n: Long => (0L until n).map(i => (i, i))
+          case n: Int => (0 until n).map(i => (i.toLong, i.toLong))
+          case other => throw new ExecException(
+            s"range can't iterate over ${formatFinal(other)}")
+        }
+        if (items.isEmpty) render(els, dot)
+        else items.foreach { case (k, e) =>
+          pushScope()
+          pipe.decls match {
+            case Seq(a) => setVar(a, e, !pipe.redefine)
+            case Seq(a, b) =>
+              setVar(a, k, !pipe.redefine); setVar(b, e, !pipe.redefine)
+            case _ =>
+          }
+          render(body, e)
+          popScope()
+        }
+        popScope()
+      case TemplateCall(name, pipeOpt) =>
+        val body = templates.getOrElse(name,
+          throw new ExecException(s"""no such template "$name""""))
+        val data = pipeOpt.map(evalPipe(_, dot)).orNull
+        val saved = vars
+        vars = List(mutable.Map[String, Any]("$" -> data))
+        render(body, data)
+        vars = saved
+    }
+
+    private def evalPipe(pipe: Pipe, dot: Any,
+        assignDecls: Boolean = true): Any = {
+      var v: Any = null
+      var first = true
+      pipe.cmds.foreach { cmd =>
+        v = evalCmd(cmd, dot, if (first) None else Some(v))
+        first = false
+      }
+      if (assignDecls && pipe.decls.length == 1)
+        setVar(pipe.decls.head, v, !pipe.redefine)
+      v
+    }
+
+    private def evalCmd(cmd: Cmd, dot: Any, piped: Option[Any]): Any = {
+      val args = cmd.terms.tail.map(evalTerm(_, dot)) ++ piped.toSeq
+      cmd.terms.head match {
+        case Ident(name) => callFunc(name, args, dot)
+        case term =>
+          val base = evalTerm(term, dot, pendingArgs = args)
+          if (args.nonEmpty && !term.isInstanceOf[DotChain] &&
+              !term.isInstanceOf[VarChain] && !term.isInstanceOf[ParenChain])
+            throw new ExecException(s"can't give argument to non-function")
+          base
+      }
+    }
+
+    private def callFunc(name: String, args: Seq[Any], dot: Any): Any = {
+      // tmpl: dynamic template invocation (ref template.go ExpandHTML)
+      if (name == "tmpl") {
+        val tName = str(args.head)
+        val body = templates.getOrElse(tName,
+          throw new ExecException(s"""no such template "$tName""""))
+        val sub = new Exec(funcs, templates, html, missingKey)
+        SafeHtml(sub.run(body, args.lift(1).orNull))
+      } else funcs.get(name) match {
+        case Some(f) =>
+          try f(args)
+          catch {
+            case e: ExecException => throw new ExecException(
+              s"error calling $name: ${e.getMessage}")
+            case e: ParseException => throw e
+          }
+        case None => throw new ExecException(s"""function "$name" not defined""")
+      }
+    }
+
+    /** evaluate a term; when it ends in a method-bearing chain and
+      * `pendingArgs` is non-empty, the final chain link is invoked with them */
+    private def evalTerm(term: Term, dot: Any,
+        pendingArgs: Seq[Any] = Nil): Any = term match {
+      case NumLit(v) => v
+      case StrLit(s) => s
+      case BoolLit(b) => b
+      case NilLit => null
+      case Ident(name) => callFunc(name, Nil, dot)
+      case DotChain(chain) => walkChain(dot, chain, pendingArgs)
+      case VarChain(name, chain) => walkChain(getVar(name), chain, pendingArgs)
+      case ParenChain(pipe, chain) => walkChain(evalPipe(pipe, dot), chain, pendingArgs)
+    }
+
+    private def walkChain(base0: Any, chain: Seq[String], args: Seq[Any]): Any = {
+      var base = base0
+      var i = 0
+      while (i < chain.length) {
+        val last = i == chain.length - 1
+        base = access(base, chain(i), if (last) args else Nil)
+        i += 1
+      }
+      if (chain.isEmpty && args.nonEmpty)
+        throw new ExecException("can't give argument to non-function")
+      base
+    }
+
+    private def access(base: Any, field: String, args: Seq[Any]): Any = base match {
+      case null | NoValue =>
+        if (missingKey == "error") throw new ExecException(
+          s"""nil data; no entry for key "$field"""")
+        NoValue
+      case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]].get(field) match {
+          case Some(v) => v
+          case None =>
+            if (missingKey == "error") throw new ExecException(
+              s"""map has no entry for key "$field"""")
+            // missingkey=zero: zero value of the element type — "" for the
+            // string-valued maps templates actually index (labels, params)
+            if (m.nonEmpty && m.valuesIterator.forall(_.isInstanceOf[String])) ""
+            else if (m.isEmpty) "" else NoValue
+        }
+      case s: Sample => field match {
+        case "Labels" => s.Labels
+        case "Value" => s.Value
+        case other => throw new ExecException(
+          s"can't evaluate field $other in type template.sample")
+      }
+      case t: GoTime => field match {
+        case "Format" => t.format(str(args.head))
+        case "Add" => args.head match {
+          case GoDuration(ns) => GoTime(t.epochMs + ns / 1000000L)
+          case o => throw new ExecException(s"Add: not a duration: $o")
+        }
+        case "UnixMilli" => t.epochMs
+        case "Unix" => Math.floorDiv(t.epochMs, 1000L)
+        case "String" => t.toString
+        case other => throw new ExecException(
+          s"can't evaluate field $other in type *time.Time")
+      }
+      case d: GoDuration => field match {
+        case "String" => d.toString
+        case "Seconds" => d.nanos / 1e9
+        case "Milliseconds" => d.nanos / 1000000L
+        case other => throw new ExecException(
+          s"can't evaluate field $other in type *time.Duration")
+      }
+      case _: Seq[_] => throw new ExecException(
+        s"can't evaluate field $field in type template.queryResult")
+      case other => throw new ExecException(
+        s"can't evaluate field $field in type ${other.getClass.getSimpleName}")
+    }
+
+    private def formatFinal(v: Any): String = v match {
+      case SafeHtml(s) => s
+      case NoValue => if (html) "" else "<no value>"
+      case s: String => if (html) htmlEscape(s) else s
+      case other =>
+        val s = TemplateFuncs.formatValue(other)
+        if (html) htmlEscape(s) else s
+    }
+  }
+
+  private[template] def str(v: Any): String = v match {
+    case s: String => s
+    case SafeHtml(s) => s
+    case other => TemplateFuncs.formatValue(other)
+  }
+
+  private[template] def isTrue(v: Any): Boolean = v match {
+    case null | NoValue => false
+    case b: Boolean => b
+    case s: String => s.nonEmpty
+    case l: Long => l != 0
+    case i: Int => i != 0
+    case d: Double => d != 0.0 || d.isNaN
+    case s: Seq[_] => s.nonEmpty
+    case a: Array[_] => a.nonEmpty
+    case m: Map[_, _] => m.nonEmpty
+    case _ => true
+  }
+
+  def htmlEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '<' => sb ++= "&lt;"
+      case '>' => sb ++= "&gt;"
+      case '&' => sb ++= "&amp;"
+      case '\'' => sb ++= "&#39;"
+      case '"' => sb ++= "&#34;"
+      case c => sb += c
+    }
+    sb.toString
+  }
+
+  // ------------------------------------------------------------- expander
+
+  /** ref: template.go NewTemplateExpander — the Prometheus function map is
+    * installed by [[TemplateFuncs.funcMap]]; `queryFunc` evaluates a PromQL
+    * expression at `timestampMs`. */
+  final class Expander(
+      text: String, name: String, data: Any, timestampMs: Long,
+      queryFunc: String => Seq[Sample],
+      externalUrl: java.net.URI = java.net.URI.create(""),
+      options: Seq[String] = null,
+      extraFuncs: Map[String, Func] = Map.empty) {
+
+    private val opts = Option(options).getOrElse(Seq("missingkey=zero"))
+    private val missingKey = opts.collectFirst {
+      case o if o.startsWith("missingkey=") => o.stripPrefix("missingkey=")
+    }.getOrElse("default")
+    private val funcs =
+      TemplateFuncs.funcMap(timestampMs, queryFunc, externalUrl) ++ extraFuncs
+
+    private def go(html: Boolean, files: Seq[String]): Either[String, String] =
+      try {
+        val p = new Parser(segments(text))
+        val root = p.parseRoot()
+        val templates = p.defines
+        files.foreach { f =>
+          val fp = new Parser(segments(new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")))
+          fp.parseRoot()
+          templates ++= fp.defines
+        }
+        try Right(new Exec(funcs, templates, html, missingKey).run(root, data))
+        catch {
+          case e: ExecException =>
+            Left(s"error executing template $name: ${e.getMessage}")
+          case e: Exception =>
+            Left(s"error executing template $name: $e")
+        }
+      } catch {
+        case e: ParseException =>
+          Left(s"error parsing template $name: ${e.getMessage}")
+        case e: Exception =>
+          Left(s"error parsing template $name: $e")
+      }
+
+    /** text (non-HTML) mode (ref template.go Expand) */
+    def expand(): Either[String, String] = go(html = false, Nil)
+
+    /** HTML-escaping mode, with extra template files (console libraries)
+      * whose defines become invocable (ref template.go ExpandHTML) */
+    def expandHtml(templateFiles: Seq[String] = Nil): Either[String, String] =
+      go(html = true, templateFiles)
+
+    /** parse-only validation (ref template.go ParseTest) */
+    def parseTest(): Option[String] =
+      try { new Parser(segments(text)).parseRoot(); None }
+      catch { case e: Exception => Some(e.getMessage) }
+  }
+}

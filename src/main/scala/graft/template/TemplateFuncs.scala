@@ -1,0 +1,530 @@
+package graft.template
+
+import graft.template.GoTemplate.{ExecException, Func, GoDuration, GoTime, NoValue, SafeHtml, Sample}
+
+/** The Prometheus template function map plus the text/template builtins the
+  * reference's templates use (ref: template/template.go NewTemplateExpander
+  * funcMap; prometheus/common helpers/templates for the humanize family). */
+object TemplateFuncs {
+
+  // ------------------------------------------------------ Go fmt parity
+
+  /** Go shortest-round-trip %v float rendering — strconv 'g' prec=-1:
+    * exponent form when the decimal exponent is < -4 or >= 6 (strconv
+    * ftoa.go: shortest mode pins eprec to 6). */
+  def goV(d: Double): String = goG(d, -1)
+
+  /** Go %.{prec}g — strconv FormatFloat(v,'g',prec,64): half-even rounding
+    * of the exact binary value to `prec` significant digits, trailing zeros
+    * stripped, exponent form when exp < -4 or >= eprec. */
+  def goG(d: Double, prec: Int): String = {
+    if (d.isNaN) return "NaN"
+    if (d == Double.PositiveInfinity) return "+Inf"
+    if (d == Double.NegativeInfinity) return "-Inf"
+    if (d == 0.0) return "0"
+    val bd =
+      if (prec < 0) graft.web.Json.shortestDecimal(d)
+      else new java.math.BigDecimal(d)
+        .round(new java.math.MathContext(prec, java.math.RoundingMode.HALF_EVEN))
+        .stripTrailingZeros
+    val digits = bd.unscaledValue.abs.toString
+    val exp = digits.length - 1 - bd.scale
+    val eprec =
+      if (prec < 0) 6
+      else {
+        val nd = digits.length
+        val dp = exp + 1
+        if (prec > nd && nd >= dp) nd else prec
+      }
+    val neg = bd.signum < 0
+    if (exp < -4 || exp >= eprec) {
+      val mant = if (digits.length == 1) digits
+                 else digits.take(1) + "." + digits.drop(1)
+      val es = if (exp < 0) "-" else "+"
+      val ea = math.abs(exp)
+      val ed = if (ea < 10) s"0$ea" else ea.toString
+      (if (neg) "-" else "") + mant + "e" + es + ed
+    } else bd.toPlainString
+  }
+
+  /** default %v rendering of a template value */
+  def formatValue(v: Any): String = v match {
+    case null => "<nil>"
+    case NoValue => "<no value>"
+    case s: String => s
+    case SafeHtml(s) => s
+    case d: Double => goV(d)
+    case l: Long => l.toString
+    case i: Int => i.toString
+    case b: Boolean => b.toString
+    case t: GoTime => t.toString
+    case d: GoDuration => d.toString
+    case h: graft.promql.FHist => h.goString
+    case s: Sample => s"{${s.Labels} ${formatValue(s.Value)}}"
+    case s: Seq[_] => s.map(formatValue).mkString("[", " ", "]")
+    case m: Map[_, _] => m.toSeq.map { case (k, x) => s"$k:${formatValue(x)}" }
+      .sorted.mkString("map[", " ", "]")
+    case other => String.valueOf(other)
+  }
+
+  /** common_templates.ConvertToFloat: numbers and parseable strings
+    * (error text mirrors Go's strconv.ParseFloat) */
+  private def toFloat(v: Any): Double = v match {
+    case d: Double => d
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case s: String =>
+      val t = s.trim
+      t match {
+        case "+Inf" | "Inf" | "+inf" | "inf" => Double.PositiveInfinity
+        case "-Inf" | "-inf" => Double.NegativeInfinity
+        case "NaN" | "nan" => Double.NaN
+        case _ =>
+          try t.toDouble
+          catch { case _: NumberFormatException => throw new ExecException(
+            s"""strconv.ParseFloat: parsing "$s": invalid syntax""") }
+      }
+    case other => throw new ExecException(
+      s"can't convert $other to float")
+  }
+
+  // --------------------------------------------------- humanize family
+
+  /** ref: template.go "humanize" — SI prefixes at 1000 steps, %.4g */
+  def humanize(v0: Any): String = {
+    var v = toFloat(v0)
+    if (v == 0 || v.isNaN || v.isInfinite) return goG(v, 4)
+    if (math.abs(v) >= 1) {
+      var prefix = ""
+      for (p <- Seq("k", "M", "G", "T", "P", "E", "Z", "Y")
+           if math.abs(v) >= 1000) { prefix = p; v /= 1000 }
+      goG(v, 4) + prefix
+    } else {
+      var prefix = ""
+      for (p <- Seq("m", "u", "n", "p", "f", "a", "z", "y")
+           if math.abs(v) < 1) { prefix = p; v *= 1000 }
+      goG(v, 4) + prefix
+    }
+  }
+
+  /** ref: template.go "humanize1024" — binary prefixes */
+  def humanize1024(v0: Any): String = {
+    var v = toFloat(v0)
+    if (math.abs(v) <= 1 || v.isNaN || v.isInfinite) return goG(v, 4)
+    var prefix = ""
+    for (p <- Seq("ki", "Mi", "Gi", "Ti", "Pi", "Ei", "Zi", "Yi")
+         if math.abs(v) >= 1024) { prefix = p; v /= 1024 }
+    goG(v, 4) + prefix
+  }
+
+  /** ref: prometheus/common helpers/templates HumanizeDuration */
+  def humanizeDuration(v0: Any): String = {
+    val v = toFloat(v0)
+    if (v.isNaN || v.isInfinite) return goG(v, 4)
+    if (v == 0) return goG(v, 4) + "s"
+    if (math.abs(v) >= 1) {
+      val sign = if (v < 0) "-" else ""
+      val a = math.abs(v)
+      val duration = a.toLong
+      val seconds = duration % 60
+      val minutes = (duration / 60) % 60
+      val hours = (duration / 60 / 60) % 24
+      val days = duration / 60 / 60 / 24
+      if (days != 0) s"$sign${days}d ${hours}h ${minutes}m ${seconds}s"
+      else if (hours != 0) s"$sign${hours}h ${minutes}m ${seconds}s"
+      else if (minutes != 0) s"$sign${minutes}m ${seconds}s"
+      else s"$sign${goG(a, 4)}s" // fractional seconds keep %.4g
+    } else {
+      var a = math.abs(v)
+      val sign = if (v < 0) "-" else ""
+      var prefix = ""
+      for (p <- Seq("m", "u", "n", "p", "f", "a", "z", "y")
+           if a < 1) { prefix = p; a *= 1000 }
+      s"$sign${goG(a, 4)}${prefix}s"
+    }
+  }
+
+  def humanizePercentage(v0: Any): String = goG(toFloat(v0) * 100, 4) + "%"
+
+  /** ref: template.go floatToTime — ns-overflow guarded, ms precision */
+  def floatToTime(v: Double): GoTime = {
+    if (v.isNaN || v.isInfinite)
+      throw new ExecException("value is NaN or Inf")
+    val ts = v * 1e9
+    if (ts > Long.MaxValue.toDouble || ts < Long.MinValue.toDouble)
+      throw new ExecException(
+        s"${goV(v)} cannot be represented as a nanoseconds timestamp since it overflows int64")
+    GoTime(ts.toLong / 1000000L)
+  }
+
+  def humanizeTimestamp(v0: Any): String = {
+    val v = toFloat(v0)
+    if (v.isNaN || v.isInfinite) return goG(v, 4)
+    floatToTime(v).toString
+  }
+
+  // ----------------------------------------------------- host helpers
+
+  /** Go net.SplitHostPort; Left = error */
+  private def splitHostPort(hp: String): Either[String, (String, String)] = {
+    if (hp.startsWith("[")) {
+      val close = hp.indexOf(']')
+      if (close < 0) Left("missing ']' in address")
+      else if (close + 1 >= hp.length || hp.charAt(close + 1) != ':')
+        Left("missing port in address")
+      else {
+        val port = hp.substring(close + 2)
+        if (port.contains(":") || port.contains("[")) Left("too many colons in address")
+        else Right((hp.substring(1, close), port))
+      }
+    } else {
+      val i = hp.indexOf(':')
+      if (i < 0) Left("missing port in address")
+      else if (hp.indexOf(':', i + 1) >= 0) Left("too many colons in address")
+      else Right((hp.substring(0, i), hp.substring(i + 1)))
+    }
+  }
+
+  private def isIpLiteral(s: String): Boolean = {
+    val v4 = "^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$".r
+    if (v4.findFirstIn(s).isDefined) return true
+    // IPv6 literal: hex groups and colons (optionally v4-mapped tail)
+    s.contains(":") && s.matches("[0-9a-fA-F:.]+")
+  }
+
+  def stripPort(hp: String): String =
+    splitHostPort(hp).fold(_ => hp, _._1)
+
+  def stripDomain(hp: String): String = {
+    val (host, port) = splitHostPort(hp).getOrElse((hp, ""))
+    if (isIpLiteral(host)) hp
+    else {
+      val h = host.split("\\.")(0)
+      if (port.nonEmpty) s"$h:$port" else h
+    }
+  }
+
+  // --------------------------------------------------------- printf
+
+  /** Go fmt.Sprintf subset: %v %s %q %d %x %X %t %f %e %g %% with
+    * optional flags/width/precision (e.g. %0.2f, %.4g, %5d, %-8s) */
+  def sprintf(format: String, args: Seq[Any]): String = {
+    val out = new StringBuilder
+    var i = 0
+    var argi = 0
+    def next(): Any = {
+      if (argi >= args.length) throw new ExecException(
+        s"""not enough args for format "$format"""")
+      val a = args(argi); argi += 1; a
+    }
+    while (i < format.length) {
+      val c = format.charAt(i)
+      if (c != '%') { out += c; i += 1 }
+      else if (i + 1 < format.length && format.charAt(i + 1) == '%') {
+        out += '%'; i += 2
+      } else {
+        var j = i + 1
+        while (j < format.length && "+-# 0".indexOf(format.charAt(j)) >= 0) j += 1
+        val flags = format.substring(i + 1, j)
+        var w = j
+        while (w < format.length && format.charAt(w).isDigit) w += 1
+        val width = if (w > j) format.substring(j, w).toInt else -1
+        var prec = -1
+        var p = w
+        if (p < format.length && format.charAt(p) == '.') {
+          p += 1
+          val p0 = p
+          while (p < format.length && format.charAt(p).isDigit) p += 1
+          prec = if (p > p0) format.substring(p0, p).toInt else 0
+        }
+        if (p >= format.length) throw new ExecException(s"bad format $format")
+        val verb = format.charAt(p)
+        i = p + 1
+        val body: String = verb match {
+          case 'v' => formatValue(next())
+          case 's' => GoTemplate.str(next())
+          case 'q' => "\"" + GoTemplate.str(next()).flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case ch => ch.toString
+          } + "\""
+          case 't' => String.valueOf(GoTemplate.isTrue(next()))
+          case 'd' => next() match {
+            case l: Long => l.toString
+            case n: Int => n.toString
+            case d: Double => d.toLong.toString
+            case o => throw new ExecException(s"%d of non-integer $o")
+          }
+          case 'x' | 'X' =>
+            val s = next() match {
+              case l: Long => java.lang.Long.toHexString(l)
+              case n: Int => Integer.toHexString(n)
+              case st: String => st.getBytes("UTF-8").map(b => f"$b%02x").mkString
+              case o => throw new ExecException(s"%x of $o")
+            }
+            if (verb == 'X') s.toUpperCase else s
+          case 'f' | 'F' =>
+            val d = toFloat(next())
+            if (d.isNaN) "NaN"
+            else if (d.isInfinite) { if (d > 0) "+Inf" else "-Inf" }
+            else new java.math.BigDecimal(d)
+              .setScale(if (prec >= 0) prec else 6, java.math.RoundingMode.HALF_EVEN)
+              .toPlainString
+          case 'e' | 'E' =>
+            val d = toFloat(next())
+            val s = String.format(s"%.${if (prec >= 0) prec else 6}e", Double.box(d))
+            if (verb == 'E') s.toUpperCase else s
+          case 'g' | 'G' =>
+            val s = goG(toFloat(next()), if (prec >= 0) prec else -1)
+            if (verb == 'G') s.toUpperCase else s
+          case o => throw new ExecException(s"unsupported verb %$o")
+        }
+        val padded =
+          if (width > body.length) {
+            if (flags.contains("-")) body.padTo(width, ' ')
+            else if (flags.contains("0") && body.headOption.exists(ch => ch.isDigit || ch == '-'))
+              (if (body.startsWith("-")) "-" + ("0" * (width - body.length)) + body.tail
+               else ("0" * (width - body.length)) + body)
+            else (" " * (width - body.length)) + body
+          } else body
+        out ++= padded
+      }
+    }
+    out.toString
+  }
+
+  // ----------------------------------------------------- comparisons
+
+  private def cmpKey(v: Any): Any = v match {
+    case i: Int => i.toLong
+    case v => v
+  }
+  private def goEq(a0: Any, b0: Any): Boolean = (cmpKey(a0), cmpKey(b0)) match {
+    case (a: Long, b: Double) => a.toDouble == b
+    case (a: Double, b: Long) => a == b.toDouble
+    case (a, b) => a == b
+  }
+  private def goLess(a0: Any, b0: Any): Boolean = (cmpKey(a0), cmpKey(b0)) match {
+    case (a: Long, b: Long) => a < b
+    case (a: String, b: String) => a < b
+    case (a, b) => toFloat(a) < toFloat(b)
+  }
+
+  // -------------------------------------------------------- func map
+
+  /** `queryFunc`: evaluate a PromQL instant query at the expander's
+    * timestamp; throws on error */
+  def funcMap(timestampMs: Long, queryFunc: String => Seq[Sample],
+      externalUrl: java.net.URI): Map[String, Func] = {
+    def arg0(args: Seq[Any]): Any = args.headOption.getOrElse(
+      throw new ExecException("wrong number of args"))
+    Map[String, Func](
+      "query" -> (args => queryFunc(GoTemplate.str(arg0(args))).toVector),
+      "first" -> (args => arg0(args) match {
+        case s: Seq[_] if s.nonEmpty => s.head
+        case _: Seq[_] =>
+          throw new ExecException("first() called on vector with no elements")
+        case o => throw new ExecException(s"first() on non-vector $o")
+      }),
+      "label" -> (args => args match {
+        case Seq(l, s: Sample) => s.Labels.getOrElse(GoTemplate.str(l), "")
+        case _ => throw new ExecException("label: want (name, sample)")
+      }),
+      "value" -> (args => arg0(args) match {
+        case s: Sample => s.Value
+        case o => throw new ExecException(s"value() on non-sample $o")
+      }),
+      "strvalue" -> (args => arg0(args) match {
+        case s: Sample => s.Labels.getOrElse("__value__", "")
+        case o => throw new ExecException(s"strvalue() on non-sample $o")
+      }),
+      "args" -> (args => args.zipWithIndex.map {
+        case (a, i) => s"arg$i" -> a }.toMap),
+      "reReplaceAll" -> (args => args match {
+        case Seq(pat, repl, text) =>
+          GoTemplate.str(text).replaceAll(GoTemplate.str(pat), GoTemplate.str(repl))
+        case _ => throw new ExecException("reReplaceAll: want (pattern, repl, text)")
+      }),
+      "safeHtml" -> (args => SafeHtml(GoTemplate.str(arg0(args)))),
+      "match" -> (args => args match {
+        case Seq(pat, s) =>
+          java.util.regex.Pattern.compile(GoTemplate.str(pat))
+            .matcher(GoTemplate.str(s)).find()
+        case _ => throw new ExecException("match: want (pattern, text)")
+      }),
+      "title" -> (args => GoTemplate.str(arg0(args))
+        .split("(?<= )|(?= )") // keep separators
+        .map(w => if (w.nonEmpty && w.head.isLetter && w.head.isLower)
+          w.head.toUpper + w.tail else w).mkString),
+      "toUpper" -> (args => GoTemplate.str(arg0(args)).toUpperCase),
+      "toLower" -> (args => GoTemplate.str(arg0(args)).toLowerCase),
+      "graphLink" -> (args => "/graph?g0.expr=" +
+        java.net.URLEncoder.encode(GoTemplate.str(arg0(args)), "UTF-8") + "&g0.tab=0"),
+      "tableLink" -> (args => "/graph?g0.expr=" +
+        java.net.URLEncoder.encode(GoTemplate.str(arg0(args)), "UTF-8") + "&g0.tab=1"),
+      "sortByLabel" -> (args => args match {
+        case Seq(l, v: Seq[_]) =>
+          val name = GoTemplate.str(l)
+          v.asInstanceOf[Seq[Sample]]
+            .sortBy(_.Labels.getOrElse(name, ""))(Ordering.String)
+        case _ => throw new ExecException("sortByLabel: want (label, vector)")
+      }),
+      "stripPort" -> (args => stripPort(GoTemplate.str(arg0(args)))),
+      "stripDomain" -> (args => stripDomain(GoTemplate.str(arg0(args)))),
+      "humanize" -> (args => humanize(arg0(args))),
+      "humanize1024" -> (args => humanize1024(arg0(args))),
+      "humanizeDuration" -> (args => humanizeDuration(arg0(args))),
+      "humanizePercentage" -> (args => humanizePercentage(arg0(args))),
+      "humanizeTimestamp" -> (args => humanizeTimestamp(arg0(args))),
+      "toTime" -> (args => floatToTime(toFloat(arg0(args)))),
+      "toDuration" -> (args => GoDuration((toFloat(arg0(args)) * 1e9).toLong)),
+      "now" -> (_ => timestampMs / 1000.0),
+      "pathPrefix" -> (_ => Option(externalUrl.getPath).getOrElse("")),
+      "externalURL" -> (_ => externalUrl.toString),
+      "parseDuration" -> (args => {
+        val s = GoTemplate.str(arg0(args))
+        val (neg, body) = if (s.startsWith("-")) (true, s.substring(1)) else (false, s)
+        val ms =
+          try graft.promql.Lexer.parseDuration(body)
+          catch { case e: Exception => throw new ExecException(
+            s"""not a valid duration string: "$s"""") }
+        (if (neg) -ms else ms) / 1000.0
+      }),
+      "urlQueryEscape" -> (args =>
+        java.net.URLEncoder.encode(GoTemplate.str(arg0(args)), "UTF-8")),
+      // ---- text/template builtins
+      "printf" -> (args => sprintf(GoTemplate.str(arg0(args)), args.tail)),
+      "print" -> (args => {
+        // Go print: spaces between operands when neither is a string
+        val sb = new StringBuilder
+        args.zipWithIndex.foreach { case (a, i) =>
+          if (i > 0 && !args(i - 1).isInstanceOf[String] && !a.isInstanceOf[String])
+            sb += ' '
+          sb ++= GoTemplate.str(a)
+        }
+        sb.toString
+      }),
+      "println" -> (args => args.map(GoTemplate.str).mkString(" ") + "\n"),
+      "len" -> (args => arg0(args) match {
+        case s: String => s.length.toLong
+        case s: Seq[_] => s.length.toLong
+        case m: Map[_, _] => m.size.toLong
+        case a: Array[_] => a.length.toLong
+        case o => throw new ExecException(s"len of type ${o.getClass.getSimpleName}")
+      }),
+      "index" -> (args => {
+        var cur = arg0(args)
+        args.tail.foreach { k =>
+          cur = cur match {
+            case s: Seq[_] => s(toFloat(k).toInt)
+            case m: Map[_, _] => m.asInstanceOf[Map[Any, Any]]
+              .getOrElse(k, m.asInstanceOf[Map[Any, Any]].getOrElse(GoTemplate.str(k), NoValue))
+            case o => throw new ExecException(s"can't index ${o.getClass.getSimpleName}")
+          }
+        }
+        cur
+      }),
+      "slice" -> (args => args match {
+        case Seq(s: Seq[_], a, b) => s.slice(toFloat(a).toInt, toFloat(b).toInt)
+        case Seq(s: Seq[_], a) => s.drop(toFloat(a).toInt)
+        case _ => throw new ExecException("slice: bad args")
+      }),
+      "not" -> (args => !GoTemplate.isTrue(arg0(args))),
+      "and" -> (args => args.find(!GoTemplate.isTrue(_)).getOrElse(args.last)),
+      "or" -> (args => args.find(GoTemplate.isTrue).getOrElse(args.last)),
+      "eq" -> (args => args.tail.exists(goEq(args.head, _))),
+      "ne" -> (args => !goEq(args.head, args(1))),
+      "lt" -> (args => goLess(args.head, args(1))),
+      "le" -> (args => goLess(args.head, args(1)) || goEq(args.head, args(1))),
+      "gt" -> (args => goLess(args(1), args.head)),
+      "ge" -> (args => goLess(args(1), args.head) || goEq(args.head, args(1))),
+      "urlquery" -> (args =>
+        java.net.URLEncoder.encode(GoTemplate.str(arg0(args)), "UTF-8")),
+      "html" -> (args => GoTemplate.htmlEscape(GoTemplate.str(arg0(args))))
+    )
+  }
+}
+
+/** Go time layout formatting + duration strings (ms precision) */
+object GoTimeFmt {
+  private val utc = java.time.ZoneOffset.UTC
+
+  /** subset of Go reference-time layouts: 2006 01 02 _2 2 15 03 04 05 Jan
+    * January Mon Monday PM pm -0700 MST .000/.999 (ms) */
+  def format(epochMs: Long, layout: String): String = {
+    val t = java.time.Instant.ofEpochMilli(epochMs).atZone(utc)
+    val sb = new StringBuilder
+    var i = 0
+    val n = layout.length
+    def star(s: String) = layout.startsWith(s, i)
+    while (i < n) {
+      if (star("2006")) { sb ++= f"${t.getYear}%04d"; i += 4 }
+      else if (star("January")) { sb ++= t.getMonth.getDisplayName(
+        java.time.format.TextStyle.FULL, java.util.Locale.US); i += 7 }
+      else if (star("Jan")) { sb ++= t.getMonth.getDisplayName(
+        java.time.format.TextStyle.SHORT, java.util.Locale.US); i += 3 }
+      else if (star("Monday")) { sb ++= t.getDayOfWeek.getDisplayName(
+        java.time.format.TextStyle.FULL, java.util.Locale.US); i += 6 }
+      else if (star("Mon")) { sb ++= t.getDayOfWeek.getDisplayName(
+        java.time.format.TextStyle.SHORT, java.util.Locale.US); i += 3 }
+      else if (star("01")) { sb ++= f"${t.getMonthValue}%02d"; i += 2 }
+      else if (star("02")) { sb ++= f"${t.getDayOfMonth}%02d"; i += 2 }
+      else if (star("_2")) { sb ++= f"${t.getDayOfMonth}%2d"; i += 2 }
+      else if (star("15")) { sb ++= f"${t.getHour}%02d"; i += 2 }
+      else if (star("03")) { sb ++= f"${(t.getHour + 11) % 12 + 1}%02d"; i += 2 }
+      else if (star("04")) { sb ++= f"${t.getMinute}%02d"; i += 2 }
+      else if (star("05")) { sb ++= f"${t.getSecond}%02d"; i += 2 }
+      else if (star(".000")) { sb ++= f".${epochMs % 1000}%03d"; i += 4 }
+      else if (star(".999")) {
+        val ms = math.floorMod(epochMs, 1000L)
+        if (ms != 0) sb ++= ("." + f"$ms%03d").reverse.dropWhile(_ == '0').reverse
+        i += 4
+      }
+      else if (star("-0700")) { sb ++= "+0000"; i += 5 }
+      else if (star("MST")) { sb ++= "UTC"; i += 3 }
+      else if (star("PM")) { sb ++= (if (t.getHour < 12) "AM" else "PM"); i += 2 }
+      else if (star("pm")) { sb ++= (if (t.getHour < 12) "am" else "pm"); i += 2 }
+      else if (star("2")) { sb ++= t.getDayOfMonth.toString; i += 1 }
+      else { sb += layout.charAt(i); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Go time.Duration.String(): "30m0s", "1h2m0.01s", "1.5s", "100ms" */
+  def durationString(nanos: Long): String = {
+    if (nanos == 0) return "0s"
+    val neg = nanos < 0
+    var u = math.abs(nanos)
+    val sb = new StringBuilder
+    if (u < 1000000000L) {
+      // sub-second: ns / us / ms with fractional part
+      val (unit, div) =
+        if (u < 1000L) ("ns", 1L)
+        else if (u < 1000000L) ("us", 1000L)
+        else ("ms", 1000000L)
+      sb ++= fracString(u, div) + unit
+    } else {
+      val secPart = fracString(u % 60000000000L, 1000000000L) + "s"
+      u /= 60000000000L // whole minutes
+      if (u == 0) sb ++= secPart
+      else {
+        val minPart = s"${u % 60}m" + secPart
+        u /= 60
+        sb ++= (if (u == 0) minPart else s"${u}h" + minPart)
+      }
+    }
+    (if (neg) "-" else "") + sb.toString
+  }
+
+  /** value/div with trailing-zero-trimmed fraction */
+  private def fracString(v: Long, div: Long): String = {
+    val whole = v / div
+    val frac = v % div
+    if (frac == 0) whole.toString
+    else {
+      val digits = (div - 1).toString.length
+      val fs = s"%0${digits}d".format(frac).reverse.dropWhile(_ == '0').reverse
+      s"$whole.$fs"
+    }
+  }
+}

@@ -58,6 +58,13 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     * merge) and exposed for the notifier/rule paths */
   @volatile var externalLabels: Map[String, String] = Map.empty
 
+  /** console template directories (ref: --web.console.templates /
+    * --web.console.libraries flags; web/web.go h.consoles) */
+  @volatile var consoleTemplatesPath: Option[String] = None
+  @volatile var consoleLibrariesPath: Option[String] = None
+  /** ref: --web.external-url — template pathPrefix()/externalURL() */
+  @volatile var externalUrl: java.net.URI = java.net.URI.create("")
+
   /** lifecycle hook: set by the server assembly to enable POST /-/reload
     * (ref: web/web.go EnableLifecycle; unset → 403 like the reference) */
   @volatile var reloadHook: Option[() => Either[String, Unit]] = None
@@ -181,6 +188,23 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
 
   private def labelsOf(r: Row, i: Int): Map[String, String] =
     r.getMap[String, String](i).toMap
+
+  /** template `query` function: instant vector at `ts` as template samples
+    * (ref: rules.EngineQueryFunc via template.QueryFunc) */
+  private def templateQuery(expr: String, ts: Long): Seq[graft.template.GoTemplate.Sample] =
+    Engine.instantQuery(spark, store.samples, expr, ts) match {
+      case VectorVal(df) =>
+        df.select(col("labels"), col("v"), col("h")).collect().toSeq.map { r =>
+          val value: Any =
+            if (!r.isNullAt(2)) FHist.fromRow(r.getStruct(2)) else r.getDouble(1)
+          graft.template.GoTemplate.Sample(labelsOf(r, 0), value)
+        }
+      case ScalarVal(df, _) =>
+        df.select(col("v")).collect().toSeq.map(r =>
+          graft.template.GoTemplate.Sample(Map.empty, r.getDouble(0)))
+      case other => throw new graft.template.GoTemplate.ExecException(
+        s"query result is not a vector or scalar")
+    }
 
   private def histJson(r: Row): String = {
     val h = FHist.fromRow(r)
@@ -520,6 +544,46 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     server.createContext("/api/v1/status/buildinfo", handler { ex =>
       ok(ex, Json.obj("version" -> Json.str("graft-spark"),
         "goVersion" -> Json.str("n/a")))
+    })
+
+    server.createContext("/consoles/", handler { ex =>
+      // expand a console template with the Prometheus function map and the
+      // $rawParams/$params/$path/$externalLabels convenience variables
+      // (ref: web/web.go:794 consoles)
+      val name = ex.getRequestURI.getPath.stripPrefix("/consoles/")
+      consoleTemplatesPath match {
+        case None =>
+          respond(ex, 404, "console templates not configured", "text/plain; charset=utf-8")
+        case Some(dir) =>
+          val root = new java.io.File(dir).getCanonicalFile
+          val f = new java.io.File(root, name)
+          if (!f.getCanonicalPath.startsWith(root.getPath) || !f.isFile)
+            respond(ex, 404, s"console template $name not found", "text/plain; charset=utf-8")
+          else {
+            val text = new String(
+              java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            val raw = params(ex)
+            val data = Map(
+              "RawParams" -> raw.map { case (k, vs) => k -> vs.toVector },
+              "Params" -> raw.map { case (k, vs) => k -> vs.headOption.getOrElse("") },
+              "Path" -> name,
+              "ExternalLabels" -> externalLabels)
+            val defs = "{{$rawParams := .RawParams }}{{$params := .Params}}" +
+              "{{$path := .Path}}{{$externalLabels := .ExternalLabels}}"
+            val ts = nowMs()
+            val libs = consoleLibrariesPath.toSeq.flatMap { ld =>
+              Option(new java.io.File(ld).listFiles()).map(_.toSeq).getOrElse(Nil)
+                .filter(_.getName.endsWith(".lib")).map(_.getPath).sorted
+            }
+            new graft.template.GoTemplate.Expander(
+              defs + text, "__console_" + name, data, ts,
+              templateQuery(_, ts), externalUrl)
+              .expandHtml(libs) match {
+                case Right(html) => respond(ex, 200, html, "text/html; charset=utf-8")
+                case Left(msg) => respond(ex, 500, msg, "text/plain; charset=utf-8")
+              }
+          }
+      }
     })
 
     server.createContext("/api/v1/format_query", qHandler { ex =>

@@ -182,6 +182,46 @@ class PromServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     srv2.stop()
   }
 
+  test("console templates: query/params/libs render; traversal 404s") {
+    import org.apache.spark.sql.Row
+    val samples = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Map("__name__" -> "up", "job" -> "api"), 590000L, 1.0, false, null, 0L),
+        Row(Map("__name__" -> "up", "job" -> "db"), 590000L, 0.0, false, null, 0L)), 2),
+      graft.promql.Engine.samplesSchema)
+    val store = new graft.web.SampleStore(spark, samples)
+    val dir = java.nio.file.Files.createTempDirectory("graft-consoles")
+    val libDir = java.nio.file.Files.createTempDirectory("graft-console-libs")
+    writeFile(dir, "targets.html",
+      """{{define "head"}}<title>{{ .Params.title }}</title>{{end}}""" +
+        """{{template "head" .}}""" +
+        """{{ range query "up" | sortByLabel "job" }}""" +
+        """<tr><td>{{ .Labels.job }}</td><td>{{ .Value | humanize }}</td></tr>""" +
+        """{{ end }}up={{ query "sum(up)" | first | value }}""")
+    writeFile(libDir, "prom.lib", """{{define "tick"}}&#x2714;{{end}}""")
+    // `tick` exercises a console-library define invoked via template/tmpl
+    writeFile(dir, "uses_lib.html", """{{template "tick"}}""")
+    val api = new graft.web.HttpApi(spark, store, 0, () => 600000L)
+    api.consoleTemplatesPath = Some(dir.toString)
+    api.consoleLibrariesPath = Some(libDir.toString)
+    api.externalUrl = java.net.URI.create("http://example:9090/prom")
+    api.start()
+    try {
+      val port = api.boundPort
+      val (c1, b1) = get(port, "/consoles/targets.html?title=T%26Co")
+      assert(c1 == 200, b1)
+      // html escaping applies to interpolations (T&Co -> T&amp;Co)
+      assert(b1.contains("<title>T&amp;Co</title>"), b1)
+      assert(b1.contains("<tr><td>api</td><td>1</td></tr>"), b1)
+      assert(b1.contains("<tr><td>db</td><td>0</td></tr>"), b1)
+      assert(b1.contains("up=1"), b1)
+      val (c2, b2) = get(port, "/consoles/uses_lib.html")
+      assert(c2 == 200 && b2 == "&#x2714;", s"$c2 $b2")
+      assert(get(port, "/consoles/nope.html")._1 == 404)
+      assert(get(port, "/consoles/..%2F..%2Fetc%2Fpasswd")._1 == 404)
+    } finally api.stop()
+  }
+
   test("lifecycle API disabled without a hook (plain HttpApi): 403") {
     val store = new graft.web.SampleStore(spark, spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -1,0 +1,259 @@
+package graft.template
+
+import org.scalatest.funsuite.AnyFunSuite
+import GoTemplate.{Expander, Sample}
+import graft.promql.FHist
+
+/** Port of the reference's template expansion corpus
+  * (ref: template/template_test.go TestTemplateExpansion — every scenario,
+  * same fixed timestamp 1353755652000 and external URL). Failure scenarios
+  * assert the Go function-level error text where the reference pins it;
+  * Go's template-position prefixes (`template: test:1:3:`) are not
+  * replicated. */
+class TemplateSpec extends AnyFunSuite {
+
+  private val extUrl = java.net.URI.create("http://testhost:9090/path/prefix")
+  private val ts = 1353755652000L
+
+  private def check(text: String, output: String = null, input: Any = null,
+      queryResult: Seq[Sample] = Nil, html: Boolean = false,
+      options: Seq[String] = null, failContaining: String = null): Unit = {
+    val e = new Expander(text, "test", input, ts, _ => queryResult, extUrl, options)
+    val res = if (html) e.expandHtml() else e.expand()
+    if (failContaining != null) {
+      assert(res.isLeft, s"$text: expected failure, got $res")
+      assert(res.left.exists(_.contains(failContaining)),
+        s"$text: error ${res.left.getOrElse("")} missing '$failContaining'")
+    } else res match {
+      case Right(got) => assert(got == output, s"$text:\n  got  $got\n  want $output")
+      case Left(err) => fail(s"$text: unexpected error $err")
+    }
+  }
+
+  private def vec(samples: (Map[String, String], Double)*): Seq[Sample] =
+    samples.map { case (l, v) => Sample(l, v) }
+
+  test("plain text and literals") {
+    check("plain text", "plain text")
+    check("{{ 1 }}", "1")
+    check("{{ \u00a0 }}", failContaining = "unrecognized character in action: U+00A0")
+    check("{{", failContaining = "unclosed action")
+  }
+
+  test("html escaping and safeHtml") {
+    check("{{ \"<b>\" }}", "&lt;b&gt;", html = true)
+    check("{{ \"<b>\" | safeHtml }}", "<b>", html = true)
+    check("{{ \"<b>\" }}", "<b>")
+  }
+
+  test("define/template with args; tmpl") {
+    check("{{define \"x\"}}{{.arg0}} {{.arg1}}{{end}}{{template \"x\" (args 1 \"2\")}}",
+      "1 2")
+    check("{{ define \"a\" }}x{{ end }}{{ $name := \"a\"}}{{ tmpl $name . }}",
+      "x", html = true)
+  }
+
+  test("query pipeline: first/value/label/strvalue") {
+    check("{{ query \"1.5\" | first | value }}", "1.5",
+      queryResult = vec(Map.empty[String, String] -> 1.5))
+    val m = Map("__name__" -> "metric", "instance" -> "a")
+    check("{{ query \"metric{instance='a'}\" | first | value }}", "11",
+      queryResult = vec(m -> 11))
+    check("{{ query \"metric{instance='a'}\" | first | value }}",
+      "{count:3, sum:10}",
+      queryResult = Seq(Sample(m, FHist(0, 0, 0.0, 3.0, 10.0, Nil, Nil, Nil, Nil, Nil, 0))))
+    check("{{ . | value }}", "{count:3, sum:10}",
+      input = Sample(Map.empty, FHist(0, 0, 0.0, 3.0, 10.0, Nil, Nil, Nil, Nil, Nil, 0)))
+    check("{{ query \"metric{instance='a'}\" | first | label \"instance\" }}", "a",
+      queryResult = vec(m -> 11))
+    check("{{ query \"metric{__value__='a'}\" | first | strvalue }}", "a",
+      queryResult = vec(Map("__name__" -> "metric", "__value__" -> "a") -> 11))
+    check("{{ query \"metric{instance='a'}\" | first | label \"foo\" }}", "",
+      queryResult = vec(m -> 11))
+    check("{{ $x := query \"metric\" | first }}{{ $x.Labels.foo }}", "",
+      queryResult = vec(m -> 11))
+    check("{{ $x := query \"metric\" | first }}{{ $x.Labels.foo }}", "",
+      queryResult = vec(m -> 11), html = true)
+    check("{{ range query \"metric\" | sortByLabel \"instance\" }}{{.Labels.instance}}:{{.Value}}: {{end}}",
+      "a:11: b:21: ",
+      queryResult = vec(
+        Map("__name__" -> "metric", "instance" -> "b") -> 21,
+        Map("__name__" -> "metric", "instance" -> "a") -> 11))
+    check("{{ query \"missing\" | first }}",
+      failContaining = "first() called on vector with no elements")
+    check("{{ (query \"missing\").banana }}",
+      failContaining = "can't evaluate field banana in type template.queryResult")
+  }
+
+  test("stripPort") {
+    check("{{ \"foo.example.com\" | stripPort }}", "foo.example.com")
+    check("{{ \"foo.example.com:12345\" | stripPort }}", "foo.example.com")
+    check("{{ \"192.0.2.1\" | stripPort }}", "192.0.2.1")
+    check("{{ \"192.0.2.1:12345\" | stripPort }}", "192.0.2.1")
+    check("{{ \"2001:0DB8::1\" | stripPort }}", "2001:0DB8::1")
+    check("{{ \"[2001:0DB8::1]:12345\" | stripPort }}", "2001:0DB8::1")
+    check("{{ \"[2001:0DB8::1]::12345\" | stripPort }}", "[2001:0DB8::1]::12345")
+  }
+
+  test("stripDomain") {
+    check("{{ \"foo.example.com\" | stripDomain }}", "foo")
+    check("{{ \"foo.example.com:12345\" | stripDomain }}", "foo:12345")
+    check("{{ \"192.0.2.1\" | stripDomain }}", "192.0.2.1")
+    check("{{ \"192.0.2.1:12345\" | stripDomain }}", "192.0.2.1:12345")
+    check("{{ \"2001:0DB8::1\" | stripDomain }}", "2001:0DB8::1")
+    check("{{ \"[2001:0DB8::1]:12345\" | stripDomain }}", "[2001:0DB8::1]:12345")
+    check("{{ \"[2001:0DB8::1]::12345\" | stripDomain }}", "[2001:0DB8::1]::12345")
+  }
+
+  test("missingkey behaviors") {
+    check("{{ .Foo }}", "<no value>")
+    check("{{ .Foo }}", "<no value>", options = Seq.empty)
+    check("{{ .Foo }}", failContaining = "no entry for key \"Foo\"",
+      options = Seq("missingkey=error"))
+    check("{{ .Foo }}", "", html = true)
+    check("{{ .Foo }}", "", html = true, options = Seq.empty)
+    check("{{ .Foo }}", failContaining = "no entry for key \"Foo\"",
+      options = Seq("missingkey=error"), html = true)
+  }
+
+  test("reReplaceAll") {
+    check("{{ reReplaceAll \"(a)b\" \"x$1\" \"ab\" }}", "xa")
+  }
+
+  test("humanize") {
+    check("{{ range . }}{{ humanize . }}:{{ end }}",
+      "0:1:1.235M:120m:", input = Seq(0.0, 1.0, 1234567.0, .12))
+    check("{{ range . }}{{ humanize . }}:{{ end }}",
+      "0:1:1.235M:120m:", input = Seq("0.0", "1.0", "1234567.0", ".12"))
+    check("{{ humanize \"one\" }}",
+      failContaining = "strconv.ParseFloat: parsing \"one\": invalid syntax")
+    check("{{ range . }}{{ humanize . }}:{{ end }}",
+      "0:-1:1:1.235M:9.223E:", input = Seq(0L, -1L, 1L, 1234567L, Long.MaxValue))
+    check("{{ range . }}{{ humanize . }}:{{ end }}",
+      "0:1:1.235M:18.45E:", input = Seq(0.0, 1.0, 1234567.0, 1.8446744073709552e19))
+  }
+
+  test("humanize1024") {
+    check("{{ range . }}{{ humanize1024 . }}:{{ end }}",
+      "0:1:1Mi:0.12:", input = Seq(0.0, 1.0, 1048576.0, .12))
+    check("{{ range . }}{{ humanize1024 . }}:{{ end }}",
+      "0:1:1Mi:0.12:", input = Seq("0.0", "1.0", "1048576.0", ".12"))
+    check("{{ humanize1024 \"one\" }}",
+      failContaining = "strconv.ParseFloat: parsing \"one\": invalid syntax")
+    check("{{ range . }}{{ humanize1024 . }}:{{ end }}",
+      "0:-1:1:1.177Mi:8Ei:", input = Seq(0L, -1L, 1L, 1234567L, Long.MaxValue))
+    check("{{ range . }}{{ humanize1024 . }}:{{ end }}",
+      "0:1:1.177Mi:16Ei:", input = Seq(0.0, 1.0, 1234567.0, 1.8446744073709552e19))
+  }
+
+  test("humanizeDuration") {
+    check("{{ range . }}{{ humanizeDuration . }}:{{ end }}",
+      "0s:1s:1m 0s:1h 0m 0s:1d 0h 0m 0s:1d 1h 0m 0s:-2d 3h 4m 5s:14m 59s:",
+      input = Seq(0.0, 1.0, 60.0, 3600.0, 86400.0, 86400.0 + 3600,
+        -(86400 * 2 + 3600 * 3 + 60 * 4 + 5).toDouble, 899.99))
+    check("{{ range . }}{{ humanizeDuration . }}:{{ end }}",
+      "0s:1s:1m 0s:1h 0m 0s:1d 0h 0m 0s:",
+      input = Seq("0", "1", "60", "3600", "86400"))
+    check("{{ range . }}{{ humanizeDuration . }}:{{ end }}",
+      "100ms:100us:123.5ms:1m 0s:1m 0s:1.234s:12.35s:",
+      input = Seq(.1, .0001, .12345, 60.1, 60.5, 1.2345, 12.345))
+    check("{{ range . }}{{ humanizeDuration . }}:{{ end }}",
+      "100ms:100us:123.5ms:1m 0s:1m 0s:1.234s:12.35s:",
+      input = Seq(".1", ".0001", ".12345", "60.1", "60.5", "1.2345", "12.345"))
+    check("{{ humanizeDuration \"one\" }}",
+      failContaining = "strconv.ParseFloat: parsing \"one\": invalid syntax")
+    check("{{ range . }}{{ humanizeDuration . }}:{{ end }}",
+      "0s:-1s:1s:14d 6h 56m 7s:", input = Seq(0L, -1L, 1L, 1234567L))
+    check("{{ range . }}{{ humanizeDuration . }}:{{ end }}",
+      "0s:1s:14d 6h 56m 7s:", input = Seq(0L, 1L, 1234567L))
+  }
+
+  test("humanize NaN and Inf") {
+    check("{{ range . }}{{ humanize . }}:{{ humanize1024 . }}:{{ humanizeDuration . }}:{{humanizeTimestamp .}}:{{ end }}",
+      "+Inf:+Inf:+Inf:+Inf:-Inf:-Inf:-Inf:-Inf:NaN:NaN:NaN:NaN:",
+      input = Seq(Double.PositiveInfinity, Double.NegativeInfinity, Double.NaN))
+    check("{{ range . }}{{ humanize . }}:{{ humanize1024 . }}:{{ humanizeDuration . }}:{{humanizeTimestamp .}}:{{ end }}",
+      "+Inf:+Inf:+Inf:+Inf:-Inf:-Inf:-Inf:-Inf:NaN:NaN:NaN:NaN:",
+      input = Seq("+Inf", "-Inf", "NaN"))
+  }
+
+  test("humanizePercentage") {
+    check("{{ -0.22222 | humanizePercentage }}:{{ 0.0 | humanizePercentage }}:{{ 0.1234567 | humanizePercentage }}:{{ 1.23456 | humanizePercentage }}",
+      "-22.22%:0%:12.35%:123.5%")
+    check("{{ range . }}{{ humanizePercentage . }}:{{ end }}",
+      "0%:-100%:100%:1.235e+08%:9.223e+20%:",
+      input = Seq(0L, -1L, 1L, 1234567L, Long.MaxValue))
+    check("{{ range . }}{{ humanizePercentage . }}:{{ end }}",
+      "0%:100%:1.235e+08%:1.845e+21%:",
+      input = Seq(0.0, 1.0, 1234567.0, 1.8446744073709552e19))
+    check("{{ \"-0.22222\" | humanizePercentage }}:{{ \"0.0\" | humanizePercentage }}:{{ \"0.1234567\" | humanizePercentage }}:{{ \"1.23456\" | humanizePercentage }}",
+      "-22.22%:0%:12.35%:123.5%")
+    check("{{ \"one\" | humanizePercentage }}",
+      failContaining = "strconv.ParseFloat: parsing \"one\": invalid syntax")
+  }
+
+  test("humanizeTimestamp") {
+    check("{{ range . }}{{ humanizeTimestamp . }}:{{ end }}",
+      "1970-01-01 00:00:00 +0000 UTC:1969-12-31 23:59:59 +0000 UTC:1970-01-01 00:00:01 +0000 UTC:1970-01-15 06:56:07 +0000 UTC:2262-04-11 23:47:16 +0000 UTC:",
+      input = Seq(0L, -1L, 1L, 1234567L, 9223372036L))
+    check("{{ range . }}{{ humanizeTimestamp . }}:{{ end }}",
+      "1970-01-01 00:00:00 +0000 UTC:1970-01-01 00:00:01 +0000 UTC:1970-01-15 06:56:07 +0000 UTC:2262-04-11 23:47:16 +0000 UTC:",
+      input = Seq(0L, 1L, 1234567L, 9223372036L))
+    check("{{ range . }}{{ humanizeTimestamp . }}:{{ end }}",
+      failContaining = "cannot be represented as a nanoseconds timestamp since it overflows int64",
+      input = Seq(Long.MinValue, Long.MaxValue))
+    check("{{ range . }}{{ humanizeTimestamp . }}:{{ end }}",
+      failContaining = "cannot be represented as a nanoseconds timestamp since it overflows int64",
+      input = Seq(1.8446744073709552e19))
+    check("{{ 1435065584.128 | humanizeTimestamp }}",
+      "2015-06-23 13:19:44.128 +0000 UTC")
+    check("{{ \"1435065584.128\" | humanizeTimestamp }}",
+      "2015-06-23 13:19:44.128 +0000 UTC")
+  }
+
+  test("toTime / toDuration / now arithmetic") {
+    check("{{ (1435065584.128 | toTime).Format \"2006\" }}", "2015")
+    check("{{ (\"1435065584.128\" | toTime).Format \"2006\" }}", "2015")
+    check("{{ (1800 | toDuration).String }}", "30m0s")
+    check("{{ (\"1800\" | toDuration).String }}", "30m0s")
+    check("{{ now }}", "1.353755652e+09")
+    check("{{ (now | toTime).Format \"Mon Jan 2 15:04:05 2006\" }}",
+      "Sat Nov 24 11:14:12 2012")
+    check("{{ (\"-30m\" | parseDuration | toDuration | (now | toTime).Add).UnixMilli }}",
+      "1353753852000")
+  }
+
+  test("string helpers") {
+    check("{{ \"aa bb CC\" | title }}", "Aa Bb CC")
+    check("{{ \"aa bb CC\" | toUpper }}", "AA BB CC")
+    check("{{ \"aA bB CC\" | toLower }}", "aa bb cc")
+    check("{{ match \"a+\" \"aa\" }} {{ match \"a+\" \"b\" }}", "true false")
+  }
+
+  test("links and url helpers") {
+    check("{{ graphLink \"up\" }}", "/graph?g0.expr=up&g0.tab=0")
+    check("{{ tableLink \"up\" }}", "/graph?g0.expr=up&g0.tab=1")
+    check("{{ pathPrefix }}", "/path/prefix")
+    check("{{ externalURL }}", "http://testhost:9090/path/prefix")
+  }
+
+  test("printf and parseDuration") {
+    check("{{ printf \"%0.2f\" (parseDuration \"1h2m10ms\") }}", "3720.01")
+    check("{{ printf \"%0.2f\" (parseDuration \"-1h2m10ms\") }}", "-3720.01")
+  }
+
+  test("control flow: if/else-if/with/range-else, variables, builtins") {
+    check("{{ if eq 1 2 }}a{{ else if eq 1 1 }}b{{ else }}c{{ end }}", "b")
+    check("{{ with \"x\" }}{{ . }}{{ else }}none{{ end }}", "x")
+    check("{{ with \"\" }}{{ . }}{{ else }}none{{ end }}", "none")
+    check("{{ range . }}x{{ else }}empty{{ end }}", "empty", input = Seq.empty[Long])
+    check("{{ range $i, $v := . }}{{ $i }}={{ $v }};{{ end }}", "0=a;1=b;",
+      input = Seq("a", "b"))
+    check("{{ $x := 41 }}{{ $x }} {{ len \"abc\" }} {{ index . 1 }}", "41 3 b",
+      input = Seq("a", "b"))
+    check("{{- \"x\" -}}  padded  {{- \"y\" -}}", "xpaddedy")
+    check("a{{/* comment */}}b", "ab")
+    check("{{ and 1 \"x\" }}|{{ or \"\" 0 }}|{{ not true }}", "x|0|false")
+    check("{{ printf \"%s %d %v %q\" \"s\" 42 1.5 \"q\" }}", "s 42 1.5 \"q\"")
+  }
+}
