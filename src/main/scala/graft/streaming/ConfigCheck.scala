@@ -56,11 +56,24 @@ object ConfigCheck {
     * Only `$identifier` occurrences INSIDE `{{ ... }}` template actions are
     * variables (text/template evaluates actions only); a literal
     * "check $HOSTNAME in the runbook" outside an action passes. */
-  private def templateErrors(text: String, where: String): Seq[String] =
-    "(?s)\\{\\{(.*?)\\}\\}".r.findAllMatchIn(text).toSeq.flatMap(a =>
+  private def templateErrors(text: String, where: String): Seq[String] = {
+    // syntax check through the real template parser (ref: rulefmt testTemplateParsing
+    // via template.Expander.ParseTest)
+    val parseErr =
+      if (!text.contains("{{")) None
+      else new graft.template.GoTemplate.Expander(text, "__alert_", null, 0L, _ => Nil)
+        .parseTest().map(e => s"$where: template parse error: $e")
+    // variables declared inside the template (`$x :=`, `range $i, $v :=`)
+    // are defined; everything else must come from AlertTemplateData
+    val declared = "((?:\\$[A-Za-z_][A-Za-z0-9_]*\\s*,\\s*)*\\$[A-Za-z_][A-Za-z0-9_]*)\\s*:?=".r
+      .findAllMatchIn(text).flatMap(m =>
+        "\\$([A-Za-z_][A-Za-z0-9_]*)".r.findAllMatchIn(m.group(1)).map(_.group(1))).toSet
+    val undef = "(?s)\\{\\{(.*?)\\}\\}".r.findAllMatchIn(text).toSeq.flatMap(a =>
       "\\$([A-Za-z_][A-Za-z0-9_]*)".r.findAllMatchIn(a.group(1)).map(_.group(1)))
-      .filterNot(Set("labels", "value", "externalLabels", "externalURL"))
+      .filterNot(declared ++ Set("labels", "value", "externalLabels", "externalURL"))
       .map(v => s"$where: undefined variable \"$$$v\" in template")
+    parseErr.toSeq ++ undef
+  }
 
   /** check one rule file: (errors, lint issues, rule count) */
   def checkRuleFile(path: String): (Seq[String], Seq[String], Int) = {

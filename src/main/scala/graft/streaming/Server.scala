@@ -135,11 +135,17 @@ final class PromServer(
         m
       }
       api.scrapeTargets = mgrs.flatMap(_.currentTargets())
+      api.scrapePoolConfigs = cfg.scrapeJobs.map(j => j.jobName -> j.relabel).toMap
       scrapers = mgrs
       if (scraping) mgrs.foreach(_.start())
+      // reload success resolves the failure banner (ref: main.go reloadConfig
+      // → notifs.DeleteNotification(ConfigurationUnsuccessful))
+      api.notifications.delete(graft.web.Notifications.ConfigurationUnsuccessful)
       Right(())
     } catch {
-      case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+      case e: Throwable =>
+        api.notifications.add(graft.web.Notifications.ConfigurationUnsuccessful)
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName))
     }
   }
 

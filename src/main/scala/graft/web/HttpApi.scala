@@ -53,6 +53,10 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     * by the rule-eval loop; rendered by /api/v1/rules */
   @volatile var ruleEvalStats: Map[String, (Long, Double)] = Map.empty
 
+  /** scrape pool name → its relabel_configs, set by the server assembly on
+    * (re)load; serves /scrape_pools and /targets/relabel_steps */
+  @volatile var scrapePoolConfigs: Map[String, Seq[graft.streaming.Relabel.Rule]] = Map.empty
+
   /** config `global.external_labels` — attached to federation output
     * (series labels win on conflict; ref: web/federate.go external-label
     * merge) and exposed for the notifier/rule paths */
@@ -163,8 +167,20 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       Json.obj("status" -> Json.str("error"), "errorType" -> Json.str(errorType),
         "error" -> Json.str(msg)))
 
+  /** self-monitoring: per-handler request counters served by /metrics and
+    * /api/v1/status/self_metrics (ref: web.go instrumentHandler) */
+  private val requestCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def countRequest(handlerPath: String): Unit =
+    requestCounts.computeIfAbsent(handlerPath,
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+
+  /** notification center (ref: util/notifications) — the server assembly
+    * adds/deletes banners (config reload failures etc.) */
+  val notifications = new Notifications(nowMs = nowMs)
+
   private def handler(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) =>
-    try f(ex)
+    try { countRequest(ex.getHttpContext.getPath); f(ex) }
     catch {
       case e: ParseError => err(ex, 400, "bad_data", e.getMessage)
       // resource-protection errors carry the reference's status mapping
@@ -599,6 +615,240 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     })
 
     server.createContext("/api/v1/status/flags", handler { ex => ok(ex, "{}") })
+
+    // self metrics as (name, help, type, [(labels, value)]) — rendered as
+    // text exposition by /metrics and JSON families by /status/self_metrics
+    def selfMetricFamilies(): Seq[(String, String, String, Seq[(Map[String, String], Double)])] = {
+      import scala.jdk.CollectionConverters._
+      val handlers = requestCounts.asScala.toSeq.sortBy(_._1)
+        .map { case (h, c) => Map("handler" -> h) -> c.get().toDouble }
+      Seq(
+        ("prometheus_http_requests_total", "Counter of HTTP requests.",
+          "counter", handlers),
+        ("prometheus_build_info", "Build information.",
+          "gauge", Seq(Map("version" -> "graft-spark", "goversion" -> "n/a") -> 1.0)),
+        ("process_start_time_seconds", "Start time of the process since unix epoch in seconds.",
+          "gauge", Seq(Map.empty[String, String] -> startedMs / 1000.0)),
+        ("prometheus_notifications_active", "Active notification banners.",
+          "gauge", Seq(Map.empty[String, String] -> notifications.active.size.toDouble)),
+        ("prometheus_engine_queries_concurrent_max", "Max concurrent queries.",
+          "gauge", Seq(Map.empty[String, String] -> limits.maxConcurrent.toDouble)))
+    }
+
+    server.createContext("/metrics", handler { ex =>
+      // the server's own exposition endpoint (ref: web.go /metrics via
+      // promhttp) — scrapeable by another Prometheus
+      val sb = new StringBuilder
+      selfMetricFamilies().foreach { case (name, help, typ, series) =>
+        sb.append(s"# HELP $name $help\n# TYPE $name $typ\n")
+        series.foreach { case (lbls, v) =>
+          val ls =
+            if (lbls.isEmpty) ""
+            else lbls.toSeq.sorted.map { case (k, value) =>
+              s"""$k="${value.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+            }.mkString("{", ",", "}")
+          sb.append(name).append(ls).append(' ').append(Json.goFloat(v)).append('\n')
+        }
+      }
+      respond(ex, 200, sb.toString, "text/plain; version=0.0.4; charset=utf-8")
+    })
+
+    server.createContext("/api/v1/status/self_metrics", handler { ex =>
+      // ref: api.go:1929 selfMetrics — JSON metric families, optional
+      // metric_name_pattern filter (fully anchored)
+      val pat = params(ex).get("metric_name_pattern").flatMap(_.headOption)
+        .filter(_.nonEmpty).map(p => ("^(?:" + p + ")$").r.pattern)
+      val fams = selfMetricFamilies()
+        .filter { case (n, _, _, _) => pat.forall(_.matcher(n).matches()) }
+        .map { case (name, help, typ, series) =>
+          Json.obj(
+            "name" -> Json.str(name),
+            "help" -> Json.str(help),
+            "type" -> Json.str(typ.toUpperCase),
+            "metric" -> Json.arr(series.map { case (lbls, v) =>
+              Json.obj(
+                "label" -> Json.arr(lbls.toSeq.sorted.map { case (k, value) =>
+                  Json.obj("name" -> Json.str(k), "value" -> Json.str(value)) }),
+                (if (typ == "counter") "counter" else "gauge") ->
+                  Json.obj("value" -> Json.goFloat(v)))
+            }))
+        }
+      ok(ex, Json.arr(fams))
+    })
+
+    server.createContext("/api/v1/notifications", handler { ex =>
+      // ref: api.go:2039 — current active notification banners
+      ok(ex, Json.arr(notifications.active.map(notifications.json)))
+    })
+
+    server.createContext("/api/v1/notifications/live", handler { ex =>
+      // SSE stream (ref: api.go:2044 notificationsSSE): current actives are
+      // sent as initial events, then updates as they fire; subscriber cap
+      // exceeded → 204 so clients fall back to polling
+      notifications.subscribe() match {
+        case None =>
+          ex.sendResponseHeaders(204, -1); ex.close()
+        case Some((q, unsubscribe)) =>
+          try {
+            ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+            ex.getResponseHeaders.set("Cache-Control", "no-cache")
+            ex.sendResponseHeaders(200, 0)
+            val out = ex.getResponseBody
+            def emit(n: notifications.Notification): Unit = {
+              out.write(s"data: ${notifications.json(n)}\n\n".getBytes("UTF-8"))
+              out.flush()
+            }
+            notifications.active.foreach(emit)
+            var open = true
+            while (open) {
+              val n = q.poll(15, java.util.concurrent.TimeUnit.SECONDS)
+              if (n != null) emit(n)
+              else { out.write(":keepalive\n\n".getBytes("UTF-8")); out.flush() }
+            }
+          } catch {
+            case _: java.io.IOException => // client went away
+          } finally { unsubscribe(); ex.close() }
+      }
+    })
+
+    server.createContext("/api/v1/scrape_pools", handler { ex =>
+      // ref: api.go:1215 scrapePools — sorted pool (job) names
+      ok(ex, Json.obj("scrapePools" -> Json.arr(
+        scrapePoolConfigs.keys.toSeq.sorted.map(Json.str))))
+    })
+
+    server.createContext("/api/v1/features", handler { ex =>
+      // ref: api.go:1888 features — {category: {name: enabled}}; templating
+      // functions are registered like the reference's RegisterFeatures
+      val tmplFuncs = graft.template.TemplateFuncs
+        .funcMap(0L, _ => Nil, java.net.URI.create("")).keys.toSeq.sorted
+      ok(ex, Json.obj(
+        "templating_functions" -> Json.obj(
+          tmplFuncs.map(f => f -> "true"): _*),
+        "web" -> Json.obj(
+          "agent_mode" -> String.valueOf(agentMode),
+          "search_endpoints" -> "true")))
+    })
+
+    server.createContext("/api/v1/status/tsdb/blocks", qHandler { ex =>
+      // ref: api.go:1961 serveTSDBBlocks — here a "block" is a 2h ingest
+      // partition of the store; stats from one driver-scale aggregation
+      val rows = store.samples
+        .groupBy(((col("t") / graft.streaming.Ingest.blockMs).cast("long") *
+          graft.streaming.Ingest.blockMs).as("block"))
+        .agg(count(lit(1)).as("numSamples"),
+          approx_count_distinct(xxhash64(to_json(col("labels")))).as("numSeries"),
+          min(col("t")).as("minT"), max(col("t")).as("maxT"))
+        .orderBy(col("block")).collect().toSeq
+      val blocks = rows.map { r =>
+        val blk = r.getLong(0)
+        Json.obj(
+          "ulid" -> Json.str(f"GRAFT${blk}%019d".take(26)),
+          "minTime" -> r.getLong(3).toString,
+          "maxTime" -> r.getLong(4).toString,
+          "stats" -> Json.obj(
+            "numSamples" -> r.getLong(1).toString,
+            "numSeries" -> r.getLong(2).toString),
+          "compaction" -> Json.obj("level" -> "1", "sources" -> "[]"))
+      }
+      ok(ex, Json.obj("blocks" -> Json.arr(blocks)))
+    })
+
+    server.createContext("/api/v1/targets/relabel_steps", qHandler { ex =>
+      // ref: api.go:1396 targetRelabelSteps — per-rule output + keep flag
+      // for debugging a pool's relabel chain against a candidate label set
+      val p = params(ex)
+      val pool = p.get("scrapePool").flatMap(_.headOption).getOrElse("")
+      val labelsJson = p.get("labels").flatMap(_.headOption).getOrElse("")
+      val parsed: Either[String, Map[String, String]] =
+        if (pool.isEmpty) Left("no scrapePool parameter provided")
+        else if (labelsJson.isEmpty) Left("no labels parameter provided")
+        else try JsonLite.parse(labelsJson) match {
+          case m: Map[_, _] => Right(m.asInstanceOf[Map[String, Any]]
+            .map { case (k, v) => k -> String.valueOf(v) })
+          case _ => Left("error parsing labels: labels must be an object")
+        } catch { case e: Exception => Left(s"error parsing labels: ${e.getMessage}") }
+      parsed match {
+        case Left(msg) => err(ex, 400, "bad_data", msg)
+        case Right(lbls) => scrapePoolConfigs.get(pool) match {
+          case None => err(ex, 400, "bad_data", s"error retrieving scrape config: unknown pool $pool")
+          case Some(rules) =>
+            var cur = lbls
+            var keep = true
+            val steps = rules.map { rule =>
+              if (keep) graft.streaming.Relabel.applyToMap(cur, Seq(rule)) match {
+                case Some(next) => cur = next
+                case None => keep = false
+              }
+              Json.obj(
+                "rule" -> Json.obj(
+                  "action" -> Json.str(rule.action.toString.toLowerCase),
+                  "source_labels" -> Json.arr(rule.sourceLabels.map(Json.str)),
+                  "separator" -> Json.str(rule.separator),
+                  "regex" -> Json.str(rule.regex),
+                  "target_label" -> Json.str(rule.targetLabel),
+                  "replacement" -> Json.str(rule.replacement),
+                  "modulus" -> rule.modulus.toString),
+                "output" -> Json.metric(cur),
+                "keep" -> String.valueOf(keep))
+            }
+            ok(ex, Json.obj("steps" -> Json.arr(steps)))
+        }
+      }
+    })
+
+    // ---- /api/v1/search/* — NDJSON fuzzy autocomplete endpoints
+    // (ref: web/api/v1/search.go; batches, then a has_more trailer)
+    def searchRoute(path: String, candidatesOf: (Map[String, List[String]], Search.Params) => Seq[String],
+        renderKey: String): Unit =
+      server.createContext(path, handler { ex =>
+        val p = params(ex)
+        Search.parseParams(p.map { case (k, v) => k -> v.toSeq }) match {
+          case Left(msg) => err(ex, 400, "bad_data", msg)
+          case Right(sp) =>
+            try {
+              // search defaults: last hour → now (ref parseSearchParams)
+              val p2 = p
+                .updated("start", p.getOrElse("start", List(((nowMs() - 3600000L) / 1000.0).toString)))
+                .updated("end", p.getOrElse("end", List((nowMs() / 1000.0).toString)))
+              val candidates = candidatesOf(p2, sp)
+              val (results, hasMore) = Search.run(candidates, sp)
+              val sb = new StringBuilder
+              results.grouped(sp.batchSize).foreach { batch =>
+                val items = batch.map { case (v, s) =>
+                  Json.obj((Seq(renderKey -> Json.str(v)) ++
+                    (if (sp.includeScore) Seq("score" -> Json.goFloat(s)) else Nil)): _*)
+                }
+                sb.append(Json.obj("results" -> Json.arr(items))).append('\n')
+              }
+              if (results.isEmpty) sb.append(Json.obj("results" -> "[]")).append('\n')
+              sb.append(Json.obj("status" -> Json.str("success"),
+                "has_more" -> String.valueOf(hasMore))).append('\n')
+              respond(ex, 200, sb.toString, "application/x-ndjson")
+            } catch {
+              case e: ParseError => err(ex, 400, "bad_data", e.getMessage)
+            }
+        }
+      })
+
+    searchRoute("/api/v1/search/metric_names",
+      (p, _) => seriesSet(p)
+        .select(element_at(col("labels"), "__name__").as("n"))
+        .filter(col("n").isNotNull).distinct().collect().toSeq.map(_.getString(0)),
+      "name")
+    searchRoute("/api/v1/search/label_names",
+      (p, _) => seriesSet(p)
+        .select(explode(map_keys(col("labels"))).as("n"))
+        .distinct().collect().toSeq.map(_.getString(0)),
+      "name")
+    searchRoute("/api/v1/search/label_values",
+      (p, _) => {
+        val label = p.get("label").flatMap(_.headOption).getOrElse(
+          throw new ParseError("missing required parameter \"label\"", 0))
+        seriesSet(p).select(element_at(col("labels"), label).as("v"))
+          .filter(col("v").isNotNull).distinct().collect().toSeq.map(_.getString(0))
+      },
+      "value")
 
     server.createContext("/api/v1/status/walreplay", handler { ex =>
       // ref: api.go:2025 serveWALReplayStatus / tsdb/head.go:699 — recovery

@@ -1,0 +1,68 @@
+package graft.web
+
+/** Server notification center — active startup/config-reload banners served
+  * by /api/v1/notifications and streamed over SSE by /notifications/live
+  * (ref: util/notifications/notifications.go; web/api/v1/api.go:2039-2100).
+  */
+final class Notifications(maxSubscribers: Int = 16,
+    nowMs: () => Long = () => System.currentTimeMillis()) {
+
+  final case class Notification(text: String, dateMs: Long, active: Boolean)
+
+  private val items = scala.collection.mutable.ArrayBuffer[Notification]()
+  private val subs = scala.collection.mutable.Set[
+    java.util.concurrent.BlockingQueue[Notification]]()
+
+  /** add (or re-stamp) an active notification (ref: AddNotification) */
+  def add(text: String): Unit = {
+    val n = synchronized {
+      val i = items.indexWhere(_.text == text)
+      val n = Notification(text, nowMs(), active = true)
+      if (i >= 0) items(i) = n else items += n
+      n
+    }
+    notifySubs(n)
+  }
+
+  /** resolve a notification; subscribers see it with active=false
+    * (ref: DeleteNotification) */
+  def delete(text: String): Unit = {
+    val fired = synchronized {
+      val i = items.indexWhere(_.text == text)
+      if (i >= 0) { items.remove(i); Some(Notification(text, nowMs(), active = false)) }
+      else None
+    }
+    fired.foreach(notifySubs)
+  }
+
+  def active: Seq[Notification] = synchronized(items.toVector)
+
+  /** non-blocking fan-out; full subscriber queues drop (ref: notifySubscribers) */
+  private def notifySubs(n: Notification): Unit = {
+    val snapshot = synchronized(subs.toVector)
+    snapshot.foreach(q => { val _ = q.offer(n) })
+  }
+
+  /** None when the subscriber cap is reached (SSE route answers 204) */
+  def subscribe(): Option[(java.util.concurrent.BlockingQueue[Notification], () => Unit)] =
+    synchronized {
+      if (subs.size >= maxSubscribers) None
+      else {
+        val q = new java.util.concurrent.LinkedBlockingQueue[Notification](16)
+        subs += q
+        Some((q, () => synchronized { subs -= q; () }))
+      }
+    }
+
+  def json(n: Notification): String = Json.obj(
+    "text" -> Json.str(n.text),
+    "date" -> Json.str(java.time.Instant.ofEpochMilli(n.dateMs).toString),
+    "active" -> String.valueOf(n.active))
+}
+
+object Notifications {
+  /** canonical banner texts (ref: notifications.go consts) */
+  val ConfigurationUnsuccessful = "Configuration reload has failed."
+  val StartingUp = "Prometheus is starting and replaying the write-ahead log (WAL)."
+  val ShuttingDown = "Prometheus is shutting down and gracefully stopping all operations."
+}

@@ -1,0 +1,257 @@
+package graft.web
+
+/** Fuzzy-search machinery behind the `/api/v1/search/...` autocomplete
+  * endpoints (ref: web/api/v1/search.go, search_filters.go,
+  * util/strutil/jarowinkler.go, subsequence.go).
+  *
+  * Candidate sets (metric names, label names, label values) are
+  * driver-scale distincts pulled from one Spark aggregation; filtering and
+  * scoring run on the driver like the reference — the distributed work is
+  * the distinct, not the string scoring.
+  */
+object Search {
+
+  /** Jaro-Winkler similarity in [0,1]
+    * (ref: util/strutil/jarowinkler.go jaroWinklerString; operates on code
+    * points so Unicode scores match the reference's rune path) */
+  def jaroWinkler(s1s: String, s2s: String): Double = {
+    if (s1s == s2s) return 1.0
+    if (s1s.isEmpty || s2s.isEmpty) return 0.0
+    var a = s1s.codePoints().toArray
+    var b = s2s.codePoints().toArray
+    if (a.length > b.length) { val t = a; a = b; b = t }
+    val l1 = a.length; val l2 = b.length
+    val matchDistance = math.max(l2 / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
+    var matches = 0.0
+    var i = 0
+    while (i < l1) {
+      val start = math.max(i - matchDistance, 0)
+      val end = math.min(i + matchDistance + 1, l2)
+      var j = start
+      var done = false
+      while (j < end && !done) {
+        if (!m2(j) && a(i) == b(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var transpositions = 0.0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (a(i) != b(k)) transpositions += 1
+        k += 1
+      }
+      i += 1
+    }
+    val jaro = (matches / l1 + matches / l2 +
+      (matches - transpositions * 0.5) / matches) / 3.0
+    var prefixLen = 0
+    val maxPrefix = math.min(4, math.min(l1, l2))
+    while (prefixLen < maxPrefix && a(prefixLen) == b(prefixLen)) prefixLen += 1
+    jaro + prefixLen * 0.1 * (1.0 - jaro)
+  }
+
+  /** Greedy subsequence score in [0,1]; 0 = not a subsequence, 1 = exact.
+    * Raw score Σ(run²) − Σ(gap/textLen) − trailing/(2·textLen), normalized
+    * by patternLen² and scaled below 1.0 for non-exact matches
+    * (ref: util/strutil/subsequence.go). */
+  def subsequenceScore(patternS: String, textS: String): Double = {
+    if (patternS.isEmpty) return 1.0
+    if (textS.isEmpty) return 0.0
+    if (patternS == textS) return 1.0
+    val pattern = patternS.codePoints().toArray
+    val text = textS.codePoints().toArray
+    val patternLen = pattern.length
+    val textLen = text.length
+    if (patternLen > textLen) return 0.0
+    val invTextLen = 1.0 / textLen
+
+    // score a full match attempt starting at startPos
+    // (text(startPos) == pattern(0) guaranteed by the caller)
+    def scoreFrom(startPos: Int): Double = { // NaN = no match from here
+      var i = startPos
+      var from = i
+      var to = i
+      var patternIdx = 1
+      i += 1
+      while (patternIdx < patternLen && i < textLen && text(i) == pattern(patternIdx)) {
+        to = i; patternIdx += 1; i += 1
+      }
+      var score = 0.0
+      if (from > 0) score -= from * invTextLen
+      var size = to - from + 1
+      score += (size.toDouble * size)
+      var prevTo = to
+      while (patternIdx < patternLen) {
+        // jump to the next occurrence of pattern(patternIdx)
+        var j = i
+        while (j < textLen && text(j) != pattern(patternIdx)) j += 1
+        if (j >= textLen) return Double.NaN
+        i = j
+        from = i; to = i
+        patternIdx += 1; i += 1
+        while (patternIdx < patternLen && i < textLen && text(i) == pattern(patternIdx)) {
+          to = i; patternIdx += 1; i += 1
+        }
+        val gap = from - prevTo - 1
+        if (gap > 0) score -= gap * invTextLen
+        size = to - from + 1
+        score += (size.toDouble * size)
+        prevTo = to
+      }
+      val trailing = textLen - 1 - prevTo
+      if (trailing > 0) score -= trailing * invTextLen * 0.5
+      score
+    }
+
+    var bestScore = -1.0
+    val maxStart = textLen - patternLen
+    var i = 0
+    var stop = false
+    while (i <= maxStart && !stop) {
+      if (text(i) == pattern(0)) {
+        val s = scoreFrom(i)
+        if (s.isNaN) stop = true // no later start can succeed
+        else if (s > bestScore) bestScore = s
+      }
+      i += 1
+    }
+    if (bestScore < 0) 0.0
+    else bestScore / (patternLen.toDouble * patternLen) * 0.999
+  }
+
+  /** Substring score: prefix = 1.0, later match positions → [0.1, 1.0)
+    * (ref: search_filters.go SubstringFilter) */
+  def substringScore(query: String, value: String): Double = {
+    if (query.isEmpty) return 1.0
+    val idx = value.indexOf(query)
+    if (idx < 0) return 0.0 // caller treats 0 on non-empty query as reject
+    if (idx == 0) return 1.0
+    val pos = value.codePointCount(0, idx)
+    val maxPos = value.codePoints().count().toInt - query.codePoints().count().toInt
+    if (maxPos <= 0) return 1.0
+    1.0 - 0.9 * pos / maxPos
+  }
+
+  /** a value filter: Some(score) = accepted */
+  type Filter = String => Option[Double]
+
+  /** assemble the reference's filter chain: per-term subsequence (with
+    * prefix→1.0) or substring-OR-JaroWinkler; multiple terms OR'd (best
+    * score); case folding unless case_sensitive
+    * (ref: search.go buildSearchFilter) */
+  def buildFilter(searches: Seq[String], fuzzThreshold: Int, fuzzAlg: String,
+      caseSensitive: Boolean): Filter = {
+    val threshold = fuzzThreshold / 100.0
+    val terms = searches.filter(_.nonEmpty)
+      .map(s => if (caseSensitive) s else s.toLowerCase)
+    if (terms.isEmpty) return _ => Some(1.0)
+    def one(term: String)(value: String): Option[Double] =
+      if (fuzzAlg == "subsequence") {
+        if (value.startsWith(term)) Some(1.0)
+        else {
+          val s = subsequenceScore(term, value)
+          if (s > 0 && s >= threshold) Some(s) else None
+        }
+      } else { // jarowinkler: substring first, fuzzy fallback
+        val ss = substringScore(term, value)
+        if (ss > 0) Some(ss)
+        else if (fuzzThreshold > 0) {
+          val s = jaroWinkler(term, value)
+          if (s >= threshold) Some(s) else None
+        } else None
+      }
+    value0 => {
+      val value = if (caseSensitive) value0 else value0.toLowerCase
+      terms.flatMap(t => one(t)(value)) match {
+        case Seq() => None
+        case scores => Some(scores.max)
+      }
+    }
+  }
+
+  /** parsed common search params (ref: search.go parseSearchParams) */
+  final case class Params(searches: Seq[String], fuzzThreshold: Int,
+      fuzzAlg: String, caseSensitive: Boolean, includeScore: Boolean,
+      sortBy: String, sortDir: String, limit: Int, batchSize: Int,
+      matches: Seq[String], startMs: Option[Long], endMs: Option[Long])
+
+  def parseParams(p: Map[String, Seq[String]]): Either[String, Params] = {
+    def first(k: String) = p.get(k).flatMap(_.headOption).filter(_.nonEmpty)
+    val searches = p.getOrElse("search[]", Nil)
+    if (searches.length > 32)
+      return Left(s"too many search[] terms: got ${searches.length}, maximum is 32")
+    val ft = first("fuzz_threshold") match {
+      case None => 0
+      case Some(v) => v.toIntOption.filter(i => i >= 0 && i <= 100) match {
+        case Some(i) => i
+        case None => return Left(s"""invalid fuzz_threshold "$v": must be 0-100""")
+      }
+    }
+    val alg = first("fuzz_alg").getOrElse("subsequence")
+    if (alg != "subsequence" && alg != "jarowinkler")
+      return Left(s"""unsupported fuzz_alg "$alg"""")
+    def boolParam(k: String, dflt: Boolean): Either[String, Boolean] =
+      first(k) match {
+        case None => Right(dflt)
+        case Some("true") | Some("1") => Right(true)
+        case Some("false") | Some("0") => Right(false)
+        case Some(v) => Left(s"""invalid $k "$v": must be boolean""")
+      }
+    val cs = boolParam("case_sensitive", dflt = true) match {
+      case Right(b) => b
+      case Left(e) => return Left(e)
+    }
+    val is = boolParam("include_score", dflt = false) match {
+      case Right(b) => b
+      case Left(e) => return Left(e)
+    }
+    val sortBy = first("sort_by").getOrElse("")
+    val sortDir0 = first("sort_dir").getOrElse("")
+    if (sortDir0.nonEmpty && sortBy.isEmpty)
+      return Left("sort_dir is only valid when sort_by is set")
+    if (sortDir0.nonEmpty && sortBy == "score")
+      return Left("sort_dir is not supported for sort_by=score")
+    val sortDir = if (sortDir0.isEmpty) "asc" else sortDir0
+    if (sortDir != "asc" && sortDir != "dsc")
+      return Left(s"""invalid sort_dir "$sortDir0": must be "asc" or "dsc"""")
+    if (sortBy == "score" && searches.forall(_.isEmpty))
+      return Left("sort_by=score requires search[] to be set")
+    val limit = first("limit") match {
+      case None => 100
+      case Some(v) => v.toIntOption.filter(_ > 0) match {
+        case Some(l) => l
+        case None => return Left(s"""invalid limit "$v": must be a positive integer""")
+      }
+    }
+    val batch = first("batch_size") match {
+      case None => 100
+      case Some(v) => v.toIntOption.filter(_ > 0) match {
+        case Some(b) => b
+        case None => return Left(s"""invalid batch_size "$v": must be a positive integer""")
+      }
+    }
+    Right(Params(searches, ft, alg, cs, is, sortBy, sortDir, limit, batch,
+      p.getOrElse("match[]", Nil), None, None))
+  }
+
+  /** filter+score+order candidates; returns (limited results, hasMore)
+    * (ref: search.go streamer limit-probe + sortOrdering) */
+  def run(candidates: Seq[String], sp: Params): (Seq[(String, Double)], Boolean) = {
+    val f = buildFilter(sp.searches, sp.fuzzThreshold, sp.fuzzAlg, sp.caseSensitive)
+    val scored = candidates.flatMap(v => f(v).map(v -> _))
+    val ordered = sp.sortBy match {
+      case "score" => scored.sortBy { case (v, s) => (-s, v) }
+      case "alpha" if sp.sortDir == "dsc" => scored.sortBy(_._1)(Ordering.String.reverse)
+      case _ => scored.sortBy(_._1)
+    }
+    (ordered.take(sp.limit), ordered.length > sp.limit)
+  }
+}

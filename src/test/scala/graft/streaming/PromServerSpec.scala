@@ -222,6 +222,95 @@ class PromServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally api.stop()
   }
 
+  test("scrape_pools, features, tsdb blocks, relabel_steps, search endpoints") {
+    import org.apache.spark.sql.Row
+    val samples = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Map("__name__" -> "http_requests_total", "job" -> "api"), 590000L, 1.0, false, null, 0L),
+        Row(Map("__name__" -> "http_errors_total", "job" -> "api"), 590000L, 2.0, false, null, 0L),
+        Row(Map("__name__" -> "node_cpu_seconds", "job" -> "node"), 7500000L, 3.0, false, null, 0L)), 2),
+      graft.promql.Engine.samplesSchema)
+    val store = new graft.web.SampleStore(spark, samples)
+    val api = new graft.web.HttpApi(spark, store, 0, () => 7800000L)
+    api.scrapePoolConfigs = Map("api" -> Seq(
+      Relabel.Rule(Relabel.Replace, sourceLabels = Seq("job"),
+        regex = "(.*)", targetLabel = "pool", replacement = "${1}-pool"),
+      Relabel.Rule(Relabel.Drop, sourceLabels = Seq("job"), regex = "secret")))
+    api.start()
+    try {
+      val port = api.boundPort
+      val (c1, b1) = get(port, "/api/v1/scrape_pools")
+      assert(c1 == 200 && b1.contains("\"scrapePools\":[\"api\"]"), b1)
+      val (c2, b2) = get(port, "/api/v1/features")
+      assert(c2 == 200 && b2.contains("templating_functions") &&
+        b2.contains("\"humanize\":true"), b2)
+      // blocks: samples span two 2h ingest blocks
+      val (c3, b3) = get(port, "/api/v1/status/tsdb/blocks")
+      assert(c3 == 200 && b3.contains("\"numSamples\":2") &&
+        b3.contains("\"numSamples\":1"), b3)
+      // relabel_steps: Go ${1} replacement works, drop rule keeps (no match)
+      val lbl = java.net.URLEncoder.encode("""{"job":"api"}""", "UTF-8")
+      val (c4, b4) = get(port, s"/api/v1/targets/relabel_steps?scrapePool=api&labels=$lbl")
+      assert(c4 == 200 && b4.contains("\"pool\":\"api-pool\"") &&
+        b4.contains("\"keep\":true"), b4)
+      assert(get(port, "/api/v1/targets/relabel_steps?scrapePool=api")._1 == 400)
+      // search: NDJSON batches + trailer; subsequence default accepts prefix
+      val (c5, b5) = get(port,
+        "/api/v1/search/metric_names?search%5B%5D=http&include_score=true&start=0")
+      assert(c5 == 200, b5)
+      val lines = b5.trim.split("\n")
+      assert(lines.last.contains("\"status\":\"success\"") &&
+        lines.last.contains("\"has_more\":false"), b5)
+      assert(lines.head.contains("http_errors_total") &&
+        lines.head.contains("http_requests_total") &&
+        !lines.head.contains("node_cpu"), b5)
+      assert(lines.head.contains("\"score\":1"), b5) // prefix match = 1.0
+      // label_values with limit probe -> has_more
+      val (c6, b6) = get(port,
+        "/api/v1/search/label_values?label=__name__&limit=2&start=0")
+      assert(c6 == 200 && b6.contains("\"has_more\":true"), b6)
+      // fuzzy jarowinkler fallback above threshold
+      val (c7, b7) = get(port,
+        "/api/v1/search/label_values?label=job&search%5B%5D=napi&fuzz_alg=jarowinkler&fuzz_threshold=70&start=0")
+      assert(c7 == 200 && b7.contains("\"value\":\"api\""), b7)
+      // validation error shape
+      assert(get(port, "/api/v1/search/metric_names?fuzz_threshold=101")._1 == 400)
+    } finally api.stop()
+  }
+
+  test("notifications, /metrics exposition, self_metrics") {
+    val store = new graft.web.SampleStore(spark, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.promql.Engine.samplesSchema))
+    val api = new graft.web.HttpApi(spark, store, 0, () => 600000L)
+    api.start()
+    try {
+      val port = api.boundPort
+      // notification add/resolve + subscriber fan-out
+      assert(get(port, "/api/v1/notifications")._2 == """{"status":"success","data":[]}""")
+      api.notifications.add(graft.web.Notifications.ConfigurationUnsuccessful)
+      val (_, b1) = get(port, "/api/v1/notifications")
+      assert(b1.contains("Configuration reload has failed.") &&
+        b1.contains("\"active\":true"), b1)
+      val Some((q, unsub)) = api.notifications.subscribe()
+      api.notifications.delete(graft.web.Notifications.ConfigurationUnsuccessful)
+      val ev = q.poll(2, java.util.concurrent.TimeUnit.SECONDS)
+      assert(ev != null && !ev.active && ev.text.contains("failed"))
+      unsub()
+      assert(get(port, "/api/v1/notifications")._2.endsWith(""":[]}"""))
+      // /metrics: text exposition with request counters
+      val (c2, b2) = get(port, "/metrics")
+      assert(c2 == 200, b2)
+      assert(b2.contains("# TYPE prometheus_http_requests_total counter"), b2)
+      assert(b2.contains("""prometheus_http_requests_total{handler="/api/v1/notifications"} 3"""), b2)
+      assert(b2.contains("""prometheus_build_info{goversion="n/a",version="graft-spark"} 1"""), b2)
+      // self_metrics JSON with anchored name filter
+      val (c3, b3) = get(port, "/api/v1/status/self_metrics?metric_name_pattern=prometheus_http.%2B")
+      assert(c3 == 200 && b3.contains("\"type\":\"COUNTER\"") &&
+        !b3.contains("build_info"), b3)
+    } finally api.stop()
+  }
+
   test("lifecycle API disabled without a hook (plain HttpApi): 403") {
     val store = new graft.web.SampleStore(spark, spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -1,0 +1,131 @@
+package graft.web
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Search scoring parity — ports the reference's strutil test tables
+  * (ref: util/strutil/jarowinkler_test.go TestJaroWinklerMatcher,
+  * subsequence_test.go TestSubsequenceScore) plus filter/param semantics
+  * (web/api/v1/search_filters.go, search.go). */
+class SearchSpec extends AnyFunSuite {
+
+  test("Jaro-Winkler: reference score ranges, symmetry") {
+    val cases = Seq(
+      ("prometheus", "prometheus", 1.0, 1.0),
+      ("", "", 1.0, 1.0),
+      ("", "abc", 0.0, 0.0),
+      ("abc", "", 0.0, 0.0),
+      ("abc", "xyz", 0.0, 0.01),
+      ("mimir", "mimer", 0.90, 0.92),
+      ("martha", "marhta", 0.96, 0.97),
+      ("dwayne", "duane", 0.83, 0.85),
+      ("dixon", "dicksonx", 0.81, 0.83),
+      ("a", "a", 1.0, 1.0),
+      ("a", "b", 0.0, 0.0),
+      ("prefix_abc", "prefix_xyz", 0.80, 0.90),
+      ("café", "cafe", 0.88, 0.89),
+      ("naïve", "naive", 0.89, 0.90),
+      ("résumé", "resume", 0.79, 0.81),
+      ("café", "café", 1.0, 1.0),
+      ("", "café", 0.0, 0.0),
+      ("café", "", 0.0, 0.0),
+      ("café", "cafè", 0.88, 0.89),
+      ("préfixe_abc", "préfixe_xyz", 0.80, 0.90),
+      ("naïve_long", "naïve", 0.89, 0.91),
+      ("äöü", "éèê", 0.0, 0.01),
+      ("màrthà", "màrhtà", 0.96, 0.97))
+    cases.foreach { case (s1, s2, lo, hi) =>
+      val s = Search.jaroWinkler(s1, s2)
+      assert(s >= lo && s <= hi, s"jw($s1,$s2)=$s want [$lo,$hi]")
+      assert(math.abs(s - Search.jaroWinkler(s2, s1)) < 1e-10, s"asymmetric $s1/$s2")
+    }
+  }
+
+  test("subsequence: reference exact expected scores") {
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    val z = 0.999
+    val cases = Seq(
+      ("", "anything", 1.0),
+      ("abc", "", 0.0),
+      ("my awesome text", "my awesome text", 1.0),
+      ("my", "my awesome text", 107.0 / 120.0 * z),
+      ("tex", "my awesome text", 247.0 / 270.0 * z),
+      ("met", "my awesome text", 43.0 / 90.0 * z),
+      ("bac", "babac", 43.0 / 45.0 * z),
+      ("handler1", "handler10", 1149849.0 / 1152000.0),
+      ("abcd", "abc", 0.0),
+      ("abc", "éé", 0.0),
+      ("é", "ab", 0.0),
+      ("xyz", "abc", 0.0),
+      ("éàü", "éàü", 1.0),
+      ("éà", "éàü", 23.0 / 24.0 * z),
+      ("üé", "éàü", 0.0),
+      ("éàx", "éàü", 0.0),
+      ("éü", "éàü", 5.0 / 12.0 * z),
+      ("aé", "aéb", 23.0 / 24.0 * z),
+      ("é", "ã", 0.0),
+      ("a", "a", 1.0),
+      ("oa", "goat", 29.0 / 32.0 * z))
+    cases.foreach { case (p, t, want) =>
+      val got = Search.subsequenceScore(p, t)
+      assert(near(got, want), s"subseq($p,$t)=$got want $want")
+    }
+  }
+
+  test("substring filter: prefix 1.0, position-scaled, reject on miss") {
+    assert(Search.substringScore("up", "up") == 1.0)
+    assert(Search.substringScore("up", "upstream") == 1.0)
+    assert(Search.substringScore("xyz", "abc") == 0.0)
+    val early = Search.substringScore("b", "abcd")
+    val late = Search.substringScore("d", "abcd")
+    assert(early > late && late >= 0.1 - 1e-9)
+  }
+
+  test("filter assembly: subsequence default, jarowinkler OR-substring, case folding") {
+    // subsequence: prefix always accepted at 1.0
+    val sub = Search.buildFilter(Seq("http"), 80, "subsequence", caseSensitive = true)
+    assert(sub("http_requests_total").contains(1.0))
+    assert(sub("zzz").isEmpty)
+    // jarowinkler alg with threshold 0: substring-only
+    val jw0 = Search.buildFilter(Seq("mimer"), 0, "jarowinkler", caseSensitive = true)
+    assert(jw0("mimir").isEmpty) // no substring, fuzzy disabled
+    val jw = Search.buildFilter(Seq("mimer"), 80, "jarowinkler", caseSensitive = true)
+    assert(jw("mimir").exists(s => s >= 0.90 && s <= 0.92))
+    // case folding
+    val ci = Search.buildFilter(Seq("HTTP"), 0, "jarowinkler", caseSensitive = false)
+    assert(ci("http_requests").contains(1.0))
+    val cs = Search.buildFilter(Seq("HTTP"), 0, "jarowinkler", caseSensitive = true)
+    assert(cs("http_requests").isEmpty)
+    // multiple terms OR, best score wins
+    val multi = Search.buildFilter(Seq("zzz", "http"), 0, "jarowinkler", caseSensitive = true)
+    assert(multi("http_requests").contains(1.0))
+  }
+
+  test("params: validation errors and defaults match the reference") {
+    def parse(kv: (String, Seq[String])*) = Search.parseParams(kv.toMap)
+    val d = parse().toOption.get
+    assert(d.fuzzAlg == "subsequence" && d.limit == 100 && d.batchSize == 100 &&
+      d.caseSensitive && !d.includeScore && d.sortDir == "asc")
+    assert(parse("fuzz_threshold" -> Seq("101")).isLeft)
+    assert(parse("fuzz_alg" -> Seq("levenshtein")).isLeft)
+    assert(parse("sort_dir" -> Seq("asc")).isLeft) // needs sort_by
+    assert(parse("sort_by" -> Seq("score"), "sort_dir" -> Seq("asc")).isLeft)
+    assert(parse("sort_by" -> Seq("score")).isLeft) // needs search[]
+    assert(parse("sort_by" -> Seq("score"), "search[]" -> Seq("x")).isRight)
+    assert(parse("limit" -> Seq("0")).isLeft)
+    assert(parse("search[]" -> (1 to 33).map(_.toString)).isLeft)
+  }
+
+  test("run: ordering, limit probe sets has_more") {
+    val sp0 = Search.parseParams(Map("search[]" -> Seq("a"),
+      "limit" -> Seq("2"), "include_score" -> Seq("true"))).toOption.get
+    val (res, more) = Search.run(Seq("abc", "axy", "aaa", "zzz"), sp0)
+    assert(res.length == 2 && more) // 3 matches, capped at 2
+    // alpha order by default
+    assert(res.map(_._1) == Seq("aaa", "abc"))
+    val spScore = Search.parseParams(Map("search[]" -> Seq("handler1"),
+      "sort_by" -> Seq("score"))).toOption.get
+    val (r2, more2) = Search.run(Seq("handler10", "handler1", "xhandler1"), spScore)
+    assert(!more2 && r2.head._1 == "handler1" && r2.head._2 == 1.0)
+    assert(r2(1)._1 == "handler10") // closer match outranks gapped one
+  }
+}
