@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.web.Json
+
+/** `promtool check service-discovery` analog (ref: cmd/promtool/sd.go
+  * CheckSD): resolve a job's service discovery once, then report each
+  * discovered target's pre-relabel ("discovered") label set beside the
+  * post-relabel final label set — a dropped target reports empty final
+  * labels, like the reference's PopulateLabels returning EmptyLabels with
+  * no error. Duplicate results collapse (ref: getSDCheckResult's cmp-based
+  * dedup).
+  *
+  * Discovery runs through the same [[Discovery.Manager]] +
+  * [[Discovery.registerJob]] assembly as the live server, so what this
+  * prints is exactly what a scrape pool would see.
+  */
+object CheckSd {
+
+  final case class Result(
+      discoveredLabels: Map[String, String],
+      labels: Map[String, String],
+      error: Option[String])
+
+  /** Go model.Duration rendering (ref: common/model/time.go Duration.String:
+    * descending y/w/d/h/m/s/ms factors, zero units omitted, "0s" for zero) */
+  def goDuration(ms: Long): String = {
+    if (ms == 0L) return "0s"
+    val units = Seq(
+      ("y", 1000L * 60 * 60 * 24 * 365), ("w", 1000L * 60 * 60 * 24 * 7),
+      ("d", 1000L * 60 * 60 * 24), ("h", 1000L * 60 * 60),
+      ("m", 1000L * 60), ("s", 1000L), ("ms", 1L))
+    val sb = new StringBuilder
+    var rest = ms
+    units.foreach { case (u, f) =>
+      val n = rest / f
+      if (n > 0) { sb.append(n).append(u); rest -= n * f }
+    }
+    sb.toString
+  }
+
+  /** check one job of a config file; Left = job not found (message lists
+    * the available jobs, ref: "Job %s not found. Select one of:") */
+  def check(configPath: String, jobName: String,
+      resolver: Discovery.DnsSd.Resolver = Discovery.DnsSd.SystemResolver)
+      : Either[String, Seq[Result]] = {
+    val cfg = Config.load(configPath)
+    cfg.scrapeJobs.find(_.jobName == jobName) match {
+      case None => Left(
+        s"Job $jobName not found. Select one of:\n" +
+          cfg.scrapeJobs.map(j => s"\t${j.jobName}").mkString("\n"))
+      case Some(job) => Right(checkJob(job, resolver))
+    }
+  }
+
+  def checkJob(job: Config.ScrapeJob,
+      resolver: Discovery.DnsSd.Resolver): Seq[Result] = {
+    val mgr = new Discovery.Manager()
+    Discovery.registerJob(mgr, job, resolver)
+    mgr.poll()
+    val targets = mgr
+      .targetsFor(job.jobName, job.jobName, job.scheme, job.metricsPath)
+    targets.map { t =>
+      val interval =
+        ("__scrape_interval__", goDuration(math.max(job.intervalMs, 0L)))
+      val discovered = ScrapeManager.discoveryLabelSet(t) + interval
+      val fin = ScrapeManager.relabelTarget(t, job.relabel) match {
+        case Some(rt) =>
+          rt.extraLabels ++ Map("job" -> rt.job, "instance" -> rt.instance)
+        case None => Map.empty[String, String] // dropped by relabeling
+      }
+      Result(discovered, fin, None)
+    }.distinct
+  }
+
+  /** render results as the reference's indent-2 JSON array of
+    * {discoveredLabels, labels} objects with name-sorted labels */
+  def json(results: Seq[Result]): String = {
+    def lbls(m: Map[String, String], pad: String): String =
+      if (m.isEmpty) "{}"
+      else m.toSeq.sorted.map { case (k, v) =>
+        s"""$pad  ${Json.str(k)}: ${Json.str(v)}"""
+      }.mkString("{\n", ",\n", s"\n$pad}")
+    if (results.isEmpty) "[]"
+    else results.map { r =>
+      val err = r.error.map(e => s""",\n    "error": ${Json.str(e)}""").getOrElse("")
+      s"""  {
+         |    "discoveredLabels": ${lbls(r.discoveredLabels, "    ")},
+         |    "labels": ${lbls(r.labels, "    ")}$err
+         |  }""".stripMargin
+    }.mkString("[\n", ",\n", "\n]")
+  }
+
+  /** CLI: `runMain graft.streaming.CheckSd <config.yml> <job_name>` */
+  def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: CheckSd <config.yml> <job_name>")
+      sys.exit(2)
+    }
+    check(args(0), args(1)) match {
+      case Left(msg) => System.err.println(msg); sys.exit(1)
+      case Right(results) => println(json(results))
+    }
+  }
+}

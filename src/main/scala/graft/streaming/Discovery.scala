@@ -222,4 +222,23 @@ object Discovery {
           extraLabels = lbls - "job")
       }
   }
+
+  /** register every SD mechanism of one scrape job on a manager — the one
+    * assembly used by both the live server and `promtool check
+    * service-discovery` (ref: scrape config ServiceDiscoveryConfigs →
+    * NewDiscoverer per mechanism) */
+  def registerJob(mgr: Manager, job: Config.ScrapeJob,
+      resolver: DnsSd.Resolver = DnsSd.SystemResolver): Unit = {
+    if (job.staticTargets.nonEmpty)
+      mgr.register(job.jobName, new StaticProvider("static",
+        Seq(TargetGroup("static/0", Map.empty,
+          job.staticTargets.map(t => (t.instance,
+            t.extraLabels ++ Map("job" -> t.job)))))))
+    if (job.fileSdPaths.nonEmpty)
+      mgr.register(job.jobName, new FileSdProvider("file", job.fileSdPaths))
+    job.dnsSd.zipWithIndex.foreach { case (dc, i) =>
+      mgr.register(job.jobName, new DnsProvider(s"dns/$i", dc, resolver)) }
+    job.httpSd.zipWithIndex.foreach { case ((url, ms), i) =>
+      mgr.register(job.jobName, new HttpSdProvider(s"http/$i", url, ms)) }
+  }
 }

@@ -353,6 +353,22 @@ object ScrapeManager {
     * from the possibly-rewritten __address__/__scheme__/__metrics_path__,
     * default `instance` to __address__ when relabeling cleared it, and shed
     * every remaining __-prefixed label (the reference's post-relabel strip). */
+  /** the pre-relabel decorated label set of a discovered target — what the
+    * reference calls the "discovered labels" (ref: scrape/target.go
+    * PopulateDiscoveredLabels: __address__/__scheme__/__metrics_path__ +
+    * job/instance + SD labels) */
+  def discoveryLabelSet(tgt: ScrapeTarget): Map[String, String] = {
+    val uri = java.net.URI.create(tgt.url)
+    val addr = uri.getHost + (if (uri.getPort != -1) s":${uri.getPort}" else "")
+    val path0 = Option(uri.getPath).filter(_.nonEmpty).getOrElse("/metrics")
+    Map(
+      "__address__" -> addr,
+      "__scheme__" -> Option(uri.getScheme).getOrElse("http"),
+      "__metrics_path__" -> path0,
+      "job" -> tgt.job,
+      "instance" -> tgt.instance) ++ tgt.extraLabels
+  }
+
   def relabelTarget(tgt: ScrapeTarget, rules: Seq[Relabel.Rule]): Option[ScrapeTarget] = {
     // the __-prefixed strip happens whether or not relabel rules exist —
     // __meta_* SD labels never reach samples (ref: scrape/target.go
@@ -362,13 +378,7 @@ object ScrapeManager {
         case (k, _) => !k.startsWith("__") }))
     val uri = java.net.URI.create(tgt.url)
     val addr = uri.getHost + (if (uri.getPort != -1) s":${uri.getPort}" else "")
-    val path0 = Option(uri.getPath).filter(_.nonEmpty).getOrElse("/metrics")
-    val base = Map(
-      "__address__" -> addr,
-      "__scheme__" -> Option(uri.getScheme).getOrElse("http"),
-      "__metrics_path__" -> path0,
-      "job" -> tgt.job,
-      "instance" -> tgt.instance) ++ tgt.extraLabels
+    val base = discoveryLabelSet(tgt)
     Relabel.applyToMap(base, rules).map { out =>
       val scheme = out.getOrElse("__scheme__", "http")
       val p0 = out.getOrElse("__metrics_path__", "/metrics")

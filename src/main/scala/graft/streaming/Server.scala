@@ -106,22 +106,7 @@ final class PromServer(
       // every job (ref: discovery/manager.go — targets keyed by
       // (setName, provider) → source); re-registered from scratch on reload
       discovery.clear()
-      cfg.scrapeJobs.foreach { job =>
-        if (job.staticTargets.nonEmpty)
-          discovery.register(job.jobName, new Discovery.StaticProvider("static",
-            Seq(Discovery.TargetGroup("static/0", Map.empty,
-              job.staticTargets.map(t => (t.instance,
-                t.extraLabels ++ Map("job" -> t.job)))))))
-        if (job.fileSdPaths.nonEmpty)
-          discovery.register(job.jobName,
-            new Discovery.FileSdProvider("file", job.fileSdPaths))
-        job.dnsSd.zipWithIndex.foreach { case (dc, i) =>
-          discovery.register(job.jobName,
-            new Discovery.DnsProvider(s"dns/$i", dc, dnsResolver)) }
-        job.httpSd.zipWithIndex.foreach { case ((url, ms), i) =>
-          discovery.register(job.jobName,
-            new Discovery.HttpSdProvider(s"http/$i", url, ms)) }
-      }
+      cfg.scrapeJobs.foreach(Discovery.registerJob(discovery, _, dnsResolver))
       val mgrs = cfg.scrapeJobs.map { job =>
         val m = new ScrapeManager(spark, store, Nil,
           intervalMs = if (job.intervalMs > 0) job.intervalMs else cfg.scrapeIntervalMs,

@@ -132,4 +132,77 @@ class ConfigSpec extends AnyFunSuite {
     now = 16000L; mgr.poll()
     assert(scraped().map(_.instance).toSet == t1.map(_.instance).toSet)
   }
+
+  test("CheckSd: Go model.Duration rendering") {
+    assert(CheckSd.goDuration(0L) == "0s")
+    assert(CheckSd.goDuration(60000L) == "1m")
+    assert(CheckSd.goDuration(90000L) == "1m30s")
+    assert(CheckSd.goDuration(915000L) == "15m15s")
+    assert(CheckSd.goDuration(1000L * 60 * 60 * 24 * 8) == "1w1d")
+    assert(CheckSd.goDuration(1500L) == "1s500ms")
+  }
+
+  test("CheckSd: discovered vs final labels, drops, unknown job") {
+    import Discovery._
+    val dir = java.nio.file.Files.createTempDirectory("sdcheck")
+    val cfgPath = dir.resolve("prometheus.yml")
+    java.nio.file.Files.writeString(cfgPath,
+      """global:
+        |  scrape_interval: 15s
+        |scrape_configs:
+        |  - job_name: svc
+        |    static_configs:
+        |      - targets: ['localhost:8080']
+        |        labels:
+        |          foo: bar
+        |    dns_sd_configs:
+        |      - names: [pool.example.com]
+        |        type: SRV
+        |    relabel_configs:
+        |      - source_labels: [foo]
+        |        target_label: newfoo
+        |      - source_labels: [__meta_dns_srv_record_target]
+        |        regex: drop-me.*
+        |        action: drop
+        |""".stripMargin)
+    val resolver = new DnsSd.Resolver {
+      override def lookup(name: String, rt: String): Seq[DnsSd.Rec] =
+        Seq(DnsSd.SRV("keep-me.example.com.", 9000),
+          DnsSd.SRV("drop-me.example.com.", 9001))
+    }
+
+    // unknown job lists the available ones (ref: sd.go jobMatched=false path)
+    val miss = CheckSd.check(cfgPath.toString, "nope", resolver)
+    assert(miss.isLeft && miss.swap.exists(_.contains("\tsvc")))
+
+    val res = CheckSd.check(cfgPath.toString, "svc", resolver).toOption.get
+    assert(res.size == 3)
+    val static = res.find(_.discoveredLabels("__address__") == "localhost:8080").get
+    // discovered: decoration + SD labels, pre-relabel (ref:
+    // PopulateDiscoveredLabels); interval renders Go-style
+    assert(static.discoveredLabels("__scheme__") == "http")
+    assert(static.discoveredLabels("__metrics_path__") == "/metrics")
+    assert(static.discoveredLabels("__scrape_interval__") == "15s")
+    assert(static.discoveredLabels("foo") == "bar")
+    // final: relabel output, __-prefixed stripped
+    assert(static.labels == Map("job" -> "svc",
+      "instance" -> "localhost:8080", "foo" -> "bar", "newfoo" -> "bar"))
+
+    val kept = res.find(
+      _.discoveredLabels("__address__") == "keep-me.example.com:9000").get
+    assert(kept.discoveredLabels.contains("__meta_dns_name"))
+    assert(kept.labels("instance") == "keep-me.example.com:9000")
+    assert(!kept.labels.keys.exists(_.startsWith("__")))
+
+    // relabel-dropped target: present with empty final labels (ref:
+    // PopulateLabels returns EmptyLabels, nil error on drop)
+    val dropped = res.find(
+      _.discoveredLabels("__address__") == "drop-me.example.com:9001").get
+    assert(dropped.labels.isEmpty && dropped.error.isEmpty)
+
+    // JSON shape: indent-2 array, name-sorted label objects
+    val js = CheckSd.json(res)
+    assert(js.startsWith("[\n  {\n    \"discoveredLabels\": {"))
+    assert(js.contains("\"labels\": {}"))
+  }
 }
