@@ -1,0 +1,65 @@
+package graft.web
+
+import graft.promql.Engine
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `promtool push metrics` analog end-to-end: text exposition file →
+  * remote-write protobuf → live receiver → queryable samples (ref:
+  * cmd/promtool/metrics.go PushMetrics). */
+class PushMetricsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("parseText: extra labels override, default timestamp, bad lines skip") {
+    val samples = PushMetrics.parseText(
+      """# HELP x Some metric.
+        |x{job="old",a="b"} 4.2 7000
+        |y 1
+        |garbage line ~~
+        |""".stripMargin, Map("job" -> "test"), nowMs = 9000L)
+    assert(samples.size == 2)
+    val x = samples.find(_.labels("__name__") == "x").get
+    assert(x.labels == Map("__name__" -> "x", "a" -> "b", "job" -> "test"))
+    assert(x.t == 7000L && x.v == 4.2)
+    val y = samples.find(_.labels("__name__") == "y").get
+    assert(y.t == 9000L && y.v == 1.0)
+  }
+
+  test("push v1 and v2 files to a live receiver; queryable after") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(
+        Map("__name__" -> "seed"), 0L, 0.0, false, null, 0L)), 1),
+      Engine.samplesSchema)
+    val api = new HttpApi(spark, new SampleStore(spark, df), 0, () => 600000L)
+    api.start()
+    try {
+      val url = s"http://127.0.0.1:${api.boundPort}/api/v1/write"
+      val dir = java.nio.file.Files.createTempDirectory("pushm")
+      val f1 = dir.resolve("m1.prom")
+      java.nio.file.Files.writeString(f1,
+        "pushed_total{src=\"f1\"} 10 60000\npushed_total{src=\"f2\"} 20 60000\n")
+      val missing = dir.resolve("absent.prom").toString
+
+      val r2 = PushMetrics.push(url, Seq(f1.toString), Map("job" -> "push"),
+        v2 = true, nowMs = () => 60000L)
+      assert(r2 == Seq(f1.toString -> Right(2)))
+      val r1 = PushMetrics.push(url, Seq(f1.toString, missing),
+        Map("job" -> "pushv1"), v2 = false, nowMs = () => 60000L)
+      assert(r1.head == f1.toString -> Right(2))
+      assert(r1(1)._2.isLeft) // per-file failure doesn't abort the rest
+
+      val out = QueryTool.instant(s"http://127.0.0.1:${api.boundPort}",
+        """sum(pushed_total{job="push"})""", Some("60")).toOption.get
+      assert(out == "{} => 30 @[60]")
+      val outV1 = QueryTool.instant(s"http://127.0.0.1:${api.boundPort}",
+        """sum(pushed_total{job="pushv1"})""", Some("60")).toOption.get
+      assert(outV1 == "{} => 30 @[60]")
+    } finally api.stop()
+  }
+}

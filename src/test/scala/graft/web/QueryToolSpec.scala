@@ -1,0 +1,95 @@
+package graft.web
+
+import graft.promql.Engine
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `promtool query ...` analog against a live in-process API server —
+  * output must match the Go client library's model.Value string forms
+  * (ref: cmd/promtool/query.go + main.go promqlPrinter). */
+class QueryToolSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def withApi(f: String => Unit): Unit = {
+    val rows = for {
+      inst <- Seq("a", "b")
+      k <- 0 to 20
+    } yield Row(Map("__name__" -> "http_requests_total", "instance" -> inst,
+        "job" -> "api"), k * 30000L, (if (inst == "a") 10.0 else 20.0) * k,
+        false, null, 0L)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Engine.samplesSchema)
+    val api = new HttpApi(spark, new SampleStore(spark, df), 0, () => 600000L)
+    api.start()
+    try f(s"http://127.0.0.1:${api.boundPort}") finally api.stop()
+  }
+
+  test("formatting primitives: FormatFloat 'f' -1, metric/label-set strings") {
+    assert(QueryTool.fmtF(200.0) == "200")
+    assert(QueryTool.fmtF(0.1) == "0.1")
+    assert(QueryTool.fmtF(2e7) == "20000000")
+    assert(QueryTool.fmtF(Double.NaN) == "NaN")
+    assert(QueryTool.fmtF(Double.PositiveInfinity) == "+Inf")
+    assert(QueryTool.metricString(Map("__name__" -> "up", "job" -> "x"))
+      == """up{job="x"}""")
+    assert(QueryTool.metricString(Map("__name__" -> "up")) == "up")
+    assert(QueryTool.metricString(Map.empty) == "{}")
+    assert(QueryTool.labelSetString(
+      Map("__name__" -> "up", "a" -> "b")) == """{__name__="up", a="b"}""")
+    assert(QueryTool.parseTime("600") == 600000L)
+    assert(QueryTool.parseTime("600.5") == 600500L)
+    assert(QueryTool.parseTime("1970-01-01T00:10:00Z") == 600000L)
+  }
+
+  test("instant: vector in `metric => value @[ts]` form") {
+    withApi { server =>
+      val out = QueryTool.instant(server, "http_requests_total", Some("600"))
+        .toOption.get
+      assert(out.linesIterator.toSet == Set(
+        """http_requests_total{instance="a", job="api"} => 200 @[600]""",
+        """http_requests_total{instance="b", job="api"} => 400 @[600]"""))
+
+      val sc = QueryTool.instant(server, "1 + 1", Some("600")).toOption.get
+      assert(sc == "scalar: 2 @[600]")
+    }
+  }
+
+  test("range: matrix blocks sorted by metric") {
+    withApi { server =>
+      val out = QueryTool.range(server,
+        "sum by (instance) (rate(http_requests_total[2m]))",
+        "480", "600", 60L).toOption.get
+      assert(out ==
+        """{instance="a"} =>
+          |0.3333333333333333 @[480]
+          |0.3333333333333333 @[540]
+          |0.3333333333333333 @[600]
+          |{instance="b"} =>
+          |0.6666666666666666 @[480]
+          |0.6666666666666666 @[540]
+          |0.6666666666666666 @[600]""".stripMargin)
+    }
+  }
+
+  test("series and label values line forms; API error surfaces") {
+    withApi { server =>
+      val s = QueryTool.series(server,
+        Seq("""http_requests_total{instance="a"}"""), "0", "600").toOption.get
+      assert(s ==
+        """{__name__="http_requests_total", instance="a", job="api"}""")
+
+      val lv = QueryTool.labelValues(server, "instance", Nil, None, None)
+        .toOption.get
+      assert(lv == "a\nb")
+
+      val err = QueryTool.instant(server, "sum(", Some("600"))
+      assert(err.isLeft && err.swap.exists(_.startsWith("query error:")))
+    }
+  }
+}
