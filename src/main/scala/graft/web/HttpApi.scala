@@ -616,6 +616,14 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
 
     server.createContext("/api/v1/status/flags", handler { ex => ok(ex, "{}") })
 
+    server.createContext("/api/v1/openapi.yaml", handler { ex =>
+      // ref: web/api/v1/openapi.go ServeOpenAPI (application/yaml,
+      // no-cache headers; the spec itself is generated from the routes)
+      ex.getResponseHeaders.set("Cache-Control",
+        "no-cache, no-store, must-revalidate")
+      respond(ex, 200, OpenApi.yaml, "application/yaml; charset=utf-8")
+    })
+
     // self metrics as (name, help, type, [(labels, value)]) — rendered as
     // text exposition by /metrics and JSON families by /status/self_metrics
     def selfMetricFamilies(): Seq[(String, String, String, Seq[(Map[String, String], Double)])] = {

@@ -1,0 +1,160 @@
+package graft.web
+
+/** OpenAPI 3.1 description of the v1 HTTP API, generated from a declarative
+  * route table and served at `/api/v1/openapi.yaml` (ref:
+  * web/api/v1/openapi.go ServeOpenAPI — the reference builds its spec
+  * programmatically too; this is the same idea at our route inventory).
+  */
+object OpenApi {
+
+  /** (path, method, tag, summary, params as (name, type, required,
+    * description)) */
+  private final case class Route(path: String, method: String, tag: String,
+      summary: String, params: Seq[(String, String, Boolean, String)])
+
+  private val ts =
+    ("string", "RFC3339 timestamp or Unix seconds")
+  private val matchP =
+    ("match[]", "string", true, "Repeated series selector.")
+
+  private val routes: Seq[Route] = {
+    val q = Seq(
+      ("query", "string", true, "The PromQL expression to evaluate."),
+      ("time", ts._1, false, ts._2),
+      ("timeout", "string", false, "Evaluation timeout."),
+      ("limit", "integer", false, "Maximum number of returned series."))
+    val qr = Seq(
+      ("query", "string", true, "The PromQL expression to evaluate."),
+      ("start", ts._1, true, ts._2),
+      ("end", ts._1, true, ts._2),
+      ("step", "string", true, "Query resolution step width."),
+      ("timeout", "string", false, "Evaluation timeout."),
+      ("limit", "integer", false, "Maximum number of returned series."))
+    val win = Seq(
+      ("start", ts._1, false, ts._2),
+      ("end", ts._1, false, ts._2),
+      ("limit", "integer", false, "Maximum number of returned items."))
+    Seq(
+      Route("/query", "get", "query", "Evaluate an instant query", q),
+      Route("/query_range", "get", "query", "Evaluate a range query", qr),
+      Route("/query_exemplars", "get", "query",
+        "Query exemplars for series", Seq(q.head,
+          ("start", ts._1, true, ts._2), ("end", ts._1, true, ts._2))),
+      Route("/format_query", "get", "query", "Format a PromQL expression",
+        Seq(("query", "string", true, "Expression to format."))),
+      Route("/parse_query", "get", "query",
+        "Parse a PromQL expression into an AST",
+        Seq(("query", "string", true, "Expression to parse."))),
+      Route("/series", "get", "metadata", "List matching series",
+        matchP +: win),
+      Route("/labels", "get", "metadata", "List label names",
+        matchP.copy(_3 = false) +: win),
+      Route("/label/{label_name}/values", "get", "metadata",
+        "List values of a label", matchP.copy(_3 = false) +: win),
+      Route("/metadata", "get", "metadata", "List metric metadata",
+        Seq(("metric", "string", false, "Filter to one metric name."),
+          ("limit", "integer", false, "Maximum metric families."))),
+      Route("/targets", "get", "status", "Current scrape targets",
+        Seq(("state", "string", false, "active/dropped/any filter."))),
+      Route("/targets/metadata", "get", "metadata",
+        "Metric metadata by scrape target",
+        Seq(("match_target", "string", false, "Target label selector."),
+          ("metric", "string", false, "Metric name filter."))),
+      Route("/targets/relabel_steps", "get", "status",
+        "Per-rule relabel trace of a target", Nil),
+      Route("/scrape_pools", "get", "status", "List scrape pools", Nil),
+      Route("/alertmanagers", "get", "status",
+        "Active and dropped alertmanagers", Nil),
+      Route("/alerts", "get", "rules", "Currently firing/pending alerts", Nil),
+      Route("/rules", "get", "rules", "Recording and alerting rules",
+        Seq(("type", "string", false, "alert|record filter."),
+          ("rule_name[]", "string", false, "Rule name filter."),
+          ("rule_group[]", "string", false, "Group name filter."),
+          ("file[]", "string", false, "Rule file filter."))),
+      Route("/status/buildinfo", "get", "status", "Build information", Nil),
+      Route("/status/runtimeinfo", "get", "status", "Runtime information", Nil),
+      Route("/status/config", "get", "status", "Loaded configuration", Nil),
+      Route("/status/flags", "get", "status", "Flag values", Nil),
+      Route("/status/tsdb", "get", "status", "TSDB cardinality statistics",
+        Seq(("limit", "integer", false, "Items per statistic."))),
+      Route("/status/tsdb/blocks", "get", "status", "TSDB block metadata", Nil),
+      Route("/status/walreplay", "get", "status", "WAL replay status", Nil),
+      Route("/status/self_metrics", "get", "status",
+        "Server self-metrics as JSON families",
+        Seq(("metric_name_pattern", "string", false,
+          "Anchored regex over family names."))),
+      Route("/notifications", "get", "status",
+        "Active notification banners", Nil),
+      Route("/notifications/live", "get", "status",
+        "Notification stream (SSE)", Nil),
+      Route("/search/metric_names", "get", "search",
+        "Fuzzy metric-name autocomplete",
+        Seq(("search", "string", true, "Search text."),
+          ("kind", "string", false, "Filter kind."),
+          ("limit", "integer", false, "Result cap."))),
+      Route("/search/label_names", "get", "search",
+        "Fuzzy label-name autocomplete",
+        Seq(("search", "string", true, "Search text."))),
+      Route("/search/label_values", "get", "search",
+        "Fuzzy label-value autocomplete",
+        Seq(("search", "string", true, "Search text."),
+          ("label", "string", true, "Label to complete values of."))),
+      Route("/read", "post", "remote", "Remote read (SAMPLES or " +
+        "STREAMED_XOR_CHUNKS)", Nil),
+      Route("/write", "post", "remote", "Remote write receiver (PRW 1.0/2.0)",
+        Nil),
+      Route("/otlp/v1/metrics", "post", "remote", "OTLP metrics receiver",
+        Nil),
+      Route("/admin/tsdb/delete_series", "post", "admin",
+        "Delete matching series", Seq(matchP,
+          ("start", ts._1, false, ts._2), ("end", ts._1, false, ts._2))),
+      Route("/admin/tsdb/clean_tombstones", "post", "admin",
+        "Apply pending tombstones", Nil),
+      Route("/admin/tsdb/snapshot", "post", "admin", "Snapshot the store",
+        Nil))
+  }
+
+  private def yStr(s: String): String =
+    if (s.forall(c => c.isLetterOrDigit || " ._-/()|,:".contains(c)) &&
+        s.nonEmpty && !s.head.isWhitespace) s
+    else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** the YAML document (stable output — cache-friendly) */
+  lazy val yaml: String = {
+    val sb = new StringBuilder
+    sb.append("openapi: 3.1.0\n")
+    sb.append("info:\n")
+    sb.append("    title: Prometheus API\n")
+    sb.append("    description: Spark-native analytics engine serving the " +
+      "Prometheus v1 HTTP API.\n")
+    sb.append("    version: 0.0.1\n")
+    sb.append("servers:\n    - url: /api/v1\n")
+    sb.append("paths:\n")
+    routes.groupBy(_.path).toSeq.sortBy(_._1).foreach { case (path, rs) =>
+      sb.append(s"    $path:\n")
+      rs.foreach { r =>
+        sb.append(s"        ${r.method}:\n")
+        sb.append(s"            tags:\n                - ${r.tag}\n")
+        sb.append(s"            summary: ${yStr(r.summary)}\n")
+        sb.append(s"            operationId: ${
+          r.path.stripPrefix("/").replaceAll("[^A-Za-z0-9]+", "_")}_${r.method}\n")
+        if (r.params.nonEmpty) {
+          sb.append("            parameters:\n")
+          r.params.foreach { case (n, t, req, desc) =>
+            sb.append(s"                - name: ${yStr(n)}\n")
+            sb.append("                  in: query\n")
+            sb.append(s"                  description: ${yStr(desc)}\n")
+            sb.append(s"                  required: $req\n")
+            sb.append("                  schema:\n")
+            sb.append(s"                    type: $t\n")
+          }
+        }
+        sb.append("            responses:\n")
+        sb.append("                \"200\":\n")
+        sb.append("                    description: Success envelope " +
+          "with status/data fields.\n")
+      }
+    }
+    sb.toString
+  }
+}

@@ -88,6 +88,21 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("openapi.yaml describes every GET/POST route the server registers") {
+    withApi { (port, _) =>
+      val (c, b) = get(port, "/api/v1/openapi.yaml")
+      assert(c == 200)
+      assert(b.startsWith("openapi: 3.1.0\n"))
+      assert(b.contains("servers:\n    - url: /api/v1"))
+      // spot-check required path + param structure
+      assert(b.contains("    /query:\n"))
+      assert(b.contains("summary: Evaluate an instant query"))
+      assert(b.contains("- name: query\n"))
+      assert(b.contains("    /label/{label_name}/values:\n"))
+      assert(b.contains("    /admin/tsdb/delete_series:\n        post:"))
+    }
+  }
+
   test("remote write ingests and is queryable; delete_series tombstones") {
     withApi { (port, store) =>
       val payload = RemoteWrite.encodeV1(Seq(

@@ -1,0 +1,98 @@
+package graft.web
+
+import graft.promql.Engine
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `promtool tsdb analyze` analog over a hand-computable fixture (ref:
+  * cmd/promtool/tsdb.go analyzeBlock section order and metrics). */
+class TsdbAnalyzeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // 3 series over a 100s block:
+  //   up{job=a}       covers [0, 100000]   (full — no churn)
+  //   up{job=b}       covers [0, 50000]    (uncovered 50000)
+  //   errors{job=a}   covers [90000,100000] (uncovered 90000)
+  private def fixture() = {
+    def rows(name: String, job: String, ts: Seq[Long]) =
+      ts.map(t => Row(Map("__name__" -> name, "job" -> job), t, 1.0,
+        false, null, 0L))
+    val all = rows("up", "a", Seq(0L, 100000L)) ++
+      rows("up", "b", Seq(0L, 50000L)) ++
+      rows("errors", "a", Seq(90000L, 100000L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(all, 2), Engine.samplesSchema)
+  }
+
+  test("counts, churn, common pairs, cardinality sections") {
+    val a = TsdbAnalyze.analyze(fixture(), limit = 10)
+    assert(a.totalSeries == 3)
+    assert(a.labelNames == 2) // __name__, job
+    // pairs: __name__=up(2), __name__=errors(1), job=a(2), job=b(1)
+    assert(a.uniquePairs == 4)
+    assert(a.totalPairs == 6)
+
+    // churn = floor(sum(uncovered)/span): up → 50000/100000 = 0;
+    // errors → 90000/100000 = 0; job=a → (0+90000)/100000 = 0;
+    // job=b → 50000/100000 = 0 — all sub-1 with this span
+    assert(a.churnPairs.forall(_.metric == 0))
+    val common = a.commonPairs.map(r => r.key -> r.metric).toMap
+    assert(common == Map("__name__=up" -> 2L, "job=a" -> 2L,
+      "__name__=errors" -> 1L, "job=b" -> 1L))
+    assert(a.commonPairs.take(2).forall(_.metric == 2)) // sorted desc
+
+    // cumulative value length: __name__ has up+errors = 8; job has a+b = 2
+    assert(a.cumValueLength.map(r => r.key -> r.metric).toMap ==
+      Map("__name__" -> 8L, "job" -> 2L))
+    assert(a.cardinalityLabels.map(r => r.key -> r.metric).toMap ==
+      Map("__name__" -> 2L, "job" -> 2L))
+    assert(a.cardinalityMetrics.map(r => r.key -> r.metric).toMap ==
+      Map("up" -> 2L, "errors" -> 1L))
+  }
+
+  test("churn ranking surfaces short-lived series at realistic spans") {
+    // 1 stable series + 3 churned replicas that each cover 1% of the block
+    val span = 1000000L
+    def rows(job: String, t0: Long, t1: Long) =
+      Seq(t0, t1).map(t => Row(Map("__name__" -> "up", "job" -> job), t,
+        1.0, false, null, 0L))
+    val all = rows("stable", 0L, span) ++
+      (1 to 3).flatMap(i => rows(s"ephemeral$i", 0L, span / 100))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(all, 2), Engine.samplesSchema)
+    val a = TsdbAnalyze.analyze(df, limit = 2)
+    // __name__=up rides 3 churned series: floor(3*0.99) = 2
+    assert(a.churnPairs.head == TsdbAnalyze.Ranked("__name__=up", 2))
+    assert(a.churnNames.map(_.key).take(2).contains("__name__"))
+    assert(a.churnPairs.size == 2) // limit respected
+  }
+
+  test("render: reference section order and Go duration header") {
+    val text = TsdbAnalyze.render(TsdbAnalyze.analyze(fixture()), "all")
+    val idx = Seq("Block ID: all", "Duration: 1m40s", "Total Series: 3",
+      "Label names: 2", "Postings (unique label pairs): 4",
+      "Postings entries (total label pairs): 6",
+      "Label pairs most involved in churning:",
+      "Label names most involved in churning:",
+      "Most common label pairs:",
+      "Label names with highest cumulative label value length:",
+      "Highest cardinality labels:",
+      "Highest cardinality metric names:").map(text.indexOf)
+    assert(idx.forall(_ >= 0) && idx == idx.sorted, text)
+    assert(text.contains("2 __name__=up") || text.contains("2 job=a"))
+  }
+
+  test("Go duration rendering") {
+    assert(CheckSdDuration.render(7200000L) == "2h0m0s")
+    assert(CheckSdDuration.render(90000L) == "1m30s")
+    assert(CheckSdDuration.render(500L) == "500ms")
+    assert(CheckSdDuration.render(1500L) == "1.5s")
+    assert(CheckSdDuration.render(100000L) == "1m40s")
+  }
+}
