@@ -131,4 +131,25 @@ object CorpusStats {
       .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)
+
+  /** Per-source token-length distribution: doc count, mean, and exact
+    * interpolated p50/p90/p99 — the mixture-balancing numbers a corpus
+    * curator reads before weighting sources. One aggregation; `percentile`
+    * is Spark's exact (sort-based per group) variant, fine while a single
+    * source's doc COUNT fits an executor's percentile buffer — at larger
+    * fan-in swap approx_percentile. Values round to 1e-6 so the floating
+    * interpolation hashes stably against the SQL oracle. */
+  def lengthQuantiles(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        size(words(col("text"))).cast("double").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 6).as("mean_tokens"),
+        percentile(col("n_tokens"),
+          array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+      .select(col("source"), col("n_docs"), col("mean_tokens"),
+        round(col("q")(0), 6).as("p50"),
+        round(col("q")(1), 6).as("p90"),
+        round(col("q")(2), 6).as("p99"))
 }

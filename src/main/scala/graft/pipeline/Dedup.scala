@@ -56,6 +56,26 @@ object Dedup {
     docs.withColumn("__w", words(col("text")))
       .select(col("doc_id"), explode(shingleUdf(n)(col("__w"))).as("sg"))
 
+  /** Benchmark decontamination (the GPT-3 / Pile n-gram overlap check):
+    * flag corpus docs sharing any word n-gram with a benchmark/eval set,
+    * with the shared-gram count as evidence. Docs in the benchmark itself
+    * are excluded.
+    *
+    * 100 TB shape: the benchmark side is eval-set-sized (thousands of
+    * docs), so its distinct grams BROADCAST; the corpus side streams
+    * through one broadcast hash join + one hash aggregation keyed on
+    * doc_id — the corpus is never shuffled on gram. */
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 13): DataFrame = {
+    val benchGrams = shingleRows(bench, n).select(col("sg")).distinct()
+    val benchIds = bench.select(col("doc_id"))
+    shingleRows(docs, n)
+      .join(broadcast(benchGrams), "sg")
+      .join(broadcast(benchIds), Seq("doc_id"), "left_anti")
+      .groupBy(col("doc_id"))
+      // shingleRows emits distinct grams per doc, so count == distinct count
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Exact dedup: group by normalized text, keep the smallest doc_id.
     * 100 TB: a single shuffle keyed on xxhash64(norm) — group sizes are
     * bounded by duplicate multiplicity, never by corpus size. */

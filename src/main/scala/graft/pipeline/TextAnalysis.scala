@@ -85,4 +85,21 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), rollingFp(Dedup.normText(col("text"))).as("fp"))
+
+  /** Per-doc lexical diversity: token/type counts, hapax legomena (words
+    * occurring exactly once in the doc), and type-token ratio — the cheap
+    * repetitiveness signals corpus filters threshold on. Entirely row-local
+    * (explode → two-level agg within the doc key), so it scales linearly
+    * with no cross-doc shuffle beyond the doc_id hash. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))
 }

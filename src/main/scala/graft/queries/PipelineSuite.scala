@@ -101,6 +101,17 @@ object PipelineSuite {
 
     "lp19_ngram_top20" -> { (s, dir) =>
       CorpusStats.ngramTopK(docs(s, dir), n = 3, k = 20) },
+
+    "lp20_contamination" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.contamination(d, d.filter(col("doc_id") < 20), n = 4)
+        .orderBy(col("doc_id")) },
+
+    "lp21_length_quantiles" -> { (s, dir) =>
+      CorpusStats.lengthQuantiles(docs(s, dir)).orderBy(col("source")) },
+
+    "lp22_lexical_diversity" -> { (s, dir) =>
+      TextAnalysis.lexicalDiversity(docs(s, dir)).orderBy(col("doc_id")) },
   )
 
   /** lp03's pair CTEs, shared by the clustering oracles */
@@ -297,5 +308,46 @@ object PipelineSuite {
            FROM d WHERE len(w) >= 3)
          SELECT ngram, count(*) AS cnt FROM g GROUP BY 1
          ORDER BY cnt DESC, ngram ASC LIMIT 20""",
+
+    // same shingling (distinct 4-grams per doc), same bench set, same
+    // self-exclusion
+    "lp20_contamination" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) < 4 THEN []
+             ELSE [list_aggregate(w[i:i+3], 'string_agg', ' ') for i in generate_series(1, len(w)-3)] END)) sg
+           FROM d),
+         bench AS (SELECT DISTINCT sg FROM sh WHERE doc_id < 20)
+         SELECT s.doc_id, count(*) AS n_shared_grams
+         FROM sh s JOIN bench b ON s.sg = b.sg
+         WHERE s.doc_id >= 20
+         GROUP BY 1 ORDER BY 1""",
+
+    // quantile_cont == Spark's exact interpolating percentile; both sides
+    // round to 1e-6 before hashing
+    "lp21_length_quantiles" ->
+      """WITH d AS (
+           SELECT source,
+             CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS DOUBLE) n
+           FROM documents)
+         SELECT source, count(*) AS n_docs, round(avg(n), 6) AS mean_tokens,
+           round(quantile_cont(n, 0.5), 6) AS p50,
+           round(quantile_cont(n, 0.9), 6) AS p90,
+           round(quantile_cont(n, 0.99), 6) AS p99
+         FROM d GROUP BY 1 ORDER BY 1""",
+
+    "lp22_lexical_diversity" ->
+      """WITH w AS (
+           SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) w
+           FROM documents),
+         f AS (SELECT doc_id, w, count(*) c FROM w GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+           round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS ttr
+         FROM f GROUP BY 1 ORDER BY 1""",
   )
 }

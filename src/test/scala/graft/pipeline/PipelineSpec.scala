@@ -285,6 +285,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq(("a b a", 2L), ("z z z", 2L)))
   }
 
+  test("contamination: shared n-grams vs a benchmark set, self excluded") {
+    val d = docsOf(
+      1L -> "alpha beta gamma delta epsilon", // benchmark doc
+      2L -> "x alpha beta gamma delta y",     // shares 2 distinct 4-grams? no — 1
+      3L -> "alpha beta gamma delta epsilon zeta", // shares 2
+      4L -> "unrelated words only here")
+    val out = Dedup.contamination(d, d.filter(col("doc_id") === 1L), n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc2 4-grams: {x α β γ, α β γ δ, β γ δ y} — overlap {α β γ δ} = 1
+    // doc3 4-grams include {α β γ δ, β γ δ ε} — overlap 2; doc1 excluded
+    assert(out == Map(2L -> 1L, 3L -> 2L))
+  }
+
+  test("length quantiles: exact interpolated percentiles per source") {
+    val d = docsFull(
+      (1L, "a", "en", "s"), (2L, "a b", "en", "s"),
+      (3L, "a b c", "en", "s"), (4L, "a b c d", "en", "s"))
+    val r = CorpusStats.lengthQuantiles(d).collect().head
+    assert(r.getString(0) == "s" && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.5) // mean of 1,2,3,4
+    assert(r.getDouble(3) == 2.5) // p50 interpolates
+    assert(r.getDouble(4) == 3.7) // p50+0.9*(n-1) → idx 2.7 → 3 + 0.7
+  }
+
+  test("lexical diversity: types, hapax, ttr") {
+    val d = docsOf(1L -> "a a b c", 2L -> "w w w w")
+    val out = TextAnalysis.lexicalDiversity(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(out(1L) == ((4L, 3L, 2L, 0.75))) // types a,b,c; hapax b,c
+    assert(out(2L) == ((4L, 1L, 0L, 0.25)))
+  }
+
   // ---------- recall floors for the approximate (no-oracle) operators ----
   // The driver gate can only check row counts for these; the floors below
   // pin QUALITY against exact ground truth so a silent recall regression
