@@ -1,0 +1,75 @@
+package graft.web
+
+import graft.promql.Engine
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `promtool debug` / `tsdb list` analogs (ref: cmd/promtool/debug.go,
+  * tsdb.go printBlocks): tar.gz round-trip and live-server collection. */
+class DebugToolSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("tar.gz round-trips entries incl. multi-block and empty files") {
+    val entries = Seq(
+      "a.txt" -> "hello".getBytes("UTF-8"),
+      "dir/b.json" -> ("x" * 1500).getBytes("UTF-8"), // spans 3 tar blocks
+      "empty.txt" -> Array.empty[Byte])
+    val bos = new java.io.ByteArrayOutputStream()
+    DebugTool.tarGz(entries, bos)
+    val back = DebugTool.unTarGz(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(back.map(_._1) == entries.map(_._1))
+    assert(back.map(e => new String(e._2, "UTF-8")) ==
+      entries.map(e => new String(e._2, "UTF-8")))
+  }
+
+  test("tar.gz is readable by system tar (ustar compliance)") {
+    val f = java.nio.file.Files.createTempFile("dbg", ".tar.gz")
+    val fos = new java.io.FileOutputStream(f.toFile)
+    DebugTool.tarGz(Seq("x/y.txt" -> "data".getBytes("UTF-8")), fos)
+    fos.close()
+    val p = new ProcessBuilder("tar", "tzf", f.toString)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() == 0, out)
+    assert(out.trim == "x/y.txt")
+  }
+
+  test("debug all collects endpoints + thread dump; tsdb list renders blocks") {
+    val rows = (0 to 20).map(k => Row(
+      Map("__name__" -> "m", "i" -> (k % 3).toString),
+      k * 3600000L, k.toDouble, false, null, 0L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Engine.samplesSchema)
+    val api = new HttpApi(spark, new SampleStore(spark, df), 0, () => 600000L)
+    api.start()
+    try {
+      val server = s"http://127.0.0.1:${api.boundPort}"
+      val tarball = java.nio.file.Files.createTempFile("dbg", ".tar.gz")
+      val names = DebugTool.debugWrite(server, "all", tarball.toString)
+      assert(names.contains("metrics.txt"))
+      assert(names.contains("status/tsdb.json"))
+      assert(names.contains("threads.txt"))
+      val back = DebugTool.unTarGz(
+        new java.io.FileInputStream(tarball.toFile)).toMap
+      assert(new String(back("metrics.txt"), "UTF-8")
+        .contains("prometheus_http_requests_total"))
+      assert(new String(back("status/buildinfo.json"), "UTF-8")
+        .contains("\"status\":\"success\""))
+      assert(new String(back("threads.txt"), "UTF-8").contains("main"))
+
+      val listing = DebugTool.tsdbList(server)
+      val lines = listing.linesIterator.toSeq
+      assert(lines.head.startsWith("BLOCK ULID"))
+      // 21 hourly samples over 72h = multiple 2h blocks, each with 3 series
+      assert(lines.size > 5)
+      assert(lines(1).contains("GRAFT"))
+    } finally api.stop()
+  }
+}
