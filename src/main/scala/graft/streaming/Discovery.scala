@@ -60,16 +60,25 @@ object Discovery {
       override val refreshMs: Long = 60000L) extends Provider {
     private val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    // group count of the previous successful refresh: a SHRINKING response
+    // must emit empty groups for the dropped indices or the manager's
+    // keep-absent-sources semantics would scrape the stale targets forever
+    // (ref: discovery/http/http.go Refresh backfills [len(tgs), tgLastLength))
+    private var lastLength = 0
     override def refresh(): Seq[TargetGroup] = {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .header("Accept", "application/json").GET().build()
       val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() != 200)
         throw new IllegalStateException(s"http sd: status ${resp.statusCode()}")
-      ScrapeManager.jsonSdGroups(resp.body(), url).zipWithIndex.map {
+      val groups = ScrapeManager.jsonSdGroups(resp.body(), url).zipWithIndex.map {
         case ((lbls, tgts), i) =>
           TargetGroup(s"$url:$i", lbls, tgts.map(a => (a, Map.empty[String, String])))
       }
+      val deletions = (groups.length until lastLength)
+        .map(i => TargetGroup(s"$url:$i", Map.empty, Nil))
+      lastLength = groups.length
+      groups ++ deletions
     }
   }
 
@@ -182,21 +191,29 @@ object Discovery {
     def clear(): Unit = synchronized { regs = Vector.empty; state.clear(); lastPoll.clear() }
 
     /** refresh every provider whose cadence has elapsed and fold the result
-      * into the per-source state (ref: manager.go updateGroup semantics) */
-    def poll(): Unit = regs.foreach { r =>
-      val key = (r.setName, r.provider.name)
-      val now = nowMs()
-      val due = lastPoll.get(key).forall(at => now - at >= r.provider.refreshMs)
-      if (due) {
-        try {
-          val groups = r.provider.refresh()
+      * into the per-source state (ref: manager.go updateGroup semantics).
+      * Synchronized: every scrape pool's target provider calls poll(), and
+      * an unlocked read-check-put on lastPoll would race duplicate
+      * refreshes (and interleaved state folds could resurrect a deleted
+      * source). The cadence stamp is taken BEFORE the refresh and kept on
+      * failure — a downed SD endpoint is retried at its refresh interval,
+      * not hammered at scrape frequency. */
+    def poll(): Unit = synchronized {
+      regs.foreach { r =>
+        val key = (r.setName, r.provider.name)
+        val now = nowMs()
+        val due = lastPoll.get(key).forall(at => now - at >= r.provider.refreshMs)
+        if (due) {
           lastPoll.put(key, now)
-          val prev = state.getOrElse(key, Map.empty)
-          val next = groups.foldLeft(prev) { (acc, g) =>
-            if (g.targets.nonEmpty) acc + (g.source -> g) else acc - g.source
-          }
-          state.put(key, next)
-        } catch { case _: Exception => () } // whole-refresh failure: keep state
+          try {
+            val groups = r.provider.refresh()
+            val prev = state.getOrElse(key, Map.empty)
+            val next = groups.foldLeft(prev) { (acc, g) =>
+              if (g.targets.nonEmpty) acc + (g.source -> g) else acc - g.source
+            }
+            state.put(key, next)
+          } catch { case _: Exception => () } // whole-refresh failure: keep state
+        }
       }
     }
 

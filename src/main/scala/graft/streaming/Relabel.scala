@@ -69,17 +69,16 @@ object Relabel {
             } else if (namedGroups.contains(name)) sb ++= "${" + name + "}"
             i = close + 1
           }
-        case d if d.isDigit =>
-          var j = i + 1
-          while (j < n && repl.charAt(j).isDigit) j += 1
-          val num = repl.substring(i + 1, j)
-          if (num.length < 9 && num.toInt <= groupCount) sb ++= "$" + num
-          i = j
-        case a if a.isLetter || a == '_' =>
+        case a if a.isLetterOrDigit || a == '_' =>
+          // Go regexp.Expand scans the LONGEST [A-Za-z0-9_]+ run as ONE
+          // name — "$1x" is the (undefined) group "1x" expanding to empty,
+          // NOT group 1 followed by "x" (the documented ${1}x gotcha)
           var j = i + 1
           while (j < n && (repl.charAt(j).isLetterOrDigit || repl.charAt(j) == '_')) j += 1
           val name = repl.substring(i + 1, j)
-          if (namedGroups.contains(name)) sb ++= "${" + name + "}"
+          if (name.forall(_.isDigit)) {
+            if (name.length < 9 && name.toInt <= groupCount) sb ++= "$" + name
+          } else if (namedGroups.contains(name)) sb ++= "${" + name + "}"
           i = j
         case _ => sb ++= "\\$"; i += 1
       }

@@ -573,7 +573,10 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         case Some(dir) =>
           val root = new java.io.File(dir).getCanonicalFile
           val f = new java.io.File(root, name)
-          if (!f.getCanonicalPath.startsWith(root.getPath) || !f.isFile)
+          // traversal guard: require the SEPARATOR after the root prefix, or
+          // /srv/consoles-private would pass a startsWith("/srv/consoles")
+          if (!f.getCanonicalPath.startsWith(
+              root.getPath + java.io.File.separator) || !f.isFile)
             respond(ex, 404, s"console template $name not found", "text/plain; charset=utf-8")
           else {
             val text = new String(
@@ -692,30 +695,40 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     server.createContext("/api/v1/notifications/live", handler { ex =>
       // SSE stream (ref: api.go:2044 notificationsSSE): current actives are
       // sent as initial events, then updates as they fire; subscriber cap
-      // exceeded → 204 so clients fall back to polling
-      notifications.subscribe() match {
+      // exceeded → 204 so clients fall back to polling.
+      // The long-lived stream runs on its OWN daemon thread — parking it on
+      // one of the fixed-pool handler threads would let a handful of SSE
+      // clients starve every other endpoint.
+      notifications.subscribeWithSnapshot() match {
         case None =>
           ex.sendResponseHeaders(204, -1); ex.close()
-        case Some((q, unsubscribe)) =>
-          try {
-            ex.getResponseHeaders.set("Content-Type", "text/event-stream")
-            ex.getResponseHeaders.set("Cache-Control", "no-cache")
-            ex.sendResponseHeaders(200, 0)
-            val out = ex.getResponseBody
-            def emit(n: notifications.Notification): Unit = {
-              out.write(s"data: ${notifications.json(n)}\n\n".getBytes("UTF-8"))
-              out.flush()
-            }
-            notifications.active.foreach(emit)
-            var open = true
-            while (open) {
-              val n = q.poll(15, java.util.concurrent.TimeUnit.SECONDS)
-              if (n != null) emit(n)
-              else { out.write(":keepalive\n\n".getBytes("UTF-8")); out.flush() }
-            }
-          } catch {
-            case _: java.io.IOException => // client went away
-          } finally { unsubscribe(); ex.close() }
+        case Some((snapshot, q, unsubscribe)) =>
+          ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+          ex.getResponseHeaders.set("Cache-Control", "no-cache")
+          ex.sendResponseHeaders(200, 0)
+          val t = new Thread(() => {
+            try {
+              val out = ex.getResponseBody
+              def emit(n: notifications.Notification): Unit = {
+                out.write(s"data: ${notifications.json(n)}\n\n".getBytes("UTF-8"))
+                out.flush()
+              }
+              // snapshot is atomic with queue registration, so an add()
+              // racing this handler lands in exactly one of the two
+              snapshot.foreach(emit)
+              var open = true
+              while (open) {
+                val n = q.poll(15, java.util.concurrent.TimeUnit.SECONDS)
+                if (n != null) emit(n)
+                else { out.write(":keepalive\n\n".getBytes("UTF-8")); out.flush() }
+              }
+            } catch {
+              case _: java.io.IOException => // client went away
+              case _: InterruptedException =>
+            } finally { unsubscribe(); ex.close() }
+          }, "sse-notifications")
+          t.setDaemon(true)
+          t.start()
       }
     })
 
@@ -745,7 +758,11 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         .groupBy(((col("t") / graft.streaming.Ingest.blockMs).cast("long") *
           graft.streaming.Ingest.blockMs).as("block"))
         .agg(count(lit(1)).as("numSamples"),
-          approx_count_distinct(xxhash64(to_json(col("labels")))).as("numSeries"),
+          // canonical entry-order-independent series identity (to_json on
+          // the raw map would hash the same series differently per ingest
+          // path's map ordering)
+          approx_count_distinct(
+            xxhash64(array_sort(map_entries(col("labels"))))).as("numSeries"),
           min(col("t")).as("minT"), max(col("t")).as("maxT"))
         .orderBy(col("block")).collect().toSeq
       val blocks = rows.map { r =>

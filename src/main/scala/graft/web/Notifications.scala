@@ -13,44 +13,48 @@ final class Notifications(maxSubscribers: Int = 16,
   private val subs = scala.collection.mutable.Set[
     java.util.concurrent.BlockingQueue[Notification]]()
 
-  /** add (or re-stamp) an active notification (ref: AddNotification) */
-  def add(text: String): Unit = {
-    val n = synchronized {
-      val i = items.indexWhere(_.text == text)
-      val n = Notification(text, nowMs(), active = true)
-      if (i >= 0) items(i) = n else items += n
-      n
-    }
+  /** add (or re-stamp) an active notification (ref: AddNotification);
+    * item update + fan-out share one synchronized section so a concurrent
+    * subscribeWithSnapshot sees each event exactly once */
+  def add(text: String): Unit = synchronized {
+    val i = items.indexWhere(_.text == text)
+    val n = Notification(text, nowMs(), active = true)
+    if (i >= 0) items(i) = n else items += n
     notifySubs(n)
   }
 
   /** resolve a notification; subscribers see it with active=false
     * (ref: DeleteNotification) */
-  def delete(text: String): Unit = {
-    val fired = synchronized {
-      val i = items.indexWhere(_.text == text)
-      if (i >= 0) { items.remove(i); Some(Notification(text, nowMs(), active = false)) }
-      else None
+  def delete(text: String): Unit = synchronized {
+    val i = items.indexWhere(_.text == text)
+    if (i >= 0) {
+      items.remove(i)
+      notifySubs(Notification(text, nowMs(), active = false))
     }
-    fired.foreach(notifySubs)
   }
 
   def active: Seq[Notification] = synchronized(items.toVector)
 
-  /** non-blocking fan-out; full subscriber queues drop (ref: notifySubscribers) */
-  private def notifySubs(n: Notification): Unit = {
-    val snapshot = synchronized(subs.toVector)
-    snapshot.foreach(q => { val _ = q.offer(n) })
-  }
+  /** non-blocking fan-out; full subscriber queues drop (ref:
+    * notifySubscribers). Callers hold the monitor (offer never blocks). */
+  private def notifySubs(n: Notification): Unit =
+    subs.foreach(q => { val _ = q.offer(n) })
 
   /** None when the subscriber cap is reached (SSE route answers 204) */
   def subscribe(): Option[(java.util.concurrent.BlockingQueue[Notification], () => Unit)] =
+    subscribeWithSnapshot().map { case (_, q, un) => (q, un) }
+
+  /** subscribe AND take the active snapshot in one synchronized step, so a
+    * concurrent add() is seen in exactly one of (snapshot, queue) — never
+    * both (the SSE route's duplicate-delivery race) */
+  def subscribeWithSnapshot(): Option[(Seq[Notification],
+      java.util.concurrent.BlockingQueue[Notification], () => Unit)] =
     synchronized {
       if (subs.size >= maxSubscribers) None
       else {
         val q = new java.util.concurrent.LinkedBlockingQueue[Notification](16)
         subs += q
-        Some((q, () => synchronized { subs -= q; () }))
+        Some((items.toVector, q, () => synchronized { subs -= q; () }))
       }
     }
 

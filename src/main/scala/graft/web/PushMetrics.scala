@@ -75,6 +75,9 @@ object PushMetrics {
         case "--v1" => v2 = false
         case "--label" =>
           i += 1
+          if (i >= args.length) {
+            System.err.println("--label needs a k=v argument"); sys.exit(2)
+          }
           args(i).split("=", 2) match {
             case Array(k, v) => labels(k) = v
             case _ => System.err.println(s"bad --label ${args(i)}"); sys.exit(2)

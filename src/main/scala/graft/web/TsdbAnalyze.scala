@@ -136,24 +136,9 @@ object TsdbAnalyze {
 }
 
 /** Go time.Duration rendering for the analyze header (ref: analyzeBlock
-  * prints `(time.Duration(...) * 1e6).String()` — e.g. "2h0m0s") */
+  * prints `(time.Duration(...) * 1e6).String()` — e.g. "2h0m0s");
+  * delegates to the template engine's exact Go implementation */
 private[web] object CheckSdDuration {
-  def render(ms: Long): String = {
-    if (ms == 0) return "0s"
-    if (ms < 1000) return s"${ms}ms"
-    val sb = new StringBuilder
-    var rest = ms
-    val h = rest / 3600000L; rest %= 3600000L
-    val m = rest / 60000L; rest %= 60000L
-    val s = rest / 1000L; val msr = rest % 1000L
-    if (h > 0) sb.append(h).append("h")
-    if (m > 0 || h > 0) sb.append(m).append("m")
-    if (msr == 0) sb.append(s).append("s")
-    else {
-      // fractional seconds print without trailing zeros (Go %v)
-      val frac = f"$msr%03d".reverse.dropWhile(_ == '0').reverse
-      sb.append(s).append('.').append(frac).append("s")
-    }
-    sb.toString
-  }
+  def render(ms: Long): String =
+    graft.template.GoTimeFmt.durationString(ms * 1000000L)
 }

@@ -133,6 +133,34 @@ class ConfigSpec extends AnyFunSuite {
     assert(scraped().map(_.instance).toSet == t1.map(_.instance).toSet)
   }
 
+  test("HTTP SD through the manager: a shrinking response retires stale groups") {
+    import Discovery._
+    @volatile var body = """[{"targets":["h1:9100"]},{"targets":["h2:9100"]}]"""
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/sd", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      var now = 0L
+      val mgr = new Manager(() => now)
+      mgr.register("job", new HttpSdProvider("http/0",
+        s"http://127.0.0.1:${server.getAddress.getPort}/sd", refreshMs = 60000L))
+      mgr.poll()
+      assert(mgr.targetsFor("job", "job").map(_.instance).toSet ==
+        Set("h1:9100", "h2:9100"))
+      // response shrinks to ONE group: the dropped index must emit an empty
+      // group so the manager deletes its source instead of keeping h2
+      // forever (ref: discovery/http/http.go tgLastLength backfill)
+      body = """[{"targets":["h3:9100"]}]"""
+      now = 61000L; mgr.poll()
+      assert(mgr.targetsFor("job", "job").map(_.instance).toSet == Set("h3:9100"))
+    } finally server.stop(0)
+  }
+
   test("CheckSd: Go model.Duration rendering") {
     assert(CheckSd.goDuration(0L) == "0s")
     assert(CheckSd.goDuration(60000L) == "1m")

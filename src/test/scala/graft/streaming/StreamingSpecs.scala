@@ -66,6 +66,18 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     val dropped = Relabel(df, Seq(Rule(LabelDrop, regex = "inst.*")))
     assert(dropped.select(map_keys(col("labels"))).collect()
       .forall(!_.getSeq[String](0).contains("instance")))
+
+    // Go regexp.Expand gotcha: "$1x" is the undefined group NAMED "1x"
+    // (longest [A-Za-z0-9_]+ run), expanding to EMPTY — users must write
+    // "${1}x"; an empty replace result deletes the target label
+    val gotcha = Relabel(df, Seq(Rule(Replace, sourceLabels = Seq("job"),
+      regex = "(.*)", targetLabel = "svc", replacement = "$1x")))
+    assert(gotcha.select(map_keys(col("labels"))).collect()
+      .forall(!_.getSeq[String](0).contains("svc")))
+    val braced = Relabel(df, Seq(Rule(Replace, sourceLabels = Seq("job"),
+      regex = "(.*)", targetLabel = "svc", replacement = "${1}x")))
+    assert(braced.select(element_at(col("labels"), "svc")).collect()
+      .map(_.getString(0)).toSet == Set("apix", "dbx"))
   }
 
   test("recording rule rewrites __name__ and feeds later rules") {
