@@ -164,8 +164,18 @@ object DebugTool {
     sb.toString
   }
 
-  /** CLI: `runMain graft.web.DebugTool debug all|metrics <server> [out.tar.gz]`
-    * or `runMain graft.web.DebugTool list <server>` */
+  /** `promtool check healthy|ready` (ref: main.go CheckServerHealth /
+    * CheckServerReadiness via /-/healthy, /-/ready): true on HTTP 200 */
+  def checkEndpoint(server: String, path: String): Boolean =
+    try client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$server$path")).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.discarding())
+      .statusCode() == 200
+    catch { case _: Exception => false }
+
+  /** CLI: `runMain graft.web.DebugTool debug all|metrics <server> [out.tar.gz]`,
+    * `list <server>`, `check-healthy <server>`, or `check-ready <server>` */
   def main(args: Array[String]): Unit = args.toList match {
     case "debug" :: what :: server :: rest =>
       val tarball = rest.headOption.getOrElse("debug.tar.gz")
@@ -174,9 +184,14 @@ object DebugTool {
       println(s"""Compiling debug information complete, all files written in "$tarball".""")
     case "list" :: server :: Nil =>
       print(tsdbList(server))
+    case cmd :: server :: Nil if cmd == "check-healthy" || cmd == "check-ready" =>
+      val path = if (cmd == "check-healthy") "/-/healthy" else "/-/ready"
+      if (checkEndpoint(server, path)) {
+        println(s"  SUCCESS: The server is ${cmd.stripPrefix("check-")}")
+      } else { System.err.println(s"  FAILED: $server$path"); sys.exit(1) }
     case _ =>
       System.err.println(
-        "usage: DebugTool debug all|metrics <server> [out.tar.gz] | list <server>")
+        "usage: DebugTool debug all|metrics <server> [out.tar.gz] | list <server> | check-healthy <server> | check-ready <server>")
       sys.exit(2)
   }
 }

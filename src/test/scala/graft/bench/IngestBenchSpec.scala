@@ -1,0 +1,37 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `tsdb bench write` analog: output layout and count sanity (ref:
+  * cmd/promtool/tsdb.go benchmarkWrite). */
+class IngestBenchSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("writes block-partitioned parquet with the engine's ingest columns") {
+    val out = java.nio.file.Files.createTempDirectory("ingbench").toString
+    // 1000 series x 960 scrapes at 15s = two 2h blocks
+    val (total, _, _) = IngestBench.run(spark, 1000, 960, out)
+    assert(total == 960000L)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 960000L)
+    // block partition column + the canonical ingest-materialized columns
+    val cols = back.columns.toSet
+    assert(Set("labels", "t", "v", "stale", "h", "stt", "__sg", "metric",
+      "block").subsetOf(cols))
+    import org.apache.spark.sql.functions._
+    // partition-column values are type-inferred on read (int here)
+    val blocks = back.select(col("block").cast("long")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    assert(blocks.toSeq == Seq(0L, 7200000L))
+    // series signature is the canonical sorted-entries hash
+    val sigs = back.filter(col("t") === 0L).select(col("__sg")).distinct().count()
+    assert(sigs == 1000L)
+  }
+}

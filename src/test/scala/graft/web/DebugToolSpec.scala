@@ -70,6 +70,11 @@ class DebugToolSpec extends AnyFunSuite {
       // 21 hourly samples over 72h = multiple 2h blocks, each with 3 series
       assert(lines.size > 5)
       assert(lines(1).contains("GRAFT"))
+
+      // check healthy/ready (ref: CheckServerHealth / CheckServerReadiness)
+      assert(DebugTool.checkEndpoint(server, "/-/healthy"))
+      assert(DebugTool.checkEndpoint(server, "/-/ready"))
+      assert(!DebugTool.checkEndpoint("http://127.0.0.1:1", "/-/healthy"))
     } finally api.stop()
   }
 }
