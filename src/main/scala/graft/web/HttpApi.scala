@@ -1131,10 +1131,29 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
 
     server.createContext("/api/v1/metadata", handler { ex =>
       // ref: web/api/v1/api.go metricMetadata — {metric: [{type,help,unit}]}
-      val items = store.metadata.toSeq.sortBy(_._1).map { case (fam, (t, u, h)) =>
-        fam -> Json.arr(Seq(Json.obj(
+      // with metric= filter, limit= family cap, limit_per_metric= entry cap
+      val p = params(ex)
+      def intParam(k: String): Int = p.get(k).flatMap(_.headOption) match {
+        case Some(s) => try s.toInt catch {
+          case _: NumberFormatException =>
+            throw new ParseError(s"$k must be a number", 0)
+        }
+        case None => -1
+      }
+      val limit = intParam("limit")
+      val limitPerMetric = intParam("limit_per_metric")
+      val metricFilter = p.get("metric").flatMap(_.headOption).filter(_.nonEmpty)
+      val all = store.metadata.toSeq.sortBy(_._1)
+        .filter { case (fam, _) => metricFilter.forall(_ == fam) }
+      val limited = if (limit >= 0) all.take(limit) else all
+      val items = limited.map { case (fam, (t, u, h)) =>
+        val entries = Seq(Json.obj(
           "type" -> Json.str(if (t.isEmpty) "unknown" else t),
-          "help" -> Json.str(h), "unit" -> Json.str(u))))
+          "help" -> Json.str(h), "unit" -> Json.str(u)))
+        // the store keeps one entry per family; the cap still applies
+        // (the reference gates on limitPerMetric > 0 — 0/negative = no cap)
+        fam -> Json.arr(
+          if (limitPerMetric > 0) entries.take(limitPerMetric) else entries)
       }
       ok(ex, Json.obj(items: _*))
     })

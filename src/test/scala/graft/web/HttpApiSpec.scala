@@ -271,6 +271,31 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("metadata: metric filter, limit, limit_per_metric (ref metricMetadata)") {
+    val store = fixtureStore()
+    store.mergeMetadata(Map(
+      "http_requests_total" -> (("counter", "", "Total requests.")),
+      "mem_bytes" -> (("gauge", "bytes", "Memory."))))
+    val api = new HttpApi(spark, store, 0, () => 600000L)
+    api.start()
+    try {
+      val port = api.boundPort
+      val (c1, b1) = get(port, "/api/v1/metadata")
+      assert(c1 == 200 && b1.contains("http_requests_total") && b1.contains("mem_bytes"))
+      val (_, b2) = get(port, "/api/v1/metadata?metric=mem_bytes")
+      assert(b2.contains("mem_bytes") && !b2.contains("http_requests_total"))
+      val (_, b3) = get(port, "/api/v1/metadata?limit=1")
+      assert(b3.contains("http_requests_total") && !b3.contains("mem_bytes"))
+      val (_, b4) = get(port, "/api/v1/metadata?limit=0")
+      assert(b4.contains("\"data\":{}"))
+      // limit_per_metric=0 means NO cap (reference gates on > 0)
+      val (_, b5) = get(port, "/api/v1/metadata?limit_per_metric=0")
+      assert(b5.contains("Total requests."))
+      val (c6, b6) = get(port, "/api/v1/metadata?limit=abc")
+      assert(c6 == 400 && b6.contains("must be a number"))
+    } finally api.stop()
+  }
+
   test("targets/metadata and alertmanagers endpoints render registry state") {
     val store = fixtureStore()
     store.mergeMetadata(Map(
