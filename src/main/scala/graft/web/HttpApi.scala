@@ -929,49 +929,128 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     // rule registry + live alerts (ref: api.go rules/alerts handlers) —
     // the host wires evaluated state in via `ruleGroups`/`alertState`
     server.createContext("/api/v1/rules", qHandler { ex =>
-      // `type=alert|record` filter (ref: api.go rules handler typeParam)
+      // ref: api.go rules handler — type=, rule_name[]/rule_group[]/file[]
+      // sets, exclude_alerts, match[] label filters, group_limit +
+      // group_next_token pagination (token = sha256(file;name))
       val p = params(ex)
       val typeFilter = p.get("type").flatMap(_.headOption).getOrElse("")
       if (typeFilter.nonEmpty && typeFilter != "alert" && typeFilter != "record")
         throw new IllegalArgumentException(
           s"not supported value $typeFilter of parameter type")
-      val groups = ruleGroups.map { g =>
-        val (lastMs, durS) = ruleEvalStats.getOrElse(g.name, (0L, 0.0))
-        val evalFields = Seq(
-          "evaluationTime" -> durS.toString,
-          "lastEvaluation" -> Json.str(
-            java.time.Instant.ofEpochMilli(lastMs).toString))
-        val rec =
-          if (typeFilter == "alert") Nil
-          else g.recording.map(r => Json.obj(Seq(
-            "type" -> Json.str("recording"), "name" -> Json.str(r.record),
-            "query" -> Json.str(r.expr), "labels" -> Json.metric(r.labels),
-            "health" -> Json.str("ok")) ++ evalFields: _*))
-        val alr =
-          if (typeFilter == "record") Nil
-          else g.alerting.map { a =>
-            val alerts = activeAlertsOf(g.name, a)
-            Json.obj(Seq(
-              "type" -> Json.str("alerting"), "name" -> Json.str(a.alert),
-              "query" -> Json.str(a.expr),
-              "duration" -> (a.forMs / 1000.0).toString,
-              "keepFiringFor" -> (a.keepFiringForMs / 1000.0).toString,
-              "labels" -> Json.metric(a.labels),
-              "annotations" -> Json.metric(a.annotations),
-              "state" -> Json.str(
-                if (alerts.exists(_._2 == "firing")) "firing"
-                else if (alerts.nonEmpty) "pending" else "inactive"),
-              "alerts" -> Json.arr(alerts.map(_._1)),
-              "health" -> Json.str("ok")) ++ evalFields: _*)
-          }
-        Json.obj("name" -> Json.str(g.name), "file" -> Json.str(""),
-          "interval" -> (g.intervalMs / 1000.0).toString,
-          "rules" -> Json.arr(rec ++ alr),
-          "evaluationTime" -> durS.toString,
-          "lastEvaluation" -> Json.str(
-            java.time.Instant.ofEpochMilli(lastMs).toString))
+      val rnSet = p.getOrElse("rule_name[]", Nil).toSet
+      val rgSet = p.getOrElse("rule_group[]", Nil).toSet
+      val fSet = p.getOrElse("file[]", Nil).toSet
+      val excludeAlerts = p.get("exclude_alerts").flatMap(_.headOption)
+        .map(_.toLowerCase) match {
+        case None | Some("") => false
+        case Some("true" | "1" | "t") => true
+        case Some("false" | "0" | "f") => false
+        case Some(bad) => throw new IllegalArgumentException(
+          s"error converting exclude_alerts: $bad")
       }
-      ok(ex, Json.obj("groups" -> Json.arr(groups)))
+      val matcherSets = p.getOrElse("match[]", Nil).map(parseMatch)
+      def labelsMatch(lbls: Map[String, String]): Boolean =
+        matcherSets.isEmpty || matcherSets.exists(_.forall { m =>
+          val v = lbls.getOrElse(m.name, "")
+          m.op match {
+            case MatchOp.Eq => v == m.value
+            case MatchOp.Neq => v != m.value
+            case MatchOp.Re => v.matches("(?:" + m.value + ")")
+            case MatchOp.NotRe => !v.matches("(?:" + m.value + ")")
+          }
+        })
+      val groupLimit = p.get("group_limit").flatMap(_.headOption) match {
+        case None => -1
+        case Some(s) =>
+          val n = try s.toInt catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"group_limit needs to be a valid number: $s")
+          }
+          if (n <= 0) throw new IllegalArgumentException(
+            "group_limit needs to be greater than 0")
+          n
+      }
+      val nextTokenParam = p.get("group_next_token").flatMap(_.headOption)
+        .getOrElse("")
+      if (nextTokenParam.nonEmpty && groupLimit < 0)
+        throw new IllegalArgumentException(
+          "group_limit needs to be present in order to paginate over the groups")
+      def tokenOf(file: String, group: String): String = {
+        val d = java.security.MessageDigest.getInstance("SHA-256")
+        d.digest((file + ";" + group).getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+      }
+
+      val rendered = scala.collection.mutable.ArrayBuffer[String]()
+      var nextToken = ""
+      var foundToken = nextTokenParam.isEmpty
+      val it = ruleGroups.iterator
+      while (it.hasNext && nextToken.isEmpty) {
+        val g = it.next()
+        val skipToToken = !foundToken && tokenOf("", g.name) != nextTokenParam
+        if (!skipToToken) {
+          foundToken = true
+          val groupKept =
+            (rgSet.isEmpty || rgSet.contains(g.name)) &&
+            (fSet.isEmpty || fSet.contains(""))
+          if (groupKept) {
+            val (lastMs, durS) = ruleEvalStats.getOrElse(g.name, (0L, 0.0))
+            val evalFields = Seq(
+              "evaluationTime" -> durS.toString,
+              "lastEvaluation" -> Json.str(
+                java.time.Instant.ofEpochMilli(lastMs).toString))
+            val rec =
+              if (typeFilter == "alert") Nil
+              else g.recording
+                .filter(r => (rnSet.isEmpty || rnSet.contains(r.record)) &&
+                  labelsMatch(r.labels))
+                .map(r => Json.obj(Seq(
+                  "type" -> Json.str("recording"), "name" -> Json.str(r.record),
+                  "query" -> Json.str(r.expr), "labels" -> Json.metric(r.labels),
+                  "health" -> Json.str("ok")) ++ evalFields: _*))
+            val alr =
+              if (typeFilter == "record") Nil
+              else g.alerting
+                .filter(a => (rnSet.isEmpty || rnSet.contains(a.alert)) &&
+                  labelsMatch(a.labels))
+                .map { a =>
+                  val alerts = activeAlertsOf(g.name, a)
+                  Json.obj(Seq(
+                    "type" -> Json.str("alerting"), "name" -> Json.str(a.alert),
+                    "query" -> Json.str(a.expr),
+                    "duration" -> (a.forMs / 1000.0).toString,
+                    "keepFiringFor" -> (a.keepFiringForMs / 1000.0).toString,
+                    "labels" -> Json.metric(a.labels),
+                    "annotations" -> Json.metric(a.annotations),
+                    "state" -> Json.str(
+                      if (alerts.exists(_._2 == "firing")) "firing"
+                      else if (alerts.nonEmpty) "pending" else "inactive"),
+                    "alerts" ->
+                      (if (excludeAlerts) "[]" else Json.arr(alerts.map(_._1))),
+                    "health" -> Json.str("ok")) ++ evalFields: _*)
+                }
+            // a group whose rules all filtered away is skipped (ref comment)
+            if ((rec ++ alr).nonEmpty) {
+              if (groupLimit > 0 && rendered.size == groupLimit) {
+                nextToken = tokenOf("", g.name)
+              } else rendered += Json.obj(
+                "name" -> Json.str(g.name), "file" -> Json.str(""),
+                "interval" -> (g.intervalMs / 1000.0).toString,
+                "rules" -> Json.arr(rec ++ alr),
+                "evaluationTime" -> durS.toString,
+                "lastEvaluation" -> Json.str(
+                  java.time.Instant.ofEpochMilli(lastMs).toString))
+            }
+          }
+        }
+      }
+      if (!foundToken)
+        throw new IllegalArgumentException(
+          s"invalid group_next_token '$nextTokenParam'. were rule groups changed?")
+      val fields = Seq("groups" -> Json.arr(rendered)) ++
+        (if (nextToken.nonEmpty) Seq("groupNextToken" -> Json.str(nextToken))
+         else Nil)
+      ok(ex, Json.obj(fields: _*))
     })
 
     server.createContext("/api/v1/alerts", qHandler { ex =>

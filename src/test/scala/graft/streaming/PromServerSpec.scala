@@ -99,6 +99,27 @@ class PromServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(br2.contains("\"lastEvaluation\":\"1970-01-01T00:00:15Z\""), br2)
       assert(get(port, "/api/v1/rules?type=bogus")._1 == 400)
 
+      // rule_name[]/rule_group[]/exclude_alerts/match[]/pagination filters
+      // (ref: api.go rules handler)
+      val (_, bn1) = get(port, "/api/v1/rules?rule_name%5B%5D=Down")
+      assert(bn1.contains("\"Down\"") && !bn1.contains("job:up:count"), bn1)
+      val (_, bn2) = get(port, "/api/v1/rules?rule_name%5B%5D=nosuch")
+      assert(bn2.contains("\"groups\":[]"), bn2) // empty groups are skipped
+      val (_, bg1) = get(port, "/api/v1/rules?rule_group%5B%5D=g1")
+      assert(bg1.contains("job:up:count"), bg1)
+      val (_, bg2) = get(port, "/api/v1/rules?rule_group%5B%5D=other")
+      assert(bg2.contains("\"groups\":[]"), bg2)
+      val (_, bx) = get(port, "/api/v1/rules?type=alert&exclude_alerts=true")
+      assert(bx.contains("\"alerts\":[]"), bx)
+      assert(get(port, "/api/v1/rules?exclude_alerts=maybe")._1 == 400)
+      // pagination: limit 1 group — all rules fit in g1, so no next token
+      val (_, bp) = get(port, "/api/v1/rules?group_limit=1")
+      assert(bp.contains("job:up:count") && !bp.contains("groupNextToken"), bp)
+      assert(get(port, "/api/v1/rules?group_limit=0")._1 == 400)
+      assert(get(port, "/api/v1/rules?group_next_token=abc")._1 == 400)
+      assert(get(port,
+        "/api/v1/rules?group_limit=1&group_next_token=bogus")._1 == 400)
+
       // /api/v1/status/config serves the live yaml; alertmanagers listed
       val (c3, b3) = get(port, "/api/v1/status/config")
       assert(c3 == 200 && b3.contains("evaluation_interval"), b3)
