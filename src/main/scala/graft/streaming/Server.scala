@@ -58,6 +58,11 @@ final class PromServer(
   @volatile private var notifier: Option[graft.web.Notifier] = None
   @volatile private var forwarders: Seq[graft.web.RemoteWriteForwarder] = Nil
   @volatile private var scrapers: Seq[ScrapeManager] = Nil
+
+  /** per-job discovered labels of relabel-dropped targets, refreshed on
+    * each SD pass (feeds /api/v1/targets droppedTargets) */
+  private val droppedByJob =
+    scala.collection.concurrent.TrieMap[String, Seq[Map[String, String]]]()
   @volatile private var scraping = false
   @volatile private var queryLogPath: Option[String] = None
 
@@ -106,6 +111,7 @@ final class PromServer(
       // every job (ref: discovery/manager.go — targets keyed by
       // (setName, provider) → source); re-registered from scratch on reload
       discovery.clear()
+      droppedByJob.clear()
       cfg.scrapeJobs.foreach(Discovery.registerJob(discovery, _, dnsResolver))
       val mgrs = cfg.scrapeJobs.map { job =>
         val m = new ScrapeManager(spark, store, Nil,
@@ -113,9 +119,19 @@ final class PromServer(
           metricRelabel = job.metricRelabel, nowMs = nowMs, limits = job.limits)
         m.setTargetProvider { () =>
           discovery.poll()
-          discovery.targetsFor(job.jobName, job.jobName, job.scheme, job.metricsPath)
+          val discovered = discovery
+            .targetsFor(job.jobName, job.jobName, job.scheme, job.metricsPath)
             .map(_.copy(honorLabels = job.honorLabels))
-            .flatMap(t => ScrapeManager.relabelTarget(t, job.relabel))
+          val (kept, droppedNow) = discovered
+            .map(t => t -> ScrapeManager.relabelTarget(t, job.relabel))
+            .partition(_._2.isDefined)
+          // relabel-dropped targets stay visible with their discovered
+          // labels (ref: scrape/manager.go TargetsDropped → /targets)
+          droppedByJob.put(job.jobName, droppedNow.map { case (t, _) =>
+            ScrapeManager.discoveryLabelSet(t) })
+          api.droppedTargets = droppedByJob.toSeq.flatMap {
+            case (pool, ds) => ds.map(pool -> _) }
+          kept.flatMap(_._2)
         }
         m
       }

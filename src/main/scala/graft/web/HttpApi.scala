@@ -57,6 +57,11 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     * (re)load; serves /scrape_pools and /targets/relabel_steps */
   @volatile var scrapePoolConfigs: Map[String, Seq[graft.streaming.Relabel.Rule]] = Map.empty
 
+  /** (pool, discovered labels) of targets relabeling DROPPED on the last SD
+    * pass — set by the server's target providers; serves /targets
+    * droppedTargets (ref: scrape/manager.go TargetsDropped) */
+  @volatile var droppedTargets: Seq[(String, Map[String, String])] = Nil
+
   /** config `global.external_labels` — attached to federation output
     * (series labels win on conflict; ref: web/federate.go external-label
     * merge) and exposed for the notifier/rule paths */
@@ -1059,17 +1064,45 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     })
 
     server.createContext("/api/v1/targets", handler { ex =>
-      val active = scrapeTargets.map { t =>
-        Json.obj(
-          "discoveredLabels" -> Json.metric(Map("__address__" -> t.url)),
-          "labels" -> Json.metric(
-            Map("instance" -> t.instance, "job" -> t.job) ++ t.extraLabels),
-          "scrapePool" -> Json.str(t.job),
-          "scrapeUrl" -> Json.str(t.url),
-          "health" -> Json.str("up"))
-      }
-      ok(ex, Json.obj("activeTargets" -> Json.arr(active),
-        "droppedTargets" -> "[]"))
+      // ref: api.go targets handler — state=active|dropped|any filter,
+      // scrapePool filter, dropped targets with their discovered labels
+      // plus per-pool dropped counts
+      val p = params(ex)
+      val state = p.get("state").flatMap(_.headOption)
+        .map(_.toLowerCase).getOrElse("")
+      val poolFilter = p.get("scrapePool").flatMap(_.headOption)
+        .filter(_.nonEmpty)
+      val showActive = state.isEmpty || state == "any" || state == "active"
+      val showDropped = state.isEmpty || state == "any" || state == "dropped"
+      val active =
+        if (!showActive) Nil
+        else scrapeTargets
+          .filter(t => poolFilter.forall(_ == t.job))
+          .sortBy(_.job).map { t =>
+            Json.obj(
+              "discoveredLabels" -> Json.metric(Map("__address__" -> t.url)),
+              "labels" -> Json.metric(
+                Map("instance" -> t.instance, "job" -> t.job) ++ t.extraLabels),
+              "scrapePool" -> Json.str(t.job),
+              "scrapeUrl" -> Json.str(t.url),
+              "health" -> Json.str("up"))
+          }
+      val dropped =
+        if (!showDropped) Nil
+        else droppedTargets
+          .filter { case (pool, _) => poolFilter.forall(_ == pool) }
+          .sortBy(_._1).map { case (pool, lbls) =>
+            Json.obj("discoveredLabels" -> Json.metric(lbls),
+              "scrapePool" -> Json.str(pool))
+          }
+      val fields = Seq("activeTargets" -> Json.arr(active),
+        "droppedTargets" -> Json.arr(dropped)) ++
+        (if (showDropped)
+          Seq("droppedTargetCounts" -> Json.obj(
+            droppedTargets.groupBy(_._1).toSeq.sortBy(_._1)
+              .map { case (pool, ds) => pool -> ds.size.toString }: _*))
+         else Nil)
+      ok(ex, Json.obj(fields: _*))
     })
 
     server.createContext("/api/v1/targets/metadata", handler { ex =>

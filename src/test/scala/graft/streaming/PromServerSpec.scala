@@ -299,6 +299,40 @@ class PromServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally api.stop()
   }
 
+  test("targets: state/scrapePool filters, dropped targets with counts") {
+    import org.apache.spark.sql.Row
+    val samples = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Map("__name__" -> "up"), 0L, 1.0, false, null, 0L)), 1),
+      graft.promql.Engine.samplesSchema)
+    val api = new graft.web.HttpApi(spark,
+      new graft.web.SampleStore(spark, samples), 0, () => 600000L)
+    api.scrapeTargets = Seq(
+      ScrapeManager.ScrapeTarget("http://a:9100/metrics", "node", "a:9100"),
+      ScrapeManager.ScrapeTarget("http://b:8080/metrics", "api", "b:8080"))
+    api.droppedTargets = Seq(
+      "node" -> Map("__address__" -> "c:9100", "__meta_dns_name" -> "x"),
+      "node" -> Map("__address__" -> "d:9100"))
+    api.start()
+    try {
+      val port = api.boundPort
+      val (_, b1) = get(port, "/api/v1/targets")
+      assert(b1.contains("a:9100") && b1.contains("c:9100"))
+      assert(b1.contains("\"droppedTargetCounts\":{\"node\":2}"), b1)
+      val (_, b2) = get(port, "/api/v1/targets?state=active")
+      assert(b2.contains("a:9100") && !b2.contains("c:9100") &&
+        !b2.contains("droppedTargetCounts"), b2)
+      val (_, b3) = get(port, "/api/v1/targets?state=dropped")
+      assert(!b3.contains("a:9100") && b3.contains("c:9100") &&
+        b3.contains("__meta_dns_name"), b3)
+      val (_, b4) = get(port, "/api/v1/targets?scrapePool=api")
+      // droppedTargetCounts stays UNFILTERED by pool (ref: res.
+      // DroppedTargetCounts is set from TargetsDroppedCounts unconditionally)
+      assert(b4.contains("b:8080") && !b4.contains("a:9100") &&
+        b4.contains("\"droppedTargetCounts\":{\"node\":2}"), b4)
+    } finally api.stop()
+  }
+
   test("notifications, /metrics exposition, self_metrics") {
     val store = new graft.web.SampleStore(spark, spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
