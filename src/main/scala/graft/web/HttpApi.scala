@@ -901,34 +901,62 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     // TSDB head stats (ref: api.go serveTSDBStatus) — each stat is one
     // distributed aggregation over the store; only top-10 rows are collected
     server.createContext("/api/v1/status/tsdb", qHandler { ex =>
+      // ref: api.go serveTSDBStatus — limit= (default 10, 1..10000) bounds
+      // each statistic; all four statistics derive from ONE series-level
+      // distinct + one pair-level aggregation (series-cardinality shuffles)
+      val limit = params(ex).get("limit").flatMap(_.headOption) match {
+        case None => 10
+        case Some(str) =>
+          val n = try str.toInt catch {
+            case _: NumberFormatException =>
+              throw new ParseError("limit must be a positive number", 0)
+          }
+          if (n < 1) throw new ParseError("limit must be a positive number", 0)
+          if (n > 10000) throw new ParseError("limit must not exceed 10000", 0)
+          n
+      }
       val s = store.samples
-      val sig = xxhash64(to_json(map_from_entries(array_sort(map_entries(col("labels"))))))
-      val series = s.select(element_at(col("labels"), "__name__").as("n"), sig.as("sg")).distinct()
-        .cache()
-      val numSeries = series.count()
-      val top = (df: DataFrame) => Json.arr(df.collect().toSeq.map(r =>
-        Json.obj("name" -> Json.str(Option(r.getString(0)).getOrElse("")),
-          "value" -> r.getLong(1).toString)))
-      val byMetric = series.groupBy(col("n")).count()
-        .orderBy(col("count").desc, col("n")).limit(10)
-        .select(col("n"), col("count"))
-      val pairs = s.select(explode(map_entries(col("labels"))).as("e")).select(col("e.key"), col("e.value"))
-      val valueCountByName = pairs.distinct().groupBy(col("key")).count()
-        .orderBy(col("count").desc, col("key")).limit(10)
-      val tRange = s.agg(min(col("t")), max(col("t")), count(lit(1))).collect().head
-      val out = Json.obj(
-        "headStats" -> Json.obj(
-          "numSeries" -> numSeries.toString,
-          "numLabelPairs" -> pairs.distinct().count().toString,
-          "chunkCount" -> (if (tRange.isNullAt(2)) "0" else tRange.getLong(2).toString),
-          "minTime" -> (if (tRange.isNullAt(0)) "0" else tRange.getLong(0).toString),
-          "maxTime" -> (if (tRange.isNullAt(1)) "0" else tRange.getLong(1).toString)),
-        "seriesCountByMetricName" -> top(byMetric),
-        "labelValueCountByLabelName" -> top(valueCountByName),
-        "memoryInBytesByLabelName" -> "[]",
-        "seriesCountByLabelValuePair" -> "[]")
-      series.unpersist()
-      ok(ex, out)
+      val sl = s.select(array_sort(map_entries(col("labels"))).as("sl"))
+        .distinct().cache()
+      try {
+        val numSeries = sl.count()
+        // one row per (name, value) with its series count
+        val pairs = sl.select(explode(col("sl")).as("e"))
+          .groupBy(col("e.key").as("k"), col("e.value").as("v"))
+          .agg(count(lit(1)).as("c")).cache()
+        try {
+          val top = (df: DataFrame) => Json.arr(df.limit(limit).collect().toSeq
+            .map(r => Json.obj(
+              "name" -> Json.str(Option(r.getString(0)).getOrElse("")),
+              "value" -> r.getLong(1).toString)))
+          val byMetric = top(pairs.filter(col("k") === "__name__")
+            .orderBy(col("c").desc, col("v")).select(col("v"), col("c")))
+          val valueCountByName = top(pairs.groupBy(col("k")).count()
+            .orderBy(col("count").desc, col("k")))
+          // bytes the label values of a name occupy across its series
+          // (ref: PostingsStats labelValueLength — len(value)×postings)
+          val memByName = top(pairs.groupBy(col("k"))
+            .agg(sum(length(col("v")).cast("long") * col("c")).as("b"))
+            .orderBy(col("b").desc, col("k")))
+          val byPair = top(pairs
+            .select(concat(col("k"), lit("="), col("v")).as("p"), col("c"))
+            .orderBy(col("c").desc, col("p")))
+          val numLabelPairs = pairs.count()
+          val tRange = s.agg(min(col("t")), max(col("t")), count(lit(1)))
+            .collect().head
+          ok(ex, Json.obj(
+            "headStats" -> Json.obj(
+              "numSeries" -> numSeries.toString,
+              "numLabelPairs" -> numLabelPairs.toString,
+              "chunkCount" -> (if (tRange.isNullAt(2)) "0" else tRange.getLong(2).toString),
+              "minTime" -> (if (tRange.isNullAt(0)) "0" else tRange.getLong(0).toString),
+              "maxTime" -> (if (tRange.isNullAt(1)) "0" else tRange.getLong(1).toString)),
+            "seriesCountByMetricName" -> byMetric,
+            "labelValueCountByLabelName" -> valueCountByName,
+            "memoryInBytesByLabelName" -> memByName,
+            "seriesCountByLabelValuePair" -> byPair))
+        } finally pairs.unpersist()
+      } finally sl.unpersist()
     })
 
     // rule registry + live alerts (ref: api.go rules/alerts handlers) —

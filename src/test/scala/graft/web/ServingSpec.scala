@@ -660,6 +660,14 @@ class ServingSpec extends AnyFunSuite {
       val (c1, b1) = get(api.boundPort, "/api/v1/status/tsdb")
       assert(c1 == 200 && b1.contains("\"numSeries\":3") &&
         b1.contains("\"seriesCountByMetricName\""))
+      // limit= bounds each statistic; memory/pair stats are populated
+      assert(b1.contains("\"memoryInBytesByLabelName\":[{") &&
+        b1.contains("\"seriesCountByLabelValuePair\":[{"), b1)
+      val (c1b, b1b) = get(api.boundPort, "/api/v1/status/tsdb?limit=1")
+      assert(c1b == 200 &&
+        b1b.split("\"seriesCountByLabelValuePair\":\\[")(1).split("\\}").length <= 3, b1b)
+      assert(get(api.boundPort, "/api/v1/status/tsdb?limit=0")._1 == 400)
+      assert(get(api.boundPort, "/api/v1/status/tsdb?limit=99999")._1 == 400)
       val (c2, b2) = get(api.boundPort, "/api/v1/rules")
       assert(c2 == 200 && b2.contains("\"name\":\"g1\"") &&
         b2.contains("\"type\":\"recording\"") && b2.contains("\"state\":\"firing\""))
