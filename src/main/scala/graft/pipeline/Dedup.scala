@@ -58,19 +58,29 @@ object Dedup {
 
   /** Benchmark decontamination (the GPT-3 / Pile n-gram overlap check):
     * flag corpus docs sharing any word n-gram with a benchmark/eval set,
-    * with the shared-gram count as evidence. Docs in the benchmark itself
-    * are excluded.
+    * with the shared-gram count as evidence.
+    *
+    * `excludeBenchIds` is for the bench-is-a-corpus-subset case ONLY (same
+    * doc_id space): it anti-joins the benchmark's ids out of the result so
+    * a doc doesn't flag as contaminated by itself. Leave it false for an
+    * independently-ingested eval set — its doc_ids say nothing about the
+    * corpus, and excluding on them would silently clear contaminated docs
+    * that happen to collide in id.
     *
     * 100 TB shape: the benchmark side is eval-set-sized (thousands of
     * docs), so its distinct grams BROADCAST; the corpus side streams
     * through one broadcast hash join + one hash aggregation keyed on
     * doc_id — the corpus is never shuffled on gram. */
-  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 13): DataFrame = {
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 13,
+      excludeBenchIds: Boolean = false): DataFrame = {
     val benchGrams = shingleRows(bench, n).select(col("sg")).distinct()
-    val benchIds = bench.select(col("doc_id"))
-    shingleRows(docs, n)
+    val hits = shingleRows(docs, n)
       .join(broadcast(benchGrams), "sg")
-      .join(broadcast(benchIds), Seq("doc_id"), "left_anti")
+    val scoped =
+      if (excludeBenchIds)
+        hits.join(broadcast(bench.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      else hits
+    scoped
       .groupBy(col("doc_id"))
       // shingleRows emits distinct grams per doc, so count == distinct count
       .agg(count(lit(1)).as("n_shared_grams"))

@@ -104,7 +104,8 @@ object PipelineSuite {
 
     "lp20_contamination" -> { (s, dir) =>
       val d = docs(s, dir)
-      Dedup.contamination(d, d.filter(col("doc_id") < 20), n = 4)
+      Dedup.contamination(d, d.filter(col("doc_id") < 20), n = 4,
+        excludeBenchIds = true) // bench IS a corpus subset here
         .orderBy(col("doc_id")) },
 
     "lp21_length_quantiles" -> { (s, dir) =>

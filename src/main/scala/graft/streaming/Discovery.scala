@@ -67,6 +67,7 @@ object Discovery {
     private var lastLength = 0
     override def refresh(): Seq[TargetGroup] = {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(30)) // a hung endpoint must not wedge the poll
         .header("Accept", "application/json").GET().build()
       val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() != 200)
@@ -187,33 +188,49 @@ object Discovery {
       regs = regs :+ Reg(setName, provider)
     }
 
-    /** drop every registration (config reload re-registers from scratch) */
-    def clear(): Unit = synchronized { regs = Vector.empty; state.clear(); lastPoll.clear() }
+    /** drop every registration (config reload re-registers from scratch);
+      * in-flight refreshes of dropped providers finish into dead keys */
+    def clear(): Unit = synchronized {
+      regs = Vector.empty; state.clear(); lastPoll.clear(); inFlight.clear()
+    }
+
+    // providers currently being refreshed — claims are single-flight so
+    // N pools sharing a provider never duplicate SD fetches
+    private val inFlight = scala.collection.mutable.Set[(String, String)]()
 
     /** refresh every provider whose cadence has elapsed and fold the result
       * into the per-source state (ref: manager.go updateGroup semantics).
-      * Synchronized: every scrape pool's target provider calls poll(), and
-      * an unlocked read-check-put on lastPoll would race duplicate
-      * refreshes (and interleaved state folds could resurrect a deleted
-      * source). The cadence stamp is taken BEFORE the refresh and kept on
-      * failure — a downed SD endpoint is retried at its refresh interval,
-      * not hammered at scrape frequency. */
-    def poll(): Unit = synchronized {
-      regs.foreach { r =>
+      * Claiming (lastPoll stamp + in-flight mark) happens under the
+      * monitor, so concurrent pools can't duplicate a refresh or interleave
+      * state folds — but the refresh network I/O itself runs UNLOCKED: one
+      * unresponsive SD endpoint must not stall every other job's target
+      * resolution (or a config reload) behind the monitor. The cadence
+      * stamp is kept on failure — a downed endpoint is retried at its
+      * refresh interval, not hammered at scrape frequency. */
+    def poll(): Unit = {
+      val now = nowMs()
+      val claimed = synchronized {
+        regs.filter { r =>
+          val key = (r.setName, r.provider.name)
+          val due = !inFlight.contains(key) &&
+            lastPoll.get(key).forall(at => now - at >= r.provider.refreshMs)
+          if (due) { lastPoll.put(key, now); inFlight += key }
+          due
+        }
+      }
+      claimed.foreach { r =>
         val key = (r.setName, r.provider.name)
-        val now = nowMs()
-        val due = lastPoll.get(key).forall(at => now - at >= r.provider.refreshMs)
-        if (due) {
-          lastPoll.put(key, now)
-          try {
-            val groups = r.provider.refresh()
+        try {
+          val groups = r.provider.refresh() // blocking I/O, no lock held
+          synchronized {
             val prev = state.getOrElse(key, Map.empty)
             val next = groups.foldLeft(prev) { (acc, g) =>
               if (g.targets.nonEmpty) acc + (g.source -> g) else acc - g.source
             }
             state.put(key, next)
-          } catch { case _: Exception => () } // whole-refresh failure: keep state
-        }
+          }
+        } catch { case _: Exception => () } // whole-refresh failure: keep state
+        finally synchronized { inFlight -= key }
       }
     }
 

@@ -69,7 +69,9 @@ object DebugTool {
         val size = java.lang.Long.parseLong(
           new String(h, 124, 12, "US-ASCII").trim.stripSuffix("\u0000").trim, 8)
         val data = new Array[Byte](size.toInt)
-        readFully(data, size.toInt)
+        if (!readFully(data, size.toInt))
+          throw new java.io.IOException(
+            s"truncated tar entry $name (expected $size bytes)")
         val pad = ((512 - size % 512) % 512).toInt
         if (pad > 0) readFully(new Array[Byte](pad), pad)
         out += ((name, data))

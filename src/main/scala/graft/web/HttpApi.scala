@@ -184,6 +184,15 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     * adds/deletes banners (config reload failures etc.) */
   val notifications = new Notifications(nowMs = nowMs)
 
+  /** handler for routes that hand the exchange to a long-lived streaming
+    * thread: the exchange is NOT closed when the lambda returns (the
+    * streaming thread owns it); errors thrown before detach still close */
+  private def streamingHandler(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) =>
+      try { countRequest(ex.getHttpContext.getPath); f(ex) }
+      catch { case _: Throwable =>
+        try ex.close() catch { case _: Exception => () } }
+
   private def handler(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) =>
     try { countRequest(ex.getHttpContext.getPath); f(ex) }
     catch {
@@ -697,20 +706,27 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       ok(ex, Json.arr(notifications.active.map(notifications.json)))
     })
 
-    server.createContext("/api/v1/notifications/live", handler { ex =>
+    server.createContext("/api/v1/notifications/live", streamingHandler { ex =>
       // SSE stream (ref: api.go:2044 notificationsSSE): current actives are
       // sent as initial events, then updates as they fire; subscriber cap
       // exceeded → 204 so clients fall back to polling.
       // The long-lived stream runs on its OWN daemon thread — parking it on
       // one of the fixed-pool handler threads would let a handful of SSE
-      // clients starve every other endpoint.
+      // clients starve every other endpoint. streamingHandler leaves the
+      // exchange OPEN on return (the thread owns closing it).
       notifications.subscribeWithSnapshot() match {
         case None =>
           ex.sendResponseHeaders(204, -1); ex.close()
         case Some((snapshot, q, unsubscribe)) =>
-          ex.getResponseHeaders.set("Content-Type", "text/event-stream")
-          ex.getResponseHeaders.set("Cache-Control", "no-cache")
-          ex.sendResponseHeaders(200, 0)
+          try {
+            ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+            ex.getResponseHeaders.set("Cache-Control", "no-cache")
+            ex.sendResponseHeaders(200, 0)
+          } catch {
+            // a reset before headers land must release the subscriber slot
+            // or 16 resets pin the endpoint at 204 forever
+            case e: Throwable => unsubscribe(); throw e
+          }
           val t = new Thread(() => {
             try {
               val out = ex.getResponseBody

@@ -291,7 +291,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       2L -> "x alpha beta gamma delta y",     // shares 2 distinct 4-grams? no — 1
       3L -> "alpha beta gamma delta epsilon zeta", // shares 2
       4L -> "unrelated words only here")
-    val out = Dedup.contamination(d, d.filter(col("doc_id") === 1L), n = 4)
+    val out = Dedup.contamination(d, d.filter(col("doc_id") === 1L), n = 4,
+      excludeBenchIds = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // doc2 4-grams: {x α β γ, α β γ δ, β γ δ y} — overlap {α β γ δ} = 1
     // doc3 4-grams include {α β γ δ, β γ δ ε} — overlap 2; doc1 excluded

@@ -363,6 +363,30 @@ class PromServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (c3, b3) = get(port, "/api/v1/status/self_metrics?metric_name_pattern=prometheus_http.%2B")
       assert(c3 == 200 && b3.contains("\"type\":\"COUNTER\"") &&
         !b3.contains("build_info"), b3)
+
+      // SSE live stream end-to-end: the connection must stay OPEN after the
+      // handler returns (the stream runs on its own thread; a previous
+      // regression closed the exchange immediately), deliver the initial
+      // snapshot, then a subsequent add exactly once
+      api.notifications.add("banner one")
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:$port/api/v1/notifications/live")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setReadTimeout(5000)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+      def nextData(): String = {
+        var line = in.readLine()
+        while (line != null && !line.startsWith("data: ")) line = in.readLine()
+        assert(line != null, "SSE stream ended prematurely")
+        line.stripPrefix("data: ")
+      }
+      val first = nextData()
+      assert(first.contains("banner one") && first.contains("\"active\":true"), first)
+      api.notifications.add("banner two")
+      val second = nextData()
+      assert(second.contains("banner two"), second)
+      conn.disconnect()
     } finally api.stop()
   }
 
