@@ -1,0 +1,70 @@
+package graft.web
+
+import graft.promql.{Engine, FHist}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `promtool query analyze --type=histogram` analog (ref:
+  * cmd/promtool/analyze.go): classic de-cumulation + native sparse-bucket
+  * statistics against a live server. */
+class QueryAnalyzeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("classicStats: de-cumulates le series per timestamp") {
+    // buckets le=1: [1,2], le=2: [3,4], le=+Inf: [3,5]
+    // t0 counts: 1, 2, 0 -> pop 2; t1: 2, 2, 1 -> pop 3
+    val s = QueryAnalyze.classicStats(Seq(
+      (1.0, Seq(1.0, 2.0)),
+      (2.0, Seq(3.0, 4.0)),
+      (Double.PositiveInfinity, Seq(3.0, 5.0)))).get
+    assert(s.minPop == 2 && s.maxPop == 3 && s.total == 3)
+    assert(math.abs(s.avgPop - 2.5) < 1e-12)
+    assert(s.toString == "2/2.500/3")
+    // single sample -> not enough data
+    assert(QueryAnalyze.classicStats(Seq((1.0, Seq(1.0)))).isEmpty)
+  }
+
+  test("nativeStats: populated per sample, distinct bounds as total") {
+    val b1 = ("0", "1", "2"); val b2 = ("0", "2", "4"); val b3 = ("0", "4", "8")
+    val s = QueryAnalyze.nativeStats(Seq(Seq(b1, b2), Seq(b2, b3), Seq(b1))).get
+    assert(s.minPop == 1 && s.maxPop == 2 && s.total == 3)
+    assert(s.toString == "1/1.667/2/3")
+    assert(QueryAnalyze.nativeStats(Seq(Seq(b1))).isEmpty) // <2 samples
+  }
+
+  test("end-to-end: classic family + native series against a live server") {
+    def bucketRows(le: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) => Row(Map("__name__" -> "req_seconds_bucket",
+        "le" -> le, "job" -> "x"), 540000L + i * 60000L, v, false, null, 0L)
+    }
+    val nh = (cnt: Double) => FHist.toRow(FHist(0, 0.0, 0.0, cnt, cnt * 0.5,
+      Seq(1, 2), Seq(cnt / 2, cnt / 2), Nil, Nil, Nil, 0))
+    val nativeRows = (0 to 2).map(i => Row(Map("__name__" -> "lat_native"),
+      540000L + i * 60000L, Double.NaN, false, nh(4.0 + i), 0L))
+    val rows = bucketRows("0.1", Seq(1, 2, 3)) ++
+      bucketRows("1", Seq(1, 4, 6)) ++
+      bucketRows("+Inf", Seq(1, 4, 7)) ++ nativeRows
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Engine.samplesSchema)
+    val api = new HttpApi(spark, new SampleStore(spark, df), 0, () => 660000L)
+    api.start()
+    try {
+      val server = s"http://127.0.0.1:${api.boundPort}"
+      val out = QueryAnalyze.run(server,
+        Seq("req_seconds_bucket", "lat_native"), 300L, Some("660")).toOption.get
+      // classic: t0 counts 1,0,0 (pop 1); t1 2,2,0 (pop 2); t2 3,3,1 (pop 3)
+      assert(out.contains(
+        """- req_seconds_bucket{job="x"} (classic): 1/2.000/3"""), out)
+      // native: every sample emits the same 2 sparse buckets
+      assert(out.contains("- lat_native (native): 2/2.000/2"), out)
+      assert(out.contains("Native histogram series (1 in total):"), out)
+      assert(out.contains("Classic histogram series (1 in total):"), out)
+    } finally api.stop()
+  }
+}
