@@ -45,3 +45,62 @@ class ConfigCheckSpec extends AnyFunSuite {
       dup.lintIssues.exists(_.contains("HighRequestLatency")), dup.toString)
   }
 }
+
+/** `promtool check web-config` analog (ref: exporter-toolkit web.Validate);
+  * the reference's own documentation example must pass apart from its
+  * missing certificate files. */
+class WebConfigCheckSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def tmp(content: String, dir: java.nio.file.Path): String = {
+    val f = java.nio.file.Files.createTempFile(dir, "web", ".yml")
+    java.nio.file.Files.writeString(f, content)
+    f.toString
+  }
+
+  test("reference example: valid except unreadable cert/key files") {
+    val errs = WebConfigCheck.check(
+      "/root/reference/documentation/examples/web-config.yml")
+    assert(errs == Seq("cert_file: could not read server.crt",
+      "key_file: could not read server.key"), errs)
+  }
+
+  test("field strictness, TLS pairing, enums, headers, bcrypt") {
+    val dir = java.nio.file.Files.createTempDirectory("webcfg")
+    assert(WebConfigCheck.check(tmp("", dir)).isEmpty)
+    assert(WebConfigCheck.check(tmp("bogus_top: 1\n", dir)) ==
+      Seq("field bogus_top not found in type web.Config"))
+
+    val cert = dir.resolve("a.crt"); java.nio.file.Files.writeString(cert, "x")
+    val e1 = WebConfigCheck.check(tmp(
+      s"""tls_server_config:
+         |  cert_file: a.crt
+         |""".stripMargin, dir))
+    assert(e1 == Seq("missing key_file"), e1)
+
+    val e2 = WebConfigCheck.check(tmp(
+      """tls_server_config:
+        |  client_auth_type: Nope
+        |  min_version: TLS09
+        |""".stripMargin, dir))
+    assert(e2.exists(_.contains("invalid ClientAuth")) &&
+      e2.exists(_.contains("unknown TLS version: TLS09")), e2)
+
+    val e3 = WebConfigCheck.check(tmp(
+      """http_server_config:
+        |  http2: maybe
+        |  headers:
+        |    X-Frame-Options: always
+        |    X-Custom: nope
+        |""".stripMargin, dir))
+    assert(e3.exists(_.contains("cannot unmarshal maybe into bool")) &&
+      e3.exists(_.contains("\"X-Custom\" cannot be configured")) &&
+      e3.exists(_.contains("possible values for \"X-Frame-Options\"")), e3)
+
+    val e4 = WebConfigCheck.check(tmp(
+      """basic_auth_users:
+        |  alice: $2y$10$mDwo.lAisC94iLAyP81MCesa29IzH37oigHC/42V2pdJlUprsJPze
+        |  mallory: plaintext-password
+        |""".stripMargin, dir))
+    assert(e4 == Seq("invalid bcrypt hash for user mallory"), e4)
+  }
+}
