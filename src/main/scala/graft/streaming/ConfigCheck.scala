@@ -217,11 +217,22 @@ object WebConfigCheck {
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
       catch { case e: Exception => return Seq(s"cannot read file: ${e.getMessage}") }
-    val root = YamlLite.parse(text) match {
-      case m: YMap => m
-      case _ => return Seq("expected a mapping at the top level")
-    }
+    val root =
+      try YamlLite.parse(text) match {
+        case m: YMap => m
+        case _ => return Seq("expected a mapping at the top level")
+      } catch {
+        // a parse failure (or a YamlLite-unsupported key shape) is a
+        // per-file FAILED line, never a crash
+        case e: YamlLite.YamlError => return Seq(s"parse error: ${e.msg}")
+      }
     val errs = scala.collection.mutable.ArrayBuffer[String]()
+    // `section:` with a commented-out body unmarshals to a zero struct in
+    // the reference (valid); YamlLite yields an empty scalar for it
+    def section(k: String): Option[YamlLite.YNode] = root.get(k).map {
+      case YScalar("") => YMap(Nil)
+      case other => other
+    }
     root.keys.filterNot(Set("tls_server_config", "http_server_config",
       "basic_auth_users")).foreach(k =>
       errs += s"field $k not found in type web.Config")
@@ -231,7 +242,7 @@ object WebConfigCheck {
       if (!java.nio.file.Files.isReadable(p))
         errs += s"$k: could not read $v"
     }
-    root.get("tls_server_config").foreach {
+    section("tls_server_config").foreach {
       case m: YMap =>
         m.keys.filterNot(Set("cert_file", "key_file", "client_auth_type",
           "client_ca_file", "min_version", "max_version", "cipher_suites",
@@ -259,7 +270,7 @@ object WebConfigCheck {
         }
       case _ => errs += "tls_server_config: expected a mapping"
     }
-    root.get("http_server_config").foreach {
+    section("http_server_config").foreach {
       case m: YMap =>
         m.keys.filterNot(Set("http2", "headers")).foreach(k =>
           errs += s"http_server_config: field $k not found in type web.HTTPConfig")
@@ -282,7 +293,7 @@ object WebConfigCheck {
         }
       case _ => errs += "http_server_config: expected a mapping"
     }
-    root.get("basic_auth_users").foreach {
+    section("basic_auth_users").foreach {
       case m: YMap =>
         m.entries.foreach {
           case (user, YScalar(hash)) =>

@@ -188,10 +188,17 @@ object Discovery {
       regs = regs :+ Reg(setName, provider)
     }
 
-    /** drop every registration (config reload re-registers from scratch);
-      * in-flight refreshes of dropped providers finish into dead keys */
+    // bumped by clear(): folds/unclaims from refreshes claimed under an
+    // older generation are discarded — after a reload, keys like
+    // (job, "http/0") are REUSED by the new provider set, so a stale
+    // in-flight refresh must not fold old groups into (or release the
+    // in-flight mark of) the new registration
+    private var generation = 0L
+
+    /** drop every registration (config reload re-registers from scratch) */
     def clear(): Unit = synchronized {
       regs = Vector.empty; state.clear(); lastPoll.clear(); inFlight.clear()
+      generation += 1
     }
 
     // providers currently being refreshed — claims are single-flight so
@@ -209,28 +216,30 @@ object Discovery {
       * refresh interval, not hammered at scrape frequency. */
     def poll(): Unit = {
       val now = nowMs()
-      val claimed = synchronized {
-        regs.filter { r =>
+      val (claimed, gen) = synchronized {
+        (regs.filter { r =>
           val key = (r.setName, r.provider.name)
           val due = !inFlight.contains(key) &&
             lastPoll.get(key).forall(at => now - at >= r.provider.refreshMs)
           if (due) { lastPoll.put(key, now); inFlight += key }
           due
-        }
+        }, generation)
       }
       claimed.foreach { r =>
         val key = (r.setName, r.provider.name)
         try {
           val groups = r.provider.refresh() // blocking I/O, no lock held
           synchronized {
-            val prev = state.getOrElse(key, Map.empty)
-            val next = groups.foldLeft(prev) { (acc, g) =>
-              if (g.targets.nonEmpty) acc + (g.source -> g) else acc - g.source
-            }
-            state.put(key, next)
+            if (generation == gen) {
+              val prev = state.getOrElse(key, Map.empty)
+              val next = groups.foldLeft(prev) { (acc, g) =>
+                if (g.targets.nonEmpty) acc + (g.source -> g) else acc - g.source
+              }
+              state.put(key, next)
+            } // else: a reload re-registered this key; drop the stale fold
           }
         } catch { case _: Exception => () } // whole-refresh failure: keep state
-        finally synchronized { inFlight -= key }
+        finally synchronized { if (generation == gen) inFlight -= key }
       }
     }
 

@@ -98,7 +98,8 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = { routes(); server.start() }
-  def stop(): Unit = { server.stop(0); pool.shutdown() }
+  @volatile private var stopping = false
+  def stop(): Unit = { stopping = true; server.stop(0); pool.shutdown() }
 
   // ---------- request plumbing ----------
 
@@ -737,8 +738,9 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
               // snapshot is atomic with queue registration, so an add()
               // racing this handler lands in exactly one of the two
               snapshot.foreach(emit)
-              var open = true
-              while (open) {
+              // runs until the client disconnects (IOException) or the
+              // server stops; the 15s keepalive bounds stop latency
+              while (!stopping) {
                 val n = q.poll(15, java.util.concurrent.TimeUnit.SECONDS)
                 if (n != null) emit(n)
                 else { out.write(":keepalive\n\n".getBytes("UTF-8")); out.flush() }

@@ -47,6 +47,8 @@ object QueryAnalyze {
         (if (maxPop.toString == total.toString) "" else s"\n- total: $total")
   }
 
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
   private def asMap(a: Any) = a match {
     case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]; case _ => Map.empty[String, Any]
   }
@@ -65,13 +67,22 @@ object QueryAnalyze {
       var pop = 0
       var prev = 0.0
       var i = 0
-      while (i < numBuckets) {
+      var aligned = true
+      while (i < numBuckets && aligned) {
         val vs = sorted(i)._2
-        val cur = if (t < vs.length) vs(t) else 0.0
-        val cnt = if (i == 0) cur else cur - prev
-        if (cnt.toInt != 0) pop += 1
-        prev = cur
-        i += 1
+        if (t >= vs.length) {
+          // a short bucket series (scrape gap): stop the walk and leave the
+          // remaining buckets at zero — the reference's partial-results
+          // behavior (getBucketCountsAtTime returns early), NOT a
+          // zero-subtraction that would fabricate negative counts
+          aligned = false
+        } else {
+          val cur = vs(t)
+          val cnt = if (i == 0) cur else cur - prev
+          if (cnt.toInt != 0) pop += 1
+          prev = cur
+          i += 1
+        }
       }
       totalPop += pop
       if (pop < minPop) minPop = pop
@@ -112,9 +123,10 @@ object QueryAnalyze {
     matchers.foreach { m =>
       val q = s"$m[${durationSec}s]"
       val t = time.map(s => s"&time=${QueryTool.parseTime(s) / 1000.0}").getOrElse("")
-      val resp = java.net.http.HttpClient.newHttpClient().send(
+      val resp = client.send(
         java.net.http.HttpRequest.newBuilder(java.net.URI.create(
           s"$server/api/v1/query?query=${java.net.URLEncoder.encode(q, "UTF-8")}$t"))
+          .timeout(java.time.Duration.ofMinutes(2)) // ref: 2min query context
           .GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       val body = asMap(JsonLite.parse(resp.body()))

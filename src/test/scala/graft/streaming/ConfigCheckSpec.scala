@@ -102,5 +102,16 @@ class WebConfigCheckSpec extends org.scalatest.funsuite.AnyFunSuite {
         |  mallory: plaintext-password
         |""".stripMargin, dir))
     assert(e4 == Seq("invalid bcrypt hash for user mallory"), e4)
+
+    // a section header with a commented-out body is a zero struct in the
+    // reference (valid); a parse failure is a FAILED line, not a crash
+    assert(WebConfigCheck.check(tmp(
+      """tls_server_config:
+        |# cert_file: a.crt
+        |http_server_config:
+        |basic_auth_users:
+        |""".stripMargin, dir)).isEmpty)
+    val e5 = WebConfigCheck.check(tmp("   :::garbage\n  - ]{\n", dir))
+    assert(e5.size == 1 && e5.head.startsWith("parse error:"), e5)
   }
 }

@@ -28,6 +28,16 @@ class QueryAnalyzeSpec extends AnyFunSuite {
     assert(s.toString == "2/2.500/3")
     // single sample -> not enough data
     assert(QueryAnalyze.classicStats(Seq((1.0, Seq(1.0)))).isEmpty)
+
+    // a short le-series (scrape gap) truncates the bucket walk at that
+    // timestamp — the reference's partial-results behavior — instead of
+    // zero-filling into negative de-cumulated counts
+    val gap = QueryAnalyze.classicStats(Seq(
+      (1.0, Seq(1.0, 2.0)),
+      (2.0, Seq(3.0)),                         // short series
+      (Double.PositiveInfinity, Seq(3.0, 5.0)))).get
+    // t0: 1,2,0 -> pop 2; t1: only le=1 counted (2) -> pop 1
+    assert(gap.minPop == 1 && gap.maxPop == 2, gap)
   }
 
   test("nativeStats: populated per sample, distinct bounds as total") {
