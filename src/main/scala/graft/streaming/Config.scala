@@ -24,7 +24,9 @@ object Config {
       limits: ScrapeManager.ScrapeLimits = ScrapeManager.ScrapeLimits(),
       honorLabels: Boolean = false,
       dnsSd: Seq[Discovery.DnsSd.Config] = Nil,
-      httpSd: Seq[(String, Long)] = Nil)  // (url, refreshMs)
+      httpSd: Seq[(String, Long)] = Nil,  // (url, refreshMs)
+      kubernetesSd: Seq[KubernetesSd.Config] = Nil,
+      consulSd: Seq[ConsulSd.Config] = Nil)
 
   final case class PromConfig(
       scrapeIntervalMs: Long,
@@ -150,6 +152,32 @@ object Config {
         (str(hc, "url"),
           hc.str("refresh_interval").map(durMs).getOrElse(60000L))
       }.filter(_._1.nonEmpty)
+      // kubernetes_sd_configs (ref: discovery/kubernetes/kubernetes.go
+      // SDConfig: role required; api_server empty = in-cluster)
+      val k8sSd = m.list("kubernetes_sd_configs").collect { case kc: YMap =>
+        val nss = kc.get("namespaces") match {
+          case Some(nm: YMap) => strList(nm.get("names"))
+          case _ => Nil
+        }
+        val tokenFile = kc.get("authorization") match {
+          case Some(am: YMap) => str(am, "credentials_file")
+          case _ => str(kc, "bearer_token_file")
+        }
+        KubernetesSd.Config(str(kc, "role"), str(kc, "api_server"), nss,
+          tokenFile, kc.str("refresh_interval").map(durMs).getOrElse(30000L))
+      }.filter(_.role.nonEmpty)
+      // consul_sd_configs (ref: discovery/consul/consul.go SDConfig)
+      val consulSd = m.list("consul_sd_configs").collect { case cc: YMap =>
+        ConsulSd.Config(
+          str(cc, "server", "localhost:8500"),
+          str(cc, "scheme", "http"),
+          str(cc, "datacenter"),
+          strList(cc.get("services")),
+          strList(cc.get("tags")),
+          str(cc, "tag_separator", ","),
+          str(cc, "token"),
+          cc.str("refresh_interval").map(durMs).getOrElse(30000L))
+      }
       ScrapeJob(name, statics, sdFiles,
         m.str("scrape_interval").map(durMs).getOrElse(scrapeMs),
         relabelChain(m.get("relabel_configs")),
@@ -161,7 +189,7 @@ object Config {
           m.str("label_name_length_limit").map(_.toInt).getOrElse(0),
           m.str("label_value_length_limit").map(_.toInt).getOrElse(0)),
         m.str("honor_labels").contains("true"),
-        dnsSd, httpSd)
+        dnsSd, httpSd, k8sSd, consulSd)
     }
     def urlsOf(key: String): Seq[String] =
       root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)

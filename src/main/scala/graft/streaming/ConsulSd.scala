@@ -1,0 +1,147 @@
+package graft.streaming
+
+import graft.web.JsonLite
+
+/** Consul service discovery (ref: discovery/consul/consul.go).
+  *
+  * Architecture divergence, deliberately: the reference holds long-poll
+  * blocking queries per watched service (WaitIndex/WaitTime). This engine's
+  * discovery manager is cadence-polled, so each refresh LISTs the catalog
+  * (`/v1/catalog/services`) and the health entries of every watched service
+  * (`/v1/health/service/<name>`) — one consistent snapshot per refresh, the
+  * same data the reference's watches deliver incrementally. Target labels
+  * (`__meta_consul_*`), address selection (service address over node
+  * address), the surrounded tag list, and the health aggregation mirror the
+  * reference's `watch` 1:1 so existing relabel configs work unchanged.
+  *
+  * The HTTP transport is injectable for tests (fake catalog server), like
+  * [[KubernetesSd.ApiClient]]. */
+object ConsulSd {
+
+  /** consul_sd_configs entry (ref: consul.go SDConfig; defaults: server
+    * localhost:8500, tag_separator ",", refresh 30s) */
+  final case class Config(
+      server: String = "localhost:8500",
+      scheme: String = "http",
+      datacenter: String = "",
+      services: Seq[String] = Nil, // empty = every catalog service
+      tags: Seq[String] = Nil, // every listed tag must be present
+      tagSeparator: String = ",",
+      token: String = "",
+      refreshMs: Long = 30000L)
+
+  trait ApiClient { def get(path: String): String }
+
+  final class HttpApiClient(cfg: Config) extends ApiClient {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    override def get(path: String): String = {
+      val b = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${cfg.scheme}://${cfg.server}$path"))
+        .timeout(java.time.Duration.ofSeconds(30))
+        .header("Accept", "application/json")
+      if (cfg.token.nonEmpty) b.header("X-Consul-Token", cfg.token)
+      val resp = client.send(b.GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(s"consul sd: ${resp.statusCode()} for $path")
+      resp.body()
+    }
+  }
+
+  private type J = Map[String, Any]
+  private def jmap(v: Any): J = v match { case m: Map[_, _] => m.asInstanceOf[J]; case _ => Map.empty }
+  private def jstr(v: Any): String = v match {
+    case s: String => s
+    case d: java.lang.Double if d.doubleValue.isWhole && math.abs(d.doubleValue) < 1e15 =>
+      d.longValue.toString
+    case null => ""
+    case other => String.valueOf(other)
+  }
+  private def s(o: J, k: String): String = jstr(o.getOrElse(k, null))
+  private def m(o: J, k: String): J = jmap(o.getOrElse(k, null))
+  private def l(o: J, k: String): List[J] =
+    (o.getOrElse(k, null) match { case xs: List[_] => xs; case _ => Nil }).map(jmap)
+
+  /** ref: consul api AggregatedStatus — any maintenance/critical → critical,
+    * else any warning → warning, else passing */
+  private def aggregatedStatus(checks: List[J]): String = {
+    val statuses = checks.map(c => s(c, "Status"))
+    if (statuses.exists(st => st == "critical" || st == "maintenance")) "critical"
+    else if (statuses.contains("warning")) "warning"
+    else "passing"
+  }
+
+  private def hostPort(host: String, port: String): String =
+    if (host.contains(":") && !host.startsWith("[")) s"[$host]:$port"
+    else s"$host:$port"
+
+  /** one health/service entry → (address, per-target labels)
+    * (ref: consul.go:535-590 watch) */
+  private def buildTarget(entry: J, cfg: Config, dc: String): (String, Map[String, String]) = {
+    val node = m(entry, "Node"); val svc = m(entry, "Service")
+    val tags = (entry.getOrElse("Service", null) match {
+      case sm: Map[_, _] => sm.asInstanceOf[J].getOrElse("Tags", null) match {
+        case ts: List[_] => ts.map(jstr); case _ => Nil
+      }
+      case _ => Nil
+    })
+    // surrounded separator list so relabel regexes need no position cases
+    val tagStr = cfg.tagSeparator + tags.mkString(cfg.tagSeparator) + cfg.tagSeparator
+    val svcAddr = s(svc, "Address"); val nodeAddr = s(node, "Address")
+    val port = s(svc, "Port")
+    val addr = hostPort(if (svcAddr.nonEmpty) svcAddr else nodeAddr, port)
+    var tl = Map(
+      "__meta_consul_address" -> nodeAddr,
+      "__meta_consul_node" -> s(node, "Node"),
+      "__meta_consul_namespace" -> s(svc, "Namespace"),
+      "__meta_consul_partition" -> s(svc, "Partition"),
+      "__meta_consul_tags" -> tagStr,
+      "__meta_consul_service_address" -> svcAddr,
+      "__meta_consul_service_port" -> port,
+      "__meta_consul_service_id" -> s(svc, "ID"),
+      "__meta_consul_health" -> aggregatedStatus(l(entry, "Checks")))
+    m(node, "Meta").foreach { case (k, v) =>
+      tl += "__meta_consul_metadata_" + KubernetesSd.sanitize(k) -> jstr(v) }
+    m(svc, "Meta").foreach { case (k, v) =>
+      tl += "__meta_consul_service_metadata_" + KubernetesSd.sanitize(k) -> jstr(v) }
+    m(node, "TaggedAddresses").foreach { case (k, v) =>
+      tl += "__meta_consul_tagged_address_" + KubernetesSd.sanitize(k) -> jstr(v) }
+    (addr, tl)
+  }
+
+  final class ConsulProvider(override val name: String, cfg: Config,
+      client: ApiClient) extends Discovery.Provider {
+    def this(name: String, cfg: Config) = this(name, cfg, new HttpApiClient(cfg))
+    override def refreshMs: Long = cfg.refreshMs
+    override def refresh(): Seq[Discovery.TargetGroup] = {
+      val dcQ = if (cfg.datacenter.nonEmpty) s"?dc=${cfg.datacenter}" else ""
+      // catalog map: service name → tags (ref: watchServices shouldWatch)
+      val catalog = jmap(JsonLite.parse(client.get(s"/v1/catalog/services$dcQ")))
+      val watched = catalog.filter { case (svcName, svcTags) =>
+        (cfg.services.isEmpty || cfg.services.contains(svcName)) &&
+        cfg.tags.forall(t => (svcTags match {
+          case ts: List[_] => ts.map(jstr); case _ => Nil
+        }).contains(t))
+      }.keys.toSeq.sorted
+      watched.map { svcName =>
+        val entries = (JsonLite.parse(
+            client.get(s"/v1/health/service/$svcName$dcQ")) match {
+          case xs: List[_] => xs; case _ => Nil
+        }).map(jmap)
+        // per-target tag filter too: a node of a watched service may lack
+        // the required tag (ref: ServiceMultipleTags server-side filter)
+        val matching = entries.filter { e =>
+          val ts = m(e, "Service").getOrElse("Tags", null) match {
+            case x: List[_] => x.map(jstr); case _ => Nil
+          }
+          cfg.tags.forall(ts.contains)
+        }
+        Discovery.TargetGroup(svcName,
+          Map("__meta_consul_service" -> svcName,
+              "__meta_consul_dc" -> cfg.datacenter),
+          matching.map(buildTarget(_, cfg, cfg.datacenter)))
+      }
+    }
+  }
+}

@@ -271,7 +271,9 @@ object Discovery {
     * service-discovery` (ref: scrape config ServiceDiscoveryConfigs →
     * NewDiscoverer per mechanism) */
   def registerJob(mgr: Manager, job: Config.ScrapeJob,
-      resolver: DnsSd.Resolver = DnsSd.SystemResolver): Unit = {
+      resolver: DnsSd.Resolver = DnsSd.SystemResolver,
+      k8sClient: Option[KubernetesSd.ApiClient] = None,
+      consulClient: Option[ConsulSd.ApiClient] = None): Unit = {
     if (job.staticTargets.nonEmpty)
       mgr.register(job.jobName, new StaticProvider("static",
         Seq(TargetGroup("static/0", Map.empty,
@@ -283,5 +285,15 @@ object Discovery {
       mgr.register(job.jobName, new DnsProvider(s"dns/$i", dc, resolver)) }
     job.httpSd.zipWithIndex.foreach { case ((url, ms), i) =>
       mgr.register(job.jobName, new HttpSdProvider(s"http/$i", url, ms)) }
+    job.kubernetesSd.zipWithIndex.foreach { case (kc, i) =>
+      mgr.register(job.jobName, k8sClient match {
+        case Some(c) => new KubernetesSd.KubernetesProvider(s"kubernetes/$i", kc, c)
+        case None => new KubernetesSd.KubernetesProvider(s"kubernetes/$i", kc)
+      }) }
+    job.consulSd.zipWithIndex.foreach { case (cc, i) =>
+      mgr.register(job.jobName, consulClient match {
+        case Some(c) => new ConsulSd.ConsulProvider(s"consul/$i", cc, c)
+        case None => new ConsulSd.ConsulProvider(s"consul/$i", cc)
+      }) }
   }
 }

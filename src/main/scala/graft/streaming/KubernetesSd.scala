@@ -1,0 +1,423 @@
+package graft.streaming
+
+import graft.web.JsonLite
+
+/** Kubernetes service discovery (ref: discovery/kubernetes/kubernetes.go and
+  * the per-role builders pod.go / node.go / service.go / endpoints.go /
+  * endpointslice.go / ingress.go).
+  *
+  * Architecture divergence, deliberately: the reference runs client-go
+  * informers (watch streams + a local object cache) because it must react to
+  * churn within seconds on a persistent process. This engine's discovery
+  * manager is poll-based (Discovery.Manager claims providers on a refresh
+  * cadence), so Kubernetes SD is a LIST against the API server per refresh —
+  * the same consistency model as the reference's own HTTP SD, and the right
+  * shape for a Spark-driven scraper whose scrape batches are already
+  * cadence-driven. Target-group construction (sources, `__meta_kubernetes_*`
+  * labels, address selection, ready/not-ready duplication) mirrors the
+  * reference's builders 1:1 so relabel configs written for the reference
+  * work unchanged.
+  *
+  * The API transport is injectable ([[ApiClient]]): tests drive the whole
+  * Manager → provider → relabel → scrape-target chain against a fake API
+  * server exactly the way the reference's tests drive a fake clientset
+  * (discovery/kubernetes/kubernetes_test.go). */
+object KubernetesSd {
+
+  /** kubernetes_sd_configs entry (ref: kubernetes.go SDConfig). `apiServer`
+    * empty = in-cluster (https://kubernetes.default.svc with the mounted
+    * service-account token). */
+  final case class Config(
+      role: String, // node | pod | service | endpoints | endpointslice | ingress
+      apiServer: String = "",
+      namespaces: Seq[String] = Nil, // empty = all namespaces
+      bearerTokenFile: String = "",
+      refreshMs: Long = 30000L)
+
+  /** injectable LIST transport; `path` is the API path (e.g.
+    * "/api/v1/pods"); throws on failure (the manager keeps previous state) */
+  trait ApiClient { def get(path: String): String }
+
+  /** production client: GET {apiServer}{path}, optional bearer token */
+  final class HttpApiClient(apiServer: String, bearerTokenFile: String = "")
+      extends ApiClient {
+    private val base =
+      (if (apiServer.nonEmpty) apiServer else "https://kubernetes.default.svc")
+        .stripSuffix("/")
+    private val tokenFile =
+      if (bearerTokenFile.nonEmpty) bearerTokenFile
+      else "/var/run/secrets/kubernetes.io/serviceaccount/token"
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    override def get(path: String): String = {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+        .timeout(java.time.Duration.ofSeconds(30))
+        .header("Accept", "application/json")
+      val tf = new java.io.File(tokenFile)
+      if (tf.exists())
+        b.header("Authorization",
+          "Bearer " + new String(java.nio.file.Files.readAllBytes(tf.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim)
+      val resp = client.send(b.GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(s"kubernetes sd: ${resp.statusCode()} for $path")
+      resp.body()
+    }
+  }
+
+  // ------------------------------------------------------------- JSON views
+
+  private type J = Map[String, Any]
+  private def jmap(v: Any): J = v match { case m: Map[_, _] => m.asInstanceOf[J]; case _ => Map.empty }
+  private def jlist(v: Any): List[Any] = v match { case l: List[_] => l; case _ => Nil }
+  private def jstr(v: Any): String = v match {
+    case s: String => s
+    case d: java.lang.Double if d.doubleValue.isWhole && math.abs(d.doubleValue) < 1e15 =>
+      d.longValue.toString
+    case null => ""
+    case other => String.valueOf(other)
+  }
+  private def fld(o: J, k: String): Any = o.getOrElse(k, null)
+  private def s(o: J, k: String): String = jstr(fld(o, k))
+  private def m(o: J, k: String): J = jmap(fld(o, k))
+  private def l(o: J, k: String): List[J] = jlist(fld(o, k)).map(jmap)
+
+  // --------------------------------------------------------------- labeling
+
+  /** ref: util/strutil SanitizeLabelName — every invalid char → '_' */
+  private[streaming] def sanitize(name: String): String =
+    name.map(c => if (c.isLetterOrDigit && c < 128 || c == '_') c else '_')
+
+  private def hostPort(host: String, port: String): String =
+    if (host.contains(":") && !host.startsWith("[")) s"[$host]:$port"
+    else s"$host:$port"
+
+  /** ref: kubernetes.go addObjectMetaLabels — name + labels/annotations with
+    * presence markers */
+  private def objectMetaLabels(meta: J, role: String): Map[String, String] = {
+    val p = s"__meta_kubernetes_${role}_"
+    val base = Map(p + "name" -> s(meta, "name"))
+    val lbls = m(meta, "labels").flatMap { case (k, v) =>
+      val sk = sanitize(k)
+      Seq(p + "label_" + sk -> jstr(v), p + "labelpresent_" + sk -> "true")
+    }
+    val anns = m(meta, "annotations").flatMap { case (k, v) =>
+      val sk = sanitize(k)
+      Seq(p + "annotation_" + sk -> jstr(v), p + "annotationpresent_" + sk -> "true")
+    }
+    base ++ lbls ++ anns
+  }
+
+  /** controller owner reference (ref: pod.go GetControllerOf) */
+  private def controllerOf(meta: J): Option[J] =
+    l(meta, "ownerReferences").find(r => fld(r, "controller") == java.lang.Boolean.TRUE)
+
+  // ------------------------------------------------------------------- pod
+
+  /** ref: pod.go podLabels + buildPod */
+  private def podSharedLabels(pod: J): Map[String, String] = {
+    val meta = m(pod, "metadata"); val spec = m(pod, "spec"); val status = m(pod, "status")
+    val ready = l(status, "conditions")
+      .find(c => s(c, "type") == "Ready")
+      .map(c => s(c, "status").toLowerCase == "true").getOrElse(false)
+    val ctrl = controllerOf(meta).toSeq.flatMap { o =>
+      Seq("__meta_kubernetes_pod_controller_kind" -> s(o, "kind"),
+          "__meta_kubernetes_pod_controller_name" -> s(o, "name"))
+        .filter(_._2.nonEmpty)
+    }
+    Map(
+      "__meta_kubernetes_namespace" -> s(meta, "namespace"),
+      "__meta_kubernetes_pod_ip" -> s(status, "podIP"),
+      "__meta_kubernetes_pod_ready" -> ready.toString,
+      "__meta_kubernetes_pod_phase" -> s(status, "phase"),
+      "__meta_kubernetes_pod_node_name" -> s(spec, "nodeName"),
+      "__meta_kubernetes_pod_host_ip" -> s(status, "hostIP"),
+      "__meta_kubernetes_pod_uid" -> s(meta, "uid")) ++
+      objectMetaLabels(meta, "pod") ++ ctrl
+  }
+
+  /** per-container/per-port targets (ref: pod.go buildPod: a port-less
+    * container targets the bare pod IP; each declared port targets ip:port) */
+  private def buildPod(pod: J): TargetGroup = {
+    val meta = m(pod, "metadata"); val spec = m(pod, "spec"); val status = m(pod, "status")
+    val source = s"pod/${s(meta, "namespace")}/${s(meta, "name")}"
+    val podIP = s(status, "podIP")
+    if (podIP.isEmpty) return TargetGroup(source, Map.empty, Nil)
+    val statuses = (l(status, "containerStatuses") ++ l(status, "initContainerStatuses"))
+      .map(cs => s(cs, "name") -> s(cs, "containerID")).toMap
+    val containers = l(spec, "containers").map((_, false)) ++
+      l(spec, "initContainers").map((_, true))
+    val targets = containers.flatMap { case (c, isInit) =>
+      val cname = s(c, "name")
+      val common = Map(
+        "__meta_kubernetes_pod_container_name" -> cname,
+        "__meta_kubernetes_pod_container_id" -> statuses.getOrElse(cname, ""),
+        "__meta_kubernetes_pod_container_image" -> s(c, "image"),
+        "__meta_kubernetes_pod_container_init" -> isInit.toString)
+      val ports = l(c, "ports")
+      if (ports.isEmpty) Seq((podIP, common))
+      else ports.map { p =>
+        val num = s(p, "containerPort")
+        (hostPort(podIP, num), common ++ Map(
+          "__meta_kubernetes_pod_container_port_name" -> s(p, "name"),
+          "__meta_kubernetes_pod_container_port_number" -> num,
+          "__meta_kubernetes_pod_container_port_protocol" -> s(p, "protocol")))
+      }
+    }
+    TargetGroup(source, podSharedLabels(pod), targets)
+  }
+
+  // ------------------------------------------------------------------ node
+
+  /** ref: node.go nodeAddress — priority InternalIP > InternalDNS >
+    * ExternalIP > ExternalDNS > LegacyHostIP > Hostname */
+  private val nodeAddrPriority =
+    Seq("InternalIP", "InternalDNS", "ExternalIP", "ExternalDNS", "LegacyHostIP", "Hostname")
+
+  private def buildNode(node: J): Option[TargetGroup] = {
+    val meta = m(node, "metadata"); val spec = m(node, "spec"); val status = m(node, "status")
+    val source = s"node/${s(meta, "name")}"
+    val addrs = l(status, "addresses")
+    val byType = addrs.groupBy(a => s(a, "type"))
+    val primary = nodeAddrPriority.iterator
+      .flatMap(t => byType.getOrElse(t, Nil).headOption).map(a => s(a, "address"))
+      .toSeq.headOption
+    primary.map { addr =>
+      val port = s(m(m(status, "daemonEndpoints"), "kubeletEndpoint"), "Port")
+      val conditions = l(status, "conditions").map(c =>
+        "__meta_kubernetes_node_condition_" + sanitize(s(c, "type").toLowerCase) ->
+          s(c, "status").toLowerCase).toMap
+      val addrLabels = byType.collect { case (t, as) if as.nonEmpty =>
+        sanitize("__meta_kubernetes_node_address_" + t) -> s(as.head, "address")
+      }
+      val shared = Map("__meta_kubernetes_node_provider_id" -> s(spec, "providerID")) ++
+        conditions ++ objectMetaLabels(meta, "node")
+      val tl = addrLabels ++ Map("instance" -> s(meta, "name"))
+      TargetGroup(source, shared,
+        Seq((hostPort(addr, if (port.isEmpty) "10250" else port), tl)))
+    }
+  }
+
+  // --------------------------------------------------------------- service
+
+  /** ref: service.go buildService — one target per port at
+    * name.namespace.svc:port */
+  private def buildService(svc: J): TargetGroup = {
+    val meta = m(svc, "metadata"); val spec = m(svc, "spec")
+    val ns = s(meta, "namespace"); val name = s(meta, "name")
+    val source = s"svc/$ns/$name"
+    val svcType = s(spec, "type")
+    val shared = Map("__meta_kubernetes_namespace" -> ns) ++
+      objectMetaLabels(meta, "service")
+    val targets = l(spec, "ports").map { p =>
+      val port = s(p, "port")
+      val tl0 = Map(
+        "__meta_kubernetes_service_port_name" -> s(p, "name"),
+        "__meta_kubernetes_service_port_number" -> port,
+        "__meta_kubernetes_service_port_protocol" -> s(p, "protocol"),
+        "__meta_kubernetes_service_type" -> svcType)
+      val tl1 =
+        if (svcType == "ExternalName")
+          tl0 + ("__meta_kubernetes_service_external_name" -> s(spec, "externalName"))
+        else tl0 + ("__meta_kubernetes_service_cluster_ip" -> s(spec, "clusterIP"))
+      val tl2 =
+        if (svcType == "LoadBalancer")
+          tl1 + ("__meta_kubernetes_service_loadbalancer_ip" -> s(spec, "loadBalancerIP"))
+        else tl1
+      (hostPort(s"$name.$ns.svc", port), tl2)
+    }
+    TargetGroup(source, shared, targets)
+  }
+
+  // ------------------------------------------------------------- endpoints
+
+  /** ref: endpoints.go buildEndpoints — per subset × port × address targets,
+    * not-ready addresses emitted with ready="false"; pod-backed addresses
+    * merge the pod's shared labels and the matching container port labels */
+  private def buildEndpoints(eps: J, podsByKey: Map[String, J]): TargetGroup = {
+    val meta = m(eps, "metadata")
+    val ns = s(meta, "namespace"); val name = s(meta, "name")
+    val source = s"endpoints/$ns/$name"
+    val shared = Map(
+      "__meta_kubernetes_namespace" -> ns,
+      "__meta_kubernetes_service_name" -> name) ++ // service of the same name
+      objectMetaLabels(meta, "endpoints")
+    val targets = Seq.newBuilder[(String, Map[String, String])]
+    for (ss <- l(eps, "subsets"); port <- l(ss, "ports")) {
+      val portNum = s(port, "port")
+      def add(addr: J, ready: String): Unit = {
+        val ip = s(addr, "ip")
+        var tl = Map(
+          "__meta_kubernetes_endpoint_port_name" -> s(port, "name"),
+          "__meta_kubernetes_endpoint_port_protocol" -> s(port, "protocol"),
+          "__meta_kubernetes_endpoint_ready" -> ready)
+        val ref = m(addr, "targetRef")
+        if (ref.nonEmpty)
+          tl ++= Map(
+            "__meta_kubernetes_endpoint_address_target_kind" -> s(ref, "kind"),
+            "__meta_kubernetes_endpoint_address_target_name" -> s(ref, "name"))
+        val nodeName = s(addr, "nodeName")
+        if (nodeName.nonEmpty) tl += "__meta_kubernetes_endpoint_node_name" -> nodeName
+        val hostname = s(addr, "hostname")
+        if (hostname.nonEmpty) tl += "__meta_kubernetes_endpoint_hostname" -> hostname
+        // pod-backed address: merge the pod's standard labels + container port
+        if (s(ref, "kind") == "Pod") {
+          podsByKey.get(s(ref, "namespace") + "/" + s(ref, "name")).foreach { pod =>
+            tl ++= podSharedLabels(pod) - "__meta_kubernetes_namespace"
+            val spec = m(pod, "spec")
+            val containers = l(spec, "containers").map((_, false)) ++
+              l(spec, "initContainers").map((_, true))
+            containers.iterator.flatMap { case (c, isInit) =>
+              l(c, "ports").find(p => s(p, "containerPort") == portNum)
+                .map(p => (c, isInit, p))
+            }.take(1).foreach { case (c, isInit, p) =>
+              val cname = s(c, "name")
+              val statuses = (l(m(pod, "status"), "containerStatuses") ++
+                l(m(pod, "status"), "initContainerStatuses"))
+                .map(cs => s(cs, "name") -> s(cs, "containerID")).toMap
+              tl ++= Map(
+                "__meta_kubernetes_pod_container_name" -> cname,
+                "__meta_kubernetes_pod_container_id" -> statuses.getOrElse(cname, ""),
+                "__meta_kubernetes_pod_container_image" -> s(c, "image"),
+                "__meta_kubernetes_pod_container_port_name" -> s(p, "name"),
+                "__meta_kubernetes_pod_container_port_number" -> portNum,
+                "__meta_kubernetes_pod_container_port_protocol" -> s(port, "protocol"),
+                "__meta_kubernetes_pod_container_init" -> isInit.toString)
+            }
+          }
+        }
+        targets += ((hostPort(ip, portNum), tl))
+      }
+      l(ss, "addresses").foreach(add(_, "true"))
+      l(ss, "notReadyAddresses").foreach(add(_, "false"))
+    }
+    TargetGroup(source, shared, targets.result())
+  }
+
+  /** ref: endpointslice.go buildEndpointSlice — same target shape as
+    * endpoints with the endpointslice meta prefix + conditions */
+  private def buildEndpointSlice(es: J, podsByKey: Map[String, J]): TargetGroup = {
+    val meta = m(es, "metadata")
+    val ns = s(meta, "namespace"); val name = s(meta, "name")
+    val source = s"endpointslice/$ns/$name"
+    val svcName = m(meta, "labels").get("kubernetes.io/service-name").map(jstr).getOrElse("")
+    val shared = Map(
+      "__meta_kubernetes_namespace" -> ns,
+      "__meta_kubernetes_endpointslice_name" -> name,
+      "__meta_kubernetes_endpointslice_address_type" -> s(es, "addressType")) ++
+      (if (svcName.nonEmpty) Map("__meta_kubernetes_service_name" -> svcName) else Map.empty)
+    val targets = Seq.newBuilder[(String, Map[String, String])]
+    for (port <- l(es, "ports"); ep <- l(es, "endpoints")) {
+      val portNum = s(port, "port")
+      val cond = m(ep, "conditions")
+      val ready = fld(cond, "ready") != java.lang.Boolean.FALSE
+      jlist(fld(ep, "addresses")).map(jstr).headOption.foreach { ip =>
+        var tl = Map(
+          "__meta_kubernetes_endpointslice_port" -> portNum,
+          "__meta_kubernetes_endpointslice_port_name" -> s(port, "name"),
+          "__meta_kubernetes_endpointslice_port_protocol" -> s(port, "protocol"),
+          "__meta_kubernetes_endpointslice_endpoint_conditions_ready" -> ready.toString)
+        val ref = m(ep, "targetRef")
+        if (ref.nonEmpty)
+          tl ++= Map(
+            "__meta_kubernetes_endpointslice_address_target_kind" -> s(ref, "kind"),
+            "__meta_kubernetes_endpointslice_address_target_name" -> s(ref, "name"))
+        val nodeName = s(ep, "nodeName")
+        if (nodeName.nonEmpty)
+          tl += "__meta_kubernetes_endpointslice_endpoint_topology_kubernetes_io_hostname" -> nodeName
+        if (s(ref, "kind") == "Pod")
+          podsByKey.get(s(ref, "namespace") + "/" + s(ref, "name")).foreach { pod =>
+            tl ++= podSharedLabels(pod) - "__meta_kubernetes_namespace"
+          }
+        targets += ((hostPort(ip, portNum), tl))
+      }
+    }
+    TargetGroup(source, shared, targets.result())
+  }
+
+  // --------------------------------------------------------------- ingress
+
+  /** ref: ingress.go buildIngress — one target per rule host × path; scheme
+    * https when a TLS host pattern matches the rule host */
+  private def buildIngress(ing: J): TargetGroup = {
+    val meta = m(ing, "metadata"); val spec = m(ing, "spec")
+    val ns = s(meta, "namespace"); val name = s(meta, "name")
+    val source = s"ingress/$ns/$name"
+    val cls = s(spec, "ingressClassName")
+    val shared = Map("__meta_kubernetes_namespace" -> ns) ++
+      objectMetaLabels(meta, "ingress") ++
+      (if (cls.nonEmpty) Map("__meta_kubernetes_ingress_class_name" -> cls) else Map.empty)
+    val tlsHosts = l(spec, "tls").flatMap(t => jlist(fld(t, "hosts")).map(jstr))
+    def matchesPattern(pattern: String, host: String): Boolean = {
+      if (pattern == host) return true
+      val pp = pattern.split('.'); val hp = host.split('.')
+      pp.headOption.contains("*") && pp.length == hp.length &&
+        pp.tail.sameElements(hp.tail)
+    }
+    val targets = l(spec, "rules").flatMap { rule =>
+      val host = s(rule, "host")
+      val scheme = if (tlsHosts.exists(matchesPattern(_, host))) "https" else "http"
+      val paths0 = l(m(rule, "http"), "paths").map(p => s(p, "path")).filter(_.nonEmpty)
+      val paths = if (paths0.isEmpty) Seq("/") else paths0
+      paths.map(path => (host, Map(
+        "__meta_kubernetes_ingress_scheme" -> scheme,
+        "__meta_kubernetes_ingress_host" -> host,
+        "__meta_kubernetes_ingress_path" -> path)))
+    }
+    TargetGroup(source, shared, targets)
+  }
+
+  // -------------------------------------------------------------- provider
+
+  private def listPath(role: String, namespace: String): String = {
+    val nsSeg = if (namespace.isEmpty) "" else s"/namespaces/$namespace"
+    role match {
+      case "node" => "/api/v1/nodes"
+      case "pod" => s"/api/v1$nsSeg/pods"
+      case "service" => s"/api/v1$nsSeg/services"
+      case "endpoints" => s"/api/v1$nsSeg/endpoints"
+      case "endpointslice" => s"/apis/discovery.k8s.io/v1$nsSeg/endpointslices"
+      case "ingress" => s"/apis/networking.k8s.io/v1$nsSeg/ingresses"
+      case other => throw new IllegalArgumentException(s"unknown kubernetes role $other")
+    }
+  }
+
+  private def items(client: ApiClient, role: String, namespaces: Seq[String]): List[J] = {
+    val nss = if (namespaces.isEmpty) Seq("") else namespaces
+    nss.flatMap(ns => l(jmap(JsonLite.parse(client.get(listPath(role, ns)))), "items")).toList
+  }
+
+  /** one kubernetes_sd_configs entry as a manager provider; a whole-refresh
+    * failure keeps previous targets (manager semantics) */
+  final class KubernetesProvider(override val name: String, cfg: Config,
+      client: ApiClient) extends Discovery.Provider {
+    def this(name: String, cfg: Config) =
+      this(name, cfg, new HttpApiClient(cfg.apiServer, cfg.bearerTokenFile))
+    override def refreshMs: Long = cfg.refreshMs
+    override def refresh(): Seq[Discovery.TargetGroup] = {
+      val groups: Seq[TargetGroup] = cfg.role match {
+        case "node" => items(client, "node", Nil).flatMap(buildNode)
+        case "pod" => items(client, "pod", cfg.namespaces).map(buildPod)
+        case "service" => items(client, "service", cfg.namespaces).map(buildService)
+        case "endpoints" =>
+          val pods = podIndex(client, cfg.namespaces)
+          items(client, "endpoints", cfg.namespaces).map(buildEndpoints(_, pods))
+        case "endpointslice" =>
+          val pods = podIndex(client, cfg.namespaces)
+          items(client, "endpointslice", cfg.namespaces).map(buildEndpointSlice(_, pods))
+        case "ingress" => items(client, "ingress", cfg.namespaces).map(buildIngress)
+        case other => throw new IllegalArgumentException(s"unknown kubernetes role $other")
+      }
+      groups.map(g => Discovery.TargetGroup(g.source, g.labels, g.targets))
+    }
+    private def podIndex(client: ApiClient, namespaces: Seq[String]): Map[String, J] =
+      items(client, "pod", namespaces)
+        .map(p => s(m(p, "metadata"), "namespace") + "/" + s(m(p, "metadata"), "name") -> p)
+        .toMap
+  }
+
+  // internal group shape before adapting to Discovery.TargetGroup
+  private final case class TargetGroup(source: String, labels: Map[String, String],
+      targets: Seq[(String, Map[String, String])])
+}

@@ -26,7 +26,8 @@ final class PromServer(
     dnsResolver: Discovery.DnsSd.Resolver = Discovery.DnsSd.SystemResolver,
     consoleTemplates: Option[String] = None,
     consoleLibraries: Option[String] = None,
-    externalUrl: String = "") {
+    externalUrl: String = "",
+    webConfigFile: Option[String] = None) {
 
   /** SD manager shared by every scrape pool (ref: discovery/manager.go) */
   val discovery = new Discovery.Manager(nowMs)
@@ -34,7 +35,8 @@ final class PromServer(
   private val emptyDf = spark.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Engine.samplesSchema)
   val store = new graft.web.SampleStore(spark, emptyDf)
-  val api = new graft.web.HttpApi(spark, store, port, nowMs, limits, agentMode)
+  val api = new graft.web.HttpApi(spark, store, port, nowMs, limits, agentMode,
+    webConfigFile)
   // console templates + external URL (ref: --web.console.templates /
   // --web.console.libraries / --web.external-url flags)
   api.consoleTemplatesPath = consoleTemplates

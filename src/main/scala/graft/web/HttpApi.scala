@@ -20,11 +20,71 @@ import org.apache.spark.sql.functions._
 final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     nowMs: () => Long = () => System.currentTimeMillis(),
     limits: QueryLimits = QueryLimits(),
-    agentMode: Boolean = false) {
+    agentMode: Boolean = false,
+    webConfigFile: Option[String] = None) {
 
-  private val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+  // --web.config.file serving (ref: web/web.go Run → toolkit_web.Serve):
+  // HTTPS when tls_server_config is present, bcrypt basic-auth on every
+  // route when basic_auth_users is. The file re-reads on mtime change, so
+  // user edits apply live; a cert/key change re-keys new connections too
+  // (the delegating SSLContext below resolves per handshake).
+  @volatile private var webCfg: WebTls.ServeConfig =
+    webConfigFile.map(WebTls.loadConfig).getOrElse(WebTls.ServeConfig())
+  @volatile private var webCfgStamp: Long =
+    webConfigFile.map(f => new java.io.File(f).lastModified()).getOrElse(0L)
+  private def currentWebCfg: WebTls.ServeConfig = {
+    webConfigFile.foreach { f =>
+      val st = new java.io.File(f).lastModified()
+      if (st != webCfgStamp) synchronized {
+        if (st != webCfgStamp) {
+          try { webCfg = WebTls.loadConfig(f); sslCtxCache.clear() }
+          catch { case _: Exception => () } // keep the last good config
+          webCfgStamp = st
+        }
+      }
+    }
+    webCfg
+  }
+  private val sslCtxCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), javax.net.ssl.SSLContext]()
+  private val basicAuth = new WebTls.BasicAuth(() => currentWebCfg.users)
+
+  private val server: HttpServer =
+    if (webCfg.tlsEnabled) {
+      val s = com.sun.net.httpserver.HttpsServer.create(
+        new java.net.InetSocketAddress(port), 0)
+      // delegating SPI: each handshake uses the CURRENT cert/key pair
+      val spi = new javax.net.ssl.SSLContextSpi {
+        private def cur: javax.net.ssl.SSLContext = {
+          val c = currentWebCfg
+          sslCtxCache.computeIfAbsent((c.certFile, c.keyFile),
+            { case (cf, kf) => WebTls.sslContext(cf, kf) })
+        }
+        override def engineCreateSSLEngine(): javax.net.ssl.SSLEngine =
+          cur.createSSLEngine()
+        override def engineCreateSSLEngine(h: String, p: Int): javax.net.ssl.SSLEngine =
+          cur.createSSLEngine(h, p)
+        override def engineGetClientSessionContext(): javax.net.ssl.SSLSessionContext =
+          cur.getClientSessionContext
+        override def engineGetServerSessionContext(): javax.net.ssl.SSLSessionContext =
+          cur.getServerSessionContext
+        override def engineGetServerSocketFactory(): javax.net.ssl.SSLServerSocketFactory =
+          cur.getServerSocketFactory
+        override def engineGetSocketFactory(): javax.net.ssl.SSLSocketFactory =
+          cur.getSocketFactory
+        override def engineInit(km: Array[javax.net.ssl.KeyManager],
+            tm: Array[javax.net.ssl.TrustManager],
+            sr: java.security.SecureRandom): Unit = ()
+      }
+      val delegating = new javax.net.ssl.SSLContext(spi, null, "TLS") {}
+      s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(delegating))
+      s
+    } else HttpServer.create(new java.net.InetSocketAddress(port), 0)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
   server.setExecutor(pool)
+
+  /** scheme this server actually speaks (for clients/tests) */
+  def scheme: String = if (webCfg.tlsEnabled) "https" else "http"
 
   /** crash-forensics tracker (queries.active) + per-query log file —
     * wired by the host (PromServer data dir / query_log_file config) */
@@ -190,12 +250,26 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     * streaming thread owns it); errors thrown before detach still close */
   private def streamingHandler(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
     (ex: HttpExchange) =>
-      try { countRequest(ex.getHttpContext.getPath); f(ex) }
+      try {
+        if (!basicAuth.allowed(ex.getRequestHeaders.getFirst("Authorization"))) {
+          ex.getResponseHeaders.set("WWW-Authenticate", "Basic")
+          ex.sendResponseHeaders(401, -1)
+          ex.close()
+        } else { countRequest(ex.getHttpContext.getPath); f(ex) }
+      }
       catch { case _: Throwable =>
         try ex.close() catch { case _: Exception => () } }
 
   private def handler(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) =>
-    try { countRequest(ex.getHttpContext.getPath); f(ex) }
+    try {
+      if (!basicAuth.allowed(ex.getRequestHeaders.getFirst("Authorization"))) {
+        // ref: exporter-toolkit handler.go — 401 + challenge on every route
+        ex.getResponseHeaders.set("WWW-Authenticate", "Basic")
+        val b = "Unauthorized\n".getBytes("UTF-8")
+        ex.sendResponseHeaders(401, b.length)
+        ex.getResponseBody.write(b)
+      } else { countRequest(ex.getHttpContext.getPath); f(ex) }
+    }
     catch {
       case e: ParseError => err(ex, 400, "bad_data", e.getMessage)
       // resource-protection errors carry the reference's status mapping
@@ -1277,8 +1351,27 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         } else {
           // SAMPLES: the protocol is one snappy protobuf body — inherently
           // materialized; clients wanting bounded memory negotiate streamed.
+          // The materialization is still BOUNDED: accumulate off a partition
+          // iterator and fail at the sample cap (ref: config
+          // remote_read_sample_limit, default 5e7) with 422 instead of
+          // letting a 100×-scale read OOM the driver.
+          val cap = if (limits.maxSamples > 0) limits.maxSamples else 50000000L
+          var total = 0L
           val body = RemoteRead.encodeResponse(
-            queries.map(q => seriesDF(q).collect().toSeq.map(seriesOfRow)))
+            queries.map { q =>
+              val buf = Seq.newBuilder[RemoteRead.Series]
+              val it = seriesDF(q).toLocalIterator()
+              while (it.hasNext) {
+                val s = seriesOfRow(it.next())
+                total += s.samples.length
+                if (total > cap)
+                  throw new TooManySamplesError(
+                    s"remote read would load more than $cap samples; " +
+                    "use the STREAMED_XOR_CHUNKS response type")
+                buf += s
+              }
+              buf.result()
+            })
           ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
           ex.getResponseHeaders.set("Content-Encoding", "snappy")
           ex.sendResponseHeaders(200, body.length)

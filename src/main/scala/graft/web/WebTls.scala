@@ -1,0 +1,328 @@
+package graft.web
+
+import java.math.BigInteger
+
+/** Serving-side application of a web-config file (ref: exporter-toolkit
+  * web.Serve, wired by web/web.go Run via --web.config.file): HTTPS from PEM
+  * cert/key pairs and bcrypt basic-auth users. The checker twin is
+  * [[graft.streaming.WebConfigCheck]] (promtool check web-config); this
+  * object is the enforcement side used by the live HTTP server.
+  *
+  * Bcrypt is implemented from the published algorithm (Provos & Mazières,
+  * "A Future-Adaptable Password Scheme", USENIX 1999): eksblowfish key
+  * schedule over Blowfish with the standard π-derived P/S boxes. The π
+  * digit tables are COMPUTED at class init (Machin's formula in integer
+  * arithmetic) rather than embedded — ~10 ms once, and the first two words
+  * are asserted against the published 0x243f6a88/0x85a308d3. */
+object WebTls {
+
+  // ------------------------------------------------------------------ PEM
+
+  /** parse every `-----BEGIN <type>-----` block's base64 payload */
+  private def pemBlocks(text: String, blockType: String): Seq[Array[Byte]] = {
+    val re = ("(?s)-----BEGIN " + blockType + "-----(.*?)-----END " +
+      blockType + "-----").r
+    re.findAllMatchIn(text).map { m0 =>
+      java.util.Base64.getMimeDecoder.decode(m0.group(1).trim)
+    }.toSeq
+  }
+
+  /** PEM cert chain + PKCS#8 private key → SSLContext (ref: toolkit
+    * web.Config TLSConfig cert_file/key_file). RSA and EC keys supported. */
+  def sslContext(certFile: String, keyFile: String): javax.net.ssl.SSLContext = {
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val certText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(certFile)), "UTF-8")
+    val chain = pemBlocks(certText, "CERTIFICATE")
+      .map(b => cf.generateCertificate(new java.io.ByteArrayInputStream(b)))
+      .toArray[java.security.cert.Certificate]
+    require(chain.nonEmpty, s"no CERTIFICATE block in $certFile")
+    val keyText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(keyFile)), "UTF-8")
+    val keyDer = pemBlocks(keyText, "PRIVATE KEY").headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no PKCS#8 PRIVATE KEY block in $keyFile"))
+    val spec = new java.security.spec.PKCS8EncodedKeySpec(keyDer)
+    val key = Seq("RSA", "EC", "Ed25519").view.flatMap { alg =>
+      try Some(java.security.KeyFactory.getInstance(alg).generatePrivate(spec))
+      catch { case _: Exception => None }
+    }.headOption.getOrElse(
+      throw new IllegalArgumentException(s"unsupported private key in $keyFile"))
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    ks.load(null, null)
+    ks.setKeyEntry("server", key, Array.empty[Char], chain)
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, Array.empty[Char])
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+
+  // ------------------------------------------------------------ web config
+
+  /** the serving subset of a web-config file */
+  final case class ServeConfig(certFile: String = "", keyFile: String = "",
+      users: Map[String, String] = Map.empty) {
+    def tlsEnabled: Boolean = certFile.nonEmpty && keyFile.nonEmpty
+    def authEnabled: Boolean = users.nonEmpty
+  }
+
+  /** load cert/key paths (resolved against the config's directory) and
+    * basic_auth_users from a web-config YAML */
+  def loadConfig(path: String): ServeConfig = {
+    import graft.promqltest.YamlLite
+    import graft.promqltest.YamlLite.{YMap, YScalar}
+    val dir = java.nio.file.Paths.get(path).toAbsolutePath.getParent
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val root = YamlLite.parse(text) match {
+      case m: YMap => m
+      case _ => throw new IllegalArgumentException("web config: expected a mapping")
+    }
+    def resolve(p: String) = if (p.isEmpty) "" else dir.resolve(p).toString
+    val (cert, key) = root.get("tls_server_config") match {
+      case Some(m: YMap) =>
+        (resolve(m.str("cert_file").getOrElse("")),
+         resolve(m.str("key_file").getOrElse("")))
+      case _ => ("", "")
+    }
+    val users = root.get("basic_auth_users") match {
+      case Some(m: YMap) => m.entries.collect { case (u, YScalar(h)) => u -> h }.toMap
+      case _ => Map.empty[String, String]
+    }
+    ServeConfig(cert, key, users)
+  }
+
+  // ---------------------------------------------------------------- bcrypt
+
+  object Bcrypt {
+    // π-derived Blowfish boxes: 18 P words + 4×256 S words, computed via
+    // Machin's formula (16·arctan(1/5) − 4·arctan(1/239)) in integer
+    // arithmetic with 64 guard bits
+    private val (p0, s0): (Array[Int], Array[Int]) = {
+      val n = 18 + 1024
+      val bits = n * 32 + 64
+      def arctanInv(x: Long): BigInteger = {
+        var t = BigInteger.ONE.shiftLeft(bits).divide(BigInteger.valueOf(x))
+        val x2 = BigInteger.valueOf(x * x)
+        var sum = BigInteger.ZERO
+        var k = 0
+        while (t.signum != 0) {
+          val term = t.divide(BigInteger.valueOf(2L * k + 1))
+          sum = if ((k & 1) == 0) sum.add(term) else sum.subtract(term)
+          t = t.divide(x2)
+          k += 1
+        }
+        sum
+      }
+      val pi = arctanInv(5).multiply(BigInteger.valueOf(16))
+        .subtract(arctanInv(239).multiply(BigInteger.valueOf(4)))
+      val frac = pi.subtract(BigInteger.valueOf(3).shiftLeft(bits))
+      val words = Array.tabulate(n)(i =>
+        frac.shiftRight(bits - 32 * (i + 1)).intValue)
+      require(words(0) == 0x243f6a88 && words(1) == 0x85a308d3,
+        "pi digit generation is wrong")
+      (words.take(18), words.drop(18))
+    }
+
+    private val alphabet =
+      "./ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    private val alphaIdx: Array[Int] = {
+      val a = Array.fill(128)(-1)
+      alphabet.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+      a
+    }
+
+    private def decode64(s: String, maxLen: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < s.length && out.size < maxLen) {
+        val c1 = alphaIdx(s.charAt(i)); i += 1
+        if (i >= s.length || c1 < 0) return out.toByteArray
+        val c2 = alphaIdx(s.charAt(i)); i += 1
+        if (c2 < 0) return out.toByteArray
+        out.write(((c1 << 2) | (c2 >> 4)) & 0xff)
+        if (out.size >= maxLen || i >= s.length) return out.toByteArray
+        val c3 = alphaIdx(s.charAt(i)); i += 1
+        if (c3 < 0) return out.toByteArray
+        out.write((((c2 & 0x0f) << 4) | (c3 >> 2)) & 0xff)
+        if (out.size >= maxLen || i >= s.length) return out.toByteArray
+        val c4 = alphaIdx(s.charAt(i)); i += 1
+        if (c4 < 0) return out.toByteArray
+        out.write((((c3 & 0x03) << 6) | c4) & 0xff)
+      }
+      out.toByteArray
+    }
+
+    private def encode64(b: Array[Byte], len: Int): String = {
+      val sb = new StringBuilder
+      var off = 0
+      while (off < len) {
+        val c1 = b(off) & 0xff; off += 1
+        sb.append(alphabet((c1 >> 2) & 0x3f))
+        if (off >= len) { sb.append(alphabet((c1 & 0x03) << 4)); return sb.toString }
+        val c2 = b(off) & 0xff; off += 1
+        sb.append(alphabet(((c1 & 0x03) << 4) | ((c2 >> 4) & 0x0f)))
+        if (off >= len) { sb.append(alphabet((c2 & 0x0f) << 2)); return sb.toString }
+        val c3 = b(off) & 0xff; off += 1
+        sb.append(alphabet(((c2 & 0x0f) << 2) | ((c3 >> 6) & 0x03)))
+        sb.append(alphabet(c3 & 0x3f))
+      }
+      sb.toString
+    }
+
+    private final class State {
+      val P: Array[Int] = p0.clone()
+      val S: Array[Int] = s0.clone()
+
+      def encipher(lr: Array[Int], off: Int): Unit = {
+        var l = lr(off) ^ P(0)
+        var r = lr(off + 1)
+        var i = 1
+        while (i <= 16) {
+          r ^= (((S(l >>> 24) + S(0x100 | ((l >> 16) & 0xff))) ^
+            S(0x200 | ((l >> 8) & 0xff))) + S(0x300 | (l & 0xff))) ^ P(i)
+          val t = l; l = r; r = t
+          i += 1
+        }
+        lr(off) = r ^ P(17)
+        lr(off + 1) = l
+      }
+
+      private def streamWord(data: Array[Byte], off: Array[Int]): Int = {
+        var w = 0
+        var i = 0
+        while (i < 4) {
+          w = (w << 8) | (data(off(0)) & 0xff)
+          off(0) = (off(0) + 1) % data.length
+          i += 1
+        }
+        w
+      }
+
+      /** standard Blowfish key schedule (= ExpandKey with a zero salt) */
+      def key(k: Array[Byte]): Unit = {
+        val off = Array(0)
+        var i = 0
+        while (i < 18) { P(i) ^= streamWord(k, off); i += 1 }
+        val lr = Array(0, 0)
+        i = 0
+        while (i < 18) { encipher(lr, 0); P(i) = lr(0); P(i + 1) = lr(1); i += 2 }
+        i = 0
+        while (i < 1024) { encipher(lr, 0); S(i) = lr(0); S(i + 1) = lr(1); i += 2 }
+      }
+
+      /** the eksblowfish salted schedule (bcrypt paper ExpandKey) */
+      def ekskey(salt: Array[Byte], k: Array[Byte]): Unit = {
+        val koff = Array(0); val soff = Array(0)
+        var i = 0
+        while (i < 18) { P(i) ^= streamWord(k, koff); i += 1 }
+        val lr = Array(0, 0)
+        i = 0
+        while (i < 18) {
+          lr(0) ^= streamWord(salt, soff); lr(1) ^= streamWord(salt, soff)
+          encipher(lr, 0); P(i) = lr(0); P(i + 1) = lr(1); i += 2
+        }
+        i = 0
+        while (i < 1024) {
+          lr(0) ^= streamWord(salt, soff); lr(1) ^= streamWord(salt, soff)
+          encipher(lr, 0); S(i) = lr(0); S(i + 1) = lr(1); i += 2
+        }
+      }
+    }
+
+    // "OrpheanBeholderScryDoubt" as three 64-bit blocks
+    private val magic: Array[Int] = {
+      val b = "OrpheanBeholderScryDoubt".getBytes("US-ASCII")
+      Array.tabulate(6)(i => ((b(4 * i) & 0xff) << 24) | ((b(4 * i + 1) & 0xff) << 16) |
+        ((b(4 * i + 2) & 0xff) << 8) | (b(4 * i + 3) & 0xff))
+    }
+
+    /** raw bcrypt: 23-byte digest of (password bytes, 16-byte salt, cost) */
+    private def cryptRaw(pw: Array[Byte], salt: Array[Byte], cost: Int): Array[Byte] = {
+      require(cost >= 4 && cost <= 31, s"bad bcrypt cost $cost")
+      require(salt.length == 16, "bad bcrypt salt length")
+      val st = new State
+      st.ekskey(salt, pw)
+      var r = 0L
+      val rounds = 1L << cost
+      while (r < rounds) { st.key(pw); st.key(salt); r += 1 }
+      val c = magic.clone()
+      var i = 0
+      while (i < 64) {
+        var j = 0
+        while (j < 6) { st.encipher(c, j); j += 2 }
+        i += 1
+      }
+      val out = new Array[Byte](24)
+      i = 0
+      while (i < 6) {
+        out(4 * i) = (c(i) >>> 24).toByte; out(4 * i + 1) = (c(i) >>> 16).toByte
+        out(4 * i + 2) = (c(i) >>> 8).toByte; out(4 * i + 3) = c(i).toByte
+        i += 1
+      }
+      java.util.Arrays.copyOf(out, 23)
+    }
+
+    /** full hash of `password` under the salt+cost embedded in `spec`
+      * (a `$2a$NN$<22-char salt>` prefix or a complete hash) */
+    def hash(password: String, spec: String): String = {
+      require(spec.length >= 28 && spec.startsWith("$2"), "invalid bcrypt spec")
+      val version = spec.substring(1, spec.indexOf('$', 1))
+      require(Set("2a", "2b", "2y", "2x").contains(version), s"bad version $version")
+      val cost = spec.substring(4, 6).toInt
+      val saltStr = spec.substring(7, 29)
+      val salt = decode64(saltStr, 16)
+      // modern variants append a NUL and cap at 72 key bytes
+      val pwb0 = password.getBytes("UTF-8")
+      val pwb = java.util.Arrays.copyOf(pwb0, math.min(pwb0.length + 1, 72))
+      val digest = cryptRaw(pwb, salt, cost)
+      s"$$$version$$${if (cost < 10) "0" else ""}$cost$$$saltStr${encode64(digest, 23)}"
+    }
+
+    /** constant-time verification against a stored hash */
+    def check(password: String, stored: String): Boolean = {
+      val computed =
+        try hash(password, stored)
+        catch { case _: Exception => return false }
+      if (computed.length != stored.length) return false
+      var diff = 0
+      var i = 0
+      while (i < stored.length) { diff |= computed.charAt(i) ^ stored.charAt(i); i += 1 }
+      diff == 0
+    }
+  }
+
+  // ---------------------------------------------------------- auth filter
+
+  /** per-exchange basic-auth check against bcrypt users; returns true when
+    * the request may proceed (no users configured = open). A small cache
+    * short-circuits repeat (user, password, hash) triples — bcrypt is
+    * deliberately slow, and the toolkit caches equally (exporter-toolkit
+    * handler.go cache). */
+  final class BasicAuth(users: () => Map[String, String]) {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+    def allowed(authHeader: String): Boolean = {
+      val us = users()
+      if (us.isEmpty) return true
+      if (authHeader == null || !authHeader.startsWith("Basic ")) return false
+      val decoded =
+        try new String(java.util.Base64.getDecoder.decode(authHeader.drop(6).trim), "UTF-8")
+        catch { case _: Exception => return false }
+      val i = decoded.indexOf(':')
+      if (i < 0) return false
+      val (user, pass) = (decoded.take(i), decoded.drop(i + 1))
+      us.get(user) match {
+        case None => false
+        case Some(h) =>
+          val key = user + " " + pass + " " + h
+          cache.computeIfAbsent(key, _ => {
+            if (cache.size > 1024) cache.clear()
+            Bcrypt.check(pass, h)
+          })
+      }
+    }
+  }
+}

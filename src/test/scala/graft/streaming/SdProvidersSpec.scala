@@ -1,0 +1,290 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kubernetes + Consul SD: fake API servers through the Manager → relabel →
+  * scrape-target chain, the same way the reference tests drive a fake
+  * clientset (ref: discovery/kubernetes/kubernetes_test.go,
+  * discovery/consul/consul_test.go). */
+class SdProvidersSpec extends AnyFunSuite {
+
+  // ---- fake k8s API: multi-port pod modeled on pod_test.go makeMultiPortPods
+  private val podJson =
+    """{"items":[{
+      |  "metadata":{"name":"testpod","namespace":"default","uid":"abc123",
+      |    "labels":{"test/label":"testvalue"},
+      |    "annotations":{"test/annotation":"testannotationvalue"},
+      |    "ownerReferences":[{"kind":"ReplicaSet","name":"testpod-rs","controller":true}]},
+      |  "spec":{"nodeName":"testnode",
+      |    "containers":[
+      |      {"name":"testcontainer0","image":"testcontainer0:latest",
+      |       "ports":[{"name":"testport0","protocol":"TCP","containerPort":9000},
+      |                {"name":"testport1","protocol":"UDP","containerPort":9001}]},
+      |      {"name":"testcontainer1","image":"testcontainer1:latest"}]},
+      |  "status":{"podIP":"1.2.3.4","hostIP":"2.3.4.5","phase":"Running",
+      |    "conditions":[{"type":"Ready","status":"True"}],
+      |    "containerStatuses":[
+      |      {"name":"testcontainer0","containerID":"docker://a1b2c3d4e5f6"},
+      |      {"name":"testcontainer1","containerID":"containerd://6f5e4d3c2b1a"}]}
+      |}]}""".stripMargin
+
+  private val endpointsJson =
+    """{"items":[{
+      |  "metadata":{"name":"testendpoints","namespace":"default",
+      |    "labels":{"app/name":"test"}},
+      |  "subsets":[{
+      |    "addresses":[
+      |      {"ip":"1.2.3.4","hostname":"testendpoint1","nodeName":"foobar",
+      |       "targetRef":{"kind":"Pod","name":"testpod","namespace":"default"}},
+      |      {"ip":"4.3.2.1"}],
+      |    "notReadyAddresses":[{"ip":"2.3.4.5"}],
+      |    "ports":[{"name":"testport","port":9000,"protocol":"TCP"}]}]
+      |}]}""".stripMargin
+
+  private val nodeJson =
+    """{"items":[{
+      |  "metadata":{"name":"testnode","labels":{"kubernetes.io/os":"linux"}},
+      |  "spec":{"providerID":"aws:///id1"},
+      |  "status":{
+      |    "addresses":[{"type":"Hostname","address":"testnode.host"},
+      |                 {"type":"InternalIP","address":"10.0.0.1"}],
+      |    "daemonEndpoints":{"kubeletEndpoint":{"Port":10250}},
+      |    "conditions":[{"type":"Ready","status":"True"}]}
+      |}]}""".stripMargin
+
+  private val serviceJson =
+    """{"items":[{
+      |  "metadata":{"name":"testsvc","namespace":"default"},
+      |  "spec":{"type":"ClusterIP","clusterIP":"10.0.0.2",
+      |    "ports":[{"name":"http","port":80,"protocol":"TCP"}]}
+      |}]}""".stripMargin
+
+  private val ingressJson =
+    """{"items":[{
+      |  "metadata":{"name":"testing","namespace":"default"},
+      |  "spec":{"ingressClassName":"nginx",
+      |    "tls":[{"hosts":["secure.example.com"]}],
+      |    "rules":[
+      |      {"host":"example.com","http":{"paths":[{"path":"/"},{"path":"/foo"}]}},
+      |      {"host":"secure.example.com","http":{"paths":[{"path":"/"}]}}]}
+      |}]}""".stripMargin
+
+  private val k8sFake = new KubernetesSd.ApiClient {
+    override def get(path: String): String = path match {
+      case p if p.endsWith("/pods") => podJson
+      case p if p.endsWith("/endpoints") => endpointsJson
+      case p if p.endsWith("/nodes") => nodeJson
+      case p if p.endsWith("/services") => serviceJson
+      case p if p.endsWith("/ingresses") => ingressJson
+      case other => fail(s"unexpected API path $other")
+    }
+  }
+
+  test("kubernetes pod role: reference meta labels, per-port targets, relabel chain") {
+    val cfg = Config.parse(
+      """scrape_configs:
+        |  - job_name: kubernetes-pods
+        |    kubernetes_sd_configs:
+        |      - role: pod
+        |        api_server: https://localhost:6443
+        |        namespaces:
+        |          names: [default]
+        |        refresh_interval: 20s
+        |    relabel_configs:
+        |      - source_labels: [__meta_kubernetes_pod_container_port_number]
+        |        regex: "9000"
+        |        action: keep
+        |      - source_labels: [__meta_kubernetes_namespace, __meta_kubernetes_pod_name]
+        |        separator: /
+        |        target_label: pod_id
+        |""".stripMargin, "/tmp")
+    val job = cfg.scrapeJobs.head
+    assert(job.kubernetesSd ==
+      Seq(KubernetesSd.Config("pod", "https://localhost:6443", Seq("default"), "", 20000L)))
+
+    val mgr = new Discovery.Manager(() => 0L)
+    Discovery.registerJob(mgr, job, k8sClient = Some(k8sFake))
+    mgr.poll()
+    val raw = mgr.targetsFor(job.jobName, job.jobName, job.scheme, job.metricsPath)
+    // 2 declared ports + 1 port-less container
+    assert(raw.map(_.instance).toSet == Set("1.2.3.4:9000", "1.2.3.4:9001", "1.2.3.4"))
+    val l9000 = raw.find(_.instance == "1.2.3.4:9000").get.extraLabels
+    // the reference's pod_test.go expected label set
+    assert(l9000("__meta_kubernetes_pod_name") == "testpod")
+    assert(l9000("__meta_kubernetes_namespace") == "default")
+    assert(l9000("__meta_kubernetes_pod_ip") == "1.2.3.4")
+    assert(l9000("__meta_kubernetes_pod_host_ip") == "2.3.4.5")
+    assert(l9000("__meta_kubernetes_pod_ready") == "true")
+    assert(l9000("__meta_kubernetes_pod_phase") == "Running")
+    assert(l9000("__meta_kubernetes_pod_node_name") == "testnode")
+    assert(l9000("__meta_kubernetes_pod_uid") == "abc123")
+    assert(l9000("__meta_kubernetes_pod_label_test_label") == "testvalue")
+    assert(l9000("__meta_kubernetes_pod_labelpresent_test_label") == "true")
+    assert(l9000("__meta_kubernetes_pod_annotation_test_annotation") == "testannotationvalue")
+    assert(l9000("__meta_kubernetes_pod_annotationpresent_test_annotation") == "true")
+    assert(l9000("__meta_kubernetes_pod_controller_kind") == "ReplicaSet")
+    assert(l9000("__meta_kubernetes_pod_controller_name") == "testpod-rs")
+    assert(l9000("__meta_kubernetes_pod_container_name") == "testcontainer0")
+    assert(l9000("__meta_kubernetes_pod_container_id") == "docker://a1b2c3d4e5f6")
+    assert(l9000("__meta_kubernetes_pod_container_image") == "testcontainer0:latest")
+    assert(l9000("__meta_kubernetes_pod_container_init") == "false")
+    assert(l9000("__meta_kubernetes_pod_container_port_name") == "testport0")
+    assert(l9000("__meta_kubernetes_pod_container_port_protocol") == "TCP")
+    // port-less container: no port labels
+    val bare = raw.find(_.instance == "1.2.3.4").get.extraLabels
+    assert(bare("__meta_kubernetes_pod_container_name") == "testcontainer1")
+    assert(bare("__meta_kubernetes_pod_container_id") == "containerd://6f5e4d3c2b1a")
+    assert(!bare.contains("__meta_kubernetes_pod_container_port_number"))
+
+    // relabel: keep only the 9000 target, compose pod_id
+    val scraped = raw.flatMap(t => ScrapeManager.relabelTarget(t, job.relabel))
+    assert(scraped.map(_.instance) == Seq("1.2.3.4:9000"))
+    assert(scraped.head.extraLabels == Map("pod_id" -> "default/testpod"))
+  }
+
+  test("kubernetes endpoints role: ready/not-ready, pod merge, external address") {
+    val mgr = new Discovery.Manager(() => 0L)
+    val job = Config.parse(
+      """scrape_configs:
+        |  - job_name: eps
+        |    kubernetes_sd_configs:
+        |      - role: endpoints
+        |""".stripMargin, "/tmp").scrapeJobs.head
+    Discovery.registerJob(mgr, job, k8sClient = Some(k8sFake))
+    mgr.poll()
+    val raw = mgr.targetsFor("eps", "eps")
+    assert(raw.map(_.instance).toSet ==
+      Set("1.2.3.4:9000", "4.3.2.1:9000", "2.3.4.5:9000"))
+    val podBacked = raw.find(_.instance == "1.2.3.4:9000").get.extraLabels
+    assert(podBacked("__meta_kubernetes_endpoint_ready") == "true")
+    assert(podBacked("__meta_kubernetes_endpoint_hostname") == "testendpoint1")
+    assert(podBacked("__meta_kubernetes_endpoint_node_name") == "foobar")
+    assert(podBacked("__meta_kubernetes_endpoint_address_target_kind") == "Pod")
+    assert(podBacked("__meta_kubernetes_endpoint_address_target_name") == "testpod")
+    // pod labels merged onto the pod-backed endpoint target
+    assert(podBacked("__meta_kubernetes_pod_name") == "testpod")
+    assert(podBacked("__meta_kubernetes_pod_node_name") == "testnode")
+    // group labels: namespace + owning service + endpoints meta
+    assert(podBacked("__meta_kubernetes_namespace") == "default")
+    assert(podBacked("__meta_kubernetes_service_name") == "testendpoints")
+    assert(podBacked("__meta_kubernetes_endpoints_name") == "testendpoints")
+    assert(podBacked("__meta_kubernetes_endpoints_label_app_name") == "test")
+    // external (non-pod) address: no pod labels, still port + ready
+    val ext = raw.find(_.instance == "4.3.2.1:9000").get.extraLabels
+    assert(ext("__meta_kubernetes_endpoint_ready") == "true")
+    assert(!ext.contains("__meta_kubernetes_pod_name"))
+    val nr = raw.find(_.instance == "2.3.4.5:9000").get.extraLabels
+    assert(nr("__meta_kubernetes_endpoint_ready") == "false")
+  }
+
+  test("kubernetes node/service/ingress roles: address construction") {
+    val mgr = new Discovery.Manager(() => 0L)
+    Seq("node", "service", "ingress").foreach { role =>
+      mgr.register(role, new KubernetesSd.KubernetesProvider(
+        s"kubernetes/0", KubernetesSd.Config(role), k8sFake))
+    }
+    mgr.poll()
+    // node: InternalIP wins over Hostname; kubelet port appended
+    val node = mgr.targetsFor("node", "node")
+    assert(node.map(_.instance) == Seq("10.0.0.1:10250"))
+    val nl = node.head.extraLabels
+    assert(nl("instance") == "testnode")
+    assert(nl("__meta_kubernetes_node_name") == "testnode")
+    assert(nl("__meta_kubernetes_node_label_kubernetes_io_os") == "linux")
+    assert(nl("__meta_kubernetes_node_address_InternalIP") == "10.0.0.1")
+    assert(nl("__meta_kubernetes_node_address_Hostname") == "testnode.host")
+    assert(nl("__meta_kubernetes_node_condition_ready") == "true")
+    assert(nl("__meta_kubernetes_node_provider_id") == "aws:///id1")
+    // service: name.namespace.svc:port
+    val svc = mgr.targetsFor("service", "service")
+    assert(svc.map(_.instance) == Seq("testsvc.default.svc:80"))
+    val sl = svc.head.extraLabels
+    assert(sl("__meta_kubernetes_service_port_name") == "http")
+    assert(sl("__meta_kubernetes_service_cluster_ip") == "10.0.0.2")
+    assert(sl("__meta_kubernetes_service_type") == "ClusterIP")
+    // ingress: per host × path; TLS host gets https scheme
+    val ing = mgr.targetsFor("ingress", "ingress")
+    val byHostPath = ing.map(t => (t.extraLabels("__meta_kubernetes_ingress_host"),
+      t.extraLabels("__meta_kubernetes_ingress_path"),
+      t.extraLabels("__meta_kubernetes_ingress_scheme"))).toSet
+    assert(byHostPath == Set(
+      ("example.com", "/", "http"), ("example.com", "/foo", "http"),
+      ("secure.example.com", "/", "https")))
+    assert(ing.head.extraLabels("__meta_kubernetes_ingress_class_name") == "nginx")
+  }
+
+  test("consul SD: catalog filter, health aggregation, address precedence") {
+    val catalog = """{"web":["prod","traefik.enable=true"],"db":["prod"],"skipme":[]}"""
+    val webHealth =
+      """[{"Node":{"Node":"node1","Address":"10.1.1.1",
+        |   "Meta":{"rack-name":"r1"},"TaggedAddresses":{"lan":"10.1.1.1","wan":"52.5.0.1"}},
+        |  "Service":{"ID":"web1","Service":"web","Address":"10.2.2.2","Port":8080,
+        |   "Tags":["prod","traefik.enable=true"],"Meta":{"version":"1.2"}},
+        |  "Checks":[{"Status":"passing"},{"Status":"warning"}]},
+        | {"Node":{"Node":"node2","Address":"10.1.1.2"},
+        |  "Service":{"ID":"web2","Service":"web","Address":"","Port":8080,"Tags":["canary"]},
+        |  "Checks":[{"Status":"passing"}]}]""".stripMargin
+    val dbHealth =
+      """[{"Node":{"Node":"node3","Address":"10.1.1.3"},
+        |  "Service":{"ID":"db1","Service":"db","Address":"","Port":5432,"Tags":["prod"]},
+        |  "Checks":[{"Status":"critical"}]}]""".stripMargin
+    val fake = new ConsulSd.ApiClient {
+      override def get(path: String): String = path match {
+        case p if p.startsWith("/v1/catalog/services") => catalog
+        case p if p.startsWith("/v1/health/service/web") => webHealth
+        case p if p.startsWith("/v1/health/service/db") => dbHealth
+        case other => fail(s"unexpected consul path $other")
+      }
+    }
+    val job = Config.parse(
+      """scrape_configs:
+        |  - job_name: consul
+        |    consul_sd_configs:
+        |      - server: consul.example.com:8500
+        |        datacenter: dc1
+        |        services: [web, db]
+        |        tags: [prod]
+        |""".stripMargin, "/tmp").scrapeJobs.head
+    assert(job.consulSd == Seq(ConsulSd.Config(
+      "consul.example.com:8500", "http", "dc1", Seq("web", "db"), Seq("prod"),
+      ",", "", 30000L)))
+    val mgr = new Discovery.Manager(() => 0L)
+    Discovery.registerJob(mgr, job, consulClient = Some(fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("consul", "consul")
+    // web2 has no "prod" tag → filtered; web1 uses the SERVICE address
+    assert(raw.map(_.instance).toSet == Set("10.2.2.2:8080", "10.1.1.3:5432"))
+    val web = raw.find(_.instance == "10.2.2.2:8080").get.extraLabels
+    assert(web("__meta_consul_service") == "web")
+    assert(web("__meta_consul_dc") == "dc1")
+    assert(web("__meta_consul_node") == "node1")
+    assert(web("__meta_consul_address") == "10.1.1.1")
+    assert(web("__meta_consul_service_address") == "10.2.2.2")
+    assert(web("__meta_consul_service_port") == "8080")
+    assert(web("__meta_consul_service_id") == "web1")
+    assert(web("__meta_consul_health") == "warning")
+    assert(web("__meta_consul_tags") == ",prod,traefik.enable=true,")
+    assert(web("__meta_consul_metadata_rack_name") == "r1")
+    assert(web("__meta_consul_service_metadata_version") == "1.2")
+    assert(web("__meta_consul_tagged_address_wan") == "52.5.0.1")
+    val db = raw.find(_.instance == "10.1.1.3:5432").get.extraLabels
+    assert(db("__meta_consul_health") == "critical")
+  }
+
+  test("kubernetes SD: refresh failure keeps previous targets (manager semantics)") {
+    @volatile var fail = false
+    val flaky = new KubernetesSd.ApiClient {
+      override def get(path: String): String =
+        if (fail) throw new RuntimeException("apiserver down") else podJson
+    }
+    var now = 0L
+    val mgr = new Discovery.Manager(() => now)
+    mgr.register("j", new KubernetesSd.KubernetesProvider(
+      "kubernetes/0", KubernetesSd.Config("pod", refreshMs = 10000L), flaky))
+    mgr.poll()
+    assert(mgr.targetsFor("j", "j").size == 3)
+    fail = true; now = 20000L
+    mgr.poll()
+    assert(mgr.targetsFor("j", "j").size == 3)
+  }
+}

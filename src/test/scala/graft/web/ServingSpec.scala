@@ -770,4 +770,31 @@ class ServingSpec extends AnyFunSuite {
       assert(bad.sendFromState(rule, state, 3000L) == Seq(false))
     } finally am.stop(0)
   }
+
+  test("remote read SAMPLES: an over-limit read 422s instead of materializing") {
+    val rows = for (s <- 0 until 4; k <- 0 until 100) yield
+      Row(Map("__name__" -> "m", "src" -> s"s$s"), k * 1000L, s + k * 1.0,
+        false, null, 0L)
+    val store = new SampleStore(spark,
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), Engine.samplesSchema))
+    // 400 samples in range, cap at 100 → the SAMPLES envelope must refuse
+    val api = new HttpApi(spark, store, 0, () => 100000L,
+      graft.promql.QueryLimits(maxSamples = 100L))
+    api.start()
+    try {
+      val url = s"http://127.0.0.1:${api.boundPort}/api/v1/read"
+      val q = RemoteRead.Query(0L, 100000L, List(LabelMatcher("__name__", MatchOp.Eq, "m")))
+      val resp = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(
+            RemoteRead.encodeRequest(Seq(q), Nil))) // no accepted types = SAMPLES
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 422)
+      assert(resp.body().contains("STREAMED_XOR_CHUNKS"))
+      // the streamed path is NOT capped — it is the bounded-memory escape
+      val streamed = new RemoteReadClient(url).read(q, streamed = true)
+      assert(streamed.map(_.samples.size).sum == 400)
+    } finally api.stop()
+  }
 }

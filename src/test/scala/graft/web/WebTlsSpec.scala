@@ -1,0 +1,111 @@
+package graft.web
+
+import graft.promql.Engine
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Web-config SERVING: bcrypt verification vectors, HTTPS round-trip from a
+  * PEM cert/key pair, basic-auth 401/200 across routes, hot user reload
+  * (ref: exporter-toolkit web.Serve applied by web/web.go Run). */
+class WebTlsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def emptyStore(): SampleStore = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 1), Engine.samplesSchema)
+    new SampleStore(spark, df)
+  }
+
+  private def resourcePath(name: String): String =
+    new java.io.File(getClass.getResource(name).toURI).getAbsolutePath
+
+  test("bcrypt: published test vectors verify, wrong passwords refuse") {
+    // public vectors (OpenBSD-derived, used across bcrypt test suites)
+    assert(WebTls.Bcrypt.hash("", "$2a$06$DCq7YPn5Rq63x1Lad4cll.") ==
+      "$2a$06$DCq7YPn5Rq63x1Lad4cll.TV4S6ytwfsfvkgY8jIucDrjc8deX1s.")
+    assert(WebTls.Bcrypt.hash("a", "$2a$06$m0CrhHm10qJ3lXRY.5zDGO") ==
+      "$2a$06$m0CrhHm10qJ3lXRY.5zDGO3rS2KdeeWLuGmsfGlMfOxih58VYVfxe")
+    assert(WebTls.Bcrypt.check("",
+      "$2a$06$DCq7YPn5Rq63x1Lad4cll.TV4S6ytwfsfvkgY8jIucDrjc8deX1s."))
+    assert(WebTls.Bcrypt.check("a",
+      "$2a$06$m0CrhHm10qJ3lXRY.5zDGO3rS2KdeeWLuGmsfGlMfOxih58VYVfxe"))
+    assert(!WebTls.Bcrypt.check("b",
+      "$2a$06$m0CrhHm10qJ3lXRY.5zDGO3rS2KdeeWLuGmsfGlMfOxih58VYVfxe"))
+    assert(!WebTls.Bcrypt.check("a", "not-a-bcrypt-hash"))
+    // self-consistency across versions/costs + the 72-byte cap with NUL
+    val h = WebTls.Bcrypt.hash("s3cr3t", "$2b$08$m0CrhHm10qJ3lXRY.5zDGO")
+    assert(h.startsWith("$2b$08$m0CrhHm10qJ3lXRY.5zDGO") && h.length == 60)
+    assert(WebTls.Bcrypt.check("s3cr3t", h))
+    assert(!WebTls.Bcrypt.check("s3cr3t!", h))
+    val long = "x" * 100
+    val hl = WebTls.Bcrypt.hash(long, "$2a$06$DCq7YPn5Rq63x1Lad4cll.")
+    assert(WebTls.Bcrypt.check(long, hl))
+    assert(WebTls.Bcrypt.check("x" * 80, hl)) // beyond 72 bytes is ignored
+  }
+
+  test("HTTPS + basic auth: TLS round-trip, 401/200, hot user reload") {
+    val dir = java.nio.file.Files.createTempDirectory("webtls")
+    val cert = resourcePath("/webtls/cert.pem")
+    val key = resourcePath("/webtls/key.pem")
+    // user alice, password "a" (verified vector above)
+    val cfgPath = dir.resolve("web.yml")
+    def writeCfg(users: Map[String, String]): Unit =
+      java.nio.file.Files.write(cfgPath,
+        (s"""tls_server_config:
+            |  cert_file: $cert
+            |  key_file: $key
+            |basic_auth_users:
+            |""".stripMargin +
+          users.map { case (u, h) => s"  $u: $h\n" }.mkString).getBytes("UTF-8"))
+    writeCfg(Map("alice" -> "$2a$06$m0CrhHm10qJ3lXRY.5zDGO3rS2KdeeWLuGmsfGlMfOxih58VYVfxe"))
+
+    val api = new HttpApi(spark, emptyStore(), 0, () => 10000L,
+      webConfigFile = Some(cfgPath.toString))
+    assert(api.scheme == "https")
+    api.start()
+    try {
+      // trust-all client (self-signed test cert)
+      val trustAll = new javax.net.ssl.X509TrustManager {
+        override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+      }
+      val sc = javax.net.ssl.SSLContext.getInstance("TLS")
+      sc.init(null, Array(trustAll), new java.security.SecureRandom())
+      val client = java.net.http.HttpClient.newBuilder().sslContext(sc).build()
+      def get(path: String, auth: Option[(String, String)]): (Int, String) = {
+        val b = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"https://127.0.0.1:${api.boundPort}$path"))
+        auth.foreach { case (u, p) =>
+          b.header("Authorization", "Basic " +
+            java.util.Base64.getEncoder.encodeToString(s"$u:$p".getBytes("UTF-8"))) }
+        val r = client.send(b.GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // no credentials → 401 + challenge; wrong password → 401;
+      // correct → 200 over TLS
+      assert(get("/-/healthy", None)._1 == 401)
+      assert(get("/-/healthy", Some(("alice", "wrong")))._1 == 401)
+      assert(get("/-/healthy", Some(("bob", "a")))._1 == 401)
+      val okResp = get("/-/healthy", Some(("alice", "a")))
+      assert(okResp._1 == 200)
+      // API routes are guarded too
+      assert(get("/api/v1/labels", None)._1 == 401)
+      assert(get("/api/v1/labels", Some(("alice", "a")))._1 == 200)
+
+      // hot reload: swap the users file → old password refused, new accepted
+      Thread.sleep(1100) // mtime resolution
+      writeCfg(Map("carol" ->
+        "$2a$06$DCq7YPn5Rq63x1Lad4cll.TV4S6ytwfsfvkgY8jIucDrjc8deX1s."))
+      assert(get("/-/healthy", Some(("alice", "a")))._1 == 401)
+      assert(get("/-/healthy", Some(("carol", "")))._1 == 200)
+    } finally api.stop()
+  }
+}
