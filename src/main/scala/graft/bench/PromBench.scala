@@ -125,6 +125,9 @@ object PromBench {
       ("sum without (le)(h_X)", 0),
       ("sum by (l)(h_X)", 0),
       ("sum by (le)(h_X)", 0),
+      // the historically-regressing histogram fold (r7/r8 verdicts): soak
+      // it at every step shape so the artifact tracks it round-over-round
+      ("sum_over_time(h_X[1d])", 0),
       ("count_values('value', h_X)", 100),
       ("topk(1, a_X)", 0),
       ("topk(5, a_X)", 0),

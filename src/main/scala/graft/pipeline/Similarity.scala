@@ -196,6 +196,63 @@ object Similarity {
       .select(col("da"), col("db"), cosine("va", "vb").as("cos"))
       .filter(col("cos") >= tau)
   }
+
+  /** Lloyd's k-means over the embedding column — corpus clustering for data
+    * curation (topic balancing, per-cluster sampling, semantic dedup
+    * blocking). Deterministic throughout: init = the k lowest vec_ids'
+    * vectors, fixed iteration count, squared-L2 argmin with lowest-index
+    * tiebreak — no RNG anywhere, so reruns and the spec's local reference
+    * agree exactly.
+    *
+    * 100 TB shape (the MLlib pattern): each iteration is ONE scan. The k×dim
+    * centroid table (k=8 × 64 floats here) rides to executors inside the
+    * assign kernel; the update is a (cluster, pos)-keyed mean — narrow rows,
+    * dim× amplification of an 8-byte payload, map-side combined — collected
+    * at k×dim cardinality to the driver. No iteration ever shuffles the
+    * vectors themselves. */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+    var centroids: Array[Array[Float]] = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    def assignUdf(cents: Array[Array[Float]]) = udf { (v: Seq[Float]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val ce = cents(c)
+        var d = 0.0; var i = 0
+        while (i < ce.length) {
+          val diff = v(i).toDouble - ce(i).toDouble; d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val dim = if (centroids.nonEmpty) centroids(0).length else 0
+    var assigned = emb.withColumn("cluster", assignUdf(centroids)(col("embedding")))
+    var it = 0
+    while (it < iters - 1) {
+      val next = centroids.map(_.clone())
+      // centroid update as per-dimension sums in ONE codegen'd aggregation
+      // (the trainCentroids device — an explode beside the assignment UDF
+      // would re-evaluate the UDF once per exploded element); k rows reach
+      // the driver
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("embedding"), i + 1)).as(s"s$i"))
+      assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+        .foreach { r =>
+          val c = r.getInt(0); val n = r.getLong(1).toDouble
+          var d = 0
+          while (d < dim) { next(c)(d) = (r.getDouble(2 + d) / n).toFloat; d += 1 }
+        }
+      centroids = next // empty clusters keep their previous centroid
+      assigned = emb.withColumn("cluster", assignUdf(centroids)(col("embedding")))
+      it += 1
+    }
+    assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+  }
 }
 
 /** PERSISTED IVF index — the build-once / query-many shape [[Similarity
@@ -250,4 +307,5 @@ object IvfIndex {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
+
 }

@@ -102,4 +102,33 @@ object TextAnalysis {
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
       .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
         round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))
+
+  /** Top-k terms per document by a log-free tf-idf: score = tf × (N+1)/(df+1).
+    * The ratio is monotone in the usual ln-idf (same ranking) but pure IEEE
+    * arithmetic, so the DuckDB oracle hash-matches bit-for-bit (ln differs
+    * in the last ulp across libm implementations). Keyword extraction /
+    * term-weighting for corpus curation.
+    *
+    * 100 TB shape: term frequencies are one (doc_id, term) hash agg; the
+    * document-frequency table is VOCABULARY cardinality — broadcast to the
+    * scoring join (the corpus never reshuffles on term); per-doc top-k is a
+    * window over doc_id. */
+  def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // (doc_id, term) rows are unique post-group ⇒ count = document frequency
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val n = docs.select(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+      .withColumn("tfidf_ratio",
+        col("tf").cast("double") * (col("n") + 1).cast("double")
+          / (col("dfreq") + 1).cast("double"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_ratio").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf"), col("dfreq"), col("tfidf_ratio"))
+  }
 }

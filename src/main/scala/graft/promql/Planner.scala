@@ -826,14 +826,15 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       val factor = if (isRate) factor0 / rangeSec else factor0
       if (useLinear) {
         // Linear regime: ONE grouped pass over the pruned selector.
-        // MixedRateStatsStepsExpr splits each series' merged timeline into
-        // the float and histogram subsequences internally and classifies
-        // every step window O(1): float-pure windows emit the prefix-
-        // decomposed stats row (consumed by the Column formulas above),
-        // hist-pure windows the SWAG-folded histogram, mixed windows drop.
-        // This replaced a series-kind census + float/hist-pure/mixed legs
+        // MixedRateStepsExpr splits each series' merged timeline into the
+        // float and histogram subsequences internally and classifies every
+        // step window O(1): float-pure windows compute extrapolatedRate in
+        // place, hist-pure windows the SWAG fold, mixed windows drop. This
+        // replaced a series-kind census + float/hist-pure/mixed legs
         // (4 passes over the selector scan + a 3-way union; r8 verdict:
-        // histogram_quantile(0.9, rate(h_hundred[5m])) 1.98→2.6 s clean).
+        // histogram_quantile(0.9, rate(h_hundred[5m])) 1.98→2.6 s clean)
+        // AND the former per-output-row Column formula chain, which ran
+        // interpreted below the CodegenFallback Generate.
         val rows = withSg(ri.points)
           .withColumns(Map("wt" -> (col("t") + ri.offsetMs), "wst" -> wstCol(ri.offsetMs)))
           .filter(col("wt") > P.startMs - ri.rangeMs && col("wt") <= P.endMs)
@@ -842,23 +843,12 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           .agg(first(col("labels")).as("labels"),
             collect_list(struct(col("wt"), col("v"), col("h"), col("wst").as("stt"),
               coalesce(col("dn"), lit(false)).as("dn"))).as("mp"))
-        val exploded = agged.select(col("labels"),
-            explode(StepFoldExprs.mixedRateStatsSteps(op, P.startMs, P.stepMs,
+        agged.select(col("labels"),
+            explode(StepFoldExprs.mixedRateSteps(op, P.startMs, P.stepMs,
               P.numSteps.toInt, ri.rangeMs)(col("mp"))).as("o"))
-          .select(col("labels"), col("o.t").as("t_step"), col("o.dn").as("dn"),
-            col("o.cnt").as("cnt"), col("o.firstV").as("firstV"),
-            col("o.minWt").as("minWt"), col("o.firstSt").as("firstSt"),
-            col("o.lastV").as("lastV"), col("o.maxWt").as("maxWt"),
-            col("o.corr").as("corr"), col("o.h").as("__hout"))
-        // hist rows carry cnt = 0 sentinels; the when() masks the (garbage)
-        // float formula on them, exactly one of v/h is meaningful per row
-        exploded
-          .filter(col("__hout").isNotNull || col("cnt") >= 2 || stBranch)
-          .select(col("labels"), col("t_step").as("t"),
-            when(col("__hout").isNotNull, lit(Double.NaN))
-              .otherwise(resultValue * factor).as("v"),
-            col("t_step").as("st"), col("__hout").as("h"),
-            (col("dn") || lit(funcDrops)).as("dn"))
+          .select(col("labels"), col("o.t").as("t"), col("o.v").as("v"),
+            col("o.t").as("st"), col("o.h").as("h"),
+            (col("o.dn") || lit(funcDrops)).as("dn"))
       } else {
         val agged = exclMixed(
           aggL(g, max(col("dn")).as("dn"),

@@ -50,23 +50,17 @@ object StepFoldExprs {
     toCol(RateStatsStepsExpr(toExpr(wts), toExpr(vs), toExpr(sts), toExpr(dns),
       startMs, stepMs, numSteps, rangeMs))
 
-  val mixedRateStatType: StructType = StructType(Seq(
+  val mixedRateType: StructType = StructType(Seq(
     StructField("t", LongType, nullable = false),
-    StructField("cnt", LongType, nullable = false),
-    StructField("firstV", DoubleType, nullable = false),
-    StructField("minWt", LongType, nullable = false),
-    StructField("firstSt", LongType, nullable = false),
-    StructField("lastV", DoubleType, nullable = false),
-    StructField("maxWt", LongType, nullable = false),
-    StructField("corr", DoubleType, nullable = false),
+    StructField("v", DoubleType, nullable = false),
     StructField("dn", BooleanType, nullable = false),
     StructField("h", FHist.schemaType, nullable = true)))
 
-  /** builder: single-pass mixed float+histogram rate/increase/delta stats;
+  /** builder: single-pass mixed float+histogram rate/increase/delta;
     * `pts` = UNSORTED collect_list of struct(wt, v, h, stt, dn) */
-  def mixedRateStatsSteps(op: String, startMs: Long, stepMs: Long,
+  def mixedRateSteps(op: String, startMs: Long, stepMs: Long,
       numSteps: Int, rangeMs: Long)(pts: Column): Column =
-    toCol(MixedRateStatsStepsExpr(toExpr(pts), op, startMs, stepMs, numSteps, rangeMs))
+    toCol(MixedRateStepsExpr(toExpr(pts), op, startMs, stepMs, numSteps, rangeMs))
 
   val stepValueType: StructType = StructType(Seq(
     StructField("_1", LongType, nullable = false),
@@ -443,27 +437,27 @@ final case class RateStatsStepsExpr(wtsE: Expression, vsE: Expression,
   }
 }
 
-/** Single-pass mixed float+histogram rate/increase/delta window statistics —
-  * the fusion of [[RateStatsStepsExpr]] (float prefix-decomposed stats) and
-  * [[HistFoldStepsExpr]]'s rate fold, replacing the former series-kind
-  * census + three-leg union plan (which re-scanned the pruned selector four
-  * times even for kind-pure stores). One argsorted pass splits the merged
-  * timeline into the float and histogram subsequences; a per-window
-  * histogram COUNT from a prefix array classifies each step O(1):
-  *   - float-pure windows emit the float stats row (the extrapolation
-  *     formula stays in Columns downstream — identical prefix-pair math to
-  *     RateStatsStepsExpr, so results are bit-identical to the old plan);
+/** Single-pass mixed float+histogram rate/increase/delta — the fusion of
+  * [[RateStatsStepsExpr]] (float prefix-decomposed stats), the reference's
+  * extrapolation formula, and [[HistFoldStepsExpr]]'s rate fold, replacing
+  * the former series-kind census + three-leg union plan (which re-scanned
+  * the pruned selector four times even for kind-pure stores). One argsorted
+  * pass splits the merged timeline into the float and histogram
+  * subsequences; a per-window histogram COUNT from a prefix array
+  * classifies each step O(1):
+  *   - float-pure windows compute extrapolatedRate in place
+  *     (ref: promql/functions.go:452 — same double-op order as the former
+  *     Column formula chain, which evaluated interpreted on every exploded
+  *     row below the CodegenFallback Generate and dominated the rate plan's
+  *     CPU at 1M outputs);
   *   - hist-pure windows emit the SWAG-folded histogram result
-  *     ([[HistUdfs.histRateFoldSteps]] over the hist subsequence, identical
-  *     fold to the old hist-pure leg);
+  *     ([[HistUdfs.histRateFoldSteps]] over the hist subsequence);
   *   - windows containing BOTH kinds drop (the reference's mixed-window
-  *     exclusion, promql/functions.go:452 extrapolatedRate warning path).
+  *     exclusion, functions.go extrapolatedRate warning path).
   * `dn` is the OR over in-window samples from a merged prefix — exact for
   * both pure-window kinds. Input: UNSORTED array<struct<wt, v, h, stt, dn>>.
-  * Output rows use [[StepFoldExprs.mixedRateStatType]]; exactly one of the
-  * stats fields / `h` is meaningful per row (hist rows carry cnt = 0, which
-  * downstream `when(h.isNotNull, …)` guards mask). */
-final case class MixedRateStatsStepsExpr(child: Expression, op: String,
+  * Output rows: [[StepFoldExprs.mixedRateType]] (t, v, dn, h). */
+final case class MixedRateStepsExpr(child: Expression, op: String,
     startMs: Long, stepMs: Long, numSteps: Int, rangeMs: Long)
   extends Expression with CodegenFallback {
 
@@ -472,11 +466,12 @@ final case class MixedRateStatsStepsExpr(child: Expression, op: String,
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0))
   override def dataType: DataType =
-    ArrayType(StepFoldExprs.mixedRateStatType, containsNull = false)
+    ArrayType(StepFoldExprs.mixedRateType, containsNull = false)
   override def nullable: Boolean = false
 
   private val isCounter = op != "delta"
   private val isRate = op == "rate"
+  private val rangeSec = rangeMs / 1000.0
 
   override def eval(input: InternalRow): Any = {
     val arr = child.eval(input).asInstanceOf[ArrayData]
@@ -558,21 +553,46 @@ final case class MixedRateStatsStepsExpr(child: Expression, op: String,
         if (nHist == 0) {
           val flo = lo - histPre(lo); val fhi = hi - histPre(hi)
           val e = fhi - 1
-          val r = new GenericInternalRow(10)
-          r.setLong(0, t); r.setLong(1, (fhi - flo).toLong)
-          r.setDouble(2, fvs(flo)); r.setLong(3, fwts(flo)); r.setLong(4, fsts(flo))
-          r.setDouble(5, fvs(e)); r.setLong(6, fwts(e))
-          r.setDouble(7, pCorr(e) - pCorr(flo))
-          r.setBoolean(8, dnW); r.update(9, null)
-          out.add(r)
+          val cnt = fhi - flo
+          val firstV = fvs(flo); val minWt = fwts(flo); val firstSt = fsts(flo)
+          val lastV = fvs(e); val maxWt = fwts(e)
+          val corr = pCorr(e) - pCorr(flo)
+          // ref: promql/functions.go:452 extrapolatedRate — identical double
+          // op order to the former Column chain (bit-stable vs the old plan)
+          val resultValue0 =
+            if (isCounter) lastV - firstV + corr else lastV - firstV
+          val stBranch = isCounter && firstSt != 0L &&
+            firstSt > t - rangeMs && firstSt < minWt
+          if (cnt >= 2 || stBranch) {
+            val resultValue = if (stBranch) resultValue0 + firstV else resultValue0
+            val durToStart0 = (minWt - (t - rangeMs)).toDouble / 1000.0
+            val durToEnd0 = (t - maxWt).toDouble / 1000.0
+            val sampled0 = (maxWt - minWt).toDouble / 1000.0
+            val avgDur = if (cnt > 1) sampled0 / (cnt - 1).toDouble else 0.0
+            val thresh = avgDur * 1.1
+            val durToStart1 = if (durToStart0 >= thresh) avgDur / 2 else durToStart0
+            val durToStart2 =
+              if (isCounter && resultValue0 > 0 && firstV >= 0)
+                math.min(durToStart1, sampled0 * (firstV / resultValue0))
+              else durToStart1
+            val durToStart = if (stBranch) 0.0 else durToStart2
+            val sampled =
+              if (stBranch) (maxWt - firstSt).toDouble / 1000.0 else sampled0
+            val durToEnd = if (durToEnd0 >= thresh) avgDur / 2 else durToEnd0
+            val extInterval = sampled + durToStart + durToEnd
+            val factor0 = if (sampled != 0.0) extInterval / sampled else 1.0
+            val factor = if (isRate) factor0 / rangeSec else factor0
+            val r = new GenericInternalRow(4)
+            r.setLong(0, t); r.setDouble(1, resultValue * factor)
+            r.setBoolean(2, dnW); r.update(3, null)
+            out.add(r)
+          }
         } else if (nHist == len && hp < histRows.size) {
           val hr = histRows.get(hp).asInstanceOf[GenericInternalRow]
           if (hr.getLong(0) == t) {
-            val r = new GenericInternalRow(10)
-            r.setLong(0, t); r.setLong(1, 0L)
-            r.setDouble(2, 0.0); r.setLong(3, 0L); r.setLong(4, 0L)
-            r.setDouble(5, 0.0); r.setLong(6, 0L); r.setDouble(7, 0.0)
-            r.setBoolean(8, dnW); r.update(9, hr.get(1, FHist.schemaType))
+            val r = new GenericInternalRow(4)
+            r.setLong(0, t); r.setDouble(1, Double.NaN)
+            r.setBoolean(2, dnW); r.update(3, hr.get(1, FHist.schemaType))
             out.add(r)
           }
         } // both kinds present: drop the window (reference warns + skips)

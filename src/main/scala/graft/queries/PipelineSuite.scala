@@ -113,6 +113,12 @@ object PipelineSuite {
 
     "lp22_lexical_diversity" -> { (s, dir) =>
       TextAnalysis.lexicalDiversity(docs(s, dir)).orderBy(col("doc_id")) },
+
+    "lp23_tfidf_top3" -> { (s, dir) =>
+      TextAnalysis.tfidfTop(docs(s, dir), k = 3).orderBy(col("doc_id"), col("rk")) },
+
+    "lp24_kmeans" -> { (s, dir) =>
+      Similarity.kmeans(embs(s, dir), k = 8, iters = 5).orderBy(col("vec_id")) },
   )
 
   /** lp03's pair CTEs, shared by the clustering oracles */
@@ -350,5 +356,26 @@ object PipelineSuite {
            CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
            round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS ttr
          FROM f GROUP BY 1 ORDER BY 1""",
+
+    // same log-free tf-idf ratio (pure IEEE arithmetic — hash-exact), same
+    // (score desc, term asc) tiebreak
+    "lp23_tfidf_top3" ->
+      """WITH w AS (
+           SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) tf FROM w GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) dfreq FROM tf GROUP BY 1),
+         n AS (SELECT count(*) n FROM documents),
+         scored AS (
+           SELECT doc_id, term, tf, dfreq,
+             CAST(tf AS DOUBLE) * CAST(n + 1 AS DOUBLE) / CAST(dfreq + 1 AS DOUBLE) AS tfidf_ratio
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf_ratio DESC, term ASC) rk
+           FROM scored)
+         SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, dfreq, tfidf_ratio
+         FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""",
   )
 }

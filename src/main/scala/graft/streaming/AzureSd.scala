@@ -1,0 +1,160 @@
+package graft.streaming
+
+import graft.web.JsonLite
+
+/** Azure service discovery (ref: discovery/azure/azure.go).
+  *
+  * Poll-based like the other cloud providers: each refresh LISTs the
+  * subscription's virtual machines
+  * (`/subscriptions/{sub}/providers/Microsoft.Compute/virtualMachines`)
+  * and resolves each VM's primary network interface for its private/public
+  * IPs, building the reference's `__meta_azure_*` labels. The production
+  * client authenticates with an OAuth2 client-credentials token against
+  * login.microsoftonline.com (the SDK default the reference wires); tests
+  * inject a fake transport returning canned ARM JSON — the seam azure.go's
+  * own tests mock at the client interface. */
+object AzureSd {
+
+  /** azure_sd_configs entry (ref: azure.go SDConfig; defaults port 80,
+    * refresh 300s) */
+  final case class Config(
+      subscriptionId: String,
+      tenantId: String = "",
+      clientId: String = "",
+      clientSecret: String = "",
+      port: Int = 80,
+      resourceGroup: String = "", // empty = whole subscription
+      refreshMs: Long = 300000L)
+
+  /** injectable ARM transport: GET a resource path (with api-version),
+    * return the JSON body */
+  trait ApiClient { def get(path: String): String }
+
+  final class HttpApiClient(cfg: Config) extends ApiClient {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    @volatile private var token: (String, Long) = ("", 0L)
+    private def bearer(): String = {
+      if (token._2 > System.currentTimeMillis() + 60000L) return token._1
+      val body = s"grant_type=client_credentials&client_id=${cfg.clientId}" +
+        s"&client_secret=${java.net.URLEncoder.encode(cfg.clientSecret, "UTF-8")}" +
+        "&resource=" + java.net.URLEncoder.encode("https://management.azure.com/", "UTF-8")
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"https://login.microsoftonline.com/${cfg.tenantId}/oauth2/token"))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val m = JsonLite.parse(resp.body()) match {
+        case x: Map[_, _] => x.asInstanceOf[Map[String, Any]]
+        case _ => Map.empty[String, Any]
+      }
+      val t = String.valueOf(m.getOrElse("access_token", ""))
+      token = (t, System.currentTimeMillis() + 3000 * 1000L)
+      t
+    }
+    override def get(path: String): String = {
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            "https://management.azure.com" + path))
+          .timeout(java.time.Duration.ofSeconds(30))
+          .header("Authorization", "Bearer " + bearer())
+          .header("Accept", "application/json").GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(s"azure sd: ${resp.statusCode()} for $path")
+      resp.body()
+    }
+  }
+
+  private type J = Map[String, Any]
+  private def jmap(v: Any): J = v match { case m: Map[_, _] => m.asInstanceOf[J]; case _ => Map.empty }
+  private def jlist(v: Any): List[J] =
+    (v match { case l: List[_] => l; case _ => Nil }).map(jmap)
+  private def jstr(v: Any): String = v match {
+    case s: String => s; case null => ""; case other => String.valueOf(other)
+  }
+  private def s(o: J, k: String): String = jstr(o.getOrElse(k, null))
+  private def m(o: J, k: String): J = jmap(o.getOrElse(k, null))
+
+  /** resource group from an ARM id:
+    * /subscriptions/x/resourceGroups/RG/providers/... */
+  private[streaming] def resourceGroupOf(id: String): String = {
+    val parts = id.split("/")
+    val i = parts.indexWhere(_.equalsIgnoreCase("resourceGroups"))
+    if (i >= 0 && i + 1 < parts.length) parts(i + 1) else ""
+  }
+
+  private def hostPort(host: String, port: Int): String =
+    if (host.contains(":") && !host.startsWith("[")) s"[$host]:$port"
+    else s"$host:$port"
+
+  final class AzureProvider(override val name: String, cfg: Config,
+      client: ApiClient) extends Discovery.Provider {
+    def this(name: String, cfg: Config) = this(name, cfg, new HttpApiClient(cfg))
+    override def refreshMs: Long = cfg.refreshMs
+
+    private def listVMs(): List[J] = {
+      val rgSeg =
+        if (cfg.resourceGroup.nonEmpty) s"/resourceGroups/${cfg.resourceGroup}"
+        else ""
+      var path = s"/subscriptions/${cfg.subscriptionId}$rgSeg" +
+        "/providers/Microsoft.Compute/virtualMachines?api-version=2023-03-01"
+      val out = List.newBuilder[J]
+      while (path.nonEmpty) {
+        val page = jmap(JsonLite.parse(client.get(path)))
+        out ++= jlist(page.getOrElse("value", null))
+        val next = s(page, "nextLink")
+        path = if (next.isEmpty) ""
+          else next.stripPrefix("https://management.azure.com")
+      }
+      out.result()
+    }
+
+    override def refresh(): Seq[Discovery.TargetGroup] = {
+      val targets = listVMs().flatMap { vm =>
+        val id = s(vm, "id"); val props = m(vm, "properties")
+        val osProfile = m(props, "osProfile")
+        val osType = s(m(m(props, "storageProfile"), "osDisk"), "osType")
+        var l = Map(
+          "__meta_azure_subscription_id" -> cfg.subscriptionId,
+          "__meta_azure_tenant_id" -> cfg.tenantId,
+          "__meta_azure_machine_id" -> id,
+          "__meta_azure_machine_name" -> s(vm, "name"),
+          "__meta_azure_machine_computer_name" -> s(osProfile, "computerName"),
+          "__meta_azure_machine_os_type" -> osType,
+          "__meta_azure_machine_location" -> s(vm, "location"),
+          "__meta_azure_machine_resource_group" -> resourceGroupOf(id),
+          "__meta_azure_machine_size" -> s(m(props, "hardwareProfile"), "vmSize"))
+        jmap(vm.getOrElse("tags", null)).foreach { case (k, v) =>
+          l += "__meta_azure_machine_tag_" + KubernetesSd.sanitize(k) -> jstr(v) }
+        // primary NIC → private (address) + optional public IP
+        val nics = jlist(m(props, "networkProfile").getOrElse("networkInterfaces", null))
+        val resolved = nics.flatMap { n =>
+          val nid = s(n, "id")
+          if (nid.isEmpty) None
+          else try Some(jmap(JsonLite.parse(
+            client.get(nid + "?api-version=2023-04-01"))))
+          catch { case _: Exception => None }
+        }
+        val primary = resolved.find(n =>
+          m(n, "properties").getOrElse("primary", null) == java.lang.Boolean.TRUE)
+          .orElse(resolved.headOption)
+        primary.flatMap { nic =>
+          val ipcs = jlist(m(nic, "properties").getOrElse("ipConfigurations", null))
+          val priv = ipcs.map(c => s(m(c, "properties"), "privateIPAddress"))
+            .find(_.nonEmpty)
+          val pub = ipcs.map(c =>
+            s(m(m(m(c, "properties"), "publicIPAddress"), "properties"), "ipAddress"))
+            .find(_.nonEmpty)
+          priv.map { ip =>
+            pub.foreach(p => l += "__meta_azure_machine_public_ip" -> p)
+            (hostPort(ip, cfg.port),
+              l + ("__meta_azure_machine_private_ip" -> ip))
+          }
+        }
+      }
+      Seq(Discovery.TargetGroup("azure", Map.empty, targets))
+    }
+  }
+}

@@ -26,7 +26,10 @@ object Config {
       dnsSd: Seq[Discovery.DnsSd.Config] = Nil,
       httpSd: Seq[(String, Long)] = Nil,  // (url, refreshMs)
       kubernetesSd: Seq[KubernetesSd.Config] = Nil,
-      consulSd: Seq[ConsulSd.Config] = Nil)
+      consulSd: Seq[ConsulSd.Config] = Nil,
+      ec2Sd: Seq[Ec2Sd.Config] = Nil,
+      gceSd: Seq[GceSd.Config] = Nil,
+      azureSd: Seq[AzureSd.Config] = Nil)
 
   final case class PromConfig(
       scrapeIntervalMs: Long,
@@ -178,6 +181,37 @@ object Config {
           str(cc, "token"),
           cc.str("refresh_interval").map(durMs).getOrElse(30000L))
       }
+      // ec2_sd_configs (ref: discovery/aws/ec2.go EC2SDConfig)
+      val ec2Sd = m.list("ec2_sd_configs").collect { case ec: YMap =>
+        Ec2Sd.Config(
+          str(ec, "region"),
+          ec.str("port").map(_.toInt).getOrElse(80),
+          str(ec, "access_key"),
+          str(ec, "secret_key"),
+          str(ec, "endpoint"),
+          ec.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }.filter(_.region.nonEmpty)
+      // gce_sd_configs (ref: discovery/gce/gce.go SDConfig)
+      val gceSd = m.list("gce_sd_configs").collect { case gc: YMap =>
+        GceSd.Config(
+          str(gc, "project"),
+          str(gc, "zone"),
+          gc.str("port").map(_.toInt).getOrElse(80),
+          str(gc, "tag_separator", ","),
+          str(gc, "endpoint"),
+          gc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }.filter(c => c.project.nonEmpty && c.zone.nonEmpty)
+      // azure_sd_configs (ref: discovery/azure/azure.go SDConfig)
+      val azureSd = m.list("azure_sd_configs").collect { case ac: YMap =>
+        AzureSd.Config(
+          str(ac, "subscription_id"),
+          str(ac, "tenant_id"),
+          str(ac, "client_id"),
+          str(ac, "client_secret"),
+          ac.str("port").map(_.toInt).getOrElse(80),
+          str(ac, "resource_group"),
+          ac.str("refresh_interval").map(durMs).getOrElse(300000L))
+      }.filter(_.subscriptionId.nonEmpty)
       ScrapeJob(name, statics, sdFiles,
         m.str("scrape_interval").map(durMs).getOrElse(scrapeMs),
         relabelChain(m.get("relabel_configs")),
@@ -189,7 +223,7 @@ object Config {
           m.str("label_name_length_limit").map(_.toInt).getOrElse(0),
           m.str("label_value_length_limit").map(_.toInt).getOrElse(0)),
         m.str("honor_labels").contains("true"),
-        dnsSd, httpSd, k8sSd, consulSd)
+        dnsSd, httpSd, k8sSd, consulSd, ec2Sd, gceSd, azureSd)
     }
     def urlsOf(key: String): Seq[String] =
       root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)

@@ -273,7 +273,10 @@ object Discovery {
   def registerJob(mgr: Manager, job: Config.ScrapeJob,
       resolver: DnsSd.Resolver = DnsSd.SystemResolver,
       k8sClient: Option[KubernetesSd.ApiClient] = None,
-      consulClient: Option[ConsulSd.ApiClient] = None): Unit = {
+      consulClient: Option[ConsulSd.ApiClient] = None,
+      ec2Client: Option[Ec2Sd.ApiClient] = None,
+      gceClient: Option[GceSd.ApiClient] = None,
+      azureClient: Option[AzureSd.ApiClient] = None): Unit = {
     if (job.staticTargets.nonEmpty)
       mgr.register(job.jobName, new StaticProvider("static",
         Seq(TargetGroup("static/0", Map.empty,
@@ -294,6 +297,21 @@ object Discovery {
       mgr.register(job.jobName, consulClient match {
         case Some(c) => new ConsulSd.ConsulProvider(s"consul/$i", cc, c)
         case None => new ConsulSd.ConsulProvider(s"consul/$i", cc)
+      }) }
+    job.ec2Sd.zipWithIndex.foreach { case (ec, i) =>
+      mgr.register(job.jobName, ec2Client match {
+        case Some(c) => new Ec2Sd.Ec2Provider(s"ec2/$i", ec, c)
+        case None => new Ec2Sd.Ec2Provider(s"ec2/$i", ec)
+      }) }
+    job.gceSd.zipWithIndex.foreach { case (gc, i) =>
+      mgr.register(job.jobName, gceClient match {
+        case Some(c) => new GceSd.GceProvider(s"gce/$i", gc, c)
+        case None => new GceSd.GceProvider(s"gce/$i", gc)
+      }) }
+    job.azureSd.zipWithIndex.foreach { case (ac, i) =>
+      mgr.register(job.jobName, azureClient match {
+        case Some(c) => new AzureSd.AzureProvider(s"azure/$i", ac, c)
+        case None => new AzureSd.AzureProvider(s"azure/$i", ac)
       }) }
   }
 }

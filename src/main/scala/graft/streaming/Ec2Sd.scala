@@ -1,0 +1,211 @@
+package graft.streaming
+
+/** EC2 service discovery (ref: discovery/aws/ec2.go).
+  *
+  * Same poll-based shape as [[KubernetesSd]]: each manager refresh runs one
+  * DescribeInstances sweep (paginated) against the EC2 Query API and builds
+  * one target group with the reference's `__meta_ec2_*` labels — address =
+  * private IP : port, instances without a private IP skipped, tags as
+  * `__meta_ec2_tag_<sanitized>`. The production client signs requests with
+  * AWS Signature V4 (HMAC-SHA256 chain over a canonical POST — implemented
+  * from the published signing process); tests inject a fake transport
+  * returning canned DescribeInstancesResponse XML, the same seam the
+  * reference's ec2_test.go uses with a mocked SDK client. */
+object Ec2Sd {
+
+  /** ec2_sd_configs entry (ref: aws/ec2.go EC2SDConfig; defaults port 80,
+    * refresh 60s) */
+  final case class Config(
+      region: String,
+      port: Int = 80,
+      accessKey: String = "",
+      secretKey: String = "",
+      endpoint: String = "", // override for testing/VPC endpoints
+      refreshMs: Long = 60000L)
+
+  /** injectable DescribeInstances transport; returns the raw XML body */
+  trait ApiClient { def describeInstances(nextToken: Option[String]): String }
+
+  // ------------------------------------------------------------- signature
+
+  /** AWS Signature V4 for the EC2 query API (published signing process:
+    * canonical request → string-to-sign → HMAC key chain). */
+  private[streaming] object SigV4 {
+    private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+      mac.doFinal(data.getBytes("UTF-8"))
+    }
+    private def sha256Hex(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    /** signed header set for one POST of `body` to `host` */
+    def headers(accessKey: String, secretKey: String, region: String,
+        service: String, host: String, body: String,
+        nowUtc: java.time.Instant): Map[String, String] = {
+      val amzDate = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+        .format(nowUtc)
+      val date = amzDate.take(8)
+      val canonical = Seq(
+        "POST", "/", "",
+        s"content-type:application/x-www-form-urlencoded; charset=utf-8",
+        s"host:$host", s"x-amz-date:$amzDate", "",
+        "content-type;host;x-amz-date",
+        sha256Hex(body)).mkString("\n")
+      val scope = s"$date/$region/$service/aws4_request"
+      val toSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+        sha256Hex(canonical)).mkString("\n")
+      val kSigning = hmac(hmac(hmac(hmac(
+        ("AWS4" + secretKey).getBytes("UTF-8"), date), region), service),
+        "aws4_request")
+      val sig = hmac(kSigning, toSign).map("%02x".format(_)).mkString
+      Map(
+        "Content-Type" -> "application/x-www-form-urlencoded; charset=utf-8",
+        "X-Amz-Date" -> amzDate,
+        "Authorization" -> (s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
+          s"SignedHeaders=content-type;host;x-amz-date, Signature=$sig"))
+    }
+  }
+
+  /** production client: SigV4-signed DescribeInstances query calls */
+  final class HttpApiClient(cfg: Config) extends ApiClient {
+    private val host =
+      if (cfg.endpoint.nonEmpty) java.net.URI.create(cfg.endpoint).getHost
+      else s"ec2.${cfg.region}.amazonaws.com"
+    private val base =
+      if (cfg.endpoint.nonEmpty) cfg.endpoint.stripSuffix("/")
+      else s"https://$host"
+    private val accessKey =
+      if (cfg.accessKey.nonEmpty) cfg.accessKey
+      else sys.env.getOrElse("AWS_ACCESS_KEY_ID", "")
+    private val secretKey =
+      if (cfg.secretKey.nonEmpty) cfg.secretKey
+      else sys.env.getOrElse("AWS_SECRET_ACCESS_KEY", "")
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    override def describeInstances(nextToken: Option[String]): String = {
+      val body = "Action=DescribeInstances&Version=2016-11-15" +
+        nextToken.map(t => "&NextToken=" +
+          java.net.URLEncoder.encode(t, "UTF-8")).getOrElse("")
+      val hdrs = SigV4.headers(accessKey, secretKey, cfg.region, "ec2",
+        host, body, java.time.Instant.now())
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + "/"))
+        .timeout(java.time.Duration.ofSeconds(30))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      hdrs.foreach { case (k, v) => b.header(k, v) }
+      val resp = client.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(s"ec2 sd: status ${resp.statusCode()}")
+      resp.body()
+    }
+  }
+
+  // ------------------------------------------------------------------- XML
+
+  private def parseXml(xml: String): org.w3c.dom.Document = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setExpandEntityReferences(false)
+    f.newDocumentBuilder().parse(
+      new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+  }
+
+  private def children(n: org.w3c.dom.Node, name: String): Seq[org.w3c.dom.Element] = {
+    val out = Seq.newBuilder[org.w3c.dom.Element]
+    val kids = n.getChildNodes
+    var i = 0
+    while (i < kids.getLength) {
+      kids.item(i) match {
+        case e: org.w3c.dom.Element if e.getTagName == name => out += e
+        case _ => ()
+      }
+      i += 1
+    }
+    out.result()
+  }
+  private def text(n: org.w3c.dom.Node, name: String): String =
+    children(n, name).headOption.map(_.getTextContent.trim).getOrElse("")
+  private def items(n: org.w3c.dom.Node, set: String): Seq[org.w3c.dom.Element] =
+    children(n, set).headOption.map(children(_, "item")).getOrElse(Nil)
+
+  // --------------------------------------------------------------- builder
+
+  private def hostPort(host: String, port: Int): String =
+    if (host.contains(":") && !host.startsWith("[")) s"[$host]:$port"
+    else s"$host:$port"
+
+  /** one instance element → (address, labels) (ref: ec2.go refresh loop) */
+  private def buildInstance(inst: org.w3c.dom.Element, ownerId: String,
+      cfg: Config): Option[(String, Map[String, String])] = {
+    val privateIp = text(inst, "privateIpAddress")
+    if (privateIp.isEmpty) return None // reference skips IP-less instances
+    var l = Map(
+      "__meta_ec2_instance_id" -> text(inst, "instanceId"),
+      "__meta_ec2_region" -> cfg.region,
+      "__meta_ec2_private_ip" -> privateIp,
+      "__meta_ec2_ami" -> text(inst, "imageId"),
+      "__meta_ec2_instance_state" ->
+        children(inst, "instanceState").headOption.map(text(_, "name")).getOrElse(""),
+      "__meta_ec2_instance_type" -> text(inst, "instanceType"),
+      "__meta_ec2_availability_zone" ->
+        children(inst, "placement").headOption
+          .map(text(_, "availabilityZone")).getOrElse(""))
+    if (ownerId.nonEmpty) l += "__meta_ec2_owner_id" -> ownerId
+    val privDns = text(inst, "privateDnsName")
+    if (privDns.nonEmpty) l += "__meta_ec2_private_dns_name" -> privDns
+    val pubIp = text(inst, "ipAddress")
+    if (pubIp.nonEmpty) {
+      l += "__meta_ec2_public_ip" -> pubIp
+      l += "__meta_ec2_public_dns_name" -> text(inst, "dnsName")
+    }
+    val platform = text(inst, "platform")
+    if (platform.nonEmpty) l += "__meta_ec2_platform" -> platform
+    val arch = text(inst, "architecture")
+    if (arch.nonEmpty) l += "__meta_ec2_architecture" -> arch
+    val lifecycle = text(inst, "instanceLifecycle")
+    if (lifecycle.nonEmpty) l += "__meta_ec2_instance_lifecycle" -> lifecycle
+    val vpc = text(inst, "vpcId")
+    if (vpc.nonEmpty) {
+      l += "__meta_ec2_vpc_id" -> vpc
+      l += "__meta_ec2_primary_subnet_id" -> text(inst, "subnetId")
+      // distinct subnets across interfaces, surrounded separator list
+      val subnets = items(inst, "networkInterfaceSet").map(text(_, "subnetId"))
+        .filter(_.nonEmpty).distinct
+      if (subnets.nonEmpty)
+        l += "__meta_ec2_subnet_id" -> subnets.mkString(",", ",", ",")
+    }
+    items(inst, "tagSet").foreach { tag =>
+      val k = text(tag, "key"); val v = text(tag, "value")
+      if (k.nonEmpty)
+        l += "__meta_ec2_tag_" + KubernetesSd.sanitize(k) -> v
+    }
+    Some((hostPort(privateIp, cfg.port), l))
+  }
+
+  final class Ec2Provider(override val name: String, cfg: Config,
+      client: ApiClient) extends Discovery.Provider {
+    def this(name: String, cfg: Config) = this(name, cfg, new HttpApiClient(cfg))
+    override def refreshMs: Long = cfg.refreshMs
+    override def refresh(): Seq[Discovery.TargetGroup] = {
+      val targets = Seq.newBuilder[(String, Map[String, String])]
+      var token: Option[String] = None
+      var more = true
+      while (more) {
+        val doc = parseXml(client.describeInstances(token))
+        val root = doc.getDocumentElement
+        items(root, "reservationSet").foreach { res =>
+          val owner = text(res, "ownerId")
+          items(res, "instancesSet").foreach(inst =>
+            buildInstance(inst, owner, cfg).foreach(targets += _))
+        }
+        val next = text(root, "nextToken")
+        token = if (next.nonEmpty) Some(next) else None
+        more = token.isDefined
+      }
+      Seq(Discovery.TargetGroup(cfg.region, Map.empty, targets.result()))
+    }
+  }
+}

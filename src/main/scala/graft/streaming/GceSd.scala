@@ -1,0 +1,135 @@
+package graft.streaming
+
+import graft.web.JsonLite
+
+/** GCE service discovery (ref: discovery/gce/gce.go).
+  *
+  * Poll-based like [[KubernetesSd]]/[[Ec2Sd]]: each refresh LISTs
+  * `compute/v1/projects/{project}/zones/{zone}/instances` (paginated JSON)
+  * and builds one target group per (project, zone) with the reference's
+  * `__meta_gce_*` labels — address = primary interface IP : port, instances
+  * without interfaces skipped, tags as a surrounded separator list,
+  * metadata/labels sanitized per key. The production client authenticates
+  * with the instance metadata-server token (the in-cluster default the
+  * reference's google.DefaultClient resolves to); tests inject a fake
+  * transport returning canned InstanceList JSON. */
+object GceSd {
+
+  /** gce_sd_configs entry (ref: gce.go SDConfig; defaults port 80,
+    * tag_separator ",", refresh 60s) */
+  final case class Config(
+      project: String,
+      zone: String,
+      port: Int = 80,
+      tagSeparator: String = ",",
+      endpoint: String = "", // override for testing
+      refreshMs: Long = 60000L)
+
+  /** injectable LIST transport; returns InstanceList JSON */
+  trait ApiClient { def listInstances(pageToken: Option[String]): String }
+
+  final class HttpApiClient(cfg: Config) extends ApiClient {
+    private val base =
+      (if (cfg.endpoint.nonEmpty) cfg.endpoint.stripSuffix("/")
+       else "https://compute.googleapis.com/compute/v1") +
+      s"/projects/${cfg.project}/zones/${cfg.zone}/instances"
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    /** metadata-server access token (GCE-internal default credentials) */
+    private def token(): String = {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          "http://metadata.google.internal/computeMetadata/v1/instance/service-accounts/default/token"))
+        .header("Metadata-Flavor", "Google")
+        .timeout(java.time.Duration.ofSeconds(5)).GET().build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      JsonLite.parse(resp.body()) match {
+        case m: Map[_, _] => String.valueOf(
+          m.asInstanceOf[Map[String, Any]].getOrElse("access_token", ""))
+        case _ => ""
+      }
+    }
+    override def listInstances(pageToken: Option[String]): String = {
+      val url = base + pageToken.map(t =>
+        "?pageToken=" + java.net.URLEncoder.encode(t, "UTF-8")).getOrElse("")
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofSeconds(30))
+          .header("Authorization", "Bearer " + token())
+          .header("Accept", "application/json").GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(s"gce sd: status ${resp.statusCode()}")
+      resp.body()
+    }
+  }
+
+  private type J = Map[String, Any]
+  private def jmap(v: Any): J = v match { case m: Map[_, _] => m.asInstanceOf[J]; case _ => Map.empty }
+  private def jlist(v: Any): List[Any] = v match { case l: List[_] => l; case _ => Nil }
+  private def jstr(v: Any): String = v match {
+    case s: String => s
+    case d: java.lang.Double if d.doubleValue.isWhole && math.abs(d.doubleValue) < 1e15 =>
+      d.longValue.toString
+    case null => ""
+    case other => String.valueOf(other)
+  }
+  private def s(o: J, k: String): String = jstr(o.getOrElse(k, null))
+
+  private def buildInstance(inst: J, cfg: Config): Option[(String, Map[String, String])] = {
+    val ifaces = jlist(inst.getOrElse("networkInterfaces", null)).map(jmap)
+    if (ifaces.isEmpty) return None
+    val pri = ifaces.head
+    var l = Map(
+      "__meta_gce_project" -> cfg.project,
+      "__meta_gce_zone" -> s(inst, "zone"),
+      "__meta_gce_instance_id" -> s(inst, "id"),
+      "__meta_gce_instance_name" -> s(inst, "name"),
+      "__meta_gce_instance_status" -> s(inst, "status"),
+      "__meta_gce_machine_type" -> s(inst, "machineType"),
+      "__meta_gce_network" -> s(pri, "network"),
+      "__meta_gce_subnetwork" -> s(pri, "subnetwork"),
+      "__meta_gce_private_ip" -> s(pri, "networkIP"))
+    ifaces.foreach { f =>
+      l += "__meta_gce_interface_ipv4_" + KubernetesSd.sanitize(s(f, "name")) ->
+        s(f, "networkIP")
+    }
+    val tags = jlist(jmap(inst.getOrElse("tags", null)).getOrElse("items", null)).map(jstr)
+    if (tags.nonEmpty)
+      l += "__meta_gce_tags" -> tags.mkString(cfg.tagSeparator,
+        cfg.tagSeparator, cfg.tagSeparator)
+    jlist(jmap(inst.getOrElse("metadata", null)).getOrElse("items", null)).map(jmap)
+      .foreach { i =>
+        val v = i.getOrElse("value", null)
+        if (v != null)
+          l += "__meta_gce_metadata_" + KubernetesSd.sanitize(s(i, "key")) -> jstr(v)
+      }
+    jmap(inst.getOrElse("labels", null)).foreach { case (k, v) =>
+      l += "__meta_gce_label_" + KubernetesSd.sanitize(k) -> jstr(v) }
+    jlist(pri.getOrElse("accessConfigs", null)).map(jmap).headOption.foreach { ac =>
+      if (s(ac, "type") == "ONE_TO_ONE_NAT")
+        l += "__meta_gce_public_ip" -> s(ac, "natIP")
+    }
+    Some((s"${s(pri, "networkIP")}:${cfg.port}", l))
+  }
+
+  final class GceProvider(override val name: String, cfg: Config,
+      client: ApiClient) extends Discovery.Provider {
+    def this(name: String, cfg: Config) = this(name, cfg, new HttpApiClient(cfg))
+    override def refreshMs: Long = cfg.refreshMs
+    override def refresh(): Seq[Discovery.TargetGroup] = {
+      val targets = Seq.newBuilder[(String, Map[String, String])]
+      var token: Option[String] = None
+      var more = true
+      while (more) {
+        val page = jmap(JsonLite.parse(client.listInstances(token)))
+        jlist(page.getOrElse("items", null)).map(jmap)
+          .foreach(inst => buildInstance(inst, cfg).foreach(targets += _))
+        val next = s(page, "nextPageToken")
+        token = if (next.nonEmpty) Some(next) else None
+        more = token.isDefined
+      }
+      Seq(Discovery.TargetGroup(s"GCE_${cfg.project}_${cfg.zone}",
+        Map.empty, targets.result()))
+    }
+  }
+}

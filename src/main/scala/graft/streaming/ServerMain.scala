@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** The `prometheus` binary analog (ref: cmd/prometheus/main.go flag surface
+  * + run loop): boots a local Spark session, assembles [[PromServer]] from
+  * --config.file, serves the HTTP API (TLS/auth via --web.config.file),
+  * runs the scrape pools and a rule-evaluation loop at the config's
+  * evaluation_interval, and blocks until SIGTERM/SIGINT (graceful stop).
+  *
+  * ```
+  * sbt "runMain graft.streaming.ServerMain --config.file=prometheus.yml \
+  *   --web.listen-address=:9090 --web.config.file=web.yml \
+  *   --storage.path=data/ --agent"
+  * ```
+  */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    val flags = args.flatMap { a =>
+      if (a.startsWith("--")) {
+        val i = a.indexOf('=')
+        if (i > 0) Some(a.substring(2, i) -> a.substring(i + 1))
+        else Some(a.drop(2) -> "true")
+      } else None
+    }.toMap
+    def flag(k: String, dflt: String = ""): String = flags.getOrElse(k, dflt)
+
+    val configFile = flag("config.file", "prometheus.yml")
+    val listen = flag("web.listen-address", ":9090")
+    val port = listen.substring(listen.lastIndexOf(':') + 1).toInt
+    val agent = flags.contains("agent")
+    val limits = graft.promql.QueryLimits(
+      maxConcurrent = flag("query.max-concurrency", "20").toInt,
+      maxSamples = flag("query.max-samples", "50000000").toLong,
+      timeoutMs = graft.promqltest.TestScript.parseTime(flag("query.timeout", "2m")))
+
+    val spark = SparkSession.builder()
+      .master(flag("spark.master", s"local[${Runtime.getRuntime.availableProcessors}]"))
+      .appName("graft-server")
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(graft.promql.Engine.tunedConf.foldLeft(
+        new org.apache.spark.SparkConf()) { case (c, (k, v)) => c.set(k, v) })
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(flag("log.level", "WARN").toUpperCase)
+
+    val server = new PromServer(spark, configFile, port,
+      agentMode = agent, limits = limits,
+      dataDir = Some(flag("storage.path", "data")),
+      consoleTemplates = flags.get("web.console.templates"),
+      consoleLibraries = flags.get("web.console.libraries"),
+      externalUrl = flag("web.external-url"),
+      webConfigFile = flags.get("web.config.file"))
+    server.start()
+    server.startScraping()
+
+    // rule-evaluation loop at the config's evaluation_interval
+    // (ref: rules/manager.go Group.run) — skipped in agent mode like the
+    // reference (agent has no rule manager)
+    val evalThread = new Thread(() => {
+      while (!Thread.interrupted()) {
+        val ms = server.config.map(_.evaluationIntervalMs).getOrElse(60000L)
+        try server.evalRulesOnce(System.currentTimeMillis())
+        catch { case e: Exception =>
+          System.err.println(s"[graft-server] rule eval failed: ${e.getMessage}") }
+        Thread.sleep(ms)
+      }
+    }, "rule-eval")
+    evalThread.setDaemon(true)
+    if (!agent) evalThread.start()
+
+    val stopLatch = new java.util.concurrent.CountDownLatch(1)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.err.println("[graft-server] shutting down")
+      try server.stop() catch { case _: Exception => () }
+      stopLatch.countDown()
+    }))
+    System.err.println(
+      s"[graft-server] listening on ${server.api.scheme}://0.0.0.0:${server.api.boundPort}" +
+      (if (agent) " (agent mode)" else ""))
+    stopLatch.await() // block until SIGTERM/SIGINT
+  }
+}

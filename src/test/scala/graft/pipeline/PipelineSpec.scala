@@ -470,4 +470,71 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == truth, s"banding must be exact for hamming<=3: " +
       s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
   }
+
+  test("kmeans: matches a local Lloyd reference exactly; inertia non-increasing") {
+    // three well-separated 2-D blobs + a straggler
+    val pts: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(0f, 0f), 1L -> Seq(0.1f, 0f), 2L -> Seq(0f, 0.1f),
+      3L -> Seq(10f, 10f), 4L -> Seq(10.1f, 10f), 5L -> Seq(10f, 10.2f),
+      6L -> Seq(-10f, 5f), 7L -> Seq(-10.1f, 5.1f),
+      8L -> Seq(4f, 4f))
+    val emb = embsOf(pts: _*)
+    val k = 3
+
+    // local Lloyd reference: same deterministic init (k lowest vec_ids),
+    // same argmin tiebreak (lowest cluster index), same iteration count
+    var cents: Array[Array[Double]] =
+      pts.sortBy(_._1).take(k).map(_._2.map(_.toDouble).toArray).toArray
+    def assign(v: Seq[Float]): Int =
+      cents.zipWithIndex.minBy { case (c, i) =>
+        (c.zip(v).map { case (a, b) => (b - a) * (b - a) }.sum, i) }._2
+    def inertia(): Double =
+      pts.map { case (_, v) =>
+        cents.map(c => c.zip(v).map { case (a, b) => (b - a) * (b - a) }.sum).min
+      }.sum
+    val inertias = Seq.newBuilder[Double]
+    var it = 0
+    while (it < 4) {
+      inertias += inertia()
+      val groups = pts.groupBy { case (_, v) => assign(v) }
+      cents = Array.tabulate(k)(c => groups.get(c) match {
+        case Some(g) =>
+          val dim = g.head._2.length
+          // mirror the distributed update's float rounding of the mean
+          Array.tabulate(dim)(d => g.map(_._2(d).toDouble).sum / g.size)
+            .map(_.toFloat.toDouble)
+        case None => cents(c)
+      })
+      it += 1
+    }
+    inertias += inertia()
+    val expected = pts.map { case (id, v) => id -> assign(v).toLong }.toMap
+
+    val got = Similarity.kmeans(emb, k = k, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // the blobs separate
+    assert(Set(got(0L), got(1L), got(2L)).size == 1)
+    assert(Set(got(3L), got(4L), got(5L)).size == 1)
+    assert(got(0L) != got(3L) && got(3L) != got(6L) && got(0L) != got(6L))
+    // Lloyd's invariant on the reference trace
+    val seq = inertias.result()
+    assert(seq.zip(seq.tail).forall { case (a, b) => b <= a + 1e-9 }, seq)
+  }
+
+  test("tfidf top-k: rare terms outrank common ones, deterministic tiebreak") {
+    val d = docsOf(
+      1L -> "apple banana apple cherry",
+      2L -> "banana banana durian",
+      3L -> "apple banana")
+    val out = TextAnalysis.tfidfTop(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // doc 1: apple tf=2 df=2 → 2*4/3; cherry tf=1 df=1 → 1*4/2 = 2.0 < 2.67
+    assert(out.filter(_._1 == 1L).map(t => (t._2, t._3)).toSeq ==
+      Seq((1L, "apple"), (2L, "cherry")))
+    // doc 2: banana tf=2 df=3 → 2*4/4 = 2.0; durian tf=1 df=1 → 2.0 — tie,
+    // term-asc tiebreak puts banana first
+    assert(out.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq ==
+      Seq((1L, "banana"), (2L, "durian")))
+  }
 }

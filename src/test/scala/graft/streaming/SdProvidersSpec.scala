@@ -271,6 +271,222 @@ class SdProvidersSpec extends AnyFunSuite {
     assert(db("__meta_consul_health") == "critical")
   }
 
+  test("ec2 SD: DescribeInstances XML, pagination, tags, address = private ip:port") {
+    val page1 =
+      """<DescribeInstancesResponse xmlns="http://ec2.amazonaws.com/doc/2016-11-15/">
+        |  <reservationSet><item>
+        |    <ownerId>123456789012</ownerId>
+        |    <instancesSet><item>
+        |      <instanceId>i-0abc</instanceId>
+        |      <imageId>ami-111</imageId>
+        |      <instanceState><name>running</name></instanceState>
+        |      <privateDnsName>ip-10-0-0-1.ec2.internal</privateDnsName>
+        |      <privateIpAddress>10.0.0.1</privateIpAddress>
+        |      <ipAddress>54.1.2.3</ipAddress>
+        |      <dnsName>ec2-54-1-2-3.compute-1.amazonaws.com</dnsName>
+        |      <instanceType>t3.micro</instanceType>
+        |      <architecture>x86_64</architecture>
+        |      <instanceLifecycle>spot</instanceLifecycle>
+        |      <placement><availabilityZone>us-east-1a</availabilityZone></placement>
+        |      <vpcId>vpc-1</vpcId><subnetId>subnet-1</subnetId>
+        |      <networkInterfaceSet>
+        |        <item><subnetId>subnet-1</subnetId></item>
+        |        <item><subnetId>subnet-2</subnetId></item>
+        |      </networkInterfaceSet>
+        |      <tagSet><item><key>Name</key><value>web-1</value></item>
+        |              <item><key>env/tier</key><value>prod</value></item></tagSet>
+        |    </item></instancesSet>
+        |  </item></reservationSet>
+        |  <nextToken>page2</nextToken>
+        |</DescribeInstancesResponse>""".stripMargin
+    val page2 =
+      """<DescribeInstancesResponse xmlns="http://ec2.amazonaws.com/doc/2016-11-15/">
+        |  <reservationSet><item>
+        |    <instancesSet>
+        |      <item>
+        |        <instanceId>i-1pending</instanceId>
+        |        <imageId>ami-222</imageId>
+        |        <instanceState><name>pending</name></instanceState>
+        |        <instanceType>m5.large</instanceType>
+        |        <placement><availabilityZone>us-east-1b</availabilityZone></placement>
+        |      </item>
+        |      <item>
+        |        <instanceId>i-2db</instanceId>
+        |        <imageId>ami-222</imageId>
+        |        <instanceState><name>running</name></instanceState>
+        |        <privateIpAddress>10.0.0.2</privateIpAddress>
+        |        <instanceType>m5.large</instanceType>
+        |        <placement><availabilityZone>us-east-1b</availabilityZone></placement>
+        |      </item>
+        |    </instancesSet>
+        |  </item></reservationSet>
+        |</DescribeInstancesResponse>""".stripMargin
+    val fake = new Ec2Sd.ApiClient {
+      override def describeInstances(tok: Option[String]): String = tok match {
+        case None => page1
+        case Some("page2") => page2
+        case other => fail(s"unexpected token $other")
+      }
+    }
+    val job = Config.parse(
+      """scrape_configs:
+        |  - job_name: ec2
+        |    ec2_sd_configs:
+        |      - region: us-east-1
+        |        port: 9100
+        |""".stripMargin, "/tmp").scrapeJobs.head
+    assert(job.ec2Sd == Seq(Ec2Sd.Config("us-east-1", 9100)))
+    val mgr = new Discovery.Manager(() => 0L)
+    Discovery.registerJob(mgr, job, ec2Client = Some(fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("ec2", "ec2")
+    // paginated sweep; the IP-less pending instance is skipped
+    assert(raw.map(_.instance).toSet == Set("10.0.0.1:9100", "10.0.0.2:9100"))
+    val web = raw.find(_.instance == "10.0.0.1:9100").get.extraLabels
+    assert(web("__meta_ec2_instance_id") == "i-0abc")
+    assert(web("__meta_ec2_region") == "us-east-1")
+    assert(web("__meta_ec2_owner_id") == "123456789012")
+    assert(web("__meta_ec2_ami") == "ami-111")
+    assert(web("__meta_ec2_instance_state") == "running")
+    assert(web("__meta_ec2_instance_type") == "t3.micro")
+    assert(web("__meta_ec2_instance_lifecycle") == "spot")
+    assert(web("__meta_ec2_architecture") == "x86_64")
+    assert(web("__meta_ec2_availability_zone") == "us-east-1a")
+    assert(web("__meta_ec2_private_dns_name") == "ip-10-0-0-1.ec2.internal")
+    assert(web("__meta_ec2_public_ip") == "54.1.2.3")
+    assert(web("__meta_ec2_public_dns_name") == "ec2-54-1-2-3.compute-1.amazonaws.com")
+    assert(web("__meta_ec2_vpc_id") == "vpc-1")
+    assert(web("__meta_ec2_primary_subnet_id") == "subnet-1")
+    assert(web("__meta_ec2_subnet_id") == ",subnet-1,subnet-2,")
+    assert(web("__meta_ec2_tag_Name") == "web-1")
+    assert(web("__meta_ec2_tag_env_tier") == "prod")
+    val db = raw.find(_.instance == "10.0.0.2:9100").get.extraLabels
+    assert(!db.contains("__meta_ec2_public_ip"))
+    assert(!db.contains("__meta_ec2_vpc_id"))
+
+    // SigV4 signing: deterministic header shape + stable signature
+    val h = Ec2Sd.SigV4.headers("AKID", "SECRET", "us-east-1", "ec2",
+      "ec2.us-east-1.amazonaws.com", "Action=DescribeInstances",
+      java.time.Instant.parse("2026-08-15T00:00:00Z"))
+    assert(h("X-Amz-Date") == "20260815T000000Z")
+    assert(h("Authorization").startsWith(
+      "AWS4-HMAC-SHA256 Credential=AKID/20260815/us-east-1/ec2/aws4_request"))
+    assert(h("Authorization").matches(".*Signature=[0-9a-f]{64}$"))
+    val h2 = Ec2Sd.SigV4.headers("AKID", "SECRET", "us-east-1", "ec2",
+      "ec2.us-east-1.amazonaws.com", "Action=DescribeInstances",
+      java.time.Instant.parse("2026-08-15T00:00:00Z"))
+    assert(h == h2)
+  }
+
+  test("gce SD: InstanceList JSON, tags/metadata/labels, NAT public ip") {
+    val page =
+      """{"items":[
+        |  {"id":"7081","name":"web-1","status":"RUNNING","zone":"us-central1-a",
+        |   "machineType":"n1-standard-1",
+        |   "tags":{"items":["http-server","prod"]},
+        |   "metadata":{"items":[{"key":"startup-script","value":"echo hi"},
+        |                        {"key":"nilval"}]},
+        |   "labels":{"team/name":"infra"},
+        |   "networkInterfaces":[
+        |     {"name":"nic0","network":"global/networks/default",
+        |      "subnetwork":"regions/us-central1/subnetworks/default",
+        |      "networkIP":"10.128.0.2",
+        |      "accessConfigs":[{"type":"ONE_TO_ONE_NAT","natIP":"34.1.2.3"}]},
+        |     {"name":"nic1","networkIP":"10.128.0.3"}]},
+        |  {"id":"7082","name":"no-iface","status":"TERMINATED"}
+        |]}""".stripMargin
+    val fake = new GceSd.ApiClient {
+      override def listInstances(tok: Option[String]): String = {
+        assert(tok.isEmpty); page
+      }
+    }
+    val job = Config.parse(
+      """scrape_configs:
+        |  - job_name: gce
+        |    gce_sd_configs:
+        |      - project: my-proj
+        |        zone: us-central1-a
+        |        port: 9090
+        |""".stripMargin, "/tmp").scrapeJobs.head
+    assert(job.gceSd == Seq(GceSd.Config("my-proj", "us-central1-a", 9090)))
+    val mgr = new Discovery.Manager(() => 0L)
+    Discovery.registerJob(mgr, job, gceClient = Some(fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("gce", "gce")
+    assert(raw.map(_.instance) == Seq("10.128.0.2:9090")) // iface-less skipped
+    val l = raw.head.extraLabels
+    assert(l("__meta_gce_project") == "my-proj")
+    assert(l("__meta_gce_zone") == "us-central1-a")
+    assert(l("__meta_gce_instance_id") == "7081")
+    assert(l("__meta_gce_instance_name") == "web-1")
+    assert(l("__meta_gce_instance_status") == "RUNNING")
+    assert(l("__meta_gce_machine_type") == "n1-standard-1")
+    assert(l("__meta_gce_network") == "global/networks/default")
+    assert(l("__meta_gce_private_ip") == "10.128.0.2")
+    assert(l("__meta_gce_public_ip") == "34.1.2.3")
+    assert(l("__meta_gce_tags") == ",http-server,prod,")
+    assert(l("__meta_gce_metadata_startup_script") == "echo hi")
+    assert(!l.contains("__meta_gce_metadata_nilval")) // nil values skipped
+    assert(l("__meta_gce_label_team_name") == "infra")
+    assert(l("__meta_gce_interface_ipv4_nic0") == "10.128.0.2")
+    assert(l("__meta_gce_interface_ipv4_nic1") == "10.128.0.3")
+  }
+
+  test("azure SD: VM list + NIC resolution, primary private ip, tags") {
+    val vms =
+      """{"value":[
+        |  {"id":"/subscriptions/sub1/resourceGroups/RG-A/providers/Microsoft.Compute/virtualMachines/vm1",
+        |   "name":"vm1","location":"westeurope",
+        |   "tags":{"env":"prod","cost/center":"42"},
+        |   "properties":{
+        |     "hardwareProfile":{"vmSize":"Standard_D2s_v3"},
+        |     "osProfile":{"computerName":"vm1-host"},
+        |     "storageProfile":{"osDisk":{"osType":"Linux"}},
+        |     "networkProfile":{"networkInterfaces":[
+        |       {"id":"/subscriptions/sub1/resourceGroups/RG-A/providers/Microsoft.Network/networkInterfaces/nic1"}]}}},
+        |  {"id":"/subscriptions/sub1/resourceGroups/RG-B/providers/Microsoft.Compute/virtualMachines/vm2",
+        |   "name":"vm2","location":"westeurope",
+        |   "properties":{"networkProfile":{"networkInterfaces":[]}}}
+        |]}""".stripMargin
+    val nic1 =
+      """{"properties":{"primary":true,"ipConfigurations":[
+        |  {"properties":{"privateIPAddress":"10.3.0.4",
+        |    "publicIPAddress":{"properties":{"ipAddress":"20.1.2.3"}}}}]}}""".stripMargin
+    val fake = new AzureSd.ApiClient {
+      override def get(path: String): String =
+        if (path.contains("/virtualMachines?")) vms
+        else if (path.contains("networkInterfaces/nic1")) nic1
+        else fail(s"unexpected azure path $path")
+    }
+    val job = Config.parse(
+      """scrape_configs:
+        |  - job_name: azure
+        |    azure_sd_configs:
+        |      - subscription_id: sub1
+        |        tenant_id: ten1
+        |        port: 9100
+        |""".stripMargin, "/tmp").scrapeJobs.head
+    assert(job.azureSd == Seq(AzureSd.Config("sub1", "ten1", port = 9100)))
+    val mgr = new Discovery.Manager(() => 0L)
+    Discovery.registerJob(mgr, job, azureClient = Some(fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("azure", "azure")
+    assert(raw.map(_.instance) == Seq("10.3.0.4:9100")) // NIC-less vm2 skipped
+    val l = raw.head.extraLabels
+    assert(l("__meta_azure_subscription_id") == "sub1")
+    assert(l("__meta_azure_tenant_id") == "ten1")
+    assert(l("__meta_azure_machine_name") == "vm1")
+    assert(l("__meta_azure_machine_computer_name") == "vm1-host")
+    assert(l("__meta_azure_machine_os_type") == "Linux")
+    assert(l("__meta_azure_machine_location") == "westeurope")
+    assert(l("__meta_azure_machine_resource_group") == "RG-A")
+    assert(l("__meta_azure_machine_size") == "Standard_D2s_v3")
+    assert(l("__meta_azure_machine_private_ip") == "10.3.0.4")
+    assert(l("__meta_azure_machine_public_ip") == "20.1.2.3")
+    assert(l("__meta_azure_machine_tag_env") == "prod")
+    assert(l("__meta_azure_machine_tag_cost_center") == "42")
+  }
+
   test("kubernetes SD: refresh failure keeps previous targets (manager semantics)") {
     @volatile var fail = false
     val flaky = new KubernetesSd.ApiClient {
