@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composition every training-data pipeline
+  * runs before a corpus ships — language filter, quality floor, near-dup
+  * removal (keep the cluster canonical), benchmark decontamination — emitted
+  * as a per-document DECISION RECORD (evidence columns + the final verdict),
+  * not just the surviving ids, so filter rates are auditable per stage.
+  *
+  * 100 TB shape: each evidence column is one of the already-scale-shaped
+  * operators (narrow projections for lang/quality; DF-capped inverted-index
+  * join + star-contraction components for near-dups; broadcast bench grams
+  * for contamination) joined back on doc_id — the corpus text is never
+  * re-shuffled, and the left joins against the (small) dup/contaminated
+  * sets stay broadcast. */
+object Curation {
+
+  /** @param bench  held-out eval set to decontaminate against (its own ids
+    *               are excluded from the contamination evidence when they
+    *               overlap the corpus)
+    * @param lang   language to keep (predicted by the n-gram heuristic)
+    * @param minQuality  floor on the composite quality score */
+  def curate(docs: DataFrame, bench: DataFrame, lang: String = "en",
+      minQuality: Double = 0.7, tau: Double = 0.1,
+      contamN: Int = 4): DataFrame = {
+    val lid = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
+    val q = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
+    // non-canonical members of near-dup clusters (canonical = min doc_id)
+    val nonCanonical = Dedup.dupClusters(docs, tau)
+      .filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id"), lit(true).as("near_dup"))
+    val contam = Dedup.contamination(docs, bench, contamN, excludeBenchIds = true)
+    docs.select(col("doc_id"))
+      .join(lid, "doc_id")
+      .join(q, "doc_id")
+      .join(broadcast(nonCanonical), Seq("doc_id"), "left")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("pred_lang"), col("quality"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("kept",
+        col("pred_lang") === lang && col("quality") >= minQuality &&
+          !col("near_dup") && col("n_shared_grams") === 0L)
+  }
+}

@@ -253,6 +253,34 @@ object Similarity {
     }
     assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
   }
+
+  /** SemDeDup-style semantic dedup: [[kmeans]] clusters as BLOCKING, exact
+    * cosine verification within each cluster, transitive closure, keep the
+    * lowest id per component. Pairs crossing cluster boundaries are missed
+    * by construction (recall < 1, rows-only check) — the trade every
+    * cluster-blocked dedup makes. 100 TB: the all-pairs join is confined to
+    * cluster blocks (k scales with corpus so block size stays bounded);
+    * nothing else beyond the kmeans scans. */
+  def semanticPairs(emb: DataFrame, tau: Double, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    val withVec = emb.join(kmeans(emb, k, iters), "vec_id")
+    val a = withVec.select(col("cluster"), col("vec_id").as("da"), col("embedding").as("va"))
+    val b = withVec.select(col("cluster"), col("vec_id").as("db"), col("embedding").as("vb"))
+    a.join(b, Seq("cluster")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"), cosine("va", "vb").as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** vec_ids surviving semantic dedup (canonical = min id per component) */
+  def semanticSurvivors(emb: DataFrame, tau: Double, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    val nonCanonical = Dedup.connectedComponents(
+        semanticPairs(emb, tau, k, iters).select(col("da"), col("db")))
+      .filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id").as("vec_id"))
+    emb.select(col("vec_id")).join(nonCanonical, Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as("kept_vec_id"))
+  }
 }
 
 /** PERSISTED IVF index — the build-once / query-many shape [[Similarity

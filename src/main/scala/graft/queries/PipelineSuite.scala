@@ -119,6 +119,15 @@ object PipelineSuite {
 
     "lp24_kmeans" -> { (s, dir) =>
       Similarity.kmeans(embs(s, dir), k = 8, iters = 5).orderBy(col("vec_id")) },
+
+    "lp25_semantic_dedup" -> { (s, dir) =>
+      Similarity.semanticSurvivors(embs(s, dir), tau = 0.95, k = 8, iters = 3)
+        .orderBy(col("kept_vec_id")) },
+
+    "lp26_curation" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Curation.curate(d, d.filter(col("doc_id") < 20), lang = "en",
+        minQuality = 0.55, tau = 0.1, contamN = 4).orderBy(col("doc_id")) },
   )
 
   /** lp03's pair CTEs, shared by the clustering oracles */
@@ -377,5 +386,57 @@ object PipelineSuite {
            FROM scored)
          SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, dfreq, tfidf_ratio
          FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    // the full curation chain: lp07 lang CASE + lp08 quality formula +
+    // lp14's near-dup components + lp20's contamination evidence, same
+    // constants (tau 0.1, DF cap 100, 4-grams, bench = doc_id < 20)
+    "lp26_curation" ->
+      s"""WITH RECURSIVE $jaccardPairCtes,
+         lang AS (
+           SELECT doc_id,
+             CASE greatest(
+               len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein'))),
+               len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in'))),
+               len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un'))),
+               len(list_filter(w, x -> x IN ('le','la','de','et','est','un','une'))),
+               len(list_filter(w, x -> x IN ('的','是','了','在','我'))))
+               WHEN len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein'))) THEN 'de'
+               WHEN len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in'))) THEN 'en'
+               WHEN len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un'))) THEN 'es'
+               WHEN len(list_filter(w, x -> x IN ('le','la','de','et','est','un','une'))) THEN 'fr'
+               ELSE 'zh' END AS pred_lang
+           FROM d),
+         qual AS (
+           SELECT d2.doc_id,
+             CAST(len(list_filter(d2.w, x -> x IN ('der','die','das','und','ist','nicht','ein',
+               'the','a','of','and','is','to','in','el','la','de','que','y','en','un',
+               'le','et','est','une','的','是','了','在','我'))) AS DOUBLE)
+               /CAST(len(d2.w) AS DOUBLE) * 0.4
+             + CAST(length(regexp_replace(doc.text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               /CAST(length(doc.text) AS DOUBLE) * 0.4
+             + CASE WHEN len(d2.w) >= 20 AND len(d2.w) <= 1000 THEN 0.2 ELSE 0.0 END AS quality
+           FROM d d2 JOIN documents doc USING (doc_id)),
+         sh4 AS (
+           SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) < 4 THEN []
+             ELSE [list_aggregate(w[i:i+3], 'string_agg', ' ') for i in generate_series(1, len(w)-3)] END)) sg4
+           FROM d),
+         benchg AS (SELECT DISTINCT sg4 FROM sh4 WHERE doc_id < 20),
+         contam AS (
+           SELECT s.doc_id, count(*) AS n_shared_grams
+           FROM sh4 s JOIN benchg b ON s.sg4 = b.sg4
+           WHERE s.doc_id >= 20 GROUP BY 1),
+         dup AS (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+         SELECT doc.doc_id, lang.pred_lang, qual.quality,
+           (dup.doc_id IS NOT NULL) AS near_dup,
+           COALESCE(contam.n_shared_grams, 0) AS n_shared_grams,
+           (lang.pred_lang = 'en' AND qual.quality >= 0.55
+             AND dup.doc_id IS NULL
+             AND COALESCE(contam.n_shared_grams, 0) = 0) AS kept
+         FROM documents doc
+         JOIN lang ON lang.doc_id = doc.doc_id
+         JOIN qual ON qual.doc_id = doc.doc_id
+         LEFT JOIN dup ON dup.doc_id = doc.doc_id
+         LEFT JOIN contam ON contam.doc_id = doc.doc_id
+         ORDER BY doc.doc_id""",
   )
 }

@@ -651,6 +651,18 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         "goVersion" -> Json.str("n/a")))
     })
 
+    // built-in UI (ref: web/web.go — / redirects to /graph; the React app
+    // is re-expressed as one static page over the v1 API, web/Ui.scala)
+    server.createContext("/graph", handler { ex =>
+      respond(ex, 200, Ui.graphHtml, "text/html; charset=utf-8")
+    })
+    server.createContext("/", handler { ex =>
+      if (ex.getRequestURI.getPath == "/") {
+        ex.getResponseHeaders.set("Location", "/graph")
+        ex.sendResponseHeaders(302, -1)
+      } else err(ex, 404, "not_found", "unknown path")
+    })
+
     server.createContext("/consoles/", handler { ex =>
       // expand a console template with the Prometheus function map and the
       // $rawParams/$params/$path/$externalLabels convenience variables

@@ -1,0 +1,363 @@
+package graft.web
+
+/** Built-in web UI (ref: web/ui/ — the reference ships a React app; this is
+  * a deliberate re-expression as ONE static page with zero build tooling,
+  * driven entirely by the public v1 API the server already exposes).
+  * Tabs: Graph (range/instant query + canvas line chart + table), Targets,
+  * Rules, Alerts, TSDB Status. Chart conventions: single y-axis, fixed-order
+  * categorical series colors (8 slots, colorblind-validated; >8 series fold
+  * into the table), 2px lines, crosshair hover tooltip, legend with text
+  * labels, light/dark from prefers-color-scheme. */
+object Ui {
+
+  val graphHtml: String = """<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>graft</title>
+<style>
+:root {
+  --surface: #fcfcfb; --panel: #f4f4f2; --border: #dddcd8;
+  --ink: #0b0b0b; --ink2: #52514e; --accent: #2a78d6;
+  --good: #008300; --bad: #c22f2e; --warn: #9a6a00;
+}
+@media (prefers-color-scheme: dark) {
+  :root {
+    --surface: #1a1a19; --panel: #242423; --border: #3a3a38;
+    --ink: #ffffff; --ink2: #c3c2b7; --accent: #3987e5;
+    --good: #35b135; --bad: #e66767; --warn: #c98500;
+  }
+}
+* { box-sizing: border-box; }
+body { margin: 0; background: var(--surface); color: var(--ink);
+  font: 14px/1.45 system-ui, sans-serif; }
+header { display: flex; gap: 4px; align-items: center; padding: 8px 16px;
+  border-bottom: 1px solid var(--border); }
+header b { margin-right: 16px; font-size: 16px; }
+nav button { background: none; border: none; color: var(--ink2); padding: 6px 10px;
+  cursor: pointer; font: inherit; border-radius: 6px; }
+nav button.on { color: var(--ink); background: var(--panel); font-weight: 600; }
+main { padding: 16px; max-width: 1200px; margin: 0 auto; }
+.row { display: flex; gap: 8px; margin-bottom: 12px; flex-wrap: wrap; }
+input, select, .btn { font: inherit; color: var(--ink); background: var(--panel);
+  border: 1px solid var(--border); border-radius: 6px; padding: 7px 10px; }
+input#q { flex: 1; min-width: 320px; font-family: ui-monospace, monospace; }
+.btn { cursor: pointer; } .btn.primary { background: var(--accent); color: #fff;
+  border-color: var(--accent); }
+#chartwrap { position: relative; }
+canvas { width: 100%; height: 340px; display: block; }
+#tip { position: absolute; pointer-events: none; background: var(--panel);
+  border: 1px solid var(--border); border-radius: 6px; padding: 6px 9px;
+  font-size: 12px; display: none; box-shadow: 0 2px 8px rgba(0,0,0,.15); z-index: 5; }
+#tip .t { color: var(--ink2); margin-bottom: 2px; }
+#legend { display: flex; flex-wrap: wrap; gap: 4px 14px; margin: 8px 0;
+  font-size: 12px; color: var(--ink2); }
+#legend span.sw { display: inline-block; width: 10px; height: 10px;
+  border-radius: 3px; margin-right: 5px; vertical-align: -1px; }
+table { border-collapse: collapse; width: 100%; font-size: 13px; }
+th, td { text-align: left; padding: 5px 10px; border-bottom: 1px solid var(--border); }
+th { color: var(--ink2); font-weight: 600; }
+td.num { font-family: ui-monospace, monospace; }
+.state { font-weight: 600; }
+.state.up, .state.ok, .state.inactive { color: var(--good); }
+.state.down, .state.firing { color: var(--bad); }
+.state.pending, .state.unknown { color: var(--warn); }
+.err { color: var(--bad); white-space: pre-wrap; font-family: ui-monospace, monospace; }
+.note { color: var(--ink2); font-size: 12px; margin: 6px 0; }
+h3 { margin: 18px 0 8px; }
+</style>
+</head>
+<body>
+<header><b>graft</b><nav id="nav"></nav></header>
+<main>
+<section id="p-graph">
+  <div class="row">
+    <input id="q" placeholder="PromQL expression, e.g. rate(http_requests_total[5m])"
+      list="metrics"><datalist id="metrics"></datalist>
+    <select id="range"><option value="300">5m</option><option value="3600" selected>1h</option>
+      <option value="21600">6h</option><option value="86400">1d</option>
+      <option value="604800">1w</option><option value="0">instant</option></select>
+    <button class="btn primary" id="go">Execute</button>
+  </div>
+  <div id="gerr" class="err"></div>
+  <div id="chartwrap"><canvas id="chart" width="1160" height="340"></canvas><div id="tip"></div></div>
+  <div id="legend"></div>
+  <div id="gnote" class="note"></div>
+  <h3>Table</h3><div id="gtable"></div>
+</section>
+<section id="p-targets" hidden></section>
+<section id="p-rules" hidden></section>
+<section id="p-alerts" hidden></section>
+<section id="p-status" hidden></section>
+</main>
+<script>
+"use strict";
+const SERIES = getComputedStyle(document.body).color === "rgb(255, 255, 255)"
+  ? ["#3987e5","#d95926","#199e70","#c98500","#d55181","#008300","#9085e9","#e66767"]
+  : ["#2a78d6","#eb6834","#1baf7a","#eda100","#e87ba4","#008300","#4a3aa7","#e34948"];
+const TABS = [["graph","Graph"],["targets","Targets"],["rules","Rules"],
+  ["alerts","Alerts"],["status","Status"]];
+const nav = document.getElementById("nav");
+for (const [id, label] of TABS) {
+  const b = document.createElement("button");
+  b.textContent = label; b.dataset.tab = id;
+  b.onclick = () => show(id);
+  nav.appendChild(b);
+}
+function show(id) {
+  for (const [t] of TABS) {
+    document.getElementById("p-" + t).hidden = t !== id;
+    nav.querySelector(`[data-tab=${t}]`).classList.toggle("on", t === id);
+  }
+  if (id === "targets") loadTargets();
+  if (id === "rules") loadRules();
+  if (id === "alerts") loadAlerts();
+  if (id === "status") loadStatus();
+  if (location.hash !== "#" + id) history.replaceState(null, "", "#" + id);
+}
+async function api(path) {
+  const r = await fetch(path);
+  const j = await r.json();
+  if (j.status !== "success") throw new Error(j.error || r.statusText);
+  return j.data;
+}
+const esc = s => String(s).replace(/[&<>"]/g,
+  c => ({"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;"}[c]));
+const nameOf = m => {
+  const base = m.__name__ || "";
+  const rest = Object.entries(m).filter(([k]) => k !== "__name__")
+    .map(([k, v]) => `${k}="${v}"`).join(", ");
+  return rest ? `${base}{${rest}}` : (base || "{}");
+};
+
+// ---- graph ----------------------------------------------------------------
+let cur = { series: [], start: 0, end: 0 }; // drawn state for hover
+async function run() {
+  const q = document.getElementById("q").value.trim();
+  if (!q) return;
+  const gerr = document.getElementById("gerr"); gerr.textContent = "";
+  const span = +document.getElementById("range").value;
+  try {
+    if (span === 0) { renderInstant(await api(`/api/v1/query?query=${encodeURIComponent(q)}`)); return; }
+    const end = Math.floor(Date.now() / 1000);
+    const start = end - span;
+    const step = Math.max(1, Math.floor(span / 250));
+    const data = await api(`/api/v1/query_range?query=${encodeURIComponent(q)}` +
+      `&start=${start}&end=${end}&step=${step}`);
+    renderRange(data, start, end);
+  } catch (e) { gerr.textContent = String(e.message || e); clearChart(); }
+}
+function clearChart() {
+  const c = document.getElementById("chart");
+  c.getContext("2d").clearRect(0, 0, c.width, c.height);
+  document.getElementById("legend").innerHTML = "";
+  document.getElementById("gtable").innerHTML = "";
+  document.getElementById("gnote").textContent = "";
+  cur = { series: [], start: 0, end: 0 };
+}
+function renderInstant(data) {
+  clearChart();
+  const rows = (data.result || []).map(r => {
+    const v = r.value ? r.value[1] : (r.histogram ? "(histogram)" : "");
+    return `<tr><td>${esc(nameOf(r.metric || {}))}</td><td class="num">${esc(v)}</td></tr>`;
+  });
+  document.getElementById("gtable").innerHTML =
+    `<table><tr><th>series</th><th>value</th></tr>${rows.join("")}</table>`;
+  document.getElementById("gnote").textContent =
+    `${rows.length} result${rows.length === 1 ? "" : "s"} (instant)`;
+}
+function renderRange(data, start, end) {
+  clearChart();
+  const all = (data.result || []).filter(r => r.values && r.values.length);
+  // fixed-order colors; beyond 8 series the rest live in the table only
+  const drawn = all.slice(0, 8);
+  cur = { series: drawn.map((r, i) => ({
+    name: nameOf(r.metric || {}), color: SERIES[i],
+    pts: r.values.map(([t, v]) => [+t, +v]).filter(p => isFinite(p[1]))
+  })), start, end };
+  drawChart();
+  const lg = document.getElementById("legend");
+  lg.innerHTML = cur.series.map(s =>
+    `<span><span class="sw" style="background:${s.color}"></span>${esc(s.name)}</span>`).join("");
+  if (all.length > drawn.length)
+    document.getElementById("gnote").textContent =
+      `${all.length} series; first 8 drawn — all listed in the table below.`;
+  const rows = all.map(r => {
+    const last = r.values[r.values.length - 1];
+    return `<tr><td>${esc(nameOf(r.metric || {}))}</td><td class="num">${esc(last[1])}</td></tr>`;
+  });
+  document.getElementById("gtable").innerHTML =
+    `<table><tr><th>series</th><th>last value</th></tr>${rows.join("")}</table>`;
+}
+function drawChart(hoverT) {
+  const c = document.getElementById("chart");
+  const dpr = window.devicePixelRatio || 1;
+  const W = c.clientWidth, H = 340;
+  c.width = W * dpr; c.height = H * dpr;
+  const g = c.getContext("2d"); g.scale(dpr, dpr);
+  const css = getComputedStyle(document.body);
+  const ink2 = css.getPropertyValue("--ink2"), border = css.getPropertyValue("--border");
+  const padL = 64, padR = 12, padT = 10, padB = 24;
+  const pw = W - padL - padR, ph = H - padT - padB;
+  let lo = Infinity, hi = -Infinity;
+  for (const s of cur.series) for (const [, v] of s.pts) { if (v < lo) lo = v; if (v > hi) hi = v; }
+  if (!isFinite(lo)) { lo = 0; hi = 1; }
+  if (lo === hi) { lo -= 0.5; hi += 0.5; }
+  const pad = (hi - lo) * 0.05; lo -= pad; hi += pad;
+  const x = t => padL + pw * (t - cur.start) / Math.max(1, cur.end - cur.start);
+  const y = v => padT + ph * (1 - (v - lo) / (hi - lo));
+  // recessive grid + single y axis
+  g.strokeStyle = border; g.fillStyle = ink2; g.lineWidth = 1;
+  g.font = "11px system-ui"; g.textAlign = "right"; g.textBaseline = "middle";
+  for (let i = 0; i <= 4; i++) {
+    const v = lo + (hi - lo) * i / 4, yy = y(v);
+    g.beginPath(); g.moveTo(padL, yy); g.lineTo(W - padR, yy); g.stroke();
+    g.fillText(fmtNum(v), padL - 8, yy);
+  }
+  g.textAlign = "center"; g.textBaseline = "top";
+  for (let i = 0; i <= 5; i++) {
+    const t = cur.start + (cur.end - cur.start) * i / 5;
+    g.fillText(fmtTime(t, cur.end - cur.start), x(t), H - padB + 6);
+  }
+  // 2px series lines in fixed palette order
+  for (const s of cur.series) {
+    g.strokeStyle = s.color; g.lineWidth = 2; g.lineJoin = "round"; g.beginPath();
+    let pen = false;
+    for (const [t, v] of s.pts) {
+      if (!pen) { g.moveTo(x(t), y(v)); pen = true; } else g.lineTo(x(t), y(v));
+    }
+    g.stroke();
+  }
+  // crosshair + markers at the hovered timestamp
+  if (hoverT != null) {
+    g.strokeStyle = ink2; g.lineWidth = 1; g.setLineDash([3, 3]);
+    g.beginPath(); g.moveTo(x(hoverT), padT); g.lineTo(x(hoverT), H - padB); g.stroke();
+    g.setLineDash([]);
+    for (const s of cur.series) {
+      const p = nearest(s.pts, hoverT);
+      if (!p) continue;
+      g.fillStyle = s.color; g.strokeStyle = css.getPropertyValue("--surface");
+      g.lineWidth = 2; g.beginPath();
+      g.arc(x(p[0]), y(p[1]), 4, 0, 7); g.fill(); g.stroke();
+    }
+  }
+}
+function nearest(pts, t) {
+  let best = null, bd = Infinity;
+  for (const p of pts) { const d = Math.abs(p[0] - t); if (d < bd) { bd = d; best = p; } }
+  return best;
+}
+function fmtNum(v) {
+  const a = Math.abs(v);
+  if (a >= 1e9) return (v / 1e9).toFixed(1) + "G";
+  if (a >= 1e6) return (v / 1e6).toFixed(1) + "M";
+  if (a >= 1e3) return (v / 1e3).toFixed(1) + "k";
+  if (a > 0 && a < 0.01) return v.toExponential(1);
+  return +v.toFixed(3) + "";
+}
+function fmtTime(t, span) {
+  const d = new Date(t * 1000);
+  return span > 86400 * 2 ? `${d.getMonth() + 1}/${d.getDate()} ${d.getHours()}:00`
+    : d.toTimeString().slice(0, span > 3600 * 3 ? 5 : 8);
+}
+const chartEl = document.getElementById("chart");
+chartEl.addEventListener("mousemove", ev => {
+  if (!cur.series.length) return;
+  const r = chartEl.getBoundingClientRect();
+  const frac = (ev.clientX - r.left - 64) / Math.max(1, r.width - 76);
+  if (frac < 0 || frac > 1) { hideTip(); return; }
+  const t = cur.start + frac * (cur.end - cur.start);
+  drawChart(t);
+  const tip = document.getElementById("tip");
+  const lines = cur.series.map(s => {
+    const p = nearest(s.pts, t);
+    return p ? `<div><span class="sw" style="display:inline-block;width:8px;height:8px;` +
+      `border-radius:2px;background:${s.color};margin-right:5px"></span>` +
+      `${esc(shortName(s.name))}: <b>${fmtNum(p[1])}</b></div>` : "";
+  }).join("");
+  tip.innerHTML = `<div class="t">${new Date(t * 1000).toLocaleString()}</div>${lines}`;
+  tip.style.display = "block";
+  const tx = Math.min(ev.clientX - r.left + 14, r.width - tip.offsetWidth - 4);
+  tip.style.left = tx + "px"; tip.style.top = Math.max(0, ev.clientY - r.top - 10) + "px";
+});
+chartEl.addEventListener("mouseleave", hideTip);
+function hideTip() {
+  document.getElementById("tip").style.display = "none";
+  if (cur.series.length) drawChart();
+}
+const shortName = n => n.length > 60 ? n.slice(0, 57) + "…" : n;
+document.getElementById("go").onclick = run;
+document.getElementById("q").addEventListener("keydown", e => { if (e.key === "Enter") run(); });
+
+// ---- targets / rules / alerts / status -------------------------------------
+async function loadTargets() {
+  const el = document.getElementById("p-targets");
+  try {
+    const d = await api("/api/v1/targets");
+    const rows = (d.activeTargets || []).map(t =>
+      `<tr><td>${esc(t.scrapePool || "")}</td><td>${esc(t.scrapeUrl || "")}</td>` +
+      `<td><span class="state ${esc(t.health || "unknown")}">${esc((t.health || "unknown").toUpperCase())}</span></td>` +
+      `<td>${esc(nameOf(t.labels || {}))}</td><td>${esc(t.lastError || "")}</td></tr>`);
+    el.innerHTML = `<h3>Targets</h3><table><tr><th>pool</th><th>endpoint</th>` +
+      `<th>state</th><th>labels</th><th>last error</th></tr>${rows.join("")}</table>` +
+      (rows.length ? "" : `<div class="note">no active targets</div>`);
+  } catch (e) { el.innerHTML = `<div class="err">${esc(e.message || e)}</div>`; }
+}
+async function loadRules() {
+  const el = document.getElementById("p-rules");
+  try {
+    const d = await api("/api/v1/rules");
+    const parts = (d.groups || []).map(gr => {
+      const rows = (gr.rules || []).map(r =>
+        `<tr><td>${esc(r.type)}</td><td>${esc(r.name)}</td>` +
+        `<td class="num">${esc(r.query || "")}</td>` +
+        `<td><span class="state ${esc(r.state || "ok")}">${esc(r.state || "ok")}</span></td></tr>`);
+      return `<h3>${esc(gr.name)} <span class="note">(${esc(gr.file || "")})</span></h3>` +
+        `<table><tr><th>type</th><th>name</th><th>expression</th><th>state</th></tr>${rows.join("")}</table>`;
+    });
+    el.innerHTML = parts.join("") || `<div class="note">no rule groups loaded</div>`;
+  } catch (e) { el.innerHTML = `<div class="err">${esc(e.message || e)}</div>`; }
+}
+async function loadAlerts() {
+  const el = document.getElementById("p-alerts");
+  try {
+    const d = await api("/api/v1/alerts");
+    const rows = (d.alerts || []).map(a =>
+      `<tr><td>${esc((a.labels || {}).alertname || "")}</td>` +
+      `<td><span class="state ${esc(a.state)}">${esc(a.state)}</span></td>` +
+      `<td>${esc(nameOf(a.labels || {}))}</td><td>${esc(a.activeAt || "")}</td>` +
+      `<td class="num">${esc(a.value || "")}</td></tr>`);
+    el.innerHTML = `<h3>Alerts</h3><table><tr><th>name</th><th>state</th>` +
+      `<th>labels</th><th>active since</th><th>value</th></tr>${rows.join("")}</table>` +
+      (rows.length ? "" : `<div class="note">no active alerts</div>`);
+  } catch (e) { el.innerHTML = `<div class="err">${esc(e.message || e)}</div>`; }
+}
+async function loadStatus() {
+  const el = document.getElementById("p-status");
+  try {
+    const [bi, rt, tsdb, flags] = await Promise.all([
+      api("/api/v1/status/buildinfo"), api("/api/v1/status/runtimeinfo"),
+      api("/api/v1/status/tsdb"), api("/api/v1/status/flags").catch(() => ({}))]);
+    const kv = o => Object.entries(o).map(([k, v]) =>
+      `<tr><td>${esc(k)}</td><td class="num">${esc(typeof v === "object" ? JSON.stringify(v) : v)}</td></tr>`).join("");
+    el.innerHTML = `<h3>Build</h3><table>${kv(bi)}</table>` +
+      `<h3>Runtime</h3><table>${kv(rt)}</table>` +
+      `<h3>TSDB head</h3><table>${kv(tsdb.headStats || {})}</table>` +
+      `<h3>Flags</h3><table>${kv(flags)}</table>`;
+  } catch (e) { el.innerHTML = `<div class="err">${esc(e.message || e)}</div>`; }
+}
+
+// metric-name autocomplete
+api("/api/v1/label/__name__/values").then(names => {
+  document.getElementById("metrics").innerHTML =
+    (names || []).slice(0, 1000).map(n => `<option value="${esc(n)}">`).join("");
+}).catch(() => {});
+
+const startTab = location.hash.slice(1);
+show(TABS.some(([t]) => t === startTab) ? startTab : "graph");
+</script>
+</body>
+</html>
+"""
+}

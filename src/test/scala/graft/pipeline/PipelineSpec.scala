@@ -522,6 +522,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seq.zip(seq.tail).forall { case (a, b) => b <= a + 1e-9 }, seq)
   }
 
+  test("semantic dedup: cluster-blocked pairs find in-cluster dups; survivors keep min id") {
+    // two tight blobs; 0/1 and 3/4 are near-duplicates, 8 is a singleton
+    val pts: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.999f, 0.001f), 2L -> Seq(0.8f, 0.6f),
+      3L -> Seq(-1f, 10f), 4L -> Seq(-1.001f, 10.01f),
+      8L -> Seq(5f, -5f))
+    val emb = embsOf(pts: _*)
+    val pairs = Similarity.semanticPairs(emb, tau = 0.999, k = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((3L, 4L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(2L) }) // cos(0,2) ≈ 0.8
+    val kept = Similarity.semanticSurvivors(emb, tau = 0.999, k = 3, iters = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L, 8L)) // 1 and 4 fold into their canonicals
+  }
+
+  test("curation: per-doc decision record composes lang/quality/dup/contamination") {
+    val d = docsOf(
+      0L -> "the quick brown fox jumps over the lazy dog again and again today",
+      1L -> ("the data engine is fast and the table scan is quick and the " +
+        "merge is done and the rest is quiet"),
+      2L -> ("the data engine is fast and the table scan is quick and the " +
+        "merge is done and the rest is quiet"), // near-dup of 1 (higher id dropped)
+      3L -> "der hund ist nicht ein und das der die das und ist nicht ein haus",
+      4L -> "zz qq xx 123 456 789 000 111 222 333 444 555 666 777 888 999 101")
+    val out = Curation.curate(d, d.filter(col("doc_id") < 1), lang = "en",
+      minQuality = 0.5, tau = 0.3, contamN = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(3L)._1 == "de")            // german detected
+    assert(!out(3L)._4)                   // → dropped on language
+    assert(out(2L)._2 && !out(1L)._2)     // near-dup: canonical survives
+    assert(!out(2L)._4 && out(1L)._4)
+    assert(out(4L)._1 != "en" || !out(4L)._4) // junk doc never kept
+    // doc 0 is the benchmark here: its grams mark no OTHER doc (disjoint text)
+    assert(out(1L)._3 == 0L)
+  }
+
   test("tfidf top-k: rare terms outrank common ones, deterministic tiebreak") {
     val d = docsOf(
       1L -> "apple banana apple cherry",

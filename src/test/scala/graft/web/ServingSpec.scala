@@ -771,6 +771,29 @@ class ServingSpec extends AnyFunSuite {
     } finally am.stop(0)
   }
 
+  test("built-in UI: / redirects to /graph, page serves with its API hooks") {
+    val api = new HttpApi(spark, emptyStore(), 0, () => 10000L)
+    api.start()
+    try {
+      val noRedirect = java.net.http.HttpClient.newBuilder()
+        .followRedirects(java.net.http.HttpClient.Redirect.NEVER).build()
+      val root = noRedirect.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${api.boundPort}/")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(root.statusCode() == 302)
+      assert(root.headers().firstValue("Location").orElse("") == "/graph")
+      val (gc, gb) = get(api.boundPort, "/graph")
+      assert(gc == 200)
+      // the page drives the public v1 API only
+      Seq("/api/v1/query_range", "/api/v1/targets", "/api/v1/rules",
+        "/api/v1/alerts", "/api/v1/status/tsdb", "/api/v1/label/__name__/values")
+        .foreach(p => assert(gb.contains(p), p))
+      // unknown paths still 404
+      assert(get(api.boundPort, "/nope")._1 == 404)
+    } finally api.stop()
+  }
+
   test("remote read SAMPLES: an over-limit read 422s instead of materializing") {
     val rows = for (s <- 0 until 4; k <- 0 until 100) yield
       Row(Map("__name__" -> "m", "src" -> s"s$s"), k * 1000L, s + k * 1.0,
