@@ -211,7 +211,11 @@ object Similarity {
     * at k×dim cardinality to the driver. No iteration ever shuffles the
     * vectors themselves. */
   def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
-    var centroids: Array[Array[Float]] = emb.orderBy(col("vec_id")).limit(k)
+    // iterative algorithm over a fixed input: persist it once (the MLlib
+    // shape) — every Lloyd iteration re-scans, and without the cache each
+    // of the 2×iters jobs would re-read + re-shuffle the source
+    val src = emb.select(col("vec_id"), col("embedding")).persist()
+    var centroids: Array[Array[Float]] = src.orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
     def assignUdf(cents: Array[Array[Float]]) = udf { (v: Seq[Float]) =>
@@ -229,7 +233,7 @@ object Similarity {
       best
     }
     val dim = if (centroids.nonEmpty) centroids(0).length else 0
-    var assigned = emb.withColumn("cluster", assignUdf(centroids)(col("embedding")))
+    var assigned = src.withColumn("cluster", assignUdf(centroids)(col("embedding")))
     var it = 0
     while (it < iters - 1) {
       val next = centroids.map(_.clone())
@@ -248,9 +252,10 @@ object Similarity {
           while (d < dim) { next(c)(d) = (r.getDouble(2 + d) / n).toFloat; d += 1 }
         }
       centroids = next // empty clusters keep their previous centroid
-      assigned = emb.withColumn("cluster", assignUdf(centroids)(col("embedding")))
+      assigned = src.withColumn("cluster", assignUdf(centroids)(col("embedding")))
       it += 1
     }
+    src.unpersist(blocking = false) // lazy: the returned plan recomputes if evicted
     assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
   }
 

@@ -29,7 +29,8 @@ object Config {
       consulSd: Seq[ConsulSd.Config] = Nil,
       ec2Sd: Seq[Ec2Sd.Config] = Nil,
       gceSd: Seq[GceSd.Config] = Nil,
-      azureSd: Seq[AzureSd.Config] = Nil)
+      azureSd: Seq[AzureSd.Config] = Nil,
+      dockerSd: Seq[DockerSd.Config] = Nil)
 
   final case class PromConfig(
       scrapeIntervalMs: Long,
@@ -212,6 +213,13 @@ object Config {
           str(ac, "resource_group"),
           ac.str("refresh_interval").map(durMs).getOrElse(300000L))
       }.filter(_.subscriptionId.nonEmpty)
+      // docker_sd_configs (ref: discovery/moby/docker.go DockerSDConfig)
+      val dockerSd = m.list("docker_sd_configs").collect { case dk: YMap =>
+        DockerSd.Config(
+          str(dk, "host"),
+          dk.str("port").map(_.toInt).getOrElse(80),
+          dk.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }.filter(_.host.nonEmpty)
       ScrapeJob(name, statics, sdFiles,
         m.str("scrape_interval").map(durMs).getOrElse(scrapeMs),
         relabelChain(m.get("relabel_configs")),
@@ -223,7 +231,7 @@ object Config {
           m.str("label_name_length_limit").map(_.toInt).getOrElse(0),
           m.str("label_value_length_limit").map(_.toInt).getOrElse(0)),
         m.str("honor_labels").contains("true"),
-        dnsSd, httpSd, k8sSd, consulSd, ec2Sd, gceSd, azureSd)
+        dnsSd, httpSd, k8sSd, consulSd, ec2Sd, gceSd, azureSd, dockerSd)
     }
     def urlsOf(key: String): Seq[String] =
       root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)

@@ -276,7 +276,8 @@ object Discovery {
       consulClient: Option[ConsulSd.ApiClient] = None,
       ec2Client: Option[Ec2Sd.ApiClient] = None,
       gceClient: Option[GceSd.ApiClient] = None,
-      azureClient: Option[AzureSd.ApiClient] = None): Unit = {
+      azureClient: Option[AzureSd.ApiClient] = None,
+      dockerClient: Option[DockerSd.ApiClient] = None): Unit = {
     if (job.staticTargets.nonEmpty)
       mgr.register(job.jobName, new StaticProvider("static",
         Seq(TargetGroup("static/0", Map.empty,
@@ -312,6 +313,11 @@ object Discovery {
       mgr.register(job.jobName, azureClient match {
         case Some(c) => new AzureSd.AzureProvider(s"azure/$i", ac, c)
         case None => new AzureSd.AzureProvider(s"azure/$i", ac)
+      }) }
+    job.dockerSd.zipWithIndex.foreach { case (dk, i) =>
+      mgr.register(job.jobName, dockerClient match {
+        case Some(c) => new DockerSd.DockerProvider(s"docker/$i", dk, c)
+        case None => new DockerSd.DockerProvider(s"docker/$i", dk)
       }) }
   }
 }

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.web.JsonLite
+
+/** Docker service discovery (ref: discovery/moby/docker.go).
+  *
+  * Poll-based like the other providers: each refresh LISTs
+  * `/containers/json` (+ `/networks` for network meta labels) against the
+  * Docker Engine API and emits one target per container × network × TCP
+  * port with the reference's `__meta_docker_*` labels — address = network
+  * IP : private port, port-less containers fall back to the configured
+  * port (host networking uses the daemon host). Engine API over TCP
+  * (`host: tcp://…` / `http://…`); tests inject a fake transport. */
+object DockerSd {
+
+  /** docker_sd_configs entry (ref: moby/docker.go DockerSDConfig; defaults
+    * port 80, refresh 60s) */
+  final case class Config(
+      host: String, // e.g. tcp://127.0.0.1:2375
+      port: Int = 80, // fallback for port-less containers
+      refreshMs: Long = 60000L)
+
+  trait ApiClient { def get(path: String): String }
+
+  final class HttpApiClient(cfg: Config) extends ApiClient {
+    private val base = cfg.host.replaceFirst("^tcp://", "http://").stripSuffix("/")
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    override def get(path: String): String = {
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+          .timeout(java.time.Duration.ofSeconds(30))
+          .header("Accept", "application/json").GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(s"docker sd: ${resp.statusCode()} for $path")
+      resp.body()
+    }
+  }
+
+  private type J = Map[String, Any]
+  private def jmap(v: Any): J = v match { case m: Map[_, _] => m.asInstanceOf[J]; case _ => Map.empty }
+  private def jlist(v: Any): List[J] =
+    (v match { case l: List[_] => l; case _ => Nil }).map(jmap)
+  private def jstr(v: Any): String = v match {
+    case s: String => s
+    case d: java.lang.Double if d.doubleValue.isWhole && math.abs(d.doubleValue) < 1e15 =>
+      d.longValue.toString
+    case null => ""
+    case other => String.valueOf(other)
+  }
+  private def s(o: J, k: String): String = jstr(o.getOrElse(k, null))
+  private def m(o: J, k: String): J = jmap(o.getOrElse(k, null))
+
+  private def hostPort(host: String, port: String): String =
+    if (host.contains(":") && !host.startsWith("[")) s"[$host]:$port"
+    else s"$host:$port"
+
+  final class DockerProvider(override val name: String, cfg: Config,
+      client: ApiClient) extends Discovery.Provider {
+    def this(name: String, cfg: Config) = this(name, cfg, new HttpApiClient(cfg))
+    override def refreshMs: Long = cfg.refreshMs
+
+    override def refresh(): Seq[Discovery.TargetGroup] = {
+      val containers = (JsonLite.parse(client.get("/containers/json")) match {
+        case l: List[_] => l; case _ => Nil
+      }).map(jmap)
+      // network id → __meta_docker_network_* labels (ref: moby/network.go)
+      val networkLabels: Map[String, Map[String, String]] =
+        (JsonLite.parse(client.get("/networks")) match {
+          case l: List[_] => l; case _ => Nil
+        }).map(jmap).map { n =>
+          s(n, "Id") -> (Map(
+            "__meta_docker_network_id" -> s(n, "Id"),
+            "__meta_docker_network_name" -> s(n, "Name"),
+            "__meta_docker_network_internal" -> s(n, "Internal"),
+            "__meta_docker_network_scope" -> s(n, "Scope")) ++
+            m(n, "Labels").map { case (k, v) =>
+              "__meta_docker_network_label_" + KubernetesSd.sanitize(k) -> jstr(v) })
+        }.toMap
+      val targets = Seq.newBuilder[(String, Map[String, String])]
+      containers.foreach { c =>
+        val names = (c.getOrElse("Names", null) match {
+          case l: List[_] => l.map(jstr); case _ => Nil
+        })
+        if (names.nonEmpty) {
+          val common = Map(
+            "__meta_docker_container_id" -> s(c, "Id"),
+            "__meta_docker_container_name" -> names.head,
+            "__meta_docker_container_network_mode" -> s(m(c, "HostConfig"), "NetworkMode")) ++
+            m(c, "Labels").map { case (k, v) =>
+              "__meta_docker_container_label_" + KubernetesSd.sanitize(k) -> jstr(v) }
+          val ports = jlist(c.getOrElse("Ports", null))
+          m(m(c, "NetworkSettings"), "Networks").foreach { case (_, nv) =>
+            val net = jmap(nv)
+            val ip = {
+              val v4 = s(net, "IPAddress")
+              if (v4.nonEmpty) v4 else s(net, "GlobalIPv6Address")
+            }
+            val netLbls = networkLabels.getOrElse(s(net, "NetworkID"), Map.empty)
+            val tcp = ports.filter(p => s(p, "Type") == "tcp")
+            if (tcp.nonEmpty) tcp.foreach { p =>
+              var tl = common ++ netLbls ++ Map(
+                "__meta_docker_network_ip" -> ip,
+                "__meta_docker_port_private" -> s(p, "PrivatePort"))
+              val pub = s(p, "PublicPort")
+              if (pub.nonEmpty && pub != "0")
+                tl ++= Map("__meta_docker_port_public" -> pub,
+                  "__meta_docker_port_public_ip" -> s(p, "IP"))
+              targets += ((hostPort(ip, s(p, "PrivatePort")), tl))
+            } else {
+              // no TCP ports exposed: fall back to the configured port
+              targets += ((hostPort(ip, cfg.port.toString),
+                common ++ netLbls + ("__meta_docker_network_ip" -> ip)))
+            }
+          }
+        }
+      }
+      Seq(Discovery.TargetGroup("Docker", Map.empty, targets.result()))
+    }
+  }
+}

@@ -487,6 +487,60 @@ class SdProvidersSpec extends AnyFunSuite {
     assert(l("__meta_azure_machine_tag_cost_center") == "42")
   }
 
+  test("docker SD: containers × networks × tcp ports, port-less fallback") {
+    val containersJson =
+      """[
+        |  {"Id":"c1","Names":["/web"],
+        |   "Labels":{"com.docker.compose.service":"web"},
+        |   "HostConfig":{"NetworkMode":"bridge"},
+        |   "Ports":[{"Type":"tcp","PrivatePort":8080,"PublicPort":32768,"IP":"0.0.0.0"},
+        |            {"Type":"udp","PrivatePort":9999}],
+        |   "NetworkSettings":{"Networks":{"bridge":{"NetworkID":"n1","IPAddress":"172.17.0.2"}}}},
+        |  {"Id":"c2","Names":["/db"],"Labels":{},
+        |   "HostConfig":{"NetworkMode":"bridge"},
+        |   "Ports":[],
+        |   "NetworkSettings":{"Networks":{"bridge":{"NetworkID":"n1","IPAddress":"172.17.0.3"}}}}
+        |]""".stripMargin
+    val networksJson =
+      """[{"Id":"n1","Name":"bridge","Internal":false,"Scope":"local",
+        |  "Labels":{"env":"dev"}}]""".stripMargin
+    val fake = new DockerSd.ApiClient {
+      override def get(path: String): String = path match {
+        case "/containers/json" => containersJson
+        case "/networks" => networksJson
+        case other => fail(s"unexpected docker path $other")
+      }
+    }
+    val job = Config.parse(
+      """scrape_configs:
+        |  - job_name: docker
+        |    docker_sd_configs:
+        |      - host: tcp://127.0.0.1:2375
+        |        port: 9323
+        |""".stripMargin, "/tmp").scrapeJobs.head
+    assert(job.dockerSd == Seq(DockerSd.Config("tcp://127.0.0.1:2375", 9323)))
+    val mgr = new Discovery.Manager(() => 0L)
+    Discovery.registerJob(mgr, job, dockerClient = Some(fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("docker", "docker")
+    // tcp port target for c1 (udp skipped), fallback-port target for c2
+    assert(raw.map(_.instance).toSet == Set("172.17.0.2:8080", "172.17.0.3:9323"))
+    val web = raw.find(_.instance == "172.17.0.2:8080").get.extraLabels
+    assert(web("__meta_docker_container_id") == "c1")
+    assert(web("__meta_docker_container_name") == "/web")
+    assert(web("__meta_docker_container_network_mode") == "bridge")
+    assert(web("__meta_docker_container_label_com_docker_compose_service") == "web")
+    assert(web("__meta_docker_network_ip") == "172.17.0.2")
+    assert(web("__meta_docker_port_private") == "8080")
+    assert(web("__meta_docker_port_public") == "32768")
+    assert(web("__meta_docker_port_public_ip") == "0.0.0.0")
+    assert(web("__meta_docker_network_name") == "bridge")
+    assert(web("__meta_docker_network_scope") == "local")
+    assert(web("__meta_docker_network_label_env") == "dev")
+    val db = raw.find(_.instance == "172.17.0.3:9323").get.extraLabels
+    assert(!db.contains("__meta_docker_port_private"))
+  }
+
   test("kubernetes SD: refresh failure keeps previous targets (manager semantics)") {
     @volatile var fail = false
     val flaky = new KubernetesSd.ApiClient {
