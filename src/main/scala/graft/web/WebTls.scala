@@ -302,7 +302,8 @@ object WebTls {
     * deliberately slow, and the toolkit caches equally (exporter-toolkit
     * handler.go cache). */
   final class BasicAuth(users: () => Map[String, String]) {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(String, String, String), Boolean]()
 
     def allowed(authHeader: String): Boolean = {
       val us = users()
@@ -317,11 +318,10 @@ object WebTls {
       us.get(user) match {
         case None => false
         case Some(h) =>
-          val key = user + " " + pass + " " + h
-          cache.computeIfAbsent(key, _ => {
-            if (cache.size > 1024) cache.clear()
-            Bcrypt.check(pass, h)
-          })
+          // bound BEFORE computeIfAbsent — the mapping function must not
+          // mutate the map it computes into (ConcurrentHashMap contract)
+          if (cache.size > 1024) cache.clear()
+          cache.computeIfAbsent((user, pass, h), _ => Bcrypt.check(pass, h))
       }
     }
   }
