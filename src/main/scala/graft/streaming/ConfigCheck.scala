@@ -157,10 +157,60 @@ object ConfigCheck {
     root.list("scrape_configs").foreach {
       case sc: YMap =>
         // every `*_sd_configs` mechanism is a known field (the reference has
-        // ~25 providers; their inner options are provider-specific and not
-        // re-validated here — matching promtool's no-network parse)
+        // ~25 providers; unimplemented providers' inner options are not
+        // re-validated — matching promtool's no-network parse)
         errs ++= unknownKeys(sc, scrapeFields, s"$path scrape_config",
           alsoOk = _.endsWith("_sd_configs"))
+        val job = sc.str("job_name").getOrElse("<no job_name>")
+        // required fields / enums of the providers this engine implements
+        // (ref: each SDConfig's Validate/UnmarshalYAML)
+        val k8sRoles = Set("node", "pod", "service", "endpoints",
+          "endpointslice", "ingress")
+        sc.list("kubernetes_sd_configs").foreach {
+          case kc: YMap =>
+            val role = kc.str("role").getOrElse("")
+            if (!k8sRoles(role))
+              errs += s"""$path: job "$job": role "$role" (must be one of """ +
+                k8sRoles.toSeq.sorted.mkString(", ") + ")"
+          case _ => ()
+        }
+        // NOTE: an omitted EC2/Lightsail region is VALID — the reference
+        // resolves it from the instance metadata at runtime, and promtool's
+        // own corpus pins that (prometheus-aws-sd-empty-region.good.yml)
+        sc.list("gce_sd_configs").foreach {
+          case gc: YMap =>
+            if (gc.str("project").forall(_.isEmpty))
+              errs += s"""$path: job "$job": GCE SD configuration requires a project"""
+            if (gc.str("zone").forall(_.isEmpty))
+              errs += s"""$path: job "$job": GCE SD configuration requires a zone"""
+          case _ => ()
+        }
+        sc.list("azure_sd_configs").foreach {
+          case ac: YMap =>
+            if (ac.str("subscription_id").forall(_.isEmpty))
+              errs += s"""$path: job "$job": Azure SD configuration requires a subscription_id"""
+          case _ => ()
+        }
+        sc.list("docker_sd_configs").foreach {
+          case dk: YMap =>
+            val host = dk.str("host").getOrElse("")
+            if (host.isEmpty)
+              errs += s"""$path: job "$job": Docker SD configuration requires a host"""
+            else if (!host.matches("^(tcp|http|https|unix)://.*"))
+              errs += s"""$path: job "$job": Docker SD host "$host" must be a url"""
+          case _ => ()
+        }
+        sc.list("dns_sd_configs").foreach {
+          case dc: YMap =>
+            if (dc.list("names").isEmpty)
+              errs += s"""$path: job "$job": DNS-SD config must contain at least one SRV record name"""
+            val rt = dc.str("type").getOrElse("SRV")
+            if (!Set("SRV", "A", "AAAA", "MX", "NS")(rt))
+              errs += s"""$path: job "$job": invalid DNS-SD records type $rt"""
+            else if (rt != "SRV" && dc.str("port").forall(_.isEmpty))
+              errs += s"""$path: job "$job": relevant DNS-SD configs require a port defined"""
+          case _ => ()
+        }
       case _ => errs += s"$path: bad scrape_config node"
     }
     // the config itself must parse into the serving model

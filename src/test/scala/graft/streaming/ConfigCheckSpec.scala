@@ -29,6 +29,39 @@ class ConfigCheckSpec extends AnyFunSuite {
       missing.errors.exists(_.contains("non-existent-file.yml")), missing.toString)
   }
 
+  test("check config: SD provider required fields and enums") {
+    val dir = java.nio.file.Files.createTempDirectory("cfgsd")
+    def check(body: String): ConfigCheck.Result = {
+      val f = java.nio.file.Files.createTempFile(dir, "cfg", ".yml")
+      java.nio.file.Files.write(f, body.getBytes("UTF-8"))
+      ConfigCheck.checkConfig(f.toString)
+    }
+    def job(sd: String) = s"scrape_configs:\n  - job_name: j\n$sd"
+    // kubernetes: role enum required
+    val badRole = check(job("    kubernetes_sd_configs:\n      - role: podz\n"))
+    assert(badRole.exitCode == 1 && badRole.errors.exists(_.contains("role")), badRole)
+    assert(check(job("    kubernetes_sd_configs:\n      - role: pod\n")).exitCode == 0)
+    // gce: project + zone required
+    val noZone = check(job("    gce_sd_configs:\n      - project: p\n"))
+    assert(noZone.exitCode == 1 && noZone.errors.exists(_.contains("zone")), noZone)
+    // azure: subscription_id required
+    val noSub = check(job("    azure_sd_configs:\n      - tenant_id: t\n"))
+    assert(noSub.exitCode == 1 && noSub.errors.exists(_.contains("subscription_id")), noSub)
+    // docker: host must be a url
+    val badHost = check(job("    docker_sd_configs:\n      - host: 127.0.0.1:2375\n"))
+    assert(badHost.exitCode == 1 && badHost.errors.exists(_.contains("must be a url")), badHost)
+    assert(check(job(
+      "    docker_sd_configs:\n      - host: unix:///var/run/docker.sock\n")).exitCode == 0)
+    // dns: names required; non-SRV types need a port
+    val noNames = check(job("    dns_sd_configs:\n      - type: SRV\n"))
+    assert(noNames.exitCode == 1 &&
+      noNames.errors.exists(_.contains("at least one SRV record name")), noNames)
+    val noPort = check(job(
+      "    dns_sd_configs:\n      - type: A\n        names: [x.example.com]\n"))
+    assert(noPort.exitCode == 1 &&
+      noPort.errors.exists(_.contains("require a port")), noPort)
+  }
+
   test("check rules: good file passes, syntax and template errors fail, duplicates lint") {
     assert(ConfigCheck.checkRules(s"$d/rules.yml").exitCode == 0)
     // 'test +' is a parse error
