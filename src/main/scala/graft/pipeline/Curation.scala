@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * 100 TB shape: each evidence column is one of the already-scale-shaped
   * operators (narrow projections for lang/quality; DF-capped inverted-index
   * join + star-contraction components for near-dups; broadcast bench grams
-  * for contamination) joined back on doc_id — the corpus text is never
-  * re-shuffled, and the left joins against the (small) dup/contaminated
-  * sets stay broadcast. */
+  * for contamination) joined back on doc_id. The dup/contamination sides are
+  * NOT hint-broadcast: at a realistic 20-40% dup rate they are O(corpus) —
+  * the joins are plain id-keyed left joins, and AQE broadcasts them at
+  * runtime only when they measure small. All five evidence tables join on
+  * the same doc_id key, so the shuffles share one exchange of the narrow
+  * id spine; the corpus text itself is never re-shuffled. */
 object Curation {
 
   /** @param bench  held-out eval set to decontaminate against (its own ids
@@ -35,8 +38,8 @@ object Curation {
     docs.select(col("doc_id"))
       .join(lid, "doc_id")
       .join(q, "doc_id")
-      .join(broadcast(nonCanonical), Seq("doc_id"), "left")
-      .join(broadcast(contam), Seq("doc_id"), "left")
+      .join(nonCanonical, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"), col("pred_lang"), col("quality"),
         coalesce(col("near_dup"), lit(false)).as("near_dup"),
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))

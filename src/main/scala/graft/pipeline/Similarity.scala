@@ -263,15 +263,30 @@ object Similarity {
     * cosine verification within each cluster, transitive closure, keep the
     * lowest id per component. Pairs crossing cluster boundaries are missed
     * by construction (recall < 1, rows-only check) — the trade every
-    * cluster-blocked dedup makes. 100 TB: the all-pairs join is confined to
-    * cluster blocks (k scales with corpus so block size stays bounded);
-    * nothing else beyond the kmeans scans. */
+    * cluster-blocked dedup makes.
+    *
+    * 100 TB / skew guard: k should scale with the corpus, but nothing makes
+    * a caller do that, so block size is ENFORCED — a cluster above
+    * `maxBlock` rows is sub-split by a deterministic secondary hash of
+    * vec_id into ceil(n/maxBlock) sub-blocks and pairs are generated within
+    * (cluster, sub) only (the same degrade-to-bounded trade as the LSH
+    * stop-bucket cap: an oversized block loses cross-sub-block recall
+    * instead of going O(n²)). Total candidate pairs are thus
+    * O(n·maxBlock) — linear in corpus size for any k. The per-cluster count
+    * table has at most k rows (genuinely broadcastable); clusters at or
+    * under the cap get a single sub-block, so small-data results are
+    * unchanged. */
   def semanticPairs(emb: DataFrame, tau: Double, k: Int = 8,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, maxBlock: Int = 100000): DataFrame = {
     val withVec = emb.join(kmeans(emb, k, iters), "vec_id")
-    val a = withVec.select(col("cluster"), col("vec_id").as("da"), col("embedding").as("va"))
-    val b = withVec.select(col("cluster"), col("vec_id").as("db"), col("embedding").as("vb"))
-    a.join(b, Seq("cluster")).filter(col("da") < col("db"))
+    val counts = withVec.groupBy(col("cluster")).agg(count(lit(1)).as("__cn"))
+    val sized = withVec.join(broadcast(counts), "cluster")
+      .withColumn("__nsub",
+        greatest(lit(1L), ceil(col("__cn").cast("double") / lit(maxBlock.toDouble)).cast("long")))
+      .withColumn("sub", pmod(hash(col("vec_id")).cast("long"), col("__nsub")))
+    val a = sized.select(col("cluster"), col("sub"), col("vec_id").as("da"), col("embedding").as("va"))
+    val b = sized.select(col("cluster"), col("sub"), col("vec_id").as("db"), col("embedding").as("vb"))
+    a.join(b, Seq("cluster", "sub")).filter(col("da") < col("db"))
       .select(col("da"), col("db"), cosine("va", "vb").as("cos"))
       .filter(col("cos") >= tau)
   }

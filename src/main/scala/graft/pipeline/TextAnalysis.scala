@@ -110,9 +110,11 @@ object TextAnalysis {
     * term-weighting for corpus curation.
     *
     * 100 TB shape: term frequencies are one (doc_id, term) hash agg; the
-    * document-frequency table is VOCABULARY cardinality — broadcast to the
-    * scoring join (the corpus never reshuffles on term); per-doc top-k is a
-    * window over doc_id. */
+    * document-frequency table is VOCABULARY cardinality — unbounded at
+    * corpus scale (Heaps' law), so the scoring join carries NO broadcast
+    * hint: tf is already exchanged on term to compute dfreq, the join reuses
+    * that term-keyed shuffle, and AQE broadcasts dfreq only when it measures
+    * small. Per-doc top-k is a window over doc_id. */
   def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
@@ -120,7 +122,7 @@ object TextAnalysis {
     // (doc_id, term) rows are unique post-group ⇒ count = document frequency
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
     val n = docs.select(count(lit(1)).as("n"))
-    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .withColumn("tfidf_ratio",
         col("tf").cast("double") * (col("n") + 1).cast("double")
           / (col("dfreq") + 1).cast("double"))

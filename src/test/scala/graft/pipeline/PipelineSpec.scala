@@ -538,6 +538,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(0L, 2L, 3L, 8L)) // 1 and 4 fold into their canonicals
   }
 
+  test("semantic dedup: oversized cluster is sub-split to a bounded pair count") {
+    // 16 near-identical vectors, k=1 → ONE pathological cluster holding the
+    // whole corpus. With maxBlock=4 the guard must sub-split it instead of
+    // emitting the full all-pairs set.
+    val n = 16
+    val pts: Seq[(Long, Seq[Float])] =
+      (0 until n).map(i => i.toLong -> Seq(1f, 1e-4f * i))
+    val emb = embsOf(pts: _*)
+    val pairs = Similarity.semanticPairs(emb, tau = 0.99, k = 1, iters = 2,
+        maxBlock = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the guard's contract: exactly the within-sub-block pairs, nothing else
+    val nsub = math.ceil(n / 4.0).toLong
+    val subOf = emb.select(col("vec_id"),
+        pmod(hash(col("vec_id")).cast("long"), lit(nsub)).as("sub"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+      if subOf(a) == subOf(b)
+    } yield (a, b)).toSet
+    assert(pairs == expected)
+    // and that is a real reduction vs the unguarded C(16,2)=120 all-pairs
+    assert(pairs.size < n * (n - 1) / 2, s"guard did not bound: ${pairs.size}")
+    // an under-cap cluster keeps the single sub-block: results unchanged
+    val unguarded = Similarity.semanticPairs(emb, tau = 0.99, k = 1, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.size == n * (n - 1) / 2)
+  }
+
   test("curation: per-doc decision record composes lang/quality/dup/contamination") {
     val d = docsOf(
       0L -> "the quick brown fox jumps over the lazy dog again and again today",
