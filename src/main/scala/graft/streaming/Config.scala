@@ -159,16 +159,27 @@ object Config {
       // kubernetes_sd_configs (ref: discovery/kubernetes/kubernetes.go
       // SDConfig: role required; api_server empty = in-cluster)
       val k8sSd = m.list("kubernetes_sd_configs").collect { case kc: YMap =>
-        val nss = kc.get("namespaces") match {
-          case Some(nm: YMap) => strList(nm.get("names"))
-          case _ => Nil
+        val (nss, ownNs) = kc.get("namespaces") match {
+          case Some(nm: YMap) =>
+            (strList(nm.get("names")), nm.str("own_namespace").contains("true"))
+          case _ => (Nil, false)
         }
         val tokenFile = kc.get("authorization") match {
           case Some(am: YMap) => str(am, "credentials_file")
           case _ => str(kc, "bearer_token_file")
         }
+        val selectors = kc.list("selectors").collect { case sm: YMap =>
+          KubernetesSd.Selector(str(sm, "role"), str(sm, "label"), str(sm, "field"))
+        }
+        val attach = kc.get("attach_metadata") match {
+          case Some(am: YMap) => KubernetesSd.AttachMetadata(
+            node = am.str("node").contains("true"),
+            namespace = am.str("namespace").contains("true"))
+          case _ => KubernetesSd.AttachMetadata()
+        }
         KubernetesSd.Config(str(kc, "role"), str(kc, "api_server"), nss,
-          tokenFile, kc.str("refresh_interval").map(durMs).getOrElse(30000L))
+          tokenFile, kc.str("refresh_interval").map(durMs).getOrElse(30000L),
+          ownNamespace = ownNs, selectors = selectors, attachMetadata = attach)
       }.filter(_.role.nonEmpty)
       // consul_sd_configs (ref: discovery/consul/consul.go SDConfig)
       val consulSd = m.list("consul_sd_configs").collect { case cc: YMap =>

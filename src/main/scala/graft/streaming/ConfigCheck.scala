@@ -172,6 +172,30 @@ object ConfigCheck {
             if (!k8sRoles(role))
               errs += s"""$path: job "$job": role "$role" (must be one of """ +
                 k8sRoles.toSeq.sorted.mkString(", ") + ")"
+            // selectors: one per role, each allowed for the main role
+            // (ref: kubernetes.go UnmarshalYAML allowedSelectors)
+            val seen = scala.collection.mutable.Set.empty[String]
+            kc.list("selectors").foreach {
+              case sm: YMap =>
+                val sr = sm.str("role").getOrElse("")
+                if (!seen.add(sr))
+                  errs += s"""$path: job "$job": duplicated selector role: $sr"""
+                KubernetesSd.allowedSelectors.get(role).foreach { ok =>
+                  if (!ok.contains(sr))
+                    errs += s"""$path: job "$job": $role role supports only """ +
+                      ok.mkString(", ") + " selectors"
+                }
+              case _ => ()
+            }
+            // own_namespace needs the in-cluster mount
+            // (ref: kubernetes.go UnmarshalYAML)
+            val ownNs = kc.get("namespaces") match {
+              case Some(nm: YMap) => nm.str("own_namespace").contains("true")
+              case _ => false
+            }
+            if (ownNs && kc.str("api_server").exists(_.nonEmpty))
+              errs += s"""$path: job "$job": cannot use 'api_server' and """ +
+                "'namespaces.own_namespace' simultaneously"
           case _ => ()
         }
         // NOTE: an omitted EC2/Lightsail region is VALID — the reference

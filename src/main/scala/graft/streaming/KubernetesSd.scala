@@ -24,15 +24,43 @@ import graft.web.JsonLite
   * (discovery/kubernetes/kubernetes_test.go). */
 object KubernetesSd {
 
+  /** per-resource label/field selector (ref: kubernetes.go SelectorConfig) —
+    * passed to the API server as LIST query parameters, so filtering happens
+    * server-side exactly like the reference's informer list options */
+  final case class Selector(role: String, label: String = "", field: String = "")
+
+  /** ref: kubernetes.go AttachMetadataConfig — merge node / namespace object
+    * metadata onto targets (so relabel configs can use
+    * `__meta_kubernetes_node_label_*` on pod/endpoint targets and
+    * `__meta_kubernetes_namespace_label_*` on any namespaced role) */
+  final case class AttachMetadata(node: Boolean = false, namespace: Boolean = false)
+
+  /** selector roles each main role accepts (ref: kubernetes.go
+    * UnmarshalYAML allowedSelectors) */
+  val allowedSelectors: Map[String, Seq[String]] = Map(
+    "pod" -> Seq("pod", "node"),
+    "service" -> Seq("service"),
+    "endpointslice" -> Seq("pod", "service", "endpointslice"),
+    "endpoints" -> Seq("pod", "service", "endpoints"),
+    "node" -> Seq("node"),
+    "ingress" -> Seq("ingress"))
+
   /** kubernetes_sd_configs entry (ref: kubernetes.go SDConfig). `apiServer`
     * empty = in-cluster (https://kubernetes.default.svc with the mounted
-    * service-account token). */
+    * service-account token). `ownNamespace` appends the namespace from the
+    * mounted service-account file (ref: kubernetes.go New reads
+    * /var/run/secrets/kubernetes.io/serviceaccount/namespace; the file path
+    * is a field here only so tests can inject one). */
   final case class Config(
       role: String, // node | pod | service | endpoints | endpointslice | ingress
       apiServer: String = "",
       namespaces: Seq[String] = Nil, // empty = all namespaces
       bearerTokenFile: String = "",
-      refreshMs: Long = 30000L)
+      refreshMs: Long = 30000L,
+      ownNamespace: Boolean = false,
+      selectors: Seq[Selector] = Nil,
+      attachMetadata: AttachMetadata = AttachMetadata(),
+      namespaceFile: String = "/var/run/secrets/kubernetes.io/serviceaccount/namespace")
 
   /** injectable LIST transport; `path` is the API path (e.g.
     * "/api/v1/pods"); throws on failure (the manager keeps previous state) */
@@ -113,6 +141,22 @@ object KubernetesSd {
   private def controllerOf(meta: J): Option[J] =
     l(meta, "ownerReferences").find(r => fld(r, "controller") == java.lang.Boolean.TRUE)
 
+  /** attach_metadata.node — the node's full objectMeta label set (ref:
+    * endpoints.go addNodeLabels merges addObjectMetaLabels(node, RoleNode)) */
+  private def nodeMetaLabels(nodesByName: Map[String, J], nodeName: String): Map[String, String] =
+    if (nodeName.isEmpty) Map.empty
+    else nodesByName.get(nodeName)
+      .map(n => objectMetaLabels(m(n, "metadata"), "node"))
+      .getOrElse(Map.empty)
+
+  /** attach_metadata.namespace — labels/annotations only, the name is already
+    * on `__meta_kubernetes_namespace` (ref: kubernetes.go
+    * addNamespaceMetaLabels) */
+  private def namespaceMetaLabels(nsByName: Map[String, J], ns: String): Map[String, String] =
+    nsByName.get(ns).map { nsObj =>
+      objectMetaLabels(m(nsObj, "metadata"), "namespace") - "__meta_kubernetes_namespace_name"
+    }.getOrElse(Map.empty)
+
   // ------------------------------------------------------------------- pod
 
   /** ref: pod.go podLabels + buildPod */
@@ -138,8 +182,10 @@ object KubernetesSd {
   }
 
   /** per-container/per-port targets (ref: pod.go buildPod: a port-less
-    * container targets the bare pod IP; each declared port targets ip:port) */
-  private def buildPod(pod: J): TargetGroup = {
+    * container targets the bare pod IP; each declared port targets ip:port).
+    * `nodesByName` non-empty = attach_metadata.node (ref: pod.go:390 merges
+    * the node's objectMeta labels into the group's shared labels). */
+  private def buildPod(pod: J, nodesByName: Map[String, J]): TargetGroup = {
     val meta = m(pod, "metadata"); val spec = m(pod, "spec"); val status = m(pod, "status")
     val source = s"pod/${s(meta, "namespace")}/${s(meta, "name")}"
     val podIP = s(status, "podIP")
@@ -165,7 +211,9 @@ object KubernetesSd {
           "__meta_kubernetes_pod_container_port_protocol" -> s(p, "protocol")))
       }
     }
-    TargetGroup(source, podSharedLabels(pod), targets)
+    TargetGroup(source,
+      podSharedLabels(pod) ++ nodeMetaLabels(nodesByName, s(spec, "nodeName")),
+      targets)
   }
 
   // ------------------------------------------------------------------ node
@@ -235,7 +283,8 @@ object KubernetesSd {
   /** ref: endpoints.go buildEndpoints — per subset × port × address targets,
     * not-ready addresses emitted with ready="false"; pod-backed addresses
     * merge the pod's shared labels and the matching container port labels */
-  private def buildEndpoints(eps: J, podsByKey: Map[String, J]): TargetGroup = {
+  private def buildEndpoints(eps: J, podsByKey: Map[String, J],
+      nodesByName: Map[String, J]): TargetGroup = {
     val meta = m(eps, "metadata")
     val ns = s(meta, "namespace"); val name = s(meta, "name")
     val source = s"endpoints/$ns/$name"
@@ -261,6 +310,13 @@ object KubernetesSd {
         if (nodeName.nonEmpty) tl += "__meta_kubernetes_endpoint_node_name" -> nodeName
         val hostname = s(addr, "hostname")
         if (hostname.nonEmpty) tl += "__meta_kubernetes_endpoint_hostname" -> hostname
+        // attach_metadata.node (ref: endpoints.go:390-395 — the address's
+        // node if set, else a Node-kind targetRef)
+        if (nodesByName.nonEmpty) {
+          val nn = if (nodeName.nonEmpty) nodeName
+            else if (s(ref, "kind") == "Node") s(ref, "name") else ""
+          tl ++= nodeMetaLabels(nodesByName, nn)
+        }
         // pod-backed address: merge the pod's standard labels + container port
         if (s(ref, "kind") == "Pod") {
           podsByKey.get(s(ref, "namespace") + "/" + s(ref, "name")).foreach { pod =>
@@ -297,7 +353,8 @@ object KubernetesSd {
 
   /** ref: endpointslice.go buildEndpointSlice — same target shape as
     * endpoints with the endpointslice meta prefix + conditions */
-  private def buildEndpointSlice(es: J, podsByKey: Map[String, J]): TargetGroup = {
+  private def buildEndpointSlice(es: J, podsByKey: Map[String, J],
+      nodesByName: Map[String, J]): TargetGroup = {
     val meta = m(es, "metadata")
     val ns = s(meta, "namespace"); val name = s(meta, "name")
     val source = s"endpointslice/$ns/$name"
@@ -326,6 +383,13 @@ object KubernetesSd {
         val nodeName = s(ep, "nodeName")
         if (nodeName.nonEmpty)
           tl += "__meta_kubernetes_endpointslice_endpoint_topology_kubernetes_io_hostname" -> nodeName
+        // attach_metadata.node (ref: endpointslice.go — endpoint nodeName,
+        // else a Node-kind targetRef)
+        if (nodesByName.nonEmpty) {
+          val nn = if (nodeName.nonEmpty) nodeName
+            else if (s(ref, "kind") == "Node") s(ref, "name") else ""
+          tl ++= nodeMetaLabels(nodesByName, nn)
+        }
         if (s(ref, "kind") == "Pod")
           podsByKey.get(s(ref, "namespace") + "/" + s(ref, "name")).foreach { pod =>
             tl ++= podSharedLabels(pod) - "__meta_kubernetes_namespace"
@@ -374,6 +438,7 @@ object KubernetesSd {
     val nsSeg = if (namespace.isEmpty) "" else s"/namespaces/$namespace"
     role match {
       case "node" => "/api/v1/nodes"
+      case "namespace" => "/api/v1/namespaces"
       case "pod" => s"/api/v1$nsSeg/pods"
       case "service" => s"/api/v1$nsSeg/services"
       case "endpoints" => s"/api/v1$nsSeg/endpoints"
@@ -383,9 +448,23 @@ object KubernetesSd {
     }
   }
 
-  private def items(client: ApiClient, role: String, namespaces: Seq[String]): List[J] = {
+  /** selector for `resourceRole` as LIST query params (ref: the informer
+    * list options carry LabelSelector/FieldSelector; a LIST transport passes
+    * the same strings as `labelSelector`/`fieldSelector`) */
+  private def selQuery(selectors: Seq[Selector], resourceRole: String): String =
+    selectors.find(_.role == resourceRole).map { sel =>
+      val ps = Seq("labelSelector" -> sel.label, "fieldSelector" -> sel.field)
+        .filter(_._2.nonEmpty)
+        .map { case (k, v) =>
+          k + "=" + java.net.URLEncoder.encode(v, java.nio.charset.StandardCharsets.UTF_8) }
+      if (ps.isEmpty) "" else "?" + ps.mkString("&")
+    }.getOrElse("")
+
+  private def items(client: ApiClient, role: String, namespaces: Seq[String],
+      query: String = ""): List[J] = {
     val nss = if (namespaces.isEmpty) Seq("") else namespaces
-    nss.flatMap(ns => l(jmap(JsonLite.parse(client.get(listPath(role, ns)))), "items")).toList
+    nss.flatMap(ns =>
+      l(jmap(JsonLite.parse(client.get(listPath(role, ns) + query))), "items")).toList
   }
 
   /** one kubernetes_sd_configs entry as a manager provider; a whole-refresh
@@ -395,24 +474,64 @@ object KubernetesSd {
     def this(name: String, cfg: Config) =
       this(name, cfg, new HttpApiClient(cfg.apiServer, cfg.bearerTokenFile))
     override def refreshMs: Long = cfg.refreshMs
+
+    /** ref: kubernetes.go Discovery.namespaces() — own_namespace appends the
+      * mounted service-account namespace; no names + no own_namespace = all
+      * namespaces; own_namespace with an empty/missing mount and no names
+      * discovers nothing (the reference's exact degenerate case) */
+    private def effectiveNamespaces(): Seq[String] =
+      if (cfg.namespaces.isEmpty && !cfg.ownNamespace) Seq("")
+      else {
+        val own = if (!cfg.ownNamespace) "" else {
+          val f = new java.io.File(cfg.namespaceFile)
+          if (!f.exists()) ""
+          else new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+        }
+        if (own.nonEmpty) (cfg.namespaces :+ own).distinct else cfg.namespaces
+      }
+
     override def refresh(): Seq[Discovery.TargetGroup] = {
+      val nss = effectiveNamespaces()
+      if (nss.isEmpty) return Nil
+      def q(r: String) = selQuery(cfg.selectors, r)
+      // attach_metadata lookups are ONE unselected LIST each per refresh —
+      // node/namespace object counts are cluster-scale, driver-held only
+      val nodes: Map[String, J] =
+        if (cfg.attachMetadata.node && cfg.role != "node")
+          items(client, "node", Nil, q("node"))
+            .map(n => s(m(n, "metadata"), "name") -> n).toMap
+        else Map.empty
+      val nsMeta: Map[String, J] =
+        if (cfg.attachMetadata.namespace && cfg.role != "node")
+          items(client, "namespace", Nil)
+            .map(n => s(m(n, "metadata"), "name") -> n).toMap
+        else Map.empty
       val groups: Seq[TargetGroup] = cfg.role match {
-        case "node" => items(client, "node", Nil).flatMap(buildNode)
-        case "pod" => items(client, "pod", cfg.namespaces).map(buildPod)
-        case "service" => items(client, "service", cfg.namespaces).map(buildService)
+        case "node" => items(client, "node", Nil, q("node")).flatMap(buildNode)
+        case "pod" => items(client, "pod", nss, q("pod")).map(buildPod(_, nodes))
+        case "service" => items(client, "service", nss, q("service")).map(buildService)
         case "endpoints" =>
-          val pods = podIndex(client, cfg.namespaces)
-          items(client, "endpoints", cfg.namespaces).map(buildEndpoints(_, pods))
+          val pods = podIndex(client, nss)
+          items(client, "endpoints", nss, q("endpoints")).map(buildEndpoints(_, pods, nodes))
         case "endpointslice" =>
-          val pods = podIndex(client, cfg.namespaces)
-          items(client, "endpointslice", cfg.namespaces).map(buildEndpointSlice(_, pods))
-        case "ingress" => items(client, "ingress", cfg.namespaces).map(buildIngress)
+          val pods = podIndex(client, nss)
+          items(client, "endpointslice", nss, q("endpointslice")).map(buildEndpointSlice(_, pods, nodes))
+        case "ingress" => items(client, "ingress", nss, q("ingress")).map(buildIngress)
         case other => throw new IllegalArgumentException(s"unknown kubernetes role $other")
       }
-      groups.map(g => Discovery.TargetGroup(g.source, g.labels, g.targets))
+      // attach_metadata.namespace: merge the namespace's labels/annotations
+      // onto every namespaced group's shared labels
+      val finalGroups =
+        if (nsMeta.isEmpty) groups
+        else groups.map { g =>
+          val ns = g.labels.getOrElse("__meta_kubernetes_namespace", "")
+          if (ns.isEmpty) g else g.copy(labels = g.labels ++ namespaceMetaLabels(nsMeta, ns))
+        }
+      finalGroups.map(g => Discovery.TargetGroup(g.source, g.labels, g.targets))
     }
     private def podIndex(client: ApiClient, namespaces: Seq[String]): Map[String, J] =
-      items(client, "pod", namespaces)
+      items(client, "pod", namespaces, selQuery(cfg.selectors, "pod"))
         .map(p => s(m(p, "metadata"), "namespace") + "/" + s(m(p, "metadata"), "name") -> p)
         .toMap
   }

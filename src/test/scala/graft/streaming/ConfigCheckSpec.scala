@@ -41,6 +41,30 @@ class ConfigCheckSpec extends AnyFunSuite {
     val badRole = check(job("    kubernetes_sd_configs:\n      - role: podz\n"))
     assert(badRole.exitCode == 1 && badRole.errors.exists(_.contains("role")), badRole)
     assert(check(job("    kubernetes_sd_configs:\n      - role: pod\n")).exitCode == 0)
+    // kubernetes selectors: role-allowlist + duplicates
+    // (ref: kubernetes.go UnmarshalYAML allowedSelectors)
+    val badSel = check(job(
+      "    kubernetes_sd_configs:\n      - role: service\n" +
+      "        selectors:\n          - role: pod\n            label: a=b\n"))
+    assert(badSel.exitCode == 1 &&
+      badSel.errors.exists(_.contains("service role supports only service selectors")), badSel)
+    val dupSel = check(job(
+      "    kubernetes_sd_configs:\n      - role: pod\n" +
+      "        selectors:\n          - role: pod\n            label: a=b\n" +
+      "          - role: pod\n            field: c=d\n"))
+    assert(dupSel.exitCode == 1 &&
+      dupSel.errors.exists(_.contains("duplicated selector role: pod")), dupSel)
+    assert(check(job(
+      "    kubernetes_sd_configs:\n      - role: pod\n" +
+      "        selectors:\n          - role: pod\n            label: a=b\n" +
+      "          - role: node\n            label: c=d\n")).exitCode == 0)
+    // own_namespace requires the in-cluster mount: api_server conflicts
+    val ownApi = check(job(
+      "    kubernetes_sd_configs:\n      - role: pod\n" +
+      "        api_server: https://k:6443\n" +
+      "        namespaces:\n          own_namespace: true\n"))
+    assert(ownApi.exitCode == 1 &&
+      ownApi.errors.exists(_.contains("own_namespace")), ownApi)
     // gce: project + zone required
     val noZone = check(job("    gce_sd_configs:\n      - project: p\n"))
     assert(noZone.exitCode == 1 && noZone.errors.exists(_.contains("zone")), noZone)

@@ -213,6 +213,150 @@ class SdProvidersSpec extends AnyFunSuite {
     assert(ing.head.extraLabels("__meta_kubernetes_ingress_class_name") == "nginx")
   }
 
+  test("kubernetes SD: selectors reach the LIST as encoded query params") {
+    // the fake API *is* the assertion: a LIST without the selector query,
+    // or with the wrong encoding, fails the test (server-side filtering —
+    // ref kubernetes.go SelectorConfig → informer list options)
+    val fake = new KubernetesSd.ApiClient {
+      override def get(path: String): String =
+        if (path.startsWith("/api/v1/namespaces/default/pods")) {
+          assert(path.contains("labelSelector=app%3Dweb"), path)
+          assert(path.contains("fieldSelector=spec.nodeName%3Dtestnode"), path)
+          podJson
+        } else fail(s"unexpected API path $path")
+    }
+    val job = Config.parse(
+      """scrape_configs:
+        |  - job_name: sel
+        |    kubernetes_sd_configs:
+        |      - role: pod
+        |        namespaces:
+        |          names: [default]
+        |        selectors:
+        |          - role: pod
+        |            label: app=web
+        |            field: spec.nodeName=testnode
+        |""".stripMargin, "/tmp").scrapeJobs.head
+    assert(job.kubernetesSd.head.selectors ==
+      Seq(KubernetesSd.Selector("pod", "app=web", "spec.nodeName=testnode")))
+    val mgr = new Discovery.Manager(() => 0L)
+    Discovery.registerJob(mgr, job, k8sClient = Some(fake))
+    mgr.poll()
+    assert(mgr.targetsFor("sel", "sel").nonEmpty)
+  }
+
+  test("kubernetes SD: attach_metadata.node merges node labels onto pod targets") {
+    val job = Config.parse(
+      """scrape_configs:
+        |  - job_name: pods
+        |    kubernetes_sd_configs:
+        |      - role: pod
+        |        attach_metadata:
+        |          node: true
+        |        selectors:
+        |          - role: node
+        |            label: region=east
+        |""".stripMargin, "/tmp").scrapeJobs.head
+    assert(job.kubernetesSd.head.attachMetadata == KubernetesSd.AttachMetadata(node = true))
+    val fake = new KubernetesSd.ApiClient {
+      override def get(path: String): String =
+        if (path.startsWith("/api/v1/nodes")) {
+          // the node selector applies to the metadata LIST too
+          assert(path.contains("labelSelector=region%3Deast"), path)
+          nodeJson
+        } else if (path.endsWith("/pods")) podJson
+        else fail(s"unexpected API path $path")
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    Discovery.registerJob(mgr, job, k8sClient = Some(fake))
+    mgr.poll()
+    val t = mgr.targetsFor("pods", "pods").find(_.instance == "1.2.3.4:9000").get.extraLabels
+    // node objectMeta labels attached via pod.spec.nodeName == testnode
+    // (ref: pod.go:390 addNodeLabels; endpoints_test.go expects the
+    // __meta_kubernetes_node_label_* flow for relabel configs)
+    assert(t("__meta_kubernetes_node_name") == "testnode")
+    assert(t("__meta_kubernetes_node_label_kubernetes_io_os") == "linux")
+    assert(t("__meta_kubernetes_node_labelpresent_kubernetes_io_os") == "true")
+  }
+
+  test("kubernetes SD: attach_metadata.node on endpoints via the address's nodeName") {
+    val twoNodes =
+      """{"items":[
+        |  {"metadata":{"name":"testnode","labels":{"az":"us-east1"}}},
+        |  {"metadata":{"name":"foobar","labels":{"az":"us-west2"}}}]}""".stripMargin
+    val fake = new KubernetesSd.ApiClient {
+      override def get(path: String): String =
+        if (path.startsWith("/api/v1/nodes")) twoNodes
+        else if (path.endsWith("/pods")) podJson
+        else if (path.endsWith("/endpoints")) endpointsJson
+        else fail(s"unexpected API path $path")
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("eps", new KubernetesSd.KubernetesProvider("kubernetes/0",
+      KubernetesSd.Config("endpoints",
+        attachMetadata = KubernetesSd.AttachMetadata(node = true)), fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("eps", "eps")
+    // the pod-backed address carries nodeName=foobar → foobar's labels win
+    // over the pod's own node (ref endpoints.go:390: addr.NodeName first)
+    val podBacked = raw.find(_.instance == "1.2.3.4:9000").get.extraLabels
+    assert(podBacked("__meta_kubernetes_node_label_az") == "us-west2")
+    assert(podBacked("__meta_kubernetes_node_name") == "foobar")
+    // an address with no nodeName and no Node targetRef gets none
+    val ext = raw.find(_.instance == "4.3.2.1:9000").get.extraLabels
+    assert(!ext.contains("__meta_kubernetes_node_name"))
+  }
+
+  test("kubernetes SD: attach_metadata.namespace merges namespace labels/annotations") {
+    val nsJson =
+      """{"items":[{"metadata":{"name":"default",
+        |  "labels":{"team":"obs"},"annotations":{"owner":"sre"}}}]}""".stripMargin
+    val fake = new KubernetesSd.ApiClient {
+      override def get(path: String): String =
+        if (path.startsWith("/api/v1/namespaces") && path.endsWith("/namespaces")) nsJson
+        else if (path.endsWith("/pods")) podJson
+        else fail(s"unexpected API path $path")
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("pods", new KubernetesSd.KubernetesProvider("kubernetes/0",
+      KubernetesSd.Config("pod",
+        attachMetadata = KubernetesSd.AttachMetadata(namespace = true)), fake))
+    mgr.poll()
+    val t = mgr.targetsFor("pods", "pods").head.extraLabels
+    assert(t("__meta_kubernetes_namespace_label_team") == "obs")
+    assert(t("__meta_kubernetes_namespace_labelpresent_team") == "true")
+    assert(t("__meta_kubernetes_namespace_annotation_owner") == "sre")
+    // the name label is omitted — __meta_kubernetes_namespace already has it
+    // (ref: kubernetes.go addNamespaceMetaLabels)
+    assert(!t.contains("__meta_kubernetes_namespace_name"))
+    assert(t("__meta_kubernetes_namespace") == "default")
+  }
+
+  test("kubernetes SD: namespaces.own_namespace reads the service-account mount") {
+    val nsFile = java.nio.file.Files.createTempFile("graft-ns", "")
+    java.nio.file.Files.write(nsFile, "myns\n".getBytes("UTF-8"))
+    val fake = new KubernetesSd.ApiClient {
+      override def get(path: String): String =
+        if (path == "/api/v1/namespaces/myns/pods") podJson
+        else fail(s"unexpected API path $path")
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("own", new KubernetesSd.KubernetesProvider("kubernetes/0",
+      KubernetesSd.Config("pod", ownNamespace = true,
+        namespaceFile = nsFile.toString), fake))
+    mgr.poll()
+    assert(mgr.targetsFor("own", "own").nonEmpty)
+    // missing mount + no names: discovers nothing rather than everything
+    // (ref kubernetes.go namespaces() degenerate case)
+    val mgr2 = new Discovery.Manager(() => 0L)
+    mgr2.register("none", new KubernetesSd.KubernetesProvider("kubernetes/1",
+      KubernetesSd.Config("pod", ownNamespace = true,
+        namespaceFile = "/nonexistent/ns"), fake))
+    mgr2.poll()
+    assert(mgr2.targetsFor("none", "none").isEmpty)
+    java.nio.file.Files.deleteIfExists(nsFile)
+  }
+
   test("consul SD: catalog filter, health aggregation, address precedence") {
     val catalog = """{"web":["prod","traefik.enable=true"],"db":["prod"],"skipme":[]}"""
     val webHealth =
