@@ -30,7 +30,10 @@ object Config {
       ec2Sd: Seq[Ec2Sd.Config] = Nil,
       gceSd: Seq[GceSd.Config] = Nil,
       azureSd: Seq[AzureSd.Config] = Nil,
-      dockerSd: Seq[DockerSd.Config] = Nil)
+      dockerSd: Seq[DockerSd.Config] = Nil,
+      digitaloceanSd: Seq[DigitalOceanSd.Config] = Nil,
+      hetznerSd: Seq[HetznerSd.Config] = Nil,
+      openstackSd: Seq[OpenStackSd.Config] = Nil)
 
   final case class PromConfig(
       scrapeIntervalMs: Long,
@@ -231,6 +234,53 @@ object Config {
           dk.str("port").map(_.toInt).getOrElse(80),
           dk.str("refresh_interval").map(durMs).getOrElse(60000L))
       }.filter(_.host.nonEmpty)
+      // digitalocean_sd_configs (ref: discovery/digitalocean/digitalocean.go
+      // SDConfig; defaults role droplets, port 80, refresh 60s)
+      val doSd = m.list("digitalocean_sd_configs").collect { case oc: YMap =>
+        val tokenFile = oc.get("authorization") match {
+          case Some(am: YMap) => str(am, "credentials_file")
+          case _ => str(oc, "bearer_token_file")
+        }
+        val tok = oc.get("authorization") match {
+          case Some(am: YMap) => str(am, "credentials")
+          case _ => str(oc, "bearer_token")
+        }
+        DigitalOceanSd.Config(
+          str(oc, "role", "droplets"), tok, tokenFile,
+          oc.str("port").map(_.toInt).getOrElse(80),
+          oc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }
+      // hetzner_sd_configs (ref: discovery/hetzner/hetzner.go SDConfig)
+      val hetznerSd = m.list("hetzner_sd_configs").collect { case hz: YMap =>
+        val (user, pass) = hz.get("basic_auth") match {
+          case Some(ba: YMap) => (str(ba, "username"), str(ba, "password"))
+          case _ => ("", "")
+        }
+        val (tok, tokFile) = hz.get("authorization") match {
+          case Some(am: YMap) => (str(am, "credentials"), str(am, "credentials_file"))
+          case _ => (str(hz, "bearer_token"), str(hz, "bearer_token_file"))
+        }
+        HetznerSd.Config(str(hz, "role"), tok, tokFile, user, pass,
+          hz.str("port").map(_.toInt).getOrElse(80),
+          str(hz, "label_selector"),
+          hz.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }.filter(_.role.nonEmpty)
+      // openstack_sd_configs (ref: discovery/openstack/openstack.go SDConfig)
+      val openstackSd = m.list("openstack_sd_configs").collect { case os: YMap =>
+        OpenStackSd.Config(
+          str(os, "role"), str(os, "region"),
+          str(os, "identity_endpoint"),
+          str(os, "username"), str(os, "userid"), str(os, "password"),
+          str(os, "domain_name"), str(os, "domain_id"),
+          str(os, "project_name"), str(os, "project_id"),
+          str(os, "application_credential_name"),
+          str(os, "application_credential_id"),
+          str(os, "application_credential_secret"),
+          os.str("all_tenants").contains("true"),
+          str(os, "availability", "public"),
+          os.str("port").map(_.toInt).getOrElse(80),
+          os.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }.filter(_.role.nonEmpty)
       ScrapeJob(name, statics, sdFiles,
         m.str("scrape_interval").map(durMs).getOrElse(scrapeMs),
         relabelChain(m.get("relabel_configs")),
@@ -242,7 +292,8 @@ object Config {
           m.str("label_name_length_limit").map(_.toInt).getOrElse(0),
           m.str("label_value_length_limit").map(_.toInt).getOrElse(0)),
         m.str("honor_labels").contains("true"),
-        dnsSd, httpSd, k8sSd, consulSd, ec2Sd, gceSd, azureSd, dockerSd)
+        dnsSd, httpSd, k8sSd, consulSd, ec2Sd, gceSd, azureSd, dockerSd,
+        doSd, hetznerSd, openstackSd)
     }
     def urlsOf(key: String): Seq[String] =
       root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)

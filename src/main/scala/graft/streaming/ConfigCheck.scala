@@ -201,6 +201,36 @@ object ConfigCheck {
         // NOTE: an omitted EC2/Lightsail region is VALID — the reference
         // resolves it from the instance metadata at runtime, and promtool's
         // own corpus pins that (prometheus-aws-sd-empty-region.good.yml)
+        // hetzner: role required (ref: hetzner.go UnmarshalYAML)
+        sc.list("hetzner_sd_configs").foreach {
+          case hz: YMap =>
+            val role = hz.str("role").getOrElse("")
+            if (role.isEmpty)
+              errs += s"""$path: job "$job": role missing (one of: robot, hcloud)"""
+            else if (role != "robot" && role != "hcloud")
+              errs += s"""$path: job "$job": unknown role "$role" (one of: robot, hcloud)"""
+          case _ => ()
+        }
+        // openstack: role + region required (ref: openstack.go UnmarshalYAML)
+        sc.list("openstack_sd_configs").foreach {
+          case os: YMap =>
+            val role = os.str("role").getOrElse("")
+            if (role.isEmpty)
+              errs += s"""$path: job "$job": role missing (one of: instance, hypervisor, loadbalancer)"""
+            else if (!Set("instance", "hypervisor", "loadbalancer")(role))
+              errs += s"""$path: job "$job": unknown OpenStack SD role "$role""""
+            if (os.str("region").forall(_.isEmpty))
+              errs += s"""$path: job "$job": openstack SD configuration requires a region"""
+          case _ => ()
+        }
+        // digitalocean: role enum (ref: digitalocean.go Role.UnmarshalYAML)
+        sc.list("digitalocean_sd_configs").foreach {
+          case oc: YMap =>
+            val role = oc.str("role").getOrElse("droplets")
+            if (role != "droplets" && role != "databases")
+              errs += s"""$path: job "$job": unknown DigitalOcean SD role "$role""""
+          case _ => ()
+        }
         sc.list("gce_sd_configs").foreach {
           case gc: YMap =>
             if (gc.str("project").forall(_.isEmpty))

@@ -277,7 +277,10 @@ object Discovery {
       ec2Client: Option[Ec2Sd.ApiClient] = None,
       gceClient: Option[GceSd.ApiClient] = None,
       azureClient: Option[AzureSd.ApiClient] = None,
-      dockerClient: Option[DockerSd.ApiClient] = None): Unit = {
+      dockerClient: Option[DockerSd.ApiClient] = None,
+      digitaloceanClient: Option[DigitalOceanSd.ApiClient] = None,
+      hetznerClient: Option[HetznerSd.ApiClient] = None,
+      openstackClient: Option[OpenStackSd.ApiClient] = None): Unit = {
     if (job.staticTargets.nonEmpty)
       mgr.register(job.jobName, new StaticProvider("static",
         Seq(TargetGroup("static/0", Map.empty,
@@ -318,6 +321,21 @@ object Discovery {
       mgr.register(job.jobName, dockerClient match {
         case Some(c) => new DockerSd.DockerProvider(s"docker/$i", dk, c)
         case None => new DockerSd.DockerProvider(s"docker/$i", dk)
+      }) }
+    job.digitaloceanSd.zipWithIndex.foreach { case (oc, i) =>
+      mgr.register(job.jobName, digitaloceanClient match {
+        case Some(c) => new DigitalOceanSd.DigitalOceanProvider(s"digitalocean/$i", oc, c)
+        case None => new DigitalOceanSd.DigitalOceanProvider(s"digitalocean/$i", oc)
+      }) }
+    job.hetznerSd.zipWithIndex.foreach { case (hz, i) =>
+      mgr.register(job.jobName, hetznerClient match {
+        case Some(c) => new HetznerSd.HetznerProvider(s"hetzner/$i", hz, c)
+        case None => new HetznerSd.HetznerProvider(s"hetzner/$i", hz)
+      }) }
+    job.openstackSd.zipWithIndex.foreach { case (os, i) =>
+      mgr.register(job.jobName, openstackClient match {
+        case Some(c) => new OpenStackSd.OpenStackProvider(s"openstack/$i", os, c)
+        case None => new OpenStackSd.OpenStackProvider(s"openstack/$i", os)
       }) }
   }
 }

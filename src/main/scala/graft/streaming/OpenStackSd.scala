@@ -1,0 +1,284 @@
+package graft.streaming
+
+import graft.web.{Json, JsonLite}
+
+/** OpenStack service discovery (ref: discovery/openstack/openstack.go;
+  * hypervisor.go, instance.go, loadbalancer.go per role).
+  *
+  * The production transport authenticates against Keystone v3 (password or
+  * application-credential, the two methods the reference's gophercloud
+  * AuthOptions cover), caches the subject token, and resolves per-service
+  * endpoints from the catalog entry matching the configured region and
+  * availability (interface). Each refresh then LISTs:
+  *   - hypervisor:   compute `/os-hypervisors/detail`
+  *   - instance:     network `/v2.0/ports` + `/v2.0/floatingips`, compute
+  *                   `/servers/detail` (floating IPs are skipped as targets
+  *                   and surfaced as `__meta_openstack_public_ip` on their
+  *                   fixed address, ref instance.go:118-236)
+  *   - loadbalancer: load-balancer `/v2.0/lbaas/{listeners,loadbalancers}` +
+  *                   network floating IPs; only LBs with a PROMETHEUS
+  *                   listener become targets (ref loadbalancer.go:150-168)
+  * Standard `*_links` rel=next pagination is followed on every LIST. */
+object OpenStackSd {
+
+  /** openstack_sd_configs entry (ref: openstack.go SDConfig; defaults
+    * port 80, refresh 60s, availability public) */
+  final case class Config(
+      role: String, // hypervisor | instance | loadbalancer
+      region: String,
+      identityEndpoint: String = "",
+      username: String = "",
+      userid: String = "",
+      password: String = "",
+      domainName: String = "",
+      domainId: String = "",
+      projectName: String = "",
+      projectId: String = "",
+      applicationCredentialName: String = "",
+      applicationCredentialId: String = "",
+      applicationCredentialSecret: String = "",
+      allTenants: Boolean = false,
+      availability: String = "public",
+      port: Int = 80,
+      refreshMs: Long = 60000L)
+
+  /** injectable transport: GET `path` (query included) against the endpoint
+    * of `service` ("compute" | "network" | "load-balancer") from the
+    * Keystone catalog; throws on failure */
+  trait ApiClient { def get(service: String, path: String): String }
+
+  final class HttpApiClient(cfg: Config) extends ApiClient {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    @volatile private var token: String = ""
+    @volatile private var catalog: Map[String, String] = Map.empty
+
+    /** Keystone v3 auth/tokens request body (ref: gophercloud AuthOptions —
+      * password or application_credential methods) */
+    private def authBody(): String = {
+      def q(s: String) = "\"" + Json.escape(s) + "\""
+      def domain(): String =
+        if (cfg.domainId.nonEmpty) s"""{"id":${q(cfg.domainId)}}"""
+        else s"""{"name":${q(cfg.domainName)}}"""
+      val identity =
+        if (cfg.applicationCredentialId.nonEmpty || cfg.applicationCredentialName.nonEmpty) {
+          val cred =
+            if (cfg.applicationCredentialId.nonEmpty)
+              s"""{"id":${q(cfg.applicationCredentialId)},"secret":${q(cfg.applicationCredentialSecret)}}"""
+            else
+              s"""{"name":${q(cfg.applicationCredentialName)},
+                 |"user":{"name":${q(cfg.username)},"domain":${domain()}},
+                 |"secret":${q(cfg.applicationCredentialSecret)}}""".stripMargin.replace("\n", "")
+          s"""{"methods":["application_credential"],"application_credential":$cred}"""
+        } else {
+          val user =
+            if (cfg.userid.nonEmpty) s"""{"id":${q(cfg.userid)},"password":${q(cfg.password)}}"""
+            else s"""{"name":${q(cfg.username)},"domain":${domain()},"password":${q(cfg.password)}}"""
+          s"""{"methods":["password"],"password":{"user":$user}}"""
+        }
+      val scope =
+        if (cfg.projectId.nonEmpty) s""","scope":{"project":{"id":${q(cfg.projectId)}}}"""
+        else if (cfg.projectName.nonEmpty)
+          s""","scope":{"project":{"name":${q(cfg.projectName)},"domain":${domain()}}}"""
+        else ""
+      s"""{"auth":{"identity":$identity$scope}}"""
+    }
+
+    private def jm(v: Any): Map[String, Any] =
+      v match { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]; case _ => Map.empty }
+    private def jl(v: Any): List[Any] = v match { case l: List[_] => l; case _ => Nil }
+
+    private def authenticate(): Unit = {
+      val url = cfg.identityEndpoint.stripSuffix("/") match {
+        case u if u.endsWith("/v3") => u + "/auth/tokens"
+        case u => u + "/v3/auth/tokens"
+      }
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofSeconds(30))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(authBody())).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new IllegalStateException(s"openstack sd: keystone auth ${resp.statusCode()}")
+      token = resp.headers().firstValue("X-Subject-Token").orElse("")
+      // catalog: service type → endpoint url for (region, interface)
+      catalog = jl(jm(jm(JsonLite.parse(resp.body())).getOrElse("token", null))
+          .getOrElse("catalog", null)).map(jm)
+        .flatMap { svc =>
+          val typ = String.valueOf(svc.getOrElse("type", ""))
+          jl(svc.getOrElse("endpoints", null)).map(jm)
+            .find(e =>
+              String.valueOf(e.getOrElse("interface", "")) == cfg.availability &&
+              (cfg.region.isEmpty ||
+                String.valueOf(e.getOrElse("region", "")) == cfg.region))
+            .map(e => typ -> String.valueOf(e.getOrElse("url", "")))
+        }.toMap
+    }
+
+    override def get(service: String, path: String): String = {
+      if (token.isEmpty) authenticate()
+      def once(): java.net.http.HttpResponse[String] = {
+        val base = catalog.getOrElse(service, throw new IllegalStateException(
+          s"openstack sd: no '$service' endpoint for region '${cfg.region}' in the catalog"))
+        client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(base.stripSuffix("/") + path))
+            .timeout(java.time.Duration.ofSeconds(30))
+            .header("Accept", "application/json")
+            .header("X-Auth-Token", token).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      var resp = once()
+      if (resp.statusCode() == 401) { authenticate(); resp = once() } // token expired
+      if (resp.statusCode() / 100 != 2)
+        throw new IllegalStateException(s"openstack sd: ${resp.statusCode()} for $path")
+      resp.body()
+    }
+  }
+
+  private type J = Map[String, Any]
+  private def jmap(v: Any): J = v match { case m: Map[_, _] => m.asInstanceOf[J]; case _ => Map.empty }
+  private def jlist(v: Any): List[J] = v match { case l: List[_] => l.map(jmap); case _ => Nil }
+  private def jstr(v: Any): String = v match {
+    case s: String => s
+    case d: java.lang.Double if d.doubleValue.isWhole && math.abs(d.doubleValue) < 1e15 =>
+      d.longValue.toString
+    case null => ""
+    case other => String.valueOf(other)
+  }
+  private def s(o: J, k: String): String = jstr(o.getOrElse(k, null))
+  private def m(o: J, k: String): J = jmap(o.getOrElse(k, null))
+
+  /** accumulate `key` items across `key_links` rel=next pages */
+  private def listAll(client: ApiClient, service: String, path: String,
+      key: String): List[J] = {
+    val out = List.newBuilder[J]
+    var next = path
+    while (next.nonEmpty) {
+      val body = jmap(JsonLite.parse(client.get(service, next)))
+      out ++= jlist(body.getOrElse(key, null))
+      next = jlist(body.getOrElse(key + "_links", null))
+        .find(l => s(l, "rel") == "next")
+        .map { l =>
+          val u = java.net.URI.create(s(l, "href"))
+          u.getRawPath + Option(u.getRawQuery).map("?" + _).getOrElse("")
+        }.getOrElse("")
+    }
+    out.result()
+  }
+
+  /** ref hypervisor.go:73-97 */
+  private def hypervisorTargets(client: ApiClient, port: Int): Seq[(String, Map[String, String])] =
+    listAll(client, "compute", "/os-hypervisors/detail", "hypervisors").map { h =>
+      (s"${s(h, "host_ip")}:$port", Map(
+        "__meta_openstack_hypervisor_id" -> s(h, "id"),
+        "__meta_openstack_hypervisor_hostname" -> s(h, "hypervisor_hostname"),
+        "__meta_openstack_hypervisor_host_ip" -> s(h, "host_ip"),
+        "__meta_openstack_hypervisor_status" -> s(h, "status"),
+        "__meta_openstack_hypervisor_state" -> s(h, "state"),
+        "__meta_openstack_hypervisor_type" -> s(h, "hypervisor_type")))
+    }
+
+  /** ref instance.go:103-240 */
+  private def instanceTargets(client: ApiClient, port: Int,
+      allTenants: Boolean): Seq[(String, Map[String, String])] = {
+    // port id → device id, then (device, fixed ip) → floating ip
+    val devByPort = listAll(client, "network", "/v2.0/ports", "ports")
+      .map(p => s(p, "id") -> s(p, "device_id")).toMap
+    val fips = listAll(client, "network", "/v2.0/floatingips", "floatingips")
+    val floatingByFixed = fips.flatMap { f =>
+      val portId = s(f, "port_id"); val fixed = s(f, "fixed_ip_address")
+      if (portId.isEmpty || fixed.isEmpty) None
+      else devByPort.get(portId).map(dev => (dev, fixed) -> s(f, "floating_ip_address"))
+    }.toMap
+    val floatingPresent = fips.map(s(_, "floating_ip_address")).filter(_.nonEmpty).toSet
+    val query = if (allTenants) "?all_tenants=true" else ""
+    listAll(client, "compute", s"/servers/detail$query", "servers").flatMap { sv =>
+      val addresses = m(sv, "addresses")
+      if (addresses.isEmpty) Nil
+      else {
+        val flavor = m(sv, "flavor")
+        // original_name for microversion >= 2.47, else id (ref instance.go:187-198)
+        val flavorName =
+          if (s(flavor, "original_name").nonEmpty) s(flavor, "original_name")
+          else s(flavor, "id")
+        if (flavorName.isEmpty) Nil
+        else {
+          var base = Map(
+            "__meta_openstack_instance_id" -> s(sv, "id"),
+            "__meta_openstack_instance_status" -> s(sv, "status"),
+            "__meta_openstack_instance_name" -> s(sv, "name"),
+            "__meta_openstack_project_id" -> s(sv, "tenant_id"),
+            "__meta_openstack_user_id" -> s(sv, "user_id"),
+            "__meta_openstack_instance_flavor" -> flavorName)
+          val imageId = s(m(sv, "image"), "id")
+          if (imageId.nonEmpty) base += "__meta_openstack_instance_image" -> imageId
+          m(sv, "metadata").foreach { case (k, v) =>
+            base += "__meta_openstack_tag_" + KubernetesSd.sanitize(k) -> jstr(v) }
+          addresses.toSeq.flatMap { case (pool, poolAddrs) =>
+            jlist(poolAddrs).flatMap { a =>
+              val addr = s(a, "addr")
+              if (addr.isEmpty || floatingPresent.contains(addr)) None
+              else {
+                var l = base +
+                  ("__meta_openstack_address_pool" -> pool) +
+                  ("__meta_openstack_private_ip" -> addr)
+                floatingByFixed.get((s(sv, "id"), addr))
+                  .foreach(f => l += "__meta_openstack_public_ip" -> f)
+                Some((s"$addr:$port", l))
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** ref loadbalancer.go:93-193 — only LBs with a PROMETHEUS listener */
+  private def loadbalancerTargets(client: ApiClient): Seq[(String, Map[String, String])] = {
+    val listenersByLb = listAll(client, "load-balancer", "/v2.0/lbaas/listeners", "listeners")
+      .flatMap(li => jlist(li.getOrElse("loadbalancers", null)).map(lb => s(lb, "id") -> li))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val floatingByPort = listAll(client, "network", "/v2.0/floatingips", "floatingips")
+      .filter(f => s(f, "port_id").nonEmpty)
+      .map(f => s(f, "port_id") -> s(f, "floating_ip_address")).toMap
+    listAll(client, "load-balancer", "/v2.0/lbaas/loadbalancers", "loadbalancers").flatMap { lb =>
+      listenersByLb.getOrElse(s(lb, "id"), Nil)
+        .find(li => s(li, "protocol") == "PROMETHEUS")
+        .map { li =>
+          var l = Map(
+            "__meta_openstack_loadbalancer_id" -> s(lb, "id"),
+            "__meta_openstack_loadbalancer_name" -> s(lb, "name"),
+            "__meta_openstack_loadbalancer_operating_status" -> s(lb, "operating_status"),
+            "__meta_openstack_loadbalancer_provisioning_status" -> s(lb, "provisioning_status"),
+            "__meta_openstack_loadbalancer_availability_zone" -> s(lb, "availability_zone"),
+            "__meta_openstack_loadbalancer_vip" -> s(lb, "vip_address"),
+            "__meta_openstack_loadbalancer_provider" -> s(lb, "provider"),
+            "__meta_openstack_project_id" -> s(lb, "project_id"))
+          val tags = jl2(lb.getOrElse("tags", null))
+          if (tags.nonEmpty) l += "__meta_openstack_loadbalancer_tags" -> tags.mkString(",")
+          floatingByPort.get(s(lb, "vip_port_id"))
+            .foreach(f => l += "__meta_openstack_loadbalancer_floating_ip" -> f)
+          (s"${s(lb, "vip_address")}:${s(li, "protocol_port")}", l)
+        }
+    }
+  }
+
+  private def jl2(v: Any): List[String] =
+    (v match { case l: List[_] => l; case _ => Nil }).map(jstr)
+
+  final class OpenStackProvider(override val name: String, cfg: Config,
+      client: ApiClient) extends Discovery.Provider {
+    def this(name: String, cfg: Config) = this(name, cfg, new HttpApiClient(cfg))
+    override def refreshMs: Long = cfg.refreshMs
+    override def refresh(): Seq[Discovery.TargetGroup] = {
+      val targets = cfg.role match {
+        case "hypervisor" => hypervisorTargets(client, cfg.port)
+        case "instance" => instanceTargets(client, cfg.port, cfg.allTenants)
+        case "loadbalancer" => loadbalancerTargets(client)
+        case other => throw new IllegalArgumentException(s"unknown openstack role $other")
+      }
+      Seq(Discovery.TargetGroup("OS_" + cfg.region, Map.empty, targets))
+    }
+  }
+}

@@ -357,6 +357,292 @@ class SdProvidersSpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(nsFile)
   }
 
+  test("digitalocean SD: droplets role, networks, surrounded features, pagination") {
+    // fixture mirrors discovery/digitalocean/mock_test.go droplet 3164444
+    val page1 =
+      """{"droplets":[{
+        |  "id":3164444,"name":"example.com","status":"active",
+        |  "size_slug":"s-1vcpu-1gb","vpc_uuid":"f9b0769c-e118-42fb-a0c4-fed15ef69662",
+        |  "image":{"slug":"ubuntu-16-04-x64","name":"14.04 x64"},
+        |  "region":{"slug":"nyc3"},
+        |  "features":["backups","ipv6","virtio"],
+        |  "networks":{
+        |    "v4":[{"ip_address":"104.236.32.182","type":"public"}],
+        |    "v6":[{"ip_address":"2604:A880:0800:0010:0000:0000:02DD:4001","type":"public"}]}
+        |}],"links":{"pages":{"next":"https://api.digitalocean.com/v2/droplets?page=2"}}}""".stripMargin
+    val page2 =
+      """{"droplets":[{
+        |  "id":3164494,"name":"prometheus","status":"active",
+        |  "size_slug":"s-2vcpu-2gb","image":{"slug":"ubuntu-16-04-x64","name":"14.04 x64"},
+        |  "region":{"slug":"nyc3"},"tags":["monitor"],
+        |  "networks":{"v4":[
+        |    {"ip_address":"10.135.64.211","type":"private"},
+        |    {"ip_address":"104.131.186.241","type":"public"}]}
+        |},{
+        |  "id":3164555,"name":"no-nets","status":"new","networks":{}
+        |}],"links":{}}""".stripMargin
+    val fake = new DigitalOceanSd.ApiClient {
+      override def get(path: String): String =
+        if (path == "/v2/droplets?page=1&per_page=200") page1
+        else if (path == "/v2/droplets?page=2&per_page=200") page2
+        else fail(s"unexpected API path $path")
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("do", new DigitalOceanSd.DigitalOceanProvider("digitalocean/0",
+      DigitalOceanSd.Config(), fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("do", "do")
+    // droplet without networks skipped; public v4 : port
+    assert(raw.map(_.instance).toSet == Set("104.236.32.182:80", "104.131.186.241:80"))
+    // reference digitalocean_test.go expected label set for droplet 3164444
+    val l = raw.find(_.instance == "104.236.32.182:80").get.extraLabels
+    assert(l("__meta_digitalocean_droplet_id") == "3164444")
+    assert(l("__meta_digitalocean_droplet_name") == "example.com")
+    assert(l("__meta_digitalocean_image") == "ubuntu-16-04-x64")
+    assert(l("__meta_digitalocean_image_name") == "14.04 x64")
+    assert(l("__meta_digitalocean_private_ipv4") == "")
+    assert(l("__meta_digitalocean_public_ipv4") == "104.236.32.182")
+    assert(l("__meta_digitalocean_public_ipv6") == "2604:A880:0800:0010:0000:0000:02DD:4001")
+    assert(l("__meta_digitalocean_region") == "nyc3")
+    assert(l("__meta_digitalocean_size") == "s-1vcpu-1gb")
+    assert(l("__meta_digitalocean_status") == "active")
+    assert(l("__meta_digitalocean_vpc") == "f9b0769c-e118-42fb-a0c4-fed15ef69662")
+    assert(l("__meta_digitalocean_features") == ",backups,ipv6,virtio,")
+    assert(!l.contains("__meta_digitalocean_tags"))
+    val l2 = raw.find(_.instance == "104.131.186.241:80").get.extraLabels
+    assert(l2("__meta_digitalocean_private_ipv4") == "10.135.64.211")
+    assert(l2("__meta_digitalocean_tags") == ",monitor,")
+  }
+
+  test("hetzner SD: hcloud role with private nets and labels; robot role") {
+    // fixtures mirror discovery/hetzner/mock_test.go
+    val servers =
+      """{"servers":[{
+        |  "id":42,"name":"my-server","status":"running",
+        |  "public_net":{"ipv4":{"ip":"1.2.3.4"},"ipv6":{"ip":"2001:db8::/64"}},
+        |  "private_net":[{"network":4711,"ip":"10.0.0.2"}],
+        |  "server_type":{"name":"cx11","cores":1,"memory":1,"disk":25,"cpu_type":"shared"},
+        |  "location":{"name":"fsn1","network_zone":"eu-central"},
+        |  "image":{"name":"ubuntu-20.04","description":"Ubuntu 20.04 Standard 64 bit",
+        |    "os_version":"20.04","os_flavor":"ubuntu"},
+        |  "labels":{"my-key":"my-value"}
+        |}],"meta":{"pagination":{}}}""".stripMargin
+    val networks = """{"networks":[{"id":4711,"name":"mynet"}]}"""
+    val hcloudFake = new HetznerSd.ApiClient {
+      override def get(path: String): String =
+        if (path.startsWith("/servers?page=1")) servers
+        else if (path == "/networks") networks
+        else fail(s"unexpected API path $path")
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("hc", new HetznerSd.HetznerProvider("hetzner/0",
+      HetznerSd.Config("hcloud"), hcloudFake))
+    mgr.poll()
+    val hc = mgr.targetsFor("hc", "hc")
+    assert(hc.map(_.instance) == Seq("1.2.3.4:80"))
+    // reference hcloud_test.go expected label set for server 42
+    val l = hc.head.extraLabels
+    assert(l("__meta_hetzner_role") == "hcloud")
+    assert(l("__meta_hetzner_server_id") == "42")
+    assert(l("__meta_hetzner_server_name") == "my-server")
+    assert(l("__meta_hetzner_server_status") == "running")
+    assert(l("__meta_hetzner_public_ipv4") == "1.2.3.4")
+    assert(l("__meta_hetzner_public_ipv6_network") == "2001:db8::/64")
+    assert(l("__meta_hetzner_hcloud_image_name") == "ubuntu-20.04")
+    assert(l("__meta_hetzner_hcloud_image_description") == "Ubuntu 20.04 Standard 64 bit")
+    assert(l("__meta_hetzner_hcloud_image_os_flavor") == "ubuntu")
+    assert(l("__meta_hetzner_hcloud_image_os_version") == "20.04")
+    assert(l("__meta_hetzner_hcloud_location") == "fsn1")
+    assert(l("__meta_hetzner_hcloud_location_network_zone") == "eu-central")
+    assert(l("__meta_hetzner_hcloud_datacenter_location") == "fsn1")
+    assert(l("__meta_hetzner_hcloud_datacenter_location_network_zone") == "eu-central")
+    assert(l("__meta_hetzner_hcloud_cpu_cores") == "1")
+    assert(l("__meta_hetzner_hcloud_cpu_type") == "shared")
+    assert(l("__meta_hetzner_hcloud_memory_size_gb") == "1")
+    assert(l("__meta_hetzner_hcloud_disk_size_gb") == "25")
+    assert(l("__meta_hetzner_hcloud_server_type") == "cx11")
+    assert(l("__meta_hetzner_hcloud_private_ipv4_mynet") == "10.0.0.2")
+    assert(l("__meta_hetzner_hcloud_label_my_key") == "my-value")
+    assert(l("__meta_hetzner_hcloud_labelpresent_my_key") == "true")
+
+    val robotBody =
+      """[{"server":{"server_ip":"123.123.123.123","server_number":321,
+        |  "server_name":"server1","product":"DS 3000","dc":"NBG1-DC1",
+        |  "status":"ready","cancelled":false,
+        |  "subnet":[{"ip":"2a01:4f8:111:4221::","mask":"64"}]}},
+        | {"server":{"server_ip":"123.123.123.124","server_number":421,
+        |  "server_name":"server2","product":"X5","dc":"FSN1-DC10",
+        |  "status":"in process","cancelled":true}}]""".stripMargin
+    val robotFake = new HetznerSd.ApiClient {
+      override def get(path: String): String =
+        if (path == "/server") robotBody else fail(s"unexpected API path $path")
+    }
+    mgr.register("rb", new HetznerSd.HetznerProvider("hetzner/1",
+      HetznerSd.Config("robot", username = "user", password = "pass"), robotFake))
+    mgr.poll()
+    val rb = mgr.targetsFor("rb", "rb")
+    assert(rb.map(_.instance) == Seq("123.123.123.123:80", "123.123.123.124:80"))
+    // reference robot_test.go expected label sets
+    val r1 = rb.head.extraLabels
+    assert(r1("__meta_hetzner_role") == "robot")
+    assert(r1("__meta_hetzner_server_id") == "321")
+    assert(r1("__meta_hetzner_server_name") == "server1")
+    assert(r1("__meta_hetzner_server_status") == "ready")
+    assert(r1("__meta_hetzner_public_ipv4") == "123.123.123.123")
+    assert(r1("__meta_hetzner_public_ipv6_network") == "2a01:4f8:111:4221::/64")
+    assert(r1("__meta_hetzner_datacenter") == "nbg1-dc1")
+    assert(r1("__meta_hetzner_robot_datacenter") == "nbg1-dc1")
+    assert(r1("__meta_hetzner_robot_product") == "DS 3000")
+    assert(r1("__meta_hetzner_robot_cancelled") == "false")
+    val r2 = rb(1).extraLabels
+    assert(r2("__meta_hetzner_robot_cancelled") == "true")
+    assert(!r2.contains("__meta_hetzner_public_ipv6_network"))
+  }
+
+  test("openstack SD: instance role with floating-IP resolution; hypervisor; loadbalancer") {
+    // fixtures mirror discovery/openstack/mock_test.go
+    val serversBody =
+      """{"servers":[{
+        |  "id":"ef079b0c-e610-4dfb-b1aa-b49f07ac48e5","name":"herp","status":"ACTIVE",
+        |  "tenant_id":"fcad67a6189847c4aecfa3c81a05783b",
+        |  "user_id":"9349aff8be7545ac9d2f1d00999a23cd",
+        |  "flavor":{"id":"1"},
+        |  "image":{"id":"f90f6034-2570-4974-8351-6b49732ef2eb"},
+        |  "metadata":{"env":"prod"},
+        |  "addresses":{"private":[
+        |    {"addr":"10.0.0.32","OS-EXT-IPS:type":"fixed"},
+        |    {"addr":"10.10.10.2","OS-EXT-IPS:type":"floating"}]}
+        |},{
+        |  "id":"no-addr","name":"empty","status":"BUILD","flavor":{"id":"1"},
+        |  "addresses":{}
+        |}]}""".stripMargin
+    val fipsBody =
+      """{"floatingips":[
+        |  {"port_id":"b47c39f5-238d-4b17-ae87-9b5d19af8a2e","fixed_ip_address":null,
+        |   "floating_ip_address":"10.10.10.1"},
+        |  {"port_id":"4a45b012-0478-484d-8cf3-c8abdb194d08","fixed_ip_address":"10.0.0.32",
+        |   "floating_ip_address":"10.10.10.2"}]}""".stripMargin
+    val portsBody =
+      """{"ports":[
+        |  {"id":"4a45b012-0478-484d-8cf3-c8abdb194d08",
+        |   "device_id":"ef079b0c-e610-4dfb-b1aa-b49f07ac48e5"},
+        |  {"id":"b47c39f5-238d-4b17-ae87-9b5d19af8a2e","device_id":"lb-thing"}]}""".stripMargin
+    val hypervisorsBody =
+      """{"hypervisors":[{
+        |  "id":"1","hypervisor_hostname":"nc14.cloud.com","host_ip":"172.16.70.14",
+        |  "status":"enabled","state":"up","hypervisor_type":"QEMU"}]}""".stripMargin
+    val lbsBody =
+      """{"loadbalancers":[{
+        |  "id":"ef079b0c-e610-4dfb-b1aa-b49f07ac48e5","name":"lb1",
+        |  "provisioning_status":"ACTIVE","operating_status":"ONLINE",
+        |  "project_id":"fcad67a6189847c4aecfa3c81a05783b",
+        |  "vip_address":"10.0.0.32","vip_port_id":"b47c39f5-238d-4b17-ae87-9b5d19af8a2e",
+        |  "tags":["tag1","tag2"],"availability_zone":"az1","provider":"amphora",
+        |  "listeners":[{"id":"c4146b54-febc-4caf-a53f-ed1cab6faba5"}]
+        |},{
+        |  "id":"no-prom","name":"lb2","vip_address":"10.0.2.78","listeners":[]
+        |}]}""".stripMargin
+    val listenersBody =
+      """{"listeners":[{
+        |  "id":"c4146b54-febc-4caf-a53f-ed1cab6faba5","protocol":"PROMETHEUS",
+        |  "protocol_port":9273,
+        |  "loadbalancers":[{"id":"ef079b0c-e610-4dfb-b1aa-b49f07ac48e5"}]}]}""".stripMargin
+    val fake = new OpenStackSd.ApiClient {
+      override def get(service: String, path: String): String = (service, path) match {
+        case ("compute", "/servers/detail?all_tenants=true") => serversBody
+        case ("compute", "/os-hypervisors/detail") => hypervisorsBody
+        case ("network", "/v2.0/floatingips") => fipsBody
+        case ("network", "/v2.0/ports") => portsBody
+        case ("load-balancer", "/v2.0/lbaas/loadbalancers") => lbsBody
+        case ("load-balancer", "/v2.0/lbaas/listeners") => listenersBody
+        case other => fail(s"unexpected API call $other")
+      }
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("inst", new OpenStackSd.OpenStackProvider("openstack/0",
+      OpenStackSd.Config("instance", "RegionOne", allTenants = true), fake))
+    mgr.register("hyp", new OpenStackSd.OpenStackProvider("openstack/1",
+      OpenStackSd.Config("hypervisor", "RegionOne"), fake))
+    mgr.register("lb", new OpenStackSd.OpenStackProvider("openstack/2",
+      OpenStackSd.Config("loadbalancer", "RegionOne"), fake))
+    mgr.poll()
+    // instance: the floating address is NOT a target; it resolves onto the
+    // fixed address as public_ip (ref instance_test.go expected set)
+    val inst = mgr.targetsFor("inst", "inst")
+    assert(inst.map(_.instance) == Seq("10.0.0.32:80"))
+    val il = inst.head.extraLabels
+    assert(il("__meta_openstack_instance_id") == "ef079b0c-e610-4dfb-b1aa-b49f07ac48e5")
+    assert(il("__meta_openstack_instance_name") == "herp")
+    assert(il("__meta_openstack_instance_status") == "ACTIVE")
+    assert(il("__meta_openstack_instance_flavor") == "1")
+    assert(il("__meta_openstack_instance_image") == "f90f6034-2570-4974-8351-6b49732ef2eb")
+    assert(il("__meta_openstack_project_id") == "fcad67a6189847c4aecfa3c81a05783b")
+    assert(il("__meta_openstack_user_id") == "9349aff8be7545ac9d2f1d00999a23cd")
+    assert(il("__meta_openstack_address_pool") == "private")
+    assert(il("__meta_openstack_private_ip") == "10.0.0.32")
+    assert(il("__meta_openstack_public_ip") == "10.10.10.2")
+    assert(il("__meta_openstack_tag_env") == "prod")
+    // hypervisor (ref hypervisor_test.go expected set)
+    val hyp = mgr.targetsFor("hyp", "hyp")
+    assert(hyp.map(_.instance) == Seq("172.16.70.14:80"))
+    val hl = hyp.head.extraLabels
+    assert(hl("__meta_openstack_hypervisor_hostname") == "nc14.cloud.com")
+    assert(hl("__meta_openstack_hypervisor_type") == "QEMU")
+    assert(hl("__meta_openstack_hypervisor_status") == "enabled")
+    assert(hl("__meta_openstack_hypervisor_state") == "up")
+    // loadbalancer: only the PROMETHEUS listener becomes a target; the
+    // floating IP resolves via vip_port_id (ref loadbalancer_test.go)
+    val lb = mgr.targetsFor("lb", "lb")
+    assert(lb.map(_.instance) == Seq("10.0.0.32:9273"))
+    val ll = lb.head.extraLabels
+    assert(ll("__meta_openstack_loadbalancer_name") == "lb1")
+    assert(ll("__meta_openstack_loadbalancer_operating_status") == "ONLINE")
+    assert(ll("__meta_openstack_loadbalancer_provisioning_status") == "ACTIVE")
+    assert(ll("__meta_openstack_loadbalancer_availability_zone") == "az1")
+    assert(ll("__meta_openstack_loadbalancer_provider") == "amphora")
+    assert(ll("__meta_openstack_loadbalancer_tags") == "tag1,tag2")
+    assert(ll("__meta_openstack_loadbalancer_vip") == "10.0.0.32")
+    assert(ll("__meta_openstack_loadbalancer_floating_ip") == "10.10.10.1")
+  }
+
+  test("digitalocean/hetzner/openstack SD: config parse through scrape_configs") {
+    val cfg = Config.parse(
+      """scrape_configs:
+        |  - job_name: clouds
+        |    digitalocean_sd_configs:
+        |      - authorization:
+        |          credentials: dotok
+        |        port: 9100
+        |    hetzner_sd_configs:
+        |      - role: robot
+        |        basic_auth:
+        |          username: u1
+        |          password: p1
+        |      - role: hcloud
+        |        authorization:
+        |          credentials: hctok
+        |        label_selector: env=prod
+        |    openstack_sd_configs:
+        |      - role: instance
+        |        region: RegionOne
+        |        identity_endpoint: https://keystone.example.com:5000/v3
+        |        username: admin
+        |        password: secret
+        |        domain_name: Default
+        |        project_name: demo
+        |        all_tenants: true
+        |        port: 9100
+        |""".stripMargin, "/tmp").scrapeJobs.head
+    assert(cfg.digitaloceanSd ==
+      Seq(DigitalOceanSd.Config("droplets", "dotok", "", 9100, 60000L)))
+    assert(cfg.hetznerSd == Seq(
+      HetznerSd.Config("robot", username = "u1", password = "p1"),
+      HetznerSd.Config("hcloud", bearerToken = "hctok", labelSelector = "env=prod")))
+    assert(cfg.openstackSd == Seq(OpenStackSd.Config("instance", "RegionOne",
+      "https://keystone.example.com:5000/v3", "admin", "", "secret",
+      "Default", "", "demo", "", "", "", "", allTenants = true, port = 9100)))
+  }
+
   test("consul SD: catalog filter, health aggregation, address precedence") {
     val catalog = """{"web":["prod","traefik.enable=true"],"db":["prod"],"skipme":[]}"""
     val webHealth =
