@@ -564,6 +564,65 @@ class StoredSigSpec extends AnyFunSuite {
   }
 }
 
+/** Eval-order parity of the k-variant aggregations above 2²⁰ series: the
+  * reference's limitk keeps a deterministic subset and limit_ratio's
+  * hash-sampled complements partition exactly (engine.go aggregationK
+  * AddRatioSample) — neither may depend on Spark's partitioning or row
+  * order, including at group sizes past the argsort index-packing limit
+  * that bit the rate family in round 7. */
+class BigGroupKVariantsSpec extends AnyFunSuite {
+
+  test("limitk/limit_ratio above 2^20 series: order-independent, complements exact") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    try {
+      val n = (1 << 20) + 50 // one aggregation group larger than the pack limit
+      // build distributed — 1M+ one-sample series at t=0, no driver array
+      val base = spark.range(0, n, 1, 8).select(
+        map(lit("__name__"), lit("m"), lit("i"), col("id").cast("string")).as("labels"),
+        lit(0L).as("t"),
+        col("id").cast("double").as("v"),
+        lit(false).as("stale"),
+        lit(null).cast(Engine.samplesSchema("h").dataType).as("h"),
+        lit(0L).cast("long").as("stt"))
+      // an adversarially re-ordered, re-partitioned replica: descending ids,
+      // different partition count — results must be bit-identical
+      val shuffled = base.orderBy(col("v").desc).repartition(13)
+
+      def ids(df: org.apache.spark.sql.DataFrame, q: String): Set[Long] =
+        Engine.rangeQuery(spark, df, q, 60000L, 60000L, 10000L) match {
+          case VectorVal(r) =>
+            r.select(element_at(col("labels"), "i").cast("long")).collect()
+              .map(_.getLong(0)).toSet
+          case other => fail(s"unexpected $other")
+        }
+
+      // limit_ratio complements partition the full series set exactly
+      // (ref: AddRatioSample keeps frac < r, the negative complement ≥ 1+r)
+      val keep = ids(base, "limit_ratio(0.35, m)")
+      val drop = ids(base, "limit_ratio(-0.65, m)")
+      assert(keep.nonEmpty && drop.nonEmpty)
+      assert((keep & drop).isEmpty, s"overlap ${(keep & drop).size}")
+      assert(keep.size + drop.size == n, s"${keep.size}+${drop.size} != $n")
+      // sampling is hash-based, so the kept fraction concentrates near r
+      assert(math.abs(keep.size.toDouble / n - 0.35) < 0.01, keep.size.toString)
+      // and is independent of row order / partitioning
+      assert(ids(shuffled, "limit_ratio(0.35, m)") == keep)
+
+      // limitk: deterministic k-subset, identical across orderings
+      val k1 = ids(base, "limitk(10, m)")
+      assert(k1.size == 10)
+      assert(ids(shuffled, "limitk(10, m)") == k1)
+    } finally spark.stop()
+  }
+}
+
 /** Guard for the 2²⁰ argsort index-packing limit: a series with >1,048,576
   * samples in one query window must take the exact boxed-sort fallback and
   * return the same answers as the packed path does for small series —
