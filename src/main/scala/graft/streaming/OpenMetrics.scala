@@ -118,6 +118,12 @@ object OpenMetrics {
     StructField("labels", MapType(StringType, StringType, valueContainsNull = false)),
     StructField("v", DoubleType), StructField("t", LongType)))
 
+  /** (series labels, exemplar) rows — the shape
+    * `SampleStore.appendExemplars` / `/api/v1/query_exemplars` consume */
+  val exemplarBatchSchema: StructType = StructType(Seq(
+    StructField("labels", MapType(StringType, StringType, valueContainsNull = false)),
+    StructField("exemplar", exemplarType)))
+
   private val parseUdf = udf { (line: String, defaultTs: Long) =>
     parseLine(line, defaultTs)
   }

@@ -166,24 +166,26 @@ final class ScrapeManager(
 
   private def scrapeTarget(tgt: ScrapeTarget): Long = {
     val t0 = nowMs()
-    val (samples, ok) =
+    val (samples, exemplars, ok) =
       try {
         val resp = client.send(
           java.net.http.HttpRequest.newBuilder(java.net.URI.create(tgt.url)).GET().build(),
           java.net.http.HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() != 200) (Nil, false)
+        if (resp.statusCode() != 200) (Nil, Nil, false)
         else {
           val lines = resp.body().split("\n").toSeq
           val defaultTs = t0
-          val parsed = lines.flatMap { ln =>
-            if (tgt.openMetrics)
-              OpenMetrics.parseLine(ln, defaultTs)
-                .filter(_.kind == 0).map(r => (r.labels, r.t, r.v))
-            else Exposition.parseLine(ln, defaultTs)
-          }
-          (parsed, true)
+          if (tgt.openMetrics) {
+            val recs = lines.flatMap(OpenMetrics.parseLine(_, defaultTs))
+              .filter(_.kind == 0)
+            (recs.map(r => (r.labels, r.t, r.v)),
+              // scrape-time exemplar ingestion (ref: scrape/scrape.go append
+              // → appender.AppendExemplar keyed on the sample's series)
+              recs.flatMap(r => r.ex.map(e => (r.labels, e))),
+              true)
+          } else (lines.flatMap(Exposition.parseLine(_, defaultTs)), Nil, true)
         }
-      } catch { case _: Exception => (Nil, false) }
+      } catch { case _: Exception => (Nil, Nil, false) }
     val dur = (nowMs() - t0) / 1000.0
     // target labels (ref: scrape.go:700 target label decoration)
     def decorate(labels: Map[String, String]): Map[String, String] =
@@ -221,6 +223,20 @@ final class ScrapeManager(
       case None => toDf(report)
     }
     store.append(batch)
+    // exemplars ride the accepted scrape only, attached to the decorated,
+    // POST-metric-relabel series — an exemplar of a relabel-dropped series
+    // is dropped with it (ref: scrape.go exemplars append after the sample's
+    // series ref resolves)
+    if (violation.isEmpty && exemplars.nonEmpty) {
+      val exRows = exemplars.flatMap { case (l, e) =>
+        Relabel.applyToMap(decorate(l), metricRelabel)
+          .map(sl => Row(sl, Row(e.labels, e.v, e.t)))
+      }
+      if (exRows.nonEmpty)
+        store.appendExemplars(spark.createDataFrame(
+          spark.sparkContext.parallelize(exRows, 1),
+          OpenMetrics.exemplarBatchSchema))
+    }
     (if (violation.isEmpty) stamped.size.toLong else 0L) + report.size
   }
 

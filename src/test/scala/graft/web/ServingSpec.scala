@@ -131,6 +131,50 @@ class ServingSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("scrape-time exemplar ingestion: OpenMetrics exemplars serve via query_exemplars") {
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/metrics", ex => {
+      val body = Seq(
+        "# TYPE http_requests counter",
+        "http_requests_total{path=\"/\"} 100",
+        "http_requests_total{path=\"/api\"} 7 # {trace_id=\"abc\"} 0.5 5.2",
+        "dropme_total 1 # {trace_id=\"gone\"} 1.0 5.0",
+        "# EOF", "").mkString("\n").getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type",
+        "application/openmetrics-text; version=1.0.0")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.getResponseBody.close()
+    })
+    server.start()
+    try {
+      val store = emptyStore()
+      val mgr = new ScrapeManager(spark, store,
+        Seq(ScrapeManager.ScrapeTarget(
+          s"http://127.0.0.1:${server.getAddress.getPort}/metrics",
+          job = "t", instance = "i1", openMetrics = true)),
+        metricRelabel = Seq(Relabel.Rule(Relabel.Drop,
+          sourceLabels = Seq("__name__"), regex = "dropme_total")),
+        nowMs = () => 60000L)
+      mgr.scrapeOnce()
+      // the exemplar landed against the DECORATED series (instance/job) and
+      // serves through the API (ref: scrape.go exemplar append →
+      // web/api/v1 queryExemplars)
+      val api = new HttpApi(spark, store, 0, () => 100000L)
+      api.start()
+      try {
+        val q = java.net.URLEncoder.encode("http_requests_total{instance=\"i1\"}", "UTF-8")
+        val (c, b) = get(api.boundPort,
+          s"/api/v1/query_exemplars?query=$q&start=0&end=100")
+        assert(c == 200 && b.contains("\"trace_id\":\"abc\"") &&
+          b.contains("\"timestamp\":5.200"), b.take(400))
+        // an exemplar of a metric-relabel-dropped series is dropped with it
+        val (c2, b2) = get(api.boundPort,
+          "/api/v1/query_exemplars?query=dropme_total&start=0&end=100")
+        assert(c2 == 200 && !b2.contains("gone"), b2.take(200))
+      } finally api.stop()
+    } finally server.stop(0)
+  }
+
   test("protobuf exposition scrape: counter, summary, classic + native histogram, metadata") {
     // hand-encoded io.prometheus.client.MetricFamily delimited stream
     val o = new java.io.ByteArrayOutputStream()
