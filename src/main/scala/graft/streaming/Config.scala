@@ -33,7 +33,11 @@ object Config {
       dockerSd: Seq[DockerSd.Config] = Nil,
       digitaloceanSd: Seq[DigitalOceanSd.Config] = Nil,
       hetznerSd: Seq[HetznerSd.Config] = Nil,
-      openstackSd: Seq[OpenStackSd.Config] = Nil)
+      openstackSd: Seq[OpenStackSd.Config] = Nil,
+      eurekaSd: Seq[EurekaSd.Config] = Nil,
+      nomadSd: Seq[NomadSd.Config] = Nil,
+      marathonSd: Seq[MarathonSd.Config] = Nil,
+      puppetdbSd: Seq[PuppetDbSd.Config] = Nil)
 
   final case class PromConfig(
       scrapeIntervalMs: Long,
@@ -281,6 +285,36 @@ object Config {
           os.str("port").map(_.toInt).getOrElse(80),
           os.str("refresh_interval").map(durMs).getOrElse(60000L))
       }.filter(_.role.nonEmpty)
+      // eureka_sd_configs (ref: discovery/eureka/eureka.go SDConfig)
+      val eurekaSd = m.list("eureka_sd_configs").collect { case ec: YMap =>
+        EurekaSd.Config(str(ec, "server"),
+          ec.str("refresh_interval").map(durMs).getOrElse(30000L))
+      }.filter(_.server.nonEmpty)
+      // nomad_sd_configs (ref: discovery/nomad/nomad.go DefaultSDConfig)
+      val nomadSd = m.list("nomad_sd_configs").collect { case nc: YMap =>
+        NomadSd.Config(
+          str(nc, "server", "http://localhost:4646"),
+          str(nc, "namespace", "default"),
+          str(nc, "region", "global"),
+          !nc.str("allow_stale").contains("false"),
+          str(nc, "tag_separator", ","),
+          nc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }
+      // marathon_sd_configs (ref: discovery/marathon/marathon.go SDConfig)
+      val marathonSd = m.list("marathon_sd_configs").collect { case mc: YMap =>
+        MarathonSd.Config(
+          strList(mc.get("servers")),
+          str(mc, "auth_token"), str(mc, "auth_token_file"),
+          mc.str("refresh_interval").map(durMs).getOrElse(30000L))
+      }.filter(_.servers.nonEmpty)
+      // puppetdb_sd_configs (ref: discovery/puppetdb/puppetdb.go SDConfig)
+      val puppetdbSd = m.list("puppetdb_sd_configs").collect { case pc: YMap =>
+        PuppetDbSd.Config(
+          str(pc, "url"), str(pc, "query"),
+          pc.str("include_parameters").contains("true"),
+          pc.str("port").map(_.toInt).getOrElse(80),
+          pc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }.filter(c => c.url.nonEmpty && c.query.nonEmpty)
       ScrapeJob(name, statics, sdFiles,
         m.str("scrape_interval").map(durMs).getOrElse(scrapeMs),
         relabelChain(m.get("relabel_configs")),
@@ -293,7 +327,7 @@ object Config {
           m.str("label_value_length_limit").map(_.toInt).getOrElse(0)),
         m.str("honor_labels").contains("true"),
         dnsSd, httpSd, k8sSd, consulSd, ec2Sd, gceSd, azureSd, dockerSd,
-        doSd, hetznerSd, openstackSd)
+        doSd, hetznerSd, openstackSd, eurekaSd, nomadSd, marathonSd, puppetdbSd)
     }
     def urlsOf(key: String): Seq[String] =
       root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)

@@ -231,6 +231,40 @@ object ConfigCheck {
               errs += s"""$path: job "$job": unknown DigitalOcean SD role "$role""""
           case _ => ()
         }
+        // eureka: server required + a valid URL (ref: eureka.go UnmarshalYAML)
+        sc.list("eureka_sd_configs").foreach {
+          case ec: YMap =>
+            val server = ec.str("server").getOrElse("")
+            if (server.isEmpty)
+              errs += s"""$path: job "$job": empty or null eureka server"""
+            else if (!server.matches("^https?://[^/]+.*"))
+              errs += s"""$path: job "$job": invalid eureka server URL"""
+          case _ => ()
+        }
+        // marathon: at least one server (ref: marathon.go UnmarshalYAML)
+        sc.list("marathon_sd_configs").foreach {
+          case mc: YMap =>
+            if (mc.list("servers").isEmpty)
+              errs += s"""$path: job "$job": marathon_sd: must contain at least one Marathon server"""
+            if (mc.str("auth_token").exists(_.nonEmpty) &&
+                mc.str("auth_token_file").exists(_.nonEmpty))
+              errs += s"""$path: job "$job": marathon_sd: at most one of auth_token & auth_token_file must be configured"""
+          case _ => ()
+        }
+        // puppetdb: url (http/https with host) + query (ref: puppetdb.go)
+        sc.list("puppetdb_sd_configs").foreach {
+          case pc: YMap =>
+            val url = pc.str("url").getOrElse("")
+            if (url.isEmpty)
+              errs += s"""$path: job "$job": URL is missing"""
+            else if (!url.matches("^https?://.*"))
+              errs += s"""$path: job "$job": URL scheme must be 'http' or 'https'"""
+            else if (url.matches("^https?://(/.*)?$"))
+              errs += s"""$path: job "$job": host is missing in URL"""
+            if (pc.str("query").forall(_.isEmpty))
+              errs += s"""$path: job "$job": query missing"""
+          case _ => ()
+        }
         sc.list("gce_sd_configs").foreach {
           case gc: YMap =>
             if (gc.str("project").forall(_.isEmpty))

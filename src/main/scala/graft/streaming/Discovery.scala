@@ -280,7 +280,11 @@ object Discovery {
       dockerClient: Option[DockerSd.ApiClient] = None,
       digitaloceanClient: Option[DigitalOceanSd.ApiClient] = None,
       hetznerClient: Option[HetznerSd.ApiClient] = None,
-      openstackClient: Option[OpenStackSd.ApiClient] = None): Unit = {
+      openstackClient: Option[OpenStackSd.ApiClient] = None,
+      eurekaClient: Option[EurekaSd.ApiClient] = None,
+      nomadClient: Option[NomadSd.ApiClient] = None,
+      marathonClient: Option[MarathonSd.ApiClient] = None,
+      puppetdbClient: Option[PuppetDbSd.ApiClient] = None): Unit = {
     if (job.staticTargets.nonEmpty)
       mgr.register(job.jobName, new StaticProvider("static",
         Seq(TargetGroup("static/0", Map.empty,
@@ -336,6 +340,26 @@ object Discovery {
       mgr.register(job.jobName, openstackClient match {
         case Some(c) => new OpenStackSd.OpenStackProvider(s"openstack/$i", os, c)
         case None => new OpenStackSd.OpenStackProvider(s"openstack/$i", os)
+      }) }
+    job.eurekaSd.zipWithIndex.foreach { case (ec, i) =>
+      mgr.register(job.jobName, eurekaClient match {
+        case Some(c) => new EurekaSd.EurekaProvider(s"eureka/$i", ec, c)
+        case None => new EurekaSd.EurekaProvider(s"eureka/$i", ec)
+      }) }
+    job.nomadSd.zipWithIndex.foreach { case (nc, i) =>
+      mgr.register(job.jobName, nomadClient match {
+        case Some(c) => new NomadSd.NomadProvider(s"nomad/$i", nc, c)
+        case None => new NomadSd.NomadProvider(s"nomad/$i", nc)
+      }) }
+    job.marathonSd.zipWithIndex.foreach { case (mc, i) =>
+      mgr.register(job.jobName, marathonClient match {
+        case Some(c) => new MarathonSd.MarathonProvider(s"marathon/$i", mc, c)
+        case None => new MarathonSd.MarathonProvider(s"marathon/$i", mc)
+      }) }
+    job.puppetdbSd.zipWithIndex.foreach { case (pc, i) =>
+      mgr.register(job.jobName, puppetdbClient match {
+        case Some(c) => new PuppetDbSd.PuppetDbProvider(s"puppetdb/$i", pc, c)
+        case None => new PuppetDbSd.PuppetDbProvider(s"puppetdb/$i", pc)
       }) }
   }
 }

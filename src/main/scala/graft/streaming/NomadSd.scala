@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.web.JsonLite
+
+/** Nomad service discovery (ref: discovery/nomad/nomad.go).
+  *
+  * Per refresh: `GET /v1/services` lists service stubs per namespace, then
+  * `GET /v1/service/{name}` resolves each service's registrations — one
+  * target per registration at address:port with the `__meta_nomad_*` label
+  * set and the surrounded tag list. */
+object NomadSd {
+
+  /** nomad_sd_configs entry (ref: nomad.go SDConfig / DefaultSDConfig:
+    * server http://localhost:4646, namespace default, region global,
+    * allow_stale true, tag_separator ",", refresh 60s) */
+  final case class Config(
+      server: String = "http://localhost:4646",
+      namespace: String = "default",
+      region: String = "global",
+      allowStale: Boolean = true,
+      tagSeparator: String = ",",
+      refreshMs: Long = 60000L)
+
+  /** injectable transport; `path` includes the query */
+  trait ApiClient { def get(path: String): String }
+
+  final class HttpApiClient(cfg: Config) extends ApiClient {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    override def get(path: String): String = {
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(cfg.server.stripSuffix("/") + path))
+          .timeout(java.time.Duration.ofSeconds(30))
+          .header("Accept", "application/json").GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(s"nomad sd: ${resp.statusCode()} for $path")
+      resp.body()
+    }
+  }
+
+  private type J = Map[String, Any]
+  private def jmap(v: Any): J = v match { case m: Map[_, _] => m.asInstanceOf[J]; case _ => Map.empty }
+  private def jlist(v: Any): List[J] = v match { case l: List[_] => l.map(jmap); case _ => Nil }
+  private def jstr(v: Any): String = v match {
+    case s: String => s
+    case d: java.lang.Double if d.doubleValue.isWhole && math.abs(d.doubleValue) < 1e15 =>
+      d.longValue.toString
+    case null => ""
+    case other => String.valueOf(other)
+  }
+  private def s(o: J, k: String): String = jstr(o.getOrElse(k, null))
+
+  final class NomadProvider(override val name: String, cfg: Config,
+      client: ApiClient) extends Discovery.Provider {
+    def this(name: String, cfg: Config) = this(name, cfg, new HttpApiClient(cfg))
+    override def refreshMs: Long = cfg.refreshMs
+    private def query: String = {
+      val ps = Seq("namespace" -> cfg.namespace, "region" -> cfg.region)
+        .filter(_._2.nonEmpty)
+        .map { case (k, v) =>
+          k + "=" + java.net.URLEncoder.encode(v, java.nio.charset.StandardCharsets.UTF_8) } ++
+        (if (cfg.allowStale) Seq("stale=") else Nil)
+      if (ps.isEmpty) "" else "?" + ps.mkString("&")
+    }
+    override def refresh(): Seq[Discovery.TargetGroup] = {
+      val stubs = jlist(JsonLite.parse(client.get("/v1/services" + query)))
+      val targets = for {
+        stub <- stubs
+        svc <- jlist(stub.getOrElse("Services", null))
+        reg <- jlist(JsonLite.parse(client.get(
+          "/v1/service/" + java.net.URLEncoder.encode(s(svc, "ServiceName"),
+            java.nio.charset.StandardCharsets.UTF_8) + query)))
+      } yield {
+        val addr = s(reg, "Address"); val port = s(reg, "Port")
+        var l = Map(
+          "__meta_nomad_address" -> addr,
+          "__meta_nomad_dc" -> s(reg, "Datacenter"),
+          "__meta_nomad_node_id" -> s(reg, "NodeID"),
+          "__meta_nomad_namespace" -> s(reg, "Namespace"),
+          "__meta_nomad_service" -> s(reg, "ServiceName"),
+          "__meta_nomad_service_address" -> addr,
+          "__meta_nomad_service_id" -> s(reg, "ID"),
+          "__meta_nomad_service_port" -> port)
+        val tags = (reg.getOrElse("Tags", null) match {
+          case t: List[_] => t; case _ => Nil
+        }).map(jstr)
+        if (tags.nonEmpty)
+          l += "__meta_nomad_tags" -> tags.mkString(cfg.tagSeparator,
+            cfg.tagSeparator, cfg.tagSeparator)
+        (s"$addr:$port", l)
+      }
+      Seq(Discovery.TargetGroup("Nomad", Map.empty, targets))
+    }
+  }
+}

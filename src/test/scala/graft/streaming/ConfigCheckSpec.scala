@@ -65,6 +65,25 @@ class ConfigCheckSpec extends AnyFunSuite {
       "        namespaces:\n          own_namespace: true\n"))
     assert(ownApi.exitCode == 1 &&
       ownApi.errors.exists(_.contains("own_namespace")), ownApi)
+    // eureka: server required and must be a URL
+    val badEureka = check(job("    eureka_sd_configs:\n      - server: eureka:8080\n"))
+    assert(badEureka.exitCode == 1 &&
+      badEureka.errors.exists(_.contains("invalid eureka server URL")), badEureka)
+    assert(check(job(
+      "    eureka_sd_configs:\n      - server: http://eureka:8080/eureka\n")).exitCode == 0)
+    // marathon: at least one server
+    val noServers = check(job("    marathon_sd_configs:\n      - refresh_interval: 30s\n"))
+    assert(noServers.exitCode == 1 &&
+      noServers.errors.exists(_.contains("at least one Marathon server")), noServers)
+    // puppetdb: url scheme + query required
+    val badPdb = check(job(
+      "    puppetdb_sd_configs:\n      - url: ftp://x\n        query: q\n"))
+    assert(badPdb.exitCode == 1 &&
+      badPdb.errors.exists(_.contains("URL scheme must be")), badPdb)
+    val noQuery = check(job(
+      "    puppetdb_sd_configs:\n      - url: https://pdb:8081\n"))
+    assert(noQuery.exitCode == 1 &&
+      noQuery.errors.exists(_.contains("query missing")), noQuery)
     // gce: project + zone required
     val noZone = check(job("    gce_sd_configs:\n      - project: p\n"))
     assert(noZone.exitCode == 1 && noZone.errors.exists(_.contains("zone")), noZone)

@@ -643,6 +643,231 @@ class SdProvidersSpec extends AnyFunSuite {
       "Default", "", "demo", "", "", "", "", allTenants = true, port = 9100)))
   }
 
+  test("eureka SD: /apps XML, per-instance targets, metadata labels") {
+    // fixture condensed from discovery/eureka/eureka_test.go appsXML
+    val appsXml =
+      """<applications>
+        |  <versions__delta>1</versions__delta>
+        |  <apps__hashcode>UP_4_</apps__hashcode>
+        |  <application>
+        |    <name>CONFIG-SERVICE</name>
+        |    <instance>
+        |      <instanceId>config-service001.test.com:config-service:8080</instanceId>
+        |      <hostName>config-service001.test.com</hostName>
+        |      <app>CONFIG-SERVICE</app>
+        |      <ipAddr>192.133.83.31</ipAddr>
+        |      <status>UP</status>
+        |      <port enabled="true">8080</port>
+        |      <securePort enabled="false">8080</securePort>
+        |      <countryId>1</countryId>
+        |      <dataCenterInfo class="com.netflix.appinfo.InstanceInfo$DefaultDataCenterInfo">
+        |        <name>MyOwn</name>
+        |      </dataCenterInfo>
+        |      <metadata>
+        |        <project>config-service</project>
+        |        <management.port>8090</management.port>
+        |      </metadata>
+        |      <homePageUrl>http://config-service001.test.com:8080/</homePageUrl>
+        |      <statusPageUrl>http://config-service001.test.com:8080/info</statusPageUrl>
+        |      <healthCheckUrl>http://config-service001.test.com:8080/health</healthCheckUrl>
+        |      <vipAddress>config-service</vipAddress>
+        |    </instance>
+        |    <instance>
+        |      <instanceId>config-service002.test.com:config-service:8080</instanceId>
+        |      <hostName>config-service002.test.com</hostName>
+        |      <status>UP</status>
+        |      <port enabled="true">8080</port>
+        |    </instance>
+        |  </application>
+        |</applications>""".stripMargin
+    val fake = new EurekaSd.ApiClient { override def apps(): String = appsXml }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("eu", new EurekaSd.EurekaProvider("eureka/0",
+      EurekaSd.Config("http://localhost:8080/eureka"), fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("eu", "eu")
+    assert(raw.map(_.instance) ==
+      Seq("config-service001.test.com:8080", "config-service002.test.com:8080"))
+    val l = raw.head.extraLabels
+    assert(l("__meta_eureka_app_name") == "CONFIG-SERVICE")
+    assert(l("__meta_eureka_app_instance_hostname") == "config-service001.test.com")
+    assert(l("__meta_eureka_app_instance_ip_addr") == "192.133.83.31")
+    assert(l("__meta_eureka_app_instance_status") == "UP")
+    assert(l("__meta_eureka_app_instance_port") == "8080")
+    assert(l("__meta_eureka_app_instance_port_enabled") == "true")
+    assert(l("__meta_eureka_app_instance_secure_port") == "8080")
+    assert(l("__meta_eureka_app_instance_secure_port_enabled") == "false")
+    assert(l("__meta_eureka_app_instance_country_id") == "1")
+    assert(l("__meta_eureka_app_instance_vip_address") == "config-service")
+    assert(l("__meta_eureka_app_instance_datacenterinfo_name") == "MyOwn")
+    assert(l("__meta_eureka_app_instance_metadata_project") == "config-service")
+    assert(l("__meta_eureka_app_instance_metadata_management_port") == "8090")
+    assert(l("__meta_eureka_app_instance_homepage_url") ==
+      "http://config-service001.test.com:8080/")
+    assert(l("__meta_eureka_app_instance_id") ==
+      "config-service001.test.com:config-service:8080")
+  }
+
+  test("nomad SD: service list -> registrations, surrounded tags") {
+    // fixture mirrors discovery/nomad/nomad_test.go
+    val stubs =
+      """[{"Namespace":"default","Services":[{"ServiceName":"hashicups","Tags":["metrics"]}]}]"""
+    val regs =
+      """[{"ID":"svc1","ServiceName":"hashicups","Namespace":"default",
+        |  "NodeID":"d92fdc3c-9c2b-298a-e8f4-c33f3a449f09","Datacenter":"dc1",
+        |  "Address":"127.0.0.1","Port":30456,"Tags":["metrics","http"]}]""".stripMargin
+    val fake = new NomadSd.ApiClient {
+      override def get(path: String): String =
+        if (path.startsWith("/v1/services")) {
+          assert(path.contains("namespace=default") && path.contains("region=global")
+            && path.contains("stale="), path)
+          stubs
+        } else if (path.startsWith("/v1/service/hashicups")) regs
+        else fail(s"unexpected API path $path")
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("no", new NomadSd.NomadProvider("nomad/0", NomadSd.Config(), fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("no", "no")
+    assert(raw.map(_.instance) == Seq("127.0.0.1:30456"))
+    val l = raw.head.extraLabels
+    assert(l("__meta_nomad_address") == "127.0.0.1")
+    assert(l("__meta_nomad_dc") == "dc1")
+    assert(l("__meta_nomad_node_id") == "d92fdc3c-9c2b-298a-e8f4-c33f3a449f09")
+    assert(l("__meta_nomad_namespace") == "default")
+    assert(l("__meta_nomad_service") == "hashicups")
+    assert(l("__meta_nomad_service_address") == "127.0.0.1")
+    assert(l("__meta_nomad_service_id") == "svc1")
+    assert(l("__meta_nomad_service_port") == "30456")
+    assert(l("__meta_nomad_tags") == ",metrics,http,")
+  }
+
+  test("marathon SD: port ladder (mappings/definitions/task ports), container net") {
+    // three apps exercising the reference's port-resolution ladder
+    // (marathon.go:415-509)
+    val apps =
+      """{"apps":[
+        |  {"id":"/myapp","labels":{"team":"a"},
+        |   "container":{"docker":{"image":"img:1"},
+        |     "portMappings":[{"containerPort":8080,"hostPort":0,"labels":{"prometheus":"yes"}}]},
+        |   "networks":[{"mode":"container"}],
+        |   "tasks":[{"id":"t1","host":"agent1",
+        |     "ipAddresses":[{"ipAddress":"10.1.1.5"}],"ports":[31000]}]},
+        |  {"id":"/defs","requirePorts":true,
+        |   "container":{"docker":{"image":"img:2"}},
+        |   "portDefinitions":[{"port":9090,"labels":{"metrics":"on"}}],
+        |   "tasks":[{"id":"t2","host":"agent2","ports":[9090]}]},
+        |  {"id":"/hostnet","container":{},
+        |   "tasks":[{"id":"t3","host":"agent3","ports":[31555]}]}
+        |]}""".stripMargin
+    val fake = new MarathonSd.ApiClient {
+      override def get(url: String): String =
+        if (url == "http://marathon1:8080/v2/apps/?embed=apps.tasks") apps
+        else fail(s"unexpected URL $url")
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("ma", new MarathonSd.MarathonProvider("marathon/0",
+      MarathonSd.Config(Seq("http://marathon1:8080")), fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("ma", "ma")
+    val byApp = raw.groupBy(_.extraLabels("__meta_marathon_app"))
+    // container network: task ip + containerPort
+    val my = byApp("/myapp").head
+    assert(my.instance == "10.1.1.5:8080")
+    assert(my.extraLabels("__meta_marathon_image") == "img:1")
+    assert(my.extraLabels("__meta_marathon_app_label_team") == "a")
+    assert(my.extraLabels("__meta_marathon_task") == "t1")
+    assert(my.extraLabels("__meta_marathon_port_index") == "0")
+    assert(my.extraLabels("__meta_marathon_port_mapping_label_prometheus") == "yes")
+    // portDefinitions with requirePorts: app-declared port + definition labels
+    val defs = byApp("/defs").head
+    assert(defs.instance == "agent2:9090")
+    assert(defs.extraLabels("__meta_marathon_port_definition_label_metrics") == "on")
+    // host networking with only task ports
+    assert(byApp("/hostnet").head.instance == "agent3:31555")
+  }
+
+  test("puppetdb SD: PQL POST, resource labels, parameter flattening") {
+    // fixture mirrors discovery/puppetdb/fixtures/vhosts.json
+    val resources =
+      """[{"certname":"edinburgh.example.com",
+        |  "environment":"prod",
+        |  "exported":false,
+        |  "file":"/etc/puppetlabs/code/environments/prod/modules/upstream/apache/manifests/init.pp",
+        |  "parameters":{
+        |    "access_log":true,"access_log_file":"ssl_access_log",
+        |    "buckets":[0.05,0.1,0.5,1],
+        |    "coll":["disable_keepalive","pipelined"],
+        |    "instance":{"ensure":"present","name":"app"},
+        |    "empty":"", "docroot":"/var/www/html"},
+        |  "resource":"49af83866dc5a1518968b68e58a25319107afe11",
+        |  "tags":["roles::hypervisor","apache"],
+        |  "title":"modsec",
+        |  "type":"Apache::Vhost"}]""".stripMargin
+    val fake = new PuppetDbSd.ApiClient {
+      override def post(url: String, body: String): String = {
+        assert(url == "http://puppetdb.local/pdb/query/v4", url)
+        assert(body == """{"query":"resources { type = \"Package\" }"}""", body)
+        resources
+      }
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("pd", new PuppetDbSd.PuppetDbProvider("puppetdb/0",
+      PuppetDbSd.Config("http://puppetdb.local",
+        """resources { type = "Package" }""", includeParameters = true,
+        port = 9100), fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("pd", "pd")
+    assert(raw.map(_.instance) == Seq("edinburgh.example.com:9100"))
+    val l = raw.head.extraLabels
+    assert(l("__meta_puppetdb_certname") == "edinburgh.example.com")
+    assert(l("__meta_puppetdb_environment") == "prod")
+    assert(l("__meta_puppetdb_exported") == "false")
+    assert(l("__meta_puppetdb_resource") == "49af83866dc5a1518968b68e58a25319107afe11")
+    assert(l("__meta_puppetdb_title") == "modsec")
+    assert(l("__meta_puppetdb_type") == "Apache::Vhost")
+    assert(l("__meta_puppetdb_query") == """resources { type = "Package" }""")
+    assert(l("__meta_puppetdb_tags") == ",roles::hypervisor,apache,")
+    // parameter flattening (ref resources.go toLabels): scalars, lists
+    // plain-joined, nested maps underscore-flattened, empties dropped
+    assert(l("__meta_puppetdb_parameter_access_log") == "true")
+    assert(l("__meta_puppetdb_parameter_access_log_file") == "ssl_access_log")
+    assert(l("__meta_puppetdb_parameter_buckets") == "0.05,0.1,0.5,1")
+    assert(l("__meta_puppetdb_parameter_coll") == "disable_keepalive,pipelined")
+    assert(l("__meta_puppetdb_parameter_instance_ensure") == "present")
+    assert(l("__meta_puppetdb_parameter_instance_name") == "app")
+    assert(!l.contains("__meta_puppetdb_parameter_empty"))
+    assert(l("__meta_puppetdb_parameter_docroot") == "/var/www/html")
+  }
+
+  test("eureka/nomad/marathon/puppetdb SD: config parse + checker rules") {
+    val job = Config.parse(
+      """scrape_configs:
+        |  - job_name: orch
+        |    eureka_sd_configs:
+        |      - server: http://eureka:8080/eureka
+        |    nomad_sd_configs:
+        |      - server: http://nomad:4646
+        |        namespace: ops
+        |        allow_stale: false
+        |    marathon_sd_configs:
+        |      - servers: [http://m1:8080, http://m2:8080]
+        |        auth_token: tok
+        |    puppetdb_sd_configs:
+        |      - url: https://puppetdb:8081
+        |        query: resources
+        |        include_parameters: true
+        |        port: 9100
+        |""".stripMargin, "/tmp").scrapeJobs.head
+    assert(job.eurekaSd == Seq(EurekaSd.Config("http://eureka:8080/eureka")))
+    assert(job.nomadSd == Seq(NomadSd.Config("http://nomad:4646", "ops",
+      allowStale = false)))
+    assert(job.marathonSd == Seq(MarathonSd.Config(
+      Seq("http://m1:8080", "http://m2:8080"), "tok")))
+    assert(job.puppetdbSd == Seq(PuppetDbSd.Config("https://puppetdb:8081",
+      "resources", includeParameters = true, port = 9100)))
+  }
+
   test("consul SD: catalog filter, health aggregation, address precedence") {
     val catalog = """{"web":["prod","traefik.enable=true"],"db":["prod"],"skipme":[]}"""
     val webHealth =
