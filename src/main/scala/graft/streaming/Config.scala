@@ -37,7 +37,11 @@ object Config {
       eurekaSd: Seq[EurekaSd.Config] = Nil,
       nomadSd: Seq[NomadSd.Config] = Nil,
       marathonSd: Seq[MarathonSd.Config] = Nil,
-      puppetdbSd: Seq[PuppetDbSd.Config] = Nil)
+      puppetdbSd: Seq[PuppetDbSd.Config] = Nil,
+      linodeSd: Seq[LinodeSd.Config] = Nil,
+      vultrSd: Seq[VultrSd.Config] = Nil,
+      scalewaySd: Seq[ScalewaySd.Config] = Nil,
+      lightsailSd: Seq[LightsailSd.Config] = Nil)
 
   final case class PromConfig(
       scrapeIntervalMs: Long,
@@ -315,6 +319,44 @@ object Config {
           pc.str("port").map(_.toInt).getOrElse(80),
           pc.str("refresh_interval").map(durMs).getOrElse(60000L))
       }.filter(c => c.url.nonEmpty && c.query.nonEmpty)
+      def authToken(n: YMap): (String, String) = n.get("authorization") match {
+        case Some(am: YMap) => (str(am, "credentials"), str(am, "credentials_file"))
+        case _ => (str(n, "bearer_token"), str(n, "bearer_token_file"))
+      }
+      // linode_sd_configs (ref: discovery/linode/linode.go SDConfig)
+      val linodeSd = m.list("linode_sd_configs").collect { case lc: YMap =>
+        val (tok, tokFile) = authToken(lc)
+        LinodeSd.Config(tok, tokFile, str(lc, "region"),
+          lc.str("port").map(_.toInt).getOrElse(80),
+          str(lc, "tag_separator", ","),
+          lc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }
+      // vultr_sd_configs (ref: discovery/vultr/vultr.go SDConfig)
+      val vultrSd = m.list("vultr_sd_configs").collect { case vc: YMap =>
+        val (tok, tokFile) = authToken(vc)
+        VultrSd.Config(tok, tokFile,
+          vc.str("port").map(_.toInt).getOrElse(80),
+          vc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }
+      // scaleway_sd_configs (ref: discovery/scaleway/scaleway.go SDConfig)
+      val scalewaySd = m.list("scaleway_sd_configs").collect { case sc: YMap =>
+        ScalewaySd.Config(
+          str(sc, "role"), str(sc, "project_id"),
+          str(sc, "secret_key"), str(sc, "secret_key_file"),
+          str(sc, "zone", "fr-par-1"),
+          sc.str("port").map(_.toInt).getOrElse(80),
+          str(sc, "name_filter"), strList(sc.get("tags_filter")),
+          str(sc, "api_url", "https://api.scaleway.com"),
+          sc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }.filter(_.role.nonEmpty)
+      // lightsail_sd_configs (ref: discovery/aws/lightsail.go)
+      val lightsailSd = m.list("lightsail_sd_configs").collect { case lc: YMap =>
+        LightsailSd.Config(str(lc, "region"),
+          str(lc, "access_key"), str(lc, "secret_key"),
+          str(lc, "endpoint"),
+          lc.str("port").map(_.toInt).getOrElse(80),
+          lc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }
       ScrapeJob(name, statics, sdFiles,
         m.str("scrape_interval").map(durMs).getOrElse(scrapeMs),
         relabelChain(m.get("relabel_configs")),
@@ -327,7 +369,8 @@ object Config {
           m.str("label_value_length_limit").map(_.toInt).getOrElse(0)),
         m.str("honor_labels").contains("true"),
         dnsSd, httpSd, k8sSd, consulSd, ec2Sd, gceSd, azureSd, dockerSd,
-        doSd, hetznerSd, openstackSd, eurekaSd, nomadSd, marathonSd, puppetdbSd)
+        doSd, hetznerSd, openstackSd, eurekaSd, nomadSd, marathonSd, puppetdbSd,
+        linodeSd, vultrSd, scalewaySd, lightsailSd)
     }
     def urlsOf(key: String): Seq[String] =
       root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)

@@ -265,6 +265,27 @@ object ConfigCheck {
               errs += s"""$path: job "$job": query missing"""
           case _ => ()
         }
+        // scaleway: role + project_id + secret + access_key required
+        // (ref: scaleway.go UnmarshalYAML)
+        sc.list("scaleway_sd_configs").foreach {
+          case sw: YMap =>
+            val role = sw.str("role").getOrElse("")
+            if (role.isEmpty)
+              errs += s"""$path: job "$job": role missing (one of: instance, baremetal)"""
+            else if (role != "instance" && role != "baremetal")
+              errs += s"""$path: job "$job": unknown role "$role""""
+            if (sw.str("project_id").forall(_.isEmpty))
+              errs += s"""$path: job "$job": project_id is mandatory"""
+            val sk = sw.str("secret_key").exists(_.nonEmpty)
+            val skf = sw.str("secret_key_file").exists(_.nonEmpty)
+            if (!sk && !skf)
+              errs += s"""$path: job "$job": one of secret_key & secret_key_file must be configured"""
+            if (sk && skf)
+              errs += s"""$path: job "$job": at most one of secret_key & secret_key_file must be configured"""
+            if (sw.str("access_key").forall(_.isEmpty))
+              errs += s"""$path: job "$job": access_key is mandatory"""
+          case _ => ()
+        }
         sc.list("gce_sd_configs").foreach {
           case gc: YMap =>
             if (gc.str("project").forall(_.isEmpty))

@@ -284,7 +284,11 @@ object Discovery {
       eurekaClient: Option[EurekaSd.ApiClient] = None,
       nomadClient: Option[NomadSd.ApiClient] = None,
       marathonClient: Option[MarathonSd.ApiClient] = None,
-      puppetdbClient: Option[PuppetDbSd.ApiClient] = None): Unit = {
+      puppetdbClient: Option[PuppetDbSd.ApiClient] = None,
+      linodeClient: Option[LinodeSd.ApiClient] = None,
+      vultrClient: Option[VultrSd.ApiClient] = None,
+      scalewayClient: Option[ScalewaySd.ApiClient] = None,
+      lightsailClient: Option[LightsailSd.ApiClient] = None): Unit = {
     if (job.staticTargets.nonEmpty)
       mgr.register(job.jobName, new StaticProvider("static",
         Seq(TargetGroup("static/0", Map.empty,
@@ -360,6 +364,26 @@ object Discovery {
       mgr.register(job.jobName, puppetdbClient match {
         case Some(c) => new PuppetDbSd.PuppetDbProvider(s"puppetdb/$i", pc, c)
         case None => new PuppetDbSd.PuppetDbProvider(s"puppetdb/$i", pc)
+      }) }
+    job.linodeSd.zipWithIndex.foreach { case (lc, i) =>
+      mgr.register(job.jobName, linodeClient match {
+        case Some(c) => new LinodeSd.LinodeProvider(s"linode/$i", lc, c)
+        case None => new LinodeSd.LinodeProvider(s"linode/$i", lc)
+      }) }
+    job.vultrSd.zipWithIndex.foreach { case (vc, i) =>
+      mgr.register(job.jobName, vultrClient match {
+        case Some(c) => new VultrSd.VultrProvider(s"vultr/$i", vc, c)
+        case None => new VultrSd.VultrProvider(s"vultr/$i", vc)
+      }) }
+    job.scalewaySd.zipWithIndex.foreach { case (sc, i) =>
+      mgr.register(job.jobName, scalewayClient match {
+        case Some(c) => new ScalewaySd.ScalewayProvider(s"scaleway/$i", sc, c)
+        case None => new ScalewaySd.ScalewayProvider(s"scaleway/$i", sc)
+      }) }
+    job.lightsailSd.zipWithIndex.foreach { case (lc, i) =>
+      mgr.register(job.jobName, lightsailClient match {
+        case Some(c) => new LightsailSd.LightsailProvider(s"lightsail/$i", lc, c)
+        case None => new LightsailSd.LightsailProvider(s"lightsail/$i", lc)
       }) }
   }
 }

@@ -40,20 +40,27 @@ object Ec2Sd {
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-    /** signed header set for one POST of `body` to `host` */
+    /** signed header set for one POST of `body` to `host`; `extraSigned`
+      * headers (e.g. x-amz-target for JSON-1.1 APIs) join the signed set */
     def headers(accessKey: String, secretKey: String, region: String,
         service: String, host: String, body: String,
-        nowUtc: java.time.Instant): Map[String, String] = {
+        nowUtc: java.time.Instant,
+        contentType: String = "application/x-www-form-urlencoded; charset=utf-8",
+        extraSigned: Map[String, String] = Map.empty): Map[String, String] = {
       val amzDate = java.time.format.DateTimeFormatter
         .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
         .format(nowUtc)
       val date = amzDate.take(8)
-      val canonical = Seq(
-        "POST", "/", "",
-        s"content-type:application/x-www-form-urlencoded; charset=utf-8",
-        s"host:$host", s"x-amz-date:$amzDate", "",
-        "content-type;host;x-amz-date",
-        sha256Hex(body)).mkString("\n")
+      // canonical headers sorted by lowercased name (the SigV4 process)
+      val signedHdrs = (Map(
+        "content-type" -> contentType,
+        "host" -> host,
+        "x-amz-date" -> amzDate) ++
+        extraSigned.map { case (k, v) => k.toLowerCase -> v }).toSeq.sortBy(_._1)
+      val signedNames = signedHdrs.map(_._1).mkString(";")
+      val canonical = (Seq("POST", "/", "") ++
+        signedHdrs.map { case (k, v) => s"$k:$v" } ++
+        Seq("", signedNames, sha256Hex(body))).mkString("\n")
       val scope = s"$date/$region/$service/aws4_request"
       val toSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
         sha256Hex(canonical)).mkString("\n")
@@ -62,10 +69,10 @@ object Ec2Sd {
         "aws4_request")
       val sig = hmac(kSigning, toSign).map("%02x".format(_)).mkString
       Map(
-        "Content-Type" -> "application/x-www-form-urlencoded; charset=utf-8",
+        "Content-Type" -> contentType,
         "X-Amz-Date" -> amzDate,
         "Authorization" -> (s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
-          s"SignedHeaders=content-type;host;x-amz-date, Signature=$sig"))
+          s"SignedHeaders=$signedNames, Signature=$sig")) ++ extraSigned
     }
   }
 

@@ -1,0 +1,224 @@
+package graft.streaming
+
+import graft.web.JsonLite
+
+/** Scaleway service discovery (ref: discovery/scaleway/scaleway.go;
+  * instance.go for the instance role, baremetal.go for baremetal).
+  *
+  * instance: pages `GET /instance/v1/zones/{zone}/servers` (X-Auth-Token);
+  * the address ladder mirrors instance.go:173-235 — last of ipv6 /
+  * public_ip / private_ip wins (private preferred), servers with no
+  * address are skipped. baremetal: `/baremetal/v1/zones/{zone}/servers`
+  * joined against offers and OS lists for type/os labels. The IPAM
+  * private-NIC fallback for fully-private instance servers is not
+  * implemented (it needs a second regional product API; such servers are
+  * skipped like address-less ones). */
+object ScalewaySd {
+
+  /** scaleway_sd_configs entry (ref: scaleway.go SDConfig; port 80,
+    * refresh 60s, zone fr-par-1) */
+  final case class Config(
+      role: String, // instance | baremetal
+      projectId: String = "",
+      secretKey: String = "",
+      secretKeyFile: String = "",
+      zone: String = "fr-par-1",
+      port: Int = 80,
+      nameFilter: String = "",
+      tagsFilter: Seq[String] = Nil,
+      apiUrl: String = "https://api.scaleway.com",
+      refreshMs: Long = 60000L)
+
+  /** injectable transport; `path` includes the query */
+  trait ApiClient { def get(path: String): String }
+
+  final class HttpApiClient(cfg: Config) extends ApiClient {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    private def secret(): String =
+      if (cfg.secretKey.nonEmpty) cfg.secretKey
+      else if (cfg.secretKeyFile.nonEmpty)
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(cfg.secretKeyFile)),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      else ""
+    override def get(path: String): String = {
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(cfg.apiUrl.stripSuffix("/") + path))
+          .timeout(java.time.Duration.ofSeconds(30))
+          .header("Accept", "application/json")
+          .header("X-Auth-Token", secret()).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(s"scaleway sd: ${resp.statusCode()} for $path")
+      resp.body()
+    }
+  }
+
+  private type J = Map[String, Any]
+  private def jmap(v: Any): J = v match { case m: Map[_, _] => m.asInstanceOf[J]; case _ => Map.empty }
+  private def jlist(v: Any): List[J] = v match { case l: List[_] => l.map(jmap); case _ => Nil }
+  private def jstr(v: Any): String = v match {
+    case s: String => s
+    case d: java.lang.Double if d.doubleValue.isWhole && math.abs(d.doubleValue) < 1e15 =>
+      d.longValue.toString
+    case null => ""
+    case other => String.valueOf(other)
+  }
+  private def s(o: J, k: String): String = jstr(o.getOrElse(k, null))
+  private def m(o: J, k: String): J = jmap(o.getOrElse(k, null))
+  private def strs(o: J, k: String): List[String] =
+    (o.getOrElse(k, null) match { case l: List[_] => l; case _ => Nil }).map(jstr)
+
+  /** zone → region (ref scw.Zone.Region: strip the trailing -N) */
+  private def regionOf(zone: String): String =
+    zone.reverse.dropWhile(_.isDigit).reverse.stripSuffix("-")
+
+  private def filterQuery(cfg: Config): String = {
+    val ps = (if (cfg.nameFilter.nonEmpty)
+        Seq("name=" + java.net.URLEncoder.encode(cfg.nameFilter,
+          java.nio.charset.StandardCharsets.UTF_8)) else Nil) ++
+      cfg.tagsFilter.map(t => "tags=" + java.net.URLEncoder.encode(t,
+        java.nio.charset.StandardCharsets.UTF_8))
+    ps.map("&" + _).mkString
+  }
+
+  private def listAll(client: ApiClient, base: String, key: String,
+      extraQuery: String): List[J] = {
+    val out = List.newBuilder[J]
+    var page = 1
+    var more = true
+    while (more) {
+      val items = jlist(jmap(JsonLite.parse(
+        client.get(s"$base?page=$page&per_page=50$extraQuery"))).getOrElse(key, null))
+      out ++= items
+      more = items.size == 50
+      page += 1
+    }
+    out.result()
+  }
+
+  /** ref instance.go:107-239 */
+  private def instanceTargets(client: ApiClient, cfg: Config): Seq[(String, Map[String, String])] =
+    listAll(client, s"/instance/v1/zones/${cfg.zone}/servers", "servers",
+        filterQuery(cfg)).flatMap { sv =>
+      var l = Map(
+        "__meta_scaleway_instance_boot_type" -> s(sv, "boot_type"),
+        "__meta_scaleway_instance_hostname" -> s(sv, "hostname"),
+        "__meta_scaleway_instance_id" -> s(sv, "id"),
+        "__meta_scaleway_instance_name" -> s(sv, "name"),
+        "__meta_scaleway_instance_organization_id" -> s(sv, "organization"),
+        "__meta_scaleway_instance_project_id" -> s(sv, "project"),
+        "__meta_scaleway_instance_status" -> s(sv, "state"),
+        "__meta_scaleway_instance_type" -> s(sv, "commercial_type"),
+        "__meta_scaleway_instance_zone" -> cfg.zone,
+        "__meta_scaleway_instance_region" -> regionOf(cfg.zone))
+      val img = m(sv, "image")
+      if (img.nonEmpty) l ++= Map(
+        "__meta_scaleway_instance_image_arch" -> s(img, "arch"),
+        "__meta_scaleway_instance_image_id" -> s(img, "id"),
+        "__meta_scaleway_instance_image_name" -> s(img, "name"))
+      val loc = m(sv, "location")
+      if (loc.nonEmpty) l ++= Map(
+        "__meta_scaleway_instance_location_cluster_id" -> s(loc, "cluster_id"),
+        "__meta_scaleway_instance_location_hypervisor_id" -> s(loc, "hypervisor_id"),
+        "__meta_scaleway_instance_location_node_id" -> s(loc, "node_id"))
+      val sg = m(sv, "security_group")
+      if (sg.nonEmpty) l ++= Map(
+        "__meta_scaleway_instance_security_group_id" -> s(sg, "id"),
+        "__meta_scaleway_instance_security_group_name" -> s(sg, "name"))
+      val tags = strs(sv, "tags")
+      if (tags.nonEmpty)
+        l += "__meta_scaleway_instance_tags" -> tags.mkString(",", ",", ",")
+      // public ip address lists (ref instance.go:174-199)
+      val pubIps = jlist(sv.getOrElse("public_ips", null))
+      val (v4s, v6s) = pubIps.partition(ip => s(ip, "family") != "inet6")
+      if (v4s.nonEmpty)
+        l += "__meta_scaleway_instance_public_ipv4_addresses" ->
+          v4s.map(s(_, "address")).mkString(",", ",", ",")
+      if (v6s.nonEmpty)
+        l += "__meta_scaleway_instance_public_ipv6_addresses" ->
+          v6s.map(s(_, "address")).mkString(",", ",", ",")
+      // address ladder: ipv6 → public_ip (v4 label only when not inet6) →
+      // private_ip; last assignment wins (ref instance.go:201-216)
+      var addr = ""
+      val ipv6 = m(sv, "ipv6")
+      if (ipv6.nonEmpty && s(ipv6, "address").nonEmpty) {
+        l += "__meta_scaleway_instance_public_ipv6" -> s(ipv6, "address")
+        addr = s(ipv6, "address")
+      }
+      val pubIp = m(sv, "public_ip")
+      if (pubIp.nonEmpty && s(pubIp, "address").nonEmpty) {
+        if (s(pubIp, "family") != "inet6")
+          l += "__meta_scaleway_instance_public_ipv4" -> s(pubIp, "address")
+        addr = s(pubIp, "address")
+      }
+      val privIp = s(sv, "private_ip")
+      if (privIp.nonEmpty && privIp != "null") {
+        l += "__meta_scaleway_instance_private_ipv4" -> privIp
+        addr = privIp
+      }
+      if (addr.isEmpty) None
+      else Some((hostPort(addr, cfg.port), l))
+    }
+
+  /** ref baremetal.go:93-186 */
+  private def baremetalTargets(client: ApiClient, cfg: Config): Seq[(String, Map[String, String])] = {
+    val servers = listAll(client, s"/baremetal/v1/zones/${cfg.zone}/servers",
+      "servers", filterQuery(cfg))
+    val offers = listAll(client, s"/baremetal/v1/zones/${cfg.zone}/offers", "offers", "")
+      .map(o => s(o, "id") -> s(o, "name")).toMap
+    val osList = listAll(client, s"/baremetal/v1/zones/${cfg.zone}/os", "os", "")
+      .map(o => s(o, "id") -> o).toMap
+    servers.flatMap { sv =>
+      var l = Map(
+        "__meta_scaleway_baremetal_id" -> s(sv, "id"),
+        "__meta_scaleway_baremetal_name" -> s(sv, "name"),
+        "__meta_scaleway_baremetal_zone" -> cfg.zone,
+        "__meta_scaleway_baremetal_status" -> s(sv, "status"),
+        "__meta_scaleway_baremetal_project_id" -> s(sv, "project_id"))
+      offers.get(s(sv, "offer_id")).foreach(n =>
+        l += "__meta_scaleway_baremetal_type" -> n)
+      val install = m(sv, "install")
+      if (install.nonEmpty)
+        osList.get(s(install, "os_id")).foreach { os =>
+          l += "__meta_scaleway_baremetal_os_name" -> s(os, "name")
+          l += "__meta_scaleway_baremetal_os_version" -> s(os, "version")
+        }
+      val tags = strs(sv, "tags")
+      if (tags.nonEmpty)
+        l += "__meta_scaleway_baremetal_tags" -> tags.mkString(",", ",", ",")
+      var addr = ""
+      jlist(sv.getOrElse("ips", null)).foreach { ip =>
+        val a = s(ip, "address")
+        s(ip, "version") match {
+          case "IPv4" if !l.contains("__meta_scaleway_baremetal_public_ipv4") =>
+            l += "__meta_scaleway_baremetal_public_ipv4" -> a
+            addr = a
+          case "IPv6" if !l.contains("__meta_scaleway_baremetal_public_ipv6") =>
+            l += "__meta_scaleway_baremetal_public_ipv6" -> a
+            if (addr.isEmpty) addr = a
+          case _ => ()
+        }
+      }
+      if (addr.isEmpty) None else Some((hostPort(addr, cfg.port), l))
+    }
+  }
+
+  private def hostPort(host: String, port: Int): String =
+    if (host.contains(":")) s"[$host]:$port" else s"$host:$port"
+
+  final class ScalewayProvider(override val name: String, cfg: Config,
+      client: ApiClient) extends Discovery.Provider {
+    def this(name: String, cfg: Config) = this(name, cfg, new HttpApiClient(cfg))
+    override def refreshMs: Long = cfg.refreshMs
+    override def refresh(): Seq[Discovery.TargetGroup] = {
+      val targets = cfg.role match {
+        case "baremetal" => baremetalTargets(client, cfg)
+        case _ => instanceTargets(client, cfg)
+      }
+      Seq(Discovery.TargetGroup("scaleway", Map.empty, targets))
+    }
+  }
+}

@@ -643,6 +643,231 @@ class SdProvidersSpec extends AnyFunSuite {
       "Default", "", "demo", "", "", "", "", allTenants = true, port = 9100)))
   }
 
+  test("linode SD: instance/ip/ipv6-range join, rdns, extra ips, byte specs") {
+    // fixture mirrors discovery/linode/testdata/us-east (instance 26838044)
+    val instances =
+      """{"data":[{
+        |  "id":26838044,"label":"prometheus-linode-sd-exporter-1","group":"",
+        |  "status":"running","type":"g6-standard-2",
+        |  "ipv4":["45.33.82.151","96.126.108.16","192.168.170.51","192.168.201.25"],
+        |  "ipv6":"2600:3c03::f03c:92ff:fe1a:1382/128",
+        |  "image":"linode/arch","region":"us-east",
+        |  "specs":{"disk":81920,"memory":4096,"vcpus":2,"gpus":0,"transfer":4000},
+        |  "backups":{"enabled":false},"hypervisor":"kvm","tags":["monitoring"]
+        |}],"page":1,"pages":1}""".stripMargin
+    val ips =
+      """{"data":[
+        |  {"address":"45.33.82.151","type":"ipv4","public":true,
+        |   "rdns":"li1028-151.members.linode.com","linode_id":26838044},
+        |  {"address":"96.126.108.16","type":"ipv4","public":true,
+        |   "rdns":"li328-16.members.linode.com","linode_id":26838044},
+        |  {"address":"192.168.170.51","type":"ipv4","public":false,
+        |   "rdns":null,"linode_id":26838044},
+        |  {"address":"192.168.201.25","type":"ipv4","public":false,
+        |   "rdns":null,"linode_id":26838044},
+        |  {"address":"2600:3c03::f03c:92ff:fe1a:1382","type":"ipv6","public":true,
+        |   "rdns":null,"linode_id":26838044}
+        |],"page":1,"pages":1}""".stripMargin
+    val ranges =
+      """{"data":[{"range":"2600:3c03:e000:123::","prefix":64,
+        |  "route_target":"2600:3c03::f03c:92ff:fe1a:1382"}],"page":1,"pages":1}""".stripMargin
+    val fake = new LinodeSd.ApiClient {
+      override def get(path: String, filter: String): String = {
+        assert(filter == """{"region":"us-east"}""", filter)
+        if (path.startsWith("/v4/linode/instances")) instances
+        else if (path.startsWith("/v4/networking/ips")) ips
+        else if (path.startsWith("/v4/networking/ipv6/ranges")) ranges
+        else fail(s"unexpected API path $path")
+      }
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("li", new LinodeSd.LinodeProvider("linode/0",
+      LinodeSd.Config(region = "us-east"), fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("li", "li")
+    assert(raw.map(_.instance) == Seq("45.33.82.151:80"))
+    // reference linode_test.go expected label set for instance 26838044
+    val l = raw.head.extraLabels
+    assert(l("__meta_linode_instance_id") == "26838044")
+    assert(l("__meta_linode_instance_label") == "prometheus-linode-sd-exporter-1")
+    assert(l("__meta_linode_image") == "linode/arch")
+    assert(l("__meta_linode_private_ipv4") == "192.168.170.51")
+    assert(l("__meta_linode_public_ipv4") == "45.33.82.151")
+    assert(l("__meta_linode_public_ipv6") == "2600:3c03::f03c:92ff:fe1a:1382")
+    assert(l("__meta_linode_private_ipv4_rdns") == "")
+    assert(l("__meta_linode_public_ipv4_rdns") == "li1028-151.members.linode.com")
+    assert(l("__meta_linode_public_ipv6_rdns") == "")
+    assert(l("__meta_linode_region") == "us-east")
+    assert(l("__meta_linode_type") == "g6-standard-2")
+    assert(l("__meta_linode_status") == "running")
+    assert(l("__meta_linode_tags") == ",monitoring,")
+    assert(l("__meta_linode_group") == "")
+    assert(l("__meta_linode_gpus") == "0")
+    assert(l("__meta_linode_hypervisor") == "kvm")
+    assert(l("__meta_linode_backups") == "disabled")
+    assert(l("__meta_linode_specs_disk_bytes") == "85899345920")
+    assert(l("__meta_linode_specs_memory_bytes") == "4294967296")
+    assert(l("__meta_linode_specs_vcpus") == "2")
+    assert(l("__meta_linode_specs_transfer_bytes") == "4194304000")
+    assert(l("__meta_linode_extra_ips") == ",96.126.108.16,192.168.201.25,")
+    assert(l("__meta_linode_ipv6_ranges") == ",2600:3c03:e000:123::/64,")
+  }
+
+  test("vultr SD: cursor pagination, instance labels, surrounded lists") {
+    val page1 =
+      """{"instances":[{
+        |  "id":"dbdbd38c","os":"Marketplace","os_id":426,"region":"ewr",
+        |  "plan":"vhf-2c-4gb","vcpu_count":2,"ram":4096,"allowed_bandwidth":3000,
+        |  "disk":80,"main_ip":"149.28.234.27","v6_main_ip":"","internal_ip":"",
+        |  "hostname":"np-1","server_status":"installingbooting",
+        |  "label":"np-1","features":["backups"],"tags":["prod"]
+        |}],"meta":{"links":{"next":"next-cursor"}}}""".stripMargin
+    val page2 =
+      """{"instances":[{
+        |  "id":"fccb2f73","os":"Ubuntu","os_id":387,"region":"ewr",
+        |  "plan":"vhf-2c-4gb","vcpu_count":2,"ram":4096,"allowed_bandwidth":3000,
+        |  "disk":80,"main_ip":"45.63.1.222","v6_main_ip":"","internal_ip":"",
+        |  "hostname":"np-2","server_status":"ok","label":"np-2"
+        |}],"meta":{"links":{"next":""}}}""".stripMargin
+    val fake = new VultrSd.ApiClient {
+      override def get(path: String): String =
+        if (path == "/v2/instances?per_page=100") page1
+        else if (path == "/v2/instances?per_page=100&cursor=next-cursor") page2
+        else fail(s"unexpected API path $path")
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("vu", new VultrSd.VultrProvider("vultr/0", VultrSd.Config(), fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("vu", "vu")
+    assert(raw.map(_.instance) == Seq("149.28.234.27:80", "45.63.1.222:80"))
+    val l = raw.head.extraLabels
+    assert(l("__meta_vultr_instance_id") == "dbdbd38c")
+    assert(l("__meta_vultr_instance_label") == "np-1")
+    assert(l("__meta_vultr_instance_os") == "Marketplace")
+    assert(l("__meta_vultr_instance_os_id") == "426")
+    assert(l("__meta_vultr_instance_region") == "ewr")
+    assert(l("__meta_vultr_instance_plan") == "vhf-2c-4gb")
+    assert(l("__meta_vultr_instance_vcpu_count") == "2")
+    assert(l("__meta_vultr_instance_ram_mb") == "4096")
+    assert(l("__meta_vultr_instance_allowed_bandwidth_gb") == "3000")
+    assert(l("__meta_vultr_instance_disk_gb") == "80")
+    assert(l("__meta_vultr_instance_main_ip") == "149.28.234.27")
+    assert(l("__meta_vultr_instance_server_status") == "installingbooting")
+    assert(l("__meta_vultr_instance_features") == ",backups,")
+    assert(l("__meta_vultr_instance_tags") == ",prod,")
+    assert(!raw(1).extraLabels.contains("__meta_vultr_instance_features"))
+  }
+
+  test("scaleway SD: instance address ladder and baremetal offer/os join") {
+    val servers =
+      """{"servers":[{
+        |  "id":"i-1","name":"web","hostname":"web","boot_type":"local",
+        |  "organization":"org1","project":"proj1","state":"running",
+        |  "commercial_type":"DEV1-S","tags":["a","b"],
+        |  "image":{"arch":"x86_64","id":"img1","name":"Ubuntu"},
+        |  "location":{"cluster_id":"c9","hypervisor_id":"h402","node_id":"n5"},
+        |  "security_group":{"id":"sg1","name":"default"},
+        |  "public_ip":{"address":"51.15.1.1","family":"inet"},
+        |  "public_ips":[{"address":"51.15.1.1","family":"inet"}],
+        |  "private_ip":"10.0.0.5"
+        |},{
+        |  "id":"i-2","name":"noaddr","state":"stopped","commercial_type":"DEV1-S"
+        |}]}""".stripMargin
+    val instFake = new ScalewaySd.ApiClient {
+      override def get(path: String): String =
+        if (path.startsWith("/instance/v1/zones/fr-par-1/servers")) servers
+        else fail(s"unexpected API path $path")
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("sw", new ScalewaySd.ScalewayProvider("scaleway/0",
+      ScalewaySd.Config("instance", projectId = "proj1", secretKey = "sk"), instFake))
+    mgr.poll()
+    val inst = mgr.targetsFor("sw", "sw")
+    // private ip wins the ladder; the address-less server is skipped
+    assert(inst.map(_.instance) == Seq("10.0.0.5:80"))
+    val l = inst.head.extraLabels
+    assert(l("__meta_scaleway_instance_id") == "i-1")
+    assert(l("__meta_scaleway_instance_public_ipv4") == "51.15.1.1")
+    assert(l("__meta_scaleway_instance_private_ipv4") == "10.0.0.5")
+    assert(l("__meta_scaleway_instance_public_ipv4_addresses") == ",51.15.1.1,")
+    assert(l("__meta_scaleway_instance_zone") == "fr-par-1")
+    assert(l("__meta_scaleway_instance_region") == "fr-par")
+    assert(l("__meta_scaleway_instance_type") == "DEV1-S")
+    assert(l("__meta_scaleway_instance_tags") == ",a,b,")
+    assert(l("__meta_scaleway_instance_image_name") == "Ubuntu")
+    assert(l("__meta_scaleway_instance_security_group_name") == "default")
+    assert(l("__meta_scaleway_instance_location_cluster_id") == "c9")
+
+    val bmFake = new ScalewaySd.ApiClient {
+      override def get(path: String): String =
+        if (path.startsWith("/baremetal/v1/zones/fr-par-2/servers"))
+          """{"servers":[{"id":"bm1","name":"metal","status":"ready",
+            |  "project_id":"p","offer_id":"of1","tags":["bare"],
+            |  "install":{"os_id":"os1"},
+            |  "ips":[{"address":"163.1.2.3","version":"IPv4"},
+            |         {"address":"2001:db8::1","version":"IPv6"}]}]}""".stripMargin
+        else if (path.startsWith("/baremetal/v1/zones/fr-par-2/offers"))
+          """{"offers":[{"id":"of1","name":"EM-A210R-HDD"}]}"""
+        else if (path.startsWith("/baremetal/v1/zones/fr-par-2/os"))
+          """{"os":[{"id":"os1","name":"Ubuntu","version":"20.04"}]}"""
+        else fail(s"unexpected API path $path")
+    }
+    mgr.register("bm", new ScalewaySd.ScalewayProvider("scaleway/1",
+      ScalewaySd.Config("baremetal", zone = "fr-par-2", secretKey = "sk"), bmFake))
+    mgr.poll()
+    val bm = mgr.targetsFor("bm", "bm")
+    assert(bm.map(_.instance) == Seq("163.1.2.3:80"))
+    val b = bm.head.extraLabels
+    assert(b("__meta_scaleway_baremetal_type") == "EM-A210R-HDD")
+    assert(b("__meta_scaleway_baremetal_os_name") == "Ubuntu")
+    assert(b("__meta_scaleway_baremetal_os_version") == "20.04")
+    assert(b("__meta_scaleway_baremetal_public_ipv4") == "163.1.2.3")
+    assert(b("__meta_scaleway_baremetal_public_ipv6") == "2001:db8::1")
+    assert(b("__meta_scaleway_baremetal_tags") == ",bare,")
+  }
+
+  test("lightsail SD: GetInstances JSON, optional fields, tags, pagination") {
+    val page1 =
+      """{"instances":[{
+        |  "name":"node-1","supportCode":"1234/i-abc","blueprintId":"ubuntu_20_04",
+        |  "bundleId":"nano_2_0","privateIpAddress":"172.26.7.191",
+        |  "publicIpAddress":"18.144.1.1","ipv6Addresses":["2600:1f1c::1"],
+        |  "location":{"availabilityZone":"us-west-2a"},
+        |  "state":{"name":"running"},
+        |  "tags":[{"key":"env","value":"prod"}]
+        |},{
+        |  "name":"no-private-ip"
+        |}],"nextPageToken":"tok2"}""".stripMargin
+    val page2 = """{"instances":[]}"""
+    val fake = new LightsailSd.ApiClient {
+      override def getInstances(pageToken: Option[String]): String =
+        pageToken match {
+          case None => page1
+          case Some("tok2") => page2
+          case other => fail(s"unexpected page token $other")
+        }
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("ls", new LightsailSd.LightsailProvider("lightsail/0",
+      LightsailSd.Config("us-west-2"), fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("ls", "ls")
+    // instance without a private ip is skipped
+    assert(raw.map(_.instance) == Seq("172.26.7.191:80"))
+    val l = raw.head.extraLabels
+    assert(l("__meta_lightsail_private_ip") == "172.26.7.191")
+    assert(l("__meta_lightsail_public_ip") == "18.144.1.1")
+    assert(l("__meta_lightsail_region") == "us-west-2")
+    assert(l("__meta_lightsail_availability_zone") == "us-west-2a")
+    assert(l("__meta_lightsail_blueprint_id") == "ubuntu_20_04")
+    assert(l("__meta_lightsail_bundle_id") == "nano_2_0")
+    assert(l("__meta_lightsail_instance_name") == "node-1")
+    assert(l("__meta_lightsail_instance_state") == "running")
+    assert(l("__meta_lightsail_instance_support_code") == "1234/i-abc")
+    assert(l("__meta_lightsail_ipv6_addresses") == ",2600:1f1c::1,")
+    assert(l("__meta_lightsail_tag_env") == "prod")
+  }
+
   test("eureka SD: /apps XML, per-instance targets, metadata labels") {
     // fixture condensed from discovery/eureka/eureka_test.go appsXML
     val appsXml =
