@@ -41,7 +41,11 @@ object Config {
       linodeSd: Seq[LinodeSd.Config] = Nil,
       vultrSd: Seq[VultrSd.Config] = Nil,
       scalewaySd: Seq[ScalewaySd.Config] = Nil,
-      lightsailSd: Seq[LightsailSd.Config] = Nil)
+      lightsailSd: Seq[LightsailSd.Config] = Nil,
+      dockerswarmSd: Seq[DockerSwarmSd.Config] = Nil,
+      tritonSd: Seq[TritonSd.Config] = Nil,
+      ovhcloudSd: Seq[OvhcloudSd.Config] = Nil,
+      ionosSd: Seq[IonosSd.Config] = Nil)
 
   final case class PromConfig(
       scrapeIntervalMs: Long,
@@ -357,6 +361,46 @@ object Config {
           lc.str("port").map(_.toInt).getOrElse(80),
           lc.str("refresh_interval").map(durMs).getOrElse(60000L))
       }
+      // dockerswarm_sd_configs (ref: discovery/moby/dockerswarm.go)
+      val dockerswarmSd = m.list("dockerswarm_sd_configs").collect { case dk: YMap =>
+        DockerSwarmSd.Config(
+          str(dk, "host"), str(dk, "role"),
+          dk.str("port").map(_.toInt).getOrElse(80),
+          dk.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }.filter(c => c.host.nonEmpty && c.role.nonEmpty)
+      // triton_sd_configs (ref: discovery/triton/triton.go SDConfig)
+      val tritonSd = m.list("triton_sd_configs").collect { case tc: YMap =>
+        TritonSd.Config(
+          str(tc, "account"), str(tc, "dns_suffix"), str(tc, "endpoint"),
+          str(tc, "role", "container"),
+          strList(tc.get("groups")),
+          tc.str("port").map(_.toInt).getOrElse(9163),
+          tc.str("version").map(_.toInt).getOrElse(1),
+          tc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }.filter(_.endpoint.nonEmpty)
+      // ovhcloud_sd_configs (ref: discovery/ovhcloud/ovhcloud.go SDConfig)
+      val ovhcloudSd = m.list("ovhcloud_sd_configs").collect { case oc: YMap =>
+        OvhcloudSd.Config(
+          str(oc, "service"),
+          str(oc, "application_key"), str(oc, "application_secret"),
+          str(oc, "consumer_key"),
+          str(oc, "endpoint", "ovh-eu"),
+          oc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }.filter(_.service.nonEmpty)
+      // ionos_sd_configs (ref: discovery/ionos/ionos.go SDConfig)
+      val ionosSd = m.list("ionos_sd_configs").collect { case ic: YMap =>
+        val tok = ic.get("authorization") match {
+          case Some(am: YMap) => str(am, "credentials")
+          case _ => ""
+        }
+        val (user, pass) = ic.get("basic_auth") match {
+          case Some(ba: YMap) => (str(ba, "username"), str(ba, "password"))
+          case _ => ("", "")
+        }
+        IonosSd.Config(str(ic, "datacenter_id"), tok, user, pass,
+          ic.str("port").map(_.toInt).getOrElse(80),
+          ic.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }.filter(_.datacenterId.nonEmpty)
       ScrapeJob(name, statics, sdFiles,
         m.str("scrape_interval").map(durMs).getOrElse(scrapeMs),
         relabelChain(m.get("relabel_configs")),
@@ -370,7 +414,8 @@ object Config {
         m.str("honor_labels").contains("true"),
         dnsSd, httpSd, k8sSd, consulSd, ec2Sd, gceSd, azureSd, dockerSd,
         doSd, hetznerSd, openstackSd, eurekaSd, nomadSd, marathonSd, puppetdbSd,
-        linodeSd, vultrSd, scalewaySd, lightsailSd)
+        linodeSd, vultrSd, scalewaySd, lightsailSd,
+        dockerswarmSd, tritonSd, ovhcloudSd, ionosSd)
     }
     def urlsOf(key: String): Seq[String] =
       root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)

@@ -265,6 +265,54 @@ object ConfigCheck {
               errs += s"""$path: job "$job": query missing"""
           case _ => ()
         }
+        // dockerswarm: host url + role enum (ref: moby/dockerswarm.go)
+        sc.list("dockerswarm_sd_configs").foreach {
+          case dk: YMap =>
+            val host = dk.str("host").getOrElse("")
+            if (host.isEmpty)
+              errs += s"""$path: job "$job": host missing"""
+            else if (!host.matches("^(tcp|http|https|unix)://.*"))
+              errs += s"""$path: job "$job": Docker Swarm SD host "$host" must be a url"""
+            val role = dk.str("role").getOrElse("")
+            if (!Set("services", "tasks", "nodes")(role))
+              errs += s"""$path: job "$job": invalid role $role, expected tasks, services, or nodes"""
+          case _ => ()
+        }
+        // triton: role enum + account/dns_suffix/endpoint (ref: triton.go)
+        sc.list("triton_sd_configs").foreach {
+          case tc: YMap =>
+            val role = tc.str("role").getOrElse("container")
+            if (role != "container" && role != "cn")
+              errs += s"""$path: job "$job": triton SD configuration requires role to be 'container' or 'cn'"""
+            if (tc.str("account").forall(_.isEmpty))
+              errs += s"""$path: job "$job": triton SD configuration requires an account"""
+            if (tc.str("dns_suffix").forall(_.isEmpty))
+              errs += s"""$path: job "$job": triton SD configuration requires a dns_suffix"""
+            if (tc.str("endpoint").forall(_.isEmpty))
+              errs += s"""$path: job "$job": triton SD configuration requires an endpoint"""
+          case _ => ()
+        }
+        // ovhcloud: keys + service enum (ref: ovhcloud.go UnmarshalYAML)
+        sc.list("ovhcloud_sd_configs").foreach {
+          case oc: YMap =>
+            if (oc.str("application_key").forall(_.isEmpty))
+              errs += s"""$path: job "$job": application key can not be empty"""
+            if (oc.str("application_secret").forall(_.isEmpty))
+              errs += s"""$path: job "$job": application secret can not be empty"""
+            if (oc.str("consumer_key").forall(_.isEmpty))
+              errs += s"""$path: job "$job": consumer key can not be empty"""
+            val svc = oc.str("service").getOrElse("")
+            if (svc != "vps" && svc != "dedicated_server")
+              errs += s"""$path: job "$job": unknown service: $svc"""
+          case _ => ()
+        }
+        // ionos: datacenter_id required (ref: ionos.go UnmarshalYAML)
+        sc.list("ionos_sd_configs").foreach {
+          case ic: YMap =>
+            if (ic.str("datacenter_id").forall(_.isEmpty))
+              errs += s"""$path: job "$job": datacenter id can't be empty"""
+          case _ => ()
+        }
         // scaleway: role + project_id + secret + access_key required
         // (ref: scaleway.go UnmarshalYAML)
         sc.list("scaleway_sd_configs").foreach {

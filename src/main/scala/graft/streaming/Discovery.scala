@@ -288,7 +288,11 @@ object Discovery {
       linodeClient: Option[LinodeSd.ApiClient] = None,
       vultrClient: Option[VultrSd.ApiClient] = None,
       scalewayClient: Option[ScalewaySd.ApiClient] = None,
-      lightsailClient: Option[LightsailSd.ApiClient] = None): Unit = {
+      lightsailClient: Option[LightsailSd.ApiClient] = None,
+      dockerswarmClient: Option[DockerSwarmSd.ApiClient] = None,
+      tritonClient: Option[TritonSd.ApiClient] = None,
+      ovhcloudClient: Option[OvhcloudSd.ApiClient] = None,
+      ionosClient: Option[IonosSd.ApiClient] = None): Unit = {
     if (job.staticTargets.nonEmpty)
       mgr.register(job.jobName, new StaticProvider("static",
         Seq(TargetGroup("static/0", Map.empty,
@@ -384,6 +388,26 @@ object Discovery {
       mgr.register(job.jobName, lightsailClient match {
         case Some(c) => new LightsailSd.LightsailProvider(s"lightsail/$i", lc, c)
         case None => new LightsailSd.LightsailProvider(s"lightsail/$i", lc)
+      }) }
+    job.dockerswarmSd.zipWithIndex.foreach { case (dk, i) =>
+      mgr.register(job.jobName, dockerswarmClient match {
+        case Some(c) => new DockerSwarmSd.DockerSwarmProvider(s"dockerswarm/$i", dk, c)
+        case None => new DockerSwarmSd.DockerSwarmProvider(s"dockerswarm/$i", dk)
+      }) }
+    job.tritonSd.zipWithIndex.foreach { case (tc, i) =>
+      mgr.register(job.jobName, tritonClient match {
+        case Some(c) => new TritonSd.TritonProvider(s"triton/$i", tc, c)
+        case None => new TritonSd.TritonProvider(s"triton/$i", tc)
+      }) }
+    job.ovhcloudSd.zipWithIndex.foreach { case (oc, i) =>
+      mgr.register(job.jobName, ovhcloudClient match {
+        case Some(c) => new OvhcloudSd.OvhcloudProvider(s"ovhcloud/$i", oc, c)
+        case None => new OvhcloudSd.OvhcloudProvider(s"ovhcloud/$i", oc)
+      }) }
+    job.ionosSd.zipWithIndex.foreach { case (ic, i) =>
+      mgr.register(job.jobName, ionosClient match {
+        case Some(c) => new IonosSd.IonosProvider(s"ionos/$i", ic, c)
+        case None => new IonosSd.IonosProvider(s"ionos/$i", ic)
       }) }
   }
 }

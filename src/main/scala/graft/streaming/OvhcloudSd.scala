@@ -1,0 +1,167 @@
+package graft.streaming
+
+import graft.web.JsonLite
+
+/** OVHcloud service discovery (ref: discovery/ovhcloud/ovhcloud.go; vps.go
+  * and dedicated_server.go per service).
+  *
+  * The OVH API is name-list + per-name detail: one `GET /vps` (or
+  * `/dedicated/server`) for the name list, then `GET /{name}` and
+  * `GET /{name}/ips` per server; a failed detail fetch skips that server
+  * (ref vps.go:132-137). Targets address the IPv4 (IPv6 fallback) with NO
+  * port — the reference emits the bare IP. The production transport signs
+  * every request with the published OVH scheme: X-Ovh-Signature =
+  * "$1$" + SHA1hex(appSecret "+" consumerKey "+" method "+" url "+" body
+  * "+" timestamp). */
+object OvhcloudSd {
+
+  /** ovhcloud_sd_configs entry (ref: ovhcloud.go SDConfig; endpoint ovh-eu,
+    * refresh 60s) */
+  final case class Config(
+      service: String, // vps | dedicated_server
+      applicationKey: String = "",
+      applicationSecret: String = "",
+      consumerKey: String = "",
+      endpoint: String = "ovh-eu",
+      refreshMs: Long = 60000L)
+
+  /** injectable transport; `path` is relative to the endpoint base */
+  trait ApiClient { def get(path: String): String }
+
+  private val endpoints = Map(
+    "ovh-eu" -> "https://eu.api.ovh.com/1.0",
+    "ovh-ca" -> "https://ca.api.ovh.com/1.0",
+    "ovh-us" -> "https://api.us.ovhcloud.com/1.0")
+
+  final class HttpApiClient(cfg: Config) extends ApiClient {
+    private val base = endpoints.getOrElse(cfg.endpoint,
+      cfg.endpoint.stripSuffix("/"))
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    private def sha1Hex(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    override def get(path: String): String = {
+      val url = base + path
+      val ts = (System.currentTimeMillis() / 1000L).toString
+      val sig = "$1$" + sha1Hex(Seq(cfg.applicationSecret, cfg.consumerKey,
+        "GET", url, "", ts).mkString("+"))
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofSeconds(30))
+          .header("Accept", "application/json")
+          .header("X-Ovh-Application", cfg.applicationKey)
+          .header("X-Ovh-Consumer", cfg.consumerKey)
+          .header("X-Ovh-Timestamp", ts)
+          .header("X-Ovh-Signature", sig).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(s"ovhcloud sd: ${resp.statusCode()} for $path")
+      resp.body()
+    }
+  }
+
+  private type J = Map[String, Any]
+  private def jmap(v: Any): J = v match { case m: Map[_, _] => m.asInstanceOf[J]; case _ => Map.empty }
+  private def jstrs(v: Any): List[String] =
+    (v match { case l: List[_] => l; case _ => Nil }).map(jstr)
+  private def jstr(v: Any): String = v match {
+    case s: String => s
+    case d: java.lang.Double if d.doubleValue.isWhole && math.abs(d.doubleValue) < 1e15 =>
+      d.longValue.toString
+    case b: java.lang.Boolean => b.toString
+    case null => ""
+    case other => String.valueOf(other)
+  }
+  private def s(o: J, k: String): String = jstr(o.getOrElse(k, null))
+  private def m(o: J, k: String): J = jmap(o.getOrElse(k, null))
+
+  private def ipSplit(ips: List[String]): (String, String) = {
+    var v4 = ""; var v6 = ""
+    ips.foreach { ip =>
+      // /ips may return addresses or CIDR blocks; strip the prefix
+      val a = ip.split("/")(0)
+      if (a.contains(":")) v6 = a
+      else if (a.contains(".")) v4 = a
+    }
+    (v4, v6)
+  }
+
+  final class OvhcloudProvider(override val name: String, cfg: Config,
+      client: ApiClient) extends Discovery.Provider {
+    def this(name: String, cfg: Config) = this(name, cfg, new HttpApiClient(cfg))
+    override def refreshMs: Long = cfg.refreshMs
+
+    private def vpsTargets(): Seq[(String, Map[String, String])] =
+      jstrs(JsonLite.parse(client.get("/vps"))).flatMap { vpsName =>
+        try {
+          val enc = java.net.URLEncoder.encode(vpsName,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val d = jmap(JsonLite.parse(client.get(s"/vps/$enc")))
+          val (ipv4, ipv6) = ipSplit(jstrs(JsonLite.parse(client.get(s"/vps/$enc/ips"))))
+          val addr = if (ipv4.nonEmpty) ipv4 else ipv6
+          val model = m(d, "model")
+          Some((addr, Map(
+            "instance" -> s(d, "name"),
+            "__meta_ovhcloud_vps_offer" -> s(model, "offer"),
+            // the reference renders the datacenter list with Go's %+v
+            "__meta_ovhcloud_vps_datacenter" ->
+              jstrs(model.getOrElse("datacenter", null)).mkString("[", " ", "]"),
+            "__meta_ovhcloud_vps_model_vcore" -> s(model, "vcore"),
+            "__meta_ovhcloud_vps_maximum_additional_ip" -> s(model, "maximumAdditionnalIp"),
+            "__meta_ovhcloud_vps_version" -> s(model, "version"),
+            "__meta_ovhcloud_vps_model_name" -> s(model, "name"),
+            "__meta_ovhcloud_vps_disk" -> s(model, "disk"),
+            "__meta_ovhcloud_vps_memory" -> s(model, "memory"),
+            "__meta_ovhcloud_vps_zone" -> s(d, "zone"),
+            "__meta_ovhcloud_vps_display_name" -> s(d, "displayName"),
+            "__meta_ovhcloud_vps_cluster" -> s(d, "cluster"),
+            "__meta_ovhcloud_vps_state" -> s(d, "state"),
+            "__meta_ovhcloud_vps_name" -> s(d, "name"),
+            "__meta_ovhcloud_vps_netboot_mode" -> s(d, "netbootMode"),
+            "__meta_ovhcloud_vps_memory_limit" -> s(d, "memoryLimit"),
+            "__meta_ovhcloud_vps_offer_type" -> s(d, "offerType"),
+            "__meta_ovhcloud_vps_vcore" -> s(d, "vcore"),
+            "__meta_ovhcloud_vps_ipv4" -> ipv4,
+            "__meta_ovhcloud_vps_ipv6" -> ipv6)))
+        } catch { case _: Exception => None } // detail failure skips the server
+      }
+
+    private def dedicatedTargets(): Seq[(String, Map[String, String])] =
+      jstrs(JsonLite.parse(client.get("/dedicated/server"))).flatMap { sn =>
+        try {
+          val enc = java.net.URLEncoder.encode(sn,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val d = jmap(JsonLite.parse(client.get(s"/dedicated/server/$enc")))
+          val (ipv4, ipv6) = ipSplit(jstrs(JsonLite.parse(
+            client.get(s"/dedicated/server/$enc/ips"))))
+          val addr = if (ipv4.nonEmpty) ipv4 else ipv6
+          Some((addr, Map(
+            "instance" -> s(d, "name"),
+            "__meta_ovhcloud_dedicated_server_state" -> s(d, "state"),
+            "__meta_ovhcloud_dedicated_server_commercial_range" -> s(d, "commercialRange"),
+            "__meta_ovhcloud_dedicated_server_link_speed" -> s(d, "linkSpeed"),
+            "__meta_ovhcloud_dedicated_server_rack" -> s(d, "rack"),
+            "__meta_ovhcloud_dedicated_server_no_intervention" ->
+              (d.getOrElse("noIntervention", null) == java.lang.Boolean.TRUE).toString,
+            "__meta_ovhcloud_dedicated_server_os" -> s(d, "os"),
+            "__meta_ovhcloud_dedicated_server_support_level" -> s(d, "supportLevel"),
+            "__meta_ovhcloud_dedicated_server_server_id" -> s(d, "serverId"),
+            "__meta_ovhcloud_dedicated_server_reverse" -> s(d, "reverse"),
+            "__meta_ovhcloud_dedicated_server_datacenter" -> s(d, "datacenter"),
+            "__meta_ovhcloud_dedicated_server_name" -> s(d, "name"),
+            "__meta_ovhcloud_dedicated_server_ipv4" -> ipv4,
+            "__meta_ovhcloud_dedicated_server_ipv6" -> ipv6)))
+        } catch { case _: Exception => None }
+      }
+
+    override def refresh(): Seq[Discovery.TargetGroup] = {
+      val targets = cfg.service match {
+        case "dedicated_server" => dedicatedTargets()
+        case _ => vpsTargets()
+      }
+      Seq(Discovery.TargetGroup(s"ovhcloud_${cfg.service}_${cfg.endpoint}",
+        Map.empty, targets))
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.web.JsonLite
+
+/** Triton (triton-cmon) service discovery (ref: discovery/triton/triton.go).
+  *
+  * One GET per refresh against the cmon discover endpoint —
+  * `https://{endpoint}:{port}/v{version}/discover` for the container role,
+  * `/v{version}/gz/discover` for compute nodes — with an optional
+  * `groups` filter. Targets address `{uuid}.{dns_suffix}:{port}`. */
+object TritonSd {
+
+  /** triton_sd_configs entry (ref: triton.go SDConfig / DefaultSDConfig:
+    * role container, port 9163, version 1, refresh 60s) */
+  final case class Config(
+      account: String,
+      dnsSuffix: String,
+      endpoint: String,
+      role: String = "container", // container | cn
+      groups: Seq[String] = Nil,
+      port: Int = 9163,
+      version: Int = 1,
+      refreshMs: Long = 60000L)
+
+  /** injectable transport; `url` is the full discover URL */
+  trait ApiClient { def get(url: String): String }
+
+  final class HttpApiClient extends ApiClient {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    override def get(url: String): String = {
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofSeconds(30))
+          .header("Accept", "application/json").GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(s"triton sd: ${resp.statusCode()}")
+      resp.body()
+    }
+  }
+
+  private type J = Map[String, Any]
+  private def jmap(v: Any): J = v match { case m: Map[_, _] => m.asInstanceOf[J]; case _ => Map.empty }
+  private def jlist(v: Any): List[J] =
+    (v match { case l: List[_] => l; case _ => Nil }).map(jmap)
+  private def jstr(v: Any): String = v match {
+    case s: String => s
+    case null => ""
+    case other => String.valueOf(other)
+  }
+  private def s(o: J, k: String): String = jstr(o.getOrElse(k, null))
+
+  final class TritonProvider(override val name: String, cfg: Config,
+      client: ApiClient) extends Discovery.Provider {
+    def this(name: String, cfg: Config) = this(name, cfg, new HttpApiClient)
+    override def refreshMs: Long = cfg.refreshMs
+    override def refresh(): Seq[Discovery.TargetGroup] = {
+      val pathSeg = if (cfg.role == "cn") "gz/discover" else "discover"
+      var url = s"https://${cfg.endpoint}:${cfg.port}/v${cfg.version}/$pathSeg"
+      if (cfg.groups.nonEmpty)
+        url += "?groups=" + java.net.URLEncoder.encode(cfg.groups.mkString(","),
+          java.nio.charset.StandardCharsets.UTF_8)
+      val body = jmap(JsonLite.parse(client.get(url)))
+      val targets: Seq[(String, Map[String, String])] =
+        if (cfg.role == "cn")
+          jlist(body.getOrElse("cns", null)).map { cn =>
+            (s"${s(cn, "server_uuid")}.${cfg.dnsSuffix}:${cfg.port}", Map(
+              "__meta_triton_machine_id" -> s(cn, "server_uuid"),
+              "__meta_triton_machine_alias" -> s(cn, "server_hostname")))
+          }
+        else
+          jlist(body.getOrElse("containers", null)).map { c =>
+            var l = Map(
+              "__meta_triton_machine_id" -> s(c, "vm_uuid"),
+              "__meta_triton_machine_alias" -> s(c, "vm_alias"),
+              "__meta_triton_machine_brand" -> s(c, "vm_brand"),
+              "__meta_triton_machine_image" -> s(c, "vm_image_uuid"),
+              "__meta_triton_server_id" -> s(c, "server_uuid"))
+            val groups = (c.getOrElse("groups", null) match {
+              case g: List[_] => g; case _ => Nil
+            }).map(jstr)
+            if (groups.nonEmpty)
+              l += "__meta_triton_groups" -> groups.mkString(",", ",", ",")
+            (s"${s(c, "vm_uuid")}.${cfg.dnsSuffix}:${cfg.port}", l)
+          }
+      Seq(Discovery.TargetGroup(url, Map.empty, targets))
+    }
+  }
+}

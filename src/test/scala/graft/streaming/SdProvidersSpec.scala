@@ -643,6 +643,258 @@ class SdProvidersSpec extends AnyFunSuite {
       "Default", "", "demo", "", "", "", "", allTenants = true, port = 9100)))
   }
 
+  test("dockerswarm SD: nodes, services (vip x port), tasks (published + attached)") {
+    val nodesJson =
+      """[{"ID":"n1","Spec":{"Role":"manager","Availability":"active",
+        |  "Labels":{"rack":"r1"}},
+        |  "Description":{"Hostname":"mgr-1",
+        |    "Platform":{"Architecture":"x86_64","OS":"linux"},
+        |    "Engine":{"EngineVersion":"24.0.2"}},
+        |  "Status":{"State":"ready","Addr":"10.0.232.3"},
+        |  "ManagerStatus":{"Leader":true,"Reachability":"reachable","Addr":"10.0.232.3:2377"}},
+        | {"ID":"n2","Spec":{"Role":"worker","Availability":"active"},
+        |  "Description":{"Hostname":"wrk-1","Platform":{"Architecture":"x86_64","OS":"linux"},
+        |    "Engine":{"EngineVersion":"24.0.2"}},
+        |  "Status":{"State":"ready","Addr":"10.0.232.4"}}]""".stripMargin
+    val networksJson =
+      """[{"Id":"net1","Name":"ingress","Scope":"swarm","Internal":false,
+        |  "Ingress":true,"Labels":{"tier":"edge"}}]""".stripMargin
+    val servicesJson =
+      """[{"ID":"svc1","Spec":{"Name":"web","Labels":{"team":"a"},
+        |  "Mode":{"Replicated":{"Replicas":2}},
+        |  "TaskTemplate":{"ContainerSpec":{"Hostname":"web-host","Image":"web:1"}}},
+        |  "UpdateStatus":{"State":"updating"},
+        |  "Endpoint":{
+        |    "VirtualIPs":[{"NetworkID":"net1","Addr":"10.0.0.3/24"}],
+        |    "Ports":[{"Name":"http","Protocol":"tcp","PublishMode":"ingress","PublishedPort":8080},
+        |             {"Name":"dns","Protocol":"udp","PublishMode":"ingress","PublishedPort":53}]}},
+        | {"ID":"svc2","Spec":{"Name":"portless","Mode":{"Global":{}}},
+        |  "Endpoint":{"VirtualIPs":[{"NetworkID":"net1","Addr":"10.0.0.9/24"}]}}]""".stripMargin
+    val tasksJson =
+      """[{"ID":"t1","ServiceID":"svc1","NodeID":"n2","DesiredState":"running","Slot":1,
+        |  "Status":{"State":"running","ContainerStatus":{"ContainerID":"c0ffee"},
+        |    "PortStatus":{"Ports":[{"Protocol":"tcp","PublishMode":"host","PublishedPort":9100}]}},
+        |  "Spec":{"ContainerSpec":{"Labels":{"com.example":"x"}}},
+        |  "NetworksAttachments":[{"Network":{"ID":"net1"},"Addresses":["10.0.0.5/24"]}]}]""".stripMargin
+    val fake = new DockerSwarmSd.ApiClient {
+      override def get(path: String): String = path match {
+        case "/nodes" => nodesJson
+        case "/networks" => networksJson
+        case "/services" => servicesJson
+        case "/tasks" => tasksJson
+        case other => fail(s"unexpected API path $other")
+      }
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    Seq("nodes", "services", "tasks").foreach { role =>
+      mgr.register(role, new DockerSwarmSd.DockerSwarmProvider(s"dockerswarm/0",
+        DockerSwarmSd.Config("tcp://1.2.3.4:2375", role), fake))
+    }
+    mgr.poll()
+    // nodes role
+    val nodes = mgr.targetsFor("nodes", "nodes")
+    assert(nodes.map(_.instance).toSet == Set("10.0.232.3:80", "10.0.232.4:80"))
+    val n1 = nodes.find(_.instance == "10.0.232.3:80").get.extraLabels
+    assert(n1("__meta_dockerswarm_node_id") == "n1")
+    assert(n1("__meta_dockerswarm_node_role") == "manager")
+    assert(n1("__meta_dockerswarm_node_hostname") == "mgr-1")
+    assert(n1("__meta_dockerswarm_node_platform_os") == "linux")
+    assert(n1("__meta_dockerswarm_node_engine_version") == "24.0.2")
+    assert(n1("__meta_dockerswarm_node_manager_leader") == "true")
+    assert(n1("__meta_dockerswarm_node_manager_address") == "10.0.232.3:2377")
+    assert(n1("__meta_dockerswarm_node_label_rack") == "r1")
+    assert(!nodes.find(_.instance == "10.0.232.4:80").get.extraLabels
+      .contains("__meta_dockerswarm_node_manager_leader"))
+    // services role: only the TCP port; the port-less service falls back
+    val svcs = mgr.targetsFor("services", "services")
+    assert(svcs.map(_.instance).toSet == Set("10.0.0.3:8080", "10.0.0.9:80"))
+    val s1 = svcs.find(_.instance == "10.0.0.3:8080").get.extraLabels
+    assert(s1("__meta_dockerswarm_service_id") == "svc1")
+    assert(s1("__meta_dockerswarm_service_name") == "web")
+    assert(s1("__meta_dockerswarm_service_mode") == "replicated")
+    assert(s1("__meta_dockerswarm_service_label_team") == "a")
+    assert(s1("__meta_dockerswarm_service_task_container_image") == "web:1")
+    assert(s1("__meta_dockerswarm_service_task_container_hostname") == "web-host")
+    assert(s1("__meta_dockerswarm_service_updating_status") == "updating")
+    assert(s1("__meta_dockerswarm_service_endpoint_port_name") == "http")
+    assert(s1("__meta_dockerswarm_service_endpoint_port_publish_mode") == "ingress")
+    assert(s1("__meta_dockerswarm_network_name") == "ingress")
+    assert(s1("__meta_dockerswarm_network_ingress") == "true")
+    assert(s1("__meta_dockerswarm_network_label_tier") == "edge")
+    assert(svcs.find(_.instance == "10.0.0.9:80").get
+      .extraLabels("__meta_dockerswarm_service_mode") == "global")
+    // tasks role: published port at node addr + attachment x service port
+    val tasks = mgr.targetsFor("tasks", "tasks")
+    assert(tasks.map(_.instance).toSet == Set("10.0.232.4:9100", "10.0.0.5:8080"))
+    val pub = tasks.find(_.instance == "10.0.232.4:9100").get.extraLabels
+    assert(pub("__meta_dockerswarm_task_id") == "t1")
+    assert(pub("__meta_dockerswarm_task_state") == "running")
+    assert(pub("__meta_dockerswarm_task_desired_state") == "running")
+    assert(pub("__meta_dockerswarm_task_slot") == "1")
+    assert(pub("__meta_dockerswarm_task_container_id") == "c0ffee")
+    assert(pub("__meta_dockerswarm_task_port_publish_mode") == "host")
+    assert(pub("__meta_dockerswarm_container_label_com_example") == "x")
+    assert(pub("__meta_dockerswarm_service_name") == "web")
+    assert(pub("__meta_dockerswarm_node_hostname") == "wrk-1")
+    val att = tasks.find(_.instance == "10.0.0.5:8080").get.extraLabels
+    assert(att("__meta_dockerswarm_task_port_publish_mode") == "ingress")
+    assert(att("__meta_dockerswarm_network_name") == "ingress")
+  }
+
+  test("triton SD: container and cn roles, dns_suffix addresses, groups") {
+    val containers =
+      """{"containers":[
+        |  {"groups":["pdx","sdc"],"server_uuid":"srv-1","vm_alias":"web01",
+        |   "vm_brand":"lx","vm_image_uuid":"img-1","vm_uuid":"vm-1"},
+        |  {"groups":[],"server_uuid":"srv-2","vm_alias":"db01",
+        |   "vm_brand":"kvm","vm_image_uuid":"img-2","vm_uuid":"vm-2"}]}""".stripMargin
+    val cns =
+      """{"cns":[{"server_uuid":"srv-1","server_hostname":"cn01"}]}""".stripMargin
+    val fake = new TritonSd.ApiClient {
+      override def get(url: String): String =
+        if (url == "https://triton.example.com:9163/v1/discover?groups=pdx") containers
+        else if (url == "https://triton.example.com:9163/v1/gz/discover") cns
+        else fail(s"unexpected URL $url")
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("tc", new TritonSd.TritonProvider("triton/0",
+      TritonSd.Config("acct", "triton.example.com", "triton.example.com",
+        groups = Seq("pdx")), fake))
+    mgr.register("tn", new TritonSd.TritonProvider("triton/1",
+      TritonSd.Config("acct", "triton.example.com", "triton.example.com",
+        role = "cn"), fake))
+    mgr.poll()
+    val c = mgr.targetsFor("tc", "tc")
+    assert(c.map(_.instance) ==
+      Seq("vm-1.triton.example.com:9163", "vm-2.triton.example.com:9163"))
+    val l = c.head.extraLabels
+    assert(l("__meta_triton_machine_id") == "vm-1")
+    assert(l("__meta_triton_machine_alias") == "web01")
+    assert(l("__meta_triton_machine_brand") == "lx")
+    assert(l("__meta_triton_machine_image") == "img-1")
+    assert(l("__meta_triton_server_id") == "srv-1")
+    assert(l("__meta_triton_groups") == ",pdx,sdc,")
+    assert(!c(1).extraLabels.contains("__meta_triton_groups"))
+    val n = mgr.targetsFor("tn", "tn")
+    assert(n.map(_.instance) == Seq("srv-1.triton.example.com:9163"))
+    assert(n.head.extraLabels("__meta_triton_machine_alias") == "cn01")
+  }
+
+  test("ovhcloud SD: vps and dedicated_server list+detail+ips, bare-IP address") {
+    val fake = new OvhcloudSd.ApiClient {
+      override def get(path: String): String = path match {
+        case "/vps" => """["abc"]"""
+        case "/vps/abc" =>
+          """{"name":"abc","displayName":"abc","zone":"zone","cluster":"cluster_test",
+            |  "state":"running","netbootMode":"local","memoryLimit":2048,
+            |  "offerType":"ssd","vcore":1,
+            |  "model":{"offer":"VPS abc","datacenter":[],"vcore":1,
+            |    "maximumAdditionnalIp":16,"version":"2019v1",
+            |    "name":"vps-value-1-2-40","disk":40,"memory":2048}}""".stripMargin
+        case "/vps/abc/ips" => """["192.0.2.1"]"""
+        case "/dedicated/server" => """["abcde"]"""
+        case "/dedicated/server/abcde" =>
+          """{"name":"abcde","state":"test","commercialRange":"Advance-1 Gen 2",
+            |  "linkSpeed":123,"rack":"TESTRACK","noIntervention":false,
+            |  "os":"debian11_64","supportLevel":"pro","serverId":1234,
+            |  "reverse":"abcde-rev","datacenter":"gra3"}""".stripMargin
+        case "/dedicated/server/abcde/ips" => """["1.2.3.4"]"""
+        case other => fail(s"unexpected API path $other")
+      }
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("vps", new OvhcloudSd.OvhcloudProvider("ovhcloud/0",
+      OvhcloudSd.Config("vps"), fake))
+    mgr.register("ded", new OvhcloudSd.OvhcloudProvider("ovhcloud/1",
+      OvhcloudSd.Config("dedicated_server"), fake))
+    mgr.poll()
+    // reference vps_test.go expected labels; address is the bare IP
+    val vps = mgr.targetsFor("vps", "vps")
+    assert(vps.map(_.instance) == Seq("192.0.2.1"))
+    val v = vps.head.extraLabels
+    assert(v("__meta_ovhcloud_vps_ipv4") == "192.0.2.1")
+    assert(v("__meta_ovhcloud_vps_ipv6") == "")
+    assert(v("__meta_ovhcloud_vps_cluster") == "cluster_test")
+    assert(v("__meta_ovhcloud_vps_datacenter") == "[]")
+    assert(v("__meta_ovhcloud_vps_disk") == "40")
+    assert(v("__meta_ovhcloud_vps_display_name") == "abc")
+    assert(v("__meta_ovhcloud_vps_maximum_additional_ip") == "16")
+    assert(v("__meta_ovhcloud_vps_memory") == "2048")
+    assert(v("__meta_ovhcloud_vps_memory_limit") == "2048")
+    assert(v("__meta_ovhcloud_vps_model_name") == "vps-value-1-2-40")
+    assert(v("__meta_ovhcloud_vps_name") == "abc")
+    assert(v("__meta_ovhcloud_vps_netboot_mode") == "local")
+    assert(v("__meta_ovhcloud_vps_offer") == "VPS abc")
+    assert(v("__meta_ovhcloud_vps_offer_type") == "ssd")
+    assert(v("__meta_ovhcloud_vps_state") == "running")
+    assert(v("__meta_ovhcloud_vps_vcore") == "1")
+    assert(v("__meta_ovhcloud_vps_model_vcore") == "1")
+    assert(v("__meta_ovhcloud_vps_version") == "2019v1")
+    assert(v("__meta_ovhcloud_vps_zone") == "zone")
+    // reference dedicated_server_test.go expected labels
+    val ded = mgr.targetsFor("ded", "ded")
+    assert(ded.map(_.instance) == Seq("1.2.3.4"))
+    val d = ded.head.extraLabels
+    assert(d("__meta_ovhcloud_dedicated_server_commercial_range") == "Advance-1 Gen 2")
+    assert(d("__meta_ovhcloud_dedicated_server_datacenter") == "gra3")
+    assert(d("__meta_ovhcloud_dedicated_server_ipv4") == "1.2.3.4")
+    assert(d("__meta_ovhcloud_dedicated_server_ipv6") == "")
+    assert(d("__meta_ovhcloud_dedicated_server_link_speed") == "123")
+    assert(d("__meta_ovhcloud_dedicated_server_name") == "abcde")
+    assert(d("__meta_ovhcloud_dedicated_server_no_intervention") == "false")
+    assert(d("__meta_ovhcloud_dedicated_server_os") == "debian11_64")
+    assert(d("__meta_ovhcloud_dedicated_server_rack") == "TESTRACK")
+    assert(d("__meta_ovhcloud_dedicated_server_reverse") == "abcde-rev")
+    assert(d("__meta_ovhcloud_dedicated_server_server_id") == "1234")
+    assert(d("__meta_ovhcloud_dedicated_server_state") == "test")
+    assert(d("__meta_ovhcloud_dedicated_server_support_level") == "pro")
+  }
+
+  test("ionos SD: depth-3 servers with NIC ips, boot labels, ip-less dropped") {
+    val body =
+      """{"id":"8feda53f-15f0-447f-badf-ebe32dad2fc0/servers",
+        |"items":[{
+        |  "id":"srv-1","metadata":{"state":"AVAILABLE"},
+        |  "properties":{"availabilityZone":"AUTO","cpuFamily":"INTEL_SKYLAKE",
+        |    "name":"prometheus-2","vmState":"RUNNING","type":"ENTERPRISE",
+        |    "bootCdrom":{"id":"cd-1"},"bootVolume":{"id":"vol-1"}},
+        |  "entities":{
+        |    "volumes":{"items":[{"properties":{"image":"img-9"}}]},
+        |    "nics":{"items":[
+        |      {"properties":{"name":"mgmt","ips":["85.215.243.177"]}},
+        |      {"properties":{"ips":["185.56.150.9"]}}]}}
+        |},{
+        |  "id":"srv-2","properties":{"name":"no-ips"},"entities":{"nics":{"items":[]}}
+        |}]}""".stripMargin
+    val fake = new IonosSd.ApiClient {
+      override def get(path: String): String =
+        if (path == "/cloudapi/v6/datacenters/dc-1/servers?depth=3") body
+        else fail(s"unexpected API path $path")
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("io", new IonosSd.IonosProvider("ionos/0",
+      IonosSd.Config("dc-1", port = 9100), fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("io", "io")
+    // the second NIC's ips are prepended (reference order); srv-2 dropped
+    assert(raw.map(_.instance) == Seq("185.56.150.9:9100"))
+    val l = raw.head.extraLabels
+    assert(l("__meta_ionos_server_availability_zone") == "AUTO")
+    assert(l("__meta_ionos_server_cpu_family") == "INTEL_SKYLAKE")
+    assert(l("__meta_ionos_server_id") == "srv-1")
+    assert(l("__meta_ionos_server_servers_id") == "8feda53f-15f0-447f-badf-ebe32dad2fc0/servers")
+    assert(l("__meta_ionos_server_ip") == ",185.56.150.9,85.215.243.177,")
+    assert(l("__meta_ionos_server_nic_ip_mgmt") == ",85.215.243.177,")
+    assert(l("__meta_ionos_server_nic_ip_unnamed") == ",185.56.150.9,")
+    assert(l("__meta_ionos_server_lifecycle") == "AVAILABLE")
+    assert(l("__meta_ionos_server_name") == "prometheus-2")
+    assert(l("__meta_ionos_server_state") == "RUNNING")
+    assert(l("__meta_ionos_server_type") == "ENTERPRISE")
+    assert(l("__meta_ionos_server_boot_cdrom_id") == "cd-1")
+    assert(l("__meta_ionos_server_boot_volume_id") == "vol-1")
+    assert(l("__meta_ionos_server_boot_image_id") == "img-9")
+  }
+
   test("linode SD: instance/ip/ipv6-range join, rdns, extra ips, byte specs") {
     // fixture mirrors discovery/linode/testdata/us-east (instance 26838044)
     val instances =
