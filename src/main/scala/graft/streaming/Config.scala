@@ -45,7 +45,10 @@ object Config {
       dockerswarmSd: Seq[DockerSwarmSd.Config] = Nil,
       tritonSd: Seq[TritonSd.Config] = Nil,
       ovhcloudSd: Seq[OvhcloudSd.Config] = Nil,
-      ionosSd: Seq[IonosSd.Config] = Nil)
+      ionosSd: Seq[IonosSd.Config] = Nil,
+      stackitSd: Seq[StackitSd.Config] = Nil,
+      outscaleSd: Seq[OutscaleSd.Config] = Nil,
+      uyuniSd: Seq[UyuniSd.Config] = Nil)
 
   final case class PromConfig(
       scrapeIntervalMs: Long,
@@ -401,6 +404,33 @@ object Config {
           ic.str("port").map(_.toInt).getOrElse(80),
           ic.str("refresh_interval").map(durMs).getOrElse(60000L))
       }.filter(_.datacenterId.nonEmpty)
+      // stackit_sd_configs (ref: discovery/stackit/stackit.go SDConfig)
+      val stackitSd = m.list("stackit_sd_configs").collect { case sk: YMap =>
+        val tok = sk.get("authorization") match {
+          case Some(am: YMap) => str(am, "credentials")
+          case _ => ""
+        }
+        StackitSd.Config(str(sk, "project"), str(sk, "region"),
+          str(sk, "endpoint"), tok,
+          sk.str("port").map(_.toInt).getOrElse(80),
+          sk.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }.filter(_.project.nonEmpty)
+      // outscale_sd_configs (ref: discovery/outscale/outscale.go SDConfig)
+      val outscaleSd = m.list("outscale_sd_configs").collect { case oc: YMap =>
+        OutscaleSd.Config(str(oc, "region"),
+          str(oc, "access_key"), str(oc, "secret_key"),
+          str(oc, "secret_key_file"), str(oc, "endpoint"),
+          oc.str("port").map(_.toInt).getOrElse(80),
+          oc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }.filter(_.region.nonEmpty)
+      // uyuni_sd_configs (ref: discovery/uyuni/uyuni.go SDConfig)
+      val uyuniSd = m.list("uyuni_sd_configs").collect { case uc: YMap =>
+        UyuniSd.Config(str(uc, "server"),
+          str(uc, "username"), str(uc, "password"),
+          str(uc, "entitlement", "monitoring_entitled"),
+          str(uc, "separator", ","),
+          uc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }.filter(_.server.nonEmpty)
       ScrapeJob(name, statics, sdFiles,
         m.str("scrape_interval").map(durMs).getOrElse(scrapeMs),
         relabelChain(m.get("relabel_configs")),
@@ -415,7 +445,8 @@ object Config {
         dnsSd, httpSd, k8sSd, consulSd, ec2Sd, gceSd, azureSd, dockerSd,
         doSd, hetznerSd, openstackSd, eurekaSd, nomadSd, marathonSd, puppetdbSd,
         linodeSd, vultrSd, scalewaySd, lightsailSd,
-        dockerswarmSd, tritonSd, ovhcloudSd, ionosSd)
+        dockerswarmSd, tritonSd, ovhcloudSd, ionosSd,
+        stackitSd, outscaleSd, uyuniSd)
     }
     def urlsOf(key: String): Seq[String] =
       root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)

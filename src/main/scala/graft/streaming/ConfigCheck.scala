@@ -313,6 +313,37 @@ object ConfigCheck {
               errs += s"""$path: job "$job": datacenter id can't be empty"""
           case _ => ()
         }
+        // uyuni: server + username + password (ref: uyuni.go UnmarshalYAML)
+        sc.list("uyuni_sd_configs").foreach {
+          case uc: YMap =>
+            if (uc.str("server").forall(_.isEmpty))
+              errs += s"""$path: job "$job": Uyuni SD configuration requires server host"""
+            if (uc.str("username").forall(_.isEmpty))
+              errs += s"""$path: job "$job": Uyuni SD configuration requires a username"""
+            if (uc.str("password").forall(_.isEmpty))
+              errs += s"""$path: job "$job": Uyuni SD configuration requires a password"""
+          case _ => ()
+        }
+        // outscale: region + access_key + secret (ref: outscale.go)
+        sc.list("outscale_sd_configs").foreach {
+          case oc: YMap =>
+            if (oc.str("region").forall(_.isEmpty))
+              errs += s"""$path: job "$job": outscale SD configuration requires a region"""
+            if (oc.str("access_key").forall(_.isEmpty))
+              errs += s"""$path: job "$job": outscale SD configuration requires access_key"""
+            if (oc.str("secret_key").forall(_.isEmpty) &&
+                oc.str("secret_key_file").forall(_.isEmpty))
+              errs += s"""$path: job "$job": one of secret_key & secret_key_file must be configured"""
+          case _ => ()
+        }
+        // stackit: endpoint or region required (ref: stackit.go)
+        sc.list("stackit_sd_configs").foreach {
+          case sk: YMap =>
+            if (sk.str("endpoint").forall(_.isEmpty) &&
+                sk.str("region").forall(_.isEmpty))
+              errs += s"""$path: job "$job": stackit_sd: endpoint and region missing"""
+          case _ => ()
+        }
         // scaleway: role + project_id + secret + access_key required
         // (ref: scaleway.go UnmarshalYAML)
         sc.list("scaleway_sd_configs").foreach {

@@ -292,7 +292,10 @@ object Discovery {
       dockerswarmClient: Option[DockerSwarmSd.ApiClient] = None,
       tritonClient: Option[TritonSd.ApiClient] = None,
       ovhcloudClient: Option[OvhcloudSd.ApiClient] = None,
-      ionosClient: Option[IonosSd.ApiClient] = None): Unit = {
+      ionosClient: Option[IonosSd.ApiClient] = None,
+      stackitClient: Option[StackitSd.ApiClient] = None,
+      outscaleClient: Option[OutscaleSd.ApiClient] = None,
+      uyuniClient: Option[UyuniSd.ApiClient] = None): Unit = {
     if (job.staticTargets.nonEmpty)
       mgr.register(job.jobName, new StaticProvider("static",
         Seq(TargetGroup("static/0", Map.empty,
@@ -408,6 +411,21 @@ object Discovery {
       mgr.register(job.jobName, ionosClient match {
         case Some(c) => new IonosSd.IonosProvider(s"ionos/$i", ic, c)
         case None => new IonosSd.IonosProvider(s"ionos/$i", ic)
+      }) }
+    job.stackitSd.zipWithIndex.foreach { case (sk, i) =>
+      mgr.register(job.jobName, stackitClient match {
+        case Some(c) => new StackitSd.StackitProvider(s"stackit/$i", sk, c)
+        case None => new StackitSd.StackitProvider(s"stackit/$i", sk)
+      }) }
+    job.outscaleSd.zipWithIndex.foreach { case (oc, i) =>
+      mgr.register(job.jobName, outscaleClient match {
+        case Some(c) => new OutscaleSd.OutscaleProvider(s"outscale/$i", oc, c)
+        case None => new OutscaleSd.OutscaleProvider(s"outscale/$i", oc)
+      }) }
+    job.uyuniSd.zipWithIndex.foreach { case (uc, i) =>
+      mgr.register(job.jobName, uyuniClient match {
+        case Some(c) => new UyuniSd.UyuniProvider(s"uyuni/$i", uc, c)
+        case None => new UyuniSd.UyuniProvider(s"uyuni/$i", uc)
       }) }
   }
 }

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.web.JsonLite
+
+/** STACKIT Cloud service discovery (ref: discovery/stackit/stackit.go +
+  * server.go).
+  *
+  * One `GET /v1/projects/{project}/servers` per refresh against the
+  * regional IaaS endpoint — targets address the first public IP (falling
+  * back to the first private IPv4) : port; per-network private IPs label by
+  * network name, string labels get label/labelpresent pairs, NIC-less and
+  * IP-less servers are skipped. */
+object StackitSd {
+
+  /** stackit_sd_configs entry (ref: stackit.go SDConfig; port 80,
+    * refresh 60s; endpoint defaults to the regional IaaS API) */
+  final case class Config(
+      project: String,
+      region: String = "",
+      endpoint: String = "",
+      bearerToken: String = "",
+      port: Int = 80,
+      refreshMs: Long = 60000L) {
+    def apiEndpoint: String =
+      if (endpoint.nonEmpty) endpoint.stripSuffix("/")
+      else s"https://iaas.api.$region.stackit.cloud"
+  }
+
+  /** injectable transport; `path` is relative to the endpoint */
+  trait ApiClient { def get(path: String): String }
+
+  final class HttpApiClient(cfg: Config) extends ApiClient {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    override def get(path: String): String = {
+      val b = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(cfg.apiEndpoint + path))
+        .timeout(java.time.Duration.ofSeconds(30))
+        .header("Accept", "application/json")
+      if (cfg.bearerToken.nonEmpty)
+        b.header("Authorization", "Bearer " + cfg.bearerToken)
+      val resp = client.send(b.GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(s"stackit sd: ${resp.statusCode()} for $path")
+      resp.body()
+    }
+  }
+
+  private type J = Map[String, Any]
+  private def jmap(v: Any): J = v match { case m: Map[_, _] => m.asInstanceOf[J]; case _ => Map.empty }
+  private def jlist(v: Any): List[J] =
+    (v match { case l: List[_] => l; case _ => Nil }).map(jmap)
+  private def jstr(v: Any): String = v match {
+    case s: String => s
+    case null => ""
+    case other => String.valueOf(other)
+  }
+  private def s(o: J, k: String): String = jstr(o.getOrElse(k, null))
+
+  final class StackitProvider(override val name: String, cfg: Config,
+      client: ApiClient) extends Discovery.Provider {
+    def this(name: String, cfg: Config) = this(name, cfg, new HttpApiClient(cfg))
+    override def refreshMs: Long = cfg.refreshMs
+    override def refresh(): Seq[Discovery.TargetGroup] = {
+      val body = jmap(JsonLite.parse(client.get(
+        s"/v1/projects/${cfg.project}/servers")))
+      val targets = jlist(body.getOrElse("items", null)).flatMap { sv =>
+        val nics = jlist(sv.getOrElse("nics", null))
+        if (nics.isEmpty) None // NIC-less servers are skipped
+        else {
+          var l = Map(
+            "__meta_stackit_project" -> cfg.project,
+            "__meta_stackit_id" -> s(sv, "id"),
+            "__meta_stackit_name" -> s(sv, "name"),
+            "__meta_stackit_availability_zone" -> s(sv, "availabilityZone"),
+            "__meta_stackit_status" -> s(sv, "status"),
+            "__meta_stackit_power_status" -> s(sv, "powerStatus"),
+            "__meta_stackit_type" -> s(sv, "machineType"))
+          var addr = ""; var publicIp = ""
+          nics.foreach { nic =>
+            val pub = s(nic, "publicIp")
+            if (pub.nonEmpty && publicIp.isEmpty) { publicIp = pub; addr = pub }
+            val v4 = s(nic, "ipv4")
+            if (v4.nonEmpty) {
+              l += "__meta_stackit_private_ipv4_" +
+                KubernetesSd.sanitize(s(nic, "networkName")) -> v4
+              if (addr.isEmpty) addr = v4
+            }
+          }
+          if (addr.isEmpty) None // IP-less servers are skipped
+          else {
+            if (publicIp.nonEmpty) l += "__meta_stackit_public_ipv4" -> publicIp
+            jmap(sv.getOrElse("labels", null)).foreach {
+              case (k, v: String) =>
+                val sk = KubernetesSd.sanitize(k)
+                l += "__meta_stackit_label_" + sk -> v
+                l += "__meta_stackit_labelpresent_" + sk -> "true"
+              case _ => () // only string label values attach (ref server.go:208)
+            }
+            Some((s"$addr:${cfg.port}", l))
+          }
+        }
+      }
+      Seq(Discovery.TargetGroup("stackit", Map.empty, targets))
+    }
+  }
+}

@@ -1,0 +1,203 @@
+package graft.streaming
+
+/** Uyuni / SUSE Manager service discovery (ref: discovery/uyuni/uyuni.go).
+  *
+  * The Uyuni API is XML-RPC over HTTP POST to `{server}/rpc/api`. Per
+  * refresh (with the auth token cached to half its lifetime like the
+  * reference):
+  *   1. `auth.login(user, pass, durationSec)` → session token
+  *   2. `system.listSystemGroupsForSystemsWithEntitlement(token, ent)` —
+  *      monitored systems + their groups
+  *   3. `system.monitoring.listEndpoints(token, ids)` — exporter endpoints
+  *   4. `system.getNetworkForSystems(token, ids)` — hostname/FQDN per system
+  * One target per endpoint at hostname:port with the `__meta_uyuni_*`
+  * labels (scheme from tls_enabled). A minimal XML-RPC codec lives here —
+  * strings/ints/booleans/doubles/structs/arrays, faults → exceptions. */
+object UyuniSd {
+
+  /** uyuni_sd_configs entry (ref: uyuni.go SDConfig / DefaultSDConfig:
+    * entitlement monitoring_entitled, separator ",", refresh 60s) */
+  final case class Config(
+      server: String,
+      username: String,
+      password: String,
+      entitlement: String = "monitoring_entitled",
+      separator: String = ",",
+      refreshMs: Long = 60000L)
+
+  /** injectable XML-RPC transport: `call` returns the decoded response
+    * value (String / Long / Boolean / Double / Map / List) */
+  trait ApiClient { def call(method: String, params: Seq[Any]): Any }
+
+  // ------------------------------------------------------- XML-RPC codec
+
+  private[streaming] def encodeValue(sb: StringBuilder, v: Any): Unit = {
+    sb.append("<value>")
+    v match {
+      case s: String =>
+        sb.append("<string>").append(s.replace("&", "&amp;")
+          .replace("<", "&lt;").replace(">", "&gt;")).append("</string>")
+      case i: Int => sb.append("<int>").append(i).append("</int>")
+      case l: Long => sb.append("<int>").append(l).append("</int>")
+      case b: Boolean => sb.append("<boolean>").append(if (b) "1" else "0").append("</boolean>")
+      case d: Double => sb.append("<double>").append(d).append("</double>")
+      case xs: Seq[_] =>
+        sb.append("<array><data>")
+        xs.foreach(encodeValue(sb, _))
+        sb.append("</data></array>")
+      case other => sb.append("<string>").append(String.valueOf(other)).append("</string>")
+    }
+    sb.append("</value>")
+  }
+
+  private[streaming] def encodeCall(method: String, params: Seq[Any]): String = {
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\"?><methodCall><methodName>")
+      .append(method).append("</methodName><params>")
+    params.foreach { p => sb.append("<param>"); encodeValue(sb, p); sb.append("</param>") }
+    sb.append("</params></methodCall>")
+    sb.toString
+  }
+
+  private def childElems(n: org.w3c.dom.Node): Seq[org.w3c.dom.Element] = {
+    val out = Seq.newBuilder[org.w3c.dom.Element]
+    val kids = n.getChildNodes
+    var i = 0
+    while (i < kids.getLength) {
+      kids.item(i) match { case e: org.w3c.dom.Element => out += e; case _ => () }
+      i += 1
+    }
+    out.result()
+  }
+
+  private def decodeValue(v: org.w3c.dom.Element): Any = {
+    val typed = childElems(v)
+    if (typed.isEmpty) return v.getTextContent // bare <value>text</value> = string
+    val t = typed.head
+    t.getTagName match {
+      case "string" => t.getTextContent
+      case "int" | "i4" | "i8" => t.getTextContent.trim.toLong
+      case "boolean" => t.getTextContent.trim == "1"
+      case "double" => t.getTextContent.trim.toDouble
+      case "array" =>
+        childElems(t).find(_.getTagName == "data").toList
+          .flatMap(childElems(_)).filter(_.getTagName == "value").map(decodeValue)
+      case "struct" =>
+        childElems(t).filter(_.getTagName == "member").map { mem =>
+          val name = childElems(mem).find(_.getTagName == "name")
+            .map(_.getTextContent).getOrElse("")
+          val value = childElems(mem).find(_.getTagName == "value")
+            .map(decodeValue).orNull
+          name -> value
+        }.toMap
+      case _ => t.getTextContent
+    }
+  }
+
+  private[streaming] def decodeResponse(xml: String): Any = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val doc = f.newDocumentBuilder().parse(
+      new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+    val root = doc.getDocumentElement // methodResponse
+    childElems(root).headOption match {
+      case Some(fault) if fault.getTagName == "fault" =>
+        val detail = childElems(fault).find(_.getTagName == "value")
+          .map(decodeValue).getOrElse(Map.empty)
+        throw new IllegalStateException(s"uyuni sd: xml-rpc fault $detail")
+      case Some(params) if params.getTagName == "params" =>
+        childElems(params).find(_.getTagName == "param").toList
+          .flatMap(childElems(_)).find(_.getTagName == "value")
+          .map(decodeValue).orNull
+      case _ => null
+    }
+  }
+
+  final class HttpApiClient(cfg: Config) extends ApiClient {
+    private val url = cfg.server.stripSuffix("/") + "/rpc/api"
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    override def call(method: String, params: Seq[Any]): Any = {
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofSeconds(30))
+          .header("Content-Type", "text/xml")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            encodeCall(method, params))).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(s"uyuni sd: ${resp.statusCode()} for $method")
+      decodeResponse(resp.body())
+    }
+  }
+
+  // ------------------------------------------------------------ provider
+
+  private def jmap(v: Any): Map[String, Any] =
+    v match { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]; case _ => Map.empty }
+  private def jlist(v: Any): List[Any] = v match { case l: List[_] => l; case _ => Nil }
+  private def jstr(v: Any): String = v match {
+    case s: String => s; case null => ""; case other => String.valueOf(other) }
+  private def s(o: Map[String, Any], k: String): String = jstr(o.getOrElse(k, null))
+  private def jlong(o: Map[String, Any], k: String): Long = o.getOrElse(k, null) match {
+    case l: Long => l; case d: java.lang.Double => d.longValue
+    case i: Integer => i.longValue; case _ => 0L
+  }
+
+  /** the reference's 12h API token, re-logged-in at half-life */
+  private val tokenDurationMs = 12L * 3600 * 1000
+
+  final class UyuniProvider(override val name: String, cfg: Config,
+      client: ApiClient) extends Discovery.Provider {
+    def this(name: String, cfg: Config) = this(name, cfg, new HttpApiClient(cfg))
+    override def refreshMs: Long = cfg.refreshMs
+    private var token = ""
+    private var tokenExpiresAt = 0L
+
+    override def refresh(): Seq[Discovery.TargetGroup] = {
+      val now = System.currentTimeMillis()
+      if (token.isEmpty || now >= tokenExpiresAt) {
+        token = jstr(client.call("auth.login",
+          Seq(cfg.username, cfg.password, (tokenDurationMs / 1000).toInt)))
+        tokenExpiresAt = now + tokenDurationMs / 2
+      }
+      try {
+        val groupsBySystem = jlist(client.call(
+            "system.listSystemGroupsForSystemsWithEntitlement",
+            Seq(token, cfg.entitlement))).map(jmap)
+          .map(g => jlong(g, "id") ->
+            jlist(g.getOrElse("system_groups", null)).map(jmap).map(s(_, "name")))
+          .toMap
+        val systemIds = groupsBySystem.keys.toList.sorted
+        if (systemIds.isEmpty)
+          return Seq(Discovery.TargetGroup(cfg.server, Map.empty, Nil))
+        val endpoints = jlist(client.call("system.monitoring.listEndpoints",
+          Seq(token, systemIds))).map(jmap)
+        val netBySystem = jlist(client.call("system.getNetworkForSystems",
+          Seq(token, systemIds))).map(jmap)
+          .map(n => jlong(n, "system_id") -> n).toMap
+        val targets = endpoints.map { ep =>
+          val sid = jlong(ep, "system_id")
+          val net = netBySystem.getOrElse(sid, Map.empty[String, Any])
+          val scheme = if (ep.getOrElse("tls_enabled", null) == java.lang.Boolean.TRUE ||
+            ep.getOrElse("tls_enabled", null) == true) "https" else "http"
+          (s"${s(net, "hostname")}:${jlong(ep, "port")}", Map(
+            "__meta_uyuni_minion_hostname" -> s(net, "hostname"),
+            "__meta_uyuni_primary_fqdn" -> s(net, "primary_fqdn"),
+            "__meta_uyuni_system_id" -> sid.toString,
+            "__meta_uyuni_groups" ->
+              groupsBySystem.getOrElse(sid, Nil).mkString(cfg.separator),
+            "__meta_uyuni_endpoint_name" -> s(ep, "endpoint_name"),
+            "__meta_uyuni_exporter" -> s(ep, "exporter_name"),
+            "__meta_uyuni_proxy_module" -> s(ep, "module"),
+            "__meta_uyuni_metrics_path" -> s(ep, "path"),
+            "__meta_uyuni_scheme" -> scheme))
+        }
+        Seq(Discovery.TargetGroup(cfg.server, Map.empty, targets))
+      } catch { case e: Exception =>
+        token = "" // force re-login next refresh (ref uyuni.go:353-355)
+        throw e
+      }
+    }
+  }
+}

@@ -643,6 +643,144 @@ class SdProvidersSpec extends AnyFunSuite {
       "Default", "", "demo", "", "", "", "", allTenants = true, port = 9100)))
   }
 
+  test("stackit SD: server list, public-ip preference, label pairs") {
+    // fixture mirrors discovery/stackit/mock_test.go shapes
+    val body =
+      """{"items":[
+        |  {"id":"sv-1","name":"runcmd","availabilityZone":"eu01-1",
+        |   "status":"ACTIVE","powerStatus":"RUNNING","machineType":"g1.1",
+        |   "labels":{"env":"prod","count":3},
+        |   "nics":[{"networkName":"internal","ipv4":"10.0.0.4","publicIp":"192.0.2.7"}]},
+        |  {"id":"sv-2","name":"private-only","availabilityZone":"eu01-2",
+        |   "status":"ACTIVE","powerStatus":"RUNNING","machineType":"g1.2",
+        |   "nics":[{"networkName":"internal","ipv4":"10.0.0.5"}]},
+        |  {"id":"sv-3","name":"no-nics","nics":[]}
+        |]}""".stripMargin
+    val fake = new StackitSd.ApiClient {
+      override def get(path: String): String =
+        if (path == "/v1/projects/p-1/servers") body
+        else fail(s"unexpected API path $path")
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("sk", new StackitSd.StackitProvider("stackit/0",
+      StackitSd.Config("p-1", region = "eu01"), fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("sk", "sk")
+    // public ip preferred; private-only falls back; nic-less dropped
+    assert(raw.map(_.instance) == Seq("192.0.2.7:80", "10.0.0.5:80"))
+    val l = raw.head.extraLabels
+    assert(l("__meta_stackit_project") == "p-1")
+    assert(l("__meta_stackit_id") == "sv-1")
+    assert(l("__meta_stackit_name") == "runcmd")
+    assert(l("__meta_stackit_availability_zone") == "eu01-1")
+    assert(l("__meta_stackit_status") == "ACTIVE")
+    assert(l("__meta_stackit_power_status") == "RUNNING")
+    assert(l("__meta_stackit_type") == "g1.1")
+    assert(l("__meta_stackit_public_ipv4") == "192.0.2.7")
+    assert(l("__meta_stackit_private_ipv4_internal") == "10.0.0.4")
+    // only string labels attach (ref server.go:208)
+    assert(l("__meta_stackit_label_env") == "prod")
+    assert(l("__meta_stackit_labelpresent_env") == "true")
+    assert(!l.contains("__meta_stackit_label_count"))
+    assert(!raw(1).extraLabels.contains("__meta_stackit_public_ipv4"))
+  }
+
+  test("outscale SD: ReadVms pagination, private-ip preference, tags") {
+    val page1 =
+      """{"Vms":[
+        |  {"VmId":"i-1","State":"running","PrivateIp":"10.0.1.4","PublicIp":"203.0.113.5",
+        |   "Placement":{"SubregionName":"eu-west-2a"},
+        |   "Tags":[{"Key":"name","Value":"web"}]},
+        |  {"VmId":"i-skip","State":"pending"}
+        |],"NextPageToken":"t2"}""".stripMargin
+    val page2 =
+      """{"Vms":[{"VmId":"i-2","State":"running","PublicIp":"203.0.113.9"}]}"""
+    val fake = new OutscaleSd.ApiClient {
+      override def readVms(tok: Option[String]): String = tok match {
+        case None => page1
+        case Some("t2") => page2
+        case other => fail(s"unexpected token $other")
+      }
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("os", new OutscaleSd.OutscaleProvider("outscale/0",
+      OutscaleSd.Config("eu-west-2", port = 9100), fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("os", "os")
+    // private preferred; public-only falls back; address-less skipped
+    assert(raw.map(_.instance) == Seq("10.0.1.4:9100", "203.0.113.9:9100"))
+    val l = raw.head.extraLabels
+    assert(l("__meta_outscale_vm_instance_id") == "i-1")
+    assert(l("__meta_outscale_vm_region") == "eu-west-2")
+    assert(l("__meta_outscale_vm_state") == "running")
+    assert(l("__meta_outscale_vm_subregion") == "eu-west-2a")
+    assert(l("__meta_outscale_vm_private_ip") == "10.0.1.4")
+    assert(l("__meta_outscale_vm_public_ip") == "203.0.113.5")
+    assert(l("__meta_outscale_vm_tag_name") == "web")
+  }
+
+  test("uyuni SD: xml-rpc login + three-call join; codec round-trips") {
+    // codec: encode a call, decode a response (struct/array/int/bool)
+    val call = UyuniSd.encodeCall("auth.login", Seq("u&1", "p<w", 43200))
+    assert(call.contains("<methodName>auth.login</methodName>"))
+    assert(call.contains("<string>u&amp;1</string>"))
+    assert(call.contains("<string>p&lt;w</string>"))
+    assert(call.contains("<int>43200</int>"))
+    val decoded = UyuniSd.decodeResponse(
+      """<?xml version="1.0"?><methodResponse><params><param><value><array><data>
+        |<value><struct>
+        |  <member><name>id</name><value><int>1000010000</int></value></member>
+        |  <member><name>ok</name><value><boolean>1</boolean></value></member>
+        |  <member><name>name</name><value>bare</value></member>
+        |</struct></value>
+        |</data></array></value></param></params></methodResponse>""".stripMargin)
+    assert(decoded == List(Map("id" -> 1000010000L, "ok" -> true, "name" -> "bare")))
+    intercept[IllegalStateException] {
+      UyuniSd.decodeResponse(
+        """<methodResponse><fault><value><struct>
+          |<member><name>faultCode</name><value><int>2950</int></value></member>
+          |</struct></value></fault></methodResponse>""".stripMargin)
+    }
+
+    // provider: fake XML-RPC client drives the reference's call sequence
+    val fake = new UyuniSd.ApiClient {
+      override def call(method: String, params: Seq[Any]): Any = method match {
+        case "auth.login" =>
+          assert(params.take(2) == Seq("admin", "pw")); "token-1"
+        case "system.listSystemGroupsForSystemsWithEntitlement" =>
+          assert(params == Seq("token-1", "monitoring_entitled"))
+          List(Map("id" -> 1001L,
+            "system_groups" -> List(Map("id" -> 2L, "name" -> "group1"),
+              Map("id" -> 3L, "name" -> "group2"))))
+        case "system.monitoring.listEndpoints" =>
+          assert(params == Seq("token-1", List(1001L)))
+          List(Map("system_id" -> 1001L, "endpoint_name" -> "node_exporter",
+            "port" -> 9100L, "path" -> "/metrics", "module" -> "",
+            "exporter_name" -> "node", "tls_enabled" -> true))
+        case "system.getNetworkForSystems" =>
+          assert(params == Seq("token-1", List(1001L)))
+          List(Map("system_id" -> 1001L, "hostname" -> "minion1.example.com",
+            "primary_fqdn" -> "minion1.example.com", "ip" -> "10.0.0.8"))
+        case other => fail(s"unexpected method $other")
+      }
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("uy", new UyuniSd.UyuniProvider("uyuni/0",
+      UyuniSd.Config("https://uyuni.example.com", "admin", "pw"), fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("uy", "uy")
+    assert(raw.map(_.instance) == Seq("minion1.example.com:9100"))
+    val l = raw.head.extraLabels
+    assert(l("__meta_uyuni_minion_hostname") == "minion1.example.com")
+    assert(l("__meta_uyuni_primary_fqdn") == "minion1.example.com")
+    assert(l("__meta_uyuni_system_id") == "1001")
+    assert(l("__meta_uyuni_groups") == "group1,group2")
+    assert(l("__meta_uyuni_endpoint_name") == "node_exporter")
+    assert(l("__meta_uyuni_exporter") == "node")
+    assert(l("__meta_uyuni_metrics_path") == "/metrics")
+    assert(l("__meta_uyuni_scheme") == "https")
+  }
+
   test("dockerswarm SD: nodes, services (vip x port), tasks (published + attached)") {
     val nodesJson =
       """[{"ID":"n1","Spec":{"Role":"manager","Availability":"active",
