@@ -48,7 +48,9 @@ object Config {
       ionosSd: Seq[IonosSd.Config] = Nil,
       stackitSd: Seq[StackitSd.Config] = Nil,
       outscaleSd: Seq[OutscaleSd.Config] = Nil,
-      uyuniSd: Seq[UyuniSd.Config] = Nil)
+      uyuniSd: Seq[UyuniSd.Config] = Nil,
+      ociSd: Seq[OciSd.Config] = Nil,
+      kumaSd: Seq[KumaSd.Config] = Nil)
 
   final case class PromConfig(
       scrapeIntervalMs: Long,
@@ -431,6 +433,20 @@ object Config {
           str(uc, "separator", ","),
           uc.str("refresh_interval").map(durMs).getOrElse(60000L))
       }.filter(_.server.nonEmpty)
+      // oci_sd_configs (ref: discovery/oci/oci.go SDConfig)
+      val ociSd = m.list("oci_sd_configs").collect { case oc: YMap =>
+        OciSd.Config(str(oc, "region"),
+          str(oc, "tenancy"), str(oc, "user"), str(oc, "fingerprint"),
+          str(oc, "key_file"), strList(oc.get("compartments")),
+          oc.str("port").map(_.toInt).getOrElse(80),
+          oc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }.filter(_.region.nonEmpty)
+      // kuma_sd_configs (ref: discovery/xds/kuma.go KumaSDConfig)
+      val kumaSd = m.list("kuma_sd_configs").collect { case kc: YMap =>
+        KumaSd.Config(str(kc, "server"), str(kc, "client_id"),
+          kc.str("fetch_timeout").map(durMs).getOrElse(120000L),
+          kc.str("refresh_interval").map(durMs).getOrElse(15000L))
+      }.filter(_.server.nonEmpty)
       ScrapeJob(name, statics, sdFiles,
         m.str("scrape_interval").map(durMs).getOrElse(scrapeMs),
         relabelChain(m.get("relabel_configs")),
@@ -446,7 +462,7 @@ object Config {
         doSd, hetznerSd, openstackSd, eurekaSd, nomadSd, marathonSd, puppetdbSd,
         linodeSd, vultrSd, scalewaySd, lightsailSd,
         dockerswarmSd, tritonSd, ovhcloudSd, ionosSd,
-        stackitSd, outscaleSd, uyuniSd)
+        stackitSd, outscaleSd, uyuniSd, ociSd, kumaSd)
     }
     def urlsOf(key: String): Seq[String] =
       root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)

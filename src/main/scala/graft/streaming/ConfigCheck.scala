@@ -313,6 +313,29 @@ object ConfigCheck {
               errs += s"""$path: job "$job": datacenter id can't be empty"""
           case _ => ()
         }
+        // kuma: server must be an http(s) URL (ref: xds/client.go)
+        sc.list("kuma_sd_configs").foreach {
+          case kc: YMap =>
+            val server = kc.str("server").getOrElse("")
+            if (server.isEmpty)
+              errs += s"""$path: job "$job": empty xDS server URL"""
+            else if (!server.matches("^https?://.*"))
+              errs += s"""$path: job "$job": invalid xDS server URL protocol. must be either 'http' or 'https'"""
+          case _ => ()
+        }
+        // oci: region + api_key credentials (ref: oci.go UnmarshalYAML)
+        sc.list("oci_sd_configs").foreach {
+          case oc: YMap =>
+            if (oc.str("region").forall(_.isEmpty))
+              errs += s"""$path: job "$job": oci_sd: region is required"""
+            val auth = oc.str("auth").getOrElse("api_key")
+            if (auth == "api_key")
+              Seq("tenancy", "user", "fingerprint", "key_file").foreach { f =>
+                if (oc.str(f).forall(_.isEmpty))
+                  errs += s"""$path: job "$job": oci_sd: api_key auth requires $f"""
+              }
+          case _ => ()
+        }
         // uyuni: server + username + password (ref: uyuni.go UnmarshalYAML)
         sc.list("uyuni_sd_configs").foreach {
           case uc: YMap =>

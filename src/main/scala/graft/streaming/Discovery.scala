@@ -295,7 +295,9 @@ object Discovery {
       ionosClient: Option[IonosSd.ApiClient] = None,
       stackitClient: Option[StackitSd.ApiClient] = None,
       outscaleClient: Option[OutscaleSd.ApiClient] = None,
-      uyuniClient: Option[UyuniSd.ApiClient] = None): Unit = {
+      uyuniClient: Option[UyuniSd.ApiClient] = None,
+      ociClient: Option[OciSd.ApiClient] = None,
+      kumaClient: Option[KumaSd.ApiClient] = None): Unit = {
     if (job.staticTargets.nonEmpty)
       mgr.register(job.jobName, new StaticProvider("static",
         Seq(TargetGroup("static/0", Map.empty,
@@ -426,6 +428,16 @@ object Discovery {
       mgr.register(job.jobName, uyuniClient match {
         case Some(c) => new UyuniSd.UyuniProvider(s"uyuni/$i", uc, c)
         case None => new UyuniSd.UyuniProvider(s"uyuni/$i", uc)
+      }) }
+    job.ociSd.zipWithIndex.foreach { case (oc, i) =>
+      mgr.register(job.jobName, ociClient match {
+        case Some(c) => new OciSd.OciProvider(s"oci/$i", oc, c)
+        case None => new OciSd.OciProvider(s"oci/$i", oc)
+      }) }
+    job.kumaSd.zipWithIndex.foreach { case (kc, i) =>
+      mgr.register(job.jobName, kumaClient match {
+        case Some(c) => new KumaSd.KumaProvider(s"kuma/$i", kc, c)
+        case None => new KumaSd.KumaProvider(s"kuma/$i", kc)
       }) }
   }
 }

@@ -643,6 +643,128 @@ class SdProvidersSpec extends AnyFunSuite {
       "Default", "", "demo", "", "", "", "", allTenants = true, port = 9100)))
   }
 
+  test("oci SD: compartment walk, primary VNIC, defined tags, ip ladder") {
+    val compartments =
+      """[{"id":"ocid1.compartment.c1","lifecycleState":"ACTIVE"}]"""
+    val instances =
+      """[{
+        |  "id":"ocid1.instance.i1","displayName":"web-1","lifecycleState":"RUNNING",
+        |  "shape":"VM.Standard.E4.Flex","availabilityDomain":"AD-1",
+        |  "faultDomain":"FD-2","region":"eu-frankfurt-1",
+        |  "compartmentId":"ocid1.compartment.c1","imageId":"ocid1.image.img1",
+        |  "freeformTags":{"env":"prod"},
+        |  "definedTags":{"ops":{"team":"obs","replicas":3,"canary":true,"skip":[1]}}
+        |},{
+        |  "id":"ocid1.instance.i2","displayName":"no-vnic"
+        |}]""".stripMargin
+    val attachments =
+      """[{"vnicId":"ocid1.vnic.v0","lifecycleState":"DETACHED"},
+        | {"vnicId":"ocid1.vnic.v1","lifecycleState":"ATTACHED"}]""".stripMargin
+    val secondary =
+      """{"id":"ocid1.vnic.v0","isPrimary":false,"privateIp":"10.9.9.9"}"""
+    val primary =
+      """{"id":"ocid1.vnic.v1","isPrimary":true,"privateIp":"10.0.0.3",
+        |"publicIp":"130.61.1.2","hostnameLabel":"web-1",
+        |"ipv6Addresses":["2603:b:2::7","2603:a:1::5"]}""".stripMargin
+    val fake = new OciSd.ApiClient {
+      override def get(service: String, path: String): String = (service, path) match {
+        case ("identity", p) if p.startsWith("/20160918/compartments") =>
+          assert(p.contains("compartmentId=ocid1.tenancy.t1") &&
+            p.contains("compartmentIdInSubtree=true"), p)
+          compartments
+        case ("iaas", "/20160918/instances?compartmentId=ocid1.compartment.c1") => instances
+        case ("iaas", p) if p.startsWith("/20160918/vnicAttachments") =>
+          if (p.contains("instanceId=ocid1.instance.i1")) attachments else "[]"
+        case ("iaas", "/20160918/vnics/ocid1.vnic.v1") => primary
+        case ("iaas", "/20160918/vnics/ocid1.vnic.v0") => secondary
+        case other => fail(s"unexpected API call $other")
+      }
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("oci", new OciSd.OciProvider("oci/0",
+      OciSd.Config("eu-frankfurt-1", tenancy = "ocid1.tenancy.t1", port = 9100), fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("oci", "oci")
+    // the VNIC-less instance is dropped; private ip leads the ladder
+    assert(raw.map(_.instance) == Seq("10.0.0.3:9100"))
+    val l = raw.head.extraLabels
+    assert(l("__meta_oci_instance_id") == "ocid1.instance.i1")
+    assert(l("__meta_oci_instance_name") == "web-1")
+    assert(l("__meta_oci_instance_state") == "RUNNING")
+    assert(l("__meta_oci_instance_shape") == "VM.Standard.E4.Flex")
+    assert(l("__meta_oci_availability_domain") == "AD-1")
+    assert(l("__meta_oci_fault_domain") == "FD-2")
+    assert(l("__meta_oci_region") == "eu-frankfurt-1")
+    assert(l("__meta_oci_tenancy_id") == "ocid1.tenancy.t1")
+    assert(l("__meta_oci_compartment_id") == "ocid1.compartment.c1")
+    assert(l("__meta_oci_image_id") == "ocid1.image.img1")
+    assert(l("__meta_oci_vnic_id") == "ocid1.vnic.v1")
+    assert(l("__meta_oci_private_ip") == "10.0.0.3")
+    assert(l("__meta_oci_public_ip") == "130.61.1.2")
+    assert(l("__meta_oci_hostname_label") == "web-1")
+    // ipv6 list sorted + comma-wrapped (ref oci.go joinIPv6)
+    assert(l("__meta_oci_ipv6_addresses") == ",2603:a:1::5,2603:b:2::7,")
+    assert(l("__meta_oci_tag_env") == "prod")
+    // defined tags: scalars stringify, non-scalars skipped
+    assert(l("__meta_oci_defined_tag_ops_team") == "obs")
+    assert(l("__meta_oci_defined_tag_ops_replicas") == "3")
+    assert(l("__meta_oci_defined_tag_ops_canary") == "true")
+    assert(!l.contains("__meta_oci_defined_tag_ops_skip"))
+  }
+
+  test("kuma SD: MADS fetch with nonce/version echo, 304 keeps targets") {
+    val resp1 =
+      """{"versionInfo":"v1","nonce":"n1",
+        |"typeUrl":"type.googleapis.com/kuma.observability.v1.MonitoringAssignment",
+        |"resources":[{
+        |  "@type":"type.googleapis.com/kuma.observability.v1.MonitoringAssignment",
+        |  "mesh":"default","service":"backend","labels":{"team":"infra"},
+        |  "targets":[{
+        |    "name":"backend-01","scheme":"http","address":"10.1.4.32:9090",
+        |    "metricsPath":"/prom-metrics","labels":{"commit_hash":"deadbeef"}}]
+        |}]}""".stripMargin
+    var calls = 0
+    val fake = new KumaSd.ApiClient {
+      override def fetch(body: String): Option[String] = {
+        calls += 1
+        val b = jsonMap(body)
+        if (calls == 1) {
+          assert(b("versionInfo") == "" && b("responseNonce") == "", body)
+          assert(b("typeUrl") ==
+            "type.googleapis.com/kuma.observability.v1.MonitoringAssignment")
+          Some(resp1)
+        } else {
+          // second poll echoes the cached version/nonce; nothing changed
+          assert(b("versionInfo") == "v1" && b("responseNonce") == "n1", body)
+          None
+        }
+      }
+      private def jsonMap(s: String): Map[String, Any] =
+        graft.web.JsonLite.parse(s).asInstanceOf[Map[String, Any]]
+    }
+    var now = 0L
+    val mgr = new Discovery.Manager(() => now)
+    mgr.register("ku", new KumaSd.KumaProvider("kuma/0",
+      KumaSd.Config("http://kuma-control-plane:5676", clientId = "test-prom"), fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("ku", "ku")
+    assert(raw.map(_.instance) == Seq("10.1.4.32:9090"))
+    val l = raw.head.extraLabels
+    assert(l("__meta_kuma_mesh") == "default")
+    assert(l("__meta_kuma_service") == "backend")
+    assert(l("__meta_kuma_dataplane") == "backend-01")
+    assert(l("__meta_kuma_label_team") == "infra")
+    assert(l("__meta_kuma_label_commit_hash") == "deadbeef")
+    assert(l("__scheme__") == "http")
+    assert(l("__metrics_path__") == "/prom-metrics")
+    assert(l("instance") == "backend-01")
+    // 304 keeps the previous target set (advance past the refresh cadence)
+    now = 60000L
+    mgr.poll()
+    assert(mgr.targetsFor("ku", "ku").map(_.instance) == Seq("10.1.4.32:9090"))
+    assert(calls == 2)
+  }
+
   test("stackit SD: server list, public-ip preference, label pairs") {
     // fixture mirrors discovery/stackit/mock_test.go shapes
     val body =
