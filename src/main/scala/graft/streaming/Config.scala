@@ -50,7 +50,8 @@ object Config {
       outscaleSd: Seq[OutscaleSd.Config] = Nil,
       uyuniSd: Seq[UyuniSd.Config] = Nil,
       ociSd: Seq[OciSd.Config] = Nil,
-      kumaSd: Seq[KumaSd.Config] = Nil)
+      kumaSd: Seq[KumaSd.Config] = Nil,
+      zookeeperSd: Seq[ZookeeperSd.Config] = Nil) // serverset + nerve
 
   final case class PromConfig(
       scrapeIntervalMs: Long,
@@ -447,6 +448,18 @@ object Config {
           kc.str("fetch_timeout").map(durMs).getOrElse(120000L),
           kc.str("refresh_interval").map(durMs).getOrElse(15000L))
       }.filter(_.server.nonEmpty)
+      // serverset_sd_configs + nerve_sd_configs (ref: discovery/zookeeper/
+      // zookeeper.go ServersetSDConfig / NerveSDConfig)
+      val zookeeperSd =
+        Seq("serverset" -> "serverset_sd_configs", "nerve" -> "nerve_sd_configs")
+          .flatMap { case (kind, key) =>
+            m.list(key).collect { case zc: YMap =>
+              ZookeeperSd.Config(kind,
+                strList(zc.get("servers")), strList(zc.get("paths")),
+                zc.str("timeout").map(durMs).getOrElse(10000L),
+                zc.str("refresh_interval").map(durMs).getOrElse(30000L))
+            }
+          }.filter(c => c.servers.nonEmpty && c.paths.nonEmpty)
       ScrapeJob(name, statics, sdFiles,
         m.str("scrape_interval").map(durMs).getOrElse(scrapeMs),
         relabelChain(m.get("relabel_configs")),
@@ -462,7 +475,7 @@ object Config {
         doSd, hetznerSd, openstackSd, eurekaSd, nomadSd, marathonSd, puppetdbSd,
         linodeSd, vultrSd, scalewaySd, lightsailSd,
         dockerswarmSd, tritonSd, ovhcloudSd, ionosSd,
-        stackitSd, outscaleSd, uyuniSd, ociSd, kumaSd)
+        stackitSd, outscaleSd, uyuniSd, ociSd, kumaSd, zookeeperSd)
     }
     def urlsOf(key: String): Seq[String] =
       root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)

@@ -313,6 +313,23 @@ object ConfigCheck {
               errs += s"""$path: job "$job": datacenter id can't be empty"""
           case _ => ()
         }
+        // serverset/nerve: servers + absolute paths (ref: zookeeper.go)
+        Seq("serverset" -> "serverset_sd_configs",
+            "nerve" -> "nerve_sd_configs").foreach { case (kind, key) =>
+          sc.list(key).foreach {
+            case zc: YMap =>
+              if (zc.list("servers").isEmpty)
+                errs += s"""$path: job "$job": $kind SD config must contain at least one Zookeeper server"""
+              if (zc.list("paths").isEmpty)
+                errs += s"""$path: job "$job": $kind SD config must contain at least one path"""
+              zc.list("paths").foreach {
+                case YScalar(p) if !p.startsWith("/") =>
+                  errs += s"""$path: job "$job": $kind SD config paths must begin with '/': $p"""
+                case _ => ()
+              }
+            case _ => ()
+          }
+        }
         // kuma: server must be an http(s) URL (ref: xds/client.go)
         sc.list("kuma_sd_configs").foreach {
           case kc: YMap =>

@@ -297,7 +297,8 @@ object Discovery {
       outscaleClient: Option[OutscaleSd.ApiClient] = None,
       uyuniClient: Option[UyuniSd.ApiClient] = None,
       ociClient: Option[OciSd.ApiClient] = None,
-      kumaClient: Option[KumaSd.ApiClient] = None): Unit = {
+      kumaClient: Option[KumaSd.ApiClient] = None,
+      zkClient: Option[() => ZookeeperSd.ZkClient] = None): Unit = {
     if (job.staticTargets.nonEmpty)
       mgr.register(job.jobName, new StaticProvider("static",
         Seq(TargetGroup("static/0", Map.empty,
@@ -438,6 +439,11 @@ object Discovery {
       mgr.register(job.jobName, kumaClient match {
         case Some(c) => new KumaSd.KumaProvider(s"kuma/$i", kc, c)
         case None => new KumaSd.KumaProvider(s"kuma/$i", kc)
+      }) }
+    job.zookeeperSd.zipWithIndex.foreach { case (zc, i) =>
+      mgr.register(job.jobName, zkClient match {
+        case Some(mk) => new ZookeeperSd.ZookeeperProvider(s"${zc.kind}/$i", zc, mk)
+        case None => new ZookeeperSd.ZookeeperProvider(s"${zc.kind}/$i", zc)
       }) }
   }
 }

@@ -643,6 +643,131 @@ class SdProvidersSpec extends AnyFunSuite {
       "Default", "", "demo", "", "", "", "", allTenants = true, port = 9100)))
   }
 
+  test("zookeeper SD: serverset and nerve members from a tree walk") {
+    val tree = Map(
+      "/services/web" -> (None, Seq("member_0000000001", "member_0000000002", "bad")),
+      "/services/web/member_0000000001" -> (Some(
+        """{"serviceEndpoint":{"host":"host1","port":8080},
+          |"additionalEndpoints":{"http-admin":{"host":"host1","port":8081}},
+          |"status":"ALIVE","shard":2}""".stripMargin), Nil),
+      "/services/web/member_0000000002" -> (Some(
+        """{"serviceEndpoint":{"host":"host2","port":8080},
+          |"additionalEndpoints":{},"status":"ALIVE","shard":0}""".stripMargin), Nil),
+      "/services/web/bad" -> (Some("not json"), Nil),
+      "/nerve/web" -> (None, Seq("node_1")),
+      "/nerve/web/node_1" -> (Some(
+        """{"host":"n1.example.com","port":9090,"name":"web"}"""), Nil))
+    def fakeClient() = new ZookeeperSd.ZkClient {
+      override def children(path: String): Seq[String] =
+        tree.get(path).map(_._2).getOrElse(Nil)
+      override def data(path: String): Option[Array[Byte]] =
+        tree.get(path).flatMap(_._1).map(_.getBytes("UTF-8"))
+    }
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("ss", new ZookeeperSd.ZookeeperProvider("serverset/0",
+      ZookeeperSd.Config("serverset", Seq("zk:2181"), Seq("/services/web")),
+      () => fakeClient()))
+    mgr.register("nv", new ZookeeperSd.ZookeeperProvider("nerve/0",
+      ZookeeperSd.Config("nerve", Seq("zk:2181"), Seq("/nerve/web")),
+      () => fakeClient()))
+    mgr.poll()
+    val ss = mgr.targetsFor("ss", "ss")
+    // the unparsable node is skipped like the reference's parse failure
+    assert(ss.map(_.instance).toSet == Set("host1:8080", "host2:8080"))
+    val m1 = ss.find(_.instance == "host1:8080").get.extraLabels
+    assert(m1("__meta_serverset_path") == "/services/web/member_0000000001")
+    assert(m1("__meta_serverset_endpoint_host") == "host1")
+    assert(m1("__meta_serverset_endpoint_port") == "8080")
+    assert(m1("__meta_serverset_endpoint_host_http_admin") == "host1")
+    assert(m1("__meta_serverset_endpoint_port_http_admin") == "8081")
+    assert(m1("__meta_serverset_status") == "ALIVE")
+    assert(m1("__meta_serverset_shard") == "2")
+    val nv = mgr.targetsFor("nv", "nv")
+    assert(nv.map(_.instance) == Seq("n1.example.com:9090"))
+    val n1 = nv.head.extraLabels
+    assert(n1("__meta_nerve_path") == "/nerve/web/node_1")
+    assert(n1("__meta_nerve_endpoint_host") == "n1.example.com")
+    assert(n1("__meta_nerve_endpoint_port") == "9090")
+    assert(n1("__meta_nerve_endpoint_name") == "web")
+  }
+
+  test("zookeeper SD: wire client speaks the ZK protocol against a stub server") {
+    // a minimal in-process ZooKeeper: handshake, getChildren(8), getData(4)
+    val tree = Map(
+      "/a" -> (Array.empty[Byte], Seq("m1")),
+      "/a/m1" -> ("""{"host":"h","port":1,"name":"x"}""".getBytes("UTF-8"), Nil))
+    val server = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        def frame(body: Array[Byte]): Unit = {
+          out.writeInt(body.length); out.write(body); out.flush()
+        }
+        def bytesOf(f: java.io.DataOutputStream => Unit): Array[Byte] = {
+          val bo = new java.io.ByteArrayOutputStream()
+          val d = new java.io.DataOutputStream(bo); f(d); d.flush(); bo.toByteArray
+        }
+        // handshake: read ConnectRequest, answer ConnectResponse
+        val h = new Array[Byte](in.readInt()); in.readFully(h)
+        frame(bytesOf { d =>
+          d.writeInt(0); d.writeInt(10000); d.writeLong(42L)
+          d.writeInt(16); d.write(new Array[Byte](16))
+        })
+        var open = true
+        while (open) {
+          val req = new Array[Byte](in.readInt())
+          in.readFully(req)
+          val r = new java.io.DataInputStream(new java.io.ByteArrayInputStream(req))
+          val xid = r.readInt(); val op = r.readInt()
+          op match {
+            case 8 => // getChildren(path, watch)
+              val pb = new Array[Byte](r.readInt()); r.readFully(pb)
+              val path = new String(pb, "UTF-8")
+              val kids = tree.get(path).map(_._2).getOrElse(Nil)
+              frame(bytesOf { d =>
+                d.writeInt(xid); d.writeLong(1L)
+                if (!tree.contains(path)) d.writeInt(-101)
+                else {
+                  d.writeInt(0); d.writeInt(kids.size)
+                  kids.foreach { k =>
+                    val b = k.getBytes("UTF-8"); d.writeInt(b.length); d.write(b) }
+                }
+              })
+            case 4 => // getData(path, watch)
+              val pb = new Array[Byte](r.readInt()); r.readFully(pb)
+              val path = new String(pb, "UTF-8")
+              frame(bytesOf { d =>
+                d.writeInt(xid); d.writeLong(1L)
+                tree.get(path) match {
+                  case None => d.writeInt(-101)
+                  case Some((data, _)) =>
+                    d.writeInt(0); d.writeInt(data.length); d.write(data)
+                    // Stat: 8 longs/ints worth of zeros (czxid..pzxid)
+                    (0 until 5).foreach(_ => d.writeLong(0L))
+                    (0 until 5).foreach(_ => d.writeInt(0))
+                    d.writeLong(0L)
+                }
+              })
+            case -11 => open = false // close
+            case _ => open = false
+          }
+        }
+        sock.close()
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val client = new ZookeeperSd.WireZkClient(
+        Seq(s"127.0.0.1:${server.getLocalPort}"), 5000L)
+      assert(client.children("/a") == Seq("m1"))
+      assert(new String(client.data("/a/m1").get, "UTF-8").contains("\"host\":\"h\""))
+      assert(client.data("/missing").isEmpty)
+      client.close()
+    } finally server.close()
+  }
+
   test("oci SD: compartment walk, primary VNIC, defined tags, ip ladder") {
     val compartments =
       """[{"id":"ocid1.compartment.c1","lifecycleState":"ACTIVE"}]"""
