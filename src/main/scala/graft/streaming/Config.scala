@@ -195,7 +195,10 @@ object Config {
         val attach = kc.get("attach_metadata") match {
           case Some(am: YMap) => KubernetesSd.AttachMetadata(
             node = am.str("node").contains("true"),
-            namespace = am.str("namespace").contains("true"))
+            namespace = am.str("namespace").contains("true"),
+            deployment = am.str("deployment").contains("true"),
+            job = am.str("job").contains("true"),
+            cronjob = am.str("cronjob").contains("true"))
           case _ => KubernetesSd.AttachMetadata()
         }
         KubernetesSd.Config(str(kc, "role"), str(kc, "api_server"), nss,

@@ -29,11 +29,15 @@ object KubernetesSd {
     * server-side exactly like the reference's informer list options */
   final case class Selector(role: String, label: String = "", field: String = "")
 
-  /** ref: kubernetes.go AttachMetadataConfig — merge node / namespace object
-    * metadata onto targets (so relabel configs can use
-    * `__meta_kubernetes_node_label_*` on pod/endpoint targets and
-    * `__meta_kubernetes_namespace_label_*` on any namespaced role) */
-  final case class AttachMetadata(node: Boolean = false, namespace: Boolean = false)
+  /** ref: kubernetes.go AttachMetadataConfig (+ inline PodMetadataConfig) —
+    * merge node / namespace object metadata onto targets (so relabel configs
+    * can use `__meta_kubernetes_node_label_*` on pod/endpoint targets and
+    * `__meta_kubernetes_namespace_label_*` on any namespaced role);
+    * deployment/job/cronjob resolve the pod's controller chain
+    * (ReplicaSet → Deployment, Job → CronJob) into
+    * `__meta_kubernetes_pod_{deployment,job,cronjob}_name` */
+  final case class AttachMetadata(node: Boolean = false, namespace: Boolean = false,
+      deployment: Boolean = false, job: Boolean = false, cronjob: Boolean = false)
 
   /** selector roles each main role accepts (ref: kubernetes.go
     * UnmarshalYAML allowedSelectors) */
@@ -159,16 +163,37 @@ object KubernetesSd {
 
   // ------------------------------------------------------------------- pod
 
+  /** owner-chain lookups for attach_metadata's pod options (ref: pod.go
+    * podLabels — ReplicaSet store → Deployment owner, Job store → CronJob
+    * owner). A `None` map means the option is off. */
+  private[streaming] final case class PodMeta(
+      jobName: Boolean = false,
+      deploymentByRs: Option[Map[String, String]] = None, // ns/rsName → deployment
+      cronjobByJob: Option[Map[String, String]] = None)   // ns/jobName → cronjob
+
   /** ref: pod.go podLabels + buildPod */
-  private def podSharedLabels(pod: J): Map[String, String] = {
+  private def podSharedLabels(pod: J, podMeta: PodMeta = PodMeta()): Map[String, String] = {
     val meta = m(pod, "metadata"); val spec = m(pod, "spec"); val status = m(pod, "status")
     val ready = l(status, "conditions")
       .find(c => s(c, "type") == "Ready")
       .map(c => s(c, "status").toLowerCase == "true").getOrElse(false)
     val ctrl = controllerOf(meta).toSeq.flatMap { o =>
-      Seq("__meta_kubernetes_pod_controller_kind" -> s(o, "kind"),
-          "__meta_kubernetes_pod_controller_name" -> s(o, "name"))
+      val kind = s(o, "kind"); val cname = s(o, "name")
+      val base = Seq("__meta_kubernetes_pod_controller_kind" -> kind,
+          "__meta_kubernetes_pod_controller_name" -> cname)
         .filter(_._2.nonEmpty)
+      val key = s(meta, "namespace") + "/" + cname
+      val extra = kind match {
+        case "ReplicaSet" =>
+          podMeta.deploymentByRs.flatMap(_.get(key))
+            .map("__meta_kubernetes_pod_deployment_name" -> _).toSeq
+        case "Job" =>
+          (if (podMeta.jobName) Seq("__meta_kubernetes_pod_job_name" -> cname) else Nil) ++
+            podMeta.cronjobByJob.flatMap(_.get(key))
+              .map("__meta_kubernetes_pod_cronjob_name" -> _).toSeq
+        case _ => Nil
+      }
+      base ++ extra
     }
     Map(
       "__meta_kubernetes_namespace" -> s(meta, "namespace"),
@@ -185,7 +210,8 @@ object KubernetesSd {
     * container targets the bare pod IP; each declared port targets ip:port).
     * `nodesByName` non-empty = attach_metadata.node (ref: pod.go:390 merges
     * the node's objectMeta labels into the group's shared labels). */
-  private def buildPod(pod: J, nodesByName: Map[String, J]): TargetGroup = {
+  private def buildPod(pod: J, nodesByName: Map[String, J],
+      podMeta: PodMeta = PodMeta()): TargetGroup = {
     val meta = m(pod, "metadata"); val spec = m(pod, "spec"); val status = m(pod, "status")
     val source = s"pod/${s(meta, "namespace")}/${s(meta, "name")}"
     val podIP = s(status, "podIP")
@@ -212,7 +238,7 @@ object KubernetesSd {
       }
     }
     TargetGroup(source,
-      podSharedLabels(pod) ++ nodeMetaLabels(nodesByName, s(spec, "nodeName")),
+      podSharedLabels(pod, podMeta) ++ nodeMetaLabels(nodesByName, s(spec, "nodeName")),
       targets)
   }
 
@@ -284,7 +310,7 @@ object KubernetesSd {
     * not-ready addresses emitted with ready="false"; pod-backed addresses
     * merge the pod's shared labels and the matching container port labels */
   private def buildEndpoints(eps: J, podsByKey: Map[String, J],
-      nodesByName: Map[String, J]): TargetGroup = {
+      nodesByName: Map[String, J], podMeta: PodMeta): TargetGroup = {
     val meta = m(eps, "metadata")
     val ns = s(meta, "namespace"); val name = s(meta, "name")
     val source = s"endpoints/$ns/$name"
@@ -320,7 +346,7 @@ object KubernetesSd {
         // pod-backed address: merge the pod's standard labels + container port
         if (s(ref, "kind") == "Pod") {
           podsByKey.get(s(ref, "namespace") + "/" + s(ref, "name")).foreach { pod =>
-            tl ++= podSharedLabels(pod) - "__meta_kubernetes_namespace"
+            tl ++= podSharedLabels(pod, podMeta) - "__meta_kubernetes_namespace"
             val spec = m(pod, "spec")
             val containers = l(spec, "containers").map((_, false)) ++
               l(spec, "initContainers").map((_, true))
@@ -354,7 +380,7 @@ object KubernetesSd {
   /** ref: endpointslice.go buildEndpointSlice — same target shape as
     * endpoints with the endpointslice meta prefix + conditions */
   private def buildEndpointSlice(es: J, podsByKey: Map[String, J],
-      nodesByName: Map[String, J]): TargetGroup = {
+      nodesByName: Map[String, J], podMeta: PodMeta): TargetGroup = {
     val meta = m(es, "metadata")
     val ns = s(meta, "namespace"); val name = s(meta, "name")
     val source = s"endpointslice/$ns/$name"
@@ -392,7 +418,7 @@ object KubernetesSd {
         }
         if (s(ref, "kind") == "Pod")
           podsByKey.get(s(ref, "namespace") + "/" + s(ref, "name")).foreach { pod =>
-            tl ++= podSharedLabels(pod) - "__meta_kubernetes_namespace"
+            tl ++= podSharedLabels(pod, podMeta) - "__meta_kubernetes_namespace"
           }
         targets += ((hostPort(ip, portNum), tl))
       }
@@ -439,6 +465,8 @@ object KubernetesSd {
     role match {
       case "node" => "/api/v1/nodes"
       case "namespace" => "/api/v1/namespaces"
+      case "replicaset" => s"/apis/apps/v1$nsSeg/replicasets"
+      case "job" => s"/apis/batch/v1$nsSeg/jobs"
       case "pod" => s"/api/v1$nsSeg/pods"
       case "service" => s"/api/v1$nsSeg/services"
       case "endpoints" => s"/api/v1$nsSeg/endpoints"
@@ -507,16 +535,33 @@ object KubernetesSd {
           items(client, "namespace", Nil)
             .map(n => s(m(n, "metadata"), "name") -> n).toMap
         else Map.empty
+      // attach_metadata.{deployment,cronjob}: owner-name lookup tables from
+      // one ReplicaSet / Job LIST (ref pod.go podLabels owner-chain walk)
+      val podRoles = Set("pod", "endpoints", "endpointslice")
+      def ownerIndex(resource: String, ownerKind: String): Map[String, String] =
+        items(client, resource, nss).flatMap { o =>
+          val meta = m(o, "metadata")
+          controllerOf(meta).filter(r => s(r, "kind") == ownerKind)
+            .map(r => s(meta, "namespace") + "/" + s(meta, "name") -> s(r, "name"))
+        }.toMap
+      val podMeta = PodMeta(
+        jobName = cfg.attachMetadata.job,
+        deploymentByRs =
+          if (cfg.attachMetadata.deployment && podRoles(cfg.role))
+            Some(ownerIndex("replicaset", "Deployment")) else None,
+        cronjobByJob =
+          if (cfg.attachMetadata.cronjob && podRoles(cfg.role))
+            Some(ownerIndex("job", "CronJob")) else None)
       val groups: Seq[TargetGroup] = cfg.role match {
         case "node" => items(client, "node", Nil, q("node")).flatMap(buildNode)
-        case "pod" => items(client, "pod", nss, q("pod")).map(buildPod(_, nodes))
+        case "pod" => items(client, "pod", nss, q("pod")).map(buildPod(_, nodes, podMeta))
         case "service" => items(client, "service", nss, q("service")).map(buildService)
         case "endpoints" =>
           val pods = podIndex(client, nss)
-          items(client, "endpoints", nss, q("endpoints")).map(buildEndpoints(_, pods, nodes))
+          items(client, "endpoints", nss, q("endpoints")).map(buildEndpoints(_, pods, nodes, podMeta))
         case "endpointslice" =>
           val pods = podIndex(client, nss)
-          items(client, "endpointslice", nss, q("endpointslice")).map(buildEndpointSlice(_, pods, nodes))
+          items(client, "endpointslice", nss, q("endpointslice")).map(buildEndpointSlice(_, pods, nodes, podMeta))
         case "ingress" => items(client, "ingress", nss, q("ingress")).map(buildIngress)
         case other => throw new IllegalArgumentException(s"unknown kubernetes role $other")
       }

@@ -279,6 +279,59 @@ class SdProvidersSpec extends AnyFunSuite {
     assert(t("__meta_kubernetes_node_labelpresent_kubernetes_io_os") == "true")
   }
 
+  test("kubernetes SD: attach_metadata deployment/job/cronjob owner chains") {
+    val podsJson =
+      """{"items":[
+        |{"metadata":{"name":"web-abc","namespace":"default",
+        |  "ownerReferences":[{"kind":"ReplicaSet","name":"web-6f4d","controller":true}]},
+        | "spec":{"containers":[{"name":"c","image":"c:1"}]},
+        | "status":{"podIP":"10.0.0.1"}},
+        |{"metadata":{"name":"batch-xyz","namespace":"default",
+        |  "ownerReferences":[{"kind":"Job","name":"report-29000","controller":true}]},
+        | "spec":{"containers":[{"name":"c","image":"c:1"}]},
+        | "status":{"podIP":"10.0.0.2"}}
+        |]}""".stripMargin
+    val rsJson =
+      """{"items":[{"metadata":{"name":"web-6f4d","namespace":"default",
+        |  "ownerReferences":[{"kind":"Deployment","name":"web","controller":true}]}}]}""".stripMargin
+    val jobsJson =
+      """{"items":[{"metadata":{"name":"report-29000","namespace":"default",
+        |  "ownerReferences":[{"kind":"CronJob","name":"report","controller":true}]}}]}""".stripMargin
+    val fake = new KubernetesSd.ApiClient {
+      override def get(path: String): String =
+        if (path.endsWith("/pods")) podsJson
+        else if (path.endsWith("/replicasets")) rsJson
+        else if (path.endsWith("/jobs")) jobsJson
+        else fail(s"unexpected API path $path")
+    }
+    val job = Config.parse(
+      """scrape_configs:
+        |  - job_name: pods
+        |    kubernetes_sd_configs:
+        |      - role: pod
+        |        attach_metadata:
+        |          deployment: true
+        |          job: true
+        |          cronjob: true
+        |""".stripMargin, "/tmp").scrapeJobs.head
+    assert(job.kubernetesSd.head.attachMetadata ==
+      KubernetesSd.AttachMetadata(deployment = true, job = true, cronjob = true))
+    val mgr = new Discovery.Manager(() => 0L)
+    Discovery.registerJob(mgr, job, k8sClient = Some(fake))
+    mgr.poll()
+    val raw = mgr.targetsFor("pods", "pods")
+    // ReplicaSet-owned pod resolves its Deployment (ref pod.go:313-325)
+    val web = raw.find(_.extraLabels("__meta_kubernetes_pod_name") == "web-abc").get.extraLabels
+    assert(web("__meta_kubernetes_pod_controller_kind") == "ReplicaSet")
+    assert(web("__meta_kubernetes_pod_deployment_name") == "web")
+    assert(!web.contains("__meta_kubernetes_pod_job_name"))
+    // Job-owned pod gets the job name directly + CronJob via the Job owner
+    val batch = raw.find(_.extraLabels("__meta_kubernetes_pod_name") == "batch-xyz").get.extraLabels
+    assert(batch("__meta_kubernetes_pod_job_name") == "report-29000")
+    assert(batch("__meta_kubernetes_pod_cronjob_name") == "report")
+    assert(!batch.contains("__meta_kubernetes_pod_deployment_name"))
+  }
+
   test("kubernetes SD: attach_metadata.node on endpoints via the address's nodeName") {
     val twoNodes =
       """{"items":[
