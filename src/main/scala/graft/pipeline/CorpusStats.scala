@@ -82,6 +82,58 @@ object CorpusStats {
         .cast("int").as("keep")) // int not boolean: oracle-hash-friendly 0/1
   }
 
+  /** `(doc_id * 2654435761) mod 2^32` — Knuth multiplicative hash, computed
+    * WITHOUT 64-bit overflow (see [[stratifiedSample]]'s derivation) */
+  private def knuthHash(id: Column): Column = {
+    val m = lit(4294967296L) // 2^32
+    val A = 2654435761L
+    val d = pmod(id, m)
+    (pmod(shiftright(d, 16) * A, m) * 65536L + d.bitwiseAND(lit(65535L)) * A) % m
+  }
+
+  /** Exact-allocation stratified sampling: precisely min(n, |stratum|) docs
+    * per source, chosen by Knuth-hash rank with doc_id tiebreak — the
+    * "N examples per domain" eval-set / mixture-probe draw. Deterministic
+    * and engine-independent like [[stratifiedSample]], but with a hard
+    * per-stratum budget instead of a rate.
+    *
+    * 100 TB shape: one shuffle on the stratum key; the rank window sorts
+    * each stratum once. A stratum's row count must fit a task's sort
+    * (spill-backed) — for mega-strata pre-filter with [[stratifiedSample]]
+    * at a rate that over-covers n, then rank the survivors. */
+  def stratifiedTopN(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(knuthHash(col("doc_id")).asc, col("doc_id").asc)
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .select(col("doc_id"), col("source"), col("__rk").cast("long").as("rk"))
+  }
+
+  /** LM-lite fluency proxy: a document's mean corpus frequency of its
+    * bigrams — fluent text reuses common word transitions, gibberish and
+    * boilerplate-stuffed docs sit in the tails (the cheap stand-in for the
+    * perplexity filter in C4/Gopher-style pipelines, with the corpus itself
+    * as the language model). Exact integer sums + ONE final division so the
+    * DuckDB oracle hash-matches; docs with fewer than two tokens have no
+    * bigrams and drop.
+    *
+    * 100 TB shape: identical to tf-idf — the (doc, bigram) explode is the
+    * only corpus-sized exchange, the bigram-frequency table reuses the same
+    * bigram-keyed shuffle for its join (NO broadcast hint: bigram vocabulary
+    * is unbounded), and the final agg is doc-keyed. */
+  def bigramQuality(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(gramUdf(2)(words(col("text")))).as("bg"))
+    val bf = grams.groupBy(col("bg")).agg(count(lit(1)).as("bf"))
+    grams.join(bf, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bf")).as("bf_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("bf_sum"),
+        round(col("bf_sum").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("mean_bigram_freq"))
+  }
+
   /** Deterministic stratified sampling: keep a doc iff
     * `(doc_id * 2654435761) mod 2^32 < rate(lang) * 2^32` — Knuth
     * multiplicative hashing on the id, so the decision is a pure row-local
@@ -96,11 +148,7 @@ object CorpusStats {
     // into 16-bit halves — every intermediate stays < 2^49, and the value
     // is identical to the exact product mod 2^32 for ALL non-negative ids.
     val m = lit(4294967296L) // 2^32
-    val A = 2654435761L // Knuth multiplicative constant
-    val d = pmod(col("doc_id"), m)
-    val d1 = shiftright(d, 16)
-    val d0 = d.bitwiseAND(lit(65535L))
-    val h = (pmod(d1 * A, m) * 65536L + d0 * A) % m
+    val h = knuthHash(col("doc_id"))
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
       when(col("lang") === lang, lit(r)).otherwise(acc)
     }

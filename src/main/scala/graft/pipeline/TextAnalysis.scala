@@ -133,4 +133,31 @@ object TextAnalysis {
       .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
         col("tf"), col("dfreq"), col("tfidf_ratio"))
   }
+
+  /** email pattern shared by detection and redaction; kept to syntax both
+    * Java regex (Spark codegen) and RE2 (the DuckDB oracle) execute
+    * identically */
+  private[pipeline] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** dotted-quad with per-octet range check, word-bounded */
+  private[pipeline] val ipv4Re =
+    "\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}" +
+    "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b"
+
+  /** PII scan + redaction — the pre-release compliance pass every training
+    * corpus runs: per-doc counts of email addresses and IPv4 literals, and
+    * the text with both replaced by type tags (emails first, so an address
+    * whose host is a dotted quad redacts as one email, not email+ip).
+    * Purely row-local regex work — a narrow projection that scales linearly
+    * with no shuffle at all; the regexes stay in the Java/RE2 common subset
+    * so the DuckDB oracle hash-matches the redacted text byte-for-byte. */
+  def piiScan(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '${emailRe.replace("\\", "\\\\")}', 0)"))
+        .cast("long").as("n_emails"),
+      size(expr(s"regexp_extract_all(text, '${ipv4Re.replace("\\", "\\\\")}', 0)"))
+        .cast("long").as("n_ipv4"),
+      regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>").as("redacted"))
 }

@@ -128,6 +128,16 @@ object PipelineSuite {
       val d = docs(s, dir)
       Curation.curate(d, d.filter(col("doc_id") < 20), lang = "en",
         minQuality = 0.55, tau = 0.1, contamN = 4).orderBy(col("doc_id")) },
+
+    "lp27_stratified_topn" -> { (s, dir) =>
+      CorpusStats.stratifiedTopN(docs(s, dir), n = 25)
+        .orderBy(col("source"), col("rk")) },
+
+    "lp28_bigram_quality" -> { (s, dir) =>
+      CorpusStats.bigramQuality(docs(s, dir)).orderBy(col("doc_id")) },
+
+    "lp29_pii_scan" -> { (s, dir) =>
+      TextAnalysis.piiScan(docs(s, dir)).orderBy(col("doc_id")) },
   )
 
   /** lp03's pair CTEs, shared by the clustering oracles */
@@ -438,5 +448,44 @@ object PipelineSuite {
          LEFT JOIN dup ON dup.doc_id = doc.doc_id
          LEFT JOIN contam ON contam.doc_id = doc.doc_id
          ORDER BY doc.doc_id""",
+
+    // same Knuth hash device as lp17, ranked per source
+    "lp27_stratified_topn" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+             ((((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296 * 65536
+               + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS hh
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+           FROM h)
+         SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 25 ORDER BY source, rk""",
+
+    // same bigram device as lp19 (n=2); integer sums, one final division
+    "lp28_bigram_quality" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]) bg
+           FROM d WHERE len(w) >= 2),
+         bf AS (SELECT bg, count(*) AS c FROM g GROUP BY 1)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(bf.c) AS BIGINT) AS bf_sum,
+           round(CAST(sum(bf.c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_bigram_freq
+         FROM g JOIN bf USING (bg) GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    // Java-regex/RE2 common-subset patterns; emails redact before IPs
+    "lp29_pii_scan" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b')) AS BIGINT) AS n_ipv4,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b',
+             '<IP>', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
   )
 }

@@ -567,6 +567,67 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unguarded.size == n * (n - 1) / 2)
   }
 
+  test("stratified top-n: exact per-stratum budget, deterministic hash rank") {
+    val d = docsOf((0L until 20L).map(i => i -> s"doc number $i words here"): _*)
+      .withColumn("source", when(col("doc_id") < 12, "web").otherwise("books"))
+    val out = CorpusStats.stratifiedTopN(d, n = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exactly min(n, |stratum|) rows per source, ranks 1..n
+    val bySource = out.groupBy(_._2)
+    assert(bySource("web").length == 5 && bySource("books").length == 5)
+    assert(bySource("web").map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // deterministic: a reshuffled input yields the identical selection
+    val out2 = CorpusStats.stratifiedTopN(d.orderBy(col("doc_id").desc).repartition(7),
+      n = 5).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet == out2.toSet)
+    // a stratum smaller than n returns whole
+    val tiny = CorpusStats.stratifiedTopN(
+      d.filter(col("doc_id") < 3), n = 5).collect()
+    assert(tiny.length == 3)
+  }
+
+  test("bigram quality: fluent text scores above shuffled gibberish") {
+    // ten fluent docs share transitions; one gibberish doc has unique ones
+    val fluent = (0L until 10L).map(i =>
+      i -> "the quick brown fox jumps over the lazy dog")
+    val gibberish = Seq(10L -> "dog quick lazy the fox brown jumps over the")
+    val d = docsOf((fluent ++ gibberish): _*)
+    val out = CorpusStats.bigramQuality(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(0L) > out(10L),
+      s"fluent ${out(0L)} should outscore gibberish ${out(10L)}")
+    // exact arithmetic: doc 0's bigrams each occur 10x except "the lazy"/
+    // "lazy dog" which the gibberish doc doesn't share either — verify the
+    // mean against a hand-count
+    val rows = CorpusStats.bigramQuality(d).filter(col("doc_id") === 0).collect()
+    assert(rows.head.getLong(1) == 8) // 9 tokens -> 8 bigrams
+    // two-token doc edge: exactly one bigram, mean = its own frequency
+    val two = CorpusStats.bigramQuality(docsOf(0L -> "hello world")).collect()
+    assert(two.head.getLong(1) == 1 && two.head.getDouble(3) == 1.0)
+    // sub-two-token docs drop
+    assert(CorpusStats.bigramQuality(docsOf(0L -> "single")).collect().isEmpty)
+  }
+
+  test("pii scan: emails and IPv4 literals counted and redacted in order") {
+    val d = docsOf(
+      0L -> "contact alice.smith+dev@example.co.uk or bob@sub.domain.org today",
+      1L -> "server at 192.168.1.254 and backup at 10.0.0.1 but not 999.1.1.1 or 1.2.3.4.5",
+      2L -> "no pii here at all",
+      3L -> "mixed: carol@host.io from 172.16.254.3")
+    val out = TextAnalysis.piiScan(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L)._1 == 2 && out(0L)._2 == 0)
+    assert(out(0L)._3 == "contact <EMAIL> or <EMAIL> today")
+    // 999.1.1.1 fails the octet range; 1.2.3.4.5 redacts its valid prefix
+    // window the way both regex engines match left-to-right
+    assert(out(1L)._1 == 0 && out(1L)._2 >= 2)
+    assert(out(1L)._3.contains("<IP>") && !out(1L)._3.contains("192.168.1.254")
+      && !out(1L)._3.contains("10.0.0.1") && out(1L)._3.contains("999.1.1.1"))
+    assert(out(2L) == ((0L, 0L, "no pii here at all")))
+    assert(out(3L)._1 == 1 && out(3L)._2 == 1)
+    assert(out(3L)._3 == "mixed: <EMAIL> from <IP>")
+  }
+
   test("curation: per-doc decision record composes lang/quality/dup/contamination") {
     val d = docsOf(
       0L -> "the quick brown fox jumps over the lazy dog again and again today",
