@@ -97,10 +97,10 @@ object CorpusStats {
     * and engine-independent like [[stratifiedSample]], but with a hard
     * per-stratum budget instead of a rate.
     *
-    * 100 TB shape: one shuffle on the stratum key; the rank window sorts
-    * each stratum once. A stratum's row count must fit a task's sort
-    * (spill-backed) — for mega-strata pre-filter with [[stratifiedSample]]
-    * at a rate that over-covers n, then rank the survivors. */
+    * 100 TB shape: Catalyst rewrites the rank filter into WindowGroupLimit —
+    * a map-side partial top-n per stratum BEFORE the exchange — so at most
+    * n·tasks rows shuffle per stratum and the post-shuffle sort is bounded
+    * by n·tasks, not the stratum size (verified in the formatted plan). */
   def stratifiedTopN(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"))
