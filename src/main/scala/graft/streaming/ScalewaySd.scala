@@ -9,10 +9,10 @@ import graft.web.JsonLite
   * the address ladder mirrors instance.go:173-235 — last of ipv6 /
   * public_ip / private_ip wins (private preferred), servers with no
   * address are skipped. baremetal: `/baremetal/v1/zones/{zone}/servers`
-  * joined against offers and OS lists for type/os labels. The IPAM
-  * private-NIC fallback for fully-private instance servers is not
-  * implemented (it needs a second regional product API; such servers are
-  * skipped like address-less ones). */
+  * joined against offers and OS lists for type/os labels. Fully-private
+  * instance servers (no public/ipv6/private address) resolve their
+  * private-NIC IPs through one regional IPAM LIST filtered to exactly
+  * those NICs (ref instance.go privateNICIPs). */
 object ScalewaySd {
 
   /** scaleway_sd_configs entry (ref: scaleway.go SDConfig; port 80,
@@ -99,10 +99,39 @@ object ScalewaySd {
     out.result()
   }
 
+  /** fully-private servers (no public_ip/ipv6/private_ip): resolve their
+    * private-NIC IPs with ONE regional IPAM LIST filtered to those NICs
+    * (ref instance.go:241-279 privateNICIPs) */
+  private def privateNicIps(client: ApiClient, cfg: Config,
+      servers: List[J]): Map[String, String] = {
+    val nicIds = servers.filter { sv =>
+      m(sv, "public_ip").isEmpty && m(sv, "ipv6").isEmpty &&
+        { val p = s(sv, "private_ip"); p.isEmpty || p == "null" }
+    }.flatMap(sv => jlist(sv.getOrElse("private_nics", null)).map(s(_, "id")))
+      .filter(_.nonEmpty)
+    if (nicIds.isEmpty) Map.empty
+    else {
+      val q = nicIds.map(id => "&resource_ids=" + java.net.URLEncoder.encode(id,
+          java.nio.charset.StandardCharsets.UTF_8)).mkString +
+        "&resource_type=instance_private_nic"
+      listAll(client, s"/ipam/v1/regions/${regionOf(cfg.zone)}/ips", "ips", q)
+        .flatMap { ip =>
+          val addr = s(ip, "address").split("/")(0)
+          val rid = s(m(ip, "resource"), "id")
+          if (rid.nonEmpty && addr.nonEmpty && !addr.contains(":") &&
+              ip.getOrElse("is_ipv6", null) != java.lang.Boolean.TRUE)
+            Some(rid -> addr)
+          else None
+        }.toMap
+    }
+  }
+
   /** ref instance.go:107-239 */
-  private def instanceTargets(client: ApiClient, cfg: Config): Seq[(String, Map[String, String])] =
-    listAll(client, s"/instance/v1/zones/${cfg.zone}/servers", "servers",
-        filterQuery(cfg)).flatMap { sv =>
+  private def instanceTargets(client: ApiClient, cfg: Config): Seq[(String, Map[String, String])] = {
+    val servers = listAll(client, s"/instance/v1/zones/${cfg.zone}/servers",
+      "servers", filterQuery(cfg))
+    val nicIp = privateNicIps(client, cfg, servers)
+    servers.flatMap { sv =>
       var l = Map(
         "__meta_scaleway_instance_boot_type" -> s(sv, "boot_type"),
         "__meta_scaleway_instance_hostname" -> s(sv, "hostname"),
@@ -159,9 +188,19 @@ object ScalewaySd {
         l += "__meta_scaleway_instance_private_ipv4" -> privIp
         addr = privIp
       }
+      // fully-private server: first private NIC with an IPAM-resolved IP
+      // (ref instance.go:218-229)
+      if (addr.isEmpty)
+        jlist(sv.getOrElse("private_nics", null)).iterator
+          .flatMap(nic => nicIp.get(s(nic, "id")))
+          .nextOption().foreach { ip =>
+            l += "__meta_scaleway_instance_private_ipv4" -> ip
+            addr = ip
+          }
       if (addr.isEmpty) None
       else Some((hostPort(addr, cfg.port), l))
     }
+  }
 
   /** ref baremetal.go:93-186 */
   private def baremetalTargets(client: ApiClient, cfg: Config): Seq[(String, Map[String, String])] = {

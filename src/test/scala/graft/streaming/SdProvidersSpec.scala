@@ -1462,20 +1462,34 @@ class SdProvidersSpec extends AnyFunSuite {
         |  "private_ip":"10.0.0.5"
         |},{
         |  "id":"i-2","name":"noaddr","state":"stopped","commercial_type":"DEV1-S"
+        |},{
+        |  "id":"i-3","name":"priv-only","state":"running","commercial_type":"DEV1-S",
+        |  "private_nics":[{"id":"nic-1"}]
         |}]}""".stripMargin
+    val ipamJson =
+      """{"ips":[{"address":"172.16.4.7/22","is_ipv6":false,
+        |  "resource":{"id":"nic-1"}}]}""".stripMargin
     val instFake = new ScalewaySd.ApiClient {
       override def get(path: String): String =
         if (path.startsWith("/instance/v1/zones/fr-par-1/servers")) servers
-        else fail(s"unexpected API path $path")
+        else if (path.startsWith("/ipam/v1/regions/fr-par/ips")) {
+          // the IPAM LIST is filtered to exactly the unresolved NICs
+          assert(path.contains("resource_ids=nic-1") &&
+            path.contains("resource_type=instance_private_nic"), path)
+          ipamJson
+        } else fail(s"unexpected API path $path")
     }
     val mgr = new Discovery.Manager(() => 0L)
     mgr.register("sw", new ScalewaySd.ScalewayProvider("scaleway/0",
       ScalewaySd.Config("instance", projectId = "proj1", secretKey = "sk"), instFake))
     mgr.poll()
     val inst = mgr.targetsFor("sw", "sw")
-    // private ip wins the ladder; the address-less server is skipped
-    assert(inst.map(_.instance) == Seq("10.0.0.5:80"))
-    val l = inst.head.extraLabels
+    // private ip wins the ladder; the address-less server is skipped; the
+    // fully-private server resolves through the IPAM fallback
+    assert(inst.map(_.instance).toSet == Set("10.0.0.5:80", "172.16.4.7:80"))
+    assert(inst.find(_.instance == "172.16.4.7:80").get
+      .extraLabels("__meta_scaleway_instance_private_ipv4") == "172.16.4.7")
+    val l = inst.find(_.instance == "10.0.0.5:80").get.extraLabels
     assert(l("__meta_scaleway_instance_id") == "i-1")
     assert(l("__meta_scaleway_instance_public_ipv4") == "51.15.1.1")
     assert(l("__meta_scaleway_instance_private_ipv4") == "10.0.0.5")
