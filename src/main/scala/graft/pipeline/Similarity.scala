@@ -278,10 +278,7 @@ object Similarity {
     * unchanged. */
   def semanticPairs(emb: DataFrame, tau: Double, k: Int = 8,
       iters: Int = 3, maxBlock: Int = 100000): DataFrame = {
-    // the self-join reads BOTH sides from this plan; without the persist the
-    // k-means assignment kernel (and its upstream scans) runs twice — same
-    // lazy-unpersist device as kmeans' own iteration cache
-    val withVec = emb.join(kmeans(emb, k, iters), "vec_id").persist()
+    val withVec = emb.join(kmeans(emb, k, iters), "vec_id")
     val counts = withVec.groupBy(col("cluster")).agg(count(lit(1)).as("__cn"))
     val sized = withVec.join(broadcast(counts), "cluster")
       .withColumn("__nsub",
