@@ -1797,6 +1797,112 @@ class SdProvidersSpec extends AnyFunSuite {
       "resources", includeParameters = true, port = 9100)))
   }
 
+  test("round-10 provider tail: config parse through scrape_configs") {
+    val job = Config.parse(
+      """scrape_configs:
+        |  - job_name: tail
+        |    dockerswarm_sd_configs:
+        |      - host: tcp://swarm:2375
+        |        role: tasks
+        |        port: 9100
+        |    triton_sd_configs:
+        |      - account: acct
+        |        dns_suffix: triton.example.com
+        |        endpoint: cmon.us-east-3b.triton.zone
+        |        role: cn
+        |        groups: [pdx]
+        |        version: 1
+        |    ovhcloud_sd_configs:
+        |      - service: dedicated_server
+        |        application_key: ak
+        |        application_secret: as
+        |        consumer_key: ck
+        |        endpoint: ovh-ca
+        |    ionos_sd_configs:
+        |      - datacenter_id: dc-1
+        |        basic_auth:
+        |          username: u
+        |          password: p
+        |    stackit_sd_configs:
+        |      - project: p-1
+        |        region: eu01
+        |    outscale_sd_configs:
+        |      - region: eu-west-2
+        |        access_key: ak
+        |        secret_key: sk
+        |    uyuni_sd_configs:
+        |      - server: https://uyuni.example.com
+        |        username: admin
+        |        password: pw
+        |        entitlement: monitoring_entitled
+        |    oci_sd_configs:
+        |      - region: eu-frankfurt-1
+        |        tenancy: ocid1.tenancy.t1
+        |        user: ocid1.user.u1
+        |        fingerprint: aa:bb
+        |        key_file: /etc/oci/key.pem
+        |        compartments: [ocid1.compartment.c1]
+        |    kuma_sd_configs:
+        |      - server: http://kuma:5676
+        |        client_id: prom-1
+        |    serverset_sd_configs:
+        |      - servers: [zk1:2181, zk2:2181]
+        |        paths: [/services/web]
+        |        timeout: 5s
+        |    nerve_sd_configs:
+        |      - servers: [zk1:2181]
+        |        paths: [/nerve/web]
+        |""".stripMargin, "/tmp").scrapeJobs.head
+    assert(job.dockerswarmSd ==
+      Seq(DockerSwarmSd.Config("tcp://swarm:2375", "tasks", 9100)))
+    assert(job.tritonSd == Seq(TritonSd.Config("acct", "triton.example.com",
+      "cmon.us-east-3b.triton.zone", "cn", Seq("pdx"))))
+    assert(job.ovhcloudSd == Seq(OvhcloudSd.Config("dedicated_server",
+      "ak", "as", "ck", "ovh-ca")))
+    assert(job.ionosSd == Seq(IonosSd.Config("dc-1", "", "u", "p")))
+    assert(job.stackitSd == Seq(StackitSd.Config("p-1", "eu01")))
+    assert(job.stackitSd.head.apiEndpoint == "https://iaas.api.eu01.stackit.cloud")
+    assert(job.outscaleSd == Seq(OutscaleSd.Config("eu-west-2", "ak", "sk")))
+    assert(job.uyuniSd == Seq(UyuniSd.Config("https://uyuni.example.com",
+      "admin", "pw")))
+    assert(job.ociSd == Seq(OciSd.Config("eu-frankfurt-1", "ocid1.tenancy.t1",
+      "ocid1.user.u1", "aa:bb", "/etc/oci/key.pem", Seq("ocid1.compartment.c1"))))
+    assert(job.kumaSd == Seq(KumaSd.Config("http://kuma:5676", "prom-1")))
+    assert(job.zookeeperSd == Seq(
+      ZookeeperSd.Config("serverset", Seq("zk1:2181", "zk2:2181"),
+        Seq("/services/web"), timeoutMs = 5000L),
+      ZookeeperSd.Config("nerve", Seq("zk1:2181"), Seq("/nerve/web"))))
+    // every provider family actually registers with the manager
+    val mgr = new Discovery.Manager(() => 0L)
+    val count = new java.util.concurrent.atomic.AtomicInteger
+    Discovery.registerJob(mgr, job,
+      dockerswarmClient = Some(new DockerSwarmSd.ApiClient {
+        override def get(p: String) = { count.incrementAndGet(); "[]" } }),
+      tritonClient = Some(new TritonSd.ApiClient {
+        override def get(u: String) = { count.incrementAndGet(); "{}" } }),
+      ovhcloudClient = Some(new OvhcloudSd.ApiClient {
+        override def get(p: String) = { count.incrementAndGet(); "[]" } }),
+      ionosClient = Some(new IonosSd.ApiClient {
+        override def get(p: String) = { count.incrementAndGet(); "{}" } }),
+      stackitClient = Some(new StackitSd.ApiClient {
+        override def get(p: String) = { count.incrementAndGet(); "{}" } }),
+      outscaleClient = Some(new OutscaleSd.ApiClient {
+        override def readVms(t: Option[String]) = { count.incrementAndGet(); "{}" } }),
+      uyuniClient = Some(new UyuniSd.ApiClient {
+        override def call(m: String, p: Seq[Any]) = { count.incrementAndGet()
+          if (m == "auth.login") "tok" else List.empty } }),
+      ociClient = Some(new OciSd.ApiClient {
+        override def get(s: String, p: String) = { count.incrementAndGet(); "[]" } }),
+      kumaClient = Some(new KumaSd.ApiClient {
+        override def fetch(b: String) = { count.incrementAndGet(); None } }),
+      zkClient = Some(() => new ZookeeperSd.ZkClient {
+        override def children(p: String) = { count.incrementAndGet(); Nil }
+        override def data(p: String) = None
+      }))
+    mgr.poll()
+    assert(count.get() >= 10, s"only ${count.get()} provider transports polled")
+  }
+
   test("consul SD: catalog filter, health aggregation, address precedence") {
     val catalog = """{"web":["prod","traefik.enable=true"],"db":["prod"],"skipme":[]}"""
     val webHealth =
