@@ -1081,6 +1081,43 @@ class SdProvidersSpec extends AnyFunSuite {
     assert(l("__meta_uyuni_scheme") == "https")
   }
 
+  test("uyuni SD: a failed refresh forces re-login; manager keeps targets") {
+    var logins = 0
+    var failNext = false
+    val fake = new UyuniSd.ApiClient {
+      override def call(method: String, params: Seq[Any]): Any = method match {
+        case "auth.login" => logins += 1; s"tok-$logins"
+        case "system.listSystemGroupsForSystemsWithEntitlement" =>
+          if (failNext) { failNext = false; throw new IllegalStateException("boom") }
+          List(Map("id" -> 7L, "system_groups" -> List(Map("name" -> "g"))))
+        case "system.monitoring.listEndpoints" =>
+          List(Map("system_id" -> 7L, "endpoint_name" -> "node",
+            "port" -> 9100L, "path" -> "/metrics", "module" -> "",
+            "exporter_name" -> "node", "tls_enabled" -> false))
+        case "system.getNetworkForSystems" =>
+          List(Map("system_id" -> 7L, "hostname" -> "m1", "primary_fqdn" -> "m1"))
+        case other => fail(s"unexpected method $other")
+      }
+    }
+    var now = 0L
+    val mgr = new Discovery.Manager(() => now)
+    mgr.register("uy", new UyuniSd.UyuniProvider("uyuni/0",
+      UyuniSd.Config("https://u", "a", "p", refreshMs = 1000L), fake))
+    mgr.poll()
+    assert(mgr.targetsFor("uy", "uy").map(_.instance) == Seq("m1:9100"))
+    assert(logins == 1)
+    // failed refresh: previous targets kept (manager), token invalidated
+    failNext = true
+    now = 2000L
+    mgr.poll()
+    assert(mgr.targetsFor("uy", "uy").map(_.instance) == Seq("m1:9100"))
+    // next refresh logs in again (ref uyuni.go:353-355 token reset on error)
+    now = 4000L
+    mgr.poll()
+    assert(logins == 2, s"expected re-login, got $logins")
+    assert(mgr.targetsFor("uy", "uy").map(_.instance) == Seq("m1:9100"))
+  }
+
   test("dockerswarm SD: nodes, services (vip x port), tasks (published + attached)") {
     val nodesJson =
       """[{"ID":"n1","Spec":{"Role":"manager","Availability":"active",
