@@ -884,14 +884,17 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
           // SERIES-level split: float-only series take the prefix-diff linear
           // path; any series carrying histogram samples falls back to the
           // merged-timeline explode (few in practice — the explode input is
-          // restricted to those series, so the amplification stays bounded)
+          // restricted to those series, so the amplification stays bounded).
+          // No broadcast() hint on histSeries: its cardinality is the distinct
+          // histogram-carrying series of the matched selector, which grows
+          // with deployment size — AQE picks broadcast when actually small.
           val histSeries = ri.points.filter(hNotNull)
             .select(col("__sg")).distinct()
           val linPart = finish(
-            linearRangeStats(ri).join(broadcast(histSeries), Seq("__sg"), "left_anti"),
+            linearRangeStats(ri).join(histSeries, Seq("__sg"), "left_anti"),
             if (name == "changes") col("nChanges") else col("nResets"))
           val mergedPart = {
-            val agged = aggL(pts.join(broadcast(histSeries), Seq("__sg"), "left_semi")
+            val agged = aggL(pts.join(histSeries, Seq("__sg"), "left_semi")
               .groupBy(col("__sg"), col("t_step")),
               max(col("dn")).as("dn"),
                 sort_array(collect_list(struct(col("wt"), col("v"), col("h"), col("wst").as("stt")))).as("mp"))
