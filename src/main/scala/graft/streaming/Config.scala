@@ -53,6 +53,21 @@ object Config {
       kumaSd: Seq[KumaSd.Config] = Nil,
       zookeeperSd: Seq[ZookeeperSd.Config] = Nil) // serverset + nerve
 
+  /** one `alerting.alertmanagers` group (ref: config/config.go:1330
+    * AlertmanagerConfig): target discovery + relabel_configs live on the
+    * embedded [[ScrapeJob]] (same SD surface as scrape configs), the push
+    * endpoint shape is scheme://addr + path_prefix + /api/<version>/alerts
+    * (ref: notifier/alertmanager.go:87 postPath), and `alertRelabel` is
+    * this group's own alert_relabel_configs applied just before send
+    * (ref: notifier/alertmanagerset.go:139). */
+  final case class AlertmanagerGroup(
+      sd: ScrapeJob,
+      scheme: String,
+      pathPrefix: String,
+      apiVersion: String,
+      timeoutMs: Long,
+      alertRelabel: Seq[Relabel.Rule])
+
   final case class PromConfig(
       scrapeIntervalMs: Long,
       evaluationIntervalMs: Long,
@@ -62,7 +77,13 @@ object Config {
       remoteWriteUrls: Seq[String],
       remoteReadUrls: Seq[String],
       alertmanagerUrls: Seq[String],
-      queryLogFile: Option[String] = None) {
+      queryLogFile: Option[String] = None,
+      // alerting-level alert_relabel_configs (ref: config/config.go:1274)
+      alertRelabel: Seq[Relabel.Rule] = Nil,
+      alertmanagerGroups: Seq[AlertmanagerGroup] = Nil,
+      // storage.exemplars.max_exemplars (ref: config/config.go:1265
+      // ExemplarsConfig; ≤0 disables the storage)
+      maxExemplars: Long = 100000L) {
     /** all scrape targets of a job (static + current file-SD contents) */
     def targetsOf(job: ScrapeJob): Seq[ScrapeManager.ScrapeTarget] =
       (job.staticTargets ++ job.fileSdPaths.flatMap(p =>
@@ -150,8 +171,12 @@ object Config {
     // defaults ref: config/config.go DefaultGlobalConfig (1m scrape, 1m eval)
     val scrapeMs = global.str("scrape_interval").map(durMs).getOrElse(60000L)
     val evalMs = global.str("evaluation_interval").map(durMs).getOrElse(60000L)
-    val jobs = root.list("scrape_configs").collect { case m: YMap =>
-      val name = str(m, "job_name")
+    // one scrape_config body → ScrapeJob; the alertmanagers groups reuse the
+    // full SD-config surface through the same parser (ref: config/config.go:846
+    // AlertmanagerConfig.ServiceDiscoveryConfigs is the same
+    // discovery.Configs type scrape configs use)
+    def parseScrapeJob(m: YMap, nameDefault: String = ""): ScrapeJob = {
+      val name = { val n = str(m, "job_name"); if (n.nonEmpty) n else nameDefault }
       val scheme = str(m, "scheme", "http")
       val path = str(m, "metrics_path", "/metrics")
       val statics = m.list("static_configs").collect { case sc: YMap =>
@@ -480,25 +505,50 @@ object Config {
         dockerswarmSd, tritonSd, ovhcloudSd, ionosSd,
         stackitSd, outscaleSd, uyuniSd, ociSd, kumaSd, zookeeperSd)
     }
+    val jobs = root.list("scrape_configs").collect { case m: YMap =>
+      parseScrapeJob(m) }
     def urlsOf(key: String): Seq[String] =
       root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)
-    val ams = root.get("alerting") match {
-      case Some(a: YMap) => a.list("alertmanagers").collect { case m: YMap =>
-        val scheme = str(m, "scheme", "http")
-        val pathPrefix = str(m, "path_prefix")
-        m.list("static_configs").collect { case sc: YMap =>
-          strList(sc.get("targets")).map(t => s"$scheme://$t$pathPrefix")
-        }.flatten
-      }.flatten
-      case _ => Nil
+    // alerting: — per-group service discovery via the scrape-job machinery
+    // plus alert relabeling (ref: config/config.go:1274 AlertingConfig
+    // {alert_relabel_configs, alertmanagers}; each group carries the full
+    // *_sd_configs surface, relabel_configs for AM-target selection, and
+    // its own alert_relabel_configs)
+    val alertingYaml = root.get("alerting") match {
+      case Some(a: YMap) => a
+      case _ => YMap(Nil)
     }
+    val alertRelabel = relabelChain(alertingYaml.get("alert_relabel_configs"))
+    val amGroups = alertingYaml.list("alertmanagers").zipWithIndex.collect {
+      case (m: YMap, i) =>
+        AlertmanagerGroup(
+          parseScrapeJob(m, nameDefault = s"alertmanager/$i"),
+          str(m, "scheme", "http"),
+          str(m, "path_prefix"),
+          str(m, "api_version", "v2"),
+          m.str("timeout").map(durMs).getOrElse(10000L),
+          relabelChain(m.get("alert_relabel_configs")))
+    }
+    // static AM base URLs (display surface + legacy notifier path); live
+    // push endpoints resolve from the groups incl. SD + target relabeling
+    val ams = amGroups.flatMap(g =>
+      g.sd.staticTargets.map(t => s"${g.scheme}://${t.instance}${g.pathPrefix}"))
     PromConfig(scrapeMs, evalMs, kv(global.get("external_labels")),
       root.list("rule_files").collect { case YScalar(s) => s }.flatMap(expandGlob(base, _)),
       jobs, urlsOf("remote_write"), urlsOf("remote_read"), ams,
       // --query.log-file analog: global.query_log_file (relative to the
       // config file's directory, like rule_files)
       global.str("query_log_file").filter(_.nonEmpty)
-        .map(f => base.resolve(f).toString))
+        .map(f => base.resolve(f).toString),
+      alertRelabel = alertRelabel,
+      alertmanagerGroups = amGroups,
+      maxExemplars = (root.get("storage") match {
+        case Some(s: YMap) => s.get("exemplars") match {
+          case Some(e: YMap) => e.str("max_exemplars").map(_.toLong)
+          case _ => None
+        }
+        case _ => None
+      }).getOrElse(100000L))
   }
 
   def load(path: String): PromConfig = {

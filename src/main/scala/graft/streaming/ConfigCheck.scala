@@ -46,6 +46,14 @@ object ConfigCheck {
     "fallback_scrape_protocol", "enable_compression", "static_configs",
     "http_headers", "metric_name_validation_scheme", "metric_name_escaping_scheme")
 
+  // ref: config/config.go:1330 AlertmanagerConfig yaml fields
+  private val alertmanagerFields = Set(
+    "timeout", "api_version", "path_prefix", "scheme", "static_configs",
+    "relabel_configs", "alert_relabel_configs", "basic_auth", "authorization",
+    "sigv4", "oauth2", "tls_config", "proxy_url", "no_proxy",
+    "proxy_from_environment", "proxy_connect_header", "follow_redirects",
+    "enable_http2", "http_headers")
+
   private def unknownKeys(m: YMap, known: Set[String],
       where: String, alsoOk: String => Boolean = _ => false): Seq[String] =
     m.keys.filterNot(k => known(k) || alsoOk(k))
@@ -154,14 +162,11 @@ object ConfigCheck {
       case Some(g: YMap) => errs ++= unknownKeys(g, globalFields, s"$path global")
       case _ => ()
     }
-    root.list("scrape_configs").foreach {
-      case sc: YMap =>
-        // every `*_sd_configs` mechanism is a known field (the reference has
-        // ~25 providers; unimplemented providers' inner options are not
-        // re-validated — matching promtool's no-network parse)
-        errs ++= unknownKeys(sc, scrapeFields, s"$path scrape_config",
-          alsoOk = _.endsWith("_sd_configs"))
-        val job = sc.str("job_name").getOrElse("<no job_name>")
+    // per-provider required-field/enum validation, shared between
+    // scrape_configs and alerting.alertmanagers groups — the reference's
+    // AlertmanagerConfig embeds the same discovery.Configs
+    // (ref: config/config.go:1346 ServiceDiscoveryConfigs)
+    def checkSdConfigs(sc: YMap, job: String): Unit = {
         // required fields / enums of the providers this engine implements
         // (ref: each SDConfig's Validate/UnmarshalYAML)
         val k8sRoles = Set("node", "pod", "service", "endpoints",
@@ -439,7 +444,35 @@ object ConfigCheck {
               errs += s"""$path: job "$job": relevant DNS-SD configs require a port defined"""
           case _ => ()
         }
+    }
+    root.list("scrape_configs").foreach {
+      case sc: YMap =>
+        // every `*_sd_configs` mechanism is a known field (the reference has
+        // ~25 providers; unimplemented providers' inner options are not
+        // re-validated — matching promtool's no-network parse)
+        errs ++= unknownKeys(sc, scrapeFields, s"$path scrape_config",
+          alsoOk = _.endsWith("_sd_configs"))
+        checkSdConfigs(sc, sc.str("job_name").getOrElse("<no job_name>"))
       case _ => errs += s"$path: bad scrape_config node"
+    }
+    // alerting: groups carry the same SD surface plus their own
+    // relabel/alert_relabel configs (ref: config/config.go:1330
+    // AlertmanagerConfig; api_version v1 is no longer supported)
+    root.get("alerting") match {
+      case Some(a: YMap) =>
+        errs ++= unknownKeys(a, Set("alert_relabel_configs", "alertmanagers"),
+          s"$path alerting")
+        a.list("alertmanagers").zipWithIndex.foreach {
+          case (m: YMap, i) =>
+            errs ++= unknownKeys(m, alertmanagerFields,
+              s"$path alertmanager config", alsoOk = _.endsWith("_sd_configs"))
+            checkSdConfigs(m, s"alertmanager/$i")
+            val v = m.str("api_version").getOrElse("v2")
+            if (v != "v2")
+              errs += s"""$path: alertmanager config: invalid api_version "$v" (only "v2" is supported)"""
+          case _ => errs += s"$path: bad alertmanager config node"
+        }
+      case _ => ()
     }
     // the config itself must parse into the serving model
     try Config.parse(text, Option(p.getParent).map(_.toString).getOrElse("."))

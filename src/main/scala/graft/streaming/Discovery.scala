@@ -266,6 +266,46 @@ object Discovery {
       }
   }
 
+  /** Expand an alertmanager group's discovered target groups into push
+    * URLs (ref: notifier/alertmanager.go:48 AlertmanagerFromGroup): the
+    * configured scheme and path (path_prefix + /api/<version>/alerts,
+    * ref :87 postPath) seed `__scheme__`/`__alerts_path__` OVER any
+    * per-target value, group labels fill in only where the target lacks
+    * them, then the group's relabel_configs may rewrite
+    * `__address__`/`__scheme__`/`__alerts_path__` or drop the target. */
+  def alertmanagerEndpoints(mgr: Manager, g: Config.AlertmanagerGroup): Seq[String] =
+    alertmanagerTargets(mgr, g)._1
+
+  /** like [[alertmanagerEndpoints]] but also returns the relabel-DROPPED
+    * alertmanagers' pre-relabel URLs (ref: AlertmanagerFromGroup's
+    * droppedAlertManagers, served by /api/v1/alertmanagers). */
+  def alertmanagerTargets(mgr: Manager, g: Config.AlertmanagerGroup)
+      : (Seq[String], Seq[String]) = {
+    val path0 = {
+      val p = s"${g.pathPrefix.stripSuffix("/")}/api/${g.apiVersion}/alerts"
+      if (p.startsWith("/")) p else "/" + p
+    }
+    def url(lbls: Map[String, String], addr: String): String = {
+      val p = lbls.getOrElse("__alerts_path__", path0)
+      s"${lbls.getOrElse("__scheme__", g.scheme)}://${lbls.getOrElse("__address__", addr)}" +
+        (if (p.startsWith("/")) p else "/" + p)
+    }
+    val results = for {
+      tg <- mgr.groupsFor(g.sd.jobName)
+      (addr, tl) <- tg.targets
+    } yield {
+      val seeded = (Map("__address__" -> addr) ++ tl) +
+        ("__scheme__" -> g.scheme) + ("__alerts_path__" -> path0)
+      val full = seeded ++ (tg.labels -- seeded.keySet)
+      Relabel.applyToMap(full, g.sd.relabel) match {
+        case Some(out) => Left(url(out, addr))
+        case None => Right(url(full, addr)) // dropped: pre-relabel labels
+      }
+    }
+    (results.collect { case Left(u) => u }.distinct,
+      results.collect { case Right(u) => u }.distinct)
+  }
+
   /** register every SD mechanism of one scrape job on a manager — the one
     * assembly used by both the live server and `promtool check
     * service-discovery` (ref: scrape config ServiceDiscoveryConfigs →

@@ -87,12 +87,35 @@ final class PromServer(
       ruleGroups = groups.flatten
       api.ruleGroups = ruleGroups
       api.alertmanagerUrls = cfg.alertmanagerUrls
+      // /api/v1/alertmanagers serves the LIVE discovery view (active +
+      // relabel-dropped) aggregated across the alertmanagers groups
+      val amGroupsNow = cfg.alertmanagerGroups
+      api.alertmanagerDiscovery = () => {
+        discovery.poll()
+        val views = amGroupsNow.map(g =>
+          Discovery.alertmanagerTargets(discovery, g))
+        (views.flatMap(_._1), views.flatMap(_._2))
+      }
       api.configYaml = text
       api.externalLabels = cfg.externalLabels
+      // storage.exemplars.max_exemplars is runtime-reloadable
+      // (ref: main.go reloadConfig → ApplyConfig on the exemplar storage)
+      store.maxExemplars = cfg.maxExemplars
+      // notifier fan-out: each alertmanagers group resolves its push
+      // endpoints live from the shared discovery manager (statics included —
+      // they ride the group's StaticProvider), with alerting-level +
+      // per-group alert_relabel_configs (ref: notifier/manager.go ApplyConfig)
       notifier =
-        if (cfg.alertmanagerUrls.isEmpty) None
-        else Some(new graft.web.Notifier(cfg.alertmanagerUrls,
-          externalLabels = cfg.externalLabels))
+        if (cfg.alertmanagerGroups.isEmpty) None
+        else Some(new graft.web.Notifier(Nil,
+          externalLabels = cfg.externalLabels,
+          alertRelabel = cfg.alertRelabel,
+          sets = cfg.alertmanagerGroups.map(g => graft.web.Notifier.AmSet(
+            () => {
+              discovery.poll()
+              Discovery.alertmanagerEndpoints(discovery, g)
+            },
+            g.alertRelabel, g.timeoutMs))))
       // query_log_file: swap the per-query logger (close the old one when
       // the path changed; reload with the same path keeps appending —
       // ref main.go reloadConfig → engine.SetQueryLogger)
@@ -115,6 +138,10 @@ final class PromServer(
       discovery.clear()
       droppedByJob.clear()
       cfg.scrapeJobs.foreach(Discovery.registerJob(discovery, _, dnsResolver))
+      // alertmanager groups discover through the same manager, keyed by
+      // their synthetic set names ("alertmanager/<i>")
+      cfg.alertmanagerGroups.foreach(g =>
+        Discovery.registerJob(discovery, g.sd, dnsResolver))
       val mgrs = cfg.scrapeJobs.map { job =>
         val m = new ScrapeManager(spark, store, Nil,
           intervalMs = if (job.intervalMs > 0) job.intervalMs else cfg.scrapeIntervalMs,

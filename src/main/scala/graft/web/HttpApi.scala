@@ -108,6 +108,10 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
   @volatile var scrapeTargets: Seq[graft.streaming.ScrapeManager.ScrapeTarget] = Nil
   /** notifier fan-out endpoints, rendered by /api/v1/alertmanagers */
   @volatile var alertmanagerUrls: Seq[String] = Nil
+  /** (active push URLs, relabel-dropped URLs) — overridden by the server
+    * with the live SD view; defaults to the static list */
+  @volatile var alertmanagerDiscovery: () => (Seq[String], Seq[String]) =
+    () => (alertmanagerUrls, Nil)
 
   /** group name → (last evaluation wall time ms, duration sec), maintained
     * by the rule-eval loop; rendered by /api/v1/rules */
@@ -1271,12 +1275,16 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     })
 
     server.createContext("/api/v1/alertmanagers", qHandler { ex =>
-      // ref: web/api/v1/api.go alertmanagers — discovery state of the
-      // notifier fan-out (static URLs at this seam; no dropped set)
+      // ref: web/api/v1/api.go:1449 alertmanagers — live discovery state of
+      // the notifier fan-out: SD-resolved + relabel-kept push URLs, plus the
+      // relabel-dropped set (the server wires alertmanagerDiscovery to the
+      // SD manager; the default serves the static URL list)
+      val (act, dropped) = alertmanagerDiscovery()
       ok(ex, Json.obj(
-        "activeAlertmanagers" -> Json.arr(alertmanagerUrls.map(u =>
+        "activeAlertmanagers" -> Json.arr(act.map(u =>
           Json.obj("url" -> Json.str(u)))),
-        "droppedAlertmanagers" -> "[]"))
+        "droppedAlertmanagers" -> Json.arr(dropped.map(u =>
+          Json.obj("url" -> Json.str(u))))))
     })
 
     server.createContext("/api/v1/otlp/v1/metrics", handler { ex =>

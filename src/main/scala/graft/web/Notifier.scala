@@ -1,22 +1,42 @@
 package graft.web
 
-import graft.streaming.Rules
+import graft.streaming.{Relabel, Rules}
+
+object Notifier {
+  /** one `alerting.alertmanagers` group at send time: a live supplier of
+    * full push URLs (SD-discovered + relabeled, see
+    * [[graft.streaming.Discovery.alertmanagerEndpoints]]) plus the group's
+    * own alert_relabel_configs (ref: notifier/alertmanagerset.go:139 —
+    * applied per-set with empty external labels). */
+  final case class AmSet(
+      endpoints: () => Seq[String],
+      alertRelabel: Seq[Relabel.Rule] = Nil,
+      timeoutMs: Long = 10000L)
+}
 
 /** Alertmanager notification sink: POST firing alerts as the v2 JSON array
   * to every configured Alertmanager (ref: notifier/notifier.go sendAll,
   * payload shape notifier/alertmanager.go — [{labels, annotations,
   * startsAt, endsAt, generatorURL}]).
   *
-  * Stateless fan-out over the configured URLs; send failures to one AM do
-  * not block the others (the reference's per-AM queue semantics collapse to
-  * best-effort synchronous sends at this seam). Driver-side by design:
-  * alert cardinality, not sample cardinality.
+  * Before any send, external labels fill in absent alert labels and the
+  * alerting-level alert_relabel_configs rewrite or drop alerts (ref:
+  * notifier/manager.go:270 + notifier/alert.go:71 relabelAlerts); each
+  * [[Notifier.AmSet]] then applies its own group-level
+  * alert_relabel_configs to its copy of the batch.
+  *
+  * Stateless fan-out over static URLs + per-set discovered endpoints; send
+  * failures to one AM do not block the others (the reference's per-AM queue
+  * semantics collapse to best-effort synchronous sends at this seam).
+  * Driver-side by design: alert cardinality, not sample cardinality.
   */
 final class Notifier(
     alertmanagerUrls: Seq[String],
     externalUrl: String = "http://localhost:9090",
     client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient(),
-    externalLabels: Map[String, String] = Map.empty) {
+    externalLabels: Map[String, String] = Map.empty,
+    alertRelabel: Seq[Relabel.Rule] = Nil,
+    sets: Seq[Notifier.AmSet] = Nil) {
 
   final case class Alert(
       labels: Map[String, String],
@@ -41,20 +61,40 @@ final class Notifier(
           a.labels.getOrElse("alertname", ""), "UTF-8")))
   }
 
-  /** send one batch; returns per-URL success flags */
+  /** ref: notifier/alert.go:71 relabelAlerts — external labels only where
+    * the alert lacks the name, then the relabel chain; !keep drops the alert */
+  private def relabelAlerts(as: Seq[Alert], ext: Map[String, String],
+      rules: Seq[Relabel.Rule]): Seq[Alert] =
+    as.flatMap { a =>
+      val merged = ext ++ a.labels
+      if (rules.isEmpty) Some(if (ext.isEmpty) a else a.copy(labels = merged))
+      else Relabel.applyToMap(merged, rules).map(l => a.copy(labels = l))
+    }
+
+  private def post(url: String, body: String, timeoutMs: Long): Boolean =
+    try {
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofMillis(timeoutMs))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      resp.statusCode() / 100 == 2
+    } catch { case _: Exception => false }
+
+  /** send one batch; returns per-destination success flags (static URLs
+    * first, then each set's discovered endpoints in order). A destination
+    * whose batch relabeled down to empty counts as success (nothing owed). */
   def send(alerts: Seq[Alert]): Seq[Boolean] = {
     if (alerts.isEmpty) return alertmanagerUrls.map(_ => true)
-    val body = Json.arr(alerts.map(alertJson))
+    val ga = relabelAlerts(alerts, externalLabels, alertRelabel)
+    val gaBody = if (ga.isEmpty) null else Json.arr(ga.map(alertJson))
     alertmanagerUrls.map { base =>
-      try {
-        val resp = client.send(
-          java.net.http.HttpRequest.newBuilder(
-              java.net.URI.create(base.stripSuffix("/") + "/api/v2/alerts"))
-            .header("Content-Type", "application/json")
-            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
-          java.net.http.HttpResponse.BodyHandlers.ofString())
-        resp.statusCode() / 100 == 2
-      } catch { case _: Exception => false }
+      gaBody == null || post(base.stripSuffix("/") + "/api/v2/alerts", gaBody, 10000L)
+    } ++ sets.flatMap { s =>
+      val sa = relabelAlerts(ga, Map.empty, s.alertRelabel)
+      val sBody = if (sa.isEmpty) null else Json.arr(sa.map(alertJson))
+      s.endpoints().map(u => sBody == null || post(u, sBody, s.timeoutMs))
     }
   }
 
@@ -66,9 +106,7 @@ final class Notifier(
     val firing = state.values.filter(_.firingSinceMs >= 0L).toSeq
     send(firing.map { st =>
       Alert(
-        // external labels attach to outbound alerts; the alert's own labels
-        // win conflicts (ref: notifier/notifier.go Send label merge)
-        labels = externalLabels ++ st.labels,
+        labels = st.labels,
         // per-instance template-expanded annotations when the evaluation
         // produced them (ref: rules/alerting.go sends expanded annotations)
         annotations = if (st.annotations.nonEmpty) st.annotations else rule.annotations,
