@@ -106,15 +106,29 @@ final class ScrapeManager(
     }
   }
 
-  /** one synchronous scrape pass over every target; returns appended rows */
-  def scrapeOnce(): Long =
-    targetProvider().map(t => if (t.proto) scrapeProto(t) else scrapeTarget(t)).sum
+  /** one synchronous scrape pass over every target; returns appended rows.
+    * Exemplars are batched across the pool's targets into ONE append per
+    * cycle (mirroring the sample batch path) — a per-target append would
+    * schedule one tiny Spark job per target per cycle at thousands-of-
+    * targets scale. */
+  def scrapeOnce(): Long = {
+    val results = targetProvider().map(t =>
+      if (t.proto) scrapeProto(t) else scrapeTarget(t))
+    val exRows = results.flatMap(_._2)
+    if (exRows.nonEmpty)
+      store.appendExemplars(spark.createDataFrame(
+        spark.sparkContext.parallelize(exRows, 1),
+        OpenMetrics.exemplarBatchSchema))
+    results.map(_._1).sum
+  }
 
   /** protobuf-negotiated scrape (content type io.prometheus.client.MetricFamily,
-    * delimited) — the only text-free scrape path; carries native histograms
-    * and family metadata (ref: scrape/scrape.go accept header negotiation,
-    * model/textparse/protobufparse.go) */
-  private def scrapeProto(tgt: ScrapeTarget): Long = {
+    * delimited) — the only text-free scrape path; carries native histograms,
+    * family metadata, and exemplars on counters / classic buckets / native
+    * histograms (ref: scrape/scrape.go accept header negotiation,
+    * model/textparse/protobufparse.go:329 Exemplar). Returns (appended rows,
+    * exemplar rows for the pool's per-cycle batch). */
+  private def scrapeProto(tgt: ScrapeTarget): (Long, Seq[Row]) = {
     import graft.promql.FHist
     import graft.web.ProtoExposition
     val t0 = nowMs()
@@ -161,10 +175,22 @@ final class ScrapeManager(
     store.append(scraped.filter(_ => violation.isEmpty)
       .map(_.unionByName(reportDf)).getOrElse(reportDf))
     if (parsed.meta.nonEmpty && violation.isEmpty) store.mergeMetadata(parsed.meta)
-    (if (violation.isEmpty) stamped.size.toLong else 0L) + report.size
+    // exemplars ride the accepted scrape only, attached to the decorated,
+    // POST-metric-relabel series (same contract as the OpenMetrics path);
+    // a ts-less exemplar gets the scrape timestamp (ref: scrape.go — no-ts
+    // exemplars default to the sample's timestamp)
+    val exRows =
+      if (!effOk) Nil
+      else parsed.exemplars.flatMap { case (l, e) =>
+        Relabel.applyToMap(decorate(l), metricRelabel).map { sl =>
+          Row(sl, Row(e.labels, e.v,
+            if (e.t == ProtoExposition.NoTs) t0 else e.t))
+        }
+      }
+    ((if (violation.isEmpty) stamped.size.toLong else 0L) + report.size, exRows)
   }
 
-  private def scrapeTarget(tgt: ScrapeTarget): Long = {
+  private def scrapeTarget(tgt: ScrapeTarget): (Long, Seq[Row]) = {
     val t0 = nowMs()
     val (samples, exemplars, ok) =
       try {
@@ -226,18 +252,15 @@ final class ScrapeManager(
     // exemplars ride the accepted scrape only, attached to the decorated,
     // POST-metric-relabel series — an exemplar of a relabel-dropped series
     // is dropped with it (ref: scrape.go exemplars append after the sample's
-    // series ref resolves)
-    if (violation.isEmpty && exemplars.nonEmpty) {
-      val exRows = exemplars.flatMap { case (l, e) =>
+    // series ref resolves); the append itself is batched per pool cycle in
+    // scrapeOnce
+    val exRows =
+      if (violation.nonEmpty) Nil
+      else exemplars.flatMap { case (l, e) =>
         Relabel.applyToMap(decorate(l), metricRelabel)
           .map(sl => Row(sl, Row(e.labels, e.v, e.t)))
       }
-      if (exRows.nonEmpty)
-        store.appendExemplars(spark.createDataFrame(
-          spark.sparkContext.parallelize(exRows, 1),
-          OpenMetrics.exemplarBatchSchema))
-    }
-    (if (violation.isEmpty) stamped.size.toLong else 0L) + report.size
+    ((if (violation.isEmpty) stamped.size.toLong else 0L) + report.size, exRows)
   }
 
   def start(): Unit = synchronized {

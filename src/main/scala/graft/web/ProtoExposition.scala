@@ -21,7 +21,15 @@ object ProtoExposition {
 
   import RemoteWrite.{Reader, Sample}
 
-  final case class Parsed(samples: Seq[Sample], meta: RemoteWrite.Meta)
+  /** exemplars are (parent-series labels → exemplar); an exemplar with no
+    * proto timestamp carries t = NoTs and the scrape stamps it with the
+    * batch time (ref: scrape/scrape.go — exemplars without a timestamp
+    * default to the sample's) */
+  final case class Parsed(samples: Seq[Sample], meta: RemoteWrite.Meta,
+      exemplars: Seq[(Map[String, String], graft.streaming.OpenMetrics.Exemplar)] = Nil)
+
+  /** sentinel for "exemplar had no timestamp field" */
+  val NoTs: Long = Long.MinValue
 
   private def zigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
 
@@ -55,11 +63,34 @@ object ProtoExposition {
     (n, v)
   }
 
+  /** dto.Exemplar {label=1, value=2, timestamp=3} (metrics.proto:137);
+    * a missing timestamp → t = [[NoTs]] */
+  private def exemplarMsg(r: Reader): graft.streaming.OpenMetrics.Exemplar = {
+    val lbls = mutable.Map[String, String]()
+    var v = 0.0; var t = NoTs
+    while (r.hasMore) {
+      val tag = r.varint()
+      (tag >> 3, (tag & 7).toInt) match {
+        case (1, 2) => lbls += labelPair(r.sub())
+        case (2, 1) => v = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (3, 2) => t = tsMs(r.sub())
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    graft.streaming.OpenMetrics.Exemplar(lbls.toMap, v, t)
+  }
+
+  private final case class HistParsed(
+      classic: Seq[(Double, Double)], cnt: Double, sum: Double, stt: Long,
+      native: Option[FHist],
+      // per-bucket exemplars as (le, exemplar) (metrics.proto:123 Bucket.exemplar)
+      bucketExemplars: Seq[(Double, graft.streaming.OpenMetrics.Exemplar)],
+      // Histogram.exemplars=16 — native-histogram exemplars, MUST have ts
+      histExemplars: Seq[graft.streaming.OpenMetrics.Exemplar])
+
   /** dto.Histogram — NOTE: different field numbering than prompb.Histogram
-    * (metrics.proto:75-117). Returns (classic buckets (le, cumCount),
-    * count, sum, stt ms, native FHist if the native fields are present). */
-  private def histogram(r: Reader, gauge: Boolean)
-      : (Seq[(Double, Double)], Double, Double, Long, Option[FHist]) = {
+    * (metrics.proto:75-117). */
+  private def histogram(r: Reader, gauge: Boolean): HistParsed = {
     var cntI = 0L; var cntF = Double.NaN; var sum = 0.0
     var schema = 0; var zt = 0.0; var zcI = 0L; var zcF = Double.NaN
     var stt = 0L
@@ -83,17 +114,22 @@ object ProtoExposition {
       }
       (off, len)
     }
+    val bucketEx = mutable.ArrayBuffer[(Double, graft.streaming.OpenMetrics.Exemplar)]()
+    val histEx = mutable.ArrayBuffer[graft.streaming.OpenMetrics.Exemplar]()
     def bucket(br: Reader): (Double, Double) = {
       var le = 0.0; var ccI = 0L; var ccF = Double.NaN
+      var ex: Option[graft.streaming.OpenMetrics.Exemplar] = None
       while (br.hasMore) {
         val t = br.varint()
         (t >> 3, (t & 7).toInt) match {
           case (1, 0) => ccI = br.varint()
           case (2, 1) => le = java.lang.Double.longBitsToDouble(br.fixed64())
+          case (3, 2) => ex = Some(exemplarMsg(br.sub()))
           case (4, 1) => ccF = java.lang.Double.longBitsToDouble(br.fixed64())
           case (_, wt) => br.skip(wt)
         }
       }
+      ex.foreach(e => bucketEx += ((le, e)))
       (le, if (!ccF.isNaN) ccF else ccI.toDouble)
     }
     while (r.hasMore) {
@@ -118,6 +154,7 @@ object ProtoExposition {
         case (14, 2) => { val s = r.sub(); while (s.hasMore) posCounts += java.lang.Double.longBitsToDouble(s.fixed64()) }
         case (14, 1) => posCounts += java.lang.Double.longBitsToDouble(r.fixed64())
         case (15, 2) => stt = tsMs(r.sub())
+        case (16, 2) => histEx += exemplarMsg(r.sub())
         case (_, wt) => r.skip(wt)
       }
     }
@@ -144,12 +181,14 @@ object ProtoExposition {
         Some(FHist(schema, zt, if (!zcF.isNaN) zcF else zcI.toDouble, cnt, sum,
           pidx, pcnt, nidx, ncnt, Nil, if (gauge) 3 else 0))
       }
-    (classic.toSeq, cnt, sum, stt, native)
+    HistParsed(classic.toSeq, cnt, sum, stt, native, bucketEx.toSeq, histEx.toSeq)
   }
 
-  /** one MetricFamily message → samples */
+  /** one MetricFamily message → samples + exemplars */
   private def family(r: Reader, defaultTsMs: Long,
-      meta: mutable.Map[String, (String, String, String)]): Seq[Sample] = {
+      meta: mutable.Map[String, (String, String, String)],
+      exOut: mutable.ArrayBuffer[(Map[String, String], graft.streaming.OpenMetrics.Exemplar)])
+      : Seq[Sample] = {
     var name = ""; var help = ""; var unit = ""; var mtype = 3
     val out = mutable.ArrayBuffer[Sample]()
     val metricSubs = mutable.ArrayBuffer[Reader]()
@@ -169,9 +208,10 @@ object ProtoExposition {
       val base = mutable.Map[String, String]()
       var t = defaultTsMs
       var counterV = Double.NaN; var counterStt = 0L
+      var counterEx: Option[graft.streaming.OpenMetrics.Exemplar] = None
       var gaugeV = Double.NaN; var untypedV = Double.NaN
       var summary: Option[(Double, Double, Seq[(Double, Double)], Long)] = None
-      var hist: Option[(Seq[(Double, Double)], Double, Double, Long, Option[FHist])] = None
+      var hist: Option[HistParsed] = None
       while (mr.hasMore) {
         val tag = mr.varint()
         (tag >> 3, (tag & 7).toInt) match {
@@ -191,6 +231,7 @@ object ProtoExposition {
               val t2 = cr.varint()
               (t2 >> 3, (t2 & 7).toInt) match {
                 case (1, 1) => counterV = java.lang.Double.longBitsToDouble(cr.fixed64())
+                case (2, 2) => counterEx = Some(exemplarMsg(cr.sub()))
                 case (3, 2) => counterStt = tsMs(cr.sub())
                 case (_, wt) => cr.skip(wt)
               }
@@ -239,8 +280,12 @@ object ProtoExposition {
       def named(n: String, extra: (String, String)*): Map[String, String] =
         lbl ++ extra + ("__name__" -> n)
       mtype match {
-        case 0 => if (!counterV.isNaN)
+        case 0 => if (!counterV.isNaN) {
           out += Sample(named(name), t, counterV, counterStt)
+          // one exemplar per counter series (ref: protobufparse.go:342
+          // Exemplar — dto.Counter.exemplar; a missing ts is allowed)
+          counterEx.foreach(e => exOut += ((named(name), e)))
+        }
         case 1 => if (!gaugeV.isNaN) out += Sample(named(name), t, gaugeV)
         case 2 => summary.foreach { case (cnt, sum, qs, stt) =>
           out += Sample(named(name + "_count"), t, cnt, stt)
@@ -248,15 +293,26 @@ object ProtoExposition {
           qs.foreach { case (q, v) =>
             out += Sample(named(name, "quantile" -> Json.goFloat(q)), t, v, stt) }
         }
-        case 4 | 5 => hist.foreach { case (classic, cnt, sum, stt, native) =>
-          native match {
+        case 4 | 5 => hist.foreach { hp =>
+          hp.native match {
             case Some(h) =>
-              out += Sample(named(name), t, Double.NaN, stt, Some(h))
+              out += Sample(named(name), t, Double.NaN, hp.stt, Some(h))
+              // native histograms: Histogram.exemplars (MUST carry ts,
+              // ts-less ones dropped); when empty, fall back to bucket
+              // exemplars that carry a ts (ref: protobufparse.go:345-378)
+              val exs =
+                if (hp.histExemplars.nonEmpty) hp.histExemplars
+                else hp.bucketExemplars.map(_._2)
+              exs.filter(_.t != NoTs).foreach(e => exOut += ((named(name), e)))
             case None =>
-              out += Sample(named(name + "_count"), t, cnt, stt)
-              out += Sample(named(name + "_sum"), t, sum, stt)
-              classic.foreach { case (le, cc) =>
-                out += Sample(named(name + "_bucket", "le" -> Json.goFloat(le)), t, cc, stt) }
+              out += Sample(named(name + "_count"), t, hp.cnt, hp.stt)
+              out += Sample(named(name + "_sum"), t, hp.sum, hp.stt)
+              hp.classic.foreach { case (le, cc) =>
+                out += Sample(named(name + "_bucket", "le" -> Json.goFloat(le)), t, cc, hp.stt) }
+              // classic expansion: each bucket's exemplar attaches to its
+              // _bucket{le=...} series; ts optional (ref: protobufparse.go:366)
+              hp.bucketExemplars.foreach { case (le, e) =>
+                exOut += ((named(name + "_bucket", "le" -> Json.goFloat(le)), e)) }
           }
         }
         case _ => if (!untypedV.isNaN) out += Sample(named(name), t, untypedV)
@@ -268,12 +324,13 @@ object ProtoExposition {
   /** parse a delimited MetricFamily stream */
   def parse(body: Array[Byte], defaultTsMs: Long): Parsed = {
     val out = mutable.ArrayBuffer[Sample]()
+    val exOut = mutable.ArrayBuffer[(Map[String, String], graft.streaming.OpenMetrics.Exemplar)]()
     val meta = mutable.Map[String, (String, String, String)]()
     val r = new Reader(body, 0, body.length)
     while (r.hasMore) {
       val fr = r.sub() // varint length prefix + MetricFamily bytes
-      out ++= family(fr, defaultTsMs, meta)
+      out ++= family(fr, defaultTsMs, meta, exOut)
     }
-    Parsed(out.toSeq, meta.toMap)
+    Parsed(out.toSeq, meta.toMap, exOut.toSeq)
   }
 }

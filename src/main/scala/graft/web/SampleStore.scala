@@ -92,17 +92,51 @@ final class SampleStore(spark: SparkSession, initial: DataFrame) {
     * (labels, v, t)); sample-path volume stays untouched — exemplars ride a
     * side table exactly like the reference's exemplar storage */
   @volatile private var exemplarDf: Option[DataFrame] = None
+  // driver-side running count + insertion sequence: the circular-buffer
+  // bound (below) needs arrival order, which a DataFrame doesn't carry
+  private var exemplarCount: Long = 0L
+  private var exemplarSeqBase: Long = 0L
+
+  /** bounded exemplar storage (ref: tsdb/exemplar.go:38
+    * CircularExemplarStorage; config storage.exemplars.max_exemplars,
+    * default config.go DefaultExemplarsConfig = 100000): appending past the
+    * cap evicts the oldest exemplars by arrival order; ≤ 0 disables the
+    * storage entirely (appends are dropped), like the reference's runtime-
+    * reloadable disable. */
+  @volatile var maxExemplars: Long = 100000L
+
+  /** number of appendExemplars calls — observability for the per-cycle
+    * batching contract (one append per scrape pool cycle, not per target) */
+  @volatile private[graft] var exemplarAppendCalls: Long = 0L
 
   def appendExemplars(batch: DataFrame): Unit = synchronized {
+    exemplarAppendCalls += 1
+    if (maxExemplars <= 0L) { exemplarDf = None; exemplarCount = 0L; return }
+    import org.apache.spark.sql.functions.{desc, lit, monotonically_increasing_id}
     val cleaned = batch.filter(col("exemplar").isNotNull)
       .select(col("labels"), col("exemplar"))
-    exemplarDf = Some(exemplarDf match {
-      case Some(df) => df.unionByName(cleaned).localCheckpoint(true)
-      case None => cleaned.localCheckpoint(true)
-    })
+      // per-batch arrival stamp: batches are driver-origin single-partition,
+      // so monotonically_increasing_id orders within the batch and the
+      // stepped base orders across batches
+      .withColumn("__seq", monotonically_increasing_id() + lit(exemplarSeqBase))
+    exemplarSeqBase += (1L << 33) // > any single batch's id range
+    val n = cleaned.count()
+    if (n == 0L) return
+    val merged = exemplarDf match {
+      case Some(df) => df.unionByName(cleaned)
+      case None => cleaned
+    }
+    exemplarCount += n
+    val bounded =
+      if (exemplarCount <= maxExemplars) merged
+      else { // evict oldest past the cap (newest maxExemplars survive)
+        exemplarCount = maxExemplars
+        merged.orderBy(desc("__seq")).limit(math.min(maxExemplars, Int.MaxValue).toInt)
+      }
+    exemplarDf = Some(bounded.localCheckpoint(true))
   }
 
-  def exemplars: Option[DataFrame] = exemplarDf
+  def exemplars: Option[DataFrame] = exemplarDf.map(_.drop("__seq"))
 
   /** /api/v1/admin/tsdb/clean_tombstones — materialize deletions */
   def cleanTombstones(): Unit = synchronized {

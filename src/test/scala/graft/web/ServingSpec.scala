@@ -148,14 +148,17 @@ class ServingSpec extends AnyFunSuite {
     server.start()
     try {
       val store = emptyStore()
-      val mgr = new ScrapeManager(spark, store,
-        Seq(ScrapeManager.ScrapeTarget(
-          s"http://127.0.0.1:${server.getAddress.getPort}/metrics",
-          job = "t", instance = "i1", openMetrics = true)),
+      def tgt(inst: String) = ScrapeManager.ScrapeTarget(
+        s"http://127.0.0.1:${server.getAddress.getPort}/metrics",
+        job = "t", instance = inst, openMetrics = true)
+      val mgr = new ScrapeManager(spark, store, Seq(tgt("i1"), tgt("i2")),
         metricRelabel = Seq(Relabel.Rule(Relabel.Drop,
           sourceLabels = Seq("__name__"), regex = "dropme_total")),
         nowMs = () => 60000L)
       mgr.scrapeOnce()
+      // both targets' exemplars ride ONE append for the whole pool cycle
+      assert(store.exemplarAppendCalls == 1L)
+      assert(store.exemplars.get.count() == 2L) // one per instance
       // the exemplar landed against the DECORATED series (instance/job) and
       // serves through the API (ref: scrape.go exemplar append →
       // web/api/v1 queryExemplars)
@@ -200,12 +203,18 @@ class ServingSpec extends AnyFunSuite {
     def strF(out: java.io.ByteArrayOutputStream, tag: Int, s: String): Unit =
       delim(out, tag, s.getBytes("UTF-8"))
     def lp(n: String, v: String) = bytesOf { b => strF(b, 1, n); strF(b, 2, v) }
-    // family 1: counter reqs{m="a"} 41
+    def exMsg(traceId: String, v: Double, tsSec: Option[Long]) = bytesOf { e =>
+      delim(e, 1, lp("trace_id", traceId)); dbl(e, 2, v)
+      tsSec.foreach(s => delim(e, 3, bytesOf(t => varintF(t, 1, s))))
+    }
+    // family 1: counter reqs{m="a"} 41 with an exemplar (metrics.proto:53
+    // Counter.exemplar; ts present)
     val fam1 = bytesOf { f =>
       strF(f, 1, "reqs"); varintF(f, 3, 0)
       delim(f, 4, bytesOf { m =>
         delim(m, 1, lp("m", "a"))
-        delim(m, 3, bytesOf(c => dbl(c, 1, 41.0)))
+        delim(m, 3, bytesOf { c =>
+          dbl(c, 1, 41.0); delim(c, 2, exMsg("t1", 0.7, Some(5L))) })
       })
     }
     // family 2: summary lat: count 5, sum 12.5, q0.5=2.0
@@ -218,13 +227,17 @@ class ServingSpec extends AnyFunSuite {
         })
       })
     }
-    // family 3: classic histogram chist: count 3, sum 6.0, buckets le=1:1, le=+Inf:3
+    // family 3: classic histogram chist: count 3, sum 6.0, buckets le=1:1,
+    // le=+Inf:3; the le=1 bucket carries a TS-LESS exemplar (allowed for
+    // classic buckets, metrics.proto:123; scrape stamps it)
     val fam3 = bytesOf { f =>
       strF(f, 1, "chist"); varintF(f, 3, 4)
       delim(f, 4, bytesOf { m =>
         delim(m, 7, bytesOf { h =>
           varintF(h, 1, 3); dbl(h, 2, 6.0)
-          delim(h, 3, bytesOf { b => varintF(b, 1, 1); dbl(b, 2, 1.0) })
+          delim(h, 3, bytesOf { b =>
+            varintF(b, 1, 1); dbl(b, 2, 1.0)
+            delim(b, 3, exMsg("c1", 0.4, None)) })
           delim(h, 3, bytesOf { b => varintF(b, 1, 3); dbl(b, 2, Double.PositiveInfinity) })
         })
       })
@@ -239,6 +252,10 @@ class ServingSpec extends AnyFunSuite {
           vint(h, (5 << 3)); vint(h, 0) // schema sint32 0 (zigzag 0)
           delim(h, 12, bytesOf { s => vint(s, 1 << 3); vint(s, 0); varintF(s, 2, 2) })
           delim(h, 13, bytesOf { d => vint(d, 6); vint(d, 3) }) // packed sint64 [3,-2]
+          // Histogram.exemplars=16 (native): one WITH ts (kept), one
+          // without (MUST be dropped — protobufparse.go:377)
+          delim(h, 16, exMsg("n1", 2.5, Some(6L)))
+          delim(h, 16, exMsg("n2", 3.5, None))
         })
       })
     }
@@ -257,6 +274,16 @@ class ServingSpec extends AnyFunSuite {
     val nh = byName("nhist").head.h.get
     assert(nh.cnt == 4.0 && nh.sum == 10.0 && nh.pcnt == Seq(3.0, 1.0))
     assert(parsed.meta("lat") == (("summary", "seconds", "")))
+    // exemplars: counter (with ts), classic bucket (ts-less → NoTs
+    // sentinel), native histogram (ts-less one dropped)
+    val exByName = parsed.exemplars.groupBy(_._1("__name__"))
+    assert(exByName("reqs").map(_._2) ==
+      Seq(OpenMetrics.Exemplar(Map("trace_id" -> "t1"), 0.7, 5000L)))
+    val (cl, ce) = exByName("chist_bucket").head
+    assert(cl("le") == "1" && ce.labels == Map("trace_id" -> "c1") &&
+      ce.v == 0.4 && ce.t == ProtoExposition.NoTs)
+    assert(exByName("nhist").map(_._2) ==
+      Seq(OpenMetrics.Exemplar(Map("trace_id" -> "n1"), 2.5, 6000L)))
 
     // end-to-end scrape through an HTTP server with proto negotiation
     val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
@@ -284,7 +311,58 @@ class ServingSpec extends AnyFunSuite {
       assert(rows.exists { case (l, _, v, _) => l("__name__") == "up" && v == 1.0 })
       assert(store.metadata.exists { case (fam, (t, u, _)) =>
         fam == "lat" && t == "summary" && u == "seconds" })
+      // protobuf-scrape exemplars land against the decorated series and
+      // serve via /api/v1/query_exemplars; the ts-less classic-bucket one
+      // is stamped with the scrape time (80s)
+      assert(store.exemplarAppendCalls == 1L) // one batch for the whole cycle
+      val api = new HttpApi(spark, store, 0, () => 100000L)
+      api.start()
+      try {
+        val (c1, b1) = get(api.boundPort,
+          "/api/v1/query_exemplars?query=reqs&start=0&end=100")
+        assert(c1 == 200 && b1.contains("\"trace_id\":\"t1\"") &&
+          b1.contains("\"timestamp\":5}"), b1.take(400))
+        val (c2, b2) = get(api.boundPort,
+          "/api/v1/query_exemplars?query=nhist&start=0&end=100")
+        assert(c2 == 200 && b2.contains("\"trace_id\":\"n1\"") &&
+          !b2.contains("n2"), b2.take(400))
+        val q3 = java.net.URLEncoder.encode("chist_bucket{le=\"1\"}", "UTF-8")
+        val (c3, b3) = get(api.boundPort,
+          s"/api/v1/query_exemplars?query=$q3&start=0&end=100")
+        assert(c3 == 200 && b3.contains("\"trace_id\":\"c1\"") &&
+          b3.contains("\"timestamp\":80}"), b3.take(400))
+      } finally api.stop()
     } finally server.stop(0)
+  }
+
+  test("bounded exemplar storage: appends past max_exemplars evict oldest") {
+    import org.apache.spark.sql.Row
+    val store = emptyStore()
+    store.maxExemplars = 3L
+    def batch(ids: Long*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(i =>
+        Row(Map("__name__" -> "m", "i" -> i.toString),
+          Row(Map("trace_id" -> s"t$i"), i.toDouble, i * 1000L))), 1),
+      OpenMetrics.exemplarBatchSchema)
+    store.appendExemplars(batch(1L, 2L))
+    assert(store.exemplars.get.count() == 2L)
+    store.appendExemplars(batch(3L, 4L, 5L))
+    // cap 3: oldest (1, 2) evicted, newest (3, 4, 5) survive
+    val kept = store.exemplars.get.collect()
+      .map(_.getStruct(1).getMap[String, String](0)("trace_id")).sorted
+    assert(kept.toSeq == Seq("t3", "t4", "t5"))
+    // the endpoint reflects the bound
+    val api = new HttpApi(spark, store, 0, () => 100000L)
+    api.start()
+    try {
+      val (c, b) = get(api.boundPort,
+        "/api/v1/query_exemplars?query=m&start=0&end=100")
+      assert(c == 200 && !b.contains("t1\"") && b.contains("t5"), b.take(400))
+    } finally api.stop()
+    // max_exemplars <= 0 disables the storage (runtime-reloadable semantics)
+    store.maxExemplars = 0L
+    store.appendExemplars(batch(6L))
+    assert(store.exemplars.isEmpty)
   }
 
   test("remote read: streamed chunks — XOR codec, multi-frame stream, SAMPLES fallback") {
