@@ -170,6 +170,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally Dedup.smallGraphEdges = saved
   }
 
+  test("star-contraction CC matches union-find on a seeded graph with a deep path") {
+    // The distributed branch is the one that actually runs at 100 TB scale;
+    // drive it on a graph whose diameter forces >3 contraction rounds (a
+    // 200-node path halves its diameter per round pair → ~8 rounds) plus
+    // seeded random components and isolated pairs, and require bit-identical
+    // output vs the in-memory union-find fast path.
+    val rnd = new scala.util.Random(20260815L)
+    val edges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    // 200-node path: 1000-1199
+    (1000L until 1199L).foreach(i => edges += ((i, i + 1)))
+    // three random components of 40 nodes each (random spanning tree + 20
+    // extra chords), node ids 0-39 / 100-139 / 200-239
+    Seq(0L, 100L, 200L).foreach { base =>
+      (1 until 40).foreach(i => edges += ((base + i, base + rnd.nextInt(i))))
+      (0 until 20).foreach { _ =>
+        val a = base + rnd.nextInt(40); val b = base + rnd.nextInt(40)
+        if (a != b) edges += ((a, b))
+      }
+    }
+    // isolated pairs
+    edges += ((5000L, 5001L)); edges += ((6000L, 6001L))
+    // mixed orientation + duplicates on input
+    val shuffled = rnd.shuffle(edges.toSeq).map { case (a, b) =>
+      if (rnd.nextBoolean()) (a, b) else (b, a) }
+    val p = pairsOf((shuffled ++ shuffled.take(30)): _*)
+    val expected = Dedup.connectedComponents(p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // union-find fast path
+    assert(expected(1199L) == 1000L && expected(39L) == 0L &&
+      expected(239L) == 200L && expected(6001L) == 6000L)
+    assert(expected.size == 200 + 3 * 40 + 4)
+    val saved = Dedup.smallGraphEdges
+    try {
+      Dedup.smallGraphEdges = 0L // force the distributed star-contraction branch
+      val dist = Dedup.connectedComponents(p).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == expected)
+    } finally Dedup.smallGraphEdges = saved
+  }
+
   test("dedup survivors keep the canonical member of each near-dup cluster") {
     val d = docsOf(
       1L -> "a b c d e f",   // near-dup of 2
