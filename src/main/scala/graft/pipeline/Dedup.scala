@@ -52,7 +52,7 @@ object Dedup {
   }
 
   /** (doc_id, shingle) exploded pairs */
-  private def shingleRows(docs: DataFrame, n: Int): DataFrame =
+  private[graft] def shingleRows(docs: DataFrame, n: Int): DataFrame =
     docs.withColumn("__w", words(col("text")))
       .select(col("doc_id"), explode(shingleUdf(n)(col("__w"))).as("sg"))
 
