@@ -115,7 +115,10 @@ final class PromServer(
               discovery.poll()
               Discovery.alertmanagerEndpoints(discovery, g)
             },
-            g.alertRelabel, g.timeoutMs))))
+            g.alertRelabel, g.timeoutMs)),
+          // per-AM bounded queues: the rules tick never blocks on a slow
+          // AM; live queues survive a reload (process-wide loop map)
+          async = true))
       // query_log_file: swap the per-query logger (close the old one when
       // the path changed; reload with the same path keeps appending —
       // ref main.go reloadConfig → engine.SetQueryLogger)
@@ -238,6 +241,9 @@ final class PromServer(
   def stop(): Unit = synchronized {
     scraping = false
     scrapers.foreach(_.stop())
+    // drain queued notifications before shutdown (ref main.go
+    // --alertmanager.drain-notification-queue-on-shutdown, default true)
+    notifier.foreach(_.stop(drain = true))
     api.queryLogger.foreach(_.close())
     tracker.foreach(_.close())
     api.stop()

@@ -12,6 +12,71 @@ object Notifier {
       endpoints: () => Seq[String],
       alertRelabel: Seq[Relabel.Rule] = Nil,
       timeoutMs: Long = 10000L)
+
+  private val sendLoops =
+    scala.collection.concurrent.TrieMap[String, SendLoop]()
+
+  /** Per-Alertmanager asynchronous send loop (ref: notifier/sendloop.go):
+    * a bounded queue — the OLDEST alerts are dropped when capacity is
+    * exceeded (sendloop.go:96) — drained by one worker thread in batches of
+    * at most `maxBatchSize` (ref manager.go:37 DefaultMaxBatchSize=256).
+    * Rule evaluation therefore never blocks on a slow or down AM; a full
+    * queue degrades by shedding the stalest notifications first. */
+  final class SendLoop(val url: String, post: String => Boolean,
+      queueCapacity: Int = 10000, maxBatchSize: Int = 256) {
+    private val queue = new scala.collection.mutable.ArrayDeque[String]()
+    private var stopped = false
+    @volatile var droppedTotal: Long = 0L
+    @volatile var sentTotal: Long = 0L
+
+    private val worker = new Thread(() => {
+      var done = false
+      while (!done) {
+        val batch = synchronized {
+          while (queue.isEmpty && !stopped) wait()
+          if (queue.isEmpty && stopped) null
+          else {
+            val n = math.min(queue.length, maxBatchSize)
+            (0 until n).map(_ => queue.removeHead())
+          }
+        }
+        if (batch == null) done = true
+        else if (post(Json.arr(batch))) sentTotal += batch.size
+        else droppedTotal += batch.size // failed batch is not retried (ref)
+      }
+    }, s"graft-notifier-$url")
+    worker.setDaemon(true)
+    worker.start()
+
+    /** enqueue pre-rendered alert JSON objects; never blocks */
+    def add(alertJsons: Seq[String]): Unit = synchronized {
+      if (stopped) return
+      var as = alertJsons
+      if (as.length > queueCapacity) { // batch alone exceeds capacity
+        droppedTotal += as.length - queueCapacity
+        as = as.takeRight(queueCapacity)
+      }
+      val over = queue.length + as.length - queueCapacity
+      if (over > 0) { // queue full: evict oldest in favor of newer
+        droppedTotal += over
+        (0 until over).foreach(_ => queue.removeHead())
+      }
+      queue ++= as
+      notifyAll()
+    }
+
+    def queueLen: Int = synchronized(queue.length)
+
+    /** stop the worker; drain=true sends what is queued first */
+    def stop(drain: Boolean = true): Unit = {
+      synchronized {
+        if (!drain) { droppedTotal += queue.length; queue.clear() }
+        stopped = true
+        notifyAll()
+      }
+      worker.join(30000)
+    }
+  }
 }
 
 /** Alertmanager notification sink: POST firing alerts as the v2 JSON array
@@ -36,7 +101,19 @@ final class Notifier(
     client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient(),
     externalLabels: Map[String, String] = Map.empty,
     alertRelabel: Seq[Relabel.Rule] = Nil,
-    sets: Seq[Notifier.AmSet] = Nil) {
+    sets: Seq[Notifier.AmSet] = Nil,
+    // async=true queues per AM on a [[Notifier.SendLoop]] so callers (the
+    // rules tick) never block on a slow AM; false posts synchronously and
+    // reports per-destination success (the spec-friendly mode)
+    async: Boolean = false,
+    queueCapacity: Int = 10000) {
+
+  // per-AM send loops, shared process-wide so a config reload "transfers"
+  // a live queue to the new Notifier instance instead of dropping it
+  // (ref: notifier/manager.go:166 sendLoops transfer on ApplyConfig)
+  private def loopFor(url: String, timeoutMs: Long): Notifier.SendLoop =
+    Notifier.sendLoops.getOrElseUpdate(url,
+      new Notifier.SendLoop(url, body => post(url, body, timeoutMs), queueCapacity))
 
   final case class Alert(
       labels: Map[String, String],
@@ -84,19 +161,31 @@ final class Notifier(
 
   /** send one batch; returns per-destination success flags (static URLs
     * first, then each set's discovered endpoints in order). A destination
-    * whose batch relabeled down to empty counts as success (nothing owed). */
+    * whose batch relabeled down to empty counts as success (nothing owed);
+    * in async mode "success" means accepted onto the AM's queue. */
   def send(alerts: Seq[Alert]): Seq[Boolean] = {
     if (alerts.isEmpty) return alertmanagerUrls.map(_ => true)
     val ga = relabelAlerts(alerts, externalLabels, alertRelabel)
-    val gaBody = if (ga.isEmpty) null else Json.arr(ga.map(alertJson))
+    def deliver(url: String, jsons: Seq[String], timeoutMs: Long): Boolean =
+      if (jsons.isEmpty) true
+      else if (async) { loopFor(url, timeoutMs).add(jsons); true }
+      else post(url, Json.arr(jsons), timeoutMs)
+    val gaJsons = ga.map(alertJson)
     alertmanagerUrls.map { base =>
-      gaBody == null || post(base.stripSuffix("/") + "/api/v2/alerts", gaBody, 10000L)
+      deliver(base.stripSuffix("/") + "/api/v2/alerts", gaJsons, 10000L)
     } ++ sets.flatMap { s =>
-      val sa = relabelAlerts(ga, Map.empty, s.alertRelabel)
-      val sBody = if (sa.isEmpty) null else Json.arr(sa.map(alertJson))
-      s.endpoints().map(u => sBody == null || post(u, sBody, s.timeoutMs))
+      val saJsons = relabelAlerts(ga, Map.empty, s.alertRelabel).map(alertJson)
+      s.endpoints().map(u => deliver(u, saJsons, s.timeoutMs))
     }
   }
+
+  /** stop this notifier's live send loops (process-wide map: only loops for
+    * URLs this instance has touched are unaffected elsewhere; drain=true
+    * posts what is queued first — ref main.go
+    * --alertmanager.drain-notification-queue-on-shutdown default). */
+  def stop(drain: Boolean = true): Unit =
+    Notifier.sendLoops.keys.foreach(k =>
+      Notifier.sendLoops.remove(k).foreach(_.stop(drain)))
 
   /** bridge from a rules-engine alert state map: every firing entry becomes
     * a notification (ref: rules/alerting.go sendAlerts — only alerts past

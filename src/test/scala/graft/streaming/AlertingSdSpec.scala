@@ -116,6 +116,45 @@ class AlertingSdSpec extends AnyFunSuite {
     }
   }
 
+  test("async send loop: slow AM never blocks the caller; bounded queue drops oldest") {
+    // an AM that blocks each POST until released
+    val gate = new java.util.concurrent.Semaphore(0)
+    val arrived = new java.util.concurrent.Semaphore(0)
+    val bodies = scala.collection.mutable.ArrayBuffer[String]()
+    val am = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    am.createContext("/api/v2/alerts", ex => {
+      arrived.release()
+      gate.acquire()
+      bodies.synchronized {
+        bodies += new String(ex.getRequestBody.readAllBytes(), "UTF-8") }
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    am.start()
+    val url = s"http://127.0.0.1:${am.getAddress.getPort}/api/v2/alerts"
+    try {
+      val n = new graft.web.Notifier(Nil, async = true, queueCapacity = 3,
+        sets = Seq(graft.web.Notifier.AmSet(() => Seq(url))))
+      def alert(i: Int) = n.Alert(Map("alertname" -> s"a$i"), startsAtMs = i * 1000L)
+      // first send: the worker picks it up and blocks inside the POST
+      val t0 = System.nanoTime()
+      assert(n.send(Seq(alert(0))) == Seq(true))
+      assert(arrived.tryAcquire(10, java.util.concurrent.TimeUnit.SECONDS))
+      // with a0 in flight and the AM wedged, five more alerts arrive;
+      // capacity 3 → the two oldest queued (a1, a2) are evicted for newer
+      (1 to 5).foreach(i => assert(n.send(Seq(alert(i))) == Seq(true)))
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(elapsedMs < 2000.0, s"async send blocked: $elapsedMs ms")
+      gate.release(10) // unwedge the AM
+      n.stop(drain = true)
+      val all = bodies.synchronized(bodies.mkString)
+      assert(all.contains("\"a0\"")) // the in-flight batch
+      Seq(3, 4, 5).foreach(i => assert(all.contains(s""""a$i""""), all))
+      Seq(1, 2).foreach(i => assert(!all.contains(s""""a$i""""), all))
+      // the surviving alerts were delivered in ONE batch (maxBatchSize 256)
+      assert(bodies.synchronized(bodies.size) == 2, bodies.mkString("|"))
+    } finally am.stop(0)
+  }
+
   test("relabel can rewrite __alerts_path__ / __scheme__ / __address__ per target") {
     val (am, got) = fakeAm("/custom/alerts")
     try {
