@@ -51,7 +51,16 @@ object Config {
       uyuniSd: Seq[UyuniSd.Config] = Nil,
       ociSd: Seq[OciSd.Config] = Nil,
       kumaSd: Seq[KumaSd.Config] = Nil,
-      zookeeperSd: Seq[ZookeeperSd.Config] = Nil) // serverset + nerve
+      zookeeperSd: Seq[ZookeeperSd.Config] = Nil, // serverset + nerve
+      // per-scrape HTTP client config (ref: config/config.go ScrapeConfig
+      // ScrapeTimeout + HTTPClientConfig): request timeout, rendered
+      // Authorization header value (basic_auth / authorization /
+      // bearer_token), URL query params (also exposed as __param_<name>
+      // labels to relabeling, ref scrape/target.go PopulateDiscoveredLabels)
+      timeoutMs: Long = 10000L,
+      authHeader: Option[String] = None,
+      // honor_timestamps default true (ref: config.go DefaultScrapeConfig)
+      honorTimestamps: Boolean = true)
 
   /** one `alerting.alertmanagers` group (ref: config/config.go:1330
     * AlertmanagerConfig): target discovery + relabel_configs live on the
@@ -178,7 +187,52 @@ object Config {
     def parseScrapeJob(m: YMap, nameDefault: String = ""): ScrapeJob = {
       val name = { val n = str(m, "job_name"); if (n.nonEmpty) n else nameDefault }
       val scheme = str(m, "scheme", "http")
-      val path = str(m, "metrics_path", "/metrics")
+      // params ride the metrics path as a query string; relabeling sees
+      // them as __param_<name> labels (ref: scrape/target.go URL())
+      val params: Seq[(String, Seq[String])] = m.get("params") match {
+        case Some(pm: YMap) => pm.entries.map {
+          case (k, YList(vs)) => k -> vs.collect { case YScalar(s) => s }
+          case (k, YScalar(s)) => k -> Seq(s)
+          case (k, _) => k -> Nil
+        }
+        case _ => Nil
+      }
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val query = params.flatMap { case (k, vs) => vs.map(v => s"${enc(k)}=${enc(v)}") }
+        .mkString("&")
+      val path = str(m, "metrics_path", "/metrics") +
+        (if (query.nonEmpty) s"?$query" else "")
+      // scrape_timeout: per-job, else global, else the reference default 10s
+      val timeoutMs = m.str("scrape_timeout").orElse(global.str("scrape_timeout"))
+        .map(durMs).getOrElse(10000L)
+      def fileOrInline(inline: String, file: String): String =
+        if (inline.nonEmpty) inline
+        else if (file.nonEmpty)
+          try new String(java.nio.file.Files.readAllBytes(
+            base.resolve(file)), "UTF-8").trim
+          catch { case _: Exception => "" }
+        else ""
+      // rendered Authorization header (ref: common HTTPClientConfig —
+      // exactly one of basic_auth / authorization / bearer_token*)
+      val authHeader: Option[String] = (m.get("basic_auth") match {
+        case Some(ba: YMap) =>
+          val user = str(ba, "username")
+          val pass = fileOrInline(str(ba, "password"), str(ba, "password_file"))
+          if (user.nonEmpty || pass.nonEmpty)
+            Some("Basic " + java.util.Base64.getEncoder.encodeToString(
+              s"$user:$pass".getBytes("UTF-8")))
+          else None
+        case _ => None
+      }).orElse(m.get("authorization") match {
+        case Some(az: YMap) =>
+          val typ = { val t = str(az, "type"); if (t.nonEmpty) t else "Bearer" }
+          val cred = fileOrInline(str(az, "credentials"), str(az, "credentials_file"))
+          if (cred.nonEmpty) Some(s"$typ $cred") else None
+        case _ => None
+      }).orElse {
+        val tok = fileOrInline(str(m, "bearer_token"), str(m, "bearer_token_file"))
+        if (tok.nonEmpty) Some(s"Bearer $tok") else None
+      }
       val statics = m.list("static_configs").collect { case sc: YMap =>
         val lbls = kv(sc.get("labels"))
         strList(sc.get("targets")).map(addr =>
@@ -497,13 +551,17 @@ object Config {
           m.str("sample_limit").map(_.toLong).getOrElse(0L),
           m.str("label_limit").map(_.toInt).getOrElse(0),
           m.str("label_name_length_limit").map(_.toInt).getOrElse(0),
-          m.str("label_value_length_limit").map(_.toInt).getOrElse(0)),
+          m.str("label_value_length_limit").map(_.toInt).getOrElse(0),
+          m.str("body_size_limit").map(ScrapeManager.parseBytes).getOrElse(0L),
+          m.str("target_limit").map(_.toLong).getOrElse(0L)),
         m.str("honor_labels").contains("true"),
         dnsSd, httpSd, k8sSd, consulSd, ec2Sd, gceSd, azureSd, dockerSd,
         doSd, hetznerSd, openstackSd, eurekaSd, nomadSd, marathonSd, puppetdbSd,
         linodeSd, vultrSd, scalewaySd, lightsailSd,
         dockerswarmSd, tritonSd, ovhcloudSd, ionosSd,
-        stackitSd, outscaleSd, uyuniSd, ociSd, kumaSd, zookeeperSd)
+        stackitSd, outscaleSd, uyuniSd, ociSd, kumaSd, zookeeperSd,
+        timeoutMs, authHeader,
+        honorTimestamps = !m.str("honor_timestamps").contains("false"))
     }
     val jobs = root.list("scrape_configs").collect { case m: YMap =>
       parseScrapeJob(m) }

@@ -27,9 +27,25 @@ final class ScrapeManager(
     honorTimestamps: Boolean = true,
     client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient(),
     nowMs: () => Long = () => System.currentTimeMillis(),
-    limits: ScrapeManager.ScrapeLimits = ScrapeManager.ScrapeLimits()) {
+    limits: ScrapeManager.ScrapeLimits = ScrapeManager.ScrapeLimits(),
+    // per-scrape HTTP client config (ref: ScrapeConfig.ScrapeTimeout +
+    // HTTPClientConfig): request timeout — a hung exporter reports up=0
+    // after timeoutMs instead of wedging the pool — and the rendered
+    // Authorization header value
+    timeoutMs: Long = 10000L,
+    authHeader: Option[String] = None) {
 
   import ScrapeManager.ScrapeTarget
+
+  /** common scrape request decoration (ref: scrape/scrape.go — the
+    * X-Prometheus-Scrape-Timeout-Seconds hint header rides every request) */
+  private def scrapeRequest(url: String): java.net.http.HttpRequest.Builder = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .header("X-Prometheus-Scrape-Timeout-Seconds",
+        graft.web.Json.goFloat(timeoutMs / 1000.0))
+    authHeader.fold(b)(v => b.header("Authorization", v))
+  }
 
   /** Scrape-limit enforcement (ref: scrape/scrape.go sampleLimitErr /
     * verifyLabelLimits — a violated limit FAILS the whole scrape: the
@@ -112,7 +128,24 @@ final class ScrapeManager(
     * schedule one tiny Spark job per target per cycle at thousands-of-
     * targets scale. */
   def scrapeOnce(): Long = {
-    val results = targetProvider().map(t =>
+    val tgts = targetProvider()
+    // target_limit: exceeding fails EVERY target of the pool this cycle —
+    // each reports up=0 and nothing is scraped (ref: scrape/scrape.go sync
+    // targetLimit error path)
+    if (limits.targetLimit > 0 && tgts.size > limits.targetLimit) {
+      val t0 = nowMs()
+      val rows = tgts.flatMap { tgt =>
+        Seq(("up", 0.0), ("scrape_duration_seconds", 0.0),
+          ("scrape_samples_scraped", 0.0),
+          ("scrape_samples_post_metric_relabeling", 0.0)).map { case (n, v) =>
+          Row(ScrapeManager.decorate(tgt, Map("__name__" -> n)), t0, v, false, null, 0L) }
+      }
+      if (rows.nonEmpty)
+        store.append(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), Engine.samplesSchema))
+      return rows.size.toLong
+    }
+    val results = tgts.map(t =>
       if (t.proto) scrapeProto(t) else scrapeTarget(t))
     val exRows = results.flatMap(_._2)
     if (exRows.nonEmpty)
@@ -135,11 +168,13 @@ final class ScrapeManager(
     val (parsed, ok) =
       try {
         val resp = client.send(
-          java.net.http.HttpRequest.newBuilder(java.net.URI.create(tgt.url))
+          scrapeRequest(tgt.url)
             .header("Accept", "application/vnd.google.protobuf;" +
               "proto=io.prometheus.client.MetricFamily;encodings=delimited").GET().build(),
           java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-        if (resp.statusCode() != 200) (ProtoExposition.Parsed(Nil, Map.empty), false)
+        if (resp.statusCode() != 200 ||
+            (limits.bodySizeLimit > 0 && resp.body().length > limits.bodySizeLimit))
+          (ProtoExposition.Parsed(Nil, Map.empty), false)
         else (ProtoExposition.parse(resp.body(), t0), true)
       } catch { case _: Exception => (ProtoExposition.Parsed(Nil, Map.empty), false) }
     val dur = (nowMs() - t0) / 1000.0
@@ -194,10 +229,12 @@ final class ScrapeManager(
     val t0 = nowMs()
     val (samples, exemplars, ok) =
       try {
-        val resp = client.send(
-          java.net.http.HttpRequest.newBuilder(java.net.URI.create(tgt.url)).GET().build(),
+        val resp = client.send(scrapeRequest(tgt.url).GET().build(),
           java.net.http.HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() != 200) (Nil, Nil, false)
+        if (resp.statusCode() != 200 ||
+            (limits.bodySizeLimit > 0 &&
+              resp.body().getBytes("UTF-8").length > limits.bodySizeLimit))
+          (Nil, Nil, false) // ref: errBodySizeLimit — the scrape fails whole
         else {
           val lines = resp.body().split("\n").toSeq
           val defaultTs = t0
@@ -292,7 +329,27 @@ object ScrapeManager {
       sampleLimit: Long = 0L,
       labelLimit: Int = 0,
       labelNameLengthLimit: Int = 0,
-      labelValueLengthLimit: Int = 0)
+      labelValueLengthLimit: Int = 0,
+      // uncompressed response bytes; exceeding fails the scrape (up=0,
+      // ref: scrape/scrape.go errBodySizeLimit)
+      bodySizeLimit: Long = 0L,
+      // discovered-target count; exceeding fails EVERY target of the pool
+      // for the cycle (ref: scrape/scrape.go:reload targetLimit, up=0 all)
+      targetLimit: Long = 0L)
+
+  /** Go units size string ("512MB", "64KiB", "10240B", bare bytes) → bytes
+    * (ref: common config BodySizeLimit units.Base2Bytes + promtool corpus
+    * accepts both SI and IEC suffixes) */
+  def parseBytes(s: String): Long = {
+    val m = "^([0-9]+(?:\\.[0-9]+)?)\\s*([KMGTPE]?)(i?)B?$".r
+    s.trim match {
+      case m(num, pfx, i) =>
+        val base = if (i == "i") 1024.0 else 1000.0
+        val exp = if (pfx.isEmpty) 0 else "KMGTPE".indexOf(pfx) + 1
+        (num.toDouble * math.pow(base, exp)).toLong
+      case other => other.toLong
+    }
+  }
 
   /** Target-label decoration (ref: scrape/scrape.go mutateSampleLabels):
     * honor_labels=false (default) renames CONFLICTING scraped labels to
@@ -396,6 +453,19 @@ object ScrapeManager {
     * reference calls the "discovered labels" (ref: scrape/target.go
     * PopulateDiscoveredLabels: __address__/__scheme__/__metrics_path__ +
     * job/instance + SD labels) */
+  /** decode the URL query into ordered (name, values) pairs */
+  private def queryParams(rawQuery: String): Seq[(String, Seq[String])] = {
+    if (rawQuery == null || rawQuery.isEmpty) return Nil
+    val dec = (s: String) => java.net.URLDecoder.decode(s, "UTF-8")
+    val pairs = rawQuery.split("&").toSeq.filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => dec(k) -> dec(v)
+        case Array(k) => dec(k) -> ""
+      }
+    }
+    pairs.map(_._1).distinct.map(k => k -> pairs.collect { case (`k`, v) => v })
+  }
+
   def discoveryLabelSet(tgt: ScrapeTarget): Map[String, String] = {
     val uri = java.net.URI.create(tgt.url)
     val addr = uri.getHost + (if (uri.getPort != -1) s":${uri.getPort}" else "")
@@ -405,7 +475,12 @@ object ScrapeManager {
       "__scheme__" -> Option(uri.getScheme).getOrElse("http"),
       "__metrics_path__" -> path0,
       "job" -> tgt.job,
-      "instance" -> tgt.instance) ++ tgt.extraLabels
+      "instance" -> tgt.instance) ++
+      // first value of each URL param as __param_<name> (ref:
+      // scrape/target.go PopulateDiscoveredLabels ParamLabelPrefix)
+      queryParams(uri.getRawQuery).collect { case (k, v +: _) =>
+        s"__param_$k" -> v } ++
+      tgt.extraLabels
   }
 
   def relabelTarget(tgt: ScrapeTarget, rules: Seq[Relabel.Rule]): Option[ScrapeTarget] = {
@@ -423,7 +498,19 @@ object ScrapeManager {
       val p0 = out.getOrElse("__metrics_path__", "/metrics")
       val p = if (p0.startsWith("/")) p0 else "/" + p0
       val addr2 = out.getOrElse("__address__", addr)
-      val q = Option(uri.getRawQuery).map("?" + _).getOrElse("")
+      // rebuild the query from the original params with each surviving
+      // __param_<name> label overriding that param's FIRST value (ref:
+      // scrape/target.go URL() — relabeling can rewrite or add params)
+      val overrides = out.collect {
+        case (k, v) if k.startsWith("__param_") => k.stripPrefix("__param_") -> v }
+      val orig = queryParams(uri.getRawQuery)
+      val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+      val merged = orig.map { case (k, vs) =>
+        k -> (overrides.get(k).map(_ +: vs.drop(1)).getOrElse(vs)) } ++
+        (overrides -- orig.map(_._1)).toSeq.sortBy(_._1).map { case (k, v) => k -> Seq(v) }
+      val qs = merged.flatMap { case (k, vs) => vs.map(v => s"${enc(k)}=${enc(v)}") }
+        .mkString("&")
+      val q = if (qs.isEmpty) "" else s"?$qs"
       tgt.copy(
         url = s"$scheme://$addr2$p$q",
         job = out.getOrElse("job", tgt.job),

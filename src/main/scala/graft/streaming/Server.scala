@@ -148,7 +148,9 @@ final class PromServer(
       val mgrs = cfg.scrapeJobs.map { job =>
         val m = new ScrapeManager(spark, store, Nil,
           intervalMs = if (job.intervalMs > 0) job.intervalMs else cfg.scrapeIntervalMs,
-          metricRelabel = job.metricRelabel, nowMs = nowMs, limits = job.limits)
+          metricRelabel = job.metricRelabel, nowMs = nowMs, limits = job.limits,
+          timeoutMs = job.timeoutMs, authHeader = job.authHeader,
+          honorTimestamps = job.honorTimestamps)
         m.setTargetProvider { () =>
           discovery.poll()
           val discovered = discovery

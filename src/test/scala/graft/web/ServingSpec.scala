@@ -335,6 +335,136 @@ class ServingSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("scrape HTTP config: params, basic_auth, scrape_timeout, __param_ relabel") {
+    @volatile var seenAuth: String = null
+    @volatile var seenQuery: String = null
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/probe", ex => {
+      seenAuth = ex.getRequestHeaders.getFirst("Authorization")
+      seenQuery = ex.getRequestURI.getRawQuery
+      val body = "probe_success 1\n".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.getResponseBody.close()
+    })
+    server.createContext("/slow", ex => {
+      Thread.sleep(3000)
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      // config-level: params become the metrics path query + __param_ labels,
+      // basic_auth renders the header, scrape_timeout parses
+      val cfg = graft.streaming.Config.parse(
+        s"""scrape_configs:
+           |  - job_name: blackbox
+           |    metrics_path: /probe
+           |    scrape_timeout: 2s
+           |    params:
+           |      module: [http_2xx]
+           |      extra: [a, b]
+           |    basic_auth:
+           |      username: user
+           |      password: pass
+           |    static_configs:
+           |      - targets: ['127.0.0.1:$port']
+           |    relabel_configs:
+           |      - target_label: __param_module
+           |        replacement: icmp
+           |""".stripMargin)
+      val job = cfg.scrapeJobs.head
+      assert(job.timeoutMs == 2000L)
+      assert(job.authHeader.contains(
+        "Basic " + java.util.Base64.getEncoder.encodeToString("user:pass".getBytes)))
+      val tgt0 = job.staticTargets.head
+      assert(tgt0.url == s"http://127.0.0.1:$port/probe?module=http_2xx&extra=a&extra=b")
+      // discovery labels expose __param_module; relabel overrides the FIRST
+      // value of module, keeps extra's both values
+      val lbls = ScrapeManager.discoveryLabelSet(tgt0)
+      assert(lbls("__param_module") == "http_2xx" && lbls("__param_extra") == "a")
+      val tgt = ScrapeManager.relabelTarget(tgt0, job.relabel).get
+      assert(tgt.url == s"http://127.0.0.1:$port/probe?module=icmp&extra=a&extra=b")
+
+      val store = emptyStore()
+      val mgr = new ScrapeManager(spark, store, Seq(tgt), nowMs = () => 50000L,
+        timeoutMs = job.timeoutMs, authHeader = job.authHeader)
+      mgr.scrapeOnce()
+      assert(seenAuth == job.authHeader.get)
+      assert(seenQuery == "module=icmp&extra=a&extra=b")
+      val rows = store.samples.collect().map(r =>
+        (r.getMap[String, String](0).toMap, r.getDouble(2)))
+      assert(rows.exists { case (l, v) => l("__name__") == "probe_success" && v == 1.0 })
+      assert(rows.exists { case (l, v) => l("__name__") == "up" && v == 1.0 })
+
+      // a hung exporter reports up=0 after scrape_timeout instead of wedging
+      val slow = ScrapeManager.ScrapeTarget(
+        s"http://127.0.0.1:$port/slow", job = "slow", instance = "s1")
+      val mgr2 = new ScrapeManager(spark, store, Seq(slow), nowMs = () => 60000L,
+        timeoutMs = 300L)
+      val t0 = System.nanoTime()
+      mgr2.scrapeOnce()
+      assert((System.nanoTime() - t0) / 1e6 < 2500.0)
+      val up0 = store.samples.collect().exists { r =>
+        val l = r.getMap[String, String](0)
+        l("__name__") == "up" && l("job") == "slow" && r.getDouble(2) == 0.0
+      }
+      assert(up0)
+    } finally server.stop(0)
+  }
+
+  test("scrape limits: body_size_limit, target_limit, honor_timestamps=false") {
+    import graft.streaming.ScrapeManager.{parseBytes, ScrapeLimits, ScrapeTarget}
+    // Go units strings (SI and IEC) parse like the reference's
+    assert(parseBytes("10240") == 10240L && parseBytes("512B") == 512L)
+    assert(parseBytes("10KB") == 10000L && parseBytes("64KiB") == 65536L)
+    assert(parseBytes("2MB") == 2000000L && parseBytes("1MiB") == 1048576L)
+
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/metrics", ex => {
+      val body = ("big_metric 1 7000\n" + ("# padding padding padding\n" * 50))
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.getResponseBody.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/metrics"
+    try {
+      def upOf(store: SampleStore, job: String): Seq[(String, Double)] =
+        store.samples.collect().toSeq.map { r =>
+          (r.getMap[String, String](0)("__name__"), r.getDouble(2))
+        }.filter(_._1 == "up")
+      // over the body limit: the scrape fails whole, up=0, no samples
+      val s1 = emptyStore()
+      new ScrapeManager(spark, s1, Seq(ScrapeTarget(url, "j", "i1")),
+        nowMs = () => 50000L, limits = ScrapeLimits(bodySizeLimit = 100L))
+        .scrapeOnce()
+      assert(upOf(s1, "j") == Seq(("up", 0.0)))
+      assert(!s1.samples.collect().exists(
+        _.getMap[String, String](0)("__name__") == "big_metric"))
+      // under the limit: scrape passes
+      val s2 = emptyStore()
+      new ScrapeManager(spark, s2, Seq(ScrapeTarget(url, "j", "i1")),
+        nowMs = () => 50000L, limits = ScrapeLimits(bodySizeLimit = 1000000L))
+        .scrapeOnce()
+      assert(upOf(s2, "j") == Seq(("up", 1.0)))
+      // target_limit: 2 targets > 1 → EVERY target fails the cycle
+      val s3 = emptyStore()
+      new ScrapeManager(spark, s3,
+        Seq(ScrapeTarget(url, "j", "i1"), ScrapeTarget(url, "j", "i2")),
+        nowMs = () => 50000L, limits = ScrapeLimits(targetLimit = 1L))
+        .scrapeOnce()
+      assert(upOf(s3, "j") == Seq(("up", 0.0), ("up", 0.0)))
+      // honor_timestamps=false stamps samples with the scrape time, not the
+      // exposed 7000 (ref: scrape.go honorTimestamps)
+      val s4 = emptyStore()
+      new ScrapeManager(spark, s4, Seq(ScrapeTarget(url, "j", "i1")),
+        honorTimestamps = false, nowMs = () => 50000L).scrapeOnce()
+      val bm = s4.samples.collect().filter(
+        _.getMap[String, String](0)("__name__") == "big_metric")
+      assert(bm.length == 1 && bm.head.getLong(1) == 50000L)
+    } finally server.stop(0)
+  }
+
   test("bounded exemplar storage: appends past max_exemplars evict oldest") {
     import org.apache.spark.sql.Row
     val store = emptyStore()
