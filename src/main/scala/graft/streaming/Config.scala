@@ -60,7 +60,19 @@ object Config {
       timeoutMs: Long = 10000L,
       authHeader: Option[String] = None,
       // honor_timestamps default true (ref: config.go DefaultScrapeConfig)
-      honorTimestamps: Boolean = true)
+      honorTimestamps: Boolean = true,
+      // cap on relabel-dropped targets kept for /api/v1/targets
+      // (0 = unlimited; ref: config.go KeepDroppedTargets)
+      keepDroppedTargets: Long = 0L,
+      // HTTP proxy + client TLS (ref: common HTTPClientConfig proxy_url /
+      // tls_config {ca_file, insecure_skip_verify})
+      proxyUrl: String = "",
+      tlsCaFile: String = "",
+      tlsInsecureSkipVerify: Boolean = false,
+      // negotiation order + unrecognized-Content-Type parser (ref:
+      // config.go ScrapeProtocols / ScrapeFallbackProtocol)
+      scrapeProtocols: Seq[String] = Nil,
+      fallbackProtocol: String = "")
 
   /** one `alerting.alertmanagers` group (ref: config/config.go:1330
     * AlertmanagerConfig): target discovery + relabel_configs live on the
@@ -561,7 +573,25 @@ object Config {
         dockerswarmSd, tritonSd, ovhcloudSd, ionosSd,
         stackitSd, outscaleSd, uyuniSd, ociSd, kumaSd, zookeeperSd,
         timeoutMs, authHeader,
-        honorTimestamps = !m.str("honor_timestamps").contains("false"))
+        honorTimestamps = !m.str("honor_timestamps").contains("false"),
+        keepDroppedTargets = m.str("keep_dropped_targets")
+          .orElse(global.str("keep_dropped_targets")).map(_.toLong).getOrElse(0L),
+        proxyUrl = str(m, "proxy_url"),
+        tlsCaFile = m.get("tls_config") match {
+          case Some(tc: YMap) =>
+            val f = str(tc, "ca_file")
+            if (f.nonEmpty) base.resolve(f).toString else ""
+          case _ => ""
+        },
+        tlsInsecureSkipVerify = m.get("tls_config") match {
+          case Some(tc: YMap) => tc.str("insecure_skip_verify").contains("true")
+          case _ => false
+        },
+        scrapeProtocols = strList(m.get("scrape_protocols")) match {
+          case Nil => strList(global.get("scrape_protocols"))
+          case l => l
+        },
+        fallbackProtocol = str(m, "fallback_scrape_protocol"))
     }
     val jobs = root.list("scrape_configs").collect { case m: YMap =>
       parseScrapeJob(m) }

@@ -452,7 +452,17 @@ object ConfigCheck {
         // re-validated — matching promtool's no-network parse)
         errs ++= unknownKeys(sc, scrapeFields, s"$path scrape_config",
           alsoOk = _.endsWith("_sd_configs"))
-        checkSdConfigs(sc, sc.str("job_name").getOrElse("<no job_name>"))
+        val jobName = sc.str("job_name").getOrElse("<no job_name>")
+        checkSdConfigs(sc, jobName)
+        // scrape_protocols / fallback values must be known (ref:
+        // config.go ScrapeProtocol.Validate)
+        val known = ScrapeManager.protocolHeaders.keySet
+        (sc.list("scrape_protocols").collect { case YScalar(s) => s } ++
+          sc.str("fallback_scrape_protocol").filter(_.nonEmpty)).foreach { p =>
+          if (!known(p))
+            errs += s"""$path: job "$jobName": unknown scrape protocol $p, supported: """ +
+              known.toSeq.sorted.mkString("[", ", ", "]")
+        }
       case _ => errs += s"$path: bad scrape_config node"
     }
     // alerting: groups carry the same SD surface plus their own

@@ -33,7 +33,12 @@ final class ScrapeManager(
     // after timeoutMs instead of wedging the pool — and the rendered
     // Authorization header value
     timeoutMs: Long = 10000L,
-    authHeader: Option[String] = None) {
+    authHeader: Option[String] = None,
+    // negotiation order (ref: ScrapeConfig.ScrapeProtocols; empty = the
+    // reference's DefaultScrapeProtocols) and the parser used when the
+    // response carries no recognizable Content-Type
+    scrapeProtocols: Seq[String] = Nil,
+    fallbackProtocol: String = "") {
 
   import ScrapeManager.ScrapeTarget
 
@@ -145,8 +150,14 @@ final class ScrapeManager(
           spark.sparkContext.parallelize(rows, 1), Engine.samplesSchema))
       return rows.size.toLong
     }
+    // PrometheusProto first in scrape_protocols → protobuf negotiation for
+    // the pool (ref: DefaultProtoFirstScrapeProtocols — how
+    // scrape_native_histograms selects the proto path); per-target flags
+    // (tests, explicit pools) still win
+    val protoFirst = scrapeProtocols.headOption.contains("PrometheusProto")
     val results = tgts.map(t =>
-      if (t.proto) scrapeProto(t) else scrapeTarget(t))
+      if (t.proto || (protoFirst && !t.openMetrics)) scrapeProto(t)
+      else scrapeTarget(t))
     val exRows = results.flatMap(_._2)
     if (exRows.nonEmpty)
       store.appendExemplars(spark.createDataFrame(
@@ -229,7 +240,13 @@ final class ScrapeManager(
     val t0 = nowMs()
     val (samples, exemplars, ok) =
       try {
-        val resp = client.send(scrapeRequest(tgt.url).GET().build(),
+        val textProtocols =
+          (if (scrapeProtocols.nonEmpty) scrapeProtocols
+           else ScrapeManager.defaultScrapeProtocols)
+            .filterNot(_ == "PrometheusProto")
+        val resp = client.send(scrapeRequest(tgt.url)
+            .header("Accept", ScrapeManager.acceptHeader(textProtocols))
+            .GET().build(),
           java.net.http.HttpResponse.BodyHandlers.ofString())
         if (resp.statusCode() != 200 ||
             (limits.bodySizeLimit > 0 &&
@@ -238,7 +255,15 @@ final class ScrapeManager(
         else {
           val lines = resp.body().split("\n").toSeq
           val defaultTs = t0
-          if (tgt.openMetrics) {
+          // parser selection follows the RESPONSE Content-Type (ref:
+          // scrape.go → textparse.New by media type), with
+          // fallback_scrape_protocol deciding unrecognized/absent types
+          val ct = resp.headers().firstValue("Content-Type").orElse("")
+          val openMetrics = tgt.openMetrics ||
+            ct.startsWith("application/openmetrics-text") ||
+            (!ct.startsWith("text/plain") && !ct.startsWith("application/") &&
+              fallbackProtocol.startsWith("OpenMetricsText"))
+          if (openMetrics) {
             val recs = lines.flatMap(OpenMetrics.parseLine(_, defaultTs))
               .filter(_.kind == 0)
             (recs.map(r => (r.labels, r.t, r.v)),
@@ -336,6 +361,78 @@ object ScrapeManager {
       // discovered-target count; exceeding fails EVERY target of the pool
       // for the cycle (ref: scrape/scrape.go:reload targetLimit, up=0 all)
       targetLimit: Long = 0L)
+
+  /** scrape protocol → content-type header value (ref: config/config.go:581
+    * ScrapeProtocolsHeaders); DefaultScrapeProtocols is the no-config order */
+  val protocolHeaders: Map[String, String] = Map(
+    "PrometheusProto" -> ("application/vnd.google.protobuf;" +
+      "proto=io.prometheus.client.MetricFamily;encoding=delimited"),
+    "PrometheusText0.0.4" -> "text/plain;version=0.0.4",
+    "PrometheusText1.0.0" -> "text/plain;version=1.0.0",
+    "OpenMetricsText0.0.1" -> "application/openmetrics-text;version=0.0.1",
+    "OpenMetricsText1.0.0" -> "application/openmetrics-text;version=1.0.0")
+
+  val defaultScrapeProtocols: Seq[String] = Seq(
+    "OpenMetricsText1.0.0", "OpenMetricsText0.0.1",
+    "PrometheusText1.0.0", "PrometheusText0.0.4")
+
+  /** ref: scrape/scrape.go:706 acceptHeader — q-weights descend from
+    * len(headers)+1, then a catch-all */
+  def acceptHeader(protocols: Seq[String]): String = {
+    var weight = protocolHeaders.size + 1
+    val vals = protocols.flatMap(protocolHeaders.get).map { h =>
+      val v = s"$h;q=0.$weight"; weight -= 1; v
+    }
+    (vals :+ s"*/*;q=0.$weight").mkString(",")
+  }
+
+  /** Build the per-pool HTTP client from the job's client config (ref:
+    * common HTTPClientConfig → NewClientFromConfig): `proxy_url` routes
+    * requests through an HTTP proxy; `tls_config.ca_file` trusts a custom
+    * PEM CA; `insecure_skip_verify` trusts any chain. Falls back to the
+    * shared default client when nothing is configured. */
+  def buildClient(proxyUrl: String = "", tlsCaFile: String = "",
+      tlsInsecureSkipVerify: Boolean = false): java.net.http.HttpClient = {
+    val b = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10))
+    if (proxyUrl.nonEmpty) {
+      val u = java.net.URI.create(proxyUrl)
+      val port = if (u.getPort != -1) u.getPort else 80
+      b.proxy(java.net.ProxySelector.of(
+        new java.net.InetSocketAddress(u.getHost, port)))
+    }
+    if (tlsInsecureSkipVerify) {
+      val trustAll: Array[javax.net.ssl.TrustManager] = Array(
+        new javax.net.ssl.X509TrustManager {
+          override def checkClientTrusted(
+              c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          override def checkServerTrusted(
+              c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+            Array.empty
+        })
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, trustAll, new java.security.SecureRandom())
+      b.sslContext(ctx)
+    } else if (tlsCaFile.nonEmpty) {
+      val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+      val in = new java.io.FileInputStream(tlsCaFile)
+      val certs = try cf.generateCertificates(in) finally in.close()
+      val ks = java.security.KeyStore.getInstance(
+        java.security.KeyStore.getDefaultType)
+      ks.load(null, null)
+      val it = certs.iterator()
+      var i = 0
+      while (it.hasNext) { ks.setCertificateEntry(s"ca$i", it.next()); i += 1 }
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, tmf.getTrustManagers, new java.security.SecureRandom())
+      b.sslContext(ctx)
+    }
+    b.build()
+  }
 
   /** Go units size string ("512MB", "64KiB", "10240B", bare bytes) → bytes
     * (ref: common config BodySizeLimit units.Base2Bytes + promtool corpus

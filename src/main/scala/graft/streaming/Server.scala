@@ -150,7 +150,15 @@ final class PromServer(
           intervalMs = if (job.intervalMs > 0) job.intervalMs else cfg.scrapeIntervalMs,
           metricRelabel = job.metricRelabel, nowMs = nowMs, limits = job.limits,
           timeoutMs = job.timeoutMs, authHeader = job.authHeader,
-          honorTimestamps = job.honorTimestamps)
+          honorTimestamps = job.honorTimestamps,
+          scrapeProtocols = job.scrapeProtocols,
+          fallbackProtocol = job.fallbackProtocol,
+          client =
+            if (job.proxyUrl.nonEmpty || job.tlsCaFile.nonEmpty ||
+                job.tlsInsecureSkipVerify)
+              ScrapeManager.buildClient(job.proxyUrl, job.tlsCaFile,
+                job.tlsInsecureSkipVerify)
+            else java.net.http.HttpClient.newHttpClient())
         m.setTargetProvider { () =>
           discovery.poll()
           val discovered = discovery
@@ -160,8 +168,12 @@ final class PromServer(
             .map(t => t -> ScrapeManager.relabelTarget(t, job.relabel))
             .partition(_._2.isDefined)
           // relabel-dropped targets stay visible with their discovered
-          // labels (ref: scrape/manager.go TargetsDropped → /targets)
-          droppedByJob.put(job.jobName, droppedNow.map { case (t, _) =>
+          // labels, capped per pool by keep_dropped_targets (0 = unlimited;
+          // ref: scrape/manager.go TargetsDropped + TargetsDroppedCounts)
+          val keepN =
+            if (job.keepDroppedTargets > 0) job.keepDroppedTargets.toInt
+            else Int.MaxValue
+          droppedByJob.put(job.jobName, droppedNow.take(keepN).map { case (t, _) =>
             ScrapeManager.discoveryLabelSet(t) })
           api.droppedTargets = droppedByJob.toSeq.flatMap {
             case (pool, ds) => ds.map(pool -> _) }

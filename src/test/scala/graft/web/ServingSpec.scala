@@ -465,6 +465,173 @@ class ServingSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("scrape client config: proxy_url routes, tls_config trusts") {
+    import graft.streaming.ScrapeManager
+    import graft.streaming.ScrapeManager.ScrapeTarget
+    def upOf(store: SampleStore): Double =
+      store.samples.collect().collectFirst {
+        case r if r.getMap[String, String](0)("__name__") == "up" => r.getDouble(2)
+      }.get
+
+    // ---- proxy_url: the client sends the target's absolute URI to the proxy
+    val proxy = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    proxy.createContext("/", ex => {
+      val host = Option(ex.getRequestHeaders.getFirst("Host")).getOrElse("")
+      val body = s"""via_proxy{upstream="$host"} 1\n""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.getResponseBody.close()
+    })
+    proxy.start()
+    try {
+      val client = ScrapeManager.buildClient(
+        proxyUrl = s"http://127.0.0.1:${proxy.getAddress.getPort}")
+      val store = emptyStore()
+      new ScrapeManager(spark, store,
+        Seq(ScrapeTarget("http://graft-proxy-test.invalid/metrics", "pj", "p1")),
+        client = client, nowMs = () => 50000L).scrapeOnce()
+      assert(upOf(store) == 1.0)
+      val viaProxy = store.samples.collect().find(
+        _.getMap[String, String](0)("__name__") == "via_proxy").get
+      assert(viaProxy.getMap[String, String](0)("upstream")
+        .startsWith("graft-proxy-test.invalid"))
+    } finally proxy.stop(0)
+
+    // ---- tls_config: self-signed HTTPS target (SAN=IP:127.0.0.1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tls")
+    val ksPath = dir.resolve("ks.p12").toString
+    val caPem = dir.resolve("ca.pem").toString
+    val keytool = System.getProperty("java.home") + "/bin/keytool"
+    def run(args: String*): Unit = {
+      val p = new ProcessBuilder((keytool +: args): _*)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() == 0, out)
+    }
+    run("-genkeypair", "-alias", "t", "-keyalg", "RSA", "-keysize", "2048",
+      "-storetype", "PKCS12", "-keystore", ksPath, "-storepass", "changeit",
+      "-dname", "CN=127.0.0.1", "-ext", "SAN=IP:127.0.0.1", "-validity", "2")
+    run("-exportcert", "-rfc", "-alias", "t", "-keystore", ksPath,
+      "-storepass", "changeit", "-file", caPem)
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(ksPath)
+    try ks.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val sctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    sctx.init(kmf.getKeyManagers, null, null)
+    val https = com.sun.net.httpserver.HttpsServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    https.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(sctx))
+    https.createContext("/metrics", ex => {
+      val body = "tls_metric 1\n".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.getResponseBody.close()
+    })
+    https.start()
+    val url = s"https://127.0.0.1:${https.getAddress.getPort}/metrics"
+    try {
+      // default trust store: the self-signed chain is rejected → up=0
+      val s0 = emptyStore()
+      new ScrapeManager(spark, s0, Seq(ScrapeTarget(url, "tj", "t1")),
+        nowMs = () => 50000L).scrapeOnce()
+      assert(upOf(s0) == 0.0)
+      // insecure_skip_verify trusts anything → up=1
+      val s1 = emptyStore()
+      new ScrapeManager(spark, s1, Seq(ScrapeTarget(url, "tj", "t1")),
+        client = ScrapeManager.buildClient(tlsInsecureSkipVerify = true),
+        nowMs = () => 50000L).scrapeOnce()
+      assert(upOf(s1) == 1.0)
+      // ca_file pins the custom CA → up=1 without trusting everything
+      val s2 = emptyStore()
+      new ScrapeManager(spark, s2, Seq(ScrapeTarget(url, "tj", "t1")),
+        client = ScrapeManager.buildClient(tlsCaFile = caPem),
+        nowMs = () => 50000L).scrapeOnce()
+      assert(upOf(s2) == 1.0)
+      assert(s2.samples.collect().exists(
+        _.getMap[String, String](0)("__name__") == "tls_metric"))
+    } finally https.stop(0)
+
+    // config plumbing: proxy_url + tls_config parse per job
+    val cfg = graft.streaming.Config.parse(
+      s"""scrape_configs:
+         |  - job_name: secure
+         |    proxy_url: http://proxy.local:3128
+         |    tls_config:
+         |      ca_file: ca.pem
+         |      insecure_skip_verify: false
+         |    static_configs:
+         |      - targets: ['example.com:443']
+         |""".stripMargin, dir.toString)
+    val j = cfg.scrapeJobs.head
+    assert(j.proxyUrl == "http://proxy.local:3128")
+    assert(j.tlsCaFile == caPem && !j.tlsInsecureSkipVerify)
+  }
+
+  test("scrape protocol negotiation: content-type dispatch, proto-first, fallback") {
+    import graft.streaming.ScrapeManager
+    import graft.streaming.ScrapeManager.ScrapeTarget
+    @volatile var seenAccept: String = null
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    // an OpenMetrics endpoint that declares itself via Content-Type only
+    server.createContext("/om", ex => {
+      seenAccept = ex.getRequestHeaders.getFirst("Accept")
+      val body = ("omx_total 1 # {trace_id=\"ct\"} 0.5 5.0\n# EOF\n").getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type",
+        "application/openmetrics-text; version=1.0.0; charset=utf-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.getResponseBody.close()
+    })
+    // a proto endpoint: replies 200 empty (enough to prove the proto path ran)
+    @volatile var seenProtoAccept: String = null
+    server.createContext("/proto", ex => {
+      seenProtoAccept = ex.getRequestHeaders.getFirst("Accept")
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      // the default Accept header advertises the reference's protocol order
+      val s1 = emptyStore()
+      new ScrapeManager(spark, s1,
+        Seq(ScrapeTarget(s"http://127.0.0.1:$port/om", "j", "i1")),
+        nowMs = () => 50000L).scrapeOnce()
+      assert(seenAccept.startsWith(
+        "application/openmetrics-text;version=1.0.0;q=0.6," +
+        "application/openmetrics-text;version=0.0.1;q=0.5"), seenAccept)
+      assert(seenAccept.endsWith("*/*;q=0.2"), seenAccept)
+      // the OpenMetrics parser ran WITHOUT the per-target flag — the
+      // response Content-Type selected it (exemplar ingested proves it)
+      assert(s1.exemplars.isDefined && s1.exemplars.get.count() == 1L)
+      assert(s1.samples.collect().exists { r =>
+        val l = r.getMap[String, String](0)
+        l("__name__") == "omx_total" && r.getDouble(2) == 1.0 })
+      // PrometheusProto first in scrape_protocols → protobuf negotiation
+      val s2 = emptyStore()
+      new ScrapeManager(spark, s2,
+        Seq(ScrapeTarget(s"http://127.0.0.1:$port/proto", "j", "i1")),
+        nowMs = () => 50000L,
+        scrapeProtocols = Seq("PrometheusProto", "PrometheusText0.0.4"))
+        .scrapeOnce()
+      assert(seenProtoAccept != null &&
+        seenProtoAccept.contains("io.prometheus.client.MetricFamily"))
+      assert(s2.samples.collect().exists { r =>
+        r.getMap[String, String](0)("__name__") == "up" && r.getDouble(2) == 1.0 })
+      // config: unknown protocol values fail promtool-style validation
+      val dir = java.nio.file.Files.createTempDirectory("graft_proto")
+      val bad = dir.resolve("bad.yml")
+      java.nio.file.Files.writeString(bad,
+        """scrape_configs:
+          |  - job_name: x
+          |    scrape_protocols: [PrometheusProto, NotAProtocol]
+          |    static_configs: [{targets: ['a:1']}]
+          |""".stripMargin)
+      val res = graft.streaming.ConfigCheck.checkConfig(bad.toString)
+      assert(res.exitCode == 1 &&
+        res.errors.exists(_.contains("unknown scrape protocol NotAProtocol")))
+    } finally server.stop(0)
+  }
+
   test("bounded exemplar storage: appends past max_exemplars evict oldest") {
     import org.apache.spark.sql.Row
     val store = emptyStore()
