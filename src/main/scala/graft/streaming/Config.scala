@@ -72,7 +72,17 @@ object Config {
       // negotiation order + unrecognized-Content-Type parser (ref:
       // config.go ScrapeProtocols / ScrapeFallbackProtocol)
       scrapeProtocols: Seq[String] = Nil,
-      fallbackProtocol: String = "")
+      fallbackProtocol: String = "",
+      // emit classic _count/_sum/_bucket series ALONGSIDE a native
+      // histogram from protobuf scrapes (ref: config.go
+      // AlwaysScrapeClassicHistograms)
+      alwaysClassicHist: Boolean = false,
+      // Accept-Encoding: gzip on scrape requests (default true, ref:
+      // config.go EnableCompression)
+      enableCompression: Boolean = true,
+      // classic → NHCB native conversion at scrape time (ref: ScrapeConfig
+      // ConvertClassicHistogramsToNHCB; global default)
+      convertNhcb: Boolean = false)
 
   /** one `alerting.alertmanagers` group (ref: config/config.go:1330
     * AlertmanagerConfig): target discovery + relabel_configs live on the
@@ -104,7 +114,10 @@ object Config {
       alertmanagerGroups: Seq[AlertmanagerGroup] = Nil,
       // storage.exemplars.max_exemplars (ref: config/config.go:1265
       // ExemplarsConfig; ≤0 disables the storage)
-      maxExemplars: Long = 100000L) {
+      maxExemplars: Long = 100000L,
+      // global.rule_query_offset — default evaluation-time offset for rule
+      // groups without their own query_offset (ref: config.go GlobalConfig)
+      ruleQueryOffsetMs: Long = 0L) {
     /** all scrape targets of a job (static + current file-SD contents) */
     def targetsOf(job: ScrapeJob): Seq[ScrapeManager.ScrapeTarget] =
       (job.staticTargets ++ job.fileSdPaths.flatMap(p =>
@@ -587,11 +600,24 @@ object Config {
           case Some(tc: YMap) => tc.str("insecure_skip_verify").contains("true")
           case _ => false
         },
-        scrapeProtocols = strList(m.get("scrape_protocols")) match {
+        scrapeProtocols = (strList(m.get("scrape_protocols")) match {
           case Nil => strList(global.get("scrape_protocols"))
           case l => l
+        }) match {
+          // scrape_native_histograms with no explicit protocol list →
+          // proto-first negotiation (ref: config.go
+          // DefaultProtoFirstScrapeProtocols)
+          case Nil if m.str("scrape_native_histograms").contains("true") =>
+            "PrometheusProto" +: ScrapeManager.defaultScrapeProtocols
+          case l => l
         },
-        fallbackProtocol = str(m, "fallback_scrape_protocol"))
+        fallbackProtocol = str(m, "fallback_scrape_protocol"),
+        alwaysClassicHist =
+          m.str("always_scrape_classic_histograms").contains("true"),
+        enableCompression = !m.str("enable_compression").contains("false"),
+        convertNhcb = m.str("convert_classic_histograms_to_nhcb")
+          .orElse(global.str("convert_classic_histograms_to_nhcb"))
+          .contains("true"))
     }
     val jobs = root.list("scrape_configs").collect { case m: YMap =>
       parseScrapeJob(m) }
@@ -636,7 +662,8 @@ object Config {
           case _ => None
         }
         case _ => None
-      }).getOrElse(100000L))
+      }).getOrElse(100000L),
+      ruleQueryOffsetMs = global.str("rule_query_offset").map(durMs).getOrElse(0L))
   }
 
   def load(path: String): PromConfig = {
@@ -650,7 +677,8 @@ object Config {
     * Rule expressions must parse at load time, exactly-one-of record/alert
     * is enforced, and a group without an interval inherits the global
     * evaluation interval. */
-  def loadRuleGroups(path: String, defaultIntervalMs: Long): Seq[Rules.Group] = {
+  def loadRuleGroups(path: String, defaultIntervalMs: Long,
+      defaultQueryOffsetMs: Long = 0L): Seq[Rules.Group] = {
     import graft.promqltest.YamlLite
     import graft.promqltest.YamlLite.{YMap, YScalar}
     val text = new String(
@@ -684,7 +712,9 @@ object Config {
             lbls, kv(r.get("annotations")))
         case other => throw new IllegalArgumentException(s"$path: bad rule node $other")
       }
-      Rules.Group(gname, interval, rec, al)
+      Rules.Group(gname, interval, rec, al,
+        queryOffsetMs = g.str("query_offset").map(durMs)
+          .getOrElse(defaultQueryOffsetMs))
     }
   }
 

@@ -167,7 +167,11 @@ object Rules {
   }
 
   final case class Group(name: String, intervalMs: Long,
-      recording: Seq[RecordingRule] = Nil, alerting: Seq[AlertingRule] = Nil)
+      recording: Seq[RecordingRule] = Nil, alerting: Seq[AlertingRule] = Nil,
+      // rules evaluate at ts - queryOffsetMs (ref: rulefmt RuleGroup
+      // query_offset / global rule_query_offset — slack for slow remote
+      // write or delayed ingest)
+      queryOffsetMs: Long = 0L)
 
   /** Metric names a rule expression reads — used for in-group dependency
     * ordering (ref: rules/manager.go:500 dependencyMap). */

@@ -38,18 +38,41 @@ final class ScrapeManager(
     // reference's DefaultScrapeProtocols) and the parser used when the
     // response carries no recognizable Content-Type
     scrapeProtocols: Seq[String] = Nil,
-    fallbackProtocol: String = "") {
+    fallbackProtocol: String = "",
+    alwaysClassicHist: Boolean = false,
+    enableCompression: Boolean = true,
+    // convert scraped classic histograms to NHCB natives (ref: ScrapeConfig
+    // ConvertClassicHistogramsToNHCB). The classic series stay alongside:
+    // without TYPE metadata at this seam a name-suffix heuristic cannot
+    // safely suppress e.g. a counter named foo_count, so the output is a
+    // superset of the reference's (which drops classic unless
+    // always_scrape_classic_histograms)
+    convertNhcb: Boolean = false) {
 
   import ScrapeManager.ScrapeTarget
 
   /** common scrape request decoration (ref: scrape/scrape.go — the
     * X-Prometheus-Scrape-Timeout-Seconds hint header rides every request) */
   private def scrapeRequest(url: String): java.net.http.HttpRequest.Builder = {
-    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+    val b0 = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs))
       .header("X-Prometheus-Scrape-Timeout-Seconds",
         graft.web.Json.goFloat(timeoutMs / 1000.0))
+    // ref: scrape.go acceptEncodingHeader — gzip unless enable_compression=false
+    val b = if (enableCompression) b0.header("Accept-Encoding", "gzip") else b0
     authHeader.fold(b)(v => b.header("Authorization", v))
+  }
+
+  /** transparently inflate a gzip response body */
+  private def inflate(resp: java.net.http.HttpResponse[Array[Byte]]): Array[Byte] = {
+    val gz = resp.headers().firstValue("Content-Encoding").orElse("")
+      .toLowerCase.contains("gzip")
+    if (!gz) resp.body()
+    else {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(resp.body()))
+      try in.readAllBytes() finally in.close()
+    }
   }
 
   /** Scrape-limit enforcement (ref: scrape/scrape.go sampleLimitErr /
@@ -183,10 +206,13 @@ final class ScrapeManager(
             .header("Accept", "application/vnd.google.protobuf;" +
               "proto=io.prometheus.client.MetricFamily;encodings=delimited").GET().build(),
           java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-        if (resp.statusCode() != 200 ||
-            (limits.bodySizeLimit > 0 && resp.body().length > limits.bodySizeLimit))
-          (ProtoExposition.Parsed(Nil, Map.empty), false)
-        else (ProtoExposition.parse(resp.body(), t0), true)
+        if (resp.statusCode() != 200) (ProtoExposition.Parsed(Nil, Map.empty), false)
+        else {
+          val bytes = inflate(resp) // body_size_limit is on UNCOMPRESSED bytes
+          if (limits.bodySizeLimit > 0 && bytes.length > limits.bodySizeLimit)
+            (ProtoExposition.Parsed(Nil, Map.empty), false)
+          else (ProtoExposition.parse(bytes, t0, alwaysClassicHist), true)
+        }
       } catch { case _: Exception => (ProtoExposition.Parsed(Nil, Map.empty), false) }
     val dur = (nowMs() - t0) / 1000.0
     def decorate(labels: Map[String, String]): Map[String, String] =
@@ -247,13 +273,13 @@ final class ScrapeManager(
         val resp = client.send(scrapeRequest(tgt.url)
             .header("Accept", ScrapeManager.acceptHeader(textProtocols))
             .GET().build(),
-          java.net.http.HttpResponse.BodyHandlers.ofString())
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        lazy val bodyBytes = inflate(resp)
         if (resp.statusCode() != 200 ||
-            (limits.bodySizeLimit > 0 &&
-              resp.body().getBytes("UTF-8").length > limits.bodySizeLimit))
+            (limits.bodySizeLimit > 0 && bodyBytes.length > limits.bodySizeLimit))
           (Nil, Nil, false) // ref: errBodySizeLimit — the scrape fails whole
         else {
-          val lines = resp.body().split("\n").toSeq
+          val lines = new String(bodyBytes, "UTF-8").split("\n").toSeq
           val defaultTs = t0
           // parser selection follows the RESPONSE Content-Type (ref:
           // scrape.go → textparse.New by media type), with
@@ -289,11 +315,15 @@ final class ScrapeManager(
     }
     // metric_relabel_configs apply to scraped samples only; the report
     // series bypass them (ref: scrape.go append vs report)
-    val scraped =
+    val scraped0 =
       if (stamped.isEmpty) None
       else Some(Relabel(toDf(stamped), metricRelabel))
-    // post-relabel label sets (see scrapeProto: append-time verifyLabelLimits)
-    val postLabels = scraped.map(_.select("labels").collect()
+    val scraped =
+      if (convertNhcb) scraped0.map(Ingest.classicToNhcb) else scraped0
+    // post-relabel label sets (see scrapeProto: append-time
+    // verifyLabelLimits); limits count the SCRAPED series — synthesized
+    // NHCB natives don't count against sample_limit
+    val postLabels = scraped0.map(_.select("labels").collect()
       .map(_.getAs[scala.collection.Map[String, String]](0).toMap)).getOrElse(Array.empty)
     val postN = postLabels.length.toLong
     val violation = if (!ok) None else limitViolation(postLabels.iterator, postN)

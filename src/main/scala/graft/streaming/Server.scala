@@ -81,7 +81,7 @@ final class PromServer(
       val cfg = Config.parse(text, base)
       // rule files must load cleanly BEFORE anything is swapped
       val groups = cfg.ruleFiles.map(f =>
-        Config.loadRuleGroups(f, cfg.evaluationIntervalMs))
+        Config.loadRuleGroups(f, cfg.evaluationIntervalMs, cfg.ruleQueryOffsetMs))
       // ---- commit point: swap components ----
       configOpt = Some(cfg)
       ruleGroups = groups.flatten
@@ -153,6 +153,9 @@ final class PromServer(
           honorTimestamps = job.honorTimestamps,
           scrapeProtocols = job.scrapeProtocols,
           fallbackProtocol = job.fallbackProtocol,
+          alwaysClassicHist = job.alwaysClassicHist,
+          enableCompression = job.enableCompression,
+          convertNhcb = job.convertNhcb,
           client =
             if (job.proxyUrl.nonEmpty || job.tlsCaFile.nonEmpty ||
                 job.tlsInsecureSkipVerify)
@@ -205,9 +208,13 @@ final class PromServer(
   def evalRulesOnce(tsMs: Long): Unit = synchronized {
     ruleGroups.foreach { g =>
       val g0 = System.nanoTime()
+      // query_offset: the group evaluates (and stamps its output) at
+      // ts - offset, trading recency for slow-ingest slack (ref:
+      // rules/group.go Eval restoreStartTime/queryOffset)
+      val ets = tsMs - g.queryOffsetMs
       Rules.recordingLevels(g.recording).foreach { level =>
         level.foreach { r =>
-          val out = Rules.evalRecording(spark, store.samples, r, tsMs)
+          val out = Rules.evalRecording(spark, store.samples, r, ets)
           store.append(out)
           forwarders.foreach(_.forward(out))
         }
@@ -216,13 +223,13 @@ final class PromServer(
         val prevAll = alertStates.getOrElse(g.name, Map.empty)
         val prev = prevAll.filter(
           _._2.labels.getOrElse("alertname", "") == a.alert)
-        val (df, next) = Rules.evalAlerting(spark, store.samples, a, tsMs, prev,
+        val (df, next) = Rules.evalAlerting(spark, store.samples, a, ets, prev,
           externalLabels = configOpt.map(_.externalLabels).getOrElse(Map.empty))
         store.append(df)
         val others = prevAll -- prev.keys
         alertStates = alertStates.updated(g.name, others ++ next)
         api.alertState = alertStates
-        notifier.foreach(_.sendFromState(a, next, tsMs))
+        notifier.foreach(_.sendFromState(a, next, ets))
       }
       api.ruleEvalStats = api.ruleEvalStats
         .updated(g.name, (tsMs, (System.nanoTime() - g0) / 1e9))

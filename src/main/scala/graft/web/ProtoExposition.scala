@@ -187,7 +187,8 @@ object ProtoExposition {
   /** one MetricFamily message → samples + exemplars */
   private def family(r: Reader, defaultTsMs: Long,
       meta: mutable.Map[String, (String, String, String)],
-      exOut: mutable.ArrayBuffer[(Map[String, String], graft.streaming.OpenMetrics.Exemplar)])
+      exOut: mutable.ArrayBuffer[(Map[String, String], graft.streaming.OpenMetrics.Exemplar)],
+      alwaysClassic: Boolean)
       : Seq[Sample] = {
     var name = ""; var help = ""; var unit = ""; var mtype = 3
     val out = mutable.ArrayBuffer[Sample]()
@@ -297,6 +298,16 @@ object ProtoExposition {
           hp.native match {
             case Some(h) =>
               out += Sample(named(name), t, Double.NaN, hp.stt, Some(h))
+              // always_scrape_classic_histograms: ALSO expand the message's
+              // classic section beside the native sample (ref:
+              // protobufparse.go parseClassicHistograms / scrape.go
+              // alwaysScrapeClassicHist)
+              if (alwaysClassic) {
+                out += Sample(named(name + "_count"), t, hp.cnt, hp.stt)
+                out += Sample(named(name + "_sum"), t, hp.sum, hp.stt)
+                hp.classic.foreach { case (le, cc) =>
+                  out += Sample(named(name + "_bucket", "le" -> Json.goFloat(le)), t, cc, hp.stt) }
+              }
               // native histograms: Histogram.exemplars (MUST carry ts,
               // ts-less ones dropped); when empty, fall back to bucket
               // exemplars that carry a ts (ref: protobufparse.go:345-378)
@@ -322,14 +333,15 @@ object ProtoExposition {
   }
 
   /** parse a delimited MetricFamily stream */
-  def parse(body: Array[Byte], defaultTsMs: Long): Parsed = {
+  def parse(body: Array[Byte], defaultTsMs: Long,
+      alwaysClassic: Boolean = false): Parsed = {
     val out = mutable.ArrayBuffer[Sample]()
     val exOut = mutable.ArrayBuffer[(Map[String, String], graft.streaming.OpenMetrics.Exemplar)]()
     val meta = mutable.Map[String, (String, String, String)]()
     val r = new Reader(body, 0, body.length)
     while (r.hasMore) {
       val fr = r.sub() // varint length prefix + MetricFamily bytes
-      out ++= family(fr, defaultTsMs, meta, exOut)
+      out ++= family(fr, defaultTsMs, meta, exOut, alwaysClassic)
     }
     Parsed(out.toSeq, meta.toMap, exOut.toSeq)
   }

@@ -284,6 +284,13 @@ class ServingSpec extends AnyFunSuite {
       ce.v == 0.4 && ce.t == ProtoExposition.NoTs)
     assert(exByName("nhist").map(_._2) ==
       Seq(OpenMetrics.Exemplar(Map("trace_id" -> "n1"), 2.5, 6000L)))
+    // always_scrape_classic_histograms: the native family ALSO expands its
+    // classic section (_count/_sum here; fam4 has no classic buckets)
+    val withClassic = ProtoExposition.parse(stream, 7000L, alwaysClassic = true)
+    val cByName = withClassic.samples.groupBy(_.labels("__name__"))
+    assert(cByName("nhist_count").head.v == 4.0 && cByName("nhist_sum").head.v == 10.0)
+    assert(cByName.contains("nhist")) // native still emitted
+    assert(!byName.contains("nhist_count")) // and not without the flag
 
     // end-to-end scrape through an HTTP server with proto negotiation
     val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
@@ -629,6 +636,57 @@ class ServingSpec extends AnyFunSuite {
       val res = graft.streaming.ConfigCheck.checkConfig(bad.toString)
       assert(res.exitCode == 1 &&
         res.errors.exists(_.contains("unknown scrape protocol NotAProtocol")))
+    } finally server.stop(0)
+  }
+
+  test("scrape gzip compression and classic->NHCB conversion") {
+    import graft.streaming.ScrapeManager
+    import graft.streaming.ScrapeManager.ScrapeTarget
+    @volatile var lastEncoding: String = "unset"
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/metrics", ex => {
+      lastEncoding = ex.getRequestHeaders.getFirst("Accept-Encoding")
+      val text = Seq(
+        "hx_bucket{le=\"1\"} 2", "hx_bucket{le=\"+Inf\"} 5",
+        "hx_count 5", "hx_sum 12.5", "plain_count 3", "").mkString("\n")
+      val raw = text.getBytes("UTF-8")
+      if (lastEncoding != null && lastEncoding.contains("gzip")) {
+        val bo = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bo)
+        gz.write(raw); gz.close()
+        val body = bo.toByteArray
+        ex.getResponseHeaders.set("Content-Encoding", "gzip")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+      } else {
+        ex.sendResponseHeaders(200, raw.length)
+        ex.getResponseBody.write(raw)
+      }
+      ex.getResponseBody.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/metrics"
+    try {
+      // default: Accept-Encoding gzip sent, gzipped body inflated, NHCB on
+      val s1 = emptyStore()
+      new ScrapeManager(spark, s1, Seq(ScrapeTarget(url, "j", "i1")),
+        nowMs = () => 50000L, convertNhcb = true).scrapeOnce()
+      assert(lastEncoding != null && lastEncoding.contains("gzip"))
+      val rows = s1.samples.collect().map(r =>
+        (r.getMap[String, String](0).toMap, r.getDouble(2), Option(r.get(4))))
+      assert(rows.exists { case (l, v, _) => l("__name__") == "up" && v == 1.0 })
+      // the classic series survive AND a native NHCB sample appears under
+      // the base name with count=5
+      assert(rows.exists { case (l, _, _) => l("__name__") == "hx_bucket" })
+      val nhcb = rows.filter { case (l, _, h) => l("__name__") == "hx" && h.isDefined }
+      assert(nhcb.length == 1)
+      // a bare *_count with no sibling _bucket is NOT converted
+      assert(!rows.exists { case (l, _, h) => l("__name__") == "plain" && h.isDefined })
+      // enable_compression=false: no Accept-Encoding header
+      val s2 = emptyStore()
+      new ScrapeManager(spark, s2, Seq(ScrapeTarget(url, "j", "i1")),
+        nowMs = () => 50000L, enableCompression = false).scrapeOnce()
+      assert(lastEncoding == null, s"unexpected Accept-Encoding: $lastEncoding")
     } finally server.stop(0)
   }
 
