@@ -23,7 +23,7 @@ object CorpusStats {
     * frequency counting needs occurrence multiplicity (tight-loop UDF for the
     * same reason as Dedup.shingleUdf: the SQL-lambda transform evaluates
     * interpreted per position). */
-  private def gramUdf(n: Int) = udf { (w: Seq[String]) =>
+  private[pipeline] def gramUdf(n: Int) = udf { (w: Seq[String]) =>
     if (w.length < n) Array.empty[String]
     else {
       val out = new Array[String](w.length - n + 1)
@@ -200,4 +200,106 @@ object CorpusStats {
         round(col("q")(0), 6).as("p50"),
         round(col("q")(1), 6).as("p90"),
         round(col("q")(2), 6).as("p99"))
+
+  /** Passage-level exact dedup, Dolma-style: the corpus keeps only the FIRST
+    * occurrence of every normalized passage (ordered by doc_id, then passage
+    * index); later occurrences are dropped and the document is re-assembled
+    * from its surviving passages. Passages are fixed `passageWords`-word
+    * chunks of the normalized token stream — the splitter a newline-free
+    * corpus needs (with paragraph structure the split would be on the
+    * delimiter instead; the rest of the operator is unchanged).
+    *
+    * Output per doc: n_passages, n_dup (passages dropped), clean_text (kept
+    * passages in original order; "" when every passage was a duplicate).
+    *
+    * 100 TB shape: ONE passage-keyed exchange (the global first-occurrence
+    * window) followed by ONE doc-keyed aggregation to re-assemble — the
+    * passage table is O(total tokens / passageWords) narrow rows; nothing
+    * is broadcast and no vocabulary is collected. */
+  def passageDedup(docs: DataFrame, passageWords: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pw = passageWords
+    val chunkUdf = udf { (w: Seq[String]) =>
+      if (w.isEmpty) Array.empty[String] else w.grouped(pw).map(_.mkString(" ")).toArray
+    }
+    val ps = docs.select(col("doc_id"),
+      posexplode(chunkUdf(words(col("text")))).as(Seq("idx", "p")))
+    val firstW = Window.partitionBy(col("p")).orderBy(col("doc_id").asc, col("idx").asc)
+    ps.withColumn("__rk", row_number().over(firstW))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("__rk") > 1, 1L).otherwise(0L)).as("n_dup"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__rk") === 1, struct(col("idx"), col("p"))))),
+          x => x("p"))).as("clean_text"))
+      .select(col("doc_id"), col("n_passages"), col("n_dup"), col("clean_text"))
+  }
+
+  /** Deterministic shard assignment by cumulative bytes: documents in doc_id
+    * order are packed into output shards of `targetBytes` each — the
+    * "write N roughly-equal dataloader shards" step at the end of every
+    * training-data pipeline. A doc's shard is its starting byte offset
+    * divided by the target, so shard boundaries never depend on partition
+    * layout and reruns are byte-identical.
+    *
+    * 100 TB shape — a DISTRIBUTED PREFIX SUM, not a global window (a single
+    * `sum over (order by doc_id)` window is one task sorting the corpus):
+    * docs bucket into id-range blocks sized so at most ~2^16 block totals
+    * exist at any corpus size; block totals are one map-side-combined agg,
+    * the exclusive block prefix is computed on the driver over those ≤65536
+    * rows and broadcast back, and the intra-block running sum is a window
+    * whose partitions are bounded by the block id-range. */
+  def shardAssign(docs: DataFrame, targetBytes: Long, blockIds: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = docs.select(col("doc_id"), col("n_chars").cast("long").as("__len"))
+    val maxId = sized.agg(max(col("doc_id"))).head().getLong(0)
+    // block id-range: the caller's floor, grown so the driver never holds
+    // more than 2^16 block totals regardless of corpus size
+    val b = math.max(blockIds, (maxId + 1 + 65535) / 65536)
+    val blocked = sized.withColumn("__blk", floor(col("doc_id") / b))
+    val totals = blocked.groupBy(col("__blk")).agg(sum(col("__len")).as("__tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (blk, tot) => val o = (blk, acc); acc += tot; o }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = spark.createDataset(offsets.toSeq).toDF("__blk", "__boff")
+    val intra = Window.partitionBy(col("__blk")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blocked.join(broadcast(offDf), "__blk") // ≤65536 rows by construction
+      .withColumn("byte_offset", col("__boff") + coalesce(sum(col("__len")).over(intra), lit(0L)))
+      .select(col("doc_id"), col("byte_offset"),
+        floor(col("byte_offset") / targetBytes).cast("long").as("shard"))
+  }
+
+  /** Mixture sampling toward target source weights: draw up to
+    * `floor(weight(source) · total)` docs per source (capped by
+    * availability; sources without a weight contribute nothing), chosen by
+    * Knuth-hash rank with doc_id tiebreak — the deterministic "re-balance
+    * the corpus toward a target domain mixture" draw. Like
+    * [[stratifiedTopN]] but with per-source budgets derived from mixture
+    * weights instead of a constant n.
+    *
+    * 100 TB shape: the quota table is one row per SOURCE (bounded by the
+    * domain count, genuinely broadcastable); the rank is one stratum-keyed
+    * window. The quota being a column (not a literal) means Catalyst cannot
+    * rewrite to WindowGroupLimit here — the per-stratum sort is the cost of
+    * data-dependent budgets; pre-filter with [[stratifiedSample]] at a rate
+    * safely above every weight when strata are corpus-scale. */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double], total: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCol = weights.foldLeft(lit(0.0)) { case (acc, (src, w)) =>
+      when(col("source") === src, lit(w)).otherwise(acc)
+    }
+    val quotas = docs.groupBy(col("source")).agg(count(lit(1)).as("__cnt"))
+      .select(col("source"),
+        least(col("__cnt"), floor(wCol * total).cast("long")).as("__quota"))
+    val rk = Window.partitionBy(col("source"))
+      .orderBy(knuthHash(col("doc_id")).asc, col("doc_id").asc)
+    docs.withColumn("__rk", row_number().over(rk))
+      .join(broadcast(quotas), "source") // one row per source — bounded
+      .filter(col("__rk") <= col("__quota"))
+      .select(col("doc_id"), col("source"), col("__rk").cast("long").as("rk"))
+  }
 }

@@ -327,4 +327,34 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Duplicated-substring spans — the suffix-array-free approximation of
+    * exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better": remove every ≥50-token substring that
+    * appears more than once in the corpus). Every n-word gram occurring
+    * more than once ANYWHERE (other docs or the same doc) marks its
+    * positions; overlapping/adjacent marked positions per doc merge into
+    * maximal spans — exactly the substrings a suffix array would report
+    * with ≥n-token granularity. Positions are 1-based words; a span covers
+    * words [start_word, end_word] inclusive.
+    *
+    * 100 TB shape: the (doc, pos, gram) table is O(total tokens) narrow
+    * rows; the duplicate flag is a gram-keyed count joined back on the SAME
+    * gram-keyed exchange (no vocabulary broadcast — gram space is
+    * unbounded); span merging is one doc-keyed window (islands-and-gaps:
+    * group = pos − row_number). Nothing collects and nothing is quadratic. */
+  def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col("doc_id"),
+        posexplode(CorpusStats.gramUdf(n)(words(col("text")))).as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("g"))
+    val cnt = grams.groupBy(col("g")).agg(count(lit(1)).as("__c"))
+    val marked = grams.join(cnt, "g").filter(col("__c") > 1)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    marked.withColumn("__grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).as("start_word"), (max(col("pos")) + (n - 1)).as("end_word"))
+      .select(col("doc_id"), col("start_word"), col("end_word"),
+        (col("end_word") - col("start_word") + 1).as("span_words"))
+  }
 }

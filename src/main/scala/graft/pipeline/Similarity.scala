@@ -303,6 +303,115 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011): vectors are L2-normalized
+    * (cosine ⇒ inner product), the dimension splits into `m` subspaces, each
+    * subspace trains a `ksub`-centroid codebook ([[trainCentroids]] — same
+    * deterministic init/iteration as IVF), and every corpus vector compresses
+    * to `m` code bytes. A query scores a vector ASYMMETRICALLY (ADC):
+    * score ≈ Σⱼ ⟨q̂ⱼ, codebook(j)(codeⱼ)⟩ — the per-(subspace, code) partial
+    * dot products form a Q×m×ksub distance table computed once per query
+    * batch. Approximate by construction (rows-only correctness; the spec
+    * pins recall against [[bruteForceTopK]]).
+    *
+    * 100 TB shape: training is m·iters scans with driver state bounded at
+    * m×ksub×(dim/m) doubles; encoding is ONE corpus scan emitting m narrow
+    * (vec_id, j, code) rows per vector (the 100× compression that makes the
+    * scan cheap is the point of PQ); the query path joins the BROADCAST
+    * distance table (bounded by the query batch) on (j, code) and aggregates
+    * per (query, vector) — n·m·Q candidate rows, linear in the corpus, no
+    * pairwise join anywhere. */
+  def pqTopK(corpus: DataFrame, qdf: DataFrame, k: Int, m: Int = 4,
+      ksub: Int = 16, iters: Int = 2): DataFrame = {
+    val normUdf = udf { (v: Seq[Float]) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+      v.map(x => (x * inv).toFloat)
+    }
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // iterative training re-scans the normalized corpus iters times —
+    // persist for the duration of the (eager) training collects, release
+    // lazily before returning the plan (the kmeans pattern)
+    val norm = corpus.select(col("vec_id"), normUdf(col("embedding")).as("embedding")).persist()
+    // all m codes in ONE pass over the vector (an m-way union would rescan)
+    def codesUdf(cbs: Array[Array[Array[Double]]]) = udf { (v: Seq[Float]) =>
+      Array.tabulate(m) { j =>
+        val cb = cbs(j); var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          val ce = cb(c); var d = 0.0; var i = 0
+          while (i < sub) {
+            val diff = v(j * sub + i).toDouble - ce(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    // joint Lloyd across all m subspaces: seeds are the ksub
+    // lowest-xxhash vectors' slices (the trainCentroids seeding), and each
+    // iteration is ONE scan — (vec, j, codeⱼ, subvecⱼ) rows aggregated per
+    // (j, code) with sub per-dimension sums, m×ksub×(dim/m) driver doubles
+    // (per-subspace trainCentroids calls would cost m scans per iteration
+    // for identical math)
+    val seeds = norm.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seeds.map(v => Array.tabulate(sub)(i => v(j * sub + i).toDouble)))
+    (0 until iters).foreach { _ =>
+      val cu = codesUdf(codebooks)
+      val sums = (0 until sub).map(i => sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+      val agg = norm
+        .select(posexplode(cu(col("embedding"))).as(Seq("j", "code")), col("embedding"))
+        .select(col("j"), col("code"),
+          slice(col("embedding"), col("j") * sub + 1, lit(sub)).as("sv"))
+        .groupBy(col("j"), col("code")).agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val next = codebooks.map(_.map(_.clone())) // empty codes keep centroids
+      agg.foreach { r =>
+        val j = r.getInt(0); val c = r.getInt(1); val n = r.getLong(2).toDouble
+        var i = 0
+        while (i < sub) { next(j)(c)(i) = r.getDouble(3 + i) / n; i += 1 }
+      }
+      codebooks = next
+    }
+    val codes = norm.select(col("vec_id").as("nid"),
+      posexplode(codesUdf(codebooks)(col("embedding"))).as(Seq("j", "code")))
+    // ADC distance table: Q×m×ksub rows, computed driver-side from the
+    // (bounded) query batch and broadcast
+    val qs = qdf.select(col("vec_id"), col("embedding")).collect().map { r =>
+      val v = r.getSeq[Float](1)
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+      (r.getLong(0), v.map(_.toDouble * inv).toArray)
+    }
+    val dRows = for {
+      (qid, qv) <- qs.toSeq
+      j <- 0 until m
+      c <- codebooks(j).indices
+    } yield {
+      val cb = codebooks(j)(c)
+      var acc = 0.0; var i = 0
+      while (i < sub) { acc += qv(j * sub + i) * cb(i); i += 1 }
+      (qid, j, c, acc)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dtable = spark.createDataset(dRows).toDF("qid", "j", "code", "partial")
+    norm.unpersist(blocking = false) // lazy: the returned plan recomputes if evicted
+    val scored = codes.join(broadcast(dtable), Seq("j", "code"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(round(sum(col("partial")), 6).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("score"))
+  }
+
   /** vec_ids surviving semantic dedup (canonical = min id per component) */
   def semanticSurvivors(emb: DataFrame, tau: Double, k: Int = 8,
       iters: Int = 3): DataFrame = {

@@ -138,6 +138,28 @@ object PipelineSuite {
 
     "lp29_pii_scan" -> { (s, dir) =>
       TextAnalysis.piiScan(docs(s, dir)).orderBy(col("doc_id")) },
+
+    "lp30_passage_dedup" -> { (s, dir) =>
+      CorpusStats.passageDedup(docs(s, dir), passageWords = 20)
+        .orderBy(col("doc_id")) },
+
+    "lp31_shard_assign" -> { (s, dir) =>
+      CorpusStats.shardAssign(docs(s, dir), targetBytes = 10000L)
+        .orderBy(col("doc_id")) },
+
+    "lp32_pq_ann" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("qid"), col("rank")) },
+
+    "lp33_dup_spans" -> { (s, dir) =>
+      Dedup.dupSpans(docs(s, dir), n = 8)
+        .orderBy(col("doc_id"), col("start_word")) },
+
+    "lp34_mixture_sample" -> { (s, dir) =>
+      CorpusStats.mixtureSample(docs(s, dir),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), total = 100L)
+        .orderBy(col("source"), col("rk")) },
   )
 
   /** lp03's pair CTEs, shared by the clustering oracles */
@@ -487,5 +509,81 @@ object PipelineSuite {
              '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b',
              '<IP>', 'g') AS redacted
          FROM documents ORDER BY doc_id""",
+
+    // fixed 20-word passages; global first occurrence by (doc_id, idx) wins
+    "lp30_passage_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+             unnest([array_to_string(w[i:least(i+19, len(w))], ' ')
+                     for i in generate_series(1, len(w), 20)]) AS p,
+             unnest(generate_series(1, len(generate_series(1, len(w), 20)))) AS idx
+           FROM d),
+         r AS (
+           SELECT doc_id, idx, p,
+             row_number() OVER (PARTITION BY p ORDER BY doc_id, idx) AS rk
+           FROM p)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           COALESCE(string_agg(CASE WHEN rk = 1 THEN p END, ' ' ORDER BY idx), '') AS clean_text
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
+
+    // exclusive running byte sum in doc_id order; shard = offset // target
+    "lp31_shard_assign" ->
+      """WITH o AS (
+           SELECT doc_id,
+             COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM documents)
+         SELECT doc_id, CAST(off AS BIGINT) AS byte_offset,
+           CAST(off // 10000 AS BIGINT) AS shard
+         FROM o ORDER BY doc_id""",
+
+    // 8-gram positions (1-based), grams occurring >1 time anywhere mark
+    // positions, islands-and-gaps merge into maximal spans
+    "lp33_dup_spans" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest([array_to_string(w[i:i+7], ' ')
+                     for i in generate_series(1, greatest(len(w)-7, 0))]) AS sg,
+             unnest(generate_series(1, greatest(len(w)-7, 0))) AS pos
+           FROM d),
+         c AS (SELECT sg, count(*) AS c FROM g GROUP BY 1),
+         dup AS (SELECT doc_id, pos FROM g JOIN c USING (sg) WHERE c.c > 1),
+         isl AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM dup)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_word,
+           CAST(max(pos) + 7 AS BIGINT) AS end_word,
+           CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_words
+         FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_word""",
+
+    // per-source quota = min(count, floor(weight·total)) over double math
+    // (::DOUBLE mirrors Spark's lit(w)*total exactly); Knuth-hash rank draw
+    "lp34_mixture_sample" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+             ((((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296 * 65536
+               + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS hh
+           FROM documents),
+         q AS (
+           SELECT source, least(count(*), CAST(floor(
+               (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                            WHEN 'src2' THEN 0.2 ELSE 0.0 END)::DOUBLE * 100)
+             AS BIGINT)) AS quota
+           FROM documents GROUP BY source),
+         r AS (
+           SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+           FROM h)
+         SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+         FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+         ORDER BY r.source, r.rk""",
   )
 }

@@ -704,4 +704,83 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq ==
       Seq((1L, "banana"), (2L, "durian")))
   }
+
+  test("passage dedup: global first occurrence wins, doc reassembles from survivors") {
+    val d = docsOf(
+      1L -> "a b c d",  // passages (P=2): "a b", "c d"
+      2L -> "a b x y",  // "a b" duplicates doc1's
+      3L -> "c d",      // whole doc is a duplicate passage
+      4L -> "q q q q")  // intra-doc duplicate: second "q q" drops
+    val out = CorpusStats.passageDedup(d, passageWords = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 0L, "a b c d")))
+    assert(out(2L) == ((2L, 1L, "x y")))
+    assert(out(3L) == ((1L, 1L, "")))
+    assert(out(4L) == ((2L, 1L, "q q")))
+  }
+
+  test("shard assign: exact cumulative offsets; distributed blocks match a local prefix sum") {
+    val d = docsOf(
+      0L -> "x" * 5, 1L -> "y" * 7, 2L -> "z" * 3, 3L -> "w" * 9,
+      5L -> "v" * 2, 8L -> "u" * 6) // sparse ids on purpose
+    // blockIds=2 forces multiple blocks through the driver prefix-sum path
+    val out = CorpusStats.shardAssign(d, targetBytes = 8L, blockIds = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val lens = Seq(0L -> 5L, 1L -> 7L, 2L -> 3L, 3L -> 9L, 5L -> 2L, 8L -> 6L)
+    var acc = 0L
+    val want = lens.map { case (id, len) =>
+      val o = (id, acc, acc / 8L); acc += len; o }
+    assert(out.toSeq == want)
+    // shard boundaries are offset-derived: docs 0,1 land in shards 0 and 0
+    // (offset 5 // 8 = 0), doc 2 at offset 12 → shard 1
+    assert(out(2) == ((2L, 12L, 1L)))
+  }
+
+  test("dup spans: repeated n-grams merge into maximal 1-based word spans") {
+    val d = docsOf(
+      1L -> "a b c x y",   // "a b","b c" shared with doc2 → one span [1,3]
+      2L -> "z a b c w",   // positions 2,3 dup → span [2,4]
+      3L -> "p q r p q")   // intra-doc repeat "p q" at 1 and 4 → two 2-word spans
+    val out = Dedup.dupSpans(d, n = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      (1L, 1L, 3L, 3L),
+      (2L, 2L, 4L, 3L),
+      (3L, 1L, 2L, 2L), (3L, 4L, 5L, 2L)))
+  }
+
+  test("mixture sample: per-source quotas from weights, capped by availability") {
+    val d = docsOf((0L until 20L).map(i =>
+      i -> s"doc number $i with source assigned below"): _*)
+      .withColumn("source", when(col("doc_id") < 10, "s1").otherwise("s2"))
+    // total=30: s1 quota = min(10, floor(0.5*30)=15) = 10 (availability-capped),
+    // s2 quota = min(10, floor(0.2*30)=6) = 6; unweighted sources contribute 0
+    val out = CorpusStats.mixtureSample(d, Map("s1" -> 0.5, "s2" -> 0.2), total = 30L)
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("s1" -> 10L, "s2" -> 6L))
+    // deterministic: the s2 draw is exactly stratifiedTopN's first 6 of s2
+    val viaTopN = CorpusStats.stratifiedTopN(d.filter(col("source") === "s2"), n = 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = out.filter(col("source") === "s2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == viaTopN)
+  }
+
+  test("PQ top-k recall floor vs brute-force ground truth") {
+    val corpus = clusteredEmbs(nClusters = 40, copies = 7, dim = 16)
+    val queries = corpus.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
+    val truth = topkSets(Similarity.bruteForceTopK(corpus, queries, k = 7))
+    val got = topkSets(Similarity.pqTopK(corpus, queries, k = 7,
+      m = 4, ksub = 16, iters = 3))
+    val recalls = truth.map { case (q, t) =>
+      (got.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.7, s"PQ recall@7 $recall < 0.7 (per-query: $recalls)")
+    // determinism: a second run returns the identical ranking
+    val again = topkSets(Similarity.pqTopK(corpus, queries, k = 7,
+      m = 4, ksub = 16, iters = 3))
+    assert(got == again)
+  }
 }
