@@ -35,6 +35,9 @@ object Discovery {
     def refresh(): Seq[TargetGroup]
     /** refresh cadence; 0 = re-resolve on every poll */
     def refreshMs: Long = 0L
+    /** release background resources (watch streams, threads) — called when
+      * the manager drops the registration on a config reload */
+    def close(): Unit = {}
   }
 
   final class StaticProvider(override val name: String, groups: Seq[TargetGroup])
@@ -195,8 +198,11 @@ object Discovery {
     // in-flight mark of) the new registration
     private var generation = 0L
 
-    /** drop every registration (config reload re-registers from scratch) */
+    /** drop every registration (config reload re-registers from scratch);
+      * dropped providers release their background resources (informer watch
+      * threads must not leak across reloads) */
     def clear(): Unit = synchronized {
+      regs.foreach(r => try r.provider.close() catch { case _: Exception => () })
       regs = Vector.empty; state.clear(); lastPoll.clear(); inFlight.clear()
       generation += 1
     }

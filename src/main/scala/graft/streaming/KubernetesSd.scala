@@ -2,26 +2,28 @@ package graft.streaming
 
 import graft.web.JsonLite
 
+import scala.collection.concurrent.TrieMap
+
 /** Kubernetes service discovery (ref: discovery/kubernetes/kubernetes.go and
   * the per-role builders pod.go / node.go / service.go / endpoints.go /
   * endpointslice.go / ingress.go).
   *
-  * Architecture divergence, deliberately: the reference runs client-go
-  * informers (watch streams + a local object cache) because it must react to
-  * churn within seconds on a persistent process. This engine's discovery
-  * manager is poll-based (Discovery.Manager claims providers on a refresh
-  * cadence), so Kubernetes SD is a LIST against the API server per refresh —
-  * the same consistency model as the reference's own HTTP SD, and the right
-  * shape for a Spark-driven scraper whose scrape batches are already
-  * cadence-driven. Target-group construction (sources, `__meta_kubernetes_*`
-  * labels, address selection, ready/not-ready duplication) mirrors the
-  * reference's builders 1:1 so relabel configs written for the reference
-  * work unchanged.
+  * Freshness model: like the reference's client-go informers, the provider
+  * runs LIST+WATCH ([[Informer]]) — one initial LIST seeds a keyed object
+  * cache, a daemon watch stream applies ADDED/MODIFIED/DELETED events as
+  * they happen, and each manager refresh snapshots the live cache. Churn is
+  * visible at the next poll with steady-state network cost O(changes)
+  * instead of O(objects)·polls. A list-only [[ApiClient]] degrades to
+  * LIST-per-refresh (the consistency model of the reference's own HTTP SD).
+  * Target-group construction (sources, `__meta_kubernetes_*` labels,
+  * address selection, ready/not-ready duplication) mirrors the reference's
+  * builders 1:1 so relabel configs written for the reference work unchanged.
   *
-  * The API transport is injectable ([[ApiClient]]): tests drive the whole
-  * Manager → provider → relabel → scrape-target chain against a fake API
-  * server exactly the way the reference's tests drive a fake clientset
-  * (discovery/kubernetes/kubernetes_test.go). */
+  * The API transport is injectable ([[ApiClient]]/[[WatchApiClient]]):
+  * tests drive the whole Manager → provider → relabel → scrape-target chain
+  * against a fake API server exactly the way the reference's tests drive a
+  * fake clientset (discovery/kubernetes/kubernetes_test.go), including
+  * scripted watch-event streams. */
 object KubernetesSd {
 
   /** per-resource label/field selector (ref: kubernetes.go SelectorConfig) —
@@ -70,9 +72,19 @@ object KubernetesSd {
     * "/api/v1/pods"); throws on failure (the manager keeps previous state) */
   trait ApiClient { def get(path: String): String }
 
+  /** LIST+WATCH transport: `watch` streams newline-delimited watch events
+    * (`{"type":"ADDED|MODIFIED|DELETED|BOOKMARK|ERROR","object":{...}}`)
+    * until the server closes the stream or `stopped()` turns true; throws on
+    * connect/protocol failure (the informer backs off and reconnects). A
+    * provider whose client implements this trait runs informers
+    * ([[Informer]]) instead of LIST-per-refresh. */
+  trait WatchApiClient extends ApiClient {
+    def watch(path: String, onLine: String => Unit, stopped: () => Boolean): Unit
+  }
+
   /** production client: GET {apiServer}{path}, optional bearer token */
   final class HttpApiClient(apiServer: String, bearerTokenFile: String = "")
-      extends ApiClient {
+      extends WatchApiClient {
     private val base =
       (if (apiServer.nonEmpty) apiServer else "https://kubernetes.default.svc")
         .stripSuffix("/")
@@ -95,6 +107,28 @@ object KubernetesSd {
       if (resp.statusCode() != 200)
         throw new IllegalStateException(s"kubernetes sd: ${resp.statusCode()} for $path")
       resp.body()
+    }
+    /** chunked watch stream — one JSON event per line, consumed lazily so
+      * the connection stays open for the server's event dribble */
+    override def watch(path: String, onLine: String => Unit, stopped: () => Boolean): Unit = {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+        .header("Accept", "application/json")
+      val tf = new java.io.File(tokenFile)
+      if (tf.exists())
+        b.header("Authorization",
+          "Bearer " + new String(java.nio.file.Files.readAllBytes(tf.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim)
+      val resp = client.send(b.GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofLines())
+      if (resp.statusCode() != 200) {
+        resp.body().close()
+        throw new IllegalStateException(s"kubernetes sd watch: ${resp.statusCode()} for $path")
+      }
+      val it = resp.body().iterator()
+      try while (!stopped() && it.hasNext) {
+        val line = it.next()
+        if (line.nonEmpty) onLine(line)
+      } finally resp.body().close()
     }
   }
 
@@ -495,6 +529,95 @@ object KubernetesSd {
       l(jmap(JsonLite.parse(client.get(listPath(role, ns) + query))), "items")).toList
   }
 
+  // -------------------------------------------------------------- informers
+
+  /** Minimal shared-informer analog (ref: kubernetes.go builds client-go
+    * SharedIndexInformers per role/namespace): ONE initial LIST seeds a
+    * keyed object cache and captures the list-level resourceVersion; a
+    * daemon thread then holds a WATCH open from that version and applies
+    * ADDED/MODIFIED/DELETED events incrementally (BOOKMARK advances the
+    * version without data). `snapshot()` reads the live cache instead of
+    * re-LISTing, so churn between manager polls is visible at the very next
+    * poll and steady-state network cost is O(changes) — not
+    * O(objects)·polls, the property that makes cluster-scale freshness
+    * affordable. An ERROR event (410 Gone: the version was compacted away)
+    * invalidates the cache and the loop re-LISTs (client-go's relist); a
+    * dropped connection resumes the watch from the last seen version (the
+    * API server replays missed events, or answers 410 → relist). While a
+    * relist is pending the cache serves its previous objects — the same
+    * keep-on-failure contract as the manager's whole-refresh-throws path. */
+  final class Informer(client: WatchApiClient, resource: String,
+      namespace: String, query: String) {
+    private val byKey = new java.util.concurrent.ConcurrentHashMap[String, J]()
+    @volatile private var rv: String = ""
+    @volatile private var valid = false
+    @volatile private var closed = false
+    private var thread: Thread = null
+    // observability for specs (LIST amplification is the thing informers kill)
+    @volatile private[streaming] var lists = 0L
+    @volatile private[streaming] var events = 0L
+
+    private def path = listPath(resource, namespace)
+    private def okey(meta: J): String = s(meta, "namespace") + "/" + s(meta, "name")
+
+    private def relist(): Unit = {
+      val body = jmap(JsonLite.parse(client.get(path + query)))
+      byKey.clear()
+      l(body, "items").foreach(o => byKey.put(okey(m(o, "metadata")), o))
+      rv = s(m(body, "metadata"), "resourceVersion")
+      lists += 1
+      valid = true
+    }
+
+    private def handle(line: String): Unit = {
+      val ev = jmap(JsonLite.parse(line))
+      val obj = m(ev, "object")
+      val orv = s(m(obj, "metadata"), "resourceVersion")
+      events += 1
+      s(ev, "type") match {
+        case "ADDED" | "MODIFIED" => byKey.put(okey(m(obj, "metadata")), obj)
+        case "DELETED" => byKey.remove(okey(m(obj, "metadata")))
+        case "BOOKMARK" => ()
+        case "ERROR" => valid = false // 410 Gone etc → relist from scratch
+        case _ => ()
+      }
+      if (orv.nonEmpty) rv = orv
+    }
+
+    private def watchLoop(): Unit =
+      while (!closed) {
+        try {
+          if (!valid) relist()
+          val wq = (if (query.isEmpty) "?" else query + "&") +
+            "watch=1&allowWatchBookmarks=true&resourceVersion=" +
+            java.net.URLEncoder.encode(rv, java.nio.charset.StandardCharsets.UTF_8)
+          client.watch(path + wq, handle, () => closed || !valid)
+        } catch { case _: Exception => () } // resume from rv after the pause
+        // clean close / invalidation / failure all re-enter through here; the
+        // pause bounds reconnect churn against a flapping server
+        if (!closed) try Thread.sleep(50) catch { case _: InterruptedException => return }
+      }
+
+    /** first call LISTs synchronously (a provider's first refresh must see
+      * full targets) and starts the watch thread */
+    def ensureStarted(): Unit = synchronized {
+      if (thread == null) {
+        relist()
+        thread = new Thread(() => watchLoop(), s"k8s-informer-$resource-$namespace")
+        thread.setDaemon(true)
+        thread.start()
+      }
+    }
+
+    def snapshot(): List[J] = {
+      ensureStarted()
+      import scala.jdk.CollectionConverters._
+      byKey.values.asScala.toList
+    }
+
+    def close(): Unit = { closed = true }
+  }
+
   /** one kubernetes_sd_configs entry as a manager provider; a whole-refresh
     * failure keeps previous targets (manager semantics) */
   final class KubernetesProvider(override val name: String, cfg: Config,
@@ -502,6 +625,31 @@ object KubernetesSd {
     def this(name: String, cfg: Config) =
       this(name, cfg, new HttpApiClient(cfg.apiServer, cfg.bearerTokenFile))
     override def refreshMs: Long = cfg.refreshMs
+
+    // informer per (resource, namespace, selector query) — shared across
+    // refreshes for the provider's lifetime (client-go's shared-informer
+    // factory scope); closed with the provider on config reload
+    private val informers =
+      TrieMap[(String, String, String), Informer]()
+    private[streaming] def informerFor(resource: String, ns: String, query: String): Informer =
+      client match {
+        case wc: WatchApiClient =>
+          informers.getOrElseUpdate((resource, ns, query), new Informer(wc, resource, ns, query))
+        case _ => throw new IllegalStateException("client is not watch-capable")
+      }
+    override def close(): Unit = informers.values.foreach(_.close())
+
+    /** objects of `resource` across `namespaces` — live informer caches when
+      * the client can watch (the reference's only mode), LIST-per-refresh
+      * otherwise (injected list-only fakes, and the degenerate-but-valid
+      * polling transport) */
+    private def objs(resource: String, namespaces: Seq[String], query: String = ""): List[J] =
+      client match {
+        case _: WatchApiClient =>
+          val nss = if (namespaces.isEmpty) Seq("") else namespaces
+          nss.flatMap(ns => informerFor(resource, ns, query).snapshot()).toList
+        case _ => items(client, resource, namespaces, query)
+      }
 
     /** ref: kubernetes.go Discovery.namespaces() — own_namespace appends the
       * mounted service-account namespace; no names + no own_namespace = all
@@ -527,19 +675,19 @@ object KubernetesSd {
       // node/namespace object counts are cluster-scale, driver-held only
       val nodes: Map[String, J] =
         if (cfg.attachMetadata.node && cfg.role != "node")
-          items(client, "node", Nil, q("node"))
+          objs("node", Nil, q("node"))
             .map(n => s(m(n, "metadata"), "name") -> n).toMap
         else Map.empty
       val nsMeta: Map[String, J] =
         if (cfg.attachMetadata.namespace && cfg.role != "node")
-          items(client, "namespace", Nil)
+          objs("namespace", Nil)
             .map(n => s(m(n, "metadata"), "name") -> n).toMap
         else Map.empty
       // attach_metadata.{deployment,cronjob}: owner-name lookup tables from
       // one ReplicaSet / Job LIST (ref pod.go podLabels owner-chain walk)
       val podRoles = Set("pod", "endpoints", "endpointslice")
       def ownerIndex(resource: String, ownerKind: String): Map[String, String] =
-        items(client, resource, nss).flatMap { o =>
+        objs(resource, nss).flatMap { o =>
           val meta = m(o, "metadata")
           controllerOf(meta).filter(r => s(r, "kind") == ownerKind)
             .map(r => s(meta, "namespace") + "/" + s(meta, "name") -> s(r, "name"))
@@ -553,16 +701,16 @@ object KubernetesSd {
           if (cfg.attachMetadata.cronjob && podRoles(cfg.role))
             Some(ownerIndex("job", "CronJob")) else None)
       val groups: Seq[TargetGroup] = cfg.role match {
-        case "node" => items(client, "node", Nil, q("node")).flatMap(buildNode)
-        case "pod" => items(client, "pod", nss, q("pod")).map(buildPod(_, nodes, podMeta))
-        case "service" => items(client, "service", nss, q("service")).map(buildService)
+        case "node" => objs("node", Nil, q("node")).flatMap(buildNode)
+        case "pod" => objs("pod", nss, q("pod")).map(buildPod(_, nodes, podMeta))
+        case "service" => objs("service", nss, q("service")).map(buildService)
         case "endpoints" =>
-          val pods = podIndex(client, nss)
-          items(client, "endpoints", nss, q("endpoints")).map(buildEndpoints(_, pods, nodes, podMeta))
+          val pods = podIndex(nss)
+          objs("endpoints", nss, q("endpoints")).map(buildEndpoints(_, pods, nodes, podMeta))
         case "endpointslice" =>
-          val pods = podIndex(client, nss)
-          items(client, "endpointslice", nss, q("endpointslice")).map(buildEndpointSlice(_, pods, nodes, podMeta))
-        case "ingress" => items(client, "ingress", nss, q("ingress")).map(buildIngress)
+          val pods = podIndex(nss)
+          objs("endpointslice", nss, q("endpointslice")).map(buildEndpointSlice(_, pods, nodes, podMeta))
+        case "ingress" => objs("ingress", nss, q("ingress")).map(buildIngress)
         case other => throw new IllegalArgumentException(s"unknown kubernetes role $other")
       }
       // attach_metadata.namespace: merge the namespace's labels/annotations
@@ -573,10 +721,22 @@ object KubernetesSd {
           val ns = g.labels.getOrElse("__meta_kubernetes_namespace", "")
           if (ns.isEmpty) g else g.copy(labels = g.labels ++ namespaceMetaLabels(nsMeta, ns))
         }
-      finalGroups.map(g => Discovery.TargetGroup(g.source, g.labels, g.targets))
+      // deletion tombstones: the manager keeps sources a refresh doesn't
+      // mention, so an object that vanished (informer DELETED event, or
+      // absent from a re-LIST) must be emitted as an EMPTY group or its
+      // targets would be scraped forever (ref: the per-role informer
+      // DeleteFunc sends &targetgroup.Group{Source: ...} with no targets)
+      val current = finalGroups.map(_.source).toSet
+      val tombstones = (lastSources -- current).toSeq.sorted
+        .map(src => Discovery.TargetGroup(src, Map.empty, Nil))
+      lastSources = current
+      finalGroups.map(g => Discovery.TargetGroup(g.source, g.labels, g.targets)) ++ tombstones
     }
-    private def podIndex(client: ApiClient, namespaces: Seq[String]): Map[String, J] =
-      items(client, "pod", namespaces, selQuery(cfg.selectors, "pod"))
+    // sources of the previous successful refresh (single-flight per provider,
+    // so plain state is safe)
+    private var lastSources: Set[String] = Set.empty
+    private def podIndex(namespaces: Seq[String]): Map[String, J] =
+      objs("pod", namespaces, selQuery(cfg.selectors, "pod"))
         .map(p => s(m(p, "metadata"), "namespace") + "/" + s(m(p, "metadata"), "name") -> p)
         .toMap
   }

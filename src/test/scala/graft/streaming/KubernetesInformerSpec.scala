@@ -1,0 +1,168 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kubernetes informer mode (LIST+WATCH, ref: kubernetes.go's client-go
+  * SharedIndexInformers): churn streamed between manager polls is visible at
+  * the next poll WITHOUT another LIST; 410-style ERROR events force a
+  * relist; provider close (config reload) tears the watch down. */
+class KubernetesInformerSpec extends AnyFunSuite {
+
+  private def podJson(name: String, ip: String, rv: String): String =
+    s"""{"metadata":{"name":"$name","namespace":"default","uid":"$name-uid",
+       |"resourceVersion":"$rv"},
+       |"spec":{"nodeName":"n1","containers":[{"name":"c0","image":"img",
+       |"ports":[{"name":"http","protocol":"TCP","containerPort":9000}]}]},
+       |"status":{"podIP":"$ip","hostIP":"10.0.0.9","phase":"Running",
+       |"conditions":[{"type":"Ready","status":"True"}]}}""".stripMargin
+      .replace("\n", "")
+
+  private def listJson(rv: String, pods: String*): String =
+    s"""{"metadata":{"resourceVersion":"$rv"},"items":[${pods.mkString(",")}]}"""
+
+  /** scripted LIST+WATCH fake: `get` serves the current list body (counted),
+    * `watch` drains a queue of event lines until `stopped()` */
+  private final class FakeWatchClient(@volatile var listBody: String)
+      extends KubernetesSd.WatchApiClient {
+    val listCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var lastWatchPath = ""
+    @volatile var watchClosed = false
+    private val q = new java.util.concurrent.LinkedBlockingQueue[String]()
+    override def get(path: String): String = { listCalls.incrementAndGet(); listBody }
+    override def watch(path: String, onLine: String => Unit, stopped: () => Boolean): Unit = {
+      lastWatchPath = path
+      try while (!stopped()) {
+        val line = q.poll(10, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (line != null) onLine(line)
+      } finally watchClosed = true
+    }
+    def push(ev: String): Unit = q.put(ev)
+  }
+
+  private def eventually(timeoutMs: Long = 5000)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(10)
+    assert(cond)
+  }
+
+  private def targets(mgr: Discovery.Manager, job: String): Set[String] =
+    mgr.targetsFor(job, job).map(_.instance).toSet
+
+  test("watch events update targets across polls with exactly one LIST") {
+    val fake = new FakeWatchClient(listJson("10", podJson("p1", "1.1.1.1", "9")))
+    val prov = new KubernetesSd.KubernetesProvider("k8s/0",
+      KubernetesSd.Config("pod", "https://api:6443", Seq("default"), refreshMs = 0L), fake)
+    var now = 0L
+    val mgr = new Discovery.Manager(() => now)
+    mgr.register("job", prov)
+    mgr.poll()
+    assert(targets(mgr, "job") == Set("1.1.1.1:9000"))
+    assert(fake.listCalls.get() == 1)
+    // the watch resumes from the LIST's resourceVersion
+    eventually()(fake.lastWatchPath.contains("watch=1"))
+    assert(fake.lastWatchPath.contains("resourceVersion=10"))
+
+    // churn between polls: add p2, re-IP p1, then delete p1 — streamed only
+    fake.push(s"""{"type":"ADDED","object":${podJson("p2", "2.2.2.2", "11")}}""")
+    val inf = prov.informerFor("pod", "default", "")
+    eventually()(inf.events >= 1)
+    now += 1; mgr.poll()
+    assert(targets(mgr, "job") == Set("1.1.1.1:9000", "2.2.2.2:9000"))
+
+    fake.push(s"""{"type":"MODIFIED","object":${podJson("p1", "3.3.3.3", "12")}}""")
+    fake.push(s"""{"type":"DELETED","object":${podJson("p2", "2.2.2.2", "13")}}""")
+    eventually()(inf.events >= 3)
+    now += 1; mgr.poll()
+    assert(targets(mgr, "job") == Set("3.3.3.3:9000"))
+    // the whole churn sequence cost zero additional LISTs
+    assert(fake.listCalls.get() == 1)
+  }
+
+  test("ERROR event (410 Gone) invalidates the cache and relists") {
+    val fake = new FakeWatchClient(listJson("20", podJson("p1", "1.1.1.1", "19")))
+    val prov = new KubernetesSd.KubernetesProvider("k8s/0",
+      KubernetesSd.Config("pod", "https://api:6443", Seq("default"), refreshMs = 0L), fake)
+    var now = 0L
+    val mgr = new Discovery.Manager(() => now)
+    mgr.register("job", prov)
+    mgr.poll()
+    assert(targets(mgr, "job") == Set("1.1.1.1:9000"))
+
+    // the server compacted our version away: swap the list content, then
+    // signal 410 — the informer must relist and converge on the new world
+    fake.listBody = listJson("30", podJson("p9", "9.9.9.9", "29"))
+    fake.push("""{"type":"ERROR","object":{"kind":"Status","code":410,"reason":"Expired"}}""")
+    eventually()(fake.listCalls.get() >= 2)
+    eventually() { now += 1; mgr.poll(); targets(mgr, "job") == Set("9.9.9.9:9000") }
+  }
+
+  test("manager clear closes the provider's watch (reload does not leak)") {
+    val fake = new FakeWatchClient(listJson("5", podJson("p1", "1.1.1.1", "4")))
+    val prov = new KubernetesSd.KubernetesProvider("k8s/0",
+      KubernetesSd.Config("pod", "https://api:6443", Seq("default"), refreshMs = 0L), fake)
+    val mgr = new Discovery.Manager(() => 0L)
+    mgr.register("job", prov)
+    mgr.poll()
+    eventually()(fake.lastWatchPath.nonEmpty)
+    mgr.clear()
+    eventually()(fake.watchClosed)
+  }
+
+  test("list-only clients keep the LIST-per-refresh path (one LIST per poll)") {
+    var lists = 0
+    val listOnly = new KubernetesSd.ApiClient {
+      override def get(path: String): String =
+        { lists += 1; listJson("1", podJson("p1", "1.1.1.1", "1")) }
+    }
+    val prov = new KubernetesSd.KubernetesProvider("k8s/0",
+      KubernetesSd.Config("pod", "https://api:6443", Seq("default"), refreshMs = 0L), listOnly)
+    var now = 0L
+    val mgr = new Discovery.Manager(() => now)
+    mgr.register("job", prov)
+    mgr.poll(); now += 1; mgr.poll()
+    assert(targets(mgr, "job") == Set("1.1.1.1:9000"))
+    assert(lists == 2)
+  }
+
+  test("HttpApiClient streams a real chunked watch (live HTTP server)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val watchStarted = new java.util.concurrent.CountDownLatch(1)
+    server.createContext("/api/v1/namespaces/default/pods", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val isWatch = Option(ex.getRequestURI.getQuery).exists(_.contains("watch=1"))
+        if (!isWatch) {
+          val body = listJson("100", podJson("p1", "1.1.1.1", "99"))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body); ex.getResponseBody.close()
+        } else {
+          ex.sendResponseHeaders(200, 0) // chunked
+          val os = ex.getResponseBody
+          os.write((s"""{"type":"ADDED","object":${podJson("p2", "2.2.2.2", "101")}}""" + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          os.flush()
+          watchStarted.countDown()
+          // hold the stream open like a real API server dribbling events
+          try Thread.sleep(30000) catch { case _: InterruptedException => () }
+          os.close()
+        }
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val prov = new KubernetesSd.KubernetesProvider("k8s/0",
+        KubernetesSd.Config("pod", base, Seq("default"), refreshMs = 0L))
+      var now = 0L
+      val mgr = new Discovery.Manager(() => now)
+      mgr.register("job", prov)
+      mgr.poll()
+      assert(targets(mgr, "job") == Set("1.1.1.1:9000"))
+      assert(watchStarted.await(5, java.util.concurrent.TimeUnit.SECONDS))
+      eventually() { now += 1; mgr.poll()
+        targets(mgr, "job") == Set("1.1.1.1:9000", "2.2.2.2:9000") }
+      prov.close()
+    } finally server.stop(0)
+  }
+}
