@@ -134,6 +134,50 @@ object CorpusStats {
           .as("mean_bigram_freq"))
   }
 
+  /** CCNet-style LM quality score (Wenzek et al. 2020 filter by KenLM
+    * perplexity; the add-one-smoothed bigram model keeps the distributed
+    * shape identical while staying oracle-checkable): per-doc negative
+    * log-likelihood per token under P(cur|prev) = (c2+1)/(c1+V), where c2 =
+    * corpus count of the bigram, c1 = corpus count of `prev` in bigram-first
+    * position, V = corpus vocabulary size. Low nll = fluent/common text,
+    * high nll = gibberish or out-of-distribution — CCNet buckets
+    * head/middle/tail on this score (with thresholds computed ONCE from a
+    * sample and applied as constants; at gate scale callers pass constants
+    * directly). nll rounds to 3 decimals: cross-engine double-sum order and
+    * libm-ulp ln() differences are ~1e-11, far below the rounding grain.
+    * Docs with fewer than two tokens have no bigrams and drop.
+    *
+    * 100 TB shape: the (doc, prev, cur) explode is the only corpus-sized
+    * exchange; c2 reuses that bigram-keyed shuffle for its join (NO
+    * vocabulary broadcast — bigram space is unbounded), c1 derives from c2
+    * (one more small agg, not another corpus scan), and V is a single-row
+    * cross join. Model "training" and scoring are the same two-pass shape
+    * as tf-idf. */
+  def lmPerplexity(docs: DataFrame, headMax: Double = 0.0,
+      middleMax: Double = 0.0): DataFrame = {
+    val w = docs.select(col("doc_id"), words(col("text")).as("w"))
+    val bg = w.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1))).as("p"))
+      .select(col("doc_id"), col("p.0").as("prev"), col("p.1").as("cur"))
+    val c2 = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    val v = w.select(explode(col("w")).as("t")).agg(countDistinct(col("t")).as("v"))
+    val scored = bg.join(c2, Seq("prev", "cur")).join(c1, Seq("prev"))
+      .crossJoin(broadcast(v)) // one row
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")))
+          .as("lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("lp") / col("n_bigrams").cast("double"), 3).as("nll"))
+    if (headMax <= 0.0) scored
+    else scored.withColumn("bucket",
+      when(col("nll") <= headMax, "head")
+        .when(col("nll") <= middleMax, "middle").otherwise("tail"))
+  }
+
   /** Deterministic stratified sampling: keep a doc iff
     * `(doc_id * 2654435761) mod 2^32 < rate(lang) * 2^32` — Knuth
     * multiplicative hashing on the id, so the decision is a pure row-local

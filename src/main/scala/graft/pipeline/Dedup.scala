@@ -343,6 +343,55 @@ object Dedup {
     * gram-keyed exchange (no vocabulary broadcast — gram space is
     * unbounded); span merging is one doc-keyed window (islands-and-gaps:
     * group = pos − row_number). Nothing collects and nothing is quadratic. */
+  /** Content-defined chunking dedup (the LBFS rolling-hash idea, word
+    * granularity): a chunk boundary falls after word i when the hash of the
+    * last `win` words ≡ 0 (mod `divisor`) — so boundaries depend only on
+    * LOCAL content, and an edit perturbs only the chunks overlapping it
+    * while every following chunk re-aligns and still dedups (the
+    * shift-invariance fixed-size chunking lacks; spec'd by prepending a
+    * prefix). `maxLen` forces a boundary through pathological content that
+    * never hashes to zero (low-entropy repetition) — the bound that keeps a
+    * chunk row's size O(maxLen) at any corpus. Dedup keeps the global first
+    * occurrence by (doc_id, idx), and the doc reassembles from surviving
+    * chunks — same contract as [[CorpusStats.passageDedup]], but robust to
+    * insertions/deletions.
+    *
+    * 100 TB shape: chunking is row-local (ONE pass per doc, hash recomputed
+    * per window over ≤win short words); the first-occurrence window is one
+    * chunk-keyed exchange; the reassembly one doc-keyed agg. Identical plan
+    * to passage dedup — CDC changes only what a "passage" is. */
+  def cdcChunks(docs: DataFrame, win: Int = 3, divisor: Int = 8,
+      maxLen: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wn = win; val dv = divisor; val ml = maxLen
+    val chunkUdf = udf { (w: Seq[String]) =>
+      val n = w.length
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var start = 0
+      var i = 0
+      while (i < n) {
+        val boundary = (i - start + 1 >= ml) || (i == n - 1) ||
+          (i >= wn - 1 &&
+            QualityModel.polyHash(w.slice(i - wn + 1, i + 1).mkString(" ")) % dv == 0)
+        if (boundary) { out += w.slice(start, i + 1).mkString(" "); start = i + 1 }
+        i += 1
+      }
+      out.toArray
+    }
+    val ch = docs.select(col("doc_id"),
+      posexplode(chunkUdf(words(col("text")))).as(Seq("idx", "chunk")))
+    val firstW = Window.partitionBy(col("chunk")).orderBy(col("doc_id").asc, col("idx").asc)
+    ch.withColumn("__rk", row_number().over(firstW))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__rk") > 1, 1L).otherwise(0L)).as("n_dup"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__rk") === 1, struct(col("idx"), col("chunk"))))),
+          x => x("chunk"))).as("clean_text"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"), col("clean_text"))
+  }
+
   def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = docs.select(col("doc_id"),

@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-based data curation: a trained quality classifier (the
+  * DCLM/FineWeb-Edu fastText pattern) and DSIR importance weights (Xie et
+  * al. 2023, "Data Selection for Language Models via Importance
+  * Resampling"). Both operate on hashed n-gram features so the model state
+  * is a FIXED-size vector regardless of corpus size — the property that
+  * makes distributed training one scan per iteration with driver state
+  * bounded at the bucket count. */
+object QualityModel {
+
+  import Dedup.words
+  import CorpusStats.gramUdf
+
+  /** deterministic string hash shared with the DuckDB oracle: fold
+    * (a·31 + code) mod 1e9+7 over the code units, seeded at 7 (pure integer
+    * arithmetic — every intermediate < 2^35, replicable in any engine;
+    * xxhash64 would be faster but has no cross-engine reference) */
+  private[pipeline] def polyHash(s: String): Long = {
+    var h = 7L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % 1000000007L; i += 1 }
+    h
+  }
+  private[pipeline] val polyHashUdf = udf { (s: String) => polyHash(s) }
+
+  private def sigmoid(m: Double): Double = {
+    val c = math.max(-30.0, math.min(30.0, m))
+    1.0 / (1.0 + math.exp(-c))
+  }
+
+  /** Logistic-regression quality classifier over hashed
+    * {unigram,bigram}-tf features, trained with full-batch gradient descent
+    * and used to score every document (label = any boolean Column — weak
+    * labels in practice: a seed set of known-good docs vs raw crawl).
+    *
+    * Determinism, engineered not assumed: per-doc feature lists are
+    * sort_array'd (fixed in-doc summation order), per-doc gradient
+    * contributions round to 9 decimals and aggregate as DECIMAL (exact,
+    * partition-order-free), so weights — and therefore scores — are
+    * bit-identical across runs and cluster layouts.
+    *
+    * 100 TB shape: the feature build is one (doc, bucket) hash agg packed to
+    * one row per doc; each GD iteration is ONE scan of that packed table
+    * with the weight vector closed over (2^b+1 doubles, driver-held —
+    * the classic broadcast-gradient LR shape), producing a bucket-keyed
+    * map-side-combined gradient of ≤2^b+1 rows. Scoring is one more scan.
+    * Nothing grows with the corpus except the scans. */
+  def qualityClassifier(docs: DataFrame, label: Column, buckets: Int = 1 << 15,
+      iters: Int = 5, lr: Double = 4.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = buckets.toLong
+    val grams = docs.select(col("doc_id"), label.cast("double").as("y"),
+        words(col("text")).as("w"))
+      .select(col("doc_id"), col("y"),
+        explode(concat(col("w"), gramUdf(2)(col("w")))).as("t"))
+    val cnt = grams.groupBy(col("doc_id"), col("y"),
+        pmod(xxhash64(col("t")), lit(b)).cast("int").as("bk"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    // one packed row per doc: bias bucket `buckets` rides as x=1, features
+    // L1-normalized; sort_array fixes the in-doc margin summation order
+    val packed = cnt.join(tot, "doc_id")
+      .select(col("doc_id"), col("y"),
+        struct(col("bk"), (col("c").cast("double") / col("n").cast("double")).as("x")).as("f"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sort_array(collect_list(col("f"))).as("fs"))
+      .persist()
+    val nDocs = packed.count().toDouble
+
+    var wts = new Array[Double](buckets + 1)
+    (0 until iters).foreach { _ =>
+      val w = wts
+      val gradUdf = udf { (y: Double, fs: Seq[Row]) =>
+        var m = w(buckets) // bias
+        fs.foreach(r => m += w(r.getInt(0)) * r.getDouble(1))
+        val d = sigmoid(m) - y
+        (fs.map(r => (r.getInt(0), BigDecimal(d * r.getDouble(1))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP))) :+
+          ((buckets, BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP))))
+          .toArray
+      }
+      val grad = packed
+        .select(explode(gradUdf(col("y"), col("fs"))).as("g"))
+        .select(col("g._1").as("bk"), col("g._2").cast(DecimalType(28, 9)).as("gc"))
+        .groupBy(col("bk")).agg(sum(col("gc")).as("gs"))
+        .collect()
+      val next = wts.clone()
+      grad.foreach { r =>
+        next(r.getInt(0)) -= lr * r.getDecimal(1).doubleValue() / nDocs
+      }
+      wts = next
+    }
+
+    val w = wts
+    val scoreUdf = udf { (fs: Seq[Row]) =>
+      var m = w(buckets)
+      fs.foreach(r => m += w(r.getInt(0)) * r.getDouble(1))
+      sigmoid(m)
+    }
+    val out = packed.select(col("doc_id"), col("y").cast("long").as("label"),
+        round(scoreUdf(col("fs")), 6).as("score"))
+      .withColumn("pred", (col("score") >= 0.5).cast("long"))
+    packed.unpersist(blocking = false) // lazy: plan recomputes if evicted
+    out
+  }
+
+  /** DSIR importance weights: log p_target(doc) − p_raw(doc) per token
+    * under hashed-unigram multinomials with add-α smoothing (Xie et al.
+    * 2023 resample raw data toward a target domain by these weights;
+    * selection = top weights, or Gumbel-noised top-k — deterministic rank
+    * by (weight, doc_id) here). `targetPred` marks the target-domain seed
+    * docs; both distributions estimate from the same corpus scan.
+    *
+    * lw rounds to 3 decimals — the Σ count·(ln target − ln raw) per-doc sum
+    * has cross-engine order/libm noise ~1e-11, far below the grain; the
+    * hash is [[polyHash]] so the DuckDB oracle reproduces buckets exactly.
+    *
+    * 100 TB shape: ONE (doc, bucket) hash agg; bucket tables are ≤B rows
+    * (the fixed hash space — genuinely bounded, so the scoring join
+    * broadcasts them by construction); per-doc weight is one doc-keyed agg.
+    * Nothing scales beyond the token scan. */
+  def dsirWeights(docs: DataFrame, targetPred: Column, alpha: Double = 0.5,
+      buckets: Int = 1 << 14): DataFrame = {
+    val b = buckets.toLong
+    val toks = docs.select(col("doc_id"), targetPred.cast("long").as("tgt"),
+        explode(words(col("text"))).as("t"))
+      .select(col("doc_id"), col("tgt"),
+        (polyHashUdf(col("t")) % b).cast("int").as("bk"))
+    val perDoc = toks.groupBy(col("doc_id"), col("tgt"), col("bk"))
+      .agg(count(lit(1)).as("c"))
+    // bucket count tables for the two distributions: ≤B rows each
+    val dist = perDoc.groupBy(col("bk"))
+      .agg(sum(when(col("tgt") === 1, col("c")).otherwise(0L)).as("ct"),
+        sum(when(col("tgt") === 0, col("c")).otherwise(0L)).as("cr"))
+    val totals = dist.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val ratio = dist.crossJoin(broadcast(totals)) // one row
+      .select(col("bk"),
+        (log((col("ct").cast("double") + alpha) / (col("nt").cast("double") + alpha * b)) -
+         log((col("cr").cast("double") + alpha) / (col("nr").cast("double") + alpha * b)))
+          .as("lr"))
+    perDoc.join(ratio, "bk") // ratio ≤B rows: AQE broadcasts by construction
+      .groupBy(col("doc_id"), col("tgt"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("c").cast("double") * col("lr")).as("lw"))
+      .select(col("doc_id"), col("tgt").as("is_target"), col("n_tokens"),
+        round(col("lw") / col("n_tokens").cast("double"), 3).as("lw_per_token"))
+  }
+}

@@ -160,4 +160,35 @@ object TextAnalysis {
         .cast("long").as("n_ipv4"),
       regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
         ipv4Re, "<IP>").as("redacted"))
+
+  /** typographic chars canonicalized by [[normalizeText]]: nbsp→space,
+    * curly quotes→straight, en/em dash→hyphen; soft hyphen and zero-width
+    * space (no counterpart) are deleted — translate drops unmatched chars
+    * identically in Spark and the DuckDB oracle */
+  private[pipeline] val normFrom =
+    "\u00A0\u2018\u2019\u201C\u201D\u2013\u2014\u00AD\u200B"
+  private[pipeline] val normTo = " ''\"\"--"
+
+  /** Unicode/text normalization — the cleanup pass run before any dedup or
+    * filtering so byte-level variants of the same text collapse (mojibake
+    * repair aside, this is the Dolma/CCNet normalizer): NFC composition,
+    * typographic-char canonicalization ([[normFrom]]), ellipsis expansion,
+    * whitespace unification + collapse, control/format-char strip, trim.
+    * Purely row-local — a narrow projection, zero shuffle at any scale; the
+    * only non-Catalyst step is the NFC UDF (no built-in exists), everything
+    * else stays in codegen. */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val nfc = udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+    docs.select(col("doc_id"), col("text"),
+        translate(regexp_replace(nfc(col("text")), "\u2026", "..."),
+          normFrom, normTo).as("__t"))
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(col("__t"), "\\s+", " "),
+          "[\\p{Cc}\\p{Cf}]", "")).as("clean_text"), col("text"))
+      .select(col("doc_id"), col("clean_text"),
+        (col("clean_text") =!= col("text")).cast("long").as("changed"))
+  }
 }

@@ -160,6 +160,25 @@ object PipelineSuite {
       CorpusStats.mixtureSample(docs(s, dir),
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), total = 100L)
         .orderBy(col("source"), col("rk")) },
+
+    "lp35_lm_perplexity" -> { (s, dir) =>
+      CorpusStats.lmPerplexity(docs(s, dir)).orderBy(col("doc_id")) },
+
+    "lp36_normalize" -> { (s, dir) =>
+      TextAnalysis.normalizeText(docs(s, dir)).orderBy(col("doc_id")) },
+
+    "lp37_cdc_chunks" -> { (s, dir) =>
+      Dedup.cdcChunks(docs(s, dir), win = 3, divisor = 8, maxLen = 256)
+        .orderBy(col("doc_id")) },
+
+    "lp38_quality_classifier" -> { (s, dir) =>
+      QualityModel.qualityClassifier(docs(s, dir),
+          label = col("text").contains("spark"), buckets = 1 << 15, iters = 5)
+        .orderBy(col("doc_id")) },
+
+    "lp39_dsir_weights" -> { (s, dir) =>
+      QualityModel.dsirWeights(docs(s, dir), targetPred = col("lang") === "en")
+        .orderBy(col("doc_id")) },
   )
 
   /** lp03's pair CTEs, shared by the clustering oracles */
@@ -585,5 +604,106 @@ object PipelineSuite {
          SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
          FROM r JOIN q USING (source) WHERE r.rk <= q.quota
          ORDER BY r.source, r.rk""",
+
+    // add-one bigram LM: P(cur|prev) = (c2+1)/(c1+V); nll per token round 3
+    "lp35_lm_perplexity" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest(w[1:len(w)-1]) AS prev, unnest(w[2:len(w)]) AS cur
+           FROM d WHERE len(w) >= 2),
+         c2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY 1),
+         v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) t FROM d))
+         SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-sum(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)::DOUBLE)) / count(*), 3) AS nll
+         FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v
+         GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+
+    // NFC + typographic canonicalization + whitespace/control cleanup; the
+    // translate from-set is built with chr() so the mapping is
+    // encoding-unambiguous: nbsp, curly quotes, dashes → ascii; soft hyphen
+    // + zero-width space deleted (no counterpart)
+    "lp36_normalize" ->
+      """WITH n AS (
+           SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(
+               translate(replace(nfc_normalize(text), chr(8230), '...'),
+                 chr(160)||chr(8216)||chr(8217)||chr(8220)||chr(8221)||
+                 chr(8211)||chr(8212)||chr(173)||chr(8203),
+                 ' ''''""--'),
+               '\s+', ' ', 'g'), '[\p{Cc}\p{Cf}]', '', 'g')) AS clean_text
+           FROM documents)
+         SELECT doc_id, clean_text,
+           CAST(CASE WHEN clean_text <> text THEN 1 ELSE 0 END AS BIGINT) AS changed
+         FROM n ORDER BY doc_id""",
+
+    // CDC: boundary after word p when hash(last-3-word window) % 8 = 0 or
+    // p = len; global first occurrence by (doc_id, idx) survives. The
+    // maxLen backstop never engages at gate scale (P < 1e-8), so the
+    // stateless SQL replica is exact.
+    "lp37_cdc_chunks" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+           FROM documents),
+         p AS (
+           SELECT doc_id, w, len(w) AS n, unnest(w) AS wd,
+             unnest(generate_series(1, len(w))) AS p
+           FROM d),
+         b AS (
+           SELECT doc_id, p, wd,
+             CASE WHEN p = n THEN 1
+                  WHEN p >= 3 AND list_reduce(list_prepend(7::BIGINT,
+                      list_transform(string_split_regex(array_to_string(w[p-2:p], ' '), ''),
+                        c -> unicode(c))),
+                      (a, x) -> (a * 31 + x) % 1000000007) % 8 = 0 THEN 1
+                  ELSE 0 END AS bd
+           FROM p),
+         c AS (
+           SELECT doc_id, p, wd,
+             COALESCE(sum(bd) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS idx
+           FROM b),
+         ch AS (
+           SELECT doc_id, idx, string_agg(wd, ' ' ORDER BY p) AS chunk
+           FROM c GROUP BY doc_id, idx),
+         r AS (
+           SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rk
+           FROM ch)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           COALESCE(string_agg(CASE WHEN rk = 1 THEN chunk END, ' ' ORDER BY idx), '') AS clean_text
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
+
+    // DSIR: per-token log ratio of target vs raw hashed-unigram
+    // multinomials, add-0.5 smoothing over 2^14 buckets
+    "lp39_dsir_weights" ->
+      """WITH d AS (
+           SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+           FROM documents),
+         tk AS (
+           SELECT doc_id, tgt,
+             list_reduce(list_prepend(7::BIGINT,
+               list_transform(string_split_regex(t, ''), c -> unicode(c))),
+               (a, x) -> (a * 31 + x) % 1000000007) % 16384 AS bk
+           FROM (SELECT doc_id, tgt, unnest(w) AS t FROM d)),
+         pd AS (SELECT doc_id, tgt, bk, count(*) AS c FROM tk GROUP BY 1, 2, 3),
+         dist AS (
+           SELECT bk, sum(CASE WHEN tgt = 1 THEN c ELSE 0 END) AS ct,
+             sum(CASE WHEN tgt = 0 THEN c ELSE 0 END) AS cr
+           FROM pd GROUP BY 1),
+         tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM dist),
+         ratio AS (
+           SELECT bk, ln((ct + 0.5)::DOUBLE / (nt + 0.5 * 16384)::DOUBLE)
+                    - ln((cr + 0.5)::DOUBLE / (nr + 0.5 * 16384)::DOUBLE) AS lr
+           FROM dist CROSS JOIN tot)
+         SELECT pd.doc_id, CAST(pd.tgt AS BIGINT) AS is_target,
+           CAST(sum(pd.c) AS BIGINT) AS n_tokens,
+           round(sum(pd.c * ratio.lr) / sum(pd.c), 3) AS lw_per_token
+         FROM pd JOIN ratio USING (bk)
+         GROUP BY pd.doc_id, pd.tgt ORDER BY pd.doc_id""",
   )
 }

@@ -783,4 +783,90 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       m = 4, ksub = 16, iters = 3))
     assert(got == again)
   }
+
+  test("lm perplexity: hand-computed add-one bigram nll, short docs drop, buckets") {
+    val d = docsOf(1L -> "a b a b", 2L -> "a b", 3L -> "x y", 4L -> "solo")
+    // V=5 (a b x y solo); c2(a,b)=3 c2(b,a)=1 c2(x,y)=1; c1(a)=3 c1(b)=1 c1(x)=1
+    val out = CorpusStats.lmPerplexity(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def nll(ps: Double*): Double =
+      BigDecimal(-ps.map(math.log).sum / ps.size)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, nll(4.0 / 8, 2.0 / 6, 4.0 / 8))))
+    assert(out(2L) == ((1L, nll(4.0 / 8))))
+    assert(out(3L) == ((1L, nll(2.0 / 6))))
+    assert(!out.contains(4L)) // no bigrams
+    val buckets = CorpusStats.lmPerplexity(d, headMax = 0.70, middleMax = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(buckets == Map(1L -> "middle", 2L -> "head", 3L -> "tail"))
+  }
+
+  test("normalize: NFC compose, typographic map, control strip, ws collapse") {
+    val d = docsOf(
+      1L -> "Café  —  “hi”… x­y",
+      2L -> "ab\tc",
+      3L -> "plain text")
+    val out = TextAnalysis.normalizeText(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("Café - \"hi\"... xy", 1L)))
+    assert(out(2L) == (("ab c", 1L)))
+    assert(out(3L) == (("plain text", 0L)))
+  }
+
+  test("cdc chunks: shift invariance — a prefix edit perturbs only the first chunk") {
+    val content = (0 until 200).map(i => s"w$i").mkString(" ")
+    val d = docsOf(1L -> content, 2L -> s"p0 p1 p2 $content")
+    val out = Dedup.cdcChunks(d, win = 3, divisor = 8, maxLen = 256).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val (n1, dup1, _) = out(1L)
+    val (n2, dup2, clean2) = out(2L)
+    assert(dup1 == 0L)
+    assert(n1 > 5L) // divisor 8 over 200 distinct words must cut somewhere
+    // boundaries in the copied region depend only on 3-word windows of
+    // copied content, so every chunk after doc2's first realigns with doc1
+    assert(dup2 == n2 - 1)
+    assert(clean2.startsWith("p0 p1 p2 w0"))
+    assert(!clean2.contains(" w199")) // the tail deduped away
+  }
+
+  test("cdc chunks: maxLen backstop bounds pathological never-hashing content") {
+    // pick a word whose 3-gram window never hashes to a boundary
+    val w = ('a' to 'z').map(_.toString)
+      .find(c => QualityModel.polyHash(s"$c $c $c") % 8 != 0).get
+    val d = docsOf(1L -> Seq.fill(300)(w).mkString(" "))
+    val out = Dedup.cdcChunks(d, win = 3, divisor = 8, maxLen = 256).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 2L) // 256-word chunk + 44-word remainder
+    assert(out(0).getLong(2) == 0L)
+  }
+
+  test("quality classifier: learns a marker feature; bit-deterministic reruns") {
+    val rows = (0L until 40L).map { i =>
+      val filler = (0 until 12).map(j => s"tok${(i * 7 + j * 3) % 50}").mkString(" ")
+      i -> (if (i % 2 == 0) s"quality marker here $filler" else filler)
+    }
+    val d = docsOf(rows: _*)
+    def run() = QualityModel.qualityClassifier(d,
+        label = col("text").contains("quality"), buckets = 1 << 12, iters = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val out = run()
+    val acc = out.count(t => t._2 == t._4).toDouble / out.size
+    assert(acc >= 0.95, s"training accuracy $acc < 0.95")
+    // decimal-summed gradients: reruns are bit-identical, not just close
+    assert(run() == out)
+  }
+
+  test("dsir weights: hand-computed log ratios over hashed unigrams") {
+    val d = docsOf(1L -> "x x y", 2L -> "x z z")
+    val out = QualityModel.dsirWeights(d, targetPred = col("doc_id") === 1L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // ct: x=2 y=1 (nt=3); cr: x=1 z=2 (nr=3); B=16384, alpha=.5 — totals
+    // cancel so lr(x)=ln(2.5/1.5), lr(y)=ln(1.5/0.5), lr(z)=ln(0.5/2.5)
+    def r3(v: Double) =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((1L, 3L, r3((2 * math.log(2.5 / 1.5) + math.log(3.0)) / 3))))
+    assert(out(2L) == ((0L, 3L, r3((math.log(2.5 / 1.5) + 2 * math.log(0.2)) / 3))))
+  }
 }
