@@ -14,7 +14,6 @@ import org.apache.spark.sql.types.DecimalType
 object QualityModel {
 
   import Dedup.words
-  import CorpusStats.gramUdf
 
   /** deterministic string hash shared with the DuckDB oracle: fold
     * (a·31 + code) mod 1e9+7 over the code units, seeded at 7 (pure integer
@@ -44,32 +43,43 @@ object QualityModel {
     * partition-order-free), so weights — and therefore scores — are
     * bit-identical across runs and cluster layouts.
     *
-    * 100 TB shape: the feature build is one (doc, bucket) hash agg packed to
-    * one row per doc; each GD iteration is ONE scan of that packed table
-    * with the weight vector closed over (2^b+1 doubles, driver-held —
-    * the classic broadcast-gradient LR shape), producing a bucket-keyed
-    * map-side-combined gradient of ≤2^b+1 rows. Scoring is one more scan.
-    * Nothing grows with the corpus except the scans. */
+    * 100 TB shape: feature extraction is ROW-LOCAL (tokenize → hash →
+    * count → L1-normalize inside one UDF — no explode/shuffle detour for a
+    * per-doc computation), packed to one row per doc; each GD iteration is
+    * ONE scan of that packed table with the weight vector closed over
+    * (2^b+1 doubles, driver-held — the classic broadcast-gradient LR
+    * shape), producing a bucket-keyed map-side-combined gradient of ≤2^b+1
+    * rows. Scoring is one more scan. Nothing grows with the corpus except
+    * the scans. */
   def qualityClassifier(docs: DataFrame, label: Column, buckets: Int = 1 << 15,
       iters: Int = 5, lr: Double = 4.0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val b = buckets.toLong
-    val grams = docs.select(col("doc_id"), label.cast("double").as("y"),
-        words(col("text")).as("w"))
-      .select(col("doc_id"), col("y"),
-        explode(concat(col("w"), gramUdf(2)(col("w")))).as("t"))
-    val cnt = grams.groupBy(col("doc_id"), col("y"),
-        pmod(xxhash64(col("t")), lit(b)).cast("int").as("bk"))
-      .agg(count(lit(1)).as("c"))
-    val tot = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
-    // one packed row per doc: bias bucket `buckets` rides as x=1, features
-    // L1-normalized; sort_array fixes the in-doc margin summation order
-    val packed = cnt.join(tot, "doc_id")
-      .select(col("doc_id"), col("y"),
-        struct(col("bk"), (col("c").cast("double") / col("n").cast("double")).as("x")).as("f"))
-      .groupBy(col("doc_id"), col("y"))
-      .agg(sort_array(collect_list(col("f"))).as("fs"))
+    val b = buckets
+    // one packed row per doc, bucket-sorted (fixed in-doc summation order);
+    // hashed {unigram, bigram} tf, L1-normalized; bias handled by index b
+    val featUdf = udf { (text: String) =>
+      val w = text.trim.toLowerCase.split("\\s+")
+      val cnt = new java.util.TreeMap[Int, Int]()
+      def add(t: String): Unit = {
+        val bk = (polyHash(t) % b).toInt
+        cnt.put(bk, cnt.getOrDefault(bk, 0) + 1)
+      }
+      var i = 0
+      while (i < w.length) { add(w(i)); i += 1 }
+      i = 0
+      while (i + 1 < w.length) { add(w(i) + " " + w(i + 1)); i += 1 }
+      val n = (w.length + math.max(w.length - 1, 0)).toDouble
+      val out = new Array[(Int, Double)](cnt.size)
+      val it = cnt.entrySet().iterator()
+      i = 0
+      while (it.hasNext) {
+        val e = it.next(); out(i) = (e.getKey, e.getValue / n); i += 1
+      }
+      out
+    }
+    val packed = docs.select(col("doc_id"), label.cast("double").as("y"),
+        featUdf(col("text")).as("fs"))
       .persist()
     val nDocs = packed.count().toDouble
 

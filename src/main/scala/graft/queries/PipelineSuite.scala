@@ -173,7 +173,7 @@ object PipelineSuite {
 
     "lp38_quality_classifier" -> { (s, dir) =>
       QualityModel.qualityClassifier(docs(s, dir),
-          label = col("text").contains("spark"), buckets = 1 << 15, iters = 5)
+          label = col("text").contains("spark"), buckets = 1 << 15, iters = 3)
         .orderBy(col("doc_id")) },
 
     "lp39_dsir_weights" -> { (s, dir) =>
