@@ -343,6 +343,25 @@ object Dedup {
     * gram-keyed exchange (no vocabulary broadcast — gram space is
     * unbounded); span merging is one doc-keyed window (islands-and-gaps:
     * group = pos − row_number). Nothing collects and nothing is quadratic. */
+  /** Streaming exact dedup — the ingestion-time variant of [[exact]] for a
+    * continuously-arriving corpus: drop any document whose normalized-text
+    * sha256 was already seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` keys the state store by the hash and
+    * EXPIRES entries once the event-time watermark passes, so streaming
+    * state is bounded by (duplicate-rate × horizon) instead of growing with
+    * the stream — the property that lets this run for months at ingest
+    * scale. Global exactly-once dedup still belongs to the batch operator
+    * downstream; this bounds the duplicate volume ever written.
+    *
+    * Takes and returns a STREAMING DataFrame (`docs.isStreaming`); the
+    * caller attaches the sink. */
+  def streamingDedup(docs: DataFrame, eventTimeCol: String = "ts",
+      horizon: String = "1 hour"): DataFrame =
+    docs.withColumn("__h", sha2(normText(col("text")), 256))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** Content-defined chunking dedup (the LBFS rolling-hash idea, word
     * granularity): a chunk boundary falls after word i when the hash of the
     * last `win` words ≡ 0 (mod `divisor`) — so boundaries depend only on

@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * reference's shard assignment; at 100 TB the edge scales with executors,
   * not with the driver. Float samples only (encodeV1 carries no histogram
   * payload) — histogram rows are filtered out. */
+/** retryable HTTP status (5xx or 429); `retryAfterMs` carries the server's
+  * Retry-After hint (capped at 10 s so a hostile header can't wedge a task) */
+private final class RetryableStatus(status: Int, val retryAfterMs: Long)
+  extends RuntimeException(s"HTTP $status")
+
 final class RemoteWriteForwarder(
     endpoint: String,
     maxBatch: Int = 5000,
@@ -57,16 +62,29 @@ final class RemoteWriteForwarder(
                   .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
                   .build(),
                 java.net.http.HttpResponse.BodyHandlers.discarding())
-              // 2xx done; 4xx unrecoverable (drop, like the reference);
-              // 5xx retries with backoff
-              if (resp.statusCode() / 100 == 2 || resp.statusCode() / 100 == 4) done = true
-              else throw new RuntimeException(s"HTTP ${resp.statusCode()}")
+              // 2xx done; 4xx-other unrecoverable (drop, like the
+              // reference); 5xx AND 429 retry with backoff — a rate-limited
+              // endpoint must not lose data (ref: storage/remote/client.go
+              // Store treats 429 as recoverable and honors Retry-After)
+              val sc = resp.statusCode()
+              if (sc / 100 == 2 || (sc / 100 == 4 && sc != 429)) done = true
+              else {
+                val retryAfterMs = resp.headers().firstValue("Retry-After")
+                  .map[Long](v => try math.min(v.trim.toLong, 10L) * 1000L
+                    catch { case _: NumberFormatException => 0L })
+                  .orElse(0L)
+                throw new RetryableStatus(sc, retryAfterMs)
+              }
             } catch {
               case e: Exception =>
                 attempt += 1
                 if (attempt > mr) throw new RuntimeException(
                   s"remote write forward failed after $mr retries: ${e.getMessage}")
-                Thread.sleep(bo * attempt)
+                val hinted = e match {
+                  case rs: RetryableStatus => rs.retryAfterMs
+                  case _ => 0L
+                }
+                Thread.sleep(math.max(bo * attempt, hinted))
             }
           }
           shipped.add(batch.size.toLong)

@@ -857,6 +857,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run() == out)
   }
 
+  test("streaming dedup: in-horizon duplicates drop, state expires past the horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val q = Dedup.streamingDedup(in.toDF().toDF("doc_id", "text", "ts"),
+        "ts", "10 seconds")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      def seen(): Set[Long] =
+        spark.sql("select doc_id from sdedup").collect().map(_.getLong(0)).toSet
+      in.addData((1L, "hello world", ts(1000)))
+      q.processAllAvailable()
+      assert(seen() == Set(1L))
+      in.addData((2L, "hello  WORLD ", ts(1001)), (3L, "other", ts(1002)))
+      q.processAllAvailable()
+      assert(seen() == Set(1L, 3L)) // 2 normalizes to 1's text → dropped
+      // advance the watermark far past the horizon, expiring 1's state …
+      in.addData((4L, "advance", ts(1100)))
+      q.processAllAvailable()
+      // … so the same text re-admits (bounded state, batch op finishes the job)
+      in.addData((5L, "hello world", ts(1101)))
+      q.processAllAvailable()
+      assert(seen() == Set(1L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("dsir weights: hand-computed log ratios over hashed unigrams") {
     val d = docsOf(1L -> "x x y", 2L -> "x z z")
     val out = QualityModel.dsirWeights(d, targetPred = col("doc_id") === 1L)

@@ -342,4 +342,42 @@ class HttpApiSpec extends AnyFunSuite {
       assert(b3.contains("\"data\":[\"a\"]"), b3)
     }
   }
+
+  test("forwarder retries 429 with Retry-After instead of dropping the batch") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val posts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val firstAt = new java.util.concurrent.atomic.AtomicLong(0L)
+    val secondAt = new java.util.concurrent.atomic.AtomicLong(0L)
+    server.createContext("/write", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val n = posts.incrementAndGet()
+        ex.getRequestBody.readAllBytes()
+        if (n == 1) {
+          firstAt.set(System.nanoTime())
+          // rate-limit the first attempt; the reference treats 429 as
+          // recoverable and honors Retry-After (client.go Store)
+          ex.getResponseHeaders.set("Retry-After", "1")
+          ex.sendResponseHeaders(429, -1)
+        } else {
+          secondAt.set(System.nanoTime())
+          ex.sendResponseHeaders(200, -1)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val src = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(Map("__name__" -> "rl"), 1000L, 1.0, false, null, 0L)), 1),
+        Engine.samplesSchema)
+      val n = new RemoteWriteForwarder(
+        s"http://127.0.0.1:${server.getAddress.getPort}/write").forward(src)
+      assert(n == 1L) // shipped after the retry, not dropped
+      assert(posts.get() == 2)
+      // the Retry-After hint (1s) outranks the base backoff (100ms)
+      assert(secondAt.get() - firstAt.get() >= 900L * 1000 * 1000)
+    } finally server.stop(0)
+  }
 }
