@@ -584,7 +584,8 @@ object KubernetesSd {
       if (orv.nonEmpty) rv = orv
     }
 
-    private def watchLoop(): Unit =
+    private def watchLoop(): Unit = {
+      var failures = 0
       while (!closed) {
         try {
           if (!valid) relist()
@@ -592,11 +593,16 @@ object KubernetesSd {
             "watch=1&allowWatchBookmarks=true&resourceVersion=" +
             java.net.URLEncoder.encode(rv, java.nio.charset.StandardCharsets.UTF_8)
           client.watch(path + wq, handle, () => closed || !valid)
-        } catch { case _: Exception => () } // resume from rv after the pause
-        // clean close / invalidation / failure all re-enter through here; the
-        // pause bounds reconnect churn against a flapping server
-        if (!closed) try Thread.sleep(50) catch { case _: InterruptedException => return }
+          failures = 0 // clean close / deliberate invalidation
+        } catch { case _: Exception => failures += 1 } // resume from rv after the pause
+        // clean close / invalidation / failure all re-enter through here;
+        // the pause bounds reconnect churn against a flapping server, and
+        // consecutive failures back off exponentially (50ms → 30s cap) so a
+        // down API server isn't hammered at reconnect speed
+        val pause = math.min(50L << math.min(failures, 10), 30000L)
+        if (!closed) try Thread.sleep(pause) catch { case _: InterruptedException => return }
       }
+    }
 
     /** first call LISTs synchronously (a provider's first refresh must see
       * full targets) and starts the watch thread */
