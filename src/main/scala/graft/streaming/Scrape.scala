@@ -47,7 +47,11 @@ final class ScrapeManager(
     // safely suppress e.g. a counter named foo_count, so the output is a
     // superset of the reference's (which drops classic unless
     // always_scrape_classic_histograms)
-    convertNhcb: Boolean = false) {
+    convertNhcb: Boolean = false,
+    // created-timestamp-zero-ingestion feature flag (ref: scrape.go
+    // enableSTZeroIngestion): OpenMetrics `_created` lines inject synthetic
+    // zeros at the family's creation time instead of being ingested as series
+    stZeroIngestion: Boolean = false) {
 
   import ScrapeManager.ScrapeTarget
 
@@ -262,9 +266,44 @@ final class ScrapeManager(
     ((if (violation.isEmpty) stamped.size.toLong else 0L) + report.size, exRows)
   }
 
+  /** ST(created)-timestamp zero injection (ref: scrape.go
+    * AppendSTZeroSample under the created-timestamp-zero-ingestion feature
+    * flag): every OpenMetrics `<base>_created` line yields a synthetic 0 at
+    * the created timestamp for each matching series of the family
+    * (counter `_total`, summary/histogram `_count`/`_sum`/`_bucket` and
+    * bare quantile samples — matched on labels minus le/quantile), so
+    * rate/increase see the counter's birth instead of extrapolating. The
+    * `_created` series themselves are consumed, not ingested (the
+    * reference's WithOMParserSTSeriesSkipped). Zeros only inject when
+    * 0 < ct < sample ts. */
+  private def stZeroRows(recs: Seq[OpenMetrics.OMRow])
+      : (Seq[OpenMetrics.OMRow], Seq[(Map[String, String], Long, Double)]) = {
+    val (created, rest) = recs.partition(
+      _.labels.getOrElse("__name__", "").endsWith("_created"))
+    if (created.isEmpty) return (rest, Nil)
+    // (family base, identity labels) → created ms; OM created values are
+    // unix SECONDS (possibly fractional)
+    val ctByKey = created.map { r =>
+      val base = r.labels("__name__").stripSuffix("_created")
+      (base, r.labels - "__name__") -> math.round(r.v * 1000.0)
+    }.toMap
+    def baseOf(name: String): String = {
+      val i = Seq("_total", "_count", "_sum", "_bucket")
+        .find(name.endsWith)
+      i.map(s => name.stripSuffix(s)).getOrElse(name)
+    }
+    val zeros = rest.flatMap { r =>
+      val key = (baseOf(r.labels.getOrElse("__name__", "")),
+        r.labels - "__name__" - "le" - "quantile")
+      ctByKey.get(key).filter(ct => ct > 0 && ct < r.t)
+        .map(ct => (r.labels, ct, 0.0))
+    }.distinct
+    (rest, zeros)
+  }
+
   private def scrapeTarget(tgt: ScrapeTarget): (Long, Seq[Row]) = {
     val t0 = nowMs()
-    val (samples, exemplars, ok) =
+    val (samples, exemplars, stZeros, ok) =
       try {
         val textProtocols =
           (if (scrapeProtocols.nonEmpty) scrapeProtocols
@@ -277,7 +316,7 @@ final class ScrapeManager(
         lazy val bodyBytes = inflate(resp)
         if (resp.statusCode() != 200 ||
             (limits.bodySizeLimit > 0 && bodyBytes.length > limits.bodySizeLimit))
-          (Nil, Nil, false) // ref: errBodySizeLimit — the scrape fails whole
+          (Nil, Nil, Nil, false) // ref: errBodySizeLimit — the scrape fails whole
         else {
           val lines = new String(bodyBytes, "UTF-8").split("\n").toSeq
           val defaultTs = t0
@@ -290,16 +329,19 @@ final class ScrapeManager(
             (!ct.startsWith("text/plain") && !ct.startsWith("application/") &&
               fallbackProtocol.startsWith("OpenMetricsText"))
           if (openMetrics) {
-            val recs = lines.flatMap(OpenMetrics.parseLine(_, defaultTs))
+            val recs0 = lines.flatMap(OpenMetrics.parseLine(_, defaultTs))
               .filter(_.kind == 0)
+            val (recs, zeros) =
+              if (stZeroIngestion) stZeroRows(recs0) else (recs0, Nil)
             (recs.map(r => (r.labels, r.t, r.v)),
               // scrape-time exemplar ingestion (ref: scrape/scrape.go append
               // → appender.AppendExemplar keyed on the sample's series)
               recs.flatMap(r => r.ex.map(e => (r.labels, e))),
+              zeros,
               true)
-          } else (lines.flatMap(Exposition.parseLine(_, defaultTs)), Nil, true)
+          } else (lines.flatMap(Exposition.parseLine(_, defaultTs)), Nil, Nil, true)
         }
-      } catch { case _: Exception => (Nil, Nil, false) }
+      } catch { case _: Exception => (Nil, Nil, Nil, false) }
     val dur = (nowMs() - t0) / 1000.0
     // target labels (ref: scrape.go:700 target label decoration)
     def decorate(labels: Map[String, String]): Map[String, String] =
@@ -312,7 +354,9 @@ final class ScrapeManager(
         Engine.samplesSchema)
     val stamped = samples.map { case (l, t, v) =>
       (decorate(l), if (honorTimestamps) t else t0, v)
-    }
+    } ++ stZeros.map { case (l, ct, v) => (decorate(l), ct, v) }
+    // (ST zeros keep the created timestamp — it IS a timestamp by
+    // definition, honor_timestamps notwithstanding)
     // metric_relabel_configs apply to scraped samples only; the report
     // series bypass them (ref: scrape.go append vs report)
     val scraped0 =

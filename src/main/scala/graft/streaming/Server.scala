@@ -27,7 +27,10 @@ final class PromServer(
     consoleTemplates: Option[String] = None,
     consoleLibraries: Option[String] = None,
     externalUrl: String = "",
-    webConfigFile: Option[String] = None) {
+    webConfigFile: Option[String] = None,
+    // --enable-feature=created-timestamp-zero-ingestion (ref: main.go
+    // feature flag -> scrape Options.EnableCreatedTimestampZeroIngestion)
+    stZeroIngestion: Boolean = false) {
 
   /** SD manager shared by every scrape pool (ref: discovery/manager.go) */
   val discovery = new Discovery.Manager(nowMs)
@@ -156,6 +159,7 @@ final class PromServer(
           alwaysClassicHist = job.alwaysClassicHist,
           enableCompression = job.enableCompression,
           convertNhcb = job.convertNhcb,
+          stZeroIngestion = stZeroIngestion,
           client =
             if (job.proxyUrl.nonEmpty || job.tlsCaFile.nonEmpty ||
                 job.tlsInsecureSkipVerify)

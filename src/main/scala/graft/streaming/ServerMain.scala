@@ -46,8 +46,10 @@ object ServerMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel(flag("log.level", "WARN").toUpperCase)
 
+    val features = flag("enable-feature").split(",").map(_.trim).toSet
     val server = new PromServer(spark, configFile, port,
       agentMode = agent, limits = limits,
+      stZeroIngestion = features.contains("created-timestamp-zero-ingestion"),
       dataDir = Some(flag("storage.path", "data")),
       consoleTemplates = flags.get("web.console.templates"),
       consoleLibraries = flags.get("web.console.libraries"),

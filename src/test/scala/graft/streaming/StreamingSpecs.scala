@@ -181,6 +181,62 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop(0)
   }
 
+  test("created-timestamp zero ingestion injects family zeros, consumes _created") {
+    val body =
+      """# TYPE req counter
+        |req_total{path="/a"} 7
+        |req_created{path="/a"} 50.5
+        |# TYPE lat summary
+        |lat_count 4
+        |lat_sum 2.5
+        |lat{quantile="0.5"} 0.6
+        |lat_created 40
+        |# TYPE other counter
+        |other_total 3
+        |# EOF
+        |""".stripMargin
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = body.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type",
+        "application/openmetrics-text;version=1.0.0")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      val tgt = Seq(ScrapeManager.ScrapeTarget(
+        s"http://127.0.0.1:${server.getAddress.getPort}/metrics", "t", "i1"))
+      def run(st: Boolean): Seq[(String, Long, Double)] = {
+        val store = emptyStoreS()
+        val mgr = new ScrapeManager(spark, store, tgt, nowMs = () => 60000L,
+          stZeroIngestion = st)
+        mgr.scrapeOnce()
+        store.samples.collect().map(r =>
+          (r.getMap[String, String](0).toMap.filterKeys(_ != "instance")
+             .filterKeys(_ != "job").values.toSeq.sorted.mkString(","),
+           r.getLong(1), r.getDouble(2)))
+          .map { case (k, t, v) => (k, t, v) }.toSeq.sortBy(x => (x._1, x._2))
+      }
+      val on = run(st = true)
+      // counter: zero at ct=50500ms + the real sample; _created NOT a series
+      assert(on.contains(("/a,req_total", 50500L, 0.0)))
+      assert(on.contains(("/a,req_total", 60000L, 7.0)))
+      assert(!on.exists(_._1.startsWith("req_created")))
+      // summary: count/sum AND the bare quantile sample get the family zero
+      assert(on.contains(("lat_count", 40000L, 0.0)))
+      assert(on.contains(("lat_sum", 40000L, 0.0)))
+      assert(on.contains(("0.5,lat", 40000L, 0.0)))
+      assert(!on.exists(_._1.startsWith("lat_created")))
+      // a family without _created gets no zero
+      assert(on.count(_._1 == "other_total") == 1)
+      // flag off (default): _created ingests as an ordinary series, no zeros
+      val off = run(st = false)
+      assert(off.contains(("/a,req_created", 60000L, 50.5)))
+      assert(!off.exists(x => x._2 == 50500L))
+    } finally server.stop(0)
+  }
+
   test("keep_firing_for keeps emitting firing rows after condition clears") {
     // true at t=0 (firing immediately, for=0); false afterwards
     val df = samplesOf(Seq((Map("__name__" -> "errors", "job" -> "a"), 0L, 5.0)))
