@@ -277,10 +277,10 @@ final class ScrapeManager(
     * reference's WithOMParserSTSeriesSkipped). Zeros only inject when
     * 0 < ct < sample ts. */
   private def stZeroRows(recs: Seq[OpenMetrics.OMRow])
-      : (Seq[OpenMetrics.OMRow], Seq[(Map[String, String], Long, Double)]) = {
+      : (Seq[(OpenMetrics.OMRow, Long)], Seq[(Map[String, String], Long, Double)]) = {
     val (created, rest) = recs.partition(
       _.labels.getOrElse("__name__", "").endsWith("_created"))
-    if (created.isEmpty) return (rest, Nil)
+    if (created.isEmpty) return (rest.map((_, 0L)), Nil)
     // (family base, identity labels) → created ms; OM created values are
     // unix SECONDS (possibly fractional)
     val ctByKey = created.map { r =>
@@ -298,7 +298,15 @@ final class ScrapeManager(
       ctByKey.get(key).filter(ct => ct > 0 && ct < r.t)
         .map(ct => (r.labels, ct, 0.0))
     }.distinct
-    (rest, zeros)
+    // family samples also carry ct in the stt column — the same threading
+    // the protobuf path does unconditionally (Sample.stt), so downstream
+    // start-timestamp semantics see text and proto scrapes identically
+    val withStt = rest.map { r =>
+      val key = (baseOf(r.labels.getOrElse("__name__", "")),
+        r.labels - "__name__" - "le" - "quantile")
+      (r, ctByKey.getOrElse(key, 0L))
+    }
+    (withStt, zeros)
   }
 
   private def scrapeTarget(tgt: ScrapeTarget): (Long, Seq[Row]) = {
@@ -332,29 +340,31 @@ final class ScrapeManager(
             val recs0 = lines.flatMap(OpenMetrics.parseLine(_, defaultTs))
               .filter(_.kind == 0)
             val (recs, zeros) =
-              if (stZeroIngestion) stZeroRows(recs0) else (recs0, Nil)
-            (recs.map(r => (r.labels, r.t, r.v)),
+              if (stZeroIngestion) stZeroRows(recs0) else (recs0.map((_, 0L)), Nil)
+            (recs.map { case (r, stt) => (r.labels, r.t, r.v, stt) },
               // scrape-time exemplar ingestion (ref: scrape/scrape.go append
               // → appender.AppendExemplar keyed on the sample's series)
-              recs.flatMap(r => r.ex.map(e => (r.labels, e))),
+              recs.flatMap { case (r, _) => r.ex.map(e => (r.labels, e)) },
               zeros,
               true)
-          } else (lines.flatMap(Exposition.parseLine(_, defaultTs)), Nil, Nil, true)
+          } else
+            (lines.flatMap(Exposition.parseLine(_, defaultTs))
+               .map { case (l, t, v) => (l, t, v, 0L) }, Nil, Nil, true)
         }
       } catch { case _: Exception => (Nil, Nil, Nil, false) }
     val dur = (nowMs() - t0) / 1000.0
     // target labels (ref: scrape.go:700 target label decoration)
     def decorate(labels: Map[String, String]): Map[String, String] =
       ScrapeManager.decorate(tgt, labels)
-    def toDf(rows: Seq[(Map[String, String], Long, Double)]) =
+    def toDf(rows: Seq[(Map[String, String], Long, Double, Long)]) =
       spark.createDataFrame(
         spark.sparkContext.parallelize(
-          rows.map { case (l, t, v) => Row(l, t, v, false, null, 0L) },
+          rows.map { case (l, t, v, stt) => Row(l, t, v, false, null, stt) },
           math.max(1, rows.size / 10000)),
         Engine.samplesSchema)
-    val stamped = samples.map { case (l, t, v) =>
-      (decorate(l), if (honorTimestamps) t else t0, v)
-    } ++ stZeros.map { case (l, ct, v) => (decorate(l), ct, v) }
+    val stamped = samples.map { case (l, t, v, stt) =>
+      (decorate(l), if (honorTimestamps) t else t0, v, stt)
+    } ++ stZeros.map { case (l, ct, v) => (decorate(l), ct, v, 0L) }
     // (ST zeros keep the created timestamp — it IS a timestamp by
     // definition, honor_timestamps notwithstanding)
     // metric_relabel_configs apply to scraped samples only; the report
@@ -377,7 +387,7 @@ final class ScrapeManager(
       ("scrape_duration_seconds", dur),
       ("scrape_samples_scraped", samples.size.toDouble),
       ("scrape_samples_post_metric_relabeling", postN.toDouble)).map { case (n, v) =>
-      (decorate(Map("__name__" -> n)), t0, v)
+      (decorate(Map("__name__" -> n)), t0, v, 0L)
     }
     // a violated limit drops the WHOLE scraped batch (append rollback)
     val batch = scraped.filter(_ => violation.isEmpty) match {

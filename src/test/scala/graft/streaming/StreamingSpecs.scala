@@ -207,7 +207,7 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     try {
       val tgt = Seq(ScrapeManager.ScrapeTarget(
         s"http://127.0.0.1:${server.getAddress.getPort}/metrics", "t", "i1"))
-      def run(st: Boolean): Seq[(String, Long, Double)] = {
+      def runRows(st: Boolean): Seq[(String, Long, Double, Long)] = {
         val store = emptyStoreS()
         val mgr = new ScrapeManager(spark, store, tgt, nowMs = () => 60000L,
           stZeroIngestion = st)
@@ -215,10 +215,16 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
         store.samples.collect().map(r =>
           (r.getMap[String, String](0).toMap.filterKeys(_ != "instance")
              .filterKeys(_ != "job").values.toSeq.sorted.mkString(","),
-           r.getLong(1), r.getDouble(2)))
-          .map { case (k, t, v) => (k, t, v) }.toSeq.sortBy(x => (x._1, x._2))
+           r.getLong(1), r.getDouble(2), r.getLong(5)))
+          .toSeq.sortBy(x => (x._1, x._2))
       }
+      def run(st: Boolean): Seq[(String, Long, Double)] =
+        runRows(st).map(x => (x._1, x._2, x._3))
       val on = run(st = true)
+      // created ts also threads into the stt column of the real sample —
+      // the same threading the protobuf path does via Sample.stt
+      assert(runRows(st = true)
+        .exists(x => x._1 == "/a,req_total" && x._2 == 60000L && x._4 == 50500L))
       // counter: zero at ct=50500ms + the real sample; _created NOT a series
       assert(on.contains(("/a,req_total", 50500L, 0.0)))
       assert(on.contains(("/a,req_total", 60000L, 7.0)))
