@@ -86,6 +86,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Bloom-filter decontamination — the fixed-memory variant of
+    * [[contamination]] (the Dolma "BFF" pattern): the benchmark's n-gram
+    * set aggregates into ONE Bloom filter of `bits ≈ 1.44·n·log2(1/fpp)`
+    * (Spark's stat.bloomFilter: per-partition filters OR-merged on the
+    * driver), and corpus grams test membership against the broadcast
+    * filter. Where [[contamination]] broadcasts the EXACT gram set — fine
+    * for a bounded eval suite, impossible when the "bench" side is another
+    * corpus — the bloom stays fixed-size no matter how large the protected
+    * set grows. One-sided error by construction: a shared gram is NEVER
+    * missed (no false negatives — contamination can only be overcounted at
+    * rate ≤fpp), so a zero-hit doc is PROVABLY clean.
+    *
+    * 100 TB shape: one scan of each side; the filter build is a
+    * fixed-size-state aggregation (map-side partial filters, driver OR);
+    * the probe is row-local against the broadcast bits. No join at all. */
+  def bloomContamination(docs: DataFrame, bench: DataFrame, n: Int = 13,
+      fpp: Double = 0.001, excludeBenchIds: Boolean = false): DataFrame = {
+    val bg = shingleRows(bench, n).select(col("sg"))
+    val cnt = math.max(bg.count(), 1L)
+    val filter = bg.stat.bloomFilter("sg", cnt, fpp)
+    val spark = docs.sparkSession
+    val bcast = spark.sparkContext.broadcast(filter)
+    val hitUdf = udf { (sg: String) => bcast.value.mightContainString(sg) }
+    val scoped =
+      if (excludeBenchIds)
+        docs.join(broadcast(bench.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      else docs
+    shingleRows(scoped, n)
+      .filter(hitUdf(col("sg")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_flagged_grams"))
+  }
+
   /** Exact dedup: group by normalized text, keep the smallest doc_id.
     * 100 TB: a single shuffle keyed on xxhash64(norm) — group sizes are
     * bounded by duplicate multiplicity, never by corpus size. */

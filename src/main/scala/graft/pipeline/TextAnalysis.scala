@@ -161,6 +161,33 @@ object TextAnalysis {
       regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
         ipv4Re, "<IP>").as("redacted"))
 
+  /** Compression-ratio quality signal: deflate(level 6, the zlib default)
+    * over the UTF-8 text; ratio = compressed/raw bytes. Highly repetitive
+    * or templated documents compress far below fluent prose — the cheap
+    * model-free repetition signal several curation stacks threshold on
+    * alongside the n-gram repetition stats. Row-local (one Deflater per
+    * row inside a UDF), zero shuffle at any scale; deflate output for a
+    * fixed input/level is deterministic, so results are stable across runs
+    * (rows-only vs the oracle — DuckDB has no deflate). */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val ratioUdf = udf { (s: String) =>
+      val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (raw.isEmpty) 1.0
+      else {
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        var out = 0L
+        while (!d.finished()) out += d.deflate(buf)
+        d.end()
+        out.toDouble / raw.length
+      }
+    }
+    docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_bytes_approx"),
+      round(ratioUdf(col("text")), 6).as("compress_ratio"))
+  }
+
   /** typographic chars canonicalized by [[normalizeText]]: nbsp→space,
     * curly quotes→straight, en/em dash→hyphen; soft hyphen and zero-width
     * space (no counterpart) are deleted — translate drops unmatched chars

@@ -179,6 +179,15 @@ object PipelineSuite {
     "lp39_dsir_weights" -> { (s, dir) =>
       QualityModel.dsirWeights(docs(s, dir), targetPred = col("lang") === "en")
         .orderBy(col("doc_id")) },
+
+    "lp40_bloom_contamination" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.bloomContamination(d, d.filter(col("doc_id") < 20), n = 4,
+        excludeBenchIds = true)
+        .orderBy(col("doc_id")) },
+
+    "lp41_compression_ratio" -> { (s, dir) =>
+      TextAnalysis.compressionRatio(docs(s, dir)).orderBy(col("doc_id")) },
   )
 
   /** lp03's pair CTEs, shared by the clustering oracles */

@@ -886,6 +886,43 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("bloom contamination: no false negatives vs exact; FP-only overcount") {
+    // docs 1-2 share 4-grams with the "bench" (docs 90-91); 3 is clean
+    val d = docsOf(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six seven",
+      3L -> "totally unrelated clean document text here",
+      90L -> "alpha beta gamma delta something else",
+      91L -> "zero one two three four five")
+    val bench = d.filter(col("doc_id") >= 90L)
+    val corpus = d.filter(col("doc_id") < 90L)
+    def toMap(r: Array[org.apache.spark.sql.Row]) =
+      r.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val exact = toMap(Dedup.contamination(corpus, bench, n = 4).collect())
+    val bloom = toMap(Dedup.bloomContamination(corpus, bench, n = 4).collect())
+    // one-sided error: every exact hit is present with count >= exact
+    exact.foreach { case (id, c) =>
+      assert(bloom.getOrElse(id, 0L) >= c, s"doc $id undercounted: bloom=$bloom exact=$exact")
+    }
+    // at fpp=0.001 over a handful of grams, FPs are overwhelmingly unlikely:
+    // the clean doc stays clean and counts match exactly
+    assert(bloom == exact)
+  }
+
+  test("compression ratio: repetitive text compresses far below fluent prose") {
+    val d = docsOf(
+      1L -> ("spam " * 200).trim,
+      2L -> (0 until 200).map(i => s"w${i * 7919 % 1000}").mkString(" "))
+    val out = TextAnalysis.compressionRatio(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) < 0.1, s"repeated text ratio ${out(1L)}")
+    assert(out(2L) > 0.3, s"high-entropy text ratio ${out(2L)}")
+    // deterministic across runs
+    val again = TextAnalysis.compressionRatio(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == out)
+  }
+
   test("dsir weights: hand-computed log ratios over hashed unigrams") {
     val d = docsOf(1L -> "x x y", 2L -> "x z z")
     val out = QualityModel.dsirWeights(d, targetPred = col("doc_id") === 1L)
