@@ -108,6 +108,59 @@ class KubernetesInformerSpec extends AnyFunSuite {
     eventually()(fake.watchClosed)
   }
 
+  test("endpoints role: endpoints + pod-index informers, churn via events only") {
+    val epJson =
+      """{"metadata":{"name":"svc1","namespace":"default","resourceVersion":"7"},
+        |"subsets":[{"addresses":[{"ip":"1.1.1.1",
+        |"targetRef":{"kind":"Pod","name":"p1","namespace":"default"}}],
+        |"ports":[{"name":"http","port":9000,"protocol":"TCP"}]}]}"""
+        .stripMargin.replace("\n", "")
+    val fake = new KubernetesSd.WatchApiClient {
+      val listCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+      // one event queue per resource — the pod-index watcher must not eat
+      // endpoints events off a shared queue
+      private val qs = new java.util.concurrent.ConcurrentHashMap[
+        String, java.util.concurrent.LinkedBlockingQueue[String]]()
+      private def queueFor(res: String) =
+        qs.computeIfAbsent(res, _ => new java.util.concurrent.LinkedBlockingQueue[String]())
+      private def resOf(path: String) =
+        if (path.contains("/endpoints")) "endpoints" else "pods"
+      override def get(path: String): String = {
+        listCalls.incrementAndGet()
+        if (path.contains("/endpoints")) s"""{"metadata":{"resourceVersion":"8"},"items":[$epJson]}"""
+        else if (path.contains("/pods"))
+          listJson("10", podJson("p1", "1.1.1.1", "9"))
+        else fail(s"unexpected path $path")
+      }
+      override def watch(path: String, onLine: String => Unit, stopped: () => Boolean): Unit = {
+        val q = queueFor(resOf(path))
+        while (!stopped()) {
+          val line = q.poll(10, java.util.concurrent.TimeUnit.MILLISECONDS)
+          if (line != null) onLine(line)
+        }
+      }
+      def push(ev: String): Unit = queueFor("endpoints").put(ev)
+    }
+    val prov = new KubernetesSd.KubernetesProvider("k8s/0",
+      KubernetesSd.Config("endpoints", "https://api:6443", Seq("default"), refreshMs = 0L), fake)
+    var now = 0L
+    val mgr = new Discovery.Manager(() => now)
+    mgr.register("job", prov)
+    mgr.poll()
+    assert(targets(mgr, "job") == Set("1.1.1.1:9000"))
+    assert(fake.listCalls.get() == 2) // one endpoints LIST + one pod-index LIST
+    // stream a second endpoints object; no further LISTs of either resource
+    val ep2 = epJson.replace("svc1", "svc2").replace("1.1.1.1", "2.2.2.2")
+      .replace("\"resourceVersion\":\"7\"", "\"resourceVersion\":\"9\"")
+    fake.push(s"""{"type":"ADDED","object":$ep2}""")
+    val inf = prov.informerFor("endpoints", "default", "")
+    eventually()(inf.events >= 1)
+    now += 1; mgr.poll()
+    assert(targets(mgr, "job") == Set("1.1.1.1:9000", "2.2.2.2:9000"))
+    assert(fake.listCalls.get() == 2)
+    prov.close()
+  }
+
   test("list-only clients keep the LIST-per-refresh path (one LIST per poll)") {
     var lists = 0
     val listOnly = new KubernetesSd.ApiClient {
