@@ -51,7 +51,16 @@ final class ScrapeManager(
     // created-timestamp-zero-ingestion feature flag (ref: scrape.go
     // enableSTZeroIngestion): OpenMetrics `_created` lines inject synthetic
     // zeros at the family's creation time instead of being ingested as series
-    stZeroIngestion: Boolean = false) {
+    stZeroIngestion: Boolean = false,
+    // --enable-feature=extra-scrape-metrics (ref: scrape.go
+    // reportExtraMetrics): scrape_timeout_seconds / scrape_sample_limit /
+    // scrape_body_size_bytes report series
+    extraScrapeMetrics: Boolean = false) {
+
+  // per-target post-relabel series-identity sets from the LAST successful
+  // scrape — feeds scrape_series_added (ref: the per-target scrape cache)
+  private val seriesSeen =
+    scala.collection.concurrent.TrieMap[String, Set[Long]]()
 
   import ScrapeManager.ScrapeTarget
 
@@ -203,21 +212,22 @@ final class ScrapeManager(
     import graft.promql.FHist
     import graft.web.ProtoExposition
     val t0 = nowMs()
-    val (parsed, ok) =
+    val (parsed, bodyLen, ok) =
       try {
         val resp = client.send(
           scrapeRequest(tgt.url)
             .header("Accept", "application/vnd.google.protobuf;" +
               "proto=io.prometheus.client.MetricFamily;encodings=delimited").GET().build(),
           java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-        if (resp.statusCode() != 200) (ProtoExposition.Parsed(Nil, Map.empty), false)
+        if (resp.statusCode() != 200) (ProtoExposition.Parsed(Nil, Map.empty), 0L, false)
         else {
           val bytes = inflate(resp) // body_size_limit is on UNCOMPRESSED bytes
           if (limits.bodySizeLimit > 0 && bytes.length > limits.bodySizeLimit)
-            (ProtoExposition.Parsed(Nil, Map.empty), false)
-          else (ProtoExposition.parse(bytes, t0, alwaysClassicHist), true)
+            (ProtoExposition.Parsed(Nil, Map.empty), -1L, false)
+          else (ProtoExposition.parse(bytes, t0, alwaysClassicHist),
+            bytes.length.toLong, true)
         }
-      } catch { case _: Exception => (ProtoExposition.Parsed(Nil, Map.empty), false) }
+      } catch { case _: Exception => (ProtoExposition.Parsed(Nil, Map.empty), 0L, false) }
     val dur = (nowMs() - t0) / 1000.0
     def decorate(labels: Map[String, String]): Map[String, String] =
       ScrapeManager.decorate(tgt, labels)
@@ -239,11 +249,29 @@ final class ScrapeManager(
     val postN = postLabels.length.toLong
     val violation = if (!ok) None else limitViolation(postLabels.iterator, postN)
     val effOk = ok && violation.isEmpty
-    val report = Seq(
+    val tgtKey = tgt.job + "\u0000" + tgt.url
+    val nowSeries: Set[Long] =
+      postLabels.iterator.map(ls =>
+        ls.toSeq.sorted.mkString("\u0001").hashCode.toLong).toSet
+    val seriesAdded =
+      if (!effOk) 0L
+      else {
+        val prev = seriesSeen.getOrElse(tgtKey, Set.empty)
+        val added = nowSeries.count(!prev(_)).toLong
+        seriesSeen.put(tgtKey, nowSeries)
+        added
+      }
+    val report = (Seq(
       ("up", if (effOk) 1.0 else 0.0),
       ("scrape_duration_seconds", dur),
       ("scrape_samples_scraped", parsed.samples.size.toDouble),
-      ("scrape_samples_post_metric_relabeling", postN.toDouble)).map { case (n, v) =>
+      ("scrape_samples_post_metric_relabeling", postN.toDouble),
+      ("scrape_series_added", seriesAdded.toDouble)) ++
+      (if (extraScrapeMetrics) Seq(
+        ("scrape_timeout_seconds", timeoutMs / 1000.0),
+        ("scrape_sample_limit", limits.sampleLimit.toDouble),
+        ("scrape_body_size_bytes", bodyLen.toDouble)) else Nil))
+      .map { case (n, v) =>
       Row(decorate(Map("__name__" -> n)), t0, v, false, null, 0L)
     }
     val reportDf = spark.createDataFrame(
@@ -311,7 +339,7 @@ final class ScrapeManager(
 
   private def scrapeTarget(tgt: ScrapeTarget): (Long, Seq[Row]) = {
     val t0 = nowMs()
-    val (samples, exemplars, stZeros, ok) =
+    val (samples, exemplars, stZeros, bodyLen, ok) =
       try {
         val textProtocols =
           (if (scrapeProtocols.nonEmpty) scrapeProtocols
@@ -322,9 +350,12 @@ final class ScrapeManager(
             .GET().build(),
           java.net.http.HttpResponse.BodyHandlers.ofByteArray())
         lazy val bodyBytes = inflate(resp)
-        if (resp.statusCode() != 200 ||
-            (limits.bodySizeLimit > 0 && bodyBytes.length > limits.bodySizeLimit))
-          (Nil, Nil, Nil, false) // ref: errBodySizeLimit — the scrape fails whole
+        if (resp.statusCode() != 200)
+          (Nil, Nil, Nil, 0L, false)
+        else if (limits.bodySizeLimit > 0 && bodyBytes.length > limits.bodySizeLimit)
+          // ref: errBodySizeLimit — the scrape fails whole; the extra
+          // scrape_body_size_bytes metric reports -1 for exactly this case
+          (Nil, Nil, Nil, -1L, false)
         else {
           val lines = new String(bodyBytes, "UTF-8").split("\n").toSeq
           val defaultTs = t0
@@ -346,12 +377,14 @@ final class ScrapeManager(
               // → appender.AppendExemplar keyed on the sample's series)
               recs.flatMap { case (r, _) => r.ex.map(e => (r.labels, e)) },
               zeros,
+              bodyBytes.length.toLong,
               true)
           } else
             (lines.flatMap(Exposition.parseLine(_, defaultTs))
-               .map { case (l, t, v) => (l, t, v, 0L) }, Nil, Nil, true)
+               .map { case (l, t, v) => (l, t, v, 0L) }, Nil, Nil,
+               bodyBytes.length.toLong, true)
         }
-      } catch { case _: Exception => (Nil, Nil, Nil, false) }
+      } catch { case _: Exception => (Nil, Nil, Nil, 0L, false) }
     val dur = (nowMs() - t0) / 1000.0
     // target labels (ref: scrape.go:700 target label decoration)
     def decorate(labels: Map[String, String]): Map[String, String] =
@@ -382,13 +415,35 @@ final class ScrapeManager(
     val postN = postLabels.length.toLong
     val violation = if (!ok) None else limitViolation(postLabels.iterator, postN)
     val effOk = ok && violation.isEmpty
-    val report = Seq(
+    // scrape_series_added: post-relabel series not seen in this target's
+    // previous scrape (ref: scrape.go seriesAdded via the per-target scrape
+    // cache; a failed scrape reports 0 and leaves the cache untouched)
+    val tgtKey = tgt.job + "\u0000" + tgt.url
+    val nowSeries: Set[Long] =
+      postLabels.iterator.map(ls =>
+        ls.toSeq.sorted.mkString("\u0001").hashCode.toLong).toSet
+    val seriesAdded =
+      if (!effOk) 0L
+      else {
+        val prev = seriesSeen.getOrElse(tgtKey, Set.empty)
+        val added = nowSeries.count(!prev(_)).toLong
+        seriesSeen.put(tgtKey, nowSeries)
+        added
+      }
+    val report = (Seq(
       ("up", if (effOk) 1.0 else 0.0),
       ("scrape_duration_seconds", dur),
       ("scrape_samples_scraped", samples.size.toDouble),
-      ("scrape_samples_post_metric_relabeling", postN.toDouble)).map { case (n, v) =>
-      (decorate(Map("__name__" -> n)), t0, v, 0L)
-    }
+      ("scrape_samples_post_metric_relabeling", postN.toDouble),
+      ("scrape_series_added", seriesAdded.toDouble)) ++
+      // --enable-feature=extra-scrape-metrics (ref: scrape.go
+      // reportExtraMetrics): configured timeout/sample_limit + body size
+      // (uncompressed; -1 when the scrape failed on body_size_limit)
+      (if (extraScrapeMetrics) Seq(
+        ("scrape_timeout_seconds", timeoutMs / 1000.0),
+        ("scrape_sample_limit", limits.sampleLimit.toDouble),
+        ("scrape_body_size_bytes", bodyLen.toDouble)) else Nil))
+      .map { case (n, v) => (decorate(Map("__name__" -> n)), t0, v, 0L) }
     // a violated limit drops the WHOLE scraped batch (append rollback)
     val batch = scraped.filter(_ => violation.isEmpty) match {
       case Some(df) => df.unionByName(toDf(report))

@@ -30,7 +30,9 @@ final class PromServer(
     webConfigFile: Option[String] = None,
     // --enable-feature=created-timestamp-zero-ingestion (ref: main.go
     // feature flag -> scrape Options.EnableCreatedTimestampZeroIngestion)
-    stZeroIngestion: Boolean = false) {
+    stZeroIngestion: Boolean = false,
+    // --enable-feature=extra-scrape-metrics
+    extraScrapeMetrics: Boolean = false) {
 
   /** SD manager shared by every scrape pool (ref: discovery/manager.go) */
   val discovery = new Discovery.Manager(nowMs)
@@ -160,6 +162,7 @@ final class PromServer(
           enableCompression = job.enableCompression,
           convertNhcb = job.convertNhcb,
           stZeroIngestion = stZeroIngestion,
+          extraScrapeMetrics = extraScrapeMetrics,
           client =
             if (job.proxyUrl.nonEmpty || job.tlsCaFile.nonEmpty ||
                 job.tlsInsecureSkipVerify)

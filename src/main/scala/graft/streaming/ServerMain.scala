@@ -50,6 +50,7 @@ object ServerMain {
     val server = new PromServer(spark, configFile, port,
       agentMode = agent, limits = limits,
       stZeroIngestion = features.contains("created-timestamp-zero-ingestion"),
+      extraScrapeMetrics = features.contains("extra-scrape-metrics"),
       dataDir = Some(flag("storage.path", "data")),
       consoleTemplates = flags.get("web.console.templates"),
       consoleLibraries = flags.get("web.console.libraries"),

@@ -181,6 +181,47 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop(0)
   }
 
+  test("scrape_series_added counts new series per target; extra scrape metrics behind flag") {
+    @volatile var body = "a_total 1\nb_total 2\n"
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      val tgt = Seq(ScrapeManager.ScrapeTarget(
+        s"http://127.0.0.1:${server.getAddress.getPort}/metrics", "t", "i1"))
+      val store = emptyStoreS()
+      val mgr = new ScrapeManager(spark, store, tgt, nowMs = () => 60000L,
+        timeoutMs = 7000L, limits = ScrapeManager.ScrapeLimits(sampleLimit = 50),
+        extraScrapeMetrics = true)
+      def metric(name: String): Seq[Double] =
+        store.samples.collect()
+          .filter(_.getMap[String, String](0)("__name__") == name)
+          .map(_.getDouble(2)).toSeq
+      mgr.scrapeOnce()
+      // first scrape: both series are new
+      assert(metric("scrape_series_added") == Seq(2.0))
+      // extra metrics (ref scrape.go reportExtraMetrics)
+      assert(metric("scrape_timeout_seconds") == Seq(7.0))
+      assert(metric("scrape_sample_limit") == Seq(50.0))
+      assert(metric("scrape_body_size_bytes") == Seq(body.length.toDouble))
+      // second scrape adds one new series → series_added 1, then 0
+      body = "a_total 1\nb_total 2\nc_total 3\n"
+      mgr.scrapeOnce()
+      assert(metric("scrape_series_added").sorted == Seq(1.0, 2.0))
+      mgr.scrapeOnce()
+      assert(metric("scrape_series_added").sorted == Seq(0.0, 1.0, 2.0))
+      // default (flag off): no extra series
+      val store2 = emptyStoreS()
+      new ScrapeManager(spark, store2, tgt, nowMs = () => 60000L).scrapeOnce()
+      assert(!store2.samples.collect()
+        .exists(_.getMap[String, String](0)("__name__") == "scrape_timeout_seconds"))
+    } finally server.stop(0)
+  }
+
   test("created-timestamp zero ingestion injects family zeros, consumes _created") {
     val body =
       """# TYPE req counter

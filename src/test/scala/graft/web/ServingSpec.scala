@@ -109,7 +109,7 @@ class ServingSpec extends AnyFunSuite {
           sourceLabels = Seq("__name__"), regex = "dropme")),
         nowMs = () => 60000L)
       val n = mgr.scrapeOnce()
-      assert(n == 7L) // 3 scraped + 4 report (dropme dropped AFTER count)
+      assert(n == 8L) // 3 scraped + 5 report (dropme dropped AFTER count)
       val rows = store.samples.collect().map(r =>
         (r.getMap[String, String](0).toMap, r.getLong(1), r.getDouble(2))).toSeq
       assert(rows.exists { case (l, t, v) =>
@@ -309,7 +309,7 @@ class ServingSpec extends AnyFunSuite {
           job = "pj", instance = "pi", proto = true)),
         nowMs = () => 80000L)
       val n = mgr.scrapeOnce()
-      assert(n == 13L) // 9 scraped + 4 report
+      assert(n == 14L) // 9 scraped + 5 report
       val rows = store.samples.collect().map(r =>
         (r.getMap[String, String](0).toMap, r.getLong(1), r.getDouble(2), Option(r.get(4)))).toSeq
       assert(rows.exists { case (l, t, v, _) =>
