@@ -32,7 +32,10 @@ final class PromServer(
     // feature flag -> scrape Options.EnableCreatedTimestampZeroIngestion)
     stZeroIngestion: Boolean = false,
     // --enable-feature=extra-scrape-metrics
-    extraScrapeMetrics: Boolean = false) {
+    extraScrapeMetrics: Boolean = false,
+    // --config.auto-reload interval (0 = disabled; ref main.go
+    // --config.auto-reload-interval, default 30s, floor 1s)
+    autoReloadMs: Long = 0L) {
 
   /** SD manager shared by every scrape pool (ref: discovery/manager.go) */
   val discovery = new Discovery.Manager(nowMs)
@@ -259,6 +262,57 @@ final class PromServer(
     }
     api.reloadHook = Some(() => reload())
     api.start()
+    if (autoReloadMs > 0) startAutoReload()
+  }
+
+  // ---- --config.auto-reload (ref: main.go — a checksum over the config
+  // file AND every file it references (rule files, file-SD files) is
+  // recomputed on the interval; a change triggers the same reload path as
+  // /-/reload, and a FAILED reload keeps retrying so a later fix applies)
+  @volatile private var autoReloadThread: Option[Thread] = None
+  @volatile private var autoReloadStop = false
+
+  /** files whose content participates in the checksum beside the config
+    * itself (ref: config.GenerateChecksum walks rule_files + *_sd file
+    * lists) */
+  private def watchedFiles(): Seq[String] =
+    configOpt.toSeq.flatMap(cfg =>
+      cfg.ruleFiles ++ cfg.scrapeJobs.flatMap(_.fileSdPaths)).sorted
+
+  private def configChecksum(): String = {
+    def bytesOf(p: String): Array[Byte] =
+      try java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      catch { case _: Exception => Array.empty }
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(bytesOf(configPath))
+    watchedFiles().foreach { p =>
+      md.update(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(bytesOf(p))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def startAutoReload(): Unit = {
+    var last = configChecksum()
+    val t = new Thread(() => {
+      var interrupted = false
+      while (!autoReloadStop && !interrupted) {
+        try Thread.sleep(autoReloadMs) catch { case _: InterruptedException => interrupted = true }
+        if (!autoReloadStop && !interrupted) try {
+          val now = configChecksum()
+          if (now != last) {
+            // reload FIRST, stamp after: a failing reload retries until the
+            // config parses again (ref main.go: checksum only advances with
+            // the attempt; our stamp-on-success keeps retrying a bad file,
+            // same eventual behavior, simpler state)
+            if (reload().isRight) last = now
+          }
+        } catch { case _: Exception => () }
+      }
+    }, "config-auto-reload")
+    t.setDaemon(true)
+    t.start()
+    autoReloadThread = Some(t)
   }
 
   def startScraping(): Unit = synchronized {
@@ -267,6 +321,8 @@ final class PromServer(
   }
 
   def stop(): Unit = synchronized {
+    autoReloadStop = true
+    autoReloadThread.foreach(_.interrupt())
     scraping = false
     scrapers.foreach(_.stop())
     // drain queued notifications before shutdown (ref main.go

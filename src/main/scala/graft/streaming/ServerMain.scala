@@ -51,6 +51,10 @@ object ServerMain {
       agentMode = agent, limits = limits,
       stZeroIngestion = features.contains("created-timestamp-zero-ingestion"),
       extraScrapeMetrics = features.contains("extra-scrape-metrics"),
+      autoReloadMs =
+        if (!flags.contains("config.auto-reload")) 0L
+        else math.max(1000L, graft.promqltest.TestScript.parseTime(
+          flag("config.auto-reload-interval", "30s"))),
       dataDir = Some(flag("storage.path", "data")),
       consoleTemplates = flags.get("web.console.templates"),
       consoleLibraries = flags.get("web.console.libraries"),

@@ -150,6 +150,75 @@ class PromServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { srv.stop(); }
   }
 
+  test("config.auto-reload: config AND watched rule-file changes apply without /-/reload") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-auto")
+    writeFile(dir, "rules.yml",
+      """groups:
+        |  - name: g1
+        |    rules:
+        |      - record: r1
+        |        expr: count(up)
+        |""".stripMargin)
+    val cfgPath = writeFile(dir, "prometheus.yml",
+      """global:
+        |  evaluation_interval: 30s
+        |rule_files:
+        |  - rules.yml
+        |""".stripMargin)
+    val srv = new PromServer(spark, cfgPath, autoReloadMs = 50L)
+    srv.start()
+    try {
+      def eventually(timeoutMs: Long = 5000)(cond: => Boolean): Unit = {
+        val dl = System.currentTimeMillis() + timeoutMs
+        while (!cond && System.currentTimeMillis() < dl) Thread.sleep(20)
+        assert(cond)
+      }
+      assert(srv.config.exists(_.evaluationIntervalMs == 30000L))
+      // 1. config-file change picked up by checksum, no /-/reload call
+      writeFile(dir, "prometheus.yml",
+        """global:
+          |  evaluation_interval: 45s
+          |rule_files:
+          |  - rules.yml
+          |""".stripMargin)
+      eventually()(srv.config.exists(_.evaluationIntervalMs == 45000L))
+      // 2. a WATCHED file (rule file) change also triggers — the checksum
+      // covers referenced files like the reference's GenerateChecksum
+      writeFile(dir, "rules.yml",
+        """groups:
+          |  - name: g1
+          |    rules:
+          |      - record: r2
+          |        expr: count(up)
+          |""".stripMargin)
+      eventually()(srv.currentRuleGroups.headOption
+        .exists(_.recording.head.record == "r2"))
+      // 3. a BROKEN watched file doesn't wedge the loop: the failed reload
+      // keeps the old state serving, and the next valid write applies
+      // (same unparseable-rule breakage the /-/reload test uses)
+      writeFile(dir, "rules.yml",
+        "groups:\n  - name: g1\n    rules:\n      - record: r3\n        expr: 'sum('\n")
+      Thread.sleep(300)
+      assert(srv.currentRuleGroups.headOption
+        .exists(_.recording.head.record == "r2")) // old rules still serving
+      writeFile(dir, "prometheus.yml",
+        """global:
+          |  evaluation_interval: 60s
+          |rule_files:
+          |  - rules.yml
+          |""".stripMargin)
+      writeFile(dir, "rules.yml",
+        """groups:
+          |  - name: g1
+          |    rules:
+          |      - record: r4
+          |        expr: count(up)
+          |""".stripMargin)
+      eventually()(srv.config.exists(_.evaluationIntervalMs == 60000L) &&
+        srv.currentRuleGroups.headOption.exists(_.recording.head.record == "r4"))
+    } finally srv.stop()
+  }
+
   test("rule group query_offset evaluates (and stamps) at ts - offset") {
     val dir = java.nio.file.Files.createTempDirectory("graft-qoff")
     writeFile(dir, "rules.yml",
