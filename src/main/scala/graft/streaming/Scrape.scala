@@ -61,6 +61,7 @@ final class ScrapeManager(
   // scrape — feeds scrape_series_added (ref: the per-target scrape cache)
   private val seriesSeen =
     scala.collection.concurrent.TrieMap[String, Set[Long]]()
+  private def seriesKey(job: String, url: String): String = job + "\u0000" + url
 
   import ScrapeManager.ScrapeTarget
 
@@ -186,6 +187,11 @@ final class ScrapeManager(
           spark.sparkContext.parallelize(rows, 1), Engine.samplesSchema))
       return rows.size.toLong
     }
+    // prune series caches of departed targets — SD churn must not grow
+    // driver state without bound (the reference drops a target's scrape
+    // cache with its loop)
+    val liveKeys = tgts.map(t => seriesKey(t.job, t.url)).toSet
+    seriesSeen.keys.filterNot(liveKeys).foreach(seriesSeen.remove)
     // PrometheusProto first in scrape_protocols → protobuf negotiation for
     // the pool (ref: DefaultProtoFirstScrapeProtocols — how
     // scrape_native_histograms selects the proto path); per-target flags
@@ -249,7 +255,7 @@ final class ScrapeManager(
     val postN = postLabels.length.toLong
     val violation = if (!ok) None else limitViolation(postLabels.iterator, postN)
     val effOk = ok && violation.isEmpty
-    val tgtKey = tgt.job + "\u0000" + tgt.url
+    val tgtKey = seriesKey(tgt.job, tgt.url)
     val nowSeries: Set[Long] =
       postLabels.iterator.map(ls =>
         ls.toSeq.sorted.mkString("\u0001").hashCode.toLong).toSet
@@ -418,7 +424,7 @@ final class ScrapeManager(
     // scrape_series_added: post-relabel series not seen in this target's
     // previous scrape (ref: scrape.go seriesAdded via the per-target scrape
     // cache; a failed scrape reports 0 and leaves the cache untouched)
-    val tgtKey = tgt.job + "\u0000" + tgt.url
+    val tgtKey = seriesKey(tgt.job, tgt.url)
     val nowSeries: Set[Long] =
       postLabels.iterator.map(ls =>
         ls.toSeq.sorted.mkString("\u0001").hashCode.toLong).toSet
