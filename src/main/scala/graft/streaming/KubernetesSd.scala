@@ -621,7 +621,12 @@ object KubernetesSd {
       byKey.values.asScala.toList
     }
 
-    def close(): Unit = { closed = true }
+    def close(): Unit = {
+      closed = true
+      // a watch blocked on a silent stream only checks stopped() per line —
+      // interrupt so reloads don't park a thread until the server speaks
+      synchronized { if (thread != null) thread.interrupt() }
+    }
   }
 
   /** one kubernetes_sd_configs entry as a manager provider; a whole-refresh
