@@ -401,22 +401,33 @@ final class ScrapeManager(
           rows.map { case (l, t, v, stt) => Row(l, t, v, false, null, stt) },
           math.max(1, rows.size / 10000)),
         Engine.samplesSchema)
-    val stamped = samples.map { case (l, t, v, stt) =>
+    val stampedReal = samples.map { case (l, t, v, stt) =>
       (decorate(l), if (honorTimestamps) t else t0, v, stt)
-    } ++ stZeros.map { case (l, ct, v) => (decorate(l), ct, v, 0L) }
-    // (ST zeros keep the created timestamp — it IS a timestamp by
-    // definition, honor_timestamps notwithstanding)
+    }
+    // ST zeros keep the created timestamp (it IS a timestamp by definition,
+    // honor_timestamps notwithstanding); relabeled like scraped samples but
+    // EXCLUDED from sample_limit accounting — the reference's
+    // AppendSTZeroSample bypasses the added/seriesAdded counters
+    val stampedZeros = stZeros.map { case (l, ct, v) => (decorate(l), ct, v, 0L) }
+    val stamped = stampedReal ++ stampedZeros
     // metric_relabel_configs apply to scraped samples only; the report
     // series bypass them (ref: scrape.go append vs report)
-    val scraped0 =
-      if (stamped.isEmpty) None
-      else Some(Relabel(toDf(stamped), metricRelabel))
+    val scrapedReal =
+      if (stampedReal.isEmpty) None
+      else Some(Relabel(toDf(stampedReal), metricRelabel))
+    val zerosDf =
+      if (stampedZeros.isEmpty) None
+      else Some(Relabel(toDf(stampedZeros), metricRelabel))
+    val scraped0 = (scrapedReal, zerosDf) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
     val scraped =
       if (convertNhcb) scraped0.map(Ingest.classicToNhcb) else scraped0
     // post-relabel label sets (see scrapeProto: append-time
     // verifyLabelLimits); limits count the SCRAPED series — synthesized
     // NHCB natives don't count against sample_limit
-    val postLabels = scraped0.map(_.select("labels").collect()
+    val postLabels = scrapedReal.map(_.select("labels").collect()
       .map(_.getAs[scala.collection.Map[String, String]](0).toMap)).getOrElse(Array.empty)
     val postN = postLabels.length.toLong
     val violation = if (!ok) None else limitViolation(postLabels.iterator, postN)

@@ -281,6 +281,16 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
       val off = run(st = false)
       assert(off.contains(("/a,req_created", 60000L, 50.5)))
       assert(!off.exists(x => x._2 == 50500L))
+      // injected zeros bypass sample_limit (ref: AppendSTZeroSample is
+      // outside the added counters): 5 real samples + 4 zeros pass limit=5
+      val store3 = emptyStoreS()
+      new ScrapeManager(spark, store3, tgt, nowMs = () => 60000L,
+        stZeroIngestion = true,
+        limits = ScrapeManager.ScrapeLimits(sampleLimit = 5)).scrapeOnce()
+      val rows3 = store3.samples.collect()
+        .map(r => (r.getMap[String, String](0)("__name__"), r.getDouble(2)))
+      assert(rows3.contains(("up", 1.0)))
+      assert(rows3.exists(_._1 == "req_total"))
     } finally server.stop(0)
   }
 
