@@ -297,7 +297,8 @@ object CorpusStats {
   def shardAssign(docs: DataFrame, targetBytes: Long, blockIds: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sized = docs.select(col("doc_id"), col("n_chars").cast("long").as("__len"))
-    val maxId = sized.agg(max(col("doc_id"))).head().getLong(0)
+    val maxRow = sized.agg(max(col("doc_id"))).head()
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) // empty corpus
     // block id-range: the caller's floor, grown so the driver never holds
     // more than 2^16 block totals regardless of corpus size
     val b = math.max(blockIds, (maxId + 1 + 65535) / 65536)
