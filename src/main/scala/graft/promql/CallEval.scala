@@ -452,8 +452,13 @@ object CallEval {
     val bb = toEnrich
       .withColumn("__bi", idCol(col("labels"), "instance"))
       .withColumn("__bj", idCol(col("labels"), "job"))
+    // No broadcast() hint on infoKeyed: its cardinality is targets × steps
+    // (one `target_info` series per target is the operator's normal regime),
+    // so a fleet-wide info() range query would push millions of rows through
+    // the driver. A plain equi-join shuffles both sides on the key; AQE still
+    // promotes to broadcast when the info side is actually small.
     val joined = bb
-      .join(broadcast(infoKeyed),
+      .join(infoKeyed,
         bb("__bi") === infoKeyed("__ii") && bb("__bj") === infoKeyed("__ij") &&
           bb("t") === infoKeyed("t"), "left")
       .drop(infoKeyed("t"))
