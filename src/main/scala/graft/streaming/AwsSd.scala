@@ -1,0 +1,120 @@
+package graft.streaming
+
+/** Shared plumbing for the AWS service-discovery family (ECS / RDS / MSK /
+  * ElastiCache; EC2 and Lightsail predate this file and keep their own).
+  *
+  * Region resolution is DEFERRED from config parse to provider init (ref:
+  * discovery/aws/aws.go loadRegion + the reference's #19037 fix): a
+  * config-only check (`promtool check config` equivalent) must make no
+  * network calls, so an omitted `region` is accepted at parse time and
+  * resolved — config value, then AWS_REGION / AWS_DEFAULT_REGION — on the
+  * first refresh. A refresh that cannot resolve throws, which the SD
+  * manager treats as "keep previous targets" per its provider contract.
+  */
+object AwsSd {
+
+  /** config region → env fallback; throws when unresolvable (first refresh
+    * only — never at YAML parse time, ref aws.go loadRegion) */
+  def resolveRegion(cfgRegion: String,
+      env: Map[String, String] = sys.env): String =
+    if (cfgRegion.nonEmpty) cfgRegion
+    else env.get("AWS_REGION").filter(_.nonEmpty)
+      .orElse(env.get("AWS_DEFAULT_REGION").filter(_.nonEmpty))
+      .getOrElse(throw new IllegalStateException(
+        "could not determine AWS region: not in config or environment"))
+
+  // ------------------------------------------------------------------ XML
+  // The RDS and ElastiCache APIs speak the AWS Query protocol (XML
+  // responses). List members appear either as a named child per item
+  // (older shapes, e.g. <DBClusters><DBCluster>) or as <member> (newer
+  // shapes); both are accepted.
+
+  def parseXml(xml: String): org.w3c.dom.Document = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setExpandEntityReferences(false)
+    f.newDocumentBuilder().parse(
+      new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+  }
+
+  def children(n: org.w3c.dom.Node, name: String): Seq[org.w3c.dom.Element] = {
+    val out = Seq.newBuilder[org.w3c.dom.Element]
+    val kids = n.getChildNodes
+    var i = 0
+    while (i < kids.getLength) {
+      kids.item(i) match {
+        case e: org.w3c.dom.Element if e.getTagName == name => out += e
+        case _ => ()
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  def child(n: org.w3c.dom.Node, name: String): Option[org.w3c.dom.Element] =
+    children(n, name).headOption
+
+  def text(n: org.w3c.dom.Node, name: String): String =
+    children(n, name).headOption.map(_.getTextContent.trim).getOrElse("")
+
+  /** members of wrapper `set`: named `item` children, or `member`, or any
+    * element child (covers <DBClusters><DBCluster> and <.. ><member>) */
+  def items(n: org.w3c.dom.Node, set: String): Seq[org.w3c.dom.Element] =
+    children(n, set).headOption.map { w =>
+      val all = Seq.newBuilder[org.w3c.dom.Element]
+      val kids = w.getChildNodes
+      var i = 0
+      while (i < kids.getLength) {
+        kids.item(i) match {
+          case e: org.w3c.dom.Element => all += e
+          case _ => ()
+        }
+        i += 1
+      }
+      all.result()
+    }.getOrElse(Nil)
+
+  // ----------------------------------------------------------------- JSON
+
+  /** Map accessor helpers over graft.web.JsonLite trees (ECS and MSK are
+    * JSON APIs). */
+  def jObj(v: Any): Map[String, Any] = v match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    case _ => Map.empty
+  }
+  def jArr(v: Any, k: String): Seq[Map[String, Any]] = jObj(v).get(k) match {
+    case Some(l: List[_]) => l.map(jObj)
+    case _ => Nil
+  }
+  def jStrArr(v: Any, k: String): Seq[String] = jObj(v).get(k) match {
+    case Some(l: List[_]) => l.collect { case s: String => s }
+    case _ => Nil
+  }
+  def jStr(m: Map[String, Any], k: String): String = m.get(k) match {
+    case Some(s: String) => s
+    case Some(d: Double) =>
+      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    case Some(b: Boolean) => b.toString
+    case _ => ""
+  }
+  def jOptStr(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).collect { case s: String => s }
+
+  /** ISO timestamp → the reference's RFC3339 rendering (seconds precision,
+    * Z offset — ref rds.go/elasticache.go `Format(time.RFC3339)`) */
+  def rfc3339(v: String): String =
+    try {
+      val inst =
+        try java.time.Instant.parse(v)
+        catch { case _: Exception =>
+          java.time.OffsetDateTime.parse(v).toInstant }
+      java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+        inst.truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
+    } catch { case _: Exception => v }
+
+  /** host:port with IPv6 bracketing (the reference's net.JoinHostPort) */
+  def hostPort(host: String, port: Int): String =
+    if (host.contains(":") && !host.startsWith("[")) s"[$host]:$port"
+    else s"$host:$port"
+}

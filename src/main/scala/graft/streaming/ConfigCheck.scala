@@ -205,7 +205,33 @@ object ConfigCheck {
         }
         // NOTE: an omitted EC2/Lightsail region is VALID — the reference
         // resolves it from the instance metadata at runtime, and promtool's
-        // own corpus pins that (prometheus-aws-sd-empty-region.good.yml)
+        // own corpus pins that (prometheus-aws-sd-empty-region.good.yml).
+        // Same for ecs/rds/msk/elasticache: their UnmarshalYAML defers
+        // region resolution to SD init (ref #19037) so a config-only check
+        // makes no network calls.
+        // ecs: request_concurrency must stay positive when given (it bounds
+        // the provider's API fan-out; ref ecs.go RequestConcurrency)
+        sc.list("ecs_sd_configs").foreach {
+          case ec: YMap =>
+            if (ec.str("request_concurrency").exists(s =>
+                scala.util.Try(s.toInt).toOption.forall(_ <= 0)))
+              errs += s"""$path: job "$job": ecs_sd: request_concurrency must be a positive integer"""
+          case _ => ()
+        }
+        // rds: every filter needs a name and at least one value — they
+        // forward verbatim to DescribeDBInstances (ref rds.go Filters)
+        sc.list("rds_sd_configs").foreach {
+          case rc: YMap =>
+            rc.list("filters").foreach {
+              case f: YMap =>
+                if (f.str("name").forall(_.isEmpty))
+                  errs += s"""$path: job "$job": rds_sd: filter missing a name"""
+                if (f.list("values").isEmpty)
+                  errs += s"""$path: job "$job": rds_sd: filter requires at least one value"""
+              case _ => ()
+            }
+          case _ => ()
+        }
         // hetzner: role required (ref: hetzner.go UnmarshalYAML)
         sc.list("hetzner_sd_configs").foreach {
           case hz: YMap =>

@@ -321,6 +321,10 @@ object Discovery {
       k8sClient: Option[KubernetesSd.ApiClient] = None,
       consulClient: Option[ConsulSd.ApiClient] = None,
       ec2Client: Option[Ec2Sd.ApiClient] = None,
+      ecsClient: Option[EcsSd.ApiClient] = None,
+      rdsClient: Option[RdsSd.ApiClient] = None,
+      mskClient: Option[MskSd.ApiClient] = None,
+      elasticacheClient: Option[ElasticacheSd.ApiClient] = None,
       gceClient: Option[GceSd.ApiClient] = None,
       azureClient: Option[AzureSd.ApiClient] = None,
       dockerClient: Option[DockerSd.ApiClient] = None,
@@ -370,6 +374,26 @@ object Discovery {
       mgr.register(job.jobName, ec2Client match {
         case Some(c) => new Ec2Sd.Ec2Provider(s"ec2/$i", ec, c)
         case None => new Ec2Sd.Ec2Provider(s"ec2/$i", ec)
+      }) }
+    job.ecsSd.zipWithIndex.foreach { case (ec, i) =>
+      mgr.register(job.jobName, ecsClient match {
+        case Some(c) => new EcsSd.EcsProvider(s"ecs/$i", ec, _ => c)
+        case None => new EcsSd.EcsProvider(s"ecs/$i", ec)
+      }) }
+    job.rdsSd.zipWithIndex.foreach { case (rc, i) =>
+      mgr.register(job.jobName, rdsClient match {
+        case Some(c) => new RdsSd.RdsProvider(s"rds/$i", rc, _ => c)
+        case None => new RdsSd.RdsProvider(s"rds/$i", rc)
+      }) }
+    job.mskSd.zipWithIndex.foreach { case (kc, i) =>
+      mgr.register(job.jobName, mskClient match {
+        case Some(c) => new MskSd.MskProvider(s"msk/$i", kc, _ => c)
+        case None => new MskSd.MskProvider(s"msk/$i", kc)
+      }) }
+    job.elasticacheSd.zipWithIndex.foreach { case (cc, i) =>
+      mgr.register(job.jobName, elasticacheClient match {
+        case Some(c) => new ElasticacheSd.ElasticacheProvider(s"elasticache/$i", cc, _ => c)
+        case None => new ElasticacheSd.ElasticacheProvider(s"elasticache/$i", cc)
       }) }
     job.gceSd.zipWithIndex.foreach { case (gc, i) =>
       mgr.register(job.jobName, gceClient match {

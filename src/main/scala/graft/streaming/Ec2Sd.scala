@@ -46,6 +46,17 @@ object Ec2Sd {
         service: String, host: String, body: String,
         nowUtc: java.time.Instant,
         contentType: String = "application/x-www-form-urlencoded; charset=utf-8",
+        extraSigned: Map[String, String] = Map.empty): Map[String, String] =
+      headersFor(accessKey, secretKey, region, service, host,
+        "POST", "/", "", body, nowUtc, contentType, extraSigned)
+
+    /** general form: sign any method/path/query (REST APIs like MSK sign
+      * GETs with a non-root path; `query` must already be canonically
+      * encoded with sorted params or empty) */
+    def headersFor(accessKey: String, secretKey: String, region: String,
+        service: String, host: String, method: String, path: String,
+        query: String, body: String, nowUtc: java.time.Instant,
+        contentType: String = "application/x-www-form-urlencoded; charset=utf-8",
         extraSigned: Map[String, String] = Map.empty): Map[String, String] = {
       val amzDate = java.time.format.DateTimeFormatter
         .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
@@ -58,7 +69,7 @@ object Ec2Sd {
         "x-amz-date" -> amzDate) ++
         extraSigned.map { case (k, v) => k.toLowerCase -> v }).toSeq.sortBy(_._1)
       val signedNames = signedHdrs.map(_._1).mkString(";")
-      val canonical = (Seq("POST", "/", "") ++
+      val canonical = (Seq(method, path, query) ++
         signedHdrs.map { case (k, v) => s"$k:$v" } ++
         Seq("", signedNames, sha256Hex(body))).mkString("\n")
       val scope = s"$date/$region/$service/aws4_request"

@@ -1,0 +1,486 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fake-API specs for the round-12 AWS discovery family (ECS / RDS / MSK /
+  * ElastiCache), pinning the reference's `__meta_*` label sets (ref:
+  * discovery/aws/ecs.go, rds.go, msk.go, elasticache.go buildLabels). */
+class AwsSdSpec extends AnyFunSuite {
+
+  test("aws region resolution defers to refresh: config wins, env falls back, neither throws") {
+    assert(AwsSd.resolveRegion("eu-west-1", Map("AWS_REGION" -> "us-east-1")) == "eu-west-1")
+    assert(AwsSd.resolveRegion("", Map("AWS_REGION" -> "us-east-1")) == "us-east-1")
+    assert(AwsSd.resolveRegion("", Map("AWS_DEFAULT_REGION" -> "ap-south-1")) == "ap-south-1")
+    intercept[IllegalStateException] { AwsSd.resolveRegion("", Map.empty) }
+  }
+
+  // ------------------------------------------------------------------ ECS
+
+  private val ecsFake = new EcsSd.ApiClient {
+    override def listClusters(tok: Option[String]): String = tok match {
+      case None => """{"clusterArns":["arn:aws:ecs:us-east-1:1:cluster/prod"],"nextToken":"p2"}"""
+      case Some("p2") => """{"clusterArns":["arn:aws:ecs:us-east-1:1:cluster/empty"]}"""
+      case other => fail(s"unexpected token $other")
+    }
+    override def describeClusters(arns: Seq[String]): String =
+      """{"clusters":[
+        |  {"clusterArn":"arn:aws:ecs:us-east-1:1:cluster/prod","clusterName":"prod",
+        |   "tags":[{"key":"team","value":"core"}]},
+        |  {"clusterArn":"arn:aws:ecs:us-east-1:1:cluster/empty","clusterName":"empty"}
+        |]}""".stripMargin
+    override def listServices(cluster: String, tok: Option[String]): String =
+      if (cluster.endsWith("/prod"))
+        """{"serviceArns":["arn:aws:ecs:us-east-1:1:service/prod/web"]}"""
+      else """{"serviceArns":[]}"""
+    override def describeServices(cluster: String, arns: Seq[String]): String =
+      """{"services":[{"serviceArn":"arn:aws:ecs:us-east-1:1:service/prod/web",
+        |"serviceName":"web","status":"ACTIVE",
+        |"tags":[{"key":"svc tag","value":"sv"}]}]}""".stripMargin
+    override def listTasks(cluster: String, tok: Option[String]): String =
+      if (cluster.endsWith("/prod"))
+        """{"taskArns":["arn:task/1","arn:task/2","arn:task/3"]}"""
+      else """{"taskArns":[]}"""
+    override def describeTasks(cluster: String, arns: Seq[String]): String =
+      """{"tasks":[
+        |  {"taskArn":"arn:task/1","taskDefinitionArn":"arn:td/web:3",
+        |   "group":"service:web","launchType":"FARGATE","availabilityZone":"us-east-1a",
+        |   "desiredStatus":"RUNNING","lastStatus":"RUNNING","healthStatus":"HEALTHY",
+        |   "platformFamily":"Linux","platformVersion":"1.4.0",
+        |   "attachments":[{"type":"ElasticNetworkInterface","details":[
+        |     {"name":"privateIPv4Address","value":"10.1.0.5"},
+        |     {"name":"subnetId","value":"subnet-a"},
+        |     {"name":"networkInterfaceId","value":"eni-1"}]}],
+        |   "tags":[{"key":"task","value":"t1"}]},
+        |  {"taskArn":"arn:task/2","taskDefinitionArn":"arn:td/batch:1",
+        |   "group":"family:batch","launchType":"EC2","availabilityZone":"us-east-1b",
+        |   "desiredStatus":"RUNNING","lastStatus":"RUNNING","healthStatus":"UNKNOWN",
+        |   "containerInstanceArn":"arn:ci/1"},
+        |  {"taskArn":"arn:task/3","taskDefinitionArn":"arn:td/noip:1",
+        |   "group":"family:noip","launchType":"EC2","availabilityZone":"us-east-1b",
+        |   "desiredStatus":"RUNNING","lastStatus":"PENDING","healthStatus":"UNKNOWN"}
+        |]}""".stripMargin
+    override def describeContainerInstances(cluster: String, arns: Seq[String]): String =
+      """{"containerInstances":[{"containerInstanceArn":"arn:ci/1","ec2InstanceId":"i-0abc"}]}"""
+    override def ec2DescribeInstances(ids: Seq[String]): String =
+      """<DescribeInstancesResponse><reservationSet><item>
+        |  <instancesSet><item>
+        |    <instanceId>i-0abc</instanceId>
+        |    <privateIpAddress>10.1.0.9</privateIpAddress>
+        |    <ipAddress>54.3.2.1</ipAddress>
+        |    <subnetId>subnet-b</subnetId>
+        |    <instanceType>m5.large</instanceType>
+        |    <tagSet><item><key>Name</key><value>ecs-host</value></item></tagSet>
+        |  </item></instancesSet>
+        |</item></reservationSet></DescribeInstancesResponse>""".stripMargin
+    override def ec2DescribeNetworkInterfaces(eniIds: Seq[String]): String =
+      """<DescribeNetworkInterfacesResponse><networkInterfaceSet><item>
+        |  <networkInterfaceId>eni-1</networkInterfaceId>
+        |  <association><publicIp>52.0.0.7</publicIp></association>
+        |</item></networkInterfaceSet></DescribeNetworkInterfacesResponse>""".stripMargin
+  }
+
+  test("ecs SD: awsvpc + bridge tasks, ENI public IP, service/cluster/task/ec2 tags; IP-less task skipped") {
+    val p = new EcsSd.EcsProvider("ecs/0", EcsSd.Config(region = "us-east-1", port = 9100),
+      _ => ecsFake)
+    val groups = p.refresh()
+    assert(groups.map(_.source) == Seq("us-east-1"))
+    val targets = groups.head.targets
+    assert(targets.size == 2) // task/3 has no resolvable IP
+    val (addr1, l1) = targets.find(_._2("__meta_ecs_task_arn") == "arn:task/1").get
+    assert(addr1 == "10.1.0.5:9100")
+    assert(l1 == Map(
+      "__meta_ecs_cluster_arn" -> "arn:aws:ecs:us-east-1:1:cluster/prod",
+      "__meta_ecs_cluster" -> "prod",
+      "__meta_ecs_task_group" -> "service:web",
+      "__meta_ecs_task_arn" -> "arn:task/1",
+      "__meta_ecs_task_definition" -> "arn:td/web:3",
+      "__meta_ecs_ip_address" -> "10.1.0.5",
+      "__meta_ecs_region" -> "us-east-1",
+      "__meta_ecs_launch_type" -> "FARGATE",
+      "__meta_ecs_availability_zone" -> "us-east-1a",
+      "__meta_ecs_desired_status" -> "RUNNING",
+      "__meta_ecs_last_status" -> "RUNNING",
+      "__meta_ecs_health_status" -> "HEALTHY",
+      "__meta_ecs_network_mode" -> "awsvpc",
+      "__meta_ecs_subnet_id" -> "subnet-a",
+      "__meta_ecs_public_ip" -> "52.0.0.7",
+      "__meta_ecs_platform_family" -> "Linux",
+      "__meta_ecs_platform_version" -> "1.4.0",
+      "__meta_ecs_tag_cluster_team" -> "core",
+      "__meta_ecs_service" -> "web",
+      "__meta_ecs_service_arn" -> "arn:aws:ecs:us-east-1:1:service/prod/web",
+      "__meta_ecs_service_status" -> "ACTIVE",
+      "__meta_ecs_tag_service_svc_tag" -> "sv",
+      "__meta_ecs_tag_task_task" -> "t1"))
+    val (addr2, l2) = targets.find(_._2("__meta_ecs_task_arn") == "arn:task/2").get
+    assert(addr2 == "10.1.0.9:9100")
+    assert(l2("__meta_ecs_network_mode") == "bridge")
+    assert(l2("__meta_ecs_ec2_instance_id") == "i-0abc")
+    assert(l2("__meta_ecs_ec2_instance_type") == "m5.large")
+    assert(l2("__meta_ecs_ec2_instance_private_ip") == "10.1.0.9")
+    assert(l2("__meta_ecs_ec2_instance_public_ip") == "54.3.2.1")
+    assert(l2("__meta_ecs_public_ip") == "54.3.2.1")
+    assert(l2("__meta_ecs_subnet_id") == "subnet-b")
+    assert(l2("__meta_ecs_container_instance_arn") == "arn:ci/1")
+    assert(l2("__meta_ecs_tag_ec2_Name") == "ecs-host")
+    assert(!l2.contains("__meta_ecs_service")) // family: task, not a service
+  }
+
+  // ------------------------------------------------------------------ RDS
+
+  private val rdsFake = new RdsSd.ApiClient {
+    override def describeDBClusters(id: Option[String], marker: Option[String]): String =
+      """<DescribeDBClustersResponse><DescribeDBClustersResult><DBClusters><DBCluster>
+        |  <DBClusterArn>arn:aws:rds:eu-west-1:1:cluster:app</DBClusterArn>
+        |  <DBClusterIdentifier>app</DBClusterIdentifier>
+        |  <Engine>aurora-postgresql</Engine>
+        |  <EngineVersion>15.4</EngineVersion>
+        |  <Status>available</Status>
+        |  <Endpoint>app.cluster-x.eu-west-1.rds.amazonaws.com</Endpoint>
+        |  <ReaderEndpoint>app.cluster-ro-x.eu-west-1.rds.amazonaws.com</ReaderEndpoint>
+        |  <Port>5432</Port>
+        |  <MultiAZ>true</MultiAZ>
+        |  <StorageEncrypted>true</StorageEncrypted>
+        |  <ClusterCreateTime>2024-03-01T10:15:30.123Z</ClusterCreateTime>
+        |  <DBClusterMembers>
+        |    <DBClusterMember><DBInstanceIdentifier>app-1</DBInstanceIdentifier>
+        |      <IsClusterWriter>true</IsClusterWriter></DBClusterMember>
+        |    <DBClusterMember><DBInstanceIdentifier>app-2</DBInstanceIdentifier>
+        |      <IsClusterWriter>false</IsClusterWriter></DBClusterMember>
+        |  </DBClusterMembers>
+        |  <TagList><Tag><Key>env</Key><Value>prod</Value></Tag></TagList>
+        |</DBCluster></DBClusters></DescribeDBClustersResult></DescribeDBClustersResponse>""".stripMargin
+    override def describeDBInstances(filters: Seq[(String, Seq[String])],
+        marker: Option[String]): String = {
+      assert(filters.head == ("db-cluster-id" -> Seq("arn:aws:rds:eu-west-1:1:cluster:app")))
+      assert(filters.contains("engine" -> Seq("aurora-postgresql")))
+      """<DescribeDBInstancesResponse><DescribeDBInstancesResult><DBInstances>
+        |<DBInstance>
+        |  <DBInstanceArn>arn:aws:rds:eu-west-1:1:db:app-1</DBInstanceArn>
+        |  <DBInstanceIdentifier>app-1</DBInstanceIdentifier>
+        |  <DBInstanceClass>db.r6g.large</DBInstanceClass>
+        |  <DBInstanceStatus>available</DBInstanceStatus>
+        |  <DbiResourceId>db-AAA</DbiResourceId>
+        |  <Engine>aurora-postgresql</Engine>
+        |  <AvailabilityZone>eu-west-1a</AvailabilityZone>
+        |  <InstanceCreateTime>2024-03-01T10:20:00Z</InstanceCreateTime>
+        |  <Endpoint><Address>app-1.x.eu-west-1.rds.amazonaws.com</Address>
+        |    <Port>5432</Port><HostedZoneId>Z1</HostedZoneId></Endpoint>
+        |  <DBSubnetGroup><DBSubnetGroupName>default-vpc</DBSubnetGroupName></DBSubnetGroup>
+        |  <TagList><Tag><Key>role</Key><Value>writer</Value></Tag></TagList>
+        |</DBInstance>
+        |<DBInstance>
+        |  <DBInstanceArn>arn:aws:rds:eu-west-1:1:db:app-2</DBInstanceArn>
+        |  <DBInstanceIdentifier>app-2</DBInstanceIdentifier>
+        |  <DBInstanceClass>db.r6g.large</DBInstanceClass>
+        |  <DBInstanceStatus>available</DBInstanceStatus>
+        |  <Engine>aurora-postgresql</Engine>
+        |  <Endpoint><Address>app-2.x.eu-west-1.rds.amazonaws.com</Address>
+        |    <Port>5432</Port></Endpoint>
+        |</DBInstance>
+        |</DBInstances></DescribeDBInstancesResult></DescribeDBInstancesResponse>""".stripMargin
+    }
+  }
+
+  test("rds SD: cluster+instance label surface, writer map, RFC3339 times, address = endpoint:config-port") {
+    val p = new RdsSd.RdsProvider("rds/0", RdsSd.Config(region = "eu-west-1",
+      port = 9187, filters = Seq("engine" -> Seq("aurora-postgresql"))), _ => rdsFake)
+    val targets = p.refresh().head.targets
+    assert(targets.size == 2)
+    val (addr1, l1) = targets.head
+    // address = endpoint address : CONFIG port (ref rds.go AddressLabel)
+    assert(addr1 == "app-1.x.eu-west-1.rds.amazonaws.com:9187")
+    // cluster surface (renamed fields: DBClusterArn→arn, identifier)
+    assert(l1("__meta_rds_cluster_arn") == "arn:aws:rds:eu-west-1:1:cluster:app")
+    assert(l1("__meta_rds_cluster_identifier") == "app")
+    assert(l1("__meta_rds_cluster_engine") == "aurora-postgresql")
+    assert(l1("__meta_rds_cluster_reader_endpoint") == "app.cluster-ro-x.eu-west-1.rds.amazonaws.com")
+    assert(l1("__meta_rds_cluster_multi_az") == "true")
+    // sub-second XML timestamp renders reference-style RFC3339
+    assert(l1("__meta_rds_cluster_cluster_create_time") == "2024-03-01T10:15:30Z")
+    assert(l1("__meta_rds_cluster_tag_env") == "prod")
+    // instance surface (renames: arn, identifier, class, status, resource_id)
+    assert(l1("__meta_rds_instance_arn") == "arn:aws:rds:eu-west-1:1:db:app-1")
+    assert(l1("__meta_rds_instance_identifier") == "app-1")
+    assert(l1("__meta_rds_instance_class") == "db.r6g.large")
+    assert(l1("__meta_rds_instance_status") == "available")
+    assert(l1("__meta_rds_instance_resource_id") == "db-AAA")
+    assert(l1("__meta_rds_instance_is_cluster_writer") == "true")
+    assert(l1("__meta_rds_instance_endpoint_address") == "app-1.x.eu-west-1.rds.amazonaws.com")
+    assert(l1("__meta_rds_instance_endpoint_port") == "5432")
+    assert(l1("__meta_rds_instance_endpoint_hosted_zone_id") == "Z1")
+    assert(l1("__meta_rds_instance_subnet_group") == "default-vpc")
+    assert(l1("__meta_rds_instance_instance_create_time") == "2024-03-01T10:20:00Z")
+    assert(l1("__meta_rds_instance_tag_role") == "writer")
+    val (_, l2) = targets(1)
+    assert(l2("__meta_rds_instance_is_cluster_writer") == "false")
+    assert(!l2.contains("__meta_rds_instance_resource_id"))
+  }
+
+  // ------------------------------------------------------------------ MSK
+
+  private val mskFake = new MskSd.ApiClient {
+    override def listClustersV2(tok: Option[String]): String =
+      """{"clusterInfoList":[{
+        |  "clusterArn":"arn:aws:kafka:us-west-2:1:cluster/kfk/abc",
+        |  "clusterName":"kfk","state":"ACTIVE","clusterType":"PROVISIONED",
+        |  "currentVersion":"K3",
+        |  "tags":{"team":"data"},
+        |  "provisioned":{
+        |    "currentBrokerSoftwareInfo":{"configurationArn":"arn:cfg/1",
+        |      "configurationRevision":4,"kafkaVersion":"3.6.0"},
+        |    "openMonitoring":{"prometheus":{
+        |      "jmxExporter":{"enabledInBroker":true},
+        |      "nodeExporter":{"enabledInBroker":false}}}}
+        |}]}""".stripMargin
+    override def describeClusterV2(arn: String): String = fail("not used")
+    override def listNodes(arn: String, tok: Option[String]): String =
+      """{"nodeInfoList":[
+        |  {"nodeARN":"arn:node/b1","addedToClusterTime":"2024-01-05T00:00:00.000Z",
+        |   "instanceType":"kafka.m5.large",
+        |   "brokerNodeInfo":{"attachedENIId":"eni-9","brokerId":1,
+        |     "clientSubnet":"subnet-1","clientVpcIpAddress":"10.9.0.4",
+        |     "endpoints":["b-1.kfk.x.kafka.us-west-2.amazonaws.com",
+        |                  "b-1-public.kfk.x.kafka.us-west-2.amazonaws.com"]}},
+        |  {"nodeARN":"arn:node/c1","instanceType":"kafka.m5.large",
+        |   "controllerNodeInfo":{"endpoints":["c-1.kfk.x.kafka.us-west-2.amazonaws.com"]}},
+        |  {"nodeARN":"arn:node/other"}
+        |]}""".stripMargin
+  }
+
+  test("msk SD: one target per broker/controller endpoint with index labels; unknown node types skipped") {
+    val p = new MskSd.MskProvider("msk/0", MskSd.Config(region = "us-west-2", port = 11001),
+      _ => mskFake)
+    val targets = p.refresh().head.targets
+    assert(targets.size == 3) // 2 broker endpoints + 1 controller endpoint
+    val (a0, b0) = targets.head
+    assert(a0 == "b-1.kfk.x.kafka.us-west-2.amazonaws.com:11001")
+    assert(b0 == Map(
+      "__meta_msk_cluster_name" -> "kfk",
+      "__meta_msk_cluster_arn" -> "arn:aws:kafka:us-west-2:1:cluster/kfk/abc",
+      "__meta_msk_cluster_state" -> "ACTIVE",
+      "__meta_msk_cluster_type" -> "PROVISIONED",
+      "__meta_msk_cluster_version" -> "K3",
+      "__meta_msk_node_arn" -> "arn:node/b1",
+      "__meta_msk_node_added_time" -> "2024-01-05T00:00:00.000Z",
+      "__meta_msk_node_instance_type" -> "kafka.m5.large",
+      "__meta_msk_cluster_configuration_arn" -> "arn:cfg/1",
+      "__meta_msk_cluster_configuration_revision" -> "4",
+      "__meta_msk_cluster_kafka_version" -> "3.6.0",
+      "__meta_msk_cluster_jmx_exporter_enabled" -> "true",
+      "__meta_msk_cluster_tag_team" -> "data",
+      "__meta_msk_node_type" -> "BROKER",
+      "__meta_msk_node_attached_eni" -> "eni-9",
+      "__meta_msk_broker_id" -> "1",
+      "__meta_msk_broker_client_subnet" -> "subnet-1",
+      "__meta_msk_broker_client_vpc_ip" -> "10.9.0.4",
+      "__meta_msk_broker_node_exporter_enabled" -> "false",
+      "__meta_msk_broker_endpoint_index" -> "0"))
+    assert(targets(1)._2("__meta_msk_broker_endpoint_index") == "1")
+    val (a2, c) = targets(2)
+    assert(a2 == "c-1.kfk.x.kafka.us-west-2.amazonaws.com:11001")
+    assert(c("__meta_msk_node_type") == "CONTROLLER")
+    assert(c("__meta_msk_controller_endpoint_index") == "0")
+    assert(!c.contains("__meta_msk_broker_id"))
+  }
+
+  test("msk SD: configured ARNs describe individually and drop non-provisioned clusters") {
+    val fake = new MskSd.ApiClient {
+      override def listClustersV2(tok: Option[String]): String = fail("not used")
+      override def describeClusterV2(arn: String): String =
+        if (arn.endsWith("sls"))
+          """{"clusterInfo":{"clusterArn":"arn:sls","clusterType":"SERVERLESS"}}"""
+        else
+          """{"clusterInfo":{"clusterArn":"arn:prov","clusterName":"p",
+            |"state":"ACTIVE","clusterType":"PROVISIONED","currentVersion":"K1",
+            |"provisioned":{"currentBrokerSoftwareInfo":{"kafkaVersion":"3.5.1"}}}}""".stripMargin
+      override def listNodes(arn: String, tok: Option[String]): String = {
+        assert(arn == "arn:prov") // serverless cluster must not be listed
+        """{"nodeInfoList":[{"nodeARN":"arn:n","brokerNodeInfo":{"brokerId":2,"endpoints":["b:9092"]}}]}"""
+      }
+    }
+    val p = new MskSd.MskProvider("msk/0",
+      MskSd.Config(region = "us-west-2", clusters = Seq("arn:sls", "arn:prov")), _ => fake)
+    val targets = p.refresh().head.targets
+    assert(targets.size == 1)
+    assert(targets.head._2("__meta_msk_broker_id") == "2")
+  }
+
+  // ------------------------------------------------------------ ElastiCache
+
+  private val cacheFake = new ElasticacheSd.ApiClient {
+    override def describeServerlessCaches(name: Option[String], tok: Option[String]): String =
+      """<DescribeServerlessCachesResponse><DescribeServerlessCachesResult>
+        |<ServerlessCaches><member>
+        |  <ARN>arn:aws:elasticache:us-east-2:1:serverlesscache:svc</ARN>
+        |  <ServerlessCacheName>svc</ServerlessCacheName>
+        |  <Status>available</Status>
+        |  <Engine>valkey</Engine>
+        |  <FullEngineVersion>7.2</FullEngineVersion>
+        |  <MajorEngineVersion>7</MajorEngineVersion>
+        |  <CreateTime>2024-06-01T00:00:00.500Z</CreateTime>
+        |  <Endpoint><Address>svc.serverless.use2.cache.amazonaws.com</Address><Port>6379</Port></Endpoint>
+        |  <ReaderEndpoint><Address>svc-ro.serverless.use2.cache.amazonaws.com</Address><Port>6380</Port></ReaderEndpoint>
+        |  <SecurityGroupIds><member>sg-1</member><member>sg-2</member></SecurityGroupIds>
+        |  <SubnetIds><member>subnet-9</member></SubnetIds>
+        |  <CacheUsageLimits>
+        |    <DataStorage><Maximum>100</Maximum><Unit>GB</Unit></DataStorage>
+        |    <ECPUPerSecond><Maximum>5000</Maximum></ECPUPerSecond>
+        |  </CacheUsageLimits>
+        |</member></ServerlessCaches>
+        |</DescribeServerlessCachesResult></DescribeServerlessCachesResponse>""".stripMargin
+    override def describeCacheClusters(id: Option[String],
+        notInRg: Boolean, marker: Option[String]): String =
+      if (notInRg) // second sweep returns nothing — no duplicated targets
+        """<DescribeCacheClustersResponse><DescribeCacheClustersResult>
+          |<CacheClusters/></DescribeCacheClustersResult></DescribeCacheClustersResponse>""".stripMargin
+      else
+        """<DescribeCacheClustersResponse><DescribeCacheClustersResult>
+          |<CacheClusters><CacheCluster>
+          |  <ARN>arn:aws:elasticache:us-east-2:1:cluster:red-001</ARN>
+          |  <CacheClusterId>red-001</CacheClusterId>
+          |  <CacheClusterStatus>available</CacheClusterStatus>
+          |  <CacheNodeType>cache.t3.micro</CacheNodeType>
+          |  <Engine>redis</Engine>
+          |  <EngineVersion>7.1.0</EngineVersion>
+          |  <NumCacheNodes>2</NumCacheNodes>
+          |  <ReplicationGroupId>red</ReplicationGroupId>
+          |  <TransitEncryptionEnabled>false</TransitEncryptionEnabled>
+          |  <CacheClusterCreateTime>2024-02-02T08:00:00Z</CacheClusterCreateTime>
+          |  <CacheParameterGroup><CacheParameterGroupName>default.redis7</CacheParameterGroupName></CacheParameterGroup>
+          |  <SecurityGroups><member><SecurityGroupId>sg-7</SecurityGroupId><Status>active</Status></member></SecurityGroups>
+          |  <CacheNodes>
+          |    <CacheNode><CacheNodeId>0001</CacheNodeId><CacheNodeStatus>available</CacheNodeStatus>
+          |      <CacheNodeCreateTime>2024-02-02T08:05:00Z</CacheNodeCreateTime>
+          |      <CustomerAvailabilityZone>us-east-2a</CustomerAvailabilityZone>
+          |      <Endpoint><Address>red-001-0001.use2.cache.amazonaws.com</Address><Port>6379</Port></Endpoint>
+          |    </CacheNode>
+          |    <CacheNode><CacheNodeId>0002</CacheNodeId><CacheNodeStatus>available</CacheNodeStatus>
+          |      <Endpoint><Address>red-001-0002.use2.cache.amazonaws.com</Address><Port>6379</Port></Endpoint>
+          |    </CacheNode>
+          |  </CacheNodes>
+          |</CacheCluster></CacheClusters>
+          |</DescribeCacheClustersResult></DescribeCacheClustersResponse>""".stripMargin
+    override def listTagsForResource(arn: String): String =
+      if (arn.contains("serverlesscache"))
+        """<ListTagsForResourceResponse><ListTagsForResourceResult><TagList>
+          |<Tag><Key>owner</Key><Value>cache-team</Value></Tag>
+          |</TagList></ListTagsForResourceResult></ListTagsForResourceResponse>""".stripMargin
+      else
+        """<ListTagsForResourceResponse><ListTagsForResourceResult><TagList>
+          |<Tag><Key>tier</Key><Value>hot</Value></Tag>
+          |</TagList></ListTagsForResourceResult></ListTagsForResourceResponse>""".stripMargin
+  }
+
+  test("elasticache SD: serverless cache + per-node cluster targets, tags, RFC3339 times") {
+    val p = new ElasticacheSd.ElasticacheProvider("elasticache/0",
+      ElasticacheSd.Config(region = "us-east-2"), _ => cacheFake)
+    val targets = p.refresh().head.targets
+    assert(targets.size == 3) // 1 serverless + 2 cache nodes
+    val (sa, sl) = targets.head
+    assert(sa == "svc.serverless.use2.cache.amazonaws.com:6379")
+    assert(sl("__meta_elasticache_deployment_option") == "serverless")
+    assert(sl("__meta_elasticache_serverless_cache_name") == "svc")
+    assert(sl("__meta_elasticache_serverless_cache_engine") == "valkey")
+    assert(sl("__meta_elasticache_serverless_cache_create_time") == "2024-06-01T00:00:00Z")
+    assert(sl("__meta_elasticache_serverless_cache_endpoint_address") == "svc.serverless.use2.cache.amazonaws.com")
+    assert(sl("__meta_elasticache_serverless_cache_endpoint_reader_port") == "6380")
+    assert(sl("__meta_elasticache_serverless_cache_security_group_id_0") == "sg-1")
+    assert(sl("__meta_elasticache_serverless_cache_security_group_id_1") == "sg-2")
+    assert(sl("__meta_elasticache_serverless_cache_subnet_id_0") == "subnet-9")
+    assert(sl("__meta_elasticache_serverless_cache_cache_usage_limit_data_storage_maximum") == "100")
+    assert(sl("__meta_elasticache_serverless_cache_cache_usage_limit_data_storage_unit") == "GB")
+    assert(sl("__meta_elasticache_serverless_cache_cache_usage_limit_ecpu_per_second_maximum") == "5000")
+    assert(sl("__meta_elasticache_serverless_cache_tag_owner") == "cache-team")
+
+    val (na, nl) = targets(1)
+    assert(na == "red-001-0001.use2.cache.amazonaws.com:6379")
+    assert(nl("__meta_elasticache_deployment_option") == "node")
+    assert(nl("__meta_elasticache_cache_cluster_cache_cluster_id") == "red-001")
+    assert(nl("__meta_elasticache_cache_cluster_cache_node_type") == "cache.t3.micro")
+    assert(nl("__meta_elasticache_cache_cluster_cache_parameter_group") == "default.redis7")
+    assert(nl("__meta_elasticache_cache_cluster_replication_group_id") == "red")
+    assert(nl("__meta_elasticache_cache_cluster_security_group_membership_id_0") == "sg-7")
+    assert(nl("__meta_elasticache_cache_cluster_security_group_membership_status_0") == "active")
+    assert(nl("__meta_elasticache_cache_cluster_tag_tier") == "hot")
+    assert(nl("__meta_elasticache_cache_cluster_node_id") == "0001")
+    assert(nl("__meta_elasticache_cache_cluster_node_availability_zone") == "us-east-2a")
+    assert(nl("__meta_elasticache_cache_cluster_node_create_time") == "2024-02-02T08:05:00Z")
+    assert(nl("__meta_elasticache_cache_cluster_node_endpoint_address") == "red-001-0001.use2.cache.amazonaws.com")
+    assert(targets(2)._2("__meta_elasticache_cache_cluster_node_id") == "0002")
+  }
+
+  test("elasticache SD: configured ARNs split by resource type; invalid ARNs skipped") {
+    val (sls, rg) = ElasticacheSd.splitDeploymentOptions(Seq(
+      "arn:aws:elasticache:us-east-2:1:serverlesscache:svc",
+      "arn:aws:elasticache:us-east-2:1:replicationgroup:red",
+      "arn:aws:elasticache:us-east-2:1:snapshot:nope",
+      "garbage", ""))
+    assert(sls == Seq("svc"))
+    assert(rg == Seq("red"))
+  }
+
+  // ---------------------------------------------------------------- config
+
+  test("config: the four aws sd sections parse; rds filters validate in ConfigCheck") {
+    val cfg = Config.parse(
+      """scrape_configs:
+        |  - job_name: aws
+        |    ecs_sd_configs:
+        |      - region: us-east-1
+        |        port: 9100
+        |        clusters: ["arn:c1"]
+        |        request_concurrency: 5
+        |    rds_sd_configs:
+        |      - region: eu-west-1
+        |        filters:
+        |          - name: engine
+        |            values: [aurora-postgresql]
+        |    msk_sd_configs:
+        |      - port: 11001
+        |    elasticache_sd_configs:
+        |      - region: us-east-2
+        |""".stripMargin).scrapeJobs.head
+    assert(cfg.ecsSd == Seq(EcsSd.Config("us-east-1", 9100,
+      clusters = Seq("arn:c1"), requestConcurrency = 5)))
+    assert(cfg.rdsSd == Seq(RdsSd.Config("eu-west-1",
+      filters = Seq("engine" -> Seq("aurora-postgresql")))))
+    assert(cfg.mskSd == Seq(MskSd.Config("", 11001))) // region deferred (#19037)
+    assert(cfg.elasticacheSd == Seq(ElasticacheSd.Config("us-east-2")))
+
+    val dir = java.nio.file.Files.createTempDirectory("awssd").toFile
+    val good = new java.io.File(dir, "good.yml")
+    java.nio.file.Files.writeString(good.toPath,
+      """scrape_configs:
+        |  - job_name: aws
+        |    ecs_sd_configs:
+        |      - port: 9100
+        |    msk_sd_configs:
+        |      - port: 11001
+        |    elasticache_sd_configs:
+        |      - port: 9121
+        |    rds_sd_configs:
+        |      - filters:
+        |          - name: engine
+        |            values:
+        |              - mysql
+        |""".stripMargin)
+    assert(ConfigCheck.checkConfig(good.getPath).errors.isEmpty) // region-less = valid, no network
+    val bad = new java.io.File(dir, "bad.yml")
+    java.nio.file.Files.writeString(bad.toPath,
+      """scrape_configs:
+        |  - job_name: aws
+        |    ecs_sd_configs:
+        |      - request_concurrency: 0
+        |    rds_sd_configs:
+        |      - filters:
+        |          - name: ""
+        |          - values:
+        |              - x
+        |""".stripMargin)
+    val errs = ConfigCheck.checkConfig(bad.getPath).errors
+    assert(errs.exists(_.contains("request_concurrency")))
+    assert(errs.count(_.contains("filter missing a name")) == 2)
+    assert(errs.count(_.contains("at least one value")) == 1)
+  }
+}
