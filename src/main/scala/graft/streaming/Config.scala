@@ -28,6 +28,10 @@ object Config {
       kubernetesSd: Seq[KubernetesSd.Config] = Nil,
       consulSd: Seq[ConsulSd.Config] = Nil,
       ec2Sd: Seq[Ec2Sd.Config] = Nil,
+      ecsSd: Seq[EcsSd.Config] = Nil,
+      rdsSd: Seq[RdsSd.Config] = Nil,
+      mskSd: Seq[MskSd.Config] = Nil,
+      elasticacheSd: Seq[ElasticacheSd.Config] = Nil,
       gceSd: Seq[GceSd.Config] = Nil,
       azureSd: Seq[AzureSd.Config] = Nil,
       dockerSd: Seq[DockerSd.Config] = Nil,
@@ -82,7 +86,12 @@ object Config {
       enableCompression: Boolean = true,
       // classic → NHCB native conversion at scrape time (ref: ScrapeConfig
       // ConvertClassicHistogramsToNHCB; global default)
-      convertNhcb: Boolean = false)
+      convertNhcb: Boolean = false,
+      // ingest native histograms from protobuf scrapes (ref: ScrapeConfig
+      // ScrapeNativeHistograms, default false in 3.x; also selects
+      // proto-first protocol negotiation). Pool default for the per-target
+      // __scrape_native_histograms__ relabel override.
+      scrapeNativeHistograms: Boolean = false)
 
   /** one `alerting.alertmanagers` group (ref: config/config.go:1330
     * AlertmanagerConfig): target discovery + relabel_configs live on the
@@ -331,6 +340,56 @@ object Config {
           str(ec, "endpoint"),
           ec.str("refresh_interval").map(durMs).getOrElse(60000L))
       }.filter(_.region.nonEmpty)
+      // ecs_sd_configs (ref: discovery/aws/ecs.go ECSSDConfig; region may be
+      // omitted — resolution deferred to SD init per reference #19037)
+      val ecsSd = m.list("ecs_sd_configs").collect { case ec: YMap =>
+        EcsSd.Config(
+          str(ec, "region"),
+          ec.str("port").map(_.toInt).getOrElse(80),
+          str(ec, "access_key"),
+          str(ec, "secret_key"),
+          str(ec, "endpoint"),
+          strList(ec.get("clusters")),
+          ec.str("request_concurrency").map(_.toInt).getOrElse(20),
+          ec.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }
+      // rds_sd_configs (ref: discovery/aws/rds.go RDSSDConfig; `filters`
+      // forward to DescribeDBInstances, reference feature #18859)
+      val rdsSd = m.list("rds_sd_configs").collect { case rc: YMap =>
+        RdsSd.Config(
+          str(rc, "region"),
+          rc.str("port").map(_.toInt).getOrElse(80),
+          str(rc, "access_key"),
+          str(rc, "secret_key"),
+          str(rc, "endpoint"),
+          strList(rc.get("clusters")),
+          rc.list("filters").collect { case f: YMap =>
+            (str(f, "name"), strList(f.get("values")))
+          },
+          rc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }
+      // msk_sd_configs (ref: discovery/aws/msk.go MSKSDConfig)
+      val mskSd = m.list("msk_sd_configs").collect { case kc: YMap =>
+        MskSd.Config(
+          str(kc, "region"),
+          kc.str("port").map(_.toInt).getOrElse(80),
+          str(kc, "access_key"),
+          str(kc, "secret_key"),
+          str(kc, "endpoint"),
+          strList(kc.get("clusters")),
+          kc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }
+      // elasticache_sd_configs (ref: discovery/aws/elasticache.go)
+      val elasticacheSd = m.list("elasticache_sd_configs").collect { case cc: YMap =>
+        ElasticacheSd.Config(
+          str(cc, "region"),
+          cc.str("port").map(_.toInt).getOrElse(80),
+          str(cc, "access_key"),
+          str(cc, "secret_key"),
+          str(cc, "endpoint"),
+          strList(cc.get("clusters")),
+          cc.str("refresh_interval").map(durMs).getOrElse(60000L))
+      }
       // gce_sd_configs (ref: discovery/gce/gce.go SDConfig)
       val gceSd = m.list("gce_sd_configs").collect { case gc: YMap =>
         GceSd.Config(
@@ -580,7 +639,8 @@ object Config {
           m.str("body_size_limit").map(ScrapeManager.parseBytes).getOrElse(0L),
           m.str("target_limit").map(_.toLong).getOrElse(0L)),
         m.str("honor_labels").contains("true"),
-        dnsSd, httpSd, k8sSd, consulSd, ec2Sd, gceSd, azureSd, dockerSd,
+        dnsSd, httpSd, k8sSd, consulSd, ec2Sd, ecsSd, rdsSd, mskSd,
+        elasticacheSd, gceSd, azureSd, dockerSd,
         doSd, hetznerSd, openstackSd, eurekaSd, nomadSd, marathonSd, puppetdbSd,
         linodeSd, vultrSd, scalewaySd, lightsailSd,
         dockerswarmSd, tritonSd, ovhcloudSd, ionosSd,
@@ -617,6 +677,9 @@ object Config {
         enableCompression = !m.str("enable_compression").contains("false"),
         convertNhcb = m.str("convert_classic_histograms_to_nhcb")
           .orElse(global.str("convert_classic_histograms_to_nhcb"))
+          .contains("true"),
+        scrapeNativeHistograms = m.str("scrape_native_histograms")
+          .orElse(global.str("scrape_native_histograms"))
           .contains("true"))
     }
     val jobs = root.list("scrape_configs").collect { case m: YMap =>

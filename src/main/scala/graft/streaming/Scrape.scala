@@ -62,6 +62,15 @@ final class ScrapeManager(
   private val seriesSeen =
     scala.collection.concurrent.TrieMap[String, Set[Long]]()
   private def seriesKey(job: String, url: String): String = job + "\u0000" + url
+  // 64-bit FNV-1a over the sorted label string: a 32-bit String.hashCode
+  // collides at realistic per-target series counts (~2^16 birthday bound)
+  // and would undercount scrape_series_added by conflating distinct series
+  private def series64(str: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < str.length) { h ^= str.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
 
   import ScrapeManager.ScrapeTarget
 
@@ -230,8 +239,23 @@ final class ScrapeManager(
           val bytes = inflate(resp) // body_size_limit is on UNCOMPRESSED bytes
           if (limits.bodySizeLimit > 0 && bytes.length > limits.bodySizeLimit)
             (ProtoExposition.Parsed(Nil, Map.empty), -1L, false)
-          else (ProtoExposition.parse(bytes, t0, alwaysClassicHist),
-            bytes.length.toLong, true)
+          else {
+            // per-target overrides win over pool config (ref: scrape.go
+            // newScrapeLoop opts via target.boolLabel — #18929/#18840)
+            val effAlwaysClassic =
+              tgt.alwaysClassicOverride.getOrElse(alwaysClassicHist)
+            val keepNative = tgt.nativeHistOverride.getOrElse(true)
+            // __scrape_native_histograms__=false on a proto target keeps
+            // the classic representation and drops native samples (ref:
+            // scrape.go IgnoreNativeHistograms = !enableNativeHistogram
+            // Scraping — classic series still scrape as before)
+            val p0 = ProtoExposition.parse(bytes, t0,
+              alwaysClassic = effAlwaysClassic || !keepNative)
+            val p =
+              if (keepNative) p0
+              else p0.copy(samples = p0.samples.filter(_.h.isEmpty))
+            (p, bytes.length.toLong, true)
+          }
         }
       } catch { case _: Exception => (ProtoExposition.Parsed(Nil, Map.empty), 0L, false) }
     val dur = (nowMs() - t0) / 1000.0
@@ -258,7 +282,7 @@ final class ScrapeManager(
     val tgtKey = seriesKey(tgt.job, tgt.url)
     val nowSeries: Set[Long] =
       postLabels.iterator.map(ls =>
-        ls.toSeq.sorted.mkString("\u0001").hashCode.toLong).toSet
+        series64(ls.toSeq.sorted.mkString("\u0001"))).toSet
     val seriesAdded =
       if (!effOk) 0L
       else {
@@ -310,10 +334,22 @@ final class ScrapeManager(
     * `_created` series themselves are consumed, not ingested (the
     * reference's WithOMParserSTSeriesSkipped). Zeros only inject when
     * 0 < ct < sample ts. */
-  private def stZeroRows(recs: Seq[OpenMetrics.OMRow])
+  private def stZeroRows(recs: Seq[OpenMetrics.OMRow],
+      famTypes: Map[String, String])
       : (Seq[(OpenMetrics.OMRow, Long)], Seq[(Map[String, String], Long, Double)]) = {
-    val (created, rest) = recs.partition(
-      _.labels.getOrElse("__name__", "").endsWith("_created"))
+    // `_created` consumption is gated on the family's parsed TYPE — only
+    // counter/summary/histogram families carry created timestamps in OM, so
+    // a genuine metric that merely ends in _created (unknown/gauge TYPE)
+    // stays an ordinary ingested series (ref: the OM parser's CreatedTimestamp
+    // resolves created lines against typed metric families, not by suffix)
+    val createdTyped = Set("counter", "summary", "histogram", "gaugehistogram")
+    def isCreatedLine(name: String): Boolean =
+      name.endsWith("_created") && {
+        val base = name.stripSuffix("_created")
+        famTypes.get(base).exists(createdTyped)
+      }
+    val (created, rest) = recs.partition(r =>
+      isCreatedLine(r.labels.getOrElse("__name__", "")))
     if (created.isEmpty) return (rest.map((_, 0L)), Nil)
     // (family base, identity labels) → created ms; OM created values are
     // unix SECONDS (possibly fractional)
@@ -374,10 +410,13 @@ final class ScrapeManager(
             (!ct.startsWith("text/plain") && !ct.startsWith("application/") &&
               fallbackProtocol.startsWith("OpenMetricsText"))
           if (openMetrics) {
-            val recs0 = lines.flatMap(OpenMetrics.parseLine(_, defaultTs))
-              .filter(_.kind == 0)
+            val all = lines.flatMap(OpenMetrics.parseLine(_, defaultTs))
+            val recs0 = all.filter(_.kind == 0)
+            lazy val famTypes = all.filter(r => r.kind != 0 && r.metaKey == "type")
+              .map(r => r.family -> r.metaVal).toMap
             val (recs, zeros) =
-              if (stZeroIngestion) stZeroRows(recs0) else (recs0.map((_, 0L)), Nil)
+              if (stZeroIngestion) stZeroRows(recs0, famTypes)
+              else (recs0.map((_, 0L)), Nil)
             (recs.map { case (r, stt) => (r.labels, r.t, r.v, stt) },
               // scrape-time exemplar ingestion (ref: scrape/scrape.go append
               // → appender.AppendExemplar keyed on the sample's series)
@@ -423,7 +462,9 @@ final class ScrapeManager(
       case (a, b) => a.orElse(b)
     }
     val scraped =
-      if (convertNhcb) scraped0.map(Ingest.classicToNhcb) else scraped0
+      if (tgt.convertNhcbOverride.getOrElse(convertNhcb))
+        scraped0.map(Ingest.classicToNhcb)
+      else scraped0
     // post-relabel label sets (see scrapeProto: append-time
     // verifyLabelLimits); limits count the SCRAPED series — synthesized
     // NHCB natives don't count against sample_limit
@@ -438,7 +479,7 @@ final class ScrapeManager(
     val tgtKey = seriesKey(tgt.job, tgt.url)
     val nowSeries: Set[Long] =
       postLabels.iterator.map(ls =>
-        ls.toSeq.sorted.mkString("\u0001").hashCode.toLong).toSet
+        series64(ls.toSeq.sorted.mkString("\u0001"))).toSet
     val seriesAdded =
       if (!effOk) 0L
       else {
@@ -624,7 +665,15 @@ object ScrapeManager {
       openMetrics: Boolean = false,
       proto: Boolean = false,
       extraLabels: Map[String, String] = Map.empty,
-      honorLabels: Boolean = false)
+      honorLabels: Boolean = false,
+      // per-target scrape-config overrides set by relabeling the internal
+      // __scrape_native_histograms__ / __always_scrape_classic_histograms__ /
+      // __convert_classic_histograms_to_nhcb__ labels (ref: scrape/target.go
+      // boolLabel + scrape.go newScrapeLoop opts; reference #18929/#18840) —
+      // None = inherit the pool's config value
+      nativeHistOverride: Option[Boolean] = None,
+      alwaysClassicOverride: Option[Boolean] = None,
+      convertNhcbOverride: Option[Boolean] = None)
 
   /** Parse a file-SD target file — a JSON array or YAML list of target
     * groups `{labels: {...}, targets: [host:port, ...]}` (ref:
@@ -719,11 +768,24 @@ object ScrapeManager {
     pairs.map(_._1).distinct.map(k => k -> pairs.collect { case (`k`, v) => v })
   }
 
-  def discoveryLabelSet(tgt: ScrapeTarget): Map[String, String] = {
+  /** names of the per-target scrape-option labels (ref: scrape/target.go
+    * scrapeNativeHistogramsLabel etc.) in (native, alwaysClassic,
+    * convertNHCB) order */
+  val scrapeOptionLabels: Seq[String] = Seq(
+    "__scrape_native_histograms__",
+    "__always_scrape_classic_histograms__",
+    "__convert_classic_histograms_to_nhcb__")
+
+  def discoveryLabelSet(tgt: ScrapeTarget,
+      scrapeDefaults: Map[String, String] = Map.empty): Map[String, String] = {
     val uri = java.net.URI.create(tgt.url)
     val addr = uri.getHost + (if (uri.getPort != -1) s":${uri.getPort}" else "")
     val path0 = Option(uri.getPath).filter(_.nonEmpty).getOrElse("/metrics")
-    Map(
+    // pool-config scrape options pre-populate their internal labels so
+    // relabel rules can read AND rewrite them per target (ref:
+    // scrape/target.go PopulateDiscoveredLabels scrapeLabels — set only
+    // when the target doesn't already carry the label)
+    scrapeDefaults ++ Map(
       "__address__" -> addr,
       "__scheme__" -> Option(uri.getScheme).getOrElse("http"),
       "__metrics_path__" -> path0,
@@ -736,17 +798,43 @@ object ScrapeManager {
       tgt.extraLabels
   }
 
-  def relabelTarget(tgt: ScrapeTarget, rules: Seq[Relabel.Rule]): Option[ScrapeTarget] = {
+  /** post-relabel values of the three scrape-option labels → per-target
+    * overrides; an unparsable bool fails the target (ref: target.go
+    * PopulateLabels ParseBool error → target rejected). Returns None on
+    * invalid, Some(overrides) otherwise. */
+  private def scrapeOverrides(out: Map[String, String])
+      : Option[Seq[Option[Boolean]]] = {
+    val parsed = scrapeOptionLabels.map { l =>
+      out.get(l).filter(_.nonEmpty) match {
+        case None => Some(None)
+        case Some("true") => Some(Some(true))
+        case Some("false") => Some(Some(false))
+        case Some(_) => None // invalid bool
+      }
+    }
+    if (parsed.contains(None)) None else Some(parsed.map(_.get))
+  }
+
+  def relabelTarget(tgt: ScrapeTarget, rules: Seq[Relabel.Rule],
+      scrapeDefaults: Map[String, String] = Map.empty): Option[ScrapeTarget] = {
     // the __-prefixed strip happens whether or not relabel rules exist —
     // __meta_* SD labels never reach samples (ref: scrape/target.go
     // PopulateLabels deletes MetaLabelPrefix labels unconditionally)
-    if (rules.isEmpty)
-      return Some(tgt.copy(extraLabels = tgt.extraLabels.filter {
-        case (k, _) => !k.startsWith("__") }))
+    if (rules.isEmpty) {
+      val merged = scrapeDefaults ++ tgt.extraLabels
+      return scrapeOverrides(merged).map { case Seq(nh, ac, cn) =>
+        tgt.copy(extraLabels = tgt.extraLabels.filter {
+          case (k, _) => !k.startsWith("__") },
+          nativeHistOverride = nh, alwaysClassicOverride = ac,
+          convertNhcbOverride = cn)
+      }
+    }
     val uri = java.net.URI.create(tgt.url)
     val addr = uri.getHost + (if (uri.getPort != -1) s":${uri.getPort}" else "")
-    val base = discoveryLabelSet(tgt)
-    Relabel.applyToMap(base, rules).map { out =>
+    val base = discoveryLabelSet(tgt, scrapeDefaults)
+    Relabel.applyToMap(base, rules).flatMap { out =>
+      scrapeOverrides(out).map(ovr => (out, ovr))
+    }.map { case (out, Seq(nh, ac, cn)) =>
       val scheme = out.getOrElse("__scheme__", "http")
       val p0 = out.getOrElse("__metrics_path__", "/metrics")
       val p = if (p0.startsWith("/")) p0 else "/" + p0
@@ -769,7 +857,9 @@ object ScrapeManager {
         job = out.getOrElse("job", tgt.job),
         instance = out.get("instance").filter(_.nonEmpty).getOrElse(addr2),
         extraLabels = (out -- Seq("job", "instance"))
-          .filter { case (k, _) => !k.startsWith("__") })
+          .filter { case (k, _) => !k.startsWith("__") },
+        nativeHistOverride = nh, alwaysClassicOverride = ac,
+        convertNhcbOverride = cn)
     }
   }
 }

@@ -35,7 +35,10 @@ final class PromServer(
     extraScrapeMetrics: Boolean = false,
     // --config.auto-reload interval (0 = disabled; ref main.go
     // --config.auto-reload-interval, default 30s, floor 1s)
-    autoReloadMs: Long = 0L) {
+    autoReloadMs: Long = 0L,
+    // --enable-feature=promql-per-step-stats (ref: main.go → engine
+    // EnablePerStepStats; stats=all then carries the per-step arrays)
+    perStepStats: Boolean = false) {
 
   /** SD manager shared by every scrape pool (ref: discovery/manager.go) */
   val discovery = new Discovery.Manager(nowMs)
@@ -44,7 +47,7 @@ final class PromServer(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Engine.samplesSchema)
   val store = new graft.web.SampleStore(spark, emptyDf)
   val api = new graft.web.HttpApi(spark, store, port, nowMs, limits, agentMode,
-    webConfigFile)
+    webConfigFile, perStepStats)
   // console templates + external URL (ref: --web.console.templates /
   // --web.console.libraries / --web.external-url flags)
   api.consoleTemplatesPath = consoleTemplates
@@ -177,8 +180,15 @@ final class PromServer(
           val discovered = discovery
             .targetsFor(job.jobName, job.jobName, job.scheme, job.metricsPath)
             .map(_.copy(honorLabels = job.honorLabels))
+          // pool-config scrape options seed the per-target override labels
+          // so relabel rules can flip them target-by-target (ref:
+          // target.go PopulateDiscoveredLabels scrapeLabels, #18929/#18840)
+          val scrapeDefaults = Map(
+            "__scrape_native_histograms__" -> job.scrapeNativeHistograms.toString,
+            "__always_scrape_classic_histograms__" -> job.alwaysClassicHist.toString,
+            "__convert_classic_histograms_to_nhcb__" -> job.convertNhcb.toString)
           val (kept, droppedNow) = discovered
-            .map(t => t -> ScrapeManager.relabelTarget(t, job.relabel))
+            .map(t => t -> ScrapeManager.relabelTarget(t, job.relabel, scrapeDefaults))
             .partition(_._2.isDefined)
           // relabel-dropped targets stay visible with their discovered
           // labels, capped per pool by keep_dropped_targets (0 = unlimited;

@@ -234,6 +234,9 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
         |lat_created 40
         |# TYPE other counter
         |other_total 3
+        |# TYPE widgets_created gauge
+        |widgets_created 12
+        |orphans_created 9
         |# EOF
         |""".stripMargin
     val server = com.sun.net.httpserver.HttpServer.create(
@@ -277,16 +280,21 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
       assert(!on.exists(_._1.startsWith("lat_created")))
       // a family without _created gets no zero
       assert(on.count(_._1 == "other_total") == 1)
+      // a genuine metric merely NAMED *_created is not consumed: the gauge
+      // TYPE (or no TYPE at all) fails the counter/summary/histogram gate
+      // and the sample ingests as an ordinary series
+      assert(on.contains(("widgets_created", 60000L, 12.0)))
+      assert(on.contains(("orphans_created", 60000L, 9.0)))
       // flag off (default): _created ingests as an ordinary series, no zeros
       val off = run(st = false)
       assert(off.contains(("/a,req_created", 60000L, 50.5)))
       assert(!off.exists(x => x._2 == 50500L))
       // injected zeros bypass sample_limit (ref: AppendSTZeroSample is
-      // outside the added counters): 5 real samples + 4 zeros pass limit=5
+      // outside the added counters): 7 real samples + 4 zeros pass limit=7
       val store3 = emptyStoreS()
       new ScrapeManager(spark, store3, tgt, nowMs = () => 60000L,
         stZeroIngestion = true,
-        limits = ScrapeManager.ScrapeLimits(sampleLimit = 5)).scrapeOnce()
+        limits = ScrapeManager.ScrapeLimits(sampleLimit = 7)).scrapeOnce()
       val rows3 = store3.samples.collect()
         .map(r => (r.getMap[String, String](0)("__name__"), r.getDouble(2)))
       assert(rows3.contains(("up", 1.0)))
@@ -629,5 +637,54 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
       case other => fail(s"unexpected $other")
     }
     assert(q.size == 1 && math.abs(q.head - 3.0) < 1e-9) // 1/s + 2/s
+  }
+
+  test("per-target scrape override: relabel flips NHCB conversion for exactly one target") {
+    // one pool, two targets, identical classic-histogram exposition; a
+    // relabel rule rewrites __convert_classic_histograms_to_nhcb__ to true
+    // for instance i2 only (ref: scrape/target.go scrape-option labels +
+    // scrape.go per-target boolLabel, reference #18929/#18840)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = ("h_bucket{le=\"1\"} 2\nh_bucket{le=\"+Inf\"} 7\n" +
+        "h_count 7\nh_sum 11.5\n").getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/metrics"
+      val raw = Seq(
+        ScrapeManager.ScrapeTarget(url, "t", "i1"),
+        ScrapeManager.ScrapeTarget(url, "t", "i2"))
+      // pool default false seeds the label; the rule flips it for i2
+      val defaults = ScrapeManager.scrapeOptionLabels.map(_ -> "false").toMap
+      val rules = Seq(Relabel.Rule(Relabel.Replace,
+        sourceLabels = Seq("instance"), regex = "i2",
+        targetLabel = "__convert_classic_histograms_to_nhcb__",
+        replacement = "true"))
+      val tgts = raw.flatMap(t => ScrapeManager.relabelTarget(t, rules, defaults))
+      assert(tgts.map(_.convertNhcbOverride) == Seq(Some(false), Some(true)))
+      val store = emptyStoreS()
+      val mgr = new ScrapeManager(spark, store, tgts, nowMs = () => 60000L,
+        convertNhcb = false)
+      mgr.scrapeOnce()
+      val rows = store.samples.collect()
+        .map(r => (r.getMap[String, String](0).toMap, r.isNullAt(4)))
+      val natives = rows.filter(!_._2).map(_._1)
+      assert(natives.nonEmpty)
+      assert(natives.forall(_("instance") == "i2")) // only the flipped target converted
+      assert(natives.exists(_("__name__") == "h"))
+      // i1 still scraped its classic series untouched
+      assert(rows.exists { case (l, isNull) =>
+        l("instance") == "i1" && l("__name__") == "h_bucket" && isNull })
+      // an unparsable bool FAILS the target at relabel time (ref:
+      // target.go PopulateLabels ParseBool error)
+      val badRules = Seq(Relabel.Rule(Relabel.Replace,
+        sourceLabels = Seq("instance"), regex = "i1",
+        targetLabel = "__scrape_native_histograms__", replacement = "maybe"))
+      val kept = raw.flatMap(t => ScrapeManager.relabelTarget(t, badRules, defaults))
+      assert(kept.map(_.instance) == Seq("i2"))
+    } finally server.stop(0)
   }
 }
