@@ -168,7 +168,126 @@ object Engine {
     * the reference's currentSamples peak, see Planner.scanLog). Each count is
     * a pushed-down count aggregation over the pruned store scan — column-
     * pruned, partition-pruned, no wide rows collected. */
-  private def countScans(pl: Planner): Long = pl.scanLog.map(_.count()).sum
+  private def countScans(pl: Planner): Long = pl.scanLog.map(_.df.count()).sum
+
+  /** The reference's two sample-accounting figures (ref:
+    * util/stats/query_stats.go QuerySamples, reference #18081):
+    * `total` = totalQueryableSamples — range-selector windows count the FULL
+    * window at every step, so overlapping windows in a range query count a
+    * stored point many times; `read` = samplesRead — each stored point
+    * counts once (storage I/O). Instant selectors count one per selected
+    * (series, step) in both figures, like the reference's
+    * IncrementSamplesAtStep(step, 1) + IncrementSamplesReadAtStep(step, 1)
+    * pair. Per-step vectors ((tsMs, n); zero steps omitted) fill only under
+    * the promql-per-step-stats feature flag. */
+  final case class SampleStats(total: Long, read: Long,
+      perStepTotal: Seq[(Long, Long)] = Nil, perStepRead: Seq[(Long, Long)] = Nil)
+
+  /** Compute [[SampleStats]] from the planner's scan log. Each scan is one
+    * distributed aggregation over the pruned store scan: per row the covering
+    * step range [kFirst, kLast] is closed-form long arithmetic, so the
+    * range-selector figures need no fan-out at all (sum of kLast−kFirst+1 /
+    * count of covered rows); instant selectors fan out to (series, step)
+    * pairs and count distinct — the reference's one-selection-per-step
+    * accounting. Known approximations vs the reference: a covered-but-
+    * stale-topped instant step still counts, histogram samples count 1 (the
+    * reference counts their bucket size), and @-pinned selectors count once
+    * rather than once per outer step. */
+  private def sampleStats(pl: Planner, wantPerStep: Boolean): SampleStats = {
+    import org.apache.spark.sql.functions._
+    var total = 0L; var read = 0L
+    val perT = scala.collection.mutable.Map.empty[Long, Long]
+    val perR = scala.collection.mutable.Map.empty[Long, Long]
+    pl.scanLog.foreach { rec =>
+      val step = math.max(1L, rec.stepMs)
+      val numSteps = (rec.gridHi - rec.gridLo) / step + 1
+      val win = if (rec.windowMs > 0) rec.windowMs else rec.lookbackMs
+      val wt = col("t") + lit(rec.offsetMs)
+      // covering steps: grid index k with gridLo + k·step ∈ [wt, wt + win);
+      // floor() keeps the indices LongType (a bare long/long division is
+      // double in Spark SQL) and the +step−1 turns floor into ceil for the
+      // non-negative first-index case
+      val kFirst = greatest(lit(0L),
+        floor((wt - lit(rec.gridLo) + lit(step - 1)) / lit(step)))
+      val kLast = least(lit(numSteps - 1),
+        floor((wt + lit(win - 1 - rec.gridLo)) / lit(step)))
+      val base0 = rec.df
+      val base = if (base0.columns.contains("stale"))
+        base0.filter(!coalesce(col("stale"), lit(false))) else base0
+      val marked = base.select(col("labels"),
+        kFirst.as("__kf"), kLast.as("__kl")).filter(col("__kl") >= col("__kf"))
+      if (rec.windowMs > 0) {
+        // range selector: total = Σ window sizes; read = each point once
+        val r = marked.agg(
+          coalesce(sum(col("__kl") - col("__kf") + 1), lit(0L)),
+          count(lit(1))).head()
+        total += r.getLong(0); read += r.getLong(1)
+        if (wantPerStep) {
+          marked.select(explode(sequence(col("__kf"), col("__kl"))).as("k"))
+            .groupBy(col("k")).count().collect().foreach { row =>
+              val ts = rec.gridLo + row.getLong(0) * step
+              perT(ts) = perT.getOrElse(ts, 0L) + row.getLong(1)
+            }
+          marked.groupBy(col("__kf")).count().collect().foreach { row =>
+            val ts = rec.gridLo + row.getLong(0) * step
+            perR(ts) = perR.getOrElse(ts, 0L) + row.getLong(1)
+          }
+        }
+      } else {
+        // instant selector: one per selected (series, step) in BOTH figures
+        val fan = marked
+          .select(xxhash64(array_sort(map_entries(col("labels")))).as("__sg"),
+            explode(sequence(col("__kf"), col("__kl"))).as("k"))
+          .distinct()
+        if (wantPerStep) {
+          fan.groupBy(col("k")).count().collect().foreach { row =>
+            val ts = rec.gridLo + row.getLong(0) * step
+            perT(ts) = perT.getOrElse(ts, 0L) + row.getLong(1)
+            perR(ts) = perR.getOrElse(ts, 0L) + row.getLong(1)
+            total += row.getLong(1); read += row.getLong(1)
+          }
+        } else {
+          val n = fan.count()
+          total += n; read += n
+        }
+      }
+    }
+    SampleStats(total, read,
+      perT.toSeq.sortBy(_._1), perR.toSeq.sortBy(_._1))
+  }
+
+  /** [[instantQuery]] with budget enforcement AND the full stats block for
+    * `stats=` rendering; `wantPerStep` = promql-per-step-stats feature flag
+    * AND stats=all (ref: api.go extractQueryOpts + #18081). */
+  def instantQueryWithStats(spark: SparkSession, samples: DataFrame, q: String,
+      tsMs: Long, lookbackMs: Long = 300000L, defaultSubqueryStepMs: Long = 60000L,
+      maxSamples: Long = 0L, wantStats: Boolean = false,
+      wantPerStep: Boolean = false): (PValue, Option[SampleStats]) = {
+    val pl = new Planner(spark, normalize(samples),
+      EvalParams(tsMs, tsMs, 1000L, lookbackMs, defaultSubqueryStepMs, isInstant = true))
+    val v = pl.eval(resolveAtModifiers(parse(q), tsMs, tsMs))
+    budget(pl, maxSamples, wantCount = false)
+    (finalShape(v), if (wantStats) Some(sampleStats(pl, wantPerStep)) else None)
+  }
+
+  /** [[rangeQuery]] with budget enforcement and stats — see
+    * [[instantQueryWithStats]]. */
+  def rangeQueryWithStats(spark: SparkSession, samples: DataFrame, q: String,
+      startMs: Long, endMs: Long, stepMs: Long, lookbackMs: Long = 300000L,
+      defaultSubqueryStepMs: Long = 60000L, maxSamples: Long = 0L,
+      wantStats: Boolean = false, wantPerStep: Boolean = false)
+      : (PValue, Option[SampleStats]) = {
+    val e = parse(q, stepMs, endMs - startMs)
+    e.valueType match {
+      case ValueType.InstantVector | ValueType.Scalar => ()
+      case t => throw PromQLError(s"range query expression must be scalar or instant vector, got $t")
+    }
+    val pl = new Planner(spark, normalize(samples),
+      EvalParams(startMs, endMs, stepMs, lookbackMs, defaultSubqueryStepMs))
+    val v = pl.eval(resolveAtModifiers(e, startMs, endMs))
+    budget(pl, maxSamples, wantCount = false)
+    (finalShape(v), if (wantStats) Some(sampleStats(pl, wantPerStep)) else None)
+  }
 
   private def budget(pl: Planner, maxSamples: Long, wantCount: Boolean): Long =
     if (maxSamples <= 0 && !wantCount) -1L

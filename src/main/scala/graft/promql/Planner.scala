@@ -64,8 +64,17 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
     * would hold (it counts per-step loads but releases per step), so a
     * budget refusal here never admits a query the reference would refuse
     * at materially lower cost. Subquery planners append into their parent. */
-  private[promql] val scanLog = scala.collection.mutable.Buffer.empty[DataFrame]
-  private def recordScan(df: DataFrame): DataFrame = { scanLog += df; df }
+  private[promql] val scanLog = scala.collection.mutable.Buffer.empty[Planner.ScanRec]
+  /** record one selector scan for sample accounting; `windowMs` > 0 marks a
+    * range selector (per-step window accounting), 0 an instant selector
+    * (lookback selection, counted per distinct (series, step)); the grid is
+    * the recording planner's — subquery inner scans keep their inner grid */
+  private def recordScan(df: DataFrame, windowMs: Long,
+      offsetMs: Long, gridLo: Long, gridHi: Long): DataFrame = {
+    scanLog += Planner.ScanRec(df, windowMs, P.lookbackMs, offsetMs,
+      gridLo, gridHi, P.stepMs)
+    df
+  }
 
   // ---------- static store capabilities ----------
 
@@ -260,7 +269,8 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       case Some(atm) =>
         val te = resolveAt(atm) - vs.offsetMs
         val picked = withSg(recordScan(base
-          .filter(col("t") > te - P.lookbackMs && col("t") <= te)))
+          .filter(col("t") > te - P.lookbackMs && col("t") <= te),
+          0L, vs.offsetMs, te + vs.offsetMs, te + vs.offsetMs))
           .groupBy(col("__sg"))
           .agg(max_by(struct(col("t"), col("v"), col("stale"), col("labels"), col("h"), col("stt")), col("t")).as("p"))
           .select(col("p.labels").as("labels"), col("p.t").as("st"),
@@ -276,7 +286,8 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
         // without this every query sorts the full per-series history.
         val pruned = recordScan(base.filter(
           col("t") > P.startMs - P.lookbackMs - vs.offsetMs &&
-          col("t") <= P.endMs - vs.offsetMs))
+          col("t") <= P.endMs - vs.offsetMs),
+          0L, vs.offsetMs, P.startMs, P.endMs)
         val shifted = withSg(pruned).withColumn("wt", col("t") + vs.offsetMs)
         // linear as-of regime: when the lookback explode would amplify the
         // scan meaningfully AND there are many steps, a series-at-once pass
@@ -364,7 +375,8 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
       // hashed once on the pruned scan) — every downstream group/join/window
       // keys on the column instead of re-hashing labels
       RangeInput(withSg(recordScan(selectorBase(vs).filter(!col("stale"))
-                   .filter(col("t") > loT && col("t") <= hiT)))
+                   .filter(col("t") > loT && col("t") <= hiT),
+                   range, vs.offsetMs, lo0, hi0))
                    .select(col("labels"), col("t"), col("v"), col("h"), lit(false).as("dn"),
                            col("stt"), col("__sg")),
                  range, vs.offsetMs, vs.at, ext, cheapRescan = true)
@@ -1449,6 +1461,17 @@ final class Planner(spark: SparkSession, samples: DataFrame, params: EvalParams)
 }
 
 object Planner {
+  /** one selector scan + the evaluation geometry needed to re-derive the
+    * reference's two sample-accounting figures from it (ref:
+    * util/stats/query_stats.go QuerySamples — TotalSamples counts the full
+    * window per step, SamplesRead counts each stored point once):
+    * `windowMs` > 0 = range selector window, 0 = instant selector
+    * (selection window = `lookbackMs`); grid = [gridLo, gridHi] stepped by
+    * `stepMs` (an @-pinned selector records a one-step grid). */
+  final case class ScanRec(df: org.apache.spark.sql.DataFrame,
+      windowMs: Long, lookbackMs: Long, offsetMs: Long,
+      gridLo: Long, gridHi: Long, stepMs: Long)
+
   /** process-wide defaults for the regime-switch thresholds (per-instance
     * overridable); exposed for benchmark A/B runs within one JVM */
   @volatile var defaultLinearPathRatio: Double = 6.0

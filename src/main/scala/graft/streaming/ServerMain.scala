@@ -16,13 +16,22 @@ import org.apache.spark.sql.SparkSession
   */
 object ServerMain {
   def main(args: Array[String]): Unit = {
-    val flags = args.flatMap { a =>
+    val flagPairs = args.toSeq.flatMap { a =>
       if (a.startsWith("--")) {
         val i = a.indexOf('=')
         if (i > 0) Some(a.substring(2, i) -> a.substring(i + 1))
         else Some(a.drop(2) -> "true")
       } else None
-    }.toMap
+    }
+    // last occurrence wins for single-valued flags, but repeatable flags
+    // (--enable-feature, like the reference's kingpin Strings()) accumulate
+    // across occurrences — comma-separated within one occurrence also works
+    val repeatable = Set("enable-feature")
+    val flags = flagPairs.filterNot(p => repeatable(p._1)).toMap ++
+      repeatable.flatMap { k =>
+        val vs = flagPairs.collect { case (`k`, v) => v }
+        if (vs.isEmpty) None else Some(k -> vs.mkString(","))
+      }
     def flag(k: String, dflt: String = ""): String = flags.getOrElse(k, dflt)
 
     val configFile = flag("config.file", "prometheus.yml")
@@ -51,6 +60,7 @@ object ServerMain {
       agentMode = agent, limits = limits,
       stZeroIngestion = features.contains("created-timestamp-zero-ingestion"),
       extraScrapeMetrics = features.contains("extra-scrape-metrics"),
+      perStepStats = features.contains("promql-per-step-stats"),
       autoReloadMs =
         if (!flags.contains("config.auto-reload")) 0L
         else math.max(1000L, graft.promqltest.TestScript.parseTime(

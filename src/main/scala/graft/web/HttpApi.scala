@@ -21,7 +21,10 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     nowMs: () => Long = () => System.currentTimeMillis(),
     limits: QueryLimits = QueryLimits(),
     agentMode: Boolean = false,
-    webConfigFile: Option[String] = None) {
+    webConfigFile: Option[String] = None,
+    // --enable-feature=promql-per-step-stats (ref: main.go feature flag →
+    // engine EnablePerStepStats): stats=all adds the per-step arrays
+    perStepStats: Boolean = false) {
 
   // --web.config.file serving (ref: web/web.go Run → toolkit_web.Serve):
   // HTTPS when tls_server_config is present, bcrypt basic-auth on every
@@ -406,8 +409,21 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     * the data envelope (ref: util/stats/query_stats.go QueryTimings/
     * QuerySamples JSON; api.go query handlers render when stats != "") */
   private def statsField(queueS: Double, prepS: Double, innerS: Double,
-      samples: Long): (String, String) = {
-    val n = math.max(samples, 0L).toString
+      st: graft.promql.Engine.SampleStats): (String, String) = {
+    // per-step arrays render as the reference's stepStat pairs
+    // [unix_seconds, n] (ref: util/stats/query_stats.go stepStat
+    // MarshalJSON), omitted entirely without the feature flag
+    def steps(xs: Seq[(Long, Long)]): String =
+      Json.arr(xs.map { case (ts, n) =>
+        "[" + Json.ts(ts) + "," + n.toString + "]" })
+    val fields =
+      (if (st.perStepTotal.nonEmpty)
+        Seq("totalQueryableSamplesPerStep" -> steps(st.perStepTotal)) else Nil) ++
+      Seq("totalQueryableSamples" -> st.total.toString) ++
+      (if (st.perStepRead.nonEmpty)
+        Seq("samplesReadPerStep" -> steps(st.perStepRead)) else Nil) ++
+      Seq("samplesRead" -> st.read.toString,
+        "peakSamples" -> st.total.toString)
     "stats" -> Json.obj(
       "timings" -> Json.obj(
         "evalTotalTime" -> (prepS + innerS).toString,
@@ -416,9 +432,7 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         "innerEvalTime" -> innerS.toString,
         "execQueueTime" -> queueS.toString,
         "execTotalTime" -> (queueS + prepS + innerS).toString),
-      "samples" -> Json.obj(
-        "totalQueryableSamples" -> n,
-        "peakSamples" -> n))
+      "samples" -> Json.obj(fields: _*))
   }
 
   /** splice extra fields into an already-rendered JSON object */
@@ -481,16 +495,18 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         "end timestamp must not be before start time")
       val lb = p.get("lookback_delta").flatMap(_.headOption).map(parseDurMs)
         .getOrElse(300000L) // ref: api.go extractQueryOpts
-      val wantStats = p.get("stats").flatMap(_.headOption).exists(_.nonEmpty)
+      val statsParam = p.get("stats").flatMap(_.headOption).getOrElse("")
+      val wantStats = statsParam.nonEmpty
       gate.execTimed(q, Map("query" -> q, "start" -> ((start / 1000.0).toString),
           "end" -> ((end / 1000.0).toString), "step" -> ((step / 1000.0).toString))) { queueS =>
         val t0 = System.nanoTime()
-        val (v, n) = Engine.rangeQueryCounted(spark, store.samples, q, start, end, step, lb,
-          maxSamples = limits.maxSamples, wantCount = wantStats)
+        val (v, sst) = Engine.rangeQueryWithStats(spark, store.samples, q, start, end, step, lb,
+          maxSamples = limits.maxSamples, wantStats = wantStats,
+          wantPerStep = perStepStats && statsParam == "all")
         val t1 = System.nanoTime()
         def st(j: String, innerNs: Long): String =
-          if (!wantStats) j
-          else spliced(j, Seq(statsField(queueS, (t1 - t0) / 1e9, innerNs / 1e9, n)))
+          sst.fold(j)(s =>
+            spliced(j, Seq(statsField(queueS, (t1 - t0) / 1e9, innerNs / 1e9, s))))
         v match {
           case VectorVal(df) =>
             val (j, w) = renderMatrix(df, p); okW(ex, st(j, System.nanoTime() - t1), w)
@@ -518,15 +534,17 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
         val ts = p.get("time").flatMap(_.headOption).map(parseTimeMs).getOrElse(nowMs())
         val lb = p.get("lookback_delta").flatMap(_.headOption).map(parseDurMs)
           .getOrElse(300000L) // ref: api.go extractQueryOpts
-        val wantStats = p.get("stats").flatMap(_.headOption).exists(_.nonEmpty)
+        val statsParam = p.get("stats").flatMap(_.headOption).getOrElse("")
+        val wantStats = statsParam.nonEmpty
         gate.execTimed(q, Map("query" -> q, "time" -> ((ts / 1000.0).toString))) { queueS =>
           val t0 = System.nanoTime()
-          val (v, n) = Engine.instantQueryCounted(spark, store.samples, q, ts, lb,
-            maxSamples = limits.maxSamples, wantCount = wantStats)
+          val (v, sst) = Engine.instantQueryWithStats(spark, store.samples, q, ts, lb,
+            maxSamples = limits.maxSamples, wantStats = wantStats,
+            wantPerStep = perStepStats && statsParam == "all")
           val t1 = System.nanoTime()
           def st(j: String, innerNs: Long): String =
-            if (!wantStats) j
-            else spliced(j, Seq(statsField(queueS, (t1 - t0) / 1e9, innerNs / 1e9, n)))
+            sst.fold(j)(s =>
+              spliced(j, Seq(statsField(queueS, (t1 - t0) / 1e9, innerNs / 1e9, s))))
           v match {
             case VectorVal(df) =>
               val (j, w) = renderVectorInstant(df, p); okW(ex, st(j, System.nanoTime() - t1), w)

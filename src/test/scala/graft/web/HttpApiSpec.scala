@@ -246,10 +246,13 @@ class HttpApiSpec extends AnyFunSuite {
       assert(b1.contains("\"stats\":{\"timings\":{"), b1)
       for (k <- Seq("evalTotalTime", "resultSortTime", "queryPreparationTime",
           "innerEvalTime", "execQueueTime", "execTotalTime",
-          "totalQueryableSamples", "peakSamples"))
+          "totalQueryableSamples", "samplesRead", "peakSamples"))
         assert(b1.contains("\"" + k + "\":"), s"missing $k in $b1")
-      // counted scan: 10 lookback samples per series × 2 series
-      assert(b1.contains("\"totalQueryableSamples\":20"), b1)
+      // instant selector: ONE selection per (series, step) in both figures
+      // (ref: engine.go IncrementSamplesAtStep(step,1) + SamplesRead) — an
+      // instant query has one step, two series select
+      assert(b1.contains("\"totalQueryableSamples\":2"), b1)
+      assert(b1.contains("\"samplesRead\":2"), b1)
       val (c2, b2) = get(port,
         "/api/v1/query_range?query=http_requests_total&start=120&end=600&step=60&stats=all")
       assert(c2 == 200 && b2.contains("\"stats\":{\"timings\":{"), b2)
@@ -257,6 +260,54 @@ class HttpApiSpec extends AnyFunSuite {
       val (c3, b3) = get(port, "/api/v1/query?query=http_requests_total&time=600")
       assert(c3 == 200 && !b3.contains("\"stats\""), b3)
     }
+  }
+
+  test("samplesRead counts storage points once while windowed reuse over-counts totalQueryableSamples") {
+    withApi { (port, _) =>
+      // rate over a 2m window stepped every 60s: consecutive windows OVERLAP,
+      // so totalQueryableSamples counts the full window per step (ref:
+      // util/stats/query_stats.go TotalSamplesPerStep) while samplesRead
+      // counts each stored point once (ref #18081). 9 steps × 4 points per
+      // 2m window × 2 series = 72 total; 20 covered points × 2 series = 40 read.
+      val (c, b) = get(port,
+        "/api/v1/query_range?query=rate(http_requests_total%5B2m%5D)&start=120&end=600&step=60&stats=all")
+      assert(c == 200, b)
+      assert(b.contains("\"totalQueryableSamples\":72"), b)
+      assert(b.contains("\"samplesRead\":40"), b)
+      // no per-step arrays without the promql-per-step-stats feature flag
+      assert(!b.contains("samplesReadPerStep"), b)
+      assert(!b.contains("totalQueryableSamplesPerStep"), b)
+    }
+  }
+
+  test("promql-per-step-stats: stats=all adds the per-step arrays as [ts, n] pairs") {
+    val store = fixtureStore()
+    val api = new HttpApi(spark, store, 0, () => 600000L, perStepStats = true)
+    api.start()
+    try {
+      val port = api.boundPort
+      val (c, b) = get(port,
+        "/api/v1/query_range?query=rate(http_requests_total%5B2m%5D)&start=120&end=600&step=60&stats=all")
+      assert(c == 200, b)
+      // step 0 reads its full window (4×2 points), later steps only the
+      // points not covered by the previous window (2×2 each) — the
+      // reference's stepStat [unix_seconds, count] rendering
+      assert(b.contains("\"samplesReadPerStep\":[[120,8],[180,4]"), b)
+      assert(b.contains("\"totalQueryableSamplesPerStep\":[[120,8],[180,8]"), b)
+      assert(b.contains("\"totalQueryableSamples\":72"), b)
+      assert(b.contains("\"samplesRead\":40"), b)
+      // stats=1 (non-"all") keeps the totals but not the per-step arrays
+      val (c2, b2) = get(port,
+        "/api/v1/query_range?query=rate(http_requests_total%5B2m%5D)&start=120&end=600&step=60&stats=1")
+      assert(c2 == 200 && b2.contains("\"samplesRead\":40") &&
+        !b2.contains("PerStep"), b2)
+      // instant selectors: the two arrays agree step by step
+      val (c3, b3) = get(port,
+        "/api/v1/query_range?query=http_requests_total&start=120&end=240&step=60&stats=all")
+      assert(c3 == 200, b3)
+      assert(b3.contains("\"totalQueryableSamplesPerStep\":[[120,2],[180,2],[240,2]]"), b3)
+      assert(b3.contains("\"samplesReadPerStep\":[[120,2],[180,2],[240,2]]"), b3)
+    } finally api.stop()
   }
 
   test("federation attaches external labels; series labels win conflicts") {
