@@ -361,21 +361,6 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Duplicated-substring spans — the suffix-array-free approximation of
-    * exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
-    * Makes Language Models Better": remove every ≥50-token substring that
-    * appears more than once in the corpus). Every n-word gram occurring
-    * more than once ANYWHERE (other docs or the same doc) marks its
-    * positions; overlapping/adjacent marked positions per doc merge into
-    * maximal spans — exactly the substrings a suffix array would report
-    * with ≥n-token granularity. Positions are 1-based words; a span covers
-    * words [start_word, end_word] inclusive.
-    *
-    * 100 TB shape: the (doc, pos, gram) table is O(total tokens) narrow
-    * rows; the duplicate flag is a gram-keyed count joined back on the SAME
-    * gram-keyed exchange (no vocabulary broadcast — gram space is
-    * unbounded); span merging is one doc-keyed window (islands-and-gaps:
-    * group = pos − row_number). Nothing collects and nothing is quadratic. */
   /** Streaming exact dedup — the ingestion-time variant of [[exact]] for a
     * continuously-arriving corpus: drop any document whose normalized-text
     * sha256 was already seen within the watermark horizon.
@@ -444,6 +429,21 @@ object Dedup {
       .select(col("doc_id"), col("n_chunks"), col("n_dup"), col("clean_text"))
   }
 
+  /** Duplicated-substring spans — the suffix-array-free approximation of
+    * exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better": remove every ≥50-token substring that
+    * appears more than once in the corpus). Every n-word gram occurring
+    * more than once ANYWHERE (other docs or the same doc) marks its
+    * positions; overlapping/adjacent marked positions per doc merge into
+    * maximal spans — exactly the substrings a suffix array would report
+    * with ≥n-token granularity. Positions are 1-based words; a span covers
+    * words [start_word, end_word] inclusive.
+    *
+    * 100 TB shape: the (doc, pos, gram) table is O(total tokens) narrow
+    * rows; the duplicate flag is a gram-keyed count joined back on the SAME
+    * gram-keyed exchange (no vocabulary broadcast — gram space is
+    * unbounded); span merging is one doc-keyed window (islands-and-gaps:
+    * group = pos − row_number). Nothing collects and nothing is quadratic. */
   def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = docs.select(col("doc_id"),

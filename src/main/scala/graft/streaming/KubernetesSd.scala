@@ -562,8 +562,15 @@ object KubernetesSd {
 
     private def relist(): Unit = {
       val body = jmap(JsonLite.parse(client.get(path + query)))
-      byKey.clear()
-      l(body, "items").foreach(o => byKey.put(okey(m(o, "metadata")), o))
+      // populate a LOCAL map and swap it in atomically: snapshot() reads
+      // concurrently from the manager poll thread, and a clear-then-put
+      // sequence would expose a partial/empty cache mid-relist — the
+      // documented "previous objects while a relist is pending" contract
+      // requires readers to see either the old or the complete new state
+      val fresh = new java.util.HashMap[String, J]()
+      l(body, "items").foreach(o => fresh.put(okey(m(o, "metadata")), o))
+      byKey.keySet.retainAll(fresh.keySet)
+      byKey.putAll(fresh)
       rv = s(m(body, "metadata"), "resourceVersion")
       lists += 1
       valid = true

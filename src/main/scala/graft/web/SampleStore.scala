@@ -100,9 +100,12 @@ final class SampleStore(spark: SparkSession, initial: DataFrame) {
   /** bounded exemplar storage (ref: tsdb/exemplar.go:38
     * CircularExemplarStorage; config storage.exemplars.max_exemplars,
     * default config.go DefaultExemplarsConfig = 100000): appending past the
-    * cap evicts the oldest exemplars by arrival order; ≤ 0 disables the
-    * storage entirely (appends are dropped), like the reference's runtime-
-    * reloadable disable. */
+    * cap evicts oldest-by-arrival, EXCEPT that each series' newest exemplar
+    * is protected while the series count fits the cap — the reference keeps
+    * a per-series index into its circular buffer, so one high-frequency
+    * series bursting must not erase every other series' last exemplar.
+    * ≤ 0 disables the storage entirely (appends are dropped), like the
+    * reference's runtime-reloadable disable. */
   @volatile var maxExemplars: Long = 100000L
 
   /** number of appendExemplars calls — observability for the per-cycle
@@ -129,9 +132,21 @@ final class SampleStore(spark: SparkSession, initial: DataFrame) {
     exemplarCount += n
     val bounded =
       if (exemplarCount <= maxExemplars) merged
-      else { // evict oldest past the cap (newest maxExemplars survive)
+      else { // evict past the cap: protect each series' newest exemplar
+        // first (per-series fairness), then newest-by-arrival — a burst on
+        // one series evicts its OWN older exemplars before touching another
+        // series' last one (ref exemplar.go per-series circular index)
+        import org.apache.spark.sql.functions.{array_sort, map_entries,
+          row_number, when, xxhash64}
+        import org.apache.spark.sql.expressions.Window
         exemplarCount = maxExemplars
-        merged.orderBy(desc("__seq")).limit(math.min(maxExemplars, Int.MaxValue).toInt)
+        val w = Window
+          .partitionBy(xxhash64(array_sort(map_entries(col("labels")))))
+          .orderBy(desc("__seq"))
+        merged.withColumn("__rk", row_number().over(w))
+          .orderBy(when(col("__rk") === 1, 1).otherwise(0).desc, col("__seq").desc)
+          .limit(math.min(maxExemplars, Int.MaxValue).toInt)
+          .drop("__rk")
       }
     exemplarDf = Some(bounded.localCheckpoint(true))
   }

@@ -720,6 +720,29 @@ class ServingSpec extends AnyFunSuite {
     assert(store.exemplars.isEmpty)
   }
 
+  test("exemplar eviction fairness: a one-series burst cannot evict another series' last exemplar") {
+    import org.apache.spark.sql.Row
+    val store = emptyStore()
+    store.maxExemplars = 10L
+    def batchFor(series: String, ids: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(i =>
+        Row(Map("__name__" -> series),
+          Row(Map("trace_id" -> s"$series-$i"), i.toDouble, i * 1000L))), 1),
+      OpenMetrics.exemplarBatchSchema)
+    // series B writes one exemplar, then series A bursts 1000 (ref
+    // exemplar.go per-series index semantics: each live series keeps its
+    // newest exemplar while the series count fits the cap)
+    store.appendExemplars(batchFor("b", Seq(1L)))
+    store.appendExemplars(batchFor("a", 1L to 1000L))
+    val kept = store.exemplars.get.collect()
+      .map(_.getStruct(1).getMap[String, String](0)("trace_id")).toSeq
+    assert(kept.size == 10)
+    assert(kept.contains("b-1"), kept.toString) // B's last exemplar survives
+    // the remaining slots hold A's NEWEST — its own oldest evicted first
+    assert(kept.filter(_.startsWith("a-")).map(_.stripPrefix("a-").toLong)
+      .sorted == (992L to 1000L))
+  }
+
   test("remote read: streamed chunks — XOR codec, multi-frame stream, SAMPLES fallback") {
     // XOR chunk codec round-trip (ref tsdb/chunkenc/xor.go): counter-ish,
     // irregular deltas, repeats, NaN and negatives all survive bit-exact
