@@ -777,7 +777,8 @@ object Config {
       }
       Rules.Group(gname, interval, rec, al,
         queryOffsetMs = g.str("query_offset").map(durMs)
-          .getOrElse(defaultQueryOffsetMs))
+          .getOrElse(defaultQueryOffsetMs),
+        limit = g.str("limit").map(_.toInt).getOrElse(0))
     }
   }
 

@@ -171,7 +171,12 @@ object Rules {
       // rules evaluate at ts - queryOffsetMs (ref: rulefmt RuleGroup
       // query_offset / global rule_query_offset — slack for slow remote
       // write or delayed ingest)
-      queryOffsetMs: Long = 0L)
+      queryOffsetMs: Long = 0L,
+      // max series a recording rule / alerts an alerting rule may produce;
+      // 0 = unlimited (ref: rulefmt RuleGroup Limit, rules/group.go Eval
+      // "exceeded limit %d with %d series" — the rule's output is DROPPED
+      // and its health goes err)
+      limit: Int = 0)
 
   /** Metric names a rule expression reads — used for in-group dependency
     * ordering (ref: rules/manager.go:500 dependencyMap). */

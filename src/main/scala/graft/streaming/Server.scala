@@ -206,6 +206,9 @@ final class PromServer(
       }
       api.scrapeTargets = mgrs.flatMap(_.currentTargets())
       api.scrapePoolConfigs = cfg.scrapeJobs.map(j => j.jobName -> j.relabel).toMap
+      api.scrapePoolOptions = cfg.scrapeJobs.map(j => j.jobName ->
+        (if (j.intervalMs > 0) j.intervalMs else cfg.scrapeIntervalMs,
+          j.timeoutMs)).toMap
       scrapers = mgrs
       if (scraping) mgrs.foreach(_.start())
       // reload success resolves the failure banner (ref: main.go reloadConfig
@@ -235,8 +238,18 @@ final class PromServer(
       Rules.recordingLevels(g.recording).foreach { level =>
         level.foreach { r =>
           val out = Rules.evalRecording(spark, store.samples, r, ets)
-          store.append(out)
-          forwarders.foreach(_.forward(out))
+          // group limit: a recording rule producing more series than the
+          // group allows DROPS its output and goes unhealthy (ref:
+          // rules/group.go Eval "exceeded limit %d with %d series")
+          val n = if (g.limit > 0) out.count() else -1L
+          if (g.limit > 0 && n > g.limit) {
+            api.ruleErrors = api.ruleErrors.updated((g.name, r.record),
+              s"exceeded limit of ${g.limit} with $n series")
+          } else {
+            api.ruleErrors -= ((g.name, r.record))
+            store.append(out)
+            forwarders.foreach(_.forward(out))
+          }
         }
       }
       g.alerting.foreach { a =>
@@ -245,11 +258,17 @@ final class PromServer(
           _._2.labels.getOrElse("alertname", "") == a.alert)
         val (df, next) = Rules.evalAlerting(spark, store.samples, a, ets, prev,
           externalLabels = configOpt.map(_.externalLabels).getOrElse(Map.empty))
-        store.append(df)
-        val others = prevAll -- prev.keys
-        alertStates = alertStates.updated(g.name, others ++ next)
-        api.alertState = alertStates
-        notifier.foreach(_.sendFromState(a, next, ets))
+        if (g.limit > 0 && next.size > g.limit) {
+          api.ruleErrors = api.ruleErrors.updated((g.name, a.alert),
+            s"exceeded limit of ${g.limit} with ${next.size} alerts")
+        } else {
+          api.ruleErrors -= ((g.name, a.alert))
+          store.append(df)
+          val others = prevAll -- prev.keys
+          alertStates = alertStates.updated(g.name, others ++ next)
+          api.alertState = alertStates
+          notifier.foreach(_.sendFromState(a, next, ets))
+        }
       }
       api.ruleEvalStats = api.ruleEvalStats
         .updated(g.name, (tsMs, (System.nanoTime() - g0) / 1e9))

@@ -120,9 +120,17 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     * by the rule-eval loop; rendered by /api/v1/rules */
   @volatile var ruleEvalStats: Map[String, (Long, Double)] = Map.empty
 
+  /** (group, rule) → last evaluation error (group-limit violations etc.),
+    * set by the rule-eval loop; renders health=err + lastError */
+  @volatile var ruleErrors: Map[(String, String), String] = Map.empty
+
   /** scrape pool name → its relabel_configs, set by the server assembly on
     * (re)load; serves /scrape_pools and /targets/relabel_steps */
   @volatile var scrapePoolConfigs: Map[String, Seq[graft.streaming.Relabel.Rule]] = Map.empty
+
+  /** scrape pool name → (intervalMs, timeoutMs); serves the /targets
+    * scrapeInterval/scrapeTimeout fields (ref: api.go Target struct) */
+  @volatile var scrapePoolOptions: Map[String, (Long, Long)] = Map.empty
 
   /** (pool, discovered labels) of targets relabeling DROPPED on the last SD
     * pass — set by the server's target providers; serves /targets
@@ -669,8 +677,15 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     })
 
     server.createContext("/api/v1/status/buildinfo", handler { ex =>
-      ok(ex, Json.obj("version" -> Json.str("graft-spark"),
-        "goVersion" -> Json.str("n/a")))
+      // full PrometheusVersion field set (ref: api.go:168)
+      ok(ex, Json.obj(
+        "version" -> Json.str("graft-spark"),
+        "revision" -> Json.str(""),
+        "branch" -> Json.str(""),
+        "buildUser" -> Json.str(""),
+        "buildDate" -> Json.str(""),
+        "goVersion" -> Json.str(
+          "jvm-" + System.getProperty("java.version", "n/a"))))
     })
 
     // built-in UI (ref: web/web.go — / redirects to /graph; the React app
@@ -1018,9 +1033,26 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
     })
 
     server.createContext("/api/v1/status/runtimeinfo", handler { ex =>
+      // full RuntimeInfo field set (ref: api.go:178) — Go-runtime-specific
+      // figures map to their JVM analogs (goroutineCount → live threads,
+      // GOMAXPROCS → available processors); GC knob strings render empty
       ok(ex, Json.obj(
         "startTime" -> Json.str(java.time.Instant.ofEpochMilli(startedMs).toString),
+        "CWD" -> Json.str(System.getProperty("user.dir", "")),
+        "hostname" -> Json.str(
+          try java.net.InetAddress.getLocalHost.getHostName
+          catch { case _: Exception => "" }),
         "serverTime" -> Json.str(java.time.Instant.ofEpochMilli(nowMs()).toString),
+        "reloadConfigSuccess" -> (!notifications.active.exists(
+          _.text == Notifications.ConfigurationUnsuccessful)).toString,
+        "lastConfigTime" -> Json.str(
+          java.time.Instant.ofEpochMilli(startedMs).toString),
+        "corruptionCount" -> "0",
+        "goroutineCount" -> Thread.activeCount().toString,
+        "GOMAXPROCS" -> Runtime.getRuntime.availableProcessors.toString,
+        "GOMEMLIMIT" -> Runtime.getRuntime.maxMemory.toString,
+        "GOGC" -> Json.str(""),
+        "GODEBUG" -> Json.str(""),
         "storageRetention" -> Json.str("")))
     })
 
@@ -1158,6 +1190,14 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
               "evaluationTime" -> durS.toString,
               "lastEvaluation" -> Json.str(
                 java.time.Instant.ofEpochMilli(lastMs).toString))
+            // health/lastError per rule (ref: rules.RuleHealth — ok/err;
+            // lastError is omitempty)
+            def healthFields(rule: String): Seq[(String, String)] =
+              ruleErrors.get((g.name, rule)) match {
+                case Some(err) => Seq("health" -> Json.str("err"),
+                  "lastError" -> Json.str(err))
+                case None => Seq("health" -> Json.str("ok"))
+              }
             val rec =
               if (typeFilter == "alert") Nil
               else g.recording
@@ -1165,8 +1205,8 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
                   labelsMatch(r.labels))
                 .map(r => Json.obj(Seq(
                   "type" -> Json.str("recording"), "name" -> Json.str(r.record),
-                  "query" -> Json.str(r.expr), "labels" -> Json.metric(r.labels),
-                  "health" -> Json.str("ok")) ++ evalFields: _*))
+                  "query" -> Json.str(r.expr), "labels" -> Json.metric(r.labels)) ++
+                  healthFields(r.record) ++ evalFields: _*))
             val alr =
               if (typeFilter == "record") Nil
               else g.alerting
@@ -1185,8 +1225,8 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
                       if (alerts.exists(_._2 == "firing")) "firing"
                       else if (alerts.nonEmpty) "pending" else "inactive"),
                     "alerts" ->
-                      (if (excludeAlerts) "[]" else Json.arr(alerts.map(_._1))),
-                    "health" -> Json.str("ok")) ++ evalFields: _*)
+                      (if (excludeAlerts) "[]" else Json.arr(alerts.map(_._1)))) ++
+                    healthFields(a.alert) ++ evalFields: _*)
                 }
             // a group whose rules all filtered away is skipped (ref comment)
             if ((rec ++ alr).nonEmpty) {
@@ -1194,8 +1234,9 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
                 nextToken = tokenOf("", g.name)
               } else rendered += Json.obj(
                 "name" -> Json.str(g.name), "file" -> Json.str(""),
-                "interval" -> (g.intervalMs / 1000.0).toString,
                 "rules" -> Json.arr(rec ++ alr),
+                "interval" -> (g.intervalMs / 1000.0).toString,
+                "limit" -> g.limit.toString,
                 "evaluationTime" -> durS.toString,
                 "lastEvaluation" -> Json.str(
                   java.time.Instant.ofEpochMilli(lastMs).toString))
@@ -1230,17 +1271,52 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       val showDropped = state.isEmpty || state == "any" || state == "dropped"
       val active =
         if (!showActive) Nil
-        else scrapeTargets
-          .filter(t => poolFilter.forall(_ == t.job))
-          .sortBy(_.job).map { t =>
+        else {
+          val kept = scrapeTargets.filter(t => poolFilter.forall(_ == t.job))
+          // last-scrape state from the report series — one driver-scale
+          // aggregation keyed (job, instance, name) over up /
+          // scrape_duration_seconds (ref: Target.LastScrape/LastError/
+          // Health come from the scrape loop's report)
+          val rep: Map[(String, String, String), (Long, Double)] =
+            if (kept.isEmpty) Map.empty
+            else store.samples
+              .filter(element_at(col("labels"), "__name__")
+                .isin("up", "scrape_duration_seconds") && !col("stale"))
+              .groupBy(
+                element_at(col("labels"), "job").as("j"),
+                element_at(col("labels"), "instance").as("i"),
+                element_at(col("labels"), "__name__").as("n"))
+              .agg(max_by(struct(col("t"), col("v")), col("t")).as("p"))
+              .collect().map(r => (r.getString(0), r.getString(1),
+                r.getString(2)) -> (r.getStruct(3).getLong(0),
+                r.getStruct(3).getDouble(1))).toMap
+          kept.sortBy(_.job).map { t =>
+            val up = rep.get((t.job, t.instance, "up"))
+            val dur = rep.get((t.job, t.instance, "scrape_duration_seconds"))
+            val (intervalMs, timeoutMs) =
+              scrapePoolOptions.getOrElse(t.job, (0L, 0L))
             Json.obj(
               "discoveredLabels" -> Json.metric(Map("__address__" -> t.url)),
               "labels" -> Json.metric(
                 Map("instance" -> t.instance, "job" -> t.job) ++ t.extraLabels),
               "scrapePool" -> Json.str(t.job),
               "scrapeUrl" -> Json.str(t.url),
-              "health" -> Json.str("up"))
+              "globalUrl" -> Json.str(t.url),
+              "lastError" -> Json.str(
+                if (up.exists(_._2 == 0.0)) "scrape failed" else ""),
+              "lastScrape" -> Json.str(java.time.Instant.ofEpochMilli(
+                up.map(_._1).getOrElse(0L)).toString),
+              "lastScrapeDuration" -> dur.map(_._2).getOrElse(0.0).toString,
+              "health" -> Json.str(up match {
+                case Some((_, v)) => if (v > 0.0) "up" else "down"
+                case None => "unknown"
+              }),
+              "scrapeInterval" -> Json.str(
+                graft.streaming.CheckSd.goDuration(intervalMs)),
+              "scrapeTimeout" -> Json.str(
+                graft.streaming.CheckSd.goDuration(timeoutMs)))
           }
+        }
       val dropped =
         if (!showDropped) Nil
         else droppedTargets

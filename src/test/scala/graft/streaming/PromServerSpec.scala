@@ -562,4 +562,72 @@ class PromServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cq == 200 && bq.contains("\"2.5\""), bq)
     } finally { agent.stop(); down.stop() }
   }
+
+  test("rule group limit: violating rule drops output and reports health=err; /targets carries the full field set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-limit")
+    writeFile(dir, "rules.yml",
+      """groups:
+        |  - name: capped
+        |    limit: 1
+        |    rules:
+        |      - record: up:copy
+        |        expr: up
+        |      - record: up:count
+        |        expr: count(up)
+        |""".stripMargin)
+    val cfgPath = writeFile(dir, "prometheus.yml",
+      """global:
+        |  scrape_interval: 15s
+        |rule_files:
+        |  - rules.yml
+        |scrape_configs:
+        |  - job_name: api
+        |    scrape_timeout: 7s
+        |    static_configs:
+        |      - targets: ['localhost:19999']
+        |""".stripMargin)
+    val srv = new PromServer(spark, cfgPath)
+    srv.start()
+    try {
+      val port = srv.api.boundPort
+      import org.apache.spark.sql.Row
+      srv.store.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(Map("__name__" -> "up", "job" -> "a"), 10000L, 1.0, false, null, 0L),
+          Row(Map("__name__" -> "up", "job" -> "b"), 10000L, 1.0, false, null, 0L)), 1),
+        graft.promql.Engine.samplesSchema))
+      srv.evalRulesOnce(15000L)
+      // up:copy yields 2 series > limit 1 -> output dropped, health err;
+      // up:count yields 1 series -> recorded fine
+      val (cq, bq) = get(port, "/api/v1/query?query=up%3Acopy&time=15")
+      assert(cq == 200 && bq.contains("\"result\":[]"), bq)
+      val (cq2, bq2) = get(port, "/api/v1/query?query=up%3Acount&time=15")
+      assert(cq2 == 200 && bq2.contains("\"2\""), bq2)
+      val (cr, br) = get(port, "/api/v1/rules")
+      assert(cr == 200, br)
+      // group-level limit field renders (ref api.go RuleGroup.Limit)
+      assert(br.contains("\"limit\":1"), br)
+      assert(br.contains("\"health\":\"err\""), br)
+      assert(br.contains("exceeded limit of 1 with 2 series"), br)
+      assert(br.contains("\"health\":\"ok\""), br)
+      // a later healthy pass clears the error: relax the store to 1 series
+      srv.store.deleteSeries(List(graft.promql.LabelMatcher("job",
+        graft.promql.MatchOp.Eq, "b")), Long.MinValue / 2, Long.MaxValue / 2)
+      srv.evalRulesOnce(45000L)
+      val (_, br2) = get(port, "/api/v1/rules")
+      assert(!br2.contains("\"health\":\"err\""), br2)
+
+      // /targets: full reference Target field set (api.go Target struct)
+      srv.scrapeOnce() // target is down (nothing listens) -> up=0 recorded
+      val (ct, bt) = get(port, "/api/v1/targets?state=active")
+      assert(ct == 200, bt)
+      for (k <- Seq("discoveredLabels", "labels", "scrapePool", "scrapeUrl",
+          "globalUrl", "lastError", "lastScrape", "lastScrapeDuration",
+          "health", "scrapeInterval", "scrapeTimeout"))
+        assert(bt.contains("\"" + k + "\":"), s"missing $k in $bt")
+      assert(bt.contains("\"health\":\"down\""), bt)
+      assert(bt.contains("\"scrapeInterval\":\"15s\""), bt)
+      assert(bt.contains("\"scrapeTimeout\":\"7s\""), bt)
+    } finally { srv.stop() }
+  }
 }

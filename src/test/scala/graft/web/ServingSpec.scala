@@ -1175,7 +1175,10 @@ class ServingSpec extends AnyFunSuite {
       assert(c3 == 200 && b3.contains("\"alertname\":\"HighM1\"") &&
         b3.contains("\"state\":\"firing\""))
       val (c4, b4) = get(api.boundPort, "/api/v1/targets")
-      assert(c4 == 200 && b4.contains("\"scrapePool\":\"j1\"") && b4.contains("\"health\":\"up\""))
+      // never-scraped target: health "unknown" like the reference's initial
+      // TargetHealth (real health now derives from the up report series)
+      assert(c4 == 200 && b4.contains("\"scrapePool\":\"j1\"") &&
+        b4.contains("\"health\":\"unknown\""))
       val (c5, b5) = get(api.boundPort, "/api/v1/status/runtimeinfo")
       assert(c5 == 200 && b5.contains("startTime"))
       val (c6, _) = get(api.boundPort, "/api/v1/status/flags")
