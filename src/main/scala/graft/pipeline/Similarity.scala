@@ -181,18 +181,45 @@ object Similarity {
   }
 
   /** embedding near-duplicate pairs (cos ≥ τ) via the same LSH bucketing —
-    * candidates share ≥1 bucket, verified exactly; never all-pairs. */
+    * candidates share ≥1 bucket, verified exactly; never all-pairs.
+    *
+    * Oversized-bucket guard (organic-soak finding): duplicate-dense
+    * embedding regions put thousands of vectors into the SAME (table,
+    * bucket), and all-pairs within such a bucket is quadratic — 10M+
+    * candidate pairs at a mere 20k-vector corpus with natural cluster
+    * structure. A bucket above `maxBucket` members degrades to a STAR: each
+    * member pairs only with the bucket's minimum vec_id (O(bucket) edges,
+    * still cosine-verified). Unlike the minhash stop-bucket DROP, the star
+    * keeps the bucket connected, so a downstream transitive closure still
+    * groups the duplicate set; direct pair enumeration inside oversized
+    * buckets is the sacrificed recall. Small-data results are unchanged
+    * (every gate-scale bucket is far below the cap). */
   def cosineDupPairs(corpus: DataFrame, tau: Double,
-      tables: Int = 8, planes: Int = 10): DataFrame = {
+      tables: Int = 8, planes: Int = 10, maxBucket: Int = 1000): DataFrame = {
     val bu = bucketsUdf(tables, planes)
-    def withBuckets(idAs: String, vAs: String): DataFrame =
+    def withBuckets(idAs: String): DataFrame =
       corpus.select(
-        col("vec_id").as(idAs), col("embedding").as(vAs),
+        col("vec_id").as(idAs),
         posexplode(bu(col("embedding"))).as(Seq("tbl", "bkt")))
-    val a = withBuckets("da", "va")
-    val b = withBuckets("db", "vb")
-    a.join(b, Seq("tbl", "bkt")).filter(col("da") < col("db"))
-      .select(col("da"), col("db"), col("va"), col("vb")).distinct()
+    // candidate generation on NARROW (id, tbl, bkt) rows: a pair colliding
+    // in several tables would otherwise carry both embedding payloads
+    // through the dedup shuffle once per collision (an organic-occupancy
+    // soak measured ~40 GB of vector traffic at a 20k-vector corpus);
+    // vectors join back by id AFTER the distinct — two linear id-keyed
+    // joins instead of a payload-wide exchange
+    val a = withBuckets("da")
+    val b = withBuckets("db")
+    // per-bucket size + min id ride the SAME (tbl, bkt) exchange the join
+    // uses — no extra shuffle shape
+    val stats = a.groupBy(col("tbl"), col("bkt"))
+      .agg(count(lit(1)).as("__bn"), min(col("da")).as("__bmin"))
+    val cand = a.join(b, Seq("tbl", "bkt")).join(stats, Seq("tbl", "bkt"))
+      .filter(col("da") < col("db") &&
+        (col("__bn") <= maxBucket || col("da") === col("__bmin")))
+      .select(col("da"), col("db")).distinct()
+    cand
+      .join(corpus.select(col("vec_id").as("da"), col("embedding").as("va")), "da")
+      .join(corpus.select(col("vec_id").as("db"), col("embedding").as("vb")), "db")
       .select(col("da"), col("db"), cosine("va", "vb").as("cos"))
       .filter(col("cos") >= tau)
   }
@@ -285,9 +312,17 @@ object Similarity {
     * the maxBlock sub-split only as the skew backstop. (A 10×-replicated
     * soak measured the fixed-k quadratic regime at 35× the wall time before
     * this scaling.) Below k·targetBlock rows the floor wins and results are
-    * unchanged at the gate scale factors. */
+    * unchanged at the gate scale factors.
+    *
+    * maxBlock default: an ORGANIC 10×-scale soak (16 latent embedding
+    * clusters at natural occupancy — data k-means cannot split further no
+    * matter how large kEff is) measured the previous 100000 default never
+    * engaging while within-cluster pairs went quadratic; 2× targetBlock
+    * bounds any block's pair count at ~2.1M (O(n·maxBlock) total) and
+    * still never engages when k-means achieves its expected ~targetBlock
+    * occupancy. */
   def semanticPairs(emb: DataFrame, tau: Double, k: Int = 8,
-      iters: Int = 3, maxBlock: Int = 100000, targetBlock: Int = 1024): DataFrame = {
+      iters: Int = 3, maxBlock: Int = 2048, targetBlock: Int = 1024): DataFrame = {
     val n = emb.count()
     val kEff = math.max(k, ((n + targetBlock - 1) / targetBlock).toInt)
     val withVec = emb.join(kmeans(emb, kEff, iters), "vec_id")

@@ -136,6 +136,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.head.getDouble(2) == 1.0)
   }
 
+  test("cosineDupPairs oversized-bucket star: linear edges, connectivity kept") {
+    // 12 identical vectors all land in the SAME bucket of every table;
+    // maxBucket=4 degrades the bucket to a star on the min id — edges are
+    // O(bucket), not O(bucket²), and transitive closure still groups all 12
+    val e = embsOf((1L to 12L).map(i => i -> Seq(1f, 2f, 3f)): _*)
+    val star = Similarity.cosineDupPairs(e, tau = 0.99, maxBucket = 4).collect()
+    assert(star.length == 11, star.mkString(","))
+    assert(star.forall(_.getLong(0) == 1L)) // every edge anchors the min id
+    val cc = graft.pipeline.Dedup.connectedComponents(
+      Similarity.cosineDupPairs(e, tau = 0.99, maxBucket = 4)
+        .select(col("da"), col("db")))
+    assert(cc.select(countDistinct(col("component_id"))).head().getLong(0) == 1L)
+    // under the cap: full pair enumeration unchanged (12 choose 2)
+    val full = Similarity.cosineDupPairs(e, tau = 0.99, maxBucket = 1000).collect()
+    assert(full.length == 66)
+  }
+
   private def pairsOf(rows: (Long, Long)*): DataFrame = {
     val schema = StructType(Seq(StructField("da", LongType), StructField("db", LongType)))
     spark.createDataFrame(
