@@ -91,7 +91,10 @@ object Config {
       // ScrapeNativeHistograms, default false in 3.x; also selects
       // proto-first protocol negotiation). Pool default for the per-target
       // __scrape_native_histograms__ relabel override.
-      scrapeNativeHistograms: Boolean = false)
+      scrapeNativeHistograms: Boolean = false,
+      // follow HTTP 3xx redirects on scrapes (ref: common HTTPClientConfig
+      // FollowRedirects, default true; cross-host hops drop credentials)
+      followRedirects: Boolean = true)
 
   /** one `alerting.alertmanagers` group (ref: config/config.go:1330
     * AlertmanagerConfig): target discovery + relabel_configs live on the
@@ -680,7 +683,8 @@ object Config {
           .contains("true"),
         scrapeNativeHistograms = m.str("scrape_native_histograms")
           .orElse(global.str("scrape_native_histograms"))
-          .contains("true"))
+          .contains("true"),
+        followRedirects = !m.str("follow_redirects").contains("false"))
     }
     val jobs = root.list("scrape_configs").collect { case m: YMap =>
       parseScrapeJob(m) }

@@ -55,7 +55,14 @@ final class ScrapeManager(
     // --enable-feature=extra-scrape-metrics (ref: scrape.go
     // reportExtraMetrics): scrape_timeout_seconds / scrape_sample_limit /
     // scrape_body_size_bytes report series
-    extraScrapeMetrics: Boolean = false) {
+    extraScrapeMetrics: Boolean = false,
+    // follow_redirects (ref: common HTTPClientConfig FollowRedirects,
+    // default true). Redirects are followed manually (≤10 hops, no
+    // https→http downgrade) because the reference's security semantics
+    // need per-hop control: credentials are NOT forwarded when a redirect
+    // leaves the original host (ref changelog #18949 / CVE-2025-4673 via
+    // prometheus/common v0.69.0)
+    followRedirects: Boolean = true) {
 
   // per-target post-relabel series-identity sets from the LAST successful
   // scrape — feeds scrape_series_added (ref: the per-target scrape cache)
@@ -75,15 +82,46 @@ final class ScrapeManager(
   import ScrapeManager.ScrapeTarget
 
   /** common scrape request decoration (ref: scrape/scrape.go — the
-    * X-Prometheus-Scrape-Timeout-Seconds hint header rides every request) */
-  private def scrapeRequest(url: String): java.net.http.HttpRequest.Builder = {
+    * X-Prometheus-Scrape-Timeout-Seconds hint header rides every request);
+    * `withAuth=false` builds the credential-stripped request used after a
+    * cross-host redirect */
+  private def scrapeRequest(url: String,
+      withAuth: Boolean = true): java.net.http.HttpRequest.Builder = {
     val b0 = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs))
       .header("X-Prometheus-Scrape-Timeout-Seconds",
         graft.web.Json.goFloat(timeoutMs / 1000.0))
     // ref: scrape.go acceptEncodingHeader — gzip unless enable_compression=false
     val b = if (enableCompression) b0.header("Accept-Encoding", "gzip") else b0
-    authHeader.fold(b)(v => b.header("Authorization", v))
+    if (withAuth) authHeader.fold(b)(v => b.header("Authorization", v)) else b
+  }
+
+  /** Send with manual redirect following (follow_redirects semantics): at
+    * most 10 hops, Location-bearing 3xx only, never an https→http
+    * downgrade, and the Authorization credential is DROPPED once a hop
+    * leaves the original host (ref #18949 — credentials are no longer
+    * forwarded on cross-host redirects). The request is REBUILT per hop via
+    * `mk(url, withAuth)` so every decoration header re-applies cleanly. */
+  private def sendFollow[T](mk: (String, Boolean) => java.net.http.HttpRequest,
+      url0: String, handler: java.net.http.HttpResponse.BodyHandler[T])
+      : java.net.http.HttpResponse[T] = {
+    val origHost = java.net.URI.create(url0).getHost
+    var url = url0
+    var auth = true
+    var hops = 0
+    var resp = client.send(mk(url, auth), handler)
+    while (followRedirects && hops < 10 &&
+        Set(301, 302, 303, 307, 308)(resp.statusCode()) &&
+        resp.headers().firstValue("Location").isPresent) {
+      val cur = java.net.URI.create(url)
+      val next = cur.resolve(resp.headers().firstValue("Location").get())
+      if (cur.getScheme == "https" && next.getScheme != "https") return resp
+      if (next.getHost != origHost) auth = false
+      url = next.toString
+      hops += 1
+      resp = client.send(mk(url, auth), handler)
+    }
+    resp
   }
 
   /** transparently inflate a gzip response body */
@@ -229,11 +267,11 @@ final class ScrapeManager(
     val t0 = nowMs()
     val (parsed, bodyLen, ok) =
       try {
-        val resp = client.send(
-          scrapeRequest(tgt.url)
+        val resp = sendFollow((u, a) =>
+          scrapeRequest(u, a)
             .header("Accept", "application/vnd.google.protobuf;" +
               "proto=io.prometheus.client.MetricFamily;encodings=delimited").GET().build(),
-          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+          tgt.url, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
         if (resp.statusCode() != 200) (ProtoExposition.Parsed(Nil, Map.empty), 0L, false)
         else {
           val bytes = inflate(resp) // body_size_limit is on UNCOMPRESSED bytes
@@ -387,10 +425,10 @@ final class ScrapeManager(
           (if (scrapeProtocols.nonEmpty) scrapeProtocols
            else ScrapeManager.defaultScrapeProtocols)
             .filterNot(_ == "PrometheusProto")
-        val resp = client.send(scrapeRequest(tgt.url)
+        val resp = sendFollow((u, a) => scrapeRequest(u, a)
             .header("Accept", ScrapeManager.acceptHeader(textProtocols))
             .GET().build(),
-          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+          tgt.url, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
         lazy val bodyBytes = inflate(resp)
         if (resp.statusCode() != 200)
           (Nil, Nil, Nil, 0L, false)

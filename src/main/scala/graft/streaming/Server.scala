@@ -169,6 +169,7 @@ final class PromServer(
           convertNhcb = job.convertNhcb,
           stZeroIngestion = stZeroIngestion,
           extraScrapeMetrics = extraScrapeMetrics,
+          followRedirects = job.followRedirects,
           client =
             if (job.proxyUrl.nonEmpty || job.tlsCaFile.nonEmpty ||
                 job.tlsInsecureSkipVerify)

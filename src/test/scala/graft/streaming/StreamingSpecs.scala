@@ -687,4 +687,52 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
       assert(kept.map(_.instance) == Seq("i2"))
     } finally server.stop(0)
   }
+
+  test("follow_redirects: 3xx followed <=10 hops; credentials dropped cross-host; off = up=0") {
+    // target server answers on /metrics; front server 302-redirects to it.
+    // 127.0.0.1 vs localhost = different hostnames (the reference strips
+    // credentials by hostname, ref changelog #18949)
+    @volatile var seenAuth: String = "unset"
+    val target = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    target.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+      seenAuth = ex.getRequestHeaders.getFirst("Authorization")
+      val b = "m_total 1\n".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    target.start()
+    val front = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    @volatile var redirectTo: String = ""
+    front.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getResponseHeaders.set("Location", redirectTo)
+      ex.sendResponseHeaders(302, -1); ex.close()
+    })
+    front.start()
+    try {
+      val frontUrl = s"http://127.0.0.1:${front.getAddress.getPort}/metrics"
+      def run(to: String, follow: Boolean): Double = {
+        redirectTo = to
+        seenAuth = "unset"
+        val store = emptyStoreS()
+        new ScrapeManager(spark, store,
+          Seq(ScrapeManager.ScrapeTarget(frontUrl, "t", "i1")),
+          nowMs = () => 60000L, authHeader = Some("Bearer s3cr3t"),
+          followRedirects = follow).scrapeOnce()
+        store.samples.collect().collectFirst {
+          case r if r.getMap[String, String](0)("__name__") == "up" => r.getDouble(2)
+        }.get
+      }
+      // same-host (127.0.0.1 -> 127.0.0.1) redirect: followed WITH credentials
+      assert(run(s"http://127.0.0.1:${target.getAddress.getPort}/metrics", follow = true) == 1.0)
+      assert(seenAuth == "Bearer s3cr3t", seenAuth)
+      // cross-host (127.0.0.1 -> localhost): followed, credentials DROPPED
+      assert(run(s"http://localhost:${target.getAddress.getPort}/metrics", follow = true) == 1.0)
+      assert(seenAuth == null, String.valueOf(seenAuth))
+      // follow_redirects: false -> the 302 is the final answer, up=0
+      assert(run(s"http://127.0.0.1:${target.getAddress.getPort}/metrics", follow = false) == 0.0)
+      // redirect loop: bounded at 10 hops, ends as a failed scrape not a hang
+      assert(run(frontUrl, follow = true) == 0.0)
+    } finally { front.stop(0); target.stop(0) }
+  }
 }
