@@ -183,6 +183,14 @@ object Engine {
   final case class SampleStats(total: Long, read: Long,
       perStepTotal: Seq[(Long, Long)] = Nil, perStepRead: Seq[(Long, Long)] = Nil)
 
+  /** process-lifetime samplesRead accumulator feeding the
+    * prometheus_engine_query_samples_read_total self-metric (ref #18081's
+    * engine counter). The reference increments on every query; here the
+    * figure is only computed when a query requests stats (the distinct
+    * (series, step) job is not free), so the counter covers stats-bearing
+    * queries — documented divergence. */
+  val samplesReadTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Compute [[SampleStats]] from the planner's scan log. Each scan is one
     * distributed aggregation over the pruned store scan: per row the covering
     * step range [kFirst, kLast] is closed-form long arithmetic, so the
@@ -252,6 +260,7 @@ object Engine {
         }
       }
     }
+    samplesReadTotal.addAndGet(read)
     SampleStats(total, read,
       perT.toSeq.sortBy(_._1), perR.toSeq.sortBy(_._1))
   }

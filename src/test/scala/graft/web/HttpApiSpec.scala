@@ -307,6 +307,14 @@ class HttpApiSpec extends AnyFunSuite {
       assert(c3 == 200, b3)
       assert(b3.contains("\"totalQueryableSamplesPerStep\":[[120,2],[180,2],[240,2]]"), b3)
       assert(b3.contains("\"samplesReadPerStep\":[[120,2],[180,2],[240,2]]"), b3)
+      // the engine counter accumulates samplesRead (ref #18081 self-metric)
+      val (cm, bm) = get(port, "/metrics")
+      assert(cm == 200 &&
+        bm.contains("prometheus_engine_query_samples_read_total"), bm.take(400))
+      val v = bm.linesIterator
+        .find(_.startsWith("prometheus_engine_query_samples_read_total "))
+        .get.split(" ").last.toDouble
+      assert(v >= 40.0, v.toString)
     } finally api.stop()
   }
 
