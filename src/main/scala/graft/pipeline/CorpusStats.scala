@@ -318,6 +318,51 @@ object CorpusStats {
         floor(col("byte_offset") / targetBytes).cast("long").as("shard"))
   }
 
+  /** GPT-style concat-and-chunk sequence packing: documents concatenate in
+    * doc_id order into one token stream that is cut into fixed `binTokens`
+    * training sequences; each doc reports its exclusive token offset and
+    * the first/last bin it lands in (a doc freely straddles bin boundaries
+    * — the packing that wastes zero padding, the standard LM pre-training
+    * layout). Token count = whitespace tokens, the same definition
+    * [[TextAnalysis.tokenCounts]] exposes as ws_tokens so the DuckDB
+    * oracle's window sum reproduces the offsets exactly.
+    *
+    * 100 TB shape: identical to [[shardAssign]]'s distributed prefix sum —
+    * per-block token totals (≤2¹⁶ rows to the driver, never a global sort
+    * window), an exclusive running base per block, and one intra-block
+    * window partitioned by block. Bin ids derive arithmetically from the
+    * offset; nothing materializes per bin, so bin count (corpus tokens /
+    * binTokens — billions at scale) never appears as a row dimension. */
+  def sequencePack(docs: DataFrame, binTokens: Long,
+      blockIds: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = docs.select(col("doc_id"),
+      size(Dedup.words(col("text"))).cast("long").as("__len"))
+    val maxRow = sized.agg(max(col("doc_id"))).head()
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val b = math.max(blockIds, (maxId + 1 + 65535) / 65536)
+    val blocked = sized.withColumn("__blk", floor(col("doc_id") / b))
+    val totals = blocked.groupBy(col("__blk")).agg(sum(col("__len")).as("__tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (blk, tot) => val o = (blk, acc); acc += tot; o }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = spark.createDataset(offsets.toSeq).toDF("__blk", "__boff")
+    val intra = Window.partitionBy(col("__blk")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blocked.join(broadcast(offDf), "__blk") // ≤65536 rows by construction
+      .withColumn("token_offset",
+        col("__boff") + coalesce(sum(col("__len")).over(intra), lit(0L)))
+      .select(col("doc_id"), col("token_offset"),
+        floor(col("token_offset") / binTokens).cast("long").as("start_bin"),
+        floor((col("token_offset") + col("__len") - 1) / binTokens)
+          .cast("long").as("end_bin"),
+        (floor((col("token_offset") + col("__len") - 1) / binTokens) -
+          floor(col("token_offset") / binTokens) + 1)
+          .cast("long").as("n_bins"))
+  }
+
   /** Mixture sampling toward target source weights: draw up to
     * `floor(weight(source) · total)` docs per source (capped by
     * availability; sources without a weight contribute nothing), chosen by

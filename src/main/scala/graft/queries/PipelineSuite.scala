@@ -188,6 +188,10 @@ object PipelineSuite {
 
     "lp41_compression_ratio" -> { (s, dir) =>
       TextAnalysis.compressionRatio(docs(s, dir)).orderBy(col("doc_id")) },
+
+    "lp42_sequence_pack" -> { (s, dir) =>
+      CorpusStats.sequencePack(docs(s, dir), binTokens = 512L)
+        .orderBy(col("doc_id")) },
   )
 
   /** lp03's pair CTEs, shared by the clustering oracles */
@@ -714,5 +718,23 @@ object PipelineSuite {
            round(sum(pd.c * ratio.lr) / sum(pd.c), 3) AS lw_per_token
          FROM pd JOIN ratio USING (bk)
          GROUP BY pd.doc_id, pd.tgt ORDER BY pd.doc_id""",
+
+    // concat-and-chunk packing: exclusive running ws-token sum in doc_id
+    // order; a doc spans bins floor(off/512) .. floor((off+len-1)/512)
+    "lp42_sequence_pack" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS tok
+           FROM documents),
+         o AS (
+           SELECT doc_id, tok,
+             COALESCE(sum(tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM d)
+         SELECT doc_id, CAST(off AS BIGINT) AS token_offset,
+           CAST(off // 512 AS BIGINT) AS start_bin,
+           CAST((off + tok - 1) // 512 AS BIGINT) AS end_bin,
+           CAST((off + tok - 1) // 512 - off // 512 + 1 AS BIGINT) AS n_bins
+         FROM o ORDER BY doc_id""",
   )
 }

@@ -153,6 +153,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full.length == 66)
   }
 
+  test("sequencePack: concat-and-chunk offsets, straddling docs, exact fits") {
+    // tokens: d1=3, d2=4, d3=1, d4=7 — stream of 15 tokens, bins of 4:
+    // d1 [0..2] bin 0; d2 [3..6] straddles bins 0..1; d3 [7] ends bin 1
+    // exactly; d4 [8..14] bins 2..3
+    val d = docsOf(
+      1L -> "a b c", 2L -> "d e f g", 3L -> "h",
+      4L -> "j k l m n o p")
+    val out = CorpusStats.sequencePack(d, binTokens = 4L)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 1L),
+      (2L, 3L, 0L, 1L, 2L),
+      (3L, 7L, 1L, 1L, 1L),
+      (4L, 8L, 2L, 3L, 2L)))
+    // sparse doc_ids exercise the block-offset path: same token stream
+    val sparse = docsOf(
+      1000000L -> "a b c", 5000000L -> "d e f g", 9000000L -> "h",
+      20000000L -> "j k l m n o p")
+    val out2 = CorpusStats.sequencePack(sparse, binTokens = 4L)
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(1), r.getLong(4)))
+    assert(out2.toSeq == Seq((0L, 1L), (3L, 2L), (7L, 1L), (8L, 2L)))
+  }
+
   private def pairsOf(rows: (Long, Long)*): DataFrame = {
     val schema = StructType(Seq(StructField("da", LongType), StructField("db", LongType)))
     spark.createDataFrame(
