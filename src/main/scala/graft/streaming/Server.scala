@@ -97,6 +97,9 @@ final class PromServer(
       configOpt = Some(cfg)
       ruleGroups = groups.flatten
       api.ruleGroups = ruleGroups
+      // rule health resets with the registry — stale (group, rule) error
+      // entries must not outlive a reload that renamed or removed them
+      api.ruleErrors = Map.empty
       api.alertmanagerUrls = cfg.alertmanagerUrls
       // /api/v1/alertmanagers serves the LIVE discovery view (active +
       // relabel-dropped) aggregated across the alertmanagers groups
