@@ -115,19 +115,43 @@ final class SampleStore(spark: SparkSession, initial: DataFrame) {
   def appendExemplars(batch: DataFrame): Unit = synchronized {
     exemplarAppendCalls += 1
     if (maxExemplars <= 0L) { exemplarDf = None; exemplarCount = 0L; return }
-    import org.apache.spark.sql.functions.{desc, lit, monotonically_increasing_id}
-    val cleaned = batch.filter(col("exemplar").isNotNull)
+    import org.apache.spark.sql.functions.{array_sort, desc, lit, map_entries,
+      monotonically_increasing_id, struct, xxhash64, max => smax}
+    val cleaned0 = batch.filter(col("exemplar").isNotNull)
       .select(col("labels"), col("exemplar"))
+    // per-series OOO/duplicate rejection (ref: tsdb/exemplar.go:231
+    // validateExemplar): an exemplar is admitted only if it orders STRICTLY
+    // after the series' newest stored one by (ts, value, exemplar-label
+    // hash) — re-appending the same exemplar every scrape cycle is a no-op
+    // (the exporter exposes it unchanged until new events), older arrivals
+    // are out-of-order drops. Spark struct comparison is lexicographic, so
+    // the reference's three-way ordering is one column comparison.
+    def sKey(c: org.apache.spark.sql.Column) = xxhash64(array_sort(map_entries(c)))
+    def ordKey(ex: org.apache.spark.sql.Column) = struct(ex.getField("t"), ex.getField("v"),
+      xxhash64(array_sort(map_entries(ex.getField("labels")))))
+    val cleaned = exemplarDf match {
+      case Some(df) =>
+        val newest = df
+          .select(sKey(col("labels")).as("__sk"), ordKey(col("exemplar")).as("__n"))
+          .groupBy(col("__sk")).agg(smax(col("__n")).as("__n"))
+        cleaned0.withColumn("__sk", sKey(col("labels")))
+          .withColumn("__c", ordKey(col("exemplar")))
+          .join(newest, Seq("__sk"), "left")
+          .filter(col("__n").isNull || col("__c") > col("__n"))
+          .select(col("labels"), col("exemplar"))
+      case None => cleaned0
+    }
+    val stamped = cleaned
       // per-batch arrival stamp: batches are driver-origin single-partition,
       // so monotonically_increasing_id orders within the batch and the
       // stepped base orders across batches
       .withColumn("__seq", monotonically_increasing_id() + lit(exemplarSeqBase))
     exemplarSeqBase += (1L << 33) // > any single batch's id range
-    val n = cleaned.count()
+    val n = stamped.count()
     if (n == 0L) return
     val merged = exemplarDf match {
-      case Some(df) => df.unionByName(cleaned)
-      case None => cleaned
+      case Some(df) => df.unionByName(stamped)
+      case None => stamped
     }
     exemplarCount += n
     val bounded =

@@ -720,6 +720,40 @@ class ServingSpec extends AnyFunSuite {
     assert(store.exemplars.isEmpty)
   }
 
+  test("exemplar OOO/duplicate rejection: re-appends are no-ops, older arrivals drop, same-ts advances by (value, hash)") {
+    import org.apache.spark.sql.Row
+    val store = emptyStore()
+    def one(trace: String, v: Double, t: Long) = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Map("__name__" -> "m"), Row(Map("trace_id" -> trace), v, t))), 1),
+      OpenMetrics.exemplarBatchSchema)
+    def traces() = store.exemplars.get.collect()
+      .map(_.getStruct(1).getMap[String, String](0)("trace_id")).sorted.toSeq
+    store.appendExemplars(one("t1", 1.0, 1000L))
+    // the exporter exposes the same exemplar until new events: a re-append
+    // is a NO-OP (ref exemplar.go validateExemplar ErrDuplicateExemplar)
+    store.appendExemplars(one("t1", 1.0, 1000L))
+    assert(store.exemplars.get.count() == 1L)
+    // older than the series' newest: out-of-order drop
+    store.appendExemplars(one("t0", 9.0, 500L))
+    assert(traces() == Seq("t1"))
+    // equal ts but LARGER value orders after the newest: admitted (the
+    // reference's multi-bucket-native-histogram allowance)
+    store.appendExemplars(one("t2", 2.0, 1000L))
+    assert(traces() == Seq("t1", "t2"))
+    // equal ts, smaller value: rejected
+    store.appendExemplars(one("t3", 0.5, 1000L))
+    assert(traces() == Seq("t1", "t2"))
+    // newer ts always admitted; a DIFFERENT series is independent
+    store.appendExemplars(one("t4", 0.1, 2000L))
+    assert(traces() == Seq("t1", "t2", "t4"))
+    store.appendExemplars(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Map("__name__" -> "other"), Row(Map("trace_id" -> "o1"), 1.0, 100L))), 1),
+      OpenMetrics.exemplarBatchSchema))
+    assert(traces() == Seq("o1", "t1", "t2", "t4"))
+  }
+
   test("exemplar eviction fairness: a one-series burst cannot evict another series' last exemplar") {
     import org.apache.spark.sql.Row
     val store = emptyStore()
