@@ -23,6 +23,119 @@ object AwsSd {
       .getOrElse(throw new IllegalStateException(
         "could not determine AWS region: not in config or environment"))
 
+  // ---------------------------------------------------------- credentials
+  // The reference's credential chain (ref discovery/aws/ec2.go:250-276):
+  // static access/secret keys when both are set, else the SDK default chain
+  // (environment variables here — no instance-metadata hop in this engine);
+  // then, when `role_arn` is configured, STS AssumeRole wraps the base
+  // credentials (stscreds.NewAssumeRoleProvider + aws.NewCredentialsCache,
+  // with `external_id` forwarded — ref ec2.go:90-91,269-276 and #18579 for
+  // the ECS/MSK/RDS/ElastiCache family). Temporary credentials carry a
+  // session token that must join the SigV4 signed-header set as
+  // x-amz-security-token.
+
+  /** one credential triple; sessionToken empty for long-lived keys */
+  final case class Creds(accessKey: String, secretKey: String,
+      sessionToken: String = "")
+
+  /** a source of (possibly refreshing) credentials; every signed request
+    * calls `creds()` so AssumeRole refreshes transparently mid-provider */
+  trait CredsProvider { def creds(): Creds }
+
+  /** config keys when both given, else env (AWS_ACCESS_KEY_ID /
+    * AWS_SECRET_ACCESS_KEY / AWS_SESSION_TOKEN — the token only rides along
+    * with env credentials, matching the SDK default chain) */
+  final class StaticCreds(accessKey: String, secretKey: String,
+      env: Map[String, String] = sys.env) extends CredsProvider {
+    private val resolved =
+      if (accessKey.nonEmpty && secretKey.nonEmpty) Creds(accessKey, secretKey)
+      else Creds(
+        env.getOrElse("AWS_ACCESS_KEY_ID", ""),
+        env.getOrElse("AWS_SECRET_ACCESS_KEY", ""),
+        env.getOrElse("AWS_SESSION_TOKEN", ""))
+    override def creds(): Creds = resolved
+  }
+
+  /** injectable STS transport: posts one AssumeRole Query form, returns the
+    * raw AssumeRoleResponse XML (tests fake this; production signs with
+    * SigV4 under the BASE credentials — you authenticate as yourself to
+    * become the role) */
+  trait StsApi { def assumeRole(form: String): String }
+
+  /** production STS client (regional endpoint, Query protocol) */
+  final class HttpStsApi(region: String, base: CredsProvider,
+      endpoint: String = "") extends StsApi {
+    private val host =
+      if (endpoint.nonEmpty) java.net.URI.create(endpoint).getHost
+      else s"sts.$region.amazonaws.com"
+    private val baseUrl =
+      if (endpoint.nonEmpty) endpoint.stripSuffix("/") else s"https://$host"
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    override def assumeRole(form: String): String = {
+      val hdrs = Ec2Sd.SigV4.headers(base.creds(), region, "sts", host, form,
+        java.time.Instant.now())
+      val b = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(baseUrl + "/"))
+        .timeout(java.time.Duration.ofSeconds(30))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(form))
+      hdrs.foreach { case (k, v) => b.header(k, v) }
+      val resp = client.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(s"sts assume-role: status ${resp.statusCode()}")
+      resp.body()
+    }
+  }
+
+  /** AssumeRole with an expiry-refreshed cache: one STS call serves every
+    * request until 5 minutes before Expiration (the credentials-cache
+    * expiry window), shared across a provider's whole API family. The
+    * `api` thunk is lazy so deferred-region providers (#19037) build the
+    * STS client only on first use, never at config parse. */
+  final class AssumeRoleCreds(apiThunk: => StsApi, roleArn: String,
+      externalId: String = "", sessionName: String = "graft-sd",
+      durationSec: Int = 3600,
+      now: () => java.time.Instant = () => java.time.Instant.now())
+      extends CredsProvider {
+    private lazy val api = apiThunk
+    private var cached: Creds = null
+    private var expiresAt: java.time.Instant = java.time.Instant.MIN
+    private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+    override def creds(): Creds = synchronized {
+      val t = now()
+      if (cached == null || !t.plusSeconds(300).isBefore(expiresAt)) {
+        val form = "Action=AssumeRole&Version=2011-06-15" +
+          "&RoleArn=" + enc(roleArn) +
+          "&RoleSessionName=" + enc(sessionName) +
+          "&DurationSeconds=" + durationSec +
+          (if (externalId.nonEmpty) "&ExternalId=" + enc(externalId) else "")
+        val doc = parseXml(api.assumeRole(form))
+        val credsEl = (for {
+          result <- child(doc.getDocumentElement, "AssumeRoleResult")
+          c <- child(result, "Credentials")
+        } yield c).getOrElse(throw new IllegalStateException(
+          "sts assume-role: response missing Credentials"))
+        cached = Creds(text(credsEl, "AccessKeyId"),
+          text(credsEl, "SecretAccessKey"), text(credsEl, "SessionToken"))
+        expiresAt = java.time.Instant.parse(text(credsEl, "Expiration"))
+      }
+      cached
+    }
+  }
+
+  /** the provider-facing factory: static/env chain, wrapped in AssumeRole
+    * when role_arn is set. `region` is by-name so deferred-region providers
+    * can pass their lazily-resolved region. */
+  def credentials(accessKey: String, secretKey: String, roleArn: String,
+      externalId: String, region: => String,
+      stsApi: Option[StsApi] = None): CredsProvider = {
+    val base = new StaticCreds(accessKey, secretKey)
+    if (roleArn.isEmpty) base
+    else new AssumeRoleCreds(
+      stsApi.getOrElse(new HttpStsApi(region, base)), roleArn, externalId)
+  }
+
   // ------------------------------------------------------------------ XML
   // The RDS and ElastiCache APIs speak the AWS Query protocol (XML
   // responses). List members appear either as a named child per item

@@ -327,8 +327,14 @@ object Config {
           str(cc, "server", "localhost:8500"),
           str(cc, "scheme", "http"),
           str(cc, "datacenter"),
+          str(cc, "namespace"),
+          str(cc, "partition"),
           strList(cc.get("services")),
           strList(cc.get("tags")),
+          kv(cc.get("node_meta")),
+          str(cc, "filter"),
+          str(cc, "health_filter"),
+          cc.str("allow_stale").contains("true"),
           str(cc, "tag_separator", ","),
           str(cc, "token"),
           cc.str("refresh_interval").map(durMs).getOrElse(30000L))
@@ -341,6 +347,8 @@ object Config {
           str(ec, "access_key"),
           str(ec, "secret_key"),
           str(ec, "endpoint"),
+          str(ec, "role_arn"),
+          str(ec, "external_id"),
           ec.str("refresh_interval").map(durMs).getOrElse(60000L))
       }.filter(_.region.nonEmpty)
       // ecs_sd_configs (ref: discovery/aws/ecs.go ECSSDConfig; region may be
@@ -352,6 +360,8 @@ object Config {
           str(ec, "access_key"),
           str(ec, "secret_key"),
           str(ec, "endpoint"),
+          str(ec, "role_arn"),
+          str(ec, "external_id"),
           strList(ec.get("clusters")),
           ec.str("request_concurrency").map(_.toInt).getOrElse(20),
           ec.str("refresh_interval").map(durMs).getOrElse(60000L))
@@ -365,6 +375,8 @@ object Config {
           str(rc, "access_key"),
           str(rc, "secret_key"),
           str(rc, "endpoint"),
+          str(rc, "role_arn"),
+          str(rc, "external_id"),
           strList(rc.get("clusters")),
           rc.list("filters").collect { case f: YMap =>
             (str(f, "name"), strList(f.get("values")))
@@ -379,6 +391,8 @@ object Config {
           str(kc, "access_key"),
           str(kc, "secret_key"),
           str(kc, "endpoint"),
+          str(kc, "role_arn"),
+          str(kc, "external_id"),
           strList(kc.get("clusters")),
           kc.str("refresh_interval").map(durMs).getOrElse(60000L))
       }
@@ -390,6 +404,8 @@ object Config {
           str(cc, "access_key"),
           str(cc, "secret_key"),
           str(cc, "endpoint"),
+          str(cc, "role_arn"),
+          str(cc, "external_id"),
           strList(cc.get("clusters")),
           cc.str("refresh_interval").map(durMs).getOrElse(60000L))
       }
@@ -533,6 +549,7 @@ object Config {
         LightsailSd.Config(str(lc, "region"),
           str(lc, "access_key"), str(lc, "secret_key"),
           str(lc, "endpoint"),
+          str(lc, "role_arn"), str(lc, "external_id"),
           lc.str("port").map(_.toInt).getOrElse(80),
           lc.str("refresh_interval").map(durMs).getOrElse(60000L))
       }

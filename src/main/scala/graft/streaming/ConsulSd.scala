@@ -19,13 +19,27 @@ import graft.web.JsonLite
 object ConsulSd {
 
   /** consul_sd_configs entry (ref: consul.go SDConfig; defaults: server
-    * localhost:8500, tag_separator ",", refresh 30s) */
+    * localhost:8500, tag_separator ",", refresh 30s).
+    *
+    * `filter` goes to the Catalog API only and `healthFilter` to the Health
+    * API only — the reference split them precisely because a catalog
+    * expression is not valid health-endpoint syntax and vice versa
+    * (consul.go:119-124, watchServices:377 vs watch:507; #18479/#18499).
+    * `allowStale` and `nodeMeta` ride on BOTH calls (QueryOptions), and
+    * server-side filtering is what keeps a >5k-target catalog poll at
+    * kilobytes instead of shipping the whole catalog every refresh. */
   final case class Config(
       server: String = "localhost:8500",
       scheme: String = "http",
       datacenter: String = "",
+      namespace: String = "", // Consul Enterprise
+      partition: String = "", // Consul Enterprise
       services: Seq[String] = Nil, // empty = every catalog service
       tags: Seq[String] = Nil, // every listed tag must be present
+      nodeMeta: Map[String, String] = Map.empty, // desired node metadata
+      filter: String = "", // Catalog API filter expression
+      healthFilter: String = "", // Health API filter expression
+      allowStale: Boolean = false,
       tagSeparator: String = ",",
       token: String = "",
       refreshMs: Long = 30000L)
@@ -114,19 +128,48 @@ object ConsulSd {
       client: ApiClient) extends Discovery.Provider {
     def this(name: String, cfg: Config) = this(name, cfg, new HttpApiClient(cfg))
     override def refreshMs: Long = cfg.refreshMs
+    private def enc(s: String): String =
+      java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+    /** shared QueryOptions params (dc/ns/partition/stale/node-meta) plus
+      * per-endpoint extras; node-meta repeats one `k:v` pair per entry
+      * (the consul api client's encoding), sorted for determinism */
+    private def queryString(extra: Seq[(String, String)]): String = {
+      val params = Seq.newBuilder[(String, String)]
+      if (cfg.datacenter.nonEmpty) params += ("dc" -> cfg.datacenter)
+      if (cfg.namespace.nonEmpty) params += ("ns" -> cfg.namespace)
+      if (cfg.partition.nonEmpty) params += ("partition" -> cfg.partition)
+      if (cfg.allowStale) params += ("stale" -> "")
+      cfg.nodeMeta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        params += ("node-meta" -> s"$k:$v") }
+      params ++= extra
+      val all = params.result()
+      if (all.isEmpty) ""
+      else "?" + all.map { case (k, v) =>
+        if (v.isEmpty) enc(k) else enc(k) + "=" + enc(v) }.mkString("&")
+    }
     override def refresh(): Seq[Discovery.TargetGroup] = {
-      val dcQ = if (cfg.datacenter.nonEmpty) s"?dc=${cfg.datacenter}" else ""
+      // catalog LIST carries `filter` (NOT health_filter — #18499's exact
+      // regression was crossing the two)
+      val catalogQ = queryString(
+        if (cfg.filter.nonEmpty) Seq("filter" -> cfg.filter) else Nil)
       // catalog map: service name → tags (ref: watchServices shouldWatch)
-      val catalog = jmap(JsonLite.parse(client.get(s"/v1/catalog/services$dcQ")))
+      val catalog = jmap(JsonLite.parse(
+        client.get(s"/v1/catalog/services$catalogQ")))
       val watched = catalog.filter { case (svcName, svcTags) =>
         (cfg.services.isEmpty || cfg.services.contains(svcName)) &&
         cfg.tags.forall(t => (svcTags match {
           case ts: List[_] => ts.map(jstr); case _ => Nil
         }).contains(t))
       }.keys.toSeq.sorted
+      // health queries carry `health_filter` plus the server-side tag set
+      // (ref watch:507 ServiceMultipleTags — one `tag` param per entry)
+      val healthQ = queryString(
+        cfg.tags.map("tag" -> _) ++
+        (if (cfg.healthFilter.nonEmpty) Seq("filter" -> cfg.healthFilter)
+         else Nil))
       watched.map { svcName =>
         val entries = (JsonLite.parse(
-            client.get(s"/v1/health/service/$svcName$dcQ")) match {
+            client.get(s"/v1/health/service/$svcName$healthQ")) match {
           case xs: List[_] => xs; case _ => Nil
         }).map(jmap)
         // per-target tag filter too: a node of a watched service may lack

@@ -21,6 +21,8 @@ object Ec2Sd {
       accessKey: String = "",
       secretKey: String = "",
       endpoint: String = "", // override for testing/VPC endpoints
+      roleArn: String = "", // STS AssumeRole (ref ec2.go:90, #18579)
+      externalId: String = "",
       refreshMs: Long = 60000L)
 
   /** injectable DescribeInstances transport; returns the raw XML body */
@@ -39,6 +41,30 @@ object Ec2Sd {
     private def sha256Hex(s: String): String =
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    /** [[AwsSd.Creds]] form: a temporary-credential session token joins the
+      * signed set as x-amz-security-token (the SigV4 rule for STS creds) */
+    def headers(creds: AwsSd.Creds, region: String, service: String,
+        host: String, body: String, nowUtc: java.time.Instant): Map[String, String] =
+      headers(creds, region, service, host, body, nowUtc,
+        "application/x-www-form-urlencoded; charset=utf-8",
+        Map.empty[String, String])
+    def headers(creds: AwsSd.Creds, region: String, service: String,
+        host: String, body: String, nowUtc: java.time.Instant,
+        contentType: String,
+        extraSigned: Map[String, String]): Map[String, String] =
+      headers(creds.accessKey, creds.secretKey, region, service, host, body,
+        nowUtc, contentType, withToken(extraSigned, creds))
+    def headersFor(creds: AwsSd.Creds, region: String, service: String,
+        host: String, method: String, path: String, query: String,
+        body: String, nowUtc: java.time.Instant): Map[String, String] =
+      headersFor(creds.accessKey, creds.secretKey, region, service, host,
+        method, path, query, body, nowUtc,
+        extraSigned = withToken(Map.empty, creds))
+    private def withToken(extra: Map[String, String],
+        creds: AwsSd.Creds): Map[String, String] =
+      if (creds.sessionToken.isEmpty) extra
+      else extra + ("X-Amz-Security-Token" -> creds.sessionToken)
 
     /** signed header set for one POST of `body` to `host`; `extraSigned`
       * headers (e.g. x-amz-target for JSON-1.1 APIs) join the signed set */
@@ -95,19 +121,15 @@ object Ec2Sd {
     private val base =
       if (cfg.endpoint.nonEmpty) cfg.endpoint.stripSuffix("/")
       else s"https://$host"
-    private val accessKey =
-      if (cfg.accessKey.nonEmpty) cfg.accessKey
-      else sys.env.getOrElse("AWS_ACCESS_KEY_ID", "")
-    private val secretKey =
-      if (cfg.secretKey.nonEmpty) cfg.secretKey
-      else sys.env.getOrElse("AWS_SECRET_ACCESS_KEY", "")
+    private val credsProvider = AwsSd.credentials(cfg.accessKey,
+      cfg.secretKey, cfg.roleArn, cfg.externalId, cfg.region)
     private val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
     override def describeInstances(nextToken: Option[String]): String = {
       val body = "Action=DescribeInstances&Version=2016-11-15" +
         nextToken.map(t => "&NextToken=" +
           java.net.URLEncoder.encode(t, "UTF-8")).getOrElse("")
-      val hdrs = SigV4.headers(accessKey, secretKey, cfg.region, "ec2",
+      val hdrs = SigV4.headers(credsProvider.creds(), cfg.region, "ec2",
         host, body, java.time.Instant.now())
       val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + "/"))
         .timeout(java.time.Duration.ofSeconds(30))
@@ -155,15 +177,49 @@ object Ec2Sd {
     if (host.contains(":") && !host.startsWith("[")) s"[$host]:$port"
     else s"$host:$port"
 
+  /** ENI sweep → (default ipv6, primary-per-device-index list, all list)
+    * (ref: ec2.go getInstanceIPv6Addresses:460-494). Primary addresses sit
+    * at their attachment's device index; gaps stay as empty strings so the
+    * list preserves position information. Default = first primary, else
+    * first of the full list. VPC-less instances have no IPv6 labels. */
+  private def instanceIpv6(inst: org.w3c.dom.Element)
+      : (Option[String], Seq[String], Seq[String]) = {
+    if (text(inst, "vpcId").isEmpty) return (None, Nil, Nil)
+    val primary = scala.collection.mutable.ArrayBuffer.empty[String]
+    val all = Seq.newBuilder[String]
+    items(inst, "networkInterfaceSet").foreach { eni =>
+      if (text(eni, "subnetId").nonEmpty) {
+        val devIdx = children(eni, "attachment").headOption
+          .map(a => text(a, "deviceIndex")).filter(_.nonEmpty)
+          .map(_.toInt).getOrElse(0)
+        items(eni, "ipv6AddressesSet").foreach { a =>
+          val addr = text(a, "ipv6Address")
+          if (addr.nonEmpty) {
+            all += addr
+            if (text(a, "isPrimaryIpv6") == "true") {
+              while (primary.length <= devIdx) primary += ""
+              primary(devIdx) = addr
+            }
+          }
+        }
+      }
+    }
+    val allSeq = all.result()
+    val default = (primary.toSeq ++ allSeq).find(_.nonEmpty)
+    (default, primary.toSeq, allSeq)
+  }
+
   /** one instance element → (address, labels) (ref: ec2.go refresh loop) */
   private def buildInstance(inst: org.w3c.dom.Element, ownerId: String,
       cfg: Config): Option[(String, Map[String, String])] = {
     val privateIp = text(inst, "privateIpAddress")
-    if (privateIp.isEmpty) return None // reference skips IP-less instances
+    val (defaultIpv6, primaryIpv6, allIpv6) = instanceIpv6(inst)
+    // the reference skips instances with neither a private IPv4 nor any
+    // IPv6 address (ec2.go:352 — IPv6-only VPCs stay scrapeable, #16088)
+    if (privateIp.isEmpty && defaultIpv6.isEmpty) return None
     var l = Map(
       "__meta_ec2_instance_id" -> text(inst, "instanceId"),
       "__meta_ec2_region" -> cfg.region,
-      "__meta_ec2_private_ip" -> privateIp,
       "__meta_ec2_ami" -> text(inst, "imageId"),
       "__meta_ec2_instance_state" ->
         children(inst, "instanceState").headOption.map(text(_, "name")).getOrElse(""),
@@ -171,6 +227,13 @@ object Ec2Sd {
       "__meta_ec2_availability_zone" ->
         children(inst, "placement").headOption
           .map(text(_, "availabilityZone")).getOrElse(""))
+    if (privateIp.nonEmpty) l += "__meta_ec2_private_ip" -> privateIp
+    defaultIpv6.foreach(a => l += "__meta_ec2_default_ipv6_address" -> a)
+    if (primaryIpv6.nonEmpty)
+      l += "__meta_ec2_primary_ipv6_addresses" ->
+        primaryIpv6.mkString(",", ",", ",")
+    if (allIpv6.nonEmpty)
+      l += "__meta_ec2_ipv6_addresses" -> allIpv6.mkString(",", ",", ",")
     if (ownerId.nonEmpty) l += "__meta_ec2_owner_id" -> ownerId
     val privDns = text(inst, "privateDnsName")
     if (privDns.nonEmpty) l += "__meta_ec2_private_dns_name" -> privDns
@@ -200,7 +263,9 @@ object Ec2Sd {
       if (k.nonEmpty)
         l += "__meta_ec2_tag_" + KubernetesSd.sanitize(k) -> v
     }
-    Some((hostPort(privateIp, cfg.port), l))
+    // address: private IPv4 preferred, default IPv6 otherwise (ec2.go:370)
+    val addrHost = if (privateIp.nonEmpty) privateIp else defaultIpv6.get
+    Some((hostPort(addrHost, cfg.port), l))
   }
 
   final class Ec2Provider(override val name: String, cfg: Config,

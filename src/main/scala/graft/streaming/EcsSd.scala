@@ -28,6 +28,8 @@ object EcsSd {
       accessKey: String = "",
       secretKey: String = "",
       endpoint: String = "",
+      roleArn: String = "", // STS AssumeRole (ref #18579)
+      externalId: String = "",
       clusters: Seq[String] = Nil,
       requestConcurrency: Int = 20,
       refreshMs: Long = 60000L)
@@ -55,18 +57,14 @@ object EcsSd {
       if (cfg.endpoint.nonEmpty) cfg.endpoint.stripSuffix("/")
       else s"https://$ecsHost"
     private val ec2Host = s"ec2.$region.amazonaws.com"
-    private val accessKey =
-      if (cfg.accessKey.nonEmpty) cfg.accessKey
-      else sys.env.getOrElse("AWS_ACCESS_KEY_ID", "")
-    private val secretKey =
-      if (cfg.secretKey.nonEmpty) cfg.secretKey
-      else sys.env.getOrElse("AWS_SECRET_ACCESS_KEY", "")
+    private val credsProvider = AwsSd.credentials(cfg.accessKey,
+      cfg.secretKey, cfg.roleArn, cfg.externalId, region)
     private val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 
     private def post(base: String, host: String, service: String, body: String,
         contentType: String, extra: Map[String, String]): String = {
-      val hdrs = Ec2Sd.SigV4.headers(accessKey, secretKey, region, service,
+      val hdrs = Ec2Sd.SigV4.headers(credsProvider.creds(), region, service,
         host, body, java.time.Instant.now(), contentType, extra)
       val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + "/"))
         .timeout(java.time.Duration.ofSeconds(30))

@@ -31,6 +31,8 @@ object ElasticacheSd {
       accessKey: String = "",
       secretKey: String = "",
       endpoint: String = "",
+      roleArn: String = "", // STS AssumeRole (ref #18579)
+      externalId: String = "",
       clusters: Seq[String] = Nil,
       refreshMs: Long = 60000L)
 
@@ -50,19 +52,15 @@ object ElasticacheSd {
     private val base =
       if (cfg.endpoint.nonEmpty) cfg.endpoint.stripSuffix("/")
       else s"https://$host"
-    private val accessKey =
-      if (cfg.accessKey.nonEmpty) cfg.accessKey
-      else sys.env.getOrElse("AWS_ACCESS_KEY_ID", "")
-    private val secretKey =
-      if (cfg.secretKey.nonEmpty) cfg.secretKey
-      else sys.env.getOrElse("AWS_SECRET_ACCESS_KEY", "")
+    private val credsProvider = AwsSd.credentials(cfg.accessKey,
+      cfg.secretKey, cfg.roleArn, cfg.externalId, region)
     private val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 
     private def query(params: Seq[(String, String)]): String = {
       val body = params.map { case (k, v) =>
         k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }.mkString("&")
-      val hdrs = Ec2Sd.SigV4.headers(accessKey, secretKey, region,
+      val hdrs = Ec2Sd.SigV4.headers(credsProvider.creds(), region,
         "elasticache", host, body, java.time.Instant.now())
       val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + "/"))
         .timeout(java.time.Duration.ofSeconds(30))

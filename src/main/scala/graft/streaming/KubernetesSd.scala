@@ -548,7 +548,15 @@ object KubernetesSd {
     * keep-on-failure contract as the manager's whole-refresh-throws path. */
   final class Informer(client: WatchApiClient, resource: String,
       namespace: String, query: String) {
-    private val byKey = new java.util.concurrent.ConcurrentHashMap[String, J]()
+    // the cache is a VOLATILE REFERENCE to a concurrent map: watch events
+    // mutate the current map in place (single writer — the watch thread),
+    // while a relist builds a fresh map and publishes it with one reference
+    // swap. A concurrent snapshot() therefore sees exactly the old state or
+    // exactly the new state, never a mix (the round-12 retainAll+putAll
+    // two-step could briefly hide newly-added objects from a snapshot
+    // taken between the steps).
+    @volatile private var byKey =
+      new java.util.concurrent.ConcurrentHashMap[String, J]()
     @volatile private var rv: String = ""
     @volatile private var valid = false
     @volatile private var closed = false
@@ -560,18 +568,16 @@ object KubernetesSd {
     private def path = listPath(resource, namespace)
     private def okey(meta: J): String = s(meta, "namespace") + "/" + s(meta, "name")
 
-    private def relist(): Unit = {
+    private[streaming] def relist(): Unit = {
       val body = jmap(JsonLite.parse(client.get(path + query)))
-      // populate a LOCAL map and swap it in atomically: snapshot() reads
-      // concurrently from the manager poll thread, and a clear-then-put
-      // sequence would expose a partial/empty cache mid-relist — the
-      // documented "previous objects while a relist is pending" contract
-      // requires readers to see either the old or the complete new state
-      val fresh = new java.util.HashMap[String, J]()
+      // populate a LOCAL map and publish it with one volatile write:
+      // snapshot() reads concurrently from the manager poll thread, and the
+      // "previous objects while a relist is pending" contract requires it
+      // to see either the complete old or the complete new state
+      val fresh = new java.util.concurrent.ConcurrentHashMap[String, J]()
       l(body, "items").foreach(o => fresh.put(okey(m(o, "metadata")), o))
-      byKey.keySet.retainAll(fresh.keySet)
-      byKey.putAll(fresh)
       rv = s(m(body, "metadata"), "resourceVersion")
+      byKey = fresh
       lists += 1
       valid = true
     }

@@ -19,6 +19,8 @@ object LightsailSd {
       accessKey: String = "",
       secretKey: String = "",
       endpoint: String = "",
+      roleArn: String = "", // STS AssumeRole (ref #18579)
+      externalId: String = "",
       port: Int = 80,
       refreshMs: Long = 60000L)
 
@@ -32,19 +34,15 @@ object LightsailSd {
     private val base =
       if (cfg.endpoint.nonEmpty) cfg.endpoint.stripSuffix("/")
       else s"https://$host"
-    private val accessKey =
-      if (cfg.accessKey.nonEmpty) cfg.accessKey
-      else sys.env.getOrElse("AWS_ACCESS_KEY_ID", "")
-    private val secretKey =
-      if (cfg.secretKey.nonEmpty) cfg.secretKey
-      else sys.env.getOrElse("AWS_SECRET_ACCESS_KEY", "")
+    private val credsProvider = AwsSd.credentials(cfg.accessKey,
+      cfg.secretKey, cfg.roleArn, cfg.externalId, cfg.region)
     private val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
     override def getInstances(pageToken: Option[String]): String = {
       val body = pageToken
         .map(t => s"""{"pageToken":"${graft.web.Json.escape(t)}"}""")
         .getOrElse("{}")
-      val hdrs = Ec2Sd.SigV4.headers(accessKey, secretKey, cfg.region,
+      val hdrs = Ec2Sd.SigV4.headers(credsProvider.creds(), cfg.region,
         "lightsail", host, body, java.time.Instant.now(),
         contentType = "application/x-amz-json-1.1",
         extraSigned = Map("x-amz-target" -> "Lightsail_20161128.GetInstances"))

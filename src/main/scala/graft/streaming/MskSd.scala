@@ -29,6 +29,8 @@ object MskSd {
       accessKey: String = "",
       secretKey: String = "",
       endpoint: String = "",
+      roleArn: String = "", // STS AssumeRole (ref #18579)
+      externalId: String = "",
       clusters: Seq[String] = Nil,
       refreshMs: Long = 60000L)
 
@@ -47,12 +49,8 @@ object MskSd {
     private val base =
       if (cfg.endpoint.nonEmpty) cfg.endpoint.stripSuffix("/")
       else s"https://$host"
-    private val accessKey =
-      if (cfg.accessKey.nonEmpty) cfg.accessKey
-      else sys.env.getOrElse("AWS_ACCESS_KEY_ID", "")
-    private val secretKey =
-      if (cfg.secretKey.nonEmpty) cfg.secretKey
-      else sys.env.getOrElse("AWS_SECRET_ACCESS_KEY", "")
+    private val credsProvider = AwsSd.credentials(cfg.accessKey,
+      cfg.secretKey, cfg.roleArn, cfg.externalId, region)
     private val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 
@@ -61,7 +59,7 @@ object MskSd {
       // POST to "/", which differs from GET paths — sign manually here via
       // the same header chain with an empty payload hash and exact path.
       val uri = java.net.URI.create(base + pathAndQuery)
-      val hdrs = Ec2Sd.SigV4.headersFor(accessKey, secretKey, region, "kafka",
+      val hdrs = Ec2Sd.SigV4.headersFor(credsProvider.creds(), region, "kafka",
         host, "GET", uri.getRawPath,
         Option(uri.getRawQuery).getOrElse(""), "", java.time.Instant.now())
       val b = java.net.http.HttpRequest.newBuilder(uri)

@@ -483,4 +483,143 @@ class AwsSdSpec extends AnyFunSuite {
     assert(errs.count(_.contains("filter missing a name")) == 2)
     assert(errs.count(_.contains("at least one value")) == 1)
   }
+
+  // ------------------------------------------------------------------ STS
+  // ref: discovery/aws/ec2.go:269-276 (stscreds.NewAssumeRoleProvider +
+  // aws.NewCredentialsCache) and #18579 (external_id on the whole family).
+
+  test("sts assume-role: one call cached, refreshed past expiry window, external_id forwarded") {
+    var calls = 0
+    var lastForm = ""
+    var clock = java.time.Instant.parse("2026-08-16T10:00:00Z")
+    val fakeSts = new AwsSd.StsApi {
+      override def assumeRole(form: String): String = {
+        calls += 1; lastForm = form
+        s"""<AssumeRoleResponse><AssumeRoleResult><Credentials>
+           |<AccessKeyId>ASIAKEY$calls</AccessKeyId>
+           |<SecretAccessKey>secret$calls</SecretAccessKey>
+           |<SessionToken>tok$calls</SessionToken>
+           |<Expiration>${clock.plusSeconds(3600)}</Expiration>
+           |</Credentials></AssumeRoleResult></AssumeRoleResponse>""".stripMargin
+      }
+    }
+    val provider = new AwsSd.AssumeRoleCreds(fakeSts,
+      "arn:aws:iam::1:role/mon", externalId = "xid-42", now = () => clock)
+    assert(provider.creds() == AwsSd.Creds("ASIAKEY1", "secret1", "tok1"))
+    assert(lastForm.contains("Action=AssumeRole"))
+    assert(lastForm.contains(
+      "RoleArn=" + java.net.URLEncoder.encode("arn:aws:iam::1:role/mon", "UTF-8")))
+    assert(lastForm.contains("ExternalId=xid-42"))
+    // cached: repeated calls within the validity window reuse the creds
+    (1 to 5).foreach(_ => provider.creds())
+    assert(calls == 1)
+    // 50 min in: still >5 min of validity left → no refresh
+    clock = clock.plusSeconds(50 * 60)
+    provider.creds()
+    assert(calls == 1)
+    // 56 min in: inside the 5-min expiry window → one refresh call
+    clock = clock.plusSeconds(6 * 60)
+    assert(provider.creds() == AwsSd.Creds("ASIAKEY2", "secret2", "tok2"))
+    assert(calls == 2)
+    // no external_id configured → the parameter is omitted entirely
+    val bare = new AwsSd.AssumeRoleCreds(fakeSts, "arn:aws:iam::1:role/x",
+      now = () => clock)
+    bare.creds()
+    assert(!lastForm.contains("ExternalId"))
+  }
+
+  test("sts temporary creds: session token joins the SigV4 signed-header set") {
+    val at = java.time.Instant.parse("2026-08-16T10:00:00Z")
+    val hdrs = Ec2Sd.SigV4.headers(AwsSd.Creds("AK", "SK", "SESSTOK"),
+      "us-east-1", "ec2", "ec2.us-east-1.amazonaws.com", "Action=X", at)
+    assert(hdrs("X-Amz-Security-Token") == "SESSTOK")
+    assert(hdrs("Authorization").contains("x-amz-security-token"))
+    val plain = Ec2Sd.SigV4.headers(AwsSd.Creds("AK", "SK"),
+      "us-east-1", "ec2", "ec2.us-east-1.amazonaws.com", "Action=X", at)
+    assert(!plain.contains("X-Amz-Security-Token"))
+    assert(!plain("Authorization").contains("security-token"))
+    // the token changes the signature (it is signed, not just attached)
+    assert(hdrs("Authorization") != plain("Authorization"))
+  }
+
+  test("credentials factory: static wins, env falls back with token, role_arn wraps lazily") {
+    val static = new AwsSd.StaticCreds("cfgA", "cfgS",
+      Map("AWS_SESSION_TOKEN" -> "must-not-ride-with-static-keys"))
+    assert(static.creds() == AwsSd.Creds("cfgA", "cfgS"))
+    val env = new AwsSd.StaticCreds("", "", Map(
+      "AWS_ACCESS_KEY_ID" -> "envA", "AWS_SECRET_ACCESS_KEY" -> "envS",
+      "AWS_SESSION_TOKEN" -> "envT"))
+    assert(env.creds() == AwsSd.Creds("envA", "envS", "envT"))
+    // without role_arn the region thunk must never evaluate (deferred-region
+    // providers pass a lazily-resolved region, ref #19037)
+    val p = AwsSd.credentials("a", "s", "", "",
+      region = fail("region must not resolve without role_arn"))
+    assert(p.creds() == AwsSd.Creds("a", "s"))
+    // with role_arn + injected STS api the region thunk stays untouched too
+    val fakeSts = new AwsSd.StsApi {
+      override def assumeRole(form: String): String =
+        """<AssumeRoleResponse><AssumeRoleResult><Credentials>
+          |<AccessKeyId>A</AccessKeyId><SecretAccessKey>S</SecretAccessKey>
+          |<SessionToken>T</SessionToken>
+          |<Expiration>2099-01-01T00:00:00Z</Expiration>
+          |</Credentials></AssumeRoleResult></AssumeRoleResponse>""".stripMargin
+    }
+    val wrapped = AwsSd.credentials("a", "s", "arn:aws:iam::1:role/r", "",
+      region = fail("region must not resolve with an injected sts api"),
+      stsApi = Some(fakeSts))
+    assert(wrapped.creds() == AwsSd.Creds("A", "S", "T"))
+  }
+
+  test("role_arn + external_id parse on all six aws sd shapes and pass config check") {
+    val cfg = Config.parse(
+      """scrape_configs:
+        |  - job_name: aws
+        |    ec2_sd_configs:
+        |      - region: us-east-1
+        |        role_arn: arn:aws:iam::1:role/ec2
+        |        external_id: e1
+        |    lightsail_sd_configs:
+        |      - region: us-east-1
+        |        role_arn: arn:aws:iam::1:role/ls
+        |        external_id: e2
+        |    ecs_sd_configs:
+        |      - role_arn: arn:aws:iam::1:role/ecs
+        |        external_id: e3
+        |    rds_sd_configs:
+        |      - role_arn: arn:aws:iam::1:role/rds
+        |        external_id: e4
+        |    msk_sd_configs:
+        |      - role_arn: arn:aws:iam::1:role/msk
+        |        external_id: e5
+        |    elasticache_sd_configs:
+        |      - role_arn: arn:aws:iam::1:role/elc
+        |        external_id: e6
+        |""".stripMargin, "/tmp").scrapeJobs.head
+    assert(cfg.ec2Sd.head.roleArn == "arn:aws:iam::1:role/ec2")
+    assert(cfg.ec2Sd.head.externalId == "e1")
+    assert(cfg.lightsailSd.head.roleArn == "arn:aws:iam::1:role/ls")
+    assert(cfg.lightsailSd.head.externalId == "e2")
+    assert(cfg.ecsSd.head.roleArn == "arn:aws:iam::1:role/ecs")
+    assert(cfg.ecsSd.head.externalId == "e3")
+    assert(cfg.rdsSd.head.roleArn == "arn:aws:iam::1:role/rds")
+    assert(cfg.rdsSd.head.externalId == "e4")
+    assert(cfg.mskSd.head.roleArn == "arn:aws:iam::1:role/msk")
+    assert(cfg.mskSd.head.externalId == "e5")
+    assert(cfg.elasticacheSd.head.roleArn == "arn:aws:iam::1:role/elc")
+    assert(cfg.elasticacheSd.head.externalId == "e6")
+    val dir = java.nio.file.Files.createTempDirectory("stssd").toFile
+    val f = new java.io.File(dir, "sts.yml")
+    java.nio.file.Files.writeString(f.toPath,
+      """scrape_configs:
+        |  - job_name: aws
+        |    ec2_sd_configs:
+        |      - region: us-east-1
+        |        role_arn: arn:aws:iam::1:role/ec2
+        |        external_id: e1
+        |    ecs_sd_configs:
+        |      - role_arn: arn:aws:iam::1:role/ecs
+        |        external_id: e3
+        |""".stripMargin)
+    assert(ConfigCheck.checkConfig(f.getPath).errors.isEmpty)
+  }
 }

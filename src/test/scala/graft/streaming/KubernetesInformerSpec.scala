@@ -78,6 +78,46 @@ class KubernetesInformerSpec extends AnyFunSuite {
     assert(fake.listCalls.get() == 1)
   }
 
+  test("relist publishes atomically: concurrent snapshots see exactly old or new state") {
+    // the contract: a snapshot taken at ANY point during a relist equals
+    // the complete old state or the complete new state — never a mix (and
+    // in particular never one missing newly-added objects, the round-12
+    // retainAll+putAll window)
+    def podName(o: Map[String, Any]): String =
+      o("metadata").asInstanceOf[Map[String, Any]]("name").asInstanceOf[String]
+    val listA = listJson("1", (1 to 40).map(i => podJson(s"a$i", "1.1.1.1", "1")): _*)
+    val listB = listJson("2", (1 to 40).map(i => podJson(s"b$i", "2.2.2.2", "2")): _*)
+    val setA = (1 to 40).map(i => s"a$i").toSet
+    val setB = (1 to 40).map(i => s"b$i").toSet
+    val fake = new FakeWatchClient(listA)
+    val inf = new KubernetesSd.Informer(fake, "pod", "default", "")
+    inf.ensureStarted()
+    assert(inf.snapshot().map(podName).toSet == setA)
+    val violations = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var sawA = false
+    @volatile var sawB = false
+    val flipper = new Thread(() => {
+      var i = 0
+      while (i < 300) {
+        fake.listBody = if (i % 2 == 0) listB else listA
+        inf.relist()
+        i += 1
+      }
+    }, "relist-flipper")
+    flipper.start()
+    while (flipper.isAlive) {
+      val names = inf.snapshot().map(podName).toSet
+      if (names == setA) sawA = true
+      else if (names == setB) sawB = true
+      else violations.incrementAndGet()
+    }
+    flipper.join()
+    inf.close()
+    assert(violations.get() == 0,
+      s"${violations.get()} mixed snapshots observed during relist")
+    assert(sawA && sawB, "stress loop never observed both states")
+  }
+
   test("ERROR event (410 Gone) invalidates the cache and relists") {
     val fake = new FakeWatchClient(listJson("20", podJson("p1", "1.1.1.1", "19")))
     val prov = new KubernetesSd.KubernetesProvider("k8s/0",

@@ -1973,8 +1973,8 @@ class SdProvidersSpec extends AnyFunSuite {
         |        tags: [prod]
         |""".stripMargin, "/tmp").scrapeJobs.head
     assert(job.consulSd == Seq(ConsulSd.Config(
-      "consul.example.com:8500", "http", "dc1", Seq("web", "db"), Seq("prod"),
-      ",", "", 30000L)))
+      server = "consul.example.com:8500", datacenter = "dc1",
+      services = Seq("web", "db"), tags = Seq("prod"))))
     val mgr = new Discovery.Manager(() => 0L)
     Discovery.registerJob(mgr, job, consulClient = Some(fake))
     mgr.poll()
@@ -1996,6 +1996,67 @@ class SdProvidersSpec extends AnyFunSuite {
     assert(web("__meta_consul_tagged_address_wan") == "52.5.0.1")
     val db = raw.find(_.instance == "10.1.1.3:5432").get.extraLabels
     assert(db("__meta_consul_health") == "critical")
+  }
+
+  test("consul SD: filter goes to Catalog only, health_filter to Health only (ref #18499)") {
+    // the exact #18499 regression: the catalog filter leaking onto the
+    // health endpoint (or vice versa) — each API has its own expression
+    // syntax, so a crossed filter is a Consul 400 in production
+    val catalogPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+    val healthPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+    val fake = new ConsulSd.ApiClient {
+      override def get(path: String): String =
+        if (path.startsWith("/v1/catalog/services")) {
+          catalogPaths += path; """{"web":["prod"]}"""
+        } else if (path.startsWith("/v1/health/service/")) {
+          healthPaths += path
+          """[{"Node":{"Node":"n1","Address":"10.0.0.1"},
+            |  "Service":{"ID":"w1","Service":"web","Address":"","Port":80,"Tags":["prod"]},
+            |  "Checks":[{"Status":"passing"}]}]""".stripMargin
+        } else fail(s"unexpected consul path $path")
+    }
+    val job = Config.parse(
+      """scrape_configs:
+        |  - job_name: consul
+        |    consul_sd_configs:
+        |      - server: c:8500
+        |        datacenter: dc1
+        |        namespace: team-a
+        |        partition: part1
+        |        allow_stale: true
+        |        node_meta:
+        |          rack: r1
+        |        tags: [prod]
+        |        filter: 'ServiceMeta.env == "qa"'
+        |        health_filter: 'Checks.Status == "passing"'
+        |""".stripMargin, "/tmp").scrapeJobs.head
+    val cc = job.consulSd.head
+    assert(cc.filter == """ServiceMeta.env == "qa"""")
+    assert(cc.healthFilter == """Checks.Status == "passing"""")
+    assert(cc.namespace == "team-a" && cc.partition == "part1")
+    assert(cc.allowStale && cc.nodeMeta == Map("rack" -> "r1"))
+    val mgr = new Discovery.Manager(() => 0L)
+    Discovery.registerJob(mgr, job, consulClient = Some(fake))
+    mgr.poll()
+    assert(mgr.targetsFor("consul", "consul").map(_.instance) == Seq("10.0.0.1:80"))
+    def q(p: String): String = p.dropWhile(_ != '?')
+    // catalog: shared QueryOptions + CATALOG filter; no tag, no health filter
+    val cq = q(catalogPaths.head)
+    assert(cq.contains("dc=dc1") && cq.contains("ns=team-a") &&
+      cq.contains("partition=part1") && cq.contains("stale") &&
+      cq.contains("node-meta=" + java.net.URLEncoder.encode("rack:r1", "UTF-8")))
+    assert(cq.contains("filter=" + java.net.URLEncoder.encode(
+      """ServiceMeta.env == "qa"""", "UTF-8").replace("+", "%20")))
+    assert(!cq.contains(java.net.URLEncoder.encode("Checks.Status", "UTF-8")))
+    assert(!cq.contains("tag="))
+    // health: shared QueryOptions + server-side tag + HEALTH filter only
+    val hq = q(healthPaths.head)
+    assert(hq.contains("dc=dc1") && hq.contains("ns=team-a") &&
+      hq.contains("partition=part1") && hq.contains("stale") &&
+      hq.contains("tag=prod"))
+    assert(hq.contains("filter=" + java.net.URLEncoder.encode(
+      """Checks.Status == "passing"""", "UTF-8").replace("+", "%20")))
+    assert(!hq.contains(java.net.URLEncoder.encode("ServiceMeta.env", "UTF-8")))
   }
 
   test("ec2 SD: DescribeInstances XML, pagination, tags, address = private ip:port") {
@@ -2106,6 +2167,80 @@ class SdProvidersSpec extends AnyFunSuite {
       "ec2.us-east-1.amazonaws.com", "Action=DescribeInstances",
       java.time.Instant.parse("2026-08-15T00:00:00Z"))
     assert(h == h2)
+  }
+
+  test("ec2 SD: IPv6 labels from ENI enumeration; IPv6-only instances scrapeable (ref #16088)") {
+    // dual-stack: private IPv4 keeps the address; both IPv6 labels emitted.
+    // primary list is positional by attachment deviceIndex (gaps stay as
+    // empty strings — ref ec2.go getInstanceIPv6Addresses:474-481)
+    val xml =
+      """<DescribeInstancesResponse xmlns="http://ec2.amazonaws.com/doc/2016-11-15/">
+        |  <reservationSet><item>
+        |    <instancesSet>
+        |      <item>
+        |        <instanceId>i-dual</instanceId>
+        |        <imageId>ami-1</imageId>
+        |        <instanceState><name>running</name></instanceState>
+        |        <privateIpAddress>10.0.0.1</privateIpAddress>
+        |        <instanceType>t3.micro</instanceType>
+        |        <placement><availabilityZone>us-east-1a</availabilityZone></placement>
+        |        <vpcId>vpc-1</vpcId><subnetId>subnet-1</subnetId>
+        |        <networkInterfaceSet>
+        |          <item><subnetId>subnet-1</subnetId>
+        |            <attachment><deviceIndex>1</deviceIndex></attachment>
+        |            <ipv6AddressesSet>
+        |              <item><ipv6Address>2600:1f18::a</ipv6Address><isPrimaryIpv6>true</isPrimaryIpv6></item>
+        |              <item><ipv6Address>2600:1f18::b</ipv6Address><isPrimaryIpv6>false</isPrimaryIpv6></item>
+        |            </ipv6AddressesSet>
+        |          </item>
+        |        </networkInterfaceSet>
+        |      </item>
+        |      <item>
+        |        <instanceId>i-v6only</instanceId>
+        |        <imageId>ami-1</imageId>
+        |        <instanceState><name>running</name></instanceState>
+        |        <instanceType>t3.micro</instanceType>
+        |        <placement><availabilityZone>us-east-1a</availabilityZone></placement>
+        |        <vpcId>vpc-1</vpcId><subnetId>subnet-1</subnetId>
+        |        <networkInterfaceSet>
+        |          <item><subnetId>subnet-1</subnetId>
+        |            <attachment><deviceIndex>0</deviceIndex></attachment>
+        |            <ipv6AddressesSet>
+        |              <item><ipv6Address>2600:1f18::c</ipv6Address><isPrimaryIpv6>false</isPrimaryIpv6></item>
+        |            </ipv6AddressesSet>
+        |          </item>
+        |        </networkInterfaceSet>
+        |      </item>
+        |      <item>
+        |        <instanceId>i-noip</instanceId>
+        |        <imageId>ami-1</imageId>
+        |        <instanceState><name>running</name></instanceState>
+        |        <instanceType>t3.micro</instanceType>
+        |        <placement><availabilityZone>us-east-1a</availabilityZone></placement>
+        |      </item>
+        |    </instancesSet>
+        |  </item></reservationSet>
+        |</DescribeInstancesResponse>""".stripMargin
+    val fake = new Ec2Sd.ApiClient {
+      override def describeInstances(tok: Option[String]): String = xml
+    }
+    val p = new Ec2Sd.Ec2Provider("ec2/0",
+      Ec2Sd.Config("us-east-1", port = 9100), fake)
+    val targets = p.refresh().head.targets.toMap
+    // no-address instance skipped; IPv6-only one kept with bracketed address
+    assert(targets.keySet == Set("10.0.0.1:9100", "[2600:1f18::c]:9100"))
+    val dual = targets("10.0.0.1:9100")
+    assert(dual("__meta_ec2_private_ip") == "10.0.0.1")
+    assert(dual("__meta_ec2_default_ipv6_address") == "2600:1f18::a")
+    assert(dual("__meta_ec2_ipv6_addresses") == ",2600:1f18::a,2600:1f18::b,")
+    // primary at device index 1 → position 0 stays an empty slot
+    assert(dual("__meta_ec2_primary_ipv6_addresses") == ",,2600:1f18::a,")
+    val v6 = targets("[2600:1f18::c]:9100")
+    assert(!v6.contains("__meta_ec2_private_ip"))
+    assert(v6("__meta_ec2_default_ipv6_address") == "2600:1f18::c")
+    assert(v6("__meta_ec2_ipv6_addresses") == ",2600:1f18::c,")
+    // no primary ipv6 on the ENI → no primary label at all
+    assert(!v6.contains("__meta_ec2_primary_ipv6_addresses"))
   }
 
   test("gce SD: InstanceList JSON, tags/metadata/labels, NAT public ip") {

@@ -1,0 +1,59 @@
+#!/usr/bin/env bash
+# Pre-handoff quiesce: leave the machine cold so the next bench run
+# (the driver's BENCH_r{N} capture) measures the code, not residual load.
+#
+# What it does:
+#   1. kills every stray JVM (sbt daemons, forgotten Spark drivers,
+#      scalatest runners) EXCEPT ancestors of this script;
+#   2. drops filesystem caches' pressure by just waiting — no sync/drop
+#      (we want a realistic warm-page-cache machine, only idle CPUs);
+#   3. blocks until the 1-minute load average falls under the target
+#      (default 1.0), printing progress, with a hard timeout.
+#
+# Usage: tools/quiesce.sh [target_load] [timeout_sec]
+# Exit 0 when load < target; exit 1 on timeout (still prints final load).
+
+set -u
+TARGET="${1:-1.0}"
+TIMEOUT="${2:-900}"
+
+# ancestors of this shell (don't saw off the branch we sit on)
+keep=$$
+anc=$$
+while [ "$anc" != "1" ] && [ -n "$anc" ]; do
+  anc=$(ps -o ppid= -p "$anc" 2>/dev/null | tr -d ' ') || break
+  keep="$keep $anc"
+done
+
+for pid in $(pgrep -f 'java' 2>/dev/null); do
+  skip=0
+  for k in $keep; do [ "$pid" = "$k" ] && skip=1; done
+  [ "$skip" = "1" ] && continue
+  echo "quiesce: killing stray JVM $pid ($(ps -o args= -p "$pid" | cut -c1-80))"
+  kill "$pid" 2>/dev/null
+done
+sleep 2
+for pid in $(pgrep -f 'java' 2>/dev/null); do
+  skip=0
+  for k in $keep; do [ "$pid" = "$k" ] && skip=1; done
+  [ "$skip" = "1" ] && continue
+  kill -9 "$pid" 2>/dev/null
+done
+
+start=$(date +%s)
+while true; do
+  load=$(cut -d' ' -f1 /proc/loadavg)
+  ok=$(awk -v l="$load" -v t="$TARGET" 'BEGIN{print (l<t)?1:0}')
+  now=$(date +%s)
+  elapsed=$((now - start))
+  echo "quiesce: load=$load target=$TARGET elapsed=${elapsed}s"
+  if [ "$ok" = "1" ]; then
+    echo "quiesce: machine cold (load $load < $TARGET)"
+    exit 0
+  fi
+  if [ "$elapsed" -ge "$TIMEOUT" ]; then
+    echo "quiesce: TIMEOUT after ${TIMEOUT}s, load still $load" >&2
+    exit 1
+  fi
+  sleep 10
+done
