@@ -103,6 +103,41 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
         round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))
 
+  /** Gopher-style per-doc repetition stats (Rae et al. 2021, "Scaling
+    * Language Models", appendix A1.1 repetition-removal filters): word
+    * totals, distinct words, the occurrence count of the document's single
+    * most frequent word 2-gram, and the derived `repetitive` flag — top
+    * 2-gram coverage 2·top/total > 20%, the threshold family those filters
+    * use. Boilerplate/spam detection ahead of dedup.
+    *
+    * 100 TB shape: entirely ROW-LOCAL — the bigram-histogram max is a
+    * sorted-array max-run-length computed inside one projection
+    * (array_sort + aggregate higher-order function), so the plan is a
+    * single codegen'd map over the scan: no explode fan-out, no shuffle,
+    * throughput = scan rate. Integer outputs so the DuckDB oracle
+    * hash-matches exactly. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__ws", words(col("text")))
+      .withColumn("top_bigram_count", expr(
+        """CASE WHEN size(__ws) < 2 THEN 0L ELSE
+          |  aggregate(
+          |    array_sort(transform(sequence(0, size(__ws) - 2),
+          |      i -> concat(__ws[i], ' ', __ws[i + 1]))),
+          |    named_struct('prev', '', 'run', 0L, 'best', 0L),
+          |    (acc, x) -> named_struct(
+          |      'prev', x,
+          |      'run', IF(x = acc.prev, acc.run + 1L, 1L),
+          |      'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+          |    acc -> acc.best)
+          |END""".stripMargin))
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("total_words"),
+        size(array_distinct(col("__ws"))).cast("long").as("distinct_words"),
+        col("top_bigram_count"),
+        (col("top_bigram_count") * 10 > size(col("__ws")))
+          .cast("int").as("repetitive"))
+
   /** Top-k terms per document by a log-free tf-idf: score = tf × (N+1)/(df+1).
     * The ratio is monotone in the usual ln-idf (same ranking) but pure IEEE
     * arithmetic, so the DuckDB oracle hash-matches bit-for-bit (ln differs

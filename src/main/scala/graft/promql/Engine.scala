@@ -185,10 +185,10 @@ object Engine {
 
   /** process-lifetime samplesRead accumulator feeding the
     * prometheus_engine_query_samples_read_total self-metric (ref #18081's
-    * engine counter). The reference increments on every query; here the
-    * figure is only computed when a query requests stats (the distinct
-    * (series, step) job is not free), so the counter covers stats-bearing
-    * queries — documented divergence. */
+    * engine counter). Increments on EVERY stats-capable query like the
+    * reference: stats-less queries add the cheap scan-count figure (sum of
+    * pruned-scan row counts — plain count aggregations, no distinct job),
+    * stats-bearing queries add the exact deduplicated samplesRead. */
   val samplesReadTotal = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Compute [[SampleStats]] from the planner's scan log. Each scan is one
@@ -275,7 +275,11 @@ object Engine {
     val pl = new Planner(spark, normalize(samples),
       EvalParams(tsMs, tsMs, 1000L, lookbackMs, defaultSubqueryStepMs, isInstant = true))
     val v = pl.eval(resolveAtModifiers(parse(q), tsMs, tsMs))
-    budget(pl, maxSamples, wantCount = false)
+    // the budget count doubles as the self-metric's per-query samplesRead
+    // when no stats block will compute the exact figure (ref #18081: the
+    // reference's counter moves on every query)
+    val n = budget(pl, maxSamples, wantCount = !wantStats)
+    if (!wantStats) samplesReadTotal.addAndGet(math.max(0L, n))
     (finalShape(v), if (wantStats) Some(sampleStats(pl, wantPerStep)) else None)
   }
 
@@ -294,7 +298,8 @@ object Engine {
     val pl = new Planner(spark, normalize(samples),
       EvalParams(startMs, endMs, stepMs, lookbackMs, defaultSubqueryStepMs))
     val v = pl.eval(resolveAtModifiers(e, startMs, endMs))
-    budget(pl, maxSamples, wantCount = false)
+    val n = budget(pl, maxSamples, wantCount = !wantStats)
+    if (!wantStats) samplesReadTotal.addAndGet(math.max(0L, n))
     (finalShape(v), if (wantStats) Some(sampleStats(pl, wantPerStep)) else None)
   }
 

@@ -192,6 +192,9 @@ object PipelineSuite {
     "lp42_sequence_pack" -> { (s, dir) =>
       CorpusStats.sequencePack(docs(s, dir), binTokens = 512L)
         .orderBy(col("doc_id")) },
+
+    "lp43_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir)).orderBy(col("doc_id")) },
   )
 
   /** lp03's pair CTEs, shared by the clustering oracles */
@@ -736,5 +739,29 @@ object PipelineSuite {
            CAST((off + tok - 1) // 512 AS BIGINT) AS end_bin,
            CAST((off + tok - 1) // 512 - off // 512 + 1 AS BIGINT) AS n_bins
          FROM o ORDER BY doc_id""",
+
+    // Gopher repetition filters: max word-2-gram occurrence per doc via a
+    // plain (doc_id, bigram) histogram; repetitive = 2·top/total > 20%
+    "lp43_repetition" ->
+      """WITH d AS (
+           SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+           FROM documents),
+         e AS (
+           SELECT doc_id, ws,
+             CASE WHEN len(ws) >= 2
+               THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+               ELSE [] END AS bgs
+           FROM d),
+         x AS (SELECT doc_id, unnest(bgs) AS bg FROM e),
+         c AS (SELECT doc_id, bg, count(*) AS cnt FROM x GROUP BY 1, 2),
+         m AS (SELECT doc_id, max(cnt) AS top FROM c GROUP BY 1)
+         SELECT e.doc_id,
+           CAST(len(e.ws) AS BIGINT) AS total_words,
+           CAST(len(list_distinct(e.ws)) AS BIGINT) AS distinct_words,
+           CAST(COALESCE(m.top, 0) AS BIGINT) AS top_bigram_count,
+           CAST(CASE WHEN COALESCE(m.top, 0) * 10 > len(e.ws) THEN 1 ELSE 0 END AS INT) AS repetitive
+         FROM e LEFT JOIN m USING (doc_id)
+         ORDER BY doc_id""",
   )
 }

@@ -31,6 +31,8 @@ final class PromServer(
     // --enable-feature=created-timestamp-zero-ingestion (ref: main.go
     // feature flag -> scrape Options.EnableCreatedTimestampZeroIngestion)
     stZeroIngestion: Boolean = false,
+    // --enable-feature=st-synthesis (ref: #18279 → scrape Options.SynthesizeST)
+    stSynthesis: Boolean = false,
     // --enable-feature=extra-scrape-metrics
     extraScrapeMetrics: Boolean = false,
     // --config.auto-reload interval (0 = disabled; ref main.go
@@ -171,6 +173,7 @@ final class PromServer(
           enableCompression = job.enableCompression,
           convertNhcb = job.convertNhcb,
           stZeroIngestion = stZeroIngestion,
+          stSynthesis = stSynthesis,
           extraScrapeMetrics = extraScrapeMetrics,
           followRedirects = job.followRedirects,
           client =

@@ -59,6 +59,7 @@ object ServerMain {
     val server = new PromServer(spark, configFile, port,
       agentMode = agent, limits = limits,
       stZeroIngestion = features.contains("created-timestamp-zero-ingestion"),
+      stSynthesis = features.contains("st-synthesis"),
       extraScrapeMetrics = features.contains("extra-scrape-metrics"),
       perStepStats = features.contains("promql-per-step-stats"),
       autoReloadMs =

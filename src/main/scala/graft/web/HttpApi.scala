@@ -782,8 +782,8 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
           "gauge", Seq(Map.empty[String, String] -> notifications.active.size.toDouble)),
         ("prometheus_engine_queries_concurrent_max", "Max concurrent queries.",
           "gauge", Seq(Map.empty[String, String] -> limits.maxConcurrent.toDouble)),
-        // ref #18081 — samples read (storage I/O) across queries; counted
-        // for stats-bearing queries (see Engine.samplesReadTotal)
+        // ref #18081 — samples read (storage I/O) across queries; moves on
+        // every API query (see Engine.samplesReadTotal)
         ("prometheus_engine_query_samples_read_total",
           "Total count of samples read by queries.",
           "counter", Seq(Map.empty[String, String] ->

@@ -976,4 +976,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) == ((1L, 3L, r3((2 * math.log(2.5 / 1.5) + math.log(3.0)) / 3))))
     assert(out(2L) == ((0L, 3L, r3((math.log(2.5 / 1.5) + 2 * math.log(0.2)) / 3))))
   }
+
+  test("repetition stats: top-bigram run counting, flag threshold, shuffle-free plan") {
+    val d = docsOf(
+      // "a b" ×3, "b a" ×2 → top=3; 6 words, 2 distinct; 3·10 > 6 → repetitive
+      1L -> "a b a b a b",
+      // all-distinct words: every bigram unique → top=1; 1·10 > 5 is true
+      // for SHORT docs (the Gopher thresholds only bite at length) but here
+      // 10 > 5 → flagged; use 12 words to get an unflagged case
+      2L -> "q w e r t y u i o p z x",
+      // single word: no bigram at all → top=0, not repetitive
+      3L -> "solo",
+      // normalization folds case/whitespace before counting
+      4L -> "Ha  ha HA ha")
+    val out = TextAnalysis.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))).toMap
+    assert(out(1L) == ((6L, 2L, 3L, 1)))
+    assert(out(2L) == ((12L, 12L, 1L, 0)))
+    assert(out(3L) == ((1L, 1L, 0L, 0)))
+    // "ha ha" ×3 after normalization → 4 words, 1 distinct, top=3, flagged
+    assert(out(4L) == ((4L, 1L, 3L, 1)))
+    // the operator's 100 TB contract: row-local — no exchange in the plan
+    val plan = TextAnalysis.repetitionStats(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

@@ -302,6 +302,126 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop(0)
   }
 
+  test("st-synthesis: counters without _created get anchored STs, rebased values, reset handling") {
+    // ref scrape/st_synthesis.go synthesizeFloat + #18279: first sample
+    // anchors (st = its ts) and is dropped; later samples append v−anchor
+    // with that st; a reset re-anchors at 0 with st = t−1
+    @volatile var counterVal = 5.0
+    @volatile var includeCounter = true
+    @volatile var clock = 10000L
+    def body: String = {
+      val c = if (includeCounter)
+        s"""# TYPE req counter
+           |req_total $counterVal
+           |""".stripMargin else ""
+      c +
+      s"""# TYPE temp gauge
+         |temp 21.5
+         |# TYPE boot counter
+         |boot_total 3
+         |boot_created 2
+         |# EOF
+         |""".stripMargin
+    }
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = body.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type",
+        "application/openmetrics-text;version=1.0.0")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      val tgt = Seq(ScrapeManager.ScrapeTarget(
+        s"http://127.0.0.1:${server.getAddress.getPort}/metrics", "t", "i1"))
+      val store = emptyStoreS()
+      val mgr = new ScrapeManager(spark, store, tgt, nowMs = () => clock,
+        stSynthesis = true)
+      def rows(name: String): Seq[(Long, Double, Long)] =
+        store.samples.collect().toSeq
+          .filter(_.getMap[String, String](0)("__name__") == name)
+          .map(r => (r.getLong(1), r.getDouble(2), r.getLong(5)))
+          .sortBy(_._1)
+      // scrape 1 @10s, req_total=5: anchor established, sample dropped
+      mgr.scrapeOnce()
+      assert(rows("req_total").isEmpty)
+      // the gauge is not cumulative: appended as-is with no ST
+      assert(rows("temp") == Seq((10000L, 21.5, 0L)))
+      // explicit _created wins: value unchanged, stt = ct, line consumed,
+      // and NO zero injected (that's the created-timestamp flag's job)
+      assert(rows("boot_total") == Seq((10000L, 3.0, 2000L)))
+      assert(rows("boot_created").isEmpty)
+      assert(!store.samples.collect().exists(r => r.getDouble(2) == 0.0 &&
+        r.getMap[String, String](0)("__name__") == "boot_total"))
+      // scrape 2 @20s, req_total=9: rebased 9−5=4, st = first-seen ts
+      clock = 20000L; counterVal = 9.0
+      mgr.scrapeOnce()
+      assert(rows("req_total") == Seq((20000L, 4.0, 10000L)))
+      // scrape 3 @30s, req_total=2 (RESET): re-anchor at 0, st = t−1
+      clock = 30000L; counterVal = 2.0
+      mgr.scrapeOnce()
+      assert(rows("req_total").last == ((30000L, 2.0, 29999L)))
+      // scrape 4 @40s, req_total=6: rebase vs 0 anchor, st carried
+      clock = 40000L; counterVal = 6.0
+      mgr.scrapeOnce()
+      assert(rows("req_total").last == ((40000L, 6.0, 29999L)))
+      // vanish + return: the anchor is lost with the series, so the
+      // returning sample re-anchors (dropped) instead of rebasing against
+      // stale state (ref: stCache cleared through staleness tracking)
+      clock = 50000L; includeCounter = false
+      mgr.scrapeOnce()
+      clock = 60000L; includeCounter = true; counterVal = 100.0
+      mgr.scrapeOnce()
+      assert(rows("req_total").count(_._1 == 60000L) == 0)
+      clock = 70000L; counterVal = 104.0
+      mgr.scrapeOnce()
+      assert(rows("req_total").last == ((70000L, 4.0, 60000L)))
+    } finally server.stop(0)
+  }
+
+  test("st-synthesis: plain-text counters via # TYPE lines; flag off leaves stt=0") {
+    @volatile var clock = 10000L
+    val body =
+      """# TYPE foo_total counter
+        |foo_total 7
+        |# TYPE bar gauge
+        |bar 1
+        |""".stripMargin
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = body.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      val tgt = Seq(ScrapeManager.ScrapeTarget(
+        s"http://127.0.0.1:${server.getAddress.getPort}/metrics", "t", "i1"))
+      val store = emptyStoreS()
+      val mgr = new ScrapeManager(spark, store, tgt, nowMs = () => clock,
+        stSynthesis = true)
+      mgr.scrapeOnce() // anchor
+      clock = 25000L
+      mgr.scrapeOnce()
+      val foo = store.samples.collect().toSeq
+        .filter(_.getMap[String, String](0)("__name__") == "foo_total")
+        .map(r => (r.getLong(1), r.getDouble(2), r.getLong(5)))
+      // text-format TYPE names the metric as exposed (foo_total) — the
+      // eligibility gate must match it; steady counter rebases to 0
+      assert(foo == Seq((25000L, 0.0, 10000L)))
+      // default (flag off): nothing synthesized, stt stays 0
+      val store2 = emptyStoreS()
+      val mgr2 = new ScrapeManager(spark, store2, tgt, nowMs = () => 30000L)
+      mgr2.scrapeOnce()
+      val foo2 = store2.samples.collect().toSeq
+        .filter(_.getMap[String, String](0)("__name__") == "foo_total")
+        .map(r => (r.getLong(1), r.getDouble(2), r.getLong(5)))
+      assert(foo2 == Seq((30000L, 7.0, 0L)))
+    } finally server.stop(0)
+  }
+
   test("keep_firing_for keeps emitting firing rows after condition clears") {
     // true at t=0 (firing immediately, for=0); false afterwards
     val df = samplesOf(Seq((Map("__name__" -> "errors", "job" -> "a"), 0L, 5.0)))

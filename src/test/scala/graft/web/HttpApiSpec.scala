@@ -280,6 +280,33 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("engine samples-read counter moves on stats-less queries (ref #18081)") {
+    withApi { (port, _) =>
+      def counter(): Double = {
+        val (cm, bm) = get(port, "/metrics")
+        assert(cm == 200, bm.take(200))
+        bm.linesIterator
+          .find(_.startsWith("prometheus_engine_query_samples_read_total "))
+          .get.split(" ").last.toDouble
+      }
+      val before = counter()
+      // NO stats= parameter: the counter still advances, by the cheap
+      // scan-count figure (pruned-scan row counts, no distinct job) — the
+      // reference increments its engine counter on every query
+      val (c, b) = get(port,
+        "/api/v1/query_range?query=rate(http_requests_total%5B2m%5D)&start=120&end=600&step=60")
+      assert(c == 200, b)
+      val afterRange = counter()
+      // ≥ the exact 40-point samplesRead of this query (the scan count is
+      // an upper bound: it skips the covered-step dedup)
+      assert(afterRange - before >= 40.0, s"$before -> $afterRange")
+      val (c2, b2) = get(port, "/api/v1/query?query=http_requests_total&time=600")
+      assert(c2 == 200, b2)
+      val afterInstant = counter()
+      assert(afterInstant > afterRange, s"$afterRange -> $afterInstant")
+    }
+  }
+
   test("promql-per-step-stats: stats=all adds the per-step arrays as [ts, n] pairs") {
     val store = fixtureStore()
     val api = new HttpApi(spark, store, 0, () => 600000L, perStepStats = true)
