@@ -67,7 +67,8 @@ object LpSoak {
 
     // ---- cap-engagement probes (same constructions/defaults as the
     // operators: minhashPairs bands=16 rows=4 maxBucket=200;
-    // jaccardPairs 3-grams maxDF=100; semanticPairs k=8 maxBlock=100000) ----
+    // jaccardPairs 3-grams maxDF=100; semanticPairs kEff corpus floor
+    // (n/targetBlock=1024) + maxBlock=2048 sub-split backstop) ----
     val sigs = graft.pipeline.Dedup.minhashSignatures(docs, 64)
     val buckets = sigs.select(F.col("doc_id"),
         F.explode(F.expr("transform(sequence(0, 15), " +
@@ -78,11 +79,15 @@ object LpSoak {
     val dfCapped = graft.pipeline.Dedup.shingleRows(docs, 3)
       .groupBy("sg").agg(F.countDistinct("doc_id").as("df"))
       .filter(F.col("df") > 100).count()
-    val clusters = embs.join(graft.pipeline.Similarity.kmeans(embs, 8, 3), "vec_id")
+    // kEff mirrors semanticPairs' corpus-scaling floor so the probe sees
+    // the cluster sizes the OPERATOR actually works with
+    val kEffProbe = math.max(8, ((nEmbs + 1023) / 1024).toInt)
+    val clusters = embs.join(
+        graft.pipeline.Similarity.kmeans(embs, kEffProbe, 3), "vec_id")
       .groupBy("cluster").agg(F.count(F.lit(1)).as("n"))
-    val oversize = clusters.filter(F.col("n") > 100000)
+    val oversize = clusters.filter(F.col("n") > 2048)
       .agg(F.count(F.lit(1)),
-        F.coalesce(F.sum(F.ceil(F.col("n") / 100000.0)), F.lit(0L))).head()
+        F.coalesce(F.sum(F.ceil(F.col("n") / 2048.0)), F.lit(0L))).head()
 
     // ---- timed lp sweep: one untimed warm pass, one timed run ----
     def timed(body: => Long): (Double, Long) = {

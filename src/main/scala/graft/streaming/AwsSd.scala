@@ -42,18 +42,54 @@ object AwsSd {
     * calls `creds()` so AssumeRole refreshes transparently mid-provider */
   trait CredsProvider { def creds(): Creds }
 
-  /** config keys when both given, else env (AWS_ACCESS_KEY_ID /
-    * AWS_SECRET_ACCESS_KEY / AWS_SESSION_TOKEN — the token only rides along
-    * with env credentials, matching the SDK default chain) */
+  /** config keys when both given, else the named shared-config `profile`,
+    * else env (AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY /
+    * AWS_SESSION_TOKEN — the token only rides along with env/profile
+    * credentials, matching the SDK default chain; ref ec2.go:258-261
+    * WithSharedConfigProfile) */
   final class StaticCreds(accessKey: String, secretKey: String,
-      env: Map[String, String] = sys.env) extends CredsProvider {
+      profile: String = "", env: Map[String, String] = sys.env)
+      extends CredsProvider {
     private val resolved =
       if (accessKey.nonEmpty && secretKey.nonEmpty) Creds(accessKey, secretKey)
+      else if (profile.nonEmpty)
+        profileCreds(profile, env).getOrElse(Creds("", ""))
       else Creds(
         env.getOrElse("AWS_ACCESS_KEY_ID", ""),
         env.getOrElse("AWS_SECRET_ACCESS_KEY", ""),
         env.getOrElse("AWS_SESSION_TOKEN", ""))
     override def creds(): Creds = resolved
+  }
+
+  /** minimal shared-credentials-file reader (the SDK's INI format:
+    * `[profile]` sections with aws_access_key_id / aws_secret_access_key /
+    * aws_session_token keys). Path from AWS_SHARED_CREDENTIALS_FILE, else
+    * ~/.aws/credentials. Returns None when the file or profile is absent. */
+  def profileCreds(profile: String,
+      env: Map[String, String] = sys.env): Option[Creds] = {
+    val path = env.get("AWS_SHARED_CREDENTIALS_FILE").filter(_.nonEmpty)
+      .getOrElse(System.getProperty("user.home", "") + "/.aws/credentials")
+    val f = new java.io.File(path)
+    if (!f.isFile) return None
+    var section = ""
+    var ak = ""; var sk = ""; var tok = ""
+    var found = false
+    scala.io.Source.fromFile(f, "UTF-8").getLines().foreach { raw =>
+      val line = raw.trim
+      if (line.startsWith("[") && line.endsWith("]"))
+        section = line.substring(1, line.length - 1).trim
+      else if (section == profile && line.contains("=") && !line.startsWith("#")) {
+        val k = line.substring(0, line.indexOf('=')).trim.toLowerCase
+        val v = line.substring(line.indexOf('=') + 1).trim
+        k match {
+          case "aws_access_key_id" => ak = v; found = true
+          case "aws_secret_access_key" => sk = v; found = true
+          case "aws_session_token" => tok = v
+          case _ => ()
+        }
+      }
+    }
+    if (found && ak.nonEmpty && sk.nonEmpty) Some(Creds(ak, sk, tok)) else None
   }
 
   /** injectable STS transport: posts one AssumeRole Query form, returns the
@@ -124,13 +160,13 @@ object AwsSd {
     }
   }
 
-  /** the provider-facing factory: static/env chain, wrapped in AssumeRole
-    * when role_arn is set. `region` is by-name so deferred-region providers
-    * can pass their lazily-resolved region. */
+  /** the provider-facing factory: static/profile/env chain, wrapped in
+    * AssumeRole when role_arn is set. `region` is by-name so deferred-region
+    * providers can pass their lazily-resolved region. */
   def credentials(accessKey: String, secretKey: String, roleArn: String,
       externalId: String, region: => String,
-      stsApi: Option[StsApi] = None): CredsProvider = {
-    val base = new StaticCreds(accessKey, secretKey)
+      stsApi: Option[StsApi] = None, profile: String = ""): CredsProvider = {
+    val base = new StaticCreds(accessKey, secretKey, profile)
     if (roleArn.isEmpty) base
     else new AssumeRoleCreds(
       stsApi.getOrElse(new HttpStsApi(region, base)), roleArn, externalId)

@@ -349,6 +349,7 @@ object Config {
           str(ec, "endpoint"),
           str(ec, "role_arn"),
           str(ec, "external_id"),
+          str(ec, "profile"),
           ec.str("refresh_interval").map(durMs).getOrElse(60000L))
       }.filter(_.region.nonEmpty)
       // ecs_sd_configs (ref: discovery/aws/ecs.go ECSSDConfig; region may be
@@ -362,6 +363,7 @@ object Config {
           str(ec, "endpoint"),
           str(ec, "role_arn"),
           str(ec, "external_id"),
+          str(ec, "profile"),
           strList(ec.get("clusters")),
           ec.str("request_concurrency").map(_.toInt).getOrElse(20),
           ec.str("refresh_interval").map(durMs).getOrElse(60000L))
@@ -377,6 +379,7 @@ object Config {
           str(rc, "endpoint"),
           str(rc, "role_arn"),
           str(rc, "external_id"),
+          str(rc, "profile"),
           strList(rc.get("clusters")),
           rc.list("filters").collect { case f: YMap =>
             (str(f, "name"), strList(f.get("values")))
@@ -393,6 +396,7 @@ object Config {
           str(kc, "endpoint"),
           str(kc, "role_arn"),
           str(kc, "external_id"),
+          str(kc, "profile"),
           strList(kc.get("clusters")),
           kc.str("refresh_interval").map(durMs).getOrElse(60000L))
       }
@@ -406,6 +410,7 @@ object Config {
           str(cc, "endpoint"),
           str(cc, "role_arn"),
           str(cc, "external_id"),
+          str(cc, "profile"),
           strList(cc.get("clusters")),
           cc.str("refresh_interval").map(durMs).getOrElse(60000L))
       }
@@ -550,6 +555,7 @@ object Config {
           str(lc, "access_key"), str(lc, "secret_key"),
           str(lc, "endpoint"),
           str(lc, "role_arn"), str(lc, "external_id"),
+          str(lc, "profile"),
           lc.str("port").map(_.toInt).getOrElse(80),
           lc.str("refresh_interval").map(durMs).getOrElse(60000L))
       }

@@ -23,6 +23,7 @@ object Ec2Sd {
       endpoint: String = "", // override for testing/VPC endpoints
       roleArn: String = "", // STS AssumeRole (ref ec2.go:90, #18579)
       externalId: String = "",
+      profile: String = "", // shared-credentials-file profile
       refreshMs: Long = 60000L)
 
   /** injectable DescribeInstances transport; returns the raw XML body */
@@ -122,7 +123,7 @@ object Ec2Sd {
       if (cfg.endpoint.nonEmpty) cfg.endpoint.stripSuffix("/")
       else s"https://$host"
     private val credsProvider = AwsSd.credentials(cfg.accessKey,
-      cfg.secretKey, cfg.roleArn, cfg.externalId, cfg.region)
+      cfg.secretKey, cfg.roleArn, cfg.externalId, cfg.region, profile = cfg.profile)
     private val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
     override def describeInstances(nextToken: Option[String]): String = {

@@ -30,6 +30,7 @@ object EcsSd {
       endpoint: String = "",
       roleArn: String = "", // STS AssumeRole (ref #18579)
       externalId: String = "",
+      profile: String = "", // shared-credentials-file profile
       clusters: Seq[String] = Nil,
       requestConcurrency: Int = 20,
       refreshMs: Long = 60000L)
@@ -58,7 +59,7 @@ object EcsSd {
       else s"https://$ecsHost"
     private val ec2Host = s"ec2.$region.amazonaws.com"
     private val credsProvider = AwsSd.credentials(cfg.accessKey,
-      cfg.secretKey, cfg.roleArn, cfg.externalId, region)
+      cfg.secretKey, cfg.roleArn, cfg.externalId, region, profile = cfg.profile)
     private val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 

@@ -33,6 +33,7 @@ object ElasticacheSd {
       endpoint: String = "",
       roleArn: String = "", // STS AssumeRole (ref #18579)
       externalId: String = "",
+      profile: String = "", // shared-credentials-file profile
       clusters: Seq[String] = Nil,
       refreshMs: Long = 60000L)
 
@@ -53,7 +54,7 @@ object ElasticacheSd {
       if (cfg.endpoint.nonEmpty) cfg.endpoint.stripSuffix("/")
       else s"https://$host"
     private val credsProvider = AwsSd.credentials(cfg.accessKey,
-      cfg.secretKey, cfg.roleArn, cfg.externalId, region)
+      cfg.secretKey, cfg.roleArn, cfg.externalId, region, profile = cfg.profile)
     private val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 

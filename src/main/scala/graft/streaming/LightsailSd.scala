@@ -21,6 +21,7 @@ object LightsailSd {
       endpoint: String = "",
       roleArn: String = "", // STS AssumeRole (ref #18579)
       externalId: String = "",
+      profile: String = "", // shared-credentials-file profile
       port: Int = 80,
       refreshMs: Long = 60000L)
 
@@ -35,7 +36,7 @@ object LightsailSd {
       if (cfg.endpoint.nonEmpty) cfg.endpoint.stripSuffix("/")
       else s"https://$host"
     private val credsProvider = AwsSd.credentials(cfg.accessKey,
-      cfg.secretKey, cfg.roleArn, cfg.externalId, cfg.region)
+      cfg.secretKey, cfg.roleArn, cfg.externalId, cfg.region, profile = cfg.profile)
     private val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
     override def getInstances(pageToken: Option[String]): String = {

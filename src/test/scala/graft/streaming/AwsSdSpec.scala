@@ -544,9 +544,9 @@ class AwsSdSpec extends AnyFunSuite {
 
   test("credentials factory: static wins, env falls back with token, role_arn wraps lazily") {
     val static = new AwsSd.StaticCreds("cfgA", "cfgS",
-      Map("AWS_SESSION_TOKEN" -> "must-not-ride-with-static-keys"))
+      env = Map("AWS_SESSION_TOKEN" -> "must-not-ride-with-static-keys"))
     assert(static.creds() == AwsSd.Creds("cfgA", "cfgS"))
-    val env = new AwsSd.StaticCreds("", "", Map(
+    val env = new AwsSd.StaticCreds("", "", env = Map(
       "AWS_ACCESS_KEY_ID" -> "envA", "AWS_SECRET_ACCESS_KEY" -> "envS",
       "AWS_SESSION_TOKEN" -> "envT"))
     assert(env.creds() == AwsSd.Creds("envA", "envS", "envT"))
@@ -568,6 +568,49 @@ class AwsSdSpec extends AnyFunSuite {
       region = fail("region must not resolve with an injected sts api"),
       stsApi = Some(fakeSts))
     assert(wrapped.creds() == AwsSd.Creds("A", "S", "T"))
+  }
+
+  test("shared-credentials profile: INI parse, precedence, session token") {
+    val dir = java.nio.file.Files.createTempDirectory("awscreds").toFile
+    val f = new java.io.File(dir, "credentials")
+    java.nio.file.Files.writeString(f.toPath,
+      """[default]
+        |aws_access_key_id = DEFKEY
+        |aws_secret_access_key = DEFSECRET
+        |
+        |# monitoring account
+        |[mon]
+        |aws_access_key_id = MONKEY
+        |aws_secret_access_key = MONSECRET
+        |aws_session_token = MONTOK
+        |""".stripMargin)
+    val env = Map("AWS_SHARED_CREDENTIALS_FILE" -> f.getPath,
+      "AWS_ACCESS_KEY_ID" -> "ENVKEY", "AWS_SECRET_ACCESS_KEY" -> "ENVSECRET")
+    assert(AwsSd.profileCreds("mon", env)
+      == Some(AwsSd.Creds("MONKEY", "MONSECRET", "MONTOK")))
+    assert(AwsSd.profileCreds("default", env)
+      == Some(AwsSd.Creds("DEFKEY", "DEFSECRET")))
+    assert(AwsSd.profileCreds("absent", env).isEmpty)
+    // chain precedence: static config keys beat the profile; the profile
+    // beats env (ref ec2.go credential chain + WithSharedConfigProfile)
+    assert(new AwsSd.StaticCreds("CFGK", "CFGS", "mon", env).creds()
+      == AwsSd.Creds("CFGK", "CFGS"))
+    assert(new AwsSd.StaticCreds("", "", "mon", env).creds()
+      == AwsSd.Creds("MONKEY", "MONSECRET", "MONTOK"))
+    assert(new AwsSd.StaticCreds("", "", "", env).creds()
+      == AwsSd.Creds("ENVKEY", "ENVSECRET"))
+    // profile field parses on the sd shapes
+    val cfg = Config.parse(
+      """scrape_configs:
+        |  - job_name: aws
+        |    ec2_sd_configs:
+        |      - region: us-east-1
+        |        profile: mon
+        |    rds_sd_configs:
+        |      - profile: mon
+        |""".stripMargin, "/tmp").scrapeJobs.head
+    assert(cfg.ec2Sd.head.profile == "mon")
+    assert(cfg.rdsSd.head.profile == "mon")
   }
 
   test("role_arn + external_id parse on all six aws sd shapes and pass config check") {
