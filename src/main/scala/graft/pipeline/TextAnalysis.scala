@@ -88,20 +88,38 @@ object TextAnalysis {
 
   /** Per-doc lexical diversity: token/type counts, hapax legomena (words
     * occurring exactly once in the doc), and type-token ratio — the cheap
-    * repetitiveness signals corpus filters threshold on. Entirely row-local
-    * (explode → two-level agg within the doc key), so it scales linearly
-    * with no cross-doc shuffle beyond the doc_id hash. */
+    * repetitiveness signals corpus filters threshold on.
+    *
+    * 100 TB shape: SHUFFLE-FREE since round 13 — the per-doc word histogram
+    * reduces to run-lengths over the sorted word array, computed inside one
+    * projection (array_sort + aggregate HOF), replacing the former
+    * explode → (doc_id, word) agg → doc_id agg two-shuffle plan. Hapax =
+    * runs of length exactly 1; types = number of runs. Output identical
+    * (hash-exact against the same oracle); throughput = scan rate. */
   def lexicalDiversity(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("c")).as("n_tokens"),
-        count(lit(1)).as("n_types"),
-        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
-      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
-        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))
+    docs
+      .withColumn("__ws", words(col("text")))
+      .withColumn("__lx", expr(
+        // fold state: (prev word, current run length, types so far, hapax
+        // so far); finish folds in the final run
+        """aggregate(
+          |  array_sort(__ws),
+          |  named_struct('prev', CAST(null AS string), 'run', 0L,
+          |               'types', 0L, 'hapax', 0L),
+          |  (acc, x) -> IF(acc.prev <=> x,
+          |    named_struct('prev', x, 'run', acc.run + 1L,
+          |                 'types', acc.types, 'hapax', acc.hapax),
+          |    named_struct('prev', x, 'run', 1L,
+          |                 'types', acc.types + 1L,
+          |                 'hapax', acc.hapax + IF(acc.run = 1L, 1L, 0L))),
+          |  acc -> named_struct(
+          |    'types', acc.types,
+          |    'hapax', acc.hapax + IF(acc.run = 1L, 1L, 0L)))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        col("__lx.types").as("n_types"),
+        col("__lx.hapax").as("n_hapax"),
+        round(col("__lx.types").cast("double") / size(col("__ws")), 6).as("ttr"))
 
   /** Gopher-style per-doc repetition stats (Rae et al. 2021, "Scaling
     * Language Models", appendix A1.1 repetition-removal filters): word

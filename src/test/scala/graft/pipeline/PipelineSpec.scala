@@ -397,6 +397,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getDouble(4)))).toMap
     assert(out(1L) == ((4L, 3L, 2L, 0.75))) // types a,b,c; hapax b,c
     assert(out(2L) == ((4L, 1L, 0L, 0.25)))
+    // round-13 contract: the sorted-run rewrite removed both shuffles —
+    // the plan must be a bare scan + projection
+    val plan = TextAnalysis.lexicalDiversity(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
   }
 
   // ---------- recall floors for the approximate (no-oracle) operators ----

@@ -342,6 +342,72 @@ class ServingSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("st-synthesis on the proto path: counters without created_timestamp synthesize") {
+    // one counter family whose value changes between scrapes, plus one
+    // gauge that must pass through untouched
+    def body(counterVal: Double): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def vint(out: java.io.ByteArrayOutputStream, x0: Long): Unit = {
+        var x = x0
+        while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+        out.write(x.toInt)
+      }
+      def delim(out: java.io.ByteArrayOutputStream, tag: Int, b: Array[Byte]): Unit = {
+        vint(out, (tag << 3) | 2); vint(out, b.length); out.write(b)
+      }
+      def dbl(out: java.io.ByteArrayOutputStream, tag: Int, v: Double): Unit = {
+        vint(out, (tag << 3) | 1)
+        val bits = java.lang.Double.doubleToLongBits(v)
+        (0 until 8).foreach(i => out.write(((bits >> (8 * i)) & 0xff).toInt))
+      }
+      def varintF(out: java.io.ByteArrayOutputStream, tag: Int, v: Long): Unit = {
+        vint(out, tag << 3); vint(out, v)
+      }
+      def bytesOf(f: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream(); f(b); b.toByteArray
+      }
+      def strF(out: java.io.ByteArrayOutputStream, tag: Int, s: String): Unit =
+        delim(out, tag, s.getBytes("UTF-8"))
+      val ctr = bytesOf { f =>
+        strF(f, 1, "reqs_total"); varintF(f, 3, 0) // COUNTER, no created_timestamp
+        delim(f, 4, bytesOf(m => delim(m, 3, bytesOf(c => dbl(c, 1, counterVal)))))
+      }
+      val gauge = bytesOf { f =>
+        strF(f, 1, "temp"); varintF(f, 3, 1) // GAUGE
+        delim(f, 4, bytesOf(m => delim(m, 2, bytesOf(g => dbl(g, 1, 21.5)))))
+      }
+      Seq(ctr, gauge).foreach { fam => vint(o, fam.length); o.write(fam) }
+      o.toByteArray
+    }
+    @volatile var counterVal = 5.0
+    @volatile var clock = 10000L
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/metrics", ex => {
+      val b = body(counterVal)
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.getResponseBody.close()
+    })
+    server.start()
+    try {
+      val store = emptyStore()
+      val mgr = new ScrapeManager(spark, store,
+        Seq(ScrapeManager.ScrapeTarget(
+          s"http://127.0.0.1:${server.getAddress.getPort}/metrics",
+          job = "pj", instance = "pi", proto = true)),
+        nowMs = () => clock, stSynthesis = true)
+      def rows(name: String): Seq[(Long, Double, Long)] =
+        store.samples.collect().toSeq
+          .filter(_.getMap[String, String](0)("__name__") == name)
+          .map(r => (r.getLong(1), r.getDouble(2), r.getLong(5))).sortBy(_._1)
+      mgr.scrapeOnce() // anchor @10s: counter dropped, gauge untouched
+      assert(rows("reqs_total").isEmpty)
+      assert(rows("temp") == Seq((10000L, 21.5, 0L)))
+      clock = 20000L; counterVal = 9.0
+      mgr.scrapeOnce() // rebased 9−5=4 with st = first-seen ts
+      assert(rows("reqs_total") == Seq((20000L, 4.0, 10000L)))
+    } finally server.stop(0)
+  }
+
   test("scrape HTTP config: params, basic_auth, scrape_timeout, __param_ relabel") {
     @volatile var seenAuth: String = null
     @volatile var seenQuery: String = null
