@@ -129,13 +129,62 @@ object Config {
       maxExemplars: Long = 100000L,
       // global.rule_query_offset — default evaluation-time offset for rule
       // groups without their own query_offset (ref: config.go GlobalConfig)
-      ruleQueryOffsetMs: Long = 0L) {
+      ruleQueryOffsetMs: Long = 0L,
+      // full remote_write entries (auth + headers + PRW message); the
+      // legacy remoteWriteUrls field stays populated for URL-only callers
+      remoteWrites: Seq[RemoteWriteEntry] = Nil) {
     /** all scrape targets of a job (static + current file-SD contents) */
     def targetsOf(job: ScrapeJob): Seq[ScrapeManager.ScrapeTarget] =
       (job.staticTargets ++ job.fileSdPaths.flatMap(p =>
         try ScrapeManager.fileSdTargets(p, job.jobName, job.scheme, job.metricsPath)
         catch { case _: Exception => Nil }))
         .map(_.copy(honorLabels = job.honorLabels))
+  }
+
+  /** one remote_write entry (ref: config/config.go RemoteWriteConfig —
+    * the subset the forwarder acts on: url, rendered auth header, custom
+    * headers, protobuf_message selecting PRW 1.0 vs 2.0, display name) */
+  final case class RemoteWriteEntry(
+      url: String,
+      name: String = "",
+      authHeader: Option[String] = None,
+      headers: Map[String, String] = Map.empty,
+      protoVersion: Int = 1,
+      // write_relabel_configs: applied to every outgoing batch before the
+      // send (ref: storage/remote/queue_manager.go processExternalLabels →
+      // relabel.Process; the standard drop-expensive-series valve)
+      writeRelabel: Seq[Relabel.Rule] = Nil)
+
+  /** rendered Authorization header from basic_auth / authorization /
+    * bearer_token* (ref: common HTTPClientConfig — exactly one wins,
+    * in that precedence; *_file paths resolve against the config dir) */
+  private def authHeaderOf(m: YMap, base: java.nio.file.Path): Option[String] = {
+    def fileOrInline(inline: String, file: String): String =
+      if (inline.nonEmpty) inline
+      else if (file.nonEmpty)
+        try new String(java.nio.file.Files.readAllBytes(
+          base.resolve(file)), "UTF-8").trim
+        catch { case _: Exception => "" }
+      else ""
+    (m.get("basic_auth") match {
+      case Some(ba: YMap) =>
+        val user = str(ba, "username")
+        val pass = fileOrInline(str(ba, "password"), str(ba, "password_file"))
+        if (user.nonEmpty || pass.nonEmpty)
+          Some("Basic " + java.util.Base64.getEncoder.encodeToString(
+            s"$user:$pass".getBytes("UTF-8")))
+        else None
+      case _ => None
+    }).orElse(m.get("authorization") match {
+      case Some(az: YMap) =>
+        val typ = { val t = str(az, "type"); if (t.nonEmpty) t else "Bearer" }
+        val cred = fileOrInline(str(az, "credentials"), str(az, "credentials_file"))
+        if (cred.nonEmpty) Some(s"$typ $cred") else None
+      case _ => None
+    }).orElse {
+      val tok = fileOrInline(str(m, "bearer_token"), str(m, "bearer_token_file"))
+      if (tok.nonEmpty) Some(s"Bearer $tok") else None
+    }
   }
 
   private def durMs(s: String): Long = graft.promqltest.TestScript.parseTime(s)
@@ -713,6 +762,20 @@ object Config {
       parseScrapeJob(m) }
     def urlsOf(key: String): Seq[String] =
       root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)
+    // full remote_write entries (ref: config.go RemoteWriteConfig): auth
+    // renders to one Authorization value, custom headers ride each request
+    // (reserved protocol headers win — validated by ConfigCheck), and
+    // protobuf_message io.prometheus.write.v2.Request selects PRW 2.0
+    val remoteWrites = root.list("remote_write").collect { case m: YMap =>
+      RemoteWriteEntry(
+        str(m, "url"),
+        str(m, "name"),
+        authHeaderOf(m, base),
+        kv(m.get("headers")),
+        if (str(m, "protobuf_message") == "io.prometheus.write.v2.Request") 2
+        else 1,
+        relabelChain(m.get("write_relabel_configs")))
+    }.filter(_.url.nonEmpty)
     // alerting: — per-group service discovery via the scrape-job machinery
     // plus alert relabeling (ref: config/config.go:1274 AlertingConfig
     // {alert_relabel_configs, alertmanagers}; each group carries the full
@@ -753,7 +816,8 @@ object Config {
         }
         case _ => None
       }).getOrElse(100000L),
-      ruleQueryOffsetMs = global.str("rule_query_offset").map(durMs).getOrElse(0L))
+      ruleQueryOffsetMs = global.str("rule_query_offset").map(durMs).getOrElse(0L),
+      remoteWrites = remoteWrites)
   }
 
   def load(path: String): PromConfig = {

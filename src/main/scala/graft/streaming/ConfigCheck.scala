@@ -162,6 +162,30 @@ object ConfigCheck {
       case Some(g: YMap) => errs ++= unknownKeys(g, globalFields, s"$path global")
       case _ => ()
     }
+    // remote_write / remote_read custom headers must not shadow the
+    // protocol's own (ref: config.go reservedHeaders +
+    // RemoteWriteConfig.UnmarshalYAML's special-cased authorization)
+    val reservedHeaders = Set("authorization", "host", "content-encoding",
+      "content-length", "content-type", "user-agent", "connection",
+      "keep-alive", "proxy-authenticate", "proxy-authorization",
+      "www-authenticate", "accept-encoding",
+      "x-prometheus-remote-write-version", "x-prometheus-remote-read-version",
+      "x-amz-date", "x-amz-security-token", "x-amz-content-sha256")
+    Seq("remote_write", "remote_read").foreach { section =>
+      root.list(section).foreach {
+        case m: YMap =>
+          if (m.str("url").forall(_.isEmpty))
+            errs += s"$path: $section: url is required"
+          m.get("headers") match {
+            case Some(h: YMap) => h.entries.foreach { case (k, _) =>
+              if (reservedHeaders(k.toLowerCase))
+                errs += s"$path: $section: $k is a reserved header. It must not be changed"
+            }
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
     // per-provider required-field/enum validation, shared between
     // scrape_configs and alerting.alertmanagers groups — the reference's
     // AlertmanagerConfig embeds the same discovery.Configs

@@ -71,7 +71,10 @@ final class PromServer(
   @volatile private var ruleGroups: Seq[Rules.Group] = Nil
   @volatile private var alertStates: Map[String, Map[String, Rules.AlertState]] = Map.empty
   @volatile private var notifier: Option[graft.web.Notifier] = None
-  @volatile private var forwarders: Seq[graft.web.RemoteWriteForwarder] = Nil
+  // (write_relabel rules, sender) per remote_write entry — the rules run on
+  // every outgoing batch before the send (ref: queue_manager.go)
+  @volatile private var forwarders
+      : Seq[(Seq[Relabel.Rule], graft.web.RemoteWriteForwarder)] = Nil
   @volatile private var scrapers: Seq[ScrapeManager] = Nil
 
   /** per-job discovered labels of relabel-dropped targets, refreshed on
@@ -144,7 +147,10 @@ final class PromServer(
         api.queryLogger = newLog.map(new graft.promql.QueryLogger(_))
         queryLogPath = newLog
       }
-      forwarders = cfg.remoteWriteUrls.map(new graft.web.RemoteWriteForwarder(_))
+      forwarders = cfg.remoteWrites.map(e =>
+        (e.writeRelabel,
+         new graft.web.RemoteWriteForwarder(e.url, protoVersion = e.protoVersion,
+           authHeader = e.authHeader, headers = e.headers)))
       // ONE scrape pool per job (ref: scrape/manager.go ApplyConfig — a
       // scrapePool per ScrapeConfig): each pool runs its own interval,
       // relabel_configs (applied to discovered targets, possibly dropping
@@ -255,7 +261,8 @@ final class PromServer(
           } else {
             api.ruleErrors -= ((g.name, r.record))
             store.append(out)
-            forwarders.foreach(_.forward(out))
+            forwarders.foreach { case (rules, f) =>
+              f.forward(if (rules.isEmpty) out else Relabel(out, rules)) }
           }
         }
       }

@@ -24,7 +24,14 @@ final class RemoteWriteForwarder(
     maxBatch: Int = 5000,
     maxRetries: Int = 3,
     backoffMs: Long = 100L,
-    protoVersion: Int = 1) extends Serializable {
+    protoVersion: Int = 1,
+    // rendered Authorization value (basic_auth/authorization/bearer_token)
+    // and custom per-request headers from the remote_write config; the
+    // PROTOCOL headers below always win over a custom header of the same
+    // name (the reference rejects reserved names at config load — see
+    // ConfigCheck — and this ordering is the runtime backstop)
+    authHeader: Option[String] = None,
+    headers: Map[String, String] = Map.empty) extends Serializable {
 
   /** forward samples; v2 endpoints also carry NATIVE HISTOGRAMS (PRW 1.0
     * send stays float-only — encodeV1 has no histogram payload). Returns
@@ -33,6 +40,7 @@ final class RemoteWriteForwarder(
     val url = endpoint
     val mb = maxBatch; val mr = maxRetries; val bo = backoffMs
     val v2 = protoVersion >= 2
+    val auth = authHeader; val extraHeaders = headers
     val shipped = samples.sparkSession.sparkContext.longAccumulator("rw_forwarded")
     val base = samples.filter(!col("stale"))
     val projected =
@@ -52,13 +60,17 @@ final class RemoteWriteForwarder(
           var done = false
           while (!done && attempt <= mr) {
             try {
+              val rb = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+              // custom headers first, protocol headers after (same-name
+              // protocol values overwrite via setHeader)
+              extraHeaders.foreach { case (k, vv) => rb.header(k, vv) }
+              auth.foreach(a => rb.setHeader("Authorization", a))
               val resp = client.send(
-                java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-                  .header("Content-Encoding", "snappy")
-                  .header("Content-Type",
+                rb.setHeader("Content-Encoding", "snappy")
+                  .setHeader("Content-Type",
                     if (v2) "application/x-protobuf;proto=io.prometheus.write.v2.Request"
                     else "application/x-protobuf")
-                  .header("X-Prometheus-Remote-Write-Version", if (v2) "2.0.0" else "0.1.0")
+                  .setHeader("X-Prometheus-Remote-Write-Version", if (v2) "2.0.0" else "0.1.0")
                   .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
                   .build(),
                 java.net.http.HttpResponse.BodyHandlers.discarding())

@@ -384,7 +384,11 @@ object RemoteRead {
   * same volume the reference's fanout pulls; at 100 TB the remote side does
   * the heavy filtering and this edge carries only matched series. */
 final class RemoteReadClient(endpoint: String,
-    client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient()) {
+    client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient(),
+    // remote_read config auth/headers (same contract as the forwarder:
+    // protocol headers always win over a same-named custom header)
+    authHeader: Option[String] = None,
+    headers: Map[String, String] = Map.empty) {
 
   def read(q: RemoteRead.Query): Seq[RemoteRead.Series] = read(q, streamed = false)
 
@@ -395,10 +399,13 @@ final class RemoteReadClient(endpoint: String,
     val accepted =
       if (streamed) Seq(RemoteRead.RespStreamedXorChunks, RemoteRead.RespSamples)
       else Nil
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
-      .header("Content-Type", "application/x-protobuf")
-      .header("Content-Encoding", "snappy")
-      .header("X-Prometheus-Remote-Read-Version", "0.1.0")
+    val rb = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+    headers.foreach { case (k, v) => rb.header(k, v) }
+    authHeader.foreach(a => rb.setHeader("Authorization", a))
+    val req = rb
+      .setHeader("Content-Type", "application/x-protobuf")
+      .setHeader("Content-Encoding", "snappy")
+      .setHeader("X-Prometheus-Remote-Read-Version", "0.1.0")
       .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(
         RemoteRead.encodeRequest(Seq(q), accepted)))
       .build()

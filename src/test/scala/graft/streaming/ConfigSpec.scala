@@ -36,8 +36,64 @@ class ConfigSpec extends AnyFunSuite {
 
     assert(cfg.remoteWriteUrls == Seq("http://remote1/push", "http://remote2/push"))
     assert(cfg.remoteReadUrls == Seq("http://remote1/read", "http://remote3/read"))
+    assert(cfg.remoteWrites.map(e => (e.url, e.name)) ==
+      Seq("http://remote1/push" -> "drop_expensive",
+          "http://remote2/push" -> "rw_tls"))
+    // protobuf_message io.prometheus.write.v2.Request selects PRW 2.0
+    assert(cfg.remoteWrites.map(_.protoVersion) == Seq(1, 2))
+    // write_relabel_configs parse into the forwarder's relabel chain
+    val wrl = cfg.remoteWrites.head.writeRelabel
+    assert(wrl.size == 1 && wrl.head.action == Relabel.Drop &&
+      wrl.head.regex == "expensive.*" && wrl.head.sourceLabels == Seq("__name__"))
     assert(cfg.alertmanagerUrls == Seq(
       "https://1.2.3.4:9093", "https://1.2.3.5:9093", "https://1.2.3.6:9093"))
+  }
+
+  test("remote_write auth + headers parse; reserved header names fail the checker") {
+    val cfg = Config.parse(
+      """remote_write:
+        |  - url: http://rw.example/push
+        |    basic_auth:
+        |      username: user
+        |      password: pw
+        |    headers:
+        |      X-Scope-OrgID: tenant-7
+        |  - url: http://rw2.example/push
+        |    authorization:
+        |      credentials: tok123
+        |""".stripMargin, "/tmp")
+    assert(cfg.remoteWrites.head.authHeader ==
+      Some("Basic " + java.util.Base64.getEncoder.encodeToString(
+        "user:pw".getBytes("UTF-8"))))
+    assert(cfg.remoteWrites.head.headers == Map("X-Scope-OrgID" -> "tenant-7"))
+    assert(cfg.remoteWrites(1).authHeader == Some("Bearer tok123"))
+    // checker: a reserved protocol header in remote_write/read is an error
+    // (ref config.go reservedHeaders)
+    val dir = java.nio.file.Files.createTempDirectory("rwcheck").toFile
+    val bad = new java.io.File(dir, "bad.yml")
+    java.nio.file.Files.writeString(bad.toPath,
+      """remote_write:
+        |  - url: http://rw.example/push
+        |    headers:
+        |      Content-Encoding: gzip
+        |remote_read:
+        |  - url: http://rr.example/read
+        |    headers:
+        |      X-Prometheus-Remote-Read-Version: "9"
+        |""".stripMargin)
+    val errs = ConfigCheck.checkConfig(bad.getPath).errors
+    assert(errs.exists(e => e.contains("remote_write") &&
+      e.contains("Content-Encoding is a reserved header")), errs)
+    assert(errs.exists(e => e.contains("remote_read") &&
+      e.contains("X-Prometheus-Remote-Read-Version is a reserved header")), errs)
+    val ok = new java.io.File(dir, "ok.yml")
+    java.nio.file.Files.writeString(ok.toPath,
+      """remote_write:
+        |  - url: http://rw.example/push
+        |    headers:
+        |      X-Scope-OrgID: tenant-7
+        |""".stripMargin)
+    assert(ConfigCheck.checkConfig(ok.getPath).errors.isEmpty)
   }
 
   test("file-SD wiring: targetsOf merges static and discovered targets") {

@@ -563,6 +563,56 @@ class PromServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { agent.stop(); down.stop() }
   }
 
+  test("write_relabel_configs filter forwarded batches; local store keeps everything") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wrl")
+    val downStore = new graft.web.SampleStore(spark, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.promql.Engine.samplesSchema))
+    val down = new graft.web.HttpApi(spark, downStore, 0, () => 600000L)
+    down.start()
+    writeFile(dir, "rules.yml",
+      """groups:
+        |  - name: g
+        |    rules:
+        |      - record: up:copy
+        |        expr: up
+        |""".stripMargin)
+    val cfgPath = writeFile(dir, "prometheus.yml",
+      s"""global:
+         |  scrape_interval: 15s
+         |rule_files:
+         |  - rules.yml
+         |remote_write:
+         |  - url: http://127.0.0.1:${down.boundPort}/api/v1/write
+         |    write_relabel_configs:
+         |      - source_labels: [job]
+         |        regex: b
+         |        action: drop
+         |""".stripMargin)
+    val srv = new PromServer(spark, cfgPath)
+    srv.start()
+    try {
+      import org.apache.spark.sql.Row
+      srv.store.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(Map("__name__" -> "up", "job" -> "a"), 10000L, 1.0, false, null, 0L),
+          Row(Map("__name__" -> "up", "job" -> "b"), 10000L, 1.0, false, null, 0L)), 1),
+        graft.promql.Engine.samplesSchema))
+      srv.evalRulesOnce(15000L)
+      // the local store keeps BOTH rule-output series…
+      val local = srv.store.samples.collect()
+        .filter(_.getMap[String, String](0)("__name__") == "up:copy")
+        .map(_.getMap[String, String](0)("job")).sorted.toSeq
+      assert(local == Seq("a", "b"))
+      // …while the forwarded batch dropped job=b before the send (ref:
+      // queue_manager.go relabel.Process on every outgoing batch)
+      val fwd = downStore.samples.collect()
+        .filter(_.getMap[String, String](0)("__name__") == "up:copy")
+        .map(_.getMap[String, String](0)("job")).toSeq
+      assert(fwd == Seq("a"), fwd.toString)
+    } finally { srv.stop(); down.stop() }
+  }
+
   test("rule group limit: violating rule drops output and reports health=err; /targets carries the full field set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-limit")
     writeFile(dir, "rules.yml",

@@ -201,6 +201,58 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("remote-write forwarding carries configured auth + custom headers; protocol headers win") {
+    val seen = new java.util.concurrent.atomic.AtomicReference[Map[String, String]](Map.empty)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/w", (ex: com.sun.net.httpserver.HttpExchange) => {
+      import scala.jdk.CollectionConverters._
+      seen.set(ex.getRequestHeaders.asScala.map { case (k, v) =>
+        k.toLowerCase -> v.asScala.mkString(",") }.toMap)
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val src = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(Map("__name__" -> "m"), 1000L, 1.0, false, null, 0L)), 1),
+        Engine.samplesSchema)
+      val n = new RemoteWriteForwarder(
+        s"http://127.0.0.1:${server.getAddress.getPort}/w",
+        authHeader = Some("Basic dXNlcjpwdw=="),
+        headers = Map("X-Scope-OrgID" -> "tenant-7",
+          // a reserved name slipping past config validation must NOT
+          // shadow the protocol value at runtime
+          "Content-Type" -> "text/evil"))
+        .forward(src)
+      assert(n == 1L)
+      val h = seen.get()
+      assert(h("authorization") == "Basic dXNlcjpwdw==")
+      assert(h("x-scope-orgid") == "tenant-7")
+      assert(h("content-type") == "application/x-protobuf")
+      assert(h("content-encoding") == "snappy")
+      assert(h("x-prometheus-remote-write-version") == "0.1.0")
+      // the remote-READ client honors the same contract (the 500 response
+      // aborts the read after the headers are captured)
+      server.createContext("/r", (ex: com.sun.net.httpserver.HttpExchange) => {
+        import scala.jdk.CollectionConverters._
+        seen.set(ex.getRequestHeaders.asScala.map { case (k, v) =>
+          k.toLowerCase -> v.asScala.mkString(",") }.toMap)
+        ex.sendResponseHeaders(500, -1); ex.close()
+      })
+      val rr = new RemoteReadClient(
+        s"http://127.0.0.1:${server.getAddress.getPort}/r",
+        authHeader = Some("Bearer tok"),
+        headers = Map("X-Scope-OrgID" -> "t9", "Content-Type" -> "text/evil"))
+      intercept[RuntimeException](rr.read(RemoteRead.Query(0L, 1000L,
+        List(graft.promql.LabelMatcher("__name__", graft.promql.MatchOp.Eq, "m")))))
+      val h2 = seen.get()
+      assert(h2("authorization") == "Bearer tok")
+      assert(h2("x-scope-orgid") == "t9")
+      assert(h2("content-type") == "application/x-protobuf")
+    } finally server.stop(0)
+  }
+
   test("sample budget refuses over-limit queries with the reference 422 shape") {
     val store = fixtureStore()
     // instant query at t=600 scans 10 in-lookback samples per series × 2
