@@ -153,7 +153,10 @@ object Config {
       // write_relabel_configs: applied to every outgoing batch before the
       // send (ref: storage/remote/queue_manager.go processExternalLabels →
       // relabel.Process; the standard drop-expensive-series valve)
-      writeRelabel: Seq[Relabel.Rule] = Nil)
+      writeRelabel: Seq[Relabel.Rule] = Nil,
+      // azuread auth block (ref storage/remote/azuread; #18217 certificate
+      // flow) — mutually exclusive with the other auth shapes (checker)
+      azureAd: Option[graft.web.AzureAd.Config] = None)
 
   /** rendered Authorization header from basic_auth / authorization /
     * bearer_token* (ref: common HTTPClientConfig — exactly one wins,
@@ -186,6 +189,33 @@ object Config {
       if (tok.nonEmpty) Some(s"Bearer $tok") else None
     }
   }
+
+  /** azuread block → [[graft.web.AzureAd.Config]] (ref azuread.go
+    * AzureADConfig; validation lives in ConfigCheck — load stays lenient) */
+  private def azureAdOf(m: YMap): Option[graft.web.AzureAd.Config] =
+    m.get("azuread") match {
+      case Some(az: YMap) =>
+        import graft.web.AzureAd
+        Some(AzureAd.Config(
+          cloud = str(az, "cloud", AzureAd.AzurePublic),
+          scope = str(az, "scope"),
+          managedIdentity = az.get("managed_identity").collect { case mi: YMap =>
+            AzureAd.ManagedIdentity(str(mi, "client_id")) },
+          workloadIdentity = az.get("workload_identity").collect { case wi: YMap =>
+            AzureAd.WorkloadIdentity(str(wi, "client_id"), str(wi, "tenant_id"),
+              str(wi, "token_file_path")) },
+          oauth = az.get("oauth").collect { case o: YMap =>
+            AzureAd.OAuth(str(o, "client_id"), str(o, "client_secret"),
+              str(o, "tenant_id")) },
+          sdk = az.get("sdk").collect { case s: YMap =>
+            AzureAd.Sdk(str(s, "tenant_id")) },
+          certificate = az.get("certificate").collect { case c: YMap =>
+            AzureAd.Certificate(str(c, "client_id"), str(c, "tenant_id"),
+              str(c, "certificate_path"), str(c, "certificate_key_path"),
+              str(c, "certificate_password"),
+              c.str("send_certificate_chain").contains("true")) }))
+      case _ => None
+    }
 
   private def durMs(s: String): Long = graft.promqltest.TestScript.parseTime(s)
 
@@ -774,7 +804,8 @@ object Config {
         kv(m.get("headers")),
         if (str(m, "protobuf_message") == "io.prometheus.write.v2.Request") 2
         else 1,
-        relabelChain(m.get("write_relabel_configs")))
+        relabelChain(m.get("write_relabel_configs")),
+        azureAdOf(m))
     }.filter(_.url.nonEmpty)
     // alerting: — per-group service discovery via the scrape-job machinery
     // plus alert relabeling (ref: config/config.go:1274 AlertingConfig

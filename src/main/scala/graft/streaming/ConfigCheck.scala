@@ -183,6 +183,39 @@ object ConfigCheck {
             }
             case _ => ()
           }
+          // azuread: full shape validation (ref azuread.go Validate) +
+          // at-most-one-auth-method across the whole entry (ref config.go
+          // validateAuthConfigs)
+          m.get("azuread") match {
+            case Some(az: YMap) =>
+              def sub(key: String): Option[YMap] =
+                az.get(key).collect { case s: YMap => s }
+              def s(n: YMap, k: String): String =
+                n.str(k).filter(_.nonEmpty).getOrElse("")
+              val cfg = graft.web.AzureAd.Config(
+                cloud = az.str("cloud").filter(_.nonEmpty)
+                  .getOrElse(graft.web.AzureAd.AzurePublic),
+                scope = az.str("scope").getOrElse(""),
+                managedIdentity = sub("managed_identity").map(mi =>
+                  graft.web.AzureAd.ManagedIdentity(s(mi, "client_id"))),
+                workloadIdentity = sub("workload_identity").map(wi =>
+                  graft.web.AzureAd.WorkloadIdentity(
+                    s(wi, "client_id"), s(wi, "tenant_id"), s(wi, "token_file_path"))),
+                oauth = sub("oauth").map(o => graft.web.AzureAd.OAuth(
+                  s(o, "client_id"), s(o, "client_secret"), s(o, "tenant_id"))),
+                sdk = sub("sdk").map(k => graft.web.AzureAd.Sdk(s(k, "tenant_id"))),
+                certificate = sub("certificate").map(c =>
+                  graft.web.AzureAd.Certificate(s(c, "client_id"),
+                    s(c, "tenant_id"), s(c, "certificate_path"))))
+              graft.web.AzureAd.validate(cfg).foreach(e =>
+                errs += s"$path: $section: $e")
+              if (m.get("basic_auth").isDefined || m.get("authorization").isDefined ||
+                  m.str("bearer_token").exists(_.nonEmpty) || m.get("oauth2").isDefined ||
+                  m.get("sigv4").isDefined)
+                errs += s"$path: $section: at most one of basic_auth, " +
+                  "authorization, oauth2, sigv4, azuread & google_iam must be configured"
+            case _ => ()
+          }
         case _ => ()
       }
     }

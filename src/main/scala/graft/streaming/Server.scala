@@ -147,10 +147,15 @@ final class PromServer(
         api.queryLogger = newLog.map(new graft.promql.QueryLogger(_))
         queryLogPath = newLog
       }
-      forwarders = cfg.remoteWrites.map(e =>
+      forwarders = cfg.remoteWrites.map { e =>
+        // azuread builds a refreshing token provider; fixed-header auth
+        // otherwise (the checker rejects configs carrying both)
+        val azProvider = e.azureAd.map(new graft.web.AzureAd.TokenProvider(_))
         (e.writeRelabel,
          new graft.web.RemoteWriteForwarder(e.url, protoVersion = e.protoVersion,
-           authHeader = e.authHeader, headers = e.headers)))
+           authHeader = e.authHeader, headers = e.headers,
+           authProvider = azProvider.map(tp => () => "Bearer " + tp.token())))
+      }
       // ONE scrape pool per job (ref: scrape/manager.go ApplyConfig — a
       // scrapePool per ScrapeConfig): each pool runs its own interval,
       // relabel_configs (applied to discovered targets, possibly dropping

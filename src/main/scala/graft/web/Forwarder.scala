@@ -31,7 +31,12 @@ final class RemoteWriteForwarder(
     // name (the reference rejects reserved names at config load — see
     // ConfigCheck — and this ordering is the runtime backstop)
     authHeader: Option[String] = None,
-    headers: Map[String, String] = Map.empty) extends Serializable {
+    headers: Map[String, String] = Map.empty,
+    // dynamic auth (azuread bearer tokens): evaluated ONCE per forward()
+    // call on the driver — tokens outlive a batch by construction (the
+    // provider refreshes inside its 5-minute expiry window), so executors
+    // see a plain string and never need the provider
+    authProvider: Option[() => String] = None) extends Serializable {
 
   /** forward samples; v2 endpoints also carry NATIVE HISTOGRAMS (PRW 1.0
     * send stays float-only — encodeV1 has no histogram payload). Returns
@@ -40,7 +45,8 @@ final class RemoteWriteForwarder(
     val url = endpoint
     val mb = maxBatch; val mr = maxRetries; val bo = backoffMs
     val v2 = protoVersion >= 2
-    val auth = authHeader; val extraHeaders = headers
+    val auth = authProvider.map(p => p()).orElse(authHeader)
+    val extraHeaders = headers
     val shipped = samples.sparkSession.sparkContext.longAccumulator("rw_forwarded")
     val base = samples.filter(!col("stale"))
     val projected =

@@ -345,6 +345,10 @@ class ServingSpec extends AnyFunSuite {
   test("st-synthesis on the proto path: counters without created_timestamp synthesize") {
     // one counter family whose value changes between scrapes, plus one
     // gauge that must pass through untouched
+    @volatile var counterVal = 5.0
+    @volatile var histCnt = 4; @volatile var histSum = 10.0
+    @volatile var histB1 = 3L; @volatile var histB2 = 1L
+    @volatile var clock = 10000L
     def body(counterVal: Double): Array[Byte] = {
       val o = new java.io.ByteArrayOutputStream()
       def vint(out: java.io.ByteArrayOutputStream, x0: Long): Unit = {
@@ -376,11 +380,24 @@ class ServingSpec extends AnyFunSuite {
         strF(f, 1, "temp"); varintF(f, 3, 1) // GAUGE
         delim(f, 4, bytesOf(m => delim(m, 2, bytesOf(g => dbl(g, 1, 21.5)))))
       }
-      Seq(ctr, gauge).foreach { fam => vint(o, fam.length); o.write(fam) }
+      // native histogram: schema 0, one positive span (offset 0, len 2),
+      // absolute buckets (hb1, hb2) delta-encoded as zigzag sint64
+      def zig(n: Long): Long = (n << 1) ^ (n >> 63)
+      val nh = bytesOf { f =>
+        strF(f, 1, "nh"); varintF(f, 3, 4) // HISTOGRAM
+        delim(f, 4, bytesOf { m =>
+          delim(m, 7, bytesOf { h =>
+            varintF(h, 1, histCnt.toLong); dbl(h, 2, histSum)
+            vint(h, 5 << 3); vint(h, 0) // schema sint32 0
+            delim(h, 12, bytesOf { s => vint(s, 1 << 3); vint(s, 0); varintF(s, 2, 2) })
+            delim(h, 13, bytesOf { d =>
+              vint(d, zig(histB1)); vint(d, zig(histB2 - histB1)) })
+          })
+        })
+      }
+      Seq(ctr, gauge, nh).foreach { fam => vint(o, fam.length); o.write(fam) }
       o.toByteArray
     }
-    @volatile var counterVal = 5.0
-    @volatile var clock = 10000L
     val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
     server.createContext("/metrics", ex => {
       val b = body(counterVal)
@@ -399,12 +416,28 @@ class ServingSpec extends AnyFunSuite {
         store.samples.collect().toSeq
           .filter(_.getMap[String, String](0)("__name__") == name)
           .map(r => (r.getLong(1), r.getDouble(2), r.getLong(5))).sortBy(_._1)
-      mgr.scrapeOnce() // anchor @10s: counter dropped, gauge untouched
+      def hists(name: String): Seq[(Long, Long, (Double, Double, Seq[Double]))] =
+        store.samples.collect().toSeq
+          .filter(r => r.getMap[String, String](0)("__name__") == name &&
+            !r.isNullAt(4))
+          .map { r =>
+            val h = graft.promql.FHist.fromRow(r.getStruct(4))
+            (r.getLong(1), r.getLong(5), (h.cnt, h.sum, h.pcnt.toSeq))
+          }.sortBy(_._1)
+      mgr.scrapeOnce() // anchor @10s: counter + native hist dropped, gauge kept
       assert(rows("reqs_total").isEmpty)
+      assert(hists("nh").isEmpty)
       assert(rows("temp") == Seq((10000L, 21.5, 0L)))
       clock = 20000L; counterVal = 9.0
-      mgr.scrapeOnce() // rebased 9−5=4 with st = first-seen ts
+      histCnt = 6; histSum = 15.0; histB1 = 4L; histB2 = 2L
+      mgr.scrapeOnce() // rebased: float 9−5=4; hist subtracts the anchor
       assert(rows("reqs_total") == Seq((20000L, 4.0, 10000L)))
+      assert(hists("nh") == Seq((20000L, 10000L, (2.0, 5.0, Seq(1.0, 1.0)))))
+      // native reset (count drop): emitted unadjusted with st = t−1
+      clock = 30000L
+      histCnt = 2; histSum = 2.0; histB1 = 1L; histB2 = 1L
+      mgr.scrapeOnce()
+      assert(hists("nh").last == ((30000L, 29999L, (2.0, 2.0, Seq(1.0, 1.0)))))
     } finally server.stop(0)
   }
 
