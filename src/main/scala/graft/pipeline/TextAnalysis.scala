@@ -94,10 +94,13 @@ object TextAnalysis {
     * reduces to run-lengths over the sorted word array, computed inside one
     * projection (array_sort + aggregate HOF), replacing the former
     * explode → (doc_id, word) agg → doc_id agg two-shuffle plan. Hapax =
-    * runs of length exactly 1; types = number of runs. Output identical
-    * (hash-exact against the same oracle); throughput = scan rate. */
+    * runs of length exactly 1; types = number of runs. Output identical to
+    * the old plan (hash-exact against the unchanged oracle); NULL-text rows
+    * are filtered explicitly — the old explode dropped them implicitly.
+    * Throughput = scan rate. */
   def lexicalDiversity(docs: DataFrame): DataFrame =
     docs
+      .filter(col("text").isNotNull)
       .withColumn("__ws", words(col("text")))
       .withColumn("__lx", expr(
         // fold state: (prev word, current run length, types so far, hapax
@@ -136,6 +139,7 @@ object TextAnalysis {
     * hash-matches exactly. */
   def repetitionStats(docs: DataFrame): DataFrame =
     docs
+      .filter(col("text").isNotNull)
       .withColumn("__ws", words(col("text")))
       .withColumn("top_bigram_count", expr(
         """CASE WHEN size(__ws) < 2 THEN 0L ELSE

@@ -277,7 +277,11 @@ object Engine {
     val v = pl.eval(resolveAtModifiers(parse(q), tsMs, tsMs))
     // the budget count doubles as the self-metric's per-query samplesRead
     // when no stats block will compute the exact figure (ref #18081: the
-    // reference's counter moves on every query)
+    // reference's counter moves on every query). Cost note: with a sample
+    // budget configured (the server default, --query.max-samples 5e7) the
+    // scan counts were ALWAYS computed here — the metric rides along free;
+    // only an explicitly unlimited engine (maxSamples=0) pays the extra
+    // count-aggregation jobs, and only on stats-less queries.
     val n = budget(pl, maxSamples, wantCount = !wantStats)
     if (!wantStats) samplesReadTotal.addAndGet(math.max(0L, n))
     (finalShape(v), if (wantStats) Some(sampleStats(pl, wantPerStep)) else None)

@@ -746,7 +746,7 @@ object PipelineSuite {
       """WITH d AS (
            SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          e AS (
            SELECT doc_id, ws,
              CASE WHEN len(ws) >= 2

@@ -74,7 +74,8 @@ object AwsSd {
     var section = ""
     var ak = ""; var sk = ""; var tok = ""
     var found = false
-    scala.io.Source.fromFile(f, "UTF-8").getLines().foreach { raw =>
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().foreach { raw =>
       val line = raw.trim
       if (line.startsWith("[") && line.endsWith("]"))
         section = line.substring(1, line.length - 1).trim
@@ -88,7 +89,7 @@ object AwsSd {
           case _ => ()
         }
       }
-    }
+    } finally src.close()
     if (found && ak.nonEmpty && sk.nonEmpty) Some(Creds(ak, sk, tok)) else None
   }
 

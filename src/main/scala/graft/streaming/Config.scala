@@ -132,7 +132,10 @@ object Config {
       ruleQueryOffsetMs: Long = 0L,
       // full remote_write entries (auth + headers + PRW message); the
       // legacy remoteWriteUrls field stays populated for URL-only callers
-      remoteWrites: Seq[RemoteWriteEntry] = Nil) {
+      remoteWrites: Seq[RemoteWriteEntry] = Nil,
+      // full remote_read entries — url + rendered auth + custom headers;
+      // feeds authenticated RemoteReadClients for the fanout surface
+      remoteReads: Seq[RemoteReadEntry] = Nil) {
     /** all scrape targets of a job (static + current file-SD contents) */
     def targetsOf(job: ScrapeJob): Seq[ScrapeManager.ScrapeTarget] =
       (job.staticTargets ++ job.fileSdPaths.flatMap(p =>
@@ -157,6 +160,14 @@ object Config {
       // azuread auth block (ref storage/remote/azuread; #18217 certificate
       // flow) — mutually exclusive with the other auth shapes (checker)
       azureAd: Option[graft.web.AzureAd.Config] = None)
+
+  /** one remote_read entry (ref config.go RemoteReadConfig — the client
+    * subset this engine acts on) */
+  final case class RemoteReadEntry(
+      url: String,
+      name: String = "",
+      authHeader: Option[String] = None,
+      headers: Map[String, String] = Map.empty)
 
   /** rendered Authorization header from basic_auth / authorization /
     * bearer_token* (ref: common HTTPClientConfig — exactly one wins,
@@ -807,6 +818,10 @@ object Config {
         relabelChain(m.get("write_relabel_configs")),
         azureAdOf(m))
     }.filter(_.url.nonEmpty)
+    val remoteReads = root.list("remote_read").collect { case m: YMap =>
+      RemoteReadEntry(str(m, "url"), str(m, "name"),
+        authHeaderOf(m, base), kv(m.get("headers")))
+    }.filter(_.url.nonEmpty)
     // alerting: — per-group service discovery via the scrape-job machinery
     // plus alert relabeling (ref: config/config.go:1274 AlertingConfig
     // {alert_relabel_configs, alertmanagers}; each group carries the full
@@ -848,7 +863,8 @@ object Config {
         case _ => None
       }).getOrElse(100000L),
       ruleQueryOffsetMs = global.str("rule_query_offset").map(durMs).getOrElse(0L),
-      remoteWrites = remoteWrites)
+      remoteWrites = remoteWrites,
+      remoteReads = remoteReads)
   }
 
   def load(path: String): PromConfig = {

@@ -170,7 +170,11 @@ object ConfigCheck {
       "keep-alive", "proxy-authenticate", "proxy-authorization",
       "www-authenticate", "accept-encoding",
       "x-prometheus-remote-write-version", "x-prometheus-remote-read-version",
-      "x-amz-date", "x-amz-security-token", "x-amz-content-sha256")
+      "x-amz-date", "x-amz-security-token", "x-amz-content-sha256",
+      // JDK HttpRequest.Builder refuses these outright — accepting them at
+      // config time would surface as per-batch send failures instead of a
+      // load error (java.net.http restricted header set)
+      "expect", "upgrade", "trailer", "transfer-encoding", "te")
     Seq("remote_write", "remote_read").foreach { section =>
       root.list(section).foreach {
         case m: YMap =>
@@ -209,9 +213,19 @@ object ConfigCheck {
                     s(c, "tenant_id"), s(c, "certificate_path"))))
               graft.web.AzureAd.validate(cfg).foreach(e =>
                 errs += s"$path: $section: $e")
+              // the sdk credential chain needs the Azure SDK's environment
+              // probing — valid upstream, not runnable here; reject at load
+              // instead of throwing on every send (see AzureAd scaladoc)
+              if (cfg.sdk.isDefined && cfg.managedIdentity.isEmpty &&
+                  cfg.workloadIdentity.isEmpty && cfg.oauth.isEmpty &&
+                  cfg.certificate.isEmpty)
+                errs += s"$path: $section: azuread sdk authentication is " +
+                  "not supported by this engine — use oauth, certificate, " +
+                  "managed_identity or workload_identity"
               if (m.get("basic_auth").isDefined || m.get("authorization").isDefined ||
-                  m.str("bearer_token").exists(_.nonEmpty) || m.get("oauth2").isDefined ||
-                  m.get("sigv4").isDefined)
+                  m.str("bearer_token").exists(_.nonEmpty) ||
+                  m.str("bearer_token_file").exists(_.nonEmpty) ||
+                  m.get("oauth2").isDefined || m.get("sigv4").isDefined)
                 errs += s"$path: $section: at most one of basic_auth, " +
                   "authorization, oauth2, sigv4, azuread & google_iam must be configured"
             case _ => ()

@@ -430,8 +430,13 @@ final class ScrapeManager(
     // created_timestamp synthesize like the text path (family TYPE comes
     // from the proto metadata); NATIVE-HISTOGRAM series synthesize via the
     // FHist detectReset/sub machinery (ref synthesizeFloatHistogram).
+    // GUARD on `ok`: a failed scrape (non-200/timeout/body-size) parses to
+    // zero samples, and running synthesis then would prune EVERY anchor for
+    // the target — the next good scrape would re-anchor (drop) all series
+    // and rebase against post-failure values, a permanent level shift. The
+    // reference only clears stCache through genuine staleness.
     val stamped =
-      if (!stSynthesis) stamped0
+      if (!stSynthesis || !ok || stamped0.isEmpty) stamped0
       else {
         val famTypes = parsed.meta.map { case (n, (t, _, _)) => n -> t }
         val tgtKey = seriesKey(tgt.job, tgt.url)

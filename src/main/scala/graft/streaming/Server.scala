@@ -75,6 +75,9 @@ final class PromServer(
   // every outgoing batch before the send (ref: queue_manager.go)
   @volatile private var forwarders
       : Seq[(Seq[Relabel.Rule], graft.web.RemoteWriteForwarder)] = Nil
+  // authenticated remote-read clients per remote_read entry, for callers
+  // composing a FanoutStore over this server's primary store
+  @volatile var remoteReadClients: Seq[graft.web.RemoteReadClient] = Nil
   @volatile private var scrapers: Seq[ScrapeManager] = Nil
 
   /** per-job discovered labels of relabel-dropped targets, refreshed on
@@ -156,6 +159,9 @@ final class PromServer(
            authHeader = e.authHeader, headers = e.headers,
            authProvider = azProvider.map(tp => () => "Bearer " + tp.token())))
       }
+      remoteReadClients = cfg.remoteReads.map(e =>
+        new graft.web.RemoteReadClient(e.url,
+          authHeader = e.authHeader, headers = e.headers))
       // ONE scrape pool per job (ref: scrape/manager.go ApplyConfig — a
       // scrapePool per ScrapeConfig): each pool runs its own interval,
       // relabel_configs (applied to discovered targets, possibly dropping
@@ -266,8 +272,14 @@ final class PromServer(
           } else {
             api.ruleErrors -= ((g.name, r.record))
             store.append(out)
+            // a failing sink must not abort the evaluation tick: the
+            // reference's queue manager is async — send failures drop/retry
+            // on their own clock and never stall rule evaluation
             forwarders.foreach { case (rules, f) =>
-              f.forward(if (rules.isEmpty) out else Relabel(out, rules)) }
+              try f.forward(if (rules.isEmpty) out else Relabel(out, rules))
+              catch { case e: Exception =>
+                System.err.println(s"[remote-write] forward failed: ${e.getMessage}") }
+            }
           }
         }
       }

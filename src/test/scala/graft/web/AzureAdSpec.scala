@@ -287,5 +287,33 @@ ZhE5yB/QzAbaewhe868qOvw=
          |        client_id: $cid
          |      sdk: {}
          |""".stripMargin).exists(_.contains("multiple authentication methods")))
+    // sdk-only: valid upstream, not runnable here -> rejected at load
+    // instead of throwing on every send
+    assert(check(
+      """remote_write:
+        |  - url: http://x/p
+        |    azuread:
+        |      sdk: {}
+        |""".stripMargin).exists(_.contains("sdk authentication is not supported")))
+    // a second credential via bearer_token_file also trips the
+    // single-auth-method rule
+    assert(check(
+      s"""remote_write:
+         |  - url: http://x/p
+         |    bearer_token_file: /tmp/tok
+         |    azuread:
+         |      oauth:
+         |        client_id: $cid
+         |        client_secret: s
+         |        tenant_id: $tid
+         |""".stripMargin).exists(_.contains("at most one of basic_auth")))
+    // JDK-restricted header names are reserved too: accepted configs must
+    // never brick the sender at send time
+    assert(check(
+      """remote_write:
+        |  - url: http://x/p
+        |    headers:
+        |      Expect: 100-continue
+        |""".stripMargin).exists(_.contains("Expect is a reserved header")))
   }
 }

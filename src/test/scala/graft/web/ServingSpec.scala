@@ -398,11 +398,15 @@ class ServingSpec extends AnyFunSuite {
       Seq(ctr, gauge, nh).foreach { fam => vint(o, fam.length); o.write(fam) }
       o.toByteArray
     }
+    @volatile var failScrape = false
     val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
     server.createContext("/metrics", ex => {
-      val b = body(counterVal)
-      ex.sendResponseHeaders(200, b.length)
-      ex.getResponseBody.write(b); ex.getResponseBody.close()
+      if (failScrape) { ex.sendResponseHeaders(500, -1); ex.close() }
+      else {
+        val b = body(counterVal)
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.getResponseBody.close()
+      }
     })
     server.start()
     try {
@@ -438,6 +442,17 @@ class ServingSpec extends AnyFunSuite {
       histCnt = 2; histSum = 2.0; histB1 = 1L; histB2 = 1L
       mgr.scrapeOnce()
       assert(hists("nh").last == ((30000L, 29999L, (2.0, 2.0, Seq(1.0, 1.0)))))
+      // a FAILED scrape must not wipe synthesis anchors: the next good
+      // scrape rebases against the surviving state instead of re-anchoring
+      // (dropping) everything
+      clock = 40000L; failScrape = true
+      mgr.scrapeOnce()
+      clock = 50000L; failScrape = false; counterVal = 12.0
+      mgr.scrapeOnce()
+      // the float anchor (5.0 @10s; no float reset happened — only the
+      // histogram reset above) survived the outage: 12−5=7 appended with
+      // the original st, NOT re-anchored-and-dropped
+      assert(rows("reqs_total").last == ((50000L, 7.0, 10000L)))
     } finally server.stop(0)
   }
 
