@@ -3,9 +3,28 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val loadBefore =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
-      catch { case _: Exception => "" }
+    def loadavg: Array[Double] =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).map(_.toDouble)
+      catch { case _: Exception => Array(0.0, 0.0, 0.0) }
+    // Host-state settle: a bench captured while the host is still draining
+    // the previous build/test runs measures contention, not the code (see
+    // SCALE.md bench-host protocol). Wait — bounded — until the 1-min load
+    // drops under a threshold before timing anything. Both loads (at JVM
+    // entry and post-settle) go into the JSON so a contaminated capture is
+    // self-describing. SPARK_GRAFT_SETTLE=0 disables; _SEC/_LOAD tune the
+    // bound (defaults 120 s / 2.0).
+    val loadStart = loadavg.mkString(",")
+    if (!sys.env.get("SPARK_GRAFT_SETTLE").contains("0")) {
+      val maxWaitSec = sys.env.get("SPARK_GRAFT_SETTLE_SEC")
+        .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(120)
+      val target = sys.env.get("SPARK_GRAFT_SETTLE_LOAD")
+        .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2.0)
+      val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+      while (loadavg(0) >= target && System.nanoTime() < deadline)
+        Thread.sleep(5000L)
+    }
+    val loadBefore = loadavg.mkString(",")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,12 +97,9 @@ object Bench {
     val qs = all.map { case (k, v) => s"\"" + k.replace("\"", "'") + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.values.sum else 0.0
-    def loadavg: String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
-      catch { case _: Exception => "" }
-    val loadAfter = loadavg
+    val loadAfter = loadavg.mkString(",")
     val fileJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","load_before":"$loadBefore","load_after":"$loadAfter"}"""
+      s""""sf":"$sfDir","load_start":"$loadStart","load_before":"$loadBefore","load_after":"$loadAfter"}"""
     // the artifact of record: a FILE the driver (or a human) can read without
     // scraping a truncated stdout tail (round-5/6 verdict housekeeping)
     try java.nio.file.Files.write(java.nio.file.Paths.get(
@@ -94,7 +110,7 @@ object Bench {
     // the ~3KB per-query map mid-line three rounds running (BENCH_r{5,6,7}
     // parsed:null); the per-query map lives in the file artifact above
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},""" +
-      s""""sf":"$sfDir","load_before":"$loadBefore","load_after":"$loadAfter"}""")
+      s""""sf":"$sfDir","load_start":"$loadStart","load_before":"$loadBefore","load_after":"$loadAfter"}""")
     spark.stop()
   }
 }

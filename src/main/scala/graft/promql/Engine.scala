@@ -186,9 +186,11 @@ object Engine {
   /** process-lifetime samplesRead accumulator feeding the
     * prometheus_engine_query_samples_read_total self-metric (ref #18081's
     * engine counter). Increments on EVERY stats-capable query like the
-    * reference: stats-less queries add the cheap scan-count figure (sum of
-    * pruned-scan row counts — plain count aggregations, no distinct job),
-    * stats-bearing queries add the exact deduplicated samplesRead. */
+    * reference, and by ONE semantic regardless of `stats=`: the per-scan
+    * count (each stored row once per selector — the reference's "storage
+    * I/O" reading, and the same figure the sample budget already computes,
+    * so it is free whenever --query.max-samples is set). The exact
+    * deduplicated samplesRead stays in the stats payload only. */
   val samplesReadTotal = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Compute [[SampleStats]] from the planner's scan log. Each scan is one
@@ -260,7 +262,6 @@ object Engine {
         }
       }
     }
-    samplesReadTotal.addAndGet(read)
     SampleStats(total, read,
       perT.toSeq.sortBy(_._1), perR.toSeq.sortBy(_._1))
   }
@@ -276,14 +277,14 @@ object Engine {
       EvalParams(tsMs, tsMs, 1000L, lookbackMs, defaultSubqueryStepMs, isInstant = true))
     val v = pl.eval(resolveAtModifiers(parse(q), tsMs, tsMs))
     // the budget count doubles as the self-metric's per-query samplesRead
-    // when no stats block will compute the exact figure (ref #18081: the
-    // reference's counter moves on every query). Cost note: with a sample
-    // budget configured (the server default, --query.max-samples 5e7) the
-    // scan counts were ALWAYS computed here — the metric rides along free;
-    // only an explicitly unlimited engine (maxSamples=0) pays the extra
-    // count-aggregation jobs, and only on stats-less queries.
-    val n = budget(pl, maxSamples, wantCount = !wantStats)
-    if (!wantStats) samplesReadTotal.addAndGet(math.max(0L, n))
+    // on EVERY query, stats or not — one counter, one semantic (ref
+    // #18081: the reference's counter moves on every query). Cost note:
+    // with a sample budget configured (the server default,
+    // --query.max-samples 5e7) the scan counts were ALWAYS computed here —
+    // the metric rides along free; only an explicitly unlimited engine
+    // (maxSamples=0) pays the extra count-aggregation jobs.
+    val n = budget(pl, maxSamples, wantCount = true)
+    samplesReadTotal.addAndGet(math.max(0L, n))
     (finalShape(v), if (wantStats) Some(sampleStats(pl, wantPerStep)) else None)
   }
 
@@ -302,8 +303,8 @@ object Engine {
     val pl = new Planner(spark, normalize(samples),
       EvalParams(startMs, endMs, stepMs, lookbackMs, defaultSubqueryStepMs))
     val v = pl.eval(resolveAtModifiers(e, startMs, endMs))
-    val n = budget(pl, maxSamples, wantCount = !wantStats)
-    if (!wantStats) samplesReadTotal.addAndGet(math.max(0L, n))
+    val n = budget(pl, maxSamples, wantCount = true)
+    samplesReadTotal.addAndGet(math.max(0L, n))
     (finalShape(v), if (wantStats) Some(sampleStats(pl, wantPerStep)) else None)
   }
 

@@ -94,7 +94,11 @@ object Config {
       scrapeNativeHistograms: Boolean = false,
       // follow HTTP 3xx redirects on scrapes (ref: common HTTPClientConfig
       // FollowRedirects, default true; cross-host hops drop credentials)
-      followRedirects: Boolean = true)
+      followRedirects: Boolean = true,
+      // oauth2 block of the common HTTP client config (ref:
+      // configuration.md:706 <oauth2>) — the server builds one refreshing
+      // TokenProvider per pool; mutually exclusive with authHeader (checker)
+      oauth2: Option[graft.web.OAuth2.Config] = None)
 
   /** one `alerting.alertmanagers` group (ref: config/config.go:1330
     * AlertmanagerConfig): target discovery + relabel_configs live on the
@@ -159,7 +163,48 @@ object Config {
       writeRelabel: Seq[Relabel.Rule] = Nil,
       // azuread auth block (ref storage/remote/azuread; #18217 certificate
       // flow) — mutually exclusive with the other auth shapes (checker)
-      azureAd: Option[graft.web.AzureAd.Config] = None)
+      azureAd: Option[graft.web.AzureAd.Config] = None,
+      // sigv4 auth block (ref config.go:1502 SigV4Config; configuration.md
+      // :3715 — Amazon Managed Prometheus sinks, service "aps")
+      sigv4: Option[SigV4Cfg] = None,
+      // oauth2 client-credentials / jwt-bearer block (ref common
+      // HTTPClientConfig OAuth2; configuration.md:3034)
+      oauth2: Option[graft.web.OAuth2.Config] = None,
+      // google_iam: service-account → Bearer for Google Cloud Monitoring
+      // sinks (ref config.go:1504; storage/remote/googleiam)
+      googleIam: Option[graft.web.GoogleIam.Config] = None,
+      // queue_config (ref config.go:1612 QueueConfig) — see the Forwarder
+      // scaladoc for the shards↔partitions mapping
+      queue: QueueCfg = QueueCfg())
+
+  /** sigv4 block (ref: the prometheus/sigv4 library's SigV4Config as
+    * documented at configuration.md:3715; access/secret keys, named
+    * shared-config profile, and STS AssumeRole with external_id all ride
+    * the credential chain [[AwsSd.credentials]] already implements).
+    * `use_fips_sts_endpoint` selects the sts-fips.* endpoint host. */
+  final case class SigV4Cfg(
+      region: String = "",
+      accessKey: String = "",
+      secretKey: String = "",
+      profile: String = "",
+      roleArn: String = "",
+      externalId: String = "",
+      useFipsStsEndpoint: Boolean = false)
+
+  /** queue_config (ref config.go:1612 QueueConfig, defaults config.go:236
+    * DefaultQueueConfig). capacity / min_shards / batch_send_deadline are
+    * queue-manager pacing knobs with no foreachBatch analog — parsed and
+    * validated, intentionally inert at runtime (documented divergence). */
+  final case class QueueCfg(
+      capacity: Int = 10000,
+      maxShards: Int = 50,
+      minShards: Int = 1,
+      maxSamplesPerSend: Int = 2000,
+      batchSendDeadlineMs: Long = 5000L,
+      minBackoffMs: Long = 30L,
+      maxBackoffMs: Long = 5000L,
+      retryOnHttp429: Boolean = false,
+      sampleAgeLimitMs: Long = 0L)
 
   /** one remote_read entry (ref config.go RemoteReadConfig — the client
     * subset this engine acts on) */
@@ -167,7 +212,8 @@ object Config {
       url: String,
       name: String = "",
       authHeader: Option[String] = None,
-      headers: Map[String, String] = Map.empty)
+      headers: Map[String, String] = Map.empty,
+      oauth2: Option[graft.web.OAuth2.Config] = None)
 
   /** rendered Authorization header from basic_auth / authorization /
     * bearer_token* (ref: common HTTPClientConfig — exactly one wins,
@@ -227,6 +273,67 @@ object Config {
               c.str("send_certificate_chain").contains("true")) }))
       case _ => None
     }
+
+  /** oauth2 block → [[graft.web.OAuth2.Config]] (ref configuration.md:706
+    * <oauth2>; *_file paths resolve against the config dir) */
+  private def oauth2Of(m: YMap, base: java.nio.file.Path)
+      : Option[graft.web.OAuth2.Config] =
+    m.get("oauth2") match {
+      case Some(o: YMap) =>
+        def resolved(k: String): String = {
+          val f = str(o, k)
+          if (f.nonEmpty) base.resolve(f).toString else ""
+        }
+        Some(graft.web.OAuth2.Config(
+          clientId = str(o, "client_id"),
+          tokenUrl = str(o, "token_url"),
+          clientSecret = str(o, "client_secret"),
+          clientSecretFile = resolved("client_secret_file"),
+          scopes = strList(o.get("scopes")),
+          endpointParams = kv(o.get("endpoint_params")),
+          grantType = str(o, "grant_type"),
+          clientCertificateKey = str(o, "client_certificate_key"),
+          clientCertificateKeyFile = resolved("client_certificate_key_file"),
+          clientCertificateKeyId = str(o, "client_certificate_key_id"),
+          signatureAlgorithm = str(o, "signature_algorithm"),
+          iss = str(o, "iss"),
+          audience = str(o, "audience"),
+          claims = kv(o.get("claims"))))
+      case _ => None
+    }
+
+  /** sigv4 block → [[SigV4Cfg]]; `sigv4: {}` (the documented "use the
+    * default AWS credential chain" shape) yields the all-defaults config */
+  private def sigv4Of(m: YMap): Option[SigV4Cfg] =
+    m.get("sigv4") match {
+      case Some(s4: YMap) => Some(SigV4Cfg(
+        region = str(s4, "region"),
+        accessKey = str(s4, "access_key"),
+        secretKey = str(s4, "secret_key"),
+        profile = str(s4, "profile"),
+        roleArn = str(s4, "role_arn"),
+        externalId = str(s4, "external_id"),
+        useFipsStsEndpoint = s4.str("use_fips_sts_endpoint").contains("true")))
+      case Some(YScalar(s)) if s.trim.isEmpty => Some(SigV4Cfg())
+      case _ => None
+    }
+
+  /** queue_config block → [[QueueCfg]] with the reference's defaults */
+  private def queueOf(m: YMap): QueueCfg = m.get("queue_config") match {
+    case Some(q: YMap) => QueueCfg(
+      capacity = q.str("capacity").map(_.trim.toInt).getOrElse(10000),
+      maxShards = q.str("max_shards").map(_.trim.toInt).getOrElse(50),
+      minShards = q.str("min_shards").map(_.trim.toInt).getOrElse(1),
+      maxSamplesPerSend =
+        q.str("max_samples_per_send").map(_.trim.toInt).getOrElse(2000),
+      batchSendDeadlineMs =
+        q.str("batch_send_deadline").map(durMs).getOrElse(5000L),
+      minBackoffMs = q.str("min_backoff").map(durMs).getOrElse(30L),
+      maxBackoffMs = q.str("max_backoff").map(durMs).getOrElse(5000L),
+      retryOnHttp429 = q.str("retry_on_http_429").contains("true"),
+      sampleAgeLimitMs = q.str("sample_age_limit").map(durMs).getOrElse(0L))
+    case _ => QueueCfg()
+  }
 
   private def durMs(s: String): Long = graft.promqltest.TestScript.parseTime(s)
 
@@ -788,6 +895,7 @@ object Config {
           case l => l
         },
         fallbackProtocol = str(m, "fallback_scrape_protocol"),
+        oauth2 = oauth2Of(m, base),
         alwaysClassicHist =
           m.str("always_scrape_classic_histograms").contains("true"),
         enableCompression = !m.str("enable_compression").contains("false"),
@@ -816,11 +924,22 @@ object Config {
         if (str(m, "protobuf_message") == "io.prometheus.write.v2.Request") 2
         else 1,
         relabelChain(m.get("write_relabel_configs")),
-        azureAdOf(m))
+        azureAdOf(m),
+        sigv4Of(m),
+        oauth2Of(m, base),
+        m.get("google_iam") match {
+          case Some(g: YMap) =>
+            Some(graft.web.GoogleIam.Config({
+              val f = str(g, "credentials_file")
+              if (f.nonEmpty) base.resolve(f).toString else ""
+            }))
+          case _ => None
+        },
+        queueOf(m))
     }.filter(_.url.nonEmpty)
     val remoteReads = root.list("remote_read").collect { case m: YMap =>
       RemoteReadEntry(str(m, "url"), str(m, "name"),
-        authHeaderOf(m, base), kv(m.get("headers")))
+        authHeaderOf(m, base), kv(m.get("headers")), oauth2Of(m, base))
     }.filter(_.url.nonEmpty)
     // alerting: — per-group service discovery via the scrape-job machinery
     // plus alert relabeling (ref: config/config.go:1274 AlertingConfig

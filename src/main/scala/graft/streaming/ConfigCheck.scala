@@ -54,6 +54,29 @@ object ConfigCheck {
     "proxy_from_environment", "proxy_connect_header", "follow_redirects",
     "enable_http2", "http_headers")
 
+  // ref: common HTTPClientConfig OAuth2 yaml tags (configuration.md:3034)
+  private val oauth2Fields = Set(
+    "client_id", "client_secret", "client_secret_file", "grant_type",
+    "client_certificate_key", "client_certificate_key_file",
+    "client_certificate_key_id", "signature_algorithm", "iss", "audience",
+    "claims", "scopes", "token_url", "endpoint_params", "tls_config",
+    "proxy_url", "no_proxy", "proxy_from_environment", "proxy_connect_header")
+
+  /** oauth2 YAML block → the validation-relevant [[graft.web.OAuth2.Config]]
+    * subset (file paths stay unresolved — only presence matters here) */
+  private def oauth2Shape(o: YMap): graft.web.OAuth2.Config = {
+    def s(k: String): String = o.str(k).filter(_.nonEmpty).getOrElse("")
+    graft.web.OAuth2.Config(
+      clientId = s("client_id"),
+      tokenUrl = s("token_url"),
+      clientSecret = s("client_secret"),
+      clientSecretFile = s("client_secret_file"),
+      grantType = s("grant_type"),
+      clientCertificateKey = s("client_certificate_key"),
+      clientCertificateKeyFile = s("client_certificate_key_file"),
+      signatureAlgorithm = s("signature_algorithm"))
+  }
+
   private def unknownKeys(m: YMap, known: Set[String],
       where: String, alsoOk: String => Boolean = _ => false): Seq[String] =
     m.keys.filterNot(k => known(k) || alsoOk(k))
@@ -175,9 +198,29 @@ object ConfigCheck {
       // config time would surface as per-batch send failures instead of a
       // load error (java.net.http restricted header set)
       "expect", "upgrade", "trailer", "transfer-encoding", "te")
+    // strict per-entry field sets (ref: config.go:1482 RemoteWriteConfig /
+    // :1679 RemoteReadConfig yaml tags + the inlined HTTPClientConfig —
+    // yaml.UnmarshalStrict makes a typo'd field a load error upstream)
+    val httpClientFields = Set(
+      "basic_auth", "authorization", "oauth2", "bearer_token",
+      "bearer_token_file", "tls_config", "proxy_url", "no_proxy",
+      "proxy_from_environment", "proxy_connect_header", "follow_redirects",
+      "enable_http2", "http_headers")
+    val remoteWriteFields = Set(
+      "url", "remote_timeout", "headers", "write_relabel_configs", "name",
+      "send_exemplars", "send_native_histograms", "round_robin_dns",
+      "protobuf_message", "failed_request_logging", "queue_config",
+      "metadata_config", "sigv4", "azuread", "google_iam") ++ httpClientFields
+    val remoteReadFields = Set(
+      "url", "remote_timeout", "chunked_read_limit", "headers",
+      "read_recent", "name", "required_matchers",
+      "filter_external_labels") ++ httpClientFields
     Seq("remote_write", "remote_read").foreach { section =>
       root.list(section).foreach {
         case m: YMap =>
+          errs ++= unknownKeys(m,
+            if (section == "remote_write") remoteWriteFields else remoteReadFields,
+            s"$path $section")
           if (m.str("url").forall(_.isEmpty))
             errs += s"$path: $section: url is required"
           m.get("headers") match {
@@ -185,6 +228,87 @@ object ConfigCheck {
               if (reservedHeaders(k.toLowerCase))
                 errs += s"$path: $section: $k is a reserved header. It must not be changed"
             }
+            case _ => ()
+          }
+          // at-most-one auth shape per entry across ALL six shapes (ref
+          // config.go:1559 validateAuthConfigs — upstream errors whenever
+          // two are present, whatever the pair)
+          val authShapes = Seq(
+            "basic_auth" -> m.get("basic_auth").isDefined,
+            "authorization" -> (m.get("authorization").isDefined ||
+              m.str("bearer_token").exists(_.nonEmpty) ||
+              m.str("bearer_token_file").exists(_.nonEmpty)),
+            "oauth2" -> m.get("oauth2").isDefined,
+            "sigv4" -> m.get("sigv4").isDefined,
+            "azuread" -> m.get("azuread").isDefined,
+            "google_iam" -> m.get("google_iam").isDefined).collect {
+              case (n, true) => n }
+          if (authShapes.size > 1)
+            errs += s"$path: $section: at most one of basic_auth, " +
+              "authorization, oauth2, sigv4, azuread or google_iam must be " +
+              s"configured. Currently configured: [${authShapes.mkString(", ")}]"
+          // oauth2: full shape validation (ref: common HTTPClientConfig
+          // OAuth2 Validate — also applied to scrape jobs below)
+          m.get("oauth2") match {
+            case Some(o: YMap) =>
+              errs ++= unknownKeys(o, oauth2Fields, s"$path $section oauth2")
+              graft.web.OAuth2.validate(oauth2Shape(o)).foreach(e =>
+                errs += s"$path: $section: $e")
+            case _ => ()
+          }
+          // sigv4: key-pair completeness + external_id scoping (ref: the
+          // prometheus/sigv4 library's Validate; configuration.md:3715)
+          m.get("sigv4") match {
+            case Some(s4: YMap) =>
+              errs ++= unknownKeys(s4, Set("region", "access_key",
+                "secret_key", "profile", "role_arn", "external_id",
+                "use_fips_sts_endpoint"), s"$path $section sigv4")
+              val ak = s4.str("access_key").exists(_.nonEmpty)
+              val sk = s4.str("secret_key").exists(_.nonEmpty)
+              if (ak != sk)
+                errs += s"$path: $section: must provide a AWS SigV4 Access " +
+                  "key and Secret Key if credentials are specified in the SigV4 config"
+              if (s4.str("external_id").exists(_.nonEmpty) &&
+                  s4.str("role_arn").forall(_.isEmpty))
+                errs += s"$path: $section: sigv4 external_id can only be " +
+                  "used with role_arn"
+            case _ => ()
+          }
+          if (section == "remote_write") m.get("google_iam") match {
+            case Some(g: YMap) =>
+              errs ++= unknownKeys(g, Set("credentials_file"),
+                s"$path $section google_iam")
+            case _ => ()
+          }
+          // queue_config value validation (ref config.go:1639
+          // QueueConfig.Validate)
+          if (section == "remote_write") m.get("queue_config") match {
+            case Some(q: YMap) =>
+              errs ++= unknownKeys(q, Set("capacity", "max_shards",
+                "min_shards", "max_samples_per_send", "batch_send_deadline",
+                "min_backoff", "max_backoff", "retry_on_http_429",
+                "sample_age_limit"), s"$path $section queue_config")
+              def num(k: String, dflt: Long): Long =
+                q.str(k).flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+                  .getOrElse(dflt)
+              val maxShards = num("max_shards", 50)
+              val minShards = num("min_shards", 1)
+              if (maxShards <= 0)
+                errs += s"$path: $section: remote write queue max_shards must be positive"
+              if (minShards <= 0)
+                errs += s"$path: $section: remote write queue min_shards must be positive"
+              if (minShards > maxShards && maxShards > 0)
+                errs += s"$path: $section: remote write queue min_shards must not be greater than max_shards"
+              if (num("max_samples_per_send", 2000) <= 0)
+                errs += s"$path: $section: remote write queue max_samples_per_send must be positive"
+              if (num("capacity", 10000) <= 0)
+                errs += s"$path: $section: remote write queue capacity must be positive"
+              def dur(k: String, dflt: Long): Long =
+                q.str(k).flatMap(v =>
+                  scala.util.Try(graft.promqltest.TestScript.parseTime(v)).toOption)
+                  .getOrElse(dflt)
+              if (dur("max_backoff", 5000L) < dur("min_backoff", 30L))
+                errs += s"$path: $section: remote write queue max_backoff must not be less than min_backoff"
             case _ => ()
           }
           // azuread: full shape validation (ref azuread.go Validate) +
@@ -213,21 +337,10 @@ object ConfigCheck {
                     s(c, "tenant_id"), s(c, "certificate_path"))))
               graft.web.AzureAd.validate(cfg).foreach(e =>
                 errs += s"$path: $section: $e")
-              // the sdk credential chain needs the Azure SDK's environment
-              // probing — valid upstream, not runnable here; reject at load
-              // instead of throwing on every send (see AzureAd scaladoc)
-              if (cfg.sdk.isDefined && cfg.managedIdentity.isEmpty &&
-                  cfg.workloadIdentity.isEmpty && cfg.oauth.isEmpty &&
-                  cfg.certificate.isEmpty)
-                errs += s"$path: $section: azuread sdk authentication is " +
-                  "not supported by this engine — use oauth, certificate, " +
-                  "managed_identity or workload_identity"
-              if (m.get("basic_auth").isDefined || m.get("authorization").isDefined ||
-                  m.str("bearer_token").exists(_.nonEmpty) ||
-                  m.str("bearer_token_file").exists(_.nonEmpty) ||
-                  m.get("oauth2").isDefined || m.get("sigv4").isDefined)
-                errs += s"$path: $section: at most one of basic_auth, " +
-                  "authorization, oauth2, sigv4, azuread & google_iam must be configured"
+              // `sdk` runs as the DefaultAzureCredential chain subset (env
+              // secret/cert → workload identity → IMDS, see AzureAd) —
+              // accepted here like upstream; mutual exclusion with the
+              // other auth shapes is the section-wide at-most-one check
             case _ => ()
           }
         case _ => ()
@@ -551,6 +664,22 @@ object ConfigCheck {
           alsoOk = _.endsWith("_sd_configs"))
         val jobName = sc.str("job_name").getOrElse("<no job_name>")
         checkSdConfigs(sc, jobName)
+        // oauth2 shape + mutual exclusion with the fixed-header auth shapes
+        // (ref: common HTTPClientConfig Validate — "at most one of
+        // basic_auth, oauth2, bearer_token & bearer_token_file")
+        sc.get("oauth2") match {
+          case Some(o: YMap) =>
+            errs ++= unknownKeys(o, oauth2Fields, s"""$path job "$jobName" oauth2""")
+            graft.web.OAuth2.validate(oauth2Shape(o)).foreach(e =>
+              errs += s"""$path: job "$jobName": $e""")
+            if (sc.get("basic_auth").isDefined || sc.get("authorization").isDefined ||
+                sc.str("bearer_token").exists(_.nonEmpty) ||
+                sc.str("bearer_token_file").exists(_.nonEmpty))
+              errs += s"""$path: job "$jobName": at most one of basic_auth, """ +
+                "authorization, oauth2, bearer_token & bearer_token_file " +
+                "must be configured"
+          case _ => ()
+        }
         // scrape_protocols / fallback values must be known (ref:
         // config.go ScrapeProtocol.Validate)
         val known = ScrapeManager.protocolHeaders.keySet

@@ -31,17 +31,21 @@ object Ec2Sd {
 
   // ------------------------------------------------------------- signature
 
-  /** AWS Signature V4 for the EC2 query API (published signing process:
-    * canonical request → string-to-sign → HMAC key chain). */
-  private[streaming] object SigV4 {
+  /** AWS Signature V4 for the EC2 query API and for remote-write sinks
+    * like Amazon Managed Prometheus, service "aps" (published signing
+    * process: canonical request → string-to-sign → HMAC key chain). */
+  private[graft] object SigV4 {
     private def hmac(key: Array[Byte], data: String): Array[Byte] = {
       val mac = javax.crypto.Mac.getInstance("HmacSHA256")
       mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
       mac.doFinal(data.getBytes("UTF-8"))
     }
-    private def sha256Hex(s: String): String =
+    private def sha256Hex(s: String): String = sha256Hex(s.getBytes("UTF-8"))
+    /** payload hash for [[headersForPayload]] callers */
+    def payloadHash(b: Array[Byte]): String = sha256Hex(b)
+    private def sha256Hex(b: Array[Byte]): String =
       java.security.MessageDigest.getInstance("SHA-256")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .digest(b).map("%02x".format(_)).mkString
 
     /** [[AwsSd.Creds]] form: a temporary-credential session token joins the
       * signed set as x-amz-security-token (the SigV4 rule for STS creds) */
@@ -84,7 +88,17 @@ object Ec2Sd {
         service: String, host: String, method: String, path: String,
         query: String, body: String, nowUtc: java.time.Instant,
         contentType: String = "application/x-www-form-urlencoded; charset=utf-8",
-        extraSigned: Map[String, String] = Map.empty): Map[String, String] = {
+        extraSigned: Map[String, String] = Map.empty): Map[String, String] =
+      headersForPayload(accessKey, secretKey, region, service, host, method,
+        path, query, sha256Hex(body), nowUtc, contentType, extraSigned)
+
+    /** binary-body form (remote-write ships snappy-compressed protobuf):
+      * the caller supplies the payload's sha256 hex directly */
+    def headersForPayload(accessKey: String, secretKey: String, region: String,
+        service: String, host: String, method: String, path: String,
+        query: String, payloadSha256Hex: String, nowUtc: java.time.Instant,
+        contentType: String,
+        extraSigned: Map[String, String]): Map[String, String] = {
       val amzDate = java.time.format.DateTimeFormatter
         .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
         .format(nowUtc)
@@ -98,7 +112,7 @@ object Ec2Sd {
       val signedNames = signedHdrs.map(_._1).mkString(";")
       val canonical = (Seq(method, path, query) ++
         signedHdrs.map { case (k, v) => s"$k:$v" } ++
-        Seq("", signedNames, sha256Hex(body))).mkString("\n")
+        Seq("", signedNames, payloadSha256Hex)).mkString("\n")
       val scope = s"$date/$region/$service/aws4_request"
       val toSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
         sha256Hex(canonical)).mkString("\n")

@@ -34,6 +34,10 @@ final class ScrapeManager(
     // Authorization header value
     timeoutMs: Long = 10000L,
     authHeader: Option[String] = None,
+    // refreshing Authorization source (oauth2 token provider): evaluated
+    // per request against its own expiry cache; wins over authHeader
+    // (the checker enforces mutual exclusion at config load)
+    authProvider: Option[() => String] = None,
     // negotiation order (ref: ScrapeConfig.ScrapeProtocols; empty = the
     // reference's DefaultScrapeProtocols) and the parser used when the
     // response carries no recognizable Content-Type
@@ -215,7 +219,9 @@ final class ScrapeManager(
         graft.web.Json.goFloat(timeoutMs / 1000.0))
     // ref: scrape.go acceptEncodingHeader — gzip unless enable_compression=false
     val b = if (enableCompression) b0.header("Accept-Encoding", "gzip") else b0
-    if (withAuth) authHeader.fold(b)(v => b.header("Authorization", v)) else b
+    if (withAuth) authProvider.map(_()).orElse(authHeader)
+      .fold(b)(v => b.header("Authorization", v))
+    else b
   }
 
   /** Send with manual redirect following (follow_redirects semantics): at

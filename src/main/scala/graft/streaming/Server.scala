@@ -151,17 +151,57 @@ final class PromServer(
         queryLogPath = newLog
       }
       forwarders = cfg.remoteWrites.map { e =>
-        // azuread builds a refreshing token provider; fixed-header auth
-        // otherwise (the checker rejects configs carrying both)
+        // dynamic auth: azuread / oauth2 / google_iam each build ONE
+        // refreshing token provider per entry; fixed-header auth otherwise
+        // (the checker enforces at-most-one auth shape per entry)
         val azProvider = e.azureAd.map(new graft.web.AzureAd.TokenProvider(_))
+        val oaProvider = e.oauth2.map(new graft.web.OAuth2.TokenProvider(_))
+        val giProvider = e.googleIam.map(new graft.web.GoogleIam.TokenProvider(_))
+        val dynAuth: Option[() => String] =
+          azProvider.map[() => String](tp => () => "Bearer " + tp.token())
+            .orElse(oaProvider.map(tp => () => tp.header()))
+            .orElse(giProvider.map(tp => () => tp.header()))
+        // sigv4: the driver resolves the credential chain (static keys →
+        // shared-config profile → env, wrapped in STS AssumeRole when
+        // role_arn is set — the same chain the AWS SD family runs, ref
+        // storage/remote/client.go:199) once per forward() call; executors
+        // sign each batch body. Region resolves config → AWS_REGION /
+        // AWS_DEFAULT_REGION here, failing the reload with a clear error
+        // like the reference's NewSigV4RoundTripper.
+        val signerProvider = e.sigv4.map { s4 =>
+          val region = AwsSd.resolveRegion(s4.region)
+          val baseCreds = new AwsSd.StaticCreds(s4.accessKey, s4.secretKey, s4.profile)
+          val cp: AwsSd.CredsProvider =
+            if (s4.roleArn.isEmpty) baseCreds
+            else new AwsSd.AssumeRoleCreds(
+              new AwsSd.HttpStsApi(region, baseCreds,
+                endpoint =
+                  if (s4.useFipsStsEndpoint) s"https://sts-fips.$region.amazonaws.com"
+                  else ""),
+              s4.roleArn, s4.externalId)
+          val uri = java.net.URI.create(e.url)
+          () => graft.web.RemoteWriteForwarder.SigV4Signer(
+            cp.creds(), region, uri.getAuthority, uri.getRawPath)
+        }
         (e.writeRelabel,
-         new graft.web.RemoteWriteForwarder(e.url, protoVersion = e.protoVersion,
+         new graft.web.RemoteWriteForwarder(e.url,
+           maxBatch = e.queue.maxSamplesPerSend,
+           backoffMs = e.queue.minBackoffMs,
+           protoVersion = e.protoVersion,
            authHeader = e.authHeader, headers = e.headers,
-           authProvider = azProvider.map(tp => () => "Bearer " + tp.token())))
+           authProvider = dynAuth,
+           signerProvider = signerProvider,
+           maxBackoffMs = e.queue.maxBackoffMs,
+           retryOn429 = e.queue.retryOnHttp429,
+           sampleAgeLimitMs = e.queue.sampleAgeLimitMs,
+           maxShards = e.queue.maxShards))
       }
-      remoteReadClients = cfg.remoteReads.map(e =>
+      remoteReadClients = cfg.remoteReads.map { e =>
+        val oaProvider = e.oauth2.map(new graft.web.OAuth2.TokenProvider(_))
         new graft.web.RemoteReadClient(e.url,
-          authHeader = e.authHeader, headers = e.headers))
+          authHeader = e.authHeader, headers = e.headers,
+          authProvider = oaProvider.map(tp => () => tp.header()))
+      }
       // ONE scrape pool per job (ref: scrape/manager.go ApplyConfig — a
       // scrapePool per ScrapeConfig): each pool runs its own interval,
       // relabel_configs (applied to discovered targets, possibly dropping
@@ -183,6 +223,10 @@ final class PromServer(
           intervalMs = if (job.intervalMs > 0) job.intervalMs else cfg.scrapeIntervalMs,
           metricRelabel = job.metricRelabel, nowMs = nowMs, limits = job.limits,
           timeoutMs = job.timeoutMs, authHeader = job.authHeader,
+          // oauth2: one refreshing token provider per pool (fetch once,
+          // cached across scrapes, refreshed inside the expiry window)
+          authProvider = job.oauth2.map(new graft.web.OAuth2.TokenProvider(_))
+            .map(tp => () => tp.header()),
           honorTimestamps = job.honorTimestamps,
           scrapeProtocols = job.scrapeProtocols,
           fallbackProtocol = job.fallbackProtocol,

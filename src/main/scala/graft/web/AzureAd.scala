@@ -18,9 +18,12 @@ package graft.web
   *    Metadata:true (endpoint injectable — 169.254.169.254 in production).
   *  - `workload_identity`: the projected service-account token file
   *    exchanged as a federated client assertion at the tenant endpoint.
-  *  - `sdk`: the Azure SDK's DefaultAzureCredential chain — config-validated
-  *    but NOT runnable here (it needs the SDK's environment probing);
-  *    building its provider raises a clear unsupported error.
+  *  - `sdk`: the Azure SDK's DefaultAzureCredential chain SUBSET —
+  *    environment client-secret → environment client-certificate →
+  *    workload identity → managed identity (IMDS), resolved from the
+  *    AZURE_* variables in azidentity's probe order; the CLI/PowerShell
+  *    hops are not implemented and fall through like an unavailable
+  *    credential.
   *
   * Tokens cache until 5 minutes before expiry (the azcore token-cache
   * contract), one provider per remote_write entry. */
@@ -212,11 +215,13 @@ object AzureAd {
   // -------------------------------------------------------- token provider
 
   /** bearer tokens with an expiry-refreshed cache; `authorityOverride` /
-    * `imdsOverride` point the flows at fake endpoints in tests */
+    * `imdsOverride` point the flows at fake endpoints in tests, `env`
+    * feeds the sdk chain's environment probing */
   final class TokenProvider(cfg: Config,
       authorityOverride: Option[String] = None,
       imdsOverride: Option[String] = None,
-      nowMs: () => Long = () => System.currentTimeMillis()) {
+      nowMs: () => Long = () => System.currentTimeMillis(),
+      env: Map[String, String] = sys.env) {
     private val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
     private var cached: String = null
@@ -254,7 +259,9 @@ object AzureAd {
       resp.body()
     }
 
-    private def fetch(): (String, Long) = {
+    private def fetch(): (String, Long) = fetchFor(cfg)
+
+    private def fetchFor(cfg: Config): (String, Long) = {
       val scope = cfg.effectiveScope
       def tokenUrl(tenant: String) = s"$authority/$tenant/oauth2/v2.0/token"
       if (cfg.oauth.isDefined) {
@@ -277,7 +284,7 @@ object AzureAd {
         val wi = cfg.workloadIdentity.get
         val path =
           if (wi.tokenFilePath.nonEmpty) wi.tokenFilePath
-          else sys.env.getOrElse("AZURE_FEDERATED_TOKEN_FILE",
+          else env.getOrElse("AZURE_FEDERATED_TOKEN_FILE",
             "/var/run/secrets/azure/tokens/azure-identity-token")
         val fedToken = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8").trim
@@ -303,10 +310,39 @@ object AzureAd {
         if (resp.statusCode() != 200)
           throw new IllegalStateException(s"azuread imds: status ${resp.statusCode()}")
         parseToken(resp.body())
-      } else
-        throw new UnsupportedOperationException(
-          "azuread sdk credential chain is not supported by this engine — " +
-          "use oauth, certificate, managed_identity or workload_identity")
+      } else {
+        // `sdk`: the DefaultAzureCredential chain SUBSET this engine runs
+        // (ref azuread.go → azidentity.NewDefaultAzureCredential's probe
+        // order): environment client-secret, then environment client
+        // certificate, then workload identity, then managed identity
+        // (IMDS) as the last resort. The azidentity shapes not implemented
+        // here (username/password env, Azure CLI/PowerShell/Developer CLI
+        // hops) fall through to the next credential, like the SDK when a
+        // hop is unavailable. config tenant_id wins over AZURE_TENANT_ID.
+        val sd = cfg.sdk.getOrElse(Sdk())
+        val tenant =
+          if (sd.tenantId.nonEmpty) sd.tenantId
+          else env.getOrElse("AZURE_TENANT_ID", "")
+        val cid = env.getOrElse("AZURE_CLIENT_ID", "")
+        val secret = env.getOrElse("AZURE_CLIENT_SECRET", "")
+        val certPath = env.getOrElse("AZURE_CLIENT_CERTIFICATE_PATH", "")
+        val fedFile = env.getOrElse("AZURE_FEDERATED_TOKEN_FILE", "")
+        val delegate =
+          if (tenant.nonEmpty && cid.nonEmpty && secret.nonEmpty)
+            cfg.copy(sdk = None, oauth = Some(OAuth(cid, secret, tenant)))
+          else if (tenant.nonEmpty && cid.nonEmpty && certPath.nonEmpty)
+            cfg.copy(sdk = None, certificate = Some(Certificate(
+              cid, tenant, certPath,
+              certificatePassword =
+                env.getOrElse("AZURE_CLIENT_CERTIFICATE_PASSWORD", ""))))
+          else if (tenant.nonEmpty && cid.nonEmpty && fedFile.nonEmpty)
+            cfg.copy(sdk = None,
+              workloadIdentity = Some(WorkloadIdentity(cid, tenant, fedFile)))
+          else
+            cfg.copy(sdk = None,
+              managedIdentity = Some(ManagedIdentity(cid)))
+        fetchFor(delegate)
+      }
     }
 
     /** cached bearer token; refreshed inside the 5-minute expiry window */

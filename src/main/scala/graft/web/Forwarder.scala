@@ -13,11 +13,48 @@ import org.apache.spark.sql.functions._
   * hash upstream gives per-shard series affinity exactly like the
   * reference's shard assignment; at 100 TB the edge scales with executors,
   * not with the driver. Float samples only (encodeV1 carries no histogram
-  * payload) — histogram rows are filtered out. */
+  * payload) — histogram rows are filtered out.
+  *
+  * queue_config mapping (ref config.go:1612 QueueConfig):
+  * `max_samples_per_send` → maxBatch; `min_backoff`/`max_backoff` → the
+  * retry backoff ramp; `retry_on_http_429` → whether 429 is recoverable
+  * (ref client.go:322 — default NOT retried, like the reference);
+  * `sample_age_limit` → a predicate dropping too-old rows before send
+  * (ref queue_manager.go isSampleOld filtering); `max_shards` → a cap on
+  * send partitions (shards ↔ partitions here). `capacity`, `min_shards`
+  * and `batch_send_deadline` are queue-manager pacing knobs with no
+  * foreachBatch analog — parsed and validated, intentionally inert. */
 /** retryable HTTP status (5xx or 429); `retryAfterMs` carries the server's
   * Retry-After hint (capped at 10 s so a hostile header can't wedge a task) */
 private final class RetryableStatus(status: Int, val retryAfterMs: Long)
   extends RuntimeException(s"HTTP $status")
+
+object RemoteWriteForwarder {
+  /** per-request signer evaluated on EXECUTORS (the signature covers the
+    * per-batch body and a fresh timestamp, so it cannot be a fixed header) */
+  trait Signer extends Serializable {
+    def headers(body: Array[Byte], contentType: String): Map[String, String]
+  }
+
+  /** AWS SigV4 for Amazon Managed Prometheus sinks, service "aps" (ref:
+    * storage/remote/client.go:199 NewSigV4RoundTripper). Credentials are a
+    * RESOLVED triple — the driver runs the static/profile/STS-AssumeRole
+    * chain once per forward() call (tokens outlive a batch by construction,
+    * same contract as the azuread provider) and executors only sign. */
+  final case class SigV4Signer(creds: graft.streaming.AwsSd.Creds,
+      region: String, host: String, path: String,
+      service: String = "aps") extends Signer {
+    override def headers(body: Array[Byte], contentType: String): Map[String, String] = {
+      import graft.streaming.Ec2Sd.SigV4
+      val extra =
+        if (creds.sessionToken.isEmpty) Map.empty[String, String]
+        else Map("X-Amz-Security-Token" -> creds.sessionToken)
+      SigV4.headersForPayload(creds.accessKey, creds.secretKey, region,
+        service, host, "POST", if (path.isEmpty) "/" else path, "",
+        SigV4.payloadHash(body), java.time.Instant.now(), contentType, extra)
+    }
+  }
+}
 
 final class RemoteWriteForwarder(
     endpoint: String,
@@ -32,11 +69,21 @@ final class RemoteWriteForwarder(
     // ConfigCheck — and this ordering is the runtime backstop)
     authHeader: Option[String] = None,
     headers: Map[String, String] = Map.empty,
-    // dynamic auth (azuread bearer tokens): evaluated ONCE per forward()
-    // call on the driver — tokens outlive a batch by construction (the
-    // provider refreshes inside its 5-minute expiry window), so executors
-    // see a plain string and never need the provider
-    authProvider: Option[() => String] = None) extends Serializable {
+    // dynamic auth (azuread/oauth2/google_iam bearer tokens): evaluated
+    // ONCE per forward() call on the driver — tokens outlive a batch by
+    // construction (providers refresh inside their 5-minute expiry
+    // window), so executors see a plain string and never need the provider
+    authProvider: Option[() => String] = None,
+    // per-request body signer (sigv4): built ONCE per forward() call on
+    // the driver (resolving the credential chain), applied per batch on
+    // executors. Mutually exclusive with the auth shapes above (checker).
+    signerProvider: Option[() => RemoteWriteForwarder.Signer] = None,
+    // queue_config knobs — see class scaladoc for the mapping
+    maxBackoffMs: Long = 5000L,
+    retryOn429: Boolean = false,
+    sampleAgeLimitMs: Long = 0L,
+    maxShards: Int = 0,
+    nowMs: () => Long = () => System.currentTimeMillis()) extends Serializable {
 
   /** forward samples; v2 endpoints also carry NATIVE HISTOGRAMS (PRW 1.0
     * send stays float-only — encodeV1 has no histogram payload). Returns
@@ -44,17 +91,33 @@ final class RemoteWriteForwarder(
   def forward(samples: DataFrame): Long = {
     val url = endpoint
     val mb = maxBatch; val mr = maxRetries; val bo = backoffMs
+    val maxBo = math.max(maxBackoffMs, backoffMs)
+    val retry429 = retryOn429
     val v2 = protoVersion >= 2
     val auth = authProvider.map(p => p()).orElse(authHeader)
+    val signer = signerProvider.map(p => p())
     val extraHeaders = headers
     val shipped = samples.sparkSession.sparkContext.longAccumulator("rw_forwarded")
-    val base = samples.filter(!col("stale"))
-    val projected =
+    val base0 = samples.filter(!col("stale"))
+    // sample_age_limit: rows older than the limit are dropped before the
+    // send, never retried into a dead sink (ref queue_manager.go
+    // sample_age_limit filtering, #13002)
+    val base =
+      if (sampleAgeLimitMs > 0) base0.filter(col("t") >= lit(nowMs() - sampleAgeLimitMs))
+      else base0
+    val projected0 =
       if (v2 && samples.columns.contains("h"))
         base.select(col("labels"), col("t"), col("v"), col("h"))
       else
         base.filter(if (samples.columns.contains("h")) col("h").isNull else lit(true))
           .select(col("labels"), col("t"), col("v"), lit(null).cast("string").as("h"))
+    // max_shards: shards ↔ partitions — coalesce (no shuffle) caps the
+    // concurrent senders hammering one endpoint exactly like the
+    // reference's shard ceiling
+    val projected =
+      if (maxShards > 0 && projected0.rdd.getNumPartitions > maxShards)
+        projected0.coalesce(maxShards)
+      else projected0
     projected
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val client = java.net.http.HttpClient.newHttpClient()
@@ -62,6 +125,9 @@ final class RemoteWriteForwarder(
           if (batch.isEmpty) return
           val body =
             if (v2) RemoteWrite.encodeV2(batch) else RemoteWrite.encodeV1(batch)
+          val contentType =
+            if (v2) "application/x-protobuf;proto=io.prometheus.write.v2.Request"
+            else "application/x-protobuf"
           var attempt = 0
           var done = false
           while (!done && attempt <= mr) {
@@ -71,21 +137,27 @@ final class RemoteWriteForwarder(
               // protocol values overwrite via setHeader)
               extraHeaders.foreach { case (k, vv) => rb.header(k, vv) }
               auth.foreach(a => rb.setHeader("Authorization", a))
+              // sigv4: signature over THIS body at THIS instant (host and
+              // content-type join the signed set; the JDK fills Host
+              // itself and refuses an explicit one)
+              signer.foreach(s => s.headers(body, contentType).foreach {
+                case (k, v) if k.equalsIgnoreCase("host") => ()
+                case (k, v) => rb.setHeader(k, v)
+              })
               val resp = client.send(
                 rb.setHeader("Content-Encoding", "snappy")
-                  .setHeader("Content-Type",
-                    if (v2) "application/x-protobuf;proto=io.prometheus.write.v2.Request"
-                    else "application/x-protobuf")
+                  .setHeader("Content-Type", contentType)
                   .setHeader("X-Prometheus-Remote-Write-Version", if (v2) "2.0.0" else "0.1.0")
                   .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
                   .build(),
                 java.net.http.HttpResponse.BodyHandlers.discarding())
-              // 2xx done; 4xx-other unrecoverable (drop, like the
-              // reference); 5xx AND 429 retry with backoff — a rate-limited
-              // endpoint must not lose data (ref: storage/remote/client.go
-              // Store treats 429 as recoverable and honors Retry-After)
+              // 2xx done; 4xx unrecoverable (drop, like the reference) —
+              // EXCEPT 429 when retry_on_http_429 is set, honoring
+              // Retry-After (ref: storage/remote/client.go:322 — 5xx always
+              // recoverable, 429 only when configured)
               val sc = resp.statusCode()
-              if (sc / 100 == 2 || (sc / 100 == 4 && sc != 429)) done = true
+              if (sc / 100 == 2 || (sc / 100 == 4 && !(sc == 429 && retry429)))
+                done = true
               else {
                 val retryAfterMs = resp.headers().firstValue("Retry-After")
                   .map[Long](v => try math.min(v.trim.toLong, 10L) * 1000L
@@ -102,7 +174,9 @@ final class RemoteWriteForwarder(
                   case rs: RetryableStatus => rs.retryAfterMs
                   case _ => 0L
                 }
-                Thread.sleep(math.max(bo * attempt, hinted))
+                // min_backoff · attempt, capped at max_backoff (the
+                // reference ramps exponentially toward the same cap)
+                Thread.sleep(math.max(math.min(bo * attempt, maxBo), hinted))
             }
           }
           shipped.add(batch.size.toLong)

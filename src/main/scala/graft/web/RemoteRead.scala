@@ -388,7 +388,10 @@ final class RemoteReadClient(endpoint: String,
     // remote_read config auth/headers (same contract as the forwarder:
     // protocol headers always win over a same-named custom header)
     authHeader: Option[String] = None,
-    headers: Map[String, String] = Map.empty) {
+    headers: Map[String, String] = Map.empty,
+    // refreshing Authorization source (oauth2); wins over authHeader —
+    // the checker enforces at-most-one auth shape per entry
+    authProvider: Option[() => String] = None) {
 
   def read(q: RemoteRead.Query): Seq[RemoteRead.Series] = read(q, streamed = false)
 
@@ -401,7 +404,8 @@ final class RemoteReadClient(endpoint: String,
       else Nil
     val rb = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
     headers.foreach { case (k, v) => rb.header(k, v) }
-    authHeader.foreach(a => rb.setHeader("Authorization", a))
+    authProvider.map(_()).orElse(authHeader)
+      .foreach(a => rb.setHeader("Authorization", a))
     val req = rb
       .setHeader("Content-Type", "application/x-protobuf")
       .setHeader("Content-Encoding", "snappy")

@@ -120,6 +120,145 @@ class ConfigCheckSpec extends AnyFunSuite {
     assert(dup.exitCode == 3 &&
       dup.lintIssues.exists(_.contains("HighRequestLatency")), dup.toString)
   }
+
+  test("remote_write/remote_read: strict fields, auth shapes, queue_config") {
+    val dir = java.nio.file.Files.createTempDirectory("cfgrw")
+    def check(body: String): ConfigCheck.Result = {
+      val f = java.nio.file.Files.createTempFile(dir, "cfg", ".yml")
+      java.nio.file.Files.write(f, body.getBytes("UTF-8"))
+      ConfigCheck.checkConfig(f.toString)
+    }
+    // typo'd field inside an entry is an ERROR, like the reference's
+    // strict unmarshal (r13 What's-wrong #2)
+    val e1 = check(
+      """remote_write:
+        |  - url: http://x/w
+        |    protobuf_messag: io.prometheus.write.v2.Request
+        |""".stripMargin)
+    assert(e1.exitCode == 1 && e1.errors.exists(_.contains("protobuf_messag")), e1.toString)
+    val e2 = check(
+      """remote_read:
+        |  - url: http://x/r
+        |    queue_config:
+        |      capacity: 10
+        |""".stripMargin)
+    assert(e2.exitCode == 1 && e2.errors.exists(_.contains("queue_config")), e2.toString)
+    // full sigv4 + queue_config entry validates green
+    val ok = check(
+      """remote_write:
+        |  - url: http://x/w
+        |    sigv4:
+        |      region: us-east-1
+        |      access_key: akid
+        |      secret_key: sek
+        |      role_arn: arn:aws:iam::1:role/rw
+        |      external_id: eid
+        |      use_fips_sts_endpoint: true
+        |    queue_config:
+        |      capacity: 20000
+        |      max_shards: 10
+        |      max_samples_per_send: 500
+        |      retry_on_http_429: true
+        |      sample_age_limit: 5m
+        |""".stripMargin)
+    assert(ok.exitCode == 0, ok.toString)
+    // `sigv4: {}` = the documented default-credential-chain shape
+    assert(check("remote_write:\n  - url: http://x/w\n    sigv4: {}\n").exitCode == 0)
+    // key-pair completeness + external_id scoping (prometheus/sigv4 Validate)
+    val e3 = check(
+      "remote_write:\n  - url: http://x/w\n    sigv4:\n      access_key: only\n")
+    assert(e3.errors.exists(_.contains("Access key and Secret Key")), e3.toString)
+    val e4 = check(
+      "remote_write:\n  - url: http://x/w\n    sigv4:\n      external_id: eid\n")
+    assert(e4.errors.exists(_.contains("external_id can only be used with role_arn")), e4.toString)
+    // at-most-one auth shape across ALL six (ref config.go:1559
+    // validateAuthConfigs) — any pair errors, azuread present or not
+    val e5 = check(
+      """remote_write:
+        |  - url: http://x/w
+        |    sigv4: {}
+        |    oauth2:
+        |      client_id: cid
+        |      client_secret: s
+        |      token_url: http://t/token
+        |""".stripMargin)
+    assert(e5.errors.exists(e => e.contains("at most one of basic_auth") &&
+      e.contains("[oauth2, sigv4]")), e5.toString)
+    val e6 = check(
+      """remote_write:
+        |  - url: http://x/w
+        |    google_iam:
+        |      credentials_file: /k.json
+        |    basic_auth:
+        |      username: u
+        |      password: p
+        |""".stripMargin)
+    assert(e6.errors.exists(_.contains("at most one of basic_auth")), e6.toString)
+    // oauth2 shape validation, remote_write and remote_read alike
+    val e7 = check(
+      """remote_read:
+        |  - url: http://x/r
+        |    oauth2:
+        |      client_secret: s
+        |""".stripMargin)
+    assert(e7.errors.exists(_.contains("client_id must be configured")) &&
+      e7.errors.exists(_.contains("token_url must be configured")), e7.toString)
+    val e8 = check(
+      """remote_write:
+        |  - url: http://x/w
+        |    oauth2:
+        |      client_id: cid
+        |      token_url: http://t
+        |      grant_type: implicit
+        |""".stripMargin)
+    assert(e8.errors.exists(_.contains("grant_type \"implicit\" is invalid")), e8.toString)
+    // google_iam: only credentials_file is a known field
+    val e9 = check(
+      """remote_write:
+        |  - url: http://x/w
+        |    google_iam:
+        |      credential_file: typo.json
+        |""".stripMargin)
+    assert(e9.errors.exists(_.contains("credential_file")), e9.toString)
+    // queue_config value validation (ref config.go:1639)
+    val e10 = check(
+      """remote_write:
+        |  - url: http://x/w
+        |    queue_config:
+        |      max_shards: 0
+        |      max_samples_per_send: -5
+        |      min_backoff: 10s
+        |      max_backoff: 1s
+        |""".stripMargin)
+    assert(e10.errors.exists(_.contains("max_shards must be positive")) &&
+      e10.errors.exists(_.contains("max_samples_per_send must be positive")) &&
+      e10.errors.exists(_.contains("max_backoff must not be less than min_backoff")),
+      e10.toString)
+    // scrape jobs: oauth2 validates and excludes the fixed-header shapes
+    val e11 = check(
+      """scrape_configs:
+        |  - job_name: j
+        |    oauth2:
+        |      client_id: cid
+        |      token_url: http://t/token
+        |    basic_auth:
+        |      username: u
+        |""".stripMargin)
+    assert(e11.errors.exists(_.contains("at most one of basic_auth")), e11.toString)
+    val okScrape = check(
+      """scrape_configs:
+        |  - job_name: j
+        |    oauth2:
+        |      client_id: cid
+        |      client_secret: sek
+        |      token_url: http://t/token
+        |      scopes: [read, write]
+        |      endpoint_params:
+        |        audience: https://api
+        |""".stripMargin)
+    assert(okScrape.exitCode == 0, okScrape.toString)
+  }
+
 }
 
 /** `promtool check web-config` analog (ref: exporter-toolkit web.Validate);

@@ -96,6 +96,84 @@ class ConfigSpec extends AnyFunSuite {
     assert(ConfigCheck.checkConfig(ok.getPath).errors.isEmpty)
   }
 
+  test("sigv4 / oauth2 / google_iam / queue_config parse into the entries") {
+    val cfg = Config.parse(
+      """scrape_configs:
+        |  - job_name: j
+        |    oauth2:
+        |      client_id: scrape-cid
+        |      client_secret: ssec
+        |      token_url: http://t/token
+        |      scopes: [read]
+        |remote_write:
+        |  - url: http://amp.example/write
+        |    sigv4:
+        |      region: us-west-2
+        |      access_key: akid
+        |      secret_key: sek
+        |      role_arn: arn:aws:iam::1:role/rw
+        |      external_id: eid
+        |      profile: prod
+        |      use_fips_sts_endpoint: true
+        |    queue_config:
+        |      capacity: 20000
+        |      max_shards: 10
+        |      min_shards: 2
+        |      max_samples_per_send: 500
+        |      batch_send_deadline: 10s
+        |      min_backoff: 100ms
+        |      max_backoff: 30s
+        |      retry_on_http_429: true
+        |      sample_age_limit: 5m
+        |  - url: http://oauth.example/write
+        |    oauth2:
+        |      client_id: cid
+        |      client_secret: sec
+        |      token_url: http://t/token
+        |      grant_type: urn:ietf:params:oauth:grant-type:jwt-bearer
+        |      client_certificate_key_file: key.pem
+        |      signature_algorithm: RS512
+        |      iss: who
+        |      audience: aud
+        |      claims:
+        |        dept: eng
+        |      endpoint_params:
+        |        resource: r1
+        |  - url: http://gcm.example/write
+        |    google_iam:
+        |      credentials_file: sa.json
+        |remote_read:
+        |  - url: http://rr.example/read
+        |    oauth2:
+        |      client_id: rcid
+        |      client_secret: rs
+        |      token_url: http://t/token
+        |""".stripMargin, "/cfgdir")
+    val s4 = cfg.remoteWrites(0).sigv4.get
+    assert(s4 == Config.SigV4Cfg("us-west-2", "akid", "sek", "prod",
+      "arn:aws:iam::1:role/rw", "eid", useFipsStsEndpoint = true))
+    val q = cfg.remoteWrites(0).queue
+    assert(q == Config.QueueCfg(20000, 10, 2, 500, 10000L, 100L, 30000L,
+      retryOnHttp429 = true, sampleAgeLimitMs = 300000L))
+    // defaults when the block is absent (ref DefaultQueueConfig)
+    assert(cfg.remoteWrites(1).queue == Config.QueueCfg())
+    val oa = cfg.remoteWrites(1).oauth2.get
+    assert(oa.clientId == "cid" && oa.grantType == graft.web.OAuth2.JwtBearerGrant)
+    assert(oa.clientCertificateKeyFile == "/cfgdir/key.pem") // config-dir relative
+    assert(oa.signatureAlgorithm == "RS512" && oa.iss == "who" && oa.audience == "aud")
+    assert(oa.claims == Map("dept" -> "eng") && oa.endpointParams == Map("resource" -> "r1"))
+    assert(cfg.remoteWrites(2).googleIam.get ==
+      graft.web.GoogleIam.Config("/cfgdir/sa.json"))
+    assert(cfg.remoteReads.head.oauth2.get.clientId == "rcid")
+    val so = cfg.scrapeJobs.head.oauth2.get
+    assert(so.clientId == "scrape-cid" && so.scopes == Seq("read") &&
+      so.tokenUrl == "http://t/token")
+    // `sigv4: {}` (default credential chain) parses to the all-defaults cfg
+    val cfg2 = Config.parse(
+      "remote_write:\n  - url: http://amp/w\n    sigv4: {}\n", "/tmp")
+    assert(cfg2.remoteWrites.head.sigv4.contains(Config.SigV4Cfg()))
+  }
+
   test("file-SD wiring: targetsOf merges static and discovered targets") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cfg")
     java.nio.file.Files.writeString(dir.resolve("sd.json"),

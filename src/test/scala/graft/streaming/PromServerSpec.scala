@@ -563,6 +563,107 @@ class PromServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { agent.stop(); down.stop() }
   }
 
+  test("oauth2 end to end: scrape pool and remote_write fetch, cache and attach bearer tokens") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    // fake token endpoint — counts fetches, echoes endpoint_params back in
+    val tokenCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tokenForms = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val tokenSrv = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    tokenSrv.createContext("/", (ex: HttpExchange) => {
+      tokenForms.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      val b = s"""{"access_token":"tok${tokenCalls.incrementAndGet()}","expires_in":3600}"""
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    tokenSrv.start()
+    // fake scrape target — captures the Authorization header per scrape
+    val scrapeAuths = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val target = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    target.createContext("/metrics", (ex: HttpExchange) => {
+      scrapeAuths.add(ex.getRequestHeaders.getFirst("Authorization"))
+      val b = "m1 7\n".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    target.start()
+    // fake PRW receiver — captures the Authorization header per batch
+    val rwAuths = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val rw = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    rw.createContext("/", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      rwAuths.add(ex.getRequestHeaders.getFirst("Authorization"))
+      ex.sendResponseHeaders(204, -1); ex.close()
+    })
+    rw.start()
+    val dir = java.nio.file.Files.createTempDirectory("graft-oauth2")
+    writeFile(dir, "rules.yml",
+      """groups:
+        |  - name: g
+        |    rules:
+        |      - record: m1:copy
+        |        expr: m1
+        |""".stripMargin)
+    val tokenUrl = s"http://127.0.0.1:${tokenSrv.getAddress.getPort}/token"
+    val cfgPath = writeFile(dir, "prometheus.yml",
+      s"""global:
+         |  scrape_interval: 15s
+         |rule_files:
+         |  - rules.yml
+         |scrape_configs:
+         |  - job_name: api
+         |    oauth2:
+         |      client_id: scrape-cid
+         |      client_secret: ss
+         |      token_url: $tokenUrl
+         |      scopes: [metrics.read]
+         |      endpoint_params:
+         |        audience: https://scrape
+         |    static_configs:
+         |      - targets: ['127.0.0.1:${target.getAddress.getPort}']
+         |remote_write:
+         |  - url: http://127.0.0.1:${rw.getAddress.getPort}/api/v1/write
+         |    oauth2:
+         |      client_id: rw-cid
+         |      client_secret: rs
+         |      token_url: $tokenUrl
+         |""".stripMargin)
+    val srv = new PromServer(spark, cfgPath)
+    srv.start()
+    try {
+      // two scrapes: the pool fetched ONE token and attached it to both
+      srv.scrapeOnce()
+      srv.scrapeOnce()
+      assert(scrapeAuths.size() == 2)
+      val first = scrapeAuths.get(0)
+      assert(first != null && first.startsWith("Bearer tok"), first)
+      assert(scrapeAuths.get(1) == first) // cached, not re-fetched
+      // scopes + endpoint_params reached the token endpoint
+      val scrapeForm = {
+        var f = ""; tokenForms.forEach(x => if (x.contains("scrape-cid")) f = x); f
+      }
+      assert(scrapeForm.contains("scope=metrics.read"), scrapeForm)
+      assert(scrapeForm.contains("audience=https%3A%2F%2Fscrape"), scrapeForm)
+      // two rule ticks over store-time samples (scraped rows carry
+      // wall-clock stamps outside the tick's lookback): the forwarder
+      // fetched ONE token for both batches
+      import org.apache.spark.sql.Row
+      srv.store.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(Map("__name__" -> "m1", "job" -> "x"), 10000L, 7.0, false, null, 0L)), 1),
+        graft.promql.Engine.samplesSchema))
+      srv.evalRulesOnce(15000L)
+      srv.evalRulesOnce(30000L)
+      assert(rwAuths.size() >= 2)
+      val rwTok = rwAuths.get(0)
+      assert(rwTok != null && rwTok.startsWith("Bearer tok"), rwTok)
+      rwAuths.forEach(a => assert(a == rwTok))
+      assert(rwTok != first) // two entries, two independent providers
+      // grand total: exactly TWO token fetches (one per oauth2 block)
+      assert(tokenCalls.get() == 2, s"token fetches: ${tokenCalls.get()}")
+    } finally { srv.stop(); tokenSrv.stop(0); target.stop(0); rw.stop(0) }
+  }
+
   test("write_relabel_configs filter forwarded batches; local store keeps everything") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wrl")
     val downStore = new graft.web.SampleStore(spark, spark.createDataFrame(

@@ -223,8 +223,35 @@ ZhE5yB/QzAbaewhe868qOvw=
       assert(wiForm("client_assertion") == "federated-jwt-from-k8s")
       assert(wiForm("client_id") == cid)
 
-      val sdk = new AzureAd.TokenProvider(AzureAd.Config(sdk = Some(AzureAd.Sdk())))
-      intercept[UnsupportedOperationException](sdk.token())
+      // sdk chain subset (DefaultAzureCredential probe order):
+      // 1) environment client-secret wins when all three vars are set
+      val sdkEnv = new AzureAd.TokenProvider(
+        AzureAd.Config(sdk = Some(AzureAd.Sdk())),
+        authorityOverride = Some(base),
+        env = Map("AZURE_TENANT_ID" -> tid, "AZURE_CLIENT_ID" -> cid,
+          "AZURE_CLIENT_SECRET" -> "envsek"))
+      assert(sdkEnv.token() == "witok") // the tenant-endpoint fake answers
+      assert(wiForm("client_secret") == "envsek" && wiForm("client_id") == cid)
+      // config tenant_id beats AZURE_TENANT_ID (azidentity's rule)
+      val sdkTenant = new AzureAd.TokenProvider(
+        AzureAd.Config(sdk = Some(AzureAd.Sdk(tenantId = tid))),
+        authorityOverride = Some(base),
+        env = Map("AZURE_TENANT_ID" -> "00000000-0000-0000-0000-000000000000",
+          "AZURE_CLIENT_ID" -> cid, "AZURE_CLIENT_SECRET" -> "s2"))
+      sdkTenant.token()
+      // 2) federated token file → workload identity hop
+      val sdkWi = new AzureAd.TokenProvider(
+        AzureAd.Config(sdk = Some(AzureAd.Sdk())),
+        authorityOverride = Some(base),
+        env = Map("AZURE_TENANT_ID" -> tid, "AZURE_CLIENT_ID" -> cid,
+          "AZURE_FEDERATED_TOKEN_FILE" -> tokFile.toString))
+      assert(sdkWi.token() == "witok")
+      assert(wiForm("client_assertion") == "federated-jwt-from-k8s")
+      // 3) nothing in the environment → IMDS managed-identity last resort
+      val sdkImds = new AzureAd.TokenProvider(
+        AzureAd.Config(sdk = Some(AzureAd.Sdk())),
+        imdsOverride = Some(base), env = Map.empty)
+      assert(sdkImds.token() == "mitok")
     } finally srv.stop(0)
   }
 
@@ -287,14 +314,14 @@ ZhE5yB/QzAbaewhe868qOvw=
          |        client_id: $cid
          |      sdk: {}
          |""".stripMargin).exists(_.contains("multiple authentication methods")))
-    // sdk-only: valid upstream, not runnable here -> rejected at load
-    // instead of throwing on every send
+    // sdk-only: accepted like upstream — the provider runs the
+    // DefaultAzureCredential chain subset (env → workload identity → IMDS)
     assert(check(
       """remote_write:
         |  - url: http://x/p
         |    azuread:
         |      sdk: {}
-        |""".stripMargin).exists(_.contains("sdk authentication is not supported")))
+        |""".stripMargin).isEmpty)
     // a second credential via bearer_token_file also trips the
     // single-auth-method rule
     assert(check(

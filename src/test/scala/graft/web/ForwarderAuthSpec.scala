@@ -1,0 +1,171 @@
+package graft.web
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.promql.Engine
+import graft.streaming.AwsSd
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Remote-write forwarder auth + queue_config runtime (ref:
+  * storage/remote/client.go:199 SigV4 round tripper, :322 retry policy;
+  * config.go:1612 QueueConfig): SigV4-signed batches verified
+  * cryptographically against a fake receiver, STS temporary credentials
+  * in the signed set, 429 retry gating, sample_age_limit filtering, and
+  * the max_shards partition cap. */
+class ForwarderAuthSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** one captured request */
+  private final case class Req(headers: Map[String, String], body: Array[Byte])
+
+  /** fake PRW receiver capturing every request; `status` decides per call */
+  private def receiver(status: Int => Int = _ => 200)
+      : (HttpServer, java.util.concurrent.CopyOnWriteArrayList[Req]) = {
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[Req]()
+    val s = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    s.createContext("/", (ex: HttpExchange) => {
+      val body = ex.getRequestBody.readAllBytes()
+      val hdrs = {
+        val b = Map.newBuilder[String, String]
+        ex.getRequestHeaders.forEach((k, v) => b += (k.toLowerCase -> v.get(0)))
+        b.result()
+      }
+      captured.add(Req(hdrs, body))
+      ex.sendResponseHeaders(status(captured.size()), -1)
+      ex.close()
+    })
+    s.start()
+    (s, captured)
+  }
+
+  private def sampleDf(n: Int, parts: Int, t0: Long = 0L) = {
+    val rows = (0 until n).map(k =>
+      Row(Map("__name__" -> "fwd", "k" -> k.toString), t0 + k * 100L, k.toDouble,
+        false, null, 0L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parts), Engine.samplesSchema)
+  }
+
+  test("sigv4: batches are signed; signature verifies against the captured body") {
+    val (srv, captured) = receiver()
+    try {
+      val creds = AwsSd.Creds("AKIDEXAMPLE", "sekret", "SESSIONTOKEN123")
+      val fwd = new RemoteWriteForwarder(
+        s"http://127.0.0.1:${srv.getAddress.getPort}/api/v1/write",
+        signerProvider = Some(() => RemoteWriteForwarder.SigV4Signer(
+          creds, "us-east-1", s"127.0.0.1:${srv.getAddress.getPort}",
+          "/api/v1/write")))
+      assert(fwd.forward(sampleDf(10, 1)) == 10L)
+      assert(captured.size() == 1)
+      val req = captured.get(0)
+      val auth = req.headers("authorization")
+      assert(auth.startsWith("AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/"), auth)
+      assert(auth.contains("/us-east-1/aps/aws4_request"), auth)
+      // the temporary-credential session token joins the SIGNED header set
+      assert(auth.contains("x-amz-security-token"), auth)
+      assert(req.headers("x-amz-security-token") == "SESSIONTOKEN123")
+      // cryptographic check: recompute the signature from the captured
+      // body + X-Amz-Date with the known secret — byte-identical header
+      val amzDate = req.headers("x-amz-date")
+      val instant = java.time.LocalDateTime.parse(amzDate,
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'"))
+        .toInstant(java.time.ZoneOffset.UTC)
+      val expect = graft.streaming.Ec2Sd.SigV4.headersForPayload(
+        creds.accessKey, creds.secretKey, "us-east-1", "aps",
+        s"127.0.0.1:${srv.getAddress.getPort}", "POST", "/api/v1/write", "",
+        graft.streaming.Ec2Sd.SigV4.payloadHash(req.body), instant,
+        req.headers("content-type"),
+        Map("X-Amz-Security-Token" -> creds.sessionToken))
+      assert(expect("Authorization") == auth)
+      // the signed body is a valid PRW 1.0 payload
+      val decoded = RemoteWrite.decode(req.body, isV2 = false)
+      assert(decoded.size == 10)
+    } finally srv.stop(0)
+  }
+
+  test("sigv4 + STS AssumeRole: one cached STS call serves every batch; token signed") {
+    val stsCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fakeSts = new AwsSd.StsApi {
+      override def assumeRole(form: String): String = {
+        stsCalls.incrementAndGet()
+        """<AssumeRoleResponse><AssumeRoleResult><Credentials>
+          |<AccessKeyId>ASIATEMP</AccessKeyId>
+          |<SecretAccessKey>tmpsecret</SecretAccessKey>
+          |<SessionToken>STSTOK</SessionToken>
+          |<Expiration>2100-01-01T00:00:00Z</Expiration>
+          |</Credentials></AssumeRoleResult></AssumeRoleResponse>""".stripMargin
+      }
+    }
+    val cp = new AwsSd.AssumeRoleCreds(fakeSts, "arn:aws:iam::1:role/rw")
+    val (srv, captured) = receiver()
+    try {
+      val fwd = new RemoteWriteForwarder(
+        s"http://127.0.0.1:${srv.getAddress.getPort}/w",
+        signerProvider = Some(() => RemoteWriteForwarder.SigV4Signer(
+          cp.creds(), "eu-west-1", s"127.0.0.1:${srv.getAddress.getPort}", "/w")))
+      fwd.forward(sampleDf(4, 1))
+      fwd.forward(sampleDf(4, 1))
+      assert(captured.size() == 2)
+      captured.forEach { r =>
+        assert(r.headers("x-amz-security-token") == "STSTOK")
+        assert(r.headers("authorization").contains("Credential=ASIATEMP/"))
+      }
+      // the expiry-refreshed cache made ONE AssumeRole call for both sends
+      assert(stsCalls.get() == 1)
+    } finally srv.stop(0)
+  }
+
+  test("queue_config: 429 is dropped by default, retried when retry_on_http_429") {
+    // default: 429 → unrecoverable 4xx, batch dropped after ONE request
+    val (srv1, cap1) = receiver(_ => 429)
+    try {
+      val fwd = new RemoteWriteForwarder(
+        s"http://127.0.0.1:${srv1.getAddress.getPort}/w", maxRetries = 3)
+      fwd.forward(sampleDf(5, 1))
+      assert(cap1.size() == 1, s"expected no retry, got ${cap1.size()} requests")
+    } finally srv1.stop(0)
+    // retry_on_http_429: 429 then 200 → two requests, batch shipped
+    val (srv2, cap2) = receiver(n => if (n == 1) 429 else 200)
+    try {
+      val fwd = new RemoteWriteForwarder(
+        s"http://127.0.0.1:${srv2.getAddress.getPort}/w",
+        maxRetries = 3, backoffMs = 1L, retryOn429 = true)
+      assert(fwd.forward(sampleDf(5, 1)) == 5L)
+      assert(cap2.size() == 2)
+    } finally srv2.stop(0)
+  }
+
+  test("queue_config: sample_age_limit drops too-old rows; max_shards caps send partitions") {
+    val (srv, captured) = receiver()
+    try {
+      val now = 1000000L
+      // 10 samples at t0=0..900 plus 10 at now-500..: limit 1000ms keeps
+      // only the recent half
+      val old = sampleDf(10, 2, t0 = 0L)
+      val fresh = sampleDf(10, 2, t0 = now - 500L)
+      val fwd = new RemoteWriteForwarder(
+        s"http://127.0.0.1:${srv.getAddress.getPort}/w",
+        sampleAgeLimitMs = 1000L, nowMs = () => now)
+      assert(fwd.forward(old.union(fresh)) == 10L)
+      val total = {
+        var n = 0
+        captured.forEach(r => n += RemoteWrite.decode(r.body, isV2 = false).size)
+        n
+      }
+      assert(total == 10, s"receiver saw $total samples")
+      captured.clear()
+      // max_shards=1: an 8-partition frame coalesces to ONE sender → one
+      // request (shards ↔ partitions)
+      val fwd2 = new RemoteWriteForwarder(
+        s"http://127.0.0.1:${srv.getAddress.getPort}/w", maxShards = 1)
+      assert(fwd2.forward(sampleDf(40, 8)) == 40L)
+      assert(captured.size() == 1, s"expected 1 coalesced request, got ${captured.size()}")
+    } finally srv.stop(0)
+  }
+}

@@ -356,6 +356,15 @@ class HttpApiSpec extends AnyFunSuite {
       assert(c2 == 200, b2)
       val afterInstant = counter()
       assert(afterInstant > afterRange, s"$afterRange -> $afterInstant")
+      // ONE counter, ONE semantic: the same query moves the counter by the
+      // same per-scan figure with and without stats= (the exact dedup'd
+      // samplesRead lives in the stats payload only)
+      val (c3, _) = get(port,
+        "/api/v1/query_range?query=rate(http_requests_total%5B2m%5D)&start=120&end=600&step=60&stats=all")
+      assert(c3 == 200)
+      val afterStats = counter()
+      assert(afterStats - afterInstant == afterRange - before,
+        s"stats-bearing delta ${afterStats - afterInstant} != stats-less delta ${afterRange - before}")
     }
   }
 
@@ -493,8 +502,9 @@ class HttpApiSpec extends AnyFunSuite {
         ex.getRequestBody.readAllBytes()
         if (n == 1) {
           firstAt.set(System.nanoTime())
-          // rate-limit the first attempt; the reference treats 429 as
-          // recoverable and honors Retry-After (client.go Store)
+          // rate-limit the first attempt; with retry_on_http_429 the
+          // reference treats 429 as recoverable and honors Retry-After
+          // (client.go:322 — NOT retried by default, see ForwarderAuthSpec)
           ex.getResponseHeaders.set("Retry-After", "1")
           ex.sendResponseHeaders(429, -1)
         } else {
@@ -511,7 +521,8 @@ class HttpApiSpec extends AnyFunSuite {
           Row(Map("__name__" -> "rl"), 1000L, 1.0, false, null, 0L)), 1),
         Engine.samplesSchema)
       val n = new RemoteWriteForwarder(
-        s"http://127.0.0.1:${server.getAddress.getPort}/write").forward(src)
+        s"http://127.0.0.1:${server.getAddress.getPort}/write",
+        retryOn429 = true).forward(src)
       assert(n == 1L) // shipped after the retry, not dropped
       assert(posts.get() == 2)
       // the Retry-After hint (1s) outranks the base backoff (100ms)
