@@ -113,7 +113,12 @@ object Config {
       pathPrefix: String,
       apiVersion: String,
       timeoutMs: Long,
-      alertRelabel: Seq[Relabel.Rule])
+      alertRelabel: Seq[Relabel.Rule],
+      // sigv4 request signing for Amazon Managed Prometheus alertmanager
+      // endpoints (ref config.go:1369 AlertmanagerConfig.SigV4Config,
+      // notifier/alertmanagerset.go:58); basic/bearer/oauth2 ride the
+      // embedded [[ScrapeJob]]'s HTTP client config
+      sigv4: Option[SigV4Cfg] = None)
 
   final case class PromConfig(
       scrapeIntervalMs: Long,
@@ -959,7 +964,8 @@ object Config {
           str(m, "path_prefix"),
           str(m, "api_version", "v2"),
           m.str("timeout").map(durMs).getOrElse(10000L),
-          relabelChain(m.get("alert_relabel_configs")))
+          relabelChain(m.get("alert_relabel_configs")),
+          sigv4Of(m))
     }
     // static AM base URLs (display surface + legacy notifier path); live
     // push endpoints resolve from the groups incl. SD + target relabeling

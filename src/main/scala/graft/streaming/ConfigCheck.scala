@@ -703,6 +703,36 @@ object ConfigCheck {
             errs ++= unknownKeys(m, alertmanagerFields,
               s"$path alertmanager config", alsoOk = _.endsWith("_sd_configs"))
             checkSdConfigs(m, s"alertmanager/$i")
+            // per-group auth: oauth2/sigv4 shape validation + the
+            // at-most-one rule (ref config.go:1410 — "at most one of
+            // basic_auth, authorization, oauth2, & sigv4")
+            m.get("oauth2") match {
+              case Some(o: YMap) =>
+                errs ++= unknownKeys(o, oauth2Fields, s"$path alertmanager config oauth2")
+                graft.web.OAuth2.validate(oauth2Shape(o)).foreach(e =>
+                  errs += s"$path: alertmanager config: $e")
+              case _ => ()
+            }
+            m.get("sigv4") match {
+              case Some(s4: YMap) =>
+                errs ++= unknownKeys(s4, Set("region", "access_key",
+                  "secret_key", "profile", "role_arn", "external_id",
+                  "use_fips_sts_endpoint"), s"$path alertmanager config sigv4")
+                if (s4.str("access_key").exists(_.nonEmpty) !=
+                    s4.str("secret_key").exists(_.nonEmpty))
+                  errs += s"$path: alertmanager config: must provide a AWS " +
+                    "SigV4 Access key and Secret Key if credentials are " +
+                    "specified in the SigV4 config"
+              case _ => ()
+            }
+            val amAuth = Seq(
+              "basic_auth" -> m.get("basic_auth").isDefined,
+              "authorization" -> m.get("authorization").isDefined,
+              "oauth2" -> m.get("oauth2").isDefined,
+              "sigv4" -> m.get("sigv4").isDefined).collect { case (n, true) => n }
+            if (amAuth.size > 1)
+              errs += s"$path: alertmanager config: at most one of " +
+                "basic_auth, authorization, oauth2, & sigv4 must be configured"
             val v = m.str("api_version").getOrElse("v2")
             if (v != "v2")
               errs += s"""$path: alertmanager config: invalid api_version "$v" (only "v2" is supported)"""

@@ -91,6 +91,28 @@ final class PromServer(
   def currentRuleGroups: Seq[Rules.Group] = ruleGroups
 
   /** (re)load the configuration; Left(error) leaves the old state running */
+  /** sigv4 config → a supplier of (resolved credentials, region). The
+    * credential chain is the one the AWS SD family runs (static keys →
+    * shared-config profile → env, wrapped in STS AssumeRole when role_arn
+    * is set, FIPS STS endpoint honored); the STS result is expiry-cached
+    * inside AssumeRoleCreds so each call is cheap. Region resolves config →
+    * AWS_REGION / AWS_DEFAULT_REGION eagerly, failing the reload with a
+    * clear error like the reference's NewSigV4RoundTripper. */
+  private def sigv4CredsSupplier(s4: Config.SigV4Cfg)
+      : () => (AwsSd.Creds, String) = {
+    val region = AwsSd.resolveRegion(s4.region)
+    val baseCreds = new AwsSd.StaticCreds(s4.accessKey, s4.secretKey, s4.profile)
+    val cp: AwsSd.CredsProvider =
+      if (s4.roleArn.isEmpty) baseCreds
+      else new AwsSd.AssumeRoleCreds(
+        new AwsSd.HttpStsApi(region, baseCreds,
+          endpoint =
+            if (s4.useFipsStsEndpoint) s"https://sts-fips.$region.amazonaws.com"
+            else ""),
+        s4.roleArn, s4.externalId)
+    () => (cp.creds(), region)
+  }
+
   def reload(): Either[String, Unit] = synchronized {
     try {
       val text = new String(java.nio.file.Files.readAllBytes(
@@ -132,12 +154,21 @@ final class PromServer(
         else Some(new graft.web.Notifier(Nil,
           externalLabels = cfg.externalLabels,
           alertRelabel = cfg.alertRelabel,
-          sets = cfg.alertmanagerGroups.map(g => graft.web.Notifier.AmSet(
-            () => {
-              discovery.poll()
-              Discovery.alertmanagerEndpoints(discovery, g)
-            },
-            g.alertRelabel, g.timeoutMs)),
+          sets = cfg.alertmanagerGroups.map { g =>
+            // per-group HTTP client auth (ref alertmanagerset.go:45-60):
+            // oauth2 builds a refreshing provider, fixed-header otherwise;
+            // sigv4 resolves the AWS credential chain per send
+            val oa = g.sd.oauth2.map(new graft.web.OAuth2.TokenProvider(_))
+            graft.web.Notifier.AmSet(
+              () => {
+                discovery.poll()
+                Discovery.alertmanagerEndpoints(discovery, g)
+              },
+              g.alertRelabel, g.timeoutMs,
+              authHeader = oa.map[() => String](tp => () => tp.header())
+                .orElse(g.sd.authHeader.map(h => () => h)),
+              sigv4 = g.sigv4.map(sigv4CredsSupplier))
+          },
           // per-AM bounded queues: the rules tick never blocks on a slow
           // AM; live queues survive a reload (process-wide loop map)
           async = true))
@@ -161,27 +192,17 @@ final class PromServer(
           azProvider.map[() => String](tp => () => "Bearer " + tp.token())
             .orElse(oaProvider.map(tp => () => tp.header()))
             .orElse(giProvider.map(tp => () => tp.header()))
-        // sigv4: the driver resolves the credential chain (static keys →
-        // shared-config profile → env, wrapped in STS AssumeRole when
-        // role_arn is set — the same chain the AWS SD family runs, ref
-        // storage/remote/client.go:199) once per forward() call; executors
-        // sign each batch body. Region resolves config → AWS_REGION /
-        // AWS_DEFAULT_REGION here, failing the reload with a clear error
-        // like the reference's NewSigV4RoundTripper.
+        // sigv4: the driver resolves the credential chain once per
+        // forward() call; executors sign each batch body (ref
+        // storage/remote/client.go:199)
         val signerProvider = e.sigv4.map { s4 =>
-          val region = AwsSd.resolveRegion(s4.region)
-          val baseCreds = new AwsSd.StaticCreds(s4.accessKey, s4.secretKey, s4.profile)
-          val cp: AwsSd.CredsProvider =
-            if (s4.roleArn.isEmpty) baseCreds
-            else new AwsSd.AssumeRoleCreds(
-              new AwsSd.HttpStsApi(region, baseCreds,
-                endpoint =
-                  if (s4.useFipsStsEndpoint) s"https://sts-fips.$region.amazonaws.com"
-                  else ""),
-              s4.roleArn, s4.externalId)
+          val sup = sigv4CredsSupplier(s4)
           val uri = java.net.URI.create(e.url)
-          () => graft.web.RemoteWriteForwarder.SigV4Signer(
-            cp.creds(), region, uri.getAuthority, uri.getRawPath)
+          () => {
+            val (creds, region) = sup()
+            graft.web.RemoteWriteForwarder.SigV4Signer(
+              creds, region, uri.getAuthority, uri.getRawPath)
+          }
         }
         (e.writeRelabel,
          new graft.web.RemoteWriteForwarder(e.url,

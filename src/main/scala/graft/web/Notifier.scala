@@ -11,7 +11,15 @@ object Notifier {
   final case class AmSet(
       endpoints: () => Seq[String],
       alertRelabel: Seq[Relabel.Rule] = Nil,
-      timeoutMs: Long = 10000L)
+      timeoutMs: Long = 10000L,
+      // per-group HTTP client auth (ref notifier/alertmanagerset.go:45-60 —
+      // the AM group's HTTPClientConfig, incl. oauth2 via a refreshing
+      // supplier) …
+      authHeader: Option[() => String] = None,
+      // … or SigV4 request signing (alertmanagerset.go:58 — Amazon Managed
+      // Prometheus alertmanager endpoints): a supplier of resolved
+      // (credentials, region), signed per request over the JSON body
+      sigv4: Option[() => (graft.streaming.AwsSd.Creds, String)] = None)
 
   private val sendLoops =
     scala.collection.concurrent.TrieMap[String, SendLoop]()
@@ -111,9 +119,13 @@ final class Notifier(
   // per-AM send loops, shared process-wide so a config reload "transfers"
   // a live queue to the new Notifier instance instead of dropping it
   // (ref: notifier/manager.go:166 sendLoops transfer on ApplyConfig)
-  private def loopFor(url: String, timeoutMs: Long): Notifier.SendLoop =
+  private def loopFor(url: String, timeoutMs: Long,
+      authHeader: Option[() => String] = None,
+      sigv4: Option[() => (graft.streaming.AwsSd.Creds, String)] = None)
+      : Notifier.SendLoop =
     Notifier.sendLoops.getOrElseUpdate(url,
-      new Notifier.SendLoop(url, body => post(url, body, timeoutMs), queueCapacity))
+      new Notifier.SendLoop(url,
+        body => post(url, body, timeoutMs, authHeader, sigv4), queueCapacity))
 
   final case class Alert(
       labels: Map[String, String],
@@ -148,13 +160,26 @@ final class Notifier(
       else Relabel.applyToMap(merged, rules).map(l => a.copy(labels = l))
     }
 
-  private def post(url: String, body: String, timeoutMs: Long): Boolean =
+  private def post(url: String, body: String, timeoutMs: Long,
+      authHeader: Option[() => String] = None,
+      sigv4: Option[() => (graft.streaming.AwsSd.Creds, String)] = None): Boolean =
     try {
+      val rb = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .header("Content-Type", "application/json")
+      authHeader.foreach(h => rb.setHeader("Authorization", h()))
+      sigv4.foreach { sup =>
+        val (creds, region) = sup()
+        val uri = java.net.URI.create(url)
+        RemoteWriteForwarder.SigV4Signer(creds, region, uri.getAuthority,
+          uri.getRawPath)
+          .headers(body.getBytes("UTF-8"), "application/json").foreach {
+            case (k, _) if k.equalsIgnoreCase("host") => ()
+            case (k, v) => rb.setHeader(k, v)
+          }
+      }
       val resp = client.send(
-        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-          .timeout(java.time.Duration.ofMillis(timeoutMs))
-          .header("Content-Type", "application/json")
-          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        rb.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       resp.statusCode() / 100 == 2
     } catch { case _: Exception => false }
@@ -166,16 +191,18 @@ final class Notifier(
   def send(alerts: Seq[Alert]): Seq[Boolean] = {
     if (alerts.isEmpty) return alertmanagerUrls.map(_ => true)
     val ga = relabelAlerts(alerts, externalLabels, alertRelabel)
-    def deliver(url: String, jsons: Seq[String], timeoutMs: Long): Boolean =
+    def deliver(url: String, jsons: Seq[String], timeoutMs: Long,
+        authHeader: Option[() => String] = None,
+        sigv4: Option[() => (graft.streaming.AwsSd.Creds, String)] = None): Boolean =
       if (jsons.isEmpty) true
-      else if (async) { loopFor(url, timeoutMs).add(jsons); true }
-      else post(url, Json.arr(jsons), timeoutMs)
+      else if (async) { loopFor(url, timeoutMs, authHeader, sigv4).add(jsons); true }
+      else post(url, Json.arr(jsons), timeoutMs, authHeader, sigv4)
     val gaJsons = ga.map(alertJson)
     alertmanagerUrls.map { base =>
       deliver(base.stripSuffix("/") + "/api/v2/alerts", gaJsons, 10000L)
     } ++ sets.flatMap { s =>
       val saJsons = relabelAlerts(ga, Map.empty, s.alertRelabel).map(alertJson)
-      s.endpoints().map(u => deliver(u, saJsons, s.timeoutMs))
+      s.endpoints().map(u => deliver(u, saJsons, s.timeoutMs, s.authHeader, s.sigv4))
     }
   }
 

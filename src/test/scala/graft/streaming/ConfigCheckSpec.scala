@@ -257,6 +257,41 @@ class ConfigCheckSpec extends AnyFunSuite {
         |        audience: https://api
         |""".stripMargin)
     assert(okScrape.exitCode == 0, okScrape.toString)
+    // alertmanager groups: sigv4+oauth2 validate, auth pairs error
+    // (ref config.go:1410 — "at most one of basic_auth, authorization,
+    // oauth2, & sigv4")
+    val amPair = check(
+      """alerting:
+        |  alertmanagers:
+        |    - static_configs:
+        |        - targets: ['am:9093']
+        |      sigv4: {}
+        |      oauth2:
+        |        client_id: cid
+        |        client_secret: s
+        |        token_url: http://t/token
+        |""".stripMargin)
+    assert(amPair.errors.exists(_.contains(
+      "at most one of basic_auth, authorization, oauth2, & sigv4")), amPair.toString)
+    val amBadSigv4 = check(
+      """alerting:
+        |  alertmanagers:
+        |    - static_configs:
+        |        - targets: ['am:9093']
+        |      sigv4:
+        |        access_key: only
+        |""".stripMargin)
+    assert(amBadSigv4.errors.exists(_.contains("Access key and Secret Key")),
+      amBadSigv4.toString)
+    val amOk = check(
+      """alerting:
+        |  alertmanagers:
+        |    - static_configs:
+        |        - targets: ['am:9093']
+        |      sigv4:
+        |        region: us-east-2
+        |""".stripMargin)
+    assert(amOk.exitCode == 0, amOk.toString)
   }
 
 }

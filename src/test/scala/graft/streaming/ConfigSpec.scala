@@ -172,6 +172,23 @@ class ConfigSpec extends AnyFunSuite {
     val cfg2 = Config.parse(
       "remote_write:\n  - url: http://amp/w\n    sigv4: {}\n", "/tmp")
     assert(cfg2.remoteWrites.head.sigv4.contains(Config.SigV4Cfg()))
+    // alertmanager groups: sigv4 on the group, oauth2 via the embedded
+    // HTTP client config (ref config.go:1369 AlertmanagerConfig)
+    val cfg3 = Config.parse(
+      """alerting:
+        |  alertmanagers:
+        |    - static_configs:
+        |        - targets: ['am:9093']
+        |      sigv4:
+        |        region: us-east-2
+        |      oauth2:
+        |        client_id: amcid
+        |        client_secret: s
+        |        token_url: http://t/token
+        |""".stripMargin, "/tmp")
+    val g = cfg3.alertmanagerGroups.head
+    assert(g.sigv4.contains(Config.SigV4Cfg(region = "us-east-2")))
+    assert(g.sd.oauth2.get.clientId == "amcid")
   }
 
   test("file-SD wiring: targetsOf merges static and discovered targets") {

@@ -141,6 +141,46 @@ class ForwarderAuthSpec extends AnyFunSuite {
     } finally srv2.stop(0)
   }
 
+  test("alertmanager sets: oauth2/bearer header and sigv4 signing on alert posts") {
+    val (srv, captured) = receiver()
+    try {
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}/api/v2/alerts"
+      // rendered/refreshing Authorization supplier (the oauth2 path)
+      val n1 = new Notifier(Nil, sets = Seq(Notifier.AmSet(
+        () => Seq(url), authHeader = Some(() => "Bearer amtok"))))
+      val ok = n1.send(Seq(n1.Alert(Map("alertname" -> "A"), startsAtMs = 1000L)))
+      assert(ok == Seq(true))
+      assert(captured.size() == 1)
+      assert(captured.get(0).headers("authorization") == "Bearer amtok")
+      captured.clear()
+      // sigv4: signed per request over the JSON body (ref
+      // alertmanagerset.go:58); verify cryptographically like the
+      // forwarder test
+      val creds = AwsSd.Creds("AKIDAM", "amsecret", "AMTOKEN")
+      val n2 = new Notifier(Nil, sets = Seq(Notifier.AmSet(
+        () => Seq(url), sigv4 = Some(() => (creds, "us-east-2")))))
+      assert(n2.send(Seq(n2.Alert(Map("alertname" -> "B"), startsAtMs = 2000L)))
+        == Seq(true))
+      assert(captured.size() == 1)
+      val req = captured.get(0)
+      val auth = req.headers("authorization")
+      assert(auth.contains("/us-east-2/aps/aws4_request"), auth)
+      assert(req.headers("x-amz-security-token") == "AMTOKEN")
+      val instant = java.time.LocalDateTime.parse(req.headers("x-amz-date"),
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'"))
+        .toInstant(java.time.ZoneOffset.UTC)
+      val expect = graft.streaming.Ec2Sd.SigV4.headersForPayload(
+        creds.accessKey, creds.secretKey, "us-east-2", "aps",
+        s"127.0.0.1:${srv.getAddress.getPort}", "POST", "/api/v2/alerts", "",
+        graft.streaming.Ec2Sd.SigV4.payloadHash(req.body), instant,
+        "application/json",
+        Map("X-Amz-Security-Token" -> creds.sessionToken))
+      assert(expect("Authorization") == auth)
+      // the signed body is the alert JSON
+      assert(new String(req.body, "UTF-8").contains("\"alertname\":\"B\""))
+    } finally srv.stop(0)
+  }
+
   test("queue_config: sample_age_limit drops too-old rows; max_shards caps send partitions") {
     val (srv, captured) = receiver()
     try {
