@@ -180,7 +180,12 @@ object Config {
       googleIam: Option[graft.web.GoogleIam.Config] = None,
       // queue_config (ref config.go:1612 QueueConfig) — see the Forwarder
       // scaladoc for the shards↔partitions mapping
-      queue: QueueCfg = QueueCfg())
+      queue: QueueCfg = QueueCfg(),
+      // remote_timeout (ref DefaultRemoteWriteConfig 30s) — per-request cap
+      remoteTimeoutMs: Long = 30000L,
+      // send_native_histograms (upstream default false): v2 endpoints only
+      // carry histogram rows when enabled
+      sendNativeHistograms: Boolean = false)
 
   /** sigv4 block (ref: the prometheus/sigv4 library's SigV4Config as
     * documented at configuration.md:3715; access/secret keys, named
@@ -218,7 +223,15 @@ object Config {
       name: String = "",
       authHeader: Option[String] = None,
       headers: Map[String, String] = Map.empty,
-      oauth2: Option[graft.web.OAuth2.Config] = None)
+      oauth2: Option[graft.web.OAuth2.Config] = None,
+      // fanout routing policy (ref config.go:1679 RemoteReadConfig:
+      // ReadRecent default false, FilterExternalLabels default true,
+      // RequiredMatchers as equality pairs) — see FanoutStore.Secondary
+      readRecent: Boolean = false,
+      requiredMatchers: Map[String, String] = Map.empty,
+      filterExternalLabels: Boolean = true,
+      // remote_timeout (ref DefaultRemoteReadConfig 1m)
+      remoteTimeoutMs: Long = 60000L)
 
   /** rendered Authorization header from basic_auth / authorization /
     * bearer_token* (ref: common HTTPClientConfig — exactly one wins,
@@ -940,11 +953,18 @@ object Config {
             }))
           case _ => None
         },
-        queueOf(m))
+        queueOf(m),
+        remoteTimeoutMs = m.str("remote_timeout").map(durMs).getOrElse(30000L),
+        sendNativeHistograms =
+          m.str("send_native_histograms").contains("true"))
     }.filter(_.url.nonEmpty)
     val remoteReads = root.list("remote_read").collect { case m: YMap =>
       RemoteReadEntry(str(m, "url"), str(m, "name"),
-        authHeaderOf(m, base), kv(m.get("headers")), oauth2Of(m, base))
+        authHeaderOf(m, base), kv(m.get("headers")), oauth2Of(m, base),
+        readRecent = m.str("read_recent").contains("true"),
+        requiredMatchers = kv(m.get("required_matchers")),
+        filterExternalLabels = !m.str("filter_external_labels").contains("false"),
+        remoteTimeoutMs = m.str("remote_timeout").map(durMs).getOrElse(60000L))
     }.filter(_.url.nonEmpty)
     // alerting: — per-group service discovery via the scrape-job machinery
     // plus alert relabeling (ref: config/config.go:1274 AlertingConfig

@@ -78,6 +78,9 @@ final class PromServer(
   // authenticated remote-read clients per remote_read entry, for callers
   // composing a FanoutStore over this server's primary store
   @volatile var remoteReadClients: Seq[graft.web.RemoteReadClient] = Nil
+  // the same clients with their fanout routing policy (read_recent /
+  // required_matchers / filter_external_labels) attached
+  @volatile var remoteReadSecondaries: Seq[graft.web.FanoutStore.Secondary] = Nil
   @volatile private var scrapers: Seq[ScrapeManager] = Nil
 
   /** per-job discovered labels of relabel-dropped targets, refreshed on
@@ -215,14 +218,22 @@ final class PromServer(
            maxBackoffMs = e.queue.maxBackoffMs,
            retryOn429 = e.queue.retryOnHttp429,
            sampleAgeLimitMs = e.queue.sampleAgeLimitMs,
-           maxShards = e.queue.maxShards))
+           maxShards = e.queue.maxShards,
+           remoteTimeoutMs = e.remoteTimeoutMs,
+           sendNativeHistograms = e.sendNativeHistograms))
       }
-      remoteReadClients = cfg.remoteReads.map { e =>
+      remoteReadSecondaries = cfg.remoteReads.map { e =>
         val oaProvider = e.oauth2.map(new graft.web.OAuth2.TokenProvider(_))
-        new graft.web.RemoteReadClient(e.url,
-          authHeader = e.authHeader, headers = e.headers,
-          authProvider = oaProvider.map(tp => () => tp.header()))
+        graft.web.FanoutStore.Secondary(
+          new graft.web.RemoteReadClient(e.url,
+            authHeader = e.authHeader, headers = e.headers,
+            authProvider = oaProvider.map(tp => () => tp.header()),
+            remoteTimeoutMs = e.remoteTimeoutMs),
+          readRecent = e.readRecent,
+          requiredMatchers = e.requiredMatchers,
+          filterExternalLabels = e.filterExternalLabels)
       }
+      remoteReadClients = remoteReadSecondaries.map(_.client)
       // ONE scrape pool per job (ref: scrape/manager.go ApplyConfig — a
       // scrapePool per ScrapeConfig): each pool runs its own interval,
       // relabel_configs (applied to discovered targets, possibly dropping

@@ -83,6 +83,13 @@ final class RemoteWriteForwarder(
     retryOn429: Boolean = false,
     sampleAgeLimitMs: Long = 0L,
     maxShards: Int = 0,
+    // remote_timeout (ref config.go DefaultRemoteWriteConfig 30s): a
+    // wedged sink fails the request instead of hanging the send task
+    remoteTimeoutMs: Long = 30000L,
+    // send_native_histograms (ref config.go RemoteWriteConfig — upstream
+    // default FALSE; Config passes the parsed value, direct constructor
+    // callers default to sending since only v2 encodes them anyway)
+    sendNativeHistograms: Boolean = true,
     nowMs: () => Long = () => System.currentTimeMillis()) extends Serializable {
 
   /** forward samples; v2 endpoints also carry NATIVE HISTOGRAMS (PRW 1.0
@@ -91,6 +98,7 @@ final class RemoteWriteForwarder(
   def forward(samples: DataFrame): Long = {
     val url = endpoint
     val mb = maxBatch; val mr = maxRetries; val bo = backoffMs
+    val timeoutMs = remoteTimeoutMs
     val maxBo = math.max(maxBackoffMs, backoffMs)
     val retry429 = retryOn429
     val v2 = protoVersion >= 2
@@ -106,7 +114,7 @@ final class RemoteWriteForwarder(
       if (sampleAgeLimitMs > 0) base0.filter(col("t") >= lit(nowMs() - sampleAgeLimitMs))
       else base0
     val projected0 =
-      if (v2 && samples.columns.contains("h"))
+      if (v2 && sendNativeHistograms && samples.columns.contains("h"))
         base.select(col("labels"), col("t"), col("v"), col("h"))
       else
         base.filter(if (samples.columns.contains("h")) col("h").isNull else lit(true))
@@ -133,6 +141,7 @@ final class RemoteWriteForwarder(
           while (!done && attempt <= mr) {
             try {
               val rb = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+                .timeout(java.time.Duration.ofMillis(timeoutMs))
               // custom headers first, protocol headers after (same-name
               // protocol values overwrite via setHeader)
               extraHeaders.foreach { case (k, vv) => rb.header(k, vv) }

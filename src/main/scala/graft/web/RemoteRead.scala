@@ -391,7 +391,9 @@ final class RemoteReadClient(endpoint: String,
     headers: Map[String, String] = Map.empty,
     // refreshing Authorization source (oauth2); wins over authHeader —
     // the checker enforces at-most-one auth shape per entry
-    authProvider: Option[() => String] = None) {
+    authProvider: Option[() => String] = None,
+    // remote_timeout (ref config.go DefaultRemoteReadConfig 1m)
+    remoteTimeoutMs: Long = 60000L) {
 
   def read(q: RemoteRead.Query): Seq[RemoteRead.Series] = read(q, streamed = false)
 
@@ -403,6 +405,7 @@ final class RemoteReadClient(endpoint: String,
       if (streamed) Seq(RemoteRead.RespStreamedXorChunks, RemoteRead.RespSamples)
       else Nil
     val rb = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+      .timeout(java.time.Duration.ofMillis(remoteTimeoutMs))
     headers.foreach { case (k, v) => rb.header(k, v) }
     authProvider.map(_()).orElse(authHeader)
       .foreach(a => rb.setHeader("Authorization", a))

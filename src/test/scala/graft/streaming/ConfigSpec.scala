@@ -155,8 +155,31 @@ class ConfigSpec extends AnyFunSuite {
     val q = cfg.remoteWrites(0).queue
     assert(q == Config.QueueCfg(20000, 10, 2, 500, 10000L, 100L, 30000L,
       retryOnHttp429 = true, sampleAgeLimitMs = 300000L))
-    // defaults when the block is absent (ref DefaultQueueConfig)
+    // defaults when the block is absent (ref DefaultQueueConfig /
+    // DefaultRemoteWriteConfig / DefaultRemoteReadConfig)
     assert(cfg.remoteWrites(1).queue == Config.QueueCfg())
+    assert(cfg.remoteWrites(1).remoteTimeoutMs == 30000L)
+    assert(!cfg.remoteWrites(1).sendNativeHistograms) // upstream default false
+    assert(cfg.remoteReads.head.remoteTimeoutMs == 60000L)
+    assert(!cfg.remoteReads.head.readRecent && cfg.remoteReads.head.filterExternalLabels)
+    val cfgT = Config.parse(
+      """remote_write:
+        |  - url: http://x/w
+        |    remote_timeout: 5s
+        |    send_native_histograms: true
+        |remote_read:
+        |  - url: http://x/r
+        |    remote_timeout: 15s
+        |    read_recent: true
+        |    filter_external_labels: false
+        |    required_matchers:
+        |      cluster: prod
+        |""".stripMargin, "/tmp")
+    assert(cfgT.remoteWrites.head.remoteTimeoutMs == 5000L &&
+      cfgT.remoteWrites.head.sendNativeHistograms)
+    val rr = cfgT.remoteReads.head
+    assert(rr.remoteTimeoutMs == 15000L && rr.readRecent &&
+      !rr.filterExternalLabels && rr.requiredMatchers == Map("cluster" -> "prod"))
     val oa = cfg.remoteWrites(1).oauth2.get
     assert(oa.clientId == "cid" && oa.grantType == graft.web.OAuth2.JwtBearerGrant)
     assert(oa.clientCertificateKeyFile == "/cfgdir/key.pem") // config-dir relative

@@ -1016,8 +1016,10 @@ class ServingSpec extends AnyFunSuite {
       assert(got.head.samples == (0 to 5).map(k => (k * 1000L, 10.0 + k)))
 
       // fanout: local store B + remote store A; engine queries the union
+      // (read_recent=true — the reference default FALSE would clip the
+      // remote window to pre-local history, tested below)
       val fan = new FanoutStore(spark, storeWith("b", 20.0),
-        Seq(new RemoteReadClient(url)))
+        Seq(FanoutStore.Secondary(new RemoteReadClient(url), readRecent = true)))
       val df = fan.fetch(List(LabelMatcher("__name__", MatchOp.Eq, "m")), 0L, 5000L)
       Engine.instantQuery(spark, df, "sum by (src) (m)", 5000L) match {
         case VectorVal(r) =>
@@ -1029,9 +1031,58 @@ class ServingSpec extends AnyFunSuite {
 
       // failing secondary degrades to local-only
       val fan2 = new FanoutStore(spark, storeWith("b", 20.0),
-        Seq(new RemoteReadClient("http://127.0.0.1:1/api/v1/read")))
+        Seq(FanoutStore.Secondary(
+          new RemoteReadClient("http://127.0.0.1:1/api/v1/read"),
+          readRecent = true)))
       val df2 = fan2.fetch(List(LabelMatcher("__name__", MatchOp.Eq, "m")), 0L, 5000L)
       assert(df2.collect().length == 6)
+
+      // read_recent=false (the reference default): the remote hop serves
+      // only history BEFORE the local store's first sample. Local store C
+      // holds t >= 3000 only; remote store A (t=0..5000) contributes its
+      // pre-3000 points and nothing newer (ref remote/read.go ReadRecent)
+      val rowsC = (3 to 5).map(k =>
+        Row(Map("__name__" -> "m", "src" -> "c"), k * 1000L, 30.0 + k, false, null, 0L))
+      val storeC = new SampleStore(spark, spark.createDataFrame(
+        spark.sparkContext.parallelize(rowsC, 1), Engine.samplesSchema))
+      val fan3 = new FanoutStore(spark, storeC,
+        Seq(FanoutStore.Secondary(new RemoteReadClient(url))))
+      val df3 = fan3.fetch(List(LabelMatcher("__name__", MatchOp.Eq, "m")), 0L, 5000L)
+      val bySrc = df3.collect().groupBy(_.getMap[String, String](0)("src"))
+      assert(bySrc("c").length == 3)
+      assert(bySrc("a").map(_.getLong(1)).sorted.toSeq == Seq(0L, 1000L, 2000L),
+        bySrc("a").map(_.getLong(1)).toSeq.toString) // clipped at local start
+      // …and a query fully covered locally never hits the remote
+      val df3b = fan3.fetch(List(LabelMatcher("__name__", MatchOp.Eq, "m")), 3000L, 5000L)
+      assert(df3b.collect().forall(_.getMap[String, String](0)("src") == "c"))
+
+      // required_matchers: the secondary answers only selectors carrying
+      // the equality pair (ref remote/read.go requiredMatchersQuerier)
+      val fan4 = new FanoutStore(spark, storeWith("b", 20.0),
+        Seq(FanoutStore.Secondary(new RemoteReadClient(url), readRecent = true,
+          requiredMatchers = Map("src" -> "a"))))
+      val un = fan4.fetch(List(LabelMatcher("__name__", MatchOp.Eq, "m")), 0L, 5000L)
+      assert(un.collect().forall(_.getMap[String, String](0)("src") == "b")) // not routed
+      val routed = fan4.fetch(List(LabelMatcher("__name__", MatchOp.Eq, "m"),
+        LabelMatcher("src", MatchOp.Eq, "a")), 0L, 5000L)
+      assert(routed.collect().exists(_.getMap[String, String](0)("src") == "a"))
+
+      // filter_external_labels: externals join the outgoing selector (the
+      // remote side filters on them) and the added names are stripped from
+      // results (ref remote/read.go externalLabelsQuerier). Store A has no
+      // site label → an added site=eu1 matcher matches nothing remote.
+      val fan5 = new FanoutStore(spark, storeWith("b", 20.0),
+        Seq(FanoutStore.Secondary(new RemoteReadClient(url), readRecent = true)),
+        externalLabels = Map("site" -> "eu1"))
+      val df5 = fan5.fetch(List(LabelMatcher("__name__", MatchOp.Eq, "m")), 0L, 5000L)
+      assert(df5.collect().forall(_.getMap[String, String](0)("src") == "b"))
+      // with filtering off the remote series come back unfiltered
+      val fan6 = new FanoutStore(spark, storeWith("b", 20.0),
+        Seq(FanoutStore.Secondary(new RemoteReadClient(url), readRecent = true,
+          filterExternalLabels = false)),
+        externalLabels = Map("site" -> "eu1"))
+      val df6 = fan6.fetch(List(LabelMatcher("__name__", MatchOp.Eq, "m")), 0L, 5000L)
+      assert(df6.collect().exists(_.getMap[String, String](0)("src") == "a"))
     } finally apiA.stop()
   }
 
