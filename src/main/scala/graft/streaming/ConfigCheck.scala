@@ -225,7 +225,14 @@ object ConfigCheck {
             errs += s"$path: $section: url is required"
           m.get("headers") match {
             case Some(h: YMap) => h.entries.foreach { case (k, _) =>
-              if (reservedHeaders(k.toLowerCase))
+              // authorization gets its own message pointing at the auth
+              // shapes (ref config.go validateHeaders); other reserved
+              // names share the generic error
+              if (k.equalsIgnoreCase("authorization"))
+                errs += s"$path: $section: authorization header must be " +
+                  "changed via the basic_auth, authorization, oauth2, " +
+                  "sigv4, azuread or google_iam parameter"
+              else if (reservedHeaders(k.toLowerCase))
                 errs += s"$path: $section: $k is a reserved header. It must not be changed"
             }
             case _ => ()

@@ -212,6 +212,18 @@ class ConfigCheckSpec extends AnyFunSuite {
         |      grant_type: implicit
         |""".stripMargin)
     assert(e8.errors.exists(_.contains("grant_type \"implicit\" is invalid")), e8.toString)
+    // a custom `authorization` header names the auth shapes in its error
+    // (ref config.go validateHeaders — distinct from the reserved message)
+    val eAuthHdr = check(
+      """remote_write:
+        |  - url: http://x/w
+        |    headers:
+        |      Authorization: Bearer sneaky
+        |""".stripMargin)
+    assert(eAuthHdr.errors.exists(_.contains(
+      "authorization header must be changed via the basic_auth, " +
+      "authorization, oauth2, sigv4, azuread or google_iam parameter")),
+      eAuthHdr.toString)
     // google_iam: only credentials_file is a known field
     val e9 = check(
       """remote_write:
