@@ -346,8 +346,20 @@ object Dedup {
       .select(col("doc_id").as("kept_doc_id"))
   }
 
-  /** SimHash near-dup candidates: equality on any of 4 16-bit bands. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** SimHash near-dup candidates: equality on any of 4 16-bit bands.
+    *
+    * Oversized-bucket guard (same construction as
+    * [[Similarity.cosineDupPairs]], and the same lesson as its r14
+    * 200k-soak fix): a duplicate-heavy corpus puts whole duplicate
+    * families into ONE (band, value) bucket, and the band self-join is
+    * quadratic in that family's size. A bucket above `maxBucket` degrades
+    * to a STAR around its minimum doc_id — pruned on the a-side BEFORE the
+    * pair join, so the join never materializes the m² rows it would
+    * otherwise filter. The star keeps the family connected for downstream
+    * transitive closure; direct pair enumeration inside oversized buckets
+    * is the sacrificed recall. Gate-scale buckets sit far below the cap. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val sh = simhash(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
@@ -355,7 +367,12 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
     val a = banded.select(col("band"), col("bv"), col("doc_id").as("da"), col("simhash").as("ha"))
     val b = banded.select(col("band"), col("bv"), col("doc_id").as("db"), col("simhash").as("hb"))
-    a.join(b, Seq("band", "bv")).filter(col("da") < col("db"))
+    val stats = a.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__bn"), min(col("da")).as("__bmin"))
+    val aKept = a.join(stats, Seq("band", "bv"))
+      .filter(col("__bn") <= maxBucket || col("da") === col("__bmin"))
+      .select(col("band"), col("bv"), col("da"), col("ha"))
+    aKept.join(b, Seq("band", "bv")).filter(col("da") < col("db"))
       .select(col("da"), col("db"), bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)

@@ -555,6 +555,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
   }
 
+  test("simhash oversized buckets degrade to a star, output stays O(bucket)") {
+    // 30 EXACT duplicates: identical simhash → every band bucket holds all
+    // 30. With maxBucket=5 every bucket is oversized → only the min-id
+    // star survives: 29 pairs, all anchored at doc 0, instead of C(30,2)
+    val docs = docsOf((0 until 30).map(i => i.toLong -> "same text body here"): _*)
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3, maxBucket = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == 29, s"expected 29 star edges, got ${pairs.size}")
+    assert(pairs.forall(_._1 == 0L), "star must anchor at the bucket minimum")
+    // connectivity preserved: downstream closure still groups the family
+    assert(pairs.map(_._2) == (1L until 30L).toSet)
+    // below the cap the full pair set returns
+    val full = Dedup.simhashPairs(docs, maxHamming = 3, maxBucket = 1000).collect()
+    assert(full.length == 30 * 29 / 2)
+  }
+
   test("kmeans: matches a local Lloyd reference exactly; inertia non-increasing") {
     // three well-separated 2-D blobs + a straggler
     val pts: Seq[(Long, Seq[Float])] = Seq(
