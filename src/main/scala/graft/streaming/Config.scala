@@ -98,7 +98,11 @@ object Config {
       // oauth2 block of the common HTTP client config (ref:
       // configuration.md:706 <oauth2>) — the server builds one refreshing
       // TokenProvider per pool; mutually exclusive with authHeader (checker)
-      oauth2: Option[graft.web.OAuth2.Config] = None)
+      oauth2: Option[graft.web.OAuth2.Config] = None,
+      // http_headers of the common HTTP client config (ref:
+      // configuration.md:733 — values/secrets/files merged per name;
+      // file contents resolve at config load like the *_file auth fields)
+      httpHeaders: Map[String, Seq[String]] = Map.empty)
 
   /** one `alerting.alertmanagers` group (ref: config/config.go:1330
     * AlertmanagerConfig): target discovery + relabel_configs live on the
@@ -318,6 +322,26 @@ object Config {
           audience = str(o, "audience"),
           claims = kv(o.get("claims"))))
       case _ => None
+    }
+
+  /** http_headers block → per-name value lists (ref configuration.md:733:
+    * `values` inline, `secrets` inline-but-redacted-in-UI, `files` read
+    * from disk relative to the config dir). Order: values, secrets, files —
+    * the order prometheus/common emits them. */
+  private def httpHeadersOf(m: YMap, base: java.nio.file.Path)
+      : Map[String, Seq[String]] =
+    m.get("http_headers") match {
+      case Some(h: YMap) =>
+        h.entries.collect { case (name, spec: YMap) =>
+          val fileVals = strList(spec.get("files")).flatMap { f =>
+            try Some(new String(java.nio.file.Files.readAllBytes(
+              base.resolve(f)), "UTF-8").trim)
+            catch { case _: Exception => None }
+          }
+          name -> (strList(spec.get("values")) ++ strList(spec.get("secrets")) ++
+            fileVals)
+        }.filter(_._2.nonEmpty).toMap
+      case _ => Map.empty
     }
 
   /** sigv4 block → [[SigV4Cfg]]; `sigv4: {}` (the documented "use the
@@ -914,6 +938,7 @@ object Config {
         },
         fallbackProtocol = str(m, "fallback_scrape_protocol"),
         oauth2 = oauth2Of(m, base),
+        httpHeaders = httpHeadersOf(m, base),
         alwaysClassicHist =
           m.str("always_scrape_classic_histograms").contains("true"),
         enableCompression = !m.str("enable_compression").contains("false"),

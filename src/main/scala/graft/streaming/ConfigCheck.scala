@@ -687,6 +687,23 @@ object ConfigCheck {
                 "must be configured"
           case _ => ()
         }
+        // http_headers: reserved names rejected (ref prometheus/common
+        // httpHeaders.Validate — the same protocol-header set as remote
+        // sections), sub-fields limited to values/secrets/files
+        sc.get("http_headers") match {
+          case Some(hh: YMap) => hh.entries.foreach {
+            case (name, spec) =>
+              if (reservedHeaders(name.toLowerCase))
+                errs += s"""$path: job "$jobName": setting header "$name" is not allowed"""
+              spec match {
+                case sm: YMap =>
+                  errs ++= unknownKeys(sm, Set("values", "secrets", "files"),
+                    s"""$path job "$jobName" http_headers $name""")
+                case _ => ()
+              }
+          }
+          case _ => ()
+        }
         // scrape_protocols / fallback values must be known (ref:
         // config.go ScrapeProtocol.Validate)
         val known = ScrapeManager.protocolHeaders.keySet

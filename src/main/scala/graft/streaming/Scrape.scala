@@ -38,6 +38,10 @@ final class ScrapeManager(
     // per request against its own expiry cache; wins over authHeader
     // (the checker enforces mutual exclusion at config load)
     authProvider: Option[() => String] = None,
+    // http_headers custom per-request headers (ref common HTTPClientConfig
+    // headers: multiple values per name allowed); protocol headers below
+    // use setHeader and so always win a same-name collision
+    httpHeaders: Map[String, Seq[String]] = Map.empty,
     // negotiation order (ref: ScrapeConfig.ScrapeProtocols; empty = the
     // reference's DefaultScrapeProtocols) and the parser used when the
     // response carries no recognizable Content-Type
@@ -218,7 +222,12 @@ final class ScrapeManager(
       .header("X-Prometheus-Scrape-Timeout-Seconds",
         graft.web.Json.goFloat(timeoutMs / 1000.0))
     // ref: scrape.go acceptEncodingHeader — gzip unless enable_compression=false
-    val b = if (enableCompression) b0.header("Accept-Encoding", "gzip") else b0
+    val b1 = if (enableCompression) b0.header("Accept-Encoding", "gzip") else b0
+    // http_headers: custom headers ride every request (multi-value via
+    // repeated header() calls); like credentials they are treated as
+    // request decoration and re-applied per redirect hop by the caller
+    val b = httpHeaders.foldLeft(b1) { case (bb, (k, vs)) =>
+      vs.foldLeft(bb)((b2, v) => b2.header(k, v)) }
     if (withAuth) authProvider.map(_()).orElse(authHeader)
       .fold(b)(v => b.header("Authorization", v))
     else b

@@ -259,6 +259,7 @@ final class PromServer(
           // cached across scrapes, refreshed inside the expiry window)
           authProvider = job.oauth2.map(new graft.web.OAuth2.TokenProvider(_))
             .map(tp => () => tp.header()),
+          httpHeaders = job.httpHeaders,
           honorTimestamps = job.honorTimestamps,
           scrapeProtocols = job.scrapeProtocols,
           fallbackProtocol = job.fallbackProtocol,

@@ -533,6 +533,63 @@ class ServingSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("scrape http_headers: values/secrets/files merge, multi-value, reserved rejected") {
+    @volatile var seen = Map.empty[String, Seq[String]]
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/metrics", ex => {
+      val b = Map.newBuilder[String, Seq[String]]
+      ex.getRequestHeaders.forEach((k, v) => b += (k -> {
+        val buf = Seq.newBuilder[String]; v.forEach(buf += _); buf.result() }))
+      seen = b.result()
+      val body = "m 1\n".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.getResponseBody.close()
+    })
+    server.start()
+    val dir = java.nio.file.Files.createTempDirectory("hh")
+    try {
+      java.nio.file.Files.write(dir.resolve("tenant.txt"), "t-42\n".getBytes("UTF-8"))
+      val cfg = graft.streaming.Config.parse(
+        s"""scrape_configs:
+           |  - job_name: hh
+           |    http_headers:
+           |      X-Multi:
+           |        values: [one, two]
+           |      X-Secret:
+           |        secrets: [shh]
+           |      X-Tenant:
+           |        files: [tenant.txt]
+           |    static_configs:
+           |      - targets: ['127.0.0.1:${server.getAddress.getPort}']
+           |""".stripMargin, dir.toString)
+      val job = cfg.scrapeJobs.head
+      assert(job.httpHeaders == Map(
+        "X-Multi" -> Seq("one", "two"), "X-Secret" -> Seq("shh"),
+        "X-Tenant" -> Seq("t-42")))
+      val mgr = new ScrapeManager(spark, emptyStore(), job.staticTargets,
+        nowMs = () => 50000L, httpHeaders = job.httpHeaders)
+      mgr.scrapeOnce()
+      assert(seen("X-multi") == Seq("one", "two") ||
+        seen.getOrElse("X-Multi", Nil) == Seq("one", "two"), seen.toString)
+      assert(seen.getOrElse("X-secret", seen.getOrElse("X-Secret", Nil)) == Seq("shh"))
+      assert(seen.getOrElse("X-tenant", seen.getOrElse("X-Tenant", Nil)) == Seq("t-42"))
+      // checker: reserved header names + unknown sub-fields fail
+      val bad = dir.resolve("bad.yml")
+      java.nio.file.Files.write(bad,
+        """scrape_configs:
+          |  - job_name: j
+          |    http_headers:
+          |      Authorization:
+          |        values: [sneaky]
+          |      X-Ok:
+          |        value: [typo]
+          |""".stripMargin.getBytes("UTF-8"))
+      val errs = graft.streaming.ConfigCheck.checkConfig(bad.toString).errors
+      assert(errs.exists(_.contains("setting header \"Authorization\" is not allowed")), errs)
+      assert(errs.exists(_.contains("field value not found")), errs)
+    } finally server.stop(0)
+  }
+
   test("scrape limits: body_size_limit, target_limit, honor_timestamps=false") {
     import graft.streaming.ScrapeManager.{parseBytes, ScrapeLimits, ScrapeTarget}
     // Go units strings (SI and IEC) parse like the reference's
