@@ -69,10 +69,14 @@ object Config {
       // (0 = unlimited; ref: config.go KeepDroppedTargets)
       keepDroppedTargets: Long = 0L,
       // HTTP proxy + client TLS (ref: common HTTPClientConfig proxy_url /
-      // tls_config {ca_file, insecure_skip_verify})
+      // no_proxy / proxy_from_environment / tls_config {ca_file,
+      // insecure_skip_verify} / enable_http2)
       proxyUrl: String = "",
       tlsCaFile: String = "",
       tlsInsecureSkipVerify: Boolean = false,
+      noProxy: String = "",
+      proxyFromEnvironment: Boolean = false,
+      enableHttp2: Boolean = true,
       // negotiation order + unrecognized-Content-Type parser (ref:
       // config.go ScrapeProtocols / ScrapeFallbackProtocol)
       scrapeProtocols: Seq[String] = Nil,
@@ -915,6 +919,9 @@ object Config {
         keepDroppedTargets = m.str("keep_dropped_targets")
           .orElse(global.str("keep_dropped_targets")).map(_.toLong).getOrElse(0L),
         proxyUrl = str(m, "proxy_url"),
+        noProxy = str(m, "no_proxy"),
+        proxyFromEnvironment = m.str("proxy_from_environment").contains("true"),
+        enableHttp2 = !m.str("enable_http2").contains("false"),
         tlsCaFile = m.get("tls_config") match {
           case Some(tc: YMap) =>
             val f = str(tc, "ca_file")

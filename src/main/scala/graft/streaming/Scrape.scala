@@ -812,16 +812,79 @@ object ScrapeManager {
     * requests through an HTTP proxy; `tls_config.ca_file` trusts a custom
     * PEM CA; `insecure_skip_verify` trusts any chain. Falls back to the
     * shared default client when nothing is configured. */
+  /** no_proxy matcher (ref golang.org/x/net/http/httpproxy, the library
+    * behind the common ProxyConfig): comma-separated entries — "*" matches
+    * everything; an IP or CIDR matches literal request IPs; a domain
+    * matches itself AND subdomains; a leading-dot domain matches
+    * subdomains only. */
+  private[streaming] def noProxyMatches(noProxy: String, host0: String): Boolean = {
+    if (noProxy.trim.isEmpty || host0 == null || host0.isEmpty) return false
+    val host = host0.toLowerCase.stripPrefix("[").stripSuffix("]")
+    val isIp = host.forall(c => c.isDigit || c == '.') || host.contains(":")
+    noProxy.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).exists { e0 =>
+      if (e0 == "*") true
+      else {
+        // strip a :port from the entry (Go allows host:port entries)
+        val e = if (e0.count(_ == ':') == 1 && !e0.contains("/"))
+          e0.substring(0, e0.indexOf(':')) else e0
+        if (e.contains("/") && isIp && !host.contains(":")) {
+          // CIDR vs dotted-quad
+          try {
+            val Array(net, bits) = e.split("/")
+            def ip(x: String): Long =
+              x.split("\\.").foldLeft(0L)((a, p) => (a << 8) | p.toLong)
+            val mask = if (bits.toInt == 0) 0L else -1L << (32 - bits.toInt)
+            (ip(host) & mask) == (ip(net) & mask)
+          } catch { case _: Exception => false }
+        }
+        else if (e.startsWith(".")) host.endsWith(e)
+        else host == e || host.endsWith("." + e)
+      }
+    }
+  }
+
+  /** proxy selection per request host (ref common ProxyConfig: explicit
+    * proxy_url + no_proxy, or proxy_from_environment reading HTTP_PROXY /
+    * HTTPS_PROXY / NO_PROXY — request scheme picks the variable) */
+  private[streaming] def proxySelectorFor(proxyUrl: String, noProxy: String,
+      proxyFromEnvironment: Boolean,
+      env: Map[String, String] = sys.env): Option[java.net.ProxySelector] = {
+    def envAny(k: String): String =
+      env.getOrElse(k, env.getOrElse(k.toLowerCase, ""))
+    val noP = if (proxyFromEnvironment) envAny("NO_PROXY") else noProxy
+    def proxyFor(scheme: String): String =
+      if (!proxyFromEnvironment) proxyUrl
+      else if (scheme == "https") envAny("HTTPS_PROXY")
+      else envAny("HTTP_PROXY")
+    if (!proxyFromEnvironment && proxyUrl.isEmpty) return None
+    Some(new java.net.ProxySelector {
+      override def select(uri: java.net.URI): java.util.List[java.net.Proxy] = {
+        val p = proxyFor(Option(uri.getScheme).getOrElse("http").toLowerCase)
+        if (p.isEmpty || noProxyMatches(noP, uri.getHost))
+          java.util.List.of(java.net.Proxy.NO_PROXY)
+        else {
+          val u = java.net.URI.create(p)
+          val port = if (u.getPort != -1) u.getPort else 80
+          java.util.List.of(new java.net.Proxy(java.net.Proxy.Type.HTTP,
+            new java.net.InetSocketAddress(u.getHost, port)))
+        }
+      }
+      override def connectFailed(uri: java.net.URI,
+          sa: java.net.SocketAddress, ioe: java.io.IOException): Unit = ()
+    })
+  }
+
   def buildClient(proxyUrl: String = "", tlsCaFile: String = "",
-      tlsInsecureSkipVerify: Boolean = false): java.net.http.HttpClient = {
+      tlsInsecureSkipVerify: Boolean = false, noProxy: String = "",
+      proxyFromEnvironment: Boolean = false,
+      enableHttp2: Boolean = true,
+      env: Map[String, String] = sys.env): java.net.http.HttpClient = {
     val b = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10))
-    if (proxyUrl.nonEmpty) {
-      val u = java.net.URI.create(proxyUrl)
-      val port = if (u.getPort != -1) u.getPort else 80
-      b.proxy(java.net.ProxySelector.of(
-        new java.net.InetSocketAddress(u.getHost, port)))
-    }
+    // enable_http2=false pins HTTP/1.1 (the JDK default is 2-with-fallback)
+    if (!enableHttp2) b.version(java.net.http.HttpClient.Version.HTTP_1_1)
+    proxySelectorFor(proxyUrl, noProxy, proxyFromEnvironment, env)
+      .foreach(b.proxy)
     if (tlsInsecureSkipVerify) {
       val trustAll: Array[javax.net.ssl.TrustManager] = Array(
         new javax.net.ssl.X509TrustManager {

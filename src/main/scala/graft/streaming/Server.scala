@@ -272,9 +272,11 @@ final class PromServer(
           followRedirects = job.followRedirects,
           client =
             if (job.proxyUrl.nonEmpty || job.tlsCaFile.nonEmpty ||
-                job.tlsInsecureSkipVerify)
+                job.tlsInsecureSkipVerify || job.proxyFromEnvironment ||
+                !job.enableHttp2)
               ScrapeManager.buildClient(job.proxyUrl, job.tlsCaFile,
-                job.tlsInsecureSkipVerify)
+                job.tlsInsecureSkipVerify, job.noProxy,
+                job.proxyFromEnvironment, job.enableHttp2)
             else java.net.http.HttpClient.newHttpClient())
         m.setTargetProvider { () =>
           discovery.poll()

@@ -214,6 +214,57 @@ class ConfigSpec extends AnyFunSuite {
     assert(g.sd.oauth2.get.clientId == "amcid")
   }
 
+  test("no_proxy matching, proxy_from_environment, enable_http2") {
+    import ScrapeManager.{noProxyMatches, proxySelectorFor}
+    // domain entries match self + subdomains; leading dot = subdomains only
+    assert(noProxyMatches("example.com", "example.com"))
+    assert(noProxyMatches("example.com", "api.example.com"))
+    assert(!noProxyMatches("example.com", "badexample.com"))
+    assert(noProxyMatches(".example.com", "api.example.com"))
+    assert(!noProxyMatches(".example.com", "example.com"))
+    assert(noProxyMatches("*", "anything.at.all"))
+    assert(noProxyMatches("10.0.0.0/8", "10.1.2.3"))
+    assert(!noProxyMatches("10.0.0.0/8", "11.1.2.3"))
+    assert(noProxyMatches("192.168.1.1", "192.168.1.1"))
+    assert(noProxyMatches("a.com, b.com", "b.com")) // comma-separated
+    // explicit proxy_url + no_proxy: excluded host goes direct
+    val sel = proxySelectorFor("http://proxy:3128", "internal.local", false).get
+    def first(u: String) = sel.select(java.net.URI.create(u)).get(0)
+    assert(first("http://internal.local/metrics") == java.net.Proxy.NO_PROXY)
+    assert(first("http://other.host/metrics").address()
+      .asInstanceOf[java.net.InetSocketAddress].getPort == 3128)
+    // proxy_from_environment: scheme picks the variable, NO_PROXY honored
+    val env = Map("HTTP_PROXY" -> "http://hp:8080",
+      "HTTPS_PROXY" -> "http://sp:8443", "NO_PROXY" -> "skip.me")
+    val selEnv = proxySelectorFor("", "", true, env).get
+    def firstEnv(u: String) = selEnv.select(java.net.URI.create(u)).get(0)
+    assert(firstEnv("http://x/m").address()
+      .asInstanceOf[java.net.InetSocketAddress].getPort == 8080)
+    assert(firstEnv("https://x/m").address()
+      .asInstanceOf[java.net.InetSocketAddress].getPort == 8443)
+    assert(firstEnv("http://skip.me/m") == java.net.Proxy.NO_PROXY)
+    // no proxy configured at all → None (the shared default client is used)
+    assert(proxySelectorFor("", "", false).isEmpty)
+    // enable_http2=false pins the client to HTTP/1.1
+    assert(ScrapeManager.buildClient(enableHttp2 = false).version() ==
+      java.net.http.HttpClient.Version.HTTP_1_1)
+    assert(ScrapeManager.buildClient().version() ==
+      java.net.http.HttpClient.Version.HTTP_2)
+    // config parse carries the three fields
+    val cfg = Config.parse(
+      """scrape_configs:
+        |  - job_name: j
+        |    proxy_url: http://proxy:3128
+        |    no_proxy: internal.local
+        |    enable_http2: false
+        |  - job_name: k
+        |    proxy_from_environment: true
+        |""".stripMargin, "/tmp")
+    val j = cfg.scrapeJobs.head
+    assert(j.noProxy == "internal.local" && !j.enableHttp2 && !j.proxyFromEnvironment)
+    assert(cfg.scrapeJobs(1).proxyFromEnvironment && cfg.scrapeJobs(1).enableHttp2)
+  }
+
   test("file-SD wiring: targetsOf merges static and discovered targets") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cfg")
     java.nio.file.Files.writeString(dir.resolve("sd.json"),
