@@ -193,7 +193,12 @@ object Config {
       remoteTimeoutMs: Long = 30000L,
       // send_native_histograms (upstream default false): v2 endpoints only
       // carry histogram rows when enabled
-      sendNativeHistograms: Boolean = false)
+      sendNativeHistograms: Boolean = false,
+      // metadata_config.send (ref config.go MetadataConfig, default true):
+      // gates the v2 inline per-series metadata; send_interval and
+      // max_samples_per_send are 1.0 separate-RPC pacing knobs — parsed
+      // and validated, inert here (documented divergence)
+      metadataSend: Boolean = true)
 
   /** sigv4 block (ref: the prometheus/sigv4 library's SigV4Config as
     * documented at configuration.md:3715; access/secret keys, named
@@ -988,7 +993,11 @@ object Config {
         queueOf(m),
         remoteTimeoutMs = m.str("remote_timeout").map(durMs).getOrElse(30000L),
         sendNativeHistograms =
-          m.str("send_native_histograms").contains("true"))
+          m.str("send_native_histograms").contains("true"),
+        metadataSend = m.get("metadata_config") match {
+          case Some(mc: YMap) => !mc.str("send").contains("false")
+          case _ => true
+        })
     }.filter(_.url.nonEmpty)
     val remoteReads = root.list("remote_read").collect { case m: YMap =>
       RemoteReadEntry(str(m, "url"), str(m, "name"),

@@ -287,6 +287,21 @@ object ConfigCheck {
                 s"$path $section google_iam")
             case _ => ()
           }
+          // metadata_config: known fields only (ref config.go:1664
+          // MetadataConfig — send / send_interval / max_samples_per_send)
+          if (section == "remote_write") m.get("metadata_config") match {
+            case Some(mc: YMap) =>
+              errs ++= unknownKeys(mc, Set("send", "send_interval",
+                "max_samples_per_send"), s"$path $section metadata_config")
+            case _ => ()
+          }
+          // proxy_connect_header: valid upstream (headers on the CONNECT
+          // to the proxy) but the JDK HTTP client cannot set CONNECT
+          // headers — reject at load instead of silently dropping (the
+          // azuread-sdk precedent for honest unsupported shapes)
+          if (m.get("proxy_connect_header").isDefined)
+            errs += s"$path: $section: proxy_connect_header is not " +
+              "supported by this engine"
           // queue_config value validation (ref config.go:1639
           // QueueConfig.Validate)
           if (section == "remote_write") m.get("queue_config") match {
@@ -687,6 +702,9 @@ object ConfigCheck {
                 "must be configured"
           case _ => ()
         }
+        if (sc.get("proxy_connect_header").isDefined)
+          errs += s"""$path: job "$jobName": proxy_connect_header is not """ +
+            "supported by this engine"
         // http_headers: reserved names rejected (ref prometheus/common
         // httpHeaders.Validate — the same protocol-header set as remote
         // sections), sub-fields limited to values/secrets/files

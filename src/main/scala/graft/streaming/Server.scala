@@ -220,7 +220,9 @@ final class PromServer(
            sampleAgeLimitMs = e.queue.sampleAgeLimitMs,
            maxShards = e.queue.maxShards,
            remoteTimeoutMs = e.remoteTimeoutMs,
-           sendNativeHistograms = e.sendNativeHistograms))
+           sendNativeHistograms = e.sendNativeHistograms,
+           metadataProvider =
+             if (e.metadataSend) Some(() => store.metadata) else None))
       }
       remoteReadSecondaries = cfg.remoteReads.map { e =>
         val oaProvider = e.oauth2.map(new graft.web.OAuth2.TokenProvider(_))

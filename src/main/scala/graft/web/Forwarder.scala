@@ -90,6 +90,12 @@ final class RemoteWriteForwarder(
     // default FALSE; Config passes the parsed value, direct constructor
     // callers default to sending since only v2 encodes them anyway)
     sendNativeHistograms: Boolean = true,
+    // metadata_config.send: PRW 2.0 carries metadata INLINE on each
+    // TimeSeries (type/help/unit refs into the symbol table), so the
+    // supplier — family-cardinality, evaluated once per forward() on the
+    // driver — rides the batch encode; the 1.0 separate-RPC metadata path
+    // is not implemented (documented divergence)
+    metadataProvider: Option[() => RemoteWrite.Meta] = None,
     nowMs: () => Long = () => System.currentTimeMillis()) extends Serializable {
 
   /** forward samples; v2 endpoints also carry NATIVE HISTOGRAMS (PRW 1.0
@@ -104,6 +110,8 @@ final class RemoteWriteForwarder(
     val v2 = protoVersion >= 2
     val auth = authProvider.map(p => p()).orElse(authHeader)
     val signer = signerProvider.map(p => p())
+    val meta: RemoteWrite.Meta =
+      if (v2) metadataProvider.map(p => p()).getOrElse(Map.empty) else Map.empty
     val extraHeaders = headers
     val shipped = samples.sparkSession.sparkContext.longAccumulator("rw_forwarded")
     val base0 = samples.filter(!col("stale"))
@@ -132,7 +140,7 @@ final class RemoteWriteForwarder(
         def send(batch: Seq[RemoteWrite.Sample]): Unit = {
           if (batch.isEmpty) return
           val body =
-            if (v2) RemoteWrite.encodeV2(batch) else RemoteWrite.encodeV1(batch)
+            if (v2) RemoteWrite.encodeV2(batch, meta) else RemoteWrite.encodeV1(batch)
           val contentType =
             if (v2) "application/x-protobuf;proto=io.prometheus.write.v2.Request"
             else "application/x-protobuf"

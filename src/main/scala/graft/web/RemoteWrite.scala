@@ -334,7 +334,14 @@ object RemoteWrite {
     * in FLOAT form (count_float, zero_count_float, packed counts) — the sparse FHist
     * representation maps 1:1 and receivers accept either family. This is the
     * sending half the forwarder uses for v2 endpoints. */
-  def encodeV2(samples: Seq[Sample]): Array[Byte] = {
+  def encodeV2(samples: Seq[Sample]): Array[Byte] =
+    encodeV2(samples, Map.empty)
+
+  /** v2 encode with per-series inline metadata (PRW 2.0 carries metadata
+    * ON the TimeSeries, field 5 — type enum / help_ref / unit_ref into the
+    * shared symbol table; ref the v2 spec's Metadata message and the
+    * decode mirror above). `meta` is keyed by metric family name. */
+  def encodeV2(samples: Seq[Sample], meta: Meta): Array[Byte] = {
     val bo = new java.io.ByteArrayOutputStream()
     def vint(o: java.io.ByteArrayOutputStream, x0: Long): Unit = {
       var x = x0
@@ -413,6 +420,16 @@ object RemoteWrite {
       }
       ss.map(_.stt).find(_ != 0L).foreach { ct =>
         vint(tso, 6 << 3); vint(tso, ct)
+      }
+      labels.get("__name__").flatMap(meta.get).foreach { case (typ, unit, help) =>
+        val typeIds = Map("counter" -> 1, "gauge" -> 2, "histogram" -> 3,
+          "gaugehistogram" -> 4, "summary" -> 5, "info" -> 6, "stateset" -> 7)
+        val mo = new java.io.ByteArrayOutputStream()
+        typeIds.get(typ.toLowerCase).foreach { id =>
+          vint(mo, 1 << 3); vint(mo, id.toLong) }
+        if (help.nonEmpty) { vint(mo, 3 << 3); vint(mo, sym(help).toLong) }
+        if (unit.nonEmpty) { vint(mo, 4 << 3); vint(mo, sym(unit).toLong) }
+        delim(tso, 5, mo.toByteArray)
       }
       tso.toByteArray
     }

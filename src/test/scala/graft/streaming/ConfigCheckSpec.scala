@@ -246,6 +246,31 @@ class ConfigCheckSpec extends AnyFunSuite {
       e10.errors.exists(_.contains("max_samples_per_send must be positive")) &&
       e10.errors.exists(_.contains("max_backoff must not be less than min_backoff")),
       e10.toString)
+    // metadata_config: typo'd sub-field fails; proxy_connect_header is a
+    // named unsupported shape (load-time rejection, not a silent no-op)
+    val e12 = check(
+      """remote_write:
+        |  - url: http://x/w
+        |    metadata_config:
+        |      sends: true
+        |""".stripMargin)
+    assert(e12.errors.exists(_.contains("field sends not found")), e12.toString)
+    val e13 = check(
+      """remote_write:
+        |  - url: http://x/w
+        |    proxy_connect_header:
+        |      X-Via: [p]
+        |""".stripMargin)
+    assert(e13.errors.exists(_.contains(
+      "proxy_connect_header is not supported")), e13.toString)
+    val e14 = check(
+      """scrape_configs:
+        |  - job_name: j
+        |    proxy_connect_header:
+        |      X-Via: [p]
+        |""".stripMargin)
+    assert(e14.errors.exists(_.contains(
+      "proxy_connect_header is not supported")), e14.toString)
     // scrape jobs: oauth2 validates and excludes the fixed-header shapes
     val e11 = check(
       """scrape_configs:

@@ -141,6 +141,26 @@ class ForwarderAuthSpec extends AnyFunSuite {
     } finally srv2.stop(0)
   }
 
+  test("v2 forwarding carries inline per-series metadata when configured") {
+    val (srv, captured) = receiver()
+    try {
+      val fwd = new RemoteWriteForwarder(
+        s"http://127.0.0.1:${srv.getAddress.getPort}/w", protoVersion = 2,
+        metadataProvider = Some(() => Map(
+          "fwd" -> (("counter", "seconds", "the help text")))))
+      assert(fwd.forward(sampleDf(3, 1)) == 3L)
+      val (samples, meta) = RemoteWrite.decodeFull(captured.get(0).body, isV2 = true)
+      assert(samples.size == 3)
+      assert(meta == Map("fwd" -> (("counter", "seconds", "the help text"))), meta.toString)
+      captured.clear()
+      // metadata_config.send=false (no provider): no metadata on the wire
+      val fwd2 = new RemoteWriteForwarder(
+        s"http://127.0.0.1:${srv.getAddress.getPort}/w", protoVersion = 2)
+      fwd2.forward(sampleDf(3, 1))
+      assert(RemoteWrite.decodeFull(captured.get(0).body, isV2 = true)._2.isEmpty)
+    } finally srv.stop(0)
+  }
+
   test("alertmanager sets: oauth2/bearer header and sigv4 signing on alert posts") {
     val (srv, captured) = receiver()
     try {
