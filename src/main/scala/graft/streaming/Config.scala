@@ -911,7 +911,10 @@ object Config {
           m.str("label_name_length_limit").map(_.toInt).getOrElse(0),
           m.str("label_value_length_limit").map(_.toInt).getOrElse(0),
           m.str("body_size_limit").map(ScrapeManager.parseBytes).getOrElse(0L),
-          m.str("target_limit").map(_.toLong).getOrElse(0L)),
+          m.str("target_limit").map(_.toLong).getOrElse(0L),
+          m.str("native_histogram_bucket_limit").map(_.trim.toLong).getOrElse(0L),
+          m.str("native_histogram_min_bucket_factor").map(_.trim.toDouble)
+            .getOrElse(0.0)),
         m.str("honor_labels").contains("true"),
         dnsSd, httpSd, k8sSd, consulSd, ec2Sd, ecsSd, rdsSd, mskSd,
         elasticacheSd, gceSd, azureSd, dockerSd,

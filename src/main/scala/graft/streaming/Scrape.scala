@@ -428,10 +428,47 @@ final class ScrapeManager(
             // Scraping — classic series still scrape as before)
             val p0 = ProtoExposition.parse(bytes, t0,
               alwaysClassic = effAlwaysClassic || !keepNative)
-            val p =
+            val p1 =
               if (keepNative) p0
               else p0.copy(samples = p0.samples.filter(_.h.isEmpty))
-            (p, bytes.length.toLong, true)
+            // native-histogram shaping (ref scrape.go maxSchemaAppender +
+            // bucketLimitAppender): min_bucket_factor caps the schema,
+            // then the bucket limit keeps reducing resolution; a histogram
+            // still over the limit at schema −4 (or an irreducible custom-
+            // bounds NHCB) fails the WHOLE scrape like the reference's
+            // errBucketLimit → up=0, nothing appended
+            val minFactorCap =
+              if (limits.nativeHistogramMinBucketFactor > 1.0)
+                ScrapeManager.pickSchema(limits.nativeHistogramMinBucketFactor)
+              else Int.MaxValue
+            val bucketLim = limits.nativeHistogramBucketLimit
+            var bucketLimitHit = false
+            val p =
+              if (bucketLim <= 0 && minFactorCap == Int.MaxValue) p1
+              else p1.copy(samples = p1.samples.map { sm =>
+                sm.h match {
+                  case Some(h0) if !h0.isCustom =>
+                    var h =
+                      if (minFactorCap < h0.schema) h0.reduceTo(minFactorCap)
+                      else h0
+                    if (bucketLim > 0) {
+                      while (h.pcnt.length + h.ncnt.length > bucketLim &&
+                             h.schema > -4)
+                        h = h.reduceTo(h.schema - 1)
+                      if (h.pcnt.length + h.ncnt.length > bucketLim)
+                        bucketLimitHit = true
+                    }
+                    sm.copy(h = Some(h))
+                  case Some(h0) =>
+                    if (bucketLim > 0 && h0.cv.length > bucketLim)
+                      bucketLimitHit = true
+                    sm
+                  case None => sm
+                }
+              })
+            if (bucketLimitHit)
+              (ProtoExposition.Parsed(Nil, Map.empty), bytes.length.toLong, false)
+            else (p, bytes.length.toLong, true)
           }
         }
       } catch { case _: Exception => (ProtoExposition.Parsed(Nil, Map.empty), 0L, false) }
@@ -781,7 +818,23 @@ object ScrapeManager {
       bodySizeLimit: Long = 0L,
       // discovered-target count; exceeding fails EVERY target of the pool
       // for the cycle (ref: scrape/scrape.go:reload targetLimit, up=0 all)
-      targetLimit: Long = 0L)
+      targetLimit: Long = 0L,
+      // native-histogram shaping (ref scrape.go bucketLimitAppender +
+      // maxSchemaAppender): bucket count over the limit reduces resolution
+      // until it fits, failing the scrape at schema −4 (errBucketLimit);
+      // a min bucket-growth factor caps the schema up front
+      nativeHistogramBucketLimit: Long = 0L,
+      nativeHistogramMinBucketFactor: Double = 0.0)
+
+  /** largest standard schema whose bucket growth factor 2^(2^−schema) is
+    * ≥ the configured minimum (ref scrape.go pickSchema; 1.00271 is the
+    * factor of schema 8, the finest standard resolution) */
+  def pickSchema(bucketFactor: Double): Int =
+    if (bucketFactor <= 1.00271) 8
+    else {
+      def log2(x: Double) = math.log(x) / math.log(2.0)
+      math.max(-4, math.min(8, math.floor(-log2(log2(bucketFactor))).toInt))
+    }
 
   /** scrape protocol → content-type header value (ref: config/config.go:581
     * ScrapeProtocolsHeaders); DefaultScrapeProtocols is the no-config order */

@@ -533,6 +533,99 @@ class ServingSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("native_histogram_bucket_limit reduces resolution then fails; min_bucket_factor caps schema") {
+    import graft.streaming.ScrapeManager
+    import graft.streaming.ScrapeManager.{ScrapeLimits, ScrapeTarget}
+    // pickSchema (ref scrape.go): factor ≤ 1.00271 → 8; 4.0 → −1; huge → −4
+    assert(ScrapeManager.pickSchema(1.001) == 8)
+    assert(ScrapeManager.pickSchema(4.0) == -1)
+    assert(ScrapeManager.pickSchema(1e9) == -4)
+    // hand-encoded MetricFamily: native histogram, schema 2, positive
+    // buckets at idx 1 and idx 65 (two spans) counts [3, 2]
+    val o = new java.io.ByteArrayOutputStream()
+    def vint(out: java.io.ByteArrayOutputStream, x0: Long): Unit = {
+      var x = x0
+      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt)
+    }
+    def delim(out: java.io.ByteArrayOutputStream, tag: Int, body: Array[Byte]): Unit = {
+      vint(out, (tag << 3) | 2); vint(out, body.length); out.write(body)
+    }
+    def dbl(out: java.io.ByteArrayOutputStream, tag: Int, v: Double): Unit = {
+      vint(out, (tag << 3) | 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).foreach(i => out.write(((bits >> (8 * i)) & 0xff).toInt))
+    }
+    def bytesOf(f: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream(); f(b); b.toByteArray
+    }
+    val fam = bytesOf { f =>
+      delim(f, 1, "nh".getBytes("UTF-8")); vint(f, 3 << 3); vint(f, 4) // HISTOGRAM
+      delim(f, 4, bytesOf { m =>
+        delim(m, 7, bytesOf { h =>
+          vint(h, 1 << 3); vint(h, 5); dbl(h, 2, 10.0)
+          vint(h, 5 << 3); vint(h, 4) // schema 2 (zigzag 4)
+          delim(h, 12, bytesOf { sp => vint(sp, 1 << 3); vint(sp, 2); vint(sp, 2 << 3); vint(sp, 1) })
+          delim(h, 12, bytesOf { sp => vint(sp, 1 << 3); vint(sp, 126); vint(sp, 2 << 3); vint(sp, 1) })
+          delim(h, 13, bytesOf { d => vint(d, 6); vint(d, 1) }) // deltas [3,-1]
+        })
+      })
+    }
+    vint(o, fam.length); o.write(fam)
+    val stream = o.toByteArray
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/metrics", ex => {
+      ex.getResponseHeaders.set("Content-Type",
+        "application/vnd.google.protobuf;proto=io.prometheus.client.MetricFamily;encodings=delimited")
+      ex.sendResponseHeaders(200, stream.length)
+      ex.getResponseBody.write(stream); ex.getResponseBody.close()
+    })
+    server.start()
+    val tgt = ScrapeTarget(
+      s"http://127.0.0.1:${server.getAddress.getPort}/metrics", "nhj", "i1",
+      proto = true)
+    def histOf(store: SampleStore): Option[graft.promql.FHist] =
+      store.samples.collect().collectFirst {
+        case r if r.getMap[String, String](0)("__name__") == "nh" && !r.isNullAt(4) =>
+          graft.promql.FHist.fromRow(r.getStruct(4))
+      }
+    def upOf2(store: SampleStore): Double = store.samples.collect().collectFirst {
+      case r if r.getMap[String, String](0)("__name__") == "up" => r.getDouble(2)
+    }.get
+    try {
+      // no limits: schema 2, both buckets survive
+      val s0 = emptyStore()
+      new ScrapeManager(spark, s0, Seq(tgt), nowMs = () => 50000L).scrapeOnce()
+      assert(histOf(s0).exists(h => h.schema == 2 && h.pcnt == Seq(3.0, 2.0)))
+      // bucket_limit=1: reduction runs out at schema −4 with 2 buckets left
+      // → the WHOLE scrape fails (up=0, nothing appended)
+      val s1 = emptyStore()
+      new ScrapeManager(spark, s1, Seq(tgt), nowMs = () => 50000L,
+        limits = ScrapeLimits(nativeHistogramBucketLimit = 1L)).scrapeOnce()
+      assert(upOf2(s1) == 0.0 && histOf(s1).isEmpty)
+      // bucket_limit=2 at two spread-out buckets: already ≤ limit → intact
+      val s2 = emptyStore()
+      new ScrapeManager(spark, s2, Seq(tgt), nowMs = () => 50000L,
+        limits = ScrapeLimits(nativeHistogramBucketLimit = 2L)).scrapeOnce()
+      assert(upOf2(s2) == 1.0 && histOf(s2).exists(_.schema == 2))
+      // min_bucket_factor=4 → schema capped at −1; counts preserved
+      val s3 = emptyStore()
+      new ScrapeManager(spark, s3, Seq(tgt), nowMs = () => 50000L,
+        limits = ScrapeLimits(nativeHistogramMinBucketFactor = 4.0)).scrapeOnce()
+      assert(histOf(s3).exists(h => h.schema == -1 && h.pcnt.sum == 5.0),
+        histOf(s3).toString)
+      // config parse carries both fields
+      val cfg = graft.streaming.Config.parse(
+        """scrape_configs:
+          |  - job_name: j
+          |    native_histogram_bucket_limit: 160
+          |    native_histogram_min_bucket_factor: 1.1
+          |""".stripMargin)
+      assert(cfg.scrapeJobs.head.limits.nativeHistogramBucketLimit == 160L)
+      assert(cfg.scrapeJobs.head.limits.nativeHistogramMinBucketFactor == 1.1)
+    } finally server.stop(0)
+  }
+
   test("scrape http_headers: values/secrets/files merge, multi-value, reserved rejected") {
     @volatile var seen = Map.empty[String, Seq[String]]
     val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
