@@ -106,7 +106,10 @@ object Config {
       // http_headers of the common HTTP client config (ref:
       // configuration.md:733 — values/secrets/files merged per name;
       // file contents resolve at config load like the *_file auth fields)
-      httpHeaders: Map[String, Seq[String]] = Map.empty)
+      httpHeaders: Map[String, Seq[String]] = Map.empty,
+      // scrape_failure_log_file (per-job override of the global; resolved
+      // against the config dir — ref ScrapeConfig.ScrapeFailureLogFile)
+      failureLogFile: Option[String] = None)
 
   /** one `alerting.alertmanagers` group (ref: config/config.go:1330
     * AlertmanagerConfig): target discovery + relabel_configs live on the
@@ -954,6 +957,9 @@ object Config {
         fallbackProtocol = str(m, "fallback_scrape_protocol"),
         oauth2 = oauth2Of(m, base),
         httpHeaders = httpHeadersOf(m, base),
+        failureLogFile = m.str("scrape_failure_log_file")
+          .orElse(global.str("scrape_failure_log_file"))
+          .filter(_.nonEmpty).map(f => base.resolve(f).toString),
         alwaysClassicHist =
           m.str("always_scrape_classic_histograms").contains("true"),
         enableCompression = !m.str("enable_compression").contains("false"),

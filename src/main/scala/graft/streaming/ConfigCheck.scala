@@ -34,6 +34,7 @@ object ConfigCheck {
 
   private val scrapeFields = Set(
     "job_name", "scrape_interval", "scrape_timeout", "scrape_protocols",
+    "scrape_failure_log_file",
     "metrics_path", "scheme", "honor_labels", "honor_timestamps",
     "track_timestamps_staleness", "params", "basic_auth", "authorization",
     "oauth2", "tls_config", "proxy_url", "no_proxy", "proxy_from_environment",

@@ -42,6 +42,9 @@ final class ScrapeManager(
     // headers: multiple values per name allowed); protocol headers below
     // use setHeader and so always win a same-name collision
     httpHeaders: Map[String, Seq[String]] = Map.empty,
+    // scrape_failure_log_file (ref ScrapeConfig.ScrapeFailureLogFile):
+    // one JSON line per failed scrape, slog-shaped fields
+    failureLogFile: Option[String] = None,
     // negotiation order (ref: ScrapeConfig.ScrapeProtocols; empty = the
     // reference's DefaultScrapeProtocols) and the parser used when the
     // response carries no recognizable Content-Type
@@ -210,6 +213,25 @@ final class ScrapeManager(
   }
 
   import ScrapeManager.ScrapeTarget
+
+  /** append one failure line (ref scrape.go scrapeFailureLogger — a JSON
+    * slog record per failed scrape; msg carries the reason) */
+  private def logFailure(tgt: ScrapeTarget, reason: String): Unit =
+    failureLogFile.foreach { f =>
+      try {
+        val line = graft.web.Json.obj(
+          "time" -> graft.web.Json.str(
+            java.time.Instant.ofEpochMilli(nowMs()).toString),
+          "level" -> graft.web.Json.str("ERROR"),
+          "msg" -> graft.web.Json.str(reason),
+          "scrape_pool" -> graft.web.Json.str(tgt.job),
+          "target" -> graft.web.Json.str(tgt.url)) + "\n"
+        java.nio.file.Files.write(java.nio.file.Paths.get(f),
+          line.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case _: Exception => () }
+    }
 
   /** common scrape request decoration (ref: scrape/scrape.go — the
     * X-Prometheus-Scrape-Timeout-Seconds hint header rides every request);
@@ -514,6 +536,7 @@ final class ScrapeManager(
     val postN = postLabels.length.toLong
     val violation = if (!ok) None else limitViolation(postLabels.iterator, postN)
     val effOk = ok && violation.isEmpty
+    if (!effOk) logFailure(tgt, violation.getOrElse("scrape failed"))
     val tgtKey = seriesKey(tgt.job, tgt.url)
     val nowSeries: Set[Long] =
       postLabels.iterator.map(ls =>
@@ -734,6 +757,7 @@ final class ScrapeManager(
     val postN = postLabels.length.toLong
     val violation = if (!ok) None else limitViolation(postLabels.iterator, postN)
     val effOk = ok && violation.isEmpty
+    if (!effOk) logFailure(tgt, violation.getOrElse("scrape failed"))
     // scrape_series_added: post-relabel series not seen in this target's
     // previous scrape (ref: scrape.go seriesAdded via the per-target scrape
     // cache; a failed scrape reports 0 and leaves the cache untouched)

@@ -262,6 +262,7 @@ final class PromServer(
           authProvider = job.oauth2.map(new graft.web.OAuth2.TokenProvider(_))
             .map(tp => () => tp.header()),
           httpHeaders = job.httpHeaders,
+          failureLogFile = job.failureLogFile,
           honorTimestamps = job.honorTimestamps,
           scrapeProtocols = job.scrapeProtocols,
           fallbackProtocol = job.fallbackProtocol,

@@ -683,6 +683,58 @@ class ServingSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("scrape_failure_log_file records failed scrapes as JSON lines") {
+    import graft.streaming.ScrapeManager
+    import graft.streaming.ScrapeManager.{ScrapeLimits, ScrapeTarget}
+    val log = java.nio.file.Files.createTempFile("sfl", ".log")
+    java.nio.file.Files.deleteIfExists(log)
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/metrics", ex => {
+      val body = "a 1\nb 2\nc 3\n".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.getResponseBody.close()
+    })
+    server.start()
+    try {
+      // connection refused → one failure line with pool + target
+      new ScrapeManager(spark, emptyStore(),
+        Seq(ScrapeTarget("http://127.0.0.1:1/metrics", "downj", "d1")),
+        nowMs = () => 50000L, timeoutMs = 300L,
+        failureLogFile = Some(log.toString)).scrapeOnce()
+      val lines1 = new String(java.nio.file.Files.readAllBytes(log), "UTF-8")
+        .trim.split("\n")
+      assert(lines1.length == 1, lines1.toSeq.toString)
+      assert(lines1(0).contains("\"scrape_pool\":\"downj\"") &&
+        lines1(0).contains("127.0.0.1:1") && lines1(0).contains("\"ERROR\""), lines1(0))
+      // sample_limit violation logs the reason; a healthy scrape logs nothing
+      new ScrapeManager(spark, emptyStore(),
+        Seq(ScrapeTarget(s"http://127.0.0.1:${server.getAddress.getPort}/metrics",
+          "limj", "l1")),
+        nowMs = () => 50000L, limits = ScrapeLimits(sampleLimit = 2L),
+        failureLogFile = Some(log.toString)).scrapeOnce()
+      new ScrapeManager(spark, emptyStore(),
+        Seq(ScrapeTarget(s"http://127.0.0.1:${server.getAddress.getPort}/metrics",
+          "okj", "o1")),
+        nowMs = () => 50000L, failureLogFile = Some(log.toString)).scrapeOnce()
+      val lines2 = new String(java.nio.file.Files.readAllBytes(log), "UTF-8")
+        .trim.split("\n")
+      assert(lines2.length == 2, lines2.toSeq.toString)
+      assert(lines2(1).contains("sample_limit exceeded") &&
+        lines2(1).contains("\"scrape_pool\":\"limj\""), lines2(1))
+      // config: per-job path resolves against the config dir, global fallback
+      val cfg = graft.streaming.Config.parse(
+        """global:
+          |  scrape_failure_log_file: global.log
+          |scrape_configs:
+          |  - job_name: a
+          |  - job_name: b
+          |    scrape_failure_log_file: job.log
+          |""".stripMargin, "/cfg")
+      assert(cfg.scrapeJobs(0).failureLogFile.contains("/cfg/global.log"))
+      assert(cfg.scrapeJobs(1).failureLogFile.contains("/cfg/job.log"))
+    } finally { server.stop(0); java.nio.file.Files.deleteIfExists(log) }
+  }
+
   test("scrape limits: body_size_limit, target_limit, honor_timestamps=false") {
     import graft.streaming.ScrapeManager.{parseBytes, ScrapeLimits, ScrapeTarget}
     // Go units strings (SI and IEC) parse like the reference's
