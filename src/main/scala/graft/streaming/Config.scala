@@ -109,7 +109,9 @@ object Config {
       httpHeaders: Map[String, Seq[String]] = Map.empty,
       // scrape_failure_log_file (per-job override of the global; resolved
       // against the config dir — ref ScrapeConfig.ScrapeFailureLogFile)
-      failureLogFile: Option[String] = None)
+      failureLogFile: Option[String] = None,
+      // track_timestamps_staleness (ref #13060, default false)
+      trackTimestampsStaleness: Boolean = false)
 
   /** one `alerting.alertmanagers` group (ref: config/config.go:1330
     * AlertmanagerConfig): target discovery + relabel_configs live on the
@@ -960,6 +962,8 @@ object Config {
         failureLogFile = m.str("scrape_failure_log_file")
           .orElse(global.str("scrape_failure_log_file"))
           .filter(_.nonEmpty).map(f => base.resolve(f).toString),
+        trackTimestampsStaleness =
+          m.str("track_timestamps_staleness").contains("true"),
         alwaysClassicHist =
           m.str("always_scrape_classic_histograms").contains("true"),
         enableCompression = !m.str("enable_compression").contains("false"),

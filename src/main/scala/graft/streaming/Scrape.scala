@@ -25,6 +25,10 @@ final class ScrapeManager(
     intervalMs: Long = 15000L,
     metricRelabel: Seq[Relabel.Rule] = Nil,
     honorTimestamps: Boolean = true,
+    // track_timestamps_staleness (ref #13060, default false): explicitly
+    // timestamped series also receive staleness markers when they
+    // disappear; without it only implicit-ts series are tracked
+    trackTimestampsStaleness: Boolean = false,
     client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient(),
     nowMs: () => Long = () => System.currentTimeMillis(),
     limits: ScrapeManager.ScrapeLimits = ScrapeManager.ScrapeLimits(),
@@ -90,10 +94,38 @@ final class ScrapeManager(
     // prometheus/common v0.69.0)
     followRedirects: Boolean = true) {
 
-  // per-target post-relabel series-identity sets from the LAST successful
-  // scrape — feeds scrape_series_added (ref: the per-target scrape cache)
-  private val seriesSeen =
-    scala.collection.concurrent.TrieMap[String, Set[Long]]()
+  // per-target post-relabel series cache from the LAST successful scrape:
+  // sig -> (labels, had-explicit-timestamp) — feeds scrape_series_added
+  // AND the disappeared-series staleness markers (ref: the per-target
+  // scrape cache, scrape.go:1575 staleness append)
+  private val seriesSeen = scala.collection.concurrent.TrieMap[
+    String, Map[Long, (Map[String, String], Boolean)]]()
+
+  /** advance the per-target series cache; returns (scrape_series_added,
+    * labels owed a staleness marker this cycle). A series present last
+    * scrape and absent now gets a marker (ref scrape.go:1575); explicitly
+    * timestamped series only under track_timestamps_staleness (#13060). A
+    * FAILED scrape stales and clears the WHOLE cache (the reference
+    * appends an empty report through the same path), so recovery
+    * re-counts every series as added. */
+  private def staleDiff(tgtKey: String,
+      nowMap: Map[Long, (Map[String, String], Boolean)], effOk: Boolean)
+      : (Long, Seq[Map[String, String]]) = {
+    val prev = seriesSeen.getOrElse(tgtKey, Map.empty)
+    def markable(m: Iterable[(Map[String, String], Boolean)]) =
+      m.iterator.collect {
+        case (l, explicit) if !explicit || trackTimestampsStaleness => l
+      }.toSeq
+    if (effOk) {
+      val added = nowMap.keysIterator.count(!prev.contains(_)).toLong
+      seriesSeen.put(tgtKey, nowMap)
+      (added, markable(prev.collect {
+        case (sig, v) if !nowMap.contains(sig) => v }))
+    } else {
+      seriesSeen.remove(tgtKey)
+      (0L, markable(prev.values))
+    }
+  }
   private def seriesKey(job: String, url: String): String = job + "\u0000" + url
   // 64-bit FNV-1a over the sorted label string: a 32-bit String.hashCode
   // collides at realistic per-target series counts (~2^16 birthday bound)
@@ -397,7 +429,20 @@ final class ScrapeManager(
     // driver state without bound (the reference drops a target's scrape
     // cache with its loop)
     val liveKeys = tgts.map(t => seriesKey(t.job, t.url)).toSet
-    seriesSeen.keys.filterNot(liveKeys).foreach(seriesSeen.remove)
+    // a departed target's cached series go stale at this cycle (ref
+    // scrape.go — a stopping scrape loop appends staleness markers)
+    val departed = seriesSeen.keys.filterNot(liveKeys).toSeq
+    if (departed.nonEmpty) {
+      val tMark = nowMs()
+      val rows = departed.flatMap(k =>
+        seriesSeen.getOrElse(k, Map.empty).valuesIterator.collect {
+          case (l, explicit) if !explicit || trackTimestampsStaleness => l
+        }).map(l => Row(l, tMark, Double.NaN, true, null, 0L))
+      if (rows.nonEmpty)
+        store.append(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), Engine.samplesSchema))
+      departed.foreach(seriesSeen.remove)
+    }
     stSynthState.keys.filterNot(liveKeys).foreach(stSynthState.remove)
     stSynthHistState.keys.filterNot(liveKeys).foreach(stSynthHistState.remove)
     // PrometheusProto first in scrape_protocols → protobuf negotiation for
@@ -531,24 +576,19 @@ final class ScrapeManager(
     // verifyLabelLimits — a relabel rule that drops the offending label must
     // let the scrape pass); one collect replaces the former count (the batch
     // is driver-origin and ≤ scrape size)
-    val postLabels = scraped.map(_.select("labels").collect()
-      .map(_.getAs[scala.collection.Map[String, String]](0).toMap)).getOrElse(Array.empty)
+    val postPairs = scraped.map(_.select("labels", "t").collect()
+      .map(r => (r.getAs[scala.collection.Map[String, String]](0).toMap,
+        r.getLong(1) != t0))).getOrElse(Array.empty)
+    val postLabels = postPairs.map(_._1)
     val postN = postLabels.length.toLong
     val violation = if (!ok) None else limitViolation(postLabels.iterator, postN)
     val effOk = ok && violation.isEmpty
     if (!effOk) logFailure(tgt, violation.getOrElse("scrape failed"))
     val tgtKey = seriesKey(tgt.job, tgt.url)
-    val nowSeries: Set[Long] =
-      postLabels.iterator.map(ls =>
-        series64(ls.toSeq.sorted.mkString("\u0001"))).toSet
-    val seriesAdded =
-      if (!effOk) 0L
-      else {
-        val prev = seriesSeen.getOrElse(tgtKey, Set.empty)
-        val added = nowSeries.count(!prev(_)).toLong
-        seriesSeen.put(tgtKey, nowSeries)
-        added
-      }
+    val nowMap: Map[Long, (Map[String, String], Boolean)] =
+      postPairs.iterator.map { case (ls, explicit) =>
+        series64(ls.toSeq.sorted.mkString("\u0001")) -> ((ls, explicit)) }.toMap
+    val (seriesAdded, staleLabels) = staleDiff(tgtKey, nowMap, effOk)
     val report = (Seq(
       ("up", if (effOk) 1.0 else 0.0),
       ("scrape_duration_seconds", dur),
@@ -562,8 +602,9 @@ final class ScrapeManager(
       .map { case (n, v) =>
       Row(decorate(Map("__name__" -> n)), t0, v, false, null, 0L)
     }
+    val markerRows = staleLabels.map(l => Row(l, t0, Double.NaN, true, null, 0L))
     val reportDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(report, 1), Engine.samplesSchema)
+      spark.sparkContext.parallelize(report ++ markerRows, 1), Engine.samplesSchema)
     store.append(scraped.filter(_ => violation.isEmpty)
       .map(_.unionByName(reportDf)).getOrElse(reportDf))
     if (parsed.meta.nonEmpty && violation.isEmpty) store.mergeMetadata(parsed.meta)
@@ -752,27 +793,22 @@ final class ScrapeManager(
     // post-relabel label sets (see scrapeProto: append-time
     // verifyLabelLimits); limits count the SCRAPED series — synthesized
     // NHCB natives don't count against sample_limit
-    val postLabels = scrapedReal.map(_.select("labels").collect()
-      .map(_.getAs[scala.collection.Map[String, String]](0).toMap)).getOrElse(Array.empty)
+    val postPairs = scrapedReal.map(_.select("labels", "t").collect()
+      .map(r => (r.getAs[scala.collection.Map[String, String]](0).toMap,
+        r.getLong(1) != t0))).getOrElse(Array.empty)
+    val postLabels = postPairs.map(_._1)
     val postN = postLabels.length.toLong
     val violation = if (!ok) None else limitViolation(postLabels.iterator, postN)
     val effOk = ok && violation.isEmpty
     if (!effOk) logFailure(tgt, violation.getOrElse("scrape failed"))
-    // scrape_series_added: post-relabel series not seen in this target's
-    // previous scrape (ref: scrape.go seriesAdded via the per-target scrape
-    // cache; a failed scrape reports 0 and leaves the cache untouched)
+    // scrape_series_added + staleness diff: post-relabel series vs this
+    // target's previous scrape (ref: scrape.go seriesAdded via the
+    // per-target scrape cache; see staleDiff for the failure semantics)
     val tgtKey = seriesKey(tgt.job, tgt.url)
-    val nowSeries: Set[Long] =
-      postLabels.iterator.map(ls =>
-        series64(ls.toSeq.sorted.mkString("\u0001"))).toSet
-    val seriesAdded =
-      if (!effOk) 0L
-      else {
-        val prev = seriesSeen.getOrElse(tgtKey, Set.empty)
-        val added = nowSeries.count(!prev(_)).toLong
-        seriesSeen.put(tgtKey, nowSeries)
-        added
-      }
+    val nowMap: Map[Long, (Map[String, String], Boolean)] =
+      postPairs.iterator.map { case (ls, explicit) =>
+        series64(ls.toSeq.sorted.mkString("\u0001")) -> ((ls, explicit)) }.toMap
+    val (seriesAdded, staleLabels) = staleDiff(tgtKey, nowMap, effOk)
     val report = (Seq(
       ("up", if (effOk) 1.0 else 0.0),
       ("scrape_duration_seconds", dur),
@@ -788,10 +824,16 @@ final class ScrapeManager(
         ("scrape_body_size_bytes", bodyLen.toDouble)) else Nil))
       .map { case (n, v) => (decorate(Map("__name__" -> n)), t0, v, 0L) }
     // a violated limit drops the WHOLE scraped batch (append rollback)
-    val batch = scraped.filter(_ => violation.isEmpty) match {
+    val batch0 = scraped.filter(_ => violation.isEmpty) match {
       case Some(df) => df.unionByName(toDf(report))
       case None => toDf(report)
     }
+    val batch =
+      if (staleLabels.isEmpty) batch0
+      else batch0.unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          staleLabels.map(l => Row(l, t0, Double.NaN, true, null, 0L)), 1),
+        Engine.samplesSchema))
     store.append(batch)
     // exemplars ride the accepted scrape only, attached to the decorated,
     // POST-metric-relabel series — an exemplar of a relabel-dropped series

@@ -264,6 +264,7 @@ final class PromServer(
           httpHeaders = job.httpHeaders,
           failureLogFile = job.failureLogFile,
           honorTimestamps = job.honorTimestamps,
+          trackTimestampsStaleness = job.trackTimestampsStaleness,
           scrapeProtocols = job.scrapeProtocols,
           fallbackProtocol = job.fallbackProtocol,
           alwaysClassicHist = job.alwaysClassicHist,

@@ -683,6 +683,78 @@ class ServingSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("scrape staleness: disappeared series get markers; explicit ts gated; failure stales all") {
+    import graft.streaming.ScrapeManager
+    import graft.streaming.ScrapeManager.ScrapeTarget
+    @volatile var body = "a 1\nb 2\nc 3 1234\n" // c carries an EXPLICIT ts
+    @volatile var fail = false
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/metrics", ex => {
+      if (fail) { ex.sendResponseHeaders(500, -1); ex.close() }
+      else {
+        val b = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.getResponseBody.close()
+      }
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/metrics"
+    def staleNames(store: SampleStore): Seq[(String, Long)] =
+      store.samples.collect().filter(_.getBoolean(3))
+        .map(r => (r.getMap[String, String](0)("__name__"), r.getLong(1))).toSeq
+    try {
+      // default (track_timestamps_staleness=false): b vanishing → marker at
+      // the second scrape's time; c (explicit ts) vanishing → NO marker
+      val s1 = emptyStore()
+      @volatile var clock = 50000L
+      val m1 = new ScrapeManager(spark, s1, Seq(ScrapeTarget(url, "j", "i1")),
+        nowMs = () => clock)
+      m1.scrapeOnce()
+      assert(staleNames(s1).isEmpty)
+      body = "a 1\n"; clock = 60000L
+      m1.scrapeOnce()
+      assert(staleNames(s1) == Seq(("b", 60000L)), staleNames(s1).toString)
+      // track_timestamps_staleness=true: the explicit-ts series is tracked
+      val s2 = emptyStore()
+      body = "a 1\nc 3 1234\n"; clock = 50000L
+      val m2 = new ScrapeManager(spark, s2, Seq(ScrapeTarget(url, "j", "i1")),
+        nowMs = () => clock, trackTimestampsStaleness = true)
+      m2.scrapeOnce()
+      body = "a 1\n"; clock = 60000L
+      m2.scrapeOnce()
+      assert(staleNames(s2) == Seq(("c", 60000L)), staleNames(s2).toString)
+      // a failed scrape stales the WHOLE cache once (not again while down);
+      // recovery re-counts every series as added
+      val s3 = emptyStore()
+      body = "a 1\nb 2\n"; clock = 50000L
+      val m3 = new ScrapeManager(spark, s3, Seq(ScrapeTarget(url, "j", "i1")),
+        nowMs = () => clock)
+      m3.scrapeOnce()
+      fail = true; clock = 60000L
+      m3.scrapeOnce()
+      assert(staleNames(s3).map(_._1).sorted == Seq("a", "b"), staleNames(s3).toString)
+      clock = 70000L
+      m3.scrapeOnce() // still down: no duplicate markers
+      assert(staleNames(s3).size == 2)
+      fail = false; clock = 80000L
+      m3.scrapeOnce()
+      val added = s3.samples.collect().filter { r =>
+        r.getMap[String, String](0)("__name__") == "scrape_series_added" &&
+          r.getLong(1) == 80000L }.map(_.getDouble(2))
+      assert(added.toSeq == Seq(2.0), added.toSeq.toString)
+      // a target dropped from the pool stales its series on the next cycle
+      val s4 = emptyStore()
+      @volatile var tgts = Seq(ScrapeTarget(url, "j", "i1"))
+      val m4 = new ScrapeManager(spark, s4, Nil, nowMs = () => clock)
+      m4.setTargetProvider(() => tgts)
+      body = "a 1\n"; clock = 50000L
+      m4.scrapeOnce()
+      tgts = Nil; clock = 60000L
+      m4.scrapeOnce()
+      assert(staleNames(s4) == Seq(("a", 60000L)), staleNames(s4).toString)
+    } finally server.stop(0)
+  }
+
   test("scrape_failure_log_file records failed scrapes as JSON lines") {
     import graft.streaming.ScrapeManager
     import graft.streaming.ScrapeManager.{ScrapeLimits, ScrapeTarget}
