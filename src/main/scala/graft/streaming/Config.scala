@@ -203,7 +203,45 @@ object Config {
       // gates the v2 inline per-series metadata; send_interval and
       // max_samples_per_send are 1.0 separate-RPC pacing knobs — parsed
       // and validated, inert here (documented divergence)
-      metadataSend: Boolean = true)
+      metadataSend: Boolean = true,
+      // transport knobs — remote_write default pins HTTP/1.1
+      client: HttpClientCfg = HttpClientCfg(enableHttp2 = false))
+
+  /** common HTTP-client TRANSPORT knobs shared by remote_write/remote_read
+    * entries (ref common HTTPClientConfig). enable_http2 defaults differ:
+    * remote_write ships HTTP/1.1 (config.go:221
+    * DefaultRemoteWriteHTTPClientConfig), remote_read the common HTTP/2
+    * default (config.go:265). */
+  final case class HttpClientCfg(
+      followRedirects: Boolean = true,
+      enableHttp2: Boolean = true,
+      tlsCaFile: String = "",
+      tlsInsecureSkipVerify: Boolean = false,
+      proxyUrl: String = "",
+      noProxy: String = "",
+      proxyFromEnvironment: Boolean = false)
+
+  private def clientCfgOf(m: YMap, base: java.nio.file.Path,
+      http2Default: Boolean): HttpClientCfg = HttpClientCfg(
+    followRedirects = !m.str("follow_redirects").contains("false"),
+    enableHttp2 = m.str("enable_http2") match {
+      case Some("true") => true
+      case Some("false") => false
+      case _ => http2Default
+    },
+    tlsCaFile = m.get("tls_config") match {
+      case Some(tc: YMap) =>
+        val f = tc.str("ca_file").filter(_.nonEmpty).getOrElse("")
+        if (f.nonEmpty) base.resolve(f).toString else ""
+      case _ => ""
+    },
+    tlsInsecureSkipVerify = m.get("tls_config") match {
+      case Some(tc: YMap) => tc.str("insecure_skip_verify").contains("true")
+      case _ => false
+    },
+    proxyUrl = m.str("proxy_url").filter(_.nonEmpty).getOrElse(""),
+    noProxy = m.str("no_proxy").filter(_.nonEmpty).getOrElse(""),
+    proxyFromEnvironment = m.str("proxy_from_environment").contains("true"))
 
   /** sigv4 block (ref: the prometheus/sigv4 library's SigV4Config as
     * documented at configuration.md:3715; access/secret keys, named
@@ -249,7 +287,9 @@ object Config {
       requiredMatchers: Map[String, String] = Map.empty,
       filterExternalLabels: Boolean = true,
       // remote_timeout (ref DefaultRemoteReadConfig 1m)
-      remoteTimeoutMs: Long = 60000L)
+      remoteTimeoutMs: Long = 60000L,
+      // transport knobs — remote_read keeps the common HTTP/2 default
+      client: HttpClientCfg = HttpClientCfg())
 
   /** rendered Authorization header from basic_auth / authorization /
     * bearer_token* (ref: common HTTPClientConfig — exactly one wins,
@@ -1010,7 +1050,8 @@ object Config {
         metadataSend = m.get("metadata_config") match {
           case Some(mc: YMap) => !mc.str("send").contains("false")
           case _ => true
-        })
+        },
+        client = clientCfgOf(m, base, http2Default = false))
     }.filter(_.url.nonEmpty)
     val remoteReads = root.list("remote_read").collect { case m: YMap =>
       RemoteReadEntry(str(m, "url"), str(m, "name"),
@@ -1018,7 +1059,8 @@ object Config {
         readRecent = m.str("read_recent").contains("true"),
         requiredMatchers = kv(m.get("required_matchers")),
         filterExternalLabels = !m.str("filter_external_labels").contains("false"),
-        remoteTimeoutMs = m.str("remote_timeout").map(durMs).getOrElse(60000L))
+        remoteTimeoutMs = m.str("remote_timeout").map(durMs).getOrElse(60000L),
+        client = clientCfgOf(m, base, http2Default = true))
     }.filter(_.url.nonEmpty)
     // alerting: — per-group service discovery via the scrape-job machinery
     // plus alert relabeling (ref: config/config.go:1274 AlertingConfig

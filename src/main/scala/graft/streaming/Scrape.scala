@@ -997,9 +997,15 @@ object ScrapeManager {
       tlsInsecureSkipVerify: Boolean = false, noProxy: String = "",
       proxyFromEnvironment: Boolean = false,
       enableHttp2: Boolean = true,
-      env: Map[String, String] = sys.env): java.net.http.HttpClient = {
+      env: Map[String, String] = sys.env,
+      // scrape keeps NEVER (sendFollow implements follow_redirects with
+      // the cross-host credential drop itself); remote write/read pass
+      // NORMAL for the common follow_redirects=true default
+      redirects: java.net.http.HttpClient.Redirect =
+        java.net.http.HttpClient.Redirect.NEVER): java.net.http.HttpClient = {
     val b = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10))
+      .followRedirects(redirects)
     // enable_http2=false pins HTTP/1.1 (the JDK default is 2-with-fallback)
     if (!enableHttp2) b.version(java.net.http.HttpClient.Version.HTTP_1_1)
     proxySelectorFor(proxyUrl, noProxy, proxyFromEnvironment, env)

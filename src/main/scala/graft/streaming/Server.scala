@@ -222,12 +222,21 @@ final class PromServer(
            remoteTimeoutMs = e.remoteTimeoutMs,
            sendNativeHistograms = e.sendNativeHistograms,
            metadataProvider =
-             if (e.metadataSend) Some(() => store.metadata) else None))
+             if (e.metadataSend) Some(() => store.metadata) else None,
+           clientCfg = e.client))
       }
       remoteReadSecondaries = cfg.remoteReads.map { e =>
         val oaProvider = e.oauth2.map(new graft.web.OAuth2.TokenProvider(_))
         graft.web.FanoutStore.Secondary(
           new graft.web.RemoteReadClient(e.url,
+            client = ScrapeManager.buildClient(
+              e.client.proxyUrl, e.client.tlsCaFile,
+              e.client.tlsInsecureSkipVerify, e.client.noProxy,
+              e.client.proxyFromEnvironment, e.client.enableHttp2,
+              redirects =
+                if (e.client.followRedirects)
+                  java.net.http.HttpClient.Redirect.NORMAL
+                else java.net.http.HttpClient.Redirect.NEVER),
             authHeader = e.authHeader, headers = e.headers,
             authProvider = oaProvider.map(tp => () => tp.header()),
             remoteTimeoutMs = e.remoteTimeoutMs),

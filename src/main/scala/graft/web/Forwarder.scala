@@ -96,6 +96,11 @@ final class RemoteWriteForwarder(
     // driver — rides the batch encode; the 1.0 separate-RPC metadata path
     // is not implemented (documented divergence)
     metadataProvider: Option[() => RemoteWrite.Meta] = None,
+    // transport knobs (ref config.go:221 DefaultRemoteWriteHTTPClientConfig:
+    // redirects followed, HTTP/2 OFF for remote write) — executors build
+    // their per-partition client from this serializable config
+    clientCfg: graft.streaming.Config.HttpClientCfg =
+      graft.streaming.Config.HttpClientCfg(enableHttp2 = false),
     nowMs: () => Long = () => System.currentTimeMillis()) extends Serializable {
 
   /** forward samples; v2 endpoints also carry NATIVE HISTOGRAMS (PRW 1.0
@@ -134,9 +139,15 @@ final class RemoteWriteForwarder(
       if (maxShards > 0 && projected0.rdd.getNumPartitions > maxShards)
         projected0.coalesce(maxShards)
       else projected0
+    val cc = clientCfg
     projected
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val client = java.net.http.HttpClient.newHttpClient()
+        val client = graft.streaming.ScrapeManager.buildClient(
+          cc.proxyUrl, cc.tlsCaFile, cc.tlsInsecureSkipVerify, cc.noProxy,
+          cc.proxyFromEnvironment, cc.enableHttp2,
+          redirects =
+            if (cc.followRedirects) java.net.http.HttpClient.Redirect.NORMAL
+            else java.net.http.HttpClient.Redirect.NEVER)
         def send(batch: Seq[RemoteWrite.Sample]): Unit = {
           if (batch.isEmpty) return
           val body =
@@ -168,12 +179,12 @@ final class RemoteWriteForwarder(
                   .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
                   .build(),
                 java.net.http.HttpResponse.BodyHandlers.discarding())
-              // 2xx done; 4xx unrecoverable (drop, like the reference) —
-              // EXCEPT 429 when retry_on_http_429 is set, honoring
-              // Retry-After (ref: storage/remote/client.go:322 — 5xx always
-              // recoverable, 429 only when configured)
+              // 2xx done; ONLY 5xx (and 429 when retry_on_http_429 is set,
+              // honoring Retry-After) is recoverable — 3xx/4xx drop the
+              // batch like the reference's unrecoverable errors (ref:
+              // storage/remote/client.go:322)
               val sc = resp.statusCode()
-              if (sc / 100 == 2 || (sc / 100 == 4 && !(sc == 429 && retry429)))
+              if (sc / 100 == 2 || !(sc / 100 == 5 || (sc == 429 && retry429)))
                 done = true
               else {
                 val retryAfterMs = resp.headers().firstValue("Retry-After")

@@ -180,6 +180,27 @@ class ConfigSpec extends AnyFunSuite {
     val rr = cfgT.remoteReads.head
     assert(rr.remoteTimeoutMs == 15000L && rr.readRecent &&
       !rr.filterExternalLabels && rr.requiredMatchers == Map("cluster" -> "prod"))
+    // transport defaults differ per section (ref config.go:221 vs :265):
+    // remote_write pins HTTP/1.1, remote_read keeps HTTP/2; both follow
+    // redirects; tls/proxy knobs parse
+    assert(!cfgT.remoteWrites.head.client.enableHttp2 &&
+      cfgT.remoteWrites.head.client.followRedirects)
+    assert(rr.client.enableHttp2 && rr.client.followRedirects)
+    val cfgC = Config.parse(
+      """remote_write:
+        |  - url: https://x/w
+        |    enable_http2: true
+        |    follow_redirects: false
+        |    proxy_url: http://p:3128
+        |    no_proxy: internal
+        |    tls_config:
+        |      ca_file: ca.pem
+        |      insecure_skip_verify: true
+        |""".stripMargin, "/cfgdir")
+    val cc = cfgC.remoteWrites.head.client
+    assert(cc.enableHttp2 && !cc.followRedirects &&
+      cc.proxyUrl == "http://p:3128" && cc.noProxy == "internal" &&
+      cc.tlsCaFile == "/cfgdir/ca.pem" && cc.tlsInsecureSkipVerify)
     val oa = cfg.remoteWrites(1).oauth2.get
     assert(oa.clientId == "cid" && oa.grantType == graft.web.OAuth2.JwtBearerGrant)
     assert(oa.clientCertificateKeyFile == "/cfgdir/key.pem") // config-dir relative

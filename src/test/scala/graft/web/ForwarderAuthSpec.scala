@@ -141,6 +141,45 @@ class ForwarderAuthSpec extends AnyFunSuite {
     } finally srv2.stop(0)
   }
 
+  test("transport: redirects followed by default (307 preserves POST), HTTP/1.1 pinned") {
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[Req]()
+    val s = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    s.createContext("/w", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      ex.getResponseHeaders.set("Location",
+        s"http://127.0.0.1:${s.getAddress.getPort}/w2")
+      ex.sendResponseHeaders(307, -1); ex.close()
+    })
+    s.createContext("/w2", (ex: HttpExchange) => {
+      val body = ex.getRequestBody.readAllBytes()
+      val hdrs = {
+        val b = Map.newBuilder[String, String]
+        ex.getRequestHeaders.forEach((k, v) => b += (k.toLowerCase -> v.get(0)))
+        b.result()
+      }
+      captured.add(Req(hdrs, body))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    s.start()
+    try {
+      val url = s"http://127.0.0.1:${s.getAddress.getPort}/w"
+      // default transport (ref DefaultRemoteWriteHTTPClientConfig):
+      // follow_redirects=true → the 307 replays the POST at /w2
+      val fwd = new RemoteWriteForwarder(url, maxRetries = 1, backoffMs = 1L)
+      assert(fwd.forward(sampleDf(4, 1)) == 4L)
+      assert(captured.size() == 1)
+      assert(RemoteWrite.decode(captured.get(0).body, isV2 = false).size == 4)
+      captured.clear()
+      // follow_redirects=false: the 3xx is an unrecoverable drop (no
+      // retry storm, nothing reaches /w2 — ref client.go non-2xx handling)
+      val fwd2 = new RemoteWriteForwarder(url, maxRetries = 3, backoffMs = 1L,
+        clientCfg = graft.streaming.Config.HttpClientCfg(
+          followRedirects = false, enableHttp2 = false))
+      fwd2.forward(sampleDf(4, 1))
+      assert(captured.size() == 0)
+    } finally s.stop(0)
+  }
+
   test("v2 forwarding carries inline per-series metadata when configured") {
     val (srv, captured) = receiver()
     try {
