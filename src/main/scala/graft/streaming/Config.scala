@@ -481,7 +481,7 @@ object Config {
 
   /** expand a rule_files pattern (globs supported) relative to baseDir;
     * non-matching patterns contribute nothing (the reference warns) */
-  private def expandGlob(baseDir: java.nio.file.Path, pattern: String): Seq[String] = {
+  private[streaming] def expandGlob(baseDir: java.nio.file.Path, pattern: String): Seq[String] = {
     val p = if (pattern.startsWith("/")) pattern else baseDir.resolve(pattern).toString
     // filepath.Glob metacharacters are * ? and [...] (ref: Go path/filepath
     // Match) — a pattern like `rules-?.yml` must glob, not literal-match
@@ -514,7 +514,10 @@ object Config {
     // full SD-config surface through the same parser (ref: config/config.go:846
     // AlertmanagerConfig.ServiceDiscoveryConfigs is the same
     // discovery.Configs type scrape configs use)
-    def parseScrapeJob(m: YMap, nameDefault: String = ""): ScrapeJob = {
+    def parseScrapeJob(m: YMap, nameDefault: String = "",
+        // files included via scrape_config_files resolve their relative
+        // paths against THEIR OWN directory (ref config.go SetDirectory)
+        jobBase: java.nio.file.Path = base): ScrapeJob = {
       val name = { val n = str(m, "job_name"); if (n.nonEmpty) n else nameDefault }
       val scheme = str(m, "scheme", "http")
       // params ride the metrics path as a query string; relabeling sees
@@ -539,7 +542,7 @@ object Config {
         if (inline.nonEmpty) inline
         else if (file.nonEmpty)
           try new String(java.nio.file.Files.readAllBytes(
-            base.resolve(file)), "UTF-8").trim
+            jobBase.resolve(file)), "UTF-8").trim
           catch { case _: Exception => "" }
         else ""
       // rendered Authorization header (ref: common HTTPClientConfig —
@@ -570,7 +573,7 @@ object Config {
             lbls.getOrElse("job", name), addr, extraLabels = lbls - "job"))
       }.flatten
       val sdFiles = m.list("file_sd_configs").collect { case fc: YMap =>
-        strList(fc.get("files")).flatMap(expandGlob(base, _))
+        strList(fc.get("files")).flatMap(expandGlob(jobBase, _))
       }.flatten
       // dns_sd_configs (ref: discovery/dns/dns.go SDConfig; defaults
       // type=SRV, refresh_interval=30s)
@@ -978,7 +981,7 @@ object Config {
         tlsCaFile = m.get("tls_config") match {
           case Some(tc: YMap) =>
             val f = str(tc, "ca_file")
-            if (f.nonEmpty) base.resolve(f).toString else ""
+            if (f.nonEmpty) jobBase.resolve(f).toString else ""
           case _ => ""
         },
         tlsInsecureSkipVerify = m.get("tls_config") match {
@@ -997,11 +1000,11 @@ object Config {
           case l => l
         },
         fallbackProtocol = str(m, "fallback_scrape_protocol"),
-        oauth2 = oauth2Of(m, base),
-        httpHeaders = httpHeadersOf(m, base),
+        oauth2 = oauth2Of(m, jobBase),
+        httpHeaders = httpHeadersOf(m, jobBase),
         failureLogFile = m.str("scrape_failure_log_file")
           .orElse(global.str("scrape_failure_log_file"))
-          .filter(_.nonEmpty).map(f => base.resolve(f).toString),
+          .filter(_.nonEmpty).map(f => jobBase.resolve(f).toString),
         trackTimestampsStaleness =
           m.str("track_timestamps_staleness").contains("true"),
         alwaysClassicHist =
@@ -1015,8 +1018,29 @@ object Config {
           .contains("true"),
         followRedirects = !m.str("follow_redirects").contains("false"))
     }
+    // scrape_config_files: globbed side files each carrying their own
+    // scrape_configs list (ref config.go:296 ScrapeConfigFiles +
+    // GetScrapeConfigs — relative paths inside resolve against the
+    // included file's directory)
+    val fileJobs = root.list("scrape_config_files")
+      .collect { case YScalar(pat) => pat }
+      .flatMap(expandGlob(base, _))
+      .flatMap { f =>
+        try {
+          val fp = java.nio.file.Paths.get(f)
+          val sub = graft.promqltest.YamlLite.parse(
+            new String(java.nio.file.Files.readAllBytes(fp), "UTF-8")) match {
+            case mm: YMap => mm
+            case _ => YMap(Nil)
+          }
+          val fb = Option(fp.getParent)
+            .getOrElse(java.nio.file.Paths.get("."))
+          sub.list("scrape_configs").collect {
+            case jm: YMap => parseScrapeJob(jm, jobBase = fb) }
+        } catch { case _: Exception => Nil }
+      }
     val jobs = root.list("scrape_configs").collect { case m: YMap =>
-      parseScrapeJob(m) }
+      parseScrapeJob(m) } ++ fileJobs
     def urlsOf(key: String): Seq[String] =
       root.list(key).collect { case m: YMap => str(m, "url") }.filter(_.nonEmpty)
     // full remote_write entries (ref: config.go RemoteWriteConfig): auth

@@ -186,6 +186,27 @@ object ConfigCheck {
       case Some(g: YMap) => errs ++= unknownKeys(g, globalFields, s"$path global")
       case _ => ()
     }
+    // effective scrape interval/timeout for the timeout>interval rule (ref
+    // config.go validate: "scrape timeout greater than scrape interval for
+    // scrape config with job name %q"; defaults 1m / 10s)
+    val globalY = root.get("global") match {
+      case Some(g: YMap) => g
+      case _ => YMap(Nil)
+    }
+    def durMsOf(v: Option[String], dflt: Long): Long =
+      v.flatMap(x => scala.util.Try(
+        graft.promqltest.TestScript.parseTime(x)).toOption).getOrElse(dflt)
+    val globalScrapeIntervalMs = durMsOf(globalY.str("scrape_interval"), 60000L)
+    val globalScrapeTimeoutMs = durMsOf(globalY.str("scrape_timeout"), 10000L)
+    def checkTimeoutVsInterval(sc: YMap, job: String): Unit = {
+      val interval = durMsOf(sc.str("scrape_interval"), globalScrapeIntervalMs)
+      val timeout = durMsOf(sc.str("scrape_timeout"), globalScrapeTimeoutMs)
+      if (timeout > interval)
+        errs += s"$path: scrape timeout greater than scrape interval for " +
+          s"""scrape config with job name "$job""""
+    }
+    if (globalScrapeTimeoutMs > globalScrapeIntervalMs)
+      errs += s"$path: global scrape timeout greater than scrape interval"
     // remote_write / remote_read custom headers must not shadow the
     // protocol's own (ref: config.go reservedHeaders +
     // RemoteWriteConfig.UnmarshalYAML's special-cased authorization)
@@ -687,6 +708,7 @@ object ConfigCheck {
           alsoOk = _.endsWith("_sd_configs"))
         val jobName = sc.str("job_name").getOrElse("<no job_name>")
         checkSdConfigs(sc, jobName)
+        checkTimeoutVsInterval(sc, jobName)
         // oauth2 shape + mutual exclusion with the fixed-header auth shapes
         // (ref: common HTTPClientConfig Validate — "at most one of
         // basic_auth, oauth2, bearer_token & bearer_token_file")
@@ -733,6 +755,50 @@ object ConfigCheck {
               known.toSeq.sorted.mkString("[", ", ", "]")
         }
       case _ => errs += s"$path: bad scrape_config node"
+    }
+    // scrape_config_files: each globbed file gets the same strict per-job
+    // validation; literal paths must exist; job_name must be unique across
+    // the main file AND every included file (ref config.go
+    // GetScrapeConfigs "found multiple scrape configs with job name")
+    locally {
+      val seenJobs = scala.collection.mutable.Set[String]()
+      root.list("scrape_configs").foreach {
+        case sc: YMap => sc.str("job_name").foreach { j =>
+          if (!seenJobs.add(j))
+            errs += s"$path: found multiple scrape configs with job name \"$j\""
+        }
+        case _ => ()
+      }
+      val cfgDir = Option(p.getParent).map(_.toString).getOrElse(".")
+      root.list("scrape_config_files").collect { case YScalar(pat) => pat }
+        .foreach { pat =>
+          val files = Config.expandGlob(java.nio.file.Paths.get(cfgDir), pat)
+          if (files.isEmpty && !pat.exists("*?[".contains(_)))
+            errs += s"$path: scrape config file $pat: no such file or directory"
+          files.foreach { f =>
+            try {
+              val sub = YamlLite.parse(new String(
+                java.nio.file.Files.readAllBytes(
+                  java.nio.file.Paths.get(f)), "UTF-8")) match {
+                case mm: YMap => mm
+                case _ => YMap(Nil)
+              }
+              errs ++= unknownKeys(sub, Set("scrape_configs"), f)
+              sub.list("scrape_configs").foreach {
+                case sc: YMap =>
+                  errs ++= unknownKeys(sc, scrapeFields, s"$f scrape_config",
+                    alsoOk = _.endsWith("_sd_configs"))
+                  val j = sc.str("job_name").getOrElse("<no job_name>")
+                  if (!seenJobs.add(j))
+                    errs += s"$path: found multiple scrape configs with job name \"$j\""
+                  checkSdConfigs(sc, j)
+                  checkTimeoutVsInterval(sc, j)
+                case _ => errs += s"$f: bad scrape_config node"
+              }
+            } catch { case e: Exception =>
+              errs += s"$f: ${Option(e.getMessage).getOrElse(e.getClass.getName)}" }
+          }
+        }
     }
     // alerting: groups carry the same SD surface plus their own
     // relabel/alert_relabel configs (ref: config/config.go:1330

@@ -235,6 +235,67 @@ class ConfigSpec extends AnyFunSuite {
     assert(g.sd.oauth2.get.clientId == "amcid")
   }
 
+  test("scrape_config_files: globbed includes, per-file dirs, duplicate job names") {
+    val d = "/root/reference/config/testdata"
+    // combined: main-file jobs + both included files' jobs
+    val cfg = Config.load(s"$d/scrape_config_files_combined.good.yml")
+    assert(cfg.scrapeJobs.map(_.jobName).sorted ==
+      Seq("alertmanager", "node", "prometheus"), cfg.scrapeJobs.map(_.jobName))
+    // glob include resolves relative to the config dir
+    val cfgGlob = Config.load(s"$d/scrape_config_files_glob.good.yml")
+    assert(cfgGlob.scrapeJobs.map(_.jobName).sorted == Seq("node", "prometheus"),
+      cfgGlob.scrapeJobs.map(_.jobName))
+    assert(ConfigCheck.checkConfig(s"$d/scrape_config_files_combined.good.yml").exitCode == 0)
+    assert(ConfigCheck.checkConfig(s"$d/scrape_config_files_only.good.yml").exitCode == 0)
+    assert(ConfigCheck.checkConfig(s"$d/scrape_config_files_glob.good.yml").exitCode == 0)
+    // a job name colliding between the main file and an include fails
+    val dup = ConfigCheck.checkConfig(s"$d/scrape_config_files_duplicate.bad.yml")
+    assert(dup.exitCode == 1 && dup.errors.exists(_.contains(
+      "found multiple scrape configs with job name \"prometheus\"")), dup.toString)
+    // importing the same file twice collides too
+    val dbl = ConfigCheck.checkConfig(s"$d/scrape_config_files_double_import.bad.yml")
+    assert(dbl.exitCode == 1 && dbl.errors.exists(_.contains(
+      "found multiple scrape configs")), dbl.toString)
+    // an included job with scrape_timeout > scrape_interval fails with
+    // the reference's message (config/testdata names this fixture after
+    // the GLOBAL default interval the timeout exceeds)
+    val tvi = ConfigCheck.checkConfig(s"$d/scrape_config_files_global.bad.yml")
+    assert(tvi.exitCode == 1 && tvi.errors.exists(_.contains(
+      "scrape timeout greater than scrape interval for scrape config " +
+      "with job name \"prometheus\"")), tvi.toString)
+    // …and an included file may only carry scrape_configs
+    val dirX = java.nio.file.Files.createTempDirectory("scfx")
+    java.nio.file.Files.write(dirX.resolve("inc.yml"),
+      "global:\n  scrape_interval: 5s\nscrape_configs: []\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dirX.resolve("main.yml"),
+      "scrape_config_files:\n  - inc.yml\n".getBytes("UTF-8"))
+    val inc = ConfigCheck.checkConfig(dirX.resolve("main.yml").toString)
+    assert(inc.exitCode == 1 && inc.errors.exists(e =>
+      e.contains("global") && e.contains("not found")), inc.toString)
+    // a missing literal include is an error; relative paths inside an
+    // include resolve against the INCLUDE's directory
+    val dir = java.nio.file.Files.createTempDirectory("scf")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("inc"))
+    java.nio.file.Files.write(sub.resolve("jobs.yml"),
+      """scrape_configs:
+        |  - job_name: fromfile
+        |    file_sd_configs:
+        |      - files: [targets.json]
+        |""".stripMargin.getBytes("UTF-8"))
+    java.nio.file.Files.write(sub.resolve("targets.json"),
+      """[{"targets": ["h:1"], "labels": {}}]""".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("main.yml"),
+      "scrape_config_files:\n  - inc/jobs.yml\n".getBytes("UTF-8"))
+    val c2 = Config.load(dir.resolve("main.yml").toString)
+    assert(c2.scrapeJobs.map(_.jobName) == Seq("fromfile"))
+    assert(c2.targetsOf(c2.scrapeJobs.head).map(_.instance) == Seq("h:1"),
+      "file_sd path must resolve against the include's own directory")
+    java.nio.file.Files.write(dir.resolve("missing.yml"),
+      "scrape_config_files:\n  - nope.yml\n".getBytes("UTF-8"))
+    val miss = ConfigCheck.checkConfig(dir.resolve("missing.yml").toString)
+    assert(miss.exitCode == 1 && miss.errors.exists(_.contains("nope.yml")), miss.toString)
+  }
+
   test("no_proxy matching, proxy_from_environment, enable_http2") {
     import ScrapeManager.{noProxyMatches, proxySelectorFor}
     // domain entries match self + subdomains; leading dot = subdomains only
