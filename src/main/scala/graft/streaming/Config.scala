@@ -157,7 +157,10 @@ object Config {
       remoteWrites: Seq[RemoteWriteEntry] = Nil,
       // full remote_read entries — url + rendered auth + custom headers;
       // feeds authenticated RemoteReadClients for the fanout surface
-      remoteReads: Seq[RemoteReadEntry] = Nil) {
+      remoteReads: Seq[RemoteReadEntry] = Nil,
+      // expanded scrape_config_files paths — the auto-reload watcher
+      // tracks them like rule files (ref main.go reloadConfig watching)
+      scrapeConfigPaths: Seq[String] = Nil) {
     /** all scrape targets of a job (static + current file-SD contents) */
     def targetsOf(job: ScrapeJob): Seq[ScrapeManager.ScrapeTarget] =
       (job.staticTargets ++ job.fileSdPaths.flatMap(p =>
@@ -1022,9 +1025,10 @@ object Config {
     // scrape_configs list (ref config.go:296 ScrapeConfigFiles +
     // GetScrapeConfigs — relative paths inside resolve against the
     // included file's directory)
-    val fileJobs = root.list("scrape_config_files")
+    val scrapeConfigPaths = root.list("scrape_config_files")
       .collect { case YScalar(pat) => pat }
       .flatMap(expandGlob(base, _))
+    val fileJobs = scrapeConfigPaths
       .flatMap { f =>
         try {
           val fp = java.nio.file.Paths.get(f)
@@ -1129,7 +1133,8 @@ object Config {
       }).getOrElse(100000L),
       ruleQueryOffsetMs = global.str("rule_query_offset").map(durMs).getOrElse(0L),
       remoteWrites = remoteWrites,
-      remoteReads = remoteReads)
+      remoteReads = remoteReads,
+      scrapeConfigPaths = scrapeConfigPaths)
   }
 
   def load(path: String): PromConfig = {

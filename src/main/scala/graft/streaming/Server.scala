@@ -93,7 +93,6 @@ final class PromServer(
   def config: Option[Config.PromConfig] = configOpt
   def currentRuleGroups: Seq[Rules.Group] = ruleGroups
 
-  /** (re)load the configuration; Left(error) leaves the old state running */
   /** sigv4 config → a supplier of (resolved credentials, region). The
     * credential chain is the one the AWS SD family runs (static keys →
     * shared-config profile → env, wrapped in STS AssumeRole when role_arn
@@ -116,6 +115,7 @@ final class PromServer(
     () => (cp.creds(), region)
   }
 
+  /** (re)load the configuration; Left(error) leaves the old state running */
   def reload(): Either[String, Unit] = synchronized {
     try {
       val text = new String(java.nio.file.Files.readAllBytes(
@@ -429,7 +429,8 @@ final class PromServer(
     * lists) */
   private def watchedFiles(): Seq[String] =
     configOpt.toSeq.flatMap(cfg =>
-      cfg.ruleFiles ++ cfg.scrapeJobs.flatMap(_.fileSdPaths)).sorted
+      cfg.ruleFiles ++ cfg.scrapeConfigPaths ++
+        cfg.scrapeJobs.flatMap(_.fileSdPaths)).sorted
 
   private def configChecksum(): String = {
     def bytesOf(p: String): Array[Byte] =
