@@ -160,7 +160,9 @@ object Config {
       remoteReads: Seq[RemoteReadEntry] = Nil,
       // expanded scrape_config_files paths — the auto-reload watcher
       // tracks them like rule files (ref main.go reloadConfig watching)
-      scrapeConfigPaths: Seq[String] = Nil) {
+      scrapeConfigPaths: Seq[String] = Nil,
+      // `otlp:` receiver block (ref config.go:1755 OTLPConfig subset)
+      otlp: graft.web.Otlp.OtlpCfg = graft.web.Otlp.OtlpCfg()) {
     /** all scrape targets of a job (static + current file-SD contents) */
     def targetsOf(job: ScrapeJob): Seq[ScrapeManager.ScrapeTarget] =
       (job.staticTargets ++ job.fileSdPaths.flatMap(p =>
@@ -1134,7 +1136,16 @@ object Config {
       ruleQueryOffsetMs = global.str("rule_query_offset").map(durMs).getOrElse(0L),
       remoteWrites = remoteWrites,
       remoteReads = remoteReads,
-      scrapeConfigPaths = scrapeConfigPaths)
+      scrapeConfigPaths = scrapeConfigPaths,
+      otlp = root.get("otlp") match {
+        case Some(o: YMap) => graft.web.Otlp.OtlpCfg(
+          promoteAll = o.str("promote_all_resource_attributes").contains("true"),
+          promote = strList(o.get("promote_resource_attributes")),
+          ignore = strList(o.get("ignore_resource_attributes")),
+          keepIdentifying =
+            o.str("keep_identifying_resource_attributes").contains("true"))
+        case _ => graft.web.Otlp.OtlpCfg()
+      })
   }
 
   def load(path: String): PromConfig = {

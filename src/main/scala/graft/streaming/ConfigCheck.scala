@@ -220,6 +220,50 @@ object ConfigCheck {
       // config time would surface as per-batch send failures instead of a
       // load error (java.net.http restricted header set)
       "expect", "upgrade", "trailer", "transfer-encoding", "te")
+    // otlp: receiver block validation (ref config.go:1785 OTLPConfig
+    // UnmarshalYAML — promote-all/promote exclusivity, ignore only with
+    // promote-all, attribute sanity; translation_strategy limited to the
+    // underscore-escaping default this engine implements)
+    root.get("otlp") match {
+      case Some(o: YMap) =>
+        errs ++= unknownKeys(o, Set("promote_all_resource_attributes",
+          "promote_resource_attributes", "ignore_resource_attributes",
+          "translation_strategy", "keep_identifying_resource_attributes",
+          "convert_histograms_to_nhcb", "promote_scope_metadata",
+          "label_name_underscore_sanitization",
+          "label_name_preserve_multiple_underscores"), s"$path otlp")
+        def attrs(k: String): Seq[String] = o.get(k) match {
+          case Some(YList(items)) => items.collect { case YScalar(v) => v }
+          case _ => Nil
+        }
+        val promoteAll = o.str("promote_all_resource_attributes").contains("true")
+        val promote = attrs("promote_resource_attributes")
+        val ignore = attrs("ignore_resource_attributes")
+        if (promoteAll && promote.nonEmpty)
+          errs += s"$path: 'promote_all_resource_attributes' and " +
+            "'promote_resource_attributes' cannot be configured simultaneously"
+        if (!promoteAll && ignore.nonEmpty)
+          errs += s"$path: 'ignore_resource_attributes' cannot be configured " +
+            "unless 'promote_all_resource_attributes' is true"
+        val (checkList, what) =
+          if (promoteAll) (ignore, "ignored") else (promote, "promoted")
+        val seenAttr = scala.collection.mutable.Set[String]()
+        checkList.foreach { a =>
+          if (a.trim.isEmpty) errs += s"$path: empty $what OTLP resource attribute"
+          else if (!seenAttr.add(a))
+            errs += s"""$path: duplicated $what OTLP resource attribute "$a""""
+        }
+        o.str("translation_strategy").foreach {
+          case "UnderscoreEscapingWithSuffixes" => ()
+          case v @ ("NoUTF8EscapingWithSuffixes" | "NoTranslation" |
+                    "UnderscoreEscapingWithoutSuffixes") =>
+            errs += s"$path: otlp translation_strategy $v is not supported " +
+              "by this engine (UnderscoreEscapingWithSuffixes only)"
+          case v =>
+            errs += s"""$path: unsupported OTLP translation strategy "$v""""
+        }
+      case _ => ()
+    }
     // strict per-entry field sets (ref: config.go:1482 RemoteWriteConfig /
     // :1679 RemoteReadConfig yaml tags + the inlined HTTPClientConfig —
     // yaml.UnmarshalStrict makes a typo'd field a load error upstream)

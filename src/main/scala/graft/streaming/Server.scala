@@ -145,6 +145,7 @@ final class PromServer(
       }
       api.configYaml = text
       api.externalLabels = cfg.externalLabels
+      api.otlpCfg = cfg.otlp
       // storage.exemplars.max_exemplars is runtime-reloadable
       // (ref: main.go reloadConfig → ApplyConfig on the exemplar storage)
       store.maxExemplars = cfg.maxExemplars

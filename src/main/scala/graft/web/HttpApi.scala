@@ -101,6 +101,9 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
 
   /** OTLP delta→cumulative receive-edge state (ref: api.go:378 ConvertDelta) */
   private val otlpDelta = new Otlp.DeltaConverter
+  // `otlp:` config block (resource-attribute promotion etc.) — set by the
+  // server on (re)load
+  @volatile var otlpCfg: Otlp.OtlpCfg = Otlp.OtlpCfg()
 
   private val startedMs = nowMs()
 
@@ -1392,7 +1395,8 @@ final class HttpApi(spark: SparkSession, store: SampleStore, port: Int = 0,
       // temporality converts to cumulative on the receive edge
       val gz = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
         .exists(_.contains("gzip"))
-      val dec = Otlp.decode(ex.getRequestBody.readAllBytes(), gz, Some(otlpDelta))
+      val dec = Otlp.decode(ex.getRequestBody.readAllBytes(), gz, Some(otlpDelta),
+        otlpCfg)
       if (dec.samples.nonEmpty) {
         val rows = dec.samples.map(s =>
           Row(s.labels, s.t, s.v, false, s.h.map(FHist.toRow).orNull, s.stt))

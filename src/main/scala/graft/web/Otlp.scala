@@ -431,8 +431,19 @@ object Otlp {
     * `delta`: a [[DeltaConverter]] enables delta→cumulative conversion;
     * None drops delta-temporality points (the reference's default without
     * the otlp-deltatocumulative feature). */
+  /** `otlp:` config block subset this decoder acts on (ref config.go:1755
+    * OTLPConfig): resource-attribute promotion onto every sample (existing
+    * labels win), the promote-all/ignore pair, and keeping the identifying
+    * service.* attributes on target_info. */
+  final case class OtlpCfg(
+      promoteAll: Boolean = false,
+      promote: Seq[String] = Nil,
+      ignore: Seq[String] = Nil,
+      keepIdentifying: Boolean = false)
+
   def decode(body0: Array[Byte], gzipped: Boolean = false,
-      delta: Option[DeltaConverter] = None): Decoded = {
+      delta: Option[DeltaConverter] = None,
+      cfg: OtlpCfg = OtlpCfg()): Decoded = {
     val body =
       if (!gzipped) body0
       else new java.util.zip.GZIPInputStream(
@@ -444,7 +455,7 @@ object Otlp {
     while (r.hasMore) {
       val tag = r.varint()
       (tag >> 3, (tag & 7).toInt) match {
-        case (1, 2) => decodeResourceMetrics(r.sub(), samples, meta, delta, exemplars)
+        case (1, 2) => decodeResourceMetrics(r.sub(), samples, meta, delta, exemplars, cfg)
         case (_, wt) => r.skip(wt)
       }
     }
@@ -455,7 +466,8 @@ object Otlp {
       out: mutable.ArrayBuffer[Sample],
       meta: mutable.Map[String, (String, String, String)],
       delta: Option[DeltaConverter],
-      exOut: mutable.ArrayBuffer[ExemplarRow]): Unit = {
+      exOut: mutable.ArrayBuffer[ExemplarRow],
+      cfg: OtlpCfg = OtlpCfg()): Unit = {
     val resAttrs = mutable.Map[String, String]()
     val scopes = mutable.ArrayBuffer[Reader]()
     while (r.hasMore) {
@@ -481,9 +493,25 @@ object Otlp {
       idLabels += ("job" -> (ns + sn))
     }
     resAttrs.get("service.instance.id").foreach(id => idLabels += ("instance" -> id))
-    val ids = idLabels.result()
-    val infoAttrs = (resAttrs -- Seq("service.name", "service.namespace", "service.instance.id"))
-      .map { case (k, v) => sanitize(k) -> v }.toMap
+    val ids0 = idLabels.result()
+    // promote_resource_attributes / promote_all_resource_attributes: the
+    // selected resource attributes ride EVERY sample's labels, never
+    // overwriting an existing label (ref otlptranslator helper — promoted
+    // attrs lose to datapoint attributes and the job/instance identifiers)
+    val promoted: Map[String, String] = {
+      val sel =
+        if (cfg.promoteAll)
+          resAttrs.filterNot { case (k, _) => cfg.ignore.contains(k) }
+        else resAttrs.filter { case (k, _) => cfg.promote.contains(k) }
+      sel.map { case (k, v) => sanitize(k) -> v }.toMap
+    }
+    val ids = promoted ++ ids0
+    // keep_identifying_resource_attributes: target_info keeps service.*
+    // too (normally excluded — they already render as job/instance)
+    val infoSrc =
+      if (cfg.keepIdentifying) resAttrs
+      else resAttrs -- Seq("service.name", "service.namespace", "service.instance.id")
+    val infoAttrs = infoSrc.map { case (k, v) => sanitize(k) -> v }.toMap
     var latestT = 0L
     scopes.foreach { sr =>
       while (sr.hasMore) {
@@ -496,7 +524,7 @@ object Otlp {
       }
     }
     if (infoAttrs.nonEmpty && latestT > 0L)
-      out += Sample(ids ++ infoAttrs + ("__name__" -> "target_info"), latestT, 1.0)
+      out += Sample(ids0 ++ infoAttrs + ("__name__" -> "target_info"), latestT, 1.0)
   }
 
   /** returns the latest sample timestamp seen (for target_info stamping) */

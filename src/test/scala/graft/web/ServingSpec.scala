@@ -1445,6 +1445,109 @@ class ServingSpec extends AnyFunSuite {
     assert(meta2 == Map("m2" -> (("counter", "reqs", "Total reqs."))))
   }
 
+  test("OTLP resource-attribute promotion: promote list, promote-all/ignore, keep-identifying") {
+    def vint(o: java.io.ByteArrayOutputStream, x0: Long): Unit = {
+      var x = x0
+      while ((x & ~0x7fL) != 0) { o.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      o.write(x.toInt)
+    }
+    def delim(o: java.io.ByteArrayOutputStream, tag: Int, body: Array[Byte]): Unit = {
+      vint(o, (tag << 3) | 2); vint(o, body.length); o.write(body)
+    }
+    def f64(o: java.io.ByteArrayOutputStream, tag: Int, v: Double): Unit = {
+      vint(o, (tag << 3) | 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).foreach(i => o.write(((bits >> (8 * i)) & 0xff).toInt))
+    }
+    def fx64(o: java.io.ByteArrayOutputStream, tag: Int, v: Long): Unit = {
+      vint(o, (tag << 3) | 1)
+      (0 until 8).foreach(i => o.write(((v >> (8 * i)) & 0xff).toInt))
+    }
+    def kv(k: String, v: String): Array[Byte] = {
+      val any = new java.io.ByteArrayOutputStream()
+      delim(any, 1, v.getBytes("UTF-8"))
+      val o = new java.io.ByteArrayOutputStream()
+      delim(o, 1, k.getBytes("UTF-8")); delim(o, 2, any.toByteArray)
+      o.toByteArray
+    }
+    def payload(): Array[Byte] = {
+      val dp = new java.io.ByteArrayOutputStream()
+      delim(dp, 7, kv("env", "point-wins")) // datapoint attr shadows promotion
+      fx64(dp, 3, 8L * 1000000000L); f64(dp, 4, 5.5)
+      val g = new java.io.ByteArrayOutputStream(); delim(g, 1, dp.toByteArray)
+      val m = new java.io.ByteArrayOutputStream()
+      delim(m, 1, "mem_usage".getBytes("UTF-8")); delim(m, 5, g.toByteArray)
+      val sm = new java.io.ByteArrayOutputStream(); delim(sm, 2, m.toByteArray)
+      val res = new java.io.ByteArrayOutputStream()
+      Seq(kv("service.name", "svc"), kv("service.instance.id", "i9"),
+        kv("env", "prod"), kv("k8s.cluster.name", "c1"),
+        kv("noisy.attr", "x")).foreach(delim(res, 1, _))
+      val rm = new java.io.ByteArrayOutputStream()
+      delim(rm, 1, res.toByteArray); delim(rm, 2, sm.toByteArray)
+      val bo = new java.io.ByteArrayOutputStream()
+      delim(bo, 1, rm.toByteArray)
+      bo.toByteArray
+    }
+    def sampleOf(cfg: Otlp.OtlpCfg): Map[String, String] =
+      Otlp.decode(payload(), cfg = cfg).samples
+        .find(_.labels("__name__") == "mem_usage").get.labels
+    // default: nothing promoted
+    val base = sampleOf(Otlp.OtlpCfg())
+    assert(!base.contains("k8s_cluster_name") && base("env") == "point-wins")
+    // promote list: sanitized names land on the sample; the datapoint's
+    // own label still wins a collision
+    val prom = sampleOf(Otlp.OtlpCfg(
+      promote = Seq("k8s.cluster.name", "env")))
+    assert(prom("k8s_cluster_name") == "c1")
+    assert(prom("env") == "point-wins") // not overwritten
+    assert(!prom.contains("noisy_attr"))
+    // promote-all minus ignore
+    val all = sampleOf(Otlp.OtlpCfg(promoteAll = true, ignore = Seq("noisy.attr")))
+    assert(all("k8s_cluster_name") == "c1" && !all.contains("noisy_attr"))
+    // keep_identifying_resource_attributes: target_info keeps service.*
+    val ti = Otlp.decode(payload(),
+      cfg = Otlp.OtlpCfg(keepIdentifying = true)).samples
+      .find(_.labels("__name__") == "target_info").get.labels
+    assert(ti("service_name") == "svc" && ti("service_instance_id") == "i9", ti.toString)
+    val tiDefault = Otlp.decode(payload()).samples
+      .find(_.labels("__name__") == "target_info").get.labels
+    assert(!tiDefault.contains("service_name"))
+    // checker: the upstream exclusivity and attribute-sanity rules
+    val dir = java.nio.file.Files.createTempDirectory("otlpcfg")
+    def check(body: String): graft.streaming.ConfigCheck.Result = {
+      val f = java.nio.file.Files.createTempFile(dir, "c", ".yml")
+      java.nio.file.Files.write(f, body.getBytes("UTF-8"))
+      graft.streaming.ConfigCheck.checkConfig(f.toString)
+    }
+    assert(check(
+      """otlp:
+        |  promote_all_resource_attributes: true
+        |  promote_resource_attributes: [a]
+        |""".stripMargin).errors.exists(_.contains("cannot be configured simultaneously")))
+    assert(check(
+      "otlp:\n  ignore_resource_attributes: [a]\n").errors.exists(_.contains(
+      "unless 'promote_all_resource_attributes' is true")))
+    assert(check(
+      "otlp:\n  promote_resource_attributes: [a, a]\n").errors.exists(_.contains(
+      "duplicated promoted")))
+    assert(check(
+      "otlp:\n  translation_strategy: NoTranslation\n").errors.exists(_.contains(
+      "not supported")))
+    assert(check(
+      """otlp:
+        |  promote_resource_attributes: [k8s.cluster.name]
+        |  translation_strategy: UnderscoreEscapingWithSuffixes
+        |""".stripMargin).exitCode == 0)
+    // config parse reaches the server-facing OtlpCfg
+    val cfg = graft.streaming.Config.parse(
+      """otlp:
+        |  promote_resource_attributes: [k8s.cluster.name]
+        |  keep_identifying_resource_attributes: true
+        |""".stripMargin, "/tmp")
+    assert(cfg.otlp == Otlp.OtlpCfg(promote = Seq("k8s.cluster.name"),
+      keepIdentifying = true))
+  }
+
   test("OTLP receiver: gauge, counter sum, explicit + exponential histograms, target_info") {
     val bo = new java.io.ByteArrayOutputStream()
     def vint(o: java.io.ByteArrayOutputStream, x0: Long): Unit = {
