@@ -1143,7 +1143,9 @@ object Config {
           promote = strList(o.get("promote_resource_attributes")),
           ignore = strList(o.get("ignore_resource_attributes")),
           keepIdentifying =
-            o.str("keep_identifying_resource_attributes").contains("true"))
+            o.str("keep_identifying_resource_attributes").contains("true"),
+          convertHistogramsToNhcb =
+            o.str("convert_histograms_to_nhcb").contains("true"))
         case _ => graft.web.Otlp.OtlpCfg()
       })
   }

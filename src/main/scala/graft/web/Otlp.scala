@@ -439,7 +439,10 @@ object Otlp {
       promoteAll: Boolean = false,
       promote: Seq[String] = Nil,
       ignore: Seq[String] = Nil,
-      keepIdentifying: Boolean = false)
+      keepIdentifying: Boolean = false,
+      // convert_histograms_to_nhcb: explicit-bounds histogram points become
+      // ONE custom-bounds native histogram instead of classic series
+      convertHistogramsToNhcb: Boolean = false)
 
   def decode(body0: Array[Byte], gzipped: Boolean = false,
       delta: Option[DeltaConverter] = None,
@@ -518,7 +521,7 @@ object Otlp {
         val tag = sr.varint()
         (tag >> 3, (tag & 7).toInt) match {
           case (2, 2) => latestT = math.max(latestT,
-            decodeMetric(sr.sub(), ids, out, meta, delta, exOut))
+            decodeMetric(sr.sub(), ids, out, meta, delta, exOut, cfg))
           case (_, wt) => sr.skip(wt)
         }
       }
@@ -532,7 +535,8 @@ object Otlp {
       out: mutable.ArrayBuffer[Sample],
       meta: mutable.Map[String, (String, String, String)],
       delta: Option[DeltaConverter],
-      exOut: mutable.ArrayBuffer[ExemplarRow]): Long = {
+      exOut: mutable.ArrayBuffer[ExemplarRow],
+      cfg: OtlpCfg = OtlpCfg()): Long = {
     var name = ""; var desc = ""; var unit = ""
     val pend = mutable.ArrayBuffer[(Int, Reader)]()
     var temporality = 2 // cumulative unless stated
@@ -612,10 +616,24 @@ object Otlp {
             }
           }
         case 9 =>
-          // classic series: cumulative le buckets + +Inf, _sum, _count
+          // classic series: cumulative le buckets + +Inf, _sum, _count —
+          // or, under convert_histograms_to_nhcb, ONE custom-bounds native
+          // histogram (OTLP bucket_counts are already per-bucket, so they
+          // map straight onto the NHCB bucket vector; ref otlptranslator
+          // histograms.go NHCB conversion)
           def emitClassic(attrs: Map[String, String], t: Long, st: Long,
               bounds: Seq[Double], counts: Seq[Long], count: Double,
               sum: Double, hasSum: Boolean): Unit = {
+            if (cfg.convertHistogramsToNhcb) {
+              val n = bounds.length + 1
+              val diffs = (0 until n).map(i => counts.lift(i).getOrElse(0L).toDouble)
+              val h = graft.promql.FHist(graft.promql.FHist.CustomSchema,
+                0.0, 0.0, count, if (hasSum) sum else 0.0,
+                diffs.indices, diffs, Nil, Nil, bounds,
+                graft.promql.FHist.HintUnknown).compact
+              out += Sample(lbls(attrs, base), t, Double.NaN, st, Some(h))
+              return
+            }
             var cum = 0.0
             bounds.zipWithIndex.foreach { case (b, i) =>
               cum += counts.lift(i).getOrElse(0L).toDouble
@@ -629,10 +647,14 @@ object Otlp {
           // exemplars attach to the bucket whose bound first covers the value
           // (ref: otlptranslator histograms.go addExemplars)
           def emitHistExemplars(p: HistPoint): Unit = p.exemplars.foreach { e =>
-            val le = p.bounds.find(_ >= e.v).map(graft.web.Json.goFloat)
-              .getOrElse("+Inf")
-            exOut += ((lbls(p.attrs, base + "_bucket") + ("le" -> le),
-              e.labels, ms(e.tNano), e.v))
+            if (cfg.convertHistogramsToNhcb)
+              exOut += ((lbls(p.attrs, base), e.labels, ms(e.tNano), e.v))
+            else {
+              val le = p.bounds.find(_ >= e.v).map(graft.web.Json.goFloat)
+                .getOrElse("+Inf")
+              exOut += ((lbls(p.attrs, base + "_bucket") + ("le" -> le),
+                e.labels, ms(e.tNano), e.v))
+            }
           }
           if (temporality == 2) {
             val p = decodeHistPoint(pr)

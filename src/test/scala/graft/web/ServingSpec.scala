@@ -1512,6 +1512,39 @@ class ServingSpec extends AnyFunSuite {
     val tiDefault = Otlp.decode(payload()).samples
       .find(_.labels("__name__") == "target_info").get.labels
     assert(!tiDefault.contains("service_name"))
+    // convert_histograms_to_nhcb: an explicit-bounds histogram point
+    // becomes ONE custom-bounds native histogram (bounds → cv, per-bucket
+    // counts → the NHCB bucket vector) instead of classic series
+    def histPayload(): Array[Byte] = {
+      val dp = new java.io.ByteArrayOutputStream()
+      fx64(dp, 3, 8L * 1000000000L); fx64(dp, 4, 7L); f64(dp, 5, 21.0)
+      def bc(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+        vint(o, (6 << 3) | 1)
+        (0 until 8).foreach(i => o.write(((v >> (8 * i)) & 0xff).toInt))
+      }
+      bc(dp, 2L); bc(dp, 3L); bc(dp, 2L) // per-bucket counts
+      f64(dp, 7, 1.0); f64(dp, 7, 5.0)   // explicit bounds
+      val h = new java.io.ByteArrayOutputStream()
+      delim(h, 1, dp.toByteArray)
+      vint(h, 2 << 3); vint(h, 2L) // cumulative
+      val m = new java.io.ByteArrayOutputStream()
+      delim(m, 1, "lat.ms".getBytes("UTF-8")); delim(m, 9, h.toByteArray)
+      val sm = new java.io.ByteArrayOutputStream(); delim(sm, 2, m.toByteArray)
+      val res = new java.io.ByteArrayOutputStream()
+      delim(res, 1, kv("service.name", "svc"))
+      val rm = new java.io.ByteArrayOutputStream()
+      delim(rm, 1, res.toByteArray); delim(rm, 2, sm.toByteArray)
+      val bo = new java.io.ByteArrayOutputStream(); delim(bo, 1, rm.toByteArray)
+      bo.toByteArray
+    }
+    val classic = Otlp.decode(histPayload()).samples
+    assert(classic.exists(_.labels("__name__") == "lat_ms_bucket"))
+    val nhcb = Otlp.decode(histPayload(),
+      cfg = Otlp.OtlpCfg(convertHistogramsToNhcb = true)).samples
+    assert(!nhcb.exists(_.labels("__name__").startsWith("lat_ms_")), nhcb.map(_.labels))
+    val hs = nhcb.find(_.labels("__name__") == "lat_ms").get.h.get
+    assert(hs.isCustom && hs.cv == Seq(1.0, 5.0), hs.toString)
+    assert(hs.pcnt == Seq(2.0, 3.0, 2.0) && hs.cnt == 7.0 && hs.sum == 21.0, hs.toString)
     // checker: the upstream exclusivity and attribute-sanity rules
     val dir = java.nio.file.Files.createTempDirectory("otlpcfg")
     def check(body: String): graft.streaming.ConfigCheck.Result = {
