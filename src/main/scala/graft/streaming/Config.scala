@@ -1145,7 +1145,9 @@ object Config {
           keepIdentifying =
             o.str("keep_identifying_resource_attributes").contains("true"),
           convertHistogramsToNhcb =
-            o.str("convert_histograms_to_nhcb").contains("true"))
+            o.str("convert_histograms_to_nhcb").contains("true"),
+          promoteScopeMetadata =
+            o.str("promote_scope_metadata").contains("true"))
         case _ => graft.web.Otlp.OtlpCfg()
       })
   }

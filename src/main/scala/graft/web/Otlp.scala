@@ -442,7 +442,10 @@ object Otlp {
       keepIdentifying: Boolean = false,
       // convert_histograms_to_nhcb: explicit-bounds histogram points become
       // ONE custom-bounds native histogram instead of classic series
-      convertHistogramsToNhcb: Boolean = false)
+      convertHistogramsToNhcb: Boolean = false,
+      // promote_scope_metadata: scope name/version/schema-url/attributes
+      // become otel_scope_* labels on every sample of the scope
+      promoteScopeMetadata: Boolean = false)
 
   def decode(body0: Array[Byte], gzipped: Boolean = false,
       delta: Option[DeltaConverter] = None,
@@ -517,13 +520,40 @@ object Otlp {
     val infoAttrs = infoSrc.map { case (k, v) => sanitize(k) -> v }.toMap
     var latestT = 0L
     scopes.foreach { sr =>
+      // two-pass per scope: proto fields arrive in any order, and the
+      // scope block (field 1) must be known before metrics decode when
+      // promote_scope_metadata attaches otel_scope_* labels
+      val metricSubs = mutable.ArrayBuffer[Reader]()
+      var scopeLabels = Map.empty[String, String]
       while (sr.hasMore) {
         val tag = sr.varint()
         (tag >> 3, (tag & 7).toInt) match {
-          case (2, 2) => latestT = math.max(latestT,
-            decodeMetric(sr.sub(), ids, out, meta, delta, exOut, cfg))
+          case (1, 2) if cfg.promoteScopeMetadata =>
+            // InstrumentationScope{name=1, version=2, attributes=3}
+            val ir = sr.sub()
+            while (ir.hasMore) {
+              val t2 = ir.varint()
+              (t2 >> 3, (t2 & 7).toInt) match {
+                case (1, 2) => scopeLabels += ("otel_scope_name" -> ir.str())
+                case (2, 2) => scopeLabels += ("otel_scope_version" -> ir.str())
+                case (3, 2) =>
+                  val (k, v) = decodeKeyValue(ir.sub())
+                  scopeLabels += (("otel_scope_" + sanitize(k)) -> v)
+                case (_, wt) => ir.skip(wt)
+              }
+            }
+          case (2, 2) => metricSubs += sr.sub()
+          case (3, 2) => // ScopeMetrics.schema_url
+            val u = sr.str()
+            if (cfg.promoteScopeMetadata && u.nonEmpty)
+              scopeLabels += ("otel_scope_schema_url" -> u)
           case (_, wt) => sr.skip(wt)
         }
+      }
+      val scopedIds = if (scopeLabels.isEmpty) ids else ids ++ scopeLabels
+      metricSubs.foreach { msr =>
+        latestT = math.max(latestT,
+          decodeMetric(msr, scopedIds, out, meta, delta, exOut, cfg))
       }
     }
     if (infoAttrs.nonEmpty && latestT > 0L)

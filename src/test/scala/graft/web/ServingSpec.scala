@@ -1545,6 +1545,36 @@ class ServingSpec extends AnyFunSuite {
     val hs = nhcb.find(_.labels("__name__") == "lat_ms").get.h.get
     assert(hs.isCustom && hs.cv == Seq(1.0, 5.0), hs.toString)
     assert(hs.pcnt == Seq(2.0, 3.0, 2.0) && hs.cnt == 7.0 && hs.sum == 21.0, hs.toString)
+    // promote_scope_metadata: scope name/version/attrs/schema-url become
+    // otel_scope_* labels on the scope's samples
+    def scopedPayload(): Array[Byte] = {
+      val dp = new java.io.ByteArrayOutputStream()
+      fx64(dp, 3, 8L * 1000000000L); f64(dp, 4, 1.0)
+      val g = new java.io.ByteArrayOutputStream(); delim(g, 1, dp.toByteArray)
+      val m = new java.io.ByteArrayOutputStream()
+      delim(m, 1, "scoped_m".getBytes("UTF-8")); delim(m, 5, g.toByteArray)
+      val scope = new java.io.ByteArrayOutputStream()
+      delim(scope, 1, "my.lib".getBytes("UTF-8"))
+      delim(scope, 2, "1.2.3".getBytes("UTF-8"))
+      delim(scope, 3, kv("tier", "gold"))
+      val sm = new java.io.ByteArrayOutputStream()
+      delim(sm, 1, scope.toByteArray); delim(sm, 2, m.toByteArray)
+      delim(sm, 3, "https://schema/v9".getBytes("UTF-8"))
+      val rm = new java.io.ByteArrayOutputStream()
+      delim(rm, 2, sm.toByteArray)
+      val bo = new java.io.ByteArrayOutputStream(); delim(bo, 1, rm.toByteArray)
+      bo.toByteArray
+    }
+    val scoped = Otlp.decode(scopedPayload(),
+      cfg = Otlp.OtlpCfg(promoteScopeMetadata = true)).samples
+      .find(_.labels("__name__") == "scoped_m").get.labels
+    assert(scoped("otel_scope_name") == "my.lib" &&
+      scoped("otel_scope_version") == "1.2.3" &&
+      scoped("otel_scope_tier") == "gold" &&
+      scoped("otel_scope_schema_url") == "https://schema/v9", scoped.toString)
+    val unscoped = Otlp.decode(scopedPayload()).samples
+      .find(_.labels("__name__") == "scoped_m").get.labels
+    assert(!unscoped.keys.exists(_.startsWith("otel_scope_")), unscoped.toString)
     // checker: the upstream exclusivity and attribute-sanity rules
     val dir = java.nio.file.Files.createTempDirectory("otlpcfg")
     def check(body: String): graft.streaming.ConfigCheck.Result = {
