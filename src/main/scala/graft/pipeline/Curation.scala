@@ -28,16 +28,18 @@ object Curation {
   def curate(docs: DataFrame, bench: DataFrame, lang: String = "en",
       minQuality: Double = 0.7, tau: Double = 0.1,
       contamN: Int = 4): DataFrame = {
-    val lid = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
-    val q = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
+    // lang + quality are row-local over the same rows: ONE fused projection
+    // (TextAnalysis.langQuality) replaces two corpus scans and two id-keyed
+    // joins of the former lid/q legs — identical column expressions, so the
+    // output is bit-identical
+    // (the isNotNull keeps the former inner-join-on-doc_id null semantics)
+    val lq = TextAnalysis.langQuality(docs).filter(col("doc_id").isNotNull)
     // non-canonical members of near-dup clusters (canonical = min doc_id)
     val nonCanonical = Dedup.dupClusters(docs, tau)
       .filter(col("doc_id") =!= col("component_id"))
       .select(col("doc_id"), lit(true).as("near_dup"))
     val contam = Dedup.contamination(docs, bench, contamN, excludeBenchIds = true)
-    docs.select(col("doc_id"))
-      .join(lid, "doc_id")
-      .join(q, "doc_id")
+    lq
       .join(nonCanonical, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"), col("pred_lang"), col("quality"),

@@ -247,30 +247,36 @@ object Dedup {
     * with component_id = the minimum doc_id of its component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // canonical orientation: u > v, no self-loops
+    // canonical orientation: u > v, no self-loops. NO distinct() here: every
+    // in-repo caller emits unique pairs already, the union-find below is
+    // idempotent under duplicates, and the star-contraction rounds dedup via
+    // their own per-round distinct — the entry distinct was one full extra
+    // exchange inside the checkpoint job for nothing.
     var edges = pairs
       .select(greatest(col("da"), col("db")).as("u"), least(col("da"), col("db")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
       .localCheckpoint()
     def checksum(df: DataFrame): (Long, Long) = {
-      // bit_xor: order-independent set digest with no ANSI overflow (edges
-      // are distinct, so identical rows never cancel)
+      // count + bit_xor digest: order-independent with no ANSI overflow
+      // (per-round edge sets are distinct, so identical rows never cancel)
       val r = df.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    var sig = checksum(edges)
     // Small-graph fast path: below ~1M edges the per-round fixed cost of the
     // star contractions (4 shuffles + a checkpoint + a checksum job per
     // round) dwarfs the work — a 16 MB collect and an in-memory union-find
     // give the identical (member, min-of-component) output. The distributed
     // rounds below remain the path for web-scale duplicate graphs, where the
-    // edge list never fits one machine.
-    if (sig._1 <= Dedup.smallGraphEdges) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val es = edges.select(col("u").cast("long"), col("v").cast("long"))
-        .as[(Long, Long)].collect()
+    // edge list never fits one machine. The size probe is a bounded take on
+    // the checkpointed edges (tiny jobs over cached partitions) — it replaces
+    // the former separate checksum + collect job pair and doubles as the
+    // collect itself when the graph is small.
+    val lim = Dedup.smallGraphEdges
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].limit(math.min(lim + 1, Int.MaxValue.toLong).toInt).collect()
+    if (es.length <= lim) {
       val parent = new java.util.HashMap[Long, java.lang.Long]()
       def find(x: Long): Long = {
         var r = x
@@ -291,6 +297,10 @@ object Dedup {
       parent.keySet.forEach(k => out += ((k.longValue, find(k.longValue))))
       return out.toSeq.toDF("doc_id", "component_id")
     }
+    // initial digest for the convergence test (big path only; duplicate
+    // input edges at most delay the round-0 match — round outputs are
+    // distinct, so equality still certifies a fixpoint)
+    var sig = checksum(edges)
     var stable = false
     var round = 0
     while (!stable && round < maxIter) {

@@ -197,18 +197,27 @@ object Similarity {
   def cosineDupPairs(corpus: DataFrame, tau: Double,
       tables: Int = 8, planes: Int = 10, maxBucket: Int = 1000): DataFrame = {
     val bu = bucketsUdf(tables, planes)
-    def withBuckets(idAs: String): DataFrame =
-      corpus.select(
-        col("vec_id").as(idAs),
-        posexplode(bu(col("embedding"))).as(Seq("tbl", "bkt")))
     // candidate generation on NARROW (id, tbl, bkt) rows: a pair colliding
     // in several tables would otherwise carry both embedding payloads
     // through the dedup shuffle once per collision (an organic-occupancy
     // soak measured ~40 GB of vector traffic at a 20k-vector corpus);
     // vectors join back by id AFTER the distinct — two linear id-keyed
-    // joins instead of a payload-wide exchange
-    val a = withBuckets("da")
-    val b = withBuckets("db")
+    // joins instead of a payload-wide exchange.
+    // BOTH pair sides and the stats branch alias ONE bucketed subtree:
+    // per-side withBuckets copies diverged under pushed-down filters and
+    // defeated AQE's ReuseExchange, so the corpus scan (and the bucket UDF
+    // pass) ran once per branch; the shared subtree canonicalizes
+    // identically and the self-join reads one materialized exchange. The
+    // explicit isNotNull keeps all branches' pushed filters aligned (the
+    // pair comparison implies it on the pair sides anyway; a null vec_id
+    // could never pair, so excluding it from bucket occupancy too is the
+    // consistent reading).
+    val base = corpus.filter(col("vec_id").isNotNull)
+    val bucketed = base.select(
+      col("vec_id"),
+      posexplode(bu(col("embedding"))).as(Seq("tbl", "bkt")))
+    val a = bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("da"))
+    val b = bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("db"))
     // per-bucket size + min id ride the SAME (tbl, bkt) exchange the join
     // uses — no extra shuffle shape
     val stats = a.groupBy(col("tbl"), col("bkt"))
@@ -227,8 +236,8 @@ object Similarity {
       .filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
     cand
-      .join(corpus.select(col("vec_id").as("da"), col("embedding").as("va")), "da")
-      .join(corpus.select(col("vec_id").as("db"), col("embedding").as("vb")), "db")
+      .join(base.select(col("vec_id").as("da"), col("embedding").as("va")), "da")
+      .join(base.select(col("vec_id").as("db"), col("embedding").as("vb")), "db")
       .select(col("da"), col("db"), cosine("va", "vb").as("cos"))
       .filter(col("cos") >= tau)
   }
@@ -246,11 +255,23 @@ object Similarity {
     * dim× amplification of an 8-byte payload, map-side combined — collected
     * at k×dim cardinality to the driver. No iteration ever shuffles the
     * vectors themselves. */
-  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 5): DataFrame =
+    kmeansAssigned(emb.select(col("vec_id"), col("embedding")).persist(),
+        k, iters, ownsCache = true)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+
+  /** [[kmeans]] internals with the embedding column kept on the output and
+    * the persist lifecycle optionally owned by the caller — so a composing
+    * operator (semantic dedup) can share ONE cached projection between its
+    * corpus count, the Lloyd iterations and the pair generation instead of
+    * joining the assignments back to a second scan of the source.
+    * `src` must be exactly (vec_id, embedding) and, with ownsCache = false,
+    * already persisted by the caller (who unpersists it). */
+  private[pipeline] def kmeansAssigned(src: DataFrame, k: Int, iters: Int,
+      ownsCache: Boolean): DataFrame = {
     // iterative algorithm over a fixed input: persist it once (the MLlib
     // shape) — every Lloyd iteration re-scans, and without the cache each
     // of the 2×iters jobs would re-read + re-shuffle the source
-    val src = emb.select(col("vec_id"), col("embedding")).persist()
     var centroids: Array[Array[Float]] = src.orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
@@ -291,8 +312,9 @@ object Similarity {
       assigned = src.withColumn("cluster", assignUdf(centroids)(col("embedding")))
       it += 1
     }
-    src.unpersist(blocking = false) // lazy: the returned plan recomputes if evicted
-    assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    if (ownsCache)
+      src.unpersist(blocking = false) // lazy: the returned plan recomputes if evicted
+    assigned // (vec_id, embedding, cluster) — kmeans() projects/casts on top
   }
 
   /** SemDeDup-style semantic dedup: [[kmeans]] clusters as BLOCKING, exact
@@ -332,9 +354,17 @@ object Similarity {
     * occupancy. */
   def semanticPairs(emb: DataFrame, tau: Double, k: Int = 8,
       iters: Int = 3, maxBlock: Int = 2048, targetBlock: Int = 1024): DataFrame = {
-    val n = emb.count()
+    // ONE persisted (vec_id, embedding) projection serves the corpus count,
+    // every Lloyd iteration AND the pair generation below; the assignments
+    // keep their embedding column ([[kmeansAssigned]]) instead of being
+    // joined back to a second scan of the source — the former
+    // count-scan + kmeans-cache + assignment-join shape paid an extra source
+    // pass and an extra exchange for identical output
+    val src = emb.select(col("vec_id"), col("embedding")).persist()
+    val n = src.count()
     val kEff = math.max(k, ((n + targetBlock - 1) / targetBlock).toInt)
-    val withVec = emb.join(kmeans(emb, kEff, iters), "vec_id")
+    val withVec = kmeansAssigned(src, kEff, iters, ownsCache = false)
+    src.unpersist(blocking = false) // lazy: the returned plan recomputes if evicted
     val counts = withVec.groupBy(col("cluster")).agg(count(lit(1)).as("__cn"))
     val sized = withVec.join(broadcast(counts), "cluster")
       .withColumn("__nsub",

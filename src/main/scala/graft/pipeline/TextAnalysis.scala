@@ -20,39 +20,61 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "est", "un", "une"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  /** predicted language + per-profile hit counts */
-  def langId(docs: DataFrame): DataFrame = {
+  /** docs + tokenized `__w` + per-profile `score_<lang>` hit counts */
+  private def withScores(docs: DataFrame): DataFrame = {
     val w = docs.withColumn("__w", words(col("text")))
-    val scored = profiles.foldLeft(w) { case (df, (lang, stop)) =>
+    profiles.foldLeft(w) { case (df, (lang, stop)) =>
       df.withColumn(s"score_$lang",
         size(expr(s"filter(__w, x -> x IN (${stop.map(s => s"'$s'").mkString(",")}))")))
     }
-    // argmax with language-name tiebreak (ascending — first max wins)
-    val best = profiles.map { case (lang, _) =>
+  }
+
+  /** argmax over the score columns with language-name tiebreak (ascending —
+    * first max wins); evaluate over [[withScores]] output */
+  private def predLangCol: Column =
+    profiles.map { case (lang, _) =>
       struct(col(s"score_$lang").as("s"), lit(lang).as("l"))
     }.reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
-    scored.select(col("doc_id") +: best.getField("l").as("pred_lang") +:
+      .getField("l")
+
+  /** predicted language + per-profile hit counts */
+  def langId(docs: DataFrame): DataFrame =
+    withScores(docs).select(col("doc_id") +: predLangCol.as("pred_lang") +:
       profiles.map { case (l, _) => col(s"score_$l") }: _*)
+
+  /** the [[qualityScore]] stat columns, evaluated over a frame that already
+    * carries the tokenized `__w` column */
+  private def qualityCols: Seq[Column] = {
+    val stop = profiles.flatMap(_._2).distinct
+    Seq(
+      size(col("__w")).cast("long").as("n_tokens"),
+      (length(regexp_replace(normText(col("text")), " ", "")).cast("double")
+        / size(col("__w")).cast("double")).as("mean_wlen"),
+      (size(expr(s"filter(__w, x -> x IN (${stop.map(s => s"'$s'").mkString(",")}))")).cast("double")
+        / size(col("__w")).cast("double")).as("stop_ratio"),
+      (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
+        / length(col("text")).cast("double")).as("alpha_ratio"))
   }
+
+  private def qualityCol: Column =
+    col("stop_ratio") * 0.4 + col("alpha_ratio") * 0.4 +
+      when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 0.2).otherwise(0.0)
 
   /** quality stats: token count, mean word length, stopword ratio, alpha
     * ratio, and a composite score (weights are arbitrary but fixed) */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val stop = profiles.flatMap(_._2).distinct
+  def qualityScore(docs: DataFrame): DataFrame =
     docs.withColumn("__w", words(col("text")))
-      .select(
-        col("doc_id"),
-        size(col("__w")).cast("long").as("n_tokens"),
-        (length(regexp_replace(normText(col("text")), " ", "")).cast("double")
-          / size(col("__w")).cast("double")).as("mean_wlen"),
-        (size(expr(s"filter(__w, x -> x IN (${stop.map(s => s"'$s'").mkString(",")}))")).cast("double")
-          / size(col("__w")).cast("double")).as("stop_ratio"),
-        (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
-          / length(col("text")).cast("double")).as("alpha_ratio"))
-      .withColumn("quality",
-        col("stop_ratio") * 0.4 + col("alpha_ratio") * 0.4
-          + when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 0.2).otherwise(0.0))
-  }
+      .select(col("doc_id") +: qualityCols: _*)
+      .withColumn("quality", qualityCol)
+
+  /** Row-local FUSION of [[langId]]'s prediction and [[qualityScore]]'s
+    * composite — identical column expressions, ONE scan and ONE projection —
+    * for composing operators ([[Curation.curate]]) that would otherwise scan
+    * the corpus once per evidence column and join the results back by id. */
+  private[pipeline] def langQuality(docs: DataFrame): DataFrame =
+    withScores(docs)
+      .select(col("doc_id") +: predLangCol.as("pred_lang") +: qualityCols: _*)
+      .select(col("doc_id"), col("pred_lang"), qualityCol.as("quality"))
 
   /** whitespace token count + BPE-ish regex token estimate */
   def tokenCounts(docs: DataFrame): DataFrame =
