@@ -149,19 +149,31 @@ object Dedup {
   def minhashPairs(docs: DataFrame, minEstJaccard: Double = 0.3,
       bands: Int = 16, rowsPerBand: Int = 4, maxBucket: Int = 200): DataFrame = {
     val sigs = minhashSignatures(docs, bands * rowsPerBand)
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    // candidate generation on NARROW (doc_id, band, bh) rows — the former
+    // shape carried the full signature array through the bucket exchange
+    // once per band (bands× payload amplification, §2.3 project-before-
+    // exchange); signatures join back by id AFTER the pair distinct, and
+    // the estimator runs once per unique pair instead of once per bucket
+    // collision. The stop-bucket cap is an aggregation joined back on the
+    // SAME (band, bh) exchange (instead of a window count), so AQE can
+    // split a skewed bucket's join partition — a window partition cannot
+    // be split.
+    val banded = sigs.select(col("doc_id"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> struct(b AS band, hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bh))")).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val small = banded
-      .withColumn("__bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val stats = banded.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__bn"))
+    val small = banded.join(stats, Seq("band", "bh"))
       .filter(col("__bn") <= maxBucket)
-    val a = small.select(col("band"), col("bh"), col("doc_id").as("da"), col("sig").as("siga"))
-    val b = small.select(col("band"), col("bh"), col("doc_id").as("db"), col("sig").as("sigb"))
-    a.join(b, Seq("band", "bh")).filter(col("da") < col("db"))
+      .select(col("band"), col("bh"), col("doc_id"))
+    val a = small.select(col("band"), col("bh"), col("doc_id").as("da"))
+    val b = small.select(col("band"), col("bh"), col("doc_id").as("db"))
+    val cand = a.join(b, Seq("band", "bh")).filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("da"), col("sig").as("siga")), "da")
+      .join(sigs.select(col("doc_id").as("db"), col("sig").as("sigb")), "db")
       .select(col("da"), col("db"), estJaccardUdf(col("siga"), col("sigb")).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
@@ -476,8 +488,16 @@ object Dedup {
     val grams = docs.select(col("doc_id"),
         posexplode(CorpusStats.gramUdf(n)(words(col("text")))).as(Seq("pos0", "g")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("g"))
-    val cnt = grams.groupBy(col("g")).agg(count(lit(1)).as("__c"))
-    val marked = grams.join(cnt, "g").filter(col("__c") > 1)
+    // dup flag as a LEFT SEMI against the >1-count gram set: the former
+    // inner join + post-filter shipped every gram's count across the join
+    // (the full gram table as build side) when only membership in the dup
+    // set matters — the semi join's build side is the duplicated grams
+    // alone, a small fraction of the vocabulary on any organic corpus.
+    // cnt is unique per g, so inner-join-then-filter and semi-join emit the
+    // identical row multiset.
+    val dupG = grams.groupBy(col("g")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("g"))
+    val marked = grams.join(dupG, Seq("g"), "left_semi")
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
     marked.withColumn("__grp", col("pos") - row_number().over(byDoc))
       .groupBy(col("doc_id"), col("__grp"))

@@ -132,8 +132,11 @@ object Similarity {
     * cardinality throughout. */
   private[pipeline] def trainCentroids(corpus: DataFrame, nlist: Int,
       iters: Int): Array[Array[Double]] = {
-    var centroids: Array[Array[Double]] = corpus
-      .select(col("vec_id"), col("embedding"))
+    // iterative trainer over a fixed input: persist the narrow projection for
+    // the duration of the (eager) seed + iteration collects — without it the
+    // seed scan and every Lloyd iteration re-read and re-shuffled the source
+    val src = corpus.select(col("vec_id"), col("embedding")).persist()
+    var centroids: Array[Array[Double]] = src
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nlist)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
     // fixed Lloyd iterations; centroid update is a groupBy(cell) mean —
@@ -146,7 +149,7 @@ object Similarity {
       // UDF would re-evaluate the UDF once per exploded element — measured
       // 64x); only nlist rows reach the driver
       val sums = (0 until dim).map(i => sum(element_at(col("embedding"), i + 1)).as(s"s$i"))
-      val rows = corpus
+      val rows = src
         .select(element_at(one(col("embedding")), 1).as("cell"), col("embedding"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"), sums: _*)
@@ -161,6 +164,7 @@ object Similarity {
         }
       }.toArray
     }
+    src.unpersist(blocking = false) // all consumers (collects) already ran
     centroids
   }
 
@@ -402,13 +406,22 @@ object Similarity {
       val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
       v.map(x => (x * inv).toFloat)
     }
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sub = dim / m
     // iterative training re-scans the normalized corpus iters times —
     // persist for the duration of the (eager) training collects, release
     // lazily before returning the plan (the kmeans pattern)
     val norm = corpus.select(col("vec_id"), normUdf(col("embedding")).as("embedding")).persist()
+    // joint Lloyd across all m subspaces: seeds are the ksub
+    // lowest-xxhash vectors' slices (the trainCentroids seeding), and each
+    // iteration is ONE scan — (vec, j, codeⱼ, subvecⱼ) rows aggregated per
+    // (j, code) with sub per-dimension sums, m×ksub×(dim/m) driver doubles
+    // (per-subspace trainCentroids calls would cost m scans per iteration
+    // for identical math). The seed collect doubles as the dimension read —
+    // the former standalone dim job re-scanned the raw corpus for one row.
+    val seeds = norm.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
     // all m codes in ONE pass over the vector (an m-way union would rescan)
     def codesUdf(cbs: Array[Array[Array[Double]]]) = udf { (v: Seq[Float]) =>
       Array.tabulate(m) { j =>
@@ -425,14 +438,6 @@ object Similarity {
         best
       }
     }
-    // joint Lloyd across all m subspaces: seeds are the ksub
-    // lowest-xxhash vectors' slices (the trainCentroids seeding), and each
-    // iteration is ONE scan — (vec, j, codeⱼ, subvecⱼ) rows aggregated per
-    // (j, code) with sub per-dimension sums, m×ksub×(dim/m) driver doubles
-    // (per-subspace trainCentroids calls would cost m scans per iteration
-    // for identical math)
-    val seeds = norm.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
-      .select(col("embedding")).collect().map(_.getSeq[Float](0))
     var codebooks: Array[Array[Array[Double]]] =
       Array.tabulate(m)(j => seeds.map(v => Array.tabulate(sub)(i => v(j * sub + i).toDouble)))
     (0 until iters).foreach { _ =>
