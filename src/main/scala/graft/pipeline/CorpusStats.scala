@@ -268,14 +268,23 @@ object CorpusStats {
     }
     val ps = docs.select(col("doc_id"),
       posexplode(chunkUdf(words(col("text")))).as(Seq("idx", "p")))
-    val firstW = Window.partitionBy(col("p")).orderBy(col("doc_id").asc, col("idx").asc)
-    ps.withColumn("__rk", row_number().over(firstW))
+    // global first occurrence = min (doc_id, idx) per passage, as an
+    // aggregation joined back on the SAME passage-keyed exchange — the
+    // former row_number window sorted each passage's occurrences in one
+    // task (a hot boilerplate passage = one straggler; a skewed join
+    // partition AQE can split) and paid a per-partition sort for a
+    // per-group minimum
+    val first = ps.groupBy(col("p"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__f"))
+    ps.join(first, "p")
+      .withColumn("__first",
+        col("doc_id") === col("__f.doc_id") && col("idx") === col("__f.idx"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_passages"),
-        sum(when(col("__rk") > 1, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(!col("__first"), 1L).otherwise(0L)).as("n_dup"),
         concat_ws(" ", transform(
-          array_sort(collect_list(when(col("__rk") === 1, struct(col("idx"), col("p"))))),
+          array_sort(collect_list(when(col("__first"), struct(col("idx"), col("p"))))),
           x => x("p"))).as("clean_text"))
       .select(col("doc_id"), col("n_passages"), col("n_dup"), col("clean_text"))
   }

@@ -456,14 +456,22 @@ object Dedup {
     }
     val ch = docs.select(col("doc_id"),
       posexplode(chunkUdf(words(col("text")))).as(Seq("idx", "chunk")))
-    val firstW = Window.partitionBy(col("chunk")).orderBy(col("doc_id").asc, col("idx").asc)
-    ch.withColumn("__rk", row_number().over(firstW))
+    // global first occurrence = min (doc_id, idx) per chunk, as an
+    // aggregation joined back on the SAME chunk-keyed exchange — the former
+    // row_number window sorted each chunk's occurrences in one task (a hot
+    // chunk = one straggler; a skewed join partition AQE can split) and
+    // paid a per-partition sort for a per-group minimum
+    val first = ch.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__f"))
+    ch.join(first, "chunk")
+      .withColumn("__first",
+        col("doc_id") === col("__f.doc_id") && col("idx") === col("__f.idx"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
-        sum(when(col("__rk") > 1, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(!col("__first"), 1L).otherwise(0L)).as("n_dup"),
         concat_ws(" ", transform(
-          array_sort(collect_list(when(col("__rk") === 1, struct(col("idx"), col("chunk"))))),
+          array_sort(collect_list(when(col("__first"), struct(col("idx"), col("chunk"))))),
           x => x("chunk"))).as("clean_text"))
       .select(col("doc_id"), col("n_chunks"), col("n_dup"), col("clean_text"))
   }
