@@ -22,14 +22,20 @@ object PipelineSuite {
     * minhash behind a single core). At real scale the scan splits by
     * maxPartitionBytes and the repartition is a no-op branch; the shuffle it
     * adds at small scale is KBs against seconds of serial CPU. */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+  private def spread(s: SparkSession, df: DataFrame, key: String): DataFrame =
     if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-      df.repartition(s.sparkContext.defaultParallelism)
+      // hash-repartition on the dense unique id, NOT round-robin: a keyless
+      // repartition(n) first locally sorts every input partition so task
+      // retries reproduce the row→partition map (SPARK-23207), paying a
+      // sort of the text/vector payload on every query's source read; the
+      // id hash is retry-deterministic for free and spreads a dense id
+      // space just as evenly
+      df.repartition(s.sparkContext.defaultParallelism, col(key))
     else df
   private def docs(s: SparkSession, dir: String): DataFrame =
-    spread(s, s.read.parquet(s"$dir/documents.parquet"))
+    spread(s, s.read.parquet(s"$dir/documents.parquet"), "doc_id")
   private def embs(s: SparkSession, dir: String): DataFrame =
-    spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+    spread(s, s.read.parquet(s"$dir/embeddings.parquet"), "vec_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lp01_exact_dedup" -> { (s, dir) =>
