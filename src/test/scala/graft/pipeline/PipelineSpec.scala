@@ -153,6 +153,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full.length == 66)
   }
 
+  test("r14 plan pins: shared-exchange reuse, window-free caps, semi-join dup flag") {
+    // cosineDupPairs: pair sides + bucket stats alias ONE bucketed subtree —
+    // the final (AQE-resolved) plan must read reused exchanges, not rebuild
+    // the corpus scan per branch
+    val e = embsOf((1L to 30L).map(i => i -> Seq(i.toFloat, 2f, 3f)): _*)
+    val dup = Similarity.cosineDupPairs(e, tau = -1.0)
+    dup.collect()
+    assert(dup.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      dup.queryExecution.executedPlan.toString)
+    // minhashPairs / cdcChunks / passageDedup: the stop-bucket cap and the
+    // global-first-occurrence flag are aggregations joined back on the same
+    // exchange — NO unsplittable Window anywhere in these plans
+    val d = docsOf(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "x y z w q r")
+    Seq(
+      Dedup.minhashPairs(d, minEstJaccard = 0.0),
+      Dedup.cdcChunks(d),
+      CorpusStats.passageDedup(d, passageWords = 2)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), plan)
+    }
+    // dupSpans: the >1-count dup flag ships the duplicated-gram SET (left
+    // semi), never the full gram-count table
+    val spansPlan = Dedup.dupSpans(d, n = 2).queryExecution.executedPlan.toString
+    assert(spansPlan.contains("LeftSemi"), spansPlan)
+  }
+
   test("sequencePack: concat-and-chunk offsets, straddling docs, exact fits") {
     // tokens: d1=3, d2=4, d3=1, d4=7 — stream of 15 tokens, bins of 4:
     // d1 [0..2] bin 0; d2 [3..6] straddles bins 0..1; d3 [7] ends bin 1
