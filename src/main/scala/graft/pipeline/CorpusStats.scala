@@ -46,34 +46,59 @@ object CorpusStats {
     *   top_bigram_frac = max count(2gram) / n_bigrams (0 when no bigrams),
     *   dup_trigram_frac= Σ count(g)·[count(g)>1] / n_trigrams (0 when none),
     * plus `keep` — the doc passes when repetition is below fixed thresholds.
+    * No top-word identity is reported, so no argmax tie-break ambiguity
+    * exists and the operator is hash-exact against any engine.
     *
-    * Shape: three explode→(doc, gram) aggregations (map-side combine on the
-    * (doc_id, gram) key; the second level is keyed on doc_id alone), joined
-    * on doc_id. No top-word identity is reported, so no argmax tie-break
-    * ambiguity exists and the operator is hash-exact against any engine. */
+    * 100 TB shape: entirely ROW-LOCAL since round 14 — every statistic is a
+    * run-length fact of the doc's SORTED gram array, so all three gram sizes
+    * fold inside one projection (array_sort + aggregate HOFs, the same
+    * device as [[TextAnalysis.repetitionStats]]/[[TextAnalysis
+    * .lexicalDiversity]]). The former shape exploded three (doc, gram)
+    * tables through three two-level aggregations and re-joined them —
+    * three corpus-sized exchanges for per-doc arithmetic. Counts are
+    * integers and every fraction divides the same integers, so the output
+    * is hash-identical; NULL-text docs are filtered explicitly — the old
+    * explode dropped them implicitly. */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    def gramStats(n: Int, pfx: String): DataFrame =
-      docs.select(col("doc_id"),
-          explode(if (n == 1) words(col("text")) else gramUdf(n)(words(col("text")))).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(
-          sum(col("c")).as(s"${pfx}_n"),
-          count(lit(1)).as(s"${pfx}_distinct"),
-          max(col("c")).as(s"${pfx}_top"),
-          sum(when(col("c") > 1, col("c")).otherwise(0L)).as(s"${pfx}_dup"))
-    val w = gramStats(1, "w")
-    val b = gramStats(2, "b")
-    val t = gramStats(3, "t")
-    // n-gram legs can be empty for very short docs — left joins + zero fills
-    val j = w.join(b, Seq("doc_id"), "left").join(t, Seq("doc_id"), "left")
-    val dupWordFrac = col("w_dup").cast("double") / col("w_n").cast("double")
-    val topWordFrac = col("w_top").cast("double") / col("w_n").cast("double")
-    val topBigramFrac = coalesce(col("b_top").cast("double") / col("b_n").cast("double"), lit(0.0))
-    val dupTrigramFrac = coalesce(col("t_dup").cast("double") / col("t_n").cast("double"), lit(0.0))
-    j.select(
+    // run-length fold over the sorted gram array: (distinct runs, longest
+    // run, duplicate mass = Σ run·[run>1]); a run finalizes when the next
+    // gram differs, the finish lambda folds in the last run
+    def runStats(a: String): Column = {
+      expr(
+        s"""aggregate(
+           |  array_sort($a),
+           |  named_struct('prev', CAST(null AS string), 'run', 0L,
+           |               'dist', 0L, 'top', 0L, 'dup', 0L),
+           |  (acc, x) -> IF(acc.prev <=> x,
+           |    named_struct('prev', x, 'run', acc.run + 1L, 'dist', acc.dist,
+           |                 'top', acc.top, 'dup', acc.dup),
+           |    named_struct('prev', x, 'run', 1L, 'dist', acc.dist + 1L,
+           |                 'top', GREATEST(acc.top, acc.run),
+           |                 'dup', acc.dup + IF(acc.run > 1L, acc.run, 0L))),
+           |  acc -> named_struct('dist', acc.dist,
+           |                      'top', GREATEST(acc.top, acc.run),
+           |                      'dup', acc.dup + IF(acc.run > 1L, acc.run, 0L)))""".stripMargin)
+    }
+    def grams(n: Int): String =
+      s"transform(sequence(0, size(__ws) - $n), i -> " +
+        (1 until n).foldLeft("__ws[i]")((s, k) => s"concat($s, ' ', __ws[i + $k])") + ")"
+    val out = docs
+      .filter(col("text").isNotNull)
+      .withColumn("__ws", words(col("text")))
+      .withColumn("__w1", runStats("__ws"))
+      .withColumn("__b", when(size(col("__ws")) >= 2, runStats(grams(2))))
+      .withColumn("__t", when(size(col("__ws")) >= 3, runStats(grams(3))))
+    val nW = size(col("__ws")).cast("long")
+    val dupWordFrac = col("__w1.dup").cast("double") / nW.cast("double")
+    val topWordFrac = col("__w1.top").cast("double") / nW.cast("double")
+    val topBigramFrac = coalesce(col("__b.top").cast("double")
+      / (size(col("__ws")) - 1).cast("double"), lit(0.0))
+    val dupTrigramFrac = coalesce(col("__t.dup").cast("double")
+      / (size(col("__ws")) - 2).cast("double"), lit(0.0))
+    out.select(
       col("doc_id"),
-      col("w_n").as("n_words"),
-      col("w_distinct").as("n_distinct"),
+      nW.as("n_words"),
+      col("__w1.dist").as("n_distinct"),
       dupWordFrac.as("dup_word_frac"),
       topWordFrac.as("top_word_frac"),
       topBigramFrac.as("top_bigram_frac"),

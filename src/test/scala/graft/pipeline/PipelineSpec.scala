@@ -178,6 +178,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // semi), never the full gram-count table
     val spansPlan = Dedup.dupSpans(d, n = 2).queryExecution.executedPlan.toString
     assert(spansPlan.contains("LeftSemi"), spansPlan)
+    // CorpusStats.repetitionStats: the sorted-run rewrite removed all three
+    // (doc, gram) exchanges — the plan must be a bare scan + projection
+    val repPlan = CorpusStats.repetitionStats(d).queryExecution.executedPlan.toString
+    assert(!repPlan.contains("Exchange"), repPlan)
   }
 
   test("sequencePack: concat-and-chunk offsets, straddling docs, exact fits") {
