@@ -138,10 +138,13 @@ object QualityModel {
   def dsirWeights(docs: DataFrame, targetPred: Column, alpha: Double = 0.5,
       buckets: Int = 1 << 14): DataFrame = {
     val b = buckets.toLong
+    // hash the whole token array in ONE UDF call per doc and explode the
+    // int buckets — the former per-token ScalaUDF paid an invocation + string
+    // boxing per exploded row, and the Generate shipped token strings
+    // instead of ints; values are identical ((polyHash(t) % b).toInt)
+    val bucketsOf = udf { (ws: Seq[String]) => ws.map(w => (polyHash(w) % b).toInt) }
     val toks = docs.select(col("doc_id"), targetPred.cast("long").as("tgt"),
-        explode(words(col("text"))).as("t"))
-      .select(col("doc_id"), col("tgt"),
-        (polyHashUdf(col("t")) % b).cast("int").as("bk"))
+        explode(bucketsOf(words(col("text")))).as("bk"))
     val perDoc = toks.groupBy(col("doc_id"), col("tgt"), col("bk"))
       .agg(count(lit(1)).as("c"))
     // bucket count tables for the two distributions: ≤B rows each
