@@ -421,7 +421,15 @@ object CorpusStats {
         least(col("__cnt"), floor(wCol * total).cast("long")).as("__quota"))
     val rk = Window.partitionBy(col("source"))
       .orderBy(knuthHash(col("doc_id")).asc, col("doc_id").asc)
+    // a LITERAL rank cap first: no per-source quota exceeds
+    // floor(max(weight)·total), and a literal rank filter directly above the
+    // window lets Catalyst rewrite to WindowGroupLimit — a map-side partial
+    // top-k per stratum BEFORE the exchange, so at most cap·tasks rows
+    // shuffle per stratum instead of the whole stratum sorting. The exact
+    // data-dependent quota still applies after the join.
+    val rankCap = math.floor(weights.values.foldLeft(0.0)(math.max) * total).toLong
     docs.withColumn("__rk", row_number().over(rk))
+      .filter(col("__rk") <= rankCap)
       .join(broadcast(quotas), "source") // one row per source — bounded
       .filter(col("__rk") <= col("__quota"))
       .select(col("doc_id"), col("source"), col("__rk").cast("long").as("rk"))

@@ -96,15 +96,22 @@ object Similarity {
   def lshTopK(corpus: DataFrame, qdf: DataFrame, k: Int,
       tables: Int = 8, planes: Int = 10): DataFrame = {
     val bu = bucketsUdf(tables, planes)
-    def withBuckets(df: DataFrame, idAs: String, vAs: String): DataFrame =
-      df.select(
-        col("vec_id").as(idAs), col("embedding").as(vAs),
-        posexplode(bu(col("embedding"))).as(Seq("tbl", "bkt")))
-    val qb = broadcast(withBuckets(qdf, "qid", "qv"))
-    val cb = withBuckets(corpus, "nid", "nv")
+    // candidate dedup on NARROW (qid, nid) rows — a pair colliding in
+    // several tables would otherwise carry BOTH embedding payloads through
+    // the distinct once per collision (the cosineDupPairs r12 lesson);
+    // vectors join back by id after the distinct
+    val qb = broadcast(qdf.select(
+      col("vec_id").as("qid"),
+      posexplode(bu(col("embedding"))).as(Seq("tbl", "bkt"))))
+    val cb = corpus.select(
+      col("vec_id").as("nid"),
+      posexplode(bu(col("embedding"))).as(Seq("tbl", "bkt")))
     val cand = qb.join(cb, Seq("tbl", "bkt")).filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
-    val scored = cand.select(col("qid"), col("nid"), cosine("qv", "nv").as("cos"))
+      .select(col("qid"), col("nid")).distinct()
+    val scored = cand
+      .join(broadcast(qdf.select(col("vec_id").as("qid"), col("embedding").as("qv"))), "qid")
+      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid")
+      .select(col("qid"), col("nid"), cosine("qv", "nv").as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
