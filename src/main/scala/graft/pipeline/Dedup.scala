@@ -2,6 +2,9 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Murmur3HashFunction, XxHash64Function}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -34,7 +37,7 @@ object Dedup {
   /** distinct word n-gram shingles — tight-loop UDF (the SQL-lambda
     * `transform(sequence(...), i -> concat_ws(element_at...))` version
     * evaluates interpreted, ~20µs/position; this is the per-doc hot loop) */
-  private def shingleUdf(n: Int) = udf { (w: Seq[String]) =>
+  private def distinctShingles(w: Seq[String], n: Int): Array[String] =
     if (w.length < n) Array.empty[String]
     else {
       val seen = new java.util.LinkedHashSet[String]()
@@ -49,7 +52,8 @@ object Dedup {
       val out = new Array[String](seen.size)
       seen.toArray(out); out
     }
-  }
+
+  private def shingleUdf(n: Int) = udf { (w: Seq[String]) => distinctShingles(w, n) }
 
   /** (doc_id, shingle) exploded pairs */
   private[graft] def shingleRows(docs: DataFrame, n: Int): DataFrame =
@@ -131,15 +135,44 @@ object Dedup {
   /** MinHash signatures: `perms` permutations approximated by seeded murmur3
     * minima — the standard broken-up minwise family. The shingle STRING is
     * hashed once (xxhash64); each permutation re-mixes the 8-byte value
-    * (hash(long, seed) is a few codegen'd mix rounds vs murmur over the
-    * full string per permutation — ~10× less hash work per shingle row,
-    * same minwise-independence argument). */
+    * (a few mix rounds vs murmur over the full string per permutation —
+    * ~10× less hash work per shingle, same minwise-independence argument).
+    *
+    * ROW-LOCAL since round 14: a doc's signature is a function of its own
+    * shingles only, so the whole thing folds inside ONE projection — the
+    * former explode → groupBy(doc_id) shape exchanged the entire shingle
+    * stream for a per-doc minimum. The UDF replicates the exact Catalyst
+    * hash values the old plan computed (`XxHash64Function` /
+    * `Murmur3HashFunction` ARE the interpreted implementations of
+    * `xxhash64(sg)` and `hash(__h, p)`, seed 42), so signatures are
+    * bit-identical (spec-pinned against the old formula). Docs with no
+    * shingles (< 3 words) or null text drop, exactly as the explode did. */
   def minhashSignatures(docs: DataFrame, perms: Int = 64): DataFrame = {
-    val sh = shingleRows(docs, 3).withColumn("__h", xxhash64(col("sg")))
-    val mins = (0 until perms).map(p => min(hash(col("__h"), lit(p))).as(s"m$p"))
-    sh.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
+    val sigUdf = udf { (w: Seq[String]) =>
+      val shingles = distinctShingles(w, 3)
+      if (shingles.isEmpty) null
+      else {
+        val mins = Array.fill(perms)(Int.MaxValue)
+        shingles.foreach { sg =>
+          // xxhash64(sg): string xxhash, seed 42
+          val h = XxHash64Function.hash(
+            UTF8String.fromString(sg), StringType, 42L)
+          // hash(__h, p): murmur3 over (long, int) chained from seed 42 —
+          // the long leg is permutation-independent, hoisted
+          val hl = Murmur3HashFunction.hash(h, LongType, 42L)
+          var p = 0
+          while (p < perms) {
+            val m = Murmur3HashFunction.hash(p, IntegerType, hl).toInt
+            if (m < mins(p)) mins(p) = m
+            p += 1
+          }
+        }
+        mins
+      }
+    }
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), sigUdf(words(col("text"))).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** MinHash-LSH near-dup candidate pairs with signature-estimated Jaccard.
@@ -228,21 +261,36 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
-  /** 64-bit SimHash over word murmur3 hashes (weight = term frequency). */
+  /** 64-bit SimHash over word murmur3 hashes (weight = term frequency).
+    *
+    * ROW-LOCAL since round 14: the per-bit vote is a function of the doc's
+    * own words, so the explode → groupBy(doc_id) shape exchanged the whole
+    * token stream for per-doc arithmetic. One projection now; the UDF
+    * replicates the exact Catalyst murmur3 values of the old
+    * `hash(w)` / `hash(w, 1)` columns (seed 42, chained), so signatures
+    * are bit-identical (spec-pinned against the old formula). Null-text
+    * docs drop, exactly as the explode did. */
   def simhash(docs: DataFrame): DataFrame = {
-    val w = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .withColumn("h", hash(col("w")).cast("long").bitwiseAND(lit(0xFFFFFFFFL))) // 32-bit murmur3, widened
-      .withColumn("h2", hash(col("w"), lit(1)).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
-      .withColumn("h64", shiftleft(col("h"), 32).bitwiseOR(col("h2")))
-    // per-bit vote: +1 if bit set else -1; sign of the sum is the output bit
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftrightunsigned(col("h64"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$b")
+    val shUdf = udf { (ws: Seq[String]) =>
+      val votes = new Array[Int](64)
+      ws.foreach { w =>
+        val u = UTF8String.fromString(w)
+        // hash(w): murmur3(string, seed 42); hash(w, 1): chained int leg
+        val r1 = Murmur3HashFunction.hash(u, StringType, 42L).toInt
+        val r2 = Murmur3HashFunction.hash(1, IntegerType, r1.toLong).toInt
+        val h64 = ((r1.toLong & 0xFFFFFFFFL) << 32) | (r2.toLong & 0xFFFFFFFFL)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h64 >>> b) & 1L) == 1L) 1 else -1); b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
     }
-    w.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), shUdf(words(col("text"))).as("simhash"))
   }
 
   /** Connected components over an undirected near-dup pair list (columns

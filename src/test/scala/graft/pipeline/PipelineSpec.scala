@@ -153,6 +153,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full.length == 66)
   }
 
+  test("r14 row-local signatures are bit-identical to the former SQL formulas") {
+    // 40 organic-ish docs incl. repeats, short docs and unicode
+    val rows = (0L until 40L).map { i =>
+      val w = (0 until (i % 9).toInt + 1)
+        .map(j => s"w${(i * 13 + j * 7) % 23}").mkString(" ")
+      i -> (if (i % 5 == 0) s"$w élève $w" else w)
+    }
+    val d = docsOf(rows: _*)
+    // former simhash: explode words -> 64 vote sums -> sign bits
+    val wdf = d.select(col("doc_id"), explode(Dedup.words(col("text"))).as("w"))
+      .withColumn("h", hash(col("w")).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+      .withColumn("h2", hash(col("w"), lit(1)).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+      .withColumn("h64", shiftleft(col("h"), 32).bitwiseOR(col("h2")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftrightunsigned(col("h64"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val oldSim = wdf.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val newSim = Dedup.simhash(d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(newSim == oldSim)
+    // former minhash: explode distinct shingles -> xxhash64 -> 64 seeded
+    // murmur minima per doc
+    val perms = 64
+    val sh = Dedup.shingleRows(d, 3).withColumn("__h", xxhash64(col("sg")))
+    val mins = (0 until perms).map(p => min(hash(col("__h"), lit(p))).as(s"m$p"))
+    val oldSig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val newSig = Dedup.minhashSignatures(d, perms)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(newSig == oldSig)
+    // and both are now single-projection plans: no Exchange anywhere
+    Seq(Dedup.simhash(d), Dedup.minhashSignatures(d, perms)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    }
+  }
+
   test("r14 plan pins: shared-exchange reuse, window-free caps, semi-join dup flag") {
     // cosineDupPairs: pair sides + bucket stats alias ONE bucketed subtree —
     // the final (AQE-resolved) plan must read reused exchanges, not rebuild
