@@ -124,11 +124,13 @@ object Dedup {
   }
 
   /** Exact dedup: group by normalized text, keep the smallest doc_id.
-    * 100 TB: a single shuffle keyed on xxhash64(norm) — group sizes are
-    * bounded by duplicate multiplicity, never by corpus size. */
+    * 100 TB: a single shuffle keyed on the content digest — group sizes are
+    * bounded by duplicate multiplicity, never by corpus size. The key is the
+    * 32-byte BINARY digest, not sha2's 64-char hex string (same groups,
+    * half the exchanged key bytes). */
   def exact(docs: DataFrame): DataFrame =
     docs
-      .withColumn("__key", sha2(normText(col("text")), 256))
+      .withColumn("__key", unhex(sha2(normText(col("text")), 256)))
       .groupBy(col("__key"))
       .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n_members"))
 
